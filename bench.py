@@ -1,0 +1,70 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+sf0.1) on local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query executes end-to-end into the noop sink (full plan runs, nothing
+materializes on the driver) — the honest way to time a distributed plan.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from etl_job_applify_spark import queries as registry
+from etl_job_applify_spark.session import get_spark_session
+
+#: headline set: one per operator family (scan/agg, multiway join, window,
+#: top-k, JSON, fuzzy dedup, ANN, text, temporal windows, sessionization)
+HEADLINE = [
+    "q01_pricing_summary",
+    "q04_multiway_join",
+    "q13_window_rank",
+    "q16_topk",
+    "q22_json_extract",
+    "q31_ngram_jaccard",
+    "q34_cosine_topk",
+    "q43_fingerprints",
+    "q50_tumbling_window",
+    "q52_sessions",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+    spark = get_spark_session("bench")
+    qs = registry.queries()
+
+    # one warmup action so JVM/codegen startup isn't billed to q01
+    qs["q01_pricing_summary"](spark, sf_dir).write.format("noop").mode(
+        "overwrite"
+    ).save()
+
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        times[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(times.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_runtime",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,15 @@
+from .shingles import with_shingles, with_tokens
+from .jaccard import ngram_jaccard_pairs
+from .minhash import minhash_lsh_pairs
+from .simhash import simhash_fingerprints, simhash_near_pairs
+from .embedding import embedding_near_dup_pairs
+
+__all__ = [
+    "with_shingles",
+    "with_tokens",
+    "ngram_jaccard_pairs",
+    "minhash_lsh_pairs",
+    "simhash_fingerprints",
+    "simhash_near_pairs",
+    "embedding_near_dup_pairs",
+]

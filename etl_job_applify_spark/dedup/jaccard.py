@@ -1,0 +1,77 @@
+"""Exact n-gram Jaccard near-duplicate pairs via shingle inverted index.
+
+Relational formulation (runs identically in Spark and any SQL engine,
+which is what makes it DuckDB-oracle-checkable):
+
+1. explode documents to distinct (doc_id, shingle) postings;
+2. drop shingles occurring in more than ``max_doc_freq`` documents —
+   stop-shingles create quadratic fanout and carry no signal (standard
+   trick from MinHash/LSH literature);
+3. self-join postings on shingle with doc_a < doc_b → co-occurrence
+   counts |A∩B|;
+4. jaccard = |A∩B| / (|A| + |B| − |A∩B|), filter by threshold.
+
+Scale: the join shuffles postings, not documents. With the frequency cap,
+fanout per shingle is bounded by ``max_doc_freq²`` pairs; AQE's skew join
+splits any residual hot shingle. This is the exact-verification stage; at
+100 TB you first prune candidates with MinHash banding (minhash.py) and
+run this only on candidate pairs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .shingles import with_shingles
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """Pairs (a, b, jaccard) with a < b and jaccard >= threshold.
+
+    ``max_doc_freq``: drop shingles shared by more than this many docs
+    before pairing (recall-lossy for near-identical boilerplate, essential
+    at scale).
+    """
+    sh = with_shingles(docs.select(id_col, text_col), text_col, n)
+    postings = sh.select(
+        F.col(id_col).alias("doc"), F.explode("shingles").alias("sh")
+    )
+    if max_doc_freq is not None:
+        keep = (
+            postings.groupBy("sh")
+            .agg(F.count("*").alias("df"))
+            .filter(F.col("df") <= max_doc_freq)
+            .select("sh")
+        )
+        postings = postings.join(keep, "sh")
+    sizes = postings.groupBy("doc").agg(F.count("*").alias("sz"))
+
+    a = postings.select(F.col("doc").alias("a"), "sh")
+    b = postings.select(F.col("doc").alias("b"), "sh")
+    common = (
+        a.join(b, "sh")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("common"))
+    )
+    sa = sizes.select(F.col("doc").alias("a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("doc").alias("b"), F.col("sz").alias("sz_b"))
+    return (
+        common.join(sa, "a")
+        .join(sb, "b")
+        .withColumn(
+            "jaccard",
+            F.col("common")
+            / (F.col("sz_a") + F.col("sz_b") - F.col("common")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("a", "b", "jaccard")
+    )

@@ -1,0 +1,47 @@
+"""Tokenization + word-shingle construction, all JVM-side.
+
+Everything here is built-in array/higher-order functions — no Python UDFs —
+so shingling stays inside whole-stage codegen and scales linearly with the
+corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def tokens_col(text_col: str = "text") -> Column:
+    """Whitespace tokens (the corpus is space-separated; swap the pattern
+    for a unicode-aware one on real text)."""
+    return F.split(F.col(text_col), " ")
+
+
+def with_tokens(df: DataFrame, text_col: str = "text", out: str = "tokens") -> DataFrame:
+    return df.withColumn(out, tokens_col(text_col))
+
+
+def shingles_expr(tokens_col_name: str = "tokens", n: int = 3) -> Column:
+    """Distinct word n-grams via transform over an index sequence —
+    executes in codegen, no UDF. Documents shorter than ``n`` tokens yield
+    an empty array (not null)."""
+    idx = f"sequence(0, size({tokens_col_name}) - {n})"
+    gram = " , ".join(f"{tokens_col_name}[i + {j}]" for j in range(n))
+    return F.expr(
+        f"CASE WHEN size({tokens_col_name}) >= {n} THEN "
+        f"array_distinct(transform({idx}, i -> concat_ws(' ', {gram}))) "
+        f"ELSE array() END"
+    )
+
+
+def with_shingles(
+    df: DataFrame,
+    text_col: str = "text",
+    n: int = 3,
+    out: str = "shingles",
+) -> DataFrame:
+    """Add a distinct word-``n``-gram array column derived from
+    ``text_col``."""
+    return df.withColumn("__tok", tokens_col(text_col)).withColumn(
+        out, shingles_expr("__tok", n)
+    ).drop("__tok")

@@ -1,0 +1,15 @@
+from .media import (
+    MEDIA_META_SCHEMA,
+    attach_fake_media,
+    media_byte_features,
+    decode_image_batch,
+    extract_frames_batch,
+)
+
+__all__ = [
+    "MEDIA_META_SCHEMA",
+    "attach_fake_media",
+    "media_byte_features",
+    "decode_image_batch",
+    "extract_frames_batch",
+]

@@ -1,0 +1,96 @@
+"""As-of join (SURVEY §2b: joins/as-of — ABSENT in reference; Spark has no
+native ASOF JOIN).
+
+Implemented with the union-and-carry-forward assembly rather than a range
+cross join:
+
+1. tag right rows (build) and left rows (probe), union them on the key and
+   a common timestamp;
+2. one window per key ordered by (ts, side) — build rows sort BEFORE probe
+   rows at equal timestamps so backward as-of is inclusive;
+3. ``last(value, ignorenulls=True)`` carries the most recent build payload
+   forward onto every probe row.
+
+Cost: ONE shuffle + sort on the key — the same cost as a sort-merge join,
+no candidate explosion, skew handled by AQE. This is the 100 TB-safe shape;
+a per-group ``pd.merge_asof`` via ``applyInPandas`` would ship every group
+through Python and cap at one group per task.
+
+Right rows must be unique per (key, ts) for deterministic output — callers
+dedup first (e.g. ``dedup_keep_first``).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    left_ts: str,
+    right_ts: str,
+    payload: Sequence[str] | None = None,
+    how: str = "backward",
+) -> DataFrame:
+    """For each left row, attach the payload of the most recent right row
+    with the same key and ``right_ts <= left_ts`` (``how="backward"``), or
+    the earliest with ``right_ts >= left_ts`` (``how="forward"``).
+
+    Returns all left columns plus ``payload`` columns (null when no match).
+    """
+    if how not in ("backward", "forward"):
+        raise ValueError("how must be backward|forward")
+    on = list(on)
+    payload = list(payload) if payload is not None else [
+        c for c in right.columns if c not in on and c != right_ts
+    ]
+    left_cols = left.columns
+
+    probe = left.select(
+        *on,
+        F.col(left_ts).alias("__ts"),
+        F.lit(1).alias("__side"),
+        *[F.col(c) for c in left_cols if c not in on],
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__b_{c}") for c in payload],
+    )
+    build = right.select(
+        *on,
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__side"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left_cols if c not in on],
+        *[F.col(c).alias(f"__b_{c}") for c in payload],
+    )
+    unioned = probe.unionByName(build)
+
+    if how == "backward":
+        w = (
+            Window.partitionBy(*on)
+            .orderBy(F.col("__ts").asc(), F.col("__side").asc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+    else:
+        w = (
+            Window.partitionBy(*on)
+            .orderBy(F.col("__ts").desc(), F.col("__side").asc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+
+    carried = unioned.select(
+        *unioned.columns,
+        *[
+            F.last(F.col(f"__b_{c}"), ignorenulls=True).over(w).alias(f"__m_{c}")
+            for c in payload
+        ],
+    )
+    out = carried.filter(F.col("__side") == 1).select(
+        *on,
+        F.col("__ts").alias(left_ts),
+        *[c for c in left_cols if c not in on and c != left_ts],
+        *[F.col(f"__m_{c}").alias(c) for c in payload],
+    )
+    return out

@@ -1,0 +1,64 @@
+"""Range / theta joins (SURVEY §2b: joins/theta+range — ABSENT in
+reference).
+
+Two regimes:
+
+- small band table (price bands, age brackets, SLA tiers): broadcast the
+  bands and let the executor-local nested loop over a handful of bands do
+  the interval test — no shuffle at all. This is ``range_join``'s default
+  and the right call whenever one side fits in memory.
+- both sides large: bucketize the range key to a common grid, equi-join on
+  the bucket (one shuffle each side), then re-check the precise predicate.
+  ``range_join_bucketed`` implements this; bucket width should be on the
+  order of the interval width so each row lands in O(1) buckets.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    condition: Column,
+    how: str = "inner",
+    broadcast_right: bool = True,
+) -> DataFrame:
+    """Theta join on an arbitrary condition; broadcasts the right side by
+    default (bands/dimension tables). With ``broadcast_right=False`` Spark
+    falls back to BNLJ/cartesian — only acceptable for tiny inputs."""
+    r = F.broadcast(right) if broadcast_right else right
+    return left.join(r, on=condition, how=how)
+
+
+def range_join_bucketed(
+    left: DataFrame,
+    right: DataFrame,
+    left_point: str,
+    right_lo: str,
+    right_hi: str,
+    bucket_width: float,
+    how: str = "inner",
+) -> DataFrame:
+    """Interval join for two LARGE sides: ``left.point ∈ [right.lo,
+    right.hi)``. Right intervals are exploded to every bucket they overlap
+    (``ceil((hi-lo)/width)`` rows each — keep width ≈ typical interval
+    length), both sides equi-join on the bucket id, then the exact
+    predicate filters false positives. Shuffle is on (bucket), so skew only
+    arises from genuinely hot ranges — handled by AQE skew-join."""
+    lb = left.withColumn("__bucket", F.floor(F.col(left_point) / bucket_width))
+    rb = right.withColumn(
+        "__bucket",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(right_lo) / bucket_width),
+                F.floor((F.col(right_hi) - 1e-9) / bucket_width),
+            )
+        ),
+    )
+    joined = lb.join(rb, on="__bucket", how=how)
+    return joined.filter(
+        (F.col(left_point) >= F.col(right_lo)) & (F.col(left_point) < F.col(right_hi))
+    ).drop("__bucket")

@@ -1,0 +1,55 @@
+"""Shared helpers for the query inventory.
+
+The DECIMAL-accumulate-then-DOUBLE idiom: double-precision SUM is
+order-dependent (floating-point addition is not associative), so a
+parallel Spark aggregation and a serial DuckDB aggregation of identical
+inputs can differ in the last bits — enough to fail a value-hash compare.
+Accumulating in DECIMAL(28,6) is exact and associative; casting the exact
+result to DOUBLE is deterministic. Both engines evaluate the SAME SQL text
+for these expressions, so results match bit-for-bit at any parallelism —
+this also holds on a 1000-executor cluster, where partial-aggregate order
+is even less predictable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def tbl(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Fixture table loader.
+
+    ``events.ts`` is written as parquet TIMESTAMP(NANOS), which Spark 4
+    refuses to map to TimestampType; read it as a raw long and convert
+    with integer division (``div 1000`` → micros — integer arithmetic, no
+    double-precision loss on ~1.7e18 nano epochs).
+    """
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        return df.withColumn(
+            "ts", F.expr("timestamp_micros(ts div 1000)")
+        )
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def DSUM(expr: str, scale: int = 6) -> str:
+    """Exact distributed sum of a double expression, surfaced as DOUBLE."""
+    return f"CAST(SUM(CAST(({expr}) AS DECIMAL(28,{scale}))) AS DOUBLE)"
+
+
+def DAVG(expr: str, scale: int = 6) -> str:
+    """Exact-sum average: deterministic DOUBLE division at the end."""
+    return (
+        f"CAST(SUM(CAST(({expr}) AS DECIMAL(28,{scale}))) AS DOUBLE)"
+        f" / COUNT({expr})"
+    )
+
+
+def dsum(expr: str, alias: str):
+    return F.expr(DSUM(expr)).alias(alias)
+
+
+def davg(expr: str, alias: str):
+    return F.expr(DAVG(expr)).alias(alias)

@@ -1,0 +1,252 @@
+"""Analytics query inventory: dedup, similarity search, quantiles,
+approximate aggregates, multimodal plumbing (SURVEY §2b north-star rows).
+
+DuckDB-oracle notes: the vector math oracles mirror Spark's left-fold
+``aggregate`` with ``list_reduce`` over a 0-prepended list so the FP
+addition sequence is identical; window ranks are CAST to INT because
+DuckDB's ROW_NUMBER is BIGINT while Spark's is INT.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ._util import DSUM, dsum, tbl
+from ..dedup import (
+    embedding_near_dup_pairs,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_near_pairs,
+)
+from ..multimodal import attach_fake_media, media_byte_features
+from ..similarity import ann_topk_lsh, cosine_topk
+from ..transform.dedup import dedup_keep_first
+
+
+# --- q30: deterministic exact dedup --------------------------------------
+
+def q30_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = tbl(spark, sf_dir, "documents")
+    return dedup_keep_first(
+        docs.select("doc_id", "lang", "source"),
+        keys=["lang", "source"],
+        order_by=["doc_id"],
+    )
+
+
+_Q30_SQL = """
+SELECT doc_id, lang, source FROM (
+  SELECT doc_id, lang, source,
+         ROW_NUMBER() OVER (PARTITION BY lang, source ORDER BY doc_id) AS rn
+  FROM documents
+) WHERE rn = 1
+"""
+
+
+# --- q31: exact n-gram Jaccard near-dup pairs ----------------------------
+# Relational shingle inverted index — identical SQL shape runs in DuckDB,
+# making fuzzy dedup oracle-checkable (rare: most engines hide this behind
+# hashes). The corpus plants ~25 pairs with jaccard ≥ 0.85.
+
+def q31_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = tbl(spark, sf_dir, "documents")
+    out = ngram_jaccard_pairs(docs, threshold=0.5)
+    return out.select("a", "b", "jaccard")
+
+
+_Q31_SQL = """
+WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(range(1, greatest(len(t) - 2, 0) + 1),
+                i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) AS sh
+  FROM tok WHERE len(t) >= 3
+),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+common AS (
+  SELECT s1.doc_id AS a, s2.doc_id AS b, COUNT(*) AS common
+  FROM sh s1 JOIN sh s2 ON s1.sh = s2.sh AND s1.doc_id < s2.doc_id
+  GROUP BY 1, 2
+)
+SELECT a, b, common / (sa.sz + sb.sz - common) AS jaccard
+FROM common
+JOIN sizes sa ON sa.doc_id = a
+JOIN sizes sb ON sb.doc_id = b
+WHERE common / (sa.sz + sb.sz - common) >= 0.5
+"""
+
+
+# --- q32: MinHash LSH near-dup pairs (rows-only: xxhash64 has no DuckDB
+# twin; exact-verification output is jaccard pairs like q31 with
+# LSH-bounded recall) ------------------------------------------------------
+
+def q32_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = tbl(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(
+        docs, num_hashes=64, bands=16, threshold=0.5, verify=True
+    )
+
+
+# --- q33: SimHash near-dup pairs (rows-only) ------------------------------
+
+def q33_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = tbl(spark, sf_dir, "documents")
+    return simhash_near_pairs(docs, n=2, max_hamming=8)
+
+
+# --- q34: brute-force cosine top-k (the exact ANN baseline) --------------
+
+def q34_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = tbl(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    corpus = emb.filter(F.col("vec_id") >= 5)
+    out = cosine_topk(corpus, queries, k=5)
+    return out.withColumn("rank", F.col("rank").cast("int"))
+
+
+_VEC_DOT = (
+    "list_reduce(list_prepend(CAST(0 AS DOUBLE),"
+    " list_transform(range(1, len({a}) + 1),"
+    " i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE))), (x, y) -> x + y)"
+)
+
+
+def _cos_sql(a: str, b: str) -> str:
+    dot = _VEC_DOT.format(a=a, b=b)
+    na = "sqrt(" + _VEC_DOT.format(a=a, b=a) + ")"
+    nb = "sqrt(" + _VEC_DOT.format(a=b, b=b) + ")"
+    return f"({dot}) / (({na}) * ({nb}))"
+
+
+_Q34_SQL = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+c AS (SELECT vec_id AS neighbor, embedding AS cv FROM embeddings WHERE vec_id >= 5),
+scored AS (
+  SELECT query_id, neighbor, {_cos_sql('qv', 'cv')} AS cosine FROM c, q
+)
+SELECT query_id, neighbor, cosine, CAST(rank AS INT) AS rank FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, neighbor) AS rank
+  FROM scored
+) WHERE rank <= 5
+"""
+
+
+# --- q35: LSH approximate top-k (rows-only: approximate by design) -------
+
+def q35_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = tbl(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    corpus = emb.filter(F.col("vec_id") >= 5)
+    return ann_topk_lsh(corpus, queries, k=5, num_planes=10)
+
+
+# --- q36: embedding-cosine near-dup pairs (exact all-pairs form) ---------
+# num_planes=0 → exact; the LSH-bucketed scale path is exercised in tests.
+
+def q36_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = tbl(spark, sf_dir, "embeddings")
+    return embedding_near_dup_pairs(emb, threshold=0.45, num_planes=0).select(
+        "a", "b", "cosine"
+    )
+
+
+_Q36_SQL = f"""
+WITH v AS (SELECT vec_id, embedding FROM embeddings)
+SELECT v1.vec_id AS a, v2.vec_id AS b,
+       {_cos_sql('v1.embedding', 'v2.embedding')} AS cosine
+FROM v v1, v v2
+WHERE v1.vec_id < v2.vec_id
+  AND {_cos_sql('v1.embedding', 'v2.embedding')} >= 0.45
+"""
+
+
+# --- q37: exact quantiles -------------------------------------------------
+
+def q37_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = tbl(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.expr("percentile(l_extendedprice, 0.25)"), 4).alias("p25"),
+            F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("p50"),
+            F.round(F.expr("percentile(l_extendedprice, 0.75)"), 4).alias("p75"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+_Q37_SQL = """
+SELECT l_returnflag,
+       round(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
+       round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+       round(quantile_cont(l_extendedprice, 0.75), 4) AS p75
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+# --- q38: approximate distinct (rows-only: HLL sketches differ across
+# engines by construction; at 100 TB this replaces exact distinct) --------
+
+def q38_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = tbl(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_partkey").alias("approx_parts"),
+            F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+# --- q39: multimodal byte-feature extraction -----------------------------
+# Real mapInPandas plumbing (binary column in, Arrow batches, typed schema
+# out) with a deterministic byte-level "decode" so the whole path is
+# oracle-checkable; the image/audio decode stubs live in multimodal/media.py.
+
+def q39_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = tbl(spark, sf_dir, "documents")
+    media = attach_fake_media(docs)
+    return media_byte_features(media)
+
+
+_Q39_SQL = """
+SELECT doc_id,
+       CAST(length(text) AS BIGINT) AS byte_len,
+       CAST(ascii(text[1]) AS INT) AS first_byte,
+       CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+              list_transform(range(1, length(text) + 1), i -> ascii(text[i]))),
+            (a, c) -> (a + c) % 65536) AS BIGINT) AS byte_checksum
+FROM documents
+"""
+
+
+QUERIES = {
+    "q30_dedup_exact": q30_dedup_exact,
+    "q31_ngram_jaccard": q31_ngram_jaccard,
+    "q32_minhash_lsh": q32_minhash_lsh,
+    "q33_simhash": q33_simhash,
+    "q34_cosine_topk": q34_cosine_topk,
+    "q35_ann_lsh": q35_ann_lsh,
+    "q36_embedding_near_dup": q36_embedding_near_dup,
+    "q37_quantiles": q37_quantiles,
+    "q38_approx_distinct": q38_approx_distinct,
+    "q39_multimodal_features": q39_multimodal_features,
+}
+
+ORACLE = {
+    "q30_dedup_exact": _Q30_SQL,
+    "q31_ngram_jaccard": _Q31_SQL,
+    "q34_cosine_topk": _Q34_SQL,
+    "q36_embedding_near_dup": _Q36_SQL,
+    "q37_quantiles": _Q37_SQL,
+    "q39_multimodal_features": _Q39_SQL,
+}

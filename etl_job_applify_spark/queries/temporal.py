@@ -1,0 +1,168 @@
+"""Temporal query inventory over ``events``: tumbling/sliding windows,
+gap sessionization, as-of join — the batch twins of the streaming jobs in
+streaming/jobs.py (same logical windows, so streaming correctness is
+anchored to these oracle-checked results).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ._util import DSUM, dsum, tbl
+from ..operators import asof_join, sessionize
+from ..transform.dedup import dedup_keep_first
+
+
+# --- q50: tumbling window aggregation ------------------------------------
+# Spark's window() aligns to the epoch, exactly like DuckDB's time_bucket.
+
+def q50_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = tbl(spark, sf_dir, "events")
+    return (
+        events.groupBy(
+            F.window("ts", "1 hour").alias("w"), "event_type"
+        )
+        .agg(F.count("*").alias("n"), dsum("value", "total"))
+        .select(
+            F.col("w.start").alias("window_start"), "event_type", "n", "total"
+        )
+        .orderBy("window_start", "event_type")
+    )
+
+
+_Q50_SQL = f"""
+SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type,
+       COUNT(*) AS n, {DSUM('value')} AS total
+FROM events
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
+# --- q51: sliding window (10 min size, 5 min slide) ----------------------
+# Each event belongs to exactly size/slide = 2 windows; the oracle unnests
+# the two bucket starts explicitly.
+
+def q51_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = tbl(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"))
+        .agg(F.count("*").alias("n"), dsum("value", "total"))
+        .select(F.col("w.start").alias("window_start"), "n", "total")
+        .orderBy("window_start")
+    )
+
+
+_Q51_SQL = f"""
+WITH assigned AS (
+  SELECT unnest([time_bucket(INTERVAL '5 minutes', ts),
+                 time_bucket(INTERVAL '5 minutes', ts) - INTERVAL '5 minutes'])
+           AS window_start,
+         value
+  FROM events
+)
+SELECT window_start, COUNT(*) AS n, {DSUM('value')} AS total
+FROM assigned
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+# --- q52: gap-based sessionization ---------------------------------------
+
+def q52_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = tbl(spark, sf_dir, "events")
+    sess = sessionize(
+        events,
+        keys=["user_id"],
+        ts_col="ts",
+        gap_seconds=1800,
+        order_tiebreak=["event_id"],
+    )
+    return (
+        sess.groupBy("user_id", F.col("session_id").cast("int").alias("session_id"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            dsum("value", "total_value"),
+        )
+    )
+
+
+_Q52_SQL = f"""
+WITH flagged AS (
+  SELECT user_id, ts, event_id, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sessions AS (
+  SELECT user_id, ts, value,
+         CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS INT)
+           AS session_id
+  FROM flagged
+)
+SELECT user_id, session_id, COUNT(*) AS n_events,
+       MIN(ts) AS session_start, MAX(ts) AS session_end,
+       {DSUM('value')} AS total_value
+FROM sessions
+GROUP BY user_id, session_id
+"""
+
+
+# --- q53: as-of join (events ← most recent order per user) ---------------
+# Orders are deduped to one per (custkey, orderdate) first so the as-of
+# match is unambiguous in both engines.
+
+def q53_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = tbl(spark, sf_dir, "events")
+    orders = tbl(spark, sf_dir, "orders")
+    right = dedup_keep_first(
+        orders.select("o_custkey", "o_orderdate", "o_orderkey", "o_totalprice"),
+        keys=["o_custkey", "o_orderdate"],
+        order_by=["o_orderkey"],
+        ascending=False,
+    ).withColumnRenamed("o_custkey", "user_id")
+    out = asof_join(
+        events.select("event_id", "user_id", "ts"),
+        right,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="o_orderdate",
+        payload=["o_orderkey", "o_totalprice"],
+    )
+    return out.select("event_id", "user_id", "ts", "o_orderkey", "o_totalprice")
+
+
+_Q53_SQL = """
+WITH o AS (
+  SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY o_custkey, o_orderdate
+                                 ORDER BY o_orderkey DESC) AS rn
+    FROM orders
+  ) WHERE rn = 1
+)
+SELECT e.event_id, e.user_id, e.ts, o.o_orderkey, o.o_totalprice
+FROM events e
+ASOF LEFT JOIN o ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+"""
+
+
+QUERIES = {
+    "q50_tumbling_window": q50_tumbling_window,
+    "q51_sliding_window": q51_sliding_window,
+    "q52_sessions": q52_sessions,
+    "q53_asof_join": q53_asof_join,
+}
+
+ORACLE = {
+    "q50_tumbling_window": _Q50_SQL,
+    "q51_sliding_window": _Q51_SQL,
+    "q52_sessions": _Q52_SQL,
+    "q53_asof_join": _Q53_SQL,
+}

@@ -1,0 +1,74 @@
+"""SparkSession factory.
+
+Reference parity: ``get_spark_session`` in the reference
+(lambda_function.py:54-80) builds a session from app name + config dict +
+jars/packages. This factory keeps that contract but bakes in the settings a
+large-scale analytics engine needs by default:
+
+- AQE on (runtime join-strategy switching, skew-join splitting, partition
+  coalescing) — the single most important knob at 100 TB.
+- UTC session timezone — reproducible timestamps and DuckDB-oracle parity.
+- Arrow for pandas interchange — the fast path for every Pandas UDF.
+- shuffle partitions sized to the machine, not the 200 default.
+
+On a real cluster the caller overrides ``master`` and sizes
+``shuffle_partitions`` to ~2-3x total executor cores (or leaves AQE's
+coalescing to trim them down).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+_DEFAULT_APP = "etl_job_applify_spark"
+
+
+def default_parallelism() -> int:
+    """CPU budget: $SPARK_GRAFT_CPUS if set, else machine cores."""
+    env = os.environ.get("SPARK_GRAFT_CPUS")
+    if env:
+        return max(1, int(env))
+    return os.cpu_count() or 4
+
+
+def get_spark_session(
+    app_name: str = _DEFAULT_APP,
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    config_options: dict[str, str] | None = None,
+    jars: str | None = None,
+    packages: str | None = None,
+    enable_ui: bool = False,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession configured for analytics at scale.
+
+    ``config_options``/``jars``/``packages`` mirror the reference factory's
+    signature (lambda_function.py:54-80) so existing job specs translate 1:1.
+    """
+    cpus = default_parallelism()
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master or f"local[{cpus}]")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cpus))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.ui.enabled", "true" if enable_ui else "false")
+        # ANSI off: engine semantics are permissive (NULL on overflow/bad
+        # cast) like the reference's PERMISSIVE readers, and it matches the
+        # DuckDB oracle harness on e.g. try-cast behavior.
+        .config("spark.sql.ansi.enabled", "false")
+    )
+    if jars:
+        builder = builder.config("spark.jars", jars)
+    if packages:
+        builder = builder.config("spark.jars.packages", packages)
+    for k, v in (config_options or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,123 @@
+"""File-format readers (reference parity: S1-S3, services/data_source.py).
+
+The reference reads JSON (multiline, PERMISSIVE), CSV (header, inferSchema,
+PERMISSIVE) and XML (rowTag). Same capability here, with the scale-minded
+defaults the reference lacked:
+
+- every reader takes an optional explicit ``schema`` — at 100 TB schema
+  inference is a full extra pass over the data (CSV/JSON) and is
+  nondeterministic across samples; production jobs pin schemas.
+- PERMISSIVE mode + ``columnNameOfCorruptRecord`` so malformed records land
+  in a quarantine column instead of failing the job.
+- parquet is the engine-native format: columnar, predicate pushdown, column
+  pruning, splittable — the default interchange for everything else.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+#: tables of the shared star-schema fixtures (TESTDATA.md)
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    """Columnar scan; Catalyst pushes filters and prunes columns into it."""
+    return spark.read.parquet(path)
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | str | None = None,
+    header: bool = True,
+    infer_schema: bool | None = None,
+    corrupt_column: str | None = None,
+    **options: str,
+) -> DataFrame:
+    """CSV scan (reference S2: header + inferSchema + PERMISSIVE).
+
+    ``infer_schema`` defaults to True only when no explicit schema is given,
+    matching reference behavior while letting production pin schemas.
+    """
+    reader = spark.read.option("header", header).option("mode", "PERMISSIVE")
+    if schema is not None:
+        reader = reader.schema(schema)
+    else:
+        reader = reader.option(
+            "inferSchema", True if infer_schema is None else infer_schema
+        )
+    if corrupt_column:
+        reader = reader.option("columnNameOfCorruptRecord", corrupt_column)
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.csv(path)
+
+
+def read_json(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | str | None = None,
+    multiline: bool = True,
+    corrupt_column: str | None = None,
+    **options: str,
+) -> DataFrame:
+    """JSON scan (reference S1: multiLine + PERMISSIVE)."""
+    reader = (
+        spark.read.option("multiLine", multiline).option("mode", "PERMISSIVE")
+    )
+    if schema is not None:
+        reader = reader.schema(schema)
+    if corrupt_column:
+        reader = reader.option("columnNameOfCorruptRecord", corrupt_column)
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.json(path)
+
+
+def read_xml(
+    spark: SparkSession,
+    path: str,
+    row_tag: str,
+    schema: T.StructType | str | None = None,
+    **options: str,
+) -> DataFrame:
+    """XML scan (reference S3: rowTag-delimited records).
+
+    Spark 4 ships a native ``xml`` data source (the reference pinned the
+    external ``spark-xml_2.12:0.14.0`` package on Spark 3.5 —
+    lambda_function.py:120); same rowTag semantics.
+    """
+    reader = spark.read.format("xml").option("rowTag", row_tag)
+    if schema is not None:
+        reader = reader.schema(schema)
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.load(path)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """One star-schema fixture table."""
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every fixture table as a temp view for the SQL API."""
+    for name, df in load_tables(spark, sf_dir).items():
+        df.createOrReplaceTempView(name)

@@ -1,0 +1,15 @@
+from .jobs import (
+    events_stream,
+    tumbling_counts,
+    sliding_counts,
+    session_aggregates,
+    run_to_memory,
+)
+
+__all__ = [
+    "events_stream",
+    "tumbling_counts",
+    "sliding_counts",
+    "session_aggregates",
+    "run_to_memory",
+]

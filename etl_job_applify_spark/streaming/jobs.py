@@ -1,0 +1,109 @@
+"""Structured Streaming jobs over the events stream (SURVEY §2b:
+streaming — ABSENT in the batch-only reference).
+
+Each job is the streaming twin of an oracle-checked batch query in
+queries/temporal.py (same logical window spec), so correctness is anchored
+batch-side while these add the streaming-only semantics: watermarks for
+late data, append/update output modes, incremental state.
+
+In production the source is Kafka (``readStream.format("kafka")``); here
+the file source replays the fixture parquet, which exercises the identical
+logical plan. State stores scale horizontally: windowed aggregations
+shuffle on (window, keys), session windows on the session key — watermarks
+bound state size, which is what makes 100 TB/day streams sustainable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+#: fixture schema of the events table (pin explicitly — streaming sources
+#: must never infer schemas). ts arrives as TIMESTAMP(NANOS) parquet →
+#: read as raw long, convert to micros with integer division.
+EVENTS_SCHEMA = (
+    "event_id bigint, ts bigint, user_id bigint, event_type string, "
+    "value double, props string"
+)
+
+
+def events_stream(
+    spark: SparkSession, sf_dir: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # the file stream source wants a directory: stream the fixture dir with
+    # a glob pinned to the events file
+    reader = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+    )
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    df = reader.parquet(sf_dir)
+    return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+
+
+def tumbling_counts(
+    events: DataFrame, size: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Tumbling windows + watermark: late events beyond the watermark are
+    dropped and window state is evicted — bounded state forever."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", size).alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("total"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n", "total")
+    )
+
+
+def sliding_counts(
+    events: DataFrame,
+    size: str = "10 minutes",
+    slide: str = "5 minutes",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", size, slide).alias("w"))
+        .agg(F.count("*").alias("n"), F.sum("value").alias("total"))
+        .select(F.col("w.start").alias("window_start"), "n", "total")
+    )
+
+
+def session_aggregates(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "1 hour"
+) -> DataFrame:
+    """Native session windows: state merges windows within ``gap`` per
+    user; watermark closes (finalizes) sessions — the streaming equivalent
+    of operators/sessionize.py."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"), F.sum("value").alias("total_value"))
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "user_id",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def run_to_memory(
+    stream_df: DataFrame, name: str, output_mode: str = "append"
+) -> DataFrame:
+    """Drive a streaming query over the available batch synchronously and
+    return the materialized result (local smoke-test harness: memory sink +
+    processAllAvailable)."""
+    q = (
+        stream_df.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return stream_df.sparkSession.sql(f"SELECT * FROM {name}")

@@ -1,0 +1,50 @@
+"""Multimodal plumbing: binary payloads + metadata structs through
+Arrow-batched mapInPandas; codec stubs are gated, byte features are real."""
+
+from __future__ import annotations
+
+import pytest
+
+from etl_job_applify_spark.multimodal import (
+    attach_fake_media,
+    decode_image_batch,
+    extract_frames_batch,
+    media_byte_features,
+)
+from etl_job_applify_spark.queries._util import tbl
+
+from conftest import SF_SMOKE
+
+
+def test_media_schema(spark):
+    media = attach_fake_media(tbl(spark, SF_SMOKE, "documents"))
+    types = dict(media.dtypes)
+    assert types["media"] == "binary"
+    assert types["meta"].startswith("struct<format:string,width:int")
+
+
+def test_byte_features_match_python(spark):
+    docs = tbl(spark, SF_SMOKE, "documents").limit(20)
+    media = attach_fake_media(docs)
+    feats = {r["doc_id"]: r for r in media_byte_features(media).collect()}
+    for row in docs.collect():
+        raw = row["text"].encode("utf-8")
+        f = feats[row["doc_id"]]
+        assert f["byte_len"] == len(raw)
+        assert f["first_byte"] == raw[0]
+        assert f["byte_checksum"] == sum(raw) % 65536
+
+
+def test_decode_stub_is_gated(spark):
+    media = attach_fake_media(tbl(spark, SF_SMOKE, "documents").limit(2))
+    with pytest.raises(Exception) as ei:
+        decode_image_batch(media).collect()
+    assert "NotImplementedError" in str(ei.value) or isinstance(
+        ei.value, NotImplementedError
+    )
+
+
+def test_frames_stub_is_gated(spark):
+    media = attach_fake_media(tbl(spark, SF_SMOKE, "documents").limit(2))
+    with pytest.raises(Exception):
+        extract_frames_batch(media).collect()

@@ -1,0 +1,97 @@
+"""Custom operator assemblies: as-of join, top-k, sessionize, range join."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from etl_job_applify_spark.operators import (
+    asof_join,
+    range_join,
+    sessionize,
+    top_k_per_group,
+)
+from etl_job_applify_spark.operators.range_join import range_join_bucketed
+
+
+def ts(s):
+    return dt.datetime.fromisoformat(s)
+
+
+def test_asof_backward(spark):
+    trades = spark.createDataFrame(
+        [("A", ts("2024-01-01 10:00:05"), 1),
+         ("A", ts("2024-01-01 10:00:00"), 2),
+         ("B", ts("2024-01-01 09:00:00"), 3)],
+        "sym string, t timestamp, trade_id int",
+    )
+    quotes = spark.createDataFrame(
+        [("A", ts("2024-01-01 10:00:00"), 100.0),
+         ("A", ts("2024-01-01 10:00:03"), 101.0),
+         ("B", ts("2024-01-01 09:30:00"), 50.0)],
+        "sym string, qt timestamp, px double",
+    )
+    out = asof_join(trades, quotes, on=["sym"], left_ts="t", right_ts="qt",
+                    payload=["px"])
+    got = {(r["sym"], r["trade_id"]): r["px"] for r in out.collect()}
+    # equal timestamps are inclusive; B's quote is later than its trade → null
+    assert got == {("A", 1): 101.0, ("A", 2): 100.0, ("B", 3): None}
+
+
+def test_asof_forward(spark):
+    left = spark.createDataFrame([("A", 1)], "k string, t int") \
+        .withColumn("t", F.timestamp_seconds("t"))
+    right = spark.createDataFrame([("A", 5, "x"), ("A", 0, "y")],
+                                  "k string, rt int, v string") \
+        .withColumn("rt", F.timestamp_seconds("rt"))
+    out = asof_join(left, right, on=["k"], left_ts="t", right_ts="rt",
+                    payload=["v"], how="forward")
+    assert out.first()["v"] == "x"  # earliest right at-or-after t=1 is rt=5
+
+
+def test_top_k_per_group(spark):
+    df = spark.createDataFrame(
+        [("g1", i) for i in range(10)] + [("g2", i) for i in range(3)],
+        "g string, v int",
+    )
+    out = top_k_per_group(df, ["g"], [F.desc("v")], k=2, rank_col="r")
+    got = {(r["g"], r["v"], r["r"]) for r in out.collect()}
+    assert got == {("g1", 9, 1), ("g1", 8, 2), ("g2", 2, 1), ("g2", 1, 2)}
+
+
+def test_sessionize_gap(spark):
+    df = spark.createDataFrame(
+        [(1, 0), (1, 100), (1, 2000), (2, 0)], "uid int, t int"
+    ).withColumn("t", F.timestamp_seconds("t"))
+    out = sessionize(df, ["uid"], "t", gap_seconds=1800)
+    sess = {(r["uid"], r["t"].second + r["t"].minute * 60 + r["t"].hour * 3600):
+            r["session_id"] for r in out.collect()}
+    assert sess[(1, 0)] == 1 and sess[(1, 100)] == 1
+    assert sess[(1, 2000)] == 2 and sess[(2, 0)] == 1
+
+
+def test_range_join_broadcast(spark):
+    facts = spark.createDataFrame([(5.0,), (15.0,), (25.0,)], "x double")
+    bands = spark.createDataFrame(
+        [("lo", 0.0, 10.0), ("hi", 10.0, 20.0)], "band string, lo double, hi double"
+    )
+    cond = (F.col("x") >= F.col("lo")) & (F.col("x") < F.col("hi"))
+    out = range_join(facts, bands, cond)
+    assert {(r["x"], r["band"]) for r in out.collect()} == {(5.0, "lo"), (15.0, "hi")}
+
+
+def test_range_join_bucketed_matches_naive(spark):
+    left = spark.createDataFrame([(float(i),) for i in range(50)], "p double")
+    right = spark.createDataFrame(
+        [(float(i), float(i + 7), i) for i in range(0, 50, 5)],
+        "lo double, hi double, rid int",
+    )
+    fast = range_join_bucketed(left, right, "p", "lo", "hi", bucket_width=8.0)
+    naive = left.join(
+        right, (F.col("p") >= F.col("lo")) & (F.col("p") < F.col("hi"))
+    )
+    assert (
+        {(r["p"], r["rid"]) for r in fast.collect()}
+        == {(r["p"], r["rid"]) for r in naive.collect()}
+    )

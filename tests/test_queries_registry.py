@@ -1,0 +1,52 @@
+"""Registry smoke: every registered query runs at sf0.001 with a stable
+schema and sane row counts; oracle coverage is enforced structurally.
+(Full value-level DuckDB cross-checks run via tools/check_oracle.py and
+the driver's harness at sf0.01.)"""
+
+from __future__ import annotations
+
+import pytest
+
+from etl_job_applify_spark import queries as registry
+
+from conftest import SF_SMOKE
+
+ALL = registry.queries()
+ORACLES = registry.oracle_sql()
+
+#: rows-only by design (engine-specific hashes / approximate results)
+EXPECTED_ROWS_ONLY = {
+    "q32_minhash_lsh",
+    "q33_simhash",
+    "q35_ann_lsh",
+    "q38_approx_distinct",
+}
+
+#: queries whose sf0.001 result may legitimately be empty
+MAY_BE_EMPTY = {"q36_embedding_near_dup"}
+
+
+def test_oracle_coverage_is_total_except_rows_only():
+    assert set(ORACLES) == set(ALL) - EXPECTED_ROWS_ONLY
+
+
+@pytest.mark.parametrize("name", sorted(ALL))
+def test_query_runs(spark, name):
+    df = ALL[name](spark, SF_SMOKE)
+    assert df.columns, f"{name} has no columns"
+    n = df.count()
+    if name not in MAY_BE_EMPTY:
+        assert n > 0, f"{name} returned no rows at sf0.001"
+
+
+def test_entry_contract(spark):
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "__spark_entry__", "/root/repo/__spark_entry__.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    df = mod.entry(spark)
+    assert df.count() > 0
+    assert set(mod.oracle_sql()) <= set(mod.queries())

@@ -1,0 +1,58 @@
+"""ANN: brute-force baseline, LSH and IVF recall against it."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from etl_job_applify_spark.queries._util import tbl
+from etl_job_applify_spark.similarity import ann_topk_lsh, cosine_topk
+from etl_job_applify_spark.similarity.ivf import ann_topk_ivf
+
+from conftest import SF_SMOKE
+
+
+def _split(spark):
+    emb = tbl(spark, SF_SMOKE, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    corpus = emb.filter(F.col("vec_id") >= 5)
+    return corpus, queries
+
+
+def test_brute_force_shape_and_ranks(spark):
+    corpus, queries = _split(spark)
+    out = cosine_topk(corpus, queries, k=5).collect()
+    assert len(out) == 25
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append((r["rank"], r["cosine"]))
+    for q, rows in by_q.items():
+        rows.sort()
+        cosines = [c for _, c in rows]
+        assert cosines == sorted(cosines, reverse=True)
+        assert [r for r, _ in rows] == [1, 2, 3, 4, 5]
+
+
+def _recall(approx, exact):
+    e = {(r["query_id"], r["neighbor"]) for r in exact}
+    a = {(r["query_id"], r["neighbor"]) for r in approx}
+    return len(a & e) / len(e)
+
+
+def test_lsh_recall(spark):
+    corpus, queries = _split(spark)
+    exact = cosine_topk(corpus, queries, k=5).collect()
+    approx = ann_topk_lsh(corpus, queries, k=5, num_planes=4,
+                          multi_probe=True).collect()
+    # sign-LSH on near-orthogonal random embeddings is a coarse filter:
+    # with 4 planes + multi-probe we touch ~5/16 of the corpus, so require
+    # clearly-better-than-random overlap, not precision
+    assert _recall(approx, exact) >= 0.3
+
+
+def test_ivf_recall(spark):
+    corpus, queries = _split(spark)
+    exact = cosine_topk(corpus, queries, k=5).collect()
+    approx = ann_topk_ivf(corpus, queries, k=5, num_cells=8, nprobe=4).collect()
+    assert _recall(approx, exact) >= 0.5

@@ -1,0 +1,82 @@
+"""Reader layer: reference-parity semantics (S1-S3) + explicit schemas."""
+
+from __future__ import annotations
+
+import textwrap
+
+from etl_job_applify_spark.sources import (
+    read_csv,
+    read_json,
+    read_xml,
+    load_tables,
+    TABLES,
+)
+from etl_job_applify_spark.sources.jdbc import JdbcSource, jdbc_reader_options
+from etl_job_applify_spark.sources.catalog import list_tables_sql
+
+from conftest import SF_SMOKE
+
+
+def test_load_tables_all_present(spark):
+    dfs = load_tables(spark, SF_SMOKE)
+    assert set(dfs) == set(TABLES)
+    assert dfs["lineitem"].count() > 0
+
+
+def test_read_csv_header_infer(spark, tmp_path):
+    p = tmp_path / "t.csv"
+    p.write_text("id,name,score\n1,alpha,1.5\n2,beta,2.5\n")
+    df = read_csv(spark, str(p))
+    assert df.columns == ["id", "name", "score"]
+    assert df.count() == 2
+    assert dict(df.dtypes)["id"] == "int"
+
+
+def test_read_csv_explicit_schema_no_infer(spark, tmp_path):
+    p = tmp_path / "t.csv"
+    p.write_text("id,name\n1,alpha\nbad,beta\n")
+    df = read_csv(spark, str(p), schema="id int, name string")
+    rows = {r["name"]: r["id"] for r in df.collect()}
+    assert rows == {"alpha": 1, "beta": None}  # PERMISSIVE: bad cell → null
+
+
+def test_read_json_multiline_permissive(spark, tmp_path):
+    p = tmp_path / "t.json"
+    p.write_text('[{"id": 1, "city": "NY"}, {"id": 2, "city": "SF"}]')
+    df = read_json(spark, str(p))
+    assert df.count() == 2
+    assert set(df.columns) == {"id", "city"}
+
+
+def test_read_xml_rowtag(spark, tmp_path):
+    p = tmp_path / "t.xml"
+    p.write_text(
+        textwrap.dedent(
+            """\
+            <records>
+              <record><id>1</id><name>John</name></record>
+              <record><id>2</id><name>Jane</name></record>
+            </records>
+            """
+        )
+    )
+    df = read_xml(spark, str(p), row_tag="record")
+    assert df.count() == 2
+    assert {r["name"] for r in df.collect()} == {"John", "Jane"}
+
+
+def test_jdbc_reader_options_partitioned():
+    opts = jdbc_reader_options(
+        "jdbc:postgresql://h:5432/db", "u", "p", "org.postgresql.Driver",
+        table="orders", partition_column="id", lower_bound=0,
+        upper_bound=1000, num_partitions=8,
+    )
+    assert opts["numPartitions"] == "8"
+    assert opts["partitionColumn"] == "id"
+
+
+def test_jdbc_source_url_and_dialects():
+    src = JdbcSource("mysql", "h", "db", "u", "p")
+    assert src.url == "jdbc:mysql://h:3306/db"
+    assert "information_schema" in list_tables_sql("mysql", "db")
+    assert list_tables_sql("oracle") == "SELECT table_name FROM user_tables"

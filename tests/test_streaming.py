@@ -1,0 +1,52 @@
+"""Structured Streaming jobs: each streaming window job must agree with
+its oracle-checked batch twin from queries/temporal.py."""
+
+from __future__ import annotations
+
+from etl_job_applify_spark.queries.temporal import (
+    q50_tumbling_window,
+    q51_sliding_window,
+)
+from etl_job_applify_spark.streaming import (
+    events_stream,
+    run_to_memory,
+    session_aggregates,
+    sliding_counts,
+    tumbling_counts,
+)
+
+from conftest import SF_SMOKE
+
+
+def _norm(rows, keys):
+    return {tuple(r[k] for k in keys): r["n"] for r in rows}
+
+
+def test_tumbling_stream_matches_batch_twin(spark):
+    stream = tumbling_counts(events_stream(spark, SF_SMOKE))
+    got = run_to_memory(stream, "t_tumbling", output_mode="complete").collect()
+    want = q50_tumbling_window(spark, SF_SMOKE).collect()
+    assert _norm(got, ["window_start", "event_type"]) == _norm(
+        want, ["window_start", "event_type"]
+    )
+
+
+def test_sliding_stream_matches_batch_twin(spark):
+    stream = sliding_counts(events_stream(spark, SF_SMOKE))
+    got = run_to_memory(stream, "t_sliding", output_mode="complete").collect()
+    want = q51_sliding_window(spark, SF_SMOKE).collect()
+    assert _norm(got, ["window_start"]) == _norm(want, ["window_start"])
+
+
+def test_session_stream_produces_state(spark):
+    stream = session_aggregates(events_stream(spark, SF_SMOKE), gap="30 minutes")
+    # session windows stream in append (watermark-finalized) or complete;
+    # complete emits every session for the single-batch smoke run
+    got = run_to_memory(stream, "t_sessions", output_mode="complete").collect()
+    assert len(got) > 0
+    assert all(r["session_start"] <= r["session_end"] for r in got)
+
+
+def test_watermark_present_in_plan(spark):
+    stream = tumbling_counts(events_stream(spark, SF_SMOKE), watermark="2 hours")
+    assert stream.isStreaming

@@ -1,0 +1,110 @@
+"""Schema contract + dedup + upsert + pipeline semantics."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from etl_job_applify_spark.pipeline import Pipeline
+from etl_job_applify_spark.sinks.upsert import upsert
+from etl_job_applify_spark.transform import SchemaContract, apply_contract
+from etl_job_applify_spark.transform.dedup import dedup_keep_first, exact_dedup
+
+
+@pytest.fixture()
+def people(spark):
+    return spark.createDataFrame(
+        [("1", "John", "2020-08-24", "99.5"), ("2", "Jane", "2021-01-02", "88.25")],
+        "id string, name string, subscribed string, score string",
+    )
+
+
+def test_contract_single_select(people):
+    out = apply_contract(
+        people,
+        {
+            "columns": [
+                {"source": "id", "name": "user_id", "type": "integer"},
+                {"source": "name", "name": "full_name", "type": "string"},
+                {"source": "subscribed", "name": "subscribed_on", "type": "date",
+                 "format": "yyyy-MM-dd"},
+                {"source": "score", "name": "score", "type": "double"},
+            ]
+        },
+    )
+    assert out.columns == ["user_id", "full_name", "subscribed_on", "score"]
+    assert dict(out.dtypes) == {
+        "user_id": "int", "full_name": "string",
+        "subscribed_on": "date", "score": "double",
+    }
+    row = out.orderBy("user_id").first()
+    assert row["user_id"] == 1 and str(row["subscribed_on"]) == "2020-08-24"
+
+
+def test_contract_full_type_lattice(people):
+    out = apply_contract(
+        people,
+        {"columns": [{"source": "score", "name": "amount", "type": "decimal(10,2)"}]},
+    )
+    assert dict(out.dtypes)["amount"] == "decimal(10,2)"
+
+
+def test_contract_bad_type_is_error(people):
+    with pytest.raises(Exception):
+        apply_contract(
+            people, {"columns": [{"source": "id", "name": "x", "type": "nope!!"}]}
+        ).collect()
+
+
+def test_contract_from_reference_yaml_shape():
+    c = SchemaContract.from_dict(
+        {"target_schema": {"columns": [
+            {"source": "Customer Id", "name": "customer_id", "type": "string"}
+        ]}}
+    )
+    assert c.columns[0].name == "customer_id"
+
+
+def test_exact_dedup_and_keep_first(spark):
+    df = spark.createDataFrame(
+        [(1, "a", 10), (1, "a", 20), (2, "b", 30)], "k int, g string, v int"
+    )
+    assert exact_dedup(df).count() == 3  # full rows are distinct
+    assert exact_dedup(df, ["k"]).count() == 2
+    kept = dedup_keep_first(df, ["k"], ["v"], ascending=False)
+    assert {(r["k"], r["v"]) for r in kept.collect()} == {(1, 20), (2, 30)}
+
+
+def test_upsert_semantics(spark):
+    target = spark.createDataFrame(
+        [(1, "old"), (2, "keep")], "id int, val string"
+    )
+    updates = spark.createDataFrame(
+        [(1, "new", 2), (1, "newer", 3), (3, "ins", 1)], "id int, val string, v int"
+    )
+    out = upsert(target, updates, keys=["id"], version_col="v")
+    assert {(r["id"], r["val"]) for r in out.collect()} == {
+        (1, "newer"), (2, "keep"), (3, "ins"),
+    }
+
+
+def test_pipeline_end_to_end(spark, tmp_path):
+    out_dir = str(tmp_path / "out")
+    pipe = Pipeline(
+        extract=lambda s: s.createDataFrame(
+            [("1", "x"), ("1", "x"), ("2", "y")], "id string, v string"
+        ),
+        transforms=[
+            lambda df: apply_contract(
+                df, {"columns": [
+                    {"source": "id", "name": "id", "type": "integer"},
+                    {"source": "v", "name": "v", "type": "string"},
+                ]}
+            ),
+            exact_dedup,
+        ],
+        load=lambda df: df.write.mode("overwrite").parquet(out_dir),
+    )
+    pipe.run(spark)
+    assert spark.read.parquet(out_dir).count() == 2
