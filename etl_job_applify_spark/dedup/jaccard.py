@@ -33,17 +33,28 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.5,
     max_doc_freq: int | None = None,
+    cache_postings: bool = True,
 ) -> DataFrame:
     """Pairs (a, b, jaccard) with a < b and jaccard >= threshold.
 
     ``max_doc_freq``: drop shingles shared by more than this many docs
     before pairing (recall-lossy for near-identical boilerplate, essential
     at scale).
+
+    ``cache_postings``: the postings relation feeds four plan branches
+    (both join sides + both size lookups); without materialization Spark
+    re-runs the shingle pipeline four times. Persisted here
+    (memory+disk); a 100 TB job would checkpoint postings to parquet
+    instead — same idea, durable.
     """
     sh = with_shingles(docs.select(id_col, text_col), text_col, n)
+    # join on the 64-bit hash of the shingle, not the string: 8-byte
+    # shuffle keys, and both join sides shuffle the identical subplan →
+    # Spark reuses one Exchange (collision odds over 2^64 are negligible
+    # next to the corpus sizes this runs at)
     postings = sh.select(
         F.col(id_col).alias("doc"), F.explode("shingles").alias("sh")
-    )
+    ).select("doc", F.xxhash64("sh").alias("sh"))
     if max_doc_freq is not None:
         keep = (
             postings.groupBy("sh")
@@ -52,6 +63,10 @@ def ngram_jaccard_pairs(
             .select("sh")
         )
         postings = postings.join(keep, "sh")
+    if cache_postings:
+        from pyspark import StorageLevel
+
+        postings = postings.persist(StorageLevel.MEMORY_AND_DISK)
     sizes = postings.groupBy("doc").agg(F.count("*").alias("sz"))
 
     a = postings.select(F.col("doc").alias("a"), "sh")

@@ -1,0 +1,67 @@
+"""Skew mitigation by key salting (SURVEY §4 / 100 TB discipline).
+
+When one join/group key carries a disproportionate share of rows (the
+celebrity user, the null-ish default key), a hash shuffle sends all of it
+to one task. AQE's skew-join splitting handles the join case at runtime;
+these operators are the explicit, planner-independent form — useful when
+AQE can't help (aggregations, or deliberately partitioned pipelines).
+
+- salted aggregation: two-phase — aggregate on (key, salt), then merge
+  partials per key. Works for any algebraic aggregate.
+- salted join: replicate the small side's rows k times (one per salt);
+  spread the big side across salts deterministically. The big side's hot
+  key now lands on k tasks instead of one.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _salt_col(cols: Sequence[str], k: int) -> Column:
+    """Deterministic pseudo-random salt in [0, k) from non-key columns —
+    deterministic so reruns produce identical partitioning (xxhash64 of
+    the row's distinguishing columns, not rand())."""
+    return F.pmod(F.xxhash64(*[F.col(c) for c in cols]), F.lit(k)).cast("int")
+
+
+def salted_agg_sum(
+    df: DataFrame,
+    keys: Sequence[str],
+    sum_cols: Sequence[str],
+    salt_from: Sequence[str],
+    num_salts: int = 16,
+) -> DataFrame:
+    """SUM aggregation over skewed keys in two phases: partial sums on
+    (keys, salt) — k-way fan-out of the hot key — then final sums on keys.
+    Output schema: keys + ``sum_<col>``."""
+    salted = df.withColumn("__salt", _salt_col(salt_from, num_salts))
+    partial = salted.groupBy(*keys, "__salt").agg(
+        *[F.sum(c).alias(f"sum_{c}") for c in sum_cols]
+    )
+    return partial.groupBy(*keys).agg(
+        *[F.sum(f"sum_{c}").alias(f"sum_{c}") for c in sum_cols]
+    )
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    keys: Sequence[str],
+    salt_from: Sequence[str],
+    num_salts: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join where ``big`` has skewed keys: big rows get a
+    deterministic salt, small rows are replicated once per salt value, and
+    the join runs on (keys, salt). Replication cost = |small| × k — keep
+    the replicated side genuinely small."""
+    keys = list(keys)
+    big_s = big.withColumn("__salt", _salt_col(salt_from, num_salts))
+    small_s = small.withColumn(
+        "__salt", F.explode(F.array(*[F.lit(i) for i in range(num_salts)]))
+    )
+    return big_s.join(small_s, [*keys, "__salt"], how).drop("__salt")

@@ -1,0 +1,408 @@
+"""Relational inventory, part 2: subqueries, pivot/unpivot, ordered string
+aggregation, TPC-H classic shapes, window distribution functions,
+conditional aggregation, bitwise/epoch scalar surfaces.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ._util import DAVG, DSUM, davg, dsum, tbl
+
+
+# --- q26: correlated scalar subquery -------------------------------------
+# Catalyst decorrelates into an aggregate + join; written via the SQL API
+# because that is the natural surface for subqueries.
+
+_Q26_SQL = """
+SELECT o_orderkey, o_custkey, o_orderpriority, o_totalprice
+FROM orders o
+WHERE o_totalprice > 1.5 * (
+  SELECT AVG(o_totalprice) FROM orders i
+  WHERE i.o_orderpriority = o.o_orderpriority
+)
+"""
+
+
+def q26_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tbl(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_Q26_SQL)
+
+
+# --- q27: IN subquery -----------------------------------------------------
+
+_Q27_SQL = """
+SELECT p_partkey, p_brand, p_retailprice
+FROM part
+WHERE p_brand IN (
+  SELECT p_brand FROM part GROUP BY p_brand
+  HAVING COUNT(*) > (SELECT COUNT(*) FROM part) / 25.0
+)
+"""
+
+
+def q27_in_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tbl(spark, sf_dir, "part").createOrReplaceTempView("part")
+    return spark.sql(_Q27_SQL)
+
+
+# --- q28: pivot -----------------------------------------------------------
+# Explicit pivot values → no extra distinct-collection job at scale.
+
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def q28_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = tbl(spark, sf_dir, "events")
+    return (
+        events.withColumn("day", F.date_trunc("day", "ts").cast("date"))
+        .groupBy("day")
+        .pivot("event_type", _EVENT_TYPES)
+        .count()
+        .na.fill(0, _EVENT_TYPES)
+        .orderBy("day")
+    )
+
+
+_Q28_SQL = """
+SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+       COUNT(*) FILTER (event_type = 'click') AS click,
+       COUNT(*) FILTER (event_type = 'error') AS error,
+       COUNT(*) FILTER (event_type = 'purchase') AS purchase,
+       COUNT(*) FILTER (event_type = 'signup') AS signup,
+       COUNT(*) FILTER (event_type = 'view') AS view
+FROM events
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+# --- q29: unpivot (stack) -------------------------------------------------
+
+def q29_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = tbl(spark, sf_dir, "customer")
+    nation = tbl(spark, sf_dir, "nation")
+    wide = (
+        customer.join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count("*").cast("double").alias("n_customers"),
+            dsum("c_acctbal", "total_acctbal"),
+        )
+    )
+    return wide.selectExpr(
+        "n_name",
+        "stack(2, 'n_customers', n_customers, 'total_acctbal', total_acctbal)"
+        " AS (metric, value)",
+    )
+
+
+_Q29_SQL = f"""
+WITH wide AS (
+  SELECT n_name, CAST(COUNT(*) AS DOUBLE) AS n_customers,
+         {DSUM('c_acctbal')} AS total_acctbal
+  FROM customer JOIN nation ON c_nationkey = n_nationkey
+  GROUP BY n_name
+)
+SELECT n_name, 'n_customers' AS metric, n_customers AS value FROM wide
+UNION ALL
+SELECT n_name, 'total_acctbal' AS metric, total_acctbal AS value FROM wide
+"""
+
+
+# --- q44: ordered string aggregation -------------------------------------
+# collect_list order is nondeterministic under parallelism → sort the
+# array before joining; identical to an ORDER BY inside string_agg.
+
+def q44_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = tbl(spark, sf_dir, "nation")
+    region = tbl(spark, sf_dir, "region")
+    return (
+        nation.join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias("nations"),
+            F.count("*").alias("n_nations"),
+        )
+        .orderBy("r_name")
+    )
+
+
+_Q44_SQL = """
+SELECT r_name, string_agg(n_name, ',' ORDER BY n_name) AS nations,
+       COUNT(*) AS n_nations
+FROM nation JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+ORDER BY r_name
+"""
+
+
+# --- q45: CASE / null-handling scalar surface ----------------------------
+
+def q45_case_null_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = tbl(spark, sf_dir, "customer")
+    return customer.select(
+        "c_custkey",
+        F.expr(
+            "CASE WHEN c_acctbal < 0 THEN 'debt' "
+            "WHEN c_acctbal < 5000 THEN 'mid' ELSE 'high' END"
+        ).alias("bal_bucket"),
+        F.coalesce(F.nullif("c_mktsegment", F.lit("MACHINERY")), F.lit("OTHER")).alias(
+            "segment_masked"
+        ),
+        F.when(F.col("c_acctbal") > 0, F.col("c_acctbal")).alias("pos_bal"),
+        F.isnull(F.nullif("c_mktsegment", F.lit("BUILDING"))).alias("is_building"),
+    )
+
+
+_Q45_SQL = """
+SELECT c_custkey,
+       CASE WHEN c_acctbal < 0 THEN 'debt'
+            WHEN c_acctbal < 5000 THEN 'mid' ELSE 'high' END AS bal_bucket,
+       COALESCE(NULLIF(c_mktsegment, 'MACHINERY'), 'OTHER') AS segment_masked,
+       CASE WHEN c_acctbal > 0 THEN c_acctbal END AS pos_bal,
+       NULLIF(c_mktsegment, 'BUILDING') IS NULL AS is_building
+FROM customer
+"""
+
+
+# --- q46: epoch/unix-time conversions ------------------------------------
+
+def q46_unixtime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = tbl(spark, sf_dir, "events")
+    return events.select(
+        "event_id",
+        F.unix_timestamp("ts").alias("epoch_s"),
+        (F.col("ts").cast("double")).alias("epoch_frac"),
+        F.timestamp_seconds(F.unix_timestamp("ts")).alias("ts_floor_s"),
+        F.hour("ts").alias("hr"),
+        F.minute("ts").alias("mi"),
+    )
+
+
+_Q46_SQL = """
+SELECT event_id,
+       CAST(floor(epoch(ts)) AS BIGINT) AS epoch_s,
+       epoch(ts) AS epoch_frac,
+       CAST(to_timestamp(floor(epoch(ts))) AS TIMESTAMP) AS ts_floor_s,
+       CAST(hour(ts) AS INT) AS hr,
+       CAST(minute(ts) AS INT) AS mi
+FROM events
+"""
+
+
+# --- q47: TPC-H Q3 shape (shipping-priority top 10) ----------------------
+
+def q47_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = tbl(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = tbl(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.expr("TIMESTAMP '1998-03-15'")
+    )
+    lineitem = tbl(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.expr("TIMESTAMP '1998-03-15'")
+    )
+    return (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(dsum("l_extendedprice * (1 - l_discount)", "revenue"))
+        .orderBy(F.desc("revenue"), "o_orderdate", "l_orderkey")
+        .limit(10)
+    )
+
+
+_Q47_SQL = f"""
+SELECT l_orderkey, o_orderdate, o_orderpriority,
+       {DSUM('l_extendedprice * (1 - l_discount)')} AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-03-15'
+  AND l_shipdate  > TIMESTAMP '1998-03-15'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, o_orderdate, l_orderkey
+LIMIT 10
+"""
+
+
+# --- q48: TPC-H Q10 shape (returned-item customer ranking) ---------------
+
+def q48_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = tbl(spark, sf_dir, "customer")
+    orders = tbl(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.expr("TIMESTAMP '1996-01-01'"))
+        & (F.col("o_orderdate") < F.expr("TIMESTAMP '1996-07-01'"))
+    )
+    lineitem = tbl(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    nation = tbl(spark, sf_dir, "nation")
+    return (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(dsum("l_extendedprice * (1 - l_discount)", "revenue"))
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+_Q48_SQL = f"""
+SELECT c_custkey, c_name, c_acctbal, n_name,
+       {DSUM('l_extendedprice * (1 - l_discount)')} AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1996-07-01'
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+
+# --- q49: array function surface -----------------------------------------
+
+def q49_array_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = tbl(spark, sf_dir, "part")
+    toks = F.split("p_type", " ")
+    return part.select(
+        "p_partkey",
+        F.size(toks).alias("n_words"),
+        F.array_contains(toks, "STANDARD").alias("has_standard"),
+        F.array_join(F.array_sort(toks), "_").alias("sorted_words"),
+        F.element_at(F.slice(toks, 1, 2), -1).alias("second_word"),
+        F.array_distinct(toks).alias("distinct_words"),
+    )
+
+
+_Q49_SQL = """
+SELECT p_partkey,
+       CAST(len(string_split(p_type, ' ')) AS INT) AS n_words,
+       list_contains(string_split(p_type, ' '), 'STANDARD') AS has_standard,
+       array_to_string(list_sort(string_split(p_type, ' ')), '_') AS sorted_words,
+       list_extract(list_slice(string_split(p_type, ' '), 1, 2), -1) AS second_word,
+       list_distinct(string_split(p_type, ' ')) AS distinct_words
+FROM part
+"""
+
+
+# --- q54: bitwise scalar surface -----------------------------------------
+
+def q54_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = tbl(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.expr("l_orderkey & 255").alias("low_byte"),
+        F.expr("l_orderkey | 1").alias("with_low_bit"),
+        F.expr("shiftright(l_orderkey, 4)").alias("shifted"),
+        F.expr("l_orderkey ^ l_partkey").alias("xored"),
+        F.bit_count("l_orderkey").alias("popcount"),
+    )
+
+
+_Q54_SQL = """
+SELECT l_orderkey, l_linenumber,
+       l_orderkey & 255 AS low_byte,
+       l_orderkey | 1 AS with_low_bit,
+       l_orderkey >> 4 AS shifted,
+       xor(l_orderkey, l_partkey) AS xored,
+       CAST(bit_count(l_orderkey) AS INT) AS popcount
+FROM lineitem
+"""
+
+
+# --- q55: conditional aggregation ----------------------------------------
+
+def q55_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = tbl(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n"),
+            F.count_if(F.col("o_totalprice") > 100000).alias("n_big"),
+            dsum("CASE WHEN o_orderpriority = '1-URGENT' THEN o_totalprice ELSE 0 END",
+                 "urgent_total"),
+            davg("CASE WHEN o_totalprice > 100000 THEN o_totalprice END",
+                 "avg_big"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+_Q55_SQL = f"""
+SELECT o_orderstatus, COUNT(*) AS n,
+       CAST(count_if(o_totalprice > 100000) AS BIGINT) AS n_big,
+       {DSUM("CASE WHEN o_orderpriority = '1-URGENT' THEN o_totalprice ELSE 0 END")}
+         AS urgent_total,
+       {DAVG('CASE WHEN o_totalprice > 100000 THEN o_totalprice END')} AS avg_big
+FROM orders
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
+
+# --- q56: window distribution functions ----------------------------------
+
+def q56_window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    supplier = tbl(spark, sf_dir, "supplier")
+    w = Window.partitionBy("s_nationkey").orderBy("s_acctbal", "s_suppkey")
+    return supplier.select(
+        "s_suppkey",
+        "s_nationkey",
+        "s_acctbal",
+        F.ntile(4).over(w).alias("quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cdist"),
+        F.first("s_suppkey").over(w).alias("poorest_in_nation"),
+    )
+
+
+_Q56_SQL = """
+SELECT s_suppkey, s_nationkey, s_acctbal,
+       CAST(NTILE(4) OVER w AS INT) AS quartile,
+       PERCENT_RANK() OVER w AS pct_rank,
+       CUME_DIST() OVER w AS cdist,
+       FIRST_VALUE(s_suppkey) OVER w AS poorest_in_nation
+FROM supplier
+WINDOW w AS (PARTITION BY s_nationkey ORDER BY s_acctbal, s_suppkey)
+"""
+
+
+QUERIES = {
+    "q26_scalar_subquery": q26_scalar_subquery,
+    "q27_in_subquery": q27_in_subquery,
+    "q28_pivot": q28_pivot,
+    "q29_unpivot": q29_unpivot,
+    "q44_string_agg": q44_string_agg,
+    "q45_case_null_fns": q45_case_null_fns,
+    "q46_unixtime": q46_unixtime,
+    "q47_shipping_priority": q47_shipping_priority,
+    "q48_returned_items": q48_returned_items,
+    "q49_array_fns": q49_array_fns,
+    "q54_bitwise": q54_bitwise,
+    "q55_conditional_agg": q55_conditional_agg,
+    "q56_window_distribution": q56_window_distribution,
+}
+
+ORACLE = {
+    "q26_scalar_subquery": _Q26_SQL,
+    "q27_in_subquery": _Q27_SQL,
+    "q28_pivot": _Q28_SQL,
+    "q29_unpivot": _Q29_SQL,
+    "q44_string_agg": _Q44_SQL,
+    "q45_case_null_fns": _Q45_SQL,
+    "q46_unixtime": _Q46_SQL,
+    "q47_shipping_priority": _Q47_SQL,
+    "q48_returned_items": _Q48_SQL,
+    "q49_array_fns": _Q49_SQL,
+    "q54_bitwise": _Q54_SQL,
+    "q55_conditional_agg": _Q55_SQL,
+    "q56_window_distribution": _Q56_SQL,
+}

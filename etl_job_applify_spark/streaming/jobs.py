@@ -107,3 +107,57 @@ def run_to_memory(
     finally:
         q.stop()
     return stream_df.sparkSession.sql(f"SELECT * FROM {name}")
+
+
+def stream_static_enrich(
+    events: DataFrame, customers: DataFrame
+) -> DataFrame:
+    """Stream-static join: each micro-batch joins against the (broadcast)
+    static dimension — no state store involved; the standard pattern for
+    enriching a 100 TB/day stream with slowly-changing dims."""
+    return events.join(
+        F.broadcast(customers.select("c_custkey", "c_mktsegment")),
+        events.user_id == F.col("c_custkey"),
+        "inner",
+    ).drop("c_custkey")
+
+
+def stateful_user_totals(events: DataFrame) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: per-user
+    running event count + value total across micro-batches. State is one
+    row per user (bounded by |users|, not |events|); a production job adds
+    a timeout to expire idle users."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: "GroupState"):
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id bigint, n_events bigint, total_value double",
+        stateStructType="n bigint, total double",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_foreach_batch_to_parquet(stream_df: DataFrame, out_dir: str) -> None:
+    """Exactly-once-style sink via foreachBatch: each micro-batch lands as
+    parquet (idempotent overwrite per epoch id in real jobs)."""
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        batch_df.write.mode("append").parquet(out_dir)
+
+    q = stream_df.writeStream.foreachBatch(sink).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()

@@ -50,3 +50,53 @@ def test_session_stream_produces_state(spark):
 def test_watermark_present_in_plan(spark):
     stream = tumbling_counts(events_stream(spark, SF_SMOKE), watermark="2 hours")
     assert stream.isStreaming
+
+
+def test_stream_static_join(spark):
+    from etl_job_applify_spark.queries._util import tbl
+    from etl_job_applify_spark.streaming.jobs import stream_static_enrich
+
+    customers = tbl(spark, SF_SMOKE, "customer")
+    out = run_to_memory(
+        stream_static_enrich(events_stream(spark, SF_SMOKE), customers),
+        "t_enrich",
+    ).collect()
+    assert len(out) > 0
+    assert all(r["c_mktsegment"] is not None for r in out)
+
+
+def test_stateful_user_totals_matches_batch(spark):
+    from pyspark.sql import functions as F
+
+    from etl_job_applify_spark.queries._util import tbl
+    from etl_job_applify_spark.streaming.jobs import stateful_user_totals
+
+    got = run_to_memory(
+        stateful_user_totals(events_stream(spark, SF_SMOKE)),
+        "t_stateful",
+        output_mode="update",
+    ).collect()
+    # single-batch replay → the final state per user equals the batch agg
+    latest = {r["user_id"]: (r["n_events"], r["total_value"]) for r in got}
+    want = {
+        r["user_id"]: (r["n"], r["tv"])
+        for r in tbl(spark, SF_SMOKE, "events")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("tv"))
+        .collect()
+    }
+    assert latest.keys() == want.keys()
+    for u in want:
+        assert latest[u][0] == want[u][0]
+        assert abs(latest[u][1] - want[u][1]) < 1e-6
+
+
+def test_foreach_batch_parquet_sink(spark, tmp_path):
+    from etl_job_applify_spark.streaming.jobs import run_foreach_batch_to_parquet
+
+    out = str(tmp_path / "sink")
+    run_foreach_batch_to_parquet(events_stream(spark, SF_SMOKE), out)
+    n = spark.read.parquet(out).count()
+    from etl_job_applify_spark.queries._util import tbl
+
+    assert n == tbl(spark, SF_SMOKE, "events").count()
