@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.vectors import cosine_expr, with_norm
+from ..functions.vectors import cosine_double_expr, to_double_expr, with_norm
 from ..similarity.lsh import with_hyperplane_buckets
 
 
@@ -30,7 +30,9 @@ def embedding_near_dup_pairs(
     recall at moderate scale, call with ``num_planes=0`` to compare all
     pairs (gated: quadratic).
     """
-    base = with_norm(emb.select(id_col, vec_col), vec_col)
+    base = with_norm(emb.select(id_col, vec_col), vec_col).withColumn(
+        vec_col, to_double_expr(vec_col)
+    )
     if num_planes:
         base = with_hyperplane_buckets(base, vec_col, num_planes, seed)
         join_keys = ["bucket"]
@@ -52,7 +54,7 @@ def embedding_near_dup_pairs(
     return (
         a.join(b, join_keys)
         .filter(F.col("a") < F.col("b"))
-        .withColumn("cosine", cosine_expr("va", "vb", "na", "nb"))
+        .withColumn("cosine", cosine_double_expr("va", "vb", "na", "nb"))
         .filter(F.col("cosine") >= threshold)
         .select("a", "b", "cosine")
     )

@@ -101,3 +101,13 @@ def min_shingle_fingerprint_expr(text_col: str, n: int = 3, mod: int = 1_000_000
         f" g -> aggregate(split(g, ''), 0L,"
         f"      (acc, ch) -> (acc * 31 + ascii(ch)) % {mod})))"
     )
+
+
+def bpe_token_count_expr(text_col: str) -> Column:
+    """BPE-ish token count: runs of letters, runs of digits, and single
+    other non-space characters — the shape GPT-style pre-tokenizers
+    produce. `regexp_extract_all` with a char-class-only pattern behaves
+    identically across regex engines (Java, RE2, PCRE)."""
+    return F.expr(
+        f"size(regexp_extract_all({text_col}, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0))"
+    )

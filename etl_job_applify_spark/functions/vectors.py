@@ -40,3 +40,22 @@ def cosine_expr(a: str, b: str, norm_a: str | None = None, norm_b: str | None = 
     na = F.col(norm_a) if norm_a else norm_expr(a)
     nb = F.col(norm_b) if norm_b else norm_expr(b)
     return dot_expr(a, b) / (na * nb)
+
+
+def to_double_expr(a: str) -> Column:
+    """Upcast a float array to double ONCE per vector — pairwise ops then
+    skip 3×dim casts per pair (the casts dominated the exact all-pairs
+    hot loop). Element values are identical to casting at use."""
+    return F.expr(f"transform({a}, x -> CAST(x AS DOUBLE))")
+
+
+def dot_double_expr(a: str, b: str) -> Column:
+    """Σ aᵢ·bᵢ for arrays already in double."""
+    return F.expr(
+        f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0D, (acc, v) -> acc + v)"
+    )
+
+
+def cosine_double_expr(a: str, b: str, norm_a: str, norm_b: str) -> Column:
+    """cosine for pre-cast double arrays with precomputed norms."""
+    return dot_double_expr(a, b) / (F.col(norm_a) * F.col(norm_b))

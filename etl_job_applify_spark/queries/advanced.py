@@ -1,0 +1,231 @@
+"""Advanced inventory: Python UDAF/UDTF-shaped paths, SCD2 history,
+iterative connected components (dedup canonicalization), stratified
+sampling, BPE-ish token counting.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ._util import tbl
+from ..dedup import ngram_jaccard_pairs
+from ..functions.text import bpe_token_count_expr, n_tokens_expr
+from ..operators.components import connected_components
+from ..operators.scd2 import scd2_intervals
+from ..transform.dedup import dedup_keep_first
+from ..transform.sampling import systematic_stratified_sample
+
+
+# --- q57: custom UDAF via applyInPandas ----------------------------------
+# Grouped pandas aggregation — the engine's UDAF path. The aggregate is
+# integer-exact (counts/min/max/sum over json ints) so arbitrary batch
+# order can't drift the result; floating-point UDAFs must either use the
+# decimal idiom or accept rows-only checks.
+
+def q57_pandas_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = tbl(spark, sf_dir, "events")
+    with_k = events.select(
+        "event_type", F.get_json_object("props", "$.k").cast("long").alias("k")
+    )
+
+    def agg(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "event_type": [pdf["event_type"].iloc[0]],
+                "n": [len(pdf)],
+                "k_sum": [int(pdf["k"].sum())],
+                "k_min": [int(pdf["k"].min())],
+                "k_max": [int(pdf["k"].max())],
+            }
+        )
+
+    return (
+        with_k.groupBy("event_type")
+        .applyInPandas(
+            agg, schema="event_type string, n bigint, k_sum bigint, k_min bigint, k_max bigint"
+        )
+        .orderBy("event_type")
+    )
+
+
+_Q57_SQL = """
+SELECT event_type, COUNT(*) AS n,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
+       CAST(MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_min,
+       CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_max
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+# --- q58: table-generating projection (posexplode) -----------------------
+# The UDTF shape done the JVM way: one row in → N (pos, token) rows out.
+# A Python @udtf could do the same 100× slower; posexplode stays in
+# codegen. Restricted to one source to bound output size.
+
+def q58_posexplode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = tbl(spark, sf_dir, "documents").filter(F.col("source") == "src0")
+    return docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "token")
+    )
+
+
+_Q58_SQL = """
+SELECT doc_id, CAST(i - 1 AS INT) AS pos, string_split(text, ' ')[i] AS token
+FROM documents, unnest(range(1, len(string_split(text, ' ')) + 1)) AS u(i)
+WHERE source = 'src0'
+"""
+
+
+# --- q59: SCD2 dimension history -----------------------------------------
+
+def q59_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = tbl(spark, sf_dir, "orders")
+    changes = dedup_keep_first(
+        orders.select("o_custkey", "o_orderdate", "o_orderkey", "o_totalprice"),
+        keys=["o_custkey", "o_orderdate"],
+        order_by=["o_orderkey"],
+        ascending=False,
+    )
+    return scd2_intervals(changes, keys=["o_custkey"], ts_col="o_orderdate").select(
+        "o_custkey", "o_orderkey", "valid_from", "valid_to", "is_current"
+    )
+
+
+_Q59_SQL = """
+WITH changes AS (
+  SELECT o_custkey, o_orderdate, o_orderkey FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY o_custkey, o_orderdate
+                                 ORDER BY o_orderkey DESC) AS rn
+    FROM orders
+  ) WHERE rn = 1
+)
+SELECT o_custkey, o_orderkey,
+       o_orderdate AS valid_from,
+       LEAD(o_orderdate) OVER w AS valid_to,
+       LEAD(o_orderdate) OVER w IS NULL AS is_current
+FROM changes
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate)
+"""
+
+
+# --- q60: dedup canonicalization via connected components ----------------
+# Near-dup pairs → clusters → canonical id (min doc per cluster). The
+# Spark side iterates distributed label propagation; the oracle computes
+# the same fixpoint with a recursive CTE (pair sets are small after
+# thresholding, so closure is cheap oracle-side).
+
+def q60_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = tbl(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, threshold=0.5)
+    return connected_components(pairs).orderBy("node")
+
+
+_Q60_SQL = """
+WITH RECURSIVE tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(range(1, greatest(len(t) - 2, 0) + 1),
+                i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) AS sh
+  FROM tok WHERE len(t) >= 3
+),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+common AS (
+  SELECT s1.doc_id AS a, s2.doc_id AS b, COUNT(*) AS c
+  FROM sh s1 JOIN sh s2 ON s1.sh = s2.sh AND s1.doc_id < s2.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT a, b FROM common
+  JOIN sizes sa ON sa.doc_id = a
+  JOIN sizes sb ON sb.doc_id = b
+  WHERE c / (sa.sz + sb.sz - c) >= 0.5
+),
+edges AS (SELECT a AS u, b AS v FROM pairs UNION SELECT b, a FROM pairs),
+reach AS (
+  SELECT u AS node, v AS r FROM edges
+  UNION
+  SELECT reach.node, edges.v FROM reach JOIN edges ON reach.r = edges.u
+)
+SELECT node, LEAST(node, MIN(r)) AS component
+FROM reach
+GROUP BY node
+ORDER BY node
+"""
+
+
+# --- q61: stratified systematic sampling ---------------------------------
+
+def q61_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = tbl(spark, sf_dir, "documents")
+    return systematic_stratified_sample(
+        docs.select("doc_id", "lang", "source", "n_chars"),
+        strata=["lang"],
+        order_by=["doc_id"],
+        every_k=10,
+    )
+
+
+_Q61_SQL = """
+SELECT doc_id, lang, source, n_chars FROM (
+  SELECT doc_id, lang, source, n_chars,
+         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+  FROM documents
+) WHERE (rn - 1) % 10 = 0
+"""
+
+
+# --- q62: BPE-ish token accounting ---------------------------------------
+
+def q62_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = tbl(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "lang",
+            n_tokens_expr("text").alias("ws_tokens"),
+            bpe_token_count_expr("text").alias("bpe_tokens"),
+        )
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("ws_tokens").alias("total_ws_tokens"),
+            F.sum("bpe_tokens").alias("total_bpe_tokens"),
+        )
+        .orderBy("lang")
+    )
+
+
+_Q62_SQL = """
+SELECT lang, COUNT(*) AS n_docs,
+       CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_ws_tokens,
+       CAST(SUM(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)))
+            AS BIGINT) AS total_bpe_tokens
+FROM documents
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+QUERIES = {
+    "q57_pandas_udaf": q57_pandas_udaf,
+    "q58_posexplode_tokens": q58_posexplode_tokens,
+    "q59_scd2_history": q59_scd2_history,
+    "q60_dedup_components": q60_dedup_components,
+    "q61_stratified_sample": q61_stratified_sample,
+    "q62_bpe_tokens": q62_bpe_tokens,
+}
+
+ORACLE = {
+    "q57_pandas_udaf": _Q57_SQL,
+    "q58_posexplode_tokens": _Q58_SQL,
+    "q59_scd2_history": _Q59_SQL,
+    "q60_dedup_components": _Q60_SQL,
+    "q61_stratified_sample": _Q61_SQL,
+    "q62_bpe_tokens": _Q62_SQL,
+}

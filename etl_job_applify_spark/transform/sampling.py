@@ -1,0 +1,44 @@
+"""Sampling operators for training-data pipelines.
+
+Two regimes:
+
+- ``systematic_stratified_sample``: deterministic every-k-th row per
+  stratum under a total order — reproducible AND SQL-mirrorable, so it is
+  the oracle-checked variant. One shuffle on the stratum keys.
+- ``hash_sample``: Bernoulli-style p-sampling by hashing a stable id
+  (``xxhash64(id) mod 10_000 < p·10_000``). Reproducible across runs and
+  machines (unlike ``df.sample``'s RNG-seeded variant, whose draw depends
+  on partitioning), works in a single pass with no shuffle at all — the
+  100 TB default. Not oracle-checkable (engine-specific hash).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def systematic_stratified_sample(
+    df: DataFrame,
+    strata: Sequence[str],
+    order_by: Sequence[str],
+    every_k: int,
+) -> DataFrame:
+    """Keep rows ranked 1, k+1, 2k+1, … per stratum under ``order_by``."""
+    w = Window.partitionBy(*strata).orderBy(*[F.col(c) for c in order_by])
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter((F.col("__rn") - 1) % every_k == 0)
+        .drop("__rn")
+    )
+
+
+def hash_sample(df: DataFrame, id_cols: Sequence[str], fraction: float) -> DataFrame:
+    """Deterministic ~``fraction`` sample keyed on stable ids; no shuffle,
+    no RNG state, stable under repartitioning and reruns."""
+    threshold = int(fraction * 10_000)
+    return df.filter(
+        F.pmod(F.xxhash64(*[F.col(c) for c in id_cols]), F.lit(10_000)) < threshold
+    )
