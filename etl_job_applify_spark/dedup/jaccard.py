@@ -47,7 +47,13 @@ def ngram_jaccard_pairs(
     (memory+disk); a 100 TB job would checkpoint postings to parquet
     instead — same idea, durable.
     """
-    sh = with_shingles(docs.select(id_col, text_col), text_col, n)
+    # shingling is compute-bound, not IO-bound: a corpus that is small in
+    # bytes still needs every core, so spread rows before the heavy
+    # expressions regardless of how few input splits the file produced
+    spread = docs.select(id_col, text_col).repartition(
+        docs.sparkSession.sparkContext.defaultParallelism
+    )
+    sh = with_shingles(spread, text_col, n)
     # join on the 64-bit hash of the shingle, not the string: 8-byte
     # shuffle keys, and both join sides shuffle the identical subplan →
     # Spark reuses one Exchange (collision odds over 2^64 are negligible

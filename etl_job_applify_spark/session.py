@@ -41,6 +41,7 @@ def get_spark_session(
     jars: str | None = None,
     packages: str | None = None,
     enable_ui: bool = False,
+    max_partition_bytes: str = "8m",
 ) -> SparkSession:
     """Build (or reuse) a SparkSession configured for analytics at scale.
 
@@ -57,6 +58,13 @@ def get_spark_session(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cpus))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # split small-but-CPU-dense inputs so every core gets work: a
+        # single 10 MB parquet is ONE 128 MB-default split = one task, and
+        # expression-heavy stages (shingling, folds, vector math) starve
+        # the other cores. Petabyte deployments with many large files
+        # should raise this back toward 128m-256m via the parameter.
+        .config("spark.sql.files.maxPartitionBytes", max_partition_bytes)
+        .config("spark.sql.files.openCostInBytes", "1m")
         .config("spark.ui.enabled", "true" if enable_ui else "false")
         # ANSI off: engine semantics are permissive (NULL on overflow/bad
         # cast) like the reference's PERMISSIVE readers, and it matches the
