@@ -20,11 +20,18 @@ from pyspark.sql import functions as F
 def tbl(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Fixture table loader.
 
-    ``events.ts`` is written as parquet TIMESTAMP(NANOS), which Spark 4
-    refuses to map to TimestampType; read it as a raw long and convert
-    with integer division (``div 1000`` → micros — integer arithmetic, no
-    double-precision loss on ~1.7e18 nano epochs).
+    Pins engine semantics the queries rely on, because the driver runs
+    them on ITS OWN SparkSession (arbitrary configs):
+
+    - ANSI off: the engine is permissive (NULL on overflow / bad cast /
+      out-of-bounds array access) like the reference's PERMISSIVE
+      readers, and it matches DuckDB's NULL-on-OOB list semantics.
+    - ``events.ts`` is parquet TIMESTAMP(NANOS), which Spark 4 refuses to
+      map to TimestampType; read it as a raw long and convert with
+      integer division (``div 1000`` → micros — integer arithmetic, no
+      double-precision loss on ~1.7e18 nano epochs).
     """
+    spark.conf.set("spark.sql.ansi.enabled", "false")
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
