@@ -20,10 +20,10 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from . import relational, relational2, analytics, textops, temporal, advanced
+from . import relational, relational2, analytics, textops, temporal, advanced, hof
 
 
-_MODULES = [relational, relational2, analytics, textops, temporal, advanced]
+_MODULES = [relational, relational2, analytics, textops, temporal, advanced, hof]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -100,3 +100,55 @@ def test_foreach_batch_parquet_sink(spark, tmp_path):
     from etl_job_applify_spark.queries._util import tbl
 
     assert n == tbl(spark, SF_SMOKE, "events").count()
+
+
+def test_watermark_drops_late_data(spark, tmp_path):
+    """Micro-batches via maxFilesPerTrigger=1: batch1 establishes event
+    time, batch2 advances the watermark, batch3 carries an event behind
+    it → dropped from the windowed aggregation. (Spark applies the
+    late-row filter with the watermark as of the PREVIOUS batch, hence
+    the three-batch shape.)"""
+    import time as _time
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    src = tmp_path / "stream_src"
+    src.mkdir()
+    t = pd.Timestamp("2024-01-01 10:00:00")
+    batches = [
+        pd.DataFrame({"event_id": [1, 2, 3],
+                      "ts": [t, t + pd.Timedelta("5 minutes"),
+                             pd.Timestamp("2024-01-01 13:00:00")],
+                      "value": [1.0, 1.0, 1.0]}),
+        pd.DataFrame({"event_id": [4],
+                      "ts": [pd.Timestamp("2024-01-01 13:30:00")],
+                      "value": [1.0]}),
+        # watermark now 12:00 → window [10:00, 11:00) is closed; this
+        # event is late and must be dropped
+        pd.DataFrame({"event_id": [5],
+                      "ts": [pd.Timestamp("2024-01-01 10:20:00")],
+                      "value": [1.0]}),
+    ]
+    for i, b in enumerate(batches):
+        b.to_parquet(src / f"b{i}.parquet", coerce_timestamps="us")
+        _time.sleep(1.1)  # distinct mtimes → deterministic file order
+
+    stream = (
+        spark.readStream.schema("event_id bigint, ts timestamp, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+        .withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("ws"), "n")
+    )
+    got = run_to_memory(stream, "t_late", output_mode="update").collect()
+    by_window = {}
+    for r in got:  # update mode appends one row per changed window per batch
+        by_window.setdefault(r["ws"].hour, []).append(r["n"])
+    # the 10:00 window saw 2 events in batch1; the late event must NOT
+    # bump it to 3
+    assert max(by_window[10]) == 2
+    # the 13:00 window updates to 2 with the on-time batch2 event
+    assert max(by_window[13]) == 2
