@@ -161,3 +161,13 @@ def run_foreach_batch_to_parquet(stream_df: DataFrame, out_dir: str) -> None:
         q.processAllAvailable()
     finally:
         q.stop()
+
+
+def deduped_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Streaming exact dedup by event id: dropDuplicatesWithinWatermark
+    keeps id state only until the watermark passes — bounded state, which
+    plain dropDuplicates on a stream can't guarantee (its state grows with
+    every id ever seen)."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
