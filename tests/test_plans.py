@@ -51,3 +51,48 @@ def test_whole_stage_codegen_covers_agg(spark):
     # '*' prefixes mark operators inside a WholeStageCodegen span
     text = explain_str(df)
     assert "* HashAggregate" in text and "* Sort" in text
+
+
+def test_asof_join_is_single_shuffle(spark):
+    from etl_job_applify_spark.queries.temporal import q53_asof_join
+
+    df = q53_asof_join(spark, SF_SMOKE)
+    # union + window assembly: one hash exchange on the key for the window
+    # sort (+1 for the dedup window on orders) — and NO join operator at all
+    text = explain_str(df, "simple")
+    assert "Join" not in text or "SortMergeJoin" not in text
+    assert shuffle_count(df) <= 3
+
+
+def test_global_topk_uses_heap_not_sort(spark):
+    from etl_job_applify_spark.queries.relational import q16_topk
+
+    assert "TakeOrderedAndProject" in explain_str(
+        q16_topk(spark, SF_SMOKE), "simple"
+    )
+
+
+def test_registry_wide_plan_audit(spark):
+    """Every registered query must stay on the JVM fast path:
+    - no row-at-a-time Python UDFs (BatchEvalPython) anywhere;
+    - Arrow-batched Python (mapInPandas/applyInPandas) only where the
+      operator is deliberately Python (UDAF, multimodal);
+    - cartesian products only in the explicitly gated exact-similarity
+      queries.
+    """
+    from etl_job_applify_spark import queries as registry
+
+    PYTHON_OK = {"q39_multimodal_features", "q57_pandas_udaf"}
+    CARTESIAN_OK = {"q34_cosine_topk", "q36_embedding_near_dup"}
+    offenders = []
+    for name, fn in registry.queries().items():
+        text = explain_str(fn(spark, SF_SMOKE), "simple")
+        if "BatchEvalPython" in text:
+            offenders.append((name, "row-at-a-time Python UDF"))
+        if ("ArrowEvalPython" in text or "MapInPandas" in text
+                or "FlatMapGroupsInPandas" in text) and name not in PYTHON_OK:
+            offenders.append((name, "unexpected Python stage"))
+        if ("CartesianProduct" in text or "BroadcastNestedLoopJoin" in text):
+            if name not in CARTESIAN_OK and "q08" not in name:
+                offenders.append((name, "un-gated cartesian/BNLJ"))
+    assert not offenders, offenders
