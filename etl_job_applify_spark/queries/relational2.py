@@ -406,3 +406,84 @@ ORACLE = {
     "q55_conditional_agg": _Q55_SQL,
     "q56_window_distribution": _Q56_SQL,
 }
+
+
+# --- q66: TPC-H Q14 shape (conditional revenue share) --------------------
+# Numerator and denominator in ONE aggregation pass (conditional agg),
+# not two scans.
+
+def q66_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = tbl(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.expr("TIMESTAMP '1996-01-01'"))
+        & (F.col("l_shipdate") < F.expr("TIMESTAMP '1996-02-01'"))
+    )
+    part = tbl(spark, sf_dir, "part")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(
+            dsum(
+                "CASE WHEN p_type LIKE 'PROMO%' THEN l_extendedprice * (1 - l_discount) ELSE 0 END",
+                "promo_revenue",
+            ),
+            dsum("l_extendedprice * (1 - l_discount)", "total_revenue"),
+        )
+        .select(
+            "promo_revenue",
+            "total_revenue",
+            (F.col("promo_revenue") / F.col("total_revenue") * 100).alias("promo_pct"),
+        )
+    )
+
+
+_Q66_SQL = f"""
+SELECT promo_revenue, total_revenue,
+       promo_revenue / total_revenue * 100 AS promo_pct
+FROM (
+  SELECT {DSUM("CASE WHEN p_type LIKE 'PROMO%' THEN l_extendedprice * (1 - l_discount) ELSE 0 END")}
+           AS promo_revenue,
+         {DSUM('l_extendedprice * (1 - l_discount)')} AS total_revenue
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate <  TIMESTAMP '1996-02-01'
+)
+"""
+
+
+# --- q67: TPC-H Q19 shape (disjunctive multi-predicate join filter) ------
+# OR-of-ANDs predicates exercise CNF conversion + partial pushdown.
+
+def q67_disjunctive_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = tbl(spark, sf_dir, "lineitem")
+    part = tbl(spark, sf_dir, "part")
+    joined = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    cond = (
+        ((F.col("p_brand") == "Brand#1") & (F.col("p_size").between(1, 15))
+         & (F.col("l_quantity") >= 1) & (F.col("l_quantity") <= 21))
+        | ((F.col("p_brand") == "Brand#2") & (F.col("p_size").between(10, 30))
+           & (F.col("l_quantity") >= 15) & (F.col("l_quantity") <= 35))
+        | ((F.col("p_brand") == "Brand#3") & (F.col("p_size").between(20, 50))
+           & (F.col("l_quantity") >= 25) & (F.col("l_quantity") <= 50))
+    )
+    return joined.filter(cond).agg(
+        dsum("l_extendedprice * (1 - l_discount)", "revenue"),
+        F.count("*").alias("n_items"),
+    )
+
+
+_Q67_SQL = f"""
+SELECT {DSUM('l_extendedprice * (1 - l_discount)')} AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 1 AND 21)
+   OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30
+       AND l_quantity BETWEEN 15 AND 35)
+   OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50
+       AND l_quantity BETWEEN 25 AND 50)
+"""
+
+
+QUERIES["q66_promo_revenue"] = q66_promo_revenue
+QUERIES["q67_disjunctive_filter"] = q67_disjunctive_filter
+ORACLE["q66_promo_revenue"] = _Q66_SQL
+ORACLE["q67_disjunctive_filter"] = _Q67_SQL
