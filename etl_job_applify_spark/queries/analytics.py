@@ -250,3 +250,23 @@ ORACLE = {
     "q37_quantiles": _Q37_SQL,
     "q39_multimodal_features": _Q39_SQL,
 }
+
+
+# --- q68: approximate quantiles (rows-only: t-digest/GK sketches are
+# engine-specific; at 100 TB this replaces exact percentile the same way
+# HLL replaces exact distinct) --------------------------------------------
+
+def q68_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = tbl(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.percentile_approx("l_extendedprice", [0.25, 0.5, 0.75], 10000)
+            .alias("approx_pcts"),
+            F.count("*").alias("n"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+QUERIES["q68_approx_quantiles"] = q68_approx_quantiles

@@ -16,10 +16,18 @@ from conftest import SF_SMOKE
 
 @pytest.fixture(scope="module")
 def bucketed(spark):
+    import os
+    import shutil
+
     orders = tbl(spark, SF_SMOKE, "orders")
     lineitem = tbl(spark, SF_SMOKE, "lineitem")
-    spark.sql("DROP TABLE IF EXISTS b_orders")
-    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    wh = wh.removeprefix("file:")
+    for t in ("b_orders", "b_lineitem"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        # a stale warehouse dir from a previous session isn't in this
+        # session's catalog, so DROP won't clear it — remove the path too
+        shutil.rmtree(os.path.join(wh, t), ignore_errors=True)
     (orders.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
      .mode("overwrite").saveAsTable("b_orders"))
     (lineitem.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")

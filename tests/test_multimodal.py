@@ -48,3 +48,32 @@ def test_frames_stub_is_gated(spark):
     media = attach_fake_media(tbl(spark, SF_SMOKE, "documents").limit(2))
     with pytest.raises(Exception):
         extract_frames_batch(media).collect()
+
+
+def test_pandas_scalar_udf_matches_expression(spark):
+    """The Arrow-vectorized scalar UDF path (pandas_udf) must agree with
+    the pure-expression quality score — kept as the documented escape
+    hatch when logic outgrows SQL expressions."""
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import DoubleType
+
+    from etl_job_applify_spark.functions.text import quality_score_expr
+
+    # no type hints: `from __future__ import annotations` stringifies
+    # them and pyspark can't resolve 'pd.Series' from a local import
+    @F.pandas_udf(DoubleType())
+    def quality_py(text):
+        toks = text.str.split(" ")
+        nt = toks.map(len).astype("float64")
+        distinct_ratio = toks.map(lambda t: len(set(t))) / nt
+        return nt.div(100.0).clip(upper=1.0) * distinct_ratio
+
+    docs = tbl(spark, SF_SMOKE, "documents").limit(100)
+    both = docs.select(
+        quality_score_expr("text").alias("expr_score"),
+        quality_py("text").alias("udf_score"),
+    ).collect()
+    for r in both:
+        assert abs(r["expr_score"] - r["udf_score"]) < 1e-12

@@ -20,6 +20,7 @@ EXPECTED_ROWS_ONLY = {
     "q33_simhash",
     "q35_ann_lsh",
     "q38_approx_distinct",
+    "q68_approx_quantiles",
 }
 
 #: queries whose sf0.001 result may legitimately be empty
