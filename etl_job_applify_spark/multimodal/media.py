@@ -123,3 +123,22 @@ def extract_frames_batch(media: DataFrame, every_ms: int = 1000) -> DataFrame:
         yield  # pragma: no cover
 
     return media.mapInPandas(batches, schema=_FRAMES_SCHEMA)
+
+
+_RESIZE_SCHEMA = "doc_id bigint, media binary, meta struct<format:string,width:int,height:int,duration_ms:bigint>"
+
+
+def resize_image_batch(media: DataFrame, width: int, height: int) -> DataFrame:
+    """Image resize via mapInPandas. STUB (needs Pillow, absent here):
+    contract = same (id, media, meta) shape out, meta.width/height updated
+    — resize is payload→payload, so it composes with decode/feature
+    stages in either order."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        raise NotImplementedError(
+            f"resize to {width}x{height} requires Pillow, not present; "
+            "schema/batching contract defined here"
+        )
+        yield  # pragma: no cover
+
+    return media.mapInPandas(batches, schema=_RESIZE_SCHEMA)

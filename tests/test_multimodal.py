@@ -77,3 +77,11 @@ def test_pandas_scalar_udf_matches_expression(spark):
     ).collect()
     for r in both:
         assert abs(r["expr_score"] - r["udf_score"]) < 1e-12
+
+
+def test_resize_stub_is_gated(spark):
+    from etl_job_applify_spark.multimodal.media import resize_image_batch
+
+    media = attach_fake_media(tbl(spark, SF_SMOKE, "documents").limit(2))
+    with pytest.raises(Exception):
+        resize_image_batch(media, 224, 224).collect()
