@@ -229,3 +229,64 @@ ORACLE = {
     "q61_stratified_sample": _Q61_SQL,
     "q62_bpe_tokens": _Q62_SQL,
 }
+
+
+# --- q69: end-to-end corpus dedup (the flagship LLM-pipeline op) ---------
+# pairs → components → drop every non-canonical member: the corpus with
+# near-duplicates collapsed to one representative each. Composition of
+# q31 (exact pairs) and q60 (components) + one anti join.
+
+def q69_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = tbl(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, threshold=0.5)
+    comp = connected_components(pairs)
+    losers = comp.filter(F.col("node") != F.col("component")).select(
+        F.col("node").alias("doc_id")
+    )
+    kept = docs.join(losers, "doc_id", "left_anti")
+    return (
+        kept.groupBy("lang")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_chars").alias("total_chars"))
+        .orderBy("lang")
+    )
+
+
+_Q69_SQL = """
+WITH RECURSIVE tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(range(1, greatest(len(t) - 2, 0) + 1),
+                i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) AS sh
+  FROM tok WHERE len(t) >= 3
+),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+common AS (
+  SELECT s1.doc_id AS a, s2.doc_id AS b, COUNT(*) AS c
+  FROM sh s1 JOIN sh s2 ON s1.sh = s2.sh AND s1.doc_id < s2.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT a, b FROM common
+  JOIN sizes sa ON sa.doc_id = a
+  JOIN sizes sb ON sb.doc_id = b
+  WHERE c / (sa.sz + sb.sz - c) >= 0.5
+),
+edges AS (SELECT a AS u, b AS v FROM pairs UNION SELECT b, a FROM pairs),
+reach AS (
+  SELECT u AS node, v AS r FROM edges
+  UNION
+  SELECT reach.node, edges.v FROM reach JOIN edges ON reach.r = edges.u
+),
+comp AS (SELECT node, LEAST(node, MIN(r)) AS component FROM reach GROUP BY node),
+losers AS (SELECT node AS doc_id FROM comp WHERE node != component),
+kept AS (SELECT * FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM losers))
+SELECT lang, COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM kept
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+QUERIES["q69_dedup_corpus"] = q69_dedup_corpus
+ORACLE["q69_dedup_corpus"] = _Q69_SQL

@@ -171,3 +171,21 @@ def deduped_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
     return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
         ["event_id"]
     )
+
+
+def stream_stream_interval_join(
+    purchases: DataFrame, views: DataFrame, max_gap: str = "30 minutes"
+) -> DataFrame:
+    """Stream-stream inner join: purchase ⋈ preceding view by the same
+    user within ``max_gap``. Both sides buffer state; the watermarks plus
+    the interval condition bound how long each side's rows are retained —
+    without the time bound the state would grow forever."""
+    p = purchases.withWatermark("p_ts", "1 hour")
+    v = views.withWatermark("v_ts", "1 hour")
+    return p.join(
+        v,
+        F.expr(
+            f"p_user = v_user AND v_ts BETWEEN p_ts - INTERVAL {max_gap} AND p_ts"
+        ),
+        "inner",
+    )

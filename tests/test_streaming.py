@@ -152,3 +152,53 @@ def test_watermark_drops_late_data(spark, tmp_path):
     assert max(by_window[10]) == 2
     # the 13:00 window updates to 2 with the on-time batch2 event
     assert max(by_window[13]) == 2
+
+
+def test_stream_stream_interval_join(spark, tmp_path):
+    """Purchases join preceding views of the same user within 30 minutes;
+    result must equal the batch twin of the same interval join."""
+    import pandas as pd
+
+    from etl_job_applify_spark.streaming.jobs import stream_stream_interval_join
+    from pyspark.sql import functions as F
+
+    t0 = pd.Timestamp("2024-01-01 10:00:00")
+    views = pd.DataFrame(
+        {"v_user": [1, 1, 2, 3],
+         "v_ts": [t0, t0 + pd.Timedelta("20 minutes"),
+                  t0 + pd.Timedelta("5 minutes"), t0],
+         "view_id": [10, 11, 12, 13]}
+    )
+    purchases = pd.DataFrame(
+        {"p_user": [1, 2, 3],
+         "p_ts": [t0 + pd.Timedelta("30 minutes"),
+                  t0 + pd.Timedelta("50 minutes"),  # view too old → no match
+                  t0 + pd.Timedelta("10 minutes")],
+         "purchase_id": [100, 101, 102]}
+    )
+    vdir, pdir = tmp_path / "views", tmp_path / "purch"
+    vdir.mkdir(); pdir.mkdir()
+    views.to_parquet(vdir / "v.parquet", coerce_timestamps="us")
+    purchases.to_parquet(pdir / "p.parquet", coerce_timestamps="us")
+
+    v_stream = spark.readStream.schema(
+        "v_user bigint, v_ts timestamp, view_id bigint"
+    ).parquet(str(vdir))
+    p_stream = spark.readStream.schema(
+        "p_user bigint, p_ts timestamp, purchase_id bigint"
+    ).parquet(str(pdir))
+    joined = stream_stream_interval_join(p_stream, v_stream)
+    got = sorted(
+        (r["purchase_id"], r["view_id"])
+        for r in run_to_memory(joined, "t_ssj").collect()
+    )
+    # batch twin
+    bv, bp = spark.createDataFrame(views), spark.createDataFrame(purchases)
+    want = sorted(
+        (r["purchase_id"], r["view_id"])
+        for r in bp.join(
+            bv,
+            F.expr("p_user = v_user AND v_ts BETWEEN p_ts - INTERVAL 30 minutes AND p_ts"),
+        ).collect()
+    )
+    assert got == want and len(got) > 0
