@@ -31,14 +31,10 @@ def tbl(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
       integer division (``div 1000`` → micros — integer arithmetic, no
       double-precision loss on ~1.7e18 nano epochs).
     """
+    from ..sources.readers import load_table
+
     spark.conf.set("spark.sql.ansi.enabled", "false")
-    if name == "events":
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        return df.withColumn(
-            "ts", F.expr("timestamp_micros(ts div 1000)")
-        )
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    return load_table(spark, sf_dir, name)
 
 
 def DSUM(expr: str, scale: int = 6) -> str:

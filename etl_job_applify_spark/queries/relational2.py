@@ -487,3 +487,32 @@ QUERIES["q66_promo_revenue"] = q66_promo_revenue
 QUERIES["q67_disjunctive_filter"] = q67_disjunctive_filter
 ORACLE["q66_promo_revenue"] = _Q66_SQL
 ORACLE["q67_disjunctive_filter"] = _Q67_SQL
+
+
+# --- q70: LATERAL (correlated table) subquery ----------------------------
+# Per outer row, a dependent subquery with its own ORDER BY/LIMIT —
+# Catalyst plans it as a correlated join; the grouped-top-k window form
+# (q17) is the equivalent single-pass shape at scale.
+
+_Q70_SQL = """
+SELECT r.r_name, t.n_name, t.n_cust
+FROM region r,
+LATERAL (
+  SELECT n_name, COUNT(c_custkey) AS n_cust
+  FROM nation JOIN customer ON c_nationkey = n_nationkey
+  WHERE n_regionkey = r.r_regionkey
+  GROUP BY n_name ORDER BY n_cust DESC, n_name LIMIT 2
+) t
+"""
+
+
+def q70_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    for t in ("region", "nation", "customer"):
+        tbl(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_Q70_SQL)
+
+
+QUERIES["q70_lateral_topn"] = q70_lateral_topn
+ORACLE["q70_lateral_topn"] = _Q70_SQL.replace(
+    "COUNT(c_custkey) AS n_cust", "CAST(COUNT(c_custkey) AS BIGINT) AS n_cust"
+)

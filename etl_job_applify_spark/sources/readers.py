@@ -109,7 +109,19 @@ def read_xml(
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """One star-schema fixture table."""
+    """One star-schema fixture table.
+
+    ``events.ts`` is parquet TIMESTAMP(NANOS), which Spark 4 refuses to
+    map to TimestampType: read it as a raw long (legacy conf) and convert
+    with integer division — ``div 1000`` to micros keeps full precision,
+    whereas a double roundtrip would lose bits on ~1.7e18 nano epochs.
+    """
+    if name == "events":
+        from pyspark.sql import functions as F
+
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 

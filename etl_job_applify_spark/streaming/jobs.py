@@ -189,3 +189,33 @@ def stream_stream_interval_join(
         ),
         "inner",
     )
+
+
+def run_foreach_batch_upsert(
+    stream_df: DataFrame, target_path: str, keys: list[str], version_col: str
+) -> None:
+    """CDC sink: every micro-batch MERGEs into a parquet target via the
+    relational upsert (anti-join + union). Each batch rewrites the target
+    atomically-enough for a demo; production targets a transactional
+    format (Delta/Iceberg MERGE) — the merge LOGIC is identical."""
+    from ..sinks.upsert import upsert as _upsert
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        try:
+            target = spark.read.parquet(target_path)
+        except Exception:
+            batch_df.write.mode("overwrite").parquet(target_path)
+            return
+        merged = _upsert(target, batch_df, keys=keys, version_col=version_col)
+        # materialize before overwriting the path we just read from
+        rows = merged.collect()
+        spark.createDataFrame(rows, merged.schema).write.mode(
+            "overwrite"
+        ).parquet(target_path)
+
+    q = stream_df.writeStream.foreachBatch(sink).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()

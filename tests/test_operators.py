@@ -95,3 +95,25 @@ def test_range_join_bucketed_matches_naive(spark):
         {(r["p"], r["rid"]) for r in fast.collect()}
         == {(r["p"], r["rid"]) for r in naive.collect()}
     )
+
+
+def test_operators_on_empty_input(spark):
+    """Every custom assembly must be total: empty in → empty out, not an
+    error (at 100 TB some partition/day/group is always empty)."""
+    from etl_job_applify_spark.operators import connected_components, scd2_intervals
+
+    empty_ev = spark.createDataFrame([], "k string, t timestamp, v double")
+    assert sessionize(empty_ev, ["k"], "t", 60).count() == 0
+    assert top_k_per_group(empty_ev, ["k"], [F.desc("v")], 3).count() == 0
+    assert scd2_intervals(empty_ev, ["k"], "t").count() == 0
+
+    empty_edges = spark.createDataFrame([], "a bigint, b bigint")
+    assert connected_components(empty_edges).count() == 0
+
+    right = spark.createDataFrame([("a", 1, 1.0)], "k string, rt int, px double") \
+        .withColumn("rt", F.timestamp_seconds("rt"))
+    out = asof_join(
+        spark.createDataFrame([], "k string, t timestamp"),
+        right, on=["k"], left_ts="t", right_ts="rt", payload=["px"],
+    )
+    assert out.count() == 0

@@ -202,3 +202,31 @@ def test_stream_stream_interval_join(spark, tmp_path):
         ).collect()
     )
     assert got == want and len(got) > 0
+
+
+def test_foreach_batch_cdc_upsert(spark, tmp_path):
+    """Two micro-batches of keyed updates MERGE into a parquet target; the
+    final table equals applying the batch upsert over all updates."""
+    import time as _time
+
+    import pandas as pd
+
+    from etl_job_applify_spark.streaming.jobs import run_foreach_batch_upsert
+
+    src = tmp_path / "cdc_src"
+    src.mkdir()
+    target = str(tmp_path / "cdc_target")
+    pd.DataFrame({"id": [1, 2, 3], "v": ["a", "b", "c"], "ver": [1, 1, 1]}
+                 ).to_parquet(src / "b1.parquet")
+    _time.sleep(1.1)
+    pd.DataFrame({"id": [2, 4], "v": ["B", "d"], "ver": [2, 1]}
+                 ).to_parquet(src / "b2.parquet")
+
+    stream = (
+        spark.readStream.schema("id bigint, v string, ver bigint")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    run_foreach_batch_upsert(stream, target, keys=["id"], version_col="ver")
+    got = {r["id"]: r["v"] for r in spark.read.parquet(target).collect()}
+    assert got == {1: "a", 2: "B", 3: "c", 4: "d"}
