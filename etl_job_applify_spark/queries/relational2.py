@@ -516,3 +516,92 @@ QUERIES["q70_lateral_topn"] = q70_lateral_topn
 ORACLE["q70_lateral_topn"] = _Q70_SQL.replace(
     "COUNT(c_custkey) AS n_cust", "CAST(COUNT(c_custkey) AS BIGINT) AS n_cust"
 )
+
+
+# --- q71: string function surface, part 2 --------------------------------
+
+def q71_string_fns2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = tbl(spark, sf_dir, "customer")
+    return cust.select(
+        "c_custkey",
+        F.regexp_replace("c_name", "[0-9]+", "#").alias("name_masked"),
+        F.translate("c_mktsegment", "AEIOU", "aeiou").alias("seg_translated"),
+        F.reverse("c_mktsegment").alias("seg_rev"),
+        F.lpad("c_mktsegment", 12, ".").alias("seg_lpad"),
+        F.rpad(F.col("c_name"), 24, "_").alias("name_rpad"),
+        F.instr("c_name", "1").alias("pos_one"),
+        F.repeat(F.lit("ab"), 3).alias("abab"),
+    )
+
+
+_Q71_SQL = """
+SELECT c_custkey,
+       regexp_replace(c_name, '[0-9]+', '#', 'g') AS name_masked,
+       -- DuckDB lacks translate(): chained replace mirrors the 5 vowels
+       replace(replace(replace(replace(replace(c_mktsegment,
+         'A','a'),'E','e'),'I','i'),'O','o'),'U','u') AS seg_translated,
+       reverse(c_mktsegment) AS seg_rev,
+       lpad(c_mktsegment, 12, '.') AS seg_lpad,
+       rpad(c_name, 24, '_') AS name_rpad,
+       CAST(strpos(c_name, '1') AS INT) AS pos_one,
+       repeat('ab', 3) AS abab
+FROM customer
+"""
+
+
+# --- q72: date arithmetic, part 2 ----------------------------------------
+
+def q72_date_fns2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = tbl(spark, sf_dir, "orders")
+    d = F.col("o_orderdate").cast("date")
+    return orders.select(
+        "o_orderkey",
+        F.add_months(d, 3).alias("plus_3m"),
+        F.date_sub(d, 7).alias("minus_7d"),
+        F.date_trunc("week", "o_orderdate").cast("date").alias("week_start"),
+        F.weekofyear(d).alias("week_num"),
+        F.dayofyear(d).alias("doy"),
+    )
+
+
+_Q72_SQL = """
+SELECT o_orderkey,
+       CAST(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS DATE) AS plus_3m,
+       CAST(o_orderdate AS DATE) - 7 AS minus_7d,
+       CAST(date_trunc('week', o_orderdate) AS DATE) AS week_start,
+       CAST(weekofyear(CAST(o_orderdate AS DATE)) AS INT) AS week_num,
+       CAST(dayofyear(CAST(o_orderdate AS DATE)) AS INT) AS doy
+FROM orders
+"""
+
+
+# --- q73: set operations with ALL (bag) semantics ------------------------
+
+def q73_set_ops_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = tbl(spark, sf_dir, "orders")
+    h1 = orders.filter(F.col("o_orderdate") < F.expr("TIMESTAMP '1997-01-01'")) \
+        .select("o_custkey")
+    h2 = orders.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    return (
+        h1.intersectAll(h2)
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("multiplicity"))
+    )
+
+
+_Q73_SQL = """
+WITH i AS (
+  SELECT o_custkey FROM orders WHERE o_orderdate < TIMESTAMP '1997-01-01'
+  INTERSECT ALL
+  SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+)
+SELECT o_custkey, COUNT(*) AS multiplicity FROM i GROUP BY o_custkey
+"""
+
+
+QUERIES["q71_string_fns2"] = q71_string_fns2
+QUERIES["q72_date_fns2"] = q72_date_fns2
+QUERIES["q73_set_ops_all"] = q73_set_ops_all
+ORACLE["q71_string_fns2"] = _Q71_SQL
+ORACLE["q72_date_fns2"] = _Q72_SQL
+ORACLE["q73_set_ops_all"] = _Q73_SQL
