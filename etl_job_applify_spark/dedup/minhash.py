@@ -97,9 +97,19 @@ def minhash_lsh_pairs(
     if not verify:
         return candidates
 
-    # exact verification restricted to candidate pairs: recompute jaccard
-    # relationally, then semi-join onto candidates
+    # exact verification restricted to CANDIDATE DOCUMENTS: first shrink
+    # the corpus to docs appearing in any candidate pair, then run the
+    # relational Jaccard on that subset and keep candidate pairs. Running
+    # the exact pass over the full corpus would cost the quadratic join
+    # LSH exists to avoid. Per-doc shingle sets are unchanged by the
+    # subset, so jaccard values are identical to full-corpus ones.
+    cand_ids = (
+        candidates.select(F.col("a").alias(id_col))
+        .union(candidates.select(F.col("b").alias(id_col)))
+        .distinct()
+    )
+    cand_docs = docs.join(cand_ids, id_col, "left_semi")
     exact = ngram_jaccard_pairs(
-        docs, id_col, text_col, n, threshold, max_doc_freq=None
+        cand_docs, id_col, text_col, n, threshold, max_doc_freq=None
     )
     return exact.join(candidates, ["a", "b"], "left_semi")

@@ -65,21 +65,37 @@ def simhash_near_pairs(
     n: int = 2,
     max_hamming: int = 3,
 ) -> DataFrame:
-    """Pairs (a, b, hamming) with hamming <= max_hamming, found via
-    16-bit-block candidate join (4 equi-joins, no cross product)."""
+    """Pairs (a, b, hamming) with hamming <= max_hamming, via block
+    candidate joins (no cross product).
+
+    Recall guarantee comes from the pigeonhole principle: the 64 bits are
+    split into ``max_hamming + 1`` blocks, so two fingerprints within the
+    radius MUST agree on at least one whole block. Block count scales
+    with the radius (the HmSearch trade-off: larger radius → narrower
+    blocks → more candidates per bucket).
+    """
+    nblocks = max_hamming + 1
+    if nblocks > 16:
+        raise ValueError(
+            "max_hamming > 15 would need blocks under 4 bits — candidate "
+            "buckets degenerate; use MinHash/Jaccard for loose thresholds"
+        )
+    widths = [64 // nblocks + (1 if i < 64 % nblocks else 0) for i in range(nblocks)]
+    offsets = [sum(widths[:i]) for i in range(nblocks)]
+
     fp = simhash_fingerprints(docs, id_col, text_col, n)
     blocks = fp.select(
         "doc",
         "simhash",
         *[
-            F.shiftright(F.col("simhash"), 16 * i)
-            .bitwiseAND(F.lit(0xFFFF))
+            F.shiftright(F.col("simhash"), offsets[i])
+            .bitwiseAND(F.lit((1 << widths[i]) - 1))
             .alias(f"blk{i}")
-            for i in range(4)
+            for i in range(nblocks)
         ],
     )
     pairs = None
-    for i in range(4):
+    for i in range(nblocks):
         a = blocks.select(
             F.col("doc").alias("a"), F.col("simhash").alias("sig_a"), F.col(f"blk{i}").alias("blk")
         )

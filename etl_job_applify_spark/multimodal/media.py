@@ -73,9 +73,11 @@ def media_byte_features(media: DataFrame) -> DataFrame:
                 {
                     "doc_id": pdf["doc_id"],
                     "byte_len": payloads.map(len).astype("int64"),
+                    # nullable Int32: empty payloads yield NULL, and a
+                    # plain int32 cast would crash on the resulting NaN
                     "first_byte": payloads.map(
                         lambda b: b[0] if len(b) else None
-                    ).astype("int32"),
+                    ).astype("Int32"),
                     "byte_checksum": payloads.map(
                         lambda b: int(sum(b) % 65536)
                     ).astype("int64"),

@@ -50,6 +50,12 @@ def asof_join(
         c for c in right.columns if c not in on and c != right_ts
     ]
     left_cols = left.columns
+    clash = set(payload) & {c for c in left_cols if c not in on}
+    if clash:
+        raise ValueError(
+            f"payload columns {sorted(clash)} collide with left columns — "
+            "rename one side before the as-of join"
+        )
 
     probe = left.select(
         *on,

@@ -63,4 +63,12 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    else:
+        # silent non-convergence would report one real component as
+        # several — fail loudly instead (raise max_iter for graphs with
+        # diameter beyond it)
+        raise RuntimeError(
+            f"connected_components did not converge within {max_iter} "
+            f"rounds ({changed} labels still changing)"
+        )
     return labels

@@ -45,12 +45,24 @@ def range_join_bucketed(
     """Interval join for two LARGE sides: ``left.point ∈ [right.lo,
     right.hi)``. Right intervals are exploded to every bucket they overlap
     (``ceil((hi-lo)/width)`` rows each — keep width ≈ typical interval
-    length), both sides equi-join on the bucket id, then the exact
-    predicate filters false positives. Shuffle is on (bucket), so skew only
-    arises from genuinely hot ranges — handled by AQE skew-join."""
-    lb = left.withColumn("__bucket", F.floor(F.col(left_point) / bucket_width))
+    length), both sides equi-join on the bucket id with the exact
+    predicate in the JOIN CONDITION (a post-join filter would silently
+    turn outer joins into inner ones by dropping null-extended rows).
+    Shuffle is on (bucket), so skew only arises from genuinely hot
+    ranges — handled by AQE skew-join.
+
+    ``how``: inner or left. Right/full-outer are rejected: the exploded
+    right side would emit one null-extended row PER OVERLAPPED BUCKET for
+    every unmatched interval.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(
+            "range_join_bucketed supports how='inner'|'left' only; the "
+            "bucket-exploded right side cannot express right/full outer"
+        )
+    lb = left.withColumn("__lb", F.floor(F.col(left_point) / bucket_width))
     rb = right.withColumn(
-        "__bucket",
+        "__rb",
         F.explode(
             F.sequence(
                 F.floor(F.col(right_lo) / bucket_width),
@@ -58,7 +70,9 @@ def range_join_bucketed(
             )
         ),
     )
-    joined = lb.join(rb, on="__bucket", how=how)
-    return joined.filter(
-        (F.col(left_point) >= F.col(right_lo)) & (F.col(left_point) < F.col(right_hi))
-    ).drop("__bucket")
+    cond = (
+        (F.col("__lb") == F.col("__rb"))
+        & (F.col(left_point) >= F.col(right_lo))
+        & (F.col(left_point) < F.col(right_hi))
+    )
+    return lb.join(rb, on=cond, how=how).drop("__lb", "__rb")

@@ -58,7 +58,16 @@ def salted_join(
     """Equi-join where ``big`` has skewed keys: big rows get a
     deterministic salt, small rows are replicated once per salt value, and
     the join runs on (keys, salt). Replication cost = |small| × k — keep
-    the replicated side genuinely small."""
+    the replicated side genuinely small.
+
+    ``how``: inner or left (big side preserved). Right/full-outer are
+    rejected — an unmatched small-side row would surface once per salt
+    replica (num_salts duplicates)."""
+    if how not in ("inner", "left"):
+        raise ValueError(
+            "salted_join supports how='inner'|'left' only; outer-preserving "
+            "the replicated small side would duplicate unmatched rows"
+        )
     keys = list(keys)
     big_s = big.withColumn("__salt", _salt_col(salt_from, num_salts))
     small_s = small.withColumn(

@@ -60,8 +60,8 @@ def jdbc_reader_options(
 ) -> dict[str, str]:
     """Option dict for ``spark.read.format("jdbc")`` with parallel-scan
     settings. Exactly one of ``table``/``query``."""
-    if (table is None) == (query is None):
-        raise ValueError("exactly one of table/query is required")
+    if bool(table) == bool(query):
+        raise ValueError("exactly one non-empty table/query is required")
     opts: dict[str, str] = {
         "url": url,
         "user": user,

@@ -208,11 +208,13 @@ def run_foreach_batch_upsert(
             batch_df.write.mode("overwrite").parquet(target_path)
             return
         merged = _upsert(target, batch_df, keys=keys, version_col=version_col)
-        # materialize before overwriting the path we just read from
-        rows = merged.collect()
-        spark.createDataFrame(rows, merged.schema).write.mode(
-            "overwrite"
-        ).parquet(target_path)
+        # can't overwrite the path we're lazily reading from: stage the
+        # merge to a scratch path, then rewrite the target from it — all
+        # distributed (a driver-side collect here would cap the target at
+        # driver memory and grow per-batch latency with table size)
+        staging = f"{target_path}__staging"
+        merged.write.mode("overwrite").parquet(staging)
+        spark.read.parquet(staging).write.mode("overwrite").parquet(target_path)
 
     q = stream_df.writeStream.foreachBatch(sink).start()
     try:

@@ -61,3 +61,38 @@ def test_embedding_near_dup_lsh_vs_exact(spark):
                 for r in embedding_near_dup_pairs(emb, threshold=0.4,
                                                   num_planes=8).collect()}
     assert bucketed <= exact  # bucketing only prunes, never invents pairs
+
+
+def test_simhash_block_join_matches_brute_force(spark):
+    """The pigeonhole block join must find EXACTLY the pairs a brute-force
+    hamming comparison finds, for a radius larger than the old fixed
+    4-block scheme could guarantee."""
+    from pyspark.sql import functions as F
+
+    from etl_job_applify_spark.dedup.simhash import (
+        _hamming,
+        simhash_fingerprints,
+    )
+
+    docs = _docs(spark)
+    fp = simhash_fingerprints(docs, n=2)
+    a = fp.select(F.col("doc").alias("a"), F.col("simhash").alias("sa"))
+    b = fp.select(F.col("doc").alias("b"), F.col("simhash").alias("sb"))
+    brute = {
+        (r["a"], r["b"])
+        for r in a.crossJoin(b)
+        .filter(F.col("a") < F.col("b"))
+        .withColumn("h", _hamming(F.col("sa"), F.col("sb")))
+        .filter(F.col("h") <= 8)
+        .collect()
+    }
+    blocked = {(r["a"], r["b"])
+               for r in simhash_near_pairs(docs, n=2, max_hamming=8).collect()}
+    assert blocked == brute
+
+
+def test_simhash_radius_too_large_rejected(spark):
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="max_hamming"):
+        simhash_near_pairs(_docs(spark), max_hamming=20)

@@ -85,3 +85,14 @@ def test_resize_stub_is_gated(spark):
     media = attach_fake_media(tbl(spark, SF_SMOKE, "documents").limit(2))
     with pytest.raises(Exception):
         resize_image_batch(media, 224, 224).collect()
+
+
+def test_byte_features_handle_empty_payload(spark):
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(1, "x"), (2, "")], "doc_id long, text string")
+    media = df.select("doc_id", F.encode("text", "utf-8").alias("media"))
+    feats = {r["doc_id"]: r for r in media_byte_features(media).collect()}
+    assert feats[2]["byte_len"] == 0
+    assert feats[2]["first_byte"] is None
+    assert feats[2]["byte_checksum"] == 0

@@ -117,3 +117,53 @@ def test_operators_on_empty_input(spark):
         right, on=["k"], left_ts="t", right_ts="rt", payload=["px"],
     )
     assert out.count() == 0
+
+
+def test_range_join_bucketed_left_outer(spark):
+    left = spark.createDataFrame([(5.0,), (99.0,)], "p double")
+    right = spark.createDataFrame([(0.0, 10.0, 1)], "lo double, hi double, rid int")
+    out = range_join_bucketed(left, right, "p", "lo", "hi",
+                              bucket_width=10.0, how="left")
+    got = {r["p"]: r["rid"] for r in out.collect()}
+    # unmatched left row survives null-extended (a post-join filter would
+    # have dropped it)
+    assert got == {5.0: 1, 99.0: None}
+
+
+def test_range_join_bucketed_rejects_outer(spark):
+    import pytest as _pytest
+
+    left = spark.createDataFrame([(5.0,)], "p double")
+    right = spark.createDataFrame([(0.0, 10.0)], "lo double, hi double")
+    with _pytest.raises(ValueError, match="inner"):
+        range_join_bucketed(left, right, "p", "lo", "hi", 10.0, how="full")
+
+
+def test_asof_payload_collision_rejected(spark):
+    import pytest as _pytest
+
+    left = spark.createDataFrame([("a", 1, 1.0)], "k string, t int, px double") \
+        .withColumn("t", F.timestamp_seconds("t"))
+    right = spark.createDataFrame([("a", 1, 2.0)], "k string, rt int, px double") \
+        .withColumn("rt", F.timestamp_seconds("rt"))
+    with _pytest.raises(ValueError, match="collide"):
+        asof_join(left, right, on=["k"], left_ts="t", right_ts="rt",
+                  payload=["px"])
+
+
+def test_components_nonconvergence_raises(spark):
+    import pytest as _pytest
+
+    from etl_job_applify_spark.operators.components import connected_components
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(30)], "a bigint, b bigint"
+    )
+    with _pytest.raises(RuntimeError, match="converge"):
+        connected_components(chain, max_iter=2)
+    # label propagation needs diameter rounds: a short chain converges
+    short = spark.createDataFrame(
+        [(i, i + 1) for i in range(5)], "a bigint, b bigint"
+    )
+    ok = connected_components(short, max_iter=10)
+    assert {r["component"] for r in ok.collect()} == {0}

@@ -42,3 +42,12 @@ def test_salted_join_matches_plain(spark):
         for r in salted_join(big, small, ["k"], salt_from=["id"]).collect()
     )
     assert salted == plain
+
+
+def test_salted_join_rejects_outer(spark):
+    import pytest as _pytest
+
+    big = _skewed(spark)
+    small = spark.createDataFrame([("hot", "H")], "k string, tag string")
+    with _pytest.raises(ValueError, match="inner"):
+        salted_join(big, small, ["k"], salt_from=["id"], how="full")

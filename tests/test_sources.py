@@ -80,3 +80,10 @@ def test_jdbc_source_url_and_dialects():
     assert src.url == "jdbc:mysql://h:3306/db"
     assert "information_schema" in list_tables_sql("mysql", "db")
     assert list_tables_sql("oracle") == "SELECT table_name FROM user_tables"
+
+
+def test_jdbc_empty_table_rejected():
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="non-empty"):
+        jdbc_reader_options("u", "u", "p", "d", table="")
