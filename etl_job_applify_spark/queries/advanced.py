@@ -290,3 +290,88 @@ ORDER BY lang
 
 QUERIES["q69_dedup_corpus"] = q69_dedup_corpus
 ORACLE["q69_dedup_corpus"] = _Q69_SQL
+
+
+# --- q74: data profiling (the ETL preflight) -----------------------------
+# Per-column null/distinct/min/max accounting in ONE pass (no per-column
+# jobs): the profile every ingest pipeline runs before trusting a feed.
+
+def q74_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = tbl(spark, sf_dir, "customer")
+    prof = cust.agg(
+        F.count("*").alias("n_rows"),
+        F.count_if(F.col("c_name").isNull()).alias("null_name"),
+        F.countDistinct("c_nationkey").alias("distinct_nations"),
+        F.countDistinct("c_mktsegment").alias("distinct_segments"),
+        F.min("c_acctbal").alias("min_bal"),
+        F.max("c_acctbal").alias("max_bal"),
+        F.min("c_custkey").alias("min_key"),
+        F.max("c_custkey").alias("max_key"),
+    )
+    return prof
+
+
+_Q74_SQL = """
+SELECT COUNT(*) AS n_rows,
+       CAST(count_if(c_name IS NULL) AS BIGINT) AS null_name,
+       COUNT(DISTINCT c_nationkey) AS distinct_nations,
+       COUNT(DISTINCT c_mktsegment) AS distinct_segments,
+       MIN(c_acctbal) AS min_bal,
+       MAX(c_acctbal) AS max_bal,
+       MIN(c_custkey) AS min_key,
+       MAX(c_custkey) AS max_key
+FROM customer
+"""
+
+
+# --- q75: data-quality constraint checks ---------------------------------
+# Key uniqueness + referential integrity as aggregates — violations are
+# counted, not crashed on, so the report lands in monitoring.
+
+def q75_dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = tbl(spark, sf_dir, "orders")
+    lineitem = tbl(spark, sf_dir, "lineitem")
+    customer = tbl(spark, sf_dir, "customer")
+    dup_orders = (
+        orders.groupBy("o_orderkey").count().filter(F.col("count") > 1)
+        .agg(F.count("*").alias("v")).select(F.col("v"))
+    )
+    orphan_lineitems = (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey, "left_anti")
+        .agg(F.count("*").alias("v"))
+    )
+    orphan_orders = (
+        orders.join(customer, orders.o_custkey == customer.c_custkey, "left_anti")
+        .agg(F.count("*").alias("v"))
+    )
+    checks = (
+        dup_orders.select(F.lit("duplicate_order_keys").alias("check"), "v")
+        .unionByName(
+            orphan_lineitems.select(F.lit("orphan_lineitems").alias("check"), "v")
+        )
+        .unionByName(
+            orphan_orders.select(F.lit("orphan_orders").alias("check"), "v")
+        )
+    )
+    return checks.withColumn("passed", F.col("v") == 0).orderBy("check")
+
+
+_Q75_SQL = """
+WITH checks AS (
+  SELECT 'duplicate_order_keys' AS check, COUNT(*) AS v FROM (
+    SELECT o_orderkey FROM orders GROUP BY o_orderkey HAVING COUNT(*) > 1)
+  UNION ALL
+  SELECT 'orphan_lineitems', COUNT(*) FROM lineitem
+  WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_orderkey = l_orderkey)
+  UNION ALL
+  SELECT 'orphan_orders', COUNT(*) FROM orders
+  WHERE NOT EXISTS (SELECT 1 FROM customer WHERE c_custkey = o_custkey)
+)
+SELECT "check", v, v = 0 AS passed FROM checks ORDER BY "check"
+"""
+
+
+QUERIES["q74_profile"] = q74_profile
+QUERIES["q75_dq_checks"] = q75_dq_checks
+ORACLE["q74_profile"] = _Q74_SQL
+ORACLE["q75_dq_checks"] = _Q75_SQL
