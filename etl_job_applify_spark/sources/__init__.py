@@ -1,5 +1,6 @@
 from .readers import (
     read_csv,
+    read_orc,
     read_json,
     read_parquet,
     read_xml,
@@ -13,6 +14,7 @@ from .catalog import list_tables_sql, show_tables
 
 __all__ = [
     "read_csv",
+    "read_orc",
     "read_json",
     "read_parquet",
     "read_xml",

@@ -38,6 +38,12 @@ def read_parquet(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC scan — same columnar/pushdown properties as parquet; provided
+    for lake interop (some warehouses land ORC)."""
+    return spark.read.orc(path)
+
+
 def read_csv(
     spark: SparkSession,
     path: str,

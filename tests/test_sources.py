@@ -87,3 +87,13 @@ def test_jdbc_empty_table_rejected():
 
     with _pytest.raises(ValueError, match="non-empty"):
         jdbc_reader_options("u", "u", "p", "d", table="")
+
+
+def test_orc_roundtrip(spark, tmp_path):
+    from etl_job_applify_spark.sources import read_orc
+
+    out = str(tmp_path / "orc")
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id int, v string")
+    df.write.orc(out)
+    back = read_orc(spark, out)
+    assert {(r["id"], r["v"]) for r in back.collect()} == {(1, "a"), (2, "b")}
