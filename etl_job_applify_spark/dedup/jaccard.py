@@ -25,9 +25,6 @@ from pyspark.sql import functions as F
 
 from .shingles import with_shingles
 
-#: most recent persisted postings relation (see cache_postings)
-_CACHED_POSTINGS: list = []
-
 
 def ngram_jaccard_pairs(
     docs: DataFrame,
@@ -75,18 +72,11 @@ def ngram_jaccard_pairs(
     if cache_postings:
         from pyspark import StorageLevel
 
-        # release the previous call's cache first: repeated invocations in
-        # one session (q31/q32/q60/q69) would otherwise accumulate dead
-        # cached relations until executors thrash. Bounded to one live
-        # postings cache per session.
-        for prev in _CACHED_POSTINGS:
-            try:
-                prev.unpersist()
-            except Exception:
-                pass
-        _CACHED_POSTINGS.clear()
+        # lifecycle: Spark's ContextCleaner unpersists the cache once the
+        # returned plan (and this handle) are garbage-collected, so
+        # repeated calls don't accumulate dead caches; explicit tracking
+        # here would invalidate earlier, still-live results instead
         postings = postings.persist(StorageLevel.MEMORY_AND_DISK)
-        _CACHED_POSTINGS.append(postings)
     sizes = postings.groupBy("doc").agg(F.count("*").alias("sz"))
 
     a = postings.select(F.col("doc").alias("a"), "sh")

@@ -96,6 +96,12 @@ def minhash_lsh_pairs(
     )
     if not verify:
         return candidates
+    # candidates feed three plan branches below (two id-union branches +
+    # the final semi join) — persist so the signature/banding pipeline
+    # runs once, not three times (ContextCleaner reclaims on GC)
+    from pyspark import StorageLevel
+
+    candidates = candidates.persist(StorageLevel.MEMORY_AND_DISK)
 
     # exact verification restricted to CANDIDATE DOCUMENTS: first shrink
     # the corpus to docs appearing in any candidate pair, then run the

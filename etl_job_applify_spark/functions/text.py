@@ -95,13 +95,19 @@ def min_shingle_fingerprint_expr(text_col: str, n: int = 3, mod: int = 1_000_000
     once per row and each shingle is built once (projection collapse would
     otherwise inline the split per reference — O(n²))."""
     gram = ", ".join(f"tok[i + {j}]" for j in range(n))
+    # documents shorter than n tokens have NO n-gram → NULL fingerprint
+    # (matching with_shingles' empty-array convention and the SQL oracle);
+    # without the guard the sequence(0, greatest(...)) fallback would hash
+    # a partial shingle built from out-of-bounds NULL tokens
     return F.expr(
-        f"array_min(flatten(transform(array(split({text_col}, ' ')), tok -> "
-        f"transform("
-        f" transform(sequence(0, greatest(size(tok) - {n}, 0)),"
+        f"transform(array(split({text_col}, ' ')), tok -> "
+        f"CASE WHEN size(tok) >= {n} THEN "
+        f"array_min(transform("
+        f" transform(sequence(0, size(tok) - {n}),"
         f"           i -> concat_ws(' ', {gram})),"
         f" g -> aggregate(split(g, ''), 0L,"
-        f"      (acc, ch) -> (acc * 31 + ascii(ch)) % {mod})))))"
+        f"      (acc, ch) -> (acc * 31 + ascii(ch)) % {mod})))"
+        f" END)[0]"
     )
 
 

@@ -2,6 +2,7 @@ from .media import (
     MEDIA_META_SCHEMA,
     attach_fake_media,
     media_byte_features,
+    media_char_features,
     decode_image_batch,
     extract_frames_batch,
 )
@@ -10,6 +11,7 @@ __all__ = [
     "MEDIA_META_SCHEMA",
     "attach_fake_media",
     "media_byte_features",
+    "media_char_features",
     "decode_image_batch",
     "extract_frames_batch",
 ]

@@ -144,3 +144,32 @@ def resize_image_batch(media: DataFrame, width: int, height: int) -> DataFrame:
         yield  # pragma: no cover
 
     return media.mapInPandas(batches, schema=_RESIZE_SCHEMA)
+
+
+_CHAR_FEATURES_SCHEMA = "doc_id bigint, n_chars int, first_cp int, cp_checksum bigint"
+
+
+def media_char_features(media: DataFrame) -> DataFrame:
+    """Decode-then-featurize: UTF-8 bytes → str (the REAL decode step of
+    the multimodal contract) → code-point features. Unlike the raw byte
+    features, these have an exact SQL twin for any text (DuckDB's
+    ascii()/length() are code-point-based), so the oracle keeps
+    validating the path even on non-ASCII corpora."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            texts = pdf["media"].map(lambda b: bytes(b).decode("utf-8"))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_chars": texts.map(len).astype("int32"),
+                    "first_cp": texts.map(
+                        lambda t: ord(t[0]) if t else None
+                    ).astype("Int32"),
+                    "cp_checksum": texts.map(
+                        lambda t: sum(map(ord, t)) % 65536
+                    ).astype("int64"),
+                }
+            )
+
+    return media.mapInPandas(batches, schema=_CHAR_FEATURES_SCHEMA)

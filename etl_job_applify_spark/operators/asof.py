@@ -57,18 +57,21 @@ def asof_join(
             "rename one side before the as-of join"
         )
 
+    # left_ts travels once, as __ts (the final select restores its name) —
+    # carrying it twice would shuffle a redundant timestamp copy per row
+    carry = [c for c in left_cols if c not in on and c != left_ts]
     probe = left.select(
         *on,
         F.col(left_ts).alias("__ts"),
         F.lit(1).alias("__side"),
-        *[F.col(c) for c in left_cols if c not in on],
+        *[F.col(c) for c in carry],
         *[F.lit(None).cast(right.schema[c].dataType).alias(f"__b_{c}") for c in payload],
     )
     build = right.select(
         *on,
         F.col(right_ts).alias("__ts"),
         F.lit(0).alias("__side"),
-        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left_cols if c not in on],
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in carry],
         *[F.col(c).alias(f"__b_{c}") for c in payload],
     )
     unioned = probe.unionByName(build)

@@ -61,15 +61,14 @@ def range_join_bucketed(
             "bucket-exploded right side cannot express right/full outer"
         )
     lb = left.withColumn("__lb", F.floor(F.col(left_point) / bucket_width))
-    rb = right.withColumn(
-        "__rb",
-        F.explode(
-            F.sequence(
-                F.floor(F.col(right_lo) / bucket_width),
-                F.floor((F.col(right_hi) - 1e-9) / bucket_width),
-            )
-        ),
-    )
+    # stop bucket = floor(hi/w): points equal to hi are excluded by the
+    # exact predicate anyway (an epsilon here would LOSE matches when hi
+    # sits just above a boundary). greatest() clamps inverted/corrupt
+    # intervals (hi < lo) to one bucket instead of a huge descending
+    # sequence — the predicate then yields zero rows for them.
+    start = F.floor(F.col(right_lo) / bucket_width)
+    stop = F.greatest(F.floor(F.col(right_hi) / bucket_width), start)
+    rb = right.withColumn("__rb", F.explode(F.sequence(start, stop)))
     cond = (
         (F.col("__lb") == F.col("__rb"))
         & (F.col(left_point) >= F.col(right_lo))

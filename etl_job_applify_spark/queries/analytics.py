@@ -19,7 +19,7 @@ from ..dedup import (
     ngram_jaccard_pairs,
     simhash_near_pairs,
 )
-from ..multimodal import attach_fake_media, media_byte_features
+from ..multimodal import attach_fake_media, media_char_features
 from ..similarity import ann_topk_lsh, cosine_topk
 from ..transform.dedup import dedup_keep_first
 
@@ -215,16 +215,16 @@ def q38_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q39_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = tbl(spark, sf_dir, "documents")
     media = attach_fake_media(docs)
-    return media_byte_features(media)
+    return media_char_features(media)
 
 
 _Q39_SQL = """
 SELECT doc_id,
-       CAST(length(text) AS BIGINT) AS byte_len,
-       CAST(ascii(text[1]) AS INT) AS first_byte,
+       CAST(length(text) AS INT) AS n_chars,
+       CASE WHEN length(text) > 0 THEN CAST(ascii(text[1]) AS INT) END AS first_cp,
        CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
               list_transform(range(1, length(text) + 1), i -> ascii(text[i]))),
-            (a, c) -> (a + c) % 65536) AS BIGINT) AS byte_checksum
+            (a, c) -> (a + c) % 65536) AS BIGINT) AS cp_checksum
 FROM documents
 """
 

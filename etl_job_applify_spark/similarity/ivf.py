@@ -22,9 +22,11 @@ from pyspark.sql import functions as F
 from ..functions.vectors import cosine_expr, with_norm
 
 
-def _centroid_assign_expr(vec_col: str, centroids: np.ndarray) -> F.Column:
-    """argmin cell by squared L2 distance, unrolled over the (small)
-    centroid set as a codegen'd expression."""
+def _centroid_dists_sql(vec_col: str, centroids: np.ndarray) -> str:
+    """SQL array of squared L2 distances to every centroid — the single
+    source of the metric for BOTH corpus cell assignment and query cell
+    probing (two sites using divergent expressions would silently break
+    recall)."""
     dists = []
     for c in centroids:
         arr = "array(" + ", ".join(f"{x}D" for x in c) + ")"
@@ -33,7 +35,13 @@ def _centroid_assign_expr(vec_col: str, centroids: np.ndarray) -> F.Column:
             f" (x, y) -> (CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)),"
             f" 0D, (a, v) -> a + v)"
         )
-    d_arr = "array(" + ", ".join(dists) + ")"
+    return "array(" + ", ".join(dists) + ")"
+
+
+def _centroid_assign_expr(vec_col: str, centroids: np.ndarray) -> F.Column:
+    """argmin cell by squared L2 distance, unrolled over the (small)
+    centroid set as a codegen'd expression."""
+    d_arr = _centroid_dists_sql(vec_col, centroids)
     return F.expr(f"array_position({d_arr}, array_min({d_arr})) - 1").cast("int")
 
 
@@ -87,16 +95,8 @@ def ann_topk_ivf(
         F.col("norm").alias("__cn"),
     )
 
-    # query → nprobe nearest cells (distance array sorted, take indexes)
-    dists = []
-    for cc in centroids:
-        arr = "array(" + ", ".join(f"{x}D" for x in cc) + ")"
-        dists.append(
-            f"aggregate(zip_with({vec_col}, {arr},"
-            f" (x, y) -> (CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)),"
-            f" 0D, (a, v) -> a + v)"
-        )
-    d_arr = "array(" + ", ".join(dists) + ")"
+    # query → nprobe nearest cells (shared metric with assignment)
+    d_arr = _centroid_dists_sql(vec_col, centroids)
     # nprobe nearest cells: sort (distance, index) structs, keep indexes
     probe_cells = (
         f"transform(slice(array_sort(transform({d_arr},"

@@ -121,6 +121,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     map to TimestampType: read it as a raw long (legacy conf) and convert
     with integer division — ``div 1000`` to micros keeps full precision,
     whereas a double roundtrip would lose bits on ~1.7e18 nano epochs.
+
+    NOTE: ``nanosAsLong`` is a session-level conf and stays set (Spark
+    consults it again at task execution time, so a save/restore around
+    the read would break the deferred scan). Consequence for this
+    session: other TIMESTAMP(NANOS) parquet columns also arrive as
+    longs — convert them the same way.
     """
     if name == "events":
         from pyspark.sql import functions as F

@@ -174,14 +174,21 @@ def deduped_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
 
 
 def stream_stream_interval_join(
-    purchases: DataFrame, views: DataFrame, max_gap: str = "30 minutes"
+    purchases: DataFrame,
+    views: DataFrame,
+    max_gap: str = "30 minutes",
+    watermark: str | None = None,
 ) -> DataFrame:
     """Stream-stream inner join: purchase ⋈ preceding view by the same
     user within ``max_gap``. Both sides buffer state; the watermarks plus
     the interval condition bound how long each side's rows are retained —
-    without the time bound the state would grow forever."""
-    p = purchases.withWatermark("p_ts", "1 hour")
-    v = views.withWatermark("v_ts", "1 hour")
+    without the time bound the state would grow forever.
+
+    The watermark delay defaults to ``max_gap``: a shorter delay would
+    discard rows the business condition could still match."""
+    wm = watermark or max_gap
+    p = purchases.withWatermark("p_ts", wm)
+    v = views.withWatermark("v_ts", wm)
     return p.join(
         v,
         F.expr(
@@ -204,7 +211,13 @@ def run_foreach_batch_upsert(
         spark = batch_df.sparkSession
         try:
             target = spark.read.parquet(target_path)
-        except Exception:
+        except Exception as exc:
+            # bootstrap ONLY when the target genuinely doesn't exist yet;
+            # any other read failure (transient FS error, corrupt footer)
+            # must fail the batch — falling through here would overwrite
+            # the accumulated table with one micro-batch
+            if "PATH_NOT_FOUND" not in str(exc):
+                raise
             batch_df.write.mode("overwrite").parquet(target_path)
             return
         merged = _upsert(target, batch_df, keys=keys, version_col=version_col)

@@ -96,3 +96,12 @@ def test_simhash_radius_too_large_rejected(spark):
 
     with _pytest.raises(ValueError, match="max_hamming"):
         simhash_near_pairs(_docs(spark), max_hamming=20)
+
+
+def test_min_shingle_fingerprint_null_for_short_docs(spark):
+    from etl_job_applify_spark.functions.text import min_shingle_fingerprint_expr
+
+    df = spark.createDataFrame([("a b",), ("one two three",)], "text string")
+    out = [r[0] for r in df.select(min_shingle_fingerprint_expr("text", n=3)).collect()]
+    assert out[0] is None       # < n tokens → no shingle → NULL
+    assert out[1] is not None

@@ -96,3 +96,19 @@ def test_byte_features_handle_empty_payload(spark):
     assert feats[2]["byte_len"] == 0
     assert feats[2]["first_byte"] is None
     assert feats[2]["byte_checksum"] == 0
+
+
+def test_char_features_survive_non_ascii(spark):
+    """The decode-based features must stay oracle-equivalent beyond ASCII
+    (code points, not bytes)."""
+    from etl_job_applify_spark.multimodal import media_char_features
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(1, "héllo"), (2, "的是"), (3, "")], "doc_id long, text string"
+    )
+    media = df.select("doc_id", F.encode("text", "utf-8").alias("media"))
+    feats = {r["doc_id"]: r for r in media_char_features(media).collect()}
+    assert feats[1]["n_chars"] == 5 and feats[1]["first_cp"] == ord("h")
+    assert feats[2]["n_chars"] == 2 and feats[2]["first_cp"] == ord("的")
+    assert feats[3]["first_cp"] is None and feats[3]["cp_checksum"] == 0
