@@ -8,9 +8,11 @@ bits; each bit votes ±1; the per-doc sign vector re-packs into a BIGINT.
 The bit-majority aggregation is expressed as 64 conditional sums in one
 groupBy — one shuffle, map-side partials, no UDF.
 
-Pairing: the 64-bit fingerprint splits into 4 16-bit blocks; two docs
-within Hamming distance 3 must agree on at least one block (pigeonhole),
-so candidates are block-equality joins — index-style, never all-pairs.
+Pairing: the 64-bit fingerprint splits into ``max_hamming + 1`` blocks;
+two docs within the radius must agree on at least one whole block
+(pigeonhole), so candidates are block-equality joins — index-style,
+never all-pairs. Block width shrinks as the radius grows (HmSearch
+trade-off: looser radius → more candidates per bucket).
 """
 
 from __future__ import annotations

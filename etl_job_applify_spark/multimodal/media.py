@@ -7,12 +7,13 @@ compute — decode, resize, feature extraction, frame sampling — runs as
 Arrow-batched ``mapInPandas`` so payloads never round-trip through
 driver memory and Python sees whole columns per batch, not rows.
 
-Decode itself needs codec libraries (Pillow/ffmpeg) that are NOT in this
-container, so the codec calls are stubbed behind clearly-marked
+Codec decode (images/video) needs libraries (Pillow/ffmpeg) that are NOT
+in this container, so those calls are stubbed behind clearly-marked
 ``NotImplementedError`` gates; the Spark-side contract — schema, batch
 iteration, partitioning — is real and tested via the deterministic
-byte-level features (``media_byte_features``), which the DuckDB oracle
-cross-checks end-to-end.
+feature extractors: ``media_byte_features`` (raw bytes) and
+``media_char_features`` (a REAL utf-8 decode step → code points), the
+latter cross-checked end-to-end by the DuckDB oracle for any text.
 """
 
 from __future__ import annotations

@@ -166,3 +166,46 @@ ORACLE = {
     "q52_sessions": _Q52_SQL,
     "q53_asof_join": _Q53_SQL,
 }
+
+
+# --- q54: interval (event-to-event) join — batch twin of the
+# stream-stream interval join in streaming/jobs.py -------------------------
+# Purchase attributed to every view by the same user within the
+# preceding 30 minutes. Equality on user + time-range predicate: Catalyst
+# runs equi-join on user with the range as residual — at 100 TB the
+# bucketed variant (operators/range_join.py) grids the time axis instead.
+
+def q54_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = tbl(spark, sf_dir, "events")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+    )
+    views = events.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"),
+        F.col("user_id").alias("v_user"),
+        F.col("ts").alias("v_ts"),
+    )
+    return purchases.join(
+        views,
+        F.expr(
+            "p_user = v_user AND v_ts >= p_ts - INTERVAL 30 MINUTES AND v_ts <= p_ts"
+        ),
+    ).select("purchase_id", "view_id", "p_user", "p_ts", "v_ts")
+
+
+_Q54B_SQL = """
+SELECT p.event_id AS purchase_id, v.event_id AS view_id,
+       p.user_id AS p_user, p.ts AS p_ts, v.ts AS v_ts
+FROM events p
+JOIN events v
+  ON p.user_id = v.user_id
+ AND v.ts >= p.ts - INTERVAL 30 MINUTE
+ AND v.ts <= p.ts
+WHERE p.event_type = 'purchase' AND v.event_type = 'view'
+"""
+
+
+QUERIES["q54b_interval_join"] = q54_interval_join
+ORACLE["q54b_interval_join"] = _Q54B_SQL
