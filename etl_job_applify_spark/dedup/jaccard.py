@@ -34,6 +34,7 @@ def ngram_jaccard_pairs(
     threshold: float = 0.5,
     max_doc_freq: int | None = None,
     cache_postings: bool = True,
+    include_containment: bool = False,
 ) -> DataFrame:
     """Pairs (a, b, jaccard) with a < b and jaccard >= threshold.
 
@@ -89,7 +90,7 @@ def ngram_jaccard_pairs(
     )
     sa = sizes.select(F.col("doc").alias("a"), F.col("sz").alias("sz_a"))
     sb = sizes.select(F.col("doc").alias("b"), F.col("sz").alias("sz_b"))
-    return (
+    scored = (
         common.join(sa, "a")
         .join(sb, "b")
         .withColumn(
@@ -98,5 +99,16 @@ def ngram_jaccard_pairs(
             / (F.col("sz_a") + F.col("sz_b") - F.col("common")),
         )
         .filter(F.col("jaccard") >= threshold)
-        .select("a", "b", "jaccard")
     )
+    if include_containment:
+        # containment is ASYMMETRIC (|A∩B|/|A| vs /|B|): high containment
+        # with low jaccard flags quotes/excerpts that symmetric dedup
+        # misses — a first-class signal for LLM-corpus decontamination
+        return scored.select(
+            "a",
+            "b",
+            "jaccard",
+            (F.col("common") / F.col("sz_a")).alias("containment_a"),
+            (F.col("common") / F.col("sz_b")).alias("containment_b"),
+        )
+    return scored.select("a", "b", "jaccard")

@@ -119,3 +119,12 @@ def bpe_token_count_expr(text_col: str) -> Column:
     return F.expr(
         f"size(regexp_extract_all({text_col}, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0))"
     )
+
+
+def normalize_text_expr(text_col: str) -> Column:
+    """Canonical preprocessing: lowercase, collapse whitespace runs, trim.
+    Applied before fingerprinting/shingling so formatting-only variants
+    dedup together."""
+    return F.trim(
+        F.regexp_replace(F.lower(F.col(text_col)), "\\s+", " ")
+    )

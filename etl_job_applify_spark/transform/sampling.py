@@ -42,3 +42,28 @@ def hash_sample(df: DataFrame, id_cols: Sequence[str], fraction: float) -> DataF
     return df.filter(
         F.pmod(F.xxhash64(*[F.col(c) for c in id_cols]), F.lit(10_000)) < threshold
     )
+
+
+def weighted_hash_sample(
+    df: DataFrame,
+    id_cols: Sequence[str],
+    weight_col: str,
+    k: int,
+) -> DataFrame:
+    """Deterministic weighted reservoir (Efraimidis–Spirakis A-Res): each
+    row draws u ∈ (0,1) from a hash of its id (reproducible, no RNG
+    state) and scores u^(1/w); the global top-k by score is a weighted
+    sample without replacement. One TakeOrdered pass — no shuffle of the
+    full data, cluster-size independent."""
+    u = (
+        (F.pmod(F.xxhash64(*[F.col(c) for c in id_cols]), F.lit(1_000_000_007))
+         .cast("double") + F.lit(1.0))
+        / F.lit(1_000_000_009.0)
+    )
+    score = F.pow(u, F.lit(1.0) / F.col(weight_col))
+    return (
+        df.withColumn("__score", score)
+        .orderBy(F.desc("__score"), *[F.col(c) for c in id_cols])
+        .limit(k)
+        .drop("__score")
+    )

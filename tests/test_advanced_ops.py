@@ -56,3 +56,43 @@ def test_hash_sample_fraction_and_stability(spark):
     s2 = {r["id"] for r in hash_sample(df.repartition(13), ["id"], 0.1).collect()}
     assert s1 == s2  # stable under repartitioning
     assert 700 < len(s1) < 1300  # ~10%
+
+
+def test_weighted_hash_sample(spark):
+    from pyspark.sql import functions as F
+
+    from etl_job_applify_spark.transform.sampling import weighted_hash_sample
+
+    # two weight classes: heavy rows must dominate the sample
+    df = spark.range(2000).withColumn(
+        "w", F.when(F.col("id") < 200, 100.0).otherwise(0.5)
+    )
+    s1 = sorted(r["id"] for r in weighted_hash_sample(df, ["id"], "w", 100).collect())
+    s2 = sorted(r["id"] for r in
+                weighted_hash_sample(df.repartition(7), ["id"], "w", 100).collect())
+    assert s1 == s2  # deterministic under repartitioning
+    heavy = sum(1 for i in s1 if i < 200)
+    assert heavy > 60  # heavy class (10% of rows, 200x weight) dominates
+
+
+def test_normalize_text_expr(spark):
+    from etl_job_applify_spark.functions.text import normalize_text_expr
+
+    df = spark.createDataFrame([("  Hello   WORLD \t x ",)], "t string")
+    assert df.select(normalize_text_expr("t")).first()[0] == "hello world x"
+
+
+def test_jaccard_containment(spark):
+    from etl_job_applify_spark.dedup import ngram_jaccard_pairs
+
+    # b contains all of a's shingles plus more → containment_a = 1
+    df = spark.createDataFrame(
+        [(1, "x y z w"), (2, "x y z w extra tokens here")],
+        "doc_id long, text string",
+    )
+    out = ngram_jaccard_pairs(
+        df, threshold=0.0, include_containment=True
+    ).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["containment_a"] == 1.0 and r["containment_b"] < 1.0
