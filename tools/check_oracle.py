@@ -11,10 +11,14 @@ Usage: python tools/check_oracle.py [sf_dir] [query ...]
 from __future__ import annotations
 
 import math
+import os
 import sys
 import time
 
 sys.path.insert(0, "/root/repo")
+
+
+EXACT = os.environ.get("CHECK_EXACT") == "1"
 
 
 def norm_cell(v):
@@ -23,6 +27,9 @@ def norm_cell(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "nan"
+        if EXACT:  # raw IEEE bits — the strictest possible compare
+            import struct
+            return struct.pack("<d", v).hex()
         return f"{v:.12g}"
     if isinstance(v, bool):
         return bool(v)
