@@ -40,10 +40,12 @@ def main() -> None:
     spark = get_spark_session("bench")
     qs = registry.queries()
 
-    # one warmup action so JVM/codegen startup isn't billed to q01
-    qs["q01_pricing_summary"](spark, sf_dir).write.format("noop").mode(
-        "overwrite"
-    ).save()
+    # warm every headline plan once at the small SF so JVM/codegen/JIT
+    # startup isn't billed to the measured runs (steady-state numbers are
+    # what a long-running cluster job sees)
+    warm_dir = "/root/testdata/sf0.01"
+    for name in HEADLINE:
+        qs[name](spark, warm_dir).write.format("noop").mode("overwrite").save()
 
     times: dict[str, float] = {}
     for name in HEADLINE:
