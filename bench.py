@@ -42,8 +42,11 @@ def main() -> None:
 
     # warm every headline plan once at the small SF so JVM/codegen/JIT
     # startup isn't billed to the measured runs (steady-state numbers are
-    # what a long-running cluster job sees)
+    # what a long-running cluster job sees); fall back to the bench dir
+    # when the small fixture isn't present on this host
     warm_dir = "/root/testdata/sf0.01"
+    if not os.path.isdir(warm_dir):
+        warm_dir = sf_dir
     for name in HEADLINE:
         qs[name](spark, warm_dir).write.format("noop").mode("overwrite").save()
 

@@ -76,6 +76,8 @@ def simhash_near_pairs(
     with the radius (the HmSearch trade-off: larger radius → narrower
     blocks → more candidates per bucket).
     """
+    if max_hamming < 0:
+        raise ValueError("max_hamming must be >= 0")
     nblocks = max_hamming + 1
     if nblocks > 16:
         raise ValueError(
@@ -85,17 +87,16 @@ def simhash_near_pairs(
     widths = [64 // nblocks + (1 if i < 64 % nblocks else 0) for i in range(nblocks)]
     offsets = [sum(widths[:i]) for i in range(nblocks)]
 
+    def _block(i: int):
+        # width 64 (max_hamming=0, one block = whole fingerprint): the
+        # (1<<64)-1 mask would overflow a long — the shift alone suffices
+        shifted = F.shiftright(F.col("simhash"), offsets[i])
+        if widths[i] >= 64:
+            return shifted.alias(f"blk{i}")
+        return shifted.bitwiseAND(F.lit((1 << widths[i]) - 1)).alias(f"blk{i}")
+
     fp = simhash_fingerprints(docs, id_col, text_col, n)
-    blocks = fp.select(
-        "doc",
-        "simhash",
-        *[
-            F.shiftright(F.col("simhash"), offsets[i])
-            .bitwiseAND(F.lit((1 << widths[i]) - 1))
-            .alias(f"blk{i}")
-            for i in range(nblocks)
-        ],
-    )
+    blocks = fp.select("doc", "simhash", *[_block(i) for i in range(nblocks)])
     pairs = None
     for i in range(nblocks):
         a = blocks.select(

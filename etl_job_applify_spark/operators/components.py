@@ -32,13 +32,18 @@ def connected_components(
         .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
         .distinct()
     )
+    if max_iter < 1:
+        raise ValueError("max_iter must be >= 1")
     labels = (
         sym.select(F.col("u").alias("node"))
         .distinct()
         .withColumn("component", F.col("node"))
         .localCheckpoint(eager=True)
     )
-    for _ in range(max_iter):
+    # max_iter label-changing rounds + one confirming round: a graph whose
+    # labels settle exactly on round max_iter is converged, and only the
+    # extra zero-change round can prove it
+    for i in range(max_iter + 1):
         neighbor_min = (
             sym.join(labels, sym.v == labels.node)
             .groupBy("u")
@@ -63,12 +68,12 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
-    else:
-        # silent non-convergence would report one real component as
-        # several — fail loudly instead (raise max_iter for graphs with
-        # diameter beyond it)
-        raise RuntimeError(
-            f"connected_components did not converge within {max_iter} "
-            f"rounds ({changed} labels still changing)"
-        )
+        if i == max_iter:
+            # silent non-convergence would report one real component as
+            # several — fail loudly instead (raise max_iter for graphs
+            # with diameter beyond it)
+            raise RuntimeError(
+                f"connected_components did not converge within {max_iter} "
+                f"rounds ({changed} labels still changing)"
+            )
     return labels

@@ -184,8 +184,11 @@ def stream_stream_interval_join(
     the interval condition bound how long each side's rows are retained —
     without the time bound the state would grow forever.
 
-    The watermark delay defaults to ``max_gap``: a shorter delay would
-    discard rows the business condition could still match."""
+    ``watermark`` is the LATENESS tolerance (independent of the join
+    interval): how far behind the stream's max event time a row may
+    arrive and still join. It defaults to ``max_gap`` — the floor below
+    which in-interval matches would be lost — and should be set larger
+    when the transport can delay events beyond the interval itself."""
     wm = watermark or max_gap
     p = purchases.withWatermark("p_ts", wm)
     v = views.withWatermark("v_ts", wm)
@@ -215,8 +218,10 @@ def run_foreach_batch_upsert(
             # bootstrap ONLY when the target genuinely doesn't exist yet;
             # any other read failure (transient FS error, corrupt footer)
             # must fail the batch — falling through here would overwrite
-            # the accumulated table with one micro-batch
-            if "PATH_NOT_FOUND" not in str(exc):
+            # the accumulated table with one micro-batch. Matched on both
+            # the error class and the pre-error-class message text.
+            msg = str(exc)
+            if "PATH_NOT_FOUND" not in msg and "Path does not exist" not in msg:
                 raise
             batch_df.write.mode("overwrite").parquet(target_path)
             return
@@ -228,6 +233,11 @@ def run_foreach_batch_upsert(
         staging = f"{target_path}__staging"
         merged.write.mode("overwrite").parquet(staging)
         spark.read.parquet(staging).write.mode("overwrite").parquet(target_path)
+        # drop the scratch copy — leaving it would double the table's
+        # footprint and poison directory-glob readers
+        jvm_path = spark._jvm.org.apache.hadoop.fs.Path(staging)
+        fs = jvm_path.getFileSystem(spark._jsc.hadoopConfiguration())
+        fs.delete(jvm_path, True)
 
     q = stream_df.writeStream.foreachBatch(sink).start()
     try:

@@ -54,7 +54,12 @@ def weighted_hash_sample(
     row draws u ∈ (0,1) from a hash of its id (reproducible, no RNG
     state) and scores u^(1/w); the global top-k by score is a weighted
     sample without replacement. One TakeOrdered pass — no shuffle of the
-    full data, cluster-size independent."""
+    full data, cluster-size independent.
+
+    Rows with non-positive or NULL weight are excluded up front: a
+    negative weight would score u^(1/w) > 1 and outrank every valid row.
+    """
+    df = df.filter(F.col(weight_col) > 0)
     u = (
         (F.pmod(F.xxhash64(*[F.col(c) for c in id_cols]), F.lit(1_000_000_007))
          .cast("double") + F.lit(1.0))

@@ -32,6 +32,7 @@ def curate(spark: SparkSession, sf_dir: str, out_dir: str | None = None) -> Data
     from etl_job_applify_spark.dedup import minhash_lsh_pairs
     from etl_job_applify_spark.functions.text import (
         n_tokens_expr,
+        normalize_text_expr,
         quality_score_expr,
         rolling_hash_expr,
     )
@@ -53,9 +54,12 @@ def curate(spark: SparkSession, sf_dir: str, out_dir: str | None = None) -> Data
         .filter(F.col("lang").isin("en", "fr", "de", "es", "zh"))
     )
 
-    # 4: exact dedup by content fingerprint (catches byte-identical and
-    # whitespace-identical copies before any pairwise work)
-    fingerprinted = gated.withColumn("content_hash", rolling_hash_expr("text"))
+    # 4: exact dedup by NORMALIZED content fingerprint (case/whitespace
+    # variants hash together — that's what makes this stage catch
+    # formatting-identical copies before any pairwise work)
+    fingerprinted = gated.withColumn(
+        "__norm", normalize_text_expr("text")
+    ).withColumn("content_hash", rolling_hash_expr("__norm")).drop("__norm")
     exact_unique = dedup_keep_first(
         fingerprinted, keys=["content_hash"], order_by=["doc_id"]
     )

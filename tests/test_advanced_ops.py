@@ -96,3 +96,15 @@ def test_jaccard_containment(spark):
     assert len(out) == 1
     r = out[0]
     assert r["containment_a"] == 1.0 and r["containment_b"] < 1.0
+
+
+def test_weighted_sample_excludes_bad_weights(spark):
+    from pyspark.sql import functions as F
+
+    from etl_job_applify_spark.transform.sampling import weighted_hash_sample
+
+    df = spark.range(100).withColumn(
+        "w", F.when(F.col("id") < 5, -1.0).otherwise(1.0)
+    )
+    got = {r["id"] for r in weighted_hash_sample(df, ["id"], "w", 50).collect()}
+    assert not (got & set(range(5)))  # negative-weight rows never sampled

@@ -105,3 +105,8 @@ def test_min_shingle_fingerprint_null_for_short_docs(spark):
     out = [r[0] for r in df.select(min_shingle_fingerprint_expr("text", n=3)).collect()]
     assert out[0] is None       # < n tokens → no shingle → NULL
     assert out[1] is not None
+
+
+def test_simhash_exact_match_radius_zero(spark):
+    out = simhash_near_pairs(_docs(spark), n=2, max_hamming=0).collect()
+    assert all(r["hamming"] == 0 for r in out)  # exact-fingerprint dups only

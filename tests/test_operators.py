@@ -167,3 +167,13 @@ def test_components_nonconvergence_raises(spark):
     )
     ok = connected_components(short, max_iter=10)
     assert {r["component"] for r in ok.collect()} == {0}
+
+
+def test_components_converging_at_max_iter_is_ok(spark):
+    from etl_job_applify_spark.operators.components import connected_components
+
+    # chain 0-1-2: labels settle on round 2; max_iter=2 must SUCCEED
+    # (the confirming round proves convergence instead of raising)
+    chain = spark.createDataFrame([(0, 1), (1, 2)], "a bigint, b bigint")
+    out = connected_components(chain, max_iter=2)
+    assert {r["component"] for r in out.collect()} == {0}

@@ -265,3 +265,24 @@ def test_checkpoint_recovery_no_reprocessing(spark, tmp_path):
     q.stop()
     rows = [r["id"] for r in spark.read.parquet(out).collect()]
     assert sorted(rows) == [1, 2, 3, 4, 5]  # batch a NOT reprocessed
+
+
+def test_cdc_staging_cleaned_up(spark, tmp_path):
+    import os
+
+    import pandas as pd
+
+    from etl_job_applify_spark.streaming.jobs import run_foreach_batch_upsert
+
+    src = tmp_path / "cdc2_src"
+    src.mkdir()
+    target = str(tmp_path / "cdc2_target")
+    pd.DataFrame({"id": [1], "v": ["a"], "ver": [1]}).to_parquet(src / "b.parquet")
+    pd.DataFrame({"id": [2], "v": ["b"], "ver": [1]}).to_parquet(src / "c.parquet")
+    stream = (
+        spark.readStream.schema("id bigint, v string, ver bigint")
+        .option("maxFilesPerTrigger", 1).parquet(str(src))
+    )
+    run_foreach_batch_upsert(stream, target, keys=["id"], version_col="ver")
+    assert not os.path.exists(target + "__staging")
+    assert spark.read.parquet(target).count() == 2
