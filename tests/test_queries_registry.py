@@ -51,3 +51,20 @@ def test_entry_contract(spark):
     df = mod.entry(spark)
     assert df.count() > 0
     assert set(mod.oracle_sql()) <= set(mod.queries())
+
+
+@pytest.mark.parametrize("name", [
+    "q12_grouping_sets",   # temp view
+    "q24_window_range_frame",
+    "q26_scalar_subquery",
+    "q70_lateral_topn",
+    "q31_ngram_jaccard",   # persisted postings
+    "q32_minhash_lsh",     # persisted candidates
+])
+def test_stateful_queries_are_rerunnable(spark, name):
+    """Queries that register temp views or persist relations must produce
+    identical results when invoked twice in one session (the driver may
+    run the registry more than once)."""
+    first = ALL[name](spark, SF_SMOKE).count()
+    second = ALL[name](spark, SF_SMOKE).count()
+    assert first == second
