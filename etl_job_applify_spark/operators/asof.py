@@ -8,8 +8,12 @@ cross join:
    a common timestamp;
 2. one window per key ordered by (ts, side) — build rows sort BEFORE probe
    rows at equal timestamps so backward as-of is inclusive;
-3. ``last(value, ignorenulls=True)`` carries the most recent build payload
-   forward onto every probe row.
+3. ``last(payload_struct, ignorenulls=True)`` carries the most recent build
+   payload forward onto every probe row. The payload travels as ONE struct
+   column (not per-column carries): a build row whose payload has NULL in
+   some field still produces a non-null struct, so every projected field
+   comes from the SAME matched build row — per-column ``last(ignorenulls)``
+   would back-fill a NULL field from an older build row and mix rows.
 
 Cost: ONE shuffle + sort on the key — the same cost as a sort-merge join,
 no candidate explosion, skew handled by AQE. This is the 100 TB-safe shape;
@@ -60,19 +64,24 @@ def asof_join(
     # left_ts travels once, as __ts (the final select restores its name) —
     # carrying it twice would shuffle a redundant timestamp copy per row
     carry = [c for c in left_cols if c not in on and c != left_ts]
+    from pyspark.sql.types import StructField, StructType
+
+    payload_t = StructType(
+        [StructField(c, right.schema[c].dataType, True) for c in payload]
+    )
     probe = left.select(
         *on,
         F.col(left_ts).alias("__ts"),
         F.lit(1).alias("__side"),
         *[F.col(c) for c in carry],
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__b_{c}") for c in payload],
+        F.lit(None).cast(payload_t).alias("__b"),
     )
     build = right.select(
         *on,
         F.col(right_ts).alias("__ts"),
         F.lit(0).alias("__side"),
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in carry],
-        *[F.col(c).alias(f"__b_{c}") for c in payload],
+        F.struct(*[F.col(c) for c in payload]).alias("__b"),
     )
     unioned = probe.unionByName(build)
 
@@ -91,15 +100,12 @@ def asof_join(
 
     carried = unioned.select(
         *unioned.columns,
-        *[
-            F.last(F.col(f"__b_{c}"), ignorenulls=True).over(w).alias(f"__m_{c}")
-            for c in payload
-        ],
+        F.last(F.col("__b"), ignorenulls=True).over(w).alias("__m"),
     )
     out = carried.filter(F.col("__side") == 1).select(
         *on,
         F.col("__ts").alias(left_ts),
         *[c for c in left_cols if c not in on and c != left_ts],
-        *[F.col(f"__m_{c}").alias(c) for c in payload],
+        *[F.col("__m")[c].alias(c) for c in payload],
     )
     return out

@@ -277,7 +277,13 @@ def q49_array_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_contains(toks, "STANDARD").alias("has_standard"),
         F.array_join(F.array_sort(toks), "_").alias("sorted_words"),
         F.element_at(F.slice(toks, 1, 2), -1).alias("second_word"),
-        F.array_distinct(toks).alias("distinct_words"),
+        # Scalars only in oracle-checked outputs: the driver's pandas-based
+        # canonicalizer cannot hash list cells (round-1 q49 crash), so the
+        # array is serialized — same rule hof.py applies to maps.
+        # (sorted: DuckDB's list_distinct does not preserve element order)
+        F.array_join(F.array_sort(F.array_distinct(toks)), ",").alias(
+            "distinct_words"
+        ),
     )
 
 
@@ -287,7 +293,7 @@ SELECT p_partkey,
        list_contains(string_split(p_type, ' '), 'STANDARD') AS has_standard,
        array_to_string(list_sort(string_split(p_type, ' ')), '_') AS sorted_words,
        list_extract(list_slice(string_split(p_type, ' '), 1, 2), -1) AS second_word,
-       list_distinct(string_split(p_type, ' ')) AS distinct_words
+       array_to_string(list_sort(list_distinct(string_split(p_type, ' '))), ',') AS distinct_words
 FROM part
 """
 

@@ -201,43 +201,77 @@ def stream_stream_interval_join(
     )
 
 
+def _upsert_snapshots(spark, target_path: str):
+    """List committed snapshot dirs under ``target_path``, sorted ascending.
+
+    A snapshot counts only once its ``_SUCCESS`` marker exists (Spark's
+    output committer writes it last), so a snapshot half-written at crash
+    time is invisible. Returns (fs, root Path, [names])."""
+    jvm = spark._jvm
+    root = jvm.org.apache.hadoop.fs.Path(target_path)
+    fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(root):
+        return fs, root, []
+    names = []
+    for st in fs.listStatus(root):
+        name = st.getPath().getName()
+        if (
+            st.isDirectory()
+            and name.startswith("snap_")
+            and fs.exists(jvm.org.apache.hadoop.fs.Path(st.getPath(), "_SUCCESS"))
+        ):
+            names.append(name)
+    return fs, root, sorted(names)
+
+
+def read_upsert_target(spark, target_path: str) -> DataFrame:
+    """Read the current committed snapshot of a ``run_foreach_batch_upsert``
+    target (the highest-numbered ``snap_*`` dir with a ``_SUCCESS`` marker)."""
+    _, _, names = _upsert_snapshots(spark, target_path)
+    if not names:
+        raise FileNotFoundError(f"no committed snapshot under {target_path}")
+    return spark.read.parquet(f"{target_path}/{names[-1]}")
+
+
 def run_foreach_batch_upsert(
     stream_df: DataFrame, target_path: str, keys: list[str], version_col: str
 ) -> None:
     """CDC sink: every micro-batch MERGEs into a parquet target via the
-    relational upsert (anti-join + union). Each batch rewrites the target
-    atomically-enough for a demo; production targets a transactional
-    format (Delta/Iceberg MERGE) — the merge LOGIC is identical."""
+    relational upsert (anti-join + union).
+
+    Crash-safe snapshot layout: the target is a directory of versioned
+    snapshots ``snap_00000001, snap_00000002, ...``; each batch writes the
+    merged table to a NEW snapshot dir and the live version is resolved as
+    the highest-numbered dir whose ``_SUCCESS`` marker committed. A crash
+    mid-write leaves an uncommitted dir that readers ignore and the next
+    run overwrites nothing — the previous snapshot stays intact (unlike an
+    in-place ``mode("overwrite")`` rewrite, which truncates the target if
+    the job dies mid-rewrite). Older snapshots are pruned only AFTER the
+    new one commits, so the recovery source always exists. Production
+    targets a transactional format (Delta/Iceberg MERGE) — the merge logic
+    and the commit-then-prune discipline are identical; read with
+    ``read_upsert_target``."""
     from ..sinks.upsert import upsert as _upsert
 
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
         spark = batch_df.sparkSession
-        try:
-            target = spark.read.parquet(target_path)
-        except Exception as exc:
-            # bootstrap ONLY when the target genuinely doesn't exist yet;
-            # any other read failure (transient FS error, corrupt footer)
-            # must fail the batch — falling through here would overwrite
-            # the accumulated table with one micro-batch. Matched on both
-            # the error class and the pre-error-class message text.
-            msg = str(exc)
-            if "PATH_NOT_FOUND" not in msg and "Path does not exist" not in msg:
-                raise
-            batch_df.write.mode("overwrite").parquet(target_path)
-            return
-        merged = _upsert(target, batch_df, keys=keys, version_col=version_col)
-        # can't overwrite the path we're lazily reading from: stage the
-        # merge to a scratch path, then rewrite the target from it — all
-        # distributed (a driver-side collect here would cap the target at
-        # driver memory and grow per-batch latency with table size)
-        staging = f"{target_path}__staging"
-        merged.write.mode("overwrite").parquet(staging)
-        spark.read.parquet(staging).write.mode("overwrite").parquet(target_path)
-        # drop the scratch copy — leaving it would double the table's
-        # footprint and poison directory-glob readers
-        jvm_path = spark._jvm.org.apache.hadoop.fs.Path(staging)
-        fs = jvm_path.getFileSystem(spark._jsc.hadoopConfiguration())
-        fs.delete(jvm_path, True)
+        jvm = spark._jvm
+        fs, root, names = _upsert_snapshots(spark, target_path)
+        if names:
+            current = spark.read.parquet(f"{target_path}/{names[-1]}")
+            merged = _upsert(current, batch_df, keys=keys, version_col=version_col)
+        else:
+            merged = batch_df
+        nxt = int(names[-1][len("snap_"):]) + 1 if names else 1
+        new_name = f"snap_{nxt:08d}"
+        # distributed write (a driver-side collect here would cap the
+        # target at driver memory and grow per-batch latency with size)
+        merged.write.mode("overwrite").parquet(f"{target_path}/{new_name}")
+        # prune superseded snapshots only after the new commit; a crash
+        # in this loop leaves extra committed dirs, which is harmless —
+        # resolution picks the max and the next batch re-prunes
+        for name in names:
+            fs.delete(jvm.org.apache.hadoop.fs.Path(root, name), True)
 
     q = stream_df.writeStream.foreachBatch(sink).start()
     try:

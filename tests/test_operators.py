@@ -39,6 +39,25 @@ def test_asof_backward(spark):
     assert got == {("A", 1): 101.0, ("A", 2): 100.0, ("B", 3): None}
 
 
+def test_asof_null_payload_field_not_backfilled(spark):
+    # The matched (most recent) quote has px=NULL: the probe row must get
+    # NULL for px, not a back-fill from the OLDER quote's non-null px, and
+    # the other payload field must still come from the matched row.
+    trades = spark.createDataFrame(
+        [("A", ts("2024-01-01 10:00:05"), 1)],
+        "sym string, t timestamp, trade_id int",
+    )
+    quotes = spark.createDataFrame(
+        [("A", ts("2024-01-01 10:00:00"), 100.0, "old"),
+         ("A", ts("2024-01-01 10:00:03"), None, "new")],
+        "sym string, qt timestamp, px double, src string",
+    )
+    out = asof_join(trades, quotes, on=["sym"], left_ts="t", right_ts="qt",
+                    payload=["px", "src"])
+    row = out.first()
+    assert row["px"] is None and row["src"] == "new"
+
+
 def test_asof_forward(spark):
     left = spark.createDataFrame([("A", 1)], "k string, t int") \
         .withColumn("t", F.timestamp_seconds("t"))

@@ -228,7 +228,9 @@ def test_foreach_batch_cdc_upsert(spark, tmp_path):
         .parquet(str(src))
     )
     run_foreach_batch_upsert(stream, target, keys=["id"], version_col="ver")
-    got = {r["id"]: r["v"] for r in spark.read.parquet(target).collect()}
+    from etl_job_applify_spark.streaming.jobs import read_upsert_target
+
+    got = {r["id"]: r["v"] for r in read_upsert_target(spark, target).collect()}
     assert got == {1: "a", 2: "B", 3: "c", 4: "d"}
 
 
@@ -267,12 +269,15 @@ def test_checkpoint_recovery_no_reprocessing(spark, tmp_path):
     assert sorted(rows) == [1, 2, 3, 4, 5]  # batch a NOT reprocessed
 
 
-def test_cdc_staging_cleaned_up(spark, tmp_path):
+def test_cdc_old_snapshots_pruned(spark, tmp_path):
     import os
 
     import pandas as pd
 
-    from etl_job_applify_spark.streaming.jobs import run_foreach_batch_upsert
+    from etl_job_applify_spark.streaming.jobs import (
+        read_upsert_target,
+        run_foreach_batch_upsert,
+    )
 
     src = tmp_path / "cdc2_src"
     src.mkdir()
@@ -284,5 +289,51 @@ def test_cdc_staging_cleaned_up(spark, tmp_path):
         .option("maxFilesPerTrigger", 1).parquet(str(src))
     )
     run_foreach_batch_upsert(stream, target, keys=["id"], version_col="ver")
-    assert not os.path.exists(target + "__staging")
-    assert spark.read.parquet(target).count() == 2
+    snaps = sorted(d for d in os.listdir(target) if d.startswith("snap_"))
+    assert snaps == ["snap_00000002"]  # superseded snapshot pruned
+    assert read_upsert_target(spark, target).count() == 2
+
+
+def test_cdc_crash_mid_write_preserves_previous_snapshot(spark, tmp_path):
+    """An uncommitted snapshot dir (no _SUCCESS — a crash mid-write) is
+    invisible to resolution: readers still see the last committed state,
+    and the next batch numbers PAST the junk dir and merges correctly."""
+    import os
+    import shutil
+
+    import pandas as pd
+
+    from etl_job_applify_spark.streaming.jobs import (
+        read_upsert_target,
+        run_foreach_batch_upsert,
+    )
+
+    src = tmp_path / "cdc3_src"
+    src.mkdir()
+    target = str(tmp_path / "cdc3_target")
+    pd.DataFrame({"id": [1, 2], "v": ["a", "b"], "ver": [1, 1]}
+                 ).to_parquet(src / "b1.parquet")
+    stream = (
+        spark.readStream.schema("id bigint, v string, ver bigint")
+        .parquet(str(src))
+    )
+    run_foreach_batch_upsert(stream, target, keys=["id"], version_col="ver")
+
+    # simulate a crash mid-write of the NEXT snapshot: parquet part files
+    # present but no _SUCCESS marker
+    shutil.copytree(f"{target}/snap_00000001", f"{target}/snap_00000002")
+    os.remove(f"{target}/snap_00000002/_SUCCESS")
+    got = {r["id"]: r["v"] for r in read_upsert_target(spark, target).collect()}
+    assert got == {1: "a", 2: "b"}  # committed state, not the torn write
+
+    import time as _time
+
+    _time.sleep(1.1)
+    pd.DataFrame({"id": [2], "v": ["B"], "ver": [2]}).to_parquet(src / "b2.parquet")
+    stream2 = (
+        spark.readStream.schema("id bigint, v string, ver bigint")
+        .parquet(str(src))
+    )
+    run_foreach_batch_upsert(stream2, target, keys=["id"], version_col="ver")
+    got = {r["id"]: r["v"] for r in read_upsert_target(spark, target).collect()}
+    assert got == {1: "a", 2: "B"}

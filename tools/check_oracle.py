@@ -85,6 +85,26 @@ def main() -> int:
             print(f"FAIL  {name}: spark error: {e}")
             failures += 1
             continue
+        # The driver's harness canonicalizes via pandas sort_values, which
+        # crashes on unhashable cells (list/dict/Row). Reject complex-typed
+        # output columns here so local runs reproduce that failure instead
+        # of masking it (round-1 q49 lesson).
+        if name in oracles:
+            from pyspark.sql.types import ArrayType, MapType, StructType
+
+            complex_cols = [
+                f.name
+                for f in sdf.schema.fields
+                if isinstance(f.dataType, (ArrayType, MapType, StructType))
+            ]
+            if complex_cols:
+                print(
+                    f"FAIL  {name}: non-scalar output columns {complex_cols} "
+                    "would crash the driver's correctness gate — serialize "
+                    "them (array_join/to_json) in both query and oracle"
+                )
+                failures += 1
+                continue
         if name not in oracles:
             print(f"rows  {name}: {len(srows)} rows (rows-only, no oracle) "
                   f"[{time.time()-t0:.1f}s]")
