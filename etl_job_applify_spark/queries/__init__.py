@@ -20,10 +20,28 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from . import relational, relational2, analytics, textops, temporal, advanced, hof
+from . import (
+    relational,
+    relational2,
+    analytics,
+    textops,
+    temporal,
+    advanced,
+    hof,
+    verification,
+)
 
 
-_MODULES = [relational, relational2, analytics, textops, temporal, advanced, hof]
+_MODULES = [
+    relational,
+    relational2,
+    analytics,
+    textops,
+    temporal,
+    advanced,
+    hof,
+    verification,
+]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -143,7 +143,7 @@ def q35_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), "embedding"
     )
     corpus = emb.filter(F.col("vec_id") >= 5)
-    return ann_topk_lsh(corpus, queries, k=5, num_planes=10)
+    return ann_topk_lsh(corpus, queries, k=5)
 
 
 # --- q36: embedding-cosine near-dup pairs (exact all-pairs form) ---------

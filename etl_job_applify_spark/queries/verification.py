@@ -1,0 +1,223 @@
+"""Oracled property checks for the approximate operators.
+
+The sketch/LSH operators (q32 minhash, q33 simhash, q35 ANN, q38 HLL,
+q68 approx quantiles) are rows-only in the correctness gate: their raw
+outputs depend on engine-specific hashing (xxhash64, HLL, GK sketches)
+that has no DuckDB twin. These companions close that gap with a stronger
+contract than a row count: Spark computes the approximate result AND its
+exact ground truth, derives the quality property (recall, precision,
+relative error), and emits it as stable scalar columns the oracle can
+pin — ``n_exact``-style counts the oracle recomputes exactly, plus
+boolean ``*_ok`` flags the oracle asserts as ``true``.
+
+All inputs are deterministic (seeded hyperplanes, fixed xxhash64 seeds,
+deterministic sketch merges), so each property either always holds at a
+given scale factor or never does — a boolean here is a real regression
+gate, not a flaky assertion. Verified to hold at sf0.001/0.01/0.1.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ._util import tbl
+from ..dedup import minhash_lsh_pairs, ngram_jaccard_pairs, simhash_near_pairs
+from ..similarity import ann_topk_lsh, cosine_topk
+
+
+def _recall_row(exact_pairs: DataFrame, approx_pairs: DataFrame,
+                min_recall: float) -> DataFrame:
+    """One row (n_exact, recall_ok): share of exact ground-truth pairs the
+    approximate method recovered. Empty ground truth counts as recalled."""
+    hits = approx_pairs.select("a", "b").withColumn("__hit", F.lit(1))
+    joined = exact_pairs.select("a", "b").join(hits, ["a", "b"], "left")
+    return joined.agg(
+        F.count("*").alias("n_exact"),
+        F.coalesce(
+            (F.count("__hit") / F.count("*")) >= min_recall, F.lit(True)
+        ).alias("recall_ok"),
+    )
+
+
+# --- q76: MinHash-LSH recall vs exact Jaccard ground truth ---------------
+# Ground truth: exact 3-gram Jaccard >= 0.8 (the high-similarity band LSH
+# must not miss: with 16 bands of 4 rows, P(candidate | j=0.8) > 0.9995).
+# The q32 pipeline (same parameters) must recover >= 90% of those pairs;
+# its precision is exact by construction (verify=True re-checks Jaccard).
+
+def q76_minhash_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = tbl(spark, sf_dir, "documents")
+    exact = ngram_jaccard_pairs(docs, threshold=0.8)
+    lsh = minhash_lsh_pairs(
+        docs, num_hashes=64, bands=16, threshold=0.5, verify=True
+    )
+    return _recall_row(exact, lsh, min_recall=0.9)
+
+
+def _jaccard_count_sql(
+    n: int, threshold: float, max_doc_freq: int | None = None
+) -> str:
+    gram = ", ".join(f"t[i+{j}]" for j in range(n))
+    prune = (
+        f"""raw AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(range(1, greatest(len(t) - {n - 1}, 0) + 1),
+                i -> concat_ws(' ', {gram}))) AS sh
+  FROM tok WHERE len(t) >= {n}
+),
+sh AS (
+  SELECT doc_id, sh FROM raw
+  WHERE sh IN (SELECT sh FROM raw GROUP BY sh HAVING COUNT(*) <= {max_doc_freq})
+)"""
+        if max_doc_freq is not None
+        else f"""sh AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(range(1, greatest(len(t) - {n - 1}, 0) + 1),
+                i -> concat_ws(' ', {gram}))) AS sh
+  FROM tok WHERE len(t) >= {n}
+)"""
+    )
+    return f"""
+WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+{prune},
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+common AS (
+  SELECT s1.doc_id AS a, s2.doc_id AS b, COUNT(*) AS common
+  FROM sh s1 JOIN sh s2 ON s1.sh = s2.sh AND s1.doc_id < s2.doc_id
+  GROUP BY 1, 2
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_exact, true AS recall_ok
+FROM common
+JOIN sizes sa ON sa.doc_id = a
+JOIN sizes sb ON sb.doc_id = b
+WHERE common / (sa.sz + sb.sz - common) >= {threshold}
+"""
+
+
+_Q76_SQL = _jaccard_count_sql(n=3, threshold=0.8)
+
+
+# --- q77: SimHash recall vs exact Jaccard ground truth -------------------
+# Ground truth: exact 3-gram Jaccard >= 0.9 — near-identical documents.
+# (3-gram, not 2-gram: 2-gram stop-shingles like "of the" occur in most
+# documents, making the exact self-join quadratic at scale, and pruning
+# them distorts small shingle sets; the 3-gram index is the same pipeline
+# q31/q76 already run at every SF.) Near-identical pairs share almost all
+# shingles, so their 2-gram fingerprints sit inside Hamming radius 8; the
+# q33 pipeline must recover >= 90% of them.
+
+def q77_simhash_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = tbl(spark, sf_dir, "documents")
+    exact = ngram_jaccard_pairs(docs, n=3, threshold=0.9)
+    cand = simhash_near_pairs(docs, n=2, max_hamming=8)
+    return _recall_row(exact, cand, min_recall=0.9)
+
+
+_Q77_SQL = _jaccard_count_sql(n=3, threshold=0.9)
+
+
+# --- q78: hyperplane-LSH ANN recall@5 vs brute-force cosine --------------
+# Same corpus split and parameters as q34 (exact) / q35 (approximate:
+# 16 tables × 8 planes, multi-probe). Macro recall over the query batch
+# must reach 0.8 — the standard ANN quality gate.
+
+def q78_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = tbl(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    corpus = emb.filter(F.col("vec_id") >= 5)
+    exact = cosine_topk(corpus, queries, k=5).select("query_id", "neighbor")
+    approx = ann_topk_lsh(corpus, queries, k=5).select(
+        "query_id", "neighbor"
+    )
+    hits = approx.withColumn("__hit", F.lit(1))
+    joined = exact.join(hits, ["query_id", "neighbor"], "left")
+    return joined.agg(
+        F.countDistinct("query_id").alias("n_queries"),
+        F.coalesce((F.count("__hit") / F.count("*")) >= 0.8, F.lit(True))
+        .alias("recall_ok"),
+    )
+
+
+_Q78_SQL = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_queries, true AS recall_ok
+FROM embeddings WHERE vec_id < 5
+"""
+
+
+# --- q79: HLL approx-distinct relative error vs exact --------------------
+# rsd=0.02 sketches must land within 5% of the exact distinct count
+# (2.5 standard deviations; measured max error at sf0.1 is 1.0% — and
+# deterministic for fixed data, so this is a regression gate on the
+# sketch path, not a probabilistic assertion). rsd=0.01 was measured 12×
+# slower at sf0.1 — the register array outgrows the dense HLL sweet spot.
+
+def q79_hll_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = tbl(spark, sf_dir, "lineitem")
+    per_group = li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("exact_parts"),
+        F.approx_count_distinct("l_partkey", 0.02).alias("__approx"),
+    )
+    return per_group.select(
+        "l_returnflag",
+        "exact_parts",
+        (
+            F.abs(F.col("__approx") - F.col("exact_parts"))
+            / F.col("exact_parts")
+            <= 0.05
+        ).alias("approx_ok"),
+    )
+
+
+_Q79_SQL = """
+SELECT l_returnflag,
+       COUNT(DISTINCT l_partkey) AS exact_parts,
+       true AS approx_ok
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+# --- q80: approximate-quantile relative error vs exact percentile --------
+# percentile_approx at accuracy 10000 bounds rank error to n/10000; the
+# value-space check asserts the median lands within 1% of the exact one.
+
+def q80_quantile_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = tbl(spark, sf_dir, "lineitem")
+    per_group = li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.expr("percentile(l_extendedprice, 0.5)").alias("__exact"),
+        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("__approx"),
+    )
+    return per_group.select(
+        "l_returnflag",
+        "n",
+        (
+            F.abs(F.col("__approx") - F.col("__exact")) / F.col("__exact")
+            <= 0.01
+        ).alias("approx_ok"),
+    )
+
+
+_Q80_SQL = """
+SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n, true AS approx_ok
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+QUERIES = {
+    "q76_minhash_verify": q76_minhash_verify,
+    "q77_simhash_verify": q77_simhash_verify,
+    "q78_ann_recall": q78_ann_recall,
+    "q79_hll_error": q79_hll_error,
+    "q80_quantile_error": q80_quantile_error,
+}
+
+ORACLE = {
+    "q76_minhash_verify": _Q76_SQL,
+    "q77_simhash_verify": _Q77_SQL,
+    "q78_ann_recall": _Q78_SQL,
+    "q79_hll_error": _Q79_SQL,
+    "q80_quantile_error": _Q80_SQL,
+}

@@ -1,22 +1,35 @@
 """Random-hyperplane (sign) LSH for approximate nearest neighbors.
 
-``num_planes`` fixed random hyperplanes (deterministic seed) map each
-vector to a bit signature; vectors sharing the signature bucket are
-candidates. P(bit agrees) = 1 − θ/π per plane, so high-cosine pairs
-collide on the full signature with probability (1 − θ/π)^planes.
+Fixed random hyperplanes (deterministic seed) map each vector to sign
+bits; P(bit agrees) = 1 − θ/π per plane. A single signature table is
+only usable for very high-cosine targets: at the cosine ≈ 0.3 typical of
+true nearest neighbors in a random-ish embedding space, per-plane
+agreement is ≈ 0.6 and a 10-bit signature collides with probability
+0.6^10 ≈ 0.6% — recall collapses. ``ann_topk_lsh`` therefore uses the
+textbook AND-OR construction: ``num_tables`` independent tables of
+``num_planes`` bits each (all bits computed in ONE pass and banded,
+exactly like MinHash banding); a pair is a candidate if it collides in
+ANY table, P = 1 − (1 − p^r)^L. Multi-probe: queries additionally probe
+every Hamming-1 bucket within each table, lifting per-table collision to
+p^r + r·p^(r−1)(1−p) at L·(r+1) probe keys per query.
 
-The plane matrix is tiny (planes × dim) and is inlined as literal arrays
+The plane matrix is tiny (L·r × dim) and is inlined as literal arrays
 into a codegen'd expression — no UDF, no broadcast variable, no Python on
-the hot path. Multi-probe: queries also probe all Hamming-1 neighbor
-buckets, trading planes·|q| extra lookups for recall.
+the hot path. Candidate generation joins narrow (table, bucket, id) rows
+only; vectors re-join by id for exact rerank, so the wide embedding
+payload is never multiplied by L.
 
-At 100 TB the bucketed equi-join shuffles each side once on the bucket id
-— the same cost profile as any key join, with AQE handling hot buckets.
+At 100 TB each table's bucket join is an ordinary key join (shuffle the
+8-byte bucket ids, AQE handles hot buckets); recall/cost tunes with
+(r, L) per the S-curve, and the honest limit applies: for mid-cosine
+targets LSH prunes a few-×, not orders of magnitude — IVF (ivf.py) is
+the better scale path there.
 """
 
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
@@ -57,6 +70,44 @@ def with_hyperplane_buckets(
     return df.withColumn(out, _bucket_expr(vec_col, _planes(num_planes, dim, seed)))
 
 
+def _table_keys_udf(planes: np.ndarray, num_tables: int, multi_probe: bool):
+    """Arrow-batched probe-key computation: all L·r sign bits come from ONE
+    numpy matmul per batch, then band t packs bits [t·r, (t+1)·r) with the
+    table id into a bigint key (table id in the high bits keeps tables'
+    buckets disjoint). With ``multi_probe``, each table also yields its r
+    Hamming-1 keys.
+
+    This is the deliberate Pandas-UDF exception to the engine's
+    JVM-expressions-first rule: a 128-plane signature as inlined SQL
+    literal arrays is an 8000-term expression tree — seconds of Catalyst
+    compile time and interpreted higher-order-function evaluation per row
+    — while the matmul form is a single vectorized kernel per Arrow batch
+    and scales with rows · planes · dim like any BLAS call."""
+    from pyspark.sql.types import ArrayType, LongType
+
+    r = len(planes) // num_tables
+    P = planes.astype(np.float64).T  # (dim, L*r)
+    weights = (1 << np.arange(r)).astype(np.int64)
+    bases = ((np.arange(num_tables) + 1) << 32).astype(np.int64)
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def keys(vecs: pd.Series) -> pd.Series:
+        X = np.array(vecs.tolist(), dtype=np.float64)  # (n, dim)
+        bits = (X @ P) > 0  # (n, L*r)
+        buckets = bits.reshape(len(X), num_tables, r) @ weights  # (n, L)
+        base_keys = buckets + bases  # broadcast over tables
+        if multi_probe:
+            flips = base_keys[:, :, None] ^ weights[None, None, :]
+            all_keys = np.concatenate(
+                [base_keys[:, :, None], flips], axis=2
+            ).reshape(len(X), -1)
+        else:
+            all_keys = base_keys
+        return pd.Series(list(all_keys))
+
+    return keys
+
+
 def ann_topk_lsh(
     corpus: DataFrame,
     queries: DataFrame,
@@ -64,45 +115,51 @@ def ann_topk_lsh(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
-    num_planes: int = 12,
+    num_planes: int = 8,
+    num_tables: int = 16,
     seed: int = 7,
     multi_probe: bool = True,
 ) -> DataFrame:
-    """Approximate (query_id, neighbor, cosine, rank): exact cosine ranking
-    restricted to same-bucket (± Hamming-1 with multi_probe) candidates."""
+    """Approximate (query_id, neighbor, cosine, rank): exact cosine rerank
+    restricted to candidates colliding in at least one of ``num_tables``
+    LSH tables of ``num_planes`` bits (queries probe Hamming-1 buckets too
+    when ``multi_probe``). Deterministic for a fixed seed."""
     dim_row = corpus.select(F.size(F.col(vec_col)).alias("d")).first()
     dim = int(dim_row["d"])
-    c = with_norm(corpus.select(id_col, vec_col), vec_col)
-    c = with_hyperplane_buckets(c, vec_col, num_planes, seed, dim).select(
-        F.col("bucket"),
+    planes = _planes(num_planes * num_tables, dim, seed)
+
+    # candidate generation on NARROW rows: (key, id) only — the vector
+    # payload re-joins after dedup, so it is never replicated per table
+    corpus_keys = _table_keys_udf(planes, num_tables, multi_probe=False)
+    query_keys = _table_keys_udf(planes, num_tables, multi_probe)
+    ckeys = corpus.select(
+        F.col(id_col).alias("neighbor"),
+        F.explode(corpus_keys(F.col(vec_col))).alias("key"),
+    )
+    qkeys = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.explode(query_keys(F.col(vec_col))).alias("key"),
+    )
+    cand = ckeys.join(qkeys, "key").select("query_id", "neighbor").distinct()
+
+    c = with_norm(corpus.select(id_col, vec_col), vec_col).select(
         F.col(id_col).alias("neighbor"),
         F.col(vec_col).alias("__cv"),
         F.col("norm").alias("__cn"),
     )
-    q = with_norm(queries.select(query_id_col, vec_col), vec_col)
-    q = with_hyperplane_buckets(q, vec_col, num_planes, seed, dim)
-    if multi_probe:
-        probes = F.array(
-            F.col("bucket"),
-            *[
-                F.col("bucket").bitwiseXOR(F.lit(1 << i).cast("long"))
-                for i in range(num_planes)
-            ],
-        )
-        q = q.withColumn("bucket", F.explode(probes))
-    q = q.select(
-        F.col("bucket"),
+    q = with_norm(queries.select(query_id_col, vec_col), vec_col).select(
         F.col(query_id_col).alias("query_id"),
         F.col(vec_col).alias("__qv"),
         F.col("norm").alias("__qn"),
     )
-    scored = c.join(q, "bucket").withColumn(
-        "cosine", cosine_expr("__qv", "__cv", "__qn", "__cn")
+    scored = (
+        cand.join(c, "neighbor")
+        .join(F.broadcast(q), "query_id")
+        .withColumn("cosine", cosine_expr("__qv", "__cv", "__qn", "__cn"))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.col("neighbor"))
     return (
         scored.select("query_id", "neighbor", "cosine")
-        .distinct()
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )

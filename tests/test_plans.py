@@ -82,8 +82,18 @@ def test_registry_wide_plan_audit(spark):
     """
     from etl_job_applify_spark import queries as registry
 
-    PYTHON_OK = {"q39_multimodal_features", "q57_pandas_udaf"}
-    CARTESIAN_OK = {"q34_cosine_topk", "q36_embedding_near_dup"}
+    # q35/q78: LSH signature matmul is the deliberate Arrow-batched
+    # exception (see similarity/lsh.py docstring — inlined literal planes
+    # measured 10× slower via Catalyst compile + HOF interpretation)
+    PYTHON_OK = {
+        "q39_multimodal_features",
+        "q57_pandas_udaf",
+        "q35_ann_lsh",
+        "q78_ann_recall",
+    }
+    # q78 embeds the gated brute-force ground truth to measure recall
+    CARTESIAN_OK = {"q34_cosine_topk", "q36_embedding_near_dup",
+                    "q78_ann_recall"}
     offenders = []
     for name, fn in registry.queries().items():
         text = explain_str(fn(spark, SF_SMOKE), "simple")
