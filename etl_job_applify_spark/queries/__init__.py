@@ -29,6 +29,7 @@ from . import (
     advanced,
     hof,
     verification,
+    pipelineops,
 )
 
 
@@ -41,6 +42,7 @@ _MODULES = [
     advanced,
     hof,
     verification,
+    pipelineops,
 ]
 
 

@@ -20,7 +20,7 @@ from ..dedup import (
     simhash_near_pairs,
 )
 from ..multimodal import attach_fake_media, media_char_features
-from ..similarity import ann_topk_lsh, cosine_topk
+from ..similarity import ann_topk_ivf, ann_topk_lsh, cosine_topk
 from ..transform.dedup import dedup_keep_first
 
 
@@ -144,6 +144,24 @@ def q35_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     corpus = emb.filter(F.col("vec_id") >= 5)
     return ann_topk_lsh(corpus, queries, k=5)
+
+
+# --- q86: IVF approximate top-k (rows-only: approximate by design) -------
+# The FAISS-style scale path (similarity/ivf.py): k-means cells trained on
+# a driver-side sample, corpus partitioned by cell, queries probe the
+# nprobe nearest cells. nprobe=8 of 16 cells: on this corpus of RANDOM
+# unit vectors (within-label cosine ≈ cross-label ≈ 0, the adversarial
+# case for any ANN) that buys 2× pruning at recall 0.76-0.88 — real
+# clustered embeddings are what the cells/nprobe ratio is for. Recall is
+# gate-checked by q87 against brute force.
+
+def q86_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = tbl(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    corpus = emb.filter(F.col("vec_id") >= 5)
+    return ann_topk_ivf(corpus, queries, k=5, num_cells=16, nprobe=8)
 
 
 # --- q36: embedding-cosine near-dup pairs (exact all-pairs form) ---------
@@ -270,3 +288,4 @@ def q68_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["q68_approx_quantiles"] = q68_approx_quantiles
+QUERIES["q86_ann_ivf"] = q86_ann_ivf

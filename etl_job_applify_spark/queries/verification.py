@@ -23,7 +23,7 @@ from pyspark.sql import functions as F
 
 from ._util import tbl
 from ..dedup import minhash_lsh_pairs, ngram_jaccard_pairs, simhash_near_pairs
-from ..similarity import ann_topk_lsh, cosine_topk
+from ..similarity import ann_topk_ivf, ann_topk_lsh, cosine_topk
 
 
 def _recall_row(exact_pairs: DataFrame, approx_pairs: DataFrame,
@@ -147,6 +147,39 @@ FROM embeddings WHERE vec_id < 5
 """
 
 
+# --- q87: IVF ANN recall@5 vs brute-force cosine -------------------------
+# Same corpus split as q34/q86 (16 cells, nprobe=8). The fixture
+# embeddings are RANDOM unit vectors — no cluster structure, the
+# adversarial case for IVF — so the gate is 0.6 against measured
+# 0.76 (sf0.1) / 0.88 (sf0.01, sf0.001); deterministic for the fixed
+# seed + data, so this is a regression gate on the quantizer + probe
+# path, not a probabilistic assertion.
+
+def q87_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = tbl(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    corpus = emb.filter(F.col("vec_id") >= 5)
+    exact = cosine_topk(corpus, queries, k=5).select("query_id", "neighbor")
+    approx = ann_topk_ivf(
+        corpus, queries, k=5, num_cells=16, nprobe=8
+    ).select("query_id", "neighbor")
+    hits = approx.withColumn("__hit", F.lit(1))
+    joined = exact.join(hits, ["query_id", "neighbor"], "left")
+    return joined.agg(
+        F.countDistinct("query_id").alias("n_queries"),
+        F.coalesce((F.count("__hit") / F.count("*")) >= 0.6, F.lit(True))
+        .alias("recall_ok"),
+    )
+
+
+_Q87_SQL = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_queries, true AS recall_ok
+FROM embeddings WHERE vec_id < 5
+"""
+
+
 # --- q79: HLL approx-distinct relative error vs exact --------------------
 # rsd=0.02 sketches must land within 5% of the exact distinct count
 # (2.5 standard deviations; measured max error at sf0.1 is 1.0% — and
@@ -210,6 +243,7 @@ QUERIES = {
     "q76_minhash_verify": q76_minhash_verify,
     "q77_simhash_verify": q77_simhash_verify,
     "q78_ann_recall": q78_ann_recall,
+    "q87_ivf_recall": q87_ivf_recall,
     "q79_hll_error": q79_hll_error,
     "q80_quantile_error": q80_quantile_error,
 }
@@ -218,6 +252,7 @@ ORACLE = {
     "q76_minhash_verify": _Q76_SQL,
     "q77_simhash_verify": _Q77_SQL,
     "q78_ann_recall": _Q78_SQL,
+    "q87_ivf_recall": _Q87_SQL,
     "q79_hll_error": _Q79_SQL,
     "q80_quantile_error": _Q80_SQL,
 }

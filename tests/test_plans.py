@@ -91,9 +91,9 @@ def test_registry_wide_plan_audit(spark):
         "q35_ann_lsh",
         "q78_ann_recall",
     }
-    # q78 embeds the gated brute-force ground truth to measure recall
+    # q78/q87 embed the gated brute-force ground truth to measure recall
     CARTESIAN_OK = {"q34_cosine_topk", "q36_embedding_near_dup",
-                    "q78_ann_recall"}
+                    "q78_ann_recall", "q87_ivf_recall"}
     offenders = []
     for name, fn in registry.queries().items():
         text = explain_str(fn(spark, SF_SMOKE), "simple")

@@ -21,6 +21,7 @@ EXPECTED_ROWS_ONLY = {
     "q35_ann_lsh",
     "q38_approx_distinct",
     "q68_approx_quantiles",
+    "q86_ann_ivf",
 }
 
 #: queries whose sf0.001 result may legitimately be empty
