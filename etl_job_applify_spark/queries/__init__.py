@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from . import (
     relational,
     relational2,
+    relational3,
     analytics,
     textops,
     temporal,
@@ -36,6 +37,7 @@ from . import (
 _MODULES = [
     relational,
     relational2,
+    relational3,
     analytics,
     textops,
     temporal,
