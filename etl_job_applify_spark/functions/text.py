@@ -128,3 +128,45 @@ def normalize_text_expr(text_col: str) -> Column:
     return F.trim(
         F.regexp_replace(F.lower(F.col(text_col)), "\\s+", " ")
     )
+
+
+#: engine-portable PII patterns (valid in Java regex AND RE2/DuckDB —
+#: character classes and bounded quantifiers only)
+EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+PHONE_RE = "\\+[0-9]{1,2} [0-9]{3}-[0-9]{3}-[0-9]{4}"
+
+
+def redact_pii_expr(text_col: str) -> Column:
+    """Scrub emails and phone numbers (replaced with typed placeholders).
+    Per-row regexp_replace — codegen'd, embarrassingly parallel."""
+    return F.regexp_replace(
+        F.regexp_replace(F.col(text_col), EMAIL_RE, "<EMAIL>"),
+        PHONE_RE,
+        "<PHONE>",
+    )
+
+
+def repeated_ngram_shingles_expr(text_col: str, n: int = 5) -> str:
+    """SQL text for the NON-distinct word-n-gram list of ``text_col``
+    (token array bound as a lambda variable — see dedup/shingles.py on
+    why an alias would re-tokenize per position). String, not Column, so
+    callers can reuse it inside larger expressions."""
+    gram = ", ".join(f"tok[i + {j}]" for j in range(n))
+    return (
+        f"flatten(transform(array(split({text_col}, ' ')), tok -> "
+        f"CASE WHEN size(tok) >= {n} THEN "
+        f"transform(sequence(0, size(tok) - {n}), i -> concat_ws(' ', {gram})) "
+        "ELSE array() END))"
+    )
+
+
+def repetition_ratio_expr(text_col: str, n: int = 5) -> Column:
+    """Share of repeated word-n-grams in the document (0 = no repetition,
+    NULL for docs shorter than ``n`` tokens) — the Gopher/C4-style
+    boilerplate signal. Pure array expressions: no explode, no shuffle."""
+    sh = repeated_ngram_shingles_expr(text_col, n)
+    return F.expr(
+        f"CASE WHEN size({sh}) > 0 THEN "
+        f"1.0D - CAST(size(array_distinct({sh})) AS DOUBLE)"
+        f" / CAST(size({sh}) AS DOUBLE) END"
+    )

@@ -37,16 +37,19 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ._util import tbl
+from ..functions.text import (
+    EMAIL_RE as _EMAIL_RE,
+    PHONE_RE as _PHONE_RE,
+    repeated_ngram_shingles_expr,
+)
 
 
 # --- q81: PII redaction ---------------------------------------------------
 # The synthetic corpus contains no PII, so the query *injects*
 # deterministic PII (email + phone derived from doc_id) with engine-portable
-# string ops, then scrubs it — the redaction regexes are genuinely
-# exercised on every row and the oracle rebuilds the identical input.
-
-_EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
-_PHONE_RE = "\\+[0-9]{1,2} [0-9]{3}-[0-9]{3}-[0-9]{4}"
+# string ops, then scrubs it — the redaction regexes (functions/text.py)
+# are genuinely exercised on every row and the oracle rebuilds the
+# identical input.
 
 _AUGMENT = (
     "concat({text}, ' contact user', CAST(doc_id AS STRING),"
@@ -98,19 +101,9 @@ FROM aug
 # from size vs size(array_distinct). No explode, no shuffle — a pure map
 # stage at any corpus size.
 
-def _rep_expr() -> str:
-    gram = ", ".join(f"tok[i + {j}]" for j in range(5))
-    return (
-        "flatten(transform(array(split(text, ' ')), tok -> "
-        "CASE WHEN size(tok) >= 5 THEN "
-        f"transform(sequence(0, size(tok) - 5), i -> concat_ws(' ', {gram})) "
-        "ELSE array() END))"
-    )
-
-
 def q82_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = tbl(spark, sf_dir, "documents")
-    sh = _rep_expr()
+    sh = repeated_ngram_shingles_expr("text", n=5)
     return docs.select(
         "doc_id",
         F.expr(f"CAST(size({sh}) AS INT)").alias("n_shingles"),

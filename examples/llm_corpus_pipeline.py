@@ -6,14 +6,19 @@ production pipelines run them (cheap filters first, pairwise ops last,
 on the smallest surviving set):
 
 1. ingest        parquet scan (explicit schema at scale)
-2. quality gate  expression-only scoring — no UDFs, full pushdown
+2. quality gate  expression-only scoring + repetition filter — no
+                 UDFs, full pushdown
 3. language gate keep target languages (heuristic lang-ID available)
-4. exact dedup   deterministic keep-first on content fingerprint
-5. near dedup    MinHash LSH candidates → exact Jaccard verify →
+4. PII scrub     regex redaction of emails/phones (codegen, per-row)
+5. exact dedup   deterministic keep-first on content fingerprint
+6. near dedup    MinHash LSH candidates → exact Jaccard verify →
                  connected components → keep canonical docs
-6. sampling      deterministic stratified downsample per language
-7. accounting    token/char budget report per language
-8. land          partitioned parquet, ready for tokenization
+7. decontaminate drop docs sharing 4-grams with the benchmark set
+                 (broadcast probe — zero corpus-side shuffle)
+8. sampling      deterministic stratified downsample per language
+9. accounting    token budget + packed-chunk count per language
+                 (per-shard concat-then-chunk, the pretraining layout)
+10. land         partitioned parquet, ready for tokenization
 
 Run: python examples/llm_corpus_pipeline.py [sf_dir]
 """
@@ -30,10 +35,13 @@ from pyspark.sql import functions as F
 
 def curate(spark: SparkSession, sf_dir: str, out_dir: str | None = None) -> DataFrame:
     from etl_job_applify_spark.dedup import minhash_lsh_pairs
+    from etl_job_applify_spark.dedup.shingles import with_shingles
     from etl_job_applify_spark.functions.text import (
         n_tokens_expr,
         normalize_text_expr,
         quality_score_expr,
+        redact_pii_expr,
+        repetition_ratio_expr,
         rolling_hash_expr,
     )
     from etl_job_applify_spark.operators.components import connected_components
@@ -50,11 +58,16 @@ def curate(spark: SparkSession, sf_dir: str, out_dir: str | None = None) -> Data
     gated = (
         docs.withColumn("quality", quality_score_expr("text"))
         .withColumn("n_tokens", n_tokens_expr("text"))
+        .withColumn("rep_ratio", repetition_ratio_expr("text", n=5))
         .filter((F.col("quality") >= 0.05) & (F.col("n_tokens") >= 10))
+        .filter(F.coalesce(F.col("rep_ratio"), F.lit(0.0)) <= 0.5)
         .filter(F.col("lang").isin("en", "fr", "de", "es", "zh"))
     )
 
-    # 4: exact dedup by NORMALIZED content fingerprint (case/whitespace
+    # 4: PII scrub — per-row regexp, before anything is persisted
+    gated = gated.withColumn("text", redact_pii_expr("text"))
+
+    # 5: exact dedup by NORMALIZED content fingerprint (case/whitespace
     # variants hash together — that's what makes this stage catch
     # formatting-identical copies before any pairwise work)
     fingerprinted = gated.withColumn(
@@ -64,7 +77,7 @@ def curate(spark: SparkSession, sf_dir: str, out_dir: str | None = None) -> Data
         fingerprinted, keys=["content_hash"], order_by=["doc_id"]
     )
 
-    # 5: near dedup on the survivors — LSH candidates, exact verification,
+    # 6: near dedup on the survivors — LSH candidates, exact verification,
     # clusters, keep the canonical (min doc_id) member of each cluster
     pairs = minhash_lsh_pairs(
         exact_unique, num_hashes=64, bands=16, threshold=0.5, verify=True
@@ -75,13 +88,34 @@ def curate(spark: SparkSession, sf_dir: str, out_dir: str | None = None) -> Data
     )
     canonical = exact_unique.join(losers, "doc_id", "left_anti")
 
-    # 6: deterministic stratified downsample (reproducible across reruns
+    # 7: decontamination — drop docs overlapping the held-out benchmark
+    # set on any 4-gram (stand-in: every 17th doc). The benchmark gram
+    # set broadcasts; the corpus probes it map-side.
+    grams = with_shingles(canonical, n=4, out="__grams").select(
+        "doc_id", F.explode("__grams").alias("gram")
+    )
+    bench_grams = (
+        grams.filter(F.col("doc_id") % 17 == 0).select("gram").distinct()
+    )
+    contaminated = (
+        grams.filter(F.col("doc_id") % 17 != 0)
+        .join(F.broadcast(bench_grams), "gram")
+        .select("doc_id")
+        .distinct()
+    )
+    canonical = canonical.filter(F.col("doc_id") % 17 != 0).join(
+        contaminated, "doc_id", "left_anti"
+    )
+
+    # 8: deterministic stratified downsample (reproducible across reruns
     # and cluster sizes — no RNG state)
     sampled = systematic_stratified_sample(
         canonical, strata=["lang"], order_by=["doc_id"], every_k=2
     )
 
-    # 7: corpus accounting (what the tokenizer team gets told)
+    # 9: corpus accounting — token budget plus how many packed
+    # context-window chunks each language yields (concat-then-chunk
+    # per shard = language, 512-token windows)
     report = (
         sampled.groupBy("lang")
         .agg(
@@ -89,10 +123,14 @@ def curate(spark: SparkSession, sf_dir: str, out_dir: str | None = None) -> Data
             F.sum("n_tokens").alias("total_tokens"),
             F.sum("n_chars").alias("total_chars"),
         )
+        .withColumn(
+            "n_chunks_512",
+            F.ceil(F.col("total_tokens") / F.lit(512.0)).cast("bigint"),
+        )
         .orderBy("lang")
     )
 
-    # 8: land the curated corpus partitioned by language
+    # 10: land the curated corpus partitioned by language
     if out_dir:
         write_parquet(
             sampled.select("doc_id", "lang", "source", "text", "n_tokens"),
