@@ -25,6 +25,7 @@ from . import (
     relational2,
     relational3,
     analytics,
+    analytics2,
     textops,
     temporal,
     advanced,
@@ -39,6 +40,7 @@ _MODULES = [
     relational2,
     relational3,
     analytics,
+    analytics2,
     textops,
     temporal,
     advanced,

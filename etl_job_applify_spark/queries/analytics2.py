@@ -1,0 +1,229 @@
+"""Classic OLAP/product-analytics workloads: histogram binning,
+period-over-period growth, cohort retention, and multi-step funnels.
+
+These are the dashboard queries a warehouse on this engine serves daily;
+each lowers to scans + one or two hash aggregates + (for the windowed
+ones) a single partition-key shuffle — no self-joins, no driver loops.
+
+Reference scope note: the reference's analytics surface is an empty stub
+(services/post_processing.py:5-8); these extend SURVEY §2b's aggregation
+and window rows the same way q10-q17 did.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ._util import DSUM, tbl
+
+
+# --- q94: fixed-width histogram ------------------------------------------
+# Bin id by integer arithmetic on the value — the binning that scales:
+# no per-row width_bucket table lookup, no pre-pass for min/max, one
+# hash aggregate. (Data-dependent bounds would add one tiny scalar
+# subquery, computed once.)
+
+_BIN = 50_000
+
+
+def q94_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = tbl(spark, sf_dir, "orders")
+    return (
+        orders.select(
+            F.floor(F.col("o_totalprice") / F.lit(float(_BIN)))
+            .cast("int")
+            .alias("bin"),
+            "o_totalprice",
+        )
+        .groupBy("bin")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.expr(DSUM("o_totalprice")).alias("bin_revenue"),
+        )
+        .select(
+            "bin",
+            (F.col("bin") * _BIN).cast("double").alias("bin_lo"),
+            ((F.col("bin") + 1) * _BIN).cast("double").alias("bin_hi"),
+            "n_orders",
+            "bin_revenue",
+        )
+    )
+
+
+_Q94_SQL = f"""
+SELECT bin,
+       CAST(bin * {_BIN} AS DOUBLE) AS bin_lo,
+       CAST((bin + 1) * {_BIN} AS DOUBLE) AS bin_hi,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       {DSUM('o_totalprice')} AS bin_revenue
+FROM (SELECT CAST(FLOOR(o_totalprice / {_BIN}.0) AS INT) AS bin, o_totalprice
+      FROM orders)
+GROUP BY bin
+"""
+
+
+# --- q95: month-over-month revenue growth --------------------------------
+# Two-level: monthly hash aggregate (shuffles |months| rows), then lag()
+# over the tiny monthly series. The growth division runs on the exact
+# DECIMAL-accumulated sums → bit-stable across engines.
+
+def q95_mom_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = tbl(spark, sf_dir, "orders")
+    monthly = (
+        orders.select(
+            F.date_trunc("month", "o_orderdate").cast("date").alias("month"),
+            "o_totalprice",
+        )
+        .groupBy("month")
+        .agg(F.expr(DSUM("o_totalprice")).alias("revenue"))
+    )
+    w = Window.orderBy("month")
+    return monthly.select(
+        "month",
+        "revenue",
+        F.lag("revenue").over(w).alias("prev_revenue"),
+        (
+            (F.col("revenue") - F.lag("revenue").over(w))
+            / F.lag("revenue").over(w)
+        ).alias("mom_growth"),
+    )
+
+
+_Q95_SQL = f"""
+WITH monthly AS (
+  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+         {DSUM('o_totalprice')} AS revenue
+  FROM orders GROUP BY 1
+)
+SELECT month, revenue,
+       lag(revenue) OVER (ORDER BY month) AS prev_revenue,
+       (revenue - lag(revenue) OVER (ORDER BY month))
+         / lag(revenue) OVER (ORDER BY month) AS mom_growth
+FROM monthly
+"""
+
+
+# --- q96: weekly cohort retention ----------------------------------------
+# Cohort = ISO week of the user's first event; retention = distinct
+# users from that cohort active k weeks later. Two aggregates and one
+# broadcast-back of the (tiny) per-user cohort map — the corpus-side
+# event scan shuffles once on user_id.
+
+def q96_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = tbl(spark, sf_dir, "events")
+    firsts = events.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).cast("date").alias("cohort_week")
+    )
+    acts = events.select(
+        "user_id", F.date_trunc("week", "ts").cast("date").alias("act_week")
+    ).distinct()
+    return (
+        acts.join(firsts, "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            F.floor(
+                F.datediff(F.col("act_week"), F.col("cohort_week")) / 7
+            )
+            .cast("int")
+            .alias("week_offset"),
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.countDistinct("user_id").alias("n_active"))
+    )
+
+
+_Q96_SQL = """
+WITH firsts AS (
+  SELECT user_id, CAST(date_trunc('week', MIN(ts)) AS DATE) AS cohort_week
+  FROM events GROUP BY user_id
+),
+acts AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS act_week
+  FROM events
+)
+SELECT cohort_week,
+       CAST(FLOOR(datediff('day', cohort_week, act_week) / 7.0) AS INT)
+         AS week_offset,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_active
+FROM acts JOIN firsts USING (user_id)
+GROUP BY 1, 2
+"""
+
+
+# --- q97: ordered multi-step event funnel --------------------------------
+# signup → view → click → purchase, each step's first occurrence
+# strictly after the previous step's. ONE conditional-min aggregate per
+# user computes all step timestamps in a single pass (no per-step
+# self-joins — at 100 TB a 4-step funnel as self-joins is 4 shuffles of
+# the full event log; this is one).
+
+def q97_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = tbl(spark, sf_dir, "events")
+    per_user = events.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias(
+            "t_signup"
+        ),
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias(
+            "t_view"
+        ),
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias(
+            "t_click"
+        ),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "t_purchase"
+        ),
+    )
+    return per_user.agg(
+        F.count("*").alias("n_users"),
+        F.count_if(F.col("t_signup").isNotNull()).alias("did_signup"),
+        F.count_if(F.col("t_view") > F.col("t_signup")).alias(
+            "then_viewed"
+        ),
+        F.count_if(
+            (F.col("t_view") > F.col("t_signup"))
+            & (F.col("t_click") > F.col("t_view"))
+        ).alias("then_clicked"),
+        F.count_if(
+            (F.col("t_view") > F.col("t_signup"))
+            & (F.col("t_click") > F.col("t_view"))
+            & (F.col("t_purchase") > F.col("t_click"))
+        ).alias("then_purchased"),
+    )
+
+
+_Q97_SQL = """
+WITH per_user AS (
+  SELECT user_id,
+         MIN(ts) FILTER (event_type = 'signup') AS t_signup,
+         MIN(ts) FILTER (event_type = 'view') AS t_view,
+         MIN(ts) FILTER (event_type = 'click') AS t_click,
+         MIN(ts) FILTER (event_type = 'purchase') AS t_purchase
+  FROM events GROUP BY user_id
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+       CAST(COUNT(*) FILTER (t_signup IS NOT NULL) AS BIGINT) AS did_signup,
+       CAST(COUNT(*) FILTER (t_view > t_signup) AS BIGINT) AS then_viewed,
+       CAST(COUNT(*) FILTER (t_view > t_signup AND t_click > t_view)
+            AS BIGINT) AS then_clicked,
+       CAST(COUNT(*) FILTER (t_view > t_signup AND t_click > t_view
+                             AND t_purchase > t_click)
+            AS BIGINT) AS then_purchased
+FROM per_user
+"""
+
+
+QUERIES = {
+    "q94_histogram": q94_histogram,
+    "q95_mom_growth": q95_mom_growth,
+    "q96_cohort_retention": q96_cohort_retention,
+    "q97_event_funnel": q97_event_funnel,
+}
+
+ORACLE = {
+    "q94_histogram": _Q94_SQL,
+    "q95_mom_growth": _Q95_SQL,
+    "q96_cohort_retention": _Q96_SQL,
+    "q97_event_funnel": _Q97_SQL,
+}
