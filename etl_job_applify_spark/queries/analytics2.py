@@ -214,8 +214,38 @@ FROM per_user
 """
 
 
+
+# --- q98: first/last/nth value windows -----------------------------------
+# The order-position analytics family (first_value/last_value/nth_value)
+# with the full-partition frame; one row per order via DISTINCT over the
+# windowed projection — one shuffle on l_orderkey. The fixture's
+# l_linenumber is NOT unique within an order, so the ordering carries
+# the full payload tiebreak (any remaining tie is a bit-identical row
+# and cannot change the selected values).
+
+def q98_window_firstlast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = tbl(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("lineitem")
+    return spark.sql(_Q98_SQL)
+
+
+_Q98_SQL = """
+SELECT DISTINCT l_orderkey,
+       first_value(l_extendedprice) OVER w AS first_price,
+       last_value(l_extendedprice) OVER w AS last_price,
+       nth_value(l_extendedprice, 2) OVER w AS second_price,
+       COUNT(*) OVER w AS n_lines
+FROM lineitem
+WINDOW w AS (PARTITION BY l_orderkey
+             ORDER BY l_linenumber, l_partkey, l_suppkey, l_extendedprice,
+                      l_quantity
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+"""
+
+
 QUERIES = {
     "q94_histogram": q94_histogram,
+    "q98_window_firstlast": q98_window_firstlast,
     "q95_mom_growth": q95_mom_growth,
     "q96_cohort_retention": q96_cohort_retention,
     "q97_event_funnel": q97_event_funnel,
@@ -223,7 +253,9 @@ QUERIES = {
 
 ORACLE = {
     "q94_histogram": _Q94_SQL,
+    "q98_window_firstlast": _Q98_SQL,
     "q95_mom_growth": _Q95_SQL,
     "q96_cohort_retention": _Q96_SQL,
     "q97_event_funnel": _Q97_SQL,
 }
+
