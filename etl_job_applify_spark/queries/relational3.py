@@ -58,16 +58,27 @@ def q88_exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
 # come from closed-form double arithmetic on those sums. At 100 TB this
 # is the same single partial+final hash aggregate as any SUM — the
 # DECIMAL accumulators just make the merge order irrelevant.
+#
+# The power sums go decimal → STRING → double: when the sum scaled by
+# 10^6 exceeds 2^53 (the squared-price sum does), DuckDB's native
+# decimal→double (int128→double, then divide) differs from Java's
+# correctly-rounded conversion in the last ulp — but BOTH engines parse
+# decimal strings correctly rounded, so the string hop pins the bits.
+
+
+def _dsum_exact(expr: str) -> str:
+    return f"CAST(CAST(SUM(CAST(({expr}) AS DECIMAL(28,6))) AS STRING) AS DOUBLE)"
+
 
 _Q89_SQL = f"""
 WITH s AS (
   SELECT l_returnflag,
          CAST(COUNT(*) AS DOUBLE) AS n,
-         {DSUM('l_quantity')} AS sx,
-         {DSUM('l_extendedprice')} AS sy,
-         {DSUM('l_quantity * l_quantity')} AS sxx,
-         {DSUM('l_extendedprice * l_extendedprice')} AS syy,
-         {DSUM('l_quantity * l_extendedprice')} AS sxy
+         {_dsum_exact('l_quantity')} AS sx,
+         {_dsum_exact('l_extendedprice')} AS sy,
+         {_dsum_exact('l_quantity * l_quantity')} AS sxx,
+         {_dsum_exact('l_extendedprice * l_extendedprice')} AS syy,
+         {_dsum_exact('l_quantity * l_extendedprice')} AS sxy
   FROM lineitem
   GROUP BY l_returnflag
 )
