@@ -63,3 +63,62 @@ def write_jdbc(
         .mode(mode)
         .save()
     )
+
+
+def write_clustered(
+    df: DataFrame,
+    path: str,
+    cluster_by: Sequence[str],
+    mode: str = "overwrite",
+    num_files: int | None = None,
+) -> None:
+    """Range-clustered parquet layout: ``repartitionByRange`` on the
+    cluster keys (each output file covers a disjoint key range) +
+    ``sortWithinPartitions`` (row groups inside a file are ordered).
+    Parquet min/max statistics then let downstream point/range scans skip
+    whole files and row groups — the single cheapest I/O lever for a
+    100 TB table that is mostly read with selective key predicates.
+
+    The range exchange samples key quantiles, so files come out
+    size-balanced even under key skew (contrast hash bucketing, which
+    a hot key can blow up)."""
+    cols = list(cluster_by)
+    out = (
+        df.repartitionByRange(num_files, *cols)
+        if num_files
+        else df.repartitionByRange(*cols)
+    )
+    out.sortWithinPartitions(*cols).write.mode(mode).parquet(path)
+
+
+def compact_parquet(
+    spark,
+    src_path: str,
+    dst_path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    mode: str = "overwrite",
+) -> int:
+    """Small-file compaction: rewrite ``src_path`` into ``dst_path`` with
+    file count sized from the ACTUAL input bytes (ceil(total/target)).
+    Returns the output file count.
+
+    The many-tiny-files problem is the classic death of streaming/
+    incremental sinks at scale (every micro-batch lands a file per task;
+    a year later the table is 10^7 footer reads per scan). Compaction
+    writes to a NEW directory — the swap is the caller's atomic pointer
+    flip (same recovery contract as streaming/jobs.py's versioned
+    snapshots), never an in-place rewrite that a crash can truncate."""
+    import math
+    import os
+
+    total = 0
+    for root, _dirs, files in os.walk(src_path):
+        for f in files:
+            if f.endswith(".parquet"):
+                total += os.path.getsize(os.path.join(root, f))
+    n = max(1, math.ceil(total / target_file_bytes))
+    df = spark.read.parquet(src_path)
+    # repartition (not coalesce): rebalances skewed inputs and keeps the
+    # write parallel; coalesce would chain tiny inputs onto few tasks
+    df.repartition(n).write.mode(mode).parquet(dst_path)
+    return n

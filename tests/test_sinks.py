@@ -34,3 +34,47 @@ def test_coalesced_file_count(spark, tmp_path):
     import glob
 
     assert len(glob.glob(f"{out}/*.parquet")) == 1
+
+
+def test_write_clustered_files_cover_disjoint_ranges(spark, tmp_path):
+    from etl_job_applify_spark.sinks.writers import write_clustered
+
+    df = spark.range(0, 10_000).withColumnRenamed("id", "k")
+    out = str(tmp_path / "clustered")
+    write_clustered(df, out, cluster_by=["k"], num_files=4)
+
+    from pyspark.sql import functions as F
+
+    ranges = (
+        spark.read.parquet(out)
+        .select("k", F.input_file_name().alias("f"))
+        .groupBy("f")
+        .agg(F.min("k").alias("lo"), F.max("k").alias("hi"))
+        .orderBy("lo")
+        .collect()
+    )
+    assert len(ranges) == 4
+    for prev, cur in zip(ranges, ranges[1:]):
+        assert prev["hi"] < cur["lo"], "file key ranges overlap"
+
+
+def test_compact_parquet_reduces_file_count(spark, tmp_path):
+    import os
+
+    from etl_job_applify_spark.sinks.writers import compact_parquet
+
+    src = str(tmp_path / "fragmented")
+    spark.range(0, 50_000).repartition(64).write.parquet(src)
+    n_small = sum(f.endswith(".parquet") for f in os.listdir(src))
+    assert n_small == 64
+
+    dst = str(tmp_path / "compacted")
+    total = sum(
+        os.path.getsize(os.path.join(src, f))
+        for f in os.listdir(src)
+        if f.endswith(".parquet")
+    )
+    n = compact_parquet(spark, src, dst, target_file_bytes=total // 3)
+    n_big = sum(f.endswith(".parquet") for f in os.listdir(dst))
+    assert n == n_big <= 4
+    assert spark.read.parquet(dst).count() == 50_000
