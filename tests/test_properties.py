@@ -90,3 +90,105 @@ def test_upsert_matches_dict_semantics(spark, target, updates):
         else:
             assert out[k] == want[k]
     assert out.keys() == want.keys()
+
+
+_val = st.integers(min_value=-50, max_value=50)
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    points=st.lists(_val, min_size=1, max_size=10),
+    intervals=st.lists(st.tuples(_val, st.integers(0, 20)),
+                       min_size=1, max_size=6),
+)
+def test_bucketed_range_join_matches_naive(spark, points, intervals):
+    """range_join_bucketed ≡ the naive cross-filter on arbitrary points
+    and [lo, hi) intervals, including empty/degenerate ones."""
+    from etl_job_applify_spark.operators.range_join import range_join_bucketed
+
+    ldf = spark.createDataFrame(
+        [(i, float(p)) for i, p in enumerate(points)], "pid int, p double"
+    )
+    rdf = spark.createDataFrame(
+        [(j, float(lo), float(lo + w)) for j, (lo, w) in enumerate(intervals)],
+        "rid int, lo double, hi double",
+    )
+    got = {
+        (r["pid"], r["rid"])
+        for r in range_join_bucketed(ldf, rdf, "p", "lo", "hi",
+                                     bucket_width=7.0).collect()
+    }
+    want = {
+        (i, j)
+        for i, p in enumerate(points)
+        for j, (lo, w) in enumerate(intervals)
+        if lo <= p < lo + w
+    }
+    assert got == want
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    events=st.lists(st.tuples(_key, st.integers(0, 300)),
+                    min_size=1, max_size=12),
+)
+def test_sessionize_matches_naive(spark, events):
+    """sessionize ≡ a serial gap scan per key (gap > 60s starts a new
+    session), on arbitrary event sets including duplicate timestamps."""
+    from etl_job_applify_spark.operators.sessionize import sessionize
+
+    df = spark.createDataFrame(
+        [(k, t, i) for i, (k, t) in enumerate(events)],
+        "k string, ti int, eid int",
+    ).withColumn("ts", F.timestamp_seconds("ti"))
+    got = {
+        r["eid"]: r["session_id"]
+        for r in sessionize(df, keys=["k"], ts_col="ts", gap_seconds=60,
+                            order_tiebreak=["eid"]).collect()
+    }
+    want = {}
+    by_key: dict[str, list] = {}
+    for i, (k, t) in enumerate(events):
+        by_key.setdefault(k, []).append((t, i))
+    for k, evs in by_key.items():
+        sess, prev = 0, None
+        for t, i in sorted(evs):
+            if prev is None or t - prev > 60:
+                sess += 1
+            want[i] = sess
+            prev = t
+    assert got == want
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    edges=st.lists(st.tuples(st.integers(0, 12), st.integers(0, 12)),
+                   min_size=1, max_size=15),
+)
+def test_connected_components_match_union_find(spark, edges):
+    from etl_job_applify_spark.operators.components import connected_components
+
+    df = spark.createDataFrame(edges, "a bigint, b bigint")
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components(df).collect()
+    }
+
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {n: find(n) for n in parent}
+    assert got == want
