@@ -32,6 +32,7 @@ from . import (
     hof,
     verification,
     pipelineops,
+    sketches,
 )
 
 
@@ -47,6 +48,7 @@ _MODULES = [
     hof,
     verification,
     pipelineops,
+    sketches,
 ]
 
 
