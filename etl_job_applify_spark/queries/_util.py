@@ -50,6 +50,19 @@ def DAVG(expr: str, scale: int = 6) -> str:
     )
 
 
+def DSUM_PINNED(expr: str) -> str:
+    """Exact distributed sum with the decimal → STRING → double hop.
+
+    When the sum scaled by 10^6 exceeds 2^53, DuckDB's native
+    decimal→double (int128→double, then divide) differs from Java's
+    correctly-rounded conversion in the last ulp — but BOTH engines
+    parse decimal strings correctly rounded, so the string hop pins the
+    bits (see relational3.py q89). Use this instead of DSUM whenever the
+    accumulated magnitude can cross 2^53 (e.g. squared-price sums).
+    """
+    return f"CAST(CAST(SUM(CAST(({expr}) AS DECIMAL(28,6))) AS STRING) AS DOUBLE)"
+
+
 def dsum(expr: str, alias: str):
     return F.expr(DSUM(expr)).alias(alias)
 

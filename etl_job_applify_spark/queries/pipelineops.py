@@ -148,18 +148,15 @@ FROM sh
 # genuinely fire.
 
 def _grams4(df: DataFrame) -> DataFrame:
-    gram = ", ".join(f"tok[i + {j}]" for j in range(4))
-    sh = (
-        "flatten(transform(array(split(text, ' ')), tok -> "
-        "CASE WHEN size(tok) >= 4 THEN "
-        f"array_distinct(transform(sequence(0, size(tok) - 4),"
-        f" i -> concat_ws(' ', {gram}))) "
-        "ELSE array() END))"
-    )
-    return df.select(
+    # shared shingle construction (dedup/shingles.py) — the lambda-bound
+    # tokenization idiom lives there; two references to the alias cost
+    # two evaluations, same as the inline form it replaced
+    from ..dedup.shingles import with_shingles
+
+    return with_shingles(df, n=4, out="__sh").select(
         "doc_id",
-        F.expr(f"CAST(size({sh}) AS INT)").alias("n_grams"),
-        F.explode(F.expr(sh)).alias("gram"),
+        F.expr("CAST(size(__sh) AS INT)").alias("n_grams"),
+        F.explode("__sh").alias("gram"),
     )
 
 

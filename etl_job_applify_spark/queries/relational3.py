@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ._util import DSUM, tbl
+from ._util import DSUM, DSUM_PINNED, tbl
 
 
 # --- q88: correlated EXISTS / NOT EXISTS ---------------------------------
@@ -59,15 +59,10 @@ def q88_exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
 # is the same single partial+final hash aggregate as any SUM — the
 # DECIMAL accumulators just make the merge order irrelevant.
 #
-# The power sums go decimal → STRING → double: when the sum scaled by
-# 10^6 exceeds 2^53 (the squared-price sum does), DuckDB's native
-# decimal→double (int128→double, then divide) differs from Java's
-# correctly-rounded conversion in the last ulp — but BOTH engines parse
-# decimal strings correctly rounded, so the string hop pins the bits.
+# The power sums go decimal → STRING → double (the squared-price sum
+# scaled by 10^6 exceeds 2^53): see _util.DSUM_PINNED for the rationale.
 
-
-def _dsum_exact(expr: str) -> str:
-    return f"CAST(CAST(SUM(CAST(({expr}) AS DECIMAL(28,6))) AS STRING) AS DOUBLE)"
+_dsum_exact = DSUM_PINNED
 
 
 _Q89_SQL = f"""

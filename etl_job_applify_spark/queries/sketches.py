@@ -29,7 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ._util import tbl
+from ._util import DSUM_PINNED, tbl
 
 
 # --- q99: mergeable HLL rollup (per-group sketches → merged global) ------
@@ -39,11 +39,16 @@ from ._util import tbl
 # to verify the ±5% bound (default lgConfigK=12 → ~1.6% RSE).
 
 def q99_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark import StorageLevel
+
     li = tbl(spark, sf_dir, "lineitem")
+    # feeds two plan branches (per-group rows + merged-global row):
+    # persist so the scan + HLL/exact aggregation runs once (tiny: one
+    # row per group). ContextCleaner unpersists when the plan is GC'd.
     per = li.groupBy("l_returnflag").agg(
         F.expr("hll_sketch_agg(l_partkey)").alias("__sk"),
         F.countDistinct("l_partkey").alias("exact_parts"),
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     per_rows = per.select(
         F.col("l_returnflag").alias("scope"),
         "exact_parts",
@@ -92,13 +97,7 @@ FROM lineitem
 # both engines → bit-exact at any parallelism. Native regr_slope()
 # merges double co-moments in partition order and cannot be pinned.
 
-
-def _dsum_exact(expr: str) -> str:
-    # decimal → STRING → double: both engines parse decimal strings
-    # correctly rounded, which pins the one-ulp divergence DuckDB's
-    # int128→double conversion has above 2^53 (see relational3.py q89).
-    return f"CAST(CAST(SUM(CAST(({expr}) AS DECIMAL(28,6))) AS STRING) AS DOUBLE)"
-
+_dsum_exact = DSUM_PINNED
 
 _Q100_SQL = f"""
 WITH s AS (

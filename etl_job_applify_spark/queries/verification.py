@@ -122,23 +122,41 @@ _Q77_SQL = _jaccard_count_sql(n=3, threshold=0.9)
 # 16 tables × 8 planes, multi-probe). Macro recall over the query batch
 # must reach 0.8 — the standard ANN quality gate.
 
-def q78_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _recall_at_k_row(
+    exact: DataFrame, approx: DataFrame, min_recall: float
+) -> DataFrame:
+    """One row (n_queries, recall_ok): share of exact top-k
+    (query_id, neighbor) pairs the approximate index recovered, macro
+    over the query batch. Empty ground truth counts as recalled."""
+    hits = approx.select("query_id", "neighbor").withColumn(
+        "__hit", F.lit(1)
+    )
+    joined = exact.select("query_id", "neighbor").join(
+        hits, ["query_id", "neighbor"], "left"
+    )
+    return joined.agg(
+        F.countDistinct("query_id").alias("n_queries"),
+        F.coalesce(
+            (F.count("__hit") / F.count("*")) >= min_recall, F.lit(True)
+        ).alias("recall_ok"),
+    )
+
+
+def _ann_split(spark: SparkSession, sf_dir: str):
+    """The shared q34/q35/q86 corpus split: vec_id < 5 are the queries."""
     emb = tbl(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
     corpus = emb.filter(F.col("vec_id") >= 5)
-    exact = cosine_topk(corpus, queries, k=5).select("query_id", "neighbor")
-    approx = ann_topk_lsh(corpus, queries, k=5).select(
-        "query_id", "neighbor"
-    )
-    hits = approx.withColumn("__hit", F.lit(1))
-    joined = exact.join(hits, ["query_id", "neighbor"], "left")
-    return joined.agg(
-        F.countDistinct("query_id").alias("n_queries"),
-        F.coalesce((F.count("__hit") / F.count("*")) >= 0.8, F.lit(True))
-        .alias("recall_ok"),
-    )
+    return corpus, queries
+
+
+def q78_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus, queries = _ann_split(spark, sf_dir)
+    exact = cosine_topk(corpus, queries, k=5)
+    approx = ann_topk_lsh(corpus, queries, k=5)
+    return _recall_at_k_row(exact, approx, min_recall=0.8)
 
 
 _Q78_SQL = """
@@ -156,22 +174,10 @@ FROM embeddings WHERE vec_id < 5
 # path, not a probabilistic assertion.
 
 def q87_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = tbl(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") < 5).select(
-        F.col("vec_id").alias("query_id"), "embedding"
-    )
-    corpus = emb.filter(F.col("vec_id") >= 5)
-    exact = cosine_topk(corpus, queries, k=5).select("query_id", "neighbor")
-    approx = ann_topk_ivf(
-        corpus, queries, k=5, num_cells=16, nprobe=8
-    ).select("query_id", "neighbor")
-    hits = approx.withColumn("__hit", F.lit(1))
-    joined = exact.join(hits, ["query_id", "neighbor"], "left")
-    return joined.agg(
-        F.countDistinct("query_id").alias("n_queries"),
-        F.coalesce((F.count("__hit") / F.count("*")) >= 0.6, F.lit(True))
-        .alias("recall_ok"),
-    )
+    corpus, queries = _ann_split(spark, sf_dir)
+    exact = cosine_topk(corpus, queries, k=5)
+    approx = ann_topk_ivf(corpus, queries, k=5, num_cells=16, nprobe=8)
+    return _recall_at_k_row(exact, approx, min_recall=0.6)
 
 
 _Q87_SQL = """

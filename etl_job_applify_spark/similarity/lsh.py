@@ -86,6 +86,14 @@ def _table_keys_udf(planes: np.ndarray, num_tables: int, multi_probe: bool):
     from pyspark.sql.types import ArrayType, LongType
 
     r = len(planes) // num_tables
+    if r >= 32:
+        # keys pack the bucket in bits 0..31 and the table id from bit 32
+        # up; a wider bucket would silently collide with the table bits
+        # (and multi-probe's XOR would flip table ids, not bucket bits)
+        raise ValueError(
+            f"num_planes per table must be < 32, got {r} "
+            f"({len(planes)} planes / {num_tables} tables)"
+        )
     P = planes.astype(np.float64).T  # (dim, L*r)
     weights = (1 << np.arange(r)).astype(np.int64)
     bases = ((np.arange(num_tables) + 1) << 32).astype(np.int64)
