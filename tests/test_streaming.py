@@ -91,6 +91,60 @@ def test_stateful_user_totals_matches_batch(spark):
         assert abs(latest[u][1] - want[u][1]) < 1e-6
 
 
+def test_transform_with_state_matches_batch(spark):
+    """Spark 4 transformWithStateInPandas twin of the stateful test:
+    typed ValueState on the RocksDB provider, same batch-agg oracle.
+    Skips where protobuf (the TWS state-server protocol dependency) is
+    absent — this container — after asserting the gate raises cleanly."""
+    import pytest
+
+    from pyspark.sql import functions as F
+
+    from etl_job_applify_spark.queries._util import tbl
+    from etl_job_applify_spark.streaming.jobs import (
+        transform_with_state_user_totals,
+    )
+
+    try:
+        import google.protobuf  # noqa: F401
+    except ImportError:
+        with pytest.raises(ImportError, match="protobuf"):
+            transform_with_state_user_totals(events_stream(spark, SF_SMOKE))
+        pytest.skip("protobuf unavailable: transformWithState gated off")
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        got = run_to_memory(
+            transform_with_state_user_totals(events_stream(spark, SF_SMOKE)),
+            "t_tws",
+            output_mode="update",
+        ).collect()
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev
+            )
+    latest = {r["user_id"]: (r["n_events"], r["total_value"]) for r in got}
+    want = {
+        r["user_id"]: (r["n"], r["tv"])
+        for r in tbl(spark, SF_SMOKE, "events")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("tv"))
+        .collect()
+    }
+    assert latest.keys() == want.keys()
+    for u in want:
+        assert latest[u][0] == want[u][0]
+        assert abs(latest[u][1] - want[u][1]) < 1e-6
+
+
 def test_foreach_batch_parquet_sink(spark, tmp_path):
     from etl_job_applify_spark.streaming.jobs import run_foreach_batch_to_parquet
 
