@@ -243,12 +243,139 @@ WINDOW w AS (PARTITION BY l_orderkey
 """
 
 
+# --- q104: decile banding (ntile) ----------------------------------------
+# Global ntile needs a total order, which plans as a single-partition
+# window sort — fine for |customer|-sized dims; at fact-table scale the
+# scalable variant is approx-quantile cutpoints + a broadcast bucket
+# join (the q68/q80 sketch path). Tiebreak on c_custkey makes the
+# banding deterministic under any parallelism.
+
+def q104_ntile_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = tbl(spark, sf_dir, "customer")
+    w = Window.orderBy("c_acctbal", "c_custkey")
+    return (
+        cust.select(
+            F.ntile(10).over(w).alias("decile"), "c_acctbal"
+        )
+        .groupBy("decile")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("c_acctbal").alias("min_bal"),
+            F.max("c_acctbal").alias("max_bal"),
+            F.expr(DSUM("c_acctbal")).alias("sum_bal"),
+        )
+    )
+
+
+_Q104_SQL = f"""
+WITH d AS (
+  SELECT NTILE(10) OVER (ORDER BY c_acctbal, c_custkey) AS decile,
+         c_acctbal
+  FROM customer
+)
+SELECT decile,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       MIN(c_acctbal) AS min_bal,
+       MAX(c_acctbal) AS max_bal,
+       {DSUM('c_acctbal')} AS sum_bal
+FROM d
+GROUP BY decile
+"""
+
+
+# --- q105: gaps and islands (consecutive-day activity streaks) -----------
+# The classic islands trick: day minus row_number is constant within a
+# consecutive run, so one distinct + one per-user window sort + two hash
+# aggregates find every streak — no self-join, no iteration. Shuffles
+# once on user_id; at 100 TB the distinct-days pre-aggregate collapses
+# the data to |users|×|days| rows before the window.
+
+def q105_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = tbl(spark, sf_dir, "events")
+    days = events.select(
+        "user_id", F.col("ts").cast("date").alias("d")
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("d")
+    streaks = (
+        days.select(
+            "user_id",
+            F.date_sub(F.col("d"), F.row_number().over(w)).alias("anchor"),
+        )
+        .groupBy("user_id", "anchor")
+        .agg(F.count("*").alias("len"))
+    )
+    return streaks.groupBy("user_id").agg(
+        F.max("len").alias("max_streak"),
+        F.count("*").alias("n_streaks"),
+    )
+
+
+_Q105_SQL = """
+WITH days AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+),
+i AS (
+  SELECT user_id, d,
+         d - CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY d)
+                  AS INT) AS anchor
+  FROM days
+),
+g AS (SELECT user_id, anchor, COUNT(*) AS len FROM i GROUP BY 1, 2)
+SELECT user_id,
+       CAST(MAX(len) AS BIGINT) AS max_streak,
+       CAST(COUNT(*) AS BIGINT) AS n_streaks
+FROM g
+GROUP BY user_id
+"""
+
+
+# --- q106: VARIANT ingestion (Spark 4 semi-structured type) --------------
+# parse_json once into a VARIANT, typed variant_get extraction after —
+# the Spark 4 path for semi-structured columns (vs q22's per-field
+# get_json_object string re-parse). VARIANT keeps a binary-encoded tree,
+# so N field extractions parse the document once, not N times — at
+# 100 TB of event payloads that's the difference between one decode and
+# N. DuckDB twin: json_extract_string + CAST.
+
+def q106_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = tbl(spark, sf_dir, "events")
+    k = F.expr("variant_get(parse_json(props), '$.k', 'int')")
+    return (
+        events.select(
+            "event_type",
+            # floor-then-cast in BOTH engines: a bare CAST(double AS INT)
+            # truncates in Spark but rounds in DuckDB
+            F.floor(k / F.lit(10)).cast("int").alias("k_bucket"),
+            "value",
+        )
+        .groupBy("event_type", "k_bucket")
+        .agg(
+            F.count("*").alias("n"),
+            F.expr(DSUM("value")).alias("total_value"),
+        )
+    )
+
+
+_Q106_SQL = f"""
+SELECT event_type,
+       CAST(FLOOR(CAST(json_extract_string(props, '$.k') AS INT) / 10.0)
+            AS INT) AS k_bucket,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       {DSUM('value')} AS total_value
+FROM events
+GROUP BY event_type, k_bucket
+"""
+
+
 QUERIES = {
     "q94_histogram": q94_histogram,
     "q98_window_firstlast": q98_window_firstlast,
     "q95_mom_growth": q95_mom_growth,
     "q96_cohort_retention": q96_cohort_retention,
     "q97_event_funnel": q97_event_funnel,
+    "q104_ntile_deciles": q104_ntile_deciles,
+    "q105_gaps_islands": q105_gaps_islands,
+    "q106_variant_json": q106_variant_json,
 }
 
 ORACLE = {
@@ -257,5 +384,8 @@ ORACLE = {
     "q95_mom_growth": _Q95_SQL,
     "q96_cohort_retention": _Q96_SQL,
     "q97_event_funnel": _Q97_SQL,
+    "q104_ntile_deciles": _Q104_SQL,
+    "q105_gaps_islands": _Q105_SQL,
+    "q106_variant_json": _Q106_SQL,
 }
 
