@@ -24,6 +24,7 @@ from . import (
     relational,
     relational2,
     relational3,
+    relational4,
     analytics,
     analytics2,
     textops,
@@ -40,6 +41,7 @@ _MODULES = [
     relational,
     relational2,
     relational3,
+    relational4,
     analytics,
     analytics2,
     textops,

@@ -1,0 +1,511 @@
+"""Relational depth, round 3: the remaining classic TPC-H query shapes,
+adapted to the fixture star schema (which has no partsupp table and no
+l_commitdate/l_shipmode columns — each adaptation keeps the original
+query's PLAN shape, which is what exercises the engine).
+
+Shapes covered (TPC-H number → query):
+- Q2  min-cost supplier (two-level agg + equality-on-agg join)  → q107
+- Q7  volume shipping between nation pairs (5-way join + year)  → q108
+- Q8  market share (conditional/total revenue ratio by year)    → q109
+- Q9  product-type profit (5-way join, computed measure)        → q110
+- Q11 important parts (HAVING against a scalar subquery)        → q111
+- Q13 customer order-count distribution (outer join with
+       non-equi ON predicate + double aggregation)              → q112
+- Q15 top supplier (agg view + scalar-subquery max equality)    → q113
+- Q17 small-quantity revenue (correlated scalar agg subquery)   → q114
+- Q18 large-volume orders (HAVING filter + 3-way join)          → q115
+- Q22 lapsed high-balance customers (scalar subquery +
+       NOT EXISTS anti join + substring grouping)               → q116
+
+Reference scope note: the reference delegates all query execution to
+Spark and has no analytics surface of its own
+(services/post_processing.py:5-8 is a `pass` stub); these fill SURVEY
+§2b's ABSENT relational rows at full TPC-H depth.
+
+Determinism contract (same as the rest of the inventory, _util.py):
+money sums accumulate in DECIMAL and surface as DOUBLE via the textually
+identical SQL on both engines; derived ratios/divisions are plain IEEE
+double ops on those exact sums; counts are exact; min/max are exact
+selections, so equality joins against them are safe cross-engine.
+
+Scale notes are attached per query: which side broadcasts, where the
+shuffles are, and why the plan survives 1000 executors.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ._util import DAVG, DSUM, dsum, tbl
+
+
+def _view(spark: SparkSession, sf_dir: str, *names: str) -> None:
+    for n in names:
+        tbl(spark, sf_dir, n).createOrReplaceTempView(n)
+
+
+# --- q107: min-cost supplier per part (TPC-H Q2 shape) -------------------
+# partsupp-free adaptation: observed unit cost per (part, supplier) =
+# MIN(l_extendedprice / l_quantity) over lineitem; keep the supplier(s)
+# achieving the per-part minimum for LARGE parts of size >= 40.
+# Plan: lineitem aggregates twice on a shared key prefix — the second
+# groupBy(l_partkey) reuses the (l_partkey, l_suppkey) exchange's
+# partitioning (hash(l_partkey, l_suppkey) is NOT hash(l_partkey), but
+# AQE plans the re-shuffle over the already-reduced aggregate, which is
+# |parts×suppliers| rows, not |lineitem|). The min-cost relation joins
+# back on (partkey, exact-double equality) — safe because MIN is a
+# selection, not arithmetic. part and supplier dims broadcast.
+
+def q107_mincost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = tbl(spark, sf_dir, "lineitem")
+    part = tbl(spark, sf_dir, "part").filter(
+        (F.col("p_size") >= 40) & (F.col("p_type") == "LARGE")
+    )
+    supplier = tbl(spark, sf_dir, "supplier")
+    costs = (
+        li.groupBy("l_partkey", "l_suppkey")
+        .agg(F.min(F.expr("l_extendedprice / l_quantity")).alias("unit_cost"))
+    )
+    min_cost = costs.groupBy("l_partkey").agg(
+        F.min("unit_cost").alias("min_cost")
+    )
+    return (
+        costs.join(
+            min_cost,
+            (costs.l_partkey == min_cost.l_partkey)
+            & (costs.unit_cost == min_cost.min_cost),
+        )
+        .drop(min_cost.l_partkey)
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("p_partkey", "p_name", "s_name", "unit_cost")
+    )
+
+
+_Q107_SQL = """
+WITH costs AS (
+  SELECT l_partkey, l_suppkey,
+         MIN(l_extendedprice / l_quantity) AS unit_cost
+  FROM lineitem GROUP BY 1, 2
+),
+mc AS (SELECT l_partkey, MIN(unit_cost) AS min_cost FROM costs GROUP BY 1)
+SELECT p_partkey, p_name, s_name, unit_cost
+FROM costs c
+JOIN mc ON c.l_partkey = mc.l_partkey AND c.unit_cost = mc.min_cost
+JOIN part ON p_partkey = c.l_partkey
+JOIN supplier ON s_suppkey = c.l_suppkey
+WHERE p_size >= 40 AND p_type = 'LARGE'
+"""
+
+
+# --- q108: volume shipping between nation pairs (TPC-H Q7 shape) ---------
+# lineitem → supplier → nation (supplier side) and lineitem → orders →
+# customer → nation (customer side), both directions between NATION_3 and
+# NATION_8, grouped by (supp_nation, cust_nation, ship year).
+# Plan: the only large-large join is lineitem ⋈ orders (one shuffle on
+# orderkey); supplier, customer, and nation broadcast (customer is the
+# biggest dim at ~15 MB/SF-0.1 — still broadcastable; at 100 TB bucket
+# orders+lineitem on orderkey to make the big join shuffle-free).
+
+def q108_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = tbl(spark, sf_dir, "lineitem")
+    orders = tbl(spark, sf_dir, "orders")
+    customer = tbl(spark, sf_dir, "customer")
+    supplier = tbl(spark, sf_dir, "supplier")
+    nation = tbl(spark, sf_dir, "nation")
+    n1 = nation.select(
+        F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("c_nkey"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_3") & (F.col("cust_nation") == "NATION_8")
+    ) | (
+        (F.col("supp_nation") == "NATION_8") & (F.col("cust_nation") == "NATION_3")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supplier), li.l_suppkey == supplier.s_suppkey)
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nkey"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nkey"))
+        .filter(pair)
+        .filter(
+            (F.col("l_shipdate") >= F.expr("TIMESTAMP '1996-01-01'"))
+            & (F.col("l_shipdate") < F.expr("TIMESTAMP '1998-01-01'"))
+        )
+        .groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+        )
+        .agg(dsum("l_extendedprice * (1 - l_discount)", "revenue"))
+    )
+
+
+_Q108_SQL = f"""
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(EXTRACT(YEAR FROM l_shipdate) AS INT) AS l_year,
+       {DSUM('l_extendedprice * (1 - l_discount)')} AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_8')
+    OR (n1.n_name = 'NATION_8' AND n2.n_name = 'NATION_3'))
+  AND l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate <  TIMESTAMP '1998-01-01'
+GROUP BY 1, 2, 3
+"""
+
+
+# --- q109: market share by year (TPC-H Q8 shape) -------------------------
+# NATION_3 suppliers' share of PROMO-part revenue sold to ASIA customers,
+# per order year. The share is a ratio of two exact DECIMAL sums over the
+# same grouped rows (conditional numerator), so the double division is
+# bit-identical cross-engine.
+# Plan: part filter broadcasts and prunes lineitem FIRST (PROMO is 1/6 of
+# parts → the orders join sees ~1/6 of lineitem); then one shuffle join
+# to orders; all other dims broadcast.
+
+def q109_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = tbl(spark, sf_dir, "lineitem")
+    orders = tbl(spark, sf_dir, "orders")
+    customer = tbl(spark, sf_dir, "customer")
+    supplier = tbl(spark, sf_dir, "supplier")
+    nation = tbl(spark, sf_dir, "nation")
+    region = tbl(spark, sf_dir, "region")
+    part = tbl(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    cust_nat = nation.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_regionkey").alias("cr_key")
+    )
+    supp_nat = nation.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    asia = region.filter(F.col("r_name") == "ASIA")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(cust_nat), F.col("c_nationkey") == F.col("cn_key"))
+        .join(F.broadcast(asia), F.col("cr_key") == F.col("r_regionkey"))
+        .join(F.broadcast(supplier), li.l_suppkey == supplier.s_suppkey)
+        .join(F.broadcast(supp_nat), F.col("s_nationkey") == F.col("sn_key"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            dsum(
+                "CASE WHEN supp_nation = 'NATION_3' "
+                "THEN l_extendedprice * (1 - l_discount) ELSE 0 END",
+                "nation_revenue",
+            ),
+            dsum("l_extendedprice * (1 - l_discount)", "total_revenue"),
+        )
+        .withColumn(
+            "mkt_share", F.col("nation_revenue") / F.col("total_revenue")
+        )
+    )
+
+
+_Q109_SQL = f"""
+SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS o_year,
+       {DSUM("CASE WHEN n2.n_name = 'NATION_3' "
+             "THEN l_extendedprice * (1 - l_discount) ELSE 0 END")}
+         AS nation_revenue,
+       {DSUM('l_extendedprice * (1 - l_discount)')} AS total_revenue,
+       {DSUM("CASE WHEN n2.n_name = 'NATION_3' "
+             "THEN l_extendedprice * (1 - l_discount) ELSE 0 END")}
+         / {DSUM('l_extendedprice * (1 - l_discount)')} AS mkt_share
+FROM lineitem
+JOIN part     ON l_partkey = p_partkey
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n1 ON c_nationkey = n1.n_nationkey
+JOIN region   ON n1.n_regionkey = r_regionkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n2 ON s_nationkey = n2.n_nationkey
+WHERE p_type = 'PROMO' AND r_name = 'ASIA'
+GROUP BY 1
+"""
+
+
+# --- q110: product-type profit by nation and year (TPC-H Q9 shape) -------
+# partsupp-free profit: revenue minus a 10%-of-retail material cost,
+# for parts whose name contains 'widget', grouped by supplier nation and
+# order year. The measure mixes columns of three tables — the point of
+# the Q9 shape — and accumulates in DECIMAL.
+# Plan: part filter broadcasts into the lineitem scan; orders is the one
+# shuffle join; supplier/nation broadcast.
+
+def q110_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = tbl(spark, sf_dir, "lineitem")
+    orders = tbl(spark, sf_dir, "orders")
+    supplier = tbl(spark, sf_dir, "supplier")
+    nation = tbl(spark, sf_dir, "nation")
+    part = tbl(spark, sf_dir, "part").filter(F.col("p_name").like("%widget%"))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supplier), li.l_suppkey == supplier.s_suppkey)
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg(
+            dsum(
+                "l_extendedprice * (1 - l_discount)"
+                " - 0.1 * p_retailprice * l_quantity",
+                "sum_profit",
+            )
+        )
+    )
+
+
+_Q110_SQL = f"""
+SELECT n_name AS nation,
+       CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS o_year,
+       {DSUM('l_extendedprice * (1 - l_discount)'
+             ' - 0.1 * p_retailprice * l_quantity')} AS sum_profit
+FROM lineitem
+JOIN part     ON l_partkey = p_partkey
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+WHERE p_name LIKE '%widget%'
+GROUP BY 1, 2
+"""
+
+
+# --- q111: important parts (TPC-H Q11 shape) -----------------------------
+# Per-part traded value from suppliers in EUROPE nations; keep parts
+# whose value exceeds 0.1% of the total — the total enters via a scalar
+# subquery in HAVING, which Catalyst executes once as a subquery stage
+# (no join, no per-row re-evaluation). Both the per-part values and the
+# total accumulate in DECIMAL, so the > comparison is cross-engine safe.
+# Plan at scale: the value aggregation shuffles on l_partkey once; the
+# scalar total is a second scan reduced map-side to one row per task —
+# at 100 TB reuse the grouped relation for both via a cached/checkpointed
+# intermediate (here the optimizer's subquery reuse handles it).
+
+_Q111_SQL_BODY = f"""
+SELECT l_partkey, {DSUM('l_extendedprice * l_quantity')} AS value
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'EUROPE'
+GROUP BY l_partkey
+HAVING {DSUM('l_extendedprice * l_quantity')} > (
+  SELECT 0.001 * {DSUM('l_extendedprice * l_quantity')}
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation   ON s_nationkey = n_nationkey
+  JOIN region   ON n_regionkey = r_regionkey
+  WHERE r_name = 'EUROPE'
+)
+"""
+
+
+def q111_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _view(spark, sf_dir, "lineitem", "supplier", "nation", "region")
+    return spark.sql(_Q111_SQL_BODY)
+
+
+# --- q112: customer order-count distribution (TPC-H Q13 shape) -----------
+# LEFT OUTER join with an extra non-equi predicate in the ON clause (the
+# Q13 trademark — the filter must NOT fall into WHERE or zero-order
+# customers vanish), then a second aggregation over the first's result.
+# Plan: customer ⋈ orders shuffles on custkey; the distribution agg is a
+# near-free second shuffle over |customers| rows. At 100 TB the first
+# join is the cost — bucket both sides on custkey to eliminate it.
+
+def q112_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = tbl(spark, sf_dir, "customer")
+    orders = tbl(spark, sf_dir, "orders")
+    per_cust = (
+        customer.join(
+            orders,
+            (customer.c_custkey == orders.o_custkey)
+            & (orders.o_orderpriority != "1-URGENT"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+    )
+
+
+_Q112_SQL = """
+SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+FROM (
+  SELECT c_custkey, CAST(COUNT(o_orderkey) AS BIGINT) AS c_count
+  FROM customer
+  LEFT JOIN orders ON c_custkey = o_custkey
+                  AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey
+) per_cust
+GROUP BY c_count
+"""
+
+
+# --- q113: top supplier (TPC-H Q15 shape) --------------------------------
+# Supplier revenue over 1997H1; return the supplier(s) whose revenue
+# equals the maximum. The max enters as a scalar subquery over the same
+# aggregate — exact-DECIMAL revenue makes the double equality safe (both
+# engines derive both sides from identical exact sums).
+# Plan: one shuffle for the revenue agg; Catalyst's subquery-reuse
+# evaluates the shared aggregate once; supplier broadcasts.
+
+_Q113_SQL_BODY = f"""
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         {DSUM('l_extendedprice * (1 - l_discount)')} AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+    AND l_shipdate <  TIMESTAMP '1997-07-01'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM supplier JOIN revenue ON s_suppkey = supplier_no
+WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+"""
+
+
+def q113_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _view(spark, sf_dir, "lineitem", "supplier")
+    return spark.sql(_Q113_SQL_BODY)
+
+
+# --- q114: small-quantity revenue (TPC-H Q17 shape) ----------------------
+# Average yearly revenue that would be lost by dropping small orders:
+# lineitems of Brand#3 parts with quantity below 20% of that part's mean
+# quantity. The correlated scalar aggregate decorrelates into a per-part
+# aggregate joined back on partkey (Catalyst rewrite — no per-row
+# subquery execution). The inner average uses the exact-sum/count form so
+# the 0.2× threshold is bit-identical cross-engine.
+# Plan: per-part avg is one shuffle over lineitem(partkey); the brand
+# filter broadcasts from part and prunes before the heavy join.
+
+_Q114_SQL_BODY = f"""
+SELECT {DSUM('l_extendedprice')} / 7.0 AS avg_yearly
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+WHERE p_brand = 'Brand#3'
+  AND l_quantity < (
+    SELECT 0.2 * ({DAVG('l_quantity')})
+    FROM lineitem l2
+    WHERE l2.l_partkey = p_partkey
+  )
+"""
+
+
+def q114_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _view(spark, sf_dir, "lineitem", "part")
+    return spark.sql(_Q114_SQL_BODY)
+
+
+# --- q115: large-volume orders (TPC-H Q18 shape) -------------------------
+# Orders whose total quantity exceeds 250, joined back to customer and
+# orders. Quantity sums are integral-valued doubles — DECIMAL-summed
+# anyway for the uniform contract.
+# Plan: HAVING runs on the lineitem(orderkey) aggregate BEFORE the joins,
+# so only ~0.3% of orders reach the join stage; orders joins by orderkey
+# (shuffle), customer broadcasts.
+
+def q115_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = tbl(spark, sf_dir, "lineitem")
+    orders = tbl(spark, sf_dir, "orders")
+    customer = tbl(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(dsum("l_quantity", "total_qty"))
+        .filter(F.col("total_qty") > 250)
+    )
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            "o_totalprice",
+            "total_qty",
+        )
+    )
+
+
+_Q115_SQL = f"""
+WITH big AS (
+  SELECT l_orderkey, {DSUM('l_quantity')} AS total_qty
+  FROM lineitem GROUP BY 1
+  HAVING {DSUM('l_quantity')} > 250
+)
+SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice, total_qty
+FROM big
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+"""
+
+
+# --- q116: lapsed high-balance customers (TPC-H Q22 shape) ---------------
+# Customers whose balance exceeds the average positive balance (scalar
+# subquery) and who placed no order since 2000 (NOT EXISTS → left-anti
+# hash join after decorrelation), grouped by the last two digits of the
+# customer name (the fixture's stand-in for Q22's phone country code).
+# Plan: the anti join shuffles customer vs the date-filtered orders
+# projection (o_custkey only — column pruning keeps the build side to one
+# int column); the scalar average is a one-row broadcast.
+
+_Q116_SQL_BODY = f"""
+SELECT right(c_name, 2) AS cntrycode,
+       CAST(COUNT(*) AS BIGINT) AS numcust,
+       {DSUM('c_acctbal')} AS totacctbal
+FROM customer c
+WHERE c_acctbal > (
+    SELECT {DAVG('c_acctbal')} FROM customer WHERE c_acctbal > 0.0
+  )
+  AND NOT EXISTS (
+    SELECT 1 FROM orders o
+    WHERE o.o_custkey = c.c_custkey
+      AND o.o_orderdate >= TIMESTAMP '2000-01-01'
+  )
+GROUP BY 1
+"""
+
+
+def q116_lapsed_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _view(spark, sf_dir, "customer", "orders")
+    return spark.sql(_Q116_SQL_BODY)
+
+
+QUERIES = {
+    "q107_mincost_supplier": q107_mincost_supplier,
+    "q108_nation_volume": q108_nation_volume,
+    "q109_market_share": q109_market_share,
+    "q110_product_profit": q110_product_profit,
+    "q111_important_parts": q111_important_parts,
+    "q112_order_count_distribution": q112_order_count_distribution,
+    "q113_top_supplier": q113_top_supplier,
+    "q114_small_qty_revenue": q114_small_qty_revenue,
+    "q115_large_orders": q115_large_orders,
+    "q116_lapsed_customers": q116_lapsed_customers,
+}
+
+ORACLE = {
+    "q107_mincost_supplier": _Q107_SQL,
+    "q108_nation_volume": _Q108_SQL,
+    "q109_market_share": _Q109_SQL,
+    "q110_product_profit": _Q110_SQL,
+    "q111_important_parts": _Q111_SQL_BODY,
+    "q112_order_count_distribution": _Q112_SQL,
+    "q113_top_supplier": _Q113_SQL_BODY,
+    "q114_small_qty_revenue": _Q114_SQL_BODY,
+    "q115_large_orders": _Q115_SQL,
+    "q116_lapsed_customers": _Q116_SQL_BODY,
+}
