@@ -33,6 +33,7 @@ from . import (
     hof,
     verification,
     pipelineops,
+    pipelineops2,
     sketches,
 )
 
@@ -50,6 +51,7 @@ _MODULES = [
     hof,
     verification,
     pipelineops,
+    pipelineops2,
     sketches,
 ]
 

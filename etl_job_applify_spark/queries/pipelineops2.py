@@ -1,0 +1,240 @@
+"""Training-data pipeline operators, round 2: corpus-curation steps a
+100 TB pretraining pipeline runs between raw ingest and tokenization.
+
+- q117 Gopher-style quality rule gate (length / mean-word-length /
+        stopword / repetition rules as one codegen'd projection);
+- q118 source mixing weights (per-domain token accounting + temperature
+        reweighting — the "data mixing" step of corpus assembly);
+- q119 deterministic train/val/test split (content-hash bucketing via
+        md5, reproducible across engines and runs — never random());
+- q120 rare-word score (two-pass global document-frequency join — the
+        cheap unigram stand-in for perplexity-based quality filters).
+
+All JVM built-ins (no Python stages); every query has a DuckDB oracle.
+The reference has no analytics surface (services/post_processing.py:5-8
+is `pass`); these extend the BASELINE.json north-star pipeline rows the
+same way q81-q85 did.
+
+Determinism notes: ratios divide exact integer counts (or DECIMAL sums)
+inside each row — no cross-row float accumulation anywhere; sqrt is
+IEEE-correctly-rounded in both engines (unlike log/exp, which stay
+banned from checked outputs); md5 of identical UTF-8 text is identical
+everywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ._util import tbl
+
+
+# --- q117: Gopher-style quality rule gate --------------------------------
+# The four classic rule families from the Gopher/MassiveText cleaning
+# recipe, adapted to the fixture corpus's scale: word count bounds, mean
+# word length bounds, a stopword-evidence gate, and a repetition gate
+# (distinct-token ratio). One narrow projection, fully codegen'd — at
+# 100 TB this runs at parquet-scan speed with zero shuffles, which is
+# exactly why rule-based gates run FIRST in real pipelines (they shed
+# volume before any expensive pairwise/dedup stage).
+
+_T = "split(text, ' ')"
+
+def q117_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = tbl(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.expr(f"CAST(size({_T}) AS INT)").alias("n_words"),
+        F.expr(
+            f"CAST((length(text) - size({_T}) + 1) / size({_T}) AS DOUBLE)"
+        ).alias("mean_word_len"),
+        F.expr(
+            f"CAST(size(filter({_T}, t -> t IN ('the','a','of','and','to')))"
+            " AS INT)"
+        ).alias("stop_hits"),
+        F.expr(
+            f"CAST(size(array_distinct({_T})) AS DOUBLE)"
+            f" / CAST(size({_T}) AS DOUBLE)"
+        ).alias("distinct_ratio"),
+    ).select(
+        "*",
+        (
+            F.col("n_words").between(30, 10000)
+            & F.col("mean_word_len").between(3.0, 10.0)
+            & (F.col("stop_hits") >= 1)
+            & (F.col("distinct_ratio") >= 0.3)
+        ).alias("passes"),
+    )
+
+
+_Q117_SQL = """
+WITH m AS (
+  SELECT doc_id,
+         CAST(len(string_split(text, ' ')) AS INT) AS n_words,
+         CAST((length(text) - len(string_split(text, ' ')) + 1)
+              / len(string_split(text, ' ')) AS DOUBLE) AS mean_word_len,
+         CAST(len(list_filter(string_split(text, ' '),
+                  t -> t IN ('the','a','of','and','to'))) AS INT)
+           AS stop_hits,
+         CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+           / CAST(len(string_split(text, ' ')) AS DOUBLE) AS distinct_ratio
+  FROM documents
+)
+SELECT *,
+       (n_words BETWEEN 30 AND 10000
+        AND mean_word_len BETWEEN 3.0 AND 10.0
+        AND stop_hits >= 1
+        AND distinct_ratio >= 0.3) AS passes
+FROM m
+"""
+
+
+# --- q118: source mixing weights -----------------------------------------
+# Per-source token accounting and temperature-0.5 reweighting: the data-
+# mixing step that turns raw domain sizes into sampling weights
+# (upweighting small high-quality domains, downweighting bulk crawl).
+# temp_weight = share^0.5 (relative weight before normalization) and
+# upsample_factor = temp_weight / share = share^-0.5 — both per-row
+# functions of exact integer counts, so no cross-row float accumulation.
+# Plan: one partial+final agg on source, then a window over the agg
+# output for the exact integer total — at 100 TB that output is
+# |domains| rows, so the unpartitioned window is free.
+
+def q118_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = tbl(spark, sf_dir, "documents")
+    per_src = docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.expr(f"size({_T})")).alias("n_tokens"),
+    )
+    w = Window.partitionBy()
+    return per_src.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        (
+            F.col("n_tokens").cast("double")
+            / F.sum("n_tokens").over(w).cast("double")
+        ).alias("token_share"),
+    ).select(
+        "*",
+        F.sqrt(F.col("token_share")).alias("temp_weight"),
+        (F.sqrt(F.col("token_share")) / F.col("token_share")).alias(
+            "upsample_factor"
+        ),
+    )
+
+
+_Q118_SQL = """
+WITH per_src AS (
+  SELECT source,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source
+),
+shared AS (
+  SELECT *,
+         CAST(n_tokens AS DOUBLE) / CAST(SUM(n_tokens) OVER () AS DOUBLE)
+           AS token_share
+  FROM per_src
+)
+SELECT *,
+       sqrt(token_share) AS temp_weight,
+       sqrt(token_share) / token_share AS upsample_factor
+FROM shared
+"""
+
+
+# --- q119: deterministic content-hash train/val/test split ---------------
+# Reproducible corpus splitting: bucket = first hex nibble of md5(text)
+# (16 buckets), train = 0-12, val = 13-14, test = 15. Content-addressed
+# (not doc_id-addressed) so exact duplicates always land in the same
+# split — the property that prevents train/test leakage through dup
+# pairs. Pure projection: scan-speed at any scale, trivially resumable,
+# and identical on every engine (vs. rand(), which is none of these).
+
+def q119_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = tbl(spark, sf_dir, "documents")
+    bucket = "instr('0123456789abcdef', substring(md5(text), 1, 1)) - 1"
+    return docs.select(
+        "doc_id",
+        F.expr(f"CAST({bucket} AS INT)").alias("bucket"),
+        F.expr(
+            f"CASE WHEN {bucket} < 13 THEN 'train' "
+            f"WHEN {bucket} < 15 THEN 'val' ELSE 'test' END"
+        ).alias("split"),
+    )
+
+
+_Q119_SQL = """
+SELECT doc_id,
+       CAST(strpos('0123456789abcdef', substr(md5(text), 1, 1)) - 1 AS INT)
+         AS bucket,
+       CASE WHEN strpos('0123456789abcdef', substr(md5(text), 1, 1)) - 1 < 13
+            THEN 'train'
+            WHEN strpos('0123456789abcdef', substr(md5(text), 1, 1)) - 1 < 15
+            THEN 'val' ELSE 'test' END AS split
+FROM documents
+"""
+
+
+# --- q120: rare-word score (global document-frequency join) --------------
+# Two-pass unigram statistic: (1) distinct (doc, word) postings → global
+# document frequency per word; (2) join DF back to postings and average
+# per doc. Low mean/min DF flags jargon-heavy or garbled docs — the
+# no-model stand-in for perplexity filters. All counts exact integers;
+# the single division happens per output row.
+# Plan: postings shuffle once on word for the DF agg; the DF table is
+# |vocabulary| rows → broadcast back to the postings side (no second
+# big shuffle); final agg shuffles on doc_id over postings. At 100 TB
+# the vocabulary stays small (Heaps' law) so the broadcast holds.
+
+def q120_rare_word_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = tbl(spark, sf_dir, "documents")
+    postings = docs.select(
+        "doc_id", F.explode(F.expr(f"array_distinct({_T})")).alias("word")
+    )
+    df_tbl = postings.groupBy("word").agg(F.count("*").alias("df"))
+    return (
+        postings.join(F.broadcast(df_tbl), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_distinct_words"),
+            (
+                F.sum("df").cast("double") / F.count("*").cast("double")
+            ).alias("mean_word_df"),
+            F.min("df").alias("min_word_df"),
+        )
+    )
+
+
+_Q120_SQL = """
+WITH postings AS (
+  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS word
+  FROM documents
+),
+dfreq AS (
+  SELECT word, CAST(COUNT(*) AS BIGINT) AS df FROM postings GROUP BY word
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_distinct_words,
+       CAST(SUM(df) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mean_word_df,
+       MIN(df) AS min_word_df
+FROM postings JOIN dfreq USING (word)
+GROUP BY doc_id
+"""
+
+
+QUERIES = {
+    "q117_gopher_rules": q117_gopher_rules,
+    "q118_mix_weights": q118_mix_weights,
+    "q119_hash_split": q119_hash_split,
+    "q120_rare_word_score": q120_rare_word_score,
+}
+
+ORACLE = {
+    "q117_gopher_rules": _Q117_SQL,
+    "q118_mix_weights": _Q118_SQL,
+    "q119_hash_split": _Q119_SQL,
+    "q120_rare_word_score": _Q120_SQL,
+}
