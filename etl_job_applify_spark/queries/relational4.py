@@ -484,6 +484,40 @@ def q116_lapsed_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_Q116_SQL_BODY)
 
 
+# --- q121: recursive CTE hierarchy traversal -----------------------------
+# Spark 4 ships native WITH RECURSIVE (UNION ALL step semantics — the
+# UNION-distinct form is not yet supported, so this uses a tree whose
+# termination is structural, not dedup-based). The fixture schema has no
+# hierarchy table, so one is derived arithmetically: nation n's parent is
+# floor((n-1)/2) — a binary-heap org chart over the 25 nations. The
+# recursion materializes depth and the root→node path.
+# Scale: each iteration is one broadcast-joinable step over the frontier;
+# Spark executes recursive CTEs as an iterative union of per-level
+# plans, so depth (here 5) bounds the stage count, not the data size.
+# q60 remains the scale path for CLOSURE-style recursion (label
+# propagation); this is the engine-native form for hierarchy walks.
+
+_Q121_SQL_BODY = """
+WITH RECURSIVE org AS (
+  SELECT n_nationkey AS node, n_name AS name,
+         CAST(floor((n_nationkey - 1) / 2.0) AS INT) AS parent
+  FROM nation
+),
+tree(node, name, depth, path) AS (
+  SELECT node, name, 0, name FROM org WHERE node = 0
+  UNION ALL
+  SELECT o.node, o.name, t.depth + 1, concat(t.path, ' > ', o.name)
+  FROM org o JOIN tree t ON o.parent = t.node AND o.node <> 0
+)
+SELECT node, name, depth, path FROM tree
+"""
+
+
+def q121_recursive_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _view(spark, sf_dir, "nation")
+    return spark.sql(_Q121_SQL_BODY)
+
+
 QUERIES = {
     "q107_mincost_supplier": q107_mincost_supplier,
     "q108_nation_volume": q108_nation_volume,
@@ -495,6 +529,7 @@ QUERIES = {
     "q114_small_qty_revenue": q114_small_qty_revenue,
     "q115_large_orders": q115_large_orders,
     "q116_lapsed_customers": q116_lapsed_customers,
+    "q121_recursive_hierarchy": q121_recursive_hierarchy,
 }
 
 ORACLE = {
@@ -508,4 +543,5 @@ ORACLE = {
     "q114_small_qty_revenue": _Q114_SQL_BODY,
     "q115_large_orders": _Q115_SQL,
     "q116_lapsed_customers": _Q116_SQL_BODY,
+    "q121_recursive_hierarchy": _Q121_SQL_BODY,
 }

@@ -1,8 +1,10 @@
 from .readers import (
+    read_binary,
     read_csv,
     read_orc,
     read_json,
     read_parquet,
+    read_text,
     read_xml,
     load_table,
     load_tables,
@@ -13,10 +15,12 @@ from .jdbc import JdbcSource, jdbc_reader_options
 from .catalog import list_tables_sql, show_tables
 
 __all__ = [
+    "read_binary",
     "read_csv",
     "read_orc",
     "read_json",
     "read_parquet",
+    "read_text",
     "read_xml",
     "load_table",
     "load_tables",

@@ -114,6 +114,42 @@ def read_xml(
     return reader.load(path)
 
 
+def read_text(
+    spark: SparkSession, path: str, whole: bool = False, **options: str
+) -> DataFrame:
+    """Line-oriented (or whole-file) text scan → single ``value`` column.
+
+    The raw-corpus ingest path: one line (or one file with
+    ``wholetext``) per row, feeding the documents pipeline
+    (q40-q43/q117-q120 text analysis). Splittable per line at any scale.
+    """
+    reader = spark.read
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    # NB: the text source ignores a string-valued "wholetext" reader
+    # option; only the typed kwarg takes effect
+    return reader.text(path, wholetext=whole)
+
+
+def read_binary(
+    spark: SparkSession, path: str, glob: str | None = None
+) -> DataFrame:
+    """Binary-file scan → (path, modificationTime, length, content) rows.
+
+    The multimodal ingest path (images/audio/video as opaque ``binary``
+    content + typed metadata — see multimodal/media.py for the decode
+    plumbing). ``glob`` filters by pattern (e.g. ``*.jpg``). Spark
+    parallelizes at file granularity; pack small media files into a few
+    large parquet/tar shards upstream — a 100 TB corpus of tiny files
+    is a driver-side listing bottleneck otherwise (the same reason the
+    sinks compact small files on write).
+    """
+    reader = spark.read.format("binaryFile")
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    return reader.load(path)
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """One star-schema fixture table.
 

@@ -97,3 +97,33 @@ def test_orc_roundtrip(spark, tmp_path):
     df.write.orc(out)
     back = read_orc(spark, out)
     assert {(r["id"], r["v"]) for r in back.collect()} == {(1, "a"), (2, "b")}
+
+
+def test_text_reader_lines_and_whole(spark, tmp_path):
+    from etl_job_applify_spark.sources import read_text
+
+    p = tmp_path / "docs"
+    p.mkdir()
+    (p / "a.txt").write_text("line one\nline two\n")
+    (p / "b.txt").write_text("solo line\n")
+    lines = read_text(spark, str(p))
+    assert lines.columns == ["value"]
+    assert lines.count() == 3
+    whole = read_text(spark, str(p), whole=True)
+    assert whole.count() == 2
+    assert {r["value"].count("\n") for r in whole.collect()} == {1, 2}
+
+
+def test_binary_reader_content_and_glob(spark, tmp_path):
+    from etl_job_applify_spark.sources import read_binary
+
+    p = tmp_path / "media"
+    p.mkdir()
+    (p / "x.jpg").write_bytes(b"\xff\xd8fakejpeg")
+    (p / "y.png").write_bytes(b"\x89PNGfake")
+    df = read_binary(spark, str(p), glob="*.jpg")
+    rows = df.collect()
+    assert len(rows) == 1
+    assert rows[0]["content"] == b"\xff\xd8fakejpeg"
+    assert rows[0]["length"] == 10
+    assert set(df.columns) == {"path", "modificationTime", "length", "content"}
