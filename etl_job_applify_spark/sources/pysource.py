@@ -1,0 +1,142 @@
+"""Custom Python DataSource (Spark 4 extension point): JSONL shards.
+
+The reference's source registry (services/data_source.py:9-21
+DATASOURCE_MAP) dispatches to per-format reader classes; Spark 4's
+Python DataSource API is the engine-native version of that idea — a
+registered format name usable from ``spark.read.format(...)`` with the
+engine handling distribution, schema enforcement, and task scheduling.
+
+This module implements ``jsonl_shards``: newline-delimited JSON where
+each *.jsonl file is one input partition (shard-parallel reads, the
+layout pretraining corpora actually ship in) and each write task emits
+one shard. It exists alongside the built-in ``spark.read.json`` for the
+cases the built-in can't express: per-shard provenance (``_shard``
+metadata column) and strict field projection against a caller-declared
+schema (unknown keys dropped, missing keys → NULL, never a corrupt-
+record column).
+
+Scale notes: file listing happens once on the driver (cheap — names
+only); parsing is fully distributed, one task per shard. Shards should
+be ~100 MB-1 GB for even task sizing; the writer's one-file-per-task
+layout keeps that invariant if the upstream partitioning does.
+
+Python-level JSON parsing is the slow path vs the JVM json reader —
+this source is for semantics (provenance + strict projection), not
+speed; it stays off the bench and out of the oracle-checked hot path.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceWriter,
+    InputPartition,
+    WriterCommitMessage,
+)
+from pyspark.sql.types import StructType
+
+
+class _ShardPartition(InputPartition):
+    def __init__(self, path: str) -> None:
+        self.path = path
+
+
+class _JsonlReader(DataSourceReader):
+    def __init__(self, schema: StructType, options: dict) -> None:
+        self.schema = schema
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("jsonl_shards requires a 'path' option")
+        self.with_shard = str(
+            options.get("shardcolumn", "false")
+        ).lower() == "true"
+
+    def partitions(self):
+        import glob as _glob
+
+        if os.path.isdir(self.path):
+            files = sorted(_glob.glob(os.path.join(self.path, "*.jsonl")))
+        else:
+            files = sorted(_glob.glob(self.path))
+        if not files:
+            raise FileNotFoundError(f"no .jsonl shards under {self.path}")
+        return [_ShardPartition(f) for f in files]
+
+    def read(self, partition: _ShardPartition):
+        # runs on executors: parse one shard, project to the declared
+        # schema (strict: unknown keys dropped, missing keys -> None)
+        fields = [
+            f.name for f in self.schema.fields
+            if not (self.with_shard and f.name == "_shard")
+        ]
+        shard = os.path.basename(partition.path)
+        with open(partition.path, encoding="utf-8") as fh:
+            for line in fh:
+                line = line.strip()
+                if not line:
+                    continue
+                rec = json.loads(line)
+                row = tuple(rec.get(k) for k in fields)
+                yield row + (shard,) if self.with_shard else row
+
+
+class _JsonlCommit(WriterCommitMessage):
+    def __init__(self, path: str, rows: int) -> None:
+        self.path = path
+        self.rows = rows
+
+
+class _JsonlWriter(DataSourceWriter):
+    def __init__(self, schema: StructType, options: dict, overwrite: bool) -> None:
+        self.schema = schema
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("jsonl_shards requires a 'path' option")
+        self.overwrite = overwrite
+
+    def write(self, iterator):
+        # one shard per task; uuid names make concurrent tasks safe and
+        # retries idempotent-by-abandonment (orphan files are ignored
+        # until commit lists them — simple local-FS semantics; object
+        # stores would use a task-attempt manifest instead)
+        os.makedirs(self.path, exist_ok=True)
+        names = [f.name for f in self.schema.fields]
+        out = os.path.join(self.path, f"part-{uuid.uuid4().hex}.jsonl")
+        n = 0
+        with open(out, "w", encoding="utf-8") as fh:
+            for row in iterator:
+                fh.write(json.dumps(dict(zip(names, row)), default=str))
+                fh.write("\n")
+                n += 1
+        return _JsonlCommit(out, n)
+
+
+class JsonlShardDataSource(DataSource):
+    """``spark.read.format("jsonl_shards").schema(ddl).load(path)``.
+
+    Register once per session:
+    ``spark.dataSource.register(JsonlShardDataSource)``.
+    """
+
+    @classmethod
+    def name(cls) -> str:
+        return "jsonl_shards"
+
+    def schema(self):
+        # used only when the caller didn't pass an explicit schema
+        return "value string"
+
+    def reader(self, schema: StructType) -> DataSourceReader:
+        return _JsonlReader(schema, self.options)
+
+    def writer(self, schema: StructType, overwrite: bool) -> DataSourceWriter:
+        return _JsonlWriter(schema, self.options, overwrite)
+
+
+def register(spark) -> None:
+    spark.dataSource.register(JsonlShardDataSource)

@@ -1,0 +1,75 @@
+"""Custom Python DataSource (jsonl_shards): shard-parallel read, strict
+schema projection, provenance column, and the one-shard-per-task writer."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from etl_job_applify_spark.sources.pysource import register
+
+
+@pytest.fixture()
+def shards(tmp_path):
+    p = tmp_path / "shards"
+    p.mkdir()
+    (p / "a.jsonl").write_text(
+        '{"id": 1, "name": "x", "extra": true}\n{"id": 2, "name": "y"}\n'
+    )
+    (p / "b.jsonl").write_text('{"id": 3}\n\n{"id": 4, "name": "z"}\n')
+    return p
+
+
+def test_read_strict_projection(spark, shards):
+    register(spark)
+    df = (
+        spark.read.format("jsonl_shards")
+        .schema("id int, name string")
+        .load(str(shards))
+    )
+    rows = {(r["id"], r["name"]) for r in df.collect()}
+    # unknown key 'extra' dropped; missing 'name' -> NULL; blank line skipped
+    assert rows == {(1, "x"), (2, "y"), (3, None), (4, "z")}
+
+
+def test_one_partition_per_shard(spark, shards):
+    register(spark)
+    df = (
+        spark.read.format("jsonl_shards")
+        .schema("id int, name string")
+        .load(str(shards))
+    )
+    assert df.rdd.getNumPartitions() == 2
+
+
+def test_shard_provenance_column(spark, shards):
+    register(spark)
+    df = (
+        spark.read.format("jsonl_shards")
+        .schema("id int, name string, _shard string")
+        .option("shardcolumn", "true")
+        .load(str(shards))
+    )
+    by_shard = {(r["id"], r["_shard"]) for r in df.collect()}
+    assert ((1, "a.jsonl") in by_shard) and ((3, "b.jsonl") in by_shard)
+
+
+def test_writer_roundtrip(spark, tmp_path):
+    register(spark)
+    out = tmp_path / "out"
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "id int, v string"
+    ).repartition(2)
+    df.write.format("jsonl_shards").mode("append").save(str(out))
+    files = sorted(out.glob("part-*.jsonl"))
+    assert len(files) == 2  # one shard per write task
+    recs = [json.loads(l) for f in files for l in f.read_text().splitlines()]
+    assert {(r["id"], r["v"]) for r in recs} == {(1, "a"), (2, "b"), (3, "c")}
+    # and the source reads its own output back
+    back = (
+        spark.read.format("jsonl_shards")
+        .schema("id int, v string")
+        .load(str(out))
+    )
+    assert back.count() == 3
