@@ -15,10 +15,13 @@ on the smallest surviving set):
                  connected components → keep canonical docs
 7. decontaminate drop docs sharing 4-grams with the benchmark set
                  (broadcast probe — zero corpus-side shuffle)
-8. sampling      deterministic stratified downsample per language
+8. sampling      deterministic stratified downsample per language,
+                 then content-hash train/val/test split (dup-safe,
+                 reproducible — never random())
 9. accounting    token budget + packed-chunk count per language
                  (per-shard concat-then-chunk, the pretraining layout)
-10. land         partitioned parquet, ready for tokenization
+10. land         parquet partitioned by (split, lang) — the tokenizer
+                 reads train/ via partition pruning
 
 Run: python examples/llm_corpus_pipeline.py [sf_dir]
 """
@@ -113,6 +116,18 @@ def curate(spark: SparkSession, sf_dir: str, out_dir: str | None = None) -> Data
         canonical, strata=["lang"], order_by=["doc_id"], every_k=2
     )
 
+    # 8b: deterministic content-hash train/val/test split — content-
+    # addressed (md5 of text, not doc_id) so any dup pair that survived
+    # dedup still lands in ONE split; reproducible on any cluster size
+    bucket = "instr('0123456789abcdef', substring(md5(text), 1, 1)) - 1"
+    sampled = sampled.withColumn(
+        "split",
+        F.expr(
+            f"CASE WHEN {bucket} < 13 THEN 'train' "
+            f"WHEN {bucket} < 15 THEN 'val' ELSE 'test' END"
+        ),
+    )
+
     # 9: corpus accounting — token budget plus how many packed
     # context-window chunks each language yields (concat-then-chunk
     # per shard = language, 512-token windows)
@@ -130,12 +145,16 @@ def curate(spark: SparkSession, sf_dir: str, out_dir: str | None = None) -> Data
         .orderBy("lang")
     )
 
-    # 10: land the curated corpus partitioned by language
+    # 10: land the curated corpus partitioned by split then language —
+    # the tokenizer job reads train/ only, and partition pruning makes
+    # that selection free
     if out_dir:
         write_parquet(
-            sampled.select("doc_id", "lang", "source", "text", "n_tokens"),
+            sampled.select(
+                "doc_id", "split", "lang", "source", "text", "n_tokens"
+            ),
             out_dir,
-            partition_by=["lang"],
+            partition_by=["split", "lang"],
         )
     return report
 

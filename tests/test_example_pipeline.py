@@ -21,3 +21,8 @@ def test_curation_pipeline_end_to_end(spark, tmp_path):
     # partitioned by lang + near/exact dups and half of each stratum gone
     assert landed.select("lang").distinct().count() == 5
     assert 0 < landed.count() < 500
+    # content-hash split landed as a partition column with sane shares
+    splits = {r["split"] for r in landed.select("split").distinct().collect()}
+    assert "train" in splits and splits <= {"train", "val", "test"}
+    n_train = landed.filter("split = 'train'").count()
+    assert n_train > landed.count() / 2
