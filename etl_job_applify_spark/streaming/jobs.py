@@ -225,6 +225,27 @@ def transform_with_state_user_totals(events: DataFrame) -> DataFrame:
     )
 
 
+def run_available_now_to_parquet(
+    stream_df: DataFrame, out_dir: str, checkpoint: str
+) -> None:
+    """Batch-style catch-up: ``Trigger.AvailableNow`` processes everything
+    available at start (respecting ``maxFilesPerTrigger`` backpressure,
+    unlike the deprecated ``Trigger.Once``) and then STOPS — the scheduled
+    re-run pattern (cron'd incremental jobs with streaming semantics:
+    exactly-once sink commits + checkpointed source offsets, no always-on
+    cluster). Restarting later resumes from the checkpoint and processes
+    only new files."""
+    q = (
+        stream_df.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def run_foreach_batch_to_parquet(stream_df: DataFrame, out_dir: str) -> None:
     """Exactly-once-style sink via foreachBatch: each micro-batch lands as
     parquet (idempotent overwrite per epoch id in real jobs)."""
@@ -254,6 +275,7 @@ def stream_stream_interval_join(
     views: DataFrame,
     max_gap: str = "30 minutes",
     watermark: str | None = None,
+    how: str = "inner",
 ) -> DataFrame:
     """Stream-stream inner join: purchase ⋈ preceding view by the same
     user within ``max_gap``. Both sides buffer state; the watermarks plus
@@ -264,7 +286,14 @@ def stream_stream_interval_join(
     interval): how far behind the stream's max event time a row may
     arrive and still join. It defaults to ``max_gap`` — the floor below
     which in-interval matches would be lost — and should be set larger
-    when the transport can delay events beyond the interval itself."""
+    when the transport can delay events beyond the interval itself.
+
+    ``how="leftOuter"`` additionally emits unmatched purchases (NULL view
+    columns) — but only once the views watermark has passed the end of
+    the purchase's join interval, because until then a matching view
+    could still arrive. Outer results are therefore delayed by the
+    watermark, not wrong; a no-data microbatch flushes them when input
+    stops (Spark runs one automatically to finalize event-time state)."""
     wm = watermark or max_gap
     p = purchases.withWatermark("p_ts", wm)
     v = views.withWatermark("v_ts", wm)
@@ -273,7 +302,7 @@ def stream_stream_interval_join(
         F.expr(
             f"p_user = v_user AND v_ts BETWEEN p_ts - INTERVAL {max_gap} AND p_ts"
         ),
-        "inner",
+        how,
     )
 
 

@@ -391,3 +391,89 @@ def test_cdc_crash_mid_write_preserves_previous_snapshot(spark, tmp_path):
     run_foreach_batch_upsert(stream2, target, keys=["id"], version_col="ver")
     got = {r["id"]: r["v"] for r in read_upsert_target(spark, target).collect()}
     assert got == {1: "a", 2: "B"}
+
+
+def test_stream_stream_left_outer_join_emits_unmatched(spark, tmp_path):
+    """leftOuter interval join: the purchase with no in-interval view must
+    emit with NULL view columns once the watermark passes its interval."""
+    import pandas as pd
+
+    from etl_job_applify_spark.streaming.jobs import (
+        run_to_memory,
+        stream_stream_interval_join,
+    )
+
+    t0 = pd.Timestamp("2024-01-01 10:00:00")
+    views = pd.DataFrame(
+        {"v_user": [1], "v_ts": [t0], "view_id": [10]}
+    )
+    purchases = pd.DataFrame(
+        {"p_user": [1, 2],
+         "p_ts": [t0 + pd.Timedelta("10 minutes"),
+                  t0 + pd.Timedelta("10 minutes")],    # user 2: no view
+         "purchase_id": [100, 101]}
+    )
+    vdir, pdir = tmp_path / "views", tmp_path / "purch"
+    vdir.mkdir(); pdir.mkdir()
+    views.to_parquet(vdir / "v.parquet", coerce_timestamps="us")
+    purchases.to_parquet(pdir / "p.parquet", coerce_timestamps="us")
+
+    v_stream = spark.readStream.schema(
+        "v_user bigint, v_ts timestamp, view_id bigint"
+    ).parquet(str(vdir))
+    p_stream = spark.readStream.schema(
+        "p_user bigint, p_ts timestamp, purchase_id bigint"
+    ).parquet(str(pdir))
+    joined = stream_stream_interval_join(p_stream, v_stream, how="leftOuter")
+
+    # live query: outer-side state evicts (and emits NULL-matches) only in
+    # a batch AFTER the watermark has passed the join interval, so feed a
+    # far-future sentinel view between the two drains
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory").queryName("t_ssoj").start()
+    )
+    try:
+        q.processAllAvailable()
+        # the GLOBAL watermark is min() across both inputs — advance both
+        pd.DataFrame(
+            {"v_user": [9], "v_ts": [t0 + pd.Timedelta("6 hours")],
+             "view_id": [99]}
+        ).to_parquet(vdir / "sentinel.parquet", coerce_timestamps="us")
+        pd.DataFrame(
+            {"p_user": [9], "p_ts": [t0 + pd.Timedelta("6 hours")],
+             "purchase_id": [999]}
+        ).to_parquet(pdir / "sentinel.parquet", coerce_timestamps="us")
+        q.processAllAvailable()
+        got = {
+            (r["purchase_id"], r["view_id"])
+            for r in spark.sql("SELECT * FROM t_ssoj").collect()
+        }
+    finally:
+        q.stop()
+    assert (100, 10) in got          # matched pair
+    assert (101, None) in got        # unmatched purchase flushed as outer
+
+
+def test_available_now_catch_up_and_resume(spark, tmp_path):
+    """AvailableNow: first run drains existing files and stops; a restart
+    with the same checkpoint processes ONLY files added in between."""
+    import pandas as pd
+
+    from etl_job_applify_spark.streaming.jobs import (
+        run_available_now_to_parquet,
+    )
+
+    src, out, ckpt = tmp_path / "src", tmp_path / "out", tmp_path / "ckpt"
+    src.mkdir()
+    pd.DataFrame({"id": [1, 2]}).to_parquet(src / "a.parquet")
+    stream = spark.readStream.schema("id bigint").parquet(str(src))
+
+    run_available_now_to_parquet(stream, str(out), str(ckpt))
+    assert spark.read.parquet(str(out)).count() == 2
+
+    pd.DataFrame({"id": [3]}).to_parquet(src / "b.parquet")
+    run_available_now_to_parquet(stream, str(out), str(ckpt))
+    back = spark.read.parquet(str(out))
+    assert back.count() == 3  # a.parquet not reprocessed
+    assert {r["id"] for r in back.collect()} == {1, 2, 3}
