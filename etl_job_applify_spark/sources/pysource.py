@@ -34,11 +34,37 @@ import uuid
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamReader,
     DataSourceWriter,
     InputPartition,
     WriterCommitMessage,
 )
 from pyspark.sql.types import StructType
+
+
+def _list_shards(path: str) -> list[str]:
+    import glob as _glob
+
+    if os.path.isdir(path):
+        return sorted(_glob.glob(os.path.join(path, "*.jsonl")))
+    return sorted(_glob.glob(path))
+
+
+def _parse_shard(path: str, schema: StructType, with_shard: bool):
+    # runs on executors: parse one shard, project to the declared
+    # schema (strict: unknown keys dropped, missing keys -> None)
+    fields = [
+        f.name for f in schema.fields if not (with_shard and f.name == "_shard")
+    ]
+    shard = os.path.basename(path)
+    with open(path, encoding="utf-8") as fh:
+        for line in fh:
+            line = line.strip()
+            if not line:
+                continue
+            rec = json.loads(line)
+            row = tuple(rec.get(k) for k in fields)
+            yield row + (shard,) if with_shard else row
 
 
 class _ShardPartition(InputPartition):
@@ -57,32 +83,48 @@ class _JsonlReader(DataSourceReader):
         ).lower() == "true"
 
     def partitions(self):
-        import glob as _glob
-
-        if os.path.isdir(self.path):
-            files = sorted(_glob.glob(os.path.join(self.path, "*.jsonl")))
-        else:
-            files = sorted(_glob.glob(self.path))
+        files = _list_shards(self.path)
         if not files:
             raise FileNotFoundError(f"no .jsonl shards under {self.path}")
         return [_ShardPartition(f) for f in files]
 
     def read(self, partition: _ShardPartition):
-        # runs on executors: parse one shard, project to the declared
-        # schema (strict: unknown keys dropped, missing keys -> None)
-        fields = [
-            f.name for f in self.schema.fields
-            if not (self.with_shard and f.name == "_shard")
-        ]
-        shard = os.path.basename(partition.path)
-        with open(partition.path, encoding="utf-8") as fh:
-            for line in fh:
-                line = line.strip()
-                if not line:
-                    continue
-                rec = json.loads(line)
-                row = tuple(rec.get(k) for k in fields)
-                yield row + (shard,) if self.with_shard else row
+        yield from _parse_shard(partition.path, self.schema, self.with_shard)
+
+
+class _JsonlStreamReader(DataSourceStreamReader):
+    """Shard-tailing micro-batch reader: the offset is a position in the
+    name-sorted shard list, so each micro-batch is 'the files that
+    appeared since the last one' (append-only landing zones with
+    monotonic shard names — the standard corpus-drop layout). Listing
+    runs on the driver (names only); parsing stays one task per shard.
+    Offsets live in the checkpoint, so a restarted query resumes at the
+    first unconsumed shard — never reprocessing, never skipping."""
+
+    def __init__(self, schema: StructType, options: dict) -> None:
+        self.schema = schema
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("jsonl_shards requires a 'path' option")
+        self.with_shard = str(
+            options.get("shardcolumn", "false")
+        ).lower() == "true"
+
+    def initialOffset(self) -> dict:
+        return {"index": 0}
+
+    def latestOffset(self) -> dict:
+        return {"index": len(_list_shards(self.path))}
+
+    def partitions(self, start: dict, end: dict):
+        files = _list_shards(self.path)[start["index"] : end["index"]]
+        return [_ShardPartition(f) for f in files]
+
+    def read(self, partition: _ShardPartition):
+        yield from _parse_shard(partition.path, self.schema, self.with_shard)
+
+    def commit(self, end: dict) -> None:
+        pass  # nothing to clean up: shards are immutable once landed
 
 
 class _JsonlCommit(WriterCommitMessage):
@@ -133,6 +175,9 @@ class JsonlShardDataSource(DataSource):
 
     def reader(self, schema: StructType) -> DataSourceReader:
         return _JsonlReader(schema, self.options)
+
+    def streamReader(self, schema: StructType) -> DataSourceStreamReader:
+        return _JsonlStreamReader(schema, self.options)
 
     def writer(self, schema: StructType, overwrite: bool) -> DataSourceWriter:
         return _JsonlWriter(schema, self.options, overwrite)

@@ -73,3 +73,33 @@ def test_writer_roundtrip(spark, tmp_path):
         .load(str(out))
     )
     assert back.count() == 3
+
+
+def test_stream_reader_tails_new_shards(spark, tmp_path):
+    """Streaming read: first micro-batch drains existing shards; shards
+    landed later arrive in later batches without reprocessing."""
+    register(spark)
+    src = tmp_path / "drop"
+    src.mkdir()
+    (src / "shard-000.jsonl").write_text('{"id": 1}\n{"id": 2}\n')
+
+    stream = (
+        spark.readStream.format("jsonl_shards")
+        .schema("id int")
+        .load(str(src))
+    )
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("memory").queryName("t_jsonl_tail").start()
+    )
+    try:
+        q.processAllAvailable()
+        assert {
+            r["id"] for r in spark.sql("SELECT * FROM t_jsonl_tail").collect()
+        } == {1, 2}
+        (src / "shard-001.jsonl").write_text('{"id": 3}\n')
+        q.processAllAvailable()
+        ids = [r["id"] for r in spark.sql("SELECT * FROM t_jsonl_tail").collect()]
+    finally:
+        q.stop()
+    assert sorted(ids) == [1, 2, 3]  # no duplicates: shard-000 not re-read
