@@ -518,6 +518,33 @@ def q121_recursive_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_Q121_SQL_BODY)
 
 
+# --- q122: boolean/conditional aggregate breadth -------------------------
+# count_if / bool_and / bool_or: the predicate-aggregate family (SQL2023
+# names, supported by both engines). One partial+final hash aggregate —
+# booleans merge associatively, so the plan is the same single shuffle
+# as any SUM at any scale.
+
+def q122_boolean_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = tbl(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        F.expr("count_if(o_totalprice > 150000)").alias("n_big"),
+        F.expr("bool_and(o_totalprice > 0)").alias("all_positive"),
+        F.expr("bool_or(o_orderstatus = 'F')").alias("any_finished"),
+    )
+
+
+_Q122_SQL = """
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(count_if(o_totalprice > 150000) AS BIGINT) AS n_big,
+       bool_and(o_totalprice > 0) AS all_positive,
+       bool_or(o_orderstatus = 'F') AS any_finished
+FROM orders
+GROUP BY o_orderpriority
+"""
+
+
 QUERIES = {
     "q107_mincost_supplier": q107_mincost_supplier,
     "q108_nation_volume": q108_nation_volume,
@@ -530,6 +557,7 @@ QUERIES = {
     "q115_large_orders": q115_large_orders,
     "q116_lapsed_customers": q116_lapsed_customers,
     "q121_recursive_hierarchy": q121_recursive_hierarchy,
+    "q122_boolean_aggs": q122_boolean_aggs,
 }
 
 ORACLE = {
@@ -544,4 +572,5 @@ ORACLE = {
     "q115_large_orders": _Q115_SQL,
     "q116_lapsed_customers": _Q116_SQL_BODY,
     "q121_recursive_hierarchy": _Q121_SQL_BODY,
+    "q122_boolean_aggs": _Q122_SQL,
 }

@@ -36,6 +36,47 @@ def write_parquet(
     writer.parquet(path)
 
 
+def write_csv(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    header: bool = True,
+    compression: str | None = "gzip",
+    **options: str,
+) -> None:
+    """CSV export sink (interchange with non-columnar consumers).
+
+    Gzip by default — CSV's size penalty vs parquet is the cost of the
+    format, compression claws most of it back. NB gzip splits per FILE,
+    not per block: keep write parallelism (one file per task) so reads
+    stay parallel too. Flat columns only — Spark rejects array/map/
+    struct in CSV; export those via parquet/JSON.
+    """
+    writer = df.write.mode(mode).option("header", header)
+    if compression:
+        writer = writer.option("compression", compression)
+    for k, v in options.items():
+        writer = writer.option(k, v)
+    writer.csv(path)
+
+
+def write_json(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    compression: str | None = "gzip",
+    **options: str,
+) -> None:
+    """JSON-lines export sink — keeps nested struct/array/map columns
+    (the interchange format for schema-flexible consumers)."""
+    writer = df.write.mode(mode)
+    if compression:
+        writer = writer.option("compression", compression)
+    for k, v in options.items():
+        writer = writer.option(k, v)
+    writer.json(path)
+
+
 def write_jdbc(
     df: DataFrame,
     url: str,

@@ -78,3 +78,21 @@ def test_compact_parquet_reduces_file_count(spark, tmp_path):
     n_big = sum(f.endswith(".parquet") for f in os.listdir(dst))
     assert n == n_big <= 4
     assert spark.read.parquet(dst).count() == 50_000
+
+
+def test_csv_and_json_export_roundtrip(spark, tmp_path):
+    from etl_job_applify_spark.sinks import write_csv, write_json
+
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id int, v string")
+    cdir, jdir = str(tmp_path / "csv"), str(tmp_path / "json")
+    write_csv(df, cdir)
+    back = spark.read.csv(cdir, header=True, inferSchema=True)
+    assert {(r["id"], r["v"]) for r in back.collect()} == {(1, "a"), (2, "b")}
+
+    nested = spark.createDataFrame(
+        [(1, {"k": "x"}, [1, 2])], "id int, m map<string,string>, a array<int>"
+    )
+    write_json(nested, jdir)
+    jback = spark.read.json(jdir)
+    row = jback.collect()[0]
+    assert row["a"] == [1, 2] and row["m"]["k"] == "x"
