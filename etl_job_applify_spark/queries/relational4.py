@@ -545,6 +545,95 @@ GROUP BY o_orderpriority
 """
 
 
+# --- q123: SQL UDF + SQL table function (Spark 4 SQL-language functions) -
+# A scalar SQL UDF (disc_price) and a SQL TVF (orders above a price
+# threshold) declared engine-side and composed in one query. SQL-language
+# functions INLINE into the calling plan (no Python boundary, no opaque
+# JVM UDF — Catalyst sees through them: pushdown/codegen intact), which
+# is why they're the right macro mechanism at scale. The oracle inlines
+# the same expressions textually, so results are bit-identical.
+
+def q123_sql_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _view(spark, sf_dir, "lineitem", "orders")
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION disc_price(p DOUBLE, d DOUBLE) "
+        "RETURNS DOUBLE RETURN p * (1 - d)"
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION pricey_orders(t DOUBLE) "
+        "RETURNS TABLE(o_orderkey BIGINT, o_orderpriority STRING) "
+        "RETURN SELECT o_orderkey, o_orderpriority FROM orders "
+        "WHERE o_totalprice > t"
+    )
+    return spark.sql(f"""
+        SELECT o_orderpriority,
+               {DSUM('disc_price(l_extendedprice, l_discount)')} AS revenue,
+               CAST(COUNT(*) AS BIGINT) AS n_lines
+        FROM pricey_orders(200000.0D)
+        JOIN lineitem ON l_orderkey = o_orderkey
+        GROUP BY o_orderpriority
+    """)
+
+
+_Q123_SQL = f"""
+SELECT o_orderpriority,
+       {DSUM('l_extendedprice * (1 - l_discount)')} AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_lines
+FROM (SELECT o_orderkey, o_orderpriority FROM orders
+      WHERE o_totalprice > 200000.0) pricey
+JOIN lineitem ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+"""
+
+
+# --- q124: event-type transition matrix (Markov chain estimation) --------
+# Per-user event sequences (ordered by ts with event_id tiebreaker) →
+# lag() pairs → transition counts and per-source shares. One shuffle for
+# the user-partitioned window sort, one for the pair aggregation; the
+# share divides exact integer counts via a window over the tiny
+# |event_types|² result.
+
+def q124_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    events = tbl(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = events.select(
+        F.lag("event_type").over(w).alias("prev_type"),
+        F.col("event_type").alias("next_type"),
+    ).filter(F.col("prev_type").isNotNull())
+    counts = pairs.groupBy("prev_type", "next_type").agg(
+        F.count("*").alias("n")
+    )
+    total_w = Window.partitionBy("prev_type")
+    return counts.select(
+        "prev_type",
+        "next_type",
+        "n",
+        (F.col("n").cast("double") / F.sum("n").over(total_w).cast("double"))
+        .alias("p"),
+    )
+
+
+_Q124_SQL = """
+WITH pairs AS (
+  SELECT lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev_type,
+         event_type AS next_type
+  FROM events
+),
+counts AS (
+  SELECT prev_type, next_type, CAST(COUNT(*) AS BIGINT) AS n
+  FROM pairs WHERE prev_type IS NOT NULL
+  GROUP BY 1, 2
+)
+SELECT prev_type, next_type, n,
+       CAST(n AS DOUBLE)
+         / CAST(SUM(n) OVER (PARTITION BY prev_type) AS DOUBLE) AS p
+FROM counts
+"""
+
+
 QUERIES = {
     "q107_mincost_supplier": q107_mincost_supplier,
     "q108_nation_volume": q108_nation_volume,
@@ -558,6 +647,8 @@ QUERIES = {
     "q116_lapsed_customers": q116_lapsed_customers,
     "q121_recursive_hierarchy": q121_recursive_hierarchy,
     "q122_boolean_aggs": q122_boolean_aggs,
+    "q123_sql_udf": q123_sql_udf,
+    "q124_event_transitions": q124_event_transitions,
 }
 
 ORACLE = {
@@ -573,4 +664,6 @@ ORACLE = {
     "q116_lapsed_customers": _Q116_SQL_BODY,
     "q121_recursive_hierarchy": _Q121_SQL_BODY,
     "q122_boolean_aggs": _Q122_SQL,
+    "q123_sql_udf": _Q123_SQL,
+    "q124_event_transitions": _Q124_SQL,
 }
