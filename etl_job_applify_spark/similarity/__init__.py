@@ -1,5 +1,5 @@
 from .brute import cosine_topk
-from .ivf import ann_topk_ivf
+from .ivf import ann_topk_ivf, build_ivf_index, query_ivf_index
 from .lsh import with_hyperplane_buckets, ann_topk_lsh
 
 __all__ = [
@@ -7,4 +7,6 @@ __all__ = [
     "with_hyperplane_buckets",
     "ann_topk_lsh",
     "ann_topk_ivf",
+    "build_ivf_index",
+    "query_ivf_index",
 ]

@@ -121,3 +121,92 @@ def ann_topk_ivf(
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+def build_ivf_index(
+    corpus: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_cells: int = 16,
+    seed: int = 7,
+) -> None:
+    """Persist an IVF index: ``path/centroids`` (one row per cell) and
+    ``path/cells`` (the corpus with precomputed norms, PARTITIONED BY
+    cell id on disk).
+
+    This splits ANN into the two jobs a 100 TB deployment actually runs:
+    an expensive one-time build (train quantizer, assign, re-layout) and
+    cheap repeated queries that read only the probed cells — the cell
+    partitioning turns ``nprobe/num_cells`` into a physical disk-pruning
+    ratio, not just a join-size reduction."""
+    centroids = train_centroids(corpus, vec_col, num_cells, seed)
+    spark = corpus.sparkSession
+    spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
+        "cell int, centroid array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+    assigned = with_norm(corpus.select(id_col, vec_col), vec_col).withColumn(
+        "cell", _centroid_assign_expr(vec_col, centroids)
+    )
+    assigned.write.mode("overwrite").partitionBy("cell").parquet(
+        f"{path}/cells"
+    )
+
+
+def query_ivf_index(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    nprobe: int = 3,
+) -> DataFrame:
+    """Top-k over a persisted IVF index. The query batch is small by
+    definition, so its probe-cell set collects to the driver and becomes
+    a STATIC partition filter — the cells scan reads only
+    ``|probed cells| / num_cells`` of the index from disk (visible as
+    PartitionFilters in the plan), then one equi-join on cell scores
+    exact cosine inside the probed cells."""
+    import numpy as np
+
+    cents = spark.read.parquet(f"{path}/centroids").orderBy("cell").collect()
+    centroids = np.array([r["centroid"] for r in cents])
+    d_arr = _centroid_dists_sql(vec_col, centroids)
+    probe_cells = (
+        f"transform(slice(array_sort(transform({d_arr},"
+        f" (d, i) -> struct(d AS dist, i AS idx))), 1, {nprobe}), s -> s.idx)"
+    )
+    q = with_norm(queries.select(query_id_col, vec_col), vec_col).withColumn(
+        "__probe", F.explode(F.expr(probe_cells))
+    ).withColumn("cell", F.col("__probe").cast("int")).select(
+        "cell",
+        F.col(query_id_col).alias("query_id"),
+        F.col(vec_col).alias("__qv"),
+        F.col("norm").alias("__qn"),
+    )
+    needed = sorted(r["cell"] for r in q.select("cell").distinct().collect())
+    c = (
+        spark.read.parquet(f"{path}/cells")
+        .filter(F.col("cell").isin(needed))
+        .select(
+            "cell",
+            F.col(id_col).alias("neighbor"),
+            F.col(vec_col).alias("__cv"),
+            F.col("norm").alias("__cn"),
+        )
+    )
+    scored = c.join(q, "cell").withColumn(
+        "cosine", cosine_expr("__qv", "__cv", "__qn", "__cn")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.col("neighbor")
+    )
+    return (
+        scored.select("query_id", "neighbor", "cosine")
+        .distinct()
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

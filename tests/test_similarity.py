@@ -56,3 +56,33 @@ def test_ivf_recall(spark):
     exact = cosine_topk(corpus, queries, k=5).collect()
     approx = ann_topk_ivf(corpus, queries, k=5, num_cells=8, nprobe=4).collect()
     assert _recall(approx, exact) >= 0.5
+
+
+def test_ivf_index_build_query_matches_inmemory(spark, tmp_path):
+    """Persisted-index query path returns the same neighbors as the
+    in-memory IVF (identical quantizer: same corpus, seed, cells), and
+    the cells scan is partition-pruned to the probed cells."""
+    from etl_job_applify_spark.plans import explain_str
+    from etl_job_applify_spark.similarity import (
+        ann_topk_ivf,
+        build_ivf_index,
+        query_ivf_index,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = (
+        emb.filter("vec_id % 100 = 0")
+        .selectExpr("vec_id AS query_id", "embedding")
+    )
+    idx = str(tmp_path / "ivf")
+    build_ivf_index(emb, idx, num_cells=8, seed=7)
+    got = query_ivf_index(spark, idx, queries, k=5, nprobe=3)
+    want = ann_topk_ivf(emb, queries, k=5, num_cells=8, nprobe=3, seed=7)
+    g = {(r["query_id"], r["neighbor"]) for r in got.collect()}
+    w = {(r["query_id"], r["neighbor"]) for r in want.collect()}
+    assert g == w and len(g) > 0
+
+    # the probed-cell filter must reach the parquet scan as a partition
+    # filter — that's the disk-pruning contract of the layout
+    text = explain_str(got)
+    assert "PartitionFilters" in text and "cell" in text.split("PartitionFilters")[1][:120]
