@@ -57,3 +57,31 @@ class Pipeline:
             self.load(df)
             log.info("pipeline %s: done", self.name)
         return df
+
+    def run_observed(
+        self, spark: SparkSession, metrics: dict[str, "Column"] | None = None
+    ) -> tuple[DataFrame, dict]:
+        """Run with free in-flight metrics via ``df.observe``: the named
+        aggregates ride the sink job itself (collected by executors as
+        rows stream to the sink) — NO second pass over the data, unlike
+        a ``.count()`` after the write, which at 100 TB would double the
+        job. Requires a configured sink (observed metrics only
+        materialize through an action).
+
+        Default metrics: row count. Returns (DataFrame, metrics dict) —
+        the numbers production jobs alert on (rows in/out, null rates).
+        """
+        from pyspark.sql import Observation
+        from pyspark.sql import functions as F
+
+        if self.load is None:
+            raise ValueError("run_observed requires a sink (load=...)")
+        obs = Observation(f"{self.name}_metrics")
+        m = metrics or {"rows_out": F.count(F.lit(1))}
+        df = self.build(spark).observe(
+            obs, *(expr.alias(name) for name, expr in m.items())
+        )
+        self.load(df)
+        got = obs.get
+        log.info("pipeline %s: metrics %s", self.name, got)
+        return df, got

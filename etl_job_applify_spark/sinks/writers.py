@@ -132,6 +132,60 @@ def write_clustered(
     out.sortWithinPartitions(*cols).write.mode(mode).parquet(path)
 
 
+def zorder_expr(cols: Sequence[str], bits: int = 10):
+    """Z-value (Morton code) over up to 6 numeric columns: each column is
+    min-max normalized to ``bits`` bits (range bounds must be supplied by
+    the caller as (col, lo, hi) tuples) and the bits are interleaved —
+    one codegen'd integer expression, no UDF.
+
+    ``cols``: sequence of (name, lo, hi).
+    """
+    from pyspark.sql import functions as F
+
+    n = len(cols)
+    scale = (1 << bits) - 1
+    parts = []
+    for ci, (name, lo, hi) in enumerate(cols):
+        # normalized integer rank in [0, 2^bits)
+        norm = (
+            f"CAST(LEAST(GREATEST(({name} - {lo}) / ({hi} - {lo}), 0.0),"
+            f" 1.0) * {scale} AS BIGINT)"
+        )
+        # spread this column's bit b to interleaved position b*n + ci
+        parts += [
+            f"(((({norm}) >> {b}) & 1) << {b * n + ci})" for b in range(bits)
+        ]
+    return F.expr(" + ".join(parts))
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    cluster_by: Sequence[tuple],
+    mode: str = "overwrite",
+    num_files: int | None = None,
+    bits: int = 10,
+) -> None:
+    """Z-order-clustered parquet layout: range-partition + sort on the
+    interleaved Morton code so every file covers a compact REGION of the
+    multi-column space. Unlike ``write_clustered`` (lexicographic — only
+    the leading column prunes well), Z-ordering gives file-level min/max
+    skipping on EVERY clustered column, the standard layout for tables
+    queried by multiple independent predicates.
+
+    ``cluster_by``: sequence of (column, lo, hi) range hints — at scale
+    compute them once with approxQuantile(0/1) or table stats; they only
+    steer layout, so staleness degrades clustering, never correctness."""
+    z = zorder_expr(cluster_by, bits)
+    tagged = df.withColumn("__z", z)
+    out = (
+        tagged.repartitionByRange(num_files, "__z")
+        if num_files
+        else tagged.repartitionByRange("__z")
+    )
+    out.sortWithinPartitions("__z").drop("__z").write.mode(mode).parquet(path)
+
+
 def compact_parquet(
     spark,
     src_path: str,

@@ -96,3 +96,42 @@ def test_csv_and_json_export_roundtrip(spark, tmp_path):
     jback = spark.read.json(jdir)
     row = jback.collect()[0]
     assert row["a"] == [1, 2] and row["m"]["k"] == "x"
+
+
+def test_zorder_expr_interleaves_bits(spark):
+    from etl_job_applify_spark.sinks.writers import zorder_expr
+
+    df = spark.createDataFrame(
+        [(0, 0), (3, 0), (0, 3), (3, 3)], "x int, y int"
+    ).withColumn("z", zorder_expr([("x", 0, 3), ("y", 0, 3)], bits=2))
+    got = {(r["x"], r["y"]): r["z"] for r in df.collect()}
+    # x occupies even bit positions, y odd: (3,0)=0101=5, (0,3)=1010=10
+    assert got == {(0, 0): 0, (3, 0): 5, (0, 3): 10, (3, 3): 15}
+
+
+def test_zordered_layout_gives_2d_locality(spark, tmp_path):
+    """Each z-ordered file must cover a compact tile of (x, y) space —
+    unlike lexicographic clustering, whose files span ALL of y."""
+    import os
+
+    from etl_job_applify_spark.sinks.writers import write_zordered
+
+    grid = spark.range(0, 4096).selectExpr(
+        "CAST(id % 64 AS INT) AS x", "CAST(id DIV 64 AS INT) AS y"
+    )
+    out = str(tmp_path / "zorder")
+    write_zordered(grid, out, [("x", 0, 63), ("y", 0, 63)], num_files=16)
+
+    files = [
+        os.path.join(out, f) for f in os.listdir(out) if f.endswith(".parquet")
+    ]
+    assert len(files) == 16
+    spans = []
+    for f in files:
+        r = spark.read.parquet(f).selectExpr(
+            "max(x) - min(x) AS sx", "max(y) - min(y) AS sy"
+        ).collect()[0]
+        spans.append((r["sx"], r["sy"]))
+    # a 64×64 grid in 16 z-tiles → every file's bounding box stays well
+    # under half the global span on BOTH axes (stripes would span 63)
+    assert all(sx <= 32 and sy <= 32 for sx, sy in spans), spans

@@ -108,3 +108,40 @@ def test_pipeline_end_to_end(spark, tmp_path):
     )
     pipe.run(spark)
     assert spark.read.parquet(out_dir).count() == 2
+
+
+def test_pipeline_observed_metrics_single_pass(spark, tmp_path):
+    """run_observed reports sink-job metrics (no second pass) with the
+    caller's alias names."""
+    from pyspark.sql import functions as F
+
+    from etl_job_applify_spark.pipeline import Pipeline
+
+    out = str(tmp_path / "obs_out")
+    pipe = Pipeline(
+        extract=lambda s: s.range(0, 1000).withColumn(
+            "v", F.when(F.col("id") % 10 == 0, None).otherwise(F.col("id"))
+        ),
+        transforms=[lambda df: df.filter(F.col("id") >= 100)],
+        load=lambda df: df.write.mode("overwrite").parquet(out),
+        name="obs_test",
+    )
+    _, metrics = pipe.run_observed(
+        spark,
+        {
+            "rows_out": F.count(F.lit(1)),
+            "null_v": F.count_if(F.col("v").isNull()),
+        },
+    )
+    assert metrics["rows_out"] == 900
+    assert metrics["null_v"] == 90
+    assert spark.read.parquet(out).count() == 900
+
+
+def test_pipeline_observed_requires_sink(spark):
+    import pytest as _pytest
+
+    from etl_job_applify_spark.pipeline import Pipeline
+
+    with _pytest.raises(ValueError, match="sink"):
+        Pipeline(extract=lambda s: s.range(3)).run_observed(spark)
