@@ -35,6 +35,7 @@ from . import (
     pipelineops,
     pipelineops2,
     sketches,
+    graphmatch,
 )
 
 
@@ -53,6 +54,7 @@ _MODULES = [
     pipelineops,
     pipelineops2,
     sketches,
+    graphmatch,
 ]
 
 

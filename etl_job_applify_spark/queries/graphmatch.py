@@ -1,0 +1,136 @@
+"""Entity resolution and iterative graph scoring.
+
+- q125 blocked fuzzy matching (record linkage): dirty strings resolve to
+  canonical records via blocking + edit distance — the ETL step that
+  reconciles free-text keys across systems. The blocked join is the
+  scale pattern: candidates = block-equijoin (shuffle on block key),
+  NEVER the all-pairs cross join; levenshtein runs only inside blocks.
+- q126 PageRank over the event-type transition graph, five power
+  iterations UNROLLED as chained CTEs — iterative algorithms as plain
+  dataflow, the same SQL text on both engines. Per-iteration
+  contributions accumulate in DECIMAL (associative) so the result is
+  bit-identical at any parallelism; the closed recursion alternative
+  stays q60-style label propagation (Spark's recursive CTE bars
+  aggregates in the recursive term, as do most engines).
+
+Reference scope note: the reference has no analytics surface
+(services/post_processing.py:5-8 is a `pass` stub); these extend the
+demanded-category rows (SURVEY §2b) into the entity-resolution and
+graph-scoring territory a warehouse-grade engine is expected to cover.
+
+Determinism: levenshtein is exact integer edit distance (identical in
+Spark and DuckDB — verified); ranking tiebreaks on the unique customer
+key; PageRank's per-edge products are deterministic double ops and the
+cross-row sums go through DECIMAL(28,15).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ._util import tbl
+
+
+def _view(spark: SparkSession, sf_dir: str, *names: str) -> None:
+    for n in names:
+        tbl(spark, sf_dir, n).createOrReplaceTempView(n)
+
+
+# --- q125: blocked fuzzy matching (entity resolution) --------------------
+# Probe set = every 7th customer with its name corrupted ('#00' → '#OO',
+# the classic OCR/data-entry zero/oh confusion, 2 edits). Blocking key =
+# last 4 characters (digits the corruption never touches), so candidate
+# pairs are block-local; edit distance ≤ 2 then picks the real match.
+# Plan: one shuffle on the block key; block sizes are bounded by the key
+# cardinality (10^4 suffixes), so no block degenerates toward the
+# quadratic all-pairs the un-blocked form would be. row_number keeps the
+# single best (distance, key) candidate per probe.
+
+_Q125_SQL = """
+WITH dirty AS (
+  SELECT c_custkey AS dirty_id,
+         replace(c_name, '#00', '#OO') AS dirty_name,
+         right(c_name, 4) AS blk
+  FROM customer WHERE c_custkey % 7 = 0
+),
+cand AS (
+  SELECT dirty_id, dirty_name, c_custkey AS matched_id,
+         levenshtein(dirty_name, c_name) AS dist
+  FROM dirty JOIN customer ON right(c_name, 4) = blk
+  WHERE levenshtein(dirty_name, c_name) <= 2
+),
+best AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY dirty_id
+                               ORDER BY dist, matched_id) AS rn
+  FROM cand
+)
+SELECT dirty_id, dirty_name, matched_id, dist
+FROM best WHERE rn = 1
+"""
+
+
+def q125_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _view(spark, sf_dir, "customer")
+    return spark.sql(_Q125_SQL)
+
+
+# --- q126: PageRank, five unrolled power iterations ----------------------
+
+def _pagerank_sql(iters: int = 5, damp: float = 0.85) -> str:
+    base = """
+WITH pairs AS (
+  SELECT lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS src,
+         event_type AS dst
+  FROM events
+),
+edges AS (
+  SELECT src, dst,
+         CAST(n AS DOUBLE)
+           / CAST(SUM(n) OVER (PARTITION BY src) AS DOUBLE) AS w
+  FROM (SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS n
+        FROM pairs WHERE src IS NOT NULL GROUP BY 1, 2)
+),
+nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+r0 AS (
+  SELECT node,
+         1.0 / (SELECT CAST(COUNT(*) AS DOUBLE) FROM nodes) AS rank
+  FROM nodes
+)"""
+    step = """,
+r{i} AS (
+  SELECT n.node,
+         {teleport} / (SELECT CAST(COUNT(*) AS DOUBLE) FROM nodes)
+         + {damp} * CAST(COALESCE(
+             SUM(CAST(r.rank * e.w AS DECIMAL(28,15))), 0) AS DOUBLE)
+           AS rank
+  FROM nodes n
+  LEFT JOIN edges e ON e.dst = n.node
+  LEFT JOIN r{prev} r ON r.node = e.src
+  GROUP BY n.node
+)"""
+    out = base
+    for i in range(1, iters + 1):
+        out += step.format(
+            i=i, prev=i - 1, damp=damp, teleport=round(1 - damp, 10)
+        )
+    return out + f"\nSELECT node, rank FROM r{iters}"
+
+
+_Q126_SQL = _pagerank_sql(iters=5)
+
+
+def q126_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _view(spark, sf_dir, "events")
+    return spark.sql(_Q126_SQL)
+
+
+QUERIES = {
+    "q125_entity_resolution": q125_entity_resolution,
+    "q126_pagerank": q126_pagerank,
+}
+
+ORACLE = {
+    "q125_entity_resolution": _Q125_SQL,
+    "q126_pagerank": _Q126_SQL,
+}
