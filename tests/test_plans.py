@@ -112,3 +112,26 @@ def test_registry_wide_plan_audit(spark):
             if name not in CARTESIAN_OK and "q08" not in name:
                 offenders.append((name, "un-gated cartesian/BNLJ"))
     assert not offenders, offenders
+
+
+def test_join_strategy_hints_are_honored(spark):
+    """The engine exposes all four join-strategy hints; each must reach
+    the physical plan (the knob a 100 TB job reaches for when AQE's
+    choice is wrong for a known workload)."""
+    from etl_job_applify_spark.queries._util import tbl
+
+    li = tbl(spark, SF_SMOKE, "lineitem")
+    orders = tbl(spark, SF_SMOKE, "orders")
+
+    merge = li.hint("merge").join(orders, li.l_orderkey == orders.o_orderkey)
+    assert "SortMergeJoin" in explain_str(merge, "simple")
+
+    shuffle_hash = li.hint("shuffle_hash").join(
+        orders, li.l_orderkey == orders.o_orderkey
+    )
+    assert "ShuffledHashJoin" in explain_str(shuffle_hash, "simple")
+
+    bcast = orders.hint("broadcast").join(
+        li, li.l_orderkey == orders.o_orderkey
+    )
+    assert "BroadcastHashJoin" in explain_str(bcast, "simple")
