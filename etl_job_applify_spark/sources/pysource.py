@@ -50,9 +50,14 @@ def _list_shards(path: str) -> list[str]:
     return sorted(_glob.glob(path))
 
 
-def _parse_shard(path: str, schema: StructType, with_shard: bool):
+def _parse_shard(
+    path: str, schema: StructType, with_shard: bool, permissive: bool = False
+):
     # runs on executors: parse one shard, project to the declared
-    # schema (strict: unknown keys dropped, missing keys -> None)
+    # schema (strict: unknown keys dropped, missing keys -> None).
+    # permissive=True skips malformed lines instead of failing the task —
+    # the reference's PERMISSIVE-reader semantics (SURVEY S1/S2); at
+    # scale one corrupt line must not kill a 10^5-task job.
     fields = [
         f.name for f in schema.fields if not (with_shard and f.name == "_shard")
     ]
@@ -62,9 +67,22 @@ def _parse_shard(path: str, schema: StructType, with_shard: bool):
             line = line.strip()
             if not line:
                 continue
-            rec = json.loads(line)
+            try:
+                rec = json.loads(line)
+            except ValueError:
+                if permissive:
+                    continue
+                raise
+            if not isinstance(rec, dict):
+                if permissive:
+                    continue
+                raise ValueError(f"non-object JSONL line in {shard}")
             row = tuple(rec.get(k) for k in fields)
             yield row + (shard,) if with_shard else row
+
+
+def _opt_bool(options: dict, key: str) -> bool:
+    return str(options.get(key, "false")).lower() == "true"
 
 
 class _ShardPartition(InputPartition):
@@ -78,9 +96,8 @@ class _JsonlReader(DataSourceReader):
         self.path = options.get("path")
         if not self.path:
             raise ValueError("jsonl_shards requires a 'path' option")
-        self.with_shard = str(
-            options.get("shardcolumn", "false")
-        ).lower() == "true"
+        self.with_shard = _opt_bool(options, "shardcolumn")
+        self.permissive = _opt_bool(options, "permissive")
 
     def partitions(self):
         files = _list_shards(self.path)
@@ -89,7 +106,9 @@ class _JsonlReader(DataSourceReader):
         return [_ShardPartition(f) for f in files]
 
     def read(self, partition: _ShardPartition):
-        yield from _parse_shard(partition.path, self.schema, self.with_shard)
+        yield from _parse_shard(
+            partition.path, self.schema, self.with_shard, self.permissive
+        )
 
 
 class _JsonlStreamReader(DataSourceStreamReader):
@@ -106,9 +125,8 @@ class _JsonlStreamReader(DataSourceStreamReader):
         self.path = options.get("path")
         if not self.path:
             raise ValueError("jsonl_shards requires a 'path' option")
-        self.with_shard = str(
-            options.get("shardcolumn", "false")
-        ).lower() == "true"
+        self.with_shard = _opt_bool(options, "shardcolumn")
+        self.permissive = _opt_bool(options, "permissive")
 
     def initialOffset(self) -> dict:
         return {"index": 0}
@@ -121,7 +139,9 @@ class _JsonlStreamReader(DataSourceStreamReader):
         return [_ShardPartition(f) for f in files]
 
     def read(self, partition: _ShardPartition):
-        yield from _parse_shard(partition.path, self.schema, self.with_shard)
+        yield from _parse_shard(
+            partition.path, self.schema, self.with_shard, self.permissive
+        )
 
     def commit(self, end: dict) -> None:
         pass  # nothing to clean up: shards are immutable once landed

@@ -103,3 +103,68 @@ def test_stream_reader_tails_new_shards(spark, tmp_path):
     finally:
         q.stop()
     assert sorted(ids) == [1, 2, 3]  # no duplicates: shard-000 not re-read
+
+
+def test_permissive_mode_skips_malformed_lines(spark, tmp_path):
+    register(spark)
+    p = tmp_path / "dirty"
+    p.mkdir()
+    (p / "a.jsonl").write_text(
+        '{"id": 1}\nNOT JSON AT ALL\n[1, 2, 3]\n{"id": 2}\n'
+    )
+    df = (
+        spark.read.format("jsonl_shards")
+        .schema("id int")
+        .option("permissive", "true")
+        .load(str(p))
+    )
+    assert {r["id"] for r in df.collect()} == {1, 2}
+    strict = (
+        spark.read.format("jsonl_shards").schema("id int").load(str(p))
+    )
+    import pytest as _pytest
+    from pyspark.errors.exceptions.captured import PythonException
+
+    with _pytest.raises(PythonException):
+        strict.collect()
+
+
+def test_stream_composes_with_windowed_agg(spark, tmp_path):
+    """The custom stream feeds a standard watermarked tumbling window —
+    custom sources compose with the rest of the streaming engine."""
+    from pyspark.sql import functions as F
+
+    register(spark)
+    src = tmp_path / "evts"
+    src.mkdir()
+    (src / "s0.jsonl").write_text(
+        '{"ts": "2024-01-01 10:00:30", "kind": "a"}\n'
+        '{"ts": "2024-01-01 10:00:45", "kind": "a"}\n'
+        '{"ts": "2024-01-01 10:01:30", "kind": "b"}\n'
+    )
+    stream = (
+        spark.readStream.format("jsonl_shards")
+        .schema("ts string, kind string")
+        .load(str(src))
+        .withColumn("ts", F.to_timestamp("ts"))
+    )
+    counts = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 minute").alias("w"), "kind")
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("start"), "kind", "n")
+    )
+    q = (
+        counts.writeStream.outputMode("complete")
+        .format("memory").queryName("t_jsonl_win").start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            (str(r["start"]), r["kind"], r["n"])
+            for r in spark.sql("SELECT * FROM t_jsonl_win").collect()
+        }
+    finally:
+        q.stop()
+    assert ("2024-01-01 10:00:00", "a", 2) in got
+    assert ("2024-01-01 10:01:00", "b", 1) in got
