@@ -27,13 +27,23 @@ from typing import Any
 from pyspark.sql import DataFrame, SparkSession
 
 from .pipeline import Pipeline
-from .sinks.writers import write_jdbc, write_parquet
+from .sinks.writers import write_csv, write_jdbc, write_json, write_parquet
 from .sources.jdbc import DIALECTS, JdbcSource
-from .sources.readers import read_csv, read_json, read_parquet, read_xml
+from .sources.readers import (
+    read_binary,
+    read_csv,
+    read_json,
+    read_orc,
+    read_parquet,
+    read_text,
+    read_xml,
+)
 from .transform.contract import SchemaContract
 from .transform.dedup import exact_dedup
 
-FILE_SOURCES = {"parquet", "csv", "json", "xml"}
+FILE_SOURCES = {
+    "parquet", "csv", "json", "xml", "orc", "text", "binary", "jsonl"
+}
 DB_SOURCES = set(DIALECTS)
 
 
@@ -51,6 +61,27 @@ def _build_extract(src: dict[str, Any]):
             s, src["path"], row_tag=src.get("row_tag", "row"),
             schema=src.get("schema"), **opts,
         )
+    if stype == "orc":
+        return lambda s: read_orc(s, src["path"])
+    if stype == "text":
+        return lambda s: read_text(
+            s, src["path"], whole=bool(src.get("whole", False)), **opts
+        )
+    if stype == "binary":
+        return lambda s: read_binary(s, src["path"], glob=src.get("glob"))
+    if stype == "jsonl":
+        def _extract_jsonl(s):
+            from .sources.pysource import register
+
+            register(s)
+            reader = s.read.format("jsonl_shards")
+            if src.get("schema"):
+                reader = reader.schema(src["schema"])
+            for k, v in opts.items():
+                reader = reader.option(k, v)
+            return reader.load(src["path"])
+
+        return _extract_jsonl
     if stype in DB_SOURCES:
         jdbc = JdbcSource(
             dialect=stype,
@@ -86,12 +117,38 @@ def _build_load(sink: dict[str, Any]):
             df, sink["url"], sink["table"], sink["user"], sink["password"],
             sink["driver"], mode=sink.get("mode", "append"),
         )
+    if stype == "csv":
+        return lambda df: write_csv(
+            df, sink["path"], mode=sink.get("mode", "overwrite"),
+            header=bool(sink.get("header", True)),
+            compression=sink.get("compression", "gzip"),
+        )
+    if stype == "json":
+        return lambda df: write_json(
+            df, sink["path"], mode=sink.get("mode", "overwrite"),
+            compression=sink.get("compression", "gzip"),
+        )
+    if stype == "jsonl":
+        def _load_jsonl(df):
+            from .sources.pysource import register
+
+            register(df.sparkSession)
+            df.write.format("jsonl_shards").mode(
+                sink.get("mode", "append")
+            ).save(sink["path"])
+
+        return _load_jsonl
     raise ValueError(f"unknown sink type {stype!r}")
 
 
 def build_job(spec: dict[str, Any]) -> Pipeline:
     """Compile a job spec into a lazy Pipeline (no execution)."""
     transforms = []
+    if spec.get("filter"):
+        # SQL predicate string; declared early so Catalyst pushes it into
+        # the scan regardless of its position in the transform list
+        cond = spec["filter"]
+        transforms.append(lambda df: df.filter(cond))
     if spec.get("contract"):
         contract = SchemaContract.from_dict(spec["contract"])
         transforms.append(contract.apply)

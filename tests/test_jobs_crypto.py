@@ -82,3 +82,48 @@ def test_streaming_dedup_within_watermark(spark):
     )
     # fixture ids are unique → dedup is the identity on counts
     assert out.count() == tbl(spark, SF_SMOKE, "events").count()
+
+
+def test_job_spec_new_sources_and_sinks(spark, tmp_path):
+    """The widened dispatch: text source with filter, jsonl roundtrip,
+    csv/json sinks."""
+    import json as _json
+
+    from etl_job_applify_spark.jobs import run_job
+
+    # text source + filter + json sink
+    src = tmp_path / "raw"
+    src.mkdir()
+    (src / "a.txt").write_text("keep me\ndrop this\nkeep too\n")
+    out_json = str(tmp_path / "out_json")
+    run_job(spark, {
+        "source": {"type": "text", "path": str(src)},
+        "filter": "value LIKE 'keep%'",
+        "sink": {"type": "json", "path": out_json, "compression": None},
+    })
+    assert spark.read.json(out_json).count() == 2
+
+    # jsonl source -> csv sink
+    shards = tmp_path / "shards"
+    shards.mkdir()
+    (shards / "s.jsonl").write_text(
+        "\n".join(_json.dumps({"id": i, "v": f"x{i}"}) for i in range(5))
+    )
+    out_csv = str(tmp_path / "out_csv")
+    run_job(spark, {
+        "source": {"type": "jsonl", "path": str(shards),
+                   "schema": "id int, v string"},
+        "filter": "id >= 2",
+        "sink": {"type": "csv", "path": out_csv, "compression": None},
+    })
+    back = spark.read.csv(out_csv, header=True, inferSchema=True)
+    assert {r["id"] for r in back.collect()} == {2, 3, 4}
+
+    # binary source listing
+    media = tmp_path / "media"
+    media.mkdir()
+    (media / "x.bin").write_bytes(b"abc")
+    df = run_job(spark, {
+        "source": {"type": "binary", "path": str(media)},
+    })
+    assert df.count() == 1
