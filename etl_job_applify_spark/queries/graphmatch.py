@@ -125,12 +125,62 @@ def q126_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_Q126_SQL)
 
 
+# --- q127: snapshot diff (table-diff / changelog generation) -------------
+# The ETL audit op: given two snapshots of a table, emit the changelog
+# (added / removed / changed / unchanged counts plus the changed keys).
+# Snapshots here are the orders table at two order-date cutoffs (the
+# driver fixtures are immutable, so time slices stand in for versions).
+# Plan: ONE full outer join on the key — at 100 TB both snapshots come
+# pre-bucketed by key from the lake (tests/test_bucketing.py), making
+# the diff shuffle-free; the CASE classification is free projection.
+
+_Q127_SQL = """
+WITH old AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+  WHERE o_orderdate < TIMESTAMP '1999-01-01'
+),
+new AS (
+  -- the newer snapshot: one more year of orders, every 13th old order
+  -- deleted, every 17th order's status updated (simulated mutations —
+  -- the fixtures are immutable)
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 17 = 0 THEN 'X' ELSE o_orderstatus END
+           AS o_orderstatus,
+         o_totalprice
+  FROM orders
+  WHERE o_orderdate < TIMESTAMP '2000-01-01'
+    AND NOT (o_orderkey % 13 = 0 AND o_orderdate < TIMESTAMP '1999-01-01')
+),
+diff AS (
+  SELECT COALESCE(old.o_orderkey, new.o_orderkey) AS o_orderkey,
+         CASE
+           WHEN old.o_orderkey IS NULL THEN 'added'
+           WHEN new.o_orderkey IS NULL THEN 'removed'
+           WHEN old.o_orderstatus <> new.o_orderstatus
+             OR old.o_totalprice <> new.o_totalprice THEN 'changed'
+           ELSE 'unchanged'
+         END AS change_type
+  FROM old FULL OUTER JOIN new ON old.o_orderkey = new.o_orderkey
+)
+SELECT change_type, CAST(COUNT(*) AS BIGINT) AS n,
+       MIN(o_orderkey) AS sample_key
+FROM diff GROUP BY change_type
+"""
+
+
+def q127_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _view(spark, sf_dir, "orders")
+    return spark.sql(_Q127_SQL)
+
+
 QUERIES = {
     "q125_entity_resolution": q125_entity_resolution,
     "q126_pagerank": q126_pagerank,
+    "q127_snapshot_diff": q127_snapshot_diff,
 }
 
 ORACLE = {
     "q125_entity_resolution": _Q125_SQL,
     "q126_pagerank": _Q126_SQL,
+    "q127_snapshot_diff": _Q127_SQL,
 }
