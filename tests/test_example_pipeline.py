@@ -26,3 +26,39 @@ def test_curation_pipeline_end_to_end(spark, tmp_path):
     assert "train" in splits and splits <= {"train", "val", "test"}
     n_train = landed.filter("split = 'train'").count()
     assert n_train > landed.count() / 2
+
+
+def test_warehouse_sync_example(spark, tmp_path):
+    """Two sync cycles: initial load, then an upsert that replaces one
+    row by version — the flow the reference staged but never executed."""
+    import json
+    import sys
+
+    sys.path.insert(0, "/root/repo/examples")
+    from warehouse_sync import sync
+
+    drop = tmp_path / "drop"
+    drop.mkdir()
+    table = str(tmp_path / "users")
+    with open(drop / "batch-000.jsonl", "w") as fh:
+        for i in range(5):
+            fh.write(json.dumps({
+                "user_id": i, "name": f"user{i}",
+                "updated_at": "2024-01-01 10:00:00", "v": 1,
+            }) + "\n")
+        fh.write("corrupt line\n")  # permissive ingest must survive this
+    m1 = sync(spark, str(drop), table)
+    assert m1["rows_total"] == 5 and m1["null_versions"] == 0
+
+    with open(drop / "batch-001.jsonl", "w") as fh:
+        fh.write(json.dumps({
+            "user_id": 3, "name": "user3-renamed",
+            "updated_at": "2024-01-02 10:00:00", "v": 2,
+        }) + "\n")
+    m2 = sync(spark, str(drop), table)
+    assert m2["rows_total"] == 5  # still 5 rows: id 3 replaced, not added
+
+    final = {r["id"]: (r["name"], r["version"])
+             for r in spark.read.parquet(table).collect()}
+    assert final[3] == ("user3-renamed", 2)
+    assert final[0] == ("user0", 1)
