@@ -192,3 +192,58 @@ def test_connected_components_match_union_find(spark, edges):
             parent[max(ra, rb)] = min(ra, rb)
     want = {n: find(n) for n in parent}
     assert got == want
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    pts=st.lists(st.tuples(st.integers(0, 63), st.integers(0, 63)),
+                 min_size=1, max_size=20, unique=True),
+)
+def test_zorder_code_is_injective_and_bounded(spark, pts):
+    """Distinct grid points get distinct Morton codes within range."""
+    from etl_job_applify_spark.sinks.writers import zorder_expr
+
+    df = spark.createDataFrame(pts, "x int, y int").withColumn(
+        "z", zorder_expr([("x", 0, 63), ("y", 0, 63)], bits=6)
+    )
+    rows = df.collect()
+    zs = [r["z"] for r in rows]
+    assert len(set(zs)) == len(pts)          # injective on the grid
+    assert all(0 <= z < 4096 for z in zs)    # 2*6 bits
+
+    # locality anchor: interleaving means the code of (x, y) is bounded
+    # by interleave(max) — spot-check the known corner
+    corner = [r["z"] for r in rows if r["x"] == 63 and r["y"] == 63]
+    assert corner == [4095] if corner else True
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    texts=st.lists(
+        st.text(alphabet="ab c", min_size=1, max_size=30),
+        min_size=1, max_size=12, unique=True,
+    ),
+)
+def test_hash_split_is_total_and_content_stable(spark, texts):
+    """Every doc lands in exactly one split; identical text → same split
+    regardless of doc_id (the dup-safety property)."""
+    from pyspark.sql import functions as F
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    rows += [(1000 + i, t) for i, t in enumerate(texts)]  # dup ids differ
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    bucket = "instr('0123456789abcdef', substring(md5(text), 1, 1)) - 1"
+    out = df.select(
+        "doc_id", "text",
+        F.expr(
+            f"CASE WHEN {bucket} < 13 THEN 'train' "
+            f"WHEN {bucket} < 15 THEN 'val' ELSE 'test' END"
+        ).alias("split"),
+    ).collect()
+    by_text = {}
+    for r in out:
+        assert r["split"] in {"train", "val", "test"}
+        by_text.setdefault(r["text"], set()).add(r["split"])
+    assert all(len(s) == 1 for s in by_text.values())
