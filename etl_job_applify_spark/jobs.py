@@ -166,3 +166,60 @@ def build_job(spec: dict[str, Any]) -> Pipeline:
 def run_job(spark: SparkSession, spec: dict[str, Any]) -> DataFrame:
     """Build and run a job; returns the final DataFrame."""
     return build_job(spec).run(spark)
+
+
+def run_stream_job(spark: SparkSession, spec: dict[str, Any]) -> None:
+    """Streaming twin of ``run_job``: file-stream source → the same
+    declarative transform stages → exactly-once parquet sink, processed
+    with ``Trigger.AvailableNow`` (drain-what's-there-and-stop — the
+    cron'd incremental shape; see streaming/jobs.py).
+
+        spec = {
+            "source": {"type": "parquet"|"csv"|"json"|"jsonl",
+                        "path": ..., "schema": "a int, b string"},
+            "filter": "a > 0",                # optional
+            "contract": {...}, "dedup": {...},# optional (dedup within
+                                              # watermark needs ts_col)
+            "sink": {"path": ..., "checkpoint": ...},
+        }
+
+    Stream sources REQUIRE an explicit schema (no inference pass exists
+    on an unbounded input — the same reason production batch jobs pin
+    schemas, made mandatory). Restarts resume from the checkpoint:
+    already-seen files are never reprocessed.
+    """
+    src = spec["source"]
+    stype = src.get("type", "parquet")
+    if stype == "jsonl":
+        from .sources.pysource import register
+
+        register(spark)
+        reader = spark.readStream.format("jsonl_shards")
+    else:
+        reader = spark.readStream.format(stype)
+        if stype == "csv":
+            reader = reader.option("header", True)
+    if not src.get("schema"):
+        raise ValueError("stream sources require an explicit 'schema'")
+    reader = reader.schema(src["schema"])
+    for k, v in (src.get("options") or {}).items():
+        reader = reader.option(k, v)
+    df = reader.load(src["path"])
+
+    if spec.get("filter"):
+        df = df.filter(spec["filter"])
+    if spec.get("contract"):
+        df = SchemaContract.from_dict(spec["contract"]).apply(df)
+    if "dedup" in spec:
+        d = spec["dedup"] or {}
+        if d.get("watermark"):
+            df = df.withWatermark(
+                d["ts_col"], d["watermark"]
+            ).dropDuplicatesWithinWatermark(d.get("subset"))
+        else:
+            df = df.dropDuplicates(d.get("subset"))
+
+    from .streaming.jobs import run_available_now_to_parquet
+
+    sink = spec["sink"]
+    run_available_now_to_parquet(df, sink["path"], sink["checkpoint"])

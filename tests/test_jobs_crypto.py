@@ -127,3 +127,31 @@ def test_job_spec_new_sources_and_sinks(spark, tmp_path):
         "source": {"type": "binary", "path": str(media)},
     })
     assert df.count() == 1
+
+
+def test_stream_job_spec_incremental(spark, tmp_path):
+    """Declarative streaming job: drain existing files, stop, resume with
+    only new files after restart (checkpointed offsets)."""
+    import json as _json
+
+    from etl_job_applify_spark.jobs import run_stream_job
+
+    src = tmp_path / "landing"
+    src.mkdir()
+    (src / "a.jsonl").write_text(
+        "\n".join(_json.dumps({"id": i, "v": i * 10}) for i in range(4))
+    )
+    spec = {
+        "source": {"type": "jsonl", "path": str(src),
+                   "schema": "id int, v int"},
+        "filter": "id >= 1",
+        "sink": {"path": str(tmp_path / "out"),
+                  "checkpoint": str(tmp_path / "ckpt")},
+    }
+    run_stream_job(spark, spec)
+    assert spark.read.parquet(spec["sink"]["path"]).count() == 3
+
+    (src / "b.jsonl").write_text(_json.dumps({"id": 9, "v": 90}))
+    run_stream_job(spark, spec)
+    back = spark.read.parquet(spec["sink"]["path"])
+    assert {r["id"] for r in back.collect()} == {1, 2, 3, 9}
