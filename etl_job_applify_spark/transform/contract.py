@@ -99,3 +99,56 @@ class SchemaContract:
 def apply_contract(df: DataFrame, spec: dict | SchemaContract) -> DataFrame:
     contract = spec if isinstance(spec, SchemaContract) else SchemaContract.from_dict(spec)
     return contract.apply(df)
+
+
+def apply_with_quarantine(
+    df: DataFrame, spec: dict | SchemaContract
+) -> tuple[DataFrame, DataFrame]:
+    """Contract application with a data-quality quarantine: returns
+    (good, bad) where ``bad`` holds the ORIGINAL rows in which any cast
+    silently nulled a non-null source value (permissive engines turn
+    bad casts into NULLs — this op makes that loss visible instead of
+    letting it vanish into the warehouse).
+
+    ``bad`` carries the source columns plus ``__bad_columns`` (the
+    contract columns that failed). Both outputs derive from one scan;
+    Catalyst shares the subplan, so the pair costs one pass when both
+    sides are consumed in the same job. At 100 TB, land ``bad`` next to
+    the target table and alert on its row count (see
+    Pipeline.run_observed for the free metric).
+    """
+    contract = (
+        spec if isinstance(spec, SchemaContract)
+        else SchemaContract.from_dict(spec)
+    )
+    if not contract.columns:
+        raise ValueError("empty contract")
+    fail_flags = [
+        (
+            F.col(c.source).isNotNull()
+            & c.to_column().cast("string").isNull()
+        ).alias(f"__fail_{c.name}")
+        for c in contract.columns
+    ]
+    flagged = df.select("*", *fail_flags)
+    fail_cols = [f"__fail_{c.name}" for c in contract.columns]
+    any_fail = F.array_contains(F.array(*fail_cols), True)
+    bad = (
+        flagged.filter(any_fail)
+        .withColumn(
+            "__bad_columns",
+            F.concat_ws(
+                ",",
+                F.filter(
+                    F.array(*[
+                        F.when(F.col(f"__fail_{c.name}"), c.name)
+                        for c in contract.columns
+                    ]),
+                    lambda x: x.isNotNull(),
+                ),
+            ),
+        )
+        .drop(*fail_cols)
+    )
+    good = flagged.filter(~any_fail).drop(*fail_cols)
+    return contract.apply(good), bad

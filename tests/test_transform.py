@@ -145,3 +145,23 @@ def test_pipeline_observed_requires_sink(spark):
 
     with _pytest.raises(ValueError, match="sink"):
         Pipeline(extract=lambda s: s.range(3)).run_observed(spark)
+
+
+def test_contract_quarantine_catches_silent_cast_nulls(spark):
+    from etl_job_applify_spark.transform.contract import apply_with_quarantine
+
+    df = spark.createDataFrame(
+        [("1", "2024-01-01"), ("x", "2024-02-02"), ("3", "not-a-date"),
+         (None, "2024-03-03")],
+        "id string, d string",
+    )
+    contract = {"columns": [
+        {"source": "id", "name": "id", "type": "integer"},
+        {"source": "d", "name": "dt", "type": "date"},
+    ]}
+    good, bad = apply_with_quarantine(df, contract)
+    # NULL source is contract-legal (stays good); bad casts quarantine
+    assert {r["id"] for r in good.collect()} == {1, None}
+    quarantined = {r["id"]: r["__bad_columns"] for r in bad.collect()}
+    assert quarantined == {"x": "id", "3": "dt"}
+    assert set(bad.columns) == {"id", "d", "__bad_columns"}
