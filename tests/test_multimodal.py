@@ -112,3 +112,23 @@ def test_char_features_survive_non_ascii(spark):
     assert feats[1]["n_chars"] == 5 and feats[1]["first_cp"] == ord("h")
     assert feats[2]["n_chars"] == 2 and feats[2]["first_cp"] == ord("的")
     assert feats[3]["first_cp"] is None and feats[3]["cp_checksum"] == 0
+
+
+def test_binary_reader_feeds_media_features(spark, tmp_path):
+    """Composability: files ingested via read_binary flow through the
+    Arrow-batched feature extractor unchanged."""
+    from pyspark.sql import functions as F
+
+    from etl_job_applify_spark.multimodal.media import media_byte_features
+    from etl_job_applify_spark.sources import read_binary
+
+    p = tmp_path / "imgs"
+    p.mkdir()
+    (p / "a.jpg").write_bytes(bytes([1, 2, 3, 4]))
+    (p / "b.jpg").write_bytes(bytes([9, 9]))
+    media = read_binary(spark, str(p), glob="*.jpg").select(
+        F.xxhash64("path").alias("doc_id"),
+        F.col("content").alias("media"),
+    )
+    feats = {r["byte_len"] for r in media_byte_features(media).collect()}
+    assert feats == {4, 2}

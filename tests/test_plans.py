@@ -135,3 +135,18 @@ def test_join_strategy_hints_are_honored(spark):
         li, li.l_orderkey == orders.o_orderkey
     )
     assert "BroadcastHashJoin" in explain_str(bcast, "simple")
+
+
+def test_jaccard_postings_exchange_reused(spark):
+    """q31 feeds the postings relation into four plan branches; the
+    persisted relation (or reused exchange) must keep that from becoming
+    four full shingle recomputations."""
+    from etl_job_applify_spark.queries.analytics import q31_ngram_jaccard
+
+    df = q31_ngram_jaccard(spark, SF_SMOKE)
+    df.collect()
+    text = explain_str(df, "simple")
+    # the cached postings appear as InMemoryTableScan branches (the
+    # persist in dedup/jaccard.py); a regression would show repeated
+    # full Project/Generate pipelines instead
+    assert "InMemoryTableScan" in text or "ReusedExchange" in text
