@@ -196,3 +196,42 @@ def test_components_converging_at_max_iter_is_ok(spark):
     chain = spark.createDataFrame([(0, 1), (1, 2)], "a bigint, b bigint")
     out = connected_components(chain, max_iter=2)
     assert {r["component"] for r in out.collect()} == {0}
+
+
+def test_incremental_rollup_equals_full_recompute(spark):
+    """A rollup maintained from three date-sliced increments must be
+    BIT-identical to the full recompute (decimal states are associative),
+    and the readout must expose totals/averages."""
+    from etl_job_applify_spark.operators.incremental import (
+        aggregate_increment,
+        merge_rollup,
+        rollup_readout,
+    )
+    from etl_job_applify_spark.queries._util import tbl
+
+    li = tbl(spark, "/root/testdata/sf0.001", "lineitem")
+    keys = ["l_returnflag"]
+    measures = {"qty": "l_quantity",
+                "rev": "l_extendedprice * (1 - l_discount)"}
+
+    slices = [
+        li.filter("l_shipdate <  TIMESTAMP '1997-01-01'"),
+        li.filter("l_shipdate >= TIMESTAMP '1997-01-01' "
+                  "AND l_shipdate < TIMESTAMP '1999-01-01'"),
+        li.filter("l_shipdate >= TIMESTAMP '1999-01-01'"),
+    ]
+    rollup = None
+    for s in slices:
+        rollup = merge_rollup(
+            rollup, aggregate_increment(s, keys, measures), keys, measures
+        )
+    full = aggregate_increment(li, keys, measures)
+
+    got = {r["l_returnflag"]: (r["qty_sum"], r["rev_sum"], r["n_rows"])
+           for r in rollup.collect()}
+    want = {r["l_returnflag"]: (r["qty_sum"], r["rev_sum"], r["n_rows"])
+            for r in full.collect()}
+    assert got == want  # exact decimal equality, not approximate
+
+    view = rollup_readout(rollup, measures).collect()[0]
+    assert view["qty_avg"] > 0 and "qty_sum" not in view.asDict()
