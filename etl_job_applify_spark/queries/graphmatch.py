@@ -173,14 +173,61 @@ def q127_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_Q127_SQL)
 
 
+# --- q128: CDC apply-changes (change log → final table state) ------------
+# The APPLY CHANGES operator: a change log (here the events stream read
+# as one: signup/click/view/purchase upsert a user's state, 'error'
+# deletes it) collapses to final state by LAST-WRITER-WINS per key with
+# delete filtering. One window over (key, ts desc, unique tiebreaker) —
+# a single shuffle on the key at any scale; the batch twin of the
+# foreachBatch CDC sink (streaming/jobs.py run_foreach_batch_upsert).
+
+def q128_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    events = tbl(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    latest = (
+        events.select(
+            "user_id", "event_type", "value", "ts", "event_id",
+            F.get_json_object("props", "$.k").cast("int").alias("k"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1")
+    )
+    return latest.filter("event_type <> 'error'").select(
+        "user_id",
+        F.col("event_type").alias("last_op"),
+        F.col("value").alias("last_value"),
+        F.col("k").alias("last_k"),
+    )
+
+
+_Q128_SQL = """
+WITH ordered AS (
+  SELECT user_id, event_type, value,
+         CAST(json_extract_string(props, '$.k') AS INT) AS k,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+)
+SELECT user_id, event_type AS last_op, value AS last_value, k AS last_k
+FROM ordered WHERE rn = 1 AND event_type <> 'error'
+"""
+
+
 QUERIES = {
     "q125_entity_resolution": q125_entity_resolution,
     "q126_pagerank": q126_pagerank,
     "q127_snapshot_diff": q127_snapshot_diff,
+    "q128_cdc_apply": q128_cdc_apply,
 }
 
 ORACLE = {
     "q125_entity_resolution": _Q125_SQL,
     "q126_pagerank": _Q126_SQL,
     "q127_snapshot_diff": _Q127_SQL,
+    "q128_cdc_apply": _Q128_SQL,
 }
