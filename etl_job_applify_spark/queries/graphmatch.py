@@ -218,11 +218,99 @@ FROM ordered WHERE rn = 1 AND event_type <> 'error'
 """
 
 
+# --- q129: distributed k-means (two unrolled Lloyd iterations) -----------
+# Iterative ML training as dataflow: seed centroids = first k vectors,
+# assign → recompute means → reassign, all as joins/aggregations over the
+# exploded (vec, dim, value) relation. Cross-row accumulations (squared
+# distances, dimension means, the centroid checksum) go through
+# DECIMAL(28,18), so cluster assignments and outputs are bit-identical
+# at any parallelism — the property that makes distributed training
+# REPRODUCIBLE, not just fast. Only the point-extraction CTE differs per
+# engine (posexplode vs 1-based list indexing); every arithmetic step is
+# the same text. At scale: pts is |vectors|×dims rows, each iteration is
+# one join against a k×dims broadcast + one shuffle per aggregation;
+# iterations unroll as stages (no driver loop state).
+
+_KMEANS_CORE = """
+c0 AS (SELECT vec_id AS cluster, d, x AS c FROM pts WHERE vec_id < 4),
+a1 AS (
+  SELECT p.vec_id, c0.cluster,
+         CAST(CAST(SUM(CAST((p.x - c0.c) * (p.x - c0.c)
+                       AS DECIMAL(28,18))) AS STRING) AS DOUBLE) AS dist
+  FROM pts p JOIN c0 ON p.d = c0.d
+  GROUP BY p.vec_id, c0.cluster
+),
+asg1 AS (
+  SELECT vec_id, cluster FROM (
+    SELECT vec_id, cluster,
+           ROW_NUMBER() OVER (PARTITION BY vec_id
+                              ORDER BY dist, cluster) AS rn
+    FROM a1
+  ) ranked WHERE rn = 1
+),
+c1 AS (
+  SELECT asg1.cluster, p.d,
+         CAST(CAST(SUM(CAST(p.x AS DECIMAL(28,18))) AS STRING) AS DOUBLE)
+           / COUNT(*) AS c
+  FROM pts p JOIN asg1 ON p.vec_id = asg1.vec_id
+  GROUP BY asg1.cluster, p.d
+),
+a2 AS (
+  SELECT p.vec_id, c1.cluster,
+         CAST(CAST(SUM(CAST((p.x - c1.c) * (p.x - c1.c)
+                       AS DECIMAL(28,18))) AS STRING) AS DOUBLE) AS dist
+  FROM pts p JOIN c1 ON p.d = c1.d
+  GROUP BY p.vec_id, c1.cluster
+),
+asg2 AS (
+  SELECT vec_id, cluster FROM (
+    SELECT vec_id, cluster,
+           ROW_NUMBER() OVER (PARTITION BY vec_id
+                              ORDER BY dist, cluster) AS rn
+    FROM a2
+  ) ranked WHERE rn = 1
+),
+csum AS (
+  -- ROUND(…, 6): the centroid components are COMPUTED doubles, and the
+  -- engines' double→DECIMAL(28,18) casts can disagree in the last ulp
+  -- (unlike casts of raw fixture data) — rounding the reported checksum
+  -- to 6 decimals absorbs that while staying a real regression tripwire
+  SELECT cluster,
+         ROUND(CAST(CAST(SUM(CAST(c AS DECIMAL(28,18))) AS STRING)
+                    AS DOUBLE), 6) AS centroid_sum
+  FROM c1 GROUP BY cluster
+)
+SELECT asg2.cluster, CAST(COUNT(*) AS BIGINT) AS n_members,
+       csum.centroid_sum
+FROM asg2 JOIN csum ON asg2.cluster = csum.cluster
+GROUP BY asg2.cluster, csum.centroid_sum
+"""
+
+_Q129_SPARK_SQL = (
+    "WITH pts AS (SELECT vec_id, pos AS d, CAST(col AS DOUBLE) AS x "
+    "FROM embeddings LATERAL VIEW posexplode(embedding) t AS pos, col),\n"
+    + _KMEANS_CORE
+)
+
+_Q129_SQL = (
+    "WITH pts AS (SELECT vec_id, i - 1 AS d, "
+    "CAST(embedding[i] AS DOUBLE) AS x FROM embeddings "
+    "CROSS JOIN (SELECT unnest(range(1, 65)) AS i) dims),\n"
+    + _KMEANS_CORE
+)
+
+
+def q129_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _view(spark, sf_dir, "embeddings")
+    return spark.sql(_Q129_SPARK_SQL)
+
+
 QUERIES = {
     "q125_entity_resolution": q125_entity_resolution,
     "q126_pagerank": q126_pagerank,
     "q127_snapshot_diff": q127_snapshot_diff,
     "q128_cdc_apply": q128_cdc_apply,
+    "q129_kmeans": q129_kmeans,
 }
 
 ORACLE = {
@@ -230,4 +318,5 @@ ORACLE = {
     "q126_pagerank": _Q126_SQL,
     "q127_snapshot_diff": _Q127_SQL,
     "q128_cdc_apply": _Q128_SQL,
+    "q129_kmeans": _Q129_SQL,
 }
