@@ -1,4 +1,4 @@
-"""Entity resolution and iterative graph scoring.
+"""Entity resolution, table auditing, and iterative algorithms.
 
 - q125 blocked fuzzy matching (record linkage): dirty strings resolve to
   canonical records via blocking + edit distance — the ETL step that
@@ -12,6 +12,16 @@
   bit-identical at any parallelism; the closed recursion alternative
   stays q60-style label propagation (Spark's recursive CTE bars
   aggregates in the recursive term, as do most engines).
+- q127 snapshot diff / changelog generation (added-removed-changed
+  audit over a full outer key join).
+- q128 CDC apply-changes: change log → final state by last-writer-wins
+  with delete filtering (batch twin of the foreachBatch CDC sink).
+- q129 distributed k-means, two unrolled Lloyd iterations with
+  reproducible (decimal-accumulated) assignments. The exploded
+  (vec, dim, x) relation keeps it SQL-oracle-checkable; a 100 TB run
+  keeps vectors as arrays and computes distances with the q34-style
+  zip_with/aggregate fold against broadcast centroids — same
+  arithmetic, |vectors| rows instead of |vectors|×dims.
 
 Reference scope note: the reference has no analytics surface
 (services/post_processing.py:5-8 is a `pass` stub); these extend the
