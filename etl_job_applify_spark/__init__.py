@@ -9,16 +9,27 @@ similarity search, text analysis, multimodal plumbing, streaming).
 Layout
 ------
 - ``session``    : SparkSession factory (AQE on, UTC, Arrow on)
-- ``sources``    : parquet/CSV/JSON/XML readers, partitioned JDBC, catalog
-- ``sinks``      : parquet/JDBC writers, pure-Spark upsert
-- ``transform``  : declarative schema-contract mapper, dedup
-- ``operators``  : relational assemblies Spark lacks natively
-                   (as-of join, grouped top-k, sessionization, range join)
-- ``functions``  : scalar/vector helpers (text stats, embedding math)
+- ``sources``    : parquet/CSV/JSON/XML/ORC/text/binary readers,
+                   partitioned JDBC, catalog, custom Python DataSource
+                   (JSONL shards, batch + streaming)
+- ``sinks``      : parquet/JDBC/CSV/JSON writers, pure-Spark upsert,
+                   range- and Z-order-clustered layouts, compaction
+- ``transform``  : declarative schema-contract mapper (+ quarantine),
+                   dedup, deterministic sampling
+- ``operators``  : relational assemblies Spark lacks natively (as-of
+                   join, grouped top-k, sessionization, range join,
+                   salting, SCD2, connected components, incremental
+                   rollup maintenance)
+- ``functions``  : scalar/vector helpers (text stats, embedding math,
+                   AES-GCM crypto)
 - ``dedup``      : exact + MinHash/LSH + SimHash + n-gram Jaccard dedup
-- ``similarity`` : brute-force + LSH/IVF approximate nearest neighbors
+- ``similarity`` : brute-force + LSH/IVF ANN (incl. persisted IVF index)
 - ``multimodal`` : binary media columns: schema + batched decode plumbing
-- ``streaming``  : Structured Streaming jobs (tumbling/sliding/session)
+- ``streaming``  : Structured Streaming jobs (windows, stateful ops,
+                   stream-stream joins, CDC sinks, AvailableNow runs)
+- ``pipeline``   : lazy E→T*→L composition with observed metrics
+- ``jobs``       : declarative job specs (batch + streaming dispatch)
+- ``plans``      : explain/plan-inspection helpers
 - ``queries``    : the registered query inventory driven by
                    ``__spark_entry__.py`` and cross-checked vs DuckDB
 """
