@@ -19,7 +19,9 @@ from etl_job_applify_spark import queries as registry
 from etl_job_applify_spark.session import get_spark_session
 
 #: headline set: one per operator family (scan/agg, multiway join, window,
-#: top-k, JSON, fuzzy dedup, ANN, text, temporal windows, sessionization)
+#: top-k, JSON, fuzzy dedup, ANN, text, temporal windows, sessionization;
+#: round 2 added the TPC-H Q7 join shape and two corpus-curation ops —
+#: totals across rounds therefore cover MORE work, compare per-query)
 HEADLINE = [
     "q01_pricing_summary",
     "q04_multiway_join",
@@ -31,6 +33,9 @@ HEADLINE = [
     "q43_fingerprints",
     "q50_tumbling_window",
     "q52_sessions",
+    "q108_nation_volume",
+    "q117_gopher_rules",
+    "q120_rare_word_score",
 ]
 
 
