@@ -154,15 +154,14 @@ FROM shared
 # and identical on every engine (vs. rand(), which is none of these).
 
 def q119_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..transform.sampling import content_hash_split
+
     docs = tbl(spark, sf_dir, "documents")
     bucket = "instr('0123456789abcdef', substring(md5(text), 1, 1)) - 1"
-    return docs.select(
+    return content_hash_split(docs).select(
         "doc_id",
         F.expr(f"CAST({bucket} AS INT)").alias("bucket"),
-        F.expr(
-            f"CASE WHEN {bucket} < 13 THEN 'train' "
-            f"WHEN {bucket} < 15 THEN 'val' ELSE 'test' END"
-        ).alias("split"),
+        "split",
     )
 
 

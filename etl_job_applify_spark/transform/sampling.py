@@ -72,3 +72,35 @@ def weighted_hash_sample(
         .limit(k)
         .drop("__score")
     )
+
+
+def content_hash_split(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str = "split",
+    val_buckets: int = 2,
+    test_buckets: int = 1,
+) -> DataFrame:
+    """Deterministic content-addressed train/val/test assignment: bucket =
+    first hex nibble of md5(text) (16 buckets); the top ``test_buckets``
+    are test, the next ``val_buckets`` are val, the rest train.
+
+    Content-addressed (not id-addressed) so byte-identical documents
+    always land in the same split — exact-dup leakage across splits is
+    structurally impossible. Pure projection: scan-speed at any scale,
+    identical on every engine and cluster size (vs rand(), which is
+    neither reproducible nor resumable). Used by q119 and the corpus
+    pipeline example.
+    """
+    train_hi = 16 - val_buckets - test_buckets
+    bucket = (
+        f"instr('0123456789abcdef', substring(md5({text_col}), 1, 1)) - 1"
+    )
+    return df.withColumn(
+        out_col,
+        F.expr(
+            f"CASE WHEN {bucket} < {train_hi} THEN 'train' "
+            f"WHEN {bucket} < {train_hi + val_buckets} THEN 'val' "
+            "ELSE 'test' END"
+        ),
+    )

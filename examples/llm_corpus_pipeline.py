@@ -119,14 +119,9 @@ def curate(spark: SparkSession, sf_dir: str, out_dir: str | None = None) -> Data
     # 8b: deterministic content-hash train/val/test split — content-
     # addressed (md5 of text, not doc_id) so any dup pair that survived
     # dedup still lands in ONE split; reproducible on any cluster size
-    bucket = "instr('0123456789abcdef', substring(md5(text), 1, 1)) - 1"
-    sampled = sampled.withColumn(
-        "split",
-        F.expr(
-            f"CASE WHEN {bucket} < 13 THEN 'train' "
-            f"WHEN {bucket} < 15 THEN 'val' ELSE 'test' END"
-        ),
-    )
+    from etl_job_applify_spark.transform.sampling import content_hash_split
+
+    sampled = content_hash_split(sampled)
 
     # 9: corpus accounting — token budget plus how many packed
     # context-window chunks each language yields (concat-then-chunk
