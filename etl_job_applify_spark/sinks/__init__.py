@@ -1,4 +1,4 @@
-from .writers import write_csv, write_json, write_parquet, write_jdbc
+from .writers import write_csv, write_json, write_parquet, write_jdbc, write_xml
 from .upsert import upsert
 
-__all__ = ["write_csv", "write_json", "write_parquet", "write_jdbc", "upsert"]
+__all__ = ["write_csv", "write_json", "write_parquet", "write_jdbc", "write_xml", "upsert"]

@@ -77,6 +77,28 @@ def write_json(
     writer.json(path)
 
 
+def write_xml(
+    df: DataFrame,
+    path: str,
+    row_tag: str = "row",
+    root_tag: str = "rows",
+    mode: str = "overwrite",
+    **options: str,
+) -> None:
+    """XML export sink (Spark 4 native xml source, write side) — closes
+    the loop with read_xml for round-tripping the reference's XML
+    interchange format (flat columns; nest via struct columns)."""
+    writer = (
+        df.write.format("xml")
+        .mode(mode)
+        .option("rowTag", row_tag)
+        .option("rootTag", root_tag)
+    )
+    for k, v in options.items():
+        writer = writer.option(k, v)
+    writer.save(path)
+
+
 def write_jdbc(
     df: DataFrame,
     url: str,

@@ -61,6 +61,7 @@ def test_entry_contract(spark):
     "q70_lateral_topn",
     "q31_ngram_jaccard",   # persisted postings
     "q32_minhash_lsh",     # persisted candidates
+    "q123_sql_udf",        # temp SQL functions
 ])
 def test_stateful_queries_are_rerunnable(spark, name):
     """Queries that register temp views or persist relations must produce
@@ -69,3 +70,15 @@ def test_stateful_queries_are_rerunnable(spark, name):
     first = ALL[name](spark, SF_SMOKE).count()
     second = ALL[name](spark, SF_SMOKE).count()
     assert first == second
+
+
+def test_coverage_doc_totals_match_registry():
+    """COVERAGE.md's totals line must track the actual registry — docs
+    that drift from code are worse than no docs."""
+    import re
+
+    text = open("/root/repo/COVERAGE.md").read()
+    m = re.search(r"\*\*(\d+) registered queries, (\d+) with DuckDB oracles\*\*", text)
+    assert m, "totals line missing from COVERAGE.md"
+    assert int(m.group(1)) == len(ALL)
+    assert int(m.group(2)) == len(ORACLES)

@@ -135,3 +135,14 @@ def test_zordered_layout_gives_2d_locality(spark, tmp_path):
     # a 64×64 grid in 16 z-tiles → every file's bounding box stays well
     # under half the global span on BOTH axes (stripes would span 63)
     assert all(sx <= 32 and sy <= 32 for sx, sy in spans), spans
+
+
+def test_xml_writer_roundtrips_with_reader(spark, tmp_path):
+    from etl_job_applify_spark.sinks import write_xml
+    from etl_job_applify_spark.sources import read_xml
+
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id int, v string")
+    out = str(tmp_path / "xml")
+    write_xml(df, out, row_tag="record")
+    back = read_xml(spark, out, row_tag="record")
+    assert {(r["id"], r["v"]) for r in back.collect()} == {(1, "a"), (2, "b")}
