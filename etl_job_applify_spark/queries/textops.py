@@ -147,11 +147,92 @@ FROM documents
 """
 
 
+# --- q130: URL normalization (web-corpus curation) ------------------------
+# URL hygiene before URL-level dedup: lowercase scheme/host, strip
+# tracking query parameters and fragments, drop trailing slashes, then
+# count per registrable domain. URLs are synthesized deterministically
+# from the fixtures (the corpus has no URL column); the OPERATIONS are
+# the real surface: regexp_replace normalization is pure codegen — at
+# 100 TB this runs scan-speed ahead of the URL-key dedup shuffle.
+
+_URL = (
+    "concat('HTTPS://', upper(source), '.Example.COM/docs/', "
+    "CAST(doc_id AS STRING), "
+    "CASE WHEN doc_id % 3 = 0 THEN '/?utm_source=feed&ref=x' "
+    "     WHEN doc_id % 3 = 1 THEN '/' ELSE '' END)"
+)
+
+
+def q130_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = tbl(spark, sf_dir, "documents")
+    raw = F.expr(_URL)
+    norm = F.expr(
+        # lowercase → strip query/fragment → strip trailing slash
+        f"regexp_replace(regexp_replace(lower({_URL}), "
+        "'[?#].*$', ''), '/+$', '')"
+    )
+    return docs.select(
+        "doc_id",
+        raw.alias("raw_url"),
+        norm.alias("url"),
+        F.expr(
+            f"regexp_extract(lower({_URL}), '^https?://([^/]+)', 1)"
+        ).alias("host"),
+    )
+
+
+_Q130_SQL = f"""
+SELECT doc_id,
+       {_URL} AS raw_url,
+       regexp_replace(regexp_replace(lower({_URL}), '[?#].*$', ''),
+                      '/+$', '') AS url,
+       regexp_extract(lower({_URL}), '^https?://([^/]+)', 1) AS host
+FROM documents
+"""
+
+
+# --- q131: byte vs character length semantics -----------------------------
+# The encoding-accounting pass: CJK text is ~3 bytes/char in UTF-8, so
+# storage budgeting and chunk sizing must use OCTET_LENGTH while token
+# rules use character length. Both are O(1) metadata lookups per row in
+# both engines (no decode pass).
+
+def q131_byte_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = tbl(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.length("text")).alias("total_chars"),
+            F.sum(F.octet_length("text")).alias("total_bytes"),
+        )
+        .withColumn(
+            "bytes_per_char",
+            F.col("total_bytes").cast("double")
+            / F.col("total_chars").cast("double"),
+        )
+    )
+
+
+_Q131_SQL = """
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(length(text)) AS BIGINT) AS total_chars,
+       CAST(SUM(strlen(text)) AS BIGINT) AS total_bytes,
+       CAST(SUM(strlen(text)) AS DOUBLE)
+         / CAST(SUM(length(text)) AS DOUBLE) AS bytes_per_char
+FROM documents
+GROUP BY lang
+"""
+
+
 QUERIES = {
     "q40_text_stats": q40_text_stats,
     "q41_lang_id": q41_lang_id,
     "q42_token_agg": q42_token_agg,
     "q43_fingerprints": q43_fingerprints,
+    "q130_url_normalize": q130_url_normalize,
+    "q131_byte_lengths": q131_byte_lengths,
 }
 
 ORACLE = {
@@ -159,4 +240,6 @@ ORACLE = {
     "q41_lang_id": _Q41_SQL,
     "q42_token_agg": _Q42_SQL,
     "q43_fingerprints": _Q43_SQL,
+    "q130_url_normalize": _Q130_SQL,
+    "q131_byte_lengths": _Q131_SQL,
 }
