@@ -634,6 +634,28 @@ FROM counts
 """
 
 
+# --- q132: keyset-stable pagination (ORDER BY + LIMIT/OFFSET) ------------
+# Page 3 of the customer ledger, 20 rows/page, total-ordered by
+# (acctbal DESC, custkey) — the unique tiebreaker is what makes OFFSET
+# pagination deterministic at all. Spark supports OFFSET since 3.4; the
+# plan is a global TakeOrderedAndProject-style limit, NOT a full sort.
+# Scale note: OFFSET cost grows with page depth (skip = read); deep
+# pagination should switch to keyset predicates (WHERE (bal, key) <
+# last_seen) which this same ordering supports unchanged.
+
+_Q132_SQL = """
+SELECT c_custkey, c_name, c_acctbal
+FROM customer
+ORDER BY c_acctbal DESC, c_custkey
+LIMIT 20 OFFSET 40
+"""
+
+
+def q132_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _view(spark, sf_dir, "customer")
+    return spark.sql(_Q132_SQL)
+
+
 QUERIES = {
     "q107_mincost_supplier": q107_mincost_supplier,
     "q108_nation_volume": q108_nation_volume,
@@ -649,6 +671,7 @@ QUERIES = {
     "q122_boolean_aggs": q122_boolean_aggs,
     "q123_sql_udf": q123_sql_udf,
     "q124_event_transitions": q124_event_transitions,
+    "q132_pagination": q132_pagination,
 }
 
 ORACLE = {
@@ -666,4 +689,5 @@ ORACLE = {
     "q122_boolean_aggs": _Q122_SQL,
     "q123_sql_udf": _Q123_SQL,
     "q124_event_transitions": _Q124_SQL,
+    "q132_pagination": _Q132_SQL,
 }
