@@ -1,0 +1,95 @@
+"""Versioned parquet tables: snapshot isolation + time travel without a
+table format dependency.
+
+Layout: ``table_path/snap_00000001, snap_00000002, ...`` — each snapshot
+is a complete table written by Spark's committer (the ``_SUCCESS`` marker
+lands last, so readers never see a half-written snapshot; a crash leaves
+an invisible orphan that the next write simply overwrites). The live
+version is the highest committed number; older versions stay readable
+until retention prunes them — and pruning runs only AFTER a newer commit,
+so a committed recovery point always exists.
+
+This generalizes the CDC sink's snapshot discipline
+(streaming/jobs.py run_foreach_batch_upsert) into a reusable lake API:
+append/overwrite jobs get atomic publish + time travel; the production
+upgrade path is a transactional format (Delta/Iceberg), where these
+semantics come from the table format instead of the directory protocol.
+
+Scale notes: a snapshot write is an ordinary distributed parquet write
+(full parallelism); listing is O(versions) driver-side name operations;
+time travel is a direct path read — no log replay.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+_PREFIX = "snap_"
+
+
+def _snapshots(spark: SparkSession, table_path: str):
+    """(fs, root, sorted committed snapshot names). A snapshot counts only
+    once its _SUCCESS marker exists."""
+    jvm = spark._jvm
+    root = jvm.org.apache.hadoop.fs.Path(table_path)
+    fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(root):
+        return fs, root, []
+    names = []
+    for st in fs.listStatus(root):
+        name = st.getPath().getName()
+        if (
+            st.isDirectory()
+            and name.startswith(_PREFIX)
+            and fs.exists(
+                jvm.org.apache.hadoop.fs.Path(st.getPath(), "_SUCCESS")
+            )
+        ):
+            names.append(name)
+    return fs, root, sorted(names)
+
+
+def list_versions(spark: SparkSession, table_path: str) -> list[int]:
+    _, _, names = _snapshots(spark, table_path)
+    return [int(n[len(_PREFIX):]) for n in names]
+
+
+def write_version(
+    df: DataFrame, table_path: str, retain: int | None = None
+) -> int:
+    """Publish ``df`` as the next version of the table; returns the new
+    version number. ``retain``: keep only the newest N versions (pruned
+    only after this commit succeeds); None keeps everything."""
+    spark = df.sparkSession
+    jvm = spark._jvm
+    fs, root, names = _snapshots(spark, table_path)
+    nxt = (int(names[-1][len(_PREFIX):]) + 1) if names else 1
+    df.write.mode("overwrite").parquet(
+        f"{table_path}/{_PREFIX}{nxt:08d}"
+    )
+    if retain is not None and retain >= 1:
+        survivors = (names + [f"{_PREFIX}{nxt:08d}"])[-retain:]
+        for name in names:
+            if name not in survivors:
+                fs.delete(jvm.org.apache.hadoop.fs.Path(root, name), True)
+    return nxt
+
+
+def read_table(
+    spark: SparkSession, table_path: str, version: int | None = None
+) -> DataFrame:
+    """Read the latest committed version, or time-travel to ``version``."""
+    _, _, names = _snapshots(spark, table_path)
+    if not names:
+        raise FileNotFoundError(f"no committed snapshot under {table_path}")
+    if version is None:
+        name = names[-1]
+    else:
+        name = f"{_PREFIX}{version:08d}"
+        if name not in names:
+            avail = [int(n[len(_PREFIX):]) for n in names]
+            raise FileNotFoundError(
+                f"version {version} not found under {table_path}; "
+                f"available: {avail}"
+            )
+    return spark.read.parquet(f"{table_path}/{name}")

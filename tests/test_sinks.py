@@ -146,3 +146,42 @@ def test_xml_writer_roundtrips_with_reader(spark, tmp_path):
     write_xml(df, out, row_tag="record")
     back = read_xml(spark, out, row_tag="record")
     assert {(r["id"], r["v"]) for r in back.collect()} == {(1, "a"), (2, "b")}
+
+
+def test_versioned_table_time_travel_and_retention(spark, tmp_path):
+    from etl_job_applify_spark.sinks import (
+        list_versions,
+        read_table,
+        write_version,
+    )
+
+    t = str(tmp_path / "vt")
+    assert write_version(spark.range(0, 10), t) == 1
+    assert write_version(spark.range(0, 20), t) == 2
+    assert write_version(spark.range(0, 30), t, retain=2) == 3
+
+    assert list_versions(spark, t) == [2, 3]  # v1 pruned by retain=2
+    assert read_table(spark, t).count() == 30           # latest
+    assert read_table(spark, t, version=2).count() == 20  # time travel
+
+    import pytest as _pytest
+
+    with _pytest.raises(FileNotFoundError, match="available: \\[2, 3\\]"):
+        read_table(spark, t, version=1)
+
+
+def test_versioned_table_ignores_uncommitted_snapshot(spark, tmp_path):
+    import os
+
+    from etl_job_applify_spark.sinks import read_table, write_version
+
+    t = str(tmp_path / "vt2")
+    write_version(spark.range(0, 5), t)
+    # simulate a crash mid-write: a snapshot dir with data but no _SUCCESS
+    broken = os.path.join(t, "snap_00000002")
+    os.makedirs(broken)
+    open(os.path.join(broken, "part-junk.parquet"), "wb").write(b"junk")
+    assert read_table(spark, t).count() == 5  # broken snapshot invisible
+    # the next write claims version 2 and OVERWRITES the orphan cleanly
+    v = write_version(spark.range(0, 7), t)
+    assert v == 2 and read_table(spark, t).count() == 7
