@@ -307,35 +307,21 @@ def stream_stream_interval_join(
 
 
 def _upsert_snapshots(spark, target_path: str):
-    """List committed snapshot dirs under ``target_path``, sorted ascending.
+    """Committed snapshots of a CDC target — the shared versioned-table
+    protocol (sinks/versioned.py): a snapshot counts only once its
+    ``_SUCCESS`` marker exists, so half-written dirs are invisible."""
+    from ..sinks.versioned import _snapshots
 
-    A snapshot counts only once its ``_SUCCESS`` marker exists (Spark's
-    output committer writes it last), so a snapshot half-written at crash
-    time is invisible. Returns (fs, root Path, [names])."""
-    jvm = spark._jvm
-    root = jvm.org.apache.hadoop.fs.Path(target_path)
-    fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
-    if not fs.exists(root):
-        return fs, root, []
-    names = []
-    for st in fs.listStatus(root):
-        name = st.getPath().getName()
-        if (
-            st.isDirectory()
-            and name.startswith("snap_")
-            and fs.exists(jvm.org.apache.hadoop.fs.Path(st.getPath(), "_SUCCESS"))
-        ):
-            names.append(name)
-    return fs, root, sorted(names)
+    return _snapshots(spark, target_path)
 
 
 def read_upsert_target(spark, target_path: str) -> DataFrame:
     """Read the current committed snapshot of a ``run_foreach_batch_upsert``
-    target (the highest-numbered ``snap_*`` dir with a ``_SUCCESS`` marker)."""
-    _, _, names = _upsert_snapshots(spark, target_path)
-    if not names:
-        raise FileNotFoundError(f"no committed snapshot under {target_path}")
-    return spark.read.parquet(f"{target_path}/{names[-1]}")
+    target (alias for the versioned-table reader; pass ``version=`` there
+    to time-travel CDC history when pruning retains more than one)."""
+    from ..sinks.versioned import read_table
+
+    return read_table(spark, target_path)
 
 
 def run_foreach_batch_upsert(
@@ -357,26 +343,20 @@ def run_foreach_batch_upsert(
     and the commit-then-prune discipline are identical; read with
     ``read_upsert_target``."""
     from ..sinks.upsert import upsert as _upsert
+    from ..sinks.versioned import write_version
 
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
         spark = batch_df.sparkSession
-        jvm = spark._jvm
-        fs, root, names = _upsert_snapshots(spark, target_path)
+        _, _, names = _upsert_snapshots(spark, target_path)
         if names:
             current = spark.read.parquet(f"{target_path}/{names[-1]}")
             merged = _upsert(current, batch_df, keys=keys, version_col=version_col)
         else:
             merged = batch_df
-        nxt = int(names[-1][len("snap_"):]) + 1 if names else 1
-        new_name = f"snap_{nxt:08d}"
-        # distributed write (a driver-side collect here would cap the
-        # target at driver memory and grow per-batch latency with size)
-        merged.write.mode("overwrite").parquet(f"{target_path}/{new_name}")
-        # prune superseded snapshots only after the new commit; a crash
-        # in this loop leaves extra committed dirs, which is harmless —
-        # resolution picks the max and the next batch re-prunes
-        for name in names:
-            fs.delete(jvm.org.apache.hadoop.fs.Path(root, name), True)
+        # distributed write via the shared versioned-table protocol:
+        # publish-then-prune (retain=1 keeps only the fresh commit; a
+        # crash mid-write leaves the previous snapshot intact)
+        write_version(merged, target_path, retain=1)
 
     q = stream_df.writeStream.foreachBatch(sink).start()
     try:
