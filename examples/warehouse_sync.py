@@ -35,7 +35,7 @@ def sync(
     from pyspark.sql import Observation
 
     from etl_job_applify_spark.sinks.upsert import upsert
-    from etl_job_applify_spark.sinks.writers import write_parquet
+    from etl_job_applify_spark.sinks.versioned import read_table, write_version
     from etl_job_applify_spark.sources.pysource import register
     from etl_job_applify_spark.transform.contract import SchemaContract
     from etl_job_applify_spark.transform.dedup import dedup_keep_first
@@ -73,11 +73,14 @@ def sync(
         batch, keys=["id"], order_by=["version"], ascending=False
     )
 
-    # 4+5: merge into the warehouse table with observed metrics
+    # 4+5: merge into the warehouse table with observed metrics, landed
+    # as a new VERSION (atomic publish — no snapshot ever overwrites its
+    # own input, so no cache pinning, and a crash can't truncate the
+    # table; older versions stay time-travelable until retention prunes)
     try:
-        target = spark.read.parquet(table_path)
+        target = read_table(spark, table_path)
         merged = upsert(target, batch, keys=["id"], version_col="version")
-    except Exception:  # first run: no table yet
+    except FileNotFoundError:  # first run: no table yet
         merged = batch
     obs = Observation("sync_metrics")
     merged = merged.observe(
@@ -85,12 +88,7 @@ def sync(
         F.count(F.lit(1)).alias("rows_total"),
         F.count_if(F.col("version").isNull()).alias("null_versions"),
     )
-    # land to a staging dir then swap would be the production move
-    # (streaming/jobs.py versioned-snapshot pattern); the demo overwrites
-    # via an intermediate collect-free rewrite
-    merged.cache().count()  # pin before overwriting its own input
-    write_parquet(merged, table_path)
-    merged.unpersist()
+    write_version(merged, table_path, retain=3)
     return obs.get
 
 
@@ -118,5 +116,6 @@ if __name__ == "__main__":
             "updated_at": "2024-01-02 10:00:00", "v": 2,
         }) + "\n")
     print("run 2:", sync(spark, drop, table))
-    spark.read.parquet(table).orderBy("id").show()
+    from etl_job_applify_spark.sinks.versioned import read_table as _rt
+    _rt(spark, table).orderBy("id").show()
     spark.stop()

@@ -58,7 +58,10 @@ def test_warehouse_sync_example(spark, tmp_path):
     m2 = sync(spark, str(drop), table)
     assert m2["rows_total"] == 5  # still 5 rows: id 3 replaced, not added
 
+    from etl_job_applify_spark.sinks.versioned import list_versions, read_table
+
     final = {r["id"]: (r["name"], r["version"])
-             for r in spark.read.parquet(table).collect()}
+             for r in read_table(spark, table).collect()}
+    assert list_versions(spark, table) == [1, 2]  # both syncs time-travelable
     assert final[3] == ("user3-renamed", 2)
     assert final[0] == ("user0", 1)
