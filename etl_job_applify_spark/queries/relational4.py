@@ -656,6 +656,41 @@ def q132_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_Q132_SQL)
 
 
+# --- q133: SQL session variables (parameterized queries) -----------------
+# Spark 4 session variables (DECLARE/SET VARIABLE) — the engine-native
+# parameterization mechanism (vs string interpolation, which is both an
+# injection surface and a plan-cache defeater). Variables resolve at
+# analysis time to literals, so pushdown/pruning see constants — the
+# oracle inlines the same values textually and must agree bit-for-bit.
+
+def q133_sql_variables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _view(spark, sf_dir, "orders", "customer")
+    spark.sql(
+        "DECLARE OR REPLACE VARIABLE price_floor DOUBLE DEFAULT 0.0"
+    )
+    spark.sql("DECLARE OR REPLACE VARIABLE seg STRING DEFAULT ''")
+    spark.sql("SET VARIABLE price_floor = 150000.0")
+    spark.sql("SET VARIABLE seg = 'BUILDING'")
+    return spark.sql(f"""
+        SELECT o_orderpriority,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               {DSUM('o_totalprice')} AS revenue
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        WHERE o_totalprice > price_floor AND c_mktsegment = seg
+        GROUP BY o_orderpriority
+    """)
+
+
+_Q133_SQL = f"""
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       {DSUM('o_totalprice')} AS revenue
+FROM orders JOIN customer ON o_custkey = c_custkey
+WHERE o_totalprice > 150000.0 AND c_mktsegment = 'BUILDING'
+GROUP BY o_orderpriority
+"""
+
+
 QUERIES = {
     "q107_mincost_supplier": q107_mincost_supplier,
     "q108_nation_volume": q108_nation_volume,
@@ -672,6 +707,7 @@ QUERIES = {
     "q123_sql_udf": q123_sql_udf,
     "q124_event_transitions": q124_event_transitions,
     "q132_pagination": q132_pagination,
+    "q133_sql_variables": q133_sql_variables,
 }
 
 ORACLE = {
@@ -690,4 +726,5 @@ ORACLE = {
     "q123_sql_udf": _Q123_SQL,
     "q124_event_transitions": _Q124_SQL,
     "q132_pagination": _Q132_SQL,
+    "q133_sql_variables": _Q133_SQL,
 }
