@@ -691,6 +691,83 @@ GROUP BY o_orderpriority
 """
 
 
+# --- q134: forward fill / LOCF (last_value IGNORE NULLS) -----------------
+# Gap filling for sensor/event series: carry the last observation
+# forward per key. Missing readings are synthesized (every 5th event's
+# value nulled) since the fixtures are dense. One window per key — a
+# single shuffle on user_id; the frame is running (unbounded preceding →
+# current), so state per row is O(1).
+
+_Q134_SQL = """
+WITH gappy AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN event_id % 5 = 0 THEN NULL ELSE value END AS reading
+  FROM events
+)
+SELECT user_id, event_id, reading,
+       last_value(reading IGNORE NULLS) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS filled
+FROM gappy
+"""
+
+
+def q134_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # NB: Spark spells the modifier `last(x, ignorenulls)` / `... IGNORE
+    # NULLS OVER`, DuckDB puts IGNORE NULLS inside the call — same
+    # semantics, so the DataFrame form pairs with the DuckDB SQL above
+    from pyspark.sql import Window
+
+    events = tbl(spark, sf_dir, "events")
+    gappy = events.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(F.col("event_id") % 5 == 0, None)
+        .otherwise(F.col("value"))
+        .alias("reading"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return gappy.select(
+        "user_id",
+        "event_id",
+        "reading",
+        F.last("reading", ignorenulls=True).over(w).alias("filled"),
+    )
+
+
+# --- q135: schema-evolving union (UNION by name, missing columns) --------
+# Appending a v2 dataset that added a column to a v1 dataset that lacks
+# it — the schema-evolution union every long-lived pipeline needs.
+# DataFrame side: unionByName(allowMissingColumns=True); oracle: UNION
+# ALL BY NAME. Pure narrow op — no shuffle at any scale.
+
+def q135_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = tbl(spark, sf_dir, "orders")
+    v1 = orders.filter("o_orderkey % 2 = 0").select(
+        "o_orderkey", "o_totalprice"
+    )
+    v2 = orders.filter("o_orderkey % 2 = 1").select(
+        "o_orderkey", "o_totalprice",
+        F.col("o_orderpriority").alias("priority"),
+    )
+    return v1.unionByName(v2, allowMissingColumns=True)
+
+
+_Q135_SQL = """
+SELECT o_orderkey, o_totalprice, NULL AS priority
+FROM orders WHERE o_orderkey % 2 = 0
+UNION ALL BY NAME
+SELECT o_orderkey, o_totalprice, o_orderpriority AS priority
+FROM orders WHERE o_orderkey % 2 = 1
+"""
+
+
 QUERIES = {
     "q107_mincost_supplier": q107_mincost_supplier,
     "q108_nation_volume": q108_nation_volume,
@@ -708,6 +785,8 @@ QUERIES = {
     "q124_event_transitions": q124_event_transitions,
     "q132_pagination": q132_pagination,
     "q133_sql_variables": q133_sql_variables,
+    "q134_forward_fill": q134_forward_fill,
+    "q135_union_by_name": q135_union_by_name,
 }
 
 ORACLE = {
@@ -727,4 +806,6 @@ ORACLE = {
     "q124_event_transitions": _Q124_SQL,
     "q132_pagination": _Q132_SQL,
     "q133_sql_variables": _Q133_SQL,
+    "q134_forward_fill": _Q134_SQL,
+    "q135_union_by_name": _Q135_SQL,
 }
