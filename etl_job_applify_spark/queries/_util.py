@@ -26,10 +26,10 @@ def tbl(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     - ANSI off: the engine is permissive (NULL on overflow / bad cast /
       out-of-bounds array access) like the reference's PERMISSIVE
       readers, and it matches DuckDB's NULL-on-OOB list semantics.
-    - ``events.ts`` is parquet TIMESTAMP(NANOS), which Spark 4 refuses to
-      map to TimestampType; read it as a raw long and convert with
-      integer division (``div 1000`` → micros — integer arithmetic, no
-      double-precision loss on ~1.7e18 nano epochs).
+    - ``events.ts`` is normalized to session-zoned TimestampType whatever
+      the fixture generation encoded (TIMESTAMP(NANOS)-as-long with
+      integer ``div 1000``, or native micros TIMESTAMP_NTZ cast at the
+      UTC-pinned session) — see sources/readers.py ``load_table``.
     """
     from ..sources.readers import load_table
 

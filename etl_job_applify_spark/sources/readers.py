@@ -153,23 +153,29 @@ def read_binary(
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """One star-schema fixture table.
 
-    ``events.ts`` is parquet TIMESTAMP(NANOS), which Spark 4 refuses to
-    map to TimestampType: read it as a raw long (legacy conf) and convert
-    with integer division — ``div 1000`` to micros keeps full precision,
-    whereas a double roundtrip would lose bits on ~1.7e18 nano epochs.
+    ``events.ts`` is normalized to session-zoned TimestampType regardless
+    of how the fixture generation encoded it — generations have shipped it
+    as parquet TIMESTAMP(NANOS) (which Spark 4 refuses to map to
+    TimestampType; read as raw long via the legacy conf and convert with
+    integer division — ``div 1000`` to micros keeps full precision where
+    a double roundtrip would lose bits on ~1.7e18 nano epochs) and as
+    native micros TIMESTAMP_NTZ (cast; the session is pinned UTC so the
+    NTZ→TZ cast is instant-preserving).
 
     NOTE: ``nanosAsLong`` is a session-level conf and stays set (Spark
     consults it again at task execution time, so a save/restore around
-    the read would break the deferred scan). Consequence for this
-    session: other TIMESTAMP(NANOS) parquet columns also arrive as
-    longs — convert them the same way.
+    the read would break the deferred scan). It only affects
+    TIMESTAMP(NANOS) columns, so it is harmless for micros fixtures.
     """
     if name == "events":
         from pyspark.sql import functions as F
+        from pyspark.sql.types import LongType
 
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        if isinstance(df.schema["ts"].dataType, LongType):
+            return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
