@@ -23,17 +23,16 @@ def tbl(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     Pins engine semantics the queries rely on, because the driver runs
     them on ITS OWN SparkSession (arbitrary configs):
 
-    - ANSI off: the engine is permissive (NULL on overflow / bad cast /
-      out-of-bounds array access) like the reference's PERMISSIVE
-      readers, and it matches DuckDB's NULL-on-OOB list semantics.
+    - session semantics (ANSI off, nanos-as-long) are pinned idempotently
+      by ``session.prepare_session`` inside ``load_table`` — one place,
+      no per-query ``conf.set``.
     - ``events.ts`` is normalized to session-zoned TimestampType whatever
       the fixture generation encoded (TIMESTAMP(NANOS)-as-long with
       integer ``div 1000``, or native micros TIMESTAMP_NTZ cast at the
-      UTC-pinned session) — see sources/readers.py ``load_table``.
+      UTC-pinned session) — see sources/readers.py ``normalize_events_ts``.
     """
     from ..sources.readers import load_table
 
-    spark.conf.set("spark.sql.ansi.enabled", "false")
     return load_table(spark, sf_dir, name)
 
 

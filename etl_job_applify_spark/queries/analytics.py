@@ -48,21 +48,37 @@ SELECT doc_id, lang, source FROM (
 # Relational shingle inverted index — identical SQL shape runs in DuckDB,
 # making fuzzy dedup oracle-checkable (rare: most engines hide this behind
 # hashes). The corpus plants ~25 pairs with jaccard ≥ 0.85.
+#
+# The flagship path runs CAPPED (max_doc_freq=50): shingles shared by more
+# than 50 documents are boilerplate, carry no pair signal, and fan out
+# quadratically in the self-join — the uncapped form is the scale-killer a
+# 100 TB corpus would hit on its first hot shingle. The oracle mirrors the
+# cap (HAVING COUNT(*) <= 50, with sizes computed AFTER the cap, exactly
+# like ngram_jaccard_pairs), so the hash compare still pins semantics.
+
+_Q31_MAX_DOC_FREQ = 50
+
 
 def q31_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = tbl(spark, sf_dir, "documents")
-    out = ngram_jaccard_pairs(docs, threshold=0.5)
+    out = ngram_jaccard_pairs(
+        docs, threshold=0.5, max_doc_freq=_Q31_MAX_DOC_FREQ
+    )
     return out.select("a", "b", "jaccard")
 
 
-_Q31_SQL = """
+_Q31_SQL = f"""
 WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-sh AS (
+sh0 AS (
   SELECT DISTINCT doc_id,
          unnest(list_transform(range(1, greatest(len(t) - 2, 0) + 1),
                 i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) AS sh
   FROM tok WHERE len(t) >= 3
 ),
+keep AS (
+  SELECT sh FROM sh0 GROUP BY sh HAVING COUNT(*) <= {_Q31_MAX_DOC_FREQ}
+),
+sh AS (SELECT s.doc_id, s.sh FROM sh0 s JOIN keep USING (sh)),
 sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
 common AS (
   SELECT s1.doc_id AS a, s2.doc_id AS b, COUNT(*) AS common

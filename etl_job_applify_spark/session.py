@@ -33,6 +33,38 @@ def default_parallelism() -> int:
     return os.cpu_count() or 4
 
 
+#: engine semantics every entry point pins on the session it is handed.
+#: These are *session-level* confs (Spark consults them again at task
+#: execution time, so a save/restore around a single read would break the
+#: deferred scan) — hence one idempotent prep call instead of scattered
+#: ``conf.set`` inside query/reader bodies.
+_SESSION_PINS = {
+    # permissive semantics (NULL on overflow / bad cast / OOB array access)
+    # like the reference's PERMISSIVE readers; matches the DuckDB oracle.
+    "spark.sql.ansi.enabled": "false",
+    # some fixture generations encode events.ts as parquet TIMESTAMP(NANOS),
+    # which Spark 4 refuses to map to TimestampType; read as raw long and
+    # convert (sources/readers.py normalize_events_ts). Harmless for
+    # micros-encoded fixtures — it only affects NANOS columns.
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+}
+
+
+def prepare_session(spark: SparkSession) -> SparkSession:
+    """Idempotently pin engine semantics on an externally-built session.
+
+    The correctness driver (and any embedding application) runs queries on
+    ITS OWN SparkSession with arbitrary configs; every public entry point
+    (queries/_util.tbl, sources/readers.load_table, streaming jobs) routes
+    through here so the pins live in exactly one place. Only touches confs
+    that differ — repeat calls are free.
+    """
+    for k, v in _SESSION_PINS.items():
+        if spark.conf.get(k, None) != v:
+            spark.conf.set(k, v)
+    return spark
+
+
 def get_spark_session(
     app_name: str = _DEFAULT_APP,
     master: str | None = None,
@@ -79,4 +111,6 @@ def get_spark_session(
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    return spark
+    # getOrCreate may have returned a pre-existing session whose builder
+    # configs were ignored — pin the session-level semantics regardless.
+    return prepare_session(spark)

@@ -150,33 +150,38 @@ def read_binary(
     return reader.load(path)
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """One star-schema fixture table.
+def normalize_events_ts(df: DataFrame) -> DataFrame:
+    """Normalize ``events.ts`` to session-zoned TimestampType whatever the
+    fixture generation encoded.
 
-    ``events.ts`` is normalized to session-zoned TimestampType regardless
-    of how the fixture generation encoded it — generations have shipped it
-    as parquet TIMESTAMP(NANOS) (which Spark 4 refuses to map to
-    TimestampType; read as raw long via the legacy conf and convert with
-    integer division — ``div 1000`` to micros keeps full precision where
-    a double roundtrip would lose bits on ~1.7e18 nano epochs) and as
-    native micros TIMESTAMP_NTZ (cast; the session is pinned UTC so the
-    NTZ→TZ cast is instant-preserving).
-
-    NOTE: ``nanosAsLong`` is a session-level conf and stays set (Spark
-    consults it again at task execution time, so a save/restore around
-    the read would break the deferred scan). It only affects
-    TIMESTAMP(NANOS) columns, so it is harmless for micros fixtures.
+    Generations have shipped it as parquet TIMESTAMP(NANOS) (which Spark 4
+    refuses to map to TimestampType; the session pin
+    ``spark.sql.legacy.parquet.nanosAsLong`` surfaces it as a raw long —
+    convert with integer division, ``div 1000`` to micros, keeping full
+    precision where a double roundtrip would lose bits on ~1.7e18 nano
+    epochs) and as native micros TIMESTAMP_NTZ (cast; the session is
+    pinned UTC so the NTZ→TZ cast is instant-preserving). Shared by the
+    batch loader and streaming/jobs.events_stream so both paths convert
+    identically.
     """
-    if name == "events":
-        from pyspark.sql import functions as F
-        from pyspark.sql.types import LongType
+    from pyspark.sql import functions as F
 
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        if isinstance(df.schema["ts"].dataType, LongType):
-            return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
-        return df.withColumn("ts", F.col("ts").cast("timestamp"))
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if isinstance(df.schema["ts"].dataType, T.LongType):
+        return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return df.withColumn("ts", F.col("ts").cast("timestamp"))
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """One star-schema fixture table (``events.ts`` normalized — see
+    ``normalize_events_ts``; the required session pins are applied once by
+    ``session.prepare_session``)."""
+    from ..session import prepare_session
+
+    prepare_session(spark)
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events":
+        return normalize_events_ts(df)
+    return df
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

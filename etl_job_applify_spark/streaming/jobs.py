@@ -18,29 +18,22 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-#: fixture schema of the events table with ts already normalized (pin
-#: explicitly — streaming sources must never infer schemas)
-EVENTS_SCHEMA = (
-    "event_id bigint, ts timestamp, user_id bigint, event_type string, "
-    "value double, props string"
-)
-
-
 def events_stream(
     spark: SparkSession, sf_dir: str, max_files_per_trigger: int | None = None
 ) -> DataFrame:
     """Stream the events fixture with ``ts`` normalized to TimestampType.
 
-    The declared stream schema must match the file encoding, which has
-    differed across fixture generations (TIMESTAMP(NANOS) read as raw
-    long vs native micros TIMESTAMP_NTZ) — so probe the footer with a
-    cheap batch read and declare what the file actually contains, then
-    convert ``ts`` exactly as the batch loader does (same instants; the
-    session is pinned UTC).
+    Streaming sources can't infer schemas, and the declared schema must
+    match the file encoding, which has differed across fixture generations
+    (TIMESTAMP(NANOS) read as raw long vs native micros TIMESTAMP_NTZ) —
+    so probe the footer with a cheap batch read and declare what the file
+    actually contains, then convert ``ts`` through the same helper as the
+    batch loader (same instants; the session is pinned UTC).
     """
-    from ..sources.readers import load_table
+    from ..session import prepare_session
+    from ..sources.readers import normalize_events_ts
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    prepare_session(spark)
     file_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     # the file stream source wants a directory: stream the fixture dir with
     # a glob pinned to the events file
@@ -50,12 +43,7 @@ def events_stream(
     )
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    df = reader.parquet(sf_dir)
-    from pyspark.sql.types import LongType
-
-    if isinstance(file_schema["ts"].dataType, LongType):
-        return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
-    return df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return normalize_events_ts(reader.parquet(sf_dir))
 
 
 def tumbling_counts(
