@@ -7,13 +7,14 @@ compute — decode, resize, feature extraction, frame sampling — runs as
 Arrow-batched ``mapInPandas`` so payloads never round-trip through
 driver memory and Python sees whole columns per batch, not rows.
 
-Codec decode (images/video) needs libraries (Pillow/ffmpeg) that are NOT
-in this container, so those calls are stubbed behind clearly-marked
-``NotImplementedError`` gates; the Spark-side contract — schema, batch
-iteration, partitioning — is real and tested via the deterministic
-feature extractors: ``media_byte_features`` (raw bytes) and
-``media_char_features`` (a REAL utf-8 decode step → code points), the
-latter cross-checked end-to-end by the DuckDB oracle for any text.
+Image decode and resize are REAL for PPM/P6 (dependency-free codec in
+ppm.py, oracle-checked end-to-end via the arithmetic fixture —
+``attach_fake_ppm``); formats that need codec libraries (JPEG/PNG via
+Pillow, video via ffmpeg) are stubbed behind clearly-marked
+``NotImplementedError`` gates since those libs are not in this
+container. The deterministic feature extractors ``media_byte_features``
+(raw bytes) and ``media_char_features`` (a REAL utf-8 decode step →
+code points) are cross-checked by the DuckDB oracle for any text.
 """
 
 from __future__ import annotations
@@ -88,26 +89,87 @@ def media_byte_features(media: DataFrame) -> DataFrame:
     return media.mapInPandas(batches, schema=_FEATURES_SCHEMA)
 
 
+def attach_fake_ppm(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic PPM (P6) image fixture: dims and every pixel byte are
+    closed-form in ``doc_id`` (ppm.fixture_dims / fixture_pixels), so a
+    SQL oracle can recompute what a correct decode must produce without
+    ever parsing bytes. Generated inside Arrow batches — no driver data."""
+    from . import ppm
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids = pdf[id_col]
+            payloads, widths, heights = [], [], []
+            for doc_id in ids:
+                w, h = ppm.fixture_dims(int(doc_id))
+                payloads.append(
+                    ppm.encode_ppm(w, h, ppm.fixture_pixels(int(doc_id), w, h))
+                )
+                widths.append(w)
+                heights.append(h)
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids.astype("int64"),
+                    "media": payloads,
+                    "meta": [
+                        {
+                            "format": "ppm",
+                            "width": w,
+                            "height": h,
+                            "duration_ms": None,
+                        }
+                        for w, h in zip(widths, heights)
+                    ],
+                }
+            )
+
+    schema = (
+        "doc_id bigint, media binary, "
+        "meta struct<format:string,width:int,height:int,duration_ms:bigint>"
+    )
+    return docs.select(id_col).mapInPandas(batches, schema=schema)
+
+
 _DECODE_SCHEMA = (
     "doc_id bigint, width int, height int, channels int, pixels binary"
 )
 
 
 def decode_image_batch(media: DataFrame) -> DataFrame:
-    """Image decode via mapInPandas. STUB: the container has no codec
-    libraries — the Spark contract (signature, schema, batching) is real;
-    the codec call raises."""
+    """Image decode via mapInPandas.
+
+    REAL for PPM/P6 payloads (dependency-free parser in ppm.py, comment
+    and whitespace grammar included); other codecs (JPEG/PNG/...) need
+    Pillow, which is not in this container, and stay behind a
+    clearly-marked ``NotImplementedError`` gate.
+    """
+    from . import ppm
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        try:
-            from PIL import Image  # noqa: F401
-        except ImportError as exc:  # pragma: no cover - env-dependent
-            raise NotImplementedError(
-                "image decode requires Pillow, not present in this image; "
-                "plumbing is exercised via media_byte_features"
-            ) from exc
-        for pdf in it:  # pragma: no cover - needs Pillow
-            raise NotImplementedError("wire Image.open over pdf['media'] here")
+        for pdf in it:
+            out = {"doc_id": [], "width": [], "height": [], "channels": [],
+                   "pixels": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["media"]):
+                data = bytes(payload)
+                if data[:2] == b"P6":
+                    w, h, c, raster = ppm.decode_ppm(data)
+                else:  # pragma: no cover - env-dependent
+                    try:
+                        from PIL import Image  # noqa: F401
+                    except ImportError as exc:
+                        raise NotImplementedError(
+                            "non-PPM decode requires Pillow, not present "
+                            "in this image"
+                        ) from exc
+                    raise NotImplementedError(
+                        "wire Image.open for non-PPM formats here"
+                    )
+                out["doc_id"].append(doc_id)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["channels"].append(c)
+                out["pixels"].append(raster)
+            yield pd.DataFrame(out)
 
     return media.mapInPandas(batches, schema=_DECODE_SCHEMA)
 
@@ -132,17 +194,38 @@ _RESIZE_SCHEMA = "doc_id bigint, media binary, meta struct<format:string,width:i
 
 
 def resize_image_batch(media: DataFrame, width: int, height: int) -> DataFrame:
-    """Image resize via mapInPandas. STUB (needs Pillow, absent here):
-    contract = same (id, media, meta) shape out, meta.width/height updated
-    — resize is payload→payload, so it composes with decode/feature
-    stages in either order."""
+    """Image resize via mapInPandas: same (id, media, meta) shape out with
+    meta.width/height updated — payload→payload, so it composes with
+    decode/feature stages in either order.
+
+    REAL for PPM/P6 (decode → nearest-neighbor resample → re-encode, all
+    dependency-free); other codecs stay behind the Pillow gate."""
+    from . import ppm
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        raise NotImplementedError(
-            f"resize to {width}x{height} requires Pillow, not present; "
-            "schema/batching contract defined here"
-        )
-        yield  # pragma: no cover
+        for pdf in it:
+            payloads, metas = [], []
+            for payload in pdf["media"]:
+                data = bytes(payload)
+                if data[:2] != b"P6":  # pragma: no cover - env-dependent
+                    raise NotImplementedError(
+                        f"resize to {width}x{height} for non-PPM formats "
+                        "requires Pillow, not present in this image"
+                    )
+                w, h, _, raster = ppm.decode_ppm(data)
+                resized = ppm.resize_nearest(raster, w, h, width, height)
+                payloads.append(ppm.encode_ppm(width, height, resized))
+                metas.append(
+                    {
+                        "format": "ppm",
+                        "width": width,
+                        "height": height,
+                        "duration_ms": None,
+                    }
+                )
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "media": payloads, "meta": metas}
+            )
 
     return media.mapInPandas(batches, schema=_RESIZE_SCHEMA)
 

@@ -36,6 +36,7 @@ from . import (
     pipelineops2,
     sketches,
     graphmatch,
+    mediadecode,
 )
 
 
@@ -55,6 +56,7 @@ _MODULES = [
     pipelineops2,
     sketches,
     graphmatch,
+    mediadecode,
 ]
 
 

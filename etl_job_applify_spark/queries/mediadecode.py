@@ -1,0 +1,118 @@
+"""Multimodal image decode/resize queries (q137-q138).
+
+The decode path is REAL (multimodal/ppm.py: dependency-free P6 parser —
+comment/whitespace grammar and all) and oracle-checked the strong way:
+the PPM fixture's dims and pixel bytes are closed-form arithmetic in
+``doc_id`` (attach_fake_ppm), so DuckDB recomputes what a correct decode
+must produce — width, height, byte length, first byte, additive checksum
+— WITHOUT ever seeing the encoder or parsing a single byte. If the
+encoder and parser disagreed anywhere (header grammar, raster offset,
+truncation), the checksums break.
+
+Scale: generation, decode, resample and featurization all run as
+Arrow-batched mapInPandas; payloads never leave executors, and per-doc
+work is independent → embarrassingly parallel at any corpus size. A real
+100 TB corpus swaps attach_fake_ppm for read_binary + parquet-packed
+shards; every stage downstream is unchanged.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..multimodal import (
+    attach_fake_ppm,
+    decode_image_batch,
+    media_byte_features,
+    resize_image_batch,
+)
+from ._util import tbl
+
+
+def _pixel_features(decoded: DataFrame) -> DataFrame:
+    """(width,height,channels) from the decode + byte features over the
+    raw raster — one equi-join on doc_id (both sides partition-pruned by
+    AQE; at corpus scale this is a co-partitioned shuffle on the id)."""
+    feats = media_byte_features(
+        decoded.select("doc_id", F.col("pixels").alias("media"))
+    )
+    return (
+        decoded.select("doc_id", "width", "height", "channels")
+        .join(feats, "doc_id")
+        .select(
+            "doc_id",
+            "width",
+            "height",
+            "channels",
+            "byte_len",
+            "first_byte",
+            "byte_checksum",
+        )
+    )
+
+
+# --- q137: REAL image decode, arithmetic oracle ---------------------------
+
+def q137_ppm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = tbl(spark, sf_dir, "documents")
+    decoded = decode_image_batch(attach_fake_ppm(docs))
+    return _pixel_features(decoded)
+
+
+_Q137_SQL = """
+WITH dims AS (
+  SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h FROM documents
+)
+SELECT doc_id,
+       CAST(w AS INT) AS width,
+       CAST(h AS INT) AS height,
+       3 AS channels,
+       CAST(3 * w * h AS BIGINT) AS byte_len,
+       CAST((doc_id * 7) % 256 AS INT) AS first_byte,
+       CAST(list_sum(list_transform(range(0, 3 * w * h),
+                     i -> (doc_id * 7 + i) % 256)) % 65536
+            AS BIGINT) AS byte_checksum
+FROM dims
+"""
+
+
+# --- q138: decode → nearest-neighbor resize → re-encode → decode ---------
+# The oracle replays the floor mapping sy=(y*h)//th, sx=(x*w)//tw per
+# output byte, so the whole decode→resample→encode→decode round trip is
+# pinned, not just the happy path.
+
+def q138_ppm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = tbl(spark, sf_dir, "documents")
+    resized = resize_image_batch(attach_fake_ppm(docs), width=4, height=3)
+    return _pixel_features(decode_image_batch(resized))
+
+
+_Q138_SQL = """
+WITH dims AS (
+  SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h FROM documents
+)
+SELECT doc_id,
+       4 AS width,
+       3 AS height,
+       3 AS channels,
+       CAST(36 AS BIGINT) AS byte_len,
+       CAST((doc_id * 7) % 256 AS INT) AS first_byte,
+       CAST(list_sum(list_transform(range(0, 36),
+            i -> (doc_id * 7
+                  + 3 * (((i // 12) * h // 3) * w + ((i % 12) // 3) * w // 4)
+                  + i % 3) % 256)) % 65536
+            AS BIGINT) AS byte_checksum
+FROM dims
+"""
+
+
+QUERIES = {
+    "q137_ppm_decode": q137_ppm_decode,
+    "q138_ppm_resize": q138_ppm_resize,
+}
+
+ORACLE = {
+    "q137_ppm_decode": _Q137_SQL,
+    "q138_ppm_resize": _Q138_SQL,
+}

@@ -25,6 +25,11 @@ LIST_TABLES_SQL = {
         "WHERE table_type = 'BASE TABLE'"
     ),
     "oracle": "SELECT table_name FROM user_tables",
+    # Derby has no information_schema; sys.systables, 'T' = user tables
+    "derby": (
+        "SELECT tablename AS table_name FROM sys.systables "
+        "WHERE tabletype = 'T'"
+    ),
 }
 
 

@@ -21,26 +21,44 @@ from pyspark.sql import DataFrame, Row, SparkSession
 #: per-dialect JDBC URL templates + driver classes (reference
 #: DATABASE_CONFIG, lambda_function.py:30-51 — templates only; jars are
 #: deployment concerns)
+#: ``probe`` is the dialect's cheapest no-table round-trip — ``SELECT 1``
+#: is not portable (Oracle needs ``FROM dual``, Derby ``SYSIBM.SYSDUMMY1``)
 DIALECTS = {
     "mysql": {
         "url": "jdbc:mysql://{host}:{port}/{database}",
         "driver": "com.mysql.cj.jdbc.Driver",
         "default_port": 3306,
+        "probe": "SELECT 1 AS test_column",
     },
     "postgres": {
         "url": "jdbc:postgresql://{host}:{port}/{database}",
         "driver": "org.postgresql.Driver",
         "default_port": 5432,
+        "probe": "SELECT 1 AS test_column",
     },
     "oracle": {
         "url": "jdbc:oracle:thin:@{host}:{port}:{database}",
         "driver": "oracle.jdbc.driver.OracleDriver",
         "default_port": 1521,
+        "probe": "SELECT 1 AS test_column FROM dual",
     },
     "mssql": {
         "url": "jdbc:sqlserver://{host}:{port};databaseName={database}",
         "driver": "com.microsoft.sqlserver.jdbc.SQLServerDriver",
         "default_port": 1433,
+        "probe": "SELECT 1 AS test_column",
+    },
+    # Embedded Derby: in-JVM database, no host/port — ``database`` is the
+    # on-disk db directory. The Derby jars ship inside Spark itself (its
+    # Hive-metastore backend), which makes this the one dialect whose
+    # read/write/catalog paths are LIVE-tested in CI (tests/test_jdbc_live
+    # .py) rather than option-construction-only; the network dialects
+    # above exercise the exact same code path.
+    "derby": {
+        "url": "jdbc:derby:{database};create=true",
+        "driver": "org.apache.derby.jdbc.EmbeddedDriver",
+        "default_port": 0,
+        "probe": "SELECT 1 AS test_column FROM SYSIBM.SYSDUMMY1",
     },
 }
 
@@ -168,10 +186,11 @@ class JdbcSource:
         )
 
     def check_connection(self, spark: SparkSession) -> bool:
-        """Probe with a pushed ``SELECT 1`` (reference S5,
-        services/data_source.py:93-111)."""
+        """Probe with the dialect's cheapest pushed query (reference S5,
+        services/data_source.py:93-111 — whose ``SELECT 1`` only worked on
+        MySQL-ish dialects)."""
         try:
-            self.read_query(spark, "SELECT 1 AS test_column").collect()
+            self.read_query(spark, DIALECTS[self.dialect]["probe"]).collect()
             return True
         except Exception:
             return False

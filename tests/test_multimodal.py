@@ -132,3 +132,92 @@ def test_binary_reader_feeds_media_features(spark, tmp_path):
     )
     feats = {r["byte_len"] for r in media_byte_features(media).collect()}
     assert feats == {4, 2}
+
+
+# --- PPM codec: the REAL decode path -------------------------------------
+
+
+def test_ppm_roundtrip_pure():
+    import numpy as np
+
+    from etl_job_applify_spark.multimodal import ppm
+
+    px = ppm.fixture_pixels(11, 5, 4)
+    data = ppm.encode_ppm(5, 4, px)
+    w, h, c, raster = ppm.decode_ppm(data)
+    assert (w, h, c) == (5, 4, 3)
+    assert np.array_equal(np.frombuffer(raster, dtype=np.uint8), px)
+
+
+def test_ppm_decoder_handles_header_grammar():
+    """Comments and arbitrary whitespace between tokens are legal P6."""
+    from etl_job_applify_spark.multimodal import ppm
+
+    raster = bytes(range(2 * 1 * 3))
+    data = b"P6 # trailing comment\n#line comment\n 2\t1 #again\n  255\n" + raster
+    w, h, c, out = ppm.decode_ppm(data)
+    assert (w, h, c) == (2, 1, 3) and out == raster
+
+
+def test_ppm_decoder_rejects_garbage():
+    import pytest as _pytest
+
+    from etl_job_applify_spark.multimodal import ppm
+
+    with _pytest.raises(ValueError):
+        ppm.decode_ppm(b"P5\n1 1\n255\nx")  # grayscale magic
+    with _pytest.raises(ValueError):
+        ppm.decode_ppm(b"P6\n4 4\n255\nshort")  # truncated raster
+
+
+def test_ppm_resize_nearest_exact():
+    """2x2 -> 4x4 nearest must replicate each source pixel 2x2."""
+    import numpy as np
+
+    from etl_job_applify_spark.multimodal import ppm
+
+    src = np.arange(2 * 2 * 3, dtype=np.uint8).tobytes()
+    out = np.frombuffer(ppm.resize_nearest(src, 2, 2, 4, 4), dtype=np.uint8)
+    img = out.reshape(4, 4, 3)
+    srcimg = np.frombuffer(src, dtype=np.uint8).reshape(2, 2, 3)
+    for y in range(4):
+        for x in range(4):
+            assert np.array_equal(img[y, x], srcimg[y * 2 // 4, x * 2 // 4])
+
+
+def test_decode_image_batch_real_for_ppm(spark):
+    from etl_job_applify_spark.multimodal import (
+        attach_fake_ppm,
+        decode_image_batch,
+    )
+    from etl_job_applify_spark.multimodal import ppm
+
+    docs = tbl(spark, SF_SMOKE, "documents").limit(8)
+    rows = {
+        r["doc_id"]: r
+        for r in decode_image_batch(attach_fake_ppm(docs)).collect()
+    }
+    assert rows
+    for doc_id, r in rows.items():
+        w, h = ppm.fixture_dims(doc_id)
+        assert (r["width"], r["height"], r["channels"]) == (w, h, 3)
+        expect = ppm.fixture_pixels(doc_id, w, h).tobytes()
+        assert bytes(r["pixels"]) == expect
+
+
+def test_resize_image_batch_real_for_ppm(spark):
+    from etl_job_applify_spark.multimodal import (
+        attach_fake_ppm,
+        decode_image_batch,
+        resize_image_batch,
+    )
+
+    docs = tbl(spark, SF_SMOKE, "documents").limit(8)
+    resized = resize_image_batch(attach_fake_ppm(docs), width=4, height=3)
+    out = decode_image_batch(resized).collect()
+    assert out and all(
+        (r["width"], r["height"], len(bytes(r["pixels"]))) == (4, 3, 36)
+        for r in out
+    )
+    metas = resized.select("meta.width", "meta.height").distinct().collect()
+    assert [(m[0], m[1]) for m in metas] == [(4, 3)]
