@@ -62,32 +62,60 @@ def ngram_jaccard_pairs(
     postings = sh.select(
         F.col(id_col).alias("doc"), F.explode("shingles").alias("sh")
     ).select("doc", F.xxhash64("sh").alias("sh"))
+    from pyspark import StorageLevel
+
     if max_doc_freq is not None:
-        keep = (
+        # Capped path: group postings by shingle ONCE and generate pairs
+        # by in-group combination. The doc-frequency cap is then FREE — a
+        # size() filter on the grouped row — instead of a second pass
+        # over postings (window sort / count-join formulations both cost
+        # an extra full-postings shuffle; measured ~25% of q31's runtime
+        # at sf0.1). Per-group fanout is bounded by cap², and the grouped
+        # relation (one row per surviving shingle, ≤cap doc ids each) is
+        # the small thing to persist. Doc lists are sorted so
+        # following-only combination yields each pair exactly once with
+        # a < b — same multiset the self-join produced.
+        grouped = (
             postings.groupBy("sh")
-            .agg(F.count("*").alias("df"))
-            .filter(F.col("df") <= max_doc_freq)
-            .select("sh")
+            .agg(F.sort_array(F.collect_list("doc")).alias("docs"))
+            .filter(F.size("docs") <= max_doc_freq)
         )
-        postings = postings.join(keep, "sh")
-    if cache_postings:
-        from pyspark import StorageLevel
-
-        # lifecycle: Spark's ContextCleaner unpersists the cache once the
-        # returned plan (and this handle) are garbage-collected, so
-        # repeated calls don't accumulate dead caches; explicit tracking
-        # here would invalidate earlier, still-live results instead
-        postings = postings.persist(StorageLevel.MEMORY_AND_DISK)
-    sizes = postings.groupBy("doc").agg(F.count("*").alias("sz"))
-
-    a = postings.select(F.col("doc").alias("a"), "sh")
-    b = postings.select(F.col("doc").alias("b"), "sh")
-    common = (
-        a.join(b, "sh")
-        .filter(F.col("a") < F.col("b"))
-        .groupBy("a", "b")
-        .agg(F.count("*").alias("common"))
-    )
+        if cache_postings:
+            grouped = grouped.persist(StorageLevel.MEMORY_AND_DISK)
+        sizes = (
+            grouped.select(F.explode("docs").alias("doc"))
+            .groupBy("doc")
+            .agg(F.count("*").alias("sz"))
+        )
+        pair_structs = (
+            "flatten(transform(docs, (x, i) -> "
+            "transform(slice(docs, i + 2, size(docs)), "
+            "y -> struct(x AS a, y AS b))))"
+        )
+        common = (
+            grouped.select(F.explode(F.expr(pair_structs)).alias("p"))
+            .select("p.a", "p.b")
+            .groupBy("a", "b")
+            .agg(F.count("*").alias("common"))
+        )
+    else:
+        # Uncapped exact baseline: hash-keyed self-join on the postings
+        # (both sides shuffle the identical subplan → one Exchange).
+        if cache_postings:
+            # lifecycle: Spark's ContextCleaner unpersists the cache once
+            # the returned plan (and this handle) are garbage-collected,
+            # so repeated calls don't accumulate dead caches; explicit
+            # tracking here would invalidate earlier, still-live results
+            postings = postings.persist(StorageLevel.MEMORY_AND_DISK)
+        sizes = postings.groupBy("doc").agg(F.count("*").alias("sz"))
+        a = postings.select(F.col("doc").alias("a"), "sh")
+        b = postings.select(F.col("doc").alias("b"), "sh")
+        common = (
+            a.join(b, "sh")
+            .filter(F.col("a") < F.col("b"))
+            .groupBy("a", "b")
+            .agg(F.count("*").alias("common"))
+        )
     sa = sizes.select(F.col("doc").alias("a"), F.col("sz").alias("sz_a"))
     sb = sizes.select(F.col("doc").alias("b"), F.col("sz").alias("sz_b"))
     scored = (

@@ -37,6 +37,7 @@ cross-row sums go through DECIMAL(28,15).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ._util import tbl
 
@@ -131,8 +132,81 @@ _Q126_SQL = _pagerank_sql(iters=5)
 
 
 def q126_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    _view(spark, sf_dir, "events")
-    return spark.sql(_Q126_SQL)
+    """Five power iterations as a DataFrame loop.
+
+    The ORACLE stays the unrolled-CTE SQL above, run only by DuckDB —
+    independent formulations (loop vs textual unrolling), same numbers.
+    Per-row arithmetic reuses the oracle's exact expression shapes
+    (DECIMAL(28,15) accumulate → DOUBLE, teleport + damp*flow in double)
+    so the hash compare pins bits, not just shapes.
+
+    Scale: rank and edge relations shuffle on the node key each
+    iteration; a large graph would checkpoint ranks every few iterations
+    to cut lineage (operators/components.py does exactly that) and
+    pre-partition edges by dst so the per-iteration join is
+    co-partitioned. Node count is a one-time driver scalar (control
+    plane, like the IVF centroid sample).
+    """
+    from pyspark.sql.window import Window
+
+    damp = 0.85
+    events = tbl(spark, sf_dir, "events")
+    w_user = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = events.select(
+        F.lag("event_type").over(w_user).alias("src"),
+        F.col("event_type").alias("dst"),
+    )
+    counts = (
+        pairs.filter(F.col("src").isNotNull())
+        .groupBy("src", "dst")
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+    edges = counts.select(
+        "src",
+        "dst",
+        (
+            F.col("n").cast("double")
+            / F.sum("n").over(Window.partitionBy("src")).cast("double")
+        ).alias("w"),
+    )
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select("dst"))
+        .distinct()
+    )
+    # event-type graph: node count is tiny and needed as a scalar in the
+    # rank formula (the SQL oracle's scalar subquery)
+    n_nodes = nodes.count()
+    ranks = nodes.select("node", F.lit(1.0 / n_nodes).alias("rank"))
+    # mirror the oracle's literal: round(1-damp, 10) is the double the SQL
+    # text "0.15" parses to; bare `1 - damp` is 0.15000000000000002
+    teleport_term = round(1 - damp, 10) / n_nodes
+    for _ in range(5):
+        ranks = (
+            nodes.alias("nd")
+            .join(edges.alias("e"), F.col("e.dst") == F.col("nd.node"), "left")
+            .join(
+                ranks.select(
+                    F.col("node").alias("r_node"), F.col("rank").alias("r_rank")
+                ),
+                F.col("e.src") == F.col("r_node"),
+                "left",
+            )
+            .groupBy(F.col("nd.node"))
+            .agg(
+                F.expr(
+                    "CAST(COALESCE(SUM(CAST(r_rank * w AS DECIMAL(28,15))), 0)"
+                    " AS DOUBLE)"
+                ).alias("flow")
+            )
+            .select(
+                "node",
+                (F.lit(teleport_term) + F.lit(damp) * F.col("flow")).alias(
+                    "rank"
+                ),
+            )
+        )
+    return ranks
 
 
 # --- q127: snapshot diff (table-diff / changelog generation) -------------
