@@ -57,12 +57,21 @@ def minhash_lsh_pairs(
     bands: int = 32,
     threshold: float = 0.5,
     verify: bool = True,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs (a, b[, jaccard]) via banded MinHash.
 
     ``verify=True`` re-checks every candidate with exact shingle Jaccard
     and filters by ``threshold`` (exact precision, LSH-bounded recall).
     ``verify=False`` returns raw candidates (a, b).
+
+    ``max_bucket_size``: skip LSH buckets holding more than this many
+    docs. A bucket's pair fanout is quadratic in its size, and oversized
+    buckets are boilerplate-driven (a band of min-hashes dominated by a
+    template shared corpus-wide), not near-dup signal — the banding twin
+    of Jaccard's ``max_doc_freq`` stop-shingle cap, and the knob that
+    keeps a skewed 100 TB corpus from melting one reducer. Genuine
+    near-dup CLUSTERS of size ≤ cap are unaffected.
     """
     if num_hashes % bands:
         raise ValueError("num_hashes must be divisible by bands")
@@ -86,14 +95,35 @@ def minhash_lsh_pairs(
         ).alias("bb"),
     ).select("doc", "bb.band", "bb.bucket")
 
-    left = band_entries.select("band", "bucket", F.col("doc").alias("a"))
-    right = band_entries.select("band", "bucket", F.col("doc").alias("b"))
-    candidates = (
-        left.join(right, ["band", "bucket"])
-        .filter(F.col("a") < F.col("b"))
-        .select("a", "b")
-        .distinct()
-    )
+    if max_bucket_size is not None:
+        # group each bucket once; the size cap is a free filter and pairs
+        # are emitted by in-group combination of the sorted doc list
+        # (same shape as jaccard.py's capped path — one shuffle, fanout
+        # bounded by cap² per bucket)
+        grouped = (
+            band_entries.groupBy("band", "bucket")
+            .agg(F.sort_array(F.collect_list("doc")).alias("docs"))
+            .filter((F.size("docs") >= 2) & (F.size("docs") <= max_bucket_size))
+        )
+        pair_structs = (
+            "flatten(transform(docs, (x, i) -> "
+            "transform(slice(docs, i + 2, size(docs)), "
+            "y -> struct(x AS a, y AS b))))"
+        )
+        candidates = (
+            grouped.select(F.explode(F.expr(pair_structs)).alias("p"))
+            .select("p.a", "p.b")
+            .distinct()
+        )
+    else:
+        left = band_entries.select("band", "bucket", F.col("doc").alias("a"))
+        right = band_entries.select("band", "bucket", F.col("doc").alias("b"))
+        candidates = (
+            left.join(right, ["band", "bucket"])
+            .filter(F.col("a") < F.col("b"))
+            .select("a", "b")
+            .distinct()
+        )
     if not verify:
         return candidates
     # candidates feed three plan branches below (two id-union branches +

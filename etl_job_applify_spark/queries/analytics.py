@@ -98,9 +98,13 @@ WHERE common / (sa.sz + sb.sz - common) >= 0.5
 # LSH-bounded recall) ------------------------------------------------------
 
 def q32_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # bucket cap = 64: boilerplate-driven buckets are skipped before the
+    # quadratic pair fanout (skew-safe at corpus scale; recall on genuine
+    # near-dup pairs pinned by q76 with the same parameters)
     docs = tbl(spark, sf_dir, "documents")
     return minhash_lsh_pairs(
-        docs, num_hashes=64, bands=16, threshold=0.5, verify=True
+        docs, num_hashes=64, bands=16, threshold=0.5, verify=True,
+        max_bucket_size=64,
     )
 
 

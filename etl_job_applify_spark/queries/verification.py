@@ -50,7 +50,8 @@ def q76_minhash_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = tbl(spark, sf_dir, "documents")
     exact = ngram_jaccard_pairs(docs, threshold=0.8)
     lsh = minhash_lsh_pairs(
-        docs, num_hashes=64, bands=16, threshold=0.5, verify=True
+        docs, num_hashes=64, bands=16, threshold=0.5, verify=True,
+        max_bucket_size=64,
     )
     return _recall_row(exact, lsh, min_recall=0.9)
 

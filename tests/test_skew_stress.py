@@ -1,0 +1,129 @@
+"""Skew stress: the dedup stack vs a boilerplate-polluted corpus.
+
+The 100 TB failure mode for fuzzy dedup is not volume, it's SKEW: one
+boilerplate fragment (cookie banner, license header, template footer)
+shared by a large slice of the corpus turns shingle/bucket joins
+quadratic. These tests INJECT that pathology — a fixed 12-token
+boilerplate appended to 10% of the sf0.1 documents (~500 docs sharing
+~10 hot shingles) — and assert the capped paths complete within a wall
+budget AND still find the genuine near-dup pairs.
+
+Without the caps the hot shingle alone contributes ~500²/2 ≈ 125k join
+rows per shingle (~1.2M extra pairs); with them the hot groups are
+dropped before any pair is generated, so runtime stays proportional to
+the clean corpus. Timing notes live in SCALING.md.
+"""
+
+from __future__ import annotations
+
+import time
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from etl_job_applify_spark.dedup import minhash_lsh_pairs, ngram_jaccard_pairs
+from etl_job_applify_spark.queries._util import tbl
+
+SF_DIR = "/root/testdata/sf0.1"
+
+#: generous wall budgets (local[4] CI box, cold plans); the point is
+#: "linear-ish", not microbenchmarks — the uncapped quadratic path blows
+#: far past these on the same box
+JACCARD_BUDGET_S = 90.0
+MINHASH_BUDGET_S = 150.0
+
+BOILERPLATE = (
+    " this document is provided as is without warranty of any kind"
+    " please review the attached terms carefully"
+)
+
+
+def _skewed_docs(spark):
+    docs = tbl(spark, SF_DIR, "documents").select("doc_id", "text")
+    return docs.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 10 == 0, F.concat(F.col("text"), F.lit(BOILERPLATE))
+        ).otherwise(F.col("text")),
+    )
+
+
+@pytest.fixture(scope="module")
+def clean_pairs(spark):
+    """Ground truth on the CLEAN corpus: the planted near-dup pairs."""
+    rows = (
+        ngram_jaccard_pairs(
+            tbl(spark, SF_DIR, "documents"), threshold=0.8, max_doc_freq=50
+        )
+        .select("a", "b")
+        .collect()
+    )
+    return {(r.a, r.b) for r in rows}
+
+
+def test_capped_jaccard_survives_boilerplate_skew(spark, clean_pairs):
+    skewed = _skewed_docs(spark)
+    t0 = time.perf_counter()
+    pairs = {
+        (r.a, r.b)
+        for r in ngram_jaccard_pairs(skewed, threshold=0.8, max_doc_freq=50)
+        .select("a", "b")
+        .collect()
+    }
+    elapsed = time.perf_counter() - t0
+    assert elapsed < JACCARD_BUDGET_S, f"capped jaccard took {elapsed:.1f}s"
+    # the boilerplate's hot shingles are dropped by the cap on BOTH the
+    # clean and skewed runs, so the planted high-jaccard pairs survive.
+    # (Appending 12 tokens to a member of a pair shifts its jaccard
+    # slightly — allow a small recall slack for pairs near the 0.8 line.)
+    assert clean_pairs, "fixture corpus should contain planted pairs"
+    recovered = len(clean_pairs & pairs) / len(clean_pairs)
+    assert recovered >= 0.8, f"recall vs clean ground truth {recovered:.2f}"
+
+
+def test_capped_minhash_survives_boilerplate_skew(spark, clean_pairs):
+    skewed = _skewed_docs(spark)
+    t0 = time.perf_counter()
+    pairs = {
+        (r.a, r.b)
+        for r in minhash_lsh_pairs(
+            skewed,
+            num_hashes=64,
+            bands=16,
+            threshold=0.8,
+            verify=True,
+            max_bucket_size=64,
+        )
+        .select("a", "b")
+        .collect()
+    }
+    elapsed = time.perf_counter() - t0
+    assert elapsed < MINHASH_BUDGET_S, f"capped minhash took {elapsed:.1f}s"
+    recovered = len(clean_pairs & pairs) / len(clean_pairs)
+    # LSH recall (q76 pins >= 0.9 clean) minus boilerplate jitter
+    assert recovered >= 0.7, f"recall vs clean ground truth {recovered:.2f}"
+
+
+def test_bucket_cap_drops_hot_buckets_only(spark):
+    """Structural check at sf0.001 (fast): when boilerplate DOMINATES
+    every doc (a template corpus: 3 unique tokens + the shared footer),
+    uncapped banding produces a near-quadratic candidate set while the
+    capped path collapses it by orders of magnitude."""
+    docs = tbl(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id",
+        F.concat(
+            F.array_join(F.slice(F.split("text", " "), 1, 3), " "),
+            F.lit(BOILERPLATE),
+        ).alias("text"),
+    )
+    n_docs = docs.count()
+    uncapped = minhash_lsh_pairs(
+        docs, num_hashes=16, bands=4, verify=False
+    ).count()
+    capped = minhash_lsh_pairs(
+        docs, num_hashes=16, bands=4, verify=False, max_bucket_size=8
+    ).count()
+    # boilerplate dominates short docs' signatures: near-quadratic blowup
+    assert uncapped > n_docs * 5
+    assert capped < uncapped / 10
