@@ -1,6 +1,14 @@
 from .writers import write_csv, write_json, write_parquet, write_jdbc, write_xml
 from .upsert import upsert
-from .versioned import list_versions, read_table, write_version
+from .versioned import (
+    CommitConflict,
+    commit_version,
+    list_versions,
+    read_table,
+    write_version,
+)
+from .merge import merge_into
 
 __all__ = ["write_csv", "write_json", "write_parquet", "write_jdbc", "write_xml", "upsert",
-           "write_version", "read_table", "list_versions"]
+           "write_version", "read_table", "list_versions",
+           "CommitConflict", "commit_version", "merge_into"]

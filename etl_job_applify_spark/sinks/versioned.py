@@ -75,6 +75,70 @@ def write_version(
     return nxt
 
 
+class CommitConflict(Exception):
+    """Another writer published a version after this writer's read.
+
+    The optimistic-concurrency signal: re-read the table, recompute, and
+    retry the commit (sinks/merge.py merge_into does exactly that)."""
+
+
+def commit_version(
+    df: DataFrame, table_path: str, base_version: int
+) -> int:
+    """Compare-and-swap publish: commit ``df`` as ``base_version + 1``
+    iff ``base_version`` is still the newest committed version.
+
+    Protocol: write to a uniquely-named staging directory (full
+    distributed write), then RENAME it to ``snap_{base+1}`` — on
+    HDFS-semantics filesystems rename refuses an existing destination,
+    so of N racing writers exactly one wins; losers raise
+    ``CommitConflict`` with their staging cleaned up. This is the
+    directory-protocol version of a transaction-log CAS (what Delta does
+    against ``_delta_log/N.json``); object stores without atomic rename
+    (S3) need the real table format — documented trade, same API.
+    """
+    spark = df.sparkSession
+    jvm = spark._jvm
+    fs, root, names = _snapshots(spark, table_path)
+    latest = int(names[-1][len(_PREFIX):]) if names else 0
+    if latest != base_version:
+        raise CommitConflict(
+            f"expected latest version {base_version}, found {latest}"
+        )
+    import uuid
+
+    nxt = base_version + 1
+    tag = uuid.uuid4().hex
+    staging_name = f".staging_{tag}"
+    staging = f"{table_path}/{staging_name}"
+    df.write.mode("overwrite").parquet(staging)
+    # writer-unique commit token: Hadoop's rename follows mv semantics —
+    # when the destination directory already EXISTS, the source is moved
+    # INSIDE it and rename still returns true, which would silently drop
+    # a racing writer's snapshot. The token only appears at the
+    # destination ROOT if OUR rename created the destination, so its
+    # presence is the actual commit test. (Underscore-prefixed files are
+    # invisible to parquet reads, like _SUCCESS.)
+    token = jvm.org.apache.hadoop.fs.Path(staging, f"_commit_{tag}")
+    fs.create(token, True).close()
+    dest = jvm.org.apache.hadoop.fs.Path(root, f"{_PREFIX}{nxt:08d}")
+    renamed = fs.rename(jvm.org.apache.hadoop.fs.Path(staging), dest)
+    won = renamed and fs.exists(
+        jvm.org.apache.hadoop.fs.Path(dest, f"_commit_{tag}")
+    )
+    if not won:
+        for leftover in (
+            jvm.org.apache.hadoop.fs.Path(dest, staging_name),  # moved inside
+            jvm.org.apache.hadoop.fs.Path(staging),  # rename refused
+        ):
+            if fs.exists(leftover):
+                fs.delete(leftover, True)
+        raise CommitConflict(
+            f"version {nxt} was committed concurrently under {table_path}"
+        )
+    return nxt
+
+
 def read_table(
     spark: SparkSession, table_path: str, version: int | None = None
 ) -> DataFrame:
