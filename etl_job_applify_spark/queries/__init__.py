@@ -37,6 +37,7 @@ from . import (
     sketches,
     graphmatch,
     mediadecode,
+    transactional,
 )
 
 
@@ -57,6 +58,7 @@ _MODULES = [
     sketches,
     graphmatch,
     mediadecode,
+    transactional,
 ]
 
 

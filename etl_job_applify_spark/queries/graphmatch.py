@@ -81,8 +81,37 @@ FROM best WHERE rn = 1
 
 
 def q125_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
-    _view(spark, sf_dir, "customer")
-    return spark.sql(_Q125_SQL)
+    """DataFrame formulation (blocking equi-join → levenshtein filter →
+    window best-pick); the SQL above runs only in DuckDB."""
+    from pyspark.sql.window import Window
+
+    customer = tbl(spark, sf_dir, "customer")
+    dirty = customer.filter(F.col("c_custkey") % 7 == 0).select(
+        F.col("c_custkey").alias("dirty_id"),
+        F.replace(
+            F.col("c_name"), F.lit("#00"), F.lit("#OO")
+        ).alias("dirty_name"),
+        F.substring(F.col("c_name"), -4, 4).alias("blk"),
+    )
+    cand = (
+        dirty.join(
+            customer, F.substring(F.col("c_name"), -4, 4) == F.col("blk")
+        )
+        .withColumn(
+            "dist", F.levenshtein(F.col("dirty_name"), F.col("c_name"))
+        )
+        .filter(F.col("dist") <= 2)
+        .select(
+            "dirty_id", "dirty_name", F.col("c_custkey").alias("matched_id"),
+            "dist",
+        )
+    )
+    w = Window.partitionBy("dirty_id").orderBy("dist", "matched_id")
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("dirty_id", "dirty_name", "matched_id", "dist")
+    )
 
 
 # --- q126: PageRank, five unrolled power iterations ----------------------
@@ -253,8 +282,50 @@ FROM diff GROUP BY change_type
 
 
 def q127_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
-    _view(spark, sf_dir, "orders")
-    return spark.sql(_Q127_SQL)
+    """DataFrame formulation (full outer join + CASE classification);
+    the unchanged SQL above runs only in DuckDB — independent twins."""
+    orders = tbl(spark, sf_dir, "orders")
+    cols = ["o_orderkey", "o_orderstatus", "o_totalprice"]
+    old = orders.filter(
+        F.col("o_orderdate") < F.lit("1999-01-01").cast("timestamp")
+    ).select(*cols)
+    new = (
+        orders.filter(
+            (F.col("o_orderdate") < F.lit("2000-01-01").cast("timestamp"))
+            & ~(
+                (F.col("o_orderkey") % 13 == 0)
+                & (F.col("o_orderdate") < F.lit("1999-01-01").cast("timestamp"))
+            )
+        )
+        .select(
+            "o_orderkey",
+            F.when(F.col("o_orderkey") % 17 == 0, F.lit("X"))
+            .otherwise(F.col("o_orderstatus"))
+            .alias("o_orderstatus"),
+            "o_totalprice",
+        )
+    )
+    o, n_ = old.alias("old"), new.alias("new")
+    diff = o.join(
+        n_, F.col("old.o_orderkey") == F.col("new.o_orderkey"), "full_outer"
+    ).select(
+        F.coalesce(F.col("old.o_orderkey"), F.col("new.o_orderkey")).alias(
+            "o_orderkey"
+        ),
+        F.when(F.col("old.o_orderkey").isNull(), F.lit("added"))
+        .when(F.col("new.o_orderkey").isNull(), F.lit("removed"))
+        .when(
+            (F.col("old.o_orderstatus") != F.col("new.o_orderstatus"))
+            | (F.col("old.o_totalprice") != F.col("new.o_totalprice")),
+            F.lit("changed"),
+        )
+        .otherwise(F.lit("unchanged"))
+        .alias("change_type"),
+    )
+    return diff.groupBy("change_type").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.min("o_orderkey").alias("sample_key"),
+    )
 
 
 # --- q128: CDC apply-changes (change log → final table state) ------------

@@ -1,0 +1,90 @@
+"""q139: the transactional MERGE path, oracle-checked end to end.
+
+Unlike q23 (the relational MERGE rewrite in isolation), this query drives
+the full storage protocol: three ``merge_into`` commits against a fresh
+versioned table (insert seed → upsert batch → delete batch), then reads
+the committed snapshot back and summarizes it. The DuckDB oracle computes
+the same final state purely relationally — so the snapshot write/CAS/
+read-back machinery (sinks/versioned.py, sinks/merge.py) must be
+value-faithful, not just the algebra.
+
+Each invocation uses a fresh temp table directory (rerunnable; the
+driver may call queries repeatedly). Parquet round-trips doubles
+bit-exactly, so the DSUM idiom holds across the storage hop.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sinks import merge_into, read_table
+from ._util import DSUM, dsum, tbl
+
+
+def q139_merge_transactional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = tbl(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    path = tempfile.mkdtemp(prefix="q139_merge_")
+    # commit 1: seed every 50th order
+    merge_into(
+        spark,
+        path,
+        orders.filter(F.col("o_orderkey") % 50 == 0),
+        keys=["o_orderkey"],
+    )
+    # commit 2: upsert every 25th order at +20% price (updates the seeded
+    # %50 keys, inserts the odd %25 multiples)
+    merge_into(
+        spark,
+        path,
+        orders.filter(F.col("o_orderkey") % 25 == 0).withColumn(
+            "o_totalprice", F.col("o_totalprice") * 1.2
+        ),
+        keys=["o_orderkey"],
+    )
+    # commit 3: tombstone every 150th order
+    merge_into(
+        spark,
+        path,
+        orders.filter(F.col("o_orderkey") % 150 == 0),
+        keys=["o_orderkey"],
+        when_matched="delete",
+    )
+    final = read_table(spark, path)  # latest committed snapshot
+    return (
+        final.groupBy("o_orderstatus")
+        .agg(F.count("*").cast("bigint").alias("n"), dsum("o_totalprice", "total"))
+        .orderBy("o_orderstatus")
+    )
+
+
+_Q139_SQL = f"""
+WITH base AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice
+  FROM orders WHERE o_orderkey % 50 = 0
+),
+upd AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice * 1.2 AS o_totalprice
+  FROM orders WHERE o_orderkey % 25 = 0
+),
+merged AS (
+  SELECT * FROM base
+  WHERE o_orderkey NOT IN (SELECT o_orderkey FROM upd)
+  UNION ALL
+  SELECT * FROM upd
+),
+final AS (SELECT * FROM merged WHERE o_orderkey % 150 <> 0)
+SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
+       {DSUM('o_totalprice')} AS total
+FROM final
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
+
+QUERIES = {"q139_merge_transactional": q139_merge_transactional}
+ORACLE = {"q139_merge_transactional": _Q139_SQL}
