@@ -8,7 +8,9 @@ from .versioned import (
     write_version,
 )
 from .merge import merge_into
+from .redshift import copy_statements, execute_statement, write_redshift
 
 __all__ = ["write_csv", "write_json", "write_parquet", "write_jdbc", "write_xml", "upsert",
            "write_version", "read_table", "list_versions",
-           "CommitConflict", "commit_version", "merge_into"]
+           "CommitConflict", "commit_version", "merge_into",
+           "copy_statements", "execute_statement", "write_redshift"]

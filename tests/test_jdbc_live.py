@@ -134,3 +134,25 @@ def test_show_tables_live(spark, seeded):
     """S6 catalog listing via pushed sys.systables query."""
     names = table_names(show_tables(spark, seeded))
     assert "ITEMS" in {n.upper() for n in names}
+
+
+# --- control-plane statement execution (the COPY-pattern primitive) ------
+
+
+def test_execute_statement_live(spark, derby, tmp_path):
+    """DDL + DML round trip through the raw java.sql path that
+    write_redshift's default executor uses."""
+    from etl_job_applify_spark.sinks import execute_statement
+
+    url = derby.url
+    execute_statement(
+        spark, url, "CREATE TABLE ctl_probe (id INT, name VARCHAR(20))"
+    )
+    n = execute_statement(
+        spark, url, "INSERT INTO ctl_probe VALUES (1, 'a'), (2, 'b')"
+    )
+    assert n == 2
+    got = derby.read_query(
+        spark, "SELECT COUNT(*) AS n FROM ctl_probe"
+    ).collect()
+    assert got[0][0] == 2

@@ -185,3 +185,51 @@ def test_versioned_table_ignores_uncommitted_snapshot(spark, tmp_path):
     # the next write claims version 2 and OVERWRITES the orphan cleanly
     v = write_version(spark.range(0, 7), t)
     assert v == 2 and read_table(spark, t).count() == 7
+
+
+# --- Redshift stage-then-COPY sink ---------------------------------------
+
+
+def test_redshift_copy_statements():
+    from etl_job_applify_spark.sinks import copy_statements
+
+    stmts = copy_statements(
+        "analytics.events", "s3://lake/stage/run1", iam_role="arn:role",
+        mode="overwrite", region="us-east-1",
+    )
+    assert stmts == [
+        "TRUNCATE analytics.events",
+        "COPY analytics.events FROM 's3://lake/stage/run1' "
+        "FORMAT AS PARQUET IAM_ROLE 'arn:role' REGION 'us-east-1'",
+    ]
+    append = copy_statements("t", "/stage/p")
+    assert append == ["COPY t FROM '/stage/p' FORMAT AS PARQUET"]
+
+
+def test_write_redshift_stages_then_copies(spark, tmp_path):
+    """The staging parquet must be complete and committed BEFORE any
+    statement executes (the warehouse loads whatever is staged)."""
+    from etl_job_applify_spark.sinks import write_redshift
+
+    staging = str(tmp_path / "stage")
+    seen = []
+
+    def recorder(sql):
+        # staging is readable at execution time
+        assert spark.read.parquet(staging).count() == 10
+        seen.append(sql)
+
+    df = spark.range(10).selectExpr("id", "id * 2 AS v")
+    issued = write_redshift(
+        df,
+        table="warehouse.t",
+        staging_path=staging,
+        url="jdbc:redshift://example:5439/db",
+        user="u",
+        password="p",
+        mode="overwrite",
+        execute=recorder,
+    )
+    assert list(issued) == seen
+    assert seen[0] == "TRUNCATE warehouse.t"
+    assert seen[1].startswith("COPY warehouse.t FROM ")
