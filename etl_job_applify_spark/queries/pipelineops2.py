@@ -224,11 +224,119 @@ GROUP BY doc_id
 """
 
 
+# --- q140: vocabulary build + OOV coverage -------------------------------
+# The tokenizer-prep statistic: build the top-K global vocabulary by
+# frequency (total order: count DESC, token ASC — deterministic at any
+# parallelism) and measure per-language OOV occurrence rate against it.
+# High OOV for a language = the vocab under-serves it (the practical
+# signal behind vocab-size / language-mix decisions).
+# Plan: one shuffle for token counts; the vocab is top-K of that (tiny,
+# TakeOrdered) and broadcasts back to the token stream — the coverage
+# pass is map-side + one final agg on lang. Heaps' law keeps the count
+# table ≪ corpus at 100 TB; K is fixed.
+
+_VOCAB_K = 1000
+
+
+def q140_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = tbl(spark, sf_dir, "documents")
+    toks = docs.select("lang", F.explode(F.expr(_T)).alias("t"))
+    counts = toks.groupBy("t").agg(F.count("*").alias("c"))
+    vocab = (
+        counts.orderBy(F.col("c").desc(), F.col("t").asc())
+        .limit(_VOCAB_K)
+        .select("t", F.lit(1).alias("in_vocab"))
+    )
+    return (
+        toks.join(F.broadcast(vocab), "t", "left")
+        .groupBy("lang")
+        .agg(
+            F.count("*").cast("bigint").alias("n_tokens"),
+            (F.count("*") - F.count("in_vocab")).cast("bigint").alias("n_oov"),
+            (
+                (F.count("*") - F.count("in_vocab")).cast("double")
+                / F.count("*").cast("double")
+            ).alias("oov_rate"),
+        )
+    )
+
+
+_Q140_SQL = f"""
+WITH tok AS (
+  SELECT lang, unnest(string_split(text, ' ')) AS t FROM documents
+),
+counts AS (SELECT t, COUNT(*) AS c FROM tok GROUP BY t),
+vocab AS (SELECT t FROM counts ORDER BY c DESC, t ASC LIMIT {_VOCAB_K})
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(SUM(CASE WHEN v.t IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+       CAST(SUM(CASE WHEN v.t IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+         / CAST(COUNT(*) AS DOUBLE) AS oov_rate
+FROM tok LEFT JOIN vocab v USING (t)
+GROUP BY lang
+"""
+
+
+# --- q141: deterministic stratified sampling -----------------------------
+# Reproducible per-stratum downsampling without RNG state: keep a doc iff
+# its content rolling-hash bucket falls under the stratum's rate (en is
+# over-represented in the fixture mix → sampled at 10%, others at 20%).
+# Content-keyed (not doc_id-keyed) so re-ingested/re-keyed corpora sample
+# identically — and the same doc text always lands in the same side of
+# the cut, the property training reproducibility needs.
+# Plan: the decision is a pure map-side expression (zero shuffle); only
+# the audit aggregate shuffles on lang. At 100 TB this is the sampling
+# pattern that never materializes an intermediate.
+
+def q141_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import rolling_hash_expr
+
+    docs = tbl(spark, sf_dir, "documents")
+    tagged = docs.select(
+        "lang",
+        "doc_id",
+        (rolling_hash_expr("text") % 100).alias("bucket"),
+        F.when(F.col("lang") == "en", F.lit(10))
+        .otherwise(F.lit(20))
+        .alias("rate"),
+    )
+    kept = F.col("bucket") < F.col("rate")
+    return tagged.groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum(F.when(kept, 1).otherwise(0)).cast("bigint").alias("n_kept"),
+        F.sum(F.when(kept, F.col("doc_id"))).cast("bigint").alias("kept_id_sum"),
+    )
+
+
+_Q141_SQL = """
+WITH tagged AS (
+  SELECT lang, doc_id,
+         CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+                list_transform(range(1, length(text) + 1),
+                               i -> ascii(text[i]))),
+              (acc, c) -> (acc * 31 + c) % 1000000007) AS BIGINT) % 100
+           AS bucket,
+         CASE WHEN lang = 'en' THEN 10 ELSE 20 END AS rate
+  FROM documents
+)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN bucket < rate THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_kept,
+       CAST(SUM(CASE WHEN bucket < rate THEN doc_id END) AS BIGINT)
+         AS kept_id_sum
+FROM tagged
+GROUP BY lang
+"""
+
+
 QUERIES = {
     "q117_gopher_rules": q117_gopher_rules,
     "q118_mix_weights": q118_mix_weights,
     "q119_hash_split": q119_hash_split,
     "q120_rare_word_score": q120_rare_word_score,
+    "q140_vocab_coverage": q140_vocab_coverage,
+    "q141_stratified_sample": q141_stratified_sample,
 }
 
 ORACLE = {
@@ -236,4 +344,6 @@ ORACLE = {
     "q118_mix_weights": _Q118_SQL,
     "q119_hash_split": _Q119_SQL,
     "q120_rare_word_score": _Q120_SQL,
+    "q140_vocab_coverage": _Q140_SQL,
+    "q141_stratified_sample": _Q141_SQL,
 }
