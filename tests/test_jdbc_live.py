@@ -21,7 +21,13 @@ from etl_job_applify_spark.sources.jdbc import JdbcSource
 
 
 @pytest.fixture(scope="module")
-def derby(tmp_path_factory):
+def derby(spark, tmp_path_factory):
+    # Derby drops engine-level artifacts (derby.log, and a junk "null"
+    # database directory after FAILED boots) into derby.system.home,
+    # which defaults to user.dir — pin it to a temp dir BEFORE the first
+    # connection boots the embedded engine so the repo stays clean
+    home = tmp_path_factory.mktemp("derby_home")
+    spark._jvm.java.lang.System.setProperty("derby.system.home", str(home))
     db_dir = tmp_path_factory.mktemp("derby") / "testdb"
     return JdbcSource(
         dialect="derby",
@@ -59,8 +65,10 @@ def test_check_connection_live(spark, seeded):
     assert seeded.check_connection(spark)
 
 
-def test_check_connection_bad_database(spark, tmp_path):
+def test_check_connection_bad_database(spark, derby, tmp_path):
     # create=true is in the URL template, so point at an unwritable path
+    # (depends on the derby fixture so derby.system.home is pinned before
+    # this failed boot — Derby leaves a junk "null" db dir there)
     bad = JdbcSource(
         dialect="derby",
         host="",
