@@ -76,7 +76,11 @@ def sync(
     # 4+5: merge into the warehouse table with observed metrics, landed
     # as a new VERSION (atomic publish — no snapshot ever overwrites its
     # own input, so no cache pinning, and a crash can't truncate the
-    # table; older versions stay time-travelable until retention prunes)
+    # table; older versions stay time-travelable until retention prunes).
+    # This read→upsert→publish is the single-writer form; when several
+    # jobs may sync the same table concurrently, sinks.merge.merge_into
+    # wraps the identical sequence in an optimistic-concurrency CAS
+    # commit (recompute-and-retry on conflict).
     try:
         target = read_table(spark, table_path)
         merged = upsert(target, batch, keys=["id"], version_col="version")
