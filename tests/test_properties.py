@@ -247,3 +247,114 @@ def test_hash_split_is_total_and_content_stable(spark, texts):
         assert r["split"] in {"train", "val", "test"}
         by_text.setdefault(r["text"], set()).add(r["split"])
     assert all(len(s) == 1 for s in by_text.values())
+
+
+# --- PPM codec properties (pure Python — no Spark session needed) --------
+
+
+@given(
+    w=st.integers(min_value=1, max_value=12),
+    h=st.integers(min_value=1, max_value=12),
+    seed=st.integers(min_value=0, max_value=2**31),
+)
+@settings(max_examples=60, deadline=None)
+def test_ppm_encode_decode_roundtrip(w, h, seed):
+    import numpy as np
+
+    from etl_job_applify_spark.multimodal import ppm
+
+    rng = np.random.default_rng(seed)
+    px = rng.integers(0, 256, size=3 * w * h, dtype=np.uint8)
+    got_w, got_h, got_c, raster = ppm.decode_ppm(ppm.encode_ppm(w, h, px))
+    assert (got_w, got_h, got_c) == (w, h, 3)
+    assert np.array_equal(np.frombuffer(raster, dtype=np.uint8), px)
+
+
+@given(
+    w=st.integers(min_value=1, max_value=10),
+    h=st.integers(min_value=1, max_value=10),
+    tw=st.integers(min_value=1, max_value=10),
+    th=st.integers(min_value=1, max_value=10),
+    seed=st.integers(min_value=0, max_value=2**31),
+)
+@settings(max_examples=60, deadline=None)
+def test_ppm_resize_matches_floor_mapping(w, h, tw, th, seed):
+    """resize_nearest must equal the per-pixel floor mapping the SQL
+    oracle replays (q138): dst(y,x) = src((y*h)//th, (x*w)//tw)."""
+    import numpy as np
+
+    from etl_job_applify_spark.multimodal import ppm
+
+    rng = np.random.default_rng(seed)
+    src = rng.integers(0, 256, size=3 * w * h, dtype=np.uint8)
+    out = np.frombuffer(
+        ppm.resize_nearest(src.tobytes(), w, h, tw, th), dtype=np.uint8
+    ).reshape(th, tw, 3)
+    img = src.reshape(h, w, 3)
+    for y in range(th):
+        for x in range(tw):
+            assert np.array_equal(out[y, x], img[(y * h) // th, (x * w) // tw])
+
+
+# --- transactional merge: a commit chain equals serial dict replay -------
+
+
+@given(
+    batches=st.lists(
+        st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=6),
+                st.integers(min_value=0, max_value=99),
+            ),
+            min_size=1,
+            max_size=4,
+        ),
+        min_size=1,
+        max_size=4,
+    ),
+    deletes=st.sets(st.integers(min_value=0, max_value=6), max_size=4),
+)
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_merge_chain_matches_dict_replay(spark, tmp_path_factory, batches, deletes):
+    """N upsert commits + one delete commit == replaying the same batches
+    into a dict (last write per key wins within and across batches)."""
+    from etl_job_applify_spark.sinks import merge_into
+    from etl_job_applify_spark.sinks import read_table as read_versioned
+
+    path = str(tmp_path_factory.mktemp("merge_prop") / "t")
+    state: dict[int, int] = {}
+    for batch in batches:
+        # version_col resolves multi-row-per-key batches: max v wins;
+        # mirror that in the dict replay
+        best: dict[int, tuple[int, int]] = {}
+        for i, (k, v) in enumerate(batch):
+            if k not in best or v > best[k][0]:
+                best[k] = (v, i)
+        merge_into(
+            spark,
+            path,
+            spark.createDataFrame(batch, "k int, v int"),
+            keys=["k"],
+            version_col="v",
+        )
+        for k, (v, _) in best.items():
+            state[k] = v
+    if deletes:
+        merge_into(
+            spark,
+            path,
+            spark.createDataFrame([(k, 0) for k in deletes], "k int, v int"),
+            keys=["k"],
+            when_matched="delete",
+        )
+        for k in deletes:
+            if k in state:
+                del state[k]
+            else:
+                state[k] = 0  # unmatched delete-batch rows are inserts
+    got = {r.k: r.v for r in read_versioned(spark, path).collect()}
+    assert got == state
