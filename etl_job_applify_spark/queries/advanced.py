@@ -5,7 +5,6 @@ sampling, BPE-ish token counting.
 
 from __future__ import annotations
 
-from collections.abc import Iterator
 
 import pandas as pd
 

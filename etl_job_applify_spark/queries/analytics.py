@@ -9,10 +9,10 @@ DuckDB's ROW_NUMBER is BIGINT while Spark's is INT.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ._util import DSUM, dsum, tbl
+from ._util import tbl
 from ..dedup import (
     embedding_near_dup_pairs,
     minhash_lsh_pairs,

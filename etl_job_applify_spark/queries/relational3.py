@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ._util import DSUM, DSUM_PINNED, tbl
+from ._util import DSUM_PINNED, tbl
 
 
 # --- q88: correlated EXISTS / NOT EXISTS ---------------------------------

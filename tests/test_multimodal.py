@@ -54,8 +54,6 @@ def test_pandas_scalar_udf_matches_expression(spark):
     """The Arrow-vectorized scalar UDF path (pandas_udf) must agree with
     the pure-expression quality score — kept as the documented escape
     hatch when logic outgrows SQL expressions."""
-    import pandas as pd
-
     from pyspark.sql import functions as F
     from pyspark.sql.types import DoubleType
 
