@@ -1,4 +1,4 @@
-from .writers import write_csv, write_json, write_parquet, write_jdbc, write_xml
+from .writers import write_csv, write_json, write_orc, write_parquet, write_jdbc, write_xml
 from .upsert import upsert
 from .versioned import (
     CommitConflict,
@@ -10,7 +10,7 @@ from .versioned import (
 from .merge import merge_into
 from .redshift import copy_statements, execute_statement, write_redshift
 
-__all__ = ["write_csv", "write_json", "write_parquet", "write_jdbc", "write_xml", "upsert",
+__all__ = ["write_csv", "write_json", "write_orc", "write_parquet", "write_jdbc", "write_xml", "upsert",
            "write_version", "read_table", "list_versions",
            "CommitConflict", "commit_version", "merge_into",
            "copy_statements", "execute_statement", "write_redshift"]

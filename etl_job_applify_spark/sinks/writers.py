@@ -36,6 +36,25 @@ def write_parquet(
     writer.parquet(path)
 
 
+def write_orc(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_by: Sequence[str] | None = None,
+    target_file_partitions: int | None = None,
+) -> None:
+    """ORC sink — read_orc's write twin for ORC-standardized lakes.
+    Same columnar/pushdown properties and the same partitioning knobs as
+    the parquet sink."""
+    out = df
+    if target_file_partitions:
+        out = out.coalesce(target_file_partitions)
+    writer = out.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.orc(path)
+
+
 def write_csv(
     df: DataFrame,
     path: str,

@@ -233,3 +233,22 @@ def test_write_redshift_stages_then_copies(spark, tmp_path):
     assert list(issued) == seen
     assert seen[0] == "TRUNCATE warehouse.t"
     assert seen[1].startswith("COPY warehouse.t FROM ")
+
+
+def test_orc_roundtrip_with_partition_pruning(spark, tmp_path):
+    from etl_job_applify_spark.sinks import write_orc
+    from etl_job_applify_spark.sources import read_orc
+
+    path = str(tmp_path / "orc")
+    df = spark.range(100).selectExpr("id", "id % 4 AS part", "id * 3 AS v")
+    write_orc(df, path, partition_by=["part"])
+    back = read_orc(spark, path)
+    assert back.count() == 100
+    one = back.filter("part = 2")
+    assert one.count() == 25
+    # directory partitioning must prune at the scan (inputFiles() shows
+    # the unfiltered listing, so check the physical plan's PartitionFilters)
+    plan = one._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "part" in plan.split(
+        "PartitionFilters", 1
+    )[1][:120]
