@@ -224,9 +224,24 @@ FROM per_user
 # and cannot change the selected values).
 
 def q98_window_firstlast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DataFrame formulation (Window API with an explicit unbounded
+    frame); the SQL below runs only in DuckDB — independent twins."""
     li = tbl(spark, sf_dir, "lineitem")
-    li.createOrReplaceTempView("lineitem")
-    return spark.sql(_Q98_SQL)
+    w = (
+        Window.partitionBy("l_orderkey")
+        .orderBy(
+            "l_linenumber", "l_partkey", "l_suppkey", "l_extendedprice",
+            "l_quantity",
+        )
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return li.select(
+        "l_orderkey",
+        F.first("l_extendedprice").over(w).alias("first_price"),
+        F.last("l_extendedprice").over(w).alias("last_price"),
+        F.nth_value("l_extendedprice", 2).over(w).alias("second_price"),
+        F.count("*").over(w).alias("n_lines"),
+    ).distinct()
 
 
 _Q98_SQL = """
