@@ -147,3 +147,42 @@ def test_concurrent_merges_both_land(spark, tmp_path):
     assert not errs
     assert _rows(spark, path) == {(0, "seed"), (1, "one"), (2, "two")}
     assert list_versions(spark, path) == [1, 2, 3]
+
+
+def test_many_concurrent_merges_serialize_without_loss(spark, tmp_path):
+    """4 writers x 3 commits each, all racing: every batch must land
+    exactly once and the version chain must be gapless — the stronger
+    linearizability check over the CAS protocol."""
+    path = str(tmp_path / "t")
+    write_version(spark.createDataFrame([(0, "seed")], SCHEMA), path)
+    errs = []
+
+    def worker(wid):
+        try:
+            for j in range(3):
+                merge_into(
+                    spark,
+                    path,
+                    spark.createDataFrame(
+                        [(100 * wid + j, f"w{wid}c{j}")], SCHEMA
+                    ),
+                    keys=["k"],
+                    max_retries=40,
+                )
+        except Exception as exc:  # pragma: no cover - failure reporting
+            errs.append(exc)
+
+    threads = [
+        threading.Thread(target=worker, args=(w,)) for w in range(1, 5)
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errs
+    rows = _rows(spark, path)
+    expect = {(0, "seed")} | {
+        (100 * w + j, f"w{w}c{j}") for w in range(1, 5) for j in range(3)
+    }
+    assert rows == expect
+    assert list_versions(spark, path) == list(range(1, 14))
