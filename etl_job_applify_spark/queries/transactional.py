@@ -9,12 +9,16 @@ read-back machinery (sinks/versioned.py, sinks/merge.py) must be
 value-faithful, not just the algebra.
 
 Each invocation uses a fresh temp table directory (rerunnable; the
-driver may call queries repeatedly). Parquet round-trips doubles
-bit-exactly, so the DSUM idiom holds across the storage hop.
+driver may call queries repeatedly) and removes it before returning:
+the final aggregate is a handful of rows, so it is materialized off the
+snapshot and re-wrapped as a local DataFrame — no lazy reference to the
+deleted path escapes. Parquet round-trips doubles bit-exactly, so the
+DSUM idiom holds across the storage hop.
 """
 
 from __future__ import annotations
 
+import shutil
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
@@ -55,11 +59,18 @@ def q139_merge_transactional(spark: SparkSession, sf_dir: str) -> DataFrame:
         when_matched="delete",
     )
     final = read_table(spark, path)  # latest committed snapshot
-    return (
+    agg = (
         final.groupBy("o_orderstatus")
         .agg(F.count("*").cast("bigint").alias("n"), dsum("o_totalprice", "total"))
         .orderBy("o_orderstatus")
     )
+    # The aggregate is O(#order statuses) rows: materialize it, then drop
+    # the temp table so repeated driver invocations don't accumulate
+    # snapshot copies in /tmp.
+    rows = agg.collect()
+    schema = agg.schema
+    shutil.rmtree(path, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)
 
 
 _Q139_SQL = f"""

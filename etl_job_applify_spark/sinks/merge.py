@@ -48,8 +48,9 @@ def merge_into(
     ``version_col``: last-writer-wins tie-break when the batch carries
     several rows per key (see sinks/upsert.py).
 
-    Returns the committed version number. Raises ``CommitConflict`` if
-    ``max_retries`` successive commits lost the CAS race.
+    Returns the committed version number. Makes one initial attempt plus
+    up to ``max_retries`` retries; raises ``CommitConflict`` once all
+    ``max_retries + 1`` successive commits lost the CAS race.
     """
     if when_matched not in ("update", "delete"):
         raise ValueError(f"when_matched must be update|delete, got {when_matched!r}")

@@ -52,6 +52,26 @@ def execute_statement(
         conn.close()
 
 
+_IDENT_CHARS = set("abcdefghijklmnopqrstuvwxyz" "ABCDEFGHIJKLMNOPQRSTUVWXYZ" "0123456789_.$\"")
+
+
+def _quote_literal(value: str) -> str:
+    """SQL string literal: wrap in single quotes, doubling embedded ones."""
+    return "'" + value.replace("'", "''") + "'"
+
+
+def _check_identifier(table: str) -> str:
+    """Reject table names that could break out of identifier position.
+
+    Accepts plain/dotted/quoted identifiers (``schema.table``,
+    ``"Mixed.Case"``); anything with quotes must balance, and no other
+    punctuation or whitespace is allowed.
+    """
+    if not table or not set(table) <= _IDENT_CHARS or table.count('"') % 2:
+        raise ValueError(f"invalid table identifier: {table!r}")
+    return table
+
+
 def copy_statements(
     table: str,
     staging_path: str,
@@ -61,14 +81,17 @@ def copy_statements(
 ) -> list[str]:
     """The exact statements a Redshift load issues (unit-testable without
     a warehouse). ``overwrite`` truncates first — in production wrap both
-    in one transaction or load into a swap table."""
+    in one transaction or load into a swap table. String values are
+    quoted/escaped and the table identifier validated, so a value
+    containing a quote cannot break or extend the statement."""
     if mode not in ("append", "overwrite"):
         raise ValueError(f"mode must be append|overwrite, got {mode!r}")
-    copy = f"COPY {table} FROM '{staging_path}' FORMAT AS PARQUET"
+    table = _check_identifier(table)
+    copy = f"COPY {table} FROM {_quote_literal(staging_path)} FORMAT AS PARQUET"
     if iam_role:
-        copy += f" IAM_ROLE '{iam_role}'"
+        copy += f" IAM_ROLE {_quote_literal(iam_role)}"
     if region:
-        copy += f" REGION '{region}'"
+        copy += f" REGION {_quote_literal(region)}"
     out = []
     if mode == "overwrite":
         out.append(f"TRUNCATE {table}")

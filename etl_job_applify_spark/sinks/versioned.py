@@ -136,6 +136,10 @@ def commit_version(
         raise CommitConflict(
             f"version {nxt} was committed concurrently under {table_path}"
         )
+    # The token has served its purpose (proving OUR rename created the
+    # destination); drop it so committed snapshots carry only the layout
+    # external tools expect (_SUCCESS + data files).
+    fs.delete(jvm.org.apache.hadoop.fs.Path(dest, f"_commit_{tag}"), False)
     return nxt
 
 

@@ -206,6 +206,24 @@ def test_redshift_copy_statements():
     assert append == ["COPY t FROM '/stage/p' FORMAT AS PARQUET"]
 
 
+def test_redshift_copy_statements_escape_and_validate():
+    import pytest
+
+    from etl_job_applify_spark.sinks import copy_statements
+
+    # embedded quotes in string values are doubled, not statement-breaking
+    stmts = copy_statements("t", "/stage/o'brien", iam_role="arn:a'b")
+    assert stmts == [
+        "COPY t FROM '/stage/o''brien' FORMAT AS PARQUET IAM_ROLE 'arn:a''b'"
+    ]
+    # hostile or malformed table identifiers are rejected outright
+    for bad in ("t; DROP TABLE x", "t name", 'a"b"c"', "", "t'--"):
+        with pytest.raises(ValueError):
+            copy_statements(bad, "/stage/p")
+    # quoted mixed-case identifiers stay legal
+    assert copy_statements('"My.Table"', "/p")[0].startswith('COPY "My.Table" ')
+
+
 def test_write_redshift_stages_then_copies(spark, tmp_path):
     """The staging parquet must be complete and committed BEFORE any
     statement executes (the warehouse loads whatever is staged)."""
