@@ -441,12 +441,6 @@ FROM asg2 JOIN csum ON asg2.cluster = csum.cluster
 GROUP BY asg2.cluster, csum.centroid_sum
 """
 
-_Q129_SPARK_SQL = (
-    "WITH pts AS (SELECT vec_id, pos AS d, CAST(col AS DOUBLE) AS x "
-    "FROM embeddings LATERAL VIEW posexplode(embedding) t AS pos, col),\n"
-    + _KMEANS_CORE
-)
-
 _Q129_SQL = (
     "WITH pts AS (SELECT vec_id, i - 1 AS d, "
     "CAST(embedding[i] AS DOUBLE) AS x FROM embeddings "
@@ -454,10 +448,78 @@ _Q129_SQL = (
     + _KMEANS_CORE
 )
 
+# Oracle-mirrored aggregate shapes (DECIMAL(28,18) accumulate with the
+# decimal→STRING→double hop — see _util.DSUM_PINNED for why the string
+# hop pins cross-engine bits). Same expression TEXT as _KMEANS_CORE so
+# the hash compare pins bits; the surrounding dataflow is an independent
+# DataFrame-loop formulation.
+_SQDIST = (
+    "CAST(CAST(SUM(CAST((x - c) * (x - c) AS DECIMAL(28,18)))"
+    " AS STRING) AS DOUBLE)"
+)
+_DIMMEAN = (
+    "CAST(CAST(SUM(CAST(x AS DECIMAL(28,18))) AS STRING) AS DOUBLE)"
+    " / COUNT(*)"
+)
+_CSUM = (
+    "ROUND(CAST(CAST(SUM(CAST(c AS DECIMAL(28,18))) AS STRING)"
+    " AS DOUBLE), 6)"
+)
+
 
 def q129_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    _view(spark, sf_dir, "embeddings")
-    return spark.sql(_Q129_SPARK_SQL)
+    """Two Lloyd iterations as a DataFrame loop (the q126 idiom).
+
+    The ORACLE stays the unrolled-CTE SQL above, run only by DuckDB —
+    independent formulations (driver loop over assign/recompute vs
+    textual CTE unrolling), same numbers. Each per-row/aggregate
+    arithmetic step reuses the oracle's exact expression shapes
+    (DECIMAL(28,18) accumulate → STRING → DOUBLE) so cluster
+    assignments and the centroid checksum are bit-identical at any
+    parallelism — distributed training stays REPRODUCIBLE.
+
+    Scale: pts is |vectors|×dims rows; each iteration is one join
+    against a k×dims broadcast-sized centroid relation + one shuffle per
+    aggregation; iterations unroll as stages with no driver-side data.
+    Many iterations would checkpoint the assignment relation to cut
+    lineage (operators/components.py does exactly that).
+    """
+    from pyspark.sql.window import Window
+
+    emb = tbl(spark, sf_dir, "embeddings")
+    pts = emb.select(
+        "vec_id", F.posexplode("embedding").alias("d", "x")
+    ).withColumn("x", F.col("x").cast("double"))
+    # seed: the first k=4 vectors are the initial centroids (cluster, d, c)
+    centroids = pts.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("cluster"), "d", F.col("x").alias("c")
+    )
+    by_dist = Window.partitionBy("vec_id").orderBy("dist", "cluster")
+    assignment = None
+    for it in range(2):
+        assignment = (
+            pts.join(F.broadcast(centroids), "d")
+            .groupBy("vec_id", "cluster")
+            .agg(F.expr(_SQDIST).alias("dist"))
+            .withColumn("rn", F.row_number().over(by_dist))
+            .filter("rn = 1")
+            .select("vec_id", "cluster")
+        )
+        if it == 0:  # recompute means once; the final pass only reassigns
+            centroids = (
+                pts.join(assignment, "vec_id")
+                .groupBy("cluster", "d")
+                .agg(F.expr(_DIMMEAN).alias("c"))
+            )
+    checksum = centroids.groupBy("cluster").agg(
+        F.expr(_CSUM).alias("centroid_sum")
+    )
+    return (
+        assignment.groupBy("cluster")
+        .agg(F.count("*").cast("bigint").alias("n_members"))
+        .join(F.broadcast(checksum), "cluster")
+        .select("cluster", "n_members", "centroid_sum")
+    )
 
 
 QUERIES = {

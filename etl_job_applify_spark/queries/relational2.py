@@ -12,25 +12,45 @@ from ._util import DAVG, DSUM, davg, dsum, tbl
 
 
 # --- q26: correlated scalar subquery -------------------------------------
-# Catalyst decorrelates into an aggregate + join; written via the SQL API
-# because that is the natural surface for subqueries.
+# The DuckDB oracle keeps the correlated-subquery FORM (that is the
+# surface being covered); the Spark side is the decorrelated plan written
+# out by hand — per-priority aggregate, broadcast join-back, filter —
+# i.e. exactly what Catalyst's decorrelation rule produces, but as an
+# independent formulation so a same-text bug cannot cancel in the hash
+# compare. The threshold average goes through the DECIMAL-accumulate
+# idiom (_util.DAVG) in BOTH formulations: a plain double AVG is
+# order-dependent, and a last-ulp disagreement on the threshold could
+# flip boundary rows between engines.
+# Scale: the per-priority aggregate is a handful of rows → broadcast;
+# the big side is scanned once, no shuffle.
 
-_Q26_SQL = """
+_Q26_SQL = f"""
 SELECT o_orderkey, o_custkey, o_orderpriority, o_totalprice
 FROM orders o
 WHERE o_totalprice > 1.5 * (
-  SELECT AVG(o_totalprice) FROM orders i
+  SELECT {DAVG('i.o_totalprice')} FROM orders i
   WHERE i.o_orderpriority = o.o_orderpriority
 )
 """
 
 
 def q26_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
-    tbl(spark, sf_dir, "orders").createOrReplaceTempView("orders")
-    return spark.sql(_Q26_SQL)
+    orders = tbl(spark, sf_dir, "orders")
+    thresholds = orders.groupBy("o_orderpriority").agg(
+        davg("o_totalprice", "avg_price")
+    )
+    return (
+        orders.join(F.broadcast(thresholds), "o_orderpriority")
+        .filter(F.col("o_totalprice") > 1.5 * F.col("avg_price"))
+        .select("o_orderkey", "o_custkey", "o_orderpriority", "o_totalprice")
+    )
 
 
 # --- q27: IN subquery -----------------------------------------------------
+# Oracle keeps the IN-subquery form; Spark side is the join rewrite:
+# brand counts → total via a window over the tiny aggregate (~25 rows, no
+# second scan of part and no driver scalar) → left-semi join back.
+# Integer counts make the HAVING threshold exact in both engines.
 
 _Q27_SQL = """
 SELECT p_partkey, p_brand, p_retailprice
@@ -43,8 +63,20 @@ WHERE p_brand IN (
 
 
 def q27_in_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
-    tbl(spark, sf_dir, "part").createOrReplaceTempView("part")
-    return spark.sql(_Q27_SQL)
+    part = tbl(spark, sf_dir, "part")
+    brand_counts = part.groupBy("p_brand").agg(
+        F.count("*").cast("bigint").alias("cnt")
+    )
+    hot_brands = (
+        brand_counts.withColumn(
+            "total", F.sum("cnt").over(Window.partitionBy())
+        )
+        .filter(F.col("cnt") > F.col("total") / 25.0)
+        .select("p_brand")
+    )
+    return part.join(F.broadcast(hot_brands), "p_brand", "left_semi").select(
+        "p_partkey", "p_brand", "p_retailprice"
+    )
 
 
 # --- q28: pivot -----------------------------------------------------------

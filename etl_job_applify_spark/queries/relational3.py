@@ -29,9 +29,13 @@ from ._util import DSUM_PINNED, tbl
 
 # --- q88: correlated EXISTS / NOT EXISTS ---------------------------------
 # Orders from 1995 that had a returned line item but never a deep
-# discount. Catalyst decorrelates both subqueries into a left-semi and a
-# left-anti hash join on l_orderkey — one shuffle each, no per-row
-# subquery execution (SURVEY §4: decorrelation is Catalyst's job).
+# discount. The DuckDB oracle keeps the EXISTS/NOT EXISTS form (the
+# surface being covered); the Spark side writes out the decorrelated
+# plan by hand — a left-semi and a left-anti hash join on l_orderkey —
+# an independent formulation of what Catalyst's decorrelation rule
+# produces (SURVEY §4), so a same-text bug cannot cancel in the hash
+# compare. One shuffle per join, no per-row subquery execution; the
+# pushed date filter shrinks the probe side before either join.
 
 _Q88_SQL = """
 SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders
@@ -48,9 +52,24 @@ GROUP BY o_orderpriority
 
 
 def q88_exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
-    tbl(spark, sf_dir, "orders").createOrReplaceTempView("orders")
-    tbl(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
-    return spark.sql(_Q88_SQL)
+    orders = tbl(spark, sf_dir, "orders")
+    lineitem = tbl(spark, sf_dir, "lineitem")
+    in_1995 = orders.filter(
+        (F.col("o_orderdate") >= F.expr("TIMESTAMP '1995-01-01'"))
+        & (F.col("o_orderdate") < F.expr("TIMESTAMP '1996-01-01'"))
+    )
+    returned_keys = lineitem.filter(F.col("l_returnflag") == "R").select(
+        F.col("l_orderkey").alias("o_orderkey")
+    )
+    discounted_keys = lineitem.filter(F.col("l_discount") > 0.08).select(
+        F.col("l_orderkey").alias("o_orderkey")
+    )
+    return (
+        in_1995.join(returned_keys, "o_orderkey", "left_semi")
+        .join(discounted_keys, "o_orderkey", "left_anti")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").cast("bigint").alias("n_orders"))
+    )
 
 
 # --- q89: exact moment statistics (corr / covar / stddev) ----------------
