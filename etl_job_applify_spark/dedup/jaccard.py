@@ -35,6 +35,7 @@ def ngram_jaccard_pairs(
     max_doc_freq: int | None = None,
     cache_postings: bool = True,
     include_containment: bool = False,
+    broadcast_sizes: bool = False,
 ) -> DataFrame:
     """Pairs (a, b, jaccard) with a < b and jaccard >= threshold.
 
@@ -42,11 +43,22 @@ def ngram_jaccard_pairs(
     before pairing (recall-lossy for near-identical boilerplate, essential
     at scale).
 
-    ``cache_postings``: the postings relation feeds four plan branches
-    (both join sides + both size lookups); without materialization Spark
-    re-runs the shingle pipeline four times. Persisted here
-    (memory+disk); a 100 TB job would checkpoint postings to parquet
-    instead — same idea, durable.
+    ``cache_postings`` (uncapped path only): the postings relation feeds
+    three plan branches; without materialization Spark re-runs the
+    shingle pipeline per branch. The CAPPED path deliberately does NOT
+    persist: its two consumers sit downstream of the same groupBy
+    shuffle, so ReusedExchange already runs the expensive shingle
+    map-side exactly once, and only the cheap post-shuffle aggregation
+    repeats — measured cheaper than paying the cache's columnar
+    materialization barrier (and an in-memory cache of a fresh logical
+    plan is silently REUSED by Spark's CacheManager across invocations,
+    which made repeat timings lie; see BENCHNOTES.md round 5).
+
+    ``broadcast_sizes``: hash-broadcast the per-doc size relation into
+    the final scoring joins instead of shuffling the pair aggregate
+    twice. Right whenever |docs| is dimension-sized relative to the pair
+    relation (one (id, int) row per doc); leave False at
+    billion-document scale, where AQE decides from the measured sizes.
     """
     # shingling is compute-bound, not IO-bound: a corpus that is small in
     # bytes still needs every core, so spread rows before the heavy
@@ -70,18 +82,16 @@ def ngram_jaccard_pairs(
         # size() filter on the grouped row — instead of a second pass
         # over postings (window sort / count-join formulations both cost
         # an extra full-postings shuffle; measured ~25% of q31's runtime
-        # at sf0.1). Per-group fanout is bounded by cap², and the grouped
-        # relation (one row per surviving shingle, ≤cap doc ids each) is
-        # the small thing to persist. Doc lists are sorted so
-        # following-only combination yields each pair exactly once with
-        # a < b — same multiset the self-join produced.
+        # at sf0.1). Per-group fanout is bounded by cap². Doc lists are
+        # sorted so following-only combination yields each pair exactly
+        # once with a < b — same multiset the self-join produced. Both
+        # consumers below share this groupBy's Exchange (ReusedExchange),
+        # so the shingle pipeline's map side runs once without a persist.
         grouped = (
             postings.groupBy("sh")
             .agg(F.sort_array(F.collect_list("doc")).alias("docs"))
             .filter(F.size("docs") <= max_doc_freq)
         )
-        if cache_postings:
-            grouped = grouped.persist(StorageLevel.MEMORY_AND_DISK)
         sizes = (
             grouped.select(F.explode("docs").alias("doc"))
             .groupBy("doc")
@@ -118,6 +128,8 @@ def ngram_jaccard_pairs(
         )
     sa = sizes.select(F.col("doc").alias("a"), F.col("sz").alias("sz_a"))
     sb = sizes.select(F.col("doc").alias("b"), F.col("sz").alias("sz_b"))
+    if broadcast_sizes:
+        sa, sb = F.broadcast(sa), F.broadcast(sb)
     scored = (
         common.join(sa, "a")
         .join(sb, "b")

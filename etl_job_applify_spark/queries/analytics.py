@@ -61,8 +61,14 @@ _Q31_MAX_DOC_FREQ = 50
 
 def q31_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = tbl(spark, sf_dir, "documents")
+    # broadcast_sizes: the per-doc size relation is one (id, int) row per
+    # document — dimension-sized next to the pair aggregate at every
+    # fixture SF, so ship it to the scoring joins instead of shuffling
+    # the pairs twice (a billion-document corpus would leave this False
+    # and let AQE decide from measured sizes)
     out = ngram_jaccard_pairs(
-        docs, threshold=0.5, max_doc_freq=_Q31_MAX_DOC_FREQ
+        docs, threshold=0.5, max_doc_freq=_Q31_MAX_DOC_FREQ,
+        broadcast_sizes=True,
     )
     return out.select("a", "b", "jaccard")
 
