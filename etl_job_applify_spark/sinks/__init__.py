@@ -5,12 +5,13 @@ from .versioned import (
     commit_version,
     list_versions,
     read_table,
+    snapshot_files,
     write_version,
 )
 from .merge import merge_into
 from .redshift import copy_statements, execute_statement, write_redshift
 
 __all__ = ["write_csv", "write_json", "write_orc", "write_parquet", "write_jdbc", "write_xml", "upsert",
-           "write_version", "read_table", "list_versions",
+           "write_version", "read_table", "list_versions", "snapshot_files",
            "CommitConflict", "commit_version", "merge_into",
            "copy_statements", "execute_statement", "write_redshift"]

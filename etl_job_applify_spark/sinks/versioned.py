@@ -7,7 +7,12 @@ lands last, so readers never see a half-written snapshot; a crash leaves
 an invisible orphan that the next write simply overwrites). The live
 version is the highest committed number; older versions stay readable
 until retention prunes them — and pruning runs only AFTER a newer commit,
-so a committed recovery point always exists.
+so a committed recovery point always exists. Each snapshot also carries a
+``_stats.json`` sidecar (per-file column min/max harvested from the
+parquet footers — sinks/stats.py) that ``read_table(ranges=...)``
+consults to skip files, the directory-protocol version of Delta/Iceberg
+data skipping; underscore-prefixed members are invisible to parquet
+reads, so the sidecar never pollutes the data.
 
 This generalizes the CDC sink's snapshot discipline
 (streaming/jobs.py run_foreach_batch_upsert) into a reusable lake API:
@@ -54,19 +59,59 @@ def list_versions(spark: SparkSession, table_path: str) -> list[int]:
     return [int(n[len(_PREFIX):]) for n in names]
 
 
+def _arrange(df: DataFrame, cluster_by, num_files: int | None) -> DataFrame:
+    """Z-order-cluster ``df`` so each written file covers a compact
+    region of the clustered columns' space — the layout per-file min/max
+    stats exist to exploit (see sinks/writers.py write_zordered).
+
+    ``num_files`` pins the range-partition count; without it AQE
+    right-sizes (and at test scale collapses everything to one file,
+    which defeats skipping — production tables size this from bytes,
+    like sinks/writers.py compact_parquet)."""
+    if not cluster_by:
+        return df
+    from .writers import zorder_expr
+
+    tagged = df.withColumn("__z", zorder_expr(cluster_by))
+    parted = (
+        tagged.repartitionByRange(num_files, "__z")
+        if num_files
+        else tagged.repartitionByRange("__z")
+    )
+    return parted.sortWithinPartitions("__z").drop("__z")
+
+
 def write_version(
-    df: DataFrame, table_path: str, retain: int | None = None
+    df: DataFrame,
+    table_path: str,
+    retain: int | None = None,
+    cluster_by=None,
+    num_files: int | None = None,
 ) -> int:
     """Publish ``df`` as the next version of the table; returns the new
     version number. ``retain``: keep only the newest N versions (pruned
-    only after this commit succeeds); None keeps everything."""
+    only after this commit succeeds); None keeps everything.
+
+    ``cluster_by``: optional Z-order spec ((column, lo, hi), ...) — lays
+    the snapshot's files out so the per-file stats sidecar prunes
+    selectively on every clustered column.
+
+    Every snapshot gets a ``_stats.json`` sidecar (per-file column
+    min/max from the parquet footers — no data re-scan); ``read_table``
+    consults it to skip files under range predicates. Best-effort: the
+    sidecar lands after _SUCCESS, and a reader that races it simply
+    full-scans."""
+    from . import stats as _stats
+
     spark = df.sparkSession
     jvm = spark._jvm
     fs, root, names = _snapshots(spark, table_path)
     nxt = (int(names[-1][len(_PREFIX):]) + 1) if names else 1
-    df.write.mode("overwrite").parquet(
-        f"{table_path}/{_PREFIX}{nxt:08d}"
+    snap_dir = f"{table_path}/{_PREFIX}{nxt:08d}"
+    _arrange(df, cluster_by, num_files).write.mode("overwrite").parquet(
+        snap_dir
     )
+    _stats.write_stats(snap_dir)
     if retain is not None and retain >= 1:
         survivors = (names + [f"{_PREFIX}{nxt:08d}"])[-retain:]
         for name in names:
@@ -112,6 +157,11 @@ def commit_version(
     staging_name = f".staging_{tag}"
     staging = f"{table_path}/{staging_name}"
     df.write.mode("overwrite").parquet(staging)
+    # stats sidecar is computed on staging, so the rename publishes data
+    # and skipping metadata atomically together
+    from . import stats as _stats
+
+    _stats.write_stats(staging)
     # writer-unique commit token: Hadoop's rename follows mv semantics —
     # when the destination directory already EXISTS, the source is moved
     # INSIDE it and rename still returns true, which would silently drop
@@ -143,10 +193,9 @@ def commit_version(
     return nxt
 
 
-def read_table(
-    spark: SparkSession, table_path: str, version: int | None = None
-) -> DataFrame:
-    """Read the latest committed version, or time-travel to ``version``."""
+def _resolve_snapshot(
+    spark: SparkSession, table_path: str, version: int | None
+) -> str:
     _, _, names = _snapshots(spark, table_path)
     if not names:
         raise FileNotFoundError(f"no committed snapshot under {table_path}")
@@ -160,4 +209,62 @@ def read_table(
                 f"version {version} not found under {table_path}; "
                 f"available: {avail}"
             )
-    return spark.read.parquet(f"{table_path}/{name}")
+    return f"{table_path}/{name}"
+
+
+def snapshot_files(
+    spark: SparkSession,
+    table_path: str,
+    version: int | None = None,
+    ranges=None,
+) -> tuple[list[str], int]:
+    """(data files a ``ranges``-constrained read would scan, total data
+    files in the snapshot). The observability hook for data skipping —
+    tests and operators use it to SEE pruning instead of trusting it."""
+    from . import stats as _stats
+
+    snap = _resolve_snapshot(spark, table_path, version)
+    if ranges:
+        pruned = _stats.prune_files(snap, ranges)
+        if pruned is not None:
+            return pruned
+    local = _stats._local_path(snap)
+    import os
+
+    every = [
+        os.path.join(local, n)
+        for n in sorted(os.listdir(local))
+        if n.endswith(".parquet") and not n.startswith(("_", "."))
+    ]
+    return every, len(every)
+
+
+def read_table(
+    spark: SparkSession,
+    table_path: str,
+    version: int | None = None,
+    ranges=None,
+) -> DataFrame:
+    """Read the latest committed version, or time-travel to ``version``.
+
+    ``ranges``: optional {column: (lo, hi)} bounds (inclusive; None =
+    unbounded side). When the snapshot carries a stats sidecar, files
+    whose min/max PROVE no match are never handed to Spark; the
+    equivalent residual predicate is re-applied to the survivors, so the
+    result equals reading everything and filtering — pruning is an
+    optimization, never a semantics change. Without a sidecar (or on a
+    non-local URI) the read degrades to scan + filter."""
+    from . import stats as _stats
+
+    snap = _resolve_snapshot(spark, table_path, version)
+    if not ranges:
+        return spark.read.parquet(snap)
+    pred = _stats.range_predicate(ranges)
+    pruned = _stats.prune_files(snap, ranges)
+    if pruned is None:
+        return spark.read.parquet(snap).filter(pred)
+    kept, _total = pruned
+    if not kept:
+        # provably-empty result, schema preserved from the snapshot
+        return spark.read.parquet(snap).limit(0)
+    return spark.read.parquet(*kept).filter(pred)

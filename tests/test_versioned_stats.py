@@ -1,0 +1,108 @@
+"""File-skipping statistics on versioned tables.
+
+The contract under test: a selective range predicate over a Z-ordered
+snapshot must (a) actually read FEWER files — asserted by counting, not
+trusted — and (b) return exactly the rows a full scan + filter returns.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_job_applify_spark.sinks import (
+    commit_version,
+    read_table,
+    snapshot_files,
+    write_version,
+)
+from etl_job_applify_spark.sinks.stats import load_stats
+
+
+def _table(spark, n=20000):
+    # two independent uniform columns so Z-ordering (not lexicographic
+    # luck) is what makes BOTH prune
+    return spark.range(n).select(
+        F.col("id"),
+        (F.col("id") % 997).alias("k1"),
+        F.pmod(F.xxhash64("id"), F.lit(1000)).alias("k2"),
+        (F.col("id") * 1.5).alias("v"),
+    )
+
+
+@pytest.fixture(scope="module")
+def zordered(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("vstats") / "tbl")
+    df = _table(spark)
+    v = write_version(
+        df, path, cluster_by=(("k1", 0, 997), ("k2", 0, 1000)),
+        num_files=16,
+    )
+    assert v == 1
+    return path
+
+
+def test_stats_sidecar_written_with_per_file_minmax(spark, zordered):
+    doc = load_stats(zordered + "/snap_00000001")
+    assert doc is not None and doc["stats_version"] == 1
+    files = doc["files"]
+    assert len(files) > 4, "need a multi-file snapshot to test skipping"
+    for cols in files.values():
+        for c in ("id", "k1", "k2"):
+            assert cols[c]["min"] <= cols[c]["max"]
+
+
+def test_selective_predicate_reads_fewer_files(spark, zordered):
+    kept, total = snapshot_files(
+        spark, zordered, ranges={"k1": (10, 30)}
+    )
+    assert total > 4
+    assert len(kept) < total, (
+        f"no files pruned: {len(kept)}/{total} — Z-order layout or "
+        "stats consultation is broken"
+    )
+    # both clustered columns prune independently (the Z-order property)
+    kept2, _ = snapshot_files(spark, zordered, ranges={"k2": (0, 40)})
+    assert len(kept2) < total
+
+
+def test_pruned_read_matches_full_scan_filter(spark, zordered):
+    ranges = {"k1": (10, 30), "k2": (None, 600)}
+    pruned = read_table(spark, zordered, ranges=ranges)
+    full = read_table(spark, zordered).filter(
+        (F.col("k1") >= 10) & (F.col("k1") <= 30) & (F.col("k2") <= 600)
+    )
+    assert pruned.count() == full.count() > 0
+    assert pruned.exceptAll(full).count() == 0
+    assert full.exceptAll(pruned).count() == 0
+
+
+def test_all_pruned_returns_empty_with_schema(spark, zordered):
+    out = read_table(spark, zordered, ranges={"k1": (5000, 6000)})
+    assert out.count() == 0
+    assert out.columns == ["id", "k1", "k2", "v"]
+    kept, total = snapshot_files(
+        spark, zordered, ranges={"k1": (5000, 6000)}
+    )
+    assert kept == [] and total > 0
+
+
+def test_missing_sidecar_degrades_to_full_scan(spark, tmp_path):
+    import os
+
+    path = str(tmp_path / "nostats")
+    write_version(_table(spark, 2000), path)
+    os.remove(path + "/snap_00000001/_stats.json")
+    out = read_table(spark, path, ranges={"k1": (0, 5)})
+    expect = read_table(spark, path).filter("k1 between 0 and 5")
+    assert out.count() == expect.count() > 0
+    kept, total = snapshot_files(spark, path, ranges={"k1": (0, 5)})
+    assert len(kept) == total  # nothing pruned, nothing lost
+
+
+def test_cas_commit_carries_stats_atomically(spark, tmp_path):
+    path = str(tmp_path / "cas")
+    v = commit_version(_table(spark, 5000).repartition(8), path, 0)
+    assert v == 1
+    assert load_stats(path + "/snap_00000001") is not None
+    # unclustered files still prune on the monotonically-laid-out id
+    kept, total = snapshot_files(spark, path, ranges={"id": (0, 10)})
+    assert len(kept) <= total
