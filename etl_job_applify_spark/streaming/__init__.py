@@ -4,6 +4,7 @@ from .jobs import (
     sliding_counts,
     session_aggregates,
     run_to_memory,
+    run_available_now_to_memory,
 )
 
 __all__ = [
@@ -12,4 +13,5 @@ __all__ = [
     "sliding_counts",
     "session_aggregates",
     "run_to_memory",
+    "run_available_now_to_memory",
 ]

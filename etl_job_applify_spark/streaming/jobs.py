@@ -46,6 +46,13 @@ def events_stream(
     return normalize_events_ts(reader.parquet(sf_dir))
 
 
+#: exact streaming sum (same idiom as queries/_util.DSUM): DECIMAL
+#: accumulation is associative, so incremental state merges produce the
+#: SAME bits as the batch twin's one-shot aggregation — which is what
+#: lets tests assert stream == batch EXACTLY instead of approximately
+_EXACT_TOTAL = "CAST(SUM(CAST((value) AS DECIMAL(28,6))) AS DOUBLE)"
+
+
 def tumbling_counts(
     events: DataFrame, size: str = "1 hour", watermark: str = "2 hours"
 ) -> DataFrame:
@@ -54,7 +61,7 @@ def tumbling_counts(
     return (
         events.withWatermark("ts", watermark)
         .groupBy(F.window("ts", size).alias("w"), "event_type")
-        .agg(F.count("*").alias("n"), F.sum("value").alias("total"))
+        .agg(F.count("*").alias("n"), F.expr(_EXACT_TOTAL).alias("total"))
         .select(F.col("w.start").alias("window_start"), "event_type", "n", "total")
     )
 
@@ -68,7 +75,7 @@ def sliding_counts(
     return (
         events.withWatermark("ts", watermark)
         .groupBy(F.window("ts", size, slide).alias("w"))
-        .agg(F.count("*").alias("n"), F.sum("value").alias("total"))
+        .agg(F.count("*").alias("n"), F.expr(_EXACT_TOTAL).alias("total"))
         .select(F.col("w.start").alias("window_start"), "n", "total")
     )
 
@@ -78,11 +85,21 @@ def session_aggregates(
 ) -> DataFrame:
     """Native session windows: state merges windows within ``gap`` per
     user; watermark closes (finalizes) sessions — the streaming equivalent
-    of operators/sessionize.py."""
+    of operators/sessionize.py.
+
+    Boundary semantics vs the batch sessionizer: ``session_window``
+    starts a NEW session when the inter-event gap is >= ``gap``;
+    operators/sessionize.py splits strictly on > gap. The two differ
+    only for events spaced EXACTLY ``gap`` apart (sub-second fixture
+    timestamps make that measure-zero; the equivalence test would catch
+    a fixture that hits it)."""
     return (
         events.withWatermark("ts", watermark)
         .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
-        .agg(F.count("*").alias("n_events"), F.sum("value").alias("total_value"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.expr(_EXACT_TOTAL).alias("total_value"),
+        )
         .select(
             F.col("w.start").alias("session_start"),
             F.col("w.end").alias("session_end"),
@@ -109,6 +126,28 @@ def run_to_memory(
         q.processAllAvailable()
     finally:
         q.stop()
+    return stream_df.sparkSession.sql(f"SELECT * FROM {name}")
+
+
+def run_available_now_to_memory(
+    stream_df: DataFrame, name: str, output_mode: str = "complete"
+) -> DataFrame:
+    """Drive a streaming query to completion under Trigger.AvailableNow
+    and return the materialized result.
+
+    AvailableNow is the production batch-catch-up trigger (process
+    everything present, then STOP — unlike processAllAvailable, which is
+    a test-only blocking call on a still-running query). Complete output
+    mode emits every window, including those a watermark hasn't closed,
+    which is what batch-equivalence asserts need."""
+    q = (
+        stream_df.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
     return stream_df.sparkSession.sql(f"SELECT * FROM {name}")
 
 

@@ -6,9 +6,11 @@ from __future__ import annotations
 from etl_job_applify_spark.queries.temporal import (
     q50_tumbling_window,
     q51_sliding_window,
+    q52_sessions,
 )
 from etl_job_applify_spark.streaming import (
     events_stream,
+    run_available_now_to_memory,
     run_to_memory,
     session_aggregates,
     sliding_counts,
@@ -45,6 +47,74 @@ def test_session_stream_produces_state(spark):
     got = run_to_memory(stream, "t_sessions", output_mode="complete").collect()
     assert len(got) > 0
     assert all(r["session_start"] <= r["session_end"] for r in got)
+
+
+# --- stream-vs-batch equivalence under Trigger.AvailableNow --------------
+# The strongest available oracle for streaming (SURVEY §7 risk register:
+# no DuckDB twin exists for a streaming query): run the streaming job to
+# completion with the production catch-up trigger and assert EXACT
+# equality — keys, counts, and bit-for-bit totals (both sides aggregate
+# through the associative DECIMAL idiom) — with the oracle-checked batch
+# query over the same fixture.
+
+
+def _rows(rows, key_cols, val_cols):
+    out = {}
+    for r in rows:
+        k = tuple(r[c] for c in key_cols)
+        assert k not in out, f"duplicate key {k}"
+        out[k] = tuple(r[c] for c in val_cols)
+    return out
+
+
+def test_available_now_tumbling_equals_batch(spark):
+    stream = tumbling_counts(events_stream(spark, SF_SMOKE))
+    got = run_available_now_to_memory(stream, "an_tumbling").collect()
+    want = q50_tumbling_window(spark, SF_SMOKE).collect()
+    assert _rows(got, ["window_start", "event_type"], ["n", "total"]) == _rows(
+        want, ["window_start", "event_type"], ["n", "total"]
+    )
+
+
+def test_available_now_sliding_equals_batch(spark):
+    stream = sliding_counts(events_stream(spark, SF_SMOKE))
+    got = run_available_now_to_memory(stream, "an_sliding").collect()
+    want = q51_sliding_window(spark, SF_SMOKE).collect()
+    assert _rows(got, ["window_start"], ["n", "total"]) == _rows(
+        want, ["window_start"], ["n", "total"]
+    )
+
+
+def test_available_now_sessions_equal_batch(spark):
+    """Session equality needs a boundary mapping: session_window reports
+    [first_ts, last_ts + gap) while the batch sessionizer reports
+    [min(ts), max(ts)] — identical membership, shifted end. Compare
+    per-(user, session_start): counts, exact totals, and the end-bound
+    relation."""
+    import datetime as dt
+
+    gap = dt.timedelta(seconds=1800)
+    stream = session_aggregates(
+        events_stream(spark, SF_SMOKE), gap="30 minutes"
+    )
+    got = run_available_now_to_memory(stream, "an_sessions").collect()
+    want = q52_sessions(spark, SF_SMOKE).collect()
+    assert len(got) == len(want) > 0
+    s = _rows(
+        got,
+        ["user_id", "session_start"],
+        ["n_events", "total_value", "session_end"],
+    )
+    b = _rows(
+        want,
+        ["user_id", "session_start"],
+        ["n_events", "total_value", "session_end"],
+    )
+    assert set(s) == set(b)
+    for k, (n_s, tot_s, end_s) in s.items():
+        n_b, tot_b, end_b = b[k]
+        assert (n_s, tot_s) == (n_b, tot_b), f"session {k} differs"
+        assert end_s == end_b + gap, f"session {k} end bound mismatch"
 
 
 def test_watermark_present_in_plan(spark):
