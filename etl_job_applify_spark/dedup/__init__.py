@@ -3,6 +3,7 @@ from .jaccard import ngram_jaccard_pairs
 from .minhash import minhash_lsh_pairs
 from .simhash import simhash_fingerprints, simhash_near_pairs
 from .embedding import embedding_near_dup_pairs
+from .incremental import minhash_index_build, minhash_index_probe
 
 __all__ = [
     "with_shingles",
@@ -12,4 +13,6 @@ __all__ = [
     "simhash_fingerprints",
     "simhash_near_pairs",
     "embedding_near_dup_pairs",
+    "minhash_index_build",
+    "minhash_index_probe",
 ]

@@ -1,0 +1,195 @@
+"""Incremental near-duplicate detection: probe a new batch against a
+persisted MinHash band-bucket index of the historical corpus.
+
+The steady state of an LLM data pipeline is not "dedup the corpus" but
+"dedup TODAY'S CRAWL against 100 TB of history". Re-running whole-corpus
+banding (minhash.py) per batch would recompute every historical
+signature every day; instead:
+
+- ``minhash_index_build`` computes each document's banded bucket keys
+  ONCE and persists them as a parquet index partitioned by band —
+  ~``bands`` small rows per document, written the day the document is
+  ingested and never recomputed;
+- ``minhash_index_probe`` computes bucket keys for the new batch only,
+  and joins them against the index with the BATCH side broadcast: the
+  index streams through map tasks (no shuffle of the history), and
+  partition pruning skips nothing only because every band is touched —
+  per-band parallelism is the point of the layout;
+- candidate pairs are verified with exact shingle Jaccard over just the
+  implicated documents (precision exact, recall LSH-bounded — same
+  contract as minhash_lsh_pairs), and the surviving new docs' entries
+  are appended to the index for the next batch.
+
+Scale: probe cost is one scan of the index (semi-join against the
+broadcast batch's bucket keys) + work proportional to matched buckets.
+Index size is ``bands`` × ~24 B per document — a few percent of corpus
+bytes (measured in SCALING.md). Boilerplate buckets are dropped by a
+size cap measured over the MATCHED subset, so a hot template bucket
+costs one count, not a quadratic fanout.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .jaccard import ngram_jaccard_pairs
+from .minhash import minhash_signatures
+
+_META = "_index_meta.json"
+
+
+def _band_entries(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int,
+    num_hashes: int,
+    bands: int,
+) -> DataFrame:
+    """(doc, band, bucket): one row per document per band."""
+    r = num_hashes // bands
+    sigs = minhash_signatures(docs, id_col, text_col, n, num_hashes)
+    return sigs.select(
+        "doc",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band"),
+                        F.xxhash64(
+                            *[F.col("sig")[bi * r + j] for j in range(r)]
+                        ).alias("bucket"),
+                    )
+                    for bi in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc", "bb.band", "bb.bucket")
+
+
+def _meta_path(index_path: str) -> str:
+    return os.path.join(index_path, _META)
+
+
+def minhash_index_build(
+    docs: DataFrame,
+    index_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    mode: str = "overwrite",
+) -> None:
+    """Persist the corpus's band-bucket entries as the dedup index.
+
+    ``mode="append"`` adds a new batch's entries to an existing index
+    (the post-probe ingest step); parameters must match the index's
+    recorded ones — bucket keys from different (n, num_hashes, bands)
+    are incomparable, so a mismatch raises instead of silently
+    corrupting recall."""
+    if num_hashes % bands:
+        raise ValueError("num_hashes must be divisible by bands")
+    params = {"n": n, "num_hashes": num_hashes, "bands": bands}
+    if mode == "append" and os.path.exists(_meta_path(index_path)):
+        with open(_meta_path(index_path)) as fh:
+            existing = json.load(fh)
+        if existing != params:
+            raise ValueError(
+                f"index at {index_path} was built with {existing}, "
+                f"probe/append requested {params}"
+            )
+    entries = _band_entries(docs, id_col, text_col, n, num_hashes, bands)
+    # partitioned by band: a 100 TB index's per-band files compact and
+    # prune independently, and the probe's per-band join parallelizes
+    # over them
+    entries.write.mode(mode).partitionBy("band").parquet(index_path)
+    os.makedirs(index_path, exist_ok=True)
+    with open(_meta_path(index_path), "w") as fh:
+        json.dump(params, fh)
+
+
+def minhash_index_probe(
+    spark: SparkSession,
+    index_path: str,
+    new_docs: DataFrame,
+    history: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+    max_bucket_size: int = 64,
+) -> DataFrame:
+    """Near-dup pairs (a, b, jaccard) between ``new_docs`` and the
+    indexed corpus, a < b, exact jaccard >= ``threshold``.
+
+    ``history`` supplies the text of indexed documents for the exact
+    verification join (the index stores only bucket keys — at scale the
+    corpus lives in the lake anyway; only the few implicated documents
+    are ever read). Self-matches (a re-crawled id probing against its
+    own index entry) are dropped.
+
+    ``max_bucket_size`` drops index buckets larger than the cap *among
+    the matched subset* — template buckets carry no pair signal and
+    their fanout is what melts a probe against skewed history.
+    """
+    if not os.path.exists(_meta_path(index_path)):
+        raise FileNotFoundError(f"no index meta at {index_path}")
+    with open(_meta_path(index_path)) as fh:
+        p = json.load(fh)
+    new_entries = _band_entries(
+        new_docs, id_col, text_col, p["n"], p["num_hashes"], p["bands"]
+    )
+    index = spark.read.parquet(index_path)
+    touched = new_entries.select("band", "bucket").distinct()
+    # one scan of the (huge) index: keep only buckets the batch touches
+    matched = index.join(F.broadcast(touched), ["band", "bucket"], "left_semi")
+    from pyspark import StorageLevel
+
+    matched = matched.persist(StorageLevel.MEMORY_AND_DISK)
+    ok_buckets = (
+        matched.groupBy("band", "bucket")
+        .agg(F.count("*").alias("idx_sz"))
+        .filter(F.col("idx_sz") <= max_bucket_size)
+        .select("band", "bucket")
+    )
+    candidates = (
+        matched.join(F.broadcast(ok_buckets), ["band", "bucket"], "left_semi")
+        .select("band", "bucket", F.col("doc").alias("old"))
+        .join(
+            F.broadcast(
+                new_entries.select("band", "bucket", F.col("doc").alias("new"))
+            ),
+            ["band", "bucket"],
+        )
+        .filter(F.col("old") != F.col("new"))
+        .select(
+            F.least("old", "new").alias("a"),
+            F.greatest("old", "new").alias("b"),
+        )
+        .distinct()
+    )
+    # exact verification over only the implicated documents, exactly as
+    # minhash_lsh_pairs does for the whole-corpus path
+    cand_ids = (
+        candidates.select(F.col("a").alias(id_col))
+        .union(candidates.select(F.col("b").alias(id_col)))
+        .distinct()
+    )
+    implicated = (
+        history.select(id_col, text_col)
+        .join(cand_ids, id_col, "left_semi")
+        .unionByName(
+            new_docs.select(id_col, text_col).join(
+                cand_ids, id_col, "left_semi"
+            )
+        )
+        .dropDuplicates([id_col])
+    )
+    exact = ngram_jaccard_pairs(
+        implicated, id_col, text_col, p["n"], threshold, max_doc_freq=None
+    )
+    return exact.join(candidates, ["a", "b"], "left_semi")

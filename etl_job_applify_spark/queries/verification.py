@@ -57,7 +57,10 @@ def q76_minhash_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _jaccard_count_sql(
-    n: int, threshold: float, max_doc_freq: int | None = None
+    n: int,
+    threshold: float,
+    max_doc_freq: int | None = None,
+    extra_where: str = "",
 ) -> str:
     gram = ", ".join(f"t[i+{j}]" for j in range(n))
     prune = (
@@ -92,11 +95,54 @@ SELECT CAST(COUNT(*) AS BIGINT) AS n_exact, true AS recall_ok
 FROM common
 JOIN sizes sa ON sa.doc_id = a
 JOIN sizes sb ON sb.doc_id = b
-WHERE common / (sa.sz + sb.sz - common) >= {threshold}
+WHERE common / (sa.sz + sb.sz - common) >= {threshold}{extra_where}
 """
 
 
 _Q76_SQL = _jaccard_count_sql(n=3, threshold=0.8)
+
+
+# --- q142: incremental dedup — new batch probed against a persisted -----
+# MinHash index of the history. Split: doc_id % 10 == 0 is "today's
+# crawl", the rest is the already-indexed corpus. The index is built
+# once from history (dedup/incremental.py), the batch's bucket keys are
+# broadcast against it, candidates are exact-verified — and the query
+# reports recall against the exact cross-corpus ground truth (jaccard
+# >= 0.8 pairs with exactly one side in the batch), which the oracle
+# recomputes relationally. Same parameters as q32/q76, so the >= 0.9
+# recall floor carries over.
+
+def q142_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from ..dedup import minhash_index_build, minhash_index_probe
+
+    docs = tbl(spark, sf_dir, "documents").select("doc_id", "text")
+    batch = docs.filter(F.col("doc_id") % 10 == 0)
+    history = docs.filter(F.col("doc_id") % 10 != 0)
+    path = tempfile.mkdtemp(prefix="q142_idx_")
+    try:
+        minhash_index_build(history, path, num_hashes=64, bands=16)
+        found = minhash_index_probe(
+            spark, path, batch, history, threshold=0.5, max_bucket_size=64
+        )
+        cross = F.expr("(a % 10 = 0) <> (b % 10 = 0)")
+        exact = ngram_jaccard_pairs(docs, threshold=0.8).filter(cross)
+        row = _recall_row(exact, found.filter(cross), min_recall=0.9)
+        # one-row result: materialize, then drop the temp index dir
+        rows = row.collect()
+        schema = row.schema
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)
+
+
+_Q142_SQL = _jaccard_count_sql(
+    n=3,
+    threshold=0.8,
+    extra_where="\n  AND ((a % 10 = 0) <> (b % 10 = 0))",
+)
 
 
 # --- q77: SimHash recall vs exact Jaccard ground truth -------------------
@@ -247,6 +293,7 @@ FROM lineitem GROUP BY l_returnflag
 
 
 QUERIES = {
+    "q142_incremental_dedup": q142_incremental_dedup,
     "q76_minhash_verify": q76_minhash_verify,
     "q77_simhash_verify": q77_simhash_verify,
     "q78_ann_recall": q78_ann_recall,
@@ -256,6 +303,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "q142_incremental_dedup": _Q142_SQL,
     "q76_minhash_verify": _Q76_SQL,
     "q77_simhash_verify": _Q77_SQL,
     "q78_ann_recall": _Q78_SQL,

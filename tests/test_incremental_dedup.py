@@ -1,0 +1,112 @@
+"""Incremental near-dup dedup: persisted MinHash index build + probe.
+
+The steady-state contract: a new batch probed against a prebuilt index
+finds its planted near-dups of history WITHOUT recomputing any
+historical signature, appends cleanly, and refuses parameter drift.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_job_applify_spark.dedup import (
+    minhash_index_build,
+    minhash_index_probe,
+)
+
+_BASE = (
+    "the quick brown fox jumps over the lazy dog while the cat watches "
+    "from the warm windowsill and the birds sing in the garden outside"
+)
+
+
+def _corpus(spark):
+    rows = [(i, f"{_BASE} unique filler sentence number {i} " * 2) for i in range(50)]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _batch(spark):
+    # 100/101: near-dups of history docs 7 and 23 (one word changed);
+    # 102: novel text with no historical relative
+    rows = [
+        (100, f"{_BASE} unique filler sentence number 7 " * 2 + "extra"),
+        (101, f"{_BASE} unique filler sentence number 23 " * 2 + "coda"),
+        (102, "completely different content about distributed query engines "
+              "and columnar execution with vectorized operators " * 3),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_probe_finds_planted_cross_dups(spark, tmp_path):
+    idx = str(tmp_path / "idx")
+    history = _corpus(spark)
+    minhash_index_build(history, idx, num_hashes=64, bands=16)
+    pairs = minhash_index_probe(
+        spark, idx, _batch(spark), history, threshold=0.5
+    ).collect()
+    got = {(r["a"], r["b"]) for r in pairs}
+    assert (7, 100) in got and (23, 101) in got
+    assert all(r["jaccard"] >= 0.5 for r in pairs)
+    assert not any(102 in p for p in got), "novel doc matched nothing"
+
+
+def test_probe_skips_recrawled_self_match(spark, tmp_path):
+    idx = str(tmp_path / "idx")
+    history = _corpus(spark)
+    minhash_index_build(history, idx, num_hashes=64, bands=16)
+    recrawl = history.filter(F.col("doc_id") == 7)
+    pairs = minhash_index_probe(spark, idx, recrawl, history).collect()
+    assert not any(r["a"] == r["b"] for r in pairs)
+
+
+def test_append_then_probe_sees_both_generations(spark, tmp_path):
+    idx = str(tmp_path / "idx")
+    history = _corpus(spark)
+    minhash_index_build(history, idx, num_hashes=64, bands=16)
+    # ingest the first batch into the index (the post-probe step)
+    first = _batch(spark)
+    minhash_index_build(
+        first, idx, num_hashes=64, bands=16, mode="append"
+    )
+    # a second batch duplicating doc 100 (itself a near-dup of 7) must
+    # match BOTH generations through one probe
+    second = spark.createDataFrame(
+        [(200, f"{_BASE} unique filler sentence number 7 " * 2 + "extra2")],
+        "doc_id long, text string",
+    )
+    all_docs = history.unionByName(first)
+    pairs = minhash_index_probe(spark, idx, second, all_docs).collect()
+    got = {(r["a"], r["b"]) for r in pairs}
+    assert (7, 200) in got and (100, 200) in got
+
+
+def test_parameter_drift_refused(spark, tmp_path):
+    idx = str(tmp_path / "idx")
+    minhash_index_build(_corpus(spark), idx, num_hashes=64, bands=16)
+    with pytest.raises(ValueError, match="built with"):
+        minhash_index_build(
+            _batch(spark), idx, num_hashes=128, bands=32, mode="append"
+        )
+    import json
+    import os
+
+    with open(os.path.join(idx, "_index_meta.json")) as fh:
+        assert json.load(fh) == {"n": 3, "num_hashes": 64, "bands": 16}
+
+
+def test_hot_template_bucket_capped(spark, tmp_path):
+    """A bucket shared by more history docs than the cap is dropped:
+    template boilerplate must cost a count, not a quadratic fanout."""
+    idx = str(tmp_path / "idx")
+    template = ("terms of service apply to all users of this site "
+                "please read carefully before proceeding " * 3)
+    history = spark.createDataFrame(
+        [(i, template) for i in range(40)], "doc_id long, text string"
+    )
+    minhash_index_build(history, idx, num_hashes=64, bands=16)
+    probe = spark.createDataFrame(
+        [(999, template)], "doc_id long, text string"
+    )
+    pairs = minhash_index_probe(
+        spark, idx, probe, history, max_bucket_size=8
+    )
+    assert pairs.count() == 0
