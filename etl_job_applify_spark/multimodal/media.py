@@ -9,10 +9,11 @@ driver memory and Python sees whole columns per batch, not rows.
 
 Image decode and resize are REAL for PPM/P6 (dependency-free codec in
 ppm.py, oracle-checked end-to-end via the arithmetic fixture —
-``attach_fake_ppm``); formats that need codec libraries (JPEG/PNG via
-Pillow, video via ffmpeg) are stubbed behind clearly-marked
-``NotImplementedError`` gates since those libs are not in this
-container. The deterministic feature extractors ``media_byte_features``
+``attach_fake_ppm``); audio decode is REAL for WAV/16-bit PCM (stdlib
+``wave``, wavpcm.py, fixture ``attach_fake_wav``); formats that need
+codec libraries (JPEG/PNG via Pillow, MP3/AAC, video via ffmpeg) are
+stubbed behind clearly-marked ``NotImplementedError`` gates since those
+libs are not in this container. The deterministic feature extractors ``media_byte_features``
 (raw bytes) and ``media_char_features`` (a REAL utf-8 decode step →
 code points) are cross-checked by the DuckDB oracle for any text.
 """
@@ -21,6 +22,7 @@ from __future__ import annotations
 
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame
@@ -228,6 +230,111 @@ def resize_image_batch(media: DataFrame, width: int, height: int) -> DataFrame:
             )
 
     return media.mapInPandas(batches, schema=_RESIZE_SCHEMA)
+
+
+def attach_fake_wav(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic WAV/PCM audio fixture: channels, frame count and
+    every sample are closed-form in ``doc_id`` (wavpcm.fixture_params /
+    fixture_samples), so a SQL oracle can recompute what a correct
+    decode must produce without parsing RIFF bytes. Generated inside
+    Arrow batches — no driver data."""
+    from . import wavpcm
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids = pdf[id_col]
+            payloads, metas = [], []
+            for doc_id in ids:
+                ch, fr = wavpcm.fixture_params(int(doc_id))
+                payloads.append(
+                    wavpcm.encode_wav(
+                        ch, wavpcm.fixture_samples(int(doc_id), fr * ch)
+                    )
+                )
+                metas.append(
+                    {
+                        "format": "wav",
+                        "width": None,
+                        "height": None,
+                        "duration_ms": fr * 1000 // wavpcm.SAMPLE_RATE,
+                    }
+                )
+            yield pd.DataFrame(
+                {"doc_id": ids.astype("int64"), "media": payloads,
+                 "meta": metas}
+            )
+
+    schema = (
+        "doc_id bigint, media binary, "
+        "meta struct<format:string,width:int,height:int,duration_ms:bigint>"
+    )
+    return docs.select(id_col).mapInPandas(batches, schema=schema)
+
+
+_AUDIO_SCHEMA = (
+    "doc_id bigint, n_channels int, sample_rate int, n_frames int, "
+    "pcm binary"
+)
+
+
+def decode_audio_batch(media: DataFrame) -> DataFrame:
+    """Audio decode via mapInPandas.
+
+    REAL for WAV/16-bit PCM (stdlib ``wave``, wavpcm.py); compressed
+    codecs (MP3/AAC/...) need native decoders not present in this image
+    and stay behind a clearly-marked ``NotImplementedError`` gate."""
+    from . import wavpcm
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {"doc_id": [], "n_channels": [], "sample_rate": [],
+                   "n_frames": [], "pcm": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["media"]):
+                data = bytes(payload)
+                if data[:4] != b"RIFF":  # pragma: no cover - env-dependent
+                    raise NotImplementedError(
+                        "compressed audio decode requires codec libs not "
+                        "present in this image; WAV/PCM is the real path"
+                    )
+                ch, rate, frames, samples = wavpcm.decode_wav(data)
+                out["doc_id"].append(doc_id)
+                out["n_channels"].append(ch)
+                out["sample_rate"].append(rate)
+                out["n_frames"].append(frames)
+                out["pcm"].append(samples.astype("<i2").tobytes())
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(batches, schema=_AUDIO_SCHEMA)
+
+
+_SAMPLE_FEATURES_SCHEMA = (
+    "doc_id bigint, n_samples bigint, first_sample int, peak int, "
+    "sample_checksum bigint"
+)
+
+
+def audio_sample_features(decoded: DataFrame) -> DataFrame:
+    """Value-space features over decoded PCM (the audio twin of
+    media_byte_features): totals the ORACLE can recompute arithmetically
+    for the fixture — sample count, first sample, signed peak, additive
+    unsigned checksum mod 2^16."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {"doc_id": [], "n_samples": [], "first_sample": [],
+                   "peak": [], "sample_checksum": []}
+            for doc_id, pcm in zip(pdf["doc_id"], pdf["pcm"]):
+                s = np.frombuffer(bytes(pcm), dtype="<i2").astype(np.int64)
+                out["doc_id"].append(doc_id)
+                out["n_samples"].append(len(s))
+                out["first_sample"].append(int(s[0]) if len(s) else None)
+                out["peak"].append(int(s.max()) if len(s) else None)
+                out["sample_checksum"].append(
+                    int((s + 32768).sum() % 65536)
+                )
+            yield pd.DataFrame(out)
+
+    return decoded.mapInPandas(batches, schema=_SAMPLE_FEATURES_SCHEMA)
 
 
 _CHAR_FEATURES_SCHEMA = "doc_id bigint, n_chars int, first_cp int, cp_checksum bigint"

@@ -23,6 +23,9 @@ from pyspark.sql import functions as F
 
 from ..multimodal import (
     attach_fake_ppm,
+    attach_fake_wav,
+    audio_sample_features,
+    decode_audio_batch,
     decode_image_batch,
     media_byte_features,
     resize_image_batch,
@@ -107,12 +110,65 @@ FROM dims
 """
 
 
+# --- q143: REAL audio decode (WAV/16-bit PCM), arithmetic oracle ----------
+# Second modality, same contract as q137: the RIFF/WAVE payload is
+# encoded and decoded by independent stdlib code paths inside Arrow
+# batches, and the oracle recomputes channel/frame counts, duration,
+# first sample, signed peak and the additive checksum purely from doc_id
+# arithmetic — any disagreement on header layout, interleaving,
+# signedness or endianness breaks the hashes.
+
+def q143_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = tbl(spark, sf_dir, "documents")
+    decoded = decode_audio_batch(attach_fake_wav(docs))
+    feats = audio_sample_features(decoded)
+    return (
+        decoded.select("doc_id", "n_channels", "sample_rate", "n_frames")
+        .join(feats, "doc_id")
+        .select(
+            "doc_id",
+            "n_channels",
+            "sample_rate",
+            (
+                F.col("n_frames") * 1000.0 / F.col("sample_rate")
+            ).alias("duration_ms"),
+            "n_samples",
+            "first_sample",
+            "peak",
+            "sample_checksum",
+        )
+    )
+
+
+_Q143_SQL = """
+WITH params AS (
+  SELECT doc_id, 1 + doc_id % 2 AS ch, 20 + doc_id % 11 AS fr
+  FROM documents
+)
+SELECT doc_id,
+       CAST(ch AS INT) AS n_channels,
+       8000 AS sample_rate,
+       fr * 1000.0 / 8000 AS duration_ms,
+       CAST(fr * ch AS BIGINT) AS n_samples,
+       CAST((doc_id * 13) % 65536 - 32768 AS INT) AS first_sample,
+       CAST(list_max(list_transform(range(0, fr * ch),
+                     i -> (doc_id * 13 + i * 17) % 65536 - 32768))
+            AS INT) AS peak,
+       CAST(list_sum(list_transform(range(0, fr * ch),
+                     i -> (doc_id * 13 + i * 17) % 65536)) % 65536
+            AS BIGINT) AS sample_checksum
+FROM params
+"""
+
+
 QUERIES = {
     "q137_ppm_decode": q137_ppm_decode,
     "q138_ppm_resize": q138_ppm_resize,
+    "q143_wav_decode": q143_wav_decode,
 }
 
 ORACLE = {
     "q137_ppm_decode": _Q137_SQL,
     "q138_ppm_resize": _Q138_SQL,
+    "q143_wav_decode": _Q143_SQL,
 }

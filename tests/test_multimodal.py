@@ -219,3 +219,69 @@ def test_resize_image_batch_real_for_ppm(spark):
     )
     metas = resized.select("meta.width", "meta.height").distinct().collect()
     assert [(m[0], m[1]) for m in metas] == [(4, 3)]
+
+
+# --- WAV/PCM codec: the second REAL decode path --------------------------
+
+
+def test_wav_roundtrip_pure():
+    import numpy as np
+
+    from etl_job_applify_spark.multimodal import wavpcm
+
+    ch, fr = wavpcm.fixture_params(11)
+    samples = wavpcm.fixture_samples(11, fr * ch)
+    data = wavpcm.encode_wav(ch, samples)
+    assert data[:4] == b"RIFF" and data[8:12] == b"WAVE"
+    ch2, rate, fr2, out = wavpcm.decode_wav(data)
+    assert (ch2, rate, fr2) == (ch, wavpcm.SAMPLE_RATE, fr)
+    assert np.array_equal(out, samples)
+
+
+def test_wav_decoder_rejects_unsupported_width():
+    import io
+    import wave
+
+    import pytest as _pytest
+
+    from etl_job_applify_spark.multimodal import wavpcm
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(1)  # 8-bit PCM: not the supported profile
+        w.setframerate(8000)
+        w.writeframes(bytes(10))
+    with _pytest.raises(ValueError, match="16-bit"):
+        wavpcm.decode_wav(buf.getvalue())
+
+
+def test_wav_decode_pipeline_matches_fixture(spark):
+    """Spark-side plumbing end-to-end: attach → decode → features, with
+    stereo interleaving preserved (odd ids are 2-channel)."""
+    from etl_job_applify_spark.multimodal import (
+        attach_fake_wav,
+        audio_sample_features,
+        decode_audio_batch,
+        wavpcm,
+    )
+
+    docs = spark.range(0, 8).withColumnRenamed("id", "doc_id")
+    decoded = decode_audio_batch(attach_fake_wav(docs))
+    rows = {
+        r["doc_id"]: r
+        for r in decoded.join(
+            audio_sample_features(decoded), "doc_id"
+        ).collect()
+    }
+    assert len(rows) == 8
+    for doc_id, r in rows.items():
+        ch, fr = wavpcm.fixture_params(doc_id)
+        samples = wavpcm.fixture_samples(doc_id, fr * ch)
+        assert r["n_channels"] == ch and r["n_frames"] == fr
+        assert r["n_samples"] == fr * ch
+        assert r["first_sample"] == int(samples[0])
+        assert r["peak"] == int(samples.max())
+        assert r["sample_checksum"] == int(
+            (samples.astype("int64") + 32768).sum() % 65536
+        )
