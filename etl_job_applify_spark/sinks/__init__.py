@@ -9,9 +9,11 @@ from .versioned import (
     write_version,
 )
 from .merge import merge_into
+from .backends import DEFAULT_BACKEND, MergeBackend, VersionedParquetBackend
 from .redshift import copy_statements, execute_statement, write_redshift
 
 __all__ = ["write_csv", "write_json", "write_orc", "write_parquet", "write_jdbc", "write_xml", "upsert",
            "write_version", "read_table", "list_versions", "snapshot_files",
            "CommitConflict", "commit_version", "merge_into",
+           "MergeBackend", "VersionedParquetBackend", "DEFAULT_BACKEND",
            "copy_statements", "execute_statement", "write_redshift"]

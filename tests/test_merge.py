@@ -83,9 +83,9 @@ def test_merge_retries_through_interleaved_commit(spark, tmp_path):
     write_version(spark.createDataFrame([(1, "a")], SCHEMA), path)
 
     calls = {"n": 0}
-    import etl_job_applify_spark.sinks.merge as merge_mod
+    import etl_job_applify_spark.sinks.backends as backends_mod
 
-    real_list_versions = merge_mod.list_versions
+    real_list_versions = backends_mod.list_versions
 
     def racing_list_versions(s, p):
         # first attempt reads, then an interloper commits before our CAS
@@ -102,7 +102,7 @@ def test_merge_retries_through_interleaved_commit(spark, tmp_path):
             )
         return out
 
-    merge_mod.list_versions = racing_list_versions
+    backends_mod.list_versions = racing_list_versions
     try:
         v = merge_into(
             spark,
@@ -111,7 +111,7 @@ def test_merge_retries_through_interleaved_commit(spark, tmp_path):
             keys=["k"],
         )
     finally:
-        merge_mod.list_versions = real_list_versions
+        backends_mod.list_versions = real_list_versions
     assert v == 3  # base 1, interloper took 2, retry committed 3
     assert _rows(spark, path) == {(1, "a"), (7, "interloper"), (2, "b")}
 

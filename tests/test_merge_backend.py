@@ -1,0 +1,174 @@
+"""MergeBackend contract: the tests any Delta/Iceberg adapter must pass.
+
+Parametrized over two structurally different backends — the default
+directory-versioned parquet protocol (rename-CAS) and a minimal
+transaction-LOG-style backend modeled on Delta's ``_delta_log`` shape
+(data files land first, an O_EXCL log entry naming them is the atomic
+commit) — so the contract provably carries across storage protocols,
+not just the one that ships.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_job_applify_spark.sinks import (
+    CommitConflict,
+    VersionedParquetBackend,
+    merge_into,
+)
+
+
+class DeltaLogStyleBackend:
+    """Test-local adapter in the shape a Delta lowering takes: immutable
+    data directories plus a ``_log/N.json`` entry per commit, where
+    creating the log entry with O_EXCL *is* the CAS."""
+
+    def _log_dir(self, table_path):
+        return os.path.join(table_path, "_log")
+
+    def latest_version(self, spark, table_path):
+        d = self._log_dir(table_path)
+        if not os.path.isdir(d):
+            return 0
+        entries = [
+            int(f[: -len(".json")])
+            for f in os.listdir(d)
+            if f.endswith(".json")
+        ]
+        return max(entries, default=0)
+
+    def read(self, spark, table_path, version=None):
+        v = version or self.latest_version(spark, table_path)
+        entry = os.path.join(self._log_dir(table_path), f"{v}.json")
+        if not os.path.isfile(entry):
+            raise FileNotFoundError(f"no version {v} at {table_path}")
+        with open(entry) as fh:
+            data_dir = json.load(fh)["data_dir"]
+        return spark.read.parquet(os.path.join(table_path, data_dir))
+
+    def commit(self, df, table_path, base_version):
+        import uuid
+
+        if self.latest_version(df.sparkSession, table_path) != base_version:
+            raise CommitConflict(f"stale base {base_version}")
+        data_dir = f"data_{uuid.uuid4().hex}"
+        df.write.mode("overwrite").parquet(
+            os.path.join(table_path, data_dir)
+        )
+        os.makedirs(self._log_dir(table_path), exist_ok=True)
+        entry = os.path.join(
+            self._log_dir(table_path), f"{base_version + 1}.json"
+        )
+        try:
+            fd = os.open(entry, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            raise CommitConflict(
+                f"version {base_version + 1} committed concurrently"
+            ) from None
+        with os.fdopen(fd, "w") as fh:
+            json.dump({"data_dir": data_dir}, fh)
+        return base_version + 1
+
+
+BACKENDS = [VersionedParquetBackend, DeltaLogStyleBackend]
+
+
+@pytest.fixture(params=BACKENDS, ids=lambda c: c.__name__)
+def backend(request):
+    return request.param()
+
+
+def _orders(spark, rows):
+    return spark.createDataFrame(rows, "k long, v string")
+
+
+def test_contract_versions_increase_monotonically(spark, tmp_path, backend):
+    t = str(tmp_path / "t")
+    assert backend.latest_version(spark, t) == 0
+    v1 = merge_into(spark, t, _orders(spark, [(1, "a")]), ["k"], backend=backend)
+    v2 = merge_into(spark, t, _orders(spark, [(2, "b")]), ["k"], backend=backend)
+    assert (v1, v2) == (1, 2)
+    assert backend.latest_version(spark, t) == 2
+
+
+def test_contract_upsert_and_delete_semantics(spark, tmp_path, backend):
+    t = str(tmp_path / "t")
+    merge_into(spark, t, _orders(spark, [(1, "a"), (2, "b")]), ["k"],
+               backend=backend)
+    merge_into(spark, t, _orders(spark, [(2, "B"), (3, "c")]), ["k"],
+               backend=backend)
+    got = {r["k"]: r["v"] for r in backend.read(spark, t).collect()}
+    assert got == {1: "a", 2: "B", 3: "c"}
+    merge_into(spark, t, _orders(spark, [(1, "x"), (9, "i")]), ["k"],
+               when_matched="delete", backend=backend)
+    got = {r["k"]: r["v"] for r in backend.read(spark, t).collect()}
+    assert got == {2: "B", 3: "c", 9: "i"}
+
+
+def test_contract_stale_commit_conflicts_and_publishes_nothing(
+    spark, tmp_path, backend
+):
+    t = str(tmp_path / "t")
+    merge_into(spark, t, _orders(spark, [(1, "a")]), ["k"], backend=backend)
+    merge_into(spark, t, _orders(spark, [(2, "b")]), ["k"], backend=backend)
+    with pytest.raises(CommitConflict):
+        backend.commit(_orders(spark, [(99, "z")]), t, base_version=1)
+    assert backend.latest_version(spark, t) == 2
+    got = {r["k"] for r in backend.read(spark, t).collect()}
+    assert got == {1, 2}, "losing commit leaked rows"
+
+
+def test_contract_snapshot_isolation(spark, tmp_path, backend):
+    t = str(tmp_path / "t")
+    merge_into(spark, t, _orders(spark, [(1, "a")]), ["k"], backend=backend)
+    merge_into(spark, t, _orders(spark, [(1, "A2"), (2, "b")]), ["k"],
+               backend=backend)
+    old = {r["k"]: r["v"] for r in backend.read(spark, t, version=1).collect()}
+    new = {r["k"]: r["v"] for r in backend.read(spark, t).collect()}
+    assert old == {1: "a"}, "committed snapshot mutated"
+    assert new == {1: "A2", 2: "b"}
+
+
+def test_contract_retry_converges_after_interleaved_writer(
+    spark, tmp_path, backend
+):
+    """A writer that loses the race must re-read, recompute against the
+    NEW snapshot, and commit a result containing both writers' rows."""
+    t = str(tmp_path / "t")
+    merge_into(spark, t, _orders(spark, [(1, "a")]), ["k"], backend=backend)
+
+    interloper = {"done": False}
+    real_latest = backend.latest_version
+
+    def racing_latest(spark_, path_):
+        v = real_latest(spark_, path_)
+        if not interloper["done"]:
+            # someone else commits between our read and our commit
+            interloper["done"] = True
+            backend.commit(_orders(spark, [(1, "a"), (7, "g")]), path_, v)
+        return v
+
+    backend.latest_version = racing_latest  # type: ignore[method-assign]
+    try:
+        v = merge_into(
+            spark, t, _orders(spark, [(2, "b")]), ["k"], backend=backend
+        )
+    finally:
+        backend.latest_version = real_latest  # type: ignore[method-assign]
+    assert v == 3  # interloper took 2; retry committed 3
+    got = {r["k"]: r["v"] for r in backend.read(spark, t).collect()}
+    assert got == {1: "a", 2: "b", 7: "g"}, "retry lost a writer's rows"
+
+
+def test_contract_missing_version_raises(spark, tmp_path, backend):
+    t = str(tmp_path / "t")
+    with pytest.raises(FileNotFoundError):
+        backend.read(spark, t)
+    merge_into(spark, t, _orders(spark, [(1, "a")]), ["k"], backend=backend)
+    with pytest.raises(FileNotFoundError):
+        backend.read(spark, t, version=5)
