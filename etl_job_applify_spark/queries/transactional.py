@@ -97,5 +97,67 @@ ORDER BY o_orderstatus
 """
 
 
-QUERIES = {"q139_merge_transactional": q139_merge_transactional}
-ORACLE = {"q139_merge_transactional": _Q139_SQL}
+# --- q144: data-skipping read path, oracle-checked end to end ------------
+# Drives the round-5 lakehouse read capability: publish orders as a
+# versioned snapshot Z-ordered on o_custkey, read it back through
+# read_table(ranges=...) — which consults the per-file min/max sidecar
+# and hands Spark only surviving files — and aggregate. The DuckDB
+# oracle computes the same aggregate straight off the raw table, so a
+# pruning bug that DROPS a matching file breaks the hashes (the
+# `pruned` column additionally pins that skipping actually engaged:
+# files_read < files_total at every fixture SF).
+
+
+def q144_skipping_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from ..sinks import read_table as read_versioned
+    from ..sinks import snapshot_files, write_version
+
+    orders = tbl(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    # range hint for the layout from a one-row aggregate (control plane;
+    # hints steer clustering only, never correctness)
+    hi = orders.agg(F.max("o_custkey")).first()[0]
+    path = tempfile.mkdtemp(prefix="q144_skip_")
+    try:
+        write_version(
+            orders, path, cluster_by=(("o_custkey", 0, hi),), num_files=16
+        )
+        kept, total = snapshot_files(
+            spark, path, ranges={"o_custkey": (100, 500)}
+        )
+        agg = (
+            read_versioned(spark, path, ranges={"o_custkey": (100, 500)})
+            .agg(
+                F.count("*").cast("bigint").alias("n_orders"),
+                dsum("o_totalprice", "total"),
+            )
+            .withColumn("pruned", F.lit(len(kept) < total))
+        )
+        rows = agg.collect()
+        schema = agg.schema
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)
+
+
+_Q144_SQL = f"""
+SELECT CAST(COUNT(*) AS BIGINT) AS n_orders,
+       {DSUM('o_totalprice')} AS total,
+       true AS pruned
+FROM orders
+WHERE o_custkey BETWEEN 100 AND 500
+"""
+
+
+QUERIES = {
+    "q139_merge_transactional": q139_merge_transactional,
+    "q144_skipping_read": q144_skipping_read,
+}
+ORACLE = {
+    "q139_merge_transactional": _Q139_SQL,
+    "q144_skipping_read": _Q144_SQL,
+}
