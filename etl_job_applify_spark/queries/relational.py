@@ -343,8 +343,19 @@ GROUP BY GROUPING SETS ((event_type), (CAST(date_trunc('day', ts) AS DATE)), ())
 
 
 def q12_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    tbl(spark, sf_dir, "events").createOrReplaceTempView("events")
-    return spark.sql(_Q12_SQL)
+    # DataFrame groupingSets API (Spark 4) — independent formulation of
+    # the oracle's GROUP BY GROUPING SETS text; same single-pass partial
+    # aggregate per set under the hood (Expand + one shuffle)
+    events = tbl(spark, sf_dir, "events").select(
+        "event_type",
+        F.date_trunc("day", "ts").cast("date").alias("day"),
+        "value",
+    )
+    return (
+        events.groupingSets([["event_type"], ["day"], []], "event_type", "day")
+        .agg(F.count("*").alias("n"), dsum("value", "total"))
+        .select("event_type", "day", "n", "total")
+    )
 
 
 # --- q13: ranking window functions ---------------------------------------
@@ -689,7 +700,14 @@ ORDER BY o_orderstatus
 
 # --- q24: window frame over a time RANGE ---------------------------------
 # RANGE INTERVAL frames are peer-inclusive → deterministic without a
-# tiebreak. Spark needs the SQL form for interval ranges.
+# tiebreak. The oracle keeps the window-function form (the surface being
+# covered); the Spark side is the textbook-independent equivalence: a
+# per-key self-join counting peers in [d − 30 days, d] — same
+# peer-inclusive multiset, so a frame-boundary bug in either formulation
+# breaks the hash compare. Scale note: the join fans out per customer
+# (bounded by orders-per-customer × window width); the window form is
+# the production plan, the join form exists here precisely because it is
+# NOT the same code path.
 
 _Q24_SQL = """
 SELECT o_custkey, o_orderkey, o_orderdate,
@@ -701,8 +719,25 @@ FROM orders
 
 
 def q24_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
-    tbl(spark, sf_dir, "orders").createOrReplaceTempView("orders")
-    return spark.sql(_Q24_SQL)
+    orders = tbl(spark, sf_dir, "orders")
+    left = orders.select("o_custkey", "o_orderkey", "o_orderdate")
+    peers = orders.select(
+        F.col("o_custkey").alias("p_custkey"),
+        F.col("o_orderdate").alias("p_date"),
+    )
+    return (
+        left.join(
+            peers,
+            (F.col("o_custkey") == F.col("p_custkey"))
+            & (F.col("p_date") <= F.col("o_orderdate"))
+            & (
+                F.col("p_date")
+                >= F.col("o_orderdate") - F.expr("INTERVAL 30 DAYS")
+            ),
+        )
+        .groupBy("o_custkey", "o_orderkey", "o_orderdate")
+        .agg(F.count("*").alias("orders_30d"))
+    )
 
 
 # --- q25: schema-contract transform (reference T2/T3) --------------------

@@ -528,9 +528,12 @@ ORACLE["q67_disjunctive_filter"] = _Q67_SQL
 
 
 # --- q70: LATERAL (correlated table) subquery ----------------------------
-# Per outer row, a dependent subquery with its own ORDER BY/LIMIT —
-# Catalyst plans it as a correlated join; the grouped-top-k window form
-# (q17) is the equivalent single-pass shape at scale.
+# The oracle keeps the LATERAL form (the surface being covered); the
+# Spark side is the grouped-top-k WINDOW form (q17's idiom) — the
+# single-pass shape a correlated per-row LIMIT decorrelates to at scale,
+# and an independent formulation for the hash compare: one aggregation
+# over nation⋈customer, rank within region, keep 2, broadcast-join the
+# region names.
 
 _Q70_SQL = """
 SELECT r.r_name, t.n_name, t.n_cust
@@ -545,9 +548,24 @@ LATERAL (
 
 
 def q70_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
-    for t in ("region", "nation", "customer"):
-        tbl(spark, sf_dir, t).createOrReplaceTempView(t)
-    return spark.sql(_Q70_SQL)
+    region = tbl(spark, sf_dir, "region")
+    nation = tbl(spark, sf_dir, "nation")
+    customer = tbl(spark, sf_dir, "customer")
+    counts = (
+        nation.join(customer, customer.c_nationkey == nation.n_nationkey)
+        .groupBy("n_regionkey", "n_name")
+        .agg(F.count("c_custkey").alias("n_cust"))
+    )
+    w = Window.partitionBy("n_regionkey").orderBy(
+        F.desc("n_cust"), F.col("n_name")
+    )
+    top2 = counts.withColumn("rn", F.row_number().over(w)).filter("rn <= 2")
+    return (
+        top2.join(
+            F.broadcast(region), top2.n_regionkey == region.r_regionkey
+        )
+        .select("r_name", "n_name", "n_cust")
+    )
 
 
 QUERIES["q70_lateral_topn"] = q70_lateral_topn

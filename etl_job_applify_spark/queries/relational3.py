@@ -108,8 +108,29 @@ FROM s
 
 
 def q89_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
-    tbl(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
-    return spark.sql(_Q89_SQL)
+    # DataFrame formulation (independent of the oracle's CTE text): one
+    # groupBy collects the five pinned power sums, then a closed-form
+    # projection — each aggregate/arithmetic expression reuses the
+    # oracle's exact shape so the moments match bit-for-bit
+    s = tbl(spark, sf_dir, "lineitem").groupBy("l_returnflag").agg(
+        F.expr("CAST(COUNT(*) AS DOUBLE)").alias("n"),
+        F.expr(_dsum_exact("l_quantity")).alias("sx"),
+        F.expr(_dsum_exact("l_extendedprice")).alias("sy"),
+        F.expr(_dsum_exact("l_quantity * l_quantity")).alias("sxx"),
+        F.expr(_dsum_exact("l_extendedprice * l_extendedprice")).alias("syy"),
+        F.expr(_dsum_exact("l_quantity * l_extendedprice")).alias("sxy"),
+    )
+    return s.select(
+        "l_returnflag",
+        F.expr("CAST(n AS BIGINT)").alias("n"),
+        F.expr(
+            "(n * sxy - sx * sy)"
+            " / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))"
+        ).alias("corr_qty_price"),
+        F.expr("(n * sxy - sx * sy) / (n * n)").alias("covar_pop_qty_price"),
+        F.expr("sqrt(n * sxx - sx * sx) / n").alias("stddev_pop_qty"),
+        F.expr("sqrt(n * syy - sy * sy) / n").alias("stddev_pop_price"),
+    )
 
 
 # --- q90: argmin/argmax aggregation (min_by / max_by) --------------------

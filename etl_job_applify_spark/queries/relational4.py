@@ -309,8 +309,32 @@ HAVING {DSUM('l_extendedprice * l_quantity')} > (
 
 
 def q111_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    _view(spark, sf_dir, "lineitem", "supplier", "nation", "region")
-    return spark.sql(_Q111_SQL_BODY)
+    # DataFrame formulation (oracle keeps the HAVING-scalar-subquery
+    # text): the EUROPE-supplier base relation feeds a per-part exact
+    # aggregate and a one-row exact total attached via the DataFrame
+    # scalar-subquery API (df.scalar(), Spark 4) — the same
+    # evaluate-once-broadcast-literal plan the SQL subquery gets.
+    # 0.001 mirrors the oracle literal digit-for-digit.
+    li = tbl(spark, sf_dir, "lineitem")
+    supplier = tbl(spark, sf_dir, "supplier")
+    nation = tbl(spark, sf_dir, "nation")
+    region = tbl(spark, sf_dir, "region")
+    europe = (
+        li.join(supplier, li.l_suppkey == supplier.s_suppkey)
+        .join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .filter(F.col("r_name") == "EUROPE")
+        .select("l_partkey", "l_extendedprice", "l_quantity")
+    )
+    per_part = europe.groupBy("l_partkey").agg(
+        dsum("l_extendedprice * l_quantity", "value")
+    )
+    grand_total = europe.agg(
+        dsum("l_extendedprice * l_quantity", "grand_total")
+    ).scalar()
+    return per_part.filter(F.col("value") > 0.001 * grand_total).select(
+        "l_partkey", "value"
+    )
 
 
 # --- q112: customer order-count distribution (TPC-H Q13 shape) -----------
@@ -377,8 +401,26 @@ WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
 
 
 def q113_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
-    _view(spark, sf_dir, "lineitem", "supplier")
-    return spark.sql(_Q113_SQL_BODY)
+    # DataFrame formulation (oracle keeps the scalar-subquery text):
+    # revenue aggregate → scalar max via df.scalar() → equality filter.
+    # Both sides of the = derive from the identical exact DECIMAL sums,
+    # so the double comparison is safe.
+    li = tbl(spark, sf_dir, "lineitem")
+    supplier = tbl(spark, sf_dir, "supplier")
+    revenue = (
+        li.filter(
+            (F.col("l_shipdate") >= F.expr("TIMESTAMP '1997-01-01'"))
+            & (F.col("l_shipdate") < F.expr("TIMESTAMP '1997-07-01'"))
+        )
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(dsum("l_extendedprice * (1 - l_discount)", "total_revenue"))
+    )
+    max_revenue = revenue.agg(F.max("total_revenue")).scalar()
+    return (
+        supplier.join(revenue, supplier.s_suppkey == revenue.supplier_no)
+        .filter(F.col("total_revenue") == max_revenue)
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
 
 
 # --- q114: small-quantity revenue (TPC-H Q17 shape) ----------------------
@@ -405,8 +447,34 @@ WHERE p_brand = 'Brand#3'
 
 
 def q114_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    _view(spark, sf_dir, "lineitem", "part")
-    return spark.sql(_Q114_SQL_BODY)
+    # DataFrame formulation (oracle keeps the correlated-subquery text):
+    # the decorrelated plan written out — per-part exact average joined
+    # back on partkey — with one improvement over the naive rewrite: the
+    # average is computed only for Brand#3 parts (semi-join pruning
+    # BEFORE the heavy aggregate; the correlated average for a part is
+    # unchanged by dropping other parts' rows). 0.2 mirrors the oracle
+    # literal; DAVG's exact-sum/COUNT shape is reused verbatim.
+    li = tbl(spark, sf_dir, "lineitem")
+    part = tbl(spark, sf_dir, "part")
+    brand_parts = part.filter(F.col("p_brand") == "Brand#3").select(
+        "p_partkey"
+    )
+    brand_li = li.join(
+        F.broadcast(brand_parts), li.l_partkey == part.p_partkey
+    ).select("l_partkey", "l_quantity", "l_extendedprice")
+    per_part = brand_li.groupBy(F.col("l_partkey").alias("t_partkey")).agg(
+        F.expr(DAVG("l_quantity")).alias("avg_qty")
+    )
+    return (
+        brand_li.join(
+            F.broadcast(per_part),
+            brand_li.l_partkey == per_part.t_partkey,
+        )
+        .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
+        .agg(
+            (F.expr(DSUM("l_extendedprice")) / 7.0).alias("avg_yearly")
+        )
+    )
 
 
 # --- q115: large-volume orders (TPC-H Q18 shape) -------------------------
@@ -480,8 +548,29 @@ GROUP BY 1
 
 
 def q116_lapsed_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    _view(spark, sf_dir, "customer", "orders")
-    return spark.sql(_Q116_SQL_BODY)
+    # DataFrame formulation (oracle keeps the scalar-subquery +
+    # NOT EXISTS text): exact average as a df.scalar() subquery,
+    # left-anti join against the date-filtered o_custkey projection,
+    # then the grouped rollup — the decorrelated plan written out.
+    customer = tbl(spark, sf_dir, "customer")
+    orders = tbl(spark, sf_dir, "orders")
+    avg_bal = (
+        customer.filter(F.col("c_acctbal") > 0.0)
+        .agg(F.expr(DAVG("c_acctbal")))
+        .scalar()
+    )
+    recent = orders.filter(
+        F.col("o_orderdate") >= F.expr("TIMESTAMP '2000-01-01'")
+    ).select(F.col("o_custkey").alias("c_custkey"))
+    return (
+        customer.filter(F.col("c_acctbal") > avg_bal)
+        .join(recent, "c_custkey", "left_anti")
+        .groupBy(F.expr("right(c_name, 2)").alias("cntrycode"))
+        .agg(
+            F.count("*").cast("bigint").alias("numcust"),
+            dsum("c_acctbal", "totacctbal"),
+        )
+    )
 
 
 # --- q121: hierarchy traversal (iterative DataFrame loop) ----------------
@@ -689,8 +778,15 @@ LIMIT 20 OFFSET 40
 
 
 def q132_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
-    _view(spark, sf_dir, "customer")
-    return spark.sql(_Q132_SQL)
+    # DataFrame formulation (oracle keeps the LIMIT/OFFSET text): the
+    # DataFrame API grew offset() in 3.4 — same global-limit plan
+    return (
+        tbl(spark, sf_dir, "customer")
+        .select("c_custkey", "c_name", "c_acctbal")
+        .orderBy(F.desc("c_acctbal"), "c_custkey")
+        .offset(40)
+        .limit(20)
+    )
 
 
 # --- q133: SQL session variables (parameterized queries) -----------------

@@ -122,8 +122,29 @@ FROM s
 
 
 def q100_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
-    tbl(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
-    return spark.sql(_Q100_SQL)
+    # DataFrame formulation (oracle keeps the CTE text): one power-sum
+    # aggregate + closed-form OLS projection, expression shapes mirrored
+    # for bit-identity (see q89 for the idiom)
+    s = tbl(spark, sf_dir, "lineitem").groupBy("l_returnflag").agg(
+        F.expr("CAST(COUNT(*) AS DOUBLE)").alias("n"),
+        F.expr(_dsum_exact("l_quantity")).alias("sx"),
+        F.expr(_dsum_exact("l_extendedprice")).alias("sy"),
+        F.expr(_dsum_exact("l_quantity * l_quantity")).alias("sxx"),
+        F.expr(_dsum_exact("l_extendedprice * l_extendedprice")).alias("syy"),
+        F.expr(_dsum_exact("l_quantity * l_extendedprice")).alias("sxy"),
+    )
+    return s.select(
+        "l_returnflag",
+        F.expr("CAST(n AS BIGINT)").alias("n"),
+        F.expr("(n * sxy - sx * sy) / (n * sxx - sx * sx)").alias("slope"),
+        F.expr(
+            "(sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n"
+        ).alias("intercept"),
+        F.expr(
+            "((n * sxy - sx * sy) * (n * sxy - sx * sy))"
+            " / ((n * sxx - sx * sx) * (n * syy - sy * sy))"
+        ).alias("r2"),
+    )
 
 
 # --- q101: Python UDTF — document chunking as a table function -----------
