@@ -34,7 +34,7 @@ from __future__ import annotations
 import datetime as _dt
 import json
 import os
-from typing import Mapping, Sequence
+from typing import Mapping
 
 STATS_FILE = "_stats.json"
 

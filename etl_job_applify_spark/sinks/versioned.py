@@ -239,6 +239,54 @@ def snapshot_files(
     return every, len(every)
 
 
+def optimize_table(
+    spark: SparkSession,
+    table_path: str,
+    cluster_by=None,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    retain: int | None = None,
+) -> int:
+    """Rewrite the latest snapshot with a maintained layout — the
+    OPTIMIZE / compaction step of the lakehouse loop.
+
+    Reads the live version, right-sizes the file count from the ACTUAL
+    snapshot bytes (the compact_parquet rule), optionally Z-orders on
+    ``cluster_by``, and publishes the result as a NEW version — never an
+    in-place rewrite, so readers of the old version are undisturbed and
+    a crash mid-optimize leaves the table exactly as it was (the same
+    recovery contract as every other commit). The new snapshot's stats
+    sidecar is rebuilt automatically, so skipping improves with the
+    layout. Returns the new version number.
+
+    Incremental sinks at scale need this on a schedule: streaming/CDC
+    commits land many small files, and a year of micro-batches is 10^7
+    footer reads per scan without compaction."""
+    import math
+    import os
+
+    from . import stats as _stats
+
+    snap = _resolve_snapshot(spark, table_path, None)
+    local = _stats._local_path(snap)
+    total = 0
+    if local and os.path.isdir(local):
+        for name in os.listdir(local):
+            if name.endswith(".parquet") and not name.startswith(("_", ".")):
+                total += os.path.getsize(os.path.join(local, name))
+    num_files = max(1, math.ceil(total / target_file_bytes))
+    df = spark.read.parquet(snap)
+    if not cluster_by:
+        # repartition (not coalesce): rebalances skew, keeps the write wide
+        df = df.repartition(num_files)
+    return write_version(
+        df,
+        table_path,
+        retain=retain,
+        cluster_by=cluster_by,
+        num_files=num_files if cluster_by else None,
+    )
+
+
 def read_table(
     spark: SparkSession,
     table_path: str,

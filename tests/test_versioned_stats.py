@@ -106,3 +106,46 @@ def test_cas_commit_carries_stats_atomically(spark, tmp_path):
     # unclustered files still prune on the monotonically-laid-out id
     kept, total = snapshot_files(spark, path, ranges={"id": (0, 10)})
     assert len(kept) <= total
+
+
+def test_optimize_compacts_many_small_snapshot_files(spark, tmp_path):
+    """Many-small-files snapshot (the streaming-sink pathology) →
+    optimize publishes a NEW compacted version; the old one is intact."""
+    import glob
+
+    path = str(tmp_path / "opt")
+    from etl_job_applify_spark.sinks import optimize_table
+
+    write_version(_table(spark, 5000).repartition(40), path)
+    before = glob.glob(path + "/snap_00000001/part-*.parquet")
+    assert len(before) == 40
+    v = optimize_table(spark, path)
+    assert v == 2
+    after = glob.glob(path + "/snap_00000002/part-*.parquet")
+    assert len(after) < len(before)
+    # same rows, old version untouched
+    assert read_table(spark, path, version=2).count() == 5000
+    assert len(glob.glob(path + "/snap_00000001/part-*.parquet")) == 40
+
+
+def test_optimize_recluster_restores_skipping(spark, tmp_path):
+    """An unclustered table prunes poorly; optimize with cluster_by
+    rewrites the layout and the SAME predicate prunes afterwards."""
+    path = str(tmp_path / "reclust")
+    from etl_job_applify_spark.sinks import optimize_table
+
+    # shuffle rows so k1 is scattered across files
+    df = _table(spark, 20000).orderBy(F.xxhash64("id")).repartition(16)
+    write_version(df, path)
+    kept1, total1 = snapshot_files(spark, path, ranges={"k1": (10, 30)})
+    # small target so the tiny fixture still yields a multi-file layout
+    v = optimize_table(
+        spark, path, cluster_by=(("k1", 0, 997), ("k2", 0, 1000)),
+        target_file_bytes=20_000,
+    )
+    assert v == 2
+    kept2, total2 = snapshot_files(spark, path, ranges={"k1": (10, 30)})
+    assert len(kept2) / total2 < len(kept1) / total1
+    out = read_table(spark, path, ranges={"k1": (10, 30)})
+    expect = read_table(spark, path, version=1).filter("k1 between 10 and 30")
+    assert out.count() == expect.count() > 0
