@@ -72,6 +72,23 @@ def test_global_topk_uses_heap_not_sort(spark):
     )
 
 
+def test_q31_shares_postings_exchange_without_cache(spark):
+    """The capped jaccard path must NOT persist (a cache whose plan
+    matches across invocations gets silently REUSED by CacheManager,
+    which falsified repeat timings — BENCHNOTES.md round 5) and must
+    instead share the postings groupBy shuffle between its two consumers
+    via ReusedExchange, with the dimension-sized size relation broadcast
+    into the scoring joins."""
+    from etl_job_applify_spark.queries.analytics import q31_ngram_jaccard
+
+    df = q31_ngram_jaccard(spark, SF_SMOKE)
+    df.collect()  # AQE final plan
+    text = explain_str(df, "simple")
+    assert "InMemoryRelation" not in text, "capped path persisted again"
+    assert "ReusedExchange" in text, "postings shuffle not shared"
+    assert "BroadcastHashJoin" in text, "size joins stopped broadcasting"
+
+
 def test_registry_wide_plan_audit(spark):
     """Every registered query must stay on the JVM fast path:
     - no row-at-a-time Python UDFs (BatchEvalPython) anywhere;
