@@ -5,6 +5,7 @@ from .jobs import (
     session_aggregates,
     run_to_memory,
     run_available_now_to_memory,
+    run_incremental_dedup_stream,
 )
 
 __all__ = [
@@ -14,4 +15,5 @@ __all__ = [
     "session_aggregates",
     "run_to_memory",
     "run_available_now_to_memory",
+    "run_incremental_dedup_stream",
 ]

@@ -405,3 +405,86 @@ def run_foreach_batch_upsert(
         q.processAllAvailable()
     finally:
         q.stop()
+
+
+def run_incremental_dedup_stream(
+    docs_stream: DataFrame,
+    state_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+    num_hashes: int = 64,
+    bands: int = 16,
+    max_bucket_size: int = 64,
+) -> None:
+    """The LLM pipeline's steady state as one streaming job: every
+    micro-batch of crawled documents is probed for near-dups against the
+    persisted MinHash index of ALL previously-seen documents
+    (dedup/incremental.py), then ingested — found pairs append to a
+    result table and the batch's band entries append to the index, so
+    batch N+1 dedups against batches 1..N with no recomputation of
+    history.
+
+    Layout under ``state_dir``: ``index/`` (band-partitioned bucket
+    entries), ``corpus/`` (ingested docs — the text store the exact
+    verification joins against; in production this is the lake table the
+    crawl lands in anyway), ``pairs/`` (detected near-dup pairs, with a
+    ``batch_id`` column for lineage).
+
+    Delivery contract: foreachBatch is at-least-once — a crash between
+    the pairs append and the index append can replay a batch, producing
+    duplicate pair rows (dedupable by (a, b)) and duplicate index
+    entries (harmless: probes dedup candidates). Exactly-once needs the
+    versioned/CAS protocol for both appends; documented trade, same API.
+    """
+    import os
+
+    from ..dedup import minhash_index_build, minhash_index_probe
+
+    index_dir = os.path.join(state_dir, "index")
+    corpus_dir = os.path.join(state_dir, "corpus")
+    pairs_dir = os.path.join(state_dir, "pairs")
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        batch = batch_df.select(id_col, text_col)
+        from pyspark import StorageLevel
+
+        batch = batch.persist(StorageLevel.MEMORY_AND_DISK)
+        try:
+            if os.path.exists(os.path.join(index_dir, "_index_meta.json")):
+                history = spark.read.parquet(corpus_dir)
+                pairs = minhash_index_probe(
+                    spark,
+                    index_dir,
+                    batch,
+                    history,
+                    id_col,
+                    text_col,
+                    threshold=threshold,
+                    max_bucket_size=max_bucket_size,
+                )
+                pairs.withColumn("batch_id", F.lit(epoch_id)).write.mode(
+                    "append"
+                ).parquet(pairs_dir)
+                mode = "append"
+            else:
+                mode = "overwrite"  # first batch founds the index
+            batch.write.mode("append").parquet(corpus_dir)
+            minhash_index_build(
+                batch,
+                index_dir,
+                id_col,
+                text_col,
+                num_hashes=num_hashes,
+                bands=bands,
+                mode=mode,
+            )
+        finally:
+            batch.unpersist()
+
+    q = docs_stream.writeStream.foreachBatch(sink).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()

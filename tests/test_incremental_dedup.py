@@ -110,3 +110,48 @@ def test_hot_template_bucket_capped(spark, tmp_path):
         spark, idx, probe, history, max_bucket_size=8
     )
     assert pairs.count() == 0
+
+
+def test_streaming_incremental_dedup_across_microbatches(spark, tmp_path):
+    """Two micro-batches through the streaming job: the second batch's
+    near-dup of a FIRST-batch document must be detected by probing the
+    index built from batch one — cross-batch dedup with no recompute."""
+    import time
+
+    from etl_job_applify_spark.streaming import run_incremental_dedup_stream
+
+    src = tmp_path / "src"
+    src.mkdir()
+    state = str(tmp_path / "state")
+    gen1 = _corpus(spark)
+    gen1.coalesce(1).write.parquet(str(src / "batch1.parquet"))
+    time.sleep(1.1)  # file-source ordering is mtime-based
+    _batch(spark).coalesce(1).write.parquet(str(src / "batch2.parquet"))
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src) + "/*.parquet")
+    )
+    run_incremental_dedup_stream(stream, state)
+
+    pairs = spark.read.parquet(state + "/pairs")
+    got = {(r["a"], r["b"]) for r in pairs.collect()}
+    assert (7, 100) in got and (23, 101) in got
+    # batch lineage recorded; first batch probed an empty index → no rows
+    assert {r["batch_id"] for r in pairs.collect()} == {1}
+    # corpus and index carry both generations for the NEXT batch
+    assert spark.read.parquet(state + "/corpus").count() == 53
+    probe2 = spark.createDataFrame(
+        [(200, _BASE + " unique filler sentence number 7 " * 2 + "x")],
+        "doc_id long, text string",
+    )
+    from etl_job_applify_spark.dedup import minhash_index_probe
+
+    found = minhash_index_probe(
+        spark,
+        state + "/index",
+        probe2,
+        spark.read.parquet(state + "/corpus"),
+    ).collect()
+    assert {(r["a"], r["b"]) for r in found} >= {(7, 200), (100, 200)}
