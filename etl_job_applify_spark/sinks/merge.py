@@ -30,6 +30,36 @@ from .upsert import upsert
 from .versioned import CommitConflict
 
 
+def _evolve(target: DataFrame, updates: DataFrame):
+    """Schema evolution à la Delta's mergeSchema: columns new in the
+    batch are added to the target as NULLs (existing rows never had the
+    value), and target columns the batch omits are NULL-filled on the
+    batch side. Column TYPES must still agree where names collide —
+    silent casts are a data-corruption vector, so a type change raises
+    instead of evolving."""
+    from pyspark.sql import functions as F
+
+    t_fields = {f.name: f.dataType for f in target.schema.fields}
+    u_fields = {f.name: f.dataType for f in updates.schema.fields}
+    for name in t_fields.keys() & u_fields.keys():
+        if t_fields[name] != u_fields[name]:
+            raise ValueError(
+                f"schema evolution cannot change column {name!r}: "
+                f"{t_fields[name].simpleString()} -> "
+                f"{u_fields[name].simpleString()}"
+            )
+    for name, dtype in u_fields.items():
+        if name not in t_fields:
+            target = target.withColumn(name, F.lit(None).cast(dtype))
+    for name, dtype in t_fields.items():
+        if name not in u_fields:
+            updates = updates.withColumn(name, F.lit(None).cast(dtype))
+    # column ORDER pinned to target-then-new so every commit's parquet
+    # schema is stable regardless of batch column order
+    cols = list(t_fields) + [n for n in u_fields if n not in t_fields]
+    return target.select(*cols), updates.select(*cols)
+
+
 def merge_into(
     spark: SparkSession,
     table_path: str,
@@ -39,6 +69,7 @@ def merge_into(
     version_col: str | None = None,
     max_retries: int = 5,
     backend=None,
+    schema_evolution: bool = False,
 ) -> int:
     """MERGE ``updates`` into the versioned table at ``table_path``.
 
@@ -54,6 +85,10 @@ def merge_into(
     ``backend``: the storage protocol to commit through
     (sinks/backends.py MergeBackend); defaults to the directory-
     versioned parquet backend.
+
+    ``schema_evolution``: batches may add NEW columns (existing rows get
+    NULLs) or omit existing ones (NULL-filled) — Delta's mergeSchema
+    semantics; a TYPE change for an existing column always raises.
 
     Returns the committed version number. Makes one initial attempt plus
     up to ``max_retries`` retries; raises ``CommitConflict`` once all
@@ -73,11 +108,26 @@ def merge_into(
             target = backend.read(spark, table_path)
         else:
             target = spark.createDataFrame([], updates.schema)
-        if when_matched == "update":
-            merged = upsert(target, updates, keys, version_col)
+        # re-derived each attempt from the ORIGINAL batch: a retry reads
+        # a fresh target whose schema may itself have evolved
+        if schema_evolution:
+            target, batch = _evolve(target, updates)
         else:
-            kept = target.join(updates.select(*keys), on=keys, how="left_anti")
-            inserts = updates.join(
+            drift = set(updates.columns) ^ set(target.columns)
+            if drift:
+                # silently dropping batch columns (or NULL-filling target
+                # ones) without opt-in is a data-corruption vector —
+                # Delta's MERGE refuses this without autoMerge too
+                raise ValueError(
+                    f"batch schema differs from table on {sorted(drift)}; "
+                    "pass schema_evolution=True to evolve"
+                )
+            batch = updates
+        if when_matched == "update":
+            merged = upsert(target, batch, keys, version_col)
+        else:
+            kept = target.join(batch.select(*keys), on=keys, how="left_anti")
+            inserts = batch.join(
                 target.select(*keys), on=keys, how="left_anti"
             )
             merged = kept.unionByName(inserts.select(*target.columns))

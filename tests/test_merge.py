@@ -186,3 +186,51 @@ def test_many_concurrent_merges_serialize_without_loss(spark, tmp_path):
     }
     assert rows == expect
     assert list_versions(spark, path) == list(range(1, 14))
+
+
+def test_merge_schema_evolution_adds_column(spark, tmp_path):
+    """A later batch carrying a NEW column evolves the table: existing
+    rows read NULL for it, and a batch omitting an existing column gets
+    NULL-filled — Delta mergeSchema semantics on the directory backend."""
+    path = str(tmp_path / "t")
+    merge_into(
+        spark, path, spark.createDataFrame([(1, "a"), (2, "b")], SCHEMA),
+        keys=["k"],
+    )
+    evolved = spark.createDataFrame(
+        [(2, "B", 9.5), (3, "c", 1.0)], "k int, v string, score double"
+    )
+    merge_into(spark, path, evolved, keys=["k"], schema_evolution=True)
+    got = {
+        (r["k"], r["v"], r["score"])
+        for r in read_table(spark, path).collect()
+    }
+    assert got == {(1, "a", None), (2, "B", 9.5), (3, "c", 1.0)}
+    # a batch OMITTING a column is also legal under evolution
+    merge_into(
+        spark, path, spark.createDataFrame([(4, "d")], SCHEMA),
+        keys=["k"], schema_evolution=True,
+    )
+    rows = {r["k"]: r["score"] for r in read_table(spark, path).collect()}
+    assert rows[4] is None and rows[2] == 9.5
+
+
+def test_merge_schema_evolution_rejects_type_change(spark, tmp_path):
+    path = str(tmp_path / "t")
+    merge_into(
+        spark, path, spark.createDataFrame([(1, "a")], SCHEMA), keys=["k"]
+    )
+    bad = spark.createDataFrame([(1, 5)], "k int, v int")
+    with pytest.raises(ValueError, match="cannot change column"):
+        merge_into(spark, path, bad, keys=["k"], schema_evolution=True)
+    # without the flag, schema drift is a hard error too (no silent
+    # column drops): the new column is refused by the strict union
+    extra = spark.createDataFrame(
+        [(9, "z", 1.0)], "k int, v string, score double"
+    )
+    with pytest.raises(Exception):
+        merge_into(spark, path, extra, keys=["k"])
+    # table unchanged by the failed merges
+    assert {(r["k"], r["v"]) for r in read_table(spark, path).collect()} == {
+        (1, "a")
+    }
