@@ -90,7 +90,74 @@ class _ShardPartition(InputPartition):
         self.path = path
 
 
+def _filter_predicate(filters):
+    """Compile pushed filters to a Python predicate over a parsed record.
+
+    SQL comparison semantics: NULL operands fail every predicate except
+    IsNull; incomparable types keep the row (Spark re-applies every
+    filter post-scan, so pre-filtering here is purely a transfer
+    optimization and can never change results)."""
+    from pyspark.sql.datasource import (
+        EqualTo,
+        GreaterThan,
+        GreaterThanOrEqual,
+        In,
+        IsNotNull,
+        IsNull,
+        LessThan,
+        LessThanOrEqual,
+        StringStartsWith,
+    )
+
+    def one(flt, value):
+        if isinstance(flt, IsNull):
+            return value is None
+        if isinstance(flt, IsNotNull):
+            return value is not None
+        if value is None:
+            return False
+        try:
+            if isinstance(flt, EqualTo):
+                return value == flt.value
+            if isinstance(flt, GreaterThan):
+                return value > flt.value
+            if isinstance(flt, GreaterThanOrEqual):
+                return value >= flt.value
+            if isinstance(flt, LessThan):
+                return value < flt.value
+            if isinstance(flt, LessThanOrEqual):
+                return value <= flt.value
+            if isinstance(flt, In):
+                return value in flt.values
+            if isinstance(flt, StringStartsWith):
+                return isinstance(value, str) and value.startswith(flt.value)
+        except TypeError:
+            return True  # incomparable: keep, Spark decides
+        return True  # unrecognized: keep
+
+    simple = [f for f in filters if len(getattr(f, "attribute", ())) == 1]
+
+    def predicate(rec: dict) -> bool:
+        return all(one(f, rec.get(f.attribute[0])) for f in simple)
+
+    return predicate if simple else None
+
+
 class _JsonlReader(DataSourceReader):
+    """Shard-per-partition reader with Spark 4.1 filter pushdown.
+
+    ``pushFilters`` records every conjunct and RETURNS them all, so
+    Spark re-applies them after the scan — the pushdown is a pure
+    optimization with engine-guaranteed correctness. What it buys:
+
+    - filters on the ``_shard`` provenance column prune whole FILES in
+      ``partitions()`` (the partition-pruning analogue — a shard never
+      opened, not just rows dropped);
+    - data-column conjuncts are evaluated during parsing, so
+      non-matching rows never cross the Python→Arrow→JVM boundary —
+      the boundary being exactly what makes a Python source slow.
+    """
+
     def __init__(self, schema: StructType, options: dict) -> None:
         self.schema = schema
         self.path = options.get("path")
@@ -98,17 +165,58 @@ class _JsonlReader(DataSourceReader):
             raise ValueError("jsonl_shards requires a 'path' option")
         self.with_shard = _opt_bool(options, "shardcolumn")
         self.permissive = _opt_bool(options, "permissive")
+        self.pushed: list = []
+
+    def pushFilters(self, filters):
+        self.pushed = list(filters)
+        # hand every filter back: Spark re-checks post-scan, this layer
+        # only prunes early
+        return filters
+
+    def _shard_admits(self, name: str) -> bool:
+        from pyspark.sql.datasource import EqualTo, In, StringStartsWith
+
+        for f in self.pushed:
+            if getattr(f, "attribute", None) != ("_shard",):
+                continue
+            if isinstance(f, EqualTo) and name != f.value:
+                return False
+            if isinstance(f, In) and name not in f.values:
+                return False
+            if isinstance(f, StringStartsWith) and not name.startswith(
+                f.value
+            ):
+                return False
+        return True
 
     def partitions(self):
         files = _list_shards(self.path)
         if not files:
             raise FileNotFoundError(f"no .jsonl shards under {self.path}")
+        if self.with_shard:
+            files = [
+                f for f in files if self._shard_admits(os.path.basename(f))
+            ]
         return [_ShardPartition(f) for f in files]
 
     def read(self, partition: _ShardPartition):
-        yield from _parse_shard(
+        rows = _parse_shard(
             partition.path, self.schema, self.with_shard, self.permissive
         )
+        pred = _filter_predicate(
+            [f for f in self.pushed if getattr(f, "attribute", None) != ("_shard",)]
+        )
+        if pred is None:
+            yield from rows
+            return
+        fields = [
+            f.name
+            for f in self.schema.fields
+            if not (self.with_shard and f.name == "_shard")
+        ]
+        for row in rows:
+            if pred(dict(zip(fields, row))):
+                yield row
 
 
 class _JsonlStreamReader(DataSourceStreamReader):
@@ -204,4 +312,9 @@ class JsonlShardDataSource(DataSource):
 
 
 def register(spark) -> None:
+    # Spark 4.1 gates Python-source filter pushdown behind a conf (off
+    # by default) and ERRORS on a reader that implements pushFilters
+    # while it's disabled — enable it with the source registration so
+    # the two can't drift apart (runtime-settable, session-scoped).
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(JsonlShardDataSource)

@@ -168,3 +168,55 @@ def test_stream_composes_with_windowed_agg(spark, tmp_path):
         q.stop()
     assert ("2024-01-01 10:00:00", "a", 2) in got
     assert ("2024-01-01 10:01:00", "b", 1) in got
+
+
+# --- Spark 4.1 filter pushdown into the Python source --------------------
+
+
+def test_pushdown_prunes_shard_partitions(spark, shards):
+    """An EqualTo on _shard must prune whole FILES before any read; the
+    reader's partitions() is the observable."""
+    from pyspark.sql.datasource import EqualTo
+    from pyspark.sql.types import StructType
+
+    from etl_job_applify_spark.sources.pysource import _JsonlReader
+
+    schema = StructType.fromDDL("id int, name string, _shard string")
+    r = _JsonlReader(schema, {"path": str(shards), "shardcolumn": "true"})
+    assert len(r.partitions()) == 2
+    kept = r.pushFilters([EqualTo(("_shard",), "b.jsonl")])
+    assert list(kept)  # every filter handed back for Spark to re-check
+    parts = r.partitions()
+    assert len(parts) == 1 and parts[0].path.endswith("b.jsonl")
+
+
+def test_pushdown_prefilters_rows_in_read(spark, shards):
+    from pyspark.sql.datasource import GreaterThan
+    from pyspark.sql.types import StructType
+
+    from etl_job_applify_spark.sources.pysource import _JsonlReader
+
+    schema = StructType.fromDDL("id int, name string")
+    r = _JsonlReader(schema, {"path": str(shards)})
+    r.pushFilters([GreaterThan(("id",), 2)])
+    rows = [row for p in r.partitions() for row in r.read(p)]
+    assert {row[0] for row in rows} == {3, 4}
+
+
+def test_pushdown_end_to_end_results_and_null_semantics(spark, shards):
+    """Through the engine: filters reach the source AND Spark re-applies
+    them, so results match SQL semantics exactly (NULL name fails the
+    predicate; incomparable pre-filter cases are Spark's to settle)."""
+    register(spark)
+    df = (
+        spark.read.format("jsonl_shards")
+        .schema("id int, name string, _shard string")
+        .option("shardcolumn", "true")
+        .load(str(shards))
+    )
+    got = {
+        r["id"]
+        for r in df.filter("_shard = 'a.jsonl' AND name >= 'x'").collect()
+    }
+    assert got == {1, 2}
+    assert df.filter("name = 'nope'").count() == 0
