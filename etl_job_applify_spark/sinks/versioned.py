@@ -142,7 +142,23 @@ def commit_version(
     against ``_delta_log/N.json``); object stores without atomic rename
     (S3) need the real table format — documented trade, same API.
     """
-    spark = df.sparkSession
+
+    def populate(staging: str) -> None:
+        df.write.mode("overwrite").parquet(staging)
+
+    return commit_staged(df.sparkSession, table_path, base_version, populate)
+
+
+def commit_staged(
+    spark: SparkSession, table_path: str, base_version: int, populate
+) -> int:
+    """The CAS commit with caller-controlled staging content:
+    ``populate(staging_path)`` fills the staging directory (a parquet
+    write, hard-linked carryover files, anything that leaves a complete
+    readable snapshot). Stats are harvested after population, so the
+    rename publishes data and skipping metadata atomically together.
+    Used by ``commit_version`` (plain write) and the copy-on-write MERGE
+    (sinks/merge.py), which populates rewritten files + links."""
     jvm = spark._jvm
     fs, root, names = _snapshots(spark, table_path)
     latest = int(names[-1][len(_PREFIX):]) if names else 0
@@ -156,9 +172,7 @@ def commit_version(
     tag = uuid.uuid4().hex
     staging_name = f".staging_{tag}"
     staging = f"{table_path}/{staging_name}"
-    df.write.mode("overwrite").parquet(staging)
-    # stats sidecar is computed on staging, so the rename publishes data
-    # and skipping metadata atomically together
+    populate(staging)
     from . import stats as _stats
 
     _stats.write_stats(staging)
