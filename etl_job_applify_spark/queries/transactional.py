@@ -153,11 +153,93 @@ WHERE o_custkey BETWEEN 100 AND 500
 """
 
 
+# --- q145: copy-on-write MERGE, oracle-checked end to end ----------------
+# Seeds a key-clustered versioned table, cow-merges a narrow-key batch
+# (+25% price for every 4th order in the bottom tenth of the key range
+# — nonempty at every SF, and the band shape leaves upper-range files
+# provably untouched), and summarizes the final state.
+# The oracle computes the same final state relationally, so the
+# file-pruning invariant — carried-over files contain NO batch key — is
+# value-checked through the storage protocol: a pruning bug that
+# carries a should-have-been-rewritten file (stale row survives) or
+# drops one breaks the hashes. The `linked` column additionally pins
+# that the merge actually carried files by hard link rather than
+# silently falling back to a full rewrite.
+
+
+def q145_cow_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from ..sinks import merge_into, read_table, write_version
+
+    orders = tbl(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    hi = orders.agg(F.max("o_orderkey")).first()[0]
+    path = tempfile.mkdtemp(prefix="q145_cow_")
+    try:
+        write_version(
+            orders, path, cluster_by=(("o_orderkey", 0, hi),), num_files=16
+        )
+        batch = orders.filter(
+            (F.col("o_orderkey") % 4 == 0)
+            & (F.col("o_orderkey") <= F.lit(hi / 10.0))
+        ).withColumn("o_totalprice", F.col("o_totalprice") * 1.25)
+        merge_into(spark, path, batch, keys=["o_orderkey"], cow=True)
+
+        def inodes(v):
+            return {
+                os.path.basename(p): os.stat(p).st_ino
+                for p in glob.glob(f"{path}/snap_0000000{v}/part-*.parquet")
+            }
+
+        old, new = inodes(1), inodes(2)
+        linked = any(old.get(n) == i for n, i in new.items())
+        agg = (
+            read_table(spark, path)
+            .groupBy("o_orderstatus")
+            .agg(
+                F.count("*").cast("bigint").alias("n"),
+                dsum("o_totalprice", "total"),
+            )
+            .withColumn("linked", F.lit(linked))
+            .orderBy("o_orderstatus")
+        )
+        rows = agg.collect()
+        schema = agg.schema
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)
+
+
+_Q145_SQL = f"""
+WITH merged AS (
+  SELECT o_orderkey, o_orderstatus,
+         CASE WHEN o_orderkey % 4 = 0
+               AND o_orderkey <= (SELECT MAX(o_orderkey) FROM orders) / 10.0
+              THEN o_totalprice * 1.25
+              ELSE o_totalprice END AS o_totalprice
+  FROM orders
+)
+SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
+       {DSUM('o_totalprice')} AS total,
+       true AS linked
+FROM merged
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
+
 QUERIES = {
     "q139_merge_transactional": q139_merge_transactional,
     "q144_skipping_read": q144_skipping_read,
+    "q145_cow_merge": q145_cow_merge,
 }
 ORACLE = {
     "q139_merge_transactional": _Q139_SQL,
     "q144_skipping_read": _Q144_SQL,
+    "q145_cow_merge": _Q145_SQL,
 }
