@@ -4,6 +4,8 @@ from .minhash import minhash_lsh_pairs
 from .simhash import simhash_fingerprints, simhash_near_pairs
 from .embedding import embedding_near_dup_pairs
 from .incremental import minhash_index_build, minhash_index_probe
+from .semantic import assign_clusters, semantic_dedup_kept
+from .spans import shared_span_pairs
 
 __all__ = [
     "with_shingles",
@@ -15,4 +17,7 @@ __all__ = [
     "embedding_near_dup_pairs",
     "minhash_index_build",
     "minhash_index_probe",
+    "assign_clusters",
+    "semantic_dedup_kept",
+    "shared_span_pairs",
 ]

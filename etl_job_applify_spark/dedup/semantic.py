@@ -1,0 +1,115 @@
+"""Semantic deduplication over an embedding column (SemDeDup-style).
+
+Abbas et al., "SemDeDup: Data-efficient learning at web-scale through
+semantic deduplication" (arXiv:2303.09540): cluster document embeddings,
+then inside each cluster drop all but one member of every high-cosine
+group. Unlike MinHash/SimHash (lexical overlap) this removes *semantic*
+duplicates — paraphrases, translations, templated rewrites — that share
+almost no surface n-grams.
+
+Spark-first design:
+
+- **Cluster assignment is a broadcast argmax**, not an iterative k-means:
+  each vector joins the K anchor vectors (dimension-sized → broadcast),
+  computes cosine via the codegen'd ``zip_with``/``aggregate`` fold, and
+  keeps the argmax row. One narrow pass over the corpus, no shuffle.
+  Anchors here are the K lowest-id vectors so the whole pipeline is
+  deterministic and SQL-oracle-able; production swaps in k-means
+  centroids (similarity/ivf.py trains them) without touching the rest of
+  the pipeline — assignment, pairing and pruning are centroid-agnostic.
+- **Pairing shuffles once on the cluster id.** Within-cluster pairs are
+  quadratic in cluster size, which is exactly the SemDeDup contract: K is
+  chosen so clusters average ~1k docs (the paper uses 50k clusters for
+  LAION-440M), making the per-cluster pair block trivially small next to
+  the corpus scan. At 100 TB, scale ``num_anchors`` with the corpus, not
+  the machine.
+- **Keep-lowest-id pruning** mirrors the engine's exact-dedup policy
+  (transform/dedup.py): a vector is removed iff some same-cluster vector
+  with a smaller id sits within ``threshold`` cosine. Deterministic, no
+  connected-components iteration (the paper's "keep one per group" is
+  order-agnostic; lowest-id is the reproducible instance of it).
+
+Reference parity: the reference engine has no semantic dedup (its dedup
+is exact drop-duplicates, services/transformer.py:21-24); this is part of
+the north-star LLM-pipeline surface (SURVEY §2b).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.vectors import cosine_double_expr, to_double_expr, with_norm
+
+
+def assign_clusters(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_anchors: int = 8,
+) -> DataFrame:
+    """(id, vec, norm, cluster): nearest-anchor assignment by cosine.
+
+    Anchors are the ``num_anchors`` lowest-id vectors (deterministic;
+    swap for trained centroids in production). The anchor relation is
+    K rows → broadcast; the argmax is a row_number window partitioned by
+    the vector id, which AQE keeps local to the broadcast-join output.
+    """
+    base = with_norm(emb.select(id_col, vec_col), vec_col).withColumn(
+        vec_col, to_double_expr(vec_col)
+    )
+    anchors = (
+        base.orderBy(id_col)
+        .limit(num_anchors)
+        .select(
+            F.col(id_col).alias("_aid"),
+            F.col(vec_col).alias("_av"),
+            F.col("norm").alias("_an"),
+        )
+    )
+    scored = base.join(F.broadcast(anchors)).withColumn(
+        "_acos", cosine_double_expr(vec_col, "_av", "norm", "_an")
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("_acos"), F.col("_aid"))
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(id_col, vec_col, "norm", F.col("_aid").alias("cluster"))
+    )
+
+
+def semantic_dedup_kept(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_anchors: int = 8,
+    threshold: float = 0.45,
+) -> DataFrame:
+    """(cluster, id) of the vectors that SURVIVE semantic dedup.
+
+    A vector is dropped iff a same-cluster vector with a smaller id has
+    cosine >= threshold to it. One shuffle (on ``cluster``) beyond the
+    assignment pass; the pair block is bounded by the cluster size the
+    anchor count was chosen to produce.
+    """
+    assigned = assign_clusters(emb, id_col, vec_col, num_anchors)
+    a = assigned.select(
+        "cluster",
+        F.col(id_col).alias("_a"),
+        F.col(vec_col).alias("_va"),
+        F.col("norm").alias("_na"),
+    )
+    b = assigned.select(
+        "cluster",
+        F.col(id_col).alias("_b"),
+        F.col(vec_col).alias("_vb"),
+        F.col("norm").alias("_nb"),
+    )
+    removed = (
+        a.join(b, "cluster")
+        .filter(F.col("_a") < F.col("_b"))
+        .filter(cosine_double_expr("_va", "_vb", "_na", "_nb") >= threshold)
+        .select(F.col("_b").alias(id_col))
+        .distinct()
+    )
+    return assigned.join(removed, id_col, "left_anti").select("cluster", id_col)

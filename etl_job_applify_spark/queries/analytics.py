@@ -17,6 +17,8 @@ from ..dedup import (
     embedding_near_dup_pairs,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
+    semantic_dedup_kept,
+    shared_span_pairs,
     simhash_near_pairs,
 )
 from ..multimodal import attach_fake_media, media_char_features
@@ -210,6 +212,104 @@ WHERE v1.vec_id < v2.vec_id
 """
 
 
+# --- q146: semantic dedup (SemDeDup-style, anchor-clustered) -------------
+# Cluster by broadcast-argmax cosine to K anchor vectors, then keep the
+# lowest id of every within-cluster high-cosine group (dedup/semantic.py
+# for the scale rationale). Fully oracled: the anchor choice is
+# deterministic (K lowest ids), the cosine fold is the shared left-fold
+# idiom, so DuckDB reproduces assignment, pairing and pruning exactly.
+
+_Q146_ANCHORS = 8
+_Q146_THRESHOLD = 0.45
+
+
+def q146_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = tbl(spark, sf_dir, "embeddings")
+    return semantic_dedup_kept(
+        emb, num_anchors=_Q146_ANCHORS, threshold=_Q146_THRESHOLD
+    )
+
+
+_Q146_SQL = f"""
+WITH base AS (SELECT vec_id, embedding FROM embeddings),
+anchors AS (
+  SELECT vec_id AS aid, embedding AS av FROM base ORDER BY vec_id LIMIT {_Q146_ANCHORS}
+),
+assign AS (
+  SELECT vec_id, aid AS cluster FROM (
+    SELECT b.vec_id, a.aid,
+           ROW_NUMBER() OVER (PARTITION BY b.vec_id
+                              ORDER BY {_cos_sql('b.embedding', 'a.av')} DESC,
+                                       a.aid) AS rn
+    FROM base b, anchors a
+  ) WHERE rn = 1
+),
+removed AS (
+  SELECT DISTINCT y.vec_id AS vec_id
+  FROM assign ax
+  JOIN assign ay ON ax.cluster = ay.cluster AND ax.vec_id < ay.vec_id
+  JOIN base x ON x.vec_id = ax.vec_id
+  JOIN base y ON y.vec_id = ay.vec_id
+  WHERE {_cos_sql('x.embedding', 'y.embedding')} >= {_Q146_THRESHOLD}
+)
+SELECT s.cluster, s.vec_id
+FROM assign s
+WHERE s.vec_id NOT IN (SELECT vec_id FROM removed)
+"""
+
+
+# --- q147: exact-substring span dedup (Lee et al. style) -----------------
+# Docs sharing verbatim 6-token runs via a sliding-window inverted index
+# (dedup/spans.py — suffix-array semantics, distributed shape). Oracle
+# mirrors the window generation with list slicing and the cap as HAVING;
+# Spark groups on xxhash64(span), DuckDB on the span string — identical
+# groups, 8-byte shuffle keys on the Spark side.
+
+_Q147_N = 6
+_Q147_MAX_DF = 50
+_Q147_MIN_SHARED = 3
+
+
+def q147_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = tbl(spark, sf_dir, "documents")
+    return shared_span_pairs(
+        docs,
+        n=_Q147_N,
+        max_doc_freq=_Q147_MAX_DF,
+        min_shared=_Q147_MIN_SHARED,
+    )
+
+
+_Q147_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+),
+spans AS (
+  SELECT DISTINCT doc_id, array_to_string(t[i:i+{_Q147_N - 1}], ' ') AS span
+  FROM toks, (SELECT unnest(range(1, 100000)) AS i) ix
+  WHERE i + {_Q147_N - 1} <= len(t)
+),
+capped AS (
+  SELECT span, COUNT(*) AS df FROM spans
+  GROUP BY span HAVING COUNT(*) <= {_Q147_MAX_DF}
+),
+cspans AS (SELECT s.doc_id, s.span FROM spans s JOIN capped c USING (span)),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM cspans GROUP BY doc_id),
+shared AS (
+  SELECT s1.doc_id AS a, s2.doc_id AS b, COUNT(*) AS shared_spans
+  FROM cspans s1 JOIN cspans s2
+    ON s1.span = s2.span AND s1.doc_id < s2.doc_id
+  GROUP BY 1, 2 HAVING COUNT(*) >= {_Q147_MIN_SHARED}
+)
+SELECT a, b, shared_spans,
+       shared_spans / CAST(za.sz AS DOUBLE) AS containment_a,
+       shared_spans / CAST(zb.sz AS DOUBLE) AS containment_b
+FROM shared
+JOIN sizes za ON za.doc_id = a
+JOIN sizes zb ON zb.doc_id = b
+"""
+
+
 # --- q37: exact quantiles -------------------------------------------------
 
 def q37_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -282,6 +382,8 @@ QUERIES = {
     "q35_ann_lsh": q35_ann_lsh,
     "q36_embedding_near_dup": q36_embedding_near_dup,
     "q37_quantiles": q37_quantiles,
+    "q146_semantic_dedup": q146_semantic_dedup,
+    "q147_span_dedup": q147_span_dedup,
     "q38_approx_distinct": q38_approx_distinct,
     "q39_multimodal_features": q39_multimodal_features,
 }
@@ -292,6 +394,8 @@ ORACLE = {
     "q34_cosine_topk": _Q34_SQL,
     "q36_embedding_near_dup": _Q36_SQL,
     "q37_quantiles": _Q37_SQL,
+    "q146_semantic_dedup": _Q146_SQL,
+    "q147_span_dedup": _Q147_SQL,
     "q39_multimodal_features": _Q39_SQL,
 }
 

@@ -110,3 +110,80 @@ def test_min_shingle_fingerprint_null_for_short_docs(spark):
 def test_simhash_exact_match_radius_zero(spark):
     out = simhash_near_pairs(_docs(spark), n=2, max_hamming=0).collect()
     assert all(r["hamming"] == 0 for r in out)  # exact-fingerprint dups only
+
+
+# --- semantic dedup (SemDeDup-style, dedup/semantic.py) -------------------
+
+def _emb(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.0, 1.0, 0.0]),
+        (2, [0.98, 0.02, 0.0]),   # near-dup of anchor 0
+        (3, [0.0, 0.97, 0.03]),   # near-dup of anchor 1
+        (4, [0.0, 0.0, 1.0]),     # own direction, no dup
+        (5, [0.97, 0.03, 0.0]),   # second near-dup of anchor 0
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_semantic_dedup_assigns_nearest_anchor(spark):
+    from etl_job_applify_spark.dedup import assign_clusters
+
+    got = {
+        r["vec_id"]: r["cluster"]
+        for r in assign_clusters(_emb(spark), num_anchors=2).collect()
+    }
+    assert got[2] == 0 and got[5] == 0 and got[3] == 1
+    # vec 4 is orthogonal to both anchors (cos 0 vs both) → tie broken
+    # by lowest anchor id
+    assert got[4] == 0
+
+
+def test_semantic_dedup_keeps_lowest_id_per_group(spark):
+    from etl_job_applify_spark.dedup import semantic_dedup_kept
+
+    kept = {
+        r["vec_id"]
+        for r in semantic_dedup_kept(
+            _emb(spark), num_anchors=2, threshold=0.9
+        ).collect()
+    }
+    # 2 and 5 collapse into anchor 0 (cos ≈ .98); 3 collapses into anchor 1
+    assert kept == {0, 1, 4}
+
+
+def test_semantic_dedup_high_threshold_keeps_all(spark):
+    from etl_job_applify_spark.dedup import semantic_dedup_kept
+
+    kept = semantic_dedup_kept(_emb(spark), num_anchors=2, threshold=1.01)
+    assert kept.count() == 6
+
+
+# --- exact span dedup (dedup/spans.py) ------------------------------------
+
+def test_shared_span_pairs_finds_verbatim_run(spark):
+    from etl_job_applify_spark.dedup import shared_span_pairs
+
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta unrelated tail words"),
+        (2, "prefix words alpha beta gamma delta epsilon zeta other"),
+        (3, "completely different content with no overlap at all here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = shared_span_pairs(df, n=6, min_shared=1).collect()
+    # docs 1/2 share exactly one 6-token run: "alpha beta gamma delta
+    # epsilon zeta"
+    assert [(r["a"], r["b"], r["shared_spans"]) for r in out] == [(1, 2, 1)]
+
+
+def test_shared_span_pairs_cap_drops_boilerplate(spark):
+    from etl_job_applify_spark.dedup import shared_span_pairs
+
+    boiler = "same header line repeated across every doc"
+    rows = [(i, f"{boiler} unique{i} a b c d e") for i in range(5)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    # the header windows occur in all 5 docs; cap at 4 removes them and
+    # nothing else is shared → no pairs survive
+    assert shared_span_pairs(df, n=6, max_doc_freq=4).count() == 0
+    # uncapped, the header makes every pair a match (10 pairs)
+    assert shared_span_pairs(df, n=6, max_doc_freq=5).count() == 10

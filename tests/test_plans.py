@@ -81,6 +81,9 @@ def test_q31_shares_postings_exchange_without_cache(spark):
     into the scoring joins."""
     from etl_job_applify_spark.queries.analytics import q31_ngram_jaccard
 
+    # other tests may legitimately cache frames whose plans overlap q31's
+    # scan; CacheManager would substitute them and trip the no-cache assert
+    spark.catalog.clearCache()
     df = q31_ngram_jaccard(spark, SF_SMOKE)
     df.collect()  # AQE final plan
     text = explain_str(df, "simple")
@@ -118,9 +121,13 @@ def test_registry_wide_plan_audit(spark):
     UDTF_OK = {"q101_udtf_chunks"}
     # q78/q87 embed the gated brute-force ground truth to measure recall;
     # q99/q102 cross-join two single-row aggregate branches (1×1 BNLJ)
+    # q146: cluster assignment is a K-row broadcast nested loop (every
+    # vector scores all K anchors — that IS the operator, K is
+    # dimension-sized by construction; see dedup/semantic.py)
     CARTESIAN_OK = {"q34_cosine_topk", "q36_embedding_near_dup",
                     "q78_ann_recall", "q87_ivf_recall",
-                    "q99_sketch_rollup", "q102_theta_ops"}
+                    "q99_sketch_rollup", "q102_theta_ops",
+                    "q146_semantic_dedup"}
     offenders = []
     for name, fn in registry.queries().items():
         text = explain_str(fn(spark, SF_SMOKE), "simple")
