@@ -3,6 +3,7 @@ from .media import (
     attach_fake_media,
     attach_fake_ppm,
     attach_fake_wav,
+    audio_frame_features,
     audio_sample_features,
     media_byte_features,
     media_char_features,
@@ -17,6 +18,7 @@ __all__ = [
     "attach_fake_media",
     "attach_fake_ppm",
     "attach_fake_wav",
+    "audio_frame_features",
     "audio_sample_features",
     "media_byte_features",
     "media_char_features",

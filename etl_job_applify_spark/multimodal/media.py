@@ -337,6 +337,50 @@ def audio_sample_features(decoded: DataFrame) -> DataFrame:
     return decoded.mapInPandas(batches, schema=_SAMPLE_FEATURES_SCHEMA)
 
 
+_FRAME_FEATURES_SCHEMA = (
+    "doc_id bigint, frame_idx int, energy bigint, zero_crossings bigint"
+)
+
+
+def audio_frame_features(
+    decoded: DataFrame, frame_len: int = 8, hop: int = 4
+) -> DataFrame:
+    """Windowed analysis frames over decoded PCM: the audio-ML front-end
+    shape (energy + zero-crossing rate per sliding window) with
+    integer-exact math so the fixture's SQL oracle recomputes every value.
+
+    Channels are downmixed by SUMMING (not averaging) so the mono signal
+    stays integral; energy is the sum of squared mono samples and
+    zero_crossings counts strict sign flips between adjacent samples
+    inside the window. Runs in the same Arrow batches as the decode —
+    payloads never leave the executors, output is one narrow row per
+    analysis window (the explode happens Python-side, before Arrow
+    serialization, so only the small frame rows cross into the JVM).
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {"doc_id": [], "frame_idx": [], "energy": [],
+                   "zero_crossings": []}
+            for doc_id, ch, fr, pcm in zip(
+                pdf["doc_id"], pdf["n_channels"], pdf["n_frames"], pdf["pcm"]
+            ):
+                s = np.frombuffer(bytes(pcm), dtype="<i2").astype(np.int64)
+                mono = s.reshape(int(fr), int(ch)).sum(axis=1)
+                n_windows = (len(mono) - frame_len) // hop + 1
+                for j in range(max(n_windows, 0)):
+                    seg = mono[j * hop : j * hop + frame_len]
+                    out["doc_id"].append(doc_id)
+                    out["frame_idx"].append(j)
+                    out["energy"].append(int((seg * seg).sum()))
+                    out["zero_crossings"].append(
+                        int(((seg[:-1] * seg[1:]) < 0).sum())
+                    )
+            yield pd.DataFrame(out)
+
+    return decoded.mapInPandas(batches, schema=_FRAME_FEATURES_SCHEMA)
+
+
 _CHAR_FEATURES_SCHEMA = "doc_id bigint, n_chars int, first_cp int, cp_checksum bigint"
 
 

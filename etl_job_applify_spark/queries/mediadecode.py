@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 from ..multimodal import (
     attach_fake_ppm,
     attach_fake_wav,
+    audio_frame_features,
     audio_sample_features,
     decode_audio_batch,
     decode_image_batch,
@@ -161,14 +162,64 @@ FROM params
 """
 
 
+# --- q148: audio analysis frames (windowed energy + zero crossings) -------
+# The audio-ML front-end over q143's decode: sliding 8-sample windows with
+# hop 4 over the channel-summed mono signal. All-integer math, so the
+# oracle recomputes every window's energy and sign-flip count purely from
+# doc_id arithmetic — pinning downmix interleave order, window placement
+# and hop against the independent stdlib decode.
+
+_Q148_W = 8
+_Q148_H = 4
+
+
+def q148_audio_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = tbl(spark, sf_dir, "documents")
+    decoded = decode_audio_batch(attach_fake_wav(docs))
+    return audio_frame_features(decoded, frame_len=_Q148_W, hop=_Q148_H)
+
+
+_Q148_SQL = f"""
+WITH params AS (
+  SELECT doc_id, 1 + doc_id % 2 AS ch, 20 + doc_id % 11 AS fr
+  FROM documents
+),
+mono AS (
+  SELECT doc_id, fr,
+         list_transform(range(0, fr), i ->
+           list_sum(list_transform(range(0, ch),
+             c -> (doc_id * 13 + (i * ch + c) * 17) % 65536 - 32768))) AS m
+  FROM params
+),
+frames AS (
+  SELECT doc_id, m,
+         unnest(range(0, (fr - {_Q148_W}) // {_Q148_H} + 1)) AS j
+  FROM mono
+)
+SELECT doc_id,
+       CAST(j AS INT) AS frame_idx,
+       CAST(list_sum(list_transform(range(0, {_Q148_W}),
+             k -> m[j * {_Q148_H} + k + 1] * m[j * {_Q148_H} + k + 1]))
+            AS BIGINT) AS energy,
+       CAST(list_sum(list_transform(range(0, {_Q148_W} - 1),
+             k -> CASE WHEN m[j * {_Q148_H} + k + 1]
+                            * m[j * {_Q148_H} + k + 2] < 0
+                       THEN 1 ELSE 0 END))
+            AS BIGINT) AS zero_crossings
+FROM frames
+"""
+
+
 QUERIES = {
     "q137_ppm_decode": q137_ppm_decode,
     "q138_ppm_resize": q138_ppm_resize,
     "q143_wav_decode": q143_wav_decode,
+    "q148_audio_frames": q148_audio_frames,
 }
 
 ORACLE = {
     "q137_ppm_decode": _Q137_SQL,
     "q138_ppm_resize": _Q138_SQL,
     "q143_wav_decode": _Q143_SQL,
+    "q148_audio_frames": _Q148_SQL,
 }

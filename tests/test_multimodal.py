@@ -285,3 +285,50 @@ def test_wav_decode_pipeline_matches_fixture(spark):
         assert r["sample_checksum"] == int(
             (samples.astype("int64") + 32768).sum() % 65536
         )
+
+
+def test_audio_frame_features_hand_computed(spark):
+    """Frames over a hand-built stereo WAV: downmix is the channel SUM,
+    windows are [j*hop, j*hop+frame_len), energy and sign flips match a
+    by-hand trace."""
+    import numpy as np
+
+    from etl_job_applify_spark.multimodal import (
+        audio_frame_features,
+        decode_audio_batch,
+    )
+    from etl_job_applify_spark.multimodal.wavpcm import encode_wav
+
+    # stereo, 6 frames; mono sums: [3, -3, 3, -3, 3, -3]
+    interleaved = np.array(
+        [1, 2, -1, -2, 1, 2, -1, -2, 1, 2, -1, -2], dtype=np.int16
+    )
+    payload = encode_wav(2, interleaved)
+    media = spark.createDataFrame(
+        [(7, bytearray(payload))], "doc_id long, media binary"
+    )
+    out = audio_frame_features(
+        decode_audio_batch(media), frame_len=4, hop=2
+    ).collect()
+    # windows: idx 0 → mono[0:4], idx 1 → mono[2:6]; energy 4*9=36 each,
+    # 3 adjacent sign flips each
+    assert [(r["frame_idx"], r["energy"], r["zero_crossings"]) for r in out] \
+        == [(0, 36, 3), (1, 36, 3)]
+
+
+def test_audio_frame_features_short_signal_yields_no_frames(spark):
+    import numpy as np
+
+    from etl_job_applify_spark.multimodal import (
+        audio_frame_features,
+        decode_audio_batch,
+    )
+    from etl_job_applify_spark.multimodal.wavpcm import encode_wav
+
+    payload = encode_wav(1, np.array([5, -5, 5], dtype=np.int16))
+    media = spark.createDataFrame(
+        [(1, bytearray(payload))], "doc_id long, media binary"
+    )
+    assert audio_frame_features(
+        decode_audio_batch(media), frame_len=8, hop=4
+    ).count() == 0

@@ -114,6 +114,7 @@ def test_registry_wide_plan_audit(spark):
         "q137_ppm_decode",
         "q138_ppm_resize",
         "q143_wav_decode",
+        "q148_audio_frames",
     }
     # q101 is the one deliberate row-at-a-time Python UDTF — it exists to
     # exercise the @udtf + LATERAL API (see queries/sketches.py) and is
