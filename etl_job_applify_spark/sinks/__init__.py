@@ -7,6 +7,7 @@ from .versioned import (
     optimize_table,
     read_table,
     snapshot_files,
+    vacuum_table,
     write_version,
 )
 from .merge import merge_into
@@ -15,7 +16,7 @@ from .redshift import copy_statements, execute_statement, write_redshift
 
 __all__ = ["write_csv", "write_json", "write_orc", "write_parquet", "write_jdbc", "write_xml", "upsert",
            "write_version", "read_table", "list_versions", "snapshot_files",
-           "optimize_table",
+           "optimize_table", "vacuum_table",
            "CommitConflict", "commit_version", "merge_into",
            "MergeBackend", "VersionedParquetBackend", "DEFAULT_BACKEND",
            "copy_statements", "execute_statement", "write_redshift"]

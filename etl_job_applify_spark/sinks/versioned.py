@@ -301,6 +301,65 @@ def optimize_table(
     )
 
 
+def vacuum_table(
+    spark: SparkSession,
+    table_path: str,
+    retain: int = 2,
+    min_age_s: float = 3600.0,
+) -> dict:
+    """Apply retention without requiring a new commit — the VACUUM step
+    of the lakehouse loop (Delta's VACUUM / Iceberg's expire_snapshots).
+
+    Removes, in this order of safety:
+
+    - committed snapshots beyond the newest ``retain`` (time travel to
+      them stops working; the newest ``retain`` always survive, so a
+      committed recovery point always exists);
+    - crash debris older than ``min_age_s`` seconds: ``.staging_*``
+      directories from writers that died before their CAS rename, and
+      orphan ``snap_*`` directories that never got a ``_SUCCESS``
+      marker. The age gate is what makes this safe to run concurrently
+      with live writers — an in-flight writer's staging directory is
+      younger than any sane ``min_age_s`` (Delta's VACUUM makes the
+      identical timing argument for unreferenced files).
+
+    Returns ``{"snapshots_removed": [versions], "debris_removed":
+    [names]}``. Idempotent; a crash mid-vacuum just leaves some garbage
+    for the next run."""
+    if retain < 1:
+        raise ValueError(f"retain must be >= 1, got {retain}")
+    import time
+
+    jvm = spark._jvm
+    fs, root, names = _snapshots(spark, table_path)
+    removed_versions: list[int] = []
+    for name in names[:-retain] if len(names) > retain else []:
+        fs.delete(jvm.org.apache.hadoop.fs.Path(root, name), True)
+        removed_versions.append(int(name[len(_PREFIX):]))
+    debris: list[str] = []
+    if fs.exists(root):
+        committed = set(names)
+        cutoff = (time.time() - min_age_s) * 1000.0
+        for st in fs.listStatus(root):
+            name = st.getPath().getName()
+            if not st.isDirectory():
+                continue
+            is_staging = name.startswith(".staging_")
+            is_orphan_snap = (
+                name.startswith(_PREFIX) and name not in committed
+            )
+            if (
+                (is_staging or is_orphan_snap)
+                and st.getModificationTime() <= cutoff
+            ):
+                fs.delete(st.getPath(), True)
+                debris.append(name)
+    return {
+        "snapshots_removed": removed_versions,
+        "debris_removed": sorted(debris),
+    }
+
+
 def read_table(
     spark: SparkSession,
     table_path: str,

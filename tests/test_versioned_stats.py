@@ -149,3 +149,52 @@ def test_optimize_recluster_restores_skipping(spark, tmp_path):
     out = read_table(spark, path, ranges={"k1": (10, 30)})
     expect = read_table(spark, path, version=1).filter("k1 between 10 and 30")
     assert out.count() == expect.count() > 0
+
+
+def test_vacuum_prunes_old_versions_and_stale_debris(spark, tmp_path):
+    import os
+
+    from etl_job_applify_spark.sinks import (
+        list_versions,
+        read_table,
+        vacuum_table,
+    )
+
+    path = str(tmp_path / "vac")
+    for i in range(4):
+        write_version(spark.range(i, i + 10).toDF("id"), path)
+    # crash debris: a dead writer's staging dir and an orphan snapshot
+    # that never got _SUCCESS
+    os.makedirs(os.path.join(path, ".staging_deadbeef"))
+    open(os.path.join(path, ".staging_deadbeef", "part-0.parquet"), "w").close()
+    os.makedirs(os.path.join(path, "snap_00000099"))
+
+    out = vacuum_table(spark, path, retain=2, min_age_s=0.0)
+    assert out["snapshots_removed"] == [1, 2]
+    assert out["debris_removed"] == [".staging_deadbeef", "snap_00000099"]
+    assert list_versions(spark, path) == [3, 4]
+    # newest retained versions stay readable; vacuumed version is gone
+    assert read_table(spark, path, version=3).count() == 10
+    with pytest.raises(FileNotFoundError):
+        read_table(spark, path, version=1)
+
+
+def test_vacuum_age_gate_protects_live_writer_staging(spark, tmp_path):
+    import os
+
+    from etl_job_applify_spark.sinks import vacuum_table
+
+    path = str(tmp_path / "vac2")
+    write_version(spark.range(5).toDF("id"), path)
+    os.makedirs(os.path.join(path, ".staging_inflight"))
+    # a fresh staging dir (an in-flight writer) survives the default age gate
+    out = vacuum_table(spark, path, retain=1, min_age_s=3600.0)
+    assert out == {"snapshots_removed": [], "debris_removed": []}
+    assert os.path.isdir(os.path.join(path, ".staging_inflight"))
+
+
+def test_vacuum_rejects_zero_retention(spark, tmp_path):
+    from etl_job_applify_spark.sinks import vacuum_table
+
+    with pytest.raises(ValueError, match="retain"):
+        vacuum_table(spark, str(tmp_path / "x"), retain=0)
