@@ -36,6 +36,10 @@ HEADLINE = [
     "q108_nation_volume",
     "q117_gopher_rules",
     "q120_rare_word_score",
+    # round 5: semantic dedup (SemDeDup shape) and exact span dedup —
+    # the two corpus-curation ops added this round
+    "q146_semantic_dedup",
+    "q147_span_dedup",
 ]
 
 

@@ -330,8 +330,124 @@ GROUP BY lang
 """
 
 
+# --- q149: the curation funnel, end to end --------------------------------
+# What a user actually runs before tokenization, as ONE oracled query:
+#   1. exact dedup   — collapse byte-identical texts to the lowest id
+#                      (the 10x-scale lesson in SCALING.md: collapse
+#                      copies BEFORE any pairwise stage);
+#   2. span dedup    — drop the higher id of every pair sharing >= 3
+#                      verbatim 6-token runs (dedup/spans.py);
+#   3. quality gate  — the q117 Gopher rules;
+#   4. split         — deterministic content-hash train/val/test.
+# Output is the final per-doc roster (id, lang, split, n_words): the
+# hash compare pins every stage's membership decision at once, and any
+# stage-ordering or off-by-one drift between engines breaks it.
+# Plan: stages 1/3/4 are scan-speed (one window, two projections);
+# stage 2 reuses the capped postings shape — the funnel's total shuffle
+# budget is the span stage's plus one window, nothing else.
+
+def q149_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..dedup import shared_span_pairs
+    from ..transform.dedup import dedup_keep_first
+    from ..transform.sampling import content_hash_split
+
+    docs = tbl(spark, sf_dir, "documents")
+    canon = dedup_keep_first(
+        docs.select("doc_id", "text", "lang"),
+        keys=["text"],
+        order_by=["doc_id"],
+    )
+    removed = (
+        shared_span_pairs(canon, n=6, max_doc_freq=50, min_shared=3)
+        .select(F.col("b").alias("doc_id"))
+        .distinct()
+    )
+    kept = canon.join(removed, "doc_id", "left_anti")
+    gated = kept.select(
+        "doc_id",
+        "lang",
+        "text",
+        F.expr(f"CAST(size({_T}) AS INT)").alias("n_words"),
+        F.expr(
+            f"CAST((length(text) - size({_T}) + 1) / size({_T}) AS DOUBLE)"
+        ).alias("mwl"),
+        F.expr(
+            f"CAST(size(filter({_T}, t -> t IN ('the','a','of','and','to')))"
+            " AS INT)"
+        ).alias("stop_hits"),
+        F.expr(
+            f"CAST(size(array_distinct({_T})) AS DOUBLE)"
+            f" / CAST(size({_T}) AS DOUBLE)"
+        ).alias("dr"),
+    ).filter(
+        F.col("n_words").between(30, 10000)
+        & F.col("mwl").between(3.0, 10.0)
+        & (F.col("stop_hits") >= 1)
+        & (F.col("dr") >= 0.3)
+    )
+    return content_hash_split(gated).select(
+        "doc_id", "lang", "split", "n_words"
+    )
+
+
+_Q149_SQL = """
+WITH canon AS (
+  SELECT doc_id, text, lang FROM (
+    SELECT doc_id, text, lang,
+           ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+    FROM documents
+  ) WHERE rn = 1
+),
+toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM canon),
+spans AS (
+  SELECT DISTINCT doc_id, array_to_string(t[i:i+5], ' ') AS span
+  FROM toks, (SELECT unnest(range(1, 100000)) AS i) ix
+  WHERE i + 5 <= len(t)
+),
+capped AS (
+  SELECT span FROM spans GROUP BY span HAVING COUNT(*) <= 50
+),
+cspans AS (SELECT s.doc_id, s.span FROM spans s JOIN capped c USING (span)),
+removed AS (
+  SELECT DISTINCT b FROM (
+    SELECT s2.doc_id AS b
+    FROM cspans s1 JOIN cspans s2
+      ON s1.span = s2.span AND s1.doc_id < s2.doc_id
+    GROUP BY s1.doc_id, s2.doc_id HAVING COUNT(*) >= 3
+  )
+),
+kept AS (
+  SELECT * FROM canon WHERE doc_id NOT IN (SELECT b FROM removed)
+),
+gated AS (
+  SELECT doc_id, lang, text,
+         CAST(len(string_split(text, ' ')) AS INT) AS n_words,
+         CAST((length(text) - len(string_split(text, ' ')) + 1)
+              / len(string_split(text, ' ')) AS DOUBLE) AS mwl,
+         CAST(len(list_filter(string_split(text, ' '),
+                  t -> t IN ('the','a','of','and','to'))) AS INT)
+           AS stop_hits,
+         CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+           / CAST(len(string_split(text, ' ')) AS DOUBLE) AS dr
+  FROM kept
+)
+SELECT doc_id, lang,
+       CASE WHEN strpos('0123456789abcdef', substr(md5(text), 1, 1)) - 1 < 13
+            THEN 'train'
+            WHEN strpos('0123456789abcdef', substr(md5(text), 1, 1)) - 1 < 15
+            THEN 'val' ELSE 'test' END AS split,
+       n_words
+FROM gated
+WHERE n_words BETWEEN 30 AND 10000
+  AND mwl BETWEEN 3.0 AND 10.0
+  AND stop_hits >= 1
+  AND dr >= 0.3
+"""
+
+
 QUERIES = {
     "q117_gopher_rules": q117_gopher_rules,
+    "q149_curation_funnel": q149_curation_funnel,
     "q118_mix_weights": q118_mix_weights,
     "q119_hash_split": q119_hash_split,
     "q120_rare_word_score": q120_rare_word_score,
@@ -341,6 +457,7 @@ QUERIES = {
 
 ORACLE = {
     "q117_gopher_rules": _Q117_SQL,
+    "q149_curation_funnel": _Q149_SQL,
     "q118_mix_weights": _Q118_SQL,
     "q119_hash_split": _Q119_SQL,
     "q120_rare_word_score": _Q120_SQL,
