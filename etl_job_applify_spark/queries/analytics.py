@@ -219,7 +219,10 @@ WHERE v1.vec_id < v2.vec_id
 # deterministic (K lowest ids), the cosine fold is the shared left-fold
 # idiom, so DuckDB reproduces assignment, pairing and pruning exactly.
 
-_Q146_ANCHORS = 8
+# 16 anchors: cluster count IS the quadratic stage's budget knob (see
+# dedup/semantic.py) — 16 keeps per-cluster pair blocks small at bench
+# scale while the oracle stays an exact mirror (LIMIT 16)
+_Q146_ANCHORS = 16
 _Q146_THRESHOLD = 0.45
 
 
