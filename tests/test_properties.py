@@ -358,3 +358,91 @@ def test_merge_chain_matches_dict_replay(spark, tmp_path_factory, batches, delet
                 state[k] = 0  # unmatched delete-batch rows are inserts
     got = {r.k: r.v for r in read_versioned(spark, path).collect()}
     assert got == state
+
+
+_word = st.sampled_from(["aa", "bb", "cc", "dd", "ee"])
+
+
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    texts=st.lists(
+        st.lists(_word, min_size=0, max_size=10).map(" ".join),
+        min_size=1, max_size=6,
+    ),
+    n=st.integers(2, 4),
+)
+def test_shared_span_pairs_match_python_window_sets(spark, texts, n):
+    """Uncapped span pairs == brute-force distinct-window-set
+    intersections computed in plain Python."""
+    from etl_job_applify_spark.dedup import shared_span_pairs
+
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    got = {
+        (r["a"], r["b"]): r["shared_spans"]
+        for r in shared_span_pairs(
+            docs, n=n, max_doc_freq=10**6, min_shared=1
+        ).collect()
+    }
+    windows = []
+    for t in texts:
+        toks = t.split(" ")
+        windows.append(
+            {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+        )
+    want = {}
+    for a in range(len(texts)):
+        for b in range(a + 1, len(texts)):
+            k = len(windows[a] & windows[b])
+            if k:
+                want[(a, b)] = k
+    assert got == want
+
+
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    vecs=st.lists(
+        st.lists(st.integers(-3, 3), min_size=3, max_size=3)
+        .filter(lambda v: any(v)),
+        min_size=1, max_size=8,
+    ),
+    k=st.integers(1, 3),
+    thresh=st.sampled_from([0.5, 0.9]),
+)
+def test_semantic_dedup_matches_numpy_reference(spark, vecs, k, thresh):
+    """Kept set == a numpy replay of assign-to-argmax-anchor then
+    drop-if-smaller-id-neighbor-within-threshold."""
+    import numpy as np
+
+    from etl_job_applify_spark.dedup import semantic_dedup_kept
+
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>",
+    )
+    got = {
+        r["vec_id"]
+        for r in semantic_dedup_kept(
+            emb, num_anchors=k, threshold=thresh
+        ).collect()
+    }
+    a = np.array(vecs, dtype=float)
+    norms = np.linalg.norm(a, axis=1)
+    anchors = a[: min(k, len(vecs))]
+    anorms = norms[: min(k, len(vecs))]
+    cos_to_anchor = (a @ anchors.T) / np.outer(norms, anorms)
+    # argmax with ties broken by lowest anchor id == first occurrence
+    clusters = np.argmax(cos_to_anchor, axis=1)
+    want = set()
+    for i in range(len(vecs)):
+        dup = any(
+            clusters[j] == clusters[i]
+            and (a[j] @ a[i]) / (norms[j] * norms[i]) >= thresh
+            for j in range(i)
+        )
+        if not dup:
+            want.add(i)
+    assert got == want
