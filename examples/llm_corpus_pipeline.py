@@ -13,6 +13,8 @@ on the smallest surviving set):
 5. exact dedup   deterministic keep-first on content fingerprint
 6. near dedup    MinHash LSH candidates → exact Jaccard verify →
                  connected components → keep canonical docs
+6b. semantic     SemDeDup over the embedding column — paraphrase
+                 dups invisible to every lexical stage above
 7. decontaminate drop docs sharing 4-grams with the benchmark set
                  (broadcast probe — zero corpus-side shuffle)
 8. sampling      deterministic stratified downsample per language,
@@ -90,6 +92,25 @@ def curate(spark: SparkSession, sf_dir: str, out_dir: str | None = None) -> Data
         F.col("node").alias("doc_id")
     )
     canonical = exact_unique.join(losers, "doc_id", "left_anti")
+
+    # 6b: semantic dedup — high-cosine paraphrase groups collapse to
+    # their lowest id; runs AFTER the lexical stages so the quadratic
+    # within-cluster scoring sees only already-canonical docs
+    from etl_job_applify_spark.dedup import semantic_dedup_kept
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    sem_kept = semantic_dedup_kept(
+        emb.join(
+            canonical.select(F.col("doc_id").alias("vec_id")),
+            "vec_id",
+            "left_semi",
+        ),
+        num_anchors=16,
+        threshold=0.45,
+    )
+    canonical = canonical.join(
+        sem_kept.select(F.col("vec_id").alias("doc_id")), "doc_id", "left_semi"
+    )
 
     # 7: decontamination — drop docs overlapping the held-out benchmark
     # set on any 4-gram (stand-in: every 17th doc). The benchmark gram
