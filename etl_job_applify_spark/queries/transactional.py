@@ -233,13 +233,93 @@ ORDER BY o_orderstatus
 """
 
 
+# --- q150: change data feed, oracle-checked end to end -------------------
+# Drives the CDF read path (sinks/changes.py): publish two versions of
+# an orders-derived table (membership shifted by key residue, prices
+# bumped on a second residue), ask table_changes for the delta, and
+# summarize per change type. The oracle derives the same delta purely
+# relationally from the raw table — so the full-outer diff, the
+# null-safe struct comparison, and the pre/post-image emission must all
+# be value-faithful through the storage protocol.
+
+
+def q150_table_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from ..sinks import table_changes, write_version
+
+    orders = tbl(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    v1 = orders.filter(F.col("o_orderkey") % 4 != 3)
+    v2 = orders.filter(F.col("o_orderkey") % 4 != 0).withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderkey") % 10 == 5, F.col("o_totalprice") * 1.25
+        ).otherwise(F.col("o_totalprice")),
+    )
+    path = tempfile.mkdtemp(prefix="q150_cdf_")
+    try:
+        write_version(v1, path)
+        write_version(v2, path)
+        agg = (
+            table_changes(spark, path, 1, 2, keys=["o_orderkey"])
+            .groupBy("_change_type")
+            .agg(
+                F.count("*").cast("bigint").alias("n"),
+                F.sum("o_orderkey").cast("bigint").alias("key_sum"),
+                dsum("o_totalprice", "total"),
+            )
+            .orderBy("_change_type")
+        )
+        rows = agg.collect()
+        schema = agg.schema
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)
+
+
+_Q150_SQL = f"""
+WITH v1 AS (
+  SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 4 <> 3
+),
+v2 AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 10 = 5 THEN o_totalprice * 1.25
+              ELSE o_totalprice END AS o_totalprice
+  FROM orders WHERE o_orderkey % 4 <> 0
+),
+changes AS (
+  SELECT 'insert' AS _change_type, o_orderkey, o_totalprice
+  FROM v2 WHERE o_orderkey % 4 = 3
+  UNION ALL
+  SELECT 'delete', o_orderkey, o_totalprice
+  FROM v1 WHERE o_orderkey % 4 = 0
+  UNION ALL
+  SELECT 'update_preimage', o_orderkey, o_totalprice
+  FROM v1 WHERE o_orderkey % 4 = 1 AND o_orderkey % 10 = 5
+  UNION ALL
+  SELECT 'update_postimage', o_orderkey, o_totalprice
+  FROM v2 WHERE o_orderkey % 4 = 1 AND o_orderkey % 10 = 5
+)
+SELECT _change_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+       {DSUM('o_totalprice')} AS total
+FROM changes
+GROUP BY _change_type
+ORDER BY _change_type
+"""
+
+
 QUERIES = {
     "q139_merge_transactional": q139_merge_transactional,
     "q144_skipping_read": q144_skipping_read,
     "q145_cow_merge": q145_cow_merge,
+    "q150_table_changes": q150_table_changes,
 }
 ORACLE = {
     "q139_merge_transactional": _Q139_SQL,
     "q144_skipping_read": _Q144_SQL,
     "q145_cow_merge": _Q145_SQL,
+    "q150_table_changes": _Q150_SQL,
 }
