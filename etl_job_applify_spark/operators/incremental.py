@@ -65,6 +65,43 @@ def merge_rollup(
     )
 
 
+def changes_increment(
+    changes: DataFrame,
+    keys: Sequence[str],
+    measures: Mapping[str, str],
+) -> DataFrame:
+    """Signed rollup increment from a change data feed
+    (sinks/changes.py): insert/update_postimage contribute +1, delete/
+    update_preimage contribute −1, so an update's net effect on the
+    group is (new − old) and a row that moves BETWEEN groups debits one
+    and credits the other. Folding the result with ``merge_rollup``
+    advances a materialized rollup from version N to M touching only the
+    delta — updates and deletes included, which append-only increments
+    (``aggregate_increment``) cannot express.
+
+    Groups whose ``n_rows`` reaches 0 after a fold carry zeroed state;
+    ``prune_empty_groups`` drops them.
+    """
+    sign = F.when(
+        F.col("_change_type").isin("insert", "update_postimage"), F.lit(1)
+    ).otherwise(F.lit(-1))
+    aggs = [
+        F.sum(
+            (F.expr(expr).cast(_STATE_T) * sign).cast(_STATE_T)
+        ).alias(f"{name}_sum")
+        for name, expr in measures.items()
+    ]
+    return changes.groupBy(*keys).agg(
+        *aggs, F.sum(sign).cast("bigint").alias("n_rows")
+    )
+
+
+def prune_empty_groups(rollup: DataFrame) -> DataFrame:
+    """Drop groups whose membership fell to zero (their sums are exact
+    zeros by construction — DECIMAL state, no float residue)."""
+    return rollup.filter(F.col("n_rows") > 0)
+
+
 def rollup_readout(rollup: DataFrame, measures: Mapping[str, str]) -> DataFrame:
     """Derive the user-facing view: DOUBLE sums and averages from the
     exact states (the only place floating point appears)."""

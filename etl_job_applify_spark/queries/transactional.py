@@ -311,15 +311,90 @@ ORDER BY _change_type
 """
 
 
+# --- q151: incremental view maintenance off the change feed --------------
+# The consumer loop CDF exists for: a materialized rollup built at
+# version 1 is advanced to version 2 by folding in ONLY table_changes'
+# delta (signed contributions: insert/postimage +, delete/preimage −;
+# operators/incremental.py changes_increment). The oracle computes the
+# version-2 aggregate DIRECTLY from the raw table — so the incremental
+# result must be bit-identical to a full recompute, which the exact
+# DECIMAL states guarantee by construction and this query now pins.
+
+
+def q151_incremental_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from ..operators.incremental import (
+        aggregate_increment,
+        changes_increment,
+        merge_rollup,
+        prune_empty_groups,
+        rollup_readout,
+    )
+    from ..sinks import table_changes, write_version
+
+    orders = tbl(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    v1 = orders.filter(F.col("o_orderkey") % 4 != 3)
+    v2 = orders.filter(F.col("o_orderkey") % 4 != 0).withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderkey") % 10 == 5, F.col("o_totalprice") * 1.25
+        ).otherwise(F.col("o_totalprice")),
+    )
+    keys, measures = ["o_orderstatus"], {"price": "o_totalprice"}
+    path = tempfile.mkdtemp(prefix="q151_ivm_")
+    try:
+        write_version(v1, path)
+        write_version(v2, path)
+        rollup_v1 = aggregate_increment(v1, keys, measures)
+        delta = changes_increment(
+            table_changes(spark, path, 1, 2, keys=["o_orderkey"]),
+            keys,
+            measures,
+        )
+        updated = prune_empty_groups(
+            merge_rollup(rollup_v1, delta, keys, measures)
+        )
+        out = rollup_readout(updated, measures).orderBy("o_orderstatus")
+        rows = out.collect()
+        schema = out.schema
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)
+
+
+_Q151_SQL = """
+WITH v2 AS (
+  SELECT o_orderstatus,
+         CASE WHEN o_orderkey % 10 = 5 THEN o_totalprice * 1.25
+              ELSE o_totalprice END AS price
+  FROM orders WHERE o_orderkey % 4 <> 0
+)
+SELECT o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(price AS DECIMAL(28,6))) AS DOUBLE) AS price_total,
+       CAST(SUM(CAST(price AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*)
+         AS price_avg
+FROM v2
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
+
 QUERIES = {
     "q139_merge_transactional": q139_merge_transactional,
     "q144_skipping_read": q144_skipping_read,
     "q145_cow_merge": q145_cow_merge,
     "q150_table_changes": q150_table_changes,
+    "q151_incremental_view": q151_incremental_view,
 }
 ORACLE = {
     "q139_merge_transactional": _Q139_SQL,
     "q144_skipping_read": _Q144_SQL,
     "q145_cow_merge": _Q145_SQL,
     "q150_table_changes": _Q150_SQL,
+    "q151_incremental_view": _Q151_SQL,
 }

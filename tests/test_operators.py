@@ -235,3 +235,38 @@ def test_incremental_rollup_equals_full_recompute(spark):
 
     view = rollup_readout(rollup, measures).collect()[0]
     assert view["qty_avg"] > 0 and "qty_sum" not in view.asDict()
+
+
+def test_changes_increment_handles_updates_deletes_and_group_moves(spark, tmp_path):
+    """CDF-folded rollup == full recompute of the new version, including
+    a row whose GROUP KEY changes (debits the old group, credits the
+    new) and a group whose membership falls to zero (pruned)."""
+    from etl_job_applify_spark.operators.incremental import (
+        aggregate_increment,
+        changes_increment,
+        merge_rollup,
+        prune_empty_groups,
+    )
+    from etl_job_applify_spark.sinks import table_changes, write_version
+
+    keys, measures = ["grp"], {"amt": "amount"}
+    v1 = [(1, "a", 10.0), (2, "a", 20.0), (3, "b", 30.0), (4, "c", 40.0)]
+    # id2 amount updated, id3 MOVES b->a, id4 deleted (killing group c),
+    # id5 inserted
+    v2 = [(1, "a", 10.0), (2, "a", 25.0), (3, "a", 30.0), (5, "b", 50.0)]
+    path = str(tmp_path / "t")
+    schema = "id long, grp string, amount double"
+    write_version(spark.createDataFrame(v1, schema), path)
+    write_version(spark.createDataFrame(v2, schema), path)
+
+    rollup = aggregate_increment(spark.createDataFrame(v1, schema), keys, measures)
+    delta = changes_increment(
+        table_changes(spark, path, 1, 2, keys=["id"]), keys, measures
+    )
+    updated = prune_empty_groups(merge_rollup(rollup, delta, keys, measures))
+    full = aggregate_increment(spark.createDataFrame(v2, schema), keys, measures)
+
+    got = {r["grp"]: (r["amt_sum"], r["n_rows"]) for r in updated.collect()}
+    want = {r["grp"]: (r["amt_sum"], r["n_rows"]) for r in full.collect()}
+    assert got == want
+    assert "c" not in got  # zero-membership group pruned
