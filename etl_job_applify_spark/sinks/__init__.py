@@ -11,13 +11,13 @@ from .versioned import (
     write_version,
 )
 from .merge import merge_into
-from .changes import table_changes
+from .changes import commit_cursor, consume_changes, table_changes
 from .backends import DEFAULT_BACKEND, MergeBackend, VersionedParquetBackend
 from .redshift import copy_statements, execute_statement, write_redshift
 
 __all__ = ["write_csv", "write_json", "write_orc", "write_parquet", "write_jdbc", "write_xml", "upsert",
            "write_version", "read_table", "list_versions", "snapshot_files",
            "optimize_table", "vacuum_table",
-           "CommitConflict", "commit_version", "merge_into", "table_changes",
+           "CommitConflict", "commit_version", "merge_into", "table_changes", "consume_changes", "commit_cursor",
            "MergeBackend", "VersionedParquetBackend", "DEFAULT_BACKEND",
            "copy_statements", "execute_statement", "write_redshift"]

@@ -34,6 +34,70 @@ from pyspark.sql import functions as F
 from .versioned import read_table
 
 CHANGE_COL = "_change_type"
+_CURSOR = "_cdf_cursor.json"
+
+
+def consume_changes(
+    spark: SparkSession,
+    table_path: str,
+    cursor_path: str,
+    keys: list[str],
+):
+    """Cursor-tracked change consumption: the daemon loop every CDF
+    consumer runs. Returns ``(changes, head_version)`` where ``changes``
+    covers (last committed cursor, head] — or ``(None, head)`` when the
+    cursor is already at head. After the consumer has durably applied
+    the delta, it calls ``commit_cursor(cursor_path, head_version)``;
+    crashing before that re-delivers the same delta next call —
+    at-least-once, the same contract as every checkpointed consumer.
+    Because the delta is derived by DIFFING two committed snapshots (not
+    tailing a log), redelivery is idempotent-friendly: the same
+    (from, to) pair always yields the same rows.
+
+    If retention (``vacuum_table``) has expired the cursor's snapshot,
+    raises with a resync instruction instead of silently emitting a
+    wrong partial delta — the operational failure mode log-based CDC
+    calls "cursor off the end of the log"."""
+    import json
+    import os
+
+    from .versioned import list_versions
+
+    versions = list_versions(spark, table_path)
+    if not versions:
+        raise FileNotFoundError(f"no committed snapshot under {table_path}")
+    head = versions[-1]
+    last = 0
+    if os.path.exists(cursor_path):
+        with open(cursor_path) as fh:
+            last = json.load(fh)["version"]
+    if last == head:
+        return None, head
+    if last and last not in versions:
+        raise ValueError(
+            f"cursor version {last} was vacuumed from {table_path} "
+            f"(available: {versions}); resync by reprocessing the full "
+            f"snapshot and committing the cursor at head"
+        )
+    if last == 0:
+        # first consumption: everything at head is an insert
+        base = read_table(spark, table_path, version=head)
+        changes = base.withColumn(CHANGE_COL, F.lit("insert"))
+    else:
+        changes = table_changes(spark, table_path, last, head, keys)
+    return changes, head
+
+
+def commit_cursor(cursor_path: str, version: int) -> None:
+    """Durably record the consumer's position (write-then-rename, so a
+    crash never leaves a torn cursor)."""
+    import json
+    import os
+
+    tmp = f"{cursor_path}.tmp"
+    with open(tmp, "w") as fh:
+        json.dump({"version": version}, fh)
+    os.replace(tmp, cursor_path)
 
 
 def table_changes(

@@ -79,3 +79,48 @@ def test_changes_compose_across_merge_commits(spark, tmp_path):
         (2, "update_postimage"),
         (5, "insert"),
     }
+
+
+def test_consume_changes_cursor_loop(spark, tmp_path):
+    """First consumption delivers the snapshot as inserts; subsequent
+    calls deliver only deltas; an up-to-date cursor returns None; an
+    uncommitted cursor redelivers the same delta."""
+    from etl_job_applify_spark.sinks import commit_cursor, consume_changes
+
+    path, cursor = str(tmp_path / "t"), str(tmp_path / "cursor.json")
+    _publish(spark, path, [(1, "a", 10), (2, "b", 20)])
+
+    changes, head = consume_changes(spark, path, cursor, keys=["id"])
+    assert head == 1
+    assert {(r["id"], r["_change_type"]) for r in changes.collect()} == {
+        (1, "insert"), (2, "insert"),
+    }
+    commit_cursor(cursor, head)
+    assert consume_changes(spark, path, cursor, keys=["id"])[0] is None
+
+    _publish(spark, path, [(1, "a", 10), (2, "b", 25), (3, "c", 30)])
+    delta, head = consume_changes(spark, path, cursor, keys=["id"])
+    want = {(2, "update_preimage"), (2, "update_postimage"), (3, "insert")}
+    assert {(r["id"], r["_change_type"]) for r in delta.collect()} == want
+    # crash before commit: same delta is re-delivered
+    delta2, _ = consume_changes(spark, path, cursor, keys=["id"])
+    assert {(r["id"], r["_change_type"]) for r in delta2.collect()} == want
+    commit_cursor(cursor, head)
+    assert consume_changes(spark, path, cursor, keys=["id"])[0] is None
+
+
+def test_consume_changes_vacuumed_cursor_demands_resync(spark, tmp_path):
+    from etl_job_applify_spark.sinks import (
+        commit_cursor,
+        consume_changes,
+        vacuum_table,
+    )
+
+    path, cursor = str(tmp_path / "t"), str(tmp_path / "cursor.json")
+    _publish(spark, path, [(1, "a", 10)])
+    commit_cursor(cursor, 1)
+    _publish(spark, path, [(1, "a", 11)])
+    _publish(spark, path, [(1, "a", 12)])
+    vacuum_table(spark, path, retain=2, min_age_s=0.0)  # drops version 1
+    with pytest.raises(ValueError, match="resync"):
+        consume_changes(spark, path, cursor, keys=["id"])
