@@ -7,7 +7,9 @@ from .versioned import (
     optimize_table,
     read_table,
     snapshot_files,
+    table_history,
     vacuum_table,
+    version_as_of,
     write_version,
 )
 from .merge import merge_into
@@ -17,7 +19,7 @@ from .redshift import copy_statements, execute_statement, write_redshift
 
 __all__ = ["write_csv", "write_json", "write_orc", "write_parquet", "write_jdbc", "write_xml", "upsert",
            "write_version", "read_table", "list_versions", "snapshot_files",
-           "optimize_table", "vacuum_table",
+           "optimize_table", "vacuum_table", "table_history", "version_as_of",
            "CommitConflict", "commit_version", "merge_into", "table_changes", "consume_changes", "commit_cursor",
            "MergeBackend", "VersionedParquetBackend", "DEFAULT_BACKEND",
            "copy_statements", "execute_statement", "write_redshift"]

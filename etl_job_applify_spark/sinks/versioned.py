@@ -207,6 +207,65 @@ def commit_staged(
     return nxt
 
 
+def _commit_time_ms(fs, jvm, root, name: str) -> int:
+    """Commit instant of a snapshot = its _SUCCESS marker's mtime (the
+    last file the committer writes, so it IS the publish moment)."""
+    p = jvm.org.apache.hadoop.fs.Path(
+        jvm.org.apache.hadoop.fs.Path(root, name), "_SUCCESS"
+    )
+    return fs.getFileStatus(p).getModificationTime()
+
+
+def version_as_of(
+    spark: SparkSession, table_path: str, ts_ms: int
+) -> int:
+    """Timestamp time travel (Delta's ``TIMESTAMP AS OF``): the newest
+    version committed at or before ``ts_ms`` (epoch millis). Raises if
+    the table's first commit is later than the asked instant — reading
+    "before the table existed" is an error, not an empty frame."""
+    jvm = spark._jvm
+    fs, root, names = _snapshots(spark, table_path)
+    eligible = [
+        int(n[len(_PREFIX):])
+        for n in names
+        if _commit_time_ms(fs, jvm, root, n) <= ts_ms
+    ]
+    if not eligible:
+        raise FileNotFoundError(
+            f"no version of {table_path} committed at or before {ts_ms}"
+        )
+    return max(eligible)
+
+
+def table_history(spark: SparkSession, table_path: str) -> DataFrame:
+    """DESCRIBE HISTORY: one row per committed version — version,
+    committed_at, file count, total bytes. Driver-side listing of
+    O(versions × files) name operations; the observability surface
+    retention policy and debugging start from."""
+    jvm = spark._jvm
+    fs, root, names = _snapshots(spark, table_path)
+    rows = []
+    for name in names:
+        snap = jvm.org.apache.hadoop.fs.Path(root, name)
+        n_files, nbytes = 0, 0
+        for st in fs.listStatus(snap):
+            fname = st.getPath().getName()
+            if fname.endswith(".parquet") and not fname.startswith(("_", ".")):
+                n_files += 1
+                nbytes += st.getLen()
+        rows.append(
+            (
+                int(name[len(_PREFIX):]),
+                _commit_time_ms(fs, jvm, root, name),
+                n_files,
+                nbytes,
+            )
+        )
+    return spark.createDataFrame(
+        rows, "version int, committed_at_ms long, n_files int, total_bytes long"
+    )
+
+
 def _resolve_snapshot(
     spark: SparkSession, table_path: str, version: int | None
 ) -> str:
@@ -365,8 +424,11 @@ def read_table(
     table_path: str,
     version: int | None = None,
     ranges=None,
+    as_of_ms: int | None = None,
 ) -> DataFrame:
-    """Read the latest committed version, or time-travel to ``version``.
+    """Read the latest committed version, or time-travel to ``version``
+    (or to the newest version committed at or before ``as_of_ms`` —
+    mutually exclusive with ``version``).
 
     ``ranges``: optional {column: (lo, hi)} bounds (inclusive; None =
     unbounded side). When the snapshot carries a stats sidecar, files
@@ -377,6 +439,10 @@ def read_table(
     non-local URI) the read degrades to scan + filter."""
     from . import stats as _stats
 
+    if as_of_ms is not None:
+        if version is not None:
+            raise ValueError("pass version OR as_of_ms, not both")
+        version = version_as_of(spark, table_path, as_of_ms)
     snap = _resolve_snapshot(spark, table_path, version)
     if not ranges:
         return spark.read.parquet(snap)

@@ -198,3 +198,39 @@ def test_vacuum_rejects_zero_retention(spark, tmp_path):
 
     with pytest.raises(ValueError, match="retain"):
         vacuum_table(spark, str(tmp_path / "x"), retain=0)
+
+
+def test_timestamp_time_travel_and_history(spark, tmp_path):
+    import os
+    import time
+
+    from etl_job_applify_spark.sinks import (
+        read_table,
+        table_history,
+        version_as_of,
+    )
+
+    path = str(tmp_path / "tt")
+    for i in range(3):
+        write_version(spark.range(10 * (i + 1)).toDF("id"), path)
+    # pin distinct, known commit instants (mtime of _SUCCESS is the
+    # commit marker) so the test is sleep-free and deterministic
+    base = time.time()
+    for v, t in ((1, base - 300), (2, base - 200), (3, base - 100)):
+        os.utime(os.path.join(path, f"snap_0000000{v}", "_SUCCESS"),
+                 (t, t))
+
+    ms = lambda s: int(s * 1000)
+    assert version_as_of(spark, path, ms(base - 150)) == 2
+    assert version_as_of(spark, path, ms(base)) == 3
+    assert read_table(spark, path, as_of_ms=ms(base - 250)).count() == 10
+    with pytest.raises(FileNotFoundError, match="at or before"):
+        version_as_of(spark, path, ms(base - 400))
+    with pytest.raises(ValueError, match="not both"):
+        read_table(spark, path, version=1, as_of_ms=ms(base))
+
+    hist = {r["version"]: (r["committed_at_ms"], r["n_files"], r["total_bytes"])
+            for r in table_history(spark, path).collect()}
+    assert sorted(hist) == [1, 2, 3]
+    assert hist[1][0] == ms(base - 300)
+    assert all(n > 0 and b > 0 for _, n, b in hist.values())
