@@ -488,3 +488,88 @@ def run_incremental_dedup_stream(
         q.processAllAvailable()
     finally:
         q.stop()
+
+
+def fold_rollup_batch(
+    batch_df: DataFrame,
+    epoch_id: int,
+    rollup_path: str,
+    keys: list[str],
+    measures: dict,
+) -> bool:
+    """Fold ONE micro-batch's aggregated increment into a versioned
+    rollup table, exactly once. Returns True if folded, False if this
+    epoch was already folded (replay).
+
+    foreachBatch delivery is at-least-once; exactly-once folding comes
+    from epoch fencing made ATOMIC with the CAS commit: the folded epoch
+    id rides inside the published snapshot as an ``_epoch_<id>`` marker
+    written to the staging directory BEFORE the rename, so "epoch
+    folded" and "rollup advanced" are one filesystem event — there is no
+    crash window where one happened without the other (contrast the
+    incremental-dedup stream's documented at-least-once appends). A
+    losing race against a concurrent writer re-reads the new head and
+    retries; replayed epochs are detected off the live snapshot's marker
+    and skipped."""
+    import glob
+    import os
+
+    from ..operators.incremental import aggregate_increment, merge_rollup
+    from ..sinks.versioned import (
+        CommitConflict,
+        commit_staged,
+        list_versions,
+        read_table,
+    )
+
+    spark = batch_df.sparkSession
+    inc = aggregate_increment(batch_df, keys, measures)
+    while True:
+        versions = list_versions(spark, rollup_path)
+        base_version = versions[-1] if versions else 0
+        if base_version:
+            snap = f"{rollup_path}/snap_{base_version:08d}"
+            marks = glob.glob(os.path.join(snap, "_epoch_*"))
+            folded = max(
+                (int(os.path.basename(m).rsplit("_", 1)[1]) for m in marks),
+                default=-1,
+            )
+            if epoch_id <= folded:
+                return False  # replayed batch: already in the rollup
+            base = read_table(spark, rollup_path)
+        else:
+            base = None
+        merged = merge_rollup(base, inc, keys, measures)
+
+        def populate(staging: str) -> None:
+            merged.write.mode("overwrite").parquet(staging)
+            # the fence rides in the snapshot: atomic with the rename
+            open(os.path.join(staging, f"_epoch_{epoch_id}"), "w").close()
+
+        try:
+            commit_staged(spark, rollup_path, base_version, populate)
+            return True
+        except CommitConflict:
+            continue  # another writer advanced the head; re-read, retry
+
+
+def run_rollup_maintenance_stream(
+    stream_df: DataFrame,
+    rollup_path: str,
+    keys: list[str],
+    measures: dict,
+) -> None:
+    """Streaming materialized view: every micro-batch advances a
+    versioned rollup table via ``fold_rollup_batch`` (exactly-once
+    folds; see its docstring for the fencing protocol). Read the current
+    view with ``sinks.read_table`` + ``operators.incremental
+    .rollup_readout`` — O(|rollup|) regardless of stream history."""
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        fold_rollup_batch(batch_df, epoch_id, rollup_path, keys, measures)
+
+    q = stream_df.writeStream.foreachBatch(sink).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()

@@ -547,3 +547,53 @@ def test_available_now_catch_up_and_resume(spark, tmp_path):
     back = spark.read.parquet(str(out))
     assert back.count() == 3  # a.parquet not reprocessed
     assert {r["id"] for r in back.collect()} == {1, 2, 3}
+
+
+def test_rollup_maintenance_stream_matches_batch_agg(spark, tmp_path):
+    """Two checkpointed AvailableNow passes over a growing source keep
+    the versioned rollup equal to the batch aggregate of everything
+    seen; a replayed epoch is a no-op (exactly-once fold fencing)."""
+    import time as _time
+
+    import pandas as pd
+
+    from etl_job_applify_spark.operators.incremental import rollup_readout
+    from etl_job_applify_spark.sinks import read_table
+    from etl_job_applify_spark.streaming.jobs import fold_rollup_batch
+
+    src = tmp_path / "roll_src"
+    src.mkdir()
+    rollup = str(tmp_path / "rollup")
+    keys, measures = ["grp"], {"amt": "amount"}
+    pd.DataFrame({"grp": ["a", "a", "b"], "amount": [1.0, 2.0, 3.0]}) \
+        .to_parquet(src / "a.parquet")
+
+    stream = spark.readStream.schema("grp string, amount double") \
+        .parquet(str(src))
+    q = stream.writeStream.foreachBatch(
+        lambda df, eid: fold_rollup_batch(df, eid, rollup, keys, measures)
+    ).option("checkpointLocation", str(tmp_path / "cp")).start()
+    q.processAllAvailable(); q.stop()
+
+    view = {r["grp"]: (r["amt_total"], r["n_rows"])
+            for r in rollup_readout(read_table(spark, rollup), measures).collect()}
+    assert view == {"a": (3.0, 2), "b": (3.0, 1)}
+
+    # replaying the same epoch id must be a no-op
+    replay = spark.createDataFrame([("a", 99.0)], "grp string, amount double")
+    assert fold_rollup_batch(replay, 0, rollup, keys, measures) is False
+    view2 = {r["grp"]: (r["amt_total"], r["n_rows"])
+             for r in rollup_readout(read_table(spark, rollup), measures).collect()}
+    assert view2 == view
+
+    # a new epoch folds incrementally
+    _time.sleep(1.1)
+    pd.DataFrame({"grp": ["b"], "amount": [7.0]}).to_parquet(src / "b.parquet")
+    q = spark.readStream.schema("grp string, amount double").parquet(str(src)) \
+        .writeStream.foreachBatch(
+            lambda df, eid: fold_rollup_batch(df, eid, rollup, keys, measures)
+        ).option("checkpointLocation", str(tmp_path / "cp")).start()
+    q.processAllAvailable(); q.stop()
+    view3 = {r["grp"]: (r["amt_total"], r["n_rows"])
+             for r in rollup_readout(read_table(spark, rollup), measures).collect()}
+    assert view3 == {"a": (3.0, 2), "b": (10.0, 2)}
