@@ -106,18 +106,40 @@ def table_changes(
     from_version: int,
     to_version: int,
     keys: list[str],
+    verify_keys: bool = False,
 ) -> DataFrame:
     """Rows that changed between ``from_version`` and ``to_version``.
 
     Output schema: the table's columns plus ``_change_type``. Updates
     emit BOTH images (preimage carries the old values, postimage the
     new), inserts/deletes carry the new/old row. Keys must uniquely
-    identify rows in each snapshot — the same contract MERGE enforces.
+    identify rows in each snapshot — the same contract MERGE enforces;
+    ``verify_keys=True`` pays one counting pass per snapshot to raise on
+    violation (Delta MERGE's duplicate-match error) instead of silently
+    emitting a many-to-many diff. Leave it off when an upstream
+    invariant (e.g. the table is only written by merge_into on the same
+    keys) already guarantees uniqueness.
     """
     if not keys:
         raise ValueError("keys must be non-empty")
     old = read_table(spark, table_path, version=from_version)
     new = read_table(spark, table_path, version=to_version)
+    if verify_keys:
+        for label, df in (("from", old), ("to", new)):
+            dup = (
+                df.groupBy(*keys)
+                .count()
+                .filter(F.col("count") > 1)
+                .limit(1)
+                .collect()
+            )
+            if dup:
+                viol = {k: dup[0][k] for k in keys}
+                raise ValueError(
+                    f"keys {keys} are not unique in the {label}-version "
+                    f"snapshot (e.g. {viol}); a key-ambiguous diff would "
+                    "be meaningless"
+                )
     if old.columns != new.columns:
         raise ValueError(
             f"schema changed between versions: {old.columns} vs "

@@ -124,3 +124,13 @@ def test_consume_changes_vacuumed_cursor_demands_resync(spark, tmp_path):
     vacuum_table(spark, path, retain=2, min_age_s=0.0)  # drops version 1
     with pytest.raises(ValueError, match="resync"):
         consume_changes(spark, path, cursor, keys=["id"])
+
+
+def test_changes_verify_keys_raises_on_duplicates(spark, tmp_path):
+    path = str(tmp_path / "t")
+    _publish(spark, path, [(1, "a", 10), (1, "a", 11)])  # dup key in v1
+    _publish(spark, path, [(1, "a", 10)])
+    with pytest.raises(ValueError, match="not unique"):
+        table_changes(spark, path, 1, 2, keys=["id"], verify_keys=True)
+    # without verification the diff still runs (documented contract)
+    table_changes(spark, path, 1, 2, keys=["id"]).collect()
