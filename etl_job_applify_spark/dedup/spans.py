@@ -28,20 +28,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-
-def _window_spans(text_col: str, n: int) -> str:
-    """SQL expr: DISTINCT sliding n-token windows of a space-separated
-    text, via the lambda-bound tokenization idiom from shingles.py (the
-    token array must be a lambda variable, not an alias, or projection
-    collapse re-tokenizes per window position)."""
-    gram = " , ".join(f"tok[i + {j}]" for j in range(n))
-    return (
-        f"flatten(transform(array(split({text_col}, ' ')), tok -> "
-        f"CASE WHEN size(tok) >= {n} THEN "
-        f"array_distinct(transform(sequence(0, size(tok) - {n}),"
-        f" i -> concat_ws(' ', {gram}))) "
-        f"ELSE array() END))"
-    )
+from .shingles import with_shingles
 
 
 def shared_span_pairs(
@@ -64,10 +51,14 @@ def shared_span_pairs(
     spread = docs.select(id_col, text_col).repartition(
         docs.sparkSession.sparkContext.defaultParallelism
     )
+    # a "span" IS a distinct word n-gram — the jaccard path's shingle
+    # expression (with its lambda-binding anti-retokenization idiom)
+    # reused verbatim, just at window length n
     postings = (
-        spread.select(
+        with_shingles(spread, text_col, n, out="spans")
+        .select(
             F.col(id_col).alias("doc"),
-            F.explode(F.expr(_window_spans(text_col, n))).alias("span"),
+            F.explode("spans").alias("span"),
         )
         .select("doc", F.xxhash64("span").alias("span"))
     )
