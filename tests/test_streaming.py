@@ -597,3 +597,29 @@ def test_rollup_maintenance_stream_matches_batch_agg(spark, tmp_path):
     view3 = {r["grp"]: (r["amt_total"], r["n_rows"])
              for r in rollup_readout(read_table(spark, rollup), measures).collect()}
     assert view3 == {"a": (3.0, 2), "b": (10.0, 2)}
+
+
+def test_fold_rollup_batch_survives_commit_race(spark, tmp_path):
+    """Two folders race distinct epochs against the same rollup table:
+    the CAS loser must retry against the winner's head, so BOTH deltas
+    land exactly once (sum reflects each epoch once)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from etl_job_applify_spark.operators.incremental import rollup_readout
+    from etl_job_applify_spark.sinks import read_table
+    from etl_job_applify_spark.streaming.jobs import fold_rollup_batch
+
+    rollup = str(tmp_path / "race_rollup")
+    keys, measures = ["grp"], {"amt": "amount"}
+    b1 = spark.createDataFrame([("a", 10.0)], "grp string, amount double")
+    b2 = spark.createDataFrame([("a", 1.0), ("b", 5.0)],
+                               "grp string, amount double")
+
+    with ThreadPoolExecutor(2) as ex:
+        f1 = ex.submit(fold_rollup_batch, b1, 0, rollup, keys, measures)
+        f2 = ex.submit(fold_rollup_batch, b2, 1, rollup, keys, measures)
+        assert f1.result(120) is True and f2.result(120) is True
+
+    view = {r["grp"]: (r["amt_total"], r["n_rows"])
+            for r in rollup_readout(read_table(spark, rollup), measures).collect()}
+    assert view == {"a": (11.0, 2), "b": (5.0, 1)}
