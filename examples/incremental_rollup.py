@@ -32,8 +32,6 @@ from pyspark.sql import functions as F
 
 
 def run(spark: SparkSession, sf_dir: str) -> None:
-    import os
-
     from etl_job_applify_spark.operators.incremental import (
         aggregate_increment,
         changes_increment,

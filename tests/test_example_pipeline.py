@@ -65,3 +65,20 @@ def test_warehouse_sync_example(spark, tmp_path):
     assert list_versions(spark, table) == [1, 2]  # both syncs time-travelable
     assert final[3] == ("user3-renamed", 2)
     assert final[0] == ("user0", 1)
+
+
+def test_incremental_rollup_example_runs(spark, capsys):
+    """The lakehouse-loop example must run end to end; its printed audit
+    section shows the incremental view equal to the full recompute (the
+    example prints both — equality is asserted structurally by q151's
+    oracle; here we pin that the demo executes and vacuums)."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "incremental_rollup", "/root/repo/examples/incremental_rollup.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    mod.run(spark, "/root/testdata/sf0.001")
+    out = capsys.readouterr().out
+    assert "snapshots_removed" in out
