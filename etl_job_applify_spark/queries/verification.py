@@ -23,7 +23,7 @@ from pyspark.sql import functions as F
 
 from ._util import tbl
 from ..dedup import minhash_lsh_pairs, ngram_jaccard_pairs, simhash_near_pairs
-from ..similarity import ann_topk_ivf, ann_topk_lsh, cosine_topk
+from ..similarity import ann_topk_ivf, ann_topk_lsh, ann_topk_pq, cosine_topk
 
 
 def _recall_row(exact_pairs: DataFrame, approx_pairs: DataFrame,
@@ -292,12 +292,37 @@ FROM lineitem GROUP BY l_returnflag
 """
 
 
+# --- q152: PQ/ADC recall vs exact ground truth ---------------------------
+# Product quantization (similarity/pq.py): ADC over 8-byte codes
+# shortlists 128 candidates, exact refine re-ranks them. Measured
+# recall@5: 0.92 at sf0.01, 0.76 at sf0.1 (deterministic for fixed
+# data) — the 0.6 floor is the regression gate, not a probabilistic
+# claim. Rows-only is avoided the usual way: the oracle recomputes the
+# query count and pins the boolean.
+
+
+def q152_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus, queries = _ann_split(spark, sf_dir)
+    exact = cosine_topk(corpus, queries, k=5)
+    approx = ann_topk_pq(
+        corpus, queries, k=5, m=8, k_codes=16, shortlist=128
+    )
+    return _recall_at_k_row(exact, approx, min_recall=0.6)
+
+
+_Q152_SQL = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_queries, true AS recall_ok
+FROM embeddings WHERE vec_id < 5
+"""
+
+
 QUERIES = {
     "q142_incremental_dedup": q142_incremental_dedup,
     "q76_minhash_verify": q76_minhash_verify,
     "q77_simhash_verify": q77_simhash_verify,
     "q78_ann_recall": q78_ann_recall,
     "q87_ivf_recall": q87_ivf_recall,
+    "q152_pq_recall": q152_pq_recall,
     "q79_hll_error": q79_hll_error,
     "q80_quantile_error": q80_quantile_error,
 }
@@ -308,6 +333,7 @@ ORACLE = {
     "q77_simhash_verify": _Q77_SQL,
     "q78_ann_recall": _Q78_SQL,
     "q87_ivf_recall": _Q87_SQL,
+    "q152_pq_recall": _Q152_SQL,
     "q79_hll_error": _Q79_SQL,
     "q80_quantile_error": _Q80_SQL,
 }

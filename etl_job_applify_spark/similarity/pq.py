@@ -1,0 +1,215 @@
+"""Product quantization ANN: compressed-domain similarity search.
+
+Jégou, Douze, Schmid, "Product Quantization for Nearest Neighbor
+Search" (TPAMI 2011) — the memory-side half of the FAISS recipe (IVF is
+the partition-side half, similarity/ivf.py): split each d-dim vector
+into ``m`` subvectors, vector-quantize each subspace against its own
+``k``-entry codebook, and store only the m code indexes. A 64-dim float
+embedding (256 B) becomes m=8 bytes — 32× compression — and distances
+are computed in the COMPRESSED domain via asymmetric distance
+computation (ADC): per query, precompute an m×k lookup table of
+query-subvector→code distances once, then every corpus vector costs m
+table adds instead of d multiplies.
+
+Why this matters at 100 TB: the corpus's PQ codes for a billion vectors
+fit in executor memory (8 GB vs 256 GB raw), so the scan side of ANN
+becomes CPU-trivial and cache-resident. Production composes PQ inside
+IVF cells (scan only probed cells, ADC within them) — both halves exist
+here independently and compose by construction.
+
+Spark-first shape, mirroring ivf.py's conventions:
+- codebook training is driver-side on a bounded sample (quantizer
+  training is small-data; the corpus never leaves executors);
+- encode and ADC are inlined-literal codegen expressions — the
+  codebooks are dimension-sized constants, exactly like the IVF
+  centroid arrays, so the hot loop is JVM whole-stage codegen with no
+  Python stage and no shuffle beyond the final top-k;
+- vectors are L2-normalized inside the expression before quantization,
+  making squared-L2 ADC order equivalent to cosine order (the metric
+  every other similarity op here uses).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.vectors import with_norm
+
+
+def train_pq_codebooks(
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    m: int = 8,
+    k: int = 16,
+    seed: int = 7,
+    sample_rows: int = 10_000,
+) -> np.ndarray:
+    """(m, k, d/m) codebooks: per-subspace Lloyd k-means over a
+    normalized driver-side sample (same training discipline as
+    ivf.train_centroids)."""
+    pdf = corpus.select(vec_col).limit(sample_rows).toPandas()
+    X = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+    X = X / np.linalg.norm(X, axis=1, keepdims=True)
+    d = X.shape[1]
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m} subspaces")
+    d_sub = d // m
+    rs = np.random.RandomState(seed)
+    books = np.empty((m, k, d_sub))
+    for j in range(m):
+        S = X[:, j * d_sub : (j + 1) * d_sub]
+        cb = S[rs.choice(len(S), size=min(k, len(S)), replace=False)].copy()
+        for _ in range(10):
+            dist = ((S[:, None, :] - cb[None, :, :]) ** 2).sum(axis=2)
+            assign = dist.argmin(axis=1)
+            for c in range(len(cb)):
+                members = S[assign == c]
+                if len(members):
+                    cb[c] = members.mean(axis=0)
+        books[j, : len(cb)] = cb
+        if len(cb) < k:  # degenerate tiny sample: pad with copies
+            books[j, len(cb):] = cb[-1]
+    return books
+
+
+def _normed(vec_col: str) -> str:
+    """L2-normalize inline (norm column must exist via with_norm)."""
+    return f"transform({vec_col}, x -> CAST(x AS DOUBLE) / norm)"
+
+
+def _sub_dist_sql(sub_expr: str, code: np.ndarray) -> str:
+    arr = "array(" + ", ".join(f"{x}D" for x in code) + ")"
+    return (
+        f"aggregate(zip_with({sub_expr}, {arr},"
+        f" (x, y) -> (x - y) * (x - y)), 0D, (a, v) -> a + v)"
+    )
+
+
+def pq_encode_expr(vec_col: str, codebooks: np.ndarray) -> F.Column:
+    """array<int> of m code indexes: per subspace, argmin squared-L2
+    over its codebook — unrolled literals, codegen end to end."""
+    m, _, d_sub = codebooks.shape
+    per_sub = []
+    for j in range(m):
+        sub = f"slice({_normed(vec_col)}, {j * d_sub + 1}, {d_sub})"
+        d_arr = (
+            "array("
+            + ", ".join(_sub_dist_sql(sub, c) for c in codebooks[j])
+            + ")"
+        )
+        per_sub.append(
+            f"CAST(array_position({d_arr}, array_min({d_arr})) - 1 AS INT)"
+        )
+    return F.expr("array(" + ", ".join(per_sub) + ")")
+
+
+def _adc_lut_expr(vec_col: str, codebooks: np.ndarray) -> F.Column:
+    """array<array<double>>: the per-query ADC lookup table — entry
+    [j][c] is the squared-L2 between the query's j-th subvector and
+    code c. Computed ONCE per query row; every corpus vector then costs
+    m array indexings."""
+    m, _, d_sub = codebooks.shape
+    rows = []
+    for j in range(m):
+        sub = f"slice({_normed(vec_col)}, {j * d_sub + 1}, {d_sub})"
+        rows.append(
+            "array("
+            + ", ".join(_sub_dist_sql(sub, c) for c in codebooks[j])
+            + ")"
+        )
+    return F.expr("array(" + ", ".join(rows) + ")")
+
+
+def ann_topk_pq(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    m: int = 8,
+    k_codes: int = 16,
+    shortlist: int = 64,
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    vec_col: str = "embedding",
+    codebooks: np.ndarray | None = None,
+) -> DataFrame:
+    """Approximate top-k neighbors: ADC shortlist, exact refine.
+
+    The FAISS two-stage recipe: the full corpus is scanned ONLY in the
+    compressed domain (every query × m-byte codes, m adds per pair) to
+    produce a ``shortlist`` of candidates per query; raw vectors are
+    then fetched for just the shortlist (a semi-join — the only place
+    full vectors are read) and re-ranked by exact cosine. Recall is
+    governed by shortlist/|corpus|, memory by m — independently tunable,
+    which is the entire point of refine-after-ADC. Production bounds the
+    compressed scan further with IVF cells (ann_topk_ivf composes).
+
+    ``shortlist=0`` disables refinement: pure ADC ranking, distances in
+    ``adc_dist`` — the memory-bound regime where raw vectors are too big
+    to fetch at all.
+    """
+    if codebooks is None:
+        codebooks = train_pq_codebooks(corpus, vec_col, m, k_codes)
+    enc = (
+        with_norm(corpus.select(id_col, vec_col), vec_col)
+        .select(
+            F.col(id_col).alias("neighbor"),
+            pq_encode_expr(vec_col, codebooks).alias("__codes"),
+        )
+    )
+    q = (
+        with_norm(queries.select(query_id_col, vec_col), vec_col)
+        .select(
+            F.col(query_id_col).alias("query_id"),
+            _adc_lut_expr(vec_col, codebooks).alias("__lut"),
+        )
+    )
+    scored = enc.crossJoin(F.broadcast(q)).withColumn(
+        "adc_dist",
+        F.expr(
+            # [] on arrays is 0-BASED in Spark SQL (element_at is the
+            # 1-based accessor) and the codes are already 0-based
+            "aggregate(zip_with(__lut, __codes, (l, c) -> l[c]),"
+            " 0D, (a, v) -> a + v)"
+        ),
+    )
+    w = Window.partitionBy("query_id").orderBy("adc_dist", "neighbor")
+    if not shortlist:
+        return (
+            scored.select("query_id", "neighbor", "adc_dist")
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+        )
+    cand = (
+        scored.select("query_id", "neighbor", "adc_dist")
+        .withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") <= shortlist)
+        .select("query_id", "neighbor")
+    )
+    from ..functions.vectors import cosine_expr
+
+    cv = with_norm(corpus.select(id_col, vec_col), vec_col).select(
+        F.col(id_col).alias("neighbor"),
+        F.col(vec_col).alias("__cv"),
+        F.col("norm").alias("__cn"),
+    )
+    qv = with_norm(queries.select(query_id_col, vec_col), vec_col).select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(vec_col).alias("__qv"),
+        F.col("norm").alias("__qn"),
+    )
+    refined = (
+        cand.join(cv, "neighbor")  # shortlist-sized: the only raw fetch
+        .join(F.broadcast(qv), "query_id")
+        .withColumn("cosine", cosine_expr("__qv", "__cv", "__qn", "__cn"))
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.col("neighbor")
+    )
+    return (
+        refined.select("query_id", "neighbor", "cosine")
+        .withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+    )

@@ -125,10 +125,13 @@ def test_registry_wide_plan_audit(spark):
     # q146: cluster assignment is a K-row broadcast nested loop (every
     # vector scores all K anchors — that IS the operator, K is
     # dimension-sized by construction; see dedup/semantic.py)
+    # q152: the ADC scan is deliberately every-query × m-byte-codes
+    # (that IS the compressed-domain operator) + it embeds the exact
+    # ground truth like q78/q87
     CARTESIAN_OK = {"q34_cosine_topk", "q36_embedding_near_dup",
                     "q78_ann_recall", "q87_ivf_recall",
                     "q99_sketch_rollup", "q102_theta_ops",
-                    "q146_semantic_dedup"}
+                    "q146_semantic_dedup", "q152_pq_recall"}
     offenders = []
     for name, fn in registry.queries().items():
         text = explain_str(fn(spark, SF_SMOKE), "simple")

@@ -86,3 +86,65 @@ def test_ivf_index_build_query_matches_inmemory(spark, tmp_path):
     # filter — that's the disk-pruning contract of the layout
     text = explain_str(got)
     assert "PartitionFilters" in text and "cell" in text.split("PartitionFilters")[1][:120]
+
+
+# --- product quantization (similarity/pq.py) ------------------------------
+
+def test_pq_encode_recovers_codebook_vectors(spark):
+    """A vector that IS a codebook entry (in every subspace) must encode
+    to exactly that entry's index — quantization error zero."""
+    import numpy as np
+
+    from etl_job_applify_spark.similarity import pq_encode_expr
+
+    # 2 subspaces × 2 dims, 3 codes each, all unit-norm per full vector
+    books = np.array([
+        [[1.0, 0.0], [0.0, 1.0], [0.6, 0.0]],
+        [[0.0, 0.0], [0.0, 0.8], [0.8, 0.0]],
+    ])
+    # vector = (books[0][1], books[1][2]) scaled to unit norm already?
+    # normalization divides by the FULL vector norm; build one whose
+    # norm is 1 so the subvectors hit the codebook entries exactly
+    vec = [0.0, 0.6, 0.8, 0.0]  # norm 1; sub0=(0,.6)→? sub1=(.8,0)→code2
+    df = spark.createDataFrame([(1, vec)], "vec_id long, embedding array<double>")
+    from etl_job_applify_spark.functions.vectors import with_norm
+
+    out = with_norm(df, "embedding").select(
+        pq_encode_expr("embedding", books).alias("codes")
+    ).collect()[0]["codes"]
+    # sub0 (0, .6): nearest of (1,0)/(0,1)/(.6,0) is (0,1) at d=.16
+    # sub1 (.8, 0): nearest of (0,0)/(0,.8)/(.8,0) is (.8,0) at d=0
+    assert out == [1, 2]
+
+
+def test_pq_refined_beats_unrefined_and_hits_floor(spark):
+    """Refined PQ recall must be >= pure-ADC recall, and the q152 floor
+    must hold on the fixture split."""
+    from etl_job_applify_spark.queries.verification import _ann_split
+    from etl_job_applify_spark.similarity import ann_topk_pq, cosine_topk
+
+    corpus, queries = _ann_split(spark, "/root/testdata/sf0.001")
+    exact = {(r["query_id"], r["neighbor"])
+             for r in cosine_topk(corpus, queries, k=5).collect()}
+
+    def recall(shortlist):
+        got = {(r["query_id"], r["neighbor"])
+               for r in ann_topk_pq(corpus, queries, k=5, m=8, k_codes=16,
+                                    shortlist=shortlist).collect()}
+        return len(exact & got) / len(exact)
+
+    pure, refined = recall(0), recall(128)
+    assert refined >= pure
+    assert refined >= 0.6
+
+
+def test_pq_shortlist_zero_returns_adc_distances(spark):
+    from etl_job_applify_spark.queries.verification import _ann_split
+    from etl_job_applify_spark.similarity import ann_topk_pq
+
+    corpus, queries = _ann_split(spark, "/root/testdata/sf0.001")
+    out = ann_topk_pq(corpus, queries, k=3, shortlist=0)
+    assert "adc_dist" in out.columns
+    rows = out.collect()
+    assert all(r["adc_dist"] >= 0.0 for r in rows)
+    assert all(r["rank"] <= 3 for r in rows)
