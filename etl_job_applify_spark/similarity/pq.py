@@ -213,3 +213,102 @@ def ann_topk_pq(
         .withColumn("rank", F.row_number().over(w2))
         .filter(F.col("rank") <= k)
     )
+
+
+def ann_topk_ivfpq(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    num_cells: int = 16,
+    nprobe: int = 4,
+    m: int = 8,
+    k_codes: int = 16,
+    shortlist: int = 64,
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    vec_col: str = "embedding",
+    seed: int = 7,
+) -> DataFrame:
+    """IVF×PQ: the composed FAISS index, both halves of the recipe at
+    once — coarse cells bound WHICH vectors are scanned (nprobe/num_cells
+    of the corpus), PQ codes bound WHAT the scan costs per vector (m
+    adds on 8-byte codes), and the exact-refine stage re-ranks the
+    shortlist so recall stays a tunable, not a casualty. At 100 TB this
+    is the layout that makes billion-vector ANN an interactive query:
+    cells are disk partitions (see build_ivf_index), codes are the only
+    thing resident, raw vectors are fetched for ``shortlist`` rows per
+    query.
+
+    The equi-join on the probed cell REPLACES the pure-PQ path's gated
+    cross join — composition upgrades the plan shape, which is the
+    point of proving it with a test rather than asserting it in prose.
+    """
+    from .ivf import _centroid_assign_expr, _centroid_dists_sql, train_centroids
+
+    centroids = train_centroids(corpus, vec_col, num_cells, seed)
+    codebooks = train_pq_codebooks(corpus, vec_col, m, k_codes, seed)
+
+    enc = (
+        with_norm(corpus.select(id_col, vec_col), vec_col)
+        .withColumn("cell", _centroid_assign_expr(vec_col, centroids))
+        .select(
+            "cell",
+            F.col(id_col).alias("neighbor"),
+            pq_encode_expr(vec_col, codebooks).alias("__codes"),
+        )
+    )
+    d_arr = _centroid_dists_sql(vec_col, centroids)
+    probe_cells = (
+        f"transform(slice(array_sort(transform({d_arr},"
+        f" (d, i) -> struct(d AS dist, i AS idx))), 1, {nprobe}), s -> s.idx)"
+    )
+    q = (
+        with_norm(queries.select(query_id_col, vec_col), vec_col)
+        .withColumn("__probe", F.explode(F.expr(probe_cells)))
+        .withColumn("cell", F.col("__probe").cast("int"))
+        .select(
+            "cell",
+            F.col(query_id_col).alias("query_id"),
+            _adc_lut_expr(vec_col, codebooks).alias("__lut"),
+        )
+    )
+    scored = enc.join(F.broadcast(q), "cell").withColumn(
+        "adc_dist",
+        F.expr(
+            "aggregate(zip_with(__lut, __codes, (l, c) -> l[c]),"
+            " 0D, (a, v) -> a + v)"
+        ),
+    )
+    w = Window.partitionBy("query_id").orderBy("adc_dist", "neighbor")
+    cand = (
+        scored.select("query_id", "neighbor", "adc_dist")
+        .distinct()
+        .withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") <= shortlist)
+        .select("query_id", "neighbor")
+    )
+    from ..functions.vectors import cosine_expr
+
+    cv = with_norm(corpus.select(id_col, vec_col), vec_col).select(
+        F.col(id_col).alias("neighbor"),
+        F.col(vec_col).alias("__cv"),
+        F.col("norm").alias("__cn"),
+    )
+    qv = with_norm(queries.select(query_id_col, vec_col), vec_col).select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(vec_col).alias("__qv"),
+        F.col("norm").alias("__qn"),
+    )
+    refined = (
+        cand.join(cv, "neighbor")
+        .join(F.broadcast(qv), "query_id")
+        .withColumn("cosine", cosine_expr("__qv", "__cv", "__qn", "__cn"))
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.col("neighbor")
+    )
+    return (
+        refined.select("query_id", "neighbor", "cosine")
+        .withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+    )

@@ -131,7 +131,8 @@ def test_registry_wide_plan_audit(spark):
     CARTESIAN_OK = {"q34_cosine_topk", "q36_embedding_near_dup",
                     "q78_ann_recall", "q87_ivf_recall",
                     "q99_sketch_rollup", "q102_theta_ops",
-                    "q146_semantic_dedup", "q152_pq_recall"}
+                    "q146_semantic_dedup", "q152_pq_recall",
+                    "q153_ivfpq_recall"}
     offenders = []
     for name, fn in registry.queries().items():
         text = explain_str(fn(spark, SF_SMOKE), "simple")
@@ -182,3 +183,22 @@ def test_jaccard_postings_exchange_reused(spark):
     # persist in dedup/jaccard.py); a regression would show repeated
     # full Project/Generate pipelines instead
     assert "InMemoryTableScan" in text or "ReusedExchange" in text
+
+
+def test_ivfpq_replaces_cross_join_with_cell_equi_join(spark):
+    """Composing PQ inside IVF upgrades the plan shape: the pure-PQ ADC
+    scan is a gated cross join, the composed index joins on the probed
+    cell — no CartesianProduct / BroadcastNestedLoopJoin anywhere in
+    the standalone operator's plan."""
+    from etl_job_applify_spark.queries._util import tbl
+    from etl_job_applify_spark.queries.verification import _ann_split
+    from etl_job_applify_spark.similarity import ann_topk_ivfpq
+
+    corpus, queries = _ann_split(spark, SF_SMOKE)
+    text = explain_str(
+        ann_topk_ivfpq(corpus, queries, k=3, nprobe=4, shortlist=16),
+        "simple",
+    )
+    assert "CartesianProduct" not in text
+    assert "BroadcastNestedLoopJoin" not in text
+    assert "BroadcastHashJoin" in text  # probed-cell equi-join broadcasts
