@@ -445,9 +445,72 @@ WHERE n_words BETWEEN 30 AND 10000
 """
 
 
+# --- q154: declarative data-quality suite (Deequ-style, one scan) --------
+# transform/quality.py compiles the rule list to ONE aggregate pass —
+# completeness, uniqueness, bounds-compliance, pattern and membership
+# fractions all ride a single scan, then stack() to a row per rule.
+# The oracle recomputes each metric relationally, so the compiled
+# aggregate must be value-faithful rule by rule.
+
+_Q154_RULES = [
+    {"type": "completeness", "column": "o_orderstatus", "min": 1.0},
+    {"type": "uniqueness", "column": "o_orderkey", "min": 1.0},
+    {"type": "bounds", "column": "o_totalprice", "lo": 0, "hi": 300000},
+    {"type": "pattern", "column": "o_orderpriority", "regex": "^[1-5]-",
+     "min": 1.0},
+    {"type": "member", "column": "o_orderstatus", "allowed": ["F", "O", "P"],
+     "min": 1.0},
+]
+
+
+def q154_data_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..transform.quality import check_rules
+
+    return check_rules(tbl(spark, sf_dir, "orders"), _Q154_RULES)
+
+
+_Q154_SQL = """
+SELECT 'completeness(o_orderstatus)' AS rule, 'o_orderstatus' AS "column",
+       CAST(COUNT(o_orderstatus) AS DOUBLE) / COUNT(*) AS metric,
+       CAST(COUNT(o_orderstatus) AS DOUBLE) / COUNT(*) >= 1.0 AS passed
+FROM orders
+UNION ALL
+SELECT 'uniqueness(o_orderkey)', 'o_orderkey',
+       CAST(COUNT(DISTINCT o_orderkey) AS DOUBLE) / COUNT(o_orderkey),
+       CAST(COUNT(DISTINCT o_orderkey) AS DOUBLE) / COUNT(o_orderkey) >= 1.0
+FROM orders
+UNION ALL
+SELECT 'bounds(o_totalprice)', 'o_totalprice',
+       CAST(SUM(CASE WHEN o_totalprice BETWEEN 0 AND 300000
+                     THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(o_totalprice),
+       CAST(SUM(CASE WHEN o_totalprice BETWEEN 0 AND 300000
+                     THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(o_totalprice)
+         >= 1.0
+FROM orders
+UNION ALL
+SELECT 'pattern(o_orderpriority)', 'o_orderpriority',
+       CAST(SUM(CASE WHEN regexp_matches(o_orderpriority, '^[1-5]-')
+                     THEN 1 ELSE 0 END) AS DOUBLE)
+         / COUNT(o_orderpriority),
+       CAST(SUM(CASE WHEN regexp_matches(o_orderpriority, '^[1-5]-')
+                     THEN 1 ELSE 0 END) AS DOUBLE)
+         / COUNT(o_orderpriority) >= 1.0
+FROM orders
+UNION ALL
+SELECT 'member(o_orderstatus)', 'o_orderstatus',
+       CAST(SUM(CASE WHEN o_orderstatus IN ('F', 'O', 'P')
+                     THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(o_orderstatus),
+       CAST(SUM(CASE WHEN o_orderstatus IN ('F', 'O', 'P')
+                     THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(o_orderstatus)
+         >= 1.0
+FROM orders
+"""
+
+
 QUERIES = {
     "q117_gopher_rules": q117_gopher_rules,
     "q149_curation_funnel": q149_curation_funnel,
+    "q154_data_quality": q154_data_quality,
     "q118_mix_weights": q118_mix_weights,
     "q119_hash_split": q119_hash_split,
     "q120_rare_word_score": q120_rare_word_score,
@@ -458,6 +521,7 @@ QUERIES = {
 ORACLE = {
     "q117_gopher_rules": _Q117_SQL,
     "q149_curation_funnel": _Q149_SQL,
+    "q154_data_quality": _Q154_SQL,
     "q118_mix_weights": _Q118_SQL,
     "q119_hash_split": _Q119_SQL,
     "q120_rare_word_score": _Q120_SQL,

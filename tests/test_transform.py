@@ -165,3 +165,58 @@ def test_contract_quarantine_catches_silent_cast_nulls(spark):
     quarantined = {r["id"]: r["__bad_columns"] for r in bad.collect()}
     assert quarantined == {"x": "id", "3": "dt"}
     assert set(bad.columns) == {"id", "d", "__bad_columns"}
+
+
+# --- declarative data-quality checks (transform/quality.py) ---------------
+
+def test_quality_rules_single_scan_metrics(spark):
+    from etl_job_applify_spark.transform.quality import check_rules
+
+    df = spark.createDataFrame(
+        [(1, "a@x.com", 5.0), (2, "b@y.org", 15.0), (3, None, 8.0),
+         (3, "bad", None)],
+        "id long, email string, v double",
+    )
+    out = {r["rule"]: (round(r["metric"], 6), r["passed"])
+           for r in check_rules(df, [
+               {"type": "completeness", "column": "email", "min": 0.7},
+               {"type": "uniqueness", "column": "id", "min": 1.0},
+               {"type": "bounds", "column": "v", "lo": 0, "hi": 10},
+               {"type": "pattern", "column": "email",
+                "regex": "^[^@]+@[^@]+$", "min": 0.6},
+           ]).collect()}
+    assert out["completeness(email)"] == (0.75, True)
+    assert out["uniqueness(id)"] == (0.75, False)       # dup id=3
+    assert out["bounds(v)"] == (0.666667, False)        # 15.0 out of range
+    assert out["pattern(email)"] == (0.666667, True)    # 'bad' fails regex
+
+    # exactly ONE aggregate pass: no joins/unions of scans in the plan
+    from etl_job_applify_spark.plans import explain_str
+
+    plan = explain_str(check_rules(df, [
+        {"type": "completeness", "column": "email"},
+        {"type": "bounds", "column": "v", "lo": 0, "hi": 10},
+    ]), "simple")
+    assert "Union" not in plan and "Join" not in plan
+
+
+def test_quality_gate_raises_with_failing_metrics(spark):
+    import pytest
+
+    from etl_job_applify_spark.transform.quality import assert_rules
+
+    df = spark.createDataFrame([(1,), (1,)], "id long")
+    with pytest.raises(ValueError, match="uniqueness"):
+        assert_rules(df, [{"type": "uniqueness", "column": "id"}])
+    assert_rules(df, [{"type": "completeness", "column": "id"}])  # passes
+
+
+def test_quality_empty_input_fails_closed(spark):
+    from etl_job_applify_spark.transform.quality import check_rules
+
+    df = spark.createDataFrame([], "id long, v double")
+    out = {r["rule"]: r["passed"] for r in check_rules(df, [
+        {"type": "completeness", "column": "id"},
+        {"type": "bounds", "column": "v", "lo": 0, "hi": 1},
+    ]).collect()}
+    assert out == {"completeness(id)": False, "bounds(v)": False}
