@@ -155,6 +155,19 @@ def build_job(spec: dict[str, Any]) -> Pipeline:
     if "dedup" in spec:
         subset = (spec["dedup"] or {}).get("subset")
         transforms.append(lambda df: exact_dedup(df, subset))
+    if spec.get("quality"):
+        # publish gate: the quality suite runs as the LAST transform, so
+        # a failing dataset never reaches the sink (one extra scan —
+        # all rules ride a single aggregate, transform/quality.py)
+        rules = spec["quality"]
+
+        def _gate(df):
+            from .transform.quality import assert_rules
+
+            assert_rules(df, rules)
+            return df
+
+        transforms.append(_gate)
     return Pipeline(
         extract=_build_extract(spec["source"]),
         transforms=transforms,

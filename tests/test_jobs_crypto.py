@@ -155,3 +155,32 @@ def test_stream_job_spec_incremental(spark, tmp_path):
     run_stream_job(spark, spec)
     back = spark.read.parquet(spec["sink"]["path"])
     assert {r["id"] for r in back.collect()} == {1, 2, 3, 9}
+
+
+def test_job_quality_gate_blocks_bad_data(spark, tmp_path):
+    """A job spec with a 'quality' suite must refuse to publish a
+    dataset that fails a rule, and pass through one that doesn't."""
+    import pytest
+
+    from etl_job_applify_spark.jobs import run_job
+
+    src = str(tmp_path / "src")
+    spark.createDataFrame(
+        [(1, 5.0), (2, 500.0)], "id long, v double"
+    ).write.parquet(src)
+    sink = str(tmp_path / "out")
+
+    bad = {
+        "source": {"type": "parquet", "path": src},
+        "quality": [{"type": "bounds", "column": "v", "lo": 0, "hi": 100}],
+        "sink": {"type": "parquet", "path": sink},
+    }
+    with pytest.raises(ValueError, match="data-quality gate"):
+        run_job(spark, bad)
+    import os
+
+    assert not os.path.exists(os.path.join(sink, "_SUCCESS"))
+
+    ok = dict(bad, quality=[{"type": "completeness", "column": "id"}])
+    run_job(spark, ok)
+    assert spark.read.parquet(sink).count() == 2
