@@ -496,23 +496,31 @@ def fold_rollup_batch(
     rollup_path: str,
     keys: list[str],
     measures: dict,
+    writer_id: str = "stream",
 ) -> bool:
     """Fold ONE micro-batch's aggregated increment into a versioned
     rollup table, exactly once. Returns True if folded, False if this
-    epoch was already folded (replay).
+    (writer, epoch) was already folded (replay).
 
     foreachBatch delivery is at-least-once; exactly-once folding comes
-    from epoch fencing made ATOMIC with the CAS commit: the folded epoch
-    id rides inside the published snapshot as an ``_epoch_<id>`` marker
-    written to the staging directory BEFORE the rename, so "epoch
-    folded" and "rollup advanced" are one filesystem event — there is no
-    crash window where one happened without the other (contrast the
-    incremental-dedup stream's documented at-least-once appends). A
-    losing race against a concurrent writer re-reads the new head and
-    retries; replayed epochs are detected off the live snapshot's marker
-    and skipped."""
+    from epoch fencing made ATOMIC with the CAS commit: every folded
+    (writer, epoch) pair rides inside the published snapshot as an
+    ``_epoch_<writer>_<id>`` marker written to the staging directory
+    BEFORE the rename, so "epoch folded" and "rollup advanced" are one
+    filesystem event — there is no crash window where one happened
+    without the other (contrast the incremental-dedup stream's
+    documented at-least-once appends). The fence is the SET of folded
+    pairs, carried forward into every successor snapshot — not a
+    max-epoch watermark, which would silently DROP the loser when two
+    writers race out of epoch order (a commit-race test caught exactly
+    that). A losing race re-reads the new head (whose marker set now
+    includes the winner) and retries; replays are detected off the live
+    snapshot's set and skipped. ``writer_id`` namespaces the fence so
+    independent streams can maintain one rollup without epoch-id
+    collisions."""
     import glob
     import os
+    import shutil
 
     from ..operators.incremental import aggregate_increment, merge_rollup
     from ..sinks.versioned import (
@@ -522,19 +530,17 @@ def fold_rollup_batch(
         read_table,
     )
 
+    mark = f"_epoch_{writer_id}_{epoch_id}"
     spark = batch_df.sparkSession
     inc = aggregate_increment(batch_df, keys, measures)
     while True:
         versions = list_versions(spark, rollup_path)
         base_version = versions[-1] if versions else 0
+        prior_marks: list[str] = []
         if base_version:
             snap = f"{rollup_path}/snap_{base_version:08d}"
-            marks = glob.glob(os.path.join(snap, "_epoch_*"))
-            folded = max(
-                (int(os.path.basename(m).rsplit("_", 1)[1]) for m in marks),
-                default=-1,
-            )
-            if epoch_id <= folded:
+            prior_marks = glob.glob(os.path.join(snap, "_epoch_*"))
+            if any(os.path.basename(p) == mark for p in prior_marks):
                 return False  # replayed batch: already in the rollup
             base = read_table(spark, rollup_path)
         else:
@@ -543,8 +549,11 @@ def fold_rollup_batch(
 
         def populate(staging: str) -> None:
             merged.write.mode("overwrite").parquet(staging)
-            # the fence rides in the snapshot: atomic with the rename
-            open(os.path.join(staging, f"_epoch_{epoch_id}"), "w").close()
+            # the fence rides in the snapshot: atomic with the rename.
+            # Carry the full folded set forward, then add this epoch.
+            for p in prior_marks:
+                shutil.copy(p, os.path.join(staging, os.path.basename(p)))
+            open(os.path.join(staging, mark), "w").close()
 
         try:
             commit_staged(spark, rollup_path, base_version, populate)
