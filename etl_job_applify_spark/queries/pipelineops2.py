@@ -507,10 +507,95 @@ FROM orders
 """
 
 
+# --- q155: train/test leakage audit ---------------------------------------
+# The QA step after splitting: content-hash splitting (q119) makes
+# EXACT-dup leakage structurally impossible (identical text → identical
+# hash → same split), but NEAR-dups can still straddle a boundary — a
+# model evaluated on a test doc whose 0.9-jaccard twin sat in train is
+# contaminated. This audit joins the capped near-dup pairs (q31's exact
+# pipeline) with the split assignment and reports, per split pair, how
+# many near-dup edges cross it (diagonal rows = safe same-split dups).
+# At scale this is the dedup pass's cost plus one broadcast-sized join —
+# it reuses the postings machinery, adding no new shuffle class.
+
+_Q155_THRESHOLD = 0.5
+
+
+def q155_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..dedup import ngram_jaccard_pairs
+    from ..transform.sampling import content_hash_split
+
+    docs = tbl(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(
+        docs, n=3, threshold=_Q155_THRESHOLD, max_doc_freq=50
+    )
+    splits = content_hash_split(docs).select("doc_id", "split")
+    sa = splits.select(
+        F.col("doc_id").alias("a"), F.col("split").alias("split_a")
+    )
+    sb = splits.select(
+        F.col("doc_id").alias("b"), F.col("split").alias("split_b")
+    )
+    return (
+        pairs.join(F.broadcast(sa), "a")
+        .join(F.broadcast(sb), "b")
+        .groupBy("split_a", "split_b")
+        .agg(
+            F.count("*").cast("bigint").alias("n_pairs"),
+            F.sum((F.col("split_a") != F.col("split_b")).cast("long"))
+            .cast("bigint")
+            .alias("n_leaks"),
+        )
+        .orderBy("split_a", "split_b")
+    )
+
+
+_Q155_SQL = """
+WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+sh0 AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(range(1, greatest(len(t) - 2, 0) + 1),
+                i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) AS sh
+  FROM tok WHERE len(t) >= 3
+),
+keep AS (SELECT sh FROM sh0 GROUP BY sh HAVING COUNT(*) <= 50),
+sh AS (SELECT s.doc_id, s.sh FROM sh0 s JOIN keep USING (sh)),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+pairs AS (
+  SELECT a, b FROM (
+    SELECT s1.doc_id AS a, s2.doc_id AS b, COUNT(*) AS common
+    FROM sh s1 JOIN sh s2 ON s1.sh = s2.sh AND s1.doc_id < s2.doc_id
+    GROUP BY 1, 2
+  ) c
+  JOIN sizes sa ON sa.doc_id = a
+  JOIN sizes sb ON sb.doc_id = b
+  WHERE common / (sa.sz + sb.sz - common) >= 0.5
+),
+splits AS (
+  SELECT doc_id,
+         CASE WHEN strpos('0123456789abcdef', substr(md5(text), 1, 1)) - 1 < 13
+              THEN 'train'
+              WHEN strpos('0123456789abcdef', substr(md5(text), 1, 1)) - 1 < 15
+              THEN 'val' ELSE 'test' END AS split
+  FROM documents
+)
+SELECT za.split AS split_a, zb.split AS split_b,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(SUM(CASE WHEN za.split <> zb.split THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_leaks
+FROM pairs
+JOIN splits za ON za.doc_id = a
+JOIN splits zb ON zb.doc_id = b
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
 QUERIES = {
     "q117_gopher_rules": q117_gopher_rules,
     "q149_curation_funnel": q149_curation_funnel,
     "q154_data_quality": q154_data_quality,
+    "q155_leakage_audit": q155_leakage_audit,
     "q118_mix_weights": q118_mix_weights,
     "q119_hash_split": q119_hash_split,
     "q120_rare_word_score": q120_rare_word_score,
@@ -522,6 +607,7 @@ ORACLE = {
     "q117_gopher_rules": _Q117_SQL,
     "q149_curation_funnel": _Q149_SQL,
     "q154_data_quality": _Q154_SQL,
+    "q155_leakage_audit": _Q155_SQL,
     "q118_mix_weights": _Q118_SQL,
     "q119_hash_split": _Q119_SQL,
     "q120_rare_word_score": _Q120_SQL,
