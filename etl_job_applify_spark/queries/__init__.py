@@ -25,10 +25,12 @@ from . import (
     relational2,
     relational3,
     relational4,
+    relational5,
     analytics,
     analytics2,
     textops,
     temporal,
+    timeseries,
     advanced,
     hof,
     verification,
@@ -46,10 +48,12 @@ _MODULES = [
     relational2,
     relational3,
     relational4,
+    relational5,
     analytics,
     analytics2,
     textops,
     temporal,
+    timeseries,
     advanced,
     hof,
     verification,

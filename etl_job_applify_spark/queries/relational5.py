@@ -1,0 +1,347 @@
+"""TPC-H shape completions: the six query shapes (Q4, Q6, Q12, Q16,
+Q20, Q21) that rounds 1-5 had not yet demonstrated, closing out all 22
+TPC-H query shapes against the fixture schema.
+
+The fixture lacks ``l_commitdate``/``l_receiptdate``/``l_shipmode`` and
+the ``partsupp`` table, so — as with q107-q116 — each query keeps the
+reference shape (the join/subquery/aggregation structure that exercises
+the optimizer) while adapting predicates to the columns that exist:
+"late" is ``l_shipdate`` more than N days after ``o_orderdate``, the
+ship mode is a deterministic derivation from ``l_linenumber``, and
+``partsupp`` is the distinct ``(l_partkey, l_suppkey)`` projection.
+
+Reference parity: the reference engine (C++ scaffold, see SURVEY.md §1)
+ships none of these; they are demanded by SURVEY.md §2b "joins /
+aggregations / subqueries" and graded as relational completeness.
+
+Determinism: counts are exact integers; revenue goes through the
+DECIMAL-accumulate idiom (queries/_util.py); ``l_quantity`` is
+integer-valued (1..50) so double sums of it are exact and
+order-independent, but sums still use DSUM for uniformity.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ._util import DSUM, dsum, tbl
+
+
+# --- q156: order-priority checking (TPC-H Q4 shape) ----------------------
+# How many orders per priority in one quarter had at least one late
+# line (shipped >60 days after the order date)? EXISTS realized as a
+# LEFT SEMI join carrying the non-equi lateness predicate alongside the
+# orderkey equality — still a hash/sort-merge equi-join with a residual
+# condition, never a nested loop.
+# Plan: orders is filtered to one quarter BEFORE the join (predicate
+# pushed to the scan), so the semi-join's build side is ~1/26th of
+# orders; lineitem streams past it on the orderkey shuffle. At 100 TB,
+# bucket both on orderkey to make this shuffle-free.
+
+def q156_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = tbl(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.expr("TIMESTAMP '1996-04-01'"))
+        & (F.col("o_orderdate") < F.expr("TIMESTAMP '1996-07-01'"))
+    )
+    li = tbl(spark, sf_dir, "lineitem")
+    late_orders = orders.join(
+        li,
+        (orders.o_orderkey == li.l_orderkey)
+        & (F.datediff(li.l_shipdate, orders.o_orderdate) > 60),
+        "left_semi",
+    )
+    return (
+        late_orders.groupBy("o_orderpriority")
+        .agg(F.count("*").cast("bigint").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+_Q156_SQL = """
+SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-04-01'
+  AND o_orderdate <  TIMESTAMP '1996-07-01'
+  AND EXISTS (
+    SELECT 1 FROM lineitem
+    WHERE l_orderkey = o_orderkey
+      AND datediff('day', o_orderdate, l_shipdate) > 60
+  )
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+# --- q157: forecasting revenue change (TPC-H Q6 shape) -------------------
+# The canonical scan-and-aggregate: one table, three pushed predicates,
+# one global sum — no join, no groupBy shuffle beyond the single-row
+# final agg. The plan to demand: PushedFilters on shipdate/discount/
+# quantity, two-column ReadSchema, partial+final agg.
+
+def q157_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = tbl(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.expr("TIMESTAMP '1997-01-01'"))
+            & (F.col("l_shipdate") < F.expr("TIMESTAMP '1998-01-01'"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        ).agg(dsum("l_extendedprice * l_discount", "revenue"))
+    )
+
+
+_Q157_SQL = f"""
+SELECT {DSUM('l_extendedprice * l_discount')} AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate <  TIMESTAMP '1998-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+
+# --- q158: shipping modes and order priority (TPC-H Q12 shape) -----------
+# Per derived ship mode, how many late 1997 lines carried urgent vs
+# non-urgent orders — the conditional-count (CASE-inside-SUM) aggregate
+# over a large-large join. Mode derives deterministically from
+# l_linenumber so both engines compute identical buckets.
+# Plan: ONE shuffle (lineitem ⋈ orders on orderkey); the mode CASE and
+# priority CASE are codegen'd expressions; final 3-row agg is a
+# broadcast-scale exchange.
+
+def q158_shipmode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = tbl(spark, sf_dir, "lineitem")
+    orders = tbl(spark, sf_dir, "orders")
+    mode = (
+        F.when(F.col("l_linenumber") % 3 == 0, "AIR")
+        .when(F.col("l_linenumber") % 3 == 1, "RAIL")
+        .otherwise("TRUCK")
+    )
+    urgent = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.expr("TIMESTAMP '1997-01-01'"))
+            & (F.col("l_shipdate") < F.expr("TIMESTAMP '1998-01-01'"))
+        )
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(F.datediff(F.col("l_shipdate"), F.col("o_orderdate")) > 90)
+        .groupBy(mode.alias("ship_mode"))
+        .agg(
+            F.sum(F.when(urgent, 1).otherwise(0))
+            .cast("bigint")
+            .alias("high_line_count"),
+            F.sum(F.when(urgent, 0).otherwise(1))
+            .cast("bigint")
+            .alias("low_line_count"),
+        )
+        .orderBy("ship_mode")
+    )
+
+
+_Q158_SQL = """
+SELECT CASE WHEN l_linenumber % 3 = 0 THEN 'AIR'
+            WHEN l_linenumber % 3 = 1 THEN 'RAIL'
+            ELSE 'TRUCK' END AS ship_mode,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate <  TIMESTAMP '1998-01-01'
+  AND datediff('day', o_orderdate, l_shipdate) > 90
+GROUP BY ship_mode
+ORDER BY ship_mode
+"""
+
+
+# --- q159: parts/supplier relationship (TPC-H Q16 shape) -----------------
+# Distinct-supplier counts per (brand, type, size) for qualifying parts,
+# excluding a "complaints" supplier set via NOT IN — realized as a
+# LEFT ANTI join against the (broadcast, dimension-sized) exclusion set.
+# partsupp is derived as the distinct (l_partkey, l_suppkey) projection.
+# Plan: the distinct projection is the only lineitem-sized shuffle; part
+# and the exclusion set broadcast; COUNT(DISTINCT) re-shuffles only the
+# already-reduced pair relation.
+
+def q159_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = tbl(spark, sf_dir, "lineitem")
+    part = tbl(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#13")
+        & (~F.col("p_type").startswith("PROMO"))
+        & (F.col("p_size").isin(1, 4, 9, 14, 19, 24, 29, 34))
+    )
+    complaints = tbl(spark, sf_dir, "supplier").filter(
+        F.col("s_suppkey") % 7 == 0
+    )
+    ps = li.select("l_partkey", "l_suppkey").distinct()
+    return (
+        ps.join(
+            F.broadcast(complaints),
+            ps.l_suppkey == complaints.s_suppkey,
+            "left_anti",
+        )
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").cast("bigint").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
+
+
+_Q159_SQL = """
+WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+SELECT p_brand, p_type, p_size,
+       CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM ps JOIN part ON p_partkey = l_partkey
+WHERE p_brand <> 'Brand#13'
+  AND p_type NOT LIKE 'PROMO%'
+  AND p_size IN (1, 4, 9, 14, 19, 24, 29, 34)
+  AND l_suppkey NOT IN (
+    SELECT s_suppkey FROM supplier WHERE s_suppkey % 7 = 0
+  )
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+"""
+
+
+# --- q160: potential part promotion (TPC-H Q20 shape) --------------------
+# Which suppliers have a repeat-shipment part (≥2 lines) whose entire
+# shipped quantity falls inside 1997? The Q20 nesting — IN (parts) +
+# correlated scalar-agg threshold per (part, supplier) — realized as a
+# pair-grained aggregate with conditional sums, a semi-join against the
+# part filter, and a final semi-join into supplier. (The textbook
+# "qty97 > 0.5 * total" threshold is vacuous on this fixture — most
+# pairs are single-line so every supplier qualifies; the all-in-1997
+# repeat-pair form keeps the identical nesting while actually
+# discriminating at every SF.)
+# Plan: one (partkey, suppkey) shuffle builds the line count and both
+# sums in a single pass (conditional aggregation instead of two scans);
+# part broadcast; supplier output is dimension-sized.
+# l_quantity is integer-valued so the double sums are exact.
+
+def q160_part_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = tbl(spark, sf_dir, "lineitem")
+    part = tbl(spark, sf_dir, "part").filter(F.col("p_name").startswith("large"))
+    supplier = tbl(spark, sf_dir, "supplier")
+    in97 = (F.col("l_shipdate") >= F.expr("TIMESTAMP '1997-01-01'")) & (
+        F.col("l_shipdate") < F.expr("TIMESTAMP '1998-01-01'")
+    )
+    pairs = (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"), "left_semi")
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.sum(F.when(in97, F.col("l_quantity")).otherwise(0.0)).alias("qty97"),
+            F.sum("l_quantity").alias("qty_all"),
+        )
+        .filter((F.col("n_lines") >= 2) & (F.col("qty97") == F.col("qty_all")))
+    )
+    return (
+        supplier.join(
+            pairs, supplier.s_suppkey == pairs.l_suppkey, "left_semi"
+        )
+        .select("s_suppkey", "s_name", "s_acctbal")
+        .orderBy("s_suppkey")
+    )
+
+
+_Q160_SQL = """
+SELECT s_suppkey, s_name, s_acctbal
+FROM supplier
+WHERE s_suppkey IN (
+  SELECT l_suppkey FROM lineitem
+  WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'large%')
+  GROUP BY l_partkey, l_suppkey
+  HAVING COUNT(*) >= 2
+     AND SUM(CASE WHEN l_shipdate >= TIMESTAMP '1997-01-01'
+                   AND l_shipdate <  TIMESTAMP '1998-01-01'
+                  THEN l_quantity ELSE 0 END) = SUM(l_quantity)
+)
+ORDER BY s_suppkey
+"""
+
+
+# --- q161: suppliers who kept orders waiting (TPC-H Q21 shape) -----------
+# For finished multi-supplier orders, count the late lines of the
+# UNIQUE late supplier (some other supplier contributed, no other
+# supplier was late). The oracle keeps Q21's EXISTS / NOT EXISTS text;
+# the DataFrame side is a genuinely different formulation — one
+# per-order aggregate computing (#distinct suppliers, #distinct late
+# suppliers, the late supplier, its late-line count) — so a same-text
+# bug cannot cancel in the hash compare.
+# Plan: one lineitem ⋈ orders shuffle on orderkey, then ONE per-order
+# aggregate replaces Q21's two correlated subqueries (each of which
+# would be its own join); supplier broadcasts onto the order-grained
+# result. This is the textbook "decorrelate EXISTS into a group-by"
+# rewrite, and it is strictly fewer shuffles than the literal plan.
+
+def q161_waiting_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = tbl(spark, sf_dir, "lineitem")
+    orders = tbl(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    supplier = tbl(spark, sf_dir, "supplier")
+    late = F.datediff(F.col("l_shipdate"), F.col("o_orderdate")) > 90
+    per_order = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_orderkey")
+        .agg(
+            F.countDistinct("l_suppkey").alias("n_supp"),
+            F.countDistinct(F.when(late, F.col("l_suppkey"))).alias(
+                "n_late_supp"
+            ),
+            F.min(F.when(late, F.col("l_suppkey"))).alias("late_supp"),
+            F.sum(F.when(late, 1).otherwise(0)).alias("late_lines"),
+        )
+        .filter((F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1))
+    )
+    return (
+        per_order.join(
+            F.broadcast(supplier),
+            per_order.late_supp == supplier.s_suppkey,
+        )
+        .groupBy("s_name")
+        .agg(F.sum("late_lines").cast("bigint").alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+    )
+
+
+_Q161_SQL = """
+SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+FROM supplier
+JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+JOIN orders ON o_orderkey = l1.l_orderkey
+WHERE o_orderstatus = 'F'
+  AND datediff('day', o_orderdate, l1.l_shipdate) > 90
+  AND EXISTS (
+    SELECT 1 FROM lineitem l2
+    WHERE l2.l_orderkey = l1.l_orderkey
+      AND l2.l_suppkey <> l1.l_suppkey
+  )
+  AND NOT EXISTS (
+    SELECT 1 FROM lineitem l3
+    WHERE l3.l_orderkey = l1.l_orderkey
+      AND l3.l_suppkey <> l1.l_suppkey
+      AND datediff('day', o_orderdate, l3.l_shipdate) > 90
+  )
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+"""
+
+
+QUERIES = {
+    "q156_order_priority": q156_order_priority,
+    "q157_forecast_revenue": q157_forecast_revenue,
+    "q158_shipmode_priority": q158_shipmode_priority,
+    "q159_supplier_part_counts": q159_supplier_part_counts,
+    "q160_part_promotion": q160_part_promotion,
+    "q161_waiting_orders": q161_waiting_orders,
+}
+ORACLE = {
+    "q156_order_priority": _Q156_SQL,
+    "q157_forecast_revenue": _Q157_SQL,
+    "q158_shipmode_priority": _Q158_SQL,
+    "q159_supplier_part_counts": _Q159_SQL,
+    "q160_part_promotion": _Q160_SQL,
+    "q161_waiting_orders": _Q161_SQL,
+}
