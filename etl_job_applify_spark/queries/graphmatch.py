@@ -522,12 +522,138 @@ def q129_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- q167: triangle counting on the co-purchase graph --------------------
+# Nodes are parts; an edge joins two parts that appear in the same order
+# (orders with more than 7 lines are dropped first — the skew cap that
+# bounds per-order pair fanout at C(7,2)=21, same discipline as q31's
+# shingle cap). Triangle counting is the canonical "join explosion"
+# graph kernel; the Spark side uses DEGREE-ORDERED ORIENTATION
+# (Schank/Wagner): every undirected edge is directed from its
+# lower-(degree, id) endpoint to the higher one, so a node's out-degree
+# — and therefore the wedge join's per-key fanout — is bounded by
+# O(sqrt(|E|)) even on power-law graphs. The oracle counts the same
+# triangles with the plain id-ordered a<b<c three-way self-join, so the
+# two formulations check each other.
+# Plan: pair enumeration is one groupBy(order) with in-group
+# combinations; the wedge join and the closing-edge semi join are
+# equi-joins on the oriented edge list. No cartesian anywhere.
+
+def q167_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = tbl(spark, sf_dir, "lineitem")
+    small_orders = (
+        li.groupBy("l_orderkey")
+        .agg(F.collect_set("l_partkey").alias("parts"))
+        .filter(F.size("parts") <= 7)
+    )
+    pairs = small_orders.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(parts, (x, i) ->"
+                " transform(slice(parts, i + 2, size(parts)), y ->"
+                " struct(least(x, y) AS a, greatest(x, y) AS b))))"
+            )
+        ).alias("e")
+    ).select("e.a", "e.b").filter(F.col("a") != F.col("b")).distinct()
+    # degree-ordered orientation: direct each edge toward the endpoint
+    # with the higher (degree, id) — bounds out-degree on skewed graphs
+    deg = (
+        pairs.select(F.col("a").alias("v"))
+        .unionAll(pairs.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count("*").alias("d"))
+    )
+    e = (
+        pairs.join(deg.withColumnRenamed("v", "a").withColumnRenamed("d", "da"), "a")
+        .join(deg.withColumnRenamed("v", "b").withColumnRenamed("d", "db"), "b")
+        .select(
+            F.when(
+                (F.col("da") < F.col("db"))
+                | ((F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))),
+                F.struct(F.col("a").alias("src"), F.col("b").alias("dst")),
+            )
+            .otherwise(
+                F.struct(F.col("b").alias("src"), F.col("a").alias("dst"))
+            )
+            .alias("e")
+        )
+        .select("e.src", "e.dst")
+    )
+    e1 = e.alias("e1")
+    e2 = e.alias("e2")
+    wedges = (
+        e1.join(e2, F.col("e1.src") == F.col("e2.src"))
+        .filter(F.col("e1.dst") < F.col("e2.dst"))
+        .select(
+            F.col("e1.dst").alias("u"),
+            F.col("e2.dst").alias("w"),
+        )
+    )
+    # closing edge may be oriented either way between u and w
+    closing = e.select(
+        F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("w")
+    )
+    tri = wedges.select(
+        F.least("u", "w").alias("u"), F.greatest("u", "w").alias("w")
+    ).join(closing, ["u", "w"], "inner")
+    n_edges = pairs.count()
+    n_tri = tri.count()
+    open_wedges = (
+        deg.agg(F.sum(F.expr("d * (d - 1) / 2")).cast("bigint")).first()[0]
+    )
+    out = spark.createDataFrame(
+        [(n_edges, n_tri, int(open_wedges))],
+        "n_edges bigint, n_triangles bigint, n_wedges bigint",
+    )
+    return out.withColumn(
+        "global_clustering",
+        F.expr(
+            "CAST(3 * n_triangles AS DOUBLE) / CAST(n_wedges AS DOUBLE)"
+        ),
+    )
+
+
+_Q167_SQL = """
+WITH small_orders AS (
+  SELECT l_orderkey FROM lineitem
+  GROUP BY l_orderkey HAVING COUNT(DISTINCT l_partkey) <= 7
+),
+mem AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+  WHERE l_orderkey IN (SELECT l_orderkey FROM small_orders)
+),
+edges AS (
+  SELECT DISTINCT m1.l_partkey AS a, m2.l_partkey AS b
+  FROM mem m1 JOIN mem m2
+    ON m1.l_orderkey = m2.l_orderkey AND m1.l_partkey < m2.l_partkey
+),
+tri AS (
+  SELECT COUNT(*) AS n_triangles
+  FROM edges e1
+  JOIN edges e2 ON e1.b = e2.a
+  JOIN edges e3 ON e3.a = e1.a AND e3.b = e2.b
+),
+deg AS (
+  SELECT v, COUNT(*) AS d FROM (
+    SELECT a AS v FROM edges UNION ALL SELECT b AS v FROM edges
+  ) GROUP BY v
+),
+wed AS (SELECT CAST(SUM(d * (d - 1) / 2) AS BIGINT) AS n_wedges FROM deg)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM edges) AS n_edges,
+       CAST(n_triangles AS BIGINT) AS n_triangles,
+       n_wedges,
+       CAST(3 * n_triangles AS DOUBLE) / CAST(n_wedges AS DOUBLE)
+         AS global_clustering
+FROM tri, wed
+"""
+
+
 QUERIES = {
     "q125_entity_resolution": q125_entity_resolution,
     "q126_pagerank": q126_pagerank,
     "q127_snapshot_diff": q127_snapshot_diff,
     "q128_cdc_apply": q128_cdc_apply,
     "q129_kmeans": q129_kmeans,
+    "q167_triangle_count": q167_triangle_count,
 }
 
 ORACLE = {
@@ -536,4 +662,5 @@ ORACLE = {
     "q127_snapshot_diff": _Q127_SQL,
     "q128_cdc_apply": _Q128_SQL,
     "q129_kmeans": _Q129_SQL,
+    "q167_triangle_count": _Q167_SQL,
 }

@@ -591,6 +591,89 @@ ORDER BY 1, 2
 """
 
 
+# --- q168: DSIR-style importance weights for data selection --------------
+# Data Selection via Importance Resampling (Xie et al., 2023, public):
+# weight each raw document by how target-like its token distribution is
+# — here the target corpus is the English partition, the raw corpus is
+# everything, and the feature space is add-one-smoothed unigrams (the
+# paper's hashed n-grams reduce to this at n=1). The per-token
+# importance ratio is
+#     r(w) = p_target(w) / p_raw(w)
+#          = ((ct_t + 1) * (N_raw + V)) / ((ct_r + 1) * (N_tgt + V))
+# and the document weight is the mean ratio over its token occurrences.
+# Docs with weight > 1 look more target-like than average → the
+# selection set. All counts are exact integers; each ratio is one
+# double division (deterministic), DECIMAL-accumulated per doc.
+# Plan: one postings shuffle on word builds both frequency tables in a
+# single pass (conditional agg); the word-stat relation is
+# vocabulary-sized → broadcast back onto the postings (Heaps' law keeps
+# the vocabulary broadcastable at 100 TB, same argument as q120); the
+# three corpus scalars ride along as a broadcast single-row cross join.
+# This is importance WEIGHTING; resampling = feed the weight column to
+# q165's deterministic weighted sampler.
+
+def q168_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = tbl(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", "lang", F.explode(F.expr(_T)).alias("word")
+    )
+    stats = toks.groupBy("word").agg(
+        F.count("*").alias("ct_r"),
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("ct_t"),
+    )
+    scalars = stats.agg(
+        F.sum("ct_r").alias("n_raw"),
+        F.sum("ct_t").alias("n_tgt"),
+        F.count("*").alias("v"),
+    )
+    ratio = (
+        "(CAST(ct_t + 1 AS DOUBLE) * CAST(n_raw + v AS DOUBLE))"
+        " / (CAST(ct_r + 1 AS DOUBLE) * CAST(n_tgt + v AS DOUBLE))"
+    )
+    return (
+        toks.join(F.broadcast(stats), "word")
+        .join(F.broadcast(scalars))
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count("*").cast("bigint").alias("n_tokens"),
+            F.expr(
+                f"CAST(SUM(CAST(({ratio}) AS DECIMAL(28,6))) AS DOUBLE)"
+                f" / COUNT(*)"
+            ).alias("weight"),
+        )
+        .withColumn("selected", F.col("weight") > 1.0)
+    )
+
+
+_Q168_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, lang, UNNEST(string_split(text, ' ')) AS word
+  FROM documents
+),
+stats AS (
+  SELECT word, COUNT(*) AS ct_r,
+         SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS ct_t
+  FROM toks GROUP BY word
+),
+scalars AS (
+  SELECT SUM(ct_r) AS n_raw, SUM(ct_t) AS n_tgt, COUNT(*) AS v FROM stats
+),
+ratios AS (
+  SELECT t.doc_id, t.lang,
+         (CAST(ct_t + 1 AS DOUBLE) * CAST(n_raw + v AS DOUBLE))
+           / (CAST(ct_r + 1 AS DOUBLE) * CAST(n_tgt + v AS DOUBLE)) AS r
+  FROM toks t JOIN stats USING (word) CROSS JOIN scalars
+)
+SELECT doc_id, lang,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(SUM(CAST(r AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*) AS weight,
+       CAST(SUM(CAST(r AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*) > 1.0
+         AS selected
+FROM ratios
+GROUP BY doc_id, lang
+"""
+
+
 QUERIES = {
     "q117_gopher_rules": q117_gopher_rules,
     "q149_curation_funnel": q149_curation_funnel,
@@ -601,6 +684,7 @@ QUERIES = {
     "q120_rare_word_score": q120_rare_word_score,
     "q140_vocab_coverage": q140_vocab_coverage,
     "q141_stratified_sample": q141_stratified_sample,
+    "q168_dsir_weights": q168_dsir_weights,
 }
 
 ORACLE = {
@@ -613,4 +697,5 @@ ORACLE = {
     "q120_rare_word_score": _Q120_SQL,
     "q140_vocab_coverage": _Q140_SQL,
     "q141_stratified_sample": _Q141_SQL,
+    "q168_dsir_weights": _Q168_SQL,
 }
