@@ -408,3 +408,100 @@ def media_char_features(media: DataFrame) -> DataFrame:
             )
 
     return media.mapInPandas(batches, schema=_CHAR_FEATURES_SCHEMA)
+
+
+def attach_fake_pvs(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic PVS (PPM video stream) fixture: fps, frame count,
+    dims and every pixel byte of every frame are closed-form in
+    ``doc_id`` (video.fixture_video_params / fixture_frame_pixels), so a
+    SQL oracle can recompute what a correct demux+decode must produce.
+    Generated inside Arrow batches — no driver data."""
+    from . import video
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids = pdf[id_col]
+            payloads, metas = [], []
+            for doc_id in ids:
+                doc_id = int(doc_id)
+                fps, n_frames = video.fixture_video_params(doc_id)
+                w, h = video.fixture_dims(doc_id)
+                payloads.append(video.make_fixture_pvs(doc_id))
+                metas.append(
+                    {
+                        "format": "pvs",
+                        "width": w,
+                        "height": h,
+                        "duration_ms": 1000 * n_frames // fps,
+                    }
+                )
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids.astype("int64"),
+                    "media": payloads,
+                    "meta": metas,
+                }
+            )
+
+    schema = (
+        "doc_id bigint, media binary, "
+        "meta struct<format:string,width:int,height:int,duration_ms:bigint>"
+    )
+    return docs.select(id_col).mapInPandas(batches, schema=schema)
+
+
+_VIDEO_FRAME_SCHEMA = (
+    "doc_id bigint, fps int, n_frames int, frame_idx int, "
+    "width int, height int, first_byte int, byte_checksum bigint"
+)
+
+
+def sample_video_frames(media: DataFrame, every: int = 2) -> DataFrame:
+    """REAL video path: demux the PVS container, decode each P6 frame by
+    parsing (not fixed offsets), keep every Nth frame, and emit per-frame
+    features — the raster is dropped inside the batch, so downstream
+    state is |sampled frames| x features, never bytes. This is the
+    frame-sampling shape a 100 TB video corpus runs before any ML stage.
+    """
+    from . import video
+
+    if every < 1:
+        raise ValueError(f"every must be >= 1, got {every}")
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = {k: [] for k in (
+                "doc_id", "fps", "n_frames", "frame_idx",
+                "width", "height", "first_byte", "byte_checksum",
+            )}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["media"]):
+                fps, frames = video.decode_pvs(bytes(payload))
+                for f in range(0, len(frames), every):
+                    w, h, raster = frames[f]
+                    buf = np.frombuffer(raster, dtype=np.uint8)
+                    rows["doc_id"].append(int(doc_id))
+                    rows["fps"].append(fps)
+                    rows["n_frames"].append(len(frames))
+                    rows["frame_idx"].append(f)
+                    rows["width"].append(w)
+                    rows["height"].append(h)
+                    rows["first_byte"].append(int(buf[0]))
+                    rows["byte_checksum"].append(
+                        int(buf.astype(np.int64).sum() % 65536)
+                    )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(rows["doc_id"], dtype="int64"),
+                    "fps": pd.Series(rows["fps"], dtype="int32"),
+                    "n_frames": pd.Series(rows["n_frames"], dtype="int32"),
+                    "frame_idx": pd.Series(rows["frame_idx"], dtype="int32"),
+                    "width": pd.Series(rows["width"], dtype="int32"),
+                    "height": pd.Series(rows["height"], dtype="int32"),
+                    "first_byte": pd.Series(rows["first_byte"], dtype="int32"),
+                    "byte_checksum": pd.Series(
+                        rows["byte_checksum"], dtype="int64"
+                    ),
+                }
+            )
+
+    return media.mapInPandas(batches, schema=_VIDEO_FRAME_SCHEMA)

@@ -210,11 +210,57 @@ FROM frames
 """
 
 
+# --- q169: REAL video demux + frame sampling (PVS), arithmetic oracle ----
+# Third modality, same contract as q137/q143: the PVS container (a
+# formalized Netpbm frame stream — what ffmpeg's image2pipe actually
+# moves) is demuxed by PARSING each embedded P6 frame, every 2nd frame
+# is kept, and per-frame features are emitted while the raster is
+# dropped inside the Arrow batch. The oracle recomputes fps, frame
+# count, sampled indices, dims, first byte and additive checksum of
+# every sampled frame purely from doc_id arithmetic — a desync anywhere
+# in the container math (header length, raster offset, frame order)
+# breaks every downstream frame's checksum.
+
+def q169_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..multimodal import attach_fake_pvs, sample_video_frames
+
+    docs = tbl(spark, sf_dir, "documents")
+    return sample_video_frames(attach_fake_pvs(docs), every=2)
+
+
+_Q169_SQL = """
+WITH params AS (
+  SELECT doc_id,
+         2 + doc_id % 3 AS fps,
+         3 + doc_id % 4 AS nf,
+         4 + doc_id % 5 AS w,
+         3 + doc_id % 4 AS h
+  FROM documents
+),
+frames AS (
+  SELECT doc_id, fps, nf, w, h, UNNEST(range(0, nf, 2)) AS f
+  FROM params
+)
+SELECT doc_id,
+       CAST(fps AS INT) AS fps,
+       CAST(nf AS INT) AS n_frames,
+       CAST(f AS INT) AS frame_idx,
+       CAST(w AS INT) AS width,
+       CAST(h AS INT) AS height,
+       CAST((doc_id * 7 + f * 11) % 256 AS INT) AS first_byte,
+       CAST(list_sum(list_transform(range(0, 3 * w * h),
+                     i -> (doc_id * 7 + f * 11 + i) % 256)) % 65536
+            AS BIGINT) AS byte_checksum
+FROM frames
+"""
+
+
 QUERIES = {
     "q137_ppm_decode": q137_ppm_decode,
     "q138_ppm_resize": q138_ppm_resize,
     "q143_wav_decode": q143_wav_decode,
     "q148_audio_frames": q148_audio_frames,
+    "q169_video_frames": q169_video_frames,
 }
 
 ORACLE = {
@@ -222,4 +268,5 @@ ORACLE = {
     "q138_ppm_resize": _Q138_SQL,
     "q143_wav_decode": _Q143_SQL,
     "q148_audio_frames": _Q148_SQL,
+    "q169_video_frames": _Q169_SQL,
 }

@@ -332,3 +332,77 @@ def test_audio_frame_features_short_signal_yields_no_frames(spark):
     assert audio_frame_features(
         decode_audio_batch(media), frame_len=8, hop=4
     ).count() == 0
+
+
+# --- PVS video container --------------------------------------------------
+
+
+def test_pvs_roundtrip_pure():
+    from etl_job_applify_spark.multimodal.video import (
+        decode_pvs,
+        encode_ppm,
+        encode_pvs,
+    )
+
+    frames = [
+        encode_ppm(2, 2, bytes(range(12))),
+        encode_ppm(2, 2, bytes(range(100, 112))),
+    ]
+    data = encode_pvs(3, frames)
+    fps, out = decode_pvs(data)
+    assert fps == 3
+    assert [(w, h) for w, h, _ in out] == [(2, 2), (2, 2)]
+    assert out[0][2] == bytes(range(12))
+    assert out[1][2] == bytes(range(100, 112))
+
+
+def test_pvs_rejects_bad_streams():
+    from etl_job_applify_spark.multimodal.video import (
+        decode_pvs,
+        encode_ppm,
+        encode_pvs,
+    )
+
+    with pytest.raises(ValueError, match="not a PVS"):
+        decode_pvs(b"P6\n1 1\n255\nabc")
+    ok = encode_pvs(2, [encode_ppm(2, 2, bytes(12))])
+    with pytest.raises(ValueError, match="truncated"):
+        decode_pvs(ok[:-3])
+    with pytest.raises(ValueError, match="trailing"):
+        decode_pvs(ok + b"xx")
+
+
+def test_pvs_fixture_matches_closed_form():
+    from etl_job_applify_spark.multimodal.video import (
+        decode_pvs,
+        fixture_dims,
+        fixture_video_params,
+        make_fixture_pvs,
+    )
+
+    for doc_id in (0, 1, 7, 42):
+        fps, frames = decode_pvs(make_fixture_pvs(doc_id))
+        exp_fps, exp_n = fixture_video_params(doc_id)
+        w, h = fixture_dims(doc_id)
+        assert (fps, len(frames)) == (exp_fps, exp_n)
+        for f, (fw, fh, raster) in enumerate(frames):
+            assert (fw, fh) == (w, h)
+            assert raster[0] == (doc_id * 7 + f * 11) % 256
+            assert raster[-1] == (doc_id * 7 + f * 11 + 3 * w * h - 1) % 256
+
+
+def test_sample_video_frames_every_n(spark):
+    from etl_job_applify_spark.multimodal import (
+        attach_fake_pvs,
+        sample_video_frames,
+    )
+    from etl_job_applify_spark.multimodal.video import fixture_video_params
+
+    docs = tbl(spark, SF_SMOKE, "documents").limit(20)
+    out = sample_video_frames(attach_fake_pvs(docs), every=3).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r.frame_idx)
+    for doc_id, idxs in by_doc.items():
+        _, n = fixture_video_params(doc_id)
+        assert sorted(idxs) == list(range(0, n, 3))
