@@ -617,14 +617,19 @@ def q168_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.select(
         "doc_id", "lang", F.explode(F.expr(_T)).alias("word")
     )
-    stats = toks.groupBy("word").agg(
-        F.count("*").alias("ct_r"),
-        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("ct_t"),
-    )
-    scalars = stats.agg(
-        F.sum("ct_r").alias("n_raw"),
-        F.sum("ct_t").alias("n_tgt"),
-        F.count("*").alias("v"),
+    w = Window.partitionBy()
+    stats = (
+        toks.groupBy("word")
+        .agg(
+            F.count("*").alias("ct_r"),
+            F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("ct_t"),
+        )
+        # corpus scalars ride on the vocabulary-sized frame as an
+        # unpartitioned window (q118's idiom) — no 1-row cross join, so
+        # the plan stays BNLJ-free for the registry audit
+        .withColumn("n_raw", F.sum("ct_r").over(w))
+        .withColumn("n_tgt", F.sum("ct_t").over(w))
+        .withColumn("v", F.count("*").over(w))
     )
     ratio = (
         "(CAST(ct_t + 1 AS DOUBLE) * CAST(n_raw + v AS DOUBLE))"
@@ -632,7 +637,6 @@ def q168_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         toks.join(F.broadcast(stats), "word")
-        .join(F.broadcast(scalars))
         .groupBy("doc_id", "lang")
         .agg(
             F.count("*").cast("bigint").alias("n_tokens"),

@@ -110,11 +110,12 @@ def test_registry_wide_plan_audit(spark):
         "q57_pandas_udaf",
         "q35_ann_lsh",
         "q78_ann_recall",
-        # PPM/WAV codecs run in Arrow batches by design (multimodal/)
+        # PPM/WAV/PVS codecs run in Arrow batches by design (multimodal/)
         "q137_ppm_decode",
         "q138_ppm_resize",
         "q143_wav_decode",
         "q148_audio_frames",
+        "q169_video_frames",
     }
     # q101 is the one deliberate row-at-a-time Python UDTF — it exists to
     # exercise the @udtf + LATERAL API (see queries/sketches.py) and is
