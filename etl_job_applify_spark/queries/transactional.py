@@ -384,12 +384,88 @@ ORDER BY o_orderstatus
 """
 
 
+# --- q170: Bloom point-lookup read path, oracle-checked end to end -------
+# Drives the round-5 point-lookup capability (sinks/bloom.py): publish
+# orders as a custkey-clustered snapshot with a Bloom index on
+# o_orderkey (the column the layout does NOT cluster — min/max stats
+# cannot prune it), probe a deterministic key set through
+# read_table(equals=...), and aggregate the matches. The DuckDB oracle
+# computes the same aggregate straight off the raw table, so a bloom
+# bug that DROPS a matching file (the one failure bloom filters must
+# never have) breaks the hashes; the `pruned` column pins that skipping
+# actually engaged (files_read < files_total at every fixture SF).
+
+def q170_bloom_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from ..sinks import read_table as read_versioned
+    from ..sinks import snapshot_files, write_version
+
+    orders = tbl(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    hi = orders.agg(F.max("o_custkey")).first()[0]
+    # CDC-batch-sized probe set (control plane by contract). Capped at 5
+    # keys so the probe stays smaller than the file count at EVERY
+    # fixture SF — a probe set ~= file count legitimately touches every
+    # file and nothing prunes (the sidecar's win is keys << files, which
+    # is the 100 TB regime: thousands of files, a point-lookup batch).
+    keys = [
+        r[0]
+        for r in orders.filter(F.col("o_orderkey") % 997 == 0)
+        .select("o_orderkey")
+        .orderBy("o_orderkey")
+        .limit(5)
+        .collect()
+    ]
+    path = tempfile.mkdtemp(prefix="q170_bloom_")
+    try:
+        write_version(
+            orders,
+            path,
+            cluster_by=(("o_custkey", 0, hi),),
+            num_files=16,
+            bloom_columns=("o_orderkey",),
+        )
+        kept, total = snapshot_files(spark, path, equals={"o_orderkey": keys})
+        agg = (
+            read_versioned(spark, path, equals={"o_orderkey": keys})
+            .agg(
+                F.count("*").cast("bigint").alias("n_orders"),
+                F.sum("o_orderkey").cast("bigint").alias("key_sum"),
+                dsum("o_totalprice", "total"),
+            )
+            .withColumn("pruned", F.lit(len(kept) < total))
+        )
+        rows = agg.collect()
+        schema = agg.schema
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)
+
+
+_Q170_SQL = f"""
+SELECT CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+       {DSUM('o_totalprice')} AS total,
+       true AS pruned
+FROM orders
+WHERE o_orderkey IN (
+  SELECT o_orderkey FROM orders
+  WHERE o_orderkey % 997 = 0
+  ORDER BY o_orderkey LIMIT 5
+)
+"""
+
+
 QUERIES = {
     "q139_merge_transactional": q139_merge_transactional,
     "q144_skipping_read": q144_skipping_read,
     "q145_cow_merge": q145_cow_merge,
     "q150_table_changes": q150_table_changes,
     "q151_incremental_view": q151_incremental_view,
+    "q170_bloom_point_lookup": q170_bloom_point_lookup,
 }
 ORACLE = {
     "q139_merge_transactional": _Q139_SQL,
@@ -397,4 +473,5 @@ ORACLE = {
     "q145_cow_merge": _Q145_SQL,
     "q150_table_changes": _Q150_SQL,
     "q151_incremental_view": _Q151_SQL,
+    "q170_bloom_point_lookup": _Q170_SQL,
 }

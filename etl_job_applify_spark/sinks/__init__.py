@@ -13,6 +13,7 @@ from .versioned import (
     write_version,
 )
 from .merge import merge_into
+from .bloom import build_blooms, prune_files_bloom
 from .changes import commit_cursor, consume_changes, table_changes
 from .backends import DEFAULT_BACKEND, MergeBackend, VersionedParquetBackend
 from .redshift import copy_statements, execute_statement, write_redshift
@@ -22,4 +23,5 @@ __all__ = ["write_csv", "write_json", "write_orc", "write_parquet", "write_jdbc"
            "optimize_table", "vacuum_table", "table_history", "version_as_of",
            "CommitConflict", "commit_version", "merge_into", "table_changes", "consume_changes", "commit_cursor",
            "MergeBackend", "VersionedParquetBackend", "DEFAULT_BACKEND",
-           "copy_statements", "execute_statement", "write_redshift"]
+           "copy_statements", "execute_statement", "write_redshift",
+           "build_blooms", "prune_files_bloom"]

@@ -28,6 +28,7 @@ time travel is a direct path read — no log replay.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 _PREFIX = "snap_"
 
@@ -87,6 +88,7 @@ def write_version(
     retain: int | None = None,
     cluster_by=None,
     num_files: int | None = None,
+    bloom_columns=None,
 ) -> int:
     """Publish ``df`` as the next version of the table; returns the new
     version number. ``retain``: keep only the newest N versions (pruned
@@ -100,7 +102,12 @@ def write_version(
     min/max from the parquet footers — no data re-scan); ``read_table``
     consults it to skip files under range predicates. Best-effort: the
     sidecar lands after _SUCCESS, and a reader that races it simply
-    full-scans."""
+    full-scans.
+
+    ``bloom_columns``: optionally also build per-file Bloom bitsets for
+    these columns (sinks/bloom.py) — the point-lookup index for columns
+    the Z-order layout does NOT cluster. Costs one extra
+    column-projected scan of the just-written snapshot."""
     from . import stats as _stats
 
     spark = df.sparkSession
@@ -112,6 +119,10 @@ def write_version(
         snap_dir
     )
     _stats.write_stats(snap_dir)
+    if bloom_columns:
+        from . import bloom as _bloom
+
+        _bloom.build_blooms(spark, snap_dir, bloom_columns)
     if retain is not None and retain >= 1:
         survivors = (names + [f"{_PREFIX}{nxt:08d}"])[-retain:]
         for name in names:
@@ -290,17 +301,35 @@ def snapshot_files(
     table_path: str,
     version: int | None = None,
     ranges=None,
+    equals=None,
 ) -> tuple[list[str], int]:
-    """(data files a ``ranges``-constrained read would scan, total data
-    files in the snapshot). The observability hook for data skipping —
-    tests and operators use it to SEE pruning instead of trusting it."""
+    """(data files a ``ranges``/``equals``-constrained read would scan,
+    total data files in the snapshot). The observability hook for data
+    skipping — tests and operators use it to SEE pruning instead of
+    trusting it. ``ranges`` prunes on min/max stats, ``equals`` on the
+    Bloom sidecar; together they intersect."""
     from . import stats as _stats
 
     snap = _resolve_snapshot(spark, table_path, version)
+    kept: list[str] | None = None
+    total: int | None = None
     if ranges:
         pruned = _stats.prune_files(snap, ranges)
         if pruned is not None:
-            return pruned
+            kept, total = pruned
+    if equals:
+        from . import bloom as _bloom
+
+        pruned = _bloom.prune_files_bloom(spark, snap, equals)
+        if pruned is not None:
+            bkept, btotal = pruned
+            if kept is None:
+                kept, total = bkept, btotal
+            else:
+                keep_set = set(bkept)
+                kept = [p for p in kept if p in keep_set]
+    if kept is not None:
+        return kept, total
     local = _stats._local_path(snap)
     import os
 
@@ -425,6 +454,7 @@ def read_table(
     version: int | None = None,
     ranges=None,
     as_of_ms: int | None = None,
+    equals=None,
 ) -> DataFrame:
     """Read the latest committed version, or time-travel to ``version``
     (or to the newest version committed at or before ``as_of_ms`` —
@@ -436,7 +466,13 @@ def read_table(
     equivalent residual predicate is re-applied to the survivors, so the
     result equals reading everything and filtering — pruning is an
     optimization, never a semantics change. Without a sidecar (or on a
-    non-local URI) the read degrades to scan + filter."""
+    non-local URI) the read degrades to scan + filter.
+
+    ``equals``: optional {col: value or list} equality predicate,
+    pruned against the Bloom sidecar (sinks/bloom.py) — the point-
+    lookup path for columns the layout does not cluster. Same contract:
+    residual predicate always re-applied, missing sidecar degrades to
+    scan + filter. Composes with ``ranges`` (file sets intersect)."""
     from . import stats as _stats
 
     if as_of_ms is not None:
@@ -444,13 +480,21 @@ def read_table(
             raise ValueError("pass version OR as_of_ms, not both")
         version = version_as_of(spark, table_path, as_of_ms)
     snap = _resolve_snapshot(spark, table_path, version)
-    if not ranges:
+    if not ranges and not equals:
         return spark.read.parquet(snap)
-    pred = _stats.range_predicate(ranges)
-    pruned = _stats.prune_files(snap, ranges)
-    if pruned is None:
+    pred = F.lit(True)
+    if ranges:
+        pred = pred & _stats.range_predicate(ranges)
+    if equals:
+        from . import bloom as _bloom
+
+        pred = pred & _bloom.equality_predicate(equals)
+    kept, _total = snapshot_files(
+        spark, table_path, version=version, ranges=ranges, equals=equals
+    )
+    all_files, _ = snapshot_files(spark, table_path, version=version)
+    if len(kept) == len(all_files):
         return spark.read.parquet(snap).filter(pred)
-    kept, _total = pruned
     if not kept:
         # provably-empty result, schema preserved from the snapshot
         return spark.read.parquet(snap).limit(0)

@@ -234,3 +234,107 @@ def test_timestamp_time_travel_and_history(spark, tmp_path):
     assert sorted(hist) == [1, 2, 3]
     assert hist[1][0] == ms(base - 300)
     assert all(n > 0 and b > 0 for _, n, b in hist.values())
+
+
+# --- Bloom-filter point-lookup sidecar (sinks/bloom.py) -------------------
+
+
+@pytest.fixture(scope="module")
+def bloomed(spark, tmp_path_factory):
+    """k1-clustered table with a Bloom index on `id` — the column the
+    layout does NOT cluster, where min/max stats cannot prune."""
+    path = str(tmp_path_factory.mktemp("vbloom") / "tbl")
+    v = write_version(
+        _table(spark),
+        path,
+        cluster_by=(("k1", 0, 997),),
+        num_files=16,
+        bloom_columns=("id",),
+    )
+    assert v == 1
+    return path
+
+
+def test_bloom_sidecar_written(spark, bloomed):
+    from etl_job_applify_spark.sinks.bloom import load_blooms
+    from etl_job_applify_spark.sinks.versioned import _resolve_snapshot
+
+    doc = load_blooms(_resolve_snapshot(spark, bloomed, None))
+    assert doc["k"] == 4 and doc["m"] >= 64
+    entry = doc["columns"]["id"]
+    assert entry["dtype"] == "bigint"
+    assert len(entry["files"]) == 16
+
+
+def test_bloom_point_lookup_prunes_most_files(spark, bloomed):
+    # an existing id lives in exactly one file; bloom should prune the
+    # scan to that file plus rare false positives
+    kept, total = snapshot_files(spark, bloomed, equals={"id": 12345})
+    assert total == 16
+    assert 1 <= len(kept) <= 4, f"kept {len(kept)} of {total}"
+
+
+def test_bloom_absent_key_prunes_everything(spark, bloomed):
+    kept, _ = snapshot_files(spark, bloomed, equals={"id": 10**15})
+    assert kept == []
+    assert read_table(spark, bloomed, equals={"id": 10**15}).count() == 0
+
+
+def test_bloom_read_matches_full_scan_filter(spark, bloomed):
+    keys = [7, 9999, 19998]
+    got = (
+        read_table(spark, bloomed, equals={"id": keys})
+        .orderBy("id")
+        .collect()
+    )
+    exp = (
+        read_table(spark, bloomed)
+        .filter(F.col("id").isin(keys))
+        .orderBy("id")
+        .collect()
+    )
+    assert got == exp and len(got) == 3
+
+
+def test_bloom_composes_with_ranges(spark, bloomed):
+    # id=12345 has k1 = 12345 % 997; a DISJOINT k1 range + that id must
+    # intersect to zero files
+    k1 = 12345 % 997
+    lo, hi = (0, 50) if k1 > 100 else (900, 997)
+    kept, _ = snapshot_files(
+        spark, bloomed, ranges={"k1": (lo, hi)}, equals={"id": 12345}
+    )
+    both = read_table(
+        spark, bloomed, ranges={"k1": (lo, hi)}, equals={"id": 12345}
+    )
+    assert both.count() == 0
+    # and the compatible range keeps the row
+    assert (
+        read_table(
+            spark, bloomed, ranges={"k1": (k1, k1)}, equals={"id": 12345}
+        ).count()
+        == 1
+    )
+
+
+def test_bloom_unindexed_column_degrades_to_full_scan(spark, bloomed):
+    kept, total = snapshot_files(spark, bloomed, equals={"k2": 5})
+    assert len(kept) == total == 16  # no index on k2 → nothing pruned
+    n = read_table(spark, bloomed, equals={"k2": 5}).count()
+    exp = read_table(spark, bloomed).filter(F.col("k2") == 5).count()
+    assert n == exp
+
+
+def test_bloom_false_positive_rate_bounded(spark, bloomed):
+    # probe 200 absent keys; with 16 bits/row, k=4 the per-file fp rate
+    # is ~0.2%, so across 16 files ~3% of probes may keep a file
+    absent = [10**12 + i for i in range(200)]
+    kept_files = 0
+    from etl_job_applify_spark.sinks.bloom import prune_files_bloom
+    from etl_job_applify_spark.sinks.versioned import _resolve_snapshot
+
+    snap = _resolve_snapshot(spark, bloomed, None)
+    for key in absent:
+        kept, _ = prune_files_bloom(spark, snap, {"id": key})
+        kept_files += len(kept)
+    assert kept_files <= 40, f"{kept_files} false-positive file hits / 3200"
