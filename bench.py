@@ -40,6 +40,10 @@ HEADLINE = [
     # the two corpus-curation ops added this round
     "q146_semantic_dedup",
     "q147_span_dedup",
+    # round 5 continuation: the graph kernel (wedge-join triangle
+    # counting) and the time-series resample path
+    "q167_triangle_count",
+    "q162_resample_interpolate",
 ]
 
 

@@ -6,6 +6,7 @@ from .jobs import (
     run_to_memory,
     run_available_now_to_memory,
     run_incremental_dedup_stream,
+    streaming_anomalies,
 )
 
 __all__ = [
@@ -16,4 +17,5 @@ __all__ = [
     "run_to_memory",
     "run_available_now_to_memory",
     "run_incremental_dedup_stream",
+    "streaming_anomalies",
 ]

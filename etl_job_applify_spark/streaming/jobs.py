@@ -582,3 +582,76 @@ def run_rollup_maintenance_stream(
         q.processAllAvailable()
     finally:
         q.stop()
+
+
+def streaming_anomalies(
+    events: DataFrame, frame: int = 6, threshold: float = 2.0
+) -> DataFrame:
+    """Streaming twin of q163's rolling z-score anomaly detector
+    (queries/timeseries.py) — per-user trailing-``frame`` moments across
+    micro-batches via applyInPandasWithState. State per user is the last
+    ``frame - 1`` values (O(frame) per key, never O(stream)); each
+    micro-batch's rows are processed in (ts, event_id) order.
+
+    Bit-exact batch parity: the moment arithmetic replays q163's
+    DECIMAL(28,6) idiom — each double is quantized through its shortest
+    decimal representation (``repr``; Java's ``BigDecimal.valueOf`` is
+    Double.toString-based, so HALF_UP on ``Decimal(repr(v))`` lands on
+    the same 6-dp decimal as Spark's double→decimal cast), summed
+    exactly, and converted back once (both conversions are correctly
+    rounded). tests/test_streaming.py asserts EXACT equality with the
+    oracle-checked batch query under Trigger.AvailableNow.
+
+    Caveat shared with every trailing-window stream: rows arriving in a
+    LATER micro-batch than a larger timestamp already processed see a
+    different window than the batch query would give them (state cannot
+    retro-sort history) — the standard out-of-orderness trade; bound it
+    upstream with a watermark + sorted replay where exact parity
+    matters."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from decimal import ROUND_HALF_UP, Decimal
+
+    q6 = Decimal("0.000001")
+
+    def dec(v: float) -> Decimal:
+        return Decimal(repr(v)).quantize(q6, rounding=ROUND_HALF_UP)
+
+    def update(key, pdfs, state: "GroupState"):
+        buf = list(state.get[0]) if state.exists else []
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        batch = batch.sort_values(["ts", "event_id"], kind="mergesort")
+        out = {
+            "user_id": [], "event_id": [], "value": [],
+            "roll_mean": [], "z": [], "anomaly": [],
+        }
+        for event_id, v in zip(batch["event_id"], batch["value"]):
+            v = float(v)
+            buf.append(v)
+            window = buf[-frame:]
+            n = len(window)
+            mean = float(sum((dec(x) for x in window), Decimal(0))) / n
+            sq = float(sum((dec(x * x) for x in window), Decimal(0))) / n
+            var = max(0.0, sq - mean * mean)
+            z = (v - mean) / (var ** 0.5) if var > 0.0 else None
+            out["user_id"].append(int(key[0]))
+            out["event_id"].append(int(event_id))
+            out["value"].append(v)
+            out["roll_mean"].append(mean)
+            out["z"].append(z)
+            out["anomaly"].append(None if z is None else abs(z) > threshold)
+        buf = buf[-(frame - 1):]
+        state.update((buf,))
+        yield pd.DataFrame(out)
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=(
+            "user_id bigint, event_id bigint, value double, "
+            "roll_mean double, z double, anomaly boolean"
+        ),
+        stateStructType="buf array<double>",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -623,3 +623,43 @@ def test_fold_rollup_batch_survives_commit_race(spark, tmp_path):
     view = {r["grp"]: (r["amt_total"], r["n_rows"])
             for r in rollup_readout(read_table(spark, rollup), measures).collect()}
     assert view == {"a": (11.0, 2), "b": (5.0, 1)}
+
+
+def test_streaming_anomalies_bit_exact_with_batch(spark):
+    """The stateful rolling z-score stream must reproduce the
+    oracle-checked batch query q163 EXACTLY — same rows, same doubles to
+    the last bit (the Decimal-replay idiom in streaming_anomalies)."""
+    import struct
+
+    from etl_job_applify_spark.queries.timeseries import q163_rolling_zscore
+    from etl_job_applify_spark.streaming import (
+        events_stream,
+        run_available_now_to_memory,
+    )
+    from etl_job_applify_spark.streaming.jobs import streaming_anomalies
+
+    got = run_available_now_to_memory(
+        streaming_anomalies(events_stream(spark, SF_SMOKE)),
+        "t_anom",
+        output_mode="append",
+    ).collect()
+    want = q163_rolling_zscore(spark, SF_SMOKE).collect()
+
+    def norm(rows):
+        def bits(x):
+            return None if x is None else struct.pack("<d", x).hex()
+
+        return sorted(
+            (
+                r["user_id"],
+                r["event_id"],
+                bits(r["value"]),
+                bits(r["roll_mean"]),
+                bits(r["z"]),
+                r["anomaly"],
+            )
+            for r in rows
+        )
+
+    assert len(got) == len(want) > 0
+    assert norm(got) == norm(want)
