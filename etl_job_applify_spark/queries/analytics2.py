@@ -382,6 +382,174 @@ GROUP BY event_type, k_bucket
 """
 
 
+# --- q171: cumulative distinct users (the DAU / cumulative-uniques view) --
+# Spark (like every engine) refuses COUNT(DISTINCT) over a running
+# window — the classic rewrite is FIRST-OCCURRENCE FLAGGING: a user's
+# first active day contributes 1 to "new users" there, and the running
+# sum of new users IS the cumulative distinct count (each unique user
+# counted exactly once, at first sight). DAU rides along from a daily
+# distinct aggregate.
+# Plan: two aggregates off one scan — (type, user) min-day, and
+# (type, day, user) distinct — joined at day grain (output-sized, tiny);
+# the running sum is a window over |types|×|days| rows. At 100 TB both
+# aggregates are single-shuffle partial+final; nothing at row grain
+# survives past the first exchange.
+
+def q171_cumulative_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = tbl(spark, sf_dir, "events").select(
+        "event_type", "user_id", F.date_trunc("day", "ts").cast("date").alias("day")
+    )
+    first_day = (
+        ev.groupBy("event_type", "user_id")
+        .agg(F.min("day").alias("day"))
+        .groupBy("event_type", "day")
+        .agg(F.count("*").alias("new_users"))
+    )
+    dau = ev.distinct().groupBy("event_type", "day").agg(
+        F.count("*").alias("dau")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        dau.join(first_day, ["event_type", "day"], "left")
+        .select(
+            "event_type",
+            "day",
+            F.col("dau").cast("bigint").alias("dau"),
+            F.coalesce("new_users", F.lit(0)).cast("bigint").alias("new_users"),
+        )
+        .withColumn(
+            "cum_unique_users", F.sum("new_users").over(w).cast("bigint")
+        )
+    )
+
+
+_Q171_SQL = """
+WITH ev AS (
+  SELECT event_type, user_id, CAST(date_trunc('day', ts) AS DATE) AS day FROM events
+),
+first_day AS (
+  SELECT event_type, day, COUNT(*) AS new_users FROM (
+    SELECT event_type, user_id, MIN(day) AS day
+    FROM ev GROUP BY event_type, user_id
+  ) GROUP BY event_type, day
+),
+dau AS (
+  SELECT event_type, day, COUNT(*) AS dau
+  FROM (SELECT DISTINCT event_type, user_id, day FROM ev)
+  GROUP BY event_type, day
+)
+SELECT d.event_type, d.day,
+       CAST(d.dau AS BIGINT) AS dau,
+       CAST(COALESCE(f.new_users, 0) AS BIGINT) AS new_users,
+       CAST(SUM(COALESCE(f.new_users, 0)) OVER (
+         PARTITION BY d.event_type ORDER BY d.day
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS cum_unique_users
+FROM dau d LEFT JOIN first_day f
+  ON d.event_type = f.event_type AND d.day = f.day
+"""
+
+
+# --- q172: median absolute deviation + robust outlier counts --------------
+# The robust alternative to q163's z-score: MAD ignores the outliers
+# themselves (mean/stddev don't), so one corrupt batch can't widen its
+# own acceptance band. Two exact medians via the q92 middle-row idiom
+# (unique tiebreaks; no engine-specific interpolation), then a
+# conservative 3×MAD outlier gate.
+# Plan: two window sorts on the same (event_type)-partitioned data —
+# medians at 100 TB would come from the sketch path (q68) instead, with
+# this exact form as the verification twin on samples.
+
+def q172_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = tbl(spark, sf_dir, "events").select("event_type", "event_id", "value")
+
+    def exact_median(df, val, out):
+        w = Window.partitionBy("event_type").orderBy(val, "event_id")
+        wc = Window.partitionBy("event_type")
+        ranked = df.select(
+            "event_type",
+            "event_id",
+            F.col(val),
+            F.row_number().over(w).alias("rn"),
+            F.count("*").over(wc).alias("n"),
+        )
+        mid = ranked.filter(F.expr("rn = (n + 1) div 2 OR rn = (n + 2) div 2"))
+        return mid.groupBy("event_type").agg(
+            ((F.min(val) + F.max(val)) / 2).alias(out)
+        )
+
+    med = exact_median(ev, "value", "med")
+    dev = ev.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        "event_id",
+        "value",
+        F.abs(F.col("value") - F.col("med")).alias("dev"),
+        "med",
+    )
+    mad = exact_median(dev, "dev", "mad")
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.first("med").alias("median_value"),
+            F.first("mad").alias("mad"),
+            F.sum(
+                F.when(F.col("dev") > 3.0 * F.col("mad"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_outliers"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_Q172_SQL = """
+WITH med AS (
+  SELECT event_type, (MIN(value) + MAX(value)) / 2 AS med
+  FROM (
+    SELECT event_type, value,
+           ROW_NUMBER() OVER (PARTITION BY event_type
+                              ORDER BY value, event_id) AS rn,
+           COUNT(*) OVER (PARTITION BY event_type) AS n
+    FROM events
+  )
+  WHERE rn = (n + 1) // 2 OR rn = (n + 2) // 2
+  GROUP BY event_type
+),
+dev AS (
+  SELECT e.event_type, e.event_id, e.value,
+         ABS(e.value - m.med) AS dev, m.med
+  FROM events e JOIN med m ON e.event_type = m.event_type
+),
+mad AS (
+  SELECT event_type, (MIN(dev) + MAX(dev)) / 2 AS mad
+  FROM (
+    SELECT event_type, dev,
+           ROW_NUMBER() OVER (PARTITION BY event_type
+                              ORDER BY dev, event_id) AS rn,
+           COUNT(*) OVER (PARTITION BY event_type) AS n
+    FROM dev
+  )
+  WHERE rn = (n + 1) // 2 OR rn = (n + 2) // 2
+  GROUP BY event_type
+)
+SELECT d.event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       MIN(d.med) AS median_value,
+       MIN(a.mad) AS mad,
+       CAST(SUM(CASE WHEN d.dev > 3.0 * a.mad THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_outliers
+FROM dev d JOIN mad a ON d.event_type = a.event_type
+GROUP BY d.event_type
+ORDER BY d.event_type
+"""
+
+
 QUERIES = {
     "q94_histogram": q94_histogram,
     "q98_window_firstlast": q98_window_firstlast,
@@ -391,6 +559,8 @@ QUERIES = {
     "q104_ntile_deciles": q104_ntile_deciles,
     "q105_gaps_islands": q105_gaps_islands,
     "q106_variant_json": q106_variant_json,
+    "q171_cumulative_distinct": q171_cumulative_distinct,
+    "q172_mad_outliers": q172_mad_outliers,
 }
 
 ORACLE = {
@@ -402,5 +572,7 @@ ORACLE = {
     "q104_ntile_deciles": _Q104_SQL,
     "q105_gaps_islands": _Q105_SQL,
     "q106_variant_json": _Q106_SQL,
+    "q171_cumulative_distinct": _Q171_SQL,
+    "q172_mad_outliers": _Q172_SQL,
 }
 

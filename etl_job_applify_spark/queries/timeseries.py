@@ -48,6 +48,12 @@ def q162_resample_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(F.expr("sequence(h0, h1, interval 1 hour)")).alias("hour"),
     )
     g = spine.join(hourly, ["user_id", "hour"], "left")
+    # both scaffolds are RUNNING frames (unboundedPreceding..currentRow):
+    # "next observed" is last-non-null over the DESCENDING sort, not
+    # first-non-null over an unboundedFollowing frame — Spark evaluates
+    # unbounded-FOLLOWING frames by rescanning to partition end per row
+    # (O(rows²) per partition; measured 12.6 s -> 5.7 s at sf0.1), while
+    # running frames stream in O(rows)
     wp = (
         Window.partitionBy("user_id")
         .orderBy("hour")
@@ -55,8 +61,8 @@ def q162_resample_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     wn = (
         Window.partitionBy("user_id")
-        .orderBy("hour")
-        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        .orderBy(F.desc("hour"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     obs_hour = F.when(F.col("obs").isNotNull(), F.col("hour"))
     g = g.select(
@@ -65,8 +71,8 @@ def q162_resample_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "obs",
         F.last("obs", ignorenulls=True).over(wp).alias("pv"),
         F.last(obs_hour, ignorenulls=True).over(wp).alias("pt"),
-        F.first("obs", ignorenulls=True).over(wn).alias("nv"),
-        F.first(obs_hour, ignorenulls=True).over(wn).alias("nt"),
+        F.last("obs", ignorenulls=True).over(wn).alias("nv"),
+        F.last(obs_hour, ignorenulls=True).over(wn).alias("nt"),
     )
     frac = F.expr(
         "CAST(timestampdiff(HOUR, pt, hour) AS DOUBLE)"
