@@ -446,3 +446,200 @@ def test_semantic_dedup_matches_numpy_reference(spark, vecs, k, thresh):
         if not dup:
             want.add(i)
     assert got == want
+
+
+@given(
+    fps=st.integers(min_value=1, max_value=60),
+    dims=st.tuples(
+        st.integers(min_value=1, max_value=8),
+        st.integers(min_value=1, max_value=8),
+    ),
+    n_frames=st.integers(min_value=0, max_value=6),
+    seed=st.integers(min_value=0, max_value=2**31),
+)
+@settings(max_examples=60, deadline=None)
+def test_pvs_encode_decode_roundtrip(fps, dims, n_frames, seed):
+    import numpy as np
+
+    from etl_job_applify_spark.multimodal import ppm, video
+
+    w, h = dims
+    rng = np.random.default_rng(seed)
+    frames = [
+        rng.integers(0, 256, size=3 * w * h, dtype=np.uint8)
+        for _ in range(n_frames)
+    ]
+    data = video.encode_pvs(fps, [ppm.encode_ppm(w, h, f) for f in frames])
+    got_fps, got = video.decode_pvs(data)
+    assert got_fps == fps and len(got) == n_frames
+    for (gw, gh, raster), f in zip(got, frames):
+        assert (gw, gh) == (w, h)
+        assert np.array_equal(np.frombuffer(raster, dtype=np.uint8), f)
+
+
+@given(
+    vals=st.lists(
+        st.floats(
+            min_value=-1000, max_value=1000,
+            allow_nan=False, allow_infinity=False,
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_ewma_bounded_by_window_extremes(spark, vals):
+    """q164's truncated EWMA is a convex combination of the trailing
+    8 values, so it must lie within their [min, max] for every row."""
+    from etl_job_applify_spark.queries import timeseries as ts
+
+    rows = [
+        (1, i, dt.datetime(2024, 1, 1) + dt.timedelta(minutes=i), float(v))
+        for i, v in enumerate(vals)
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts timestamp, value double"
+    )
+    df.createOrReplaceTempView("_ewma_prop")
+
+    orig = ts.tbl
+    ts.tbl = lambda s, d, n: spark.table("_ewma_prop")
+    try:
+        out = {r["event_id"]: r["ewma"] for r in ts.q164_ewma(spark, "x").collect()}
+    finally:
+        ts.tbl = orig
+    for i, _ in enumerate(vals):
+        window = vals[max(0, i - 7): i + 1]
+        lo, hi = min(window), max(window)
+        assert lo - 1e-9 <= out[i] <= hi + 1e-9
+
+
+@given(
+    obs=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=30),
+            st.floats(
+                min_value=-100, max_value=100,
+                allow_nan=False, allow_infinity=False,
+            ),
+        ),
+        min_size=1,
+        max_size=15,
+        unique_by=lambda t: t[0],
+    )
+)
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_interpolation_between_endpoint_values(spark, obs):
+    """q162: every interpolated grid point lies within [min, max] of its
+    two surrounding observations, observed points echo their value, and
+    edge points (no prev/next) stay NULL."""
+    from etl_job_applify_spark.queries import timeseries as ts
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (7, i, base + dt.timedelta(hours=h), float(v))
+        for i, (h, v) in enumerate(obs)
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts timestamp, value double"
+    )
+    df.createOrReplaceTempView("_interp_prop")
+
+    orig = ts.tbl
+    ts.tbl = lambda s, d, n: spark.table("_interp_prop")
+    try:
+        out = ts.q162_resample_interpolate(spark, "x").collect()
+    finally:
+        ts.tbl = orig
+    by_hour = {int((r["hour"] - base).total_seconds() // 3600): r for r in out}
+    hours = sorted(h for h, _ in obs)
+    vals = dict(obs)
+    assert len(by_hour) == hours[-1] - hours[0] + 1  # full spine
+    for h, r in by_hour.items():
+        # hourly means pass through DECIMAL(28,6) quantization (DAVG), so
+        # compare with a half-ulp-of-6dp tolerance
+        if h in vals:
+            assert r["observed"] and abs(r["interp"] - vals[h]) < 1.1e-6
+        else:
+            prevs = [x for x in hours if x < h]
+            nexts = [x for x in hours if x > h]
+            assert not r["observed"]
+            lo = min(vals[prevs[-1]], vals[nexts[0]])
+            hi = max(vals[prevs[-1]], vals[nexts[0]])
+            assert lo - 1.1e-6 <= r["interp"] <= hi + 1.1e-6
+
+
+@given(
+    edges=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=12),
+            st.integers(min_value=0, max_value=12),
+        ),
+        min_size=0,
+        max_size=40,
+    )
+)
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_oriented_triangle_count_matches_brute_force(spark, edges):
+    """The degree-ordered-orientation wedge count (q167's kernel) must
+    equal brute-force triangle enumeration on arbitrary small graphs."""
+    es = {(min(a, b), max(a, b)) for a, b in edges if a != b}
+    if not es:
+        return
+    nodes = sorted({v for e in es for v in e})
+    adj = {v: set() for v in nodes}
+    for a, b in es:
+        adj[a].add(b)
+        adj[b].add(a)
+    brute = sum(
+        1
+        for i, a in enumerate(nodes)
+        for b in nodes[i + 1:]
+        if b in adj[a]
+        for c in nodes
+        if c > b and c in adj[a] and c in adj[b]
+    )
+
+    pairs = spark.createDataFrame(sorted(es), "a long, b long")
+    deg = (
+        pairs.selectExpr("a AS v")
+        .unionAll(pairs.selectExpr("b AS v"))
+        .groupBy("v")
+        .agg(F.count("*").alias("d"))
+    )
+    e = (
+        pairs.join(deg.withColumnRenamed("v", "a").withColumnRenamed("d", "da"), "a")
+        .join(deg.withColumnRenamed("v", "b").withColumnRenamed("d", "db"), "b")
+        .selectExpr(
+            "CASE WHEN da < db OR (da = db AND a < b)"
+            " THEN named_struct('src', a, 'dst', b)"
+            " ELSE named_struct('src', b, 'dst', a) END AS e"
+        )
+        .select("e.src", "e.dst")
+    )
+    wedges = (
+        e.alias("e1")
+        .join(e.alias("e2"), F.col("e1.src") == F.col("e2.src"))
+        .filter(F.col("e1.dst") < F.col("e2.dst"))
+        .select(
+            F.least("e1.dst", "e2.dst").alias("u"),
+            F.greatest("e1.dst", "e2.dst").alias("w"),
+        )
+    )
+    closing = e.select(
+        F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("w")
+    )
+    got = wedges.join(closing, ["u", "w"]).count()
+    assert got == brute
