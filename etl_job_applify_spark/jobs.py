@@ -138,6 +138,28 @@ def _build_load(sink: dict[str, Any]):
             ).save(sink["path"])
 
         return _load_jsonl
+    if stype == "versioned":
+        # the lakehouse sink: atomic snapshot publish + optional Z-order
+        # layout (cluster_by: [[col, lo, hi], ...]) and point-lookup
+        # Bloom index (bloom_columns: [col, ...]); read back with
+        # sinks.read_table(ranges=/equals=) for stats- and Bloom-pruned
+        # scans
+        def _load_versioned(df):
+            from .sinks.versioned import write_version
+
+            cluster = sink.get("cluster_by")
+            write_version(
+                df,
+                sink["path"],
+                retain=sink.get("retain"),
+                cluster_by=(
+                    tuple(tuple(c) for c in cluster) if cluster else None
+                ),
+                num_files=sink.get("num_files"),
+                bloom_columns=sink.get("bloom_columns"),
+            )
+
+        return _load_versioned
     raise ValueError(f"unknown sink type {stype!r}")
 
 

@@ -184,3 +184,33 @@ def test_job_quality_gate_blocks_bad_data(spark, tmp_path):
     ok = dict(bad, quality=[{"type": "completeness", "column": "id"}])
     run_job(spark, ok)
     assert spark.read.parquet(sink).count() == 2
+
+
+def test_job_spec_versioned_sink_with_bloom(spark, tmp_path):
+    """The lakehouse sink through the job driver: snapshot publish +
+    Z-order layout + Bloom index, read back with pruned point lookup."""
+    import pyspark.sql.functions as F
+
+    from etl_job_applify_spark.jobs import run_job
+    from etl_job_applify_spark.sinks import read_table, snapshot_files
+
+    src = str(tmp_path / "in.parquet")
+    spark.range(5000).select(
+        F.col("id"), (F.col("id") % 97).alias("k"),
+        (F.col("id") * 2.0).alias("v"),
+    ).write.parquet(src)
+    table = str(tmp_path / "tbl")
+    run_job(spark, {
+        "source": {"type": "parquet", "path": src},
+        "sink": {
+            "type": "versioned",
+            "path": table,
+            "cluster_by": [["k", 0, 97]],
+            "num_files": 8,
+            "bloom_columns": ["id"],
+        },
+    })
+    kept, total = snapshot_files(spark, table, equals={"id": 1234})
+    assert total == 8 and 1 <= len(kept) <= 3
+    rows = read_table(spark, table, equals={"id": 1234}).collect()
+    assert len(rows) == 1 and rows[0]["v"] == 2468.0
