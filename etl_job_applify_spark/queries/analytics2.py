@@ -550,6 +550,68 @@ ORDER BY d.event_type
 """
 
 
+# --- q174: first/last-touch purchase attribution --------------------------
+# For every purchase, which engagement event (view/click) most recently
+# preceded it (last touch) and which opened the journey (first touch)?
+# ONE window pass with a frame ending at 1 PRECEDING computes both —
+# no per-purchase self-join against the event history (which at 100 TB
+# would shuffle the full log once per touch model).
+# Plan: one window exchange on user_id; the final rollup is
+# |touch-type|² rows.
+
+def q174_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = tbl(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touch = F.when(F.col("event_type").isin("view", "click"), F.col("event_type"))
+    tagged = ev.select(
+        "user_id",
+        "event_type",
+        "value",
+        F.last(touch, ignorenulls=True).over(w).alias("last_touch"),
+        F.first(touch, ignorenulls=True).over(w).alias("first_touch"),
+    )
+    return (
+        tagged.filter(F.col("event_type") == "purchase")
+        .groupBy(
+            F.coalesce("first_touch", F.lit("none")).alias("first_touch"),
+            F.coalesce("last_touch", F.lit("none")).alias("last_touch"),
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("n_purchases"),
+            F.expr(DSUM("value")).alias("attributed_value"),
+        )
+        .orderBy("first_touch", "last_touch")
+    )
+
+
+_Q174_SQL = f"""
+WITH tagged AS (
+  SELECT user_id, event_type, value,
+    LAST_VALUE(CASE WHEN event_type IN ('view', 'click')
+                    THEN event_type END IGNORE NULLS) OVER (
+      PARTITION BY user_id ORDER BY ts, event_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_touch,
+    FIRST_VALUE(CASE WHEN event_type IN ('view', 'click')
+                     THEN event_type END IGNORE NULLS) OVER (
+      PARTITION BY user_id ORDER BY ts, event_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS first_touch
+  FROM events
+)
+SELECT COALESCE(first_touch, 'none') AS first_touch,
+       COALESCE(last_touch, 'none') AS last_touch,
+       CAST(COUNT(*) AS BIGINT) AS n_purchases,
+       {DSUM('value')} AS attributed_value
+FROM tagged
+WHERE event_type = 'purchase'
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
 QUERIES = {
     "q94_histogram": q94_histogram,
     "q98_window_firstlast": q98_window_firstlast,
@@ -561,6 +623,7 @@ QUERIES = {
     "q106_variant_json": q106_variant_json,
     "q171_cumulative_distinct": q171_cumulative_distinct,
     "q172_mad_outliers": q172_mad_outliers,
+    "q174_attribution": q174_attribution,
 }
 
 ORACLE = {
@@ -574,5 +637,6 @@ ORACLE = {
     "q106_variant_json": _Q106_SQL,
     "q171_cumulative_distinct": _Q171_SQL,
     "q172_mad_outliers": _Q172_SQL,
+    "q174_attribution": _Q174_SQL,
 }
 

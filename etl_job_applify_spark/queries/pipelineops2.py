@@ -678,6 +678,61 @@ GROUP BY doc_id, lang
 """
 
 
+# --- q173: one-pass table profiling ---------------------------------------
+# The "what is in this feed" summary (dbt/Deequ profile): per-column
+# null count, exact distinct count, and typed extremes — numerics as
+# DOUBLE, strings as text, timestamps as epoch micros (never
+# engine-formatted strings, whose float/timestamp printers drift).
+# ONE aggregate over one scan computes every column's metrics
+# (transform/profile.py), then an |columns|-row unpivot.
+# Plan: single partial+final agg; the multi-COUNT(DISTINCT) expands the
+# input (Spark's Expand) — at 100 TB flip exact_distinct=False for the
+# HLL-sketch form, same shape.
+
+def q173_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..transform.profile import profile_table
+
+    orders = tbl(spark, sf_dir, "orders")
+    return profile_table(
+        orders,
+        ["o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate"],
+    ).orderBy("column")
+
+
+def _q173_col_sql(col: str, kind: str) -> str:
+    if kind == "num":
+        lo, hi = f"CAST(MIN({col}) AS DOUBLE)", f"CAST(MAX({col}) AS DOUBLE)"
+        ts, te = "CAST(NULL AS VARCHAR)", "CAST(NULL AS VARCHAR)"
+    elif kind == "text":
+        lo, hi = "CAST(NULL AS DOUBLE)", "CAST(NULL AS DOUBLE)"
+        ts, te = f"MIN({col})", f"MAX({col})"
+    else:  # timestamp
+        lo = f"CAST(MIN(epoch_us({col})) AS DOUBLE)"
+        hi = f"CAST(MAX(epoch_us({col})) AS DOUBLE)"
+        ts, te = "CAST(NULL AS VARCHAR)", "CAST(NULL AS VARCHAR)"
+    return f"""
+  SELECT '{col}' AS "column",
+         CAST(COUNT(*) AS BIGINT) AS n_rows,
+         CAST(SUM(CASE WHEN {col} IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_nulls,
+         CAST(COUNT(DISTINCT {col}) AS BIGINT) AS n_distinct,
+         {lo} AS min_numeric, {hi} AS max_numeric,
+         {ts} AS min_text, {te} AS max_text
+  FROM orders"""
+
+
+_Q173_SQL = (
+    _q173_col_sql("o_orderkey", "num")
+    + "\nUNION ALL\n"
+    + _q173_col_sql("o_orderstatus", "text")
+    + "\nUNION ALL\n"
+    + _q173_col_sql("o_totalprice", "num")
+    + "\nUNION ALL\n"
+    + _q173_col_sql("o_orderdate", "ts")
+    + '\nORDER BY "column"'
+)
+
+
 QUERIES = {
     "q117_gopher_rules": q117_gopher_rules,
     "q149_curation_funnel": q149_curation_funnel,
@@ -689,6 +744,7 @@ QUERIES = {
     "q140_vocab_coverage": q140_vocab_coverage,
     "q141_stratified_sample": q141_stratified_sample,
     "q168_dsir_weights": q168_dsir_weights,
+    "q173_profile_orders": q173_profile_orders,
 }
 
 ORACLE = {
@@ -702,4 +758,5 @@ ORACLE = {
     "q140_vocab_coverage": _Q140_SQL,
     "q141_stratified_sample": _Q141_SQL,
     "q168_dsir_weights": _Q168_SQL,
+    "q173_profile_orders": _Q173_SQL,
 }
