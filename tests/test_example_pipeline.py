@@ -82,3 +82,20 @@ def test_incremental_rollup_example_runs(spark, capsys):
     mod.run(spark, "/root/testdata/sf0.001")
     out = capsys.readouterr().out
     assert "snapshots_removed" in out
+
+
+def test_metrics_observability_example_runs(spark, capsys):
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "metrics_observability", "/root/repo/examples/metrics_observability.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    from conftest import SF_SMOKE
+
+    mod.run(spark, SF_SMOKE)
+    out = capsys.readouterr().out
+    assert "grid points:" in out
+    assert "batch anomalies:" in out
+    assert "point lookup event" in out

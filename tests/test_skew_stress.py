@@ -127,3 +127,46 @@ def test_bucket_cap_drops_hot_buckets_only(spark):
     # boilerplate dominates short docs' signatures: near-quadratic blowup
     assert uncapped > n_docs * 5
     assert capped < uncapped / 10
+
+
+def test_triangle_orientation_neutralizes_hub_fanout(spark):
+    """q167's degree-ordered orientation under a hub: a node connected
+    to EVERYONE must end up with (near-)zero out-degree — every edge
+    points INTO the highest-(degree, id) endpoint — so the wedge join's
+    per-key fanout stays bounded by the sqrt(|E|) spokes, not by the
+    hub's degree. An id-ordered orientation (a < b) would instead give
+    a low-id hub out-degree = |V| and a quadratic wedge blow-up."""
+    n = 400
+    hub = 0
+    # hub ↔ everyone, plus a sparse ring among the spokes
+    edges = [(hub, v) for v in range(1, n)] + [
+        (v, v % (n - 1) + 1) for v in range(1, n)
+    ]
+    pairs = (
+        spark.createDataFrame(edges, "x long, y long")
+        .selectExpr("least(x, y) AS a", "greatest(x, y) AS b")
+        .filter("a <> b")
+        .distinct()
+    )
+    deg = (
+        pairs.selectExpr("a AS v")
+        .unionAll(pairs.selectExpr("b AS v"))
+        .groupBy("v")
+        .agg(F.count("*").alias("d"))
+    )
+    e = (
+        pairs.join(deg.withColumnRenamed("v", "a").withColumnRenamed("d", "da"), "a")
+        .join(deg.withColumnRenamed("v", "b").withColumnRenamed("d", "db"), "b")
+        .selectExpr(
+            "CASE WHEN da < db OR (da = db AND a < b)"
+            " THEN named_struct('src', a, 'dst', b)"
+            " ELSE named_struct('src', b, 'dst', a) END AS e"
+        )
+        .select("e.src", "e.dst")
+    )
+    out_deg = {r["src"]: r["n"] for r in e.groupBy("src").agg(
+        F.count("*").alias("n")).collect()}
+    # the hub has the max degree -> receives every one of its edges
+    assert out_deg.get(hub, 0) == 0
+    # and no node's wedge fanout is hub-sized
+    assert max(out_deg.values()) <= 5
