@@ -2,7 +2,7 @@ from .topk import top_k_per_group
 from .asof import asof_join
 from .sessionize import sessionize
 from .range_join import range_join
-from .scd2 import scd2_intervals
+from .scd2 import scd2_apply, scd2_intervals
 from .components import connected_components
 from .salting import salted_agg_sum, salted_join
 
@@ -11,6 +11,7 @@ __all__ = [
     "asof_join",
     "sessionize",
     "range_join",
+    "scd2_apply",
     "scd2_intervals",
     "connected_components",
     "salted_agg_sum",

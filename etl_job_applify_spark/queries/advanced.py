@@ -11,7 +11,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ._util import tbl
+from ._util import DSUM, tbl
 from ..dedup import ngram_jaccard_pairs
 from ..functions.text import bpe_token_count_expr, n_tokens_expr
 from ..operators.components import connected_components
@@ -374,3 +374,172 @@ QUERIES["q74_profile"] = q74_profile
 QUERIES["q75_dq_checks"] = q75_dq_checks
 ORACLE["q74_profile"] = _Q74_SQL
 ORACLE["q75_dq_checks"] = _Q75_SQL
+
+
+# --- q175: incremental SCD2 batch apply, oracle-checked end to end --------
+# Three nightly batches merge into a type-2 dimension with
+# operators/scd2.scd2_apply (bootstrap → change half the keys → change a
+# quarter again; the third batch also redelivers unchanged rows, so
+# no-op idempotence is on the hashes too). The oracle derives the SAME
+# final dimension state purely relationally from the residue algebra —
+# so close/insert/skip decisions, interval stamps, and the null-safe
+# attr compare are all value-checked.
+
+_SCD_T1, _SCD_T2, _SCD_T3 = "1996-01-01", "1998-01-01", "2000-01-01"
+
+
+def q175_scd2_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.scd2 import scd2_apply
+
+    orders = tbl(spark, sf_dir, "orders")
+    base = orders.filter(F.col("o_orderkey") % 10 == 0).select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_totalprice").alias("price"),
+    )
+    dim = scd2_apply(None, base, ["k"], ["status", "price"], _SCD_T1)
+    b2 = base.filter(F.col("k") % 20 == 0).withColumn(
+        "price", F.col("price") * 1.1
+    )
+    dim = scd2_apply(dim, b2, ["k"], ["status", "price"], _SCD_T2)
+    # batch 3 redelivers every %20 key: %40 keys change again, the rest
+    # repeat their current values (must be skipped as no-ops)
+    b3 = base.filter(F.col("k") % 20 == 0).withColumn(
+        "price",
+        F.when(F.col("k") % 40 == 0, F.col("price") * 1.2).otherwise(
+            F.col("price") * 1.1
+        ),
+    )
+    dim = scd2_apply(dim, b3, ["k"], ["status", "price"], _SCD_T3)
+    return (
+        dim.groupBy("is_current")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum("k").cast("bigint").alias("key_sum"),
+            F.expr(DSUM("price")).alias("price_total"),
+            F.sum(F.year("valid_from")).cast("bigint").alias("vf_year_sum"),
+            F.sum(F.year("valid_to")).cast("bigint").alias("vt_year_sum"),
+        )
+        .orderBy("is_current")
+    )
+
+
+_Q175_SQL = f"""
+WITH base AS (
+  SELECT o_orderkey AS k, o_orderstatus AS status, o_totalprice AS price
+  FROM orders WHERE o_orderkey % 10 = 0
+),
+rows_ AS (
+  -- closed version 1: every %20 key (changed at T2)
+  SELECT k, price, 1996 AS vf, 1998 AS vt, false AS is_current
+  FROM base WHERE k % 20 = 0
+  UNION ALL
+  -- closed version 2: every %40 key (changed again at T3)
+  SELECT k, price * 1.1, 1998, 2000, false FROM base WHERE k % 40 = 0
+  UNION ALL
+  -- current rows
+  SELECT k, price * 1.2, 2000, NULL, true FROM base WHERE k % 40 = 0
+  UNION ALL
+  SELECT k, price * 1.1, 1998, NULL, true
+  FROM base WHERE k % 20 = 0 AND k % 40 <> 0
+  UNION ALL
+  SELECT k, price, 1996, NULL, true
+  FROM base WHERE k % 10 = 0 AND k % 20 <> 0
+)
+SELECT is_current,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(k) AS BIGINT) AS key_sum,
+       {DSUM('price')} AS price_total,
+       CAST(SUM(vf) AS BIGINT) AS vf_year_sum,
+       CAST(SUM(vt) AS BIGINT) AS vt_year_sum
+FROM rows_
+GROUP BY is_current
+ORDER BY is_current
+"""
+
+
+# --- q176: point-in-time dimension lookup ---------------------------------
+# The join SCD2 exists FOR: enrich each fact row with the dimension
+# version valid AT ITS OWN timestamp — key equality + validity-interval
+# residual, never a per-fact sort or a latest-only shortcut. The oracle
+# replays the version choice as residue×date CASE logic, so interval
+# boundary semantics (inclusive from, exclusive to) are value-checked.
+# Plan: ONE equi-join on the key with the interval predicate as a
+# residual filter; the dimension's few versions per key make the
+# residual cheap. At 100 TB both sides bucket on the key.
+
+def q176_pit_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.scd2 import scd2_apply
+
+    orders = tbl(spark, sf_dir, "orders")
+    base = orders.filter(F.col("o_orderkey") % 10 == 0).select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_totalprice").alias("price"),
+    )
+    dim = scd2_apply(None, base, ["k"], ["status", "price"], _SCD_T1)
+    dim = scd2_apply(
+        dim,
+        base.filter(F.col("k") % 20 == 0).withColumn(
+            "price", F.col("price") * 1.1
+        ),
+        ["k"],
+        ["status", "price"],
+        _SCD_T2,
+    )
+    dim = scd2_apply(
+        dim,
+        base.filter(F.col("k") % 40 == 0).withColumn(
+            "price", F.col("price") * 1.2
+        ),
+        ["k"],
+        ["status", "price"],
+        _SCD_T3,
+    )
+    fact = orders.select("o_orderkey", "o_orderdate")
+    pit = fact.join(
+        dim,
+        (fact.o_orderkey == dim.k)
+        & (dim.valid_from <= fact.o_orderdate)
+        & (dim.valid_to.isNull() | (fact.o_orderdate < dim.valid_to)),
+    )
+    return (
+        pit.groupBy(F.year("o_orderdate").alias("order_year"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_matched"),
+            F.expr(DSUM("price")).alias("pit_price_total"),
+        )
+        .orderBy("order_year")
+    )
+
+
+_Q176_SQL = f"""
+WITH base AS (
+  SELECT o_orderkey AS k, o_totalprice AS price
+  FROM orders WHERE o_orderkey % 10 = 0
+),
+pit AS (
+  SELECT f.o_orderdate,
+         CASE
+           WHEN f.o_orderdate >= TIMESTAMP '{_SCD_T3}' AND b.k % 40 = 0
+             THEN b.price * 1.2
+           WHEN f.o_orderdate >= TIMESTAMP '{_SCD_T2}' AND b.k % 20 = 0
+             THEN b.price * 1.1
+           ELSE b.price
+         END AS price
+  FROM orders f JOIN base b ON f.o_orderkey = b.k
+  WHERE f.o_orderdate >= TIMESTAMP '{_SCD_T1}'
+)
+SELECT CAST(date_part('year', o_orderdate) AS INT) AS order_year,
+       CAST(COUNT(*) AS BIGINT) AS n_matched,
+       {DSUM('price')} AS pit_price_total
+FROM pit
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+QUERIES["q175_scd2_apply"] = q175_scd2_apply
+QUERIES["q176_pit_lookup"] = q176_pit_lookup
+ORACLE["q175_scd2_apply"] = _Q175_SQL
+ORACLE["q176_pit_lookup"] = _Q176_SQL

@@ -108,3 +108,44 @@ def test_weighted_sample_excludes_bad_weights(spark):
     )
     got = {r["id"] for r in weighted_hash_sample(df, ["id"], "w", 50).collect()}
     assert not (got & set(range(5)))  # negative-weight rows never sampled
+
+
+def test_scd2_apply_change_insert_noop(spark):
+    from etl_job_applify_spark.operators.scd2 import scd2_apply
+
+    u1 = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", None)], "k long, name string, price double"
+    )
+    dim = scd2_apply(None, u1, ["k"], ["name", "price"], "2020-01-01")
+    # change k1, add k3; k2 absent (untouched)
+    u2 = spark.createDataFrame(
+        [(1, "a", 11.0), (3, "c", 30.0)], "k long, name string, price double"
+    )
+    dim = scd2_apply(dim, u2, ["k"], ["name", "price"], "2021-01-01")
+    # no-op redelivery, incl. the null-attr row (null-safe compare)
+    u3 = spark.createDataFrame(
+        [(1, "a", 11.0), (2, "b", None)], "k long, name string, price double"
+    )
+    dim = scd2_apply(dim, u3, ["k"], ["name", "price"], "2022-01-01")
+    rows = {
+        (r["k"], r["is_current"]): (r["price"], r["valid_from"].year,
+                                    r["valid_to"].year if r["valid_to"] else None)
+        for r in dim.collect()
+    }
+    assert len(rows) == 4
+    assert rows[(1, False)] == (10.0, 2020, 2021)
+    assert rows[(1, True)] == (11.0, 2021, None)
+    assert rows[(2, True)] == (None, 2020, None)  # never versioned
+    assert rows[(3, True)] == (30.0, 2021, None)
+
+
+def test_scd2_apply_null_to_value_is_a_change(spark):
+    from etl_job_applify_spark.operators.scd2 import scd2_apply
+
+    u1 = spark.createDataFrame([(1, None)], "k long, v double")
+    dim = scd2_apply(None, u1, ["k"], ["v"], "2020-01-01")
+    u2 = spark.createDataFrame([(1, 5.0)], "k long, v double")
+    dim = scd2_apply(dim, u2, ["k"], ["v"], "2021-01-01")
+    cur = dim.filter("is_current").collect()
+    assert len(cur) == 1 and cur[0]["v"] == 5.0
+    assert dim.filter("NOT is_current").count() == 1
