@@ -640,3 +640,100 @@ ORACLE = {
     "q174_attribution": _Q174_SQL,
 }
 
+
+
+# --- q178: A/B experiment readout (two-sample z statistic) ----------------
+# The experimentation query: deterministic hash-based arm assignment
+# (q119's content-hash idiom — reproducible, engine-identical, never
+# rand()), then per-(metric, arm) moment aggregates and the pooled
+# two-sample z = (mean_t - mean_c) / sqrt(var_c/n_c + var_t/n_t).
+# Moments go through DECIMAL accumulation; sqrt is IEEE-exact — the
+# whole readout is bit-stable with no transcendentals.
+# Plan: one hash aggregate over (event_type, arm) then a 5-row pivot via
+# conditional aggregation — scan-bound at any scale.
+
+def q178_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = tbl(spark, sf_dir, "events")
+    arm = F.expr(
+        "instr('0123456789abcdef',"
+        " substring(md5(CAST(user_id AS STRING)), 1, 1)) % 2"
+    )
+    tagged = ev.select("event_type", "value", arm.alias("arm"))
+    per = tagged.groupBy("event_type", "arm").agg(
+        F.count("*").alias("n"),
+        F.expr(
+            "CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE)"
+            " / COUNT(value)"
+        ).alias("mean"),
+        F.expr(
+            "CAST(SUM(CAST(value * value AS DECIMAL(28,6))) AS DOUBLE)"
+            " / COUNT(value)"
+        ).alias("sq"),
+    )
+    per = per.withColumn(
+        "var", F.greatest(F.lit(0.0), F.col("sq") - F.col("mean") * F.col("mean"))
+    )
+    c = lambda col, a: F.min(F.when(F.col("arm") == a, F.col(col)))  # noqa: E731
+    wide = per.groupBy("event_type").agg(
+        c("n", 0).cast("bigint").alias("n_control"),
+        c("n", 1).cast("bigint").alias("n_treat"),
+        c("mean", 0).alias("mean_control"),
+        c("mean", 1).alias("mean_treat"),
+        c("var", 0).alias("var_control"),
+        c("var", 1).alias("var_treat"),
+    )
+    se = F.sqrt(
+        F.col("var_control") / F.col("n_control")
+        + F.col("var_treat") / F.col("n_treat")
+    )
+    return wide.select(
+        "*",
+        (F.col("mean_treat") - F.col("mean_control")).alias("lift"),
+        F.when(
+            se > 0.0, (F.col("mean_treat") - F.col("mean_control")) / se
+        ).alias("z"),
+    ).orderBy("event_type")
+
+
+_Q178_SQL = """
+WITH tagged AS (
+  SELECT event_type, value,
+         strpos('0123456789abcdef',
+                substr(md5(CAST(user_id AS VARCHAR)), 1, 1)) % 2 AS arm
+  FROM events
+),
+per AS (
+  SELECT event_type, arm,
+         COUNT(*) AS n,
+         CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) / COUNT(value)
+           AS mean,
+         CAST(SUM(CAST(value * value AS DECIMAL(28,6))) AS DOUBLE)
+           / COUNT(value) AS sq
+  FROM tagged GROUP BY 1, 2
+),
+v AS (
+  SELECT *, GREATEST(0.0, sq - mean * mean) AS var FROM per
+),
+wide AS (
+  SELECT event_type,
+         CAST(MIN(CASE WHEN arm = 0 THEN n END) AS BIGINT) AS n_control,
+         CAST(MIN(CASE WHEN arm = 1 THEN n END) AS BIGINT) AS n_treat,
+         MIN(CASE WHEN arm = 0 THEN mean END) AS mean_control,
+         MIN(CASE WHEN arm = 1 THEN mean END) AS mean_treat,
+         MIN(CASE WHEN arm = 0 THEN var END) AS var_control,
+         MIN(CASE WHEN arm = 1 THEN var END) AS var_treat
+  FROM v GROUP BY event_type
+)
+SELECT *,
+       mean_treat - mean_control AS lift,
+       CASE WHEN sqrt(var_control / n_control + var_treat / n_treat) > 0.0
+            THEN (mean_treat - mean_control)
+                 / sqrt(var_control / n_control + var_treat / n_treat)
+       END AS z
+FROM wide
+ORDER BY event_type
+"""
+
+
+QUERIES["q178_ab_test"] = q178_ab_test
+ORACLE["q178_ab_test"] = _Q178_SQL

@@ -697,3 +697,89 @@ ORACLE = {
     "q129_kmeans": _Q129_SQL,
     "q167_triangle_count": _Q167_SQL,
 }
+
+
+# --- q177: item-item co-occurrence similarity (recommender kernel) --------
+# "Customers who bought X also bought Y": cosine similarity over the
+# co-purchase matrix — cooc(a,b) / sqrt(n(a) * n(b)) on order baskets,
+# the memory-based collaborative-filtering baseline. Reuses q167's
+# capped basket enumeration (≤ C(7,2) pairs per order); per-item counts
+# broadcast back onto the pair relation; global top-20 by similarity is
+# TakeOrderedAndProject. sqrt of an exact integer product is IEEE-exact
+# → identical bits in both engines.
+
+def q177_item_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = tbl(spark, sf_dir, "lineitem")
+    mem = (
+        li.groupBy("l_orderkey")
+        .agg(F.collect_set("l_partkey").alias("parts"))
+        .filter(F.size("parts") <= 7)
+    )
+    pairs = (
+        mem.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(parts, (x, i) ->"
+                    " transform(slice(parts, i + 2, size(parts)), y ->"
+                    " struct(least(x, y) AS a, greatest(x, y) AS b))))"
+                )
+            ).alias("e")
+        )
+        .select("e.a", "e.b")
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("cooc"))
+    )
+    item_n = mem.select(F.explode("parts").alias("p")).groupBy("p").agg(
+        F.count("*").alias("n")
+    )
+    na = item_n.select(F.col("p").alias("a"), F.col("n").alias("na"))
+    nb = item_n.select(F.col("p").alias("b"), F.col("n").alias("nb"))
+    return (
+        pairs.join(F.broadcast(na), "a")
+        .join(F.broadcast(nb), "b")
+        .select(
+            "a",
+            "b",
+            F.col("cooc").cast("bigint").alias("cooc"),
+            F.col("na").cast("bigint").alias("na"),
+            F.col("nb").cast("bigint").alias("nb"),
+            (
+                F.col("cooc").cast("double")
+                / F.sqrt((F.col("na") * F.col("nb")).cast("double"))
+            ).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), "a", "b")
+        .limit(20)
+    )
+
+
+_Q177_SQL = """
+WITH mem AS (
+  SELECT l_orderkey, list_distinct(list(l_partkey)) AS parts
+  FROM lineitem GROUP BY l_orderkey
+  HAVING len(list_distinct(list(l_partkey))) <= 7
+),
+basket AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+           WHERE l_orderkey IN (SELECT l_orderkey FROM mem)),
+pairs AS (
+  SELECT m1.l_partkey AS a, m2.l_partkey AS b, COUNT(*) AS cooc
+  FROM basket m1 JOIN basket m2
+    ON m1.l_orderkey = m2.l_orderkey AND m1.l_partkey < m2.l_partkey
+  GROUP BY 1, 2
+),
+item_n AS (SELECT l_partkey AS p, COUNT(*) AS n FROM basket GROUP BY 1)
+SELECT a, b,
+       CAST(cooc AS BIGINT) AS cooc,
+       CAST(na.n AS BIGINT) AS na,
+       CAST(nb.n AS BIGINT) AS nb,
+       CAST(cooc AS DOUBLE) / sqrt(CAST(na.n * nb.n AS DOUBLE)) AS cosine
+FROM pairs
+JOIN item_n na ON na.p = a
+JOIN item_n nb ON nb.p = b
+ORDER BY cosine DESC, a, b
+LIMIT 20
+"""
+
+
+QUERIES["q177_item_similarity"] = q177_item_similarity
+ORACLE["q177_item_similarity"] = _Q177_SQL
