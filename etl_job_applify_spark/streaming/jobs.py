@@ -655,3 +655,62 @@ def streaming_anomalies(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def fold_scd2_batch(
+    batch_df: DataFrame,
+    table_path: str,
+    keys: list[str],
+    attrs: list[str],
+    ts_col: str,
+) -> None:
+    """Fold one CDC micro-batch into a type-2 dimension maintained as a
+    versioned table: dedup the batch to its last change per key (max
+    ``ts_col``, deterministic), stamp the batch's max timestamp as the
+    effective instant, and ``scd2_apply`` it onto the current snapshot.
+
+    Exactly-once WITHOUT an epoch fence: scd2_apply's no-op semantics
+    make redelivery idempotent — a replayed batch finds every key's
+    current attrs already equal and closes/inserts nothing (unlike the
+    rollup fold, whose increments would double-count and therefore need
+    fold fencing). The publish is the same commit-then-prune snapshot
+    protocol as every other sink here."""
+    from pyspark.sql import functions as F
+
+    from ..operators.scd2 import scd2_apply
+    from ..sinks.versioned import _snapshots, read_table, write_version
+    from ..transform.dedup import dedup_keep_first
+
+    if batch_df.isEmpty():
+        return
+    spark = batch_df.sparkSession
+    last = dedup_keep_first(
+        batch_df, keys=keys, order_by=[ts_col], ascending=False
+    ).select(*keys, *attrs)
+    effective = batch_df.agg(F.max(ts_col)).first()[0]
+    _, _, names = _snapshots(spark, table_path)
+    dim = read_table(spark, table_path) if names else None
+    updated = scd2_apply(dim, last, keys, attrs, effective)
+    write_version(updated, table_path, retain=2)
+
+
+def run_scd2_stream(
+    stream_df: DataFrame,
+    table_path: str,
+    keys: list[str],
+    attrs: list[str],
+    ts_col: str,
+) -> None:
+    """Maintain an SCD2 dimension from a change stream via foreachBatch
+    (AvailableNow catch-up trigger; rerun on a schedule for continuous
+    maintenance)."""
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        fold_scd2_batch(batch_df, table_path, keys, attrs, ts_col)
+
+    q = (
+        stream_df.writeStream.foreachBatch(sink)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -663,3 +663,51 @@ def test_streaming_anomalies_bit_exact_with_batch(spark):
 
     assert len(got) == len(want) > 0
     assert norm(got) == norm(want)
+
+
+def test_scd2_stream_builds_dimension_and_is_idempotent(spark, tmp_path):
+    """foreachBatch SCD2 maintenance: the streamed dimension must match
+    a direct scd2_apply of the same change set, and re-running the
+    stream over the same input must be a no-op (redelivery safety)."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from etl_job_applify_spark.streaming.jobs import run_scd2_stream
+
+    src = str(tmp_path / "changes")
+    rows = [
+        (1, "a", 10.0, dt.datetime(2024, 1, 1)),
+        (2, "b", 20.0, dt.datetime(2024, 1, 1)),
+        (1, "a", 11.0, dt.datetime(2024, 1, 2)),  # change for k=1
+        (3, "c", 30.0, dt.datetime(2024, 1, 2)),  # new key
+    ]
+    schema = "k long, name string, price double, ts timestamp"
+    spark.createDataFrame(rows, schema).write.parquet(src)
+    table = str(tmp_path / "dim")
+
+    def run_once():
+        stream = spark.readStream.schema(schema).parquet(src)
+        run_scd2_stream(stream, table, ["k"], ["name", "price"], "ts")
+
+    run_once()
+    from etl_job_applify_spark.sinks import read_table
+
+    dim1 = {
+        (r["k"], r["is_current"]): r["price"]
+        for r in read_table(spark, table).collect()
+    }
+    # single-batch fold: last change per key wins, no history rows
+    assert dim1 == {(1, True): 11.0, (2, True): 20.0, (3, True): 30.0}
+    # a second batch with one change and redelivered no-ops
+    more = [
+        (1, "a", 11.0, dt.datetime(2024, 1, 3)),  # redelivery (no-op)
+        (2, "b", 25.0, dt.datetime(2024, 1, 3)),  # change
+    ]
+    spark.createDataFrame(more, schema).write.mode("append").parquet(src)
+    run_once()
+    rows2 = read_table(spark, table).collect()
+    cur = {r["k"]: r["price"] for r in rows2 if r["is_current"]}
+    hist = {r["k"]: r["price"] for r in rows2 if not r["is_current"]}
+    assert cur == {1: 11.0, 2: 25.0, 3: 30.0}
+    assert hist == {2: 20.0}  # only k=2 was versioned; k=1 was a no-op
