@@ -345,3 +345,48 @@ ORACLE = {
     "q160_part_promotion": _Q160_SQL,
     "q161_waiting_orders": _Q161_SQL,
 }
+
+
+# --- q179: native recursive CTE (Spark 4 WITH RECURSIVE) ------------------
+# q121 demonstrates recursion as an independent DataFrame frontier loop
+# (its oracle is DuckDB's WITH RECURSIVE); this query pins Spark 4's
+# NATIVE recursive-CTE machinery itself: every sampled customer key
+# walks its ancestor chain k → k div 2 to the root, and the per-depth
+# rollup is compared against DuckDB running its own recursion. The two
+# engines share semantics but not text (Spark uses `div`, DuckDB `//`),
+# and Spark's recursion executes as iterative union steps — depth bounds
+# the stage count, data size does not grow per step.
+
+def q179_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tbl(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    return spark.sql(
+        """
+        WITH RECURSIVE up(start, node, steps) AS (
+          SELECT c_custkey, c_custkey, 0
+          FROM customer WHERE c_custkey % 100 = 0
+          UNION ALL
+          SELECT start, node div 2, steps + 1 FROM up WHERE node > 1
+        )
+        SELECT steps,
+               CAST(COUNT(*) AS BIGINT) AS n_chains,
+               CAST(SUM(node) AS BIGINT) AS node_sum
+        FROM up GROUP BY steps ORDER BY steps
+        """
+    )
+
+
+_Q179_SQL = """
+WITH RECURSIVE up(start, node, steps) AS (
+  SELECT c_custkey, c_custkey, 0 FROM customer WHERE c_custkey % 100 = 0
+  UNION ALL
+  SELECT start, node // 2, steps + 1 FROM up WHERE node > 1
+)
+SELECT steps,
+       CAST(COUNT(*) AS BIGINT) AS n_chains,
+       CAST(SUM(node) AS BIGINT) AS node_sum
+FROM up GROUP BY steps ORDER BY steps
+"""
+
+
+QUERIES["q179_recursive_cte"] = q179_recursive_cte
+ORACLE["q179_recursive_cte"] = _Q179_SQL
