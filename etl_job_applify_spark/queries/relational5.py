@@ -390,3 +390,64 @@ FROM up GROUP BY steps ORDER BY steps
 
 QUERIES["q179_recursive_cte"] = q179_recursive_cte
 ORACLE["q179_recursive_cte"] = _Q179_SQL
+
+
+# --- q180: skyline / Pareto frontier --------------------------------------
+# The not-dominated set over (price ↓ better, size ↑ better): a part is
+# on the frontier iff no other part is at-most-as-expensive AND
+# at-least-as-big with one strict. The naive form is the O(n²)
+# NOT EXISTS self-join — which stays as the ORACLE text; the engine-side
+# formulation is the 2-D sweep: collapse to one row per distinct price
+# (its max size), then one ordered window pass keeps prices whose max
+# size strictly exceeds every cheaper price's running max — O(n log n),
+# one sort, no self-join. Equal-(price, size) duplicates survive
+# together (no strict edge between them).
+# Plan: one aggregate on price + one unpartitioned window over the
+# |distinct prices| relation + a broadcast semi join back — at 100 TB
+# the sweep relation is the distinct-price set, not the table.
+
+def q180_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    part = tbl(spark, sf_dir, "part").select(
+        "p_partkey", "p_retailprice", "p_size"
+    )
+    per_price = part.groupBy("p_retailprice").agg(
+        F.max("p_size").alias("pmax")
+    )
+    w = (
+        Window.orderBy("p_retailprice")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    frontier_prices = (
+        per_price.withColumn("prev_max", F.max("pmax").over(w))
+        .filter(F.col("prev_max").isNull() | (F.col("pmax") > F.col("prev_max")))
+        .select("p_retailprice", "pmax")
+    )
+    return (
+        part.join(
+            F.broadcast(frontier_prices),
+            (part.p_retailprice == frontier_prices.p_retailprice)
+            & (part.p_size == frontier_prices.pmax),
+            "left_semi",
+        )
+        .select("p_partkey", "p_retailprice", "p_size")
+        .orderBy("p_retailprice", "p_partkey")
+    )
+
+
+_Q180_SQL = """
+SELECT p_partkey, p_retailprice, p_size
+FROM part p
+WHERE NOT EXISTS (
+  SELECT 1 FROM part q
+  WHERE q.p_retailprice <= p.p_retailprice
+    AND q.p_size >= p.p_size
+    AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size)
+)
+ORDER BY p_retailprice, p_partkey
+"""
+
+
+QUERIES["q180_skyline"] = q180_skyline
+ORACLE["q180_skyline"] = _Q180_SQL
