@@ -18,15 +18,19 @@ Layout
                    dedup, deterministic sampling
 - ``operators``  : relational assemblies Spark lacks natively (as-of
                    join, grouped top-k, sessionization, range join,
-                   salting, SCD2, connected components, incremental
-                   rollup maintenance)
+                   salting, SCD2 intervals + incremental batch apply,
+                   connected components, incremental rollup
+                   maintenance)
 - ``functions``  : scalar/vector helpers (text stats, embedding math,
                    AES-GCM crypto)
 - ``dedup``      : exact + MinHash/LSH + SimHash + n-gram Jaccard dedup
 - ``similarity`` : brute-force + LSH/IVF ANN (incl. persisted IVF index)
-- ``multimodal`` : binary media columns: schema + batched decode plumbing
+- ``multimodal`` : binary media columns: schema + batched decode
+                   plumbing; REAL codecs for PPM images, WAV/PCM audio,
+                   and PVS video frame streams
 - ``streaming``  : Structured Streaming jobs (windows, stateful ops,
-                   stream-stream joins, CDC sinks, AvailableNow runs)
+                   stream-stream joins, CDC/SCD2/rollup sinks, anomaly
+                   detection, AvailableNow runs)
 - ``pipeline``   : lazy E→T*→L composition with observed metrics
 - ``jobs``       : declarative job specs (batch + streaming dispatch)
 - ``plans``      : explain/plan-inspection helpers

@@ -71,10 +71,20 @@ def build_blooms(
     snapshot_dir: str,
     columns,
     bits_per_row: int = 16,
+    max_total_positions: int = 50_000_000,
 ) -> bool:
     """Build and persist per-file Bloom bitsets for ``columns``.
     Returns True when a sidecar was written (local snapshots only —
-    non-local tables lower to the format's native index)."""
+    non-local tables lower to the format's native index).
+
+    ``max_total_positions`` bounds the driver-side sidecar assembly
+    (the per-file position sets are aggregated on executors but packed
+    on the driver, ~8 bytes/position in flight): tables beyond
+    ~``max_total_positions / 4`` rows raise instead of silently
+    stressing the driver — the explicit signal to move to parquet's
+    native footer bloom filters, where packing happens in the writer
+    tasks. No silent cap: an oversized build FAILS, it never writes a
+    partial index."""
     local = _local_path(snapshot_dir)
     if local is None or not os.path.isdir(local):
         return False
@@ -89,6 +99,13 @@ def build_blooms(
     }
     if not per_file_rows:
         return False
+    total_rows = sum(per_file_rows.values())
+    if total_rows * len(_SEEDS) > max_total_positions:
+        raise ValueError(
+            f"bloom build over {total_rows} rows x {len(_SEEDS)} hashes "
+            f"exceeds max_total_positions={max_total_positions}; use the "
+            "table format's native bloom filter index at this scale"
+        )
     max_rows = max(per_file_rows.values())
     # one power-of-two m per column keeps every file's bitset aligned
     m = max(64, 1 << math.ceil(math.log2(bits_per_row * max_rows)))

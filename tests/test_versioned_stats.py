@@ -338,3 +338,15 @@ def test_bloom_false_positive_rate_bounded(spark, bloomed):
         kept, _ = prune_files_bloom(spark, snap, {"id": key})
         kept_files += len(kept)
     assert kept_files <= 40, f"{kept_files} false-positive file hits / 3200"
+
+
+def test_bloom_build_budget_guard(spark, tmp_path):
+    from etl_job_applify_spark.sinks.bloom import build_blooms
+    import pytest as _pytest
+
+    snap = str(tmp_path / "snap")
+    spark.range(1000).write.parquet(snap)
+    with _pytest.raises(ValueError, match="native bloom filter"):
+        build_blooms(spark, snap, ["id"], max_total_positions=100)
+    # within budget still builds
+    assert build_blooms(spark, snap, ["id"]) is True
