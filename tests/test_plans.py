@@ -134,17 +134,19 @@ def test_registry_wide_plan_audit(spark):
                     "q99_sketch_rollup", "q102_theta_ops",
                     "q146_semantic_dedup", "q152_pq_recall",
                     "q153_ivfpq_recall"}
+    from etl_job_applify_spark.plans import lint_errors
+
     offenders = []
     for name, fn in registry.queries().items():
-        text = explain_str(fn(spark, SF_SMOKE), "simple")
-        if "BatchEvalPython" in text and name not in UDTF_OK:
-            offenders.append((name, "row-at-a-time Python UDF"))
-        if ("ArrowEvalPython" in text or "MapInPandas" in text
-                or "FlatMapGroupsInPandas" in text) and name not in PYTHON_OK:
-            offenders.append((name, "unexpected Python stage"))
-        if ("CartesianProduct" in text or "BroadcastNestedLoopJoin" in text):
-            if name not in CARTESIAN_OK and "q08" not in name:
-                offenders.append((name, "un-gated cartesian/BNLJ"))
+        allow = set()
+        if name in UDTF_OK:
+            allow.add("row-python")
+        if name in PYTHON_OK:
+            allow.add("python-stage")
+        if name in CARTESIAN_OK or "q08" in name:
+            allow.add("cartesian")
+        for f in lint_errors(fn(spark, SF_SMOKE), allow=allow):
+            offenders.append((name, f.code))
     assert not offenders, offenders
 
 
@@ -203,3 +205,28 @@ def test_ivfpq_replaces_cross_join_with_cell_equi_join(spark):
     assert "CartesianProduct" not in text
     assert "BroadcastNestedLoopJoin" not in text
     assert "BroadcastHashJoin" in text  # probed-cell equi-join broadcasts
+
+
+def test_lint_plan_flags_and_clears(spark):
+    """The lint API itself: a row-Python UDF and a cross join must flag
+    as errors; a clean aggregation must produce no error findings."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType
+
+    from etl_job_applify_spark.plans import lint_errors, lint_plan
+    from etl_job_applify_spark.queries._util import tbl
+
+    orders = tbl(spark, SF_SMOKE, "orders")
+    clean = orders.groupBy("o_orderstatus").agg(F.count("*").alias("n"))
+    assert lint_errors(clean) == []
+
+    slow_udf = F.udf(lambda x: x + 1, LongType())
+    bad = orders.select(slow_udf("o_orderkey"))
+    assert any(f.code == "row-python" for f in lint_errors(bad))
+
+    cart = orders.limit(3).crossJoin(orders.limit(3))
+    assert any(f.code == "cartesian" for f in lint_errors(cart))
+
+    # info severity: global sort + limit that DID collapse is clean
+    topk = orders.orderBy(F.desc("o_totalprice")).limit(5)
+    assert all(f.code != "sort-for-limit" for f in lint_plan(topk))
