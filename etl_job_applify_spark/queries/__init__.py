@@ -39,6 +39,7 @@ from . import (
     sketches,
     graphmatch,
     mediadecode,
+    mlops,
     transactional,
 )
 
@@ -62,6 +63,7 @@ _MODULES = [
     sketches,
     graphmatch,
     mediadecode,
+    mlops,
     transactional,
 ]
 

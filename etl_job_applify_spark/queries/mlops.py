@@ -1,0 +1,264 @@
+"""Distributed classical-ML primitives as dataflow (q181-q183).
+
+The iterative-linear-algebra companion to q129's k-means: a power
+iteration for the corpus's top principal direction, the hashing trick
+for text features, and closed-form group-wise OLS — each expressed as
+joins/aggregations over exploded relations with DECIMAL-exact
+accumulation, so distributed training math is REPRODUCIBLE (bit-equal
+at any parallelism) and DuckDB-verifiable.
+
+Scale notes are per-query below; the common pattern is that model state
+(a 64-vector, a hash table of 32 buckets, five regression moments) is
+dimension-sized and rides relations or broadcasts — never driver loops
+over data.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ._util import tbl
+
+#: DECIMAL(28,18)-exact sum of a computed-double term, surfaced as
+#: DOUBLE via the string hop (same rationale as q129's _SQDIST)
+def _PSUM(expr: str) -> str:
+    return (
+        f"CAST(CAST(SUM(CAST(({expr}) AS DECIMAL(28,18)))"
+        " AS STRING) AS DOUBLE)"
+    )
+
+
+def _PSUM_OVER(expr: str) -> str:
+    """Windowed (unpartitioned) variant: OVER binds to the SUM."""
+    return (
+        f"CAST(CAST(SUM(CAST(({expr}) AS DECIMAL(28,18))) OVER ()"
+        " AS STRING) AS DOUBLE)"
+    )
+
+
+_DIMS = 64
+
+
+# --- q181: power iteration for the top principal direction ----------------
+# Two unrolled iterations of v ← Xᵀ(Xv) / ‖Xᵀ(Xv)‖ over the UNCENTERED
+# embedding matrix (the Gram top singular direction — the memory-light
+# PCA variant; centering adds one mean-vector join and nothing else).
+# All matrix-vector products are joins over the exploded (vec, d, x)
+# relation with DECIMAL-exact sums; the normalizer rides an
+# unpartitioned window over the 64-row direction relation (never a
+# 1-row cross join). Iterations unroll as stages — no driver state.
+# At 100 TB: each iteration is one broadcast of the 64-row direction +
+# two aggregations; the vector count never materializes anywhere.
+# Final loadings are ROUND(•, 9) (computed doubles: the engines'
+# double→DECIMAL casts can differ in the last ulp mid-pipeline — q129's
+# precedent — and rounding the REPORTED values absorbs that while
+# remaining a real regression tripwire).
+
+def q181_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = tbl(spark, sf_dir, "embeddings")
+    pts = emb.select(
+        "vec_id", F.posexplode("embedding").alias("d", "x")
+    )
+
+    def iterate(v: DataFrame) -> DataFrame:
+        dot = (
+            pts.join(F.broadcast(v), "d")
+            .groupBy("vec_id")
+            .agg(F.expr(_PSUM("x * v")).alias("dot"))
+        )
+        s = (
+            pts.join(dot, "vec_id")
+            .groupBy("d")
+            .agg(F.expr(_PSUM("x * dot")).alias("s"))
+        )
+        return s.select(
+            "d",
+            (F.col("s") / F.sqrt(F.expr(_PSUM_OVER("s * s")))).alias("v"),
+            F.sqrt(F.expr(_PSUM_OVER("s * s"))).alias("growth"),
+        )
+
+    v0 = spark.range(_DIMS).select(
+        F.col("id").cast("int").alias("d"), F.lit(0.125).alias("v")
+    )
+    v1 = iterate(v0).select("d", "v")
+    v2 = iterate(v1)
+    return v2.select(
+        "d",
+        F.round("v", 9).alias("loading"),
+        F.round("growth", 6).alias("eigenvalue_estimate"),
+    ).orderBy("d")
+
+
+_Q181_SQL = f"""
+WITH pts AS (
+  SELECT vec_id, i - 1 AS d, CAST(embedding[i] AS DOUBLE) AS x
+  FROM embeddings CROSS JOIN (SELECT unnest(range(1, {_DIMS + 1})) AS i) dims
+),
+dot1 AS (
+  SELECT vec_id, {_PSUM('x * 0.125')} AS dot
+  FROM pts GROUP BY vec_id
+),
+s1 AS (
+  SELECT p.d, {_PSUM('p.x * dot1.dot')} AS s
+  FROM pts p JOIN dot1 ON p.vec_id = dot1.vec_id
+  GROUP BY p.d
+),
+v1 AS (
+  SELECT d, s / sqrt({_PSUM_OVER('s * s')}) AS v FROM s1
+),
+dot2 AS (
+  SELECT p.vec_id, {_PSUM('p.x * v1.v')} AS dot
+  FROM pts p JOIN v1 ON p.d = v1.d
+  GROUP BY p.vec_id
+),
+s2 AS (
+  SELECT p.d, {_PSUM('p.x * dot2.dot')} AS s
+  FROM pts p JOIN dot2 ON p.vec_id = dot2.vec_id
+  GROUP BY p.d
+)
+SELECT d,
+       ROUND(s / sqrt({_PSUM_OVER('s * s')}), 9) AS loading,
+       ROUND(sqrt({_PSUM_OVER('s * s')}), 6) AS eigenvalue_estimate
+FROM s2
+ORDER BY d
+"""
+
+
+# --- q182: the hashing trick (feature hashing for text) -------------------
+# Fixed-width text features without a vocabulary pass: every token maps
+# to bucket = polynomial_hash(token) % 32 (the portable rolling hash, so
+# both engines bucket identically), and a document's feature vector is
+# its per-bucket token counts — the Vowpal-Wabbit / scikit
+# HashingVectorizer idiom, collision-lossy BY DESIGN (documented trade:
+# no vocabulary state at 100 TB, collisions average out in linear
+# models). Output is the sparse (doc, bucket, tf) relation plus the
+# bucket's corpus-wide document frequency.
+# Plan: pure map-side hashing + ONE (doc, bucket) aggregate; the bucket
+# DF relation is 32 rows, joined back broadcast.
+
+_B = 32
+
+
+def q182_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = tbl(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.expr("split(text, ' ')")).alias("word"),
+    )
+    bucket = F.expr(
+        "CAST(aggregate(split(word, ''), 0L,"
+        f" (acc, ch) -> (acc * 31 + ascii(ch)) % 1000000007) % {_B} AS INT)"
+    )
+    sparse = (
+        toks.select("doc_id", bucket.alias("bucket"))
+        .groupBy("doc_id", "bucket")
+        .agg(F.count("*").cast("bigint").alias("tf"))
+    )
+    bucket_df = sparse.groupBy("bucket").agg(
+        F.countDistinct("doc_id").cast("bigint").alias("bucket_df")
+    )
+    return sparse.join(F.broadcast(bucket_df), "bucket").select(
+        "doc_id", "bucket", "tf", "bucket_df"
+    )
+
+
+_Q182_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, UNNEST(string_split(text, ' ')) AS word FROM documents
+),
+hashed AS (
+  SELECT doc_id,
+         CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+                list_transform(range(1, length(word) + 1),
+                               i -> ascii(word[i]))),
+              (acc, c) -> (acc * 31 + c) % 1000000007) % {_B} AS INT)
+           AS bucket
+  FROM toks
+),
+sparse AS (
+  SELECT doc_id, bucket, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM hashed GROUP BY doc_id, bucket
+),
+bucket_df AS (
+  SELECT bucket, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS bucket_df
+  FROM sparse GROUP BY bucket
+)
+SELECT doc_id, s.bucket, tf, bucket_df
+FROM sparse s JOIN bucket_df b ON s.bucket = b.bucket
+"""
+
+
+# --- q183: group-wise OLS (closed-form slope/intercept per key) -----------
+# Per event type, the least-squares trend of value over time from the
+# five classical moments (n, Σx, Σy, Σxy, Σx²) — one aggregate pass,
+# exact DECIMAL accumulation (x is integer hours since a fixed origin,
+# so xy/x² are exact-integer-valued products), then the closed form in
+# deterministic double arithmetic. The reason NOT to use the built-in
+# regr_slope: its internal accumulation is order-dependent double — the
+# moment form is the distributed-reproducible formulation.
+# Plan: one partial+final hash aggregate; scan-bound at any scale.
+
+def q183_groupwise_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = tbl(spark, sf_dir, "events")
+    g = ev.select(
+        "event_type",
+        F.expr(
+            "CAST(timestampdiff(HOUR, TIMESTAMP '2024-01-01', ts) AS DOUBLE)"
+        ).alias("x"),
+        F.col("value").alias("y"),
+    )
+    m = g.groupBy("event_type").agg(
+        F.count("*").cast("double").alias("n"),
+        F.expr(_PSUM("x")).alias("sx"),
+        F.expr(_PSUM("y")).alias("sy"),
+        F.expr(_PSUM("x * y")).alias("sxy"),
+        F.expr(_PSUM("x * x")).alias("sxx"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return m.select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n"),
+        slope.alias("slope"),
+        ((F.col("sy") - slope * F.col("sx")) / F.col("n")).alias("intercept"),
+    ).orderBy("event_type")
+
+
+_Q183_SQL = f"""
+WITH g AS (
+  SELECT event_type,
+         CAST(date_diff('hour', TIMESTAMP '2024-01-01', ts) AS DOUBLE) AS x,
+         value AS y
+  FROM events
+),
+m AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS DOUBLE) AS n,
+         {_PSUM('x')} AS sx,
+         {_PSUM('y')} AS sy,
+         {_PSUM('x * y')} AS sxy,
+         {_PSUM('x * x')} AS sxx
+  FROM g GROUP BY event_type
+)
+SELECT event_type,
+       CAST(n AS BIGINT) AS n,
+       (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope,
+       (sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n
+         AS intercept
+FROM m
+ORDER BY event_type
+"""
+
+
+QUERIES = {
+    "q181_power_iteration": q181_power_iteration,
+    "q182_feature_hashing": q182_feature_hashing,
+    "q183_groupwise_regression": q183_groupwise_regression,
+}
+ORACLE = {
+    "q181_power_iteration": _Q181_SQL,
+    "q182_feature_hashing": _Q182_SQL,
+    "q183_groupwise_regression": _Q183_SQL,
+}
