@@ -5,6 +5,7 @@ from .range_join import range_join
 from .scd2 import scd2_apply, scd2_intervals
 from .components import connected_components
 from .salting import salted_agg_sum, salted_join
+from .triangles import TriangleStats, triangle_stats
 
 __all__ = [
     "top_k_per_group",
@@ -16,4 +17,6 @@ __all__ = [
     "connected_components",
     "salted_agg_sum",
     "salted_join",
+    "TriangleStats",
+    "triangle_stats",
 ]

@@ -539,6 +539,8 @@ def q129_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
 # equi-joins on the oriented edge list. No cartesian anywhere.
 
 def q167_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.triangles import triangle_stats
+
     li = tbl(spark, sf_dir, "lineitem")
     small_orders = (
         li.groupBy("l_orderkey")
@@ -558,83 +560,10 @@ def q167_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("e.a", "e.b")
         .filter(F.col("a") != F.col("b"))
         .distinct()
-        # the edge list feeds the degree build, the orientation join and
-        # the edge count — persist it once instead of re-running the
-        # enumerate+distinct shuffles per consumer (measured 14 s → 6 s
-        # at sf0.1); released before return
-        .persist()
     )
-    # degree-ordered orientation: direct each edge toward the endpoint
-    # with the higher (degree, id) — bounds out-degree by O(sqrt(|E|))
-    # on skewed graphs. deg is |V| rows → broadcast into both joins.
-    deg = (
-        pairs.select(F.col("a").alias("v"))
-        .unionAll(pairs.select(F.col("b").alias("v")))
-        .groupBy("v")
-        .agg(F.count("*").alias("d"))
-    )
-    e = (
-        pairs.join(
-            F.broadcast(
-                deg.withColumnRenamed("v", "a").withColumnRenamed("d", "da")
-            ),
-            "a",
-        )
-        .join(
-            F.broadcast(
-                deg.withColumnRenamed("v", "b").withColumnRenamed("d", "db")
-            ),
-            "b",
-        )
-        .select(
-            F.when(
-                (F.col("da") < F.col("db"))
-                | ((F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))),
-                F.struct(F.col("a").alias("src"), F.col("b").alias("dst")),
-            )
-            .otherwise(
-                F.struct(F.col("b").alias("src"), F.col("a").alias("dst"))
-            )
-            .alias("e")
-        )
-        .select("e.src", "e.dst")
-        .persist()  # consumed 3x: both wedge sides + the closing edges
-    )
-    try:
-        e1 = e.alias("e1")
-        e2 = e.alias("e2")
-        wedges = (
-            e1.join(e2, F.col("e1.src") == F.col("e2.src"))
-            .filter(F.col("e1.dst") < F.col("e2.dst"))
-            .select(
-                F.col("e1.dst").alias("u"),
-                F.col("e2.dst").alias("w"),
-            )
-        )
-        # closing edge may be oriented either way between u and w.
-        # BROADCAST the closing-edge set: the wedge stream (Θ(Σd_out²)
-        # rows — 92M at sf0.1) is then generated and hash-probed inside
-        # one stage and never exchanged; only |E| rows ship. Measured
-        # 14 s → ~7 s at sf0.1. At edge counts beyond the broadcast
-        # budget (|E| ≳ 10⁸) drop the hint and let the wedges shuffle —
-        # the classic MPI-triangle trade, documented in SCALING.md.
-        closing = e.select(
-            F.least("src", "dst").alias("u"),
-            F.greatest("src", "dst").alias("w"),
-        )
-        tri = wedges.select(
-            F.least("u", "w").alias("u"), F.greatest("u", "w").alias("w")
-        ).join(F.broadcast(closing), ["u", "w"], "inner")
-        n_edges = pairs.count()
-        n_tri = tri.count()
-        open_wedges = (
-            deg.agg(F.sum(F.expr("d * (d - 1) / 2")).cast("bigint")).first()[0]
-        )
-    finally:
-        pairs.unpersist()
-        e.unpersist()
+    st = triangle_stats(pairs)  # operators/triangles.py — the kernel
     out = spark.createDataFrame(
-        [(n_edges, n_tri, int(open_wedges))],
+        [(st.n_edges, st.n_triangles, st.n_wedges)],
         "n_edges bigint, n_triangles bigint, n_wedges bigint",
     )
     return out.withColumn(

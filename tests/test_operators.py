@@ -270,3 +270,35 @@ def test_changes_increment_handles_updates_deletes_and_group_moves(spark, tmp_pa
     want = {r["grp"]: (r["amt_sum"], r["n_rows"]) for r in full.collect()}
     assert got == want
     assert "c" not in got  # zero-membership group pruned
+
+
+def test_triangle_stats_matches_brute_force_and_caps(spark):
+    from etl_job_applify_spark.operators import triangle_stats
+    import pyspark.sql.functions as F
+
+    # K4 plus a pendant: C(4,3)=4 triangles, wedges = sum C(d,2)
+    edges = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (4, 5)]
+    pairs = spark.createDataFrame(edges, "a long, b long")
+    st = triangle_stats(pairs)
+    assert (st.n_edges, st.n_triangles) == (7, 4)
+    assert st.n_wedges == 3 + 3 + 3 + 6 + 0  # degrees 3,3,3,4,1
+    assert st.n_capped_nodes == 0
+
+    # cap at degree 3: node 4 (degree 4) drops; remaining K3 on {1,2,3}
+    st2 = triangle_stats(pairs, max_degree=3)
+    assert st2.n_capped_nodes == 1
+    assert (st2.n_edges, st2.n_triangles) == (3, 1)
+
+
+def test_triangle_stats_shuffled_closing_same_counts(spark):
+    from etl_job_applify_spark.operators import triangle_stats
+
+    edges = [(i, (i + 1) % 20) for i in range(20)] + [(i, (i + 2) % 20) for i in range(20)]
+    pairs = (
+        spark.createDataFrame(edges, "x long, y long")
+        .selectExpr("least(x,y) AS a", "greatest(x,y) AS b")
+        .distinct()
+    )
+    a = triangle_stats(pairs, broadcast_closing=True)
+    b = triangle_stats(pairs, broadcast_closing=False)
+    assert a == b and a.n_triangles == 20  # each i,i+1,i+2 closes
