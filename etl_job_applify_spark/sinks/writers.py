@@ -55,6 +55,21 @@ def write_orc(
     writer.orc(path)
 
 
+def write_avro(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """Avro sink — env-gated like ``sources.readers.read_avro`` (the
+    external spark-avro module is not bundled with pyspark)."""
+    try:
+        df.write.mode(mode).format("avro").save(path)
+    except Exception as e:
+        if "avro" in str(e).lower():
+            raise ImportError(
+                "Avro needs the external spark-avro module on the "
+                "classpath (--packages org.apache.spark:spark-avro_2.13); "
+                "it is not bundled with pyspark"
+            ) from e
+        raise
+
+
 def write_csv(
     df: DataFrame,
     path: str,

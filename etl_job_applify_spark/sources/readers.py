@@ -44,6 +44,25 @@ def read_orc(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.orc(path)
 
 
+def read_avro(spark: SparkSession, path: str) -> DataFrame:
+    """Avro scan — the row-oriented interchange format Kafka pipelines
+    land. Spark's Avro support lives in the external ``spark-avro``
+    module (not bundled with pyspark's jars, absent in this image), so
+    this is an environment gate with the real call behind it: deploy
+    with ``--packages org.apache.spark:spark-avro_2.13:<ver>`` and it
+    works unchanged."""
+    try:
+        return spark.read.format("avro").load(path)
+    except Exception as e:  # AnalysisException: failed to find data source
+        if "avro" in str(e).lower():
+            raise ImportError(
+                "Avro needs the external spark-avro module on the "
+                "classpath (--packages org.apache.spark:spark-avro_2.13); "
+                "it is not bundled with pyspark"
+            ) from e
+        raise
+
+
 def read_csv(
     spark: SparkSession,
     path: str,

@@ -127,3 +127,18 @@ def test_binary_reader_content_and_glob(spark, tmp_path):
     assert rows[0]["content"] == b"\xff\xd8fakejpeg"
     assert rows[0]["length"] == 10
     assert set(df.columns) == {"path", "modificationTime", "length", "content"}
+
+
+def test_avro_paths_are_cleanly_gated(spark, tmp_path):
+    """Avro needs the external spark-avro module (absent here): both
+    directions must raise the actionable ImportError, not a raw
+    ClassNotFound — and would work unchanged with the package present."""
+    import pytest
+
+    from etl_job_applify_spark.sinks.writers import write_avro
+    from etl_job_applify_spark.sources.readers import read_avro
+
+    with pytest.raises(ImportError, match="spark-avro"):
+        read_avro(spark, str(tmp_path / "x.avro"))
+    with pytest.raises(ImportError, match="spark-avro"):
+        write_avro(spark.range(3), str(tmp_path / "y.avro"))
