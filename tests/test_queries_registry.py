@@ -82,3 +82,40 @@ def test_coverage_doc_totals_match_registry():
     assert m, "totals line missing from COVERAGE.md"
     assert int(m.group(1)) == len(ALL)
     assert int(m.group(2)) == len(ORACLES)
+
+
+def test_recursive_cte_matches_dataframe_loop(spark):
+    """q179 exercises Spark's NATIVE recursion, so its oracle shares the
+    recursion SHAPE with DuckDB; this pins it against a third,
+    independent formulation — an explicit DataFrame frontier loop — so a
+    same-shape recursion bug cannot cancel in the oracle compare."""
+    import pyspark.sql.functions as F
+
+    from etl_job_applify_spark.queries.relational5 import q179_recursive_cte
+
+    got = {
+        (r["steps"]): (r["n_chains"], r["node_sum"])
+        for r in q179_recursive_cte(spark, SF_SMOKE).collect()
+    }
+
+    cust = spark.read.parquet(f"{SF_SMOKE}/customer.parquet")
+    frontier = cust.filter(F.col("c_custkey") % 100 == 0).select(
+        F.col("c_custkey").alias("node"), F.lit(0).alias("steps")
+    )
+    acc = frontier
+    while frontier.filter(F.col("node") > 1).limit(1).count() > 0:
+        frontier = frontier.filter(F.col("node") > 1).select(
+            F.expr("node div 2").alias("node"),
+            (F.col("steps") + 1).alias("steps"),
+        )
+        acc = acc.unionByName(frontier)
+    want = {
+        r["steps"]: (r["n"], r["s"])
+        for r in acc.groupBy("steps")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum("node").cast("bigint").alias("s"),
+        )
+        .collect()
+    }
+    assert got == want and len(got) > 3
