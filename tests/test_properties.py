@@ -643,3 +643,89 @@ def test_oriented_triangle_count_matches_brute_force(spark, edges):
     )
     got = wedges.join(closing, ["u", "w"]).count()
     assert got == brute
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    batches=st.lists(
+        st.lists(
+            st.tuples(st.integers(1, 6), st.integers(0, 3)),
+            min_size=0, max_size=5,
+        ),
+        min_size=1, max_size=4,
+    )
+)
+def test_scd2_apply_chain_matches_dict_replay(spark, batches):
+    """A chain of scd2_apply batches == a python SCD2 simulator: per key
+    the version history is the deduplicated sequence of distinct values
+    in batch order, stamped with its batch's effective year, and only
+    the last version is current. (Batches dedup to one row per key —
+    max v wins — mirroring the operator's upstream-dedup contract.)"""
+    from etl_job_applify_spark.operators import scd2_apply
+
+    dim = None
+    sim: dict[int, list[tuple[int, int]]] = {}  # k -> [(v, year), ...]
+    for i, batch in enumerate(batches):
+        year = 2000 + i
+        best: dict[int, int] = {}
+        for k, v in batch:
+            if k not in best or v > best[k]:
+                best[k] = v
+        if not best:
+            continue
+        updates = spark.createDataFrame(
+            [(k, v) for k, v in best.items()], "k long, v long"
+        )
+        dim = scd2_apply(dim, updates, ["k"], ["v"], f"{year}-01-01")
+        for k, v in best.items():
+            hist = sim.setdefault(k, [])
+            if not hist or hist[-1][0] != v:
+                hist.append((v, year))
+    if dim is None:
+        return
+    got_cur = {}
+    got_hist: dict[int, list] = {}
+    for r in dim.collect():
+        if r["is_current"]:
+            got_cur[r["k"]] = (r["v"], r["valid_from"].year)
+        else:
+            got_hist.setdefault(r["k"], []).append(
+                (r["v"], r["valid_from"].year, r["valid_to"].year)
+            )
+    exp_cur = {k: h[-1] for k, h in sim.items()}
+    assert got_cur == exp_cur
+    for k, h in sim.items():
+        exp = [
+            (v, y, h[i + 1][1]) for i, (v, y) in enumerate(h[:-1])
+        ]
+        assert sorted(got_hist.get(k, [])) == sorted(exp)
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    n=st.integers(50, 300),
+    probes=st.lists(st.integers(0, 400), min_size=1, max_size=6),
+)
+def test_bloom_never_false_negative(spark, tmp_path_factory, n, probes):
+    """The one failure a Bloom filter must never have: a PRESENT key's
+    file pruned. Probe random key sets against a random-sized table and
+    assert every present key's rows survive the pruned read exactly."""
+    from pyspark.sql import functions as F
+
+    from etl_job_applify_spark.sinks import read_table, write_version
+
+    path = str(tmp_path_factory.mktemp("bloom_prop") / "t")
+    write_version(
+        spark.range(n).select("id", (F.col("id") * 3).alias("y")),
+        path,
+        num_files=None,
+        bloom_columns=("id",),
+    )
+    got = {
+        r["id"]: r["y"]
+        for r in read_table(spark, path, equals={"id": probes}).collect()
+    }
+    exp = {k: k * 3 for k in set(probes) if k < n}
+    assert got == exp
