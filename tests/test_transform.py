@@ -220,3 +220,40 @@ def test_quality_empty_input_fails_closed(spark):
         {"type": "bounds", "column": "v", "lo": 0, "hi": 1},
     ]).collect()}
     assert out == {"completeness(id)": False, "bounds(v)": False}
+
+
+# --- nested-structure normalization (transform/flatten.py) ----------------
+
+
+def test_flatten_structs_recursive_and_collision(spark):
+    import pytest
+
+    from etl_job_applify_spark.transform.flatten import flatten_structs
+
+    df = spark.sql(
+        "SELECT 1 AS id, named_struct('a', 2, 'b',"
+        " named_struct('c', 3)) AS s, 'x' AS t"
+    )
+    flat = flatten_structs(df)
+    assert flat.columns == ["id", "s_a", "s_b_c", "t"]
+    assert flat.first().asDict() == {"id": 1, "s_a": 2, "s_b_c": 3, "t": "x"}
+
+    clash = spark.sql(
+        "SELECT named_struct('a', 1) AS s, 2 AS s_a"
+    )
+    with pytest.raises(ValueError, match="collision"):
+        flatten_structs(clash)
+
+
+def test_explode_to_child_positions_and_empty_parents(spark):
+    from etl_job_applify_spark.transform.flatten import explode_to_child
+
+    df = spark.sql(
+        "SELECT * FROM VALUES"
+        " (1, array(named_struct('v', 10), named_struct('v', 20))),"
+        " (2, array())"
+        " AS t(id, items)"
+    )
+    child = explode_to_child(df, "items", ["id"])
+    rows = {(r["id"], r["pos"]): r["element_v"] for r in child.collect()}
+    assert rows == {(1, 0): 10, (1, 1): 20, (2, None): None}
