@@ -171,6 +171,12 @@ def build_job(spec: dict[str, Any]) -> Pipeline:
         # the scan regardless of its position in the transform list
         cond = spec["filter"]
         transforms.append(lambda df: df.filter(cond))
+    if spec.get("flatten"):
+        # normalize nested structs to flat columns before the contract
+        # (so contracts address dotted names as plain columns)
+        from .transform.flatten import flatten_structs
+
+        transforms.append(flatten_structs)
     if spec.get("contract"):
         contract = SchemaContract.from_dict(spec["contract"])
         transforms.append(contract.apply)

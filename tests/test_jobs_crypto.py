@@ -214,3 +214,26 @@ def test_job_spec_versioned_sink_with_bloom(spark, tmp_path):
     assert total == 8 and 1 <= len(kept) <= 3
     rows = read_table(spark, table, equals={"id": 1234}).collect()
     assert len(rows) == 1 and rows[0]["v"] == 2468.0
+
+
+def test_job_spec_flatten_step(spark, tmp_path):
+    import json
+
+    from etl_job_applify_spark.jobs import run_job
+
+    src = str(tmp_path / "nested.json")
+    with open(src, "w") as fh:
+        # the json source is multiLine (S1 parity): one array document
+        json.dump(
+            [
+                {"id": 1, "meta": {"k": "a", "n": 5}},
+                {"id": 2, "meta": {"k": "b", "n": 7}},
+            ],
+            fh,
+        )
+    df = run_job(spark, {
+        "source": {"type": "json", "path": src},
+        "flatten": True,
+    })
+    assert set(df.columns) == {"id", "meta_k", "meta_n"}
+    assert df.count() == 2
