@@ -2,6 +2,7 @@ from .writers import write_csv, write_json, write_orc, write_parquet, write_jdbc
 from .upsert import upsert
 from .versioned import (
     CommitConflict,
+    clone_table,
     commit_version,
     list_versions,
     optimize_table,
@@ -24,4 +25,4 @@ __all__ = ["write_csv", "write_json", "write_orc", "write_parquet", "write_jdbc"
            "CommitConflict", "commit_version", "merge_into", "table_changes", "consume_changes", "commit_cursor",
            "MergeBackend", "VersionedParquetBackend", "DEFAULT_BACKEND",
            "copy_statements", "execute_statement", "write_redshift",
-           "build_blooms", "prune_files_bloom"]
+           "build_blooms", "prune_files_bloom", "clone_table"]

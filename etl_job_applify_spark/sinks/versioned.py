@@ -499,3 +499,51 @@ def read_table(
         # provably-empty result, schema preserved from the snapshot
         return spark.read.parquet(snap).limit(0)
     return spark.read.parquet(*kept).filter(pred)
+
+
+def clone_table(
+    spark: SparkSession,
+    src_path: str,
+    dst_path: str,
+    version: int | None = None,
+) -> int:
+    """Zero-copy shallow clone: publish ``src``'s snapshot (latest or
+    ``version``) as version 1 of a NEW table at ``dst_path``, carrying
+    every data file as a hard link — the Delta SHALLOW CLONE workflow
+    (dev/test sandboxes, reproducible experiment pins) on the directory
+    protocol.
+
+    The clone is an independent table from the first byte: parquet files
+    are immutable under this protocol (writers always publish NEW
+    snapshots), so shared inodes are safe; later commits to either table
+    never touch the other, and VACUUM on the source only unlinks names
+    (data lives until the last link drops — no dangling-clone hazard,
+    which is the trade Delta shallow clones accept where dropping source
+    data DOES break clones). Stats/bloom sidecars are copied as regular
+    files (tiny). Non-local tables raise — object stores need the real
+    format's clone. Returns the new table's version number (1)."""
+    import os
+    import shutil
+
+    from . import stats as _stats
+    from .bloom import BLOOM_FILE
+
+    snap = _resolve_snapshot(spark, src_path, version)
+    local_src = _stats._local_path(snap)
+    local_dst = _stats._local_path(dst_path)
+    if local_src is None or local_dst is None:
+        raise ValueError("clone_table requires local src and dst paths")
+    if os.path.exists(local_dst) and os.listdir(local_dst):
+        raise ValueError(f"clone destination not empty: {dst_path}")
+    dst_snap = os.path.join(local_dst, f"{_PREFIX}{1:08d}")
+    os.makedirs(dst_snap, exist_ok=True)
+    for name in sorted(os.listdir(local_src)):
+        src_f = os.path.join(local_src, name)
+        dst_f = os.path.join(dst_snap, name)
+        if name.endswith(".parquet") and not name.startswith(("_", ".")):
+            os.link(src_f, dst_f)  # zero-copy
+        elif name in ("_SUCCESS", _stats.STATS_FILE, BLOOM_FILE):
+            shutil.copyfile(src_f, dst_f)
+    # _SUCCESS must exist for the snapshot to count as committed
+    open(os.path.join(dst_snap, "_SUCCESS"), "a").close()
+    return 1

@@ -350,3 +350,40 @@ def test_bloom_build_budget_guard(spark, tmp_path):
         build_blooms(spark, snap, ["id"], max_total_positions=100)
     # within budget still builds
     assert build_blooms(spark, snap, ["id"]) is True
+
+
+def test_clone_table_zero_copy_and_independent(spark, tmp_path):
+    import glob
+    import os
+
+    from etl_job_applify_spark.sinks import (
+        clone_table,
+        read_table,
+        snapshot_files,
+        write_version,
+    )
+
+    src = str(tmp_path / "src")
+    write_version(spark.range(1000), src, bloom_columns=("id",))
+    dst = str(tmp_path / "dst")
+    assert clone_table(spark, src, dst) == 1
+    # zero-copy: every data file shares an inode with the source
+    src_inodes = {
+        os.path.basename(p): os.stat(p).st_ino
+        for p in glob.glob(f"{src}/snap_00000001/part-*.parquet")
+    }
+    for p in glob.glob(f"{dst}/snap_00000001/part-*.parquet"):
+        assert os.stat(p).st_ino == src_inodes[os.path.basename(p)]
+    # same data; the bloom sidecar came along
+    assert read_table(spark, dst).count() == 1000
+    kept, total = snapshot_files(spark, dst, equals={"id": 5})
+    assert len(kept) < total or total == 1
+    # independence: writing to the clone never touches the source
+    write_version(spark.range(5), dst)
+    assert read_table(spark, src).count() == 1000
+    assert read_table(spark, dst).count() == 5
+    # refuse to clobber
+    import pytest
+
+    with pytest.raises(ValueError, match="not empty"):
+        clone_table(spark, src, dst)
