@@ -15,6 +15,7 @@ from .versioned import (
 )
 from .merge import merge_into
 from .bloom import build_blooms, prune_files_bloom
+from .properties import get_table_properties, set_table_properties, update_table_properties
 from .changes import commit_cursor, consume_changes, table_changes
 from .backends import DEFAULT_BACKEND, MergeBackend, VersionedParquetBackend
 from .redshift import copy_statements, execute_statement, write_redshift
@@ -25,4 +26,5 @@ __all__ = ["write_csv", "write_json", "write_orc", "write_parquet", "write_jdbc"
            "CommitConflict", "commit_version", "merge_into", "table_changes", "consume_changes", "commit_cursor",
            "MergeBackend", "VersionedParquetBackend", "DEFAULT_BACKEND",
            "copy_statements", "execute_statement", "write_redshift",
-           "build_blooms", "prune_files_bloom", "clone_table"]
+           "build_blooms", "prune_files_bloom", "clone_table",
+           "get_table_properties", "set_table_properties", "update_table_properties"]

@@ -119,6 +119,20 @@ def write_version(
         snap_dir
     )
     _stats.write_stats(snap_dir)
+    # bloom index: an explicit bloom_columns argument RECORDS the index
+    # as a table property (Delta TBLPROPERTIES shape); with no argument
+    # the recorded property applies — so MERGE/OPTIMIZE/later writers
+    # keep rebuilding the sidecar instead of silently dropping it
+    from . import properties as _props
+
+    if bloom_columns:
+        _props.update_table_properties(
+            table_path, bloom_columns=list(bloom_columns)
+        )
+    else:
+        bloom_columns = _props.get_table_properties(table_path).get(
+            "bloom_columns"
+        )
     if bloom_columns:
         from . import bloom as _bloom
 
@@ -187,6 +201,15 @@ def commit_staged(
     from . import stats as _stats
 
     _stats.write_stats(staging)
+    # recorded bloom index rebuilds for CAS commits too (MERGE path) —
+    # the rename publishes data + stats + bloom atomically together
+    from . import properties as _props
+
+    bloom_cols = _props.get_table_properties(table_path).get("bloom_columns")
+    if bloom_cols:
+        from . import bloom as _bloom
+
+        _bloom.build_blooms(spark, staging, bloom_cols)
     # writer-unique commit token: Hadoop's rename follows mv semantics —
     # when the destination directory already EXISTS, the source is moved
     # INSIDE it and rename still returns true, which would silently drop

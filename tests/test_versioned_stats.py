@@ -387,3 +387,42 @@ def test_clone_table_zero_copy_and_independent(spark, tmp_path):
 
     with pytest.raises(ValueError, match="not empty"):
         clone_table(spark, src, dst)
+
+
+def test_bloom_index_survives_merge_and_optimize(spark, tmp_path):
+    """bloom_columns is a TABLE property: MERGE commits and OPTIMIZE
+    rewrites rebuild the sidecar automatically — point lookups keep
+    pruning after maintenance instead of silently degrading to scans."""
+    import pyspark.sql.functions as F
+
+    from etl_job_applify_spark.sinks import (
+        merge_into,
+        optimize_table,
+        read_table,
+        snapshot_files,
+        write_version,
+    )
+
+    path = str(tmp_path / "t")
+    write_version(
+        spark.range(5000).select("id", (F.col("id") * 2.0).alias("v")),
+        path,
+        num_files=8,
+        bloom_columns=("id",),
+    )
+    # MERGE (CAS path) — no bloom argument anywhere
+    merge_into(
+        spark,
+        path,
+        spark.range(10).select("id", (F.col("id") * 100.0).alias("v")),
+        keys=["id"],
+    )
+    kept, total = snapshot_files(spark, path, equals={"id": 4321})
+    assert total > 1 and len(kept) < total, "bloom lost after merge"
+    assert read_table(spark, path, equals={"id": 4321}).count() == 1
+    # OPTIMIZE (write_version path)
+    optimize_table(spark, path, target_file_bytes=16 * 1024)
+    kept2, total2 = snapshot_files(spark, path, equals={"id": 4321})
+    assert total2 > 1 and len(kept2) < total2, "bloom lost after optimize"
+    rows = read_table(spark, path, equals={"id": 9}).collect()
+    assert len(rows) == 1 and rows[0]["v"] == 900.0  # merged value visible
