@@ -3,6 +3,7 @@ from .upsert import upsert
 from .versioned import (
     CommitConflict,
     clone_table,
+    fsck_table,
     commit_version,
     list_versions,
     optimize_table,
@@ -27,4 +28,5 @@ __all__ = ["write_csv", "write_json", "write_orc", "write_parquet", "write_jdbc"
            "MergeBackend", "VersionedParquetBackend", "DEFAULT_BACKEND",
            "copy_statements", "execute_statement", "write_redshift",
            "build_blooms", "prune_files_bloom", "clone_table",
-           "get_table_properties", "set_table_properties", "update_table_properties"]
+           "get_table_properties", "set_table_properties", "update_table_properties",
+           "fsck_table"]

@@ -570,3 +570,79 @@ def clone_table(
     # _SUCCESS must exist for the snapshot to count as committed
     open(os.path.join(dst_snap, "_SUCCESS"), "a").close()
     return 1
+
+
+def fsck_table(
+    spark: SparkSession,
+    table_path: str,
+    version: int | None = None,
+    repair: bool = False,
+) -> list[dict]:
+    """Consistency check for a snapshot's skipping metadata — the FSCK
+    of the directory protocol. Verifies, per sidecar:
+
+    - ``_stats.json`` lists exactly the snapshot's data files and its
+      per-file min/max agree with a fresh footer harvest;
+    - ``_bloom.json`` (when the table records bloom columns) covers
+      every data file.
+
+    Returns a list of findings ({kind, detail}); empty = clean. With
+    ``repair=True``, stale/missing sidecars are rebuilt in place (safe:
+    sidecars are derived data — readers treat a missing/invalid sidecar
+    as "full scan", so repair can only improve pruning, never change
+    results). A reader-visible corruption (missing _SUCCESS) is
+    reported but never repaired — that is a failed commit, not drift."""
+    import os
+
+    from . import bloom as _bloom
+    from . import properties as _props
+    from . import stats as _stats
+
+    snap = _resolve_snapshot(spark, table_path, version)
+    local = _stats._local_path(snap)
+    findings: list[dict] = []
+    if local is None:
+        return [{"kind": "non-local", "detail": snap}]
+    data_files = sorted(
+        n
+        for n in os.listdir(local)
+        if n.endswith(".parquet") and not n.startswith(("_", "."))
+    )
+    if not os.path.isfile(os.path.join(local, "_SUCCESS")):
+        findings.append({"kind": "uncommitted-snapshot", "detail": snap})
+    fresh = _stats.collect_file_stats(snap)
+    stored = _stats.load_stats(snap)
+    if stored is None:
+        findings.append({"kind": "missing-stats", "detail": snap})
+    elif fresh is not None and stored["files"] != fresh["files"]:
+        stale = sorted(
+            set(stored["files"]) ^ set(fresh["files"])
+        ) or ["min/max drift"]
+        findings.append(
+            {"kind": "stale-stats", "detail": ", ".join(map(str, stale))}
+        )
+    bloom_cols = _props.get_table_properties(table_path).get("bloom_columns")
+    if bloom_cols:
+        doc = _bloom.load_blooms(snap)
+        if doc is None:
+            findings.append({"kind": "missing-bloom", "detail": snap})
+        else:
+            for col in bloom_cols:
+                covered = set(doc.get("columns", {}).get(col, {}).get("files", {}))
+                missing = sorted(set(data_files) - covered)
+                if missing:
+                    findings.append(
+                        {
+                            "kind": "bloom-uncovered-files",
+                            "detail": f"{col}: {', '.join(missing)}",
+                        }
+                    )
+    if repair and findings:
+        if any(f["kind"] in ("missing-stats", "stale-stats") for f in findings):
+            _stats.write_stats(snap)
+        if bloom_cols and any(
+            f["kind"] in ("missing-bloom", "bloom-uncovered-files")
+            for f in findings
+        ):
+            _bloom.build_blooms(spark, snap, bloom_cols)
+    return findings

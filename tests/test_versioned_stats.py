@@ -426,3 +426,31 @@ def test_bloom_index_survives_merge_and_optimize(spark, tmp_path):
     assert total2 > 1 and len(kept2) < total2, "bloom lost after optimize"
     rows = read_table(spark, path, equals={"id": 9}).collect()
     assert len(rows) == 1 and rows[0]["v"] == 900.0  # merged value visible
+
+
+def test_fsck_detects_and_repairs_sidecar_drift(spark, tmp_path):
+    import json
+    import os
+
+    from etl_job_applify_spark.sinks import (
+        fsck_table,
+        snapshot_files,
+        write_version,
+    )
+
+    path = str(tmp_path / "t")
+    write_version(spark.range(2000), path, bloom_columns=("id",))
+    assert fsck_table(spark, path) == []  # clean after commit
+    snap = f"{path}/snap_00000001"
+    # corrupt: drop the bloom sidecar, stale-ify stats
+    os.remove(f"{snap}/_bloom.json")
+    doc = json.load(open(f"{snap}/_stats.json"))
+    doc["files"]["ghost.parquet"] = {}
+    json.dump(doc, open(f"{snap}/_stats.json", "w"))
+    kinds = {f["kind"] for f in fsck_table(spark, path)}
+    assert kinds == {"stale-stats", "missing-bloom"}
+    # repair rebuilds both; pruning works again
+    fsck_table(spark, path, repair=True)
+    assert fsck_table(spark, path) == []
+    kept, total = snapshot_files(spark, path, equals={"id": 7})
+    assert len(kept) <= total
