@@ -4,7 +4,12 @@ from .sessionize import sessionize
 from .range_join import range_join
 from .scd2 import scd2_apply, scd2_intervals
 from .components import connected_components
-from .salting import salted_agg_sum, salted_join
+from .salting import (
+    differential_salted_join,
+    hot_keys,
+    salted_agg_sum,
+    salted_join,
+)
 from .triangles import TriangleStats, triangle_stats
 
 __all__ = [
@@ -17,6 +22,8 @@ __all__ = [
     "connected_components",
     "salted_agg_sum",
     "salted_join",
+    "hot_keys",
+    "differential_salted_join",
     "TriangleStats",
     "triangle_stats",
 ]

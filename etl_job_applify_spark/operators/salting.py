@@ -74,3 +74,67 @@ def salted_join(
         "__salt", F.explode(F.array(*[F.lit(i) for i in range(num_salts)]))
     )
     return big_s.join(small_s, [*keys, "__salt"], how).drop("__salt")
+
+
+def hot_keys(
+    df: DataFrame,
+    keys: Sequence[str],
+    threshold_share: float = 0.01,
+    sample_fraction: float | None = 0.05,
+    seed: int = 7,
+) -> DataFrame:
+    """Keys carrying more than ``threshold_share`` of rows, estimated
+    from a Bernoulli sample (one cheap pass; a hot key by definition
+    dominates the sample too, so sampling cannot miss it — it can only
+    misjudge keys NEAR the threshold, where salting is harmless either
+    way). ``sample_fraction=None`` counts exactly. Returns a
+    (keys..., share) relation — hot-key sets are tiny by definition."""
+    from pyspark.sql import Window
+
+    base = df.sample(fraction=sample_fraction, seed=seed) if sample_fraction else df
+    counts = base.groupBy(*keys).agg(F.count("*").alias("__n"))
+    return (
+        counts.withColumn(
+            "share",
+            F.col("__n") / F.sum("__n").over(Window.partitionBy()),
+        )
+        .filter(F.col("share") > threshold_share)
+        .select(*keys, "share")
+    )
+
+
+def differential_salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    keys: Sequence[str],
+    salt_from: Sequence[str],
+    num_salts: int = 16,
+    threshold_share: float = 0.01,
+    sample_fraction: float | None = 0.05,
+) -> DataFrame:
+    """The production skew join: salt ONLY the hot keys.
+
+    ``salted_join`` replicates the whole small side k times — measured
+    NEGATIVE for q146 once parallelism saturated (BENCHNOTES round 5:
+    replicated shuffle volume beats the win). Differential salting pays
+    replication only where it buys parallelism: detect hot keys from a
+    sample (control-plane-sized set, broadcast), salt-join the hot slice,
+    plain-join the cold slice, union. Cold keys keep their single-copy
+    shuffle; the hot key's rows land on k tasks.
+
+    Inner join only (the union of two outer slices would need unmatched
+    bookkeeping; extend per use)."""
+    keys = list(keys)
+    hk = hot_keys(
+        big, keys, threshold_share=threshold_share,
+        sample_fraction=sample_fraction,
+    ).select(*keys)
+    big_hot = big.join(F.broadcast(hk), keys, "left_semi")
+    big_cold = big.join(F.broadcast(hk), keys, "left_anti")
+    small_hot = small.join(F.broadcast(hk), keys, "left_semi")
+    small_cold = small.join(F.broadcast(hk), keys, "left_anti")
+    hot_joined = salted_join(
+        big_hot, small_hot, keys, salt_from, num_salts=num_salts
+    )
+    cold_joined = big_cold.join(small_cold, keys, "inner")
+    return hot_joined.unionByName(cold_joined)

@@ -51,3 +51,46 @@ def test_salted_join_rejects_outer(spark):
     small = spark.createDataFrame([("hot", "H")], "k string, tag string")
     with _pytest.raises(ValueError, match="inner"):
         salted_join(big, small, ["k"], salt_from=["id"], how="full")
+
+
+def test_hot_keys_finds_the_celebrity(spark):
+    from pyspark.sql import functions as F
+
+    from etl_job_applify_spark.operators import hot_keys
+
+    # key 7 carries ~50% of rows; everything else is uniform noise
+    df = spark.range(20000).select(
+        F.when(F.col("id") % 2 == 0, 7)
+        .otherwise(F.pmod(F.col("id"), 1000))
+        .alias("k"),
+        F.col("id").alias("payload"),
+    )
+    hot = {r["k"] for r in hot_keys(df, ["k"], threshold_share=0.05).collect()}
+    assert hot == {7}
+    exact = {r["k"] for r in hot_keys(
+        df, ["k"], threshold_share=0.05, sample_fraction=None).collect()}
+    assert exact == {7}
+
+
+def test_differential_salted_join_matches_plain_join(spark):
+    from pyspark.sql import functions as F
+
+    from etl_job_applify_spark.operators import differential_salted_join
+
+    big = spark.range(30000).select(
+        F.when(F.col("id") % 3 != 0, 42)
+        .otherwise(F.pmod(F.col("id"), 500))
+        .alias("k"),
+        F.col("id").alias("payload"),
+    )
+    small = spark.range(500).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("attr")
+    )
+    got = differential_salted_join(
+        big, small, ["k"], salt_from=["payload"], sample_fraction=None
+    )
+    want = big.join(small, "k", "inner")
+    assert got.count() == want.count()
+    g = got.agg(F.sum("payload"), F.sum("attr")).first()
+    w = want.agg(F.sum("payload"), F.sum("attr")).first()
+    assert g == w
