@@ -19,7 +19,14 @@ from .bloom import build_blooms, prune_files_bloom
 from .properties import get_table_properties, set_table_properties, update_table_properties
 from .changes import commit_cursor, consume_changes, table_changes
 from .backends import DEFAULT_BACKEND, MergeBackend, VersionedParquetBackend
-from .redshift import copy_statements, execute_statement, write_redshift
+from .redshift import (
+    copy_statements,
+    execute_statement,
+    execute_transaction,
+    publish_statements,
+    write_jdbc_transactional,
+    write_redshift,
+)
 
 __all__ = ["write_csv", "write_json", "write_orc", "write_parquet", "write_jdbc", "write_xml", "upsert",
            "write_version", "read_table", "list_versions", "snapshot_files",
@@ -27,6 +34,7 @@ __all__ = ["write_csv", "write_json", "write_orc", "write_parquet", "write_jdbc"
            "CommitConflict", "commit_version", "merge_into", "table_changes", "consume_changes", "commit_cursor",
            "MergeBackend", "VersionedParquetBackend", "DEFAULT_BACKEND",
            "copy_statements", "execute_statement", "write_redshift",
+           "execute_transaction", "publish_statements", "write_jdbc_transactional",
            "build_blooms", "prune_files_bloom", "clone_table",
            "get_table_properties", "set_table_properties", "update_table_properties",
            "fsck_table"]

@@ -129,3 +129,77 @@ def write_redshift(
     for sql in stmts:
         execute(sql)
     return stmts
+
+
+def execute_transaction(
+    spark: SparkSession,
+    url: str,
+    statements: Sequence[str],
+    user: str | None = None,
+    password: str | None = None,
+) -> list[int]:
+    """Run several DDL/DML statements in ONE JDBC transaction
+    (autocommit off; commit after the last, rollback on any failure).
+    Control plane only — the atomicity primitive the swap-publish
+    pattern needs. Returns per-statement update counts."""
+    jvm = spark._jvm
+    if user is not None:
+        conn = jvm.java.sql.DriverManager.getConnection(url, user, password)
+    else:
+        conn = jvm.java.sql.DriverManager.getConnection(url)
+    try:
+        conn.setAutoCommit(False)
+        counts = []
+        try:
+            stmt = conn.createStatement()
+            try:
+                for sql in statements:
+                    has_rs = stmt.execute(sql)
+                    counts.append(-1 if has_rs else stmt.getUpdateCount())
+            finally:
+                stmt.close()
+            conn.commit()
+            return counts
+        except Exception:
+            conn.rollback()
+            raise
+    finally:
+        conn.close()
+
+
+def publish_statements(table: str, staging_table: str) -> list[str]:
+    """The atomic-swap publish: replace ``table``'s contents with
+    ``staging_table``'s inside one transaction (readers see the old rows
+    or the new rows, never a half-loaded table — the property plain
+    overwrite-mode JDBC writes do NOT have). Both identifiers
+    validated."""
+    table = _check_identifier(table)
+    staging_table = _check_identifier(staging_table)
+    return [
+        f"DELETE FROM {table}",
+        f"INSERT INTO {table} SELECT * FROM {staging_table}",
+    ]
+
+
+def write_jdbc_transactional(
+    df: DataFrame,
+    url: str,
+    table: str,
+    staging_table: str,
+    user: str,
+    password: str,
+    driver: str,
+) -> list[str]:
+    """Exactly-once warehouse publish: stage ``df`` with a distributed
+    JDBC write (overwrite — staging is private to this job), then swap
+    into ``table`` via ONE transaction. A crash before the commit leaves
+    the target untouched; a re-run republishes the same content —
+    idempotent end state. Returns the statements executed."""
+    from .writers import write_jdbc
+
+    write_jdbc(
+        df, url, staging_table, user, password, driver, mode="overwrite"
+    )
+    stmts = publish_statements(table, staging_table)
+    execute_transaction(df.sparkSession, url, stmts, user, password)
+    return stmts

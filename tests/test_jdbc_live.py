@@ -164,3 +164,58 @@ def test_execute_statement_live(spark, derby, tmp_path):
         spark, "SELECT COUNT(*) AS n FROM ctl_probe"
     ).collect()
     assert got[0][0] == 2
+
+
+def test_transactional_publish_atomic_swap(spark, derby, seeded):
+    """write_jdbc_transactional: stage → one-transaction swap. The
+    target shows exactly the new rows afterwards; a failing transaction
+    rolls back and leaves the target untouched (LIVE Derby)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from etl_job_applify_spark.sinks.redshift import (
+        execute_statement,
+        execute_transaction,
+        write_jdbc_transactional,
+    )
+
+    execute_statement(
+        spark, derby.url,
+        "CREATE TABLE pub_t (id INT, v DOUBLE)", derby.user, derby.password,
+    )
+    execute_statement(
+        spark, derby.url,
+        "INSERT INTO pub_t VALUES (999, 0.0)", derby.user, derby.password,
+    )
+    df = spark.range(5).select(
+        F.col("id").cast("int"), (F.col("id") * 1.5).alias("v")
+    )
+    write_jdbc_transactional(
+        df, derby.url, "pub_t", "pub_stage",
+        derby.user, derby.password, derby.driver,
+    )
+    out = (
+        spark.read.format("jdbc")
+        .option("url", derby.url)
+        .option("dbtable", "pub_t")
+        .option("user", derby.user)
+        .option("password", derby.password)
+        .option("driver", derby.driver)
+        .load()
+        .collect()
+    )
+    assert {r["ID"] for r in out} == {0, 1, 2, 3, 4}  # 999 swapped out
+    # rollback: second statement fails -> the delete must not stick
+    with pytest.raises(Exception):
+        execute_transaction(
+            spark, derby.url,
+            ["DELETE FROM pub_t", "INSERT INTO pub_t SELECT * FROM no_such"],
+            derby.user, derby.password,
+        )
+    assert (
+        spark.read.format("jdbc")
+        .option("url", derby.url).option("dbtable", "pub_t")
+        .option("user", derby.user).option("password", derby.password)
+        .option("driver", derby.driver).load().count()
+        == 5
+    )
