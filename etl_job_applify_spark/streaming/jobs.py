@@ -714,3 +714,33 @@ def run_scd2_stream(
         .start()
     )
     q.awaitTermination()
+
+
+def run_quarantine_stream(
+    stream_df: DataFrame,
+    contract: dict,
+    good_path: str,
+    bad_path: str,
+) -> None:
+    """Streaming contract application with dead-letter routing: per
+    micro-batch, rows whose casts silently null a non-null source value
+    go to the ``bad_path`` DLQ (original rows + ``__bad_columns``
+    blame), clean rows land in ``good_path`` — the streaming form of
+    ``transform.contract.apply_with_quarantine``, with the same one-scan
+    sharing inside each batch. Both sinks are plain appends: DLQ rows
+    are facts about the batch, re-processing after a contract fix is a
+    REPLAY (reread the DLQ parquet through the contract), not an edit.
+    AvailableNow trigger — rerun on a schedule for continuous flow."""
+    from ..transform.contract import apply_with_quarantine
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        good, bad = apply_with_quarantine(batch_df, contract)
+        good.write.mode("append").parquet(good_path)
+        bad.write.mode("append").parquet(bad_path)
+
+    q = (
+        stream_df.writeStream.foreachBatch(sink)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -711,3 +711,36 @@ def test_scd2_stream_builds_dimension_and_is_idempotent(spark, tmp_path):
     hist = {r["k"]: r["price"] for r in rows2 if not r["is_current"]}
     assert cur == {1: 11.0, 2: 25.0, 3: 30.0}
     assert hist == {2: 20.0}  # only k=2 was versioned; k=1 was a no-op
+
+
+def test_quarantine_stream_routes_bad_rows(spark, tmp_path):
+    """Streaming DLQ: rows failing the contract's casts land in the
+    quarantine sink with blame; clean rows land in the target — and the
+    split agrees with the batch quarantine op on the same data."""
+    from etl_job_applify_spark.streaming.jobs import run_quarantine_stream
+    from etl_job_applify_spark.transform.contract import (
+        apply_with_quarantine,
+    )
+
+    src = str(tmp_path / "in")
+    rows = [("1", "2024-01-01"), ("x", "2024-01-02"), ("3", "oops")]
+    spark.createDataFrame(rows, "amount string, day string").write.parquet(src)
+    contract = {
+        "columns": [
+            {"source": "amount", "name": "amount", "type": "int"},
+            {"source": "day", "name": "day", "type": "date",
+             "format": "yyyy-MM-dd"},
+        ]
+    }
+    good_p, bad_p = str(tmp_path / "good"), str(tmp_path / "bad")
+    stream = spark.readStream.schema("amount string, day string").parquet(src)
+    run_quarantine_stream(stream, contract, good_p, bad_p)
+
+    good = spark.read.parquet(good_p).collect()
+    bad = spark.read.parquet(bad_p).collect()
+    assert len(good) == 1 and good[0]["amount"] == 1
+    blames = {str(r["__bad_columns"]) for r in bad}
+    assert blames == {"amount", "day"}
+    # agrees with the batch op
+    g2, b2 = apply_with_quarantine(spark.read.parquet(src), contract)
+    assert g2.count() == 1 and b2.count() == 2
