@@ -177,3 +177,47 @@ def table_changes(
     post = _emit("_new", "update_postimage").filter(both)
     out = inserts.unionByName(deletes).unionByName(pre).unionByName(post)
     return out.drop("_old", "_new")
+
+
+def schema_changes(
+    spark, table_path: str, from_version: int, to_version: int
+) -> list[dict]:
+    """Schema drift between two committed versions: added / removed /
+    type-changed columns, as a list of findings ({change, column,
+    before, after}). The DDL-side companion of ``table_changes`` (which
+    diffs rows): CDC consumers alert on BOTH — a silently widened or
+    dropped column breaks downstream contracts before any row does.
+    Reads only parquet footers (schema inference on the snapshot
+    directories), no data scan."""
+    from .versioned import _resolve_snapshot
+
+    a = dict(
+        spark.read.parquet(
+            _resolve_snapshot(spark, table_path, from_version)
+        ).dtypes
+    )
+    b = dict(
+        spark.read.parquet(
+            _resolve_snapshot(spark, table_path, to_version)
+        ).dtypes
+    )
+    out: list[dict] = []
+    for col in sorted(a.keys() - b.keys()):
+        out.append(
+            {"change": "removed", "column": col, "before": a[col], "after": None}
+        )
+    for col in sorted(b.keys() - a.keys()):
+        out.append(
+            {"change": "added", "column": col, "before": None, "after": b[col]}
+        )
+    for col in sorted(a.keys() & b.keys()):
+        if a[col] != b[col]:
+            out.append(
+                {
+                    "change": "type_changed",
+                    "column": col,
+                    "before": a[col],
+                    "after": b[col],
+                }
+            )
+    return out

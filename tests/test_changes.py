@@ -134,3 +134,32 @@ def test_changes_verify_keys_raises_on_duplicates(spark, tmp_path):
         table_changes(spark, path, 1, 2, keys=["id"], verify_keys=True)
     # without verification the diff still runs (documented contract)
     table_changes(spark, path, 1, 2, keys=["id"]).collect()
+
+
+def test_schema_changes_between_versions(spark, tmp_path):
+    import pyspark.sql.functions as F
+
+    from etl_job_applify_spark.sinks import schema_changes, write_version
+
+    path = str(tmp_path / "t")
+    write_version(
+        spark.range(10).select("id", F.lit("x").alias("tag"),
+                               (F.col("id") * 1.0).alias("v")),
+        path,
+    )
+    write_version(
+        spark.range(10).select(
+            "id",
+            F.col("id").cast("int").alias("v"),      # type change
+            F.lit(True).alias("flag"),               # added
+        ),                                           # tag removed
+        path,
+    )
+    findings = schema_changes(spark, path, 1, 2)
+    by = {(f["change"], f["column"]): f for f in findings}
+    assert set(by) == {
+        ("removed", "tag"), ("added", "flag"), ("type_changed", "v")
+    }
+    assert by[("type_changed", "v")]["before"] == "double"
+    assert by[("type_changed", "v")]["after"] == "int"
+    assert schema_changes(spark, path, 2, 2) == []
