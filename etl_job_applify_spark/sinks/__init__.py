@@ -4,6 +4,7 @@ from .versioned import (
     CommitConflict,
     clone_table,
     fsck_table,
+    restore_table,
     commit_version,
     list_versions,
     optimize_table,
@@ -37,4 +38,4 @@ __all__ = ["write_csv", "write_json", "write_orc", "write_parquet", "write_jdbc"
            "execute_transaction", "publish_statements", "write_jdbc_transactional",
            "build_blooms", "prune_files_bloom", "clone_table",
            "get_table_properties", "set_table_properties", "update_table_properties",
-           "fsck_table"]
+           "fsck_table", "restore_table"]

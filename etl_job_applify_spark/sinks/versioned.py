@@ -646,3 +646,40 @@ def fsck_table(
         ):
             _bloom.build_blooms(spark, snap, bloom_cols)
     return findings
+
+
+def restore_table(
+    spark: SparkSession, table_path: str, version: int
+) -> int:
+    """RESTORE: publish snapshot ``version`` as the NEW latest version
+    (Delta's RESTORE TABLE ... TO VERSION AS OF). History is preserved —
+    the bad versions stay readable for forensics until retention prunes
+    them; the restore itself is one more commit, so it is audit-visible
+    in ``table_history`` and CDC consumers see it as an ordinary delta.
+    Data files carry over as hard links (zero copy, same immutability
+    argument as ``clone_table``); sidecars copy along. Returns the new
+    version number."""
+    import os
+    import shutil
+
+    from . import stats as _stats
+    from .bloom import BLOOM_FILE
+
+    src_snap = _resolve_snapshot(spark, table_path, version)
+    local_src = _stats._local_path(src_snap)
+    local_root = _stats._local_path(table_path)
+    if local_src is None or local_root is None:
+        raise ValueError("restore_table requires a local table path")
+    _, _, names = _snapshots(spark, table_path)
+    nxt = int(names[-1][len(_PREFIX):]) + 1
+    dst_snap = os.path.join(local_root, f"{_PREFIX}{nxt:08d}")
+    os.makedirs(dst_snap, exist_ok=True)
+    for name in sorted(os.listdir(local_src)):
+        src_f = os.path.join(local_src, name)
+        dst_f = os.path.join(dst_snap, name)
+        if name.endswith(".parquet") and not name.startswith(("_", ".")):
+            os.link(src_f, dst_f)
+        elif name in (_stats.STATS_FILE, BLOOM_FILE):
+            shutil.copyfile(src_f, dst_f)
+    open(os.path.join(dst_snap, "_SUCCESS"), "a").close()
+    return nxt

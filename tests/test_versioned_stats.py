@@ -454,3 +454,27 @@ def test_fsck_detects_and_repairs_sidecar_drift(spark, tmp_path):
     assert fsck_table(spark, path) == []
     kept, total = snapshot_files(spark, path, equals={"id": 7})
     assert len(kept) <= total
+
+
+def test_restore_table_rolls_back_with_history(spark, tmp_path):
+    from etl_job_applify_spark.sinks import (
+        list_versions,
+        read_table,
+        restore_table,
+        snapshot_files,
+        table_changes,
+        write_version,
+    )
+
+    path = str(tmp_path / "t")
+    write_version(spark.range(100), path, bloom_columns=("id",))   # v1
+    write_version(spark.range(5), path)                            # v2 (bad)
+    assert restore_table(spark, path, 1) == 3
+    assert read_table(spark, path).count() == 100                  # restored
+    assert list_versions(spark, path) == [1, 2, 3]                 # history kept
+    # the restore is an ordinary delta for CDC consumers
+    delta = table_changes(spark, path, 2, 3, keys=["id"])
+    assert delta.filter("_change_type = 'insert'").count() == 95
+    # sidecars carried: point lookup still prunes (or single file)
+    kept, total = snapshot_files(spark, path, equals={"id": 3})
+    assert len(kept) <= total
