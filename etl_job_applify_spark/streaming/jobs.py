@@ -744,3 +744,31 @@ def run_quarantine_stream(
         .start()
     )
     q.awaitTermination()
+
+
+def session_aggregates_dynamic_gap(
+    events: DataFrame, watermark: str = "1 hour"
+) -> DataFrame:
+    """Session windows with a PER-ROW gap (Spark's dynamic
+    session_window): purchase-active sessions stay open longer than
+    browse-only ones — the per-segment inactivity timeout real products
+    use. The gap is an expression evaluated per event; state merging and
+    watermark eviction work exactly as with the fixed gap."""
+    gap = F.when(
+        F.col("event_type") == "purchase", F.lit("45 minutes")
+    ).otherwise(F.lit("15 minutes"))
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.expr(_EXACT_TOTAL).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "user_id",
+            "n_events",
+            "total_value",
+        )
+    )

@@ -744,3 +744,26 @@ def test_quarantine_stream_routes_bad_rows(spark, tmp_path):
     # agrees with the batch op
     g2, b2 = apply_with_quarantine(spark.read.parquet(src), contract)
     assert g2.count() == 1 and b2.count() == 2
+
+
+def test_dynamic_gap_sessions_split_more_than_long_gap(spark):
+    """Per-row gap sessionization: with browse gap 15 min < the fixed
+    30 min, the dynamic sessions must be at least as numerous as the
+    fixed-gap ones, and every event lands in exactly one session."""
+    from etl_job_applify_spark.streaming.jobs import (
+        session_aggregates,
+        session_aggregates_dynamic_gap,
+    )
+
+    fixed = run_available_now_to_memory(
+        session_aggregates(events_stream(spark, SF_SMOKE), gap="30 minutes"),
+        "dg_fixed",
+    ).collect()
+    dyn = run_available_now_to_memory(
+        session_aggregates_dynamic_gap(events_stream(spark, SF_SMOKE)),
+        "dg_dyn",
+    ).collect()
+    assert len(dyn) >= len(fixed) > 0
+    assert sum(r["n_events"] for r in dyn) == sum(
+        r["n_events"] for r in fixed
+    )
