@@ -645,7 +645,7 @@ def test_oriented_triangle_count_matches_brute_force(spark, edges):
     assert got == brute
 
 
-@settings(max_examples=10, deadline=None,
+@settings(max_examples=6, deadline=None,
           suppress_health_check=[HealthCheck.function_scoped_fixture])
 @given(
     batches=st.lists(
