@@ -451,3 +451,127 @@ ORDER BY p_retailprice, p_partkey
 
 QUERIES["q180_skyline"] = q180_skyline
 ORACLE["q180_skyline"] = _Q180_SQL
+
+
+# --- q184: differential (hot-key-only) salted skew join -------------------
+# The operator under gate: a deliberately skewed fact relation (every
+# third event remapped to one celebrity user) joined to a per-user
+# dimension through operators/salting.py differential_salted_join —
+# hot keys detected exactly (sample_fraction=None keeps the query
+# deterministic for the oracle; production uses the sampled path),
+# salted 16 ways; cold keys take the plain single-copy join. The oracle
+# is the PLAIN join — the whole point is that the skew machinery must
+# be value-invisible.
+
+def q184_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.salting import differential_salted_join
+
+    ev = tbl(spark, sf_dir, "events").select(
+        F.when(F.col("event_id") % 3 == 0, F.lit(1))
+        .otherwise(F.col("user_id"))
+        .alias("user_id"),
+        "event_id",
+        "value",
+    )
+    dim = (
+        tbl(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count("*").cast("bigint").alias("user_events"))
+    )
+    joined = differential_salted_join(
+        ev,
+        dim,
+        ["user_id"],
+        salt_from=["event_id"],
+        num_salts=16,
+        threshold_share=0.05,
+        sample_fraction=None,
+    )
+    return (
+        joined.groupBy("user_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.expr(DSUM("value")).alias("total_value"),
+            F.first("user_events").alias("user_events"),
+        )
+        .orderBy("user_id")
+    )
+
+
+_Q184_SQL = f"""
+WITH ev AS (
+  SELECT CASE WHEN event_id % 3 = 0 THEN 1 ELSE user_id END AS user_id,
+         event_id, value
+  FROM events
+),
+dim AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS user_events
+  FROM events GROUP BY user_id
+)
+SELECT e.user_id,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       {DSUM('value')} AS total_value,
+       MIN(d.user_events) AS user_events
+FROM ev e JOIN dim d ON e.user_id = d.user_id
+GROUP BY e.user_id
+ORDER BY e.user_id
+"""
+
+
+# --- q185: RESTORE, oracle-checked end to end -----------------------------
+# Drives the rollback path (sinks/versioned.py restore_table): publish a
+# good snapshot, clobber it with a bad one, RESTORE, and summarize the
+# live table + its preserved history. The oracle recomputes the good
+# state straight from the raw table, so the hard-linked republish must
+# be value-faithful; `n_versions` pins that history survived (restore
+# is a new commit, never an erase).
+
+def q185_restore_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from ..sinks import list_versions, read_table, restore_table, write_version
+
+    orders = tbl(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    path = tempfile.mkdtemp(prefix="q185_restore_")
+    try:
+        write_version(orders.filter(F.col("o_orderkey") % 5 == 0), path)
+        write_version(orders.filter(F.col("o_orderkey") % 25 == 0), path)
+        restore_table(spark, path, 1)
+        agg = (
+            read_table(spark, path)
+            .groupBy("o_orderstatus")
+            .agg(
+                F.count("*").cast("bigint").alias("n"),
+                F.expr(DSUM("o_totalprice")).alias("total"),
+            )
+            .withColumn(
+                "n_versions", F.lit(len(list_versions(spark, path)))
+            )
+            .orderBy("o_orderstatus")
+        )
+        rows = agg.collect()
+        schema = agg.schema
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)
+
+
+_Q185_SQL = f"""
+SELECT o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       {DSUM('o_totalprice')} AS total,
+       3 AS n_versions
+FROM orders
+WHERE o_orderkey % 5 = 0
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
+
+QUERIES["q184_skew_join"] = q184_skew_join
+QUERIES["q185_restore_lineage"] = q185_restore_lineage
+ORACLE["q184_skew_join"] = _Q184_SQL
+ORACLE["q185_restore_lineage"] = _Q185_SQL
