@@ -183,6 +183,23 @@ def build_job(spec: dict[str, Any]) -> Pipeline:
     if "dedup" in spec:
         subset = (spec["dedup"] or {}).get("subset")
         transforms.append(lambda df: exact_dedup(df, subset))
+    if spec.get("sample"):
+        # deterministic content-hash sampling (never rand(): reproducible
+        # across reruns/engines/cluster sizes — transform/sampling idiom)
+        rate = int(spec["sample"]["rate_pct"])
+        cols = list(spec["sample"]["hash_cols"])
+        if not 0 < rate <= 100:
+            raise ValueError(f"sample.rate_pct must be 1..100, got {rate}")
+
+        def _sample(df, rate=rate, cols=cols):
+            from pyspark.sql import functions as F
+
+            bucket = F.expr(
+                f"pmod(xxhash64(concat_ws('\x1f', {', '.join('CAST(' + c + ' AS STRING)' for c in cols)})), 100)"
+            )
+            return df.filter(bucket < F.lit(rate))
+
+        transforms.append(_sample)
     if spec.get("quality"):
         # publish gate: the quality suite runs as the LAST transform, so
         # a failing dataset never reaches the sink (one extra scan —

@@ -237,3 +237,22 @@ def test_job_spec_flatten_step(spark, tmp_path):
     })
     assert set(df.columns) == {"id", "meta_k", "meta_n"}
     assert df.count() == 2
+
+
+def test_job_spec_sample_step_deterministic(spark, tmp_path):
+    from etl_job_applify_spark.jobs import run_job
+
+    src = str(tmp_path / "s.parquet")
+    spark.range(5000).write.parquet(src)
+    spec = {
+        "source": {"type": "parquet", "path": src},
+        "sample": {"rate_pct": 20, "hash_cols": ["id"]},
+    }
+    a = run_job(spark, spec)
+    b = run_job(spark, spec)
+    na, nb = a.count(), b.count()
+    assert na == nb  # reruns identical
+    assert 600 < na < 1400  # ~20% of 5000
+    # rate 100 keeps everything
+    spec["sample"]["rate_pct"] = 100
+    assert run_job(spark, spec).count() == 5000
