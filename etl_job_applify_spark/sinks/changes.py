@@ -221,3 +221,81 @@ def schema_changes(
                 }
             )
     return out
+
+
+def sync_changes_to_jdbc(
+    spark,
+    table_path: str,
+    cursor_path: str,
+    keys: list[str],
+    url: str,
+    table: str,
+    staging_table: str,
+    user: str,
+    password: str,
+    driver: str,
+) -> int:
+    """CDC-out: apply the lake table's change feed to a JDBC serving
+    table (lake → warehouse), exactly-once in END STATE.
+
+    One cycle: consume the delta from the cursor, stage it to the
+    warehouse with a DISTRIBUTED JDBC write (never driver-side rows),
+    then apply it in ONE transaction —
+
+        DELETE FROM target WHERE key IN (SELECT key FROM staging)
+        INSERT INTO target SELECT ... FROM staging WHERE __op <> 'delete'
+
+    — and only then commit the cursor. The delete-then-insert covers
+    inserts, updates (post-image re-inserted) and deletes in one shape,
+    and REDELIVERY after a crash (cursor not yet committed) replays the
+    same delta to the same end state — the at-least-once/idempotent pair
+    that makes the cycle exactly-once where it matters. Returns the
+    number of change rows applied (0 = cursor already at head)."""
+    from pyspark.sql import functions as F
+
+    from .redshift import _check_identifier, execute_transaction
+    from .writers import write_jdbc
+
+    changes, head = consume_changes(spark, table_path, cursor_path, keys)
+    if changes is None:
+        return 0
+    payload = changes.filter(
+        F.col("_change_type") != "update_preimage"
+    ).withColumn(
+        "__op",
+        F.when(F.col("_change_type") == "delete", "delete").otherwise("upsert"),
+    ).drop("_change_type")
+    n = payload.count()
+    if n == 0:
+        commit_cursor(cursor_path, head)
+        return 0
+    write_jdbc(
+        payload, url, staging_table, user, password, driver, mode="overwrite"
+    )
+    table = _check_identifier(table)
+    staging_table = _check_identifier(staging_table)
+    # Spark's JDBC writer creates case-sensitive (quoted) columns on the
+    # STAGING table, while the user-created TARGET follows dialect
+    # default case — so staging identifiers are quoted, target ones are
+    # not. (Targets with quoted mixed-case columns should pass those
+    # exact names in ``keys``.)
+    key_cond = " AND ".join(f't.{k} = s."{k}"' for k in keys)
+    data_cols = ", ".join(
+        f'"{c}"' for c in payload.columns if c != "__op"
+    )
+    execute_transaction(
+        spark,
+        url,
+        [
+            f"DELETE FROM {table} t WHERE EXISTS "
+            f"(SELECT 1 FROM {staging_table} s WHERE {key_cond})",
+            f"INSERT INTO {table} SELECT {data_cols} FROM {staging_table} "
+            # Spark maps StringType to CLOB on some dialects (Derby);
+            # the cast keeps the marker comparable everywhere
+            "WHERE CAST(\"__op\" AS VARCHAR(16)) <> 'delete'",
+        ],
+        user,
+        password,
+    )
+    commit_cursor(cursor_path, head)
+    return n

@@ -219,3 +219,52 @@ def test_transactional_publish_atomic_swap(spark, derby, seeded):
         .option("driver", derby.driver).load().count()
         == 5
     )
+
+
+def test_cdc_out_to_jdbc_live(spark, derby, tmp_path):
+    """Lake CDF → Derby serving table: inserts, updates and deletes land
+    transactionally; a second cycle with no new commits is a no-op; the
+    end state matches the lake table exactly (LIVE Derby)."""
+    from pyspark.sql import functions as F
+
+    from etl_job_applify_spark.sinks import write_version
+    from etl_job_applify_spark.sinks.changes import sync_changes_to_jdbc
+    from etl_job_applify_spark.sinks.redshift import execute_statement
+
+    lake = str(tmp_path / "lake")
+    cursor = str(tmp_path / "cursor.json")
+    execute_statement(
+        spark, derby.url,
+        "CREATE TABLE serve_t (id INT, v DOUBLE)", derby.user, derby.password,
+    )
+
+    def jdbc_read():
+        return {
+            r["ID"]: r["V"]
+            for r in spark.read.format("jdbc")
+            .option("url", derby.url).option("dbtable", "serve_t")
+            .option("user", derby.user).option("password", derby.password)
+            .option("driver", derby.driver).load().collect()
+        }
+
+    base = spark.range(10).select(
+        F.col("id").cast("int"), (F.col("id") * 1.0).alias("v")
+    )
+    write_version(base, lake)  # v1
+    args = dict(
+        keys=["id"], url=derby.url, table="serve_t",
+        staging_table="serve_stage", user=derby.user,
+        password=derby.password, driver=derby.driver,
+    )
+    n1 = sync_changes_to_jdbc(spark, lake, cursor, **args)
+    assert n1 == 10 and jdbc_read() == {i: float(i) for i in range(10)}
+    # v2: drop odds, bump evens
+    write_version(
+        base.filter(F.col("id") % 2 == 0).withColumn("v", F.col("v") + 100),
+        lake,
+    )
+    n2 = sync_changes_to_jdbc(spark, lake, cursor, **args)
+    assert n2 == 10  # 5 deletes + 5 post-images
+    assert jdbc_read() == {i: i + 100.0 for i in range(0, 10, 2)}
+    # idle cycle is a no-op
+    assert sync_changes_to_jdbc(spark, lake, cursor, **args) == 0
