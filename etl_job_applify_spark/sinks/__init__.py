@@ -18,7 +18,13 @@ from .versioned import (
 from .merge import merge_into
 from .bloom import build_blooms, prune_files_bloom
 from .properties import get_table_properties, set_table_properties, update_table_properties
-from .changes import commit_cursor, consume_changes, schema_changes, table_changes
+from .changes import (
+    commit_cursor,
+    consume_changes,
+    schema_changes,
+    sync_changes_to_jdbc,
+    table_changes,
+)
 from .backends import DEFAULT_BACKEND, MergeBackend, VersionedParquetBackend
 from .redshift import (
     copy_statements,
@@ -32,7 +38,7 @@ from .redshift import (
 __all__ = ["write_csv", "write_json", "write_orc", "write_parquet", "write_jdbc", "write_xml", "upsert",
            "write_version", "read_table", "list_versions", "snapshot_files",
            "optimize_table", "vacuum_table", "table_history", "version_as_of",
-           "CommitConflict", "commit_version", "merge_into", "table_changes", "consume_changes", "commit_cursor", "schema_changes",
+           "CommitConflict", "commit_version", "merge_into", "table_changes", "consume_changes", "commit_cursor", "schema_changes", "sync_changes_to_jdbc",
            "MergeBackend", "VersionedParquetBackend", "DEFAULT_BACKEND",
            "copy_statements", "execute_statement", "write_redshift",
            "execute_transaction", "publish_statements", "write_jdbc_transactional",
