@@ -370,3 +370,68 @@ ORACLE = {
     "q79_hll_error": _Q79_SQL,
     "q80_quantile_error": _Q80_SQL,
 }
+
+
+# --- q186: mergeable HLL sketches (the MAU-from-daily-sketches workflow) --
+# The datasketches capability (Spark 3.5+ hll_sketch_agg /
+# hll_union_agg): build one HLL sketch PER DAY of the event stream —
+# the pre-aggregated artifact a warehouse stores — then compute monthly
+# uniques by UNIONING the daily sketches, never rescanning events. The
+# oracle pins the exact distinct count per day and the bounded-error
+# boolean for the merged estimate (q79's oracled-property pattern:
+# sketch bytes are engine-specific, sketch QUALITY is not). At 100 TB
+# this is the incremental-distinct design: day partitions aggregate
+# once; every later rollup (weekly, monthly, all-time) merges
+# KB-sized sketches.
+
+def q186_hll_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = tbl(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.date_trunc("day", "ts").cast("date").alias("day")
+    ).agg(
+        F.hll_sketch_agg("user_id").alias("sk"),
+        F.countDistinct("user_id").cast("bigint").alias("exact_daily"),
+    )
+    merged = daily.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_total"),
+    )
+    exact_total = ev.agg(
+        F.countDistinct("user_id").cast("bigint").alias("exact_total")
+    )
+    summary = (
+        daily.agg(
+            F.count("*").cast("bigint").alias("n_days"),
+            F.sum("exact_daily").cast("bigint").alias("sum_daily_uniques"),
+        )
+        .join(F.broadcast(exact_total))
+        .join(F.broadcast(merged))
+    )
+    return summary.select(
+        "n_days",
+        "sum_daily_uniques",
+        "exact_total",
+        (
+            F.abs(F.col("est_total") - F.col("exact_total"))
+            / F.col("exact_total")
+            <= 0.05
+        ).alias("merged_estimate_ok"),
+    )
+
+
+_Q186_SQL = """
+WITH daily AS (
+  SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+         COUNT(DISTINCT user_id) AS exact_daily
+  FROM events GROUP BY 1
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+       CAST(SUM(exact_daily) AS BIGINT) AS sum_daily_uniques,
+       (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) FROM events)
+         AS exact_total,
+       true AS merged_estimate_ok
+FROM daily
+"""
+
+
+QUERIES["q186_hll_union"] = q186_hll_union
+ORACLE["q186_hll_union"] = _Q186_SQL

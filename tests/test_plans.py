@@ -129,11 +129,13 @@ def test_registry_wide_plan_audit(spark):
     # q152: the ADC scan is deliberately every-query × m-byte-codes
     # (that IS the compressed-domain operator) + it embeds the exact
     # ground truth like q78/q87
+    # q186 joins three single-row aggregate branches (1x1 BNLJ, like
+    # q99/q102)
     CARTESIAN_OK = {"q34_cosine_topk", "q36_embedding_near_dup",
                     "q78_ann_recall", "q87_ivf_recall",
                     "q99_sketch_rollup", "q102_theta_ops",
                     "q146_semantic_dedup", "q152_pq_recall",
-                    "q153_ivfpq_recall"}
+                    "q153_ivfpq_recall", "q186_hll_union"}
     from etl_job_applify_spark.plans import lint_errors
 
     offenders = []
