@@ -737,3 +737,72 @@ ORDER BY event_type
 
 QUERIES["q178_ab_test"] = q178_ab_test
 ORACLE["q178_ab_test"] = _Q178_SQL
+
+
+# --- q187: time-boxed conversion funnel -----------------------------------
+# q97 measures ordered funnels with no deadline; real conversion
+# metrics are time-boxed — "purchased within 24 h of first click".
+# Two passes: per-user first-click times (one aggregate), then a join
+# back onto the purchase stream with the window predicate and a
+# per-user min. Deterministic: timestamps are exact micros; the
+# hours-to-convert average divides exact DECIMAL-summed second counts.
+# Plan: both aggregates shuffle on user_id; the first-click relation is
+# |users| rows (broadcastable at fixture scale, co-partitioned shuffle
+# at 100 TB — same key, so AQE reuses the exchange).
+
+def q187_timeboxed_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = tbl(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").groupBy("user_id").agg(
+        F.min("ts").alias("t_click")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("t_buy")
+    )
+    conv = (
+        purchases.join(clicks, "user_id")
+        .filter(
+            (F.col("t_buy") > F.col("t_click"))
+            & (F.col("t_buy") <= F.col("t_click") + F.expr("INTERVAL 24 HOURS"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("t_buy").alias("t_conv"), F.first("t_click").alias("t_click"))
+    )
+    n_users = ev.agg(F.countDistinct("user_id").alias("n_users"))
+    n_clicked = clicks.agg(F.count("*").cast("bigint").alias("n_clicked"))
+    conv_agg = conv.agg(
+        F.count("*").cast("bigint").alias("n_converted_24h"),
+        F.expr(
+            "CAST(SUM(CAST(unix_micros(t_conv) - unix_micros(t_click)"
+            " AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*) / 3600000000.0"
+        ).alias("avg_hours_to_convert"),
+    )
+    return (
+        n_users.join(F.broadcast(n_clicked)).join(F.broadcast(conv_agg))
+    )
+
+
+_Q187_SQL = """
+WITH clicks AS (
+  SELECT user_id, MIN(ts) AS t_click
+  FROM events WHERE event_type = 'click' GROUP BY user_id
+),
+conv AS (
+  SELECT p.user_id, MIN(p.ts) AS t_conv, MIN(c.t_click) AS t_click
+  FROM events p JOIN clicks c ON p.user_id = c.user_id
+  WHERE p.event_type = 'purchase'
+    AND p.ts > c.t_click
+    AND p.ts <= c.t_click + INTERVAL 24 HOURS
+  GROUP BY p.user_id
+)
+SELECT (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) FROM events)
+         AS n_users,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM clicks) AS n_clicked,
+       CAST(COUNT(*) AS BIGINT) AS n_converted_24h,
+       CAST(SUM(CAST(epoch_us(t_conv) - epoch_us(t_click) AS DECIMAL(28,6)))
+            AS DOUBLE) / COUNT(*) / 3600000000.0 AS avg_hours_to_convert
+FROM conv
+"""
+
+
+QUERIES["q187_timeboxed_funnel"] = q187_timeboxed_funnel
+ORACLE["q187_timeboxed_funnel"] = _Q187_SQL

@@ -135,7 +135,8 @@ def test_registry_wide_plan_audit(spark):
                     "q78_ann_recall", "q87_ivf_recall",
                     "q99_sketch_rollup", "q102_theta_ops",
                     "q146_semantic_dedup", "q152_pq_recall",
-                    "q153_ivfpq_recall", "q186_hll_union"}
+                    "q153_ivfpq_recall", "q186_hll_union",
+                    "q187_timeboxed_funnel"}
     from etl_job_applify_spark.plans import lint_errors
 
     offenders = []
