@@ -62,8 +62,15 @@ def scd2_apply(
     - keys absent from the batch → untouched.
 
     Plan: ONE full-outer join of current rows against the batch on the
-    key (history rows never rejoin — they union through untouched), all
-    branches computed from that single joined relation. At 100 TB the
+    key (history rows never rejoin — they union through untouched). The
+    keep/close/insert branches are emitted in a SINGLE pass over the
+    joined relation as a conditional array + explode — deliberately NOT
+    a union of three filtered projections of the same join, which (a)
+    re-reads the join output three times and (b) trips Spark's
+    PartitioningCollection invariant when AQE gives the reused exchange
+    branches different partition counts (observed as "requirement
+    failed: PartitioningCollection requires all of its partitionings
+    have the same numPartitions" in long-lived sessions). At 100 TB the
     batch side broadcasts when CDC-sized, and the production lowering
     is the same expressions inside a table-format MERGE."""
     eff = F.lit(effective).cast("timestamp")
@@ -93,18 +100,35 @@ def scd2_apply(
         c = cur[a].eqNullSafe(u_attrs[f"__ua_{a}"])
         same = c if same is None else (same & c)
     changed = in_dim & in_batch & ~same
-    keep = j.filter(in_dim & (~in_batch | same)).select(*dim.columns)
-    closed = j.filter(changed).select(
-        *[cur[c] for c in keys + list(attrs)],
-        cur["valid_from"],
-        eff.alias("valid_to"),
-        F.lit(False).alias("is_current"),
+
+    def row_struct(key_cols, attr_cols, valid_from, valid_to, is_current):
+        return F.struct(
+            *[c.alias(k) for k, c in zip(keys, key_cols)],
+            *[c.alias(a) for a, c in zip(attrs, attr_cols)],
+            valid_from.alias("valid_from"),
+            valid_to.alias("valid_to"),
+            is_current.alias("is_current"),
+        )
+
+    null_ts = F.lit(None).cast("timestamp")
+    keep_row = row_struct(
+        [cur[k] for k in keys], [cur[a] for a in attrs],
+        cur["valid_from"], cur["valid_to"], F.lit(True),
     )
-    inserts = j.filter(~in_dim | changed).select(
-        *[u_attrs[f"__uk_{k}"].alias(k) for k in keys],
-        *[u_attrs[f"__ua_{a}"].alias(a) for a in attrs],
-        eff.alias("valid_from"),
-        F.lit(None).cast("timestamp").alias("valid_to"),
-        F.lit(True).alias("is_current"),
+    closed_row = row_struct(
+        [cur[k] for k in keys], [cur[a] for a in attrs],
+        cur["valid_from"], eff, F.lit(False),
     )
-    return hist.unionByName(keep).unionByName(closed).unionByName(inserts)
+    insert_row = row_struct(
+        [u_attrs[f"__uk_{k}"] for k in keys],
+        [u_attrs[f"__ua_{a}"] for a in attrs],
+        eff, null_ts, F.lit(True),
+    )
+    emitted = j.select(
+        F.explode(
+            F.when(changed, F.array(closed_row, insert_row))
+            .when(~in_dim, F.array(insert_row))
+            .otherwise(F.array(keep_row))
+        ).alias("r")
+    ).select("r.*")
+    return hist.unionByName(emitted.select(*dim.columns))
