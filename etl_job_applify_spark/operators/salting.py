@@ -89,15 +89,16 @@ def hot_keys(
     misjudge keys NEAR the threshold, where salting is harmless either
     way). ``sample_fraction=None`` counts exactly. Returns a
     (keys..., share) relation — hot-key sets are tiny by definition."""
-    from pyspark.sql import Window
-
     base = df.sample(fraction=sample_fraction, seed=seed) if sample_fraction else df
     counts = base.groupBy(*keys).agg(F.count("*").alias("__n"))
+    # total via a one-row broadcast cross join, NOT an unpartitioned
+    # window — Window.partitionBy() would funnel the ENTIRE per-key
+    # count relation through one task, a scale cliff on high-cardinality
+    # keys in the very operator meant to mitigate skew
+    total = counts.agg(F.sum("__n").alias("__total"))
     return (
-        counts.withColumn(
-            "share",
-            F.col("__n") / F.sum("__n").over(Window.partitionBy()),
-        )
+        counts.crossJoin(F.broadcast(total))
+        .withColumn("share", F.col("__n") / F.col("__total"))
         .filter(F.col("share") > threshold_share)
         .select(*keys, "share")
     )

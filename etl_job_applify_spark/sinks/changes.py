@@ -256,6 +256,12 @@ def sync_changes_to_jdbc(
     from .redshift import _check_identifier, execute_transaction
     from .writers import write_jdbc
 
+    # caller-supplied names all land in identifier position of
+    # hand-built SQL — validate up front, before any staging work
+    table = _check_identifier(table)
+    staging_table = _check_identifier(staging_table)
+    keys = [_check_identifier(k) for k in keys]
+
     changes, head = consume_changes(spark, table_path, cursor_path, keys)
     if changes is None:
         return 0
@@ -272,8 +278,6 @@ def sync_changes_to_jdbc(
     write_jdbc(
         payload, url, staging_table, user, password, driver, mode="overwrite"
     )
-    table = _check_identifier(table)
-    staging_table = _check_identifier(staging_table)
     # Spark's JDBC writer creates case-sensitive (quoted) columns on the
     # STAGING table, while the user-created TARGET follows dialect
     # default case — so staging identifiers are quoted, target ones are
@@ -281,7 +285,7 @@ def sync_changes_to_jdbc(
     # exact names in ``keys``.)
     key_cond = " AND ".join(f't.{k} = s."{k}"' for k in keys)
     data_cols = ", ".join(
-        f'"{c}"' for c in payload.columns if c != "__op"
+        f'"{_check_identifier(c)}"' for c in payload.columns if c != "__op"
     )
     execute_transaction(
         spark,

@@ -136,7 +136,26 @@ def write_version(
     if bloom_columns:
         from . import bloom as _bloom
 
-        _bloom.build_blooms(spark, snap_dir, bloom_columns)
+        # the snapshot is ALREADY live at this point (parquet +
+        # _SUCCESS written, readers see it) — a bloom-build failure
+        # (e.g. the max_total_positions budget on a snapshot that
+        # outgrew the dense-sidecar sweet spot) must NOT surface as a
+        # failed publish: the caller would retry and duplicate the
+        # version, and retention below would be skipped. The sidecar is
+        # a pure accelerator — a missing one just means point lookups
+        # full-scan — so degrade to "no sidecar" with a warning; FSCK
+        # (check_table repair=True) rebuilds it once the cause is fixed.
+        try:
+            _bloom.build_blooms(spark, snap_dir, bloom_columns)
+        except Exception as exc:  # noqa: BLE001 — deliberate degrade
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "bloom sidecar build failed for %s (version %d); "
+                "publishing without bloom index — point lookups will "
+                "full-scan until FSCK repair rebuilds it: %s",
+                table_path, nxt, exc,
+            )
     if retain is not None and retain >= 1:
         survivors = (names + [f"{_PREFIX}{nxt:08d}"])[-retain:]
         for name in names:
@@ -567,6 +586,16 @@ def clone_table(
             os.link(src_f, dst_f)  # zero-copy
         elif name in ("_SUCCESS", _stats.STATS_FILE, BLOOM_FILE):
             shutil.copyfile(src_f, dst_f)
+    # table-root properties (recorded bloom index, etc.) travel with the
+    # clone: without this, the clone's NEXT commit would silently stop
+    # maintaining the bloom sidecar — breaking the properties.py
+    # contract that maintenance never drops a recorded index
+    from .properties import PROPERTIES_FILE
+
+    src_root = _stats._local_path(src_path) or ""
+    src_props = os.path.join(src_root, PROPERTIES_FILE)
+    if src_root and os.path.isfile(src_props):
+        shutil.copyfile(src_props, os.path.join(local_dst, PROPERTIES_FILE))
     # _SUCCESS must exist for the snapshot to count as committed
     open(os.path.join(dst_snap, "_SUCCESS"), "a").close()
     return 1

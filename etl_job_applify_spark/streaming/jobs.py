@@ -641,7 +641,10 @@ def streaming_anomalies(
             out["roll_mean"].append(mean)
             out["z"].append(z)
             out["anomaly"].append(None if z is None else abs(z) > threshold)
-        buf = buf[-(frame - 1):]
+        # frame=1 trap: buf[-0:] is the WHOLE list, so per-key state
+        # would grow with the stream — keep exactly the frame-1 tail
+        # (empty when each row's window is just itself)
+        buf = buf[len(buf) - (frame - 1):] if frame > 1 else []
         state.update((buf,))
         yield pd.DataFrame(out)
 

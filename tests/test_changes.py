@@ -126,6 +126,30 @@ def test_consume_changes_vacuumed_cursor_demands_resync(spark, tmp_path):
         consume_changes(spark, path, cursor, keys=["id"])
 
 
+def test_sync_changes_rejects_malicious_identifiers(spark, tmp_path):
+    """Key/table names are interpolated into hand-built DELETE/INSERT
+    SQL — names that could break out of identifier position must be
+    rejected up front, before any staging write or transaction."""
+    import pytest
+
+    from etl_job_applify_spark.sinks import sync_changes_to_jdbc
+
+    path, cursor = str(tmp_path / "t"), str(tmp_path / "cursor.json")
+    _publish(spark, path, [(1, "a", 10)])
+    for bad in ({"keys": ["id; DROP TABLE x --"]},
+                {"table": 'tgt" OR 1=1'},
+                {"staging_table": "s t"}):
+        kw = dict(keys=["id"], table="tgt", staging_table="stg")
+        kw.update(bad)
+        with pytest.raises(ValueError, match="invalid table identifier"):
+            sync_changes_to_jdbc(
+                spark, path, cursor, kw["keys"],
+                "jdbc:derby:memory:never;create=true",
+                kw["table"], kw["staging_table"],
+                "u", "p", "org.apache.derby.jdbc.EmbeddedDriver",
+            )
+
+
 def test_changes_verify_keys_raises_on_duplicates(spark, tmp_path):
     path = str(tmp_path / "t")
     _publish(spark, path, [(1, "a", 10), (1, "a", 11)])  # dup key in v1

@@ -665,6 +665,30 @@ def test_streaming_anomalies_bit_exact_with_batch(spark):
     assert norm(got) == norm(want)
 
 
+def test_streaming_anomalies_frame_one_keeps_empty_state(spark):
+    """frame=1 regression: buf[-0:] is the WHOLE list, so per-key state
+    grew with the stream instead of staying O(frame). With the fix the
+    carried buffer is empty and each row's window is just itself (mean
+    = value, z undefined)."""
+    from etl_job_applify_spark.streaming import (
+        events_stream,
+        run_available_now_to_memory,
+    )
+    from etl_job_applify_spark.streaming.jobs import streaming_anomalies
+
+    got = run_available_now_to_memory(
+        streaming_anomalies(events_stream(spark, SF_SMOKE), frame=1),
+        "t_anom_f1",
+        output_mode="append",
+    ).collect()
+    assert len(got) > 0
+    for r in got:
+        assert r["roll_mean"] == r["value"]
+        # a single-value window can never flag: z is undefined (var=0)
+        # or exactly 0 when decimal quantization leaves var > 0
+        assert r["z"] in (None, 0.0) and r["anomaly"] in (None, False)
+
+
 def test_scd2_stream_builds_dimension_and_is_idempotent(spark, tmp_path):
     """foreachBatch SCD2 maintenance: the streamed dimension must match
     a direct scd2_apply of the same change set, and re-running the

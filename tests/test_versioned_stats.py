@@ -389,6 +389,62 @@ def test_clone_table_zero_copy_and_independent(spark, tmp_path):
         clone_table(spark, src, dst)
 
 
+def test_clone_table_carries_table_properties(spark, tmp_path):
+    """A clone of a bloom-indexed table must keep the recorded index:
+    the NEXT commit on the clone rebuilds the sidecar instead of
+    silently dropping it (the properties.py maintenance contract)."""
+    from etl_job_applify_spark.sinks import clone_table, write_version
+    from etl_job_applify_spark.sinks.bloom import load_blooms
+    from etl_job_applify_spark.sinks.properties import get_table_properties
+
+    src = str(tmp_path / "src")
+    write_version(spark.range(100), src, bloom_columns=("id",))
+    dst = str(tmp_path / "dst")
+    clone_table(spark, src, dst)
+    assert get_table_properties(dst).get("bloom_columns") == ["id"]
+    write_version(spark.range(100, 150), dst)  # no explicit bloom arg
+    assert load_blooms(f"{dst}/snap_00000002") is not None
+
+
+def test_write_version_publishes_even_if_bloom_build_fails(
+    spark, tmp_path, monkeypatch, caplog
+):
+    """The bloom sidecar builds AFTER the snapshot is live, so a build
+    failure (e.g. the position budget) must degrade to 'no sidecar'
+    with a warning — never surface as a failed publish that makes the
+    caller retry into a duplicate version. FSCK repair then rebuilds."""
+    import logging
+
+    from etl_job_applify_spark.sinks import (
+        fsck_table,
+        read_table,
+        table_history,
+        write_version,
+    )
+    from etl_job_applify_spark.sinks import bloom as _bloom
+    from etl_job_applify_spark.sinks.bloom import load_blooms
+
+    tbl = str(tmp_path / "t")
+    write_version(spark.range(100), tbl, bloom_columns=("id",))
+
+    def boom(*a, **k):
+        raise ValueError("bloom position budget exceeded (simulated)")
+
+    monkeypatch.setattr(_bloom, "build_blooms", boom)
+    with caplog.at_level(logging.WARNING):
+        v = write_version(spark.range(100, 250), tbl, retain=10)
+    assert v == 2  # published despite the sidecar failure
+    assert any("bloom sidecar build failed" in r.message for r in caplog.records)
+    assert load_blooms(f"{tbl}/snap_00000002") is None
+    assert read_table(spark, tbl).count() == 150
+    assert table_history(spark, tbl).count() == 2
+    monkeypatch.undo()
+    # FSCK flags the missing sidecar and repair restores pruning
+    findings = fsck_table(spark, tbl, repair=True)
+    assert any(f["kind"] == "missing-bloom" for f in findings)
+    assert load_blooms(f"{tbl}/snap_00000002") is not None
+
+
 def test_bloom_index_survives_merge_and_optimize(spark, tmp_path):
     """bloom_columns is a TABLE property: MERGE commits and OPTIMIZE
     rewrites rebuild the sidecar automatically — point lookups keep
