@@ -3,7 +3,11 @@ from .jaccard import ngram_jaccard_pairs
 from .minhash import minhash_lsh_pairs
 from .simhash import simhash_fingerprints, simhash_near_pairs
 from .embedding import embedding_near_dup_pairs
-from .incremental import minhash_index_build, minhash_index_probe
+from .incremental import (
+    minhash_index_build,
+    minhash_index_probe,
+    optimize_index,
+)
 from .semantic import assign_clusters, semantic_dedup_kept
 from .spans import shared_span_pairs
 
@@ -17,6 +21,7 @@ __all__ = [
     "embedding_near_dup_pairs",
     "minhash_index_build",
     "minhash_index_probe",
+    "optimize_index",
     "assign_clusters",
     "semantic_dedup_kept",
     "shared_span_pairs",

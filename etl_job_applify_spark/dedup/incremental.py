@@ -113,6 +113,97 @@ def minhash_index_build(
         json.dump(params, fh)
 
 
+def _index_data_files(index_path: str) -> list[str]:
+    out = []
+    for dirpath, _dirs, files in os.walk(index_path):
+        out.extend(
+            os.path.join(dirpath, f)
+            for f in files
+            if f.endswith(".parquet") and not f.startswith(("_", "."))
+        )
+    return sorted(out)
+
+
+def optimize_index(
+    spark: SparkSession,
+    index_path: str,
+    target_file_rows: int = 4_000_000,
+    tombstones: DataFrame | None = None,
+) -> dict:
+    """Compact the band-bucket index and drop tombstoned documents —
+    the OPTIMIZE of the dedup loop (same discipline as the lakehouse
+    ``optimize_table``).
+
+    Per-batch ``mode="append"`` ingest grows an ever-larger,
+    ever-smaller-filed index: a daily cadence is 365 appends/year ×
+    per-band files each, on the MOST-read table in the pipeline — every
+    probe scans it. This rewrite bins each band partition into
+    ``ceil(band_rows / target_file_rows)`` files (one shuffle keyed on
+    (band, doc-hash bin), so compaction parallelism is bands × bins and
+    no band funnels through one task).
+
+    ``tombstones``: a one-column DataFrame of ``doc`` ids to purge
+    (documents deleted upstream — takedowns, retention). Dropping them
+    at compaction time keeps deletes O(0) on the ingest path; until the
+    next compaction a tombstoned doc still surfaces as a candidate and
+    is filtered by the caller or survives harmlessly as a verified pair
+    against a doc the history no longer serves. Plain anti-join, no
+    broadcast hint: takedown lists are usually tiny (AQE broadcasts
+    them), but a retention sweep can be a large fraction of the corpus.
+
+    The rewrite publishes via staging + directory swap: a crash before
+    the swap leaves the live index untouched; a crash between the two
+    renames leaves ``<index>__old`` alongside the new index for manual
+    cleanup (never a half-written live index). Probes in flight during
+    the swap must be drained — same maintenance-window contract as any
+    non-transactional directory rewrite. Returns counts
+    {rows_before, rows_after, files_before, files_after}.
+    """
+    import math
+    import shutil
+
+    if not os.path.exists(_meta_path(index_path)):
+        raise FileNotFoundError(f"no index meta at {index_path}")
+    with open(_meta_path(index_path)) as fh:
+        params = json.load(fh)
+    index = spark.read.parquet(index_path)
+    files_before = len(_index_data_files(index_path))
+    rows_before = index.count()
+    kept = index
+    if tombstones is not None:
+        dead = tombstones.toDF("doc")
+        kept = index.join(dead, "doc", "left_anti")
+    # rows per band is uniform by construction (one entry per doc per
+    # band), so one global count sizes every band's bin fanout
+    bands = params["bands"]
+    rows_after = kept.count() if tombstones is not None else rows_before
+    per_band = math.ceil(max(rows_after, 1) / bands)
+    bins = max(1, math.ceil(per_band / target_file_rows))
+    staging = index_path.rstrip("/") + "__compact"
+    old = index_path.rstrip("/") + "__old"
+    shutil.rmtree(staging, ignore_errors=True)
+    (
+        kept.withColumn("__bin", F.pmod(F.abs(F.hash("doc")), F.lit(bins)))
+        .repartition(bands * bins, "band", "__bin")
+        .drop("__bin")
+        .write.mode("overwrite")
+        .partitionBy("band")
+        .parquet(staging)
+    )
+    with open(os.path.join(staging, _META), "w") as fh:
+        json.dump(params, fh)
+    shutil.rmtree(old, ignore_errors=True)
+    os.rename(index_path, old)
+    os.rename(staging, index_path)
+    shutil.rmtree(old)
+    return {
+        "rows_before": rows_before,
+        "rows_after": rows_after,
+        "files_before": files_before,
+        "files_after": len(_index_data_files(index_path)),
+    }
+
+
 def minhash_index_probe(
     spark: SparkSession,
     index_path: str,

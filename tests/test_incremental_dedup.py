@@ -79,6 +79,72 @@ def test_append_then_probe_sees_both_generations(spark, tmp_path):
     assert (7, 200) in got and (100, 200) in got
 
 
+def test_optimize_index_bounds_files_and_preserves_probes(spark, tmp_path):
+    """N batch appends grow the index file count without bound (small-
+    file rot on the most-read table of the pipeline); optimize_index
+    compacts each band partition to a bounded bin count with probe
+    results IDENTICAL before and after."""
+    from etl_job_applify_spark.dedup import optimize_index
+    from etl_job_applify_spark.dedup.incremental import _index_data_files
+
+    idx = str(tmp_path / "idx")
+    history = _corpus(spark)
+    minhash_index_build(history, idx, num_hashes=64, bands=16)
+    # 5 small appends: novel docs so probe expectations stay stable
+    for g in range(5):
+        rows = [
+            (1000 + g * 10 + i,
+             f"generation {g} document {i} about unrelated topic "
+             f"with its own vocabulary entirely " * 3)
+            for i in range(4)
+        ]
+        gen = spark.createDataFrame(rows, "doc_id long, text string")
+        minhash_index_build(gen, idx, num_hashes=64, bands=16, mode="append")
+        history = history.unionByName(gen)
+
+    before = minhash_index_probe(spark, idx, _batch(spark), history)
+    got_before = {(r["a"], r["b"]) for r in before.collect()}
+    files_grown = len(_index_data_files(idx))
+
+    res = optimize_index(spark, idx)
+    assert res["rows_before"] == res["rows_after"] == 70 * 16
+    # bounded: one file per band bin (bins=1 at this size), and strictly
+    # fewer than the append-grown count
+    assert res["files_after"] <= 16 < files_grown == res["files_before"]
+
+    after = minhash_index_probe(spark, idx, _batch(spark), history)
+    assert {(r["a"], r["b"]) for r in after.collect()} == got_before
+    assert (7, 100) in got_before and (23, 101) in got_before
+
+
+def test_optimize_index_tombstones_purge_deleted_docs(spark, tmp_path):
+    """A takedown: after compacting with tombstones, the purged doc no
+    longer matches probes, other docs are untouched, and further
+    appends still work."""
+    from etl_job_applify_spark.dedup import optimize_index
+
+    idx = str(tmp_path / "idx")
+    history = _corpus(spark)
+    minhash_index_build(history, idx, num_hashes=64, bands=16)
+    dead = spark.createDataFrame([(7,)], "doc bigint")
+    res = optimize_index(spark, idx, tombstones=dead)
+    assert res["rows_after"] == res["rows_before"] - 16  # 16 bands/doc
+
+    live_history = history.filter(F.col("doc_id") != 7)
+    pairs = minhash_index_probe(spark, idx, _batch(spark), live_history)
+    got = {(r["a"], r["b"]) for r in pairs.collect()}
+    assert (23, 101) in got          # untouched doc still found
+    assert not any(7 in p for p in got)  # purged doc gone
+    # append after compaction: meta carried over, params still enforced
+    extra = spark.createDataFrame(
+        [(500, "fresh appended content after compaction " * 4)],
+        "doc_id long, text string",
+    )
+    minhash_index_build(extra, idx, num_hashes=64, bands=16, mode="append")
+    with pytest.raises(ValueError, match="was built with"):
+        minhash_index_build(extra, idx, num_hashes=32, bands=16, mode="append")
+
+
 def test_parameter_drift_refused(spark, tmp_path):
     idx = str(tmp_path / "idx")
     minhash_index_build(_corpus(spark), idx, num_hashes=64, bands=16)
