@@ -25,7 +25,13 @@ from .changes import (
     sync_changes_to_jdbc,
     table_changes,
 )
-from .backends import DEFAULT_BACKEND, MergeBackend, VersionedParquetBackend
+from .backends import (
+    DEFAULT_BACKEND,
+    DeltaBackend,
+    MergeBackend,
+    VersionedParquetBackend,
+    delta_available,
+)
 from .redshift import (
     copy_statements,
     execute_statement,
@@ -39,7 +45,7 @@ __all__ = ["write_csv", "write_json", "write_orc", "write_parquet", "write_jdbc"
            "write_version", "read_table", "list_versions", "snapshot_files",
            "optimize_table", "vacuum_table", "table_history", "version_as_of",
            "CommitConflict", "commit_version", "merge_into", "table_changes", "consume_changes", "commit_cursor", "schema_changes", "sync_changes_to_jdbc",
-           "MergeBackend", "VersionedParquetBackend", "DEFAULT_BACKEND",
+           "MergeBackend", "VersionedParquetBackend", "DeltaBackend", "delta_available", "DEFAULT_BACKEND",
            "copy_statements", "execute_statement", "write_redshift",
            "execute_transaction", "publish_statements", "write_jdbc_transactional",
            "build_blooms", "prune_files_bloom", "clone_table",

@@ -34,7 +34,12 @@ from typing import Protocol, runtime_checkable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from .versioned import commit_version, list_versions, read_table
+from .versioned import (
+    CommitConflict,
+    commit_version,
+    list_versions,
+    read_table,
+)
 
 
 @runtime_checkable
@@ -84,6 +89,114 @@ class VersionedParquetBackend:
         self, df: DataFrame, table_path: str, base_version: int
     ) -> int:
         return commit_version(df, table_path, base_version)
+
+
+def delta_available() -> bool:
+    """True when the public ``delta-spark`` package (PyPI) and its jars
+    are importable in this environment."""
+    try:
+        import delta  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+class DeltaBackend:
+    """``MergeBackend`` over a real Delta Lake table (public
+    ``delta-spark`` package). Requires a session built with the Delta
+    extensions::
+
+        from delta import configure_spark_with_delta_pip
+        spark = configure_spark_with_delta_pip(
+            SparkSession.builder
+            .config("spark.sql.extensions",
+                    "io.delta.sql.DeltaSparkSessionExtension")
+            .config("spark.sql.catalog.spark_catalog",
+                    "org.apache.spark.sql.delta.catalog.DeltaCatalog")
+        ).getOrCreate()
+
+    Version mapping: Delta numbers commits from 0, this protocol from 1
+    (0 = "table doesn't exist"), so protocol version N is Delta version
+    N-1 throughout — ``read(version=v)`` is ``versionAsOf v-1``.
+
+    ``commit`` CAS semantics: check the base immediately before the
+    overwrite, then map Delta's own optimistic-concurrency failures
+    (``ConcurrentModificationException`` subclasses — two overwrites of
+    the same snapshot conflict under WriteSerializable) to
+    ``CommitConflict``, and re-verify the landed version afterwards.
+    The post-verify closes the check-then-write window: if another
+    writer slipped between check and write and Delta (configured at a
+    weaker isolation) admitted both, the adapter still surfaces the
+    conflict to ``merge_into``'s retry loop rather than silently
+    committing against a stale base.
+
+    Not exercised in this image: the sandbox has no delta-spark and
+    package installs are disallowed (see tests/test_merge_backend.py,
+    which parametrizes the contract over this backend and skips with
+    that reason). The adapter is written against the public DeltaTable
+    API only.
+    """
+
+    def _delta_table(self, spark: SparkSession, table_path: str):
+        from delta.tables import DeltaTable
+
+        return DeltaTable.forPath(spark, table_path)
+
+    def latest_version(self, spark: SparkSession, table_path: str) -> int:
+        from delta.tables import DeltaTable
+
+        if not DeltaTable.isDeltaTable(spark, table_path):
+            return 0
+        row = (
+            self._delta_table(spark, table_path)
+            .history(1)
+            .select("version")
+            .first()
+        )
+        return (int(row[0]) + 1) if row is not None else 0
+
+    def read(
+        self,
+        spark: SparkSession,
+        table_path: str,
+        version: int | None = None,
+    ) -> DataFrame:
+        latest = self.latest_version(spark, table_path)
+        if latest == 0:
+            raise FileNotFoundError(f"no delta table at {table_path}")
+        v = latest if version is None else version
+        if not 1 <= v <= latest:
+            raise FileNotFoundError(f"no version {v} at {table_path}")
+        return (
+            spark.read.format("delta")
+            .option("versionAsOf", v - 1)
+            .load(table_path)
+        )
+
+    def commit(
+        self, df: DataFrame, table_path: str, base_version: int
+    ) -> int:
+        spark = df.sparkSession
+        if self.latest_version(spark, table_path) != base_version:
+            raise CommitConflict(f"stale base {base_version}")
+        try:
+            df.write.format("delta").mode("overwrite").option(
+                "overwriteSchema", "true"
+            ).save(table_path)
+        except Exception as exc:  # Py4J wraps the JVM exception class
+            if "ConcurrentModificationException" in repr(
+                exc
+            ) or "Concurrent" in type(exc).__name__:
+                raise CommitConflict(str(exc)) from exc
+            raise
+        landed = self.latest_version(spark, table_path)
+        if landed != base_version + 1:
+            raise CommitConflict(
+                f"interleaved writer: expected version {base_version + 1}, "
+                f"table is at {landed}"
+            )
+        return landed
 
 
 DEFAULT_BACKEND = VersionedParquetBackend()

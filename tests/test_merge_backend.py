@@ -75,10 +75,27 @@ class DeltaLogStyleBackend:
         return base_version + 1
 
 
-BACKENDS = [VersionedParquetBackend, DeltaLogStyleBackend]
+from etl_job_applify_spark.sinks.backends import DeltaBackend, delta_available
+
+BACKENDS = [
+    VersionedParquetBackend,
+    DeltaLogStyleBackend,
+    pytest.param(
+        DeltaBackend,
+        marks=pytest.mark.skipif(
+            not delta_available(),
+            reason=(
+                "delta-spark not installed and package installs are "
+                "disallowed in this image; the adapter targets the "
+                "public DeltaTable API and runs wherever the Delta "
+                "jars are on the session classpath"
+            ),
+        ),
+    ),
+]
 
 
-@pytest.fixture(params=BACKENDS, ids=lambda c: c.__name__)
+@pytest.fixture(params=BACKENDS, ids=lambda c: getattr(c, "__name__", str(c)))
 def backend(request):
     return request.param()
 
