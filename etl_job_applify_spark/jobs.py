@@ -233,8 +233,10 @@ def run_stream_job(spark: SparkSession, spec: dict[str, Any]) -> None:
     cron'd incremental shape; see streaming/jobs.py).
 
         spec = {
-            "source": {"type": "parquet"|"csv"|"json"|"jsonl",
-                        "path": ..., "schema": "a int, b string"},
+            "source": {"type": "parquet"|"csv"|"json"|"jsonl"
+                               |"rate"|"rate-micro-batch",
+                        "path": ..., "schema": "a int, b string",
+                        "projection": ["value AS event_id", ...]},
             "filter": "a > 0",                # optional
             "contract": {...}, "dedup": {...},# optional (dedup within
                                               # watermark needs ts_col)
@@ -245,24 +247,53 @@ def run_stream_job(spark: SparkSession, spec: dict[str, Any]) -> None:
     on an unbounded input — the same reason production batch jobs pin
     schemas, made mandatory). Restarts resume from the checkpoint:
     already-seen files are never reprocessed.
+
+    Source bindings beyond files prove the spec→stream path is
+    source-agnostic:
+
+    - ``rate`` / ``rate-micro-batch``: Spark's built-in generator
+      sources (fixed (timestamp, value) schema — no ``path``/``schema``
+      keys; ``options`` pass through, e.g. ``rowsPerBatch``). The
+      ``projection`` list of SQL expressions maps the generator columns
+      onto the pipeline's schema (e.g. the events table's). Note
+      ``rate`` accumulates rows in WALL-CLOCK time, so an AvailableNow
+      run that starts at t=0 drains zero rows — ``rate-micro-batch``
+      (deterministic rowsPerBatch per micro-batch) is the testable
+      binding and the one the smoke test pins.
+    - kafka (documented third binding, jars not in this image):
+      ``{"type": "kafka", "options": {"kafka.bootstrap.servers": ...,
+      "subscribe": topic}}`` followed by a projection that parses
+      ``CAST(value AS STRING)`` with ``from_json`` against the spec
+      schema — the same reader.format(...).options(...) path, no new
+      code shape.
     """
     src = spec["source"]
     stype = src.get("type", "parquet")
-    if stype == "jsonl":
-        from .sources.pysource import register
-
-        register(spark)
-        reader = spark.readStream.format("jsonl_shards")
-    else:
+    if stype in ("rate", "rate-micro-batch"):
+        # generator sources: fixed schema, no path; projection maps
+        # (timestamp, value) onto the pipeline's columns
         reader = spark.readStream.format(stype)
-        if stype == "csv":
-            reader = reader.option("header", True)
-    if not src.get("schema"):
-        raise ValueError("stream sources require an explicit 'schema'")
-    reader = reader.schema(src["schema"])
-    for k, v in (src.get("options") or {}).items():
-        reader = reader.option(k, v)
-    df = reader.load(src["path"])
+        for k, v in (src.get("options") or {}).items():
+            reader = reader.option(k, v)
+        df = reader.load()
+    else:
+        if stype == "jsonl":
+            from .sources.pysource import register
+
+            register(spark)
+            reader = spark.readStream.format("jsonl_shards")
+        else:
+            reader = spark.readStream.format(stype)
+            if stype == "csv":
+                reader = reader.option("header", True)
+        if not src.get("schema"):
+            raise ValueError("stream sources require an explicit 'schema'")
+        reader = reader.schema(src["schema"])
+        for k, v in (src.get("options") or {}).items():
+            reader = reader.option(k, v)
+        df = reader.load(src["path"])
+    if src.get("projection"):
+        df = df.selectExpr(*src["projection"])
 
     if spec.get("filter"):
         df = df.filter(spec["filter"])

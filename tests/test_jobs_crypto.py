@@ -157,6 +157,40 @@ def test_stream_job_spec_incremental(spark, tmp_path):
     assert {r["id"] for r in back.collect()} == {1, 2, 3, 9}
 
 
+def test_stream_job_rate_source_maps_onto_events_schema(spark, tmp_path):
+    """Source-swap seam: the same spec→stream path runs on Spark's
+    built-in rate-micro-batch generator (no files), with a projection
+    mapping (timestamp, value) onto the events schema — proving the
+    binding is source-agnostic (kafka is the same shape, jars absent)."""
+    from etl_job_applify_spark.jobs import run_stream_job
+
+    spec = {
+        "source": {
+            "type": "rate-micro-batch",
+            "options": {"rowsPerBatch": "24", "numPartitions": "4"},
+            "projection": [
+                "value AS event_id",
+                "pmod(value, 5) AS user_id",
+                "element_at(array('view','click','purchase'), "
+                "CAST(pmod(value, 3) AS INT) + 1) AS event_type",
+                "timestamp AS ts",
+                "CAST(value AS DOUBLE) * 1.5 AS value",
+            ],
+        },
+        "filter": "event_type != 'view'",
+        "sink": {"path": str(tmp_path / "out"),
+                 "checkpoint": str(tmp_path / "ckpt")},
+    }
+    run_stream_job(spark, spec)
+    out = spark.read.parquet(spec["sink"]["path"])
+    assert set(out.columns) == {"event_id", "user_id", "event_type",
+                                "ts", "value"}
+    rows = out.collect()
+    assert len(rows) == 16  # 24 generated, every third is 'view'
+    assert {r["event_type"] for r in rows} == {"click", "purchase"}
+    assert all(r["value"] == r["event_id"] * 1.5 for r in rows)
+
+
 def test_job_quality_gate_blocks_bad_data(spark, tmp_path):
     """A job spec with a 'quality' suite must refuse to publish a
     dataset that fails a rule, and pass through one that doesn't."""
