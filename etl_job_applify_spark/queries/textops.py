@@ -259,7 +259,9 @@ def q190_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.explode(F.expr("split(text, ' ')")).alias("word")
     )
     tf = toks.groupBy("doc_id", "word").agg(F.count("*").alias("tf"))
-    dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    # dl and df both derive from tf — the raw token stream (the only
+    # corpus-sized relation) is exploded and shuffled exactly once
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
     dfreq = tf.groupBy("word").agg(F.count("*").alias("df"))
     stats = dl.agg(
         F.count("*").alias("n"),
@@ -304,7 +306,7 @@ tf AS (
   FROM toks GROUP BY doc_id, word
 ),
 dl AS (
-  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM toks GROUP BY doc_id
+  SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id
 ),
 dfreq AS (
   SELECT word, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY word

@@ -191,6 +191,18 @@ def test_jaccard_postings_exchange_reused(spark):
     assert "InMemoryTableScan" in text or "ReusedExchange" in text
 
 
+def test_bm25_plan_broadcasts_dimensions_no_merge_join(spark):
+    """q190's only corpus-sized exchange is the token tf aggregation;
+    query terms, document frequencies, and corpus stats must reach the
+    score join as broadcasts (no SortMergeJoin anywhere — a regression
+    would shuffle the tf relation once per dimension join)."""
+    from etl_job_applify_spark.queries.textops import q190_bm25_retrieval
+
+    text = explain_str(q190_bm25_retrieval(spark, SF_SMOKE), "simple")
+    assert "SortMergeJoin" not in text
+    assert text.count("BroadcastHashJoin") >= 3
+
+
 def test_ivfpq_replaces_cross_join_with_cell_equi_join(spark):
     """Composing PQ inside IVF upgrades the plan shape: the pure-PQ ADC
     scan is a gated cross join, the composed index joins on the probed
