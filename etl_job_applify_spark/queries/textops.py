@@ -346,6 +346,121 @@ WHERE rnk <= 5
 """
 
 
+# --- q191: phrase search via positional postings -------------------------
+# Exact multi-word phrase matching with the positional-inverted-index
+# join: tokens carry their position; a phrase of words w0..wk matches
+# where per-word posting lists chain on (doc, pos - offset). The
+# per-word filters push into the posting scan, so each join leg reads
+# only that word's postings — the classic search-engine phrase plan,
+# never a regex scan of the corpus. Occurrence counting is exact and
+# overlap-aware (every start position counts). Per phrase: matched doc
+# count, total occurrences, and the top document (ties broken by lowest
+# doc_id). Positions are 1-based to share arithmetic with the oracle's
+# generate_subscripts.
+
+_Q191_PHRASES = [
+    (1, "sort merge"),
+    (2, "batch batch batch"),
+    (3, "window window"),
+]
+
+
+def q191_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = tbl(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(F.split("text", " ")).alias("pos0", "word"),
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "word")
+
+    per_phrase = []
+    for pid, phrase in _Q191_PHRASES:
+        words = phrase.split(" ")
+        hits = toks.filter(F.col("word") == words[0]).select(
+            "doc_id", F.col("pos").alias("p")
+        )
+        for k, w in enumerate(words[1:], 1):
+            hits = hits.join(
+                toks.filter(F.col("word") == w).select(
+                    "doc_id", (F.col("pos") - k).alias("p")
+                ),
+                ["doc_id", "p"],
+            )
+        per_doc = hits.groupBy("doc_id").agg(F.count("*").alias("cnt"))
+        per_phrase.append(
+            per_doc.agg(
+                F.lit(pid).alias("phrase_id"),
+                F.lit(phrase).alias("phrase"),
+                F.count("*").cast("bigint").alias("n_docs"),
+                F.coalesce(F.sum("cnt"), F.lit(0)).cast("bigint").alias(
+                    "n_occurrences"
+                ),
+                F.expr("max_by(doc_id, struct(cnt, -doc_id))").alias(
+                    "top_doc"
+                ),
+                F.coalesce(F.max("cnt"), F.lit(0)).cast("bigint").alias(
+                    "top_doc_count"
+                ),
+            )
+        )
+    out = per_phrase[0]
+    for p in per_phrase[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+_Q191_SQL = """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(string_split(text, ' ')) AS word,
+         generate_subscripts(string_split(text, ' '), 1) AS pos
+  FROM documents
+),
+phrases(phrase_id, phrase) AS (VALUES
+  (1, 'sort merge'), (2, 'batch batch batch'), (3, 'window window')
+),
+hits AS (
+  SELECT 1 AS phrase_id, t0.doc_id
+  FROM toks t0 JOIN toks t1
+    ON t0.doc_id = t1.doc_id AND t1.pos = t0.pos + 1
+  WHERE t0.word = 'sort' AND t1.word = 'merge'
+  UNION ALL
+  SELECT 2, t0.doc_id
+  FROM toks t0
+  JOIN toks t1 ON t0.doc_id = t1.doc_id AND t1.pos = t0.pos + 1
+  JOIN toks t2 ON t0.doc_id = t2.doc_id AND t2.pos = t0.pos + 2
+  WHERE t0.word = 'batch' AND t1.word = 'batch' AND t2.word = 'batch'
+  UNION ALL
+  SELECT 3, t0.doc_id
+  FROM toks t0 JOIN toks t1
+    ON t0.doc_id = t1.doc_id AND t1.pos = t0.pos + 1
+  WHERE t0.word = 'window' AND t1.word = 'window'
+),
+per_doc AS (
+  SELECT phrase_id, doc_id, COUNT(*) AS cnt
+  FROM hits GROUP BY phrase_id, doc_id
+),
+ranked AS (
+  SELECT phrase_id, doc_id, cnt,
+         ROW_NUMBER() OVER (
+           PARTITION BY phrase_id ORDER BY cnt DESC, doc_id
+         ) AS rn
+  FROM per_doc
+)
+SELECT p.phrase_id, p.phrase,
+       CAST(COALESCE(s.n_docs, 0) AS BIGINT) AS n_docs,
+       CAST(COALESCE(s.n_occurrences, 0) AS BIGINT) AS n_occurrences,
+       r.doc_id AS top_doc,
+       CAST(COALESCE(r.cnt, 0) AS BIGINT) AS top_doc_count
+FROM phrases p
+LEFT JOIN (
+  SELECT phrase_id, COUNT(*) AS n_docs, SUM(cnt) AS n_occurrences
+  FROM per_doc GROUP BY phrase_id
+) s USING (phrase_id)
+LEFT JOIN (SELECT phrase_id, doc_id, cnt FROM ranked WHERE rn = 1) r
+  USING (phrase_id)
+"""
+
+
 QUERIES = {
     "q40_text_stats": q40_text_stats,
     "q41_lang_id": q41_lang_id,
@@ -354,6 +469,7 @@ QUERIES = {
     "q130_url_normalize": q130_url_normalize,
     "q131_byte_lengths": q131_byte_lengths,
     "q190_bm25_retrieval": q190_bm25_retrieval,
+    "q191_phrase_search": q191_phrase_search,
 }
 
 ORACLE = {
@@ -364,4 +480,5 @@ ORACLE = {
     "q130_url_normalize": _Q130_SQL,
     "q131_byte_lengths": _Q131_SQL,
     "q190_bm25_retrieval": _Q190_SQL,
+    "q191_phrase_search": _Q191_SQL,
 }
