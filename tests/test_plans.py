@@ -131,12 +131,19 @@ def test_registry_wide_plan_audit(spark):
     # ground truth like q78/q87
     # q186 joins three single-row aggregate branches (1x1 BNLJ, like
     # q99/q102)
+    # q184: hot_keys joins the one-row total-count aggregate back onto
+    # the per-key counts (1×N broadcast BNLJ) — the fix for the
+    # unpartitioned-window total that funneled the count relation
+    # through one task (operators/salting.py)
+    # q190: the one-row corpus stats (N, avgdl) broadcast onto the
+    # scored relation, same 1-row BNLJ shape as q99/q102/q186
     CARTESIAN_OK = {"q34_cosine_topk", "q36_embedding_near_dup",
                     "q78_ann_recall", "q87_ivf_recall",
                     "q99_sketch_rollup", "q102_theta_ops",
                     "q146_semantic_dedup", "q152_pq_recall",
                     "q153_ivfpq_recall", "q186_hll_union",
-                    "q187_timeboxed_funnel"}
+                    "q187_timeboxed_funnel", "q184_skew_join",
+                    "q190_bm25_retrieval"}
     from etl_job_applify_spark.plans import lint_errors
 
     offenders = []
