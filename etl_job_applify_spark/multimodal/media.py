@@ -232,6 +232,100 @@ def resize_image_batch(media: DataFrame, width: int, height: int) -> DataFrame:
     return media.mapInPandas(batches, schema=_RESIZE_SCHEMA)
 
 
+def brighten_image_batch(media: DataFrame, delta: int) -> DataFrame:
+    """Uniform brightness shift via mapInPandas: every pixel byte gets
+    ``delta`` added with SATURATION at 255 (the standard image-editing
+    semantic), payload→payload so it composes like resize. REAL for
+    PPM/P6; other codecs stay behind the Pillow gate. This is the
+    near-duplicate generator the perceptual-hash operator is measured
+    against — a brightness-shifted copy has different bytes but (mostly)
+    the same block-mean structure."""
+    from . import ppm
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads, metas = [], []
+            for payload in pdf["media"]:
+                data = bytes(payload)
+                if data[:2] != b"P6":  # pragma: no cover - env-dependent
+                    raise NotImplementedError(
+                        "brightness shift for non-PPM formats requires "
+                        "Pillow, not present in this image"
+                    )
+                w, h, _, raster = ppm.decode_ppm(data)
+                arr = np.frombuffer(raster, dtype=np.uint8).astype(np.int32)
+                shifted = np.minimum(255, arr + delta).astype(np.uint8)
+                payloads.append(ppm.encode_ppm(w, h, shifted))
+                metas.append(
+                    {"format": "ppm", "width": w, "height": h,
+                     "duration_ms": None}
+                )
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "media": payloads, "meta": metas}
+            )
+
+    return media.mapInPandas(batches, schema=_RESIZE_SCHEMA)
+
+
+_AHASH_SCHEMA = "doc_id bigint, ahash bigint"
+
+
+def ahash_image_batch(
+    media: DataFrame, grid_w: int = 4, grid_h: int = 3
+) -> DataFrame:
+    """Average-hash perceptual fingerprint, INTEGER-EXACT so an external
+    oracle can replay it: the image divides into a grid_h × grid_w grid
+    with the same floor mapping the resize kernel uses (cell(gy, gx)
+    covers rows y with (y*grid_h)//h == gy); each cell's bit is 1 iff
+    its byte-mean exceeds the whole-image byte-mean, compared by integer
+    cross-multiplication ``cell_sum * total_n > total_sum * cell_n`` —
+    no float division anywhere, so the hash is bit-identical in any
+    engine. Bit (gy, gx) lands at position gy*grid_w + gx.
+
+    The hash is invariant under uniform brightness shifts that don't
+    saturate (both sides of the comparison move together) — the property
+    that makes it a NEAR-duplicate key where a byte checksum is an
+    exact-duplicate key. Cells narrower than one pixel (w < grid_w)
+    contribute 0 bits, matching a SQL replay where the empty cell simply
+    has no rows."""
+    from . import ppm
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, hashes = [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["media"]):
+                data = bytes(payload)
+                if data[:2] != b"P6":  # pragma: no cover - env-dependent
+                    raise NotImplementedError(
+                        "ahash for non-PPM formats requires Pillow, "
+                        "not present in this image"
+                    )
+                w, h, c, raster = ppm.decode_ppm(data)
+                arr = np.frombuffer(raster, dtype=np.uint8).astype(np.int64)
+                i = np.arange(arr.size)
+                p = i // c
+                gy = ((p // w) * grid_h) // h
+                gx = ((p % w) * grid_w) // w
+                cell = gy * grid_w + gx
+                n_cells = grid_h * grid_w
+                sums = np.bincount(cell, weights=arr, minlength=n_cells)
+                ns = np.bincount(cell, minlength=n_cells)
+                total_sum, total_n = int(arr.sum()), arr.size
+                bits = (sums.astype(np.int64) * total_n) > (total_sum * ns)
+                ids.append(int(doc_id))
+                hashes.append(
+                    int(
+                        (
+                            bits.astype(np.int64)
+                            << np.arange(n_cells, dtype=np.int64)
+                        ).sum()
+                    )
+                )
+            yield pd.DataFrame({"doc_id": ids, "ahash": hashes})
+
+    return media.mapInPandas(batches, schema=_AHASH_SCHEMA)
+
+
 def attach_fake_wav(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Deterministic WAV/PCM audio fixture: channels, frame count and
     every sample are closed-form in ``doc_id`` (wavpcm.fixture_params /

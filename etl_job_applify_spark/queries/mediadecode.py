@@ -255,12 +255,94 @@ FROM frames
 """
 
 
+# --- q192: perceptual image hashing + brightness-shift near-dups ----------
+# Image-modality near-duplicate detection: every document's image gets a
+# +16 brightness-shifted copy (different BYTES — a checksum dedup
+# misses it), and both sides are fingerprinted with the integer-exact
+# average hash (3×4 block-mean bits, multimodal/media.py
+# ahash_image_batch). The hash is invariant under uniform shifts except
+# where saturation at 255 reshapes a cell's mean relative to the global
+# mean, so the per-lang match rate is high but not total — and the
+# oracle recomputes EVERY pixel, both hashes, and the same match counts
+# arithmetically from doc_id (the q137/q138 contract: Spark hashes real
+# decoded payload bytes, SQL replays closed-form pixels; agreement pins
+# decode + hash + variant generation end-to-end).
+# Plan: two Arrow decode/hash passes (payloads never leave executors),
+# one broadcast-sized join on doc_id, one group-by lang.
+
+def q192_image_ahash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..multimodal import ahash_image_batch, brighten_image_batch
+
+    docs = tbl(spark, sf_dir, "documents").select("doc_id", "lang")
+    originals = attach_fake_ppm(docs)
+    variants = brighten_image_batch(originals, 16)
+    ho = ahash_image_batch(originals).withColumnRenamed("ahash", "ahash_o")
+    hv = ahash_image_batch(variants).withColumnRenamed("ahash", "ahash_v")
+    return (
+        ho.join(hv, "doc_id")
+        .join(docs, "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum(
+                (F.col("ahash_o") == F.col("ahash_v")).cast("int")
+            ).cast("bigint").alias("n_hash_match"),
+            F.countDistinct("ahash_o").cast("bigint").alias(
+                "n_distinct_hashes"
+            ),
+        )
+    )
+
+
+_Q192_SQL = """
+WITH dims AS (
+  SELECT doc_id, lang, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h
+  FROM documents
+),
+px AS (
+  SELECT doc_id, lang, w, h, i,
+         (doc_id * 7 + i) % 256 AS b_o,
+         LEAST(255, (doc_id * 7 + i) % 256 + 16) AS b_v
+  FROM dims, UNNEST(range(0, 3 * w * h)) AS t(i)
+),
+cells AS (
+  SELECT doc_id, lang,
+         (((i // 3) // w) * 3) // h AS gy,
+         (((i // 3) % w) * 4) // w AS gx,
+         SUM(b_o) AS s_o, SUM(b_v) AS s_v, COUNT(*) AS n
+  FROM px
+  GROUP BY doc_id, lang, gy, gx, w, h
+),
+totals AS (
+  SELECT doc_id, SUM(b_o) AS ts_o, SUM(b_v) AS ts_v, COUNT(*) AS tn
+  FROM px GROUP BY doc_id
+),
+hashes AS (
+  SELECT c.doc_id, c.lang,
+         SUM(CASE WHEN s_o * tn > ts_o * n
+                  THEN 1 << (gy * 4 + gx) ELSE 0 END) AS ahash_o,
+         SUM(CASE WHEN s_v * tn > ts_v * n
+                  THEN 1 << (gy * 4 + gx) ELSE 0 END) AS ahash_v
+  FROM cells c JOIN totals USING (doc_id)
+  GROUP BY c.doc_id, c.lang
+)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN ahash_o = ahash_v THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_hash_match,
+       CAST(COUNT(DISTINCT ahash_o) AS BIGINT) AS n_distinct_hashes
+FROM hashes
+GROUP BY lang
+"""
+
+
 QUERIES = {
     "q137_ppm_decode": q137_ppm_decode,
     "q138_ppm_resize": q138_ppm_resize,
     "q143_wav_decode": q143_wav_decode,
     "q148_audio_frames": q148_audio_frames,
     "q169_video_frames": q169_video_frames,
+    "q192_image_ahash_near_dup": q192_image_ahash_near_dup,
 }
 
 ORACLE = {
@@ -269,4 +351,5 @@ ORACLE = {
     "q143_wav_decode": _Q143_SQL,
     "q148_audio_frames": _Q148_SQL,
     "q169_video_frames": _Q169_SQL,
+    "q192_image_ahash_near_dup": _Q192_SQL,
 }

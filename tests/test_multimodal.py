@@ -406,3 +406,54 @@ def test_sample_video_frames_every_n(spark):
     for doc_id, idxs in by_doc.items():
         _, n = fixture_video_params(doc_id)
         assert sorted(idxs) == list(range(0, n, 3))
+
+
+def test_ahash_brightness_invariance_and_saturation(spark):
+    """The average hash must be EXACTLY invariant under a uniform
+    brightness shift that never saturates (both sides of every
+    cell-vs-global comparison move together), and must change bytes
+    either way — the property that makes it a near-duplicate key where
+    a checksum is an exact-duplicate key."""
+    import numpy as np
+
+    from etl_job_applify_spark.multimodal import (
+        ahash_image_batch,
+        brighten_image_batch,
+    )
+    from etl_job_applify_spark.multimodal.ppm import encode_ppm
+
+    # low-range pixels (all <= 100): +16 cannot saturate
+    w, h = 8, 6
+    rows = []
+    for doc_id in range(5):
+        px = ((doc_id * 13 + np.arange(3 * w * h)) % 101).astype(np.uint8)
+        rows.append((doc_id, bytearray(encode_ppm(w, h, px)),
+                     {"format": "ppm", "width": w, "height": h,
+                      "duration_ms": None}))
+    from etl_job_applify_spark.multimodal import MEDIA_META_SCHEMA
+    from pyspark.sql import types as T
+
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("media", T.BinaryType()),
+        T.StructField("meta", MEDIA_META_SCHEMA),
+    ])
+    media = spark.createDataFrame(rows, schema)
+    shifted = brighten_image_batch(media, 16)
+    h0 = {r["doc_id"]: r["ahash"] for r in ahash_image_batch(media).collect()}
+    h1 = {r["doc_id"]: r["ahash"] for r in ahash_image_batch(shifted).collect()}
+    assert h0 == h1  # exact invariance without saturation
+    # but the payload bytes did change
+    b0 = {r["doc_id"]: bytes(r["media"]) for r in media.collect()}
+    b1 = {r["doc_id"]: bytes(r["media"]) for r in shifted.collect()}
+    assert all(b0[d] != b1[d] for d in b0)
+    # saturating shift breaks invariance for a high-range image
+    px = (155 + (np.arange(3 * w * h) % 101)).astype(np.uint8)
+    hot = spark.createDataFrame(
+        [(99, bytearray(encode_ppm(w, h, px)),
+          {"format": "ppm", "width": w, "height": h, "duration_ms": None})],
+        schema,
+    )
+    hhot = ahash_image_batch(hot).collect()[0]["ahash"]
+    hsat = ahash_image_batch(brighten_image_batch(hot, 100)).collect()[0]["ahash"]
+    assert hhot != hsat  # clamp at 255 flattens cells differently
