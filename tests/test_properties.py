@@ -729,3 +729,96 @@ def test_bloom_never_false_negative(spark, tmp_path_factory, n, probes):
     }
     exp = {k: k * 3 for k in set(probes) if k < n}
     assert got == exp
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 15), st.integers(0, 15)).filter(
+            lambda e: e[0] != e[1]
+        ),
+        min_size=1, max_size=30,
+    ),
+)
+def test_triangle_stats_match_brute_force(spark, edges):
+    """The degree-ordered wedge-join kernel must count exactly the
+    triangles a brute-force set scan finds on arbitrary graphs."""
+    from itertools import combinations
+
+    from etl_job_applify_spark.operators import triangle_stats
+
+    norm = {(min(a, b), max(a, b)) for a, b in edges}
+    df = spark.createDataFrame(sorted(norm), "a bigint, b bigint")
+    st_ = triangle_stats(df)
+
+    nodes = sorted({v for e in norm for v in e})
+    want = sum(
+        1
+        for x, y, z in combinations(nodes, 3)
+        if (x, y) in norm and (x, z) in norm and (y, z) in norm
+    )
+    deg: dict[int, int] = {}
+    for a, b in norm:
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+    assert st_.n_triangles == want
+    assert st_.n_edges == len(norm)
+    assert st_.n_wedges == sum(d * (d - 1) // 2 for d in deg.values())
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    w=st.integers(4, 9), h=st.integers(3, 8), seed=st.integers(0, 1000),
+    delta=st.integers(1, 40),
+)
+def test_ahash_matches_numpy_reference_and_shift_invariance(
+    spark, w, h, seed, delta
+):
+    """ahash_image_batch must agree with an independent per-pixel
+    reference on arbitrary images, and be exactly invariant under any
+    non-saturating uniform shift."""
+    import numpy as np
+
+    from pyspark.sql import types as T
+
+    from etl_job_applify_spark.multimodal import (
+        MEDIA_META_SCHEMA,
+        ahash_image_batch,
+        brighten_image_batch,
+    )
+    from etl_job_applify_spark.multimodal.ppm import encode_ppm
+
+    rng = np.random.default_rng(seed)
+    px = rng.integers(0, 256 - delta, size=3 * w * h).astype(np.uint8)
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("media", T.BinaryType()),
+        T.StructField("meta", MEDIA_META_SCHEMA),
+    ])
+    media = spark.createDataFrame(
+        [(1, bytearray(encode_ppm(w, h, px)),
+          {"format": "ppm", "width": w, "height": h, "duration_ms": None})],
+        schema,
+    )
+    got = ahash_image_batch(media).collect()[0]["ahash"]
+
+    # independent reference: dict-of-cells accumulation
+    sums: dict[int, int] = {}
+    ns: dict[int, int] = {}
+    for i, b in enumerate(px):
+        p = i // 3
+        cell = (((p // w) * 3) // h) * 4 + ((p % w) * 4) // w
+        sums[cell] = sums.get(cell, 0) + int(b)
+        ns[cell] = ns.get(cell, 0) + 1
+    total_sum, total_n = int(px.sum()), px.size
+    want = sum(
+        1 << c
+        for c in sums
+        if sums[c] * total_n > total_sum * ns[c]
+    )
+    assert got == want
+    # non-saturating uniform shift: identical hash
+    shifted = ahash_image_batch(brighten_image_batch(media, delta))
+    assert shifted.collect()[0]["ahash"] == got
