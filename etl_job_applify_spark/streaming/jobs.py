@@ -416,6 +416,7 @@ def run_incremental_dedup_stream(
     num_hashes: int = 64,
     bands: int = 16,
     max_bucket_size: int = 64,
+    compact_every: int | None = None,
 ) -> None:
     """The LLM pipeline's steady state as one streaming job: every
     micro-batch of crawled documents is probed for near-dups against the
@@ -436,10 +437,17 @@ def run_incremental_dedup_stream(
     duplicate pair rows (dedupable by (a, b)) and duplicate index
     entries (harmless: probes dedup candidates). Exactly-once needs the
     versioned/CAS protocol for both appends; documented trade, same API.
+
+    ``compact_every``: run ``optimize_index`` (bin compaction) after
+    every N ingested batches, bounding the index file count at
+    steady state — without it a daily-cadence stream grows one per-band
+    file set per batch forever (small-file rot on the most-probed table
+    in the pipeline). Compaction is idempotent, so an at-least-once
+    replay that re-triggers it is harmless.
     """
     import os
 
-    from ..dedup import minhash_index_build, minhash_index_probe
+    from ..dedup import minhash_index_build, minhash_index_probe, optimize_index
 
     index_dir = os.path.join(state_dir, "index")
     corpus_dir = os.path.join(state_dir, "corpus")
@@ -480,6 +488,12 @@ def run_incremental_dedup_stream(
                 bands=bands,
                 mode=mode,
             )
+            if (
+                compact_every
+                and epoch_id > 0
+                and (epoch_id + 1) % compact_every == 0
+            ):
+                optimize_index(spark, index_dir)
         finally:
             batch.unpersist()
 

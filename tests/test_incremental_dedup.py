@@ -221,3 +221,60 @@ def test_streaming_incremental_dedup_across_microbatches(spark, tmp_path):
         spark.read.parquet(state + "/corpus"),
     ).collect()
     assert {(r["a"], r["b"]) for r in found} >= {(7, 200), (100, 200)}
+
+
+def test_streaming_dedup_periodic_compaction_bounds_index_files(
+    spark, tmp_path
+):
+    """compact_every: the streaming ingest's per-batch index appends are
+    compacted in-loop, so the file count stays bounded while probes
+    against the compacted index still find cross-batch dups."""
+    import time
+
+    from etl_job_applify_spark.dedup import minhash_index_probe
+    from etl_job_applify_spark.dedup.incremental import _index_data_files
+    from etl_job_applify_spark.streaming import run_incremental_dedup_stream
+
+    src = tmp_path / "src"
+    src.mkdir()
+    state = str(tmp_path / "state")
+    gen1 = _corpus(spark)
+    gen1.coalesce(1).write.parquet(str(src / "b1.parquet"))
+    for g in (2, 3, 4):
+        time.sleep(1.1)
+        rows = [
+            (g * 1000 + i,
+             f"gen {g} doc {i} with its own unrelated vocabulary " * 3)
+            for i in range(3)
+        ]
+        spark.createDataFrame(rows, "doc_id long, text string").coalesce(
+            1
+        ).write.parquet(str(src / f"b{g}.parquet"))
+    time.sleep(1.1)
+    _batch(spark).coalesce(1).write.parquet(str(src / "b5.parquet"))
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src) + "/*.parquet")
+    )
+    run_incremental_dedup_stream(stream, state, compact_every=2)
+
+    # 5 appended batches each leave up to tasks x 16 band files;
+    # compaction at epochs 1 and 3 resets to 16 bins, so the final count
+    # is bounded by one compacted set plus the appends AFTER the last
+    # compaction (epoch 4) — not the full five-batch accumulation
+    n_files = len(_index_data_files(state + "/index"))
+    assert n_files <= 16 * 4  # 16 compacted + <=3 tasks x 16 for epoch 4
+    pairs = spark.read.parquet(state + "/pairs")
+    got = {(r["a"], r["b"]) for r in pairs.collect()}
+    assert (7, 100) in got and (23, 101) in got  # found via compacted index
+    probe = spark.createDataFrame(
+        [(500, _BASE + " unique filler sentence number 7 " * 2 + "x")],
+        "doc_id long, text string",
+    )
+    found = minhash_index_probe(
+        spark, state + "/index", probe,
+        spark.read.parquet(state + "/corpus"),
+    ).collect()
+    assert {(r["a"], r["b"]) for r in found} >= {(7, 500), (100, 500)}
