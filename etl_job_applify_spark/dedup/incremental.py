@@ -162,6 +162,16 @@ def optimize_index(
     import math
     import shutil
 
+    from ..sinks.stats import _local_path
+
+    if _local_path(index_path) is None:
+        # the staging+swap publish below is os.rename-based; an object-
+        # store index needs the table-format rewrite (same trade as
+        # clone_table) — fail loudly instead of corrupting via a
+        # half-applied swap
+        raise ValueError(
+            f"optimize_index requires a local index path, got {index_path}"
+        )
     if not os.path.exists(_meta_path(index_path)):
         raise FileNotFoundError(f"no index meta at {index_path}")
     with open(_meta_path(index_path)) as fh:
