@@ -129,9 +129,11 @@ def triangle_stats(
                 e.alias("e1")
                 .join(e.alias("e2"), F.col("e1.src") == F.col("e2.src"))
                 .filter(F.col("e1.dst") < F.col("e2.dst"))
+                # dst < dst already normalizes the wedge endpoints —
+                # (u, w) = (e1.dst, e2.dst) directly, no least/greatest
                 .select(
-                    F.least("e1.dst", "e2.dst").alias("u"),
-                    F.greatest("e1.dst", "e2.dst").alias("w"),
+                    F.col("e1.dst").alias("u"),
+                    F.col("e2.dst").alias("w"),
                 )
             )
             closing = e.select(
