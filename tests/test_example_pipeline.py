@@ -8,6 +8,8 @@ sys.path.insert(0, "/root/repo/examples")
 
 from llm_corpus_pipeline import curate
 
+from pyspark.sql import functions as F
+
 from conftest import SF_SMOKE
 
 
@@ -99,3 +101,28 @@ def test_metrics_observability_example_runs(spark, capsys):
     assert "grid points:" in out
     assert "batch anomalies:" in out
     assert "point lookup event" in out
+
+
+def test_retrieval_pipeline_example(spark):
+    """BM25 shortlist → phrase confirmation → cosine rerank: the anchor
+    document must rerank itself to the top with cosine ~1, and every
+    returned doc must actually contain the phrase."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "retrieval_pipeline", "/root/repo/examples/retrieval_pipeline.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    rows = mod.search(spark, "/root/testdata/sf0.001", "sort merge").collect()
+    assert rows, "no phrase-confirmed results"
+    assert abs(rows[0]["cosine"] - 1.0) < 1e-9  # anchor reranks itself first
+    from etl_job_applify_spark.queries._util import tbl
+
+    texts = {
+        r["doc_id"]: r["text"]
+        for r in tbl(spark, "/root/testdata/sf0.001", "documents")
+        .filter(F.col("doc_id").isin([r["doc_id"] for r in rows]))
+        .collect()
+    }
+    assert all("sort merge" in texts[r["doc_id"]] for r in rows)
