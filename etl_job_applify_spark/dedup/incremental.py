@@ -193,7 +193,8 @@ def optimize_index(
     old = index_path.rstrip("/") + "__old"
     shutil.rmtree(staging, ignore_errors=True)
     (
-        kept.withColumn("__bin", F.pmod(F.abs(F.hash("doc")), F.lit(bins)))
+        # pmod (not abs+mod): abs(Integer.MIN_VALUE) overflows int32
+        kept.withColumn("__bin", F.pmod(F.hash("doc"), F.lit(bins)))
         .repartition(bands * bins, "band", "__bin")
         .drop("__bin")
         .write.mode("overwrite")

@@ -140,6 +140,12 @@ def main() -> int:
             print(f"ok    {name}: {len(srows)} rows [{time.time()-t0:.1f}s]")
         else:
             failures += 1
+        # queries that persist plan branches (dedup probes, postings)
+        # leave InMemoryRelations behind after their result is collected;
+        # across ~190 queries the leaked cache is what ran the 1g-default
+        # heap out of memory at sf0.1. One gate query never needs
+        # another's cache — drop it.
+        spark.catalog.clearCache()
     spark.stop()
     print(f"\n{failures} failures")
     return failures
