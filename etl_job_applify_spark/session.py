@@ -102,17 +102,20 @@ def get_spark_session(
         # cast) like the reference's PERMISSIVE readers, and it matches the
         # DuckDB oracle harness on e.g. try-cast behavior.
         .config("spark.sql.ansi.enabled", "false")
-        # Declare the heap the local[32] design actually assumes: a
-        # pyspark-launched JVM defaults spark.driver.memory to 1g, and
-        # in local mode the driver JVM IS every executor — 32 task
-        # threads + cached relations in 1 GB dies with the SparkContext
-        # shut down mid-job once enough plans persist (observed at the
-        # sf0.1 full gate). Applies only at JVM launch; a pre-existing
-        # session keeps its heap. Cluster deployments size executors
-        # through their own submit args as usual.
+        # Size the local JVM deliberately: a pyspark-launched JVM
+        # defaults spark.driver.memory to 1g, and in local mode the
+        # driver JVM IS every executor — 32 task threads + cached
+        # relations in 1 GB dies with the SparkContext shut down
+        # mid-job once enough plans persist (observed at the sf0.1 full
+        # gate). 8g measured best: a 64g max heap produced 60-99 s GC/
+        # heap-expansion outliers on the same queries that run in 5-9 s
+        # at 8g (5-run A/B, BENCHNOTES round 6) — more heap is not more
+        # speed in local mode. Applies only at JVM launch; a
+        # pre-existing session keeps its heap. Cluster deployments size
+        # executors through their own submit args as usual.
         .config(
             "spark.driver.memory",
-            os.environ.get("SPARK_GRAFT_DRIVER_MEM", "64g"),
+            os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
         )
     )
     if jars:
