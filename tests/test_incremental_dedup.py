@@ -278,3 +278,41 @@ def test_streaming_dedup_periodic_compaction_bounds_index_files(
         spark.read.parquet(state + "/corpus"),
     ).collect()
     assert {(r["a"], r["b"]) for r in found} >= {(7, 500), (100, 500)}
+
+
+def test_optimize_index_recovers_from_stale_staging_dirs(spark, tmp_path):
+    """Crash recovery: leftovers from an interrupted compaction (stale
+    __compact or __old directories) must not break or corrupt the next
+    optimize_index run."""
+    import os
+
+    from etl_job_applify_spark.dedup import optimize_index
+    from etl_job_applify_spark.dedup.incremental import minhash_index_probe
+
+    idx = str(tmp_path / "idx")
+    history = _corpus(spark)
+    minhash_index_build(history, idx, num_hashes=64, bands=16)
+    before = minhash_index_probe(spark, idx, _batch(spark), history)
+    got_before = {(r["a"], r["b"]) for r in before.collect()}
+
+    # simulate a crash that left both scratch dirs behind
+    os.makedirs(idx + "__compact/garbage", exist_ok=True)
+    open(idx + "__compact/partial.parquet", "w").write("junk")
+    os.makedirs(idx + "__old", exist_ok=True)
+    open(idx + "__old/stale.parquet", "w").write("junk")
+
+    res = optimize_index(spark, idx)
+    assert res["rows_after"] == 50 * 16
+    assert not os.path.exists(idx + "__compact")
+    assert not os.path.exists(idx + "__old")
+    after = minhash_index_probe(spark, idx, _batch(spark), history)
+    assert {(r["a"], r["b"]) for r in after.collect()} == got_before
+
+
+def test_optimize_index_rejects_non_local_paths(spark):
+    import pytest
+
+    from etl_job_applify_spark.dedup import optimize_index
+
+    with pytest.raises(ValueError, match="local index path"):
+        optimize_index(spark, "s3://bucket/index")
