@@ -691,6 +691,87 @@ FROM tri
 """
 
 
+# --- q193: k-core decomposition (8-round peel) ----------------------------
+# The community/quality filter of graph curation: iteratively remove
+# nodes with degree < k until none remain (the k-core). Semantics are
+# defined as EIGHT peeling rounds — like q126's unrolled PageRank, the
+# iteration count IS the contract, so both engines replay identical
+# rounds and a non-converged graph is a reported fact (converged flag),
+# not an error. Each round is one degree aggregation + two semi-joins
+# on the surviving edge list, MATERIALIZED per round (localCheckpoint on
+# the Spark side, MATERIALIZED CTEs in the oracle — each round's edge
+# list is consumed by multiple downstream references, so a purely lazy
+# chain re-derives the whole prefix per reference and the cost doubles
+# per round; the q60 components discipline). Peeling is monotone, so
+# per-round cost SHRINKS; the basket graph's 3-core stabilizes in a few
+# rounds (converged=true pinned by the oracle at every test SF).
+
+def q193_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    K, ROUNDS = 3, 8
+    edges = _copurchase_pairs(spark, sf_dir).localCheckpoint()
+    sizes: list[int] = []  # node count surviving each round
+    for _ in range(ROUNDS):
+        deg = (
+            edges.select(F.col("a").alias("v"))
+            .unionAll(edges.select(F.col("b").alias("v")))
+            .groupBy("v")
+            .agg(F.count("*").alias("d"))
+        )
+        keep = deg.filter(F.col("d") >= K).select("v").localCheckpoint()
+        edges = (
+            edges.join(keep.withColumnRenamed("v", "a"), "a", "left_semi")
+            .join(keep.withColumnRenamed("v", "b"), "b", "left_semi")
+        ).localCheckpoint()
+        sizes.append(keep.count())
+    return spark.createDataFrame(
+        [(sizes[-1], edges.count(), bool(sizes[-2] == sizes[-1]))],
+        "n_core_nodes bigint, n_core_edges bigint, converged boolean",
+    )
+
+
+def _kcore_sql() -> str:
+    base = """
+WITH small_orders AS (
+  SELECT l_orderkey FROM lineitem
+  GROUP BY l_orderkey HAVING COUNT(DISTINCT l_partkey) <= 7
+),
+mem AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+  WHERE l_orderkey IN (SELECT l_orderkey FROM small_orders)
+),
+e0 AS MATERIALIZED (
+  SELECT DISTINCT m1.l_partkey AS a, m2.l_partkey AS b
+  FROM mem m1 JOIN mem m2
+    ON m1.l_orderkey = m2.l_orderkey AND m1.l_partkey < m2.l_partkey
+)"""
+    rounds = []
+    for r in range(8):
+        rounds.append(f"""
+k{r} AS MATERIALIZED (
+  SELECT v FROM (
+    SELECT v, COUNT(*) AS d FROM (
+      SELECT a AS v FROM e{r} UNION ALL SELECT b AS v FROM e{r}
+    ) GROUP BY v
+  ) WHERE d >= 3
+),
+e{r + 1} AS MATERIALIZED (
+  SELECT a, b FROM e{r}
+  WHERE a IN (SELECT v FROM k{r}) AND b IN (SELECT v FROM k{r})
+)""")
+        # NOTE: node survival after round r is membership in k{r}
+    return (
+        base + "," + ",".join(rounds)
+        + """
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM k7) AS n_core_nodes,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM e8) AS n_core_edges,
+       (SELECT COUNT(*) FROM k6) = (SELECT COUNT(*) FROM k7) AS converged
+"""
+    )
+
+
+_Q193_SQL = _kcore_sql()
+
+
 QUERIES = {
     "q125_entity_resolution": q125_entity_resolution,
     "q126_pagerank": q126_pagerank,
@@ -699,6 +780,7 @@ QUERIES = {
     "q129_kmeans": q129_kmeans,
     "q167_triangle_count": q167_triangle_count,
     "q188_triangle_approx": q188_triangle_approx,
+    "q193_kcore": q193_kcore,
 }
 
 ORACLE = {
@@ -709,6 +791,7 @@ ORACLE = {
     "q129_kmeans": _Q129_SQL,
     "q167_triangle_count": _Q167_SQL,
     "q188_triangle_approx": _Q188_SQL,
+    "q193_kcore": _Q193_SQL,
 }
 
 
