@@ -189,3 +189,85 @@ def test_contract_missing_version_raises(spark, tmp_path, backend):
     merge_into(spark, t, _orders(spark, [(1, "a")]), ["k"], backend=backend)
     with pytest.raises(FileNotFoundError):
         backend.read(spark, t, version=5)
+
+
+class _FakeDeltaHistory:
+    def __init__(self, versions):
+        self._versions = versions
+
+    def select(self, _col):
+        return self
+
+    def first(self):
+        return None if not self._versions else (max(self._versions),)
+
+
+class _FakeDeltaTables:
+    """A minimal in-memory stand-in for delta.tables.DeltaTable: enough
+    surface for DeltaBackend's version mapping and history probe. Data
+    itself is stored per (path, delta_version) as collected rows."""
+
+    store: dict = {}
+
+    class DeltaTable:
+        def __init__(self, path):
+            self._path = path
+
+        @classmethod
+        def isDeltaTable(cls, _spark, path):
+            return path in _FakeDeltaTables.store
+
+        @classmethod
+        def forPath(cls, _spark, path):
+            return cls(path)
+
+        def history(self, _n):
+            return _FakeDeltaHistory(
+                list(_FakeDeltaTables.store.get(self._path, {}))
+            )
+
+
+def _install_fake_delta(monkeypatch):
+    import sys
+    import types
+
+    delta = types.ModuleType("delta")
+    tables = types.ModuleType("delta.tables")
+    tables.DeltaTable = _FakeDeltaTables.DeltaTable
+    delta.tables = tables
+    monkeypatch.setitem(sys.modules, "delta", delta)
+    monkeypatch.setitem(sys.modules, "delta.tables", tables)
+
+
+def test_delta_backend_version_mapping_with_fake_module(spark, monkeypatch):
+    """The adapter's protocol<->Delta version arithmetic, missing-table
+    and missing-version behavior, and stale-base refusal — exercised
+    against an in-memory DeltaTable stand-in, since delta-spark itself
+    is absent from this image."""
+    from etl_job_applify_spark.sinks import CommitConflict
+    from etl_job_applify_spark.sinks.backends import DeltaBackend, delta_available
+
+    _install_fake_delta(monkeypatch)
+    assert delta_available()  # the fake module satisfies the probe
+    b = DeltaBackend()
+    path = "/fake/delta/table"
+    _FakeDeltaTables.store.pop(path, None)
+
+    # missing table: protocol version 0, read raises
+    assert b.latest_version(spark, path) == 0
+    with pytest.raises(FileNotFoundError):
+        b.read(spark, path)
+
+    # delta versions 0 and 1 exist -> protocol latest is 2
+    _FakeDeltaTables.store[path] = {0: None, 1: None}
+    assert b.latest_version(spark, path) == 2
+    with pytest.raises(FileNotFoundError):
+        b.read(spark, path, version=3)  # beyond latest
+    with pytest.raises(FileNotFoundError):
+        b.read(spark, path, version=0)  # protocol versions start at 1
+
+    # stale-base commit refused BEFORE any write is attempted
+    df = _orders(spark, [(1, "a")])
+    with pytest.raises(CommitConflict, match="stale base"):
+        b.commit(df, path, base_version=1)  # latest is 2
+    _FakeDeltaTables.store.pop(path, None)
