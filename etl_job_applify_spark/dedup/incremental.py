@@ -94,6 +94,8 @@ def minhash_index_build(
     corrupting recall."""
     if num_hashes % bands:
         raise ValueError("num_hashes must be divisible by bands")
+    if mode == "append":
+        _recover_index(index_path)  # finish any interrupted compaction
     params = {"n": n, "num_hashes": num_hashes, "bands": bands}
     if mode == "append" and os.path.exists(_meta_path(index_path)):
         with open(_meta_path(index_path)) as fh:
@@ -111,6 +113,34 @@ def minhash_index_build(
     os.makedirs(index_path, exist_ok=True)
     with open(_meta_path(index_path), "w") as fh:
         json.dump(params, fh)
+
+
+def _recover_index(index_path: str) -> None:
+    """Complete an interrupted ``optimize_index`` directory swap.
+
+    The swap is rename(index → __old) then rename(__compact → index): a
+    crash between the two renames leaves NO live index but a COMPLETE
+    compacted copy at __compact (its meta is written before the swap
+    starts). Without recovery, the streaming ingest's first-batch branch
+    would silently re-found an EMPTY index (mode="overwrite") and every
+    prior batch's entries would be lost — so every entry point
+    (probe/append/optimize) first finishes the swap: promote a complete
+    __compact when the live index is missing, then clear a leftover
+    __old once a live index exists."""
+    import shutil
+
+    staging = index_path.rstrip("/") + "__compact"
+    old = index_path.rstrip("/") + "__old"
+    if not os.path.exists(_meta_path(index_path)):
+        if os.path.exists(os.path.join(staging, _META)):
+            os.rename(staging, index_path)
+        elif os.path.exists(os.path.join(old, _META)):
+            # crashed before the staging promotion was possible (or the
+            # staging itself was incomplete): roll back to the previous
+            # live index rather than losing history
+            os.rename(old, index_path)
+    if os.path.exists(_meta_path(index_path)) and os.path.exists(old):
+        shutil.rmtree(old, ignore_errors=True)
 
 
 def _index_data_files(index_path: str) -> list[str]:
@@ -152,11 +182,14 @@ def optimize_index(
     them), but a retention sweep can be a large fraction of the corpus.
 
     The rewrite publishes via staging + directory swap: a crash before
-    the swap leaves the live index untouched; a crash between the two
-    renames leaves ``<index>__old`` alongside the new index for manual
-    cleanup (never a half-written live index). Probes in flight during
-    the swap must be drained — same maintenance-window contract as any
-    non-transactional directory rewrite. Returns counts
+    the swap leaves the live index untouched, and a crash at ANY point
+    inside the swap is repaired by ``_recover_index`` — every entry
+    point (probe, append, optimize) first promotes a complete
+    ``__compact`` if the live index is missing, or rolls back to
+    ``__old``, so no crash window can silently re-found an empty index.
+    Probes in flight during the swap must be drained — same
+    maintenance-window contract as any non-transactional directory
+    rewrite. Returns counts
     {rows_before, rows_after, files_before, files_after}.
     """
     import math
@@ -172,22 +205,27 @@ def optimize_index(
         raise ValueError(
             f"optimize_index requires a local index path, got {index_path}"
         )
+    _recover_index(index_path)
     if not os.path.exists(_meta_path(index_path)):
         raise FileNotFoundError(f"no index meta at {index_path}")
     with open(_meta_path(index_path)) as fh:
         params = json.load(fh)
     index = spark.read.parquet(index_path)
     files_before = len(_index_data_files(index_path))
+    # parquet count() is footer-metadata-only — no data scan
     rows_before = index.count()
     kept = index
     if tombstones is not None:
         dead = tombstones.toDF("doc")
         kept = index.join(dead, "doc", "left_anti")
     # rows per band is uniform by construction (one entry per doc per
-    # band), so one global count sizes every band's bin fanout
+    # band), so one global count sizes every band's bin fanout. Bin
+    # sizing uses the PRE-purge count even with tombstones (a slight
+    # bins overshoot, never an undershoot), so the anti-join runs
+    # exactly once — inside the compaction write, not in an extra
+    # counting pass over the most-read table in the pipeline.
     bands = params["bands"]
-    rows_after = kept.count() if tombstones is not None else rows_before
-    per_band = math.ceil(max(rows_after, 1) / bands)
+    per_band = math.ceil(max(rows_before, 1) / bands)
     bins = max(1, math.ceil(per_band / target_file_rows))
     staging = index_path.rstrip("/") + "__compact"
     old = index_path.rstrip("/") + "__old"
@@ -201,6 +239,9 @@ def optimize_index(
         .partitionBy("band")
         .parquet(staging)
     )
+    # footer-only count of what actually landed (rows_after without a
+    # second anti-join pass)
+    rows_after = spark.read.parquet(staging).count()
     with open(os.path.join(staging, _META), "w") as fh:
         json.dump(params, fh)
     shutil.rmtree(old, ignore_errors=True)
@@ -238,6 +279,7 @@ def minhash_index_probe(
     the matched subset* — template buckets carry no pair signal and
     their fanout is what melts a probe against skewed history.
     """
+    _recover_index(index_path)  # finish any interrupted compaction
     if not os.path.exists(_meta_path(index_path)):
         raise FileNotFoundError(f"no index meta at {index_path}")
     with open(_meta_path(index_path)) as fh:

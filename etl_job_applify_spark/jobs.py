@@ -260,18 +260,19 @@ def run_stream_job(spark: SparkSession, spec: dict[str, Any]) -> None:
       run that starts at t=0 drains zero rows — ``rate-micro-batch``
       (deterministic rowsPerBatch per micro-batch) is the testable
       binding and the one the smoke test pins.
-    - kafka (documented third binding, jars not in this image):
-      ``{"type": "kafka", "options": {"kafka.bootstrap.servers": ...,
-      "subscribe": topic}}`` followed by a projection that parses
-      ``CAST(value AS STRING)`` with ``from_json`` against the spec
-      schema — the same reader.format(...).options(...) path, no new
-      code shape.
+    - kafka (third binding — the code path is live, the jars are not in
+      this image): ``{"type": "kafka", "options":
+      {"kafka.bootstrap.servers": ..., "subscribe": topic}}`` followed
+      by a projection that parses ``CAST(value AS STRING)`` with
+      ``from_json`` against the payload schema. Kafka's reader schema
+      is fixed (key/value/topic/partition/offset/timestamp), so like
+      the generator sources it takes no ``path``/``schema`` keys.
     """
     src = spec["source"]
     stype = src.get("type", "parquet")
-    if stype in ("rate", "rate-micro-batch"):
-        # generator sources: fixed schema, no path; projection maps
-        # (timestamp, value) onto the pipeline's columns
+    if stype in ("rate", "rate-micro-batch", "kafka"):
+        # fixed-schema sources: no path, no schema spec; projection maps
+        # the source's own columns onto the pipeline's
         reader = spark.readStream.format(stype)
         for k, v in (src.get("options") or {}).items():
             reader = reader.option(k, v)

@@ -254,7 +254,9 @@ def brighten_image_batch(media: DataFrame, delta: int) -> DataFrame:
                     )
                 w, h, _, raster = ppm.decode_ppm(data)
                 arr = np.frombuffer(raster, dtype=np.uint8).astype(np.int32)
-                shifted = np.minimum(255, arr + delta).astype(np.uint8)
+                # clip BOTH ends: a negative delta must saturate at 0,
+                # not wrap through the uint8 cast (5 - 16 → 245)
+                shifted = np.clip(arr + delta, 0, 255).astype(np.uint8)
                 payloads.append(ppm.encode_ppm(w, h, shifted))
                 metas.append(
                     {"format": "ppm", "width": w, "height": h,

@@ -254,41 +254,13 @@ _Q190_QUERIES = [
 def q190_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
+    from ..functions.retrieval import bm25_scores
+
     docs = tbl(spark, sf_dir, "documents")
-    toks = docs.select(
-        "doc_id", F.explode(F.expr("split(text, ' ')")).alias("word")
-    )
-    tf = toks.groupBy("doc_id", "word").agg(F.count("*").alias("tf"))
-    # dl and df both derive from tf — the raw token stream (the only
-    # corpus-sized relation) is exploded and shuffled exactly once
-    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
-    dfreq = tf.groupBy("word").agg(F.count("*").alias("df"))
-    stats = dl.agg(
-        F.count("*").alias("n"),
-        (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
-    )
     qterms = spark.createDataFrame(
         [(qid, w) for qid, ws in _Q190_QUERIES for w in ws], "qid int, word string"
     )
-    scored = (
-        tf.join(F.broadcast(qterms), "word")
-        .join(F.broadcast(dfreq.join(F.broadcast(qterms), "word", "left_semi")), "word")
-        .join(dl, "doc_id")
-        .crossJoin(F.broadcast(stats))
-        .groupBy("qid", "doc_id")
-        .agg(
-            # e-notation literals: `0.5` parses as DECIMAL in both
-            # engines' SQL (different rounding paths); `5e-1` is DOUBLE
-            # everywhere, keeping every op IEEE-deterministic
-            F.expr(
-                "CAST(SUM(CAST("
-                " ((n - df + 5e-1) / (df + 5e-1))"
-                " * (tf * 2.2e0)"
-                " / (tf + 1.2e0 * (2.5e-1 + 7.5e-1 * dl / avgdl))"
-                " AS DECIMAL(28,6))) AS DOUBLE)"
-            ).alias("score")
-        )
-    )
+    scored = bm25_scores(docs, qterms)  # functions/retrieval.py kernel
     w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("doc_id"))
     return (
         scored.withColumn("rnk", F.row_number().over(w))
@@ -366,25 +338,14 @@ _Q191_PHRASES = [
 
 
 def q191_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.retrieval import phrase_hits, token_positions
+
     docs = tbl(spark, sf_dir, "documents")
-    toks = docs.select(
-        "doc_id",
-        F.posexplode(F.split("text", " ")).alias("pos0", "word"),
-    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "word")
+    toks = token_positions(docs)  # functions/retrieval.py kernel
 
     per_phrase = []
     for pid, phrase in _Q191_PHRASES:
-        words = phrase.split(" ")
-        hits = toks.filter(F.col("word") == words[0]).select(
-            "doc_id", F.col("pos").alias("p")
-        )
-        for k, w in enumerate(words[1:], 1):
-            hits = hits.join(
-                toks.filter(F.col("word") == w).select(
-                    "doc_id", (F.col("pos") - k).alias("p")
-                ),
-                ["doc_id", "p"],
-            )
+        hits = phrase_hits(toks, phrase.split(" "))
         per_doc = hits.groupBy("doc_id").agg(F.count("*").alias("cnt"))
         per_phrase.append(
             per_doc.agg(

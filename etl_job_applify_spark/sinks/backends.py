@@ -123,13 +123,18 @@ class DeltaBackend:
     ``commit`` CAS semantics: check the base immediately before the
     overwrite, then map Delta's own optimistic-concurrency failures
     (``ConcurrentModificationException`` subclasses — two overwrites of
-    the same snapshot conflict under WriteSerializable) to
-    ``CommitConflict``, and re-verify the landed version afterwards.
-    The post-verify closes the check-then-write window: if another
-    writer slipped between check and write and Delta (configured at a
-    weaker isolation) admitted both, the adapter still surfaces the
-    conflict to ``merge_into``'s retry loop rather than silently
-    committing against a stale base.
+    the same snapshot conflict under Serializable/WriteSerializable) to
+    ``CommitConflict``. Delta's OCC is the real guard: at the default
+    isolation the losing overwrite ABORTS, nothing lands, and the retry
+    loop recomputes against the winner's snapshot. The post-write
+    version re-verify is a DETECTOR for misconfigured weaker isolation
+    only — if Delta admitted both overwrites, the stale merge has
+    already landed and cannot be rolled back from here; the raised
+    ``CommitConflict`` names the landed version so the operator can
+    RESTORE via time travel. It narrows, not closes, the
+    check-then-write window: run merged tables at Serializable (or
+    WriteSerializable) isolation, where the window is closed by the
+    format itself.
 
     Not exercised in this image: the sandbox has no delta-spark and
     package installs are disallowed (see tests/test_merge_backend.py,
@@ -193,8 +198,12 @@ class DeltaBackend:
         landed = self.latest_version(spark, table_path)
         if landed != base_version + 1:
             raise CommitConflict(
-                f"interleaved writer: expected version {base_version + 1}, "
-                f"table is at {landed}"
+                f"interleaved writer admitted by weak isolation: expected "
+                f"version {base_version + 1}, table is at {landed}. This "
+                f"overwrite HAS landed and may have dropped the interleaved "
+                f"writer's rows — RESTORE to version {landed - 1} (time "
+                f"travel) and re-run, and set the table to Serializable "
+                f"isolation, where Delta aborts the losing overwrite instead."
             )
         return landed
 

@@ -460,6 +460,12 @@ def run_incremental_dedup_stream(
 
         batch = batch.persist(StorageLevel.MEMORY_AND_DISK)
         try:
+            # a crash inside a compaction swap must not look like "no
+            # index yet" — the overwrite first-batch branch would then
+            # silently discard all history
+            from ..dedup.incremental import _recover_index
+
+            _recover_index(index_dir)
             if os.path.exists(os.path.join(index_dir, "_index_meta.json")):
                 history = spark.read.parquet(corpus_dir)
                 pairs = minhash_index_probe(

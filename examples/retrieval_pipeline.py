@@ -36,62 +36,37 @@ def search(
     phrase: str = "sort merge",
     shortlist_k: int = 20,
 ) -> DataFrame:
+    from etl_job_applify_spark.functions.retrieval import (
+        bm25_scores,
+        phrase_hits,
+        token_positions,
+    )
     from etl_job_applify_spark.queries._util import tbl
 
     docs = tbl(spark, sf_dir, "documents")
     emb = tbl(spark, sf_dir, "embeddings")
 
-    # 1: BM25 shortlist for the phrase's terms (rational-odds idf,
-    # decimal-accumulated sums — the q190 kernel, parameterized)
+    # 1: BM25 shortlist for the phrase's terms — the SAME kernel the
+    # registered q190 runs (functions/retrieval.py), called with a
+    # bare word list instead of a (qid, word) query set
     terms = phrase.split(" ")
-    toks = docs.select(
-        "doc_id", F.explode(F.expr("split(text, ' ')")).alias("word")
-    )
-    tf = toks.groupBy("doc_id", "word").agg(F.count("*").alias("tf"))
-    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
-    dfreq = tf.groupBy("word").agg(F.count("*").alias("df"))
-    stats = dl.agg(
-        F.count("*").alias("n"),
-        (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
-    )
     qterms = spark.createDataFrame([(w,) for w in terms], "word string")
     scored = (
-        tf.join(F.broadcast(qterms), "word")
-        .join(F.broadcast(dfreq.join(F.broadcast(qterms), "word", "left_semi")), "word")
-        .join(dl, "doc_id")
-        .crossJoin(F.broadcast(stats))
-        .groupBy("doc_id")
-        .agg(
-            F.expr(
-                "CAST(SUM(CAST(((n - df + 5e-1) / (df + 5e-1))"
-                " * (tf * 2.2e0)"
-                " / (tf + 1.2e0 * (2.5e-1 + 7.5e-1 * dl / avgdl))"
-                " AS DECIMAL(28,6))) AS DOUBLE)"
-            ).alias("bm25")
-        )
+        bm25_scores(docs, qterms)
+        .withColumnRenamed("score", "bm25")
         .orderBy(F.desc("bm25"), "doc_id")
         .limit(shortlist_k)
     )
 
-    # 2: exact phrase confirmation on the shortlist only — the posting
-    # chain runs against shortlist-filtered positions
-    pos = (
+    # 2: exact phrase confirmation on the shortlist only — the q191
+    # posting chain over shortlist-filtered positions
+    pos = token_positions(
         docs.join(F.broadcast(scored.select("doc_id")), "doc_id", "left_semi")
-        .select(
-            "doc_id",
-            F.posexplode(F.split("text", " ")).alias("p", "word"),
-        )
     )
-    hits = pos.filter(F.col("word") == terms[0]).select("doc_id", "p")
-    for k, w in enumerate(terms[1:], 1):
-        hits = hits.join(
-            pos.filter(F.col("word") == w).select(
-                "doc_id", (F.col("p") - k).alias("p")
-            ),
-            ["doc_id", "p"],
-        )
     confirmed = scored.join(
-        hits.select("doc_id").distinct(), "doc_id", "left_semi"
+        phrase_hits(pos, terms).select("doc_id").distinct(),
+        "doc_id",
+        "left_semi",
     )
 
     # 3: cosine rerank against the top BM25 doc's embedding — exact

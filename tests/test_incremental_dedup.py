@@ -309,6 +309,48 @@ def test_optimize_index_recovers_from_stale_staging_dirs(spark, tmp_path):
     assert {(r["a"], r["b"]) for r in after.collect()} == got_before
 
 
+def test_interrupted_swap_recovers_instead_of_refounding(spark, tmp_path):
+    """The fatal crash window: between the swap's two renames there is
+    NO live index — a complete __compact (and the renamed __old) sit
+    beside the missing path. Every entry point must finish the swap;
+    in particular the streaming ingest's first-batch branch must NOT
+    treat it as 'no index yet' and silently re-found empty."""
+    import os
+
+    from etl_job_applify_spark.dedup import optimize_index
+    from etl_job_applify_spark.dedup.incremental import (
+        _recover_index,
+        minhash_index_probe,
+    )
+
+    idx = str(tmp_path / "idx")
+    history = _corpus(spark)
+    minhash_index_build(history, idx, num_hashes=64, bands=16)
+    optimize_index(spark, idx)  # produce a compacted layout to copy
+
+    # simulate the mid-swap crash: live index renamed away, compacted
+    # copy still at __compact
+    import shutil
+
+    shutil.copytree(idx, idx + "__compact")
+    os.rename(idx, idx + "__old")
+    assert not os.path.exists(idx)
+
+    # probe transparently completes the swap and still finds the dups
+    pairs = minhash_index_probe(spark, idx, _batch(spark), history)
+    got = {(r["a"], r["b"]) for r in pairs.collect()}
+    assert (7, 100) in got and (23, 101) in got
+    assert os.path.exists(idx) and not os.path.exists(idx + "__old")
+    assert not os.path.exists(idx + "__compact")
+
+    # rollback branch: only __old survives (staging incomplete/absent)
+    os.rename(idx, idx + "__old")
+    _recover_index(idx)
+    assert os.path.exists(idx)  # previous live index restored
+    pairs2 = minhash_index_probe(spark, idx, _batch(spark), history)
+    assert {(r["a"], r["b"]) for r in pairs2.collect()} >= {(7, 100)}
+
+
 def test_optimize_index_rejects_non_local_paths(spark):
     import pytest
 

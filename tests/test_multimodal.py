@@ -457,3 +457,11 @@ def test_ahash_brightness_invariance_and_saturation(spark):
     hhot = ahash_image_batch(hot).collect()[0]["ahash"]
     hsat = ahash_image_batch(brighten_image_batch(hot, 100)).collect()[0]["ahash"]
     assert hhot != hsat  # clamp at 255 flattens cells differently
+    # negative delta saturates at 0 — never wraps through uint8 (a dark
+    # pixel must not become nearly white)
+    from etl_job_applify_spark.multimodal import decode_image_batch
+
+    dark = brighten_image_batch(media, -200)
+    for r in decode_image_batch(dark).collect():
+        arr = np.frombuffer(bytes(r["pixels"]), dtype=np.uint8)
+        assert arr.max() <= 55  # original <= 255; all shifted down, none wrapped
