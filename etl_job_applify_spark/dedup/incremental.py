@@ -40,6 +40,23 @@ from .minhash import minhash_signatures
 from .shingles import with_shingles
 
 _META = "_index_meta.json"
+_SCHEMA = "_index_schema.json"
+
+
+def _read_index(spark: SparkSession, index_path: str) -> DataFrame:
+    """Read the band-bucket index, tolerating an EMPTY index (a
+    purge-everything compaction leaves zero data files; a
+    schema-inferring read would raise). ``optimize_index`` persists the
+    schema next to the meta; when present it drives an explicit-schema
+    read, which returns 0 rows instead of failing on an empty dir."""
+    sp = os.path.join(index_path, _SCHEMA)
+    if os.path.exists(sp):
+        from pyspark.sql.types import StructType
+
+        with open(sp) as fh:
+            schema = StructType.fromJson(json.load(fh))
+        return spark.read.schema(schema).parquet(index_path)
+    return spark.read.parquet(index_path)
 
 
 def _band_entries(
@@ -139,8 +156,18 @@ def _recover_index(index_path: str) -> None:
             # staging itself was incomplete): roll back to the previous
             # live index rather than losing history
             os.rename(old, index_path)
-    if os.path.exists(_meta_path(index_path)) and os.path.exists(old):
-        shutil.rmtree(old, ignore_errors=True)
+    if os.path.exists(_meta_path(index_path)):
+        if os.path.exists(old):
+            shutil.rmtree(old, ignore_errors=True)
+        # symmetric cleanup: a crash after the staging meta write but
+        # before the swap leaves a COMPLETE __compact next to a live
+        # index. Left in place it is a stale snapshot — if the live
+        # directory were ever lost later, recovery would promote it and
+        # silently roll the index back past every append since. Only a
+        # mid-swap crash (live index already moved aside) may promote
+        # staging.
+        if os.path.exists(os.path.join(staging, _META)):
+            shutil.rmtree(staging, ignore_errors=True)
 
 
 def _index_data_files(index_path: str) -> list[str]:
@@ -210,7 +237,7 @@ def optimize_index(
         raise FileNotFoundError(f"no index meta at {index_path}")
     with open(_meta_path(index_path)) as fh:
         params = json.load(fh)
-    index = spark.read.parquet(index_path)
+    index = _read_index(spark, index_path)
     files_before = len(_index_data_files(index_path))
     # parquet count() is footer-metadata-only — no data scan
     rows_before = index.count()
@@ -240,8 +267,14 @@ def optimize_index(
         .parquet(staging)
     )
     # footer-only count of what actually landed (rows_after without a
-    # second anti-join pass)
-    rows_after = spark.read.parquet(staging).count()
+    # second anti-join pass). Read with the live index's schema: a
+    # purge-everything tombstone sweep writes ZERO data files, and a
+    # schema-inferring read of the empty staging dir would abort the
+    # whole optimize with an obscure AnalysisException — the explicit
+    # schema makes the empty index a publishable (0-row) result instead.
+    rows_after = spark.read.schema(index.schema).parquet(staging).count()
+    with open(os.path.join(staging, _SCHEMA), "w") as fh:
+        json.dump(index.schema.jsonValue(), fh)
     with open(os.path.join(staging, _META), "w") as fh:
         json.dump(params, fh)
     shutil.rmtree(old, ignore_errors=True)
@@ -265,6 +298,7 @@ def minhash_index_probe(
     text_col: str = "text",
     threshold: float = 0.5,
     max_bucket_size: int = 64,
+    broadcast_batch: bool = True,
 ) -> DataFrame:
     """Near-dup pairs (a, b, jaccard) between ``new_docs`` and the
     indexed corpus, a < b, exact jaccard >= ``threshold``.
@@ -278,6 +312,18 @@ def minhash_index_probe(
     ``max_bucket_size`` drops index buckets larger than the cap *among
     the matched subset* — template buckets carry no pair signal and
     their fanout is what melts a probe against skewed history.
+
+    ``broadcast_batch`` gates EVERY batch-derived broadcast hint in the
+    probe (touched buckets, surviving buckets, the batch's band
+    entries, and the two shingle-set verification sides). The default
+    assumes the incremental premise — today's batch is small next to
+    the history — but a heavy day (~10^8 crawled docs → billions of
+    band entries) or a dup-storm (shingle sets scale with candidate
+    pairs × document length) breaks that premise and a forced broadcast
+    would OOM every executor; knob off → no hint is emitted and AQE
+    sizes the joins from runtime statistics (the semi-join shapes
+    survive either way). Same one-knob discipline as
+    ``operators/triangles.py::triangle_stats(broadcast_closing=...)``.
     """
     _recover_index(index_path)  # finish any interrupted compaction
     if not os.path.exists(_meta_path(index_path)):
@@ -291,13 +337,14 @@ def minhash_index_probe(
     # small BY DEFINITION (that's the incremental premise), so persist
     # it once rather than re-running the 64-hash signature pipeline per
     # branch — measured 8.5 s → 3.4 s for a 10% batch at sf0.1
+    _hint = F.broadcast if broadcast_batch else (lambda df: df)
     new_entries = _band_entries(
         new_docs, id_col, text_col, p["n"], p["num_hashes"], p["bands"]
     ).persist(StorageLevel.MEMORY_AND_DISK)
-    index = spark.read.parquet(index_path)
+    index = _read_index(spark, index_path)
     touched = new_entries.select("band", "bucket").distinct()
     # one scan of the (huge) index: keep only buckets the batch touches
-    matched = index.join(F.broadcast(touched), ["band", "bucket"], "left_semi")
+    matched = index.join(_hint(touched), ["band", "bucket"], "left_semi")
     matched = matched.persist(StorageLevel.MEMORY_AND_DISK)
     ok_buckets = (
         matched.groupBy("band", "bucket")
@@ -306,10 +353,10 @@ def minhash_index_probe(
         .select("band", "bucket")
     )
     candidates = (
-        matched.join(F.broadcast(ok_buckets), ["band", "bucket"], "left_semi")
+        matched.join(_hint(ok_buckets), ["band", "bucket"], "left_semi")
         .select("band", "bucket", F.col("doc").alias("old"))
         .join(
-            F.broadcast(
+            _hint(
                 new_entries.select("band", "bucket", F.col("doc").alias("new"))
             ),
             ["band", "bucket"],
@@ -354,8 +401,8 @@ def minhash_index_probe(
     sb = sets_.select(F.col(id_col).alias("b"), F.col("sh").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     return (
-        candidates.join(F.broadcast(sa), "a")
-        .join(F.broadcast(sb), "b")
+        candidates.join(_hint(sa), "a")
+        .join(_hint(sb), "b")
         .withColumn(
             "jaccard",
             inter / (F.size("sh_a") + F.size("sh_b") - inter),

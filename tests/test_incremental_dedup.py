@@ -358,3 +358,113 @@ def test_optimize_index_rejects_non_local_paths(spark):
 
     with pytest.raises(ValueError, match="local index path"):
         optimize_index(spark, "s3://bucket/index")
+
+def test_recover_cleans_stale_complete_compact_beside_live_index(
+    spark, tmp_path
+):
+    """A crash AFTER the staging meta write but BEFORE the swap leaves a
+    COMPLETE __compact next to a live index. It must be removed at the
+    next entry point: left in place it is a stale snapshot, and if the
+    live directory were ever lost later, recovery would promote it and
+    silently roll the index back past every append made since."""
+    import os
+    import shutil
+
+    from etl_job_applify_spark.dedup.incremental import (
+        _recover_index,
+        minhash_index_probe,
+    )
+
+    idx = str(tmp_path / "idx")
+    history = _corpus(spark)
+    minhash_index_build(history, idx, num_hashes=64, bands=16)
+    # stale-but-complete staging: full copy with its meta, live intact
+    shutil.copytree(idx, idx + "__compact")
+    assert os.path.exists(idx + "__compact/_index_meta.json")
+
+    # append a new generation, then probe — the probe's recovery pass
+    # must clear the stale staging while leaving the appended index
+    extra = spark.createDataFrame(
+        [(300, _BASE + " unique filler sentence number 7 " * 2 + "y")],
+        "doc_id long, text string",
+    )
+    minhash_index_build(extra, idx, num_hashes=64, bands=16, mode="append")
+    assert not os.path.exists(idx + "__compact")
+
+    probe = spark.createDataFrame(
+        [(400, _BASE + " unique filler sentence number 7 " * 2 + "z")],
+        "doc_id long, text string",
+    )
+    all_docs = history.unionByName(extra)
+    got = {
+        (r["a"], r["b"])
+        for r in minhash_index_probe(spark, idx, probe, all_docs).collect()
+    }
+    # both generations present — nothing was rolled back
+    assert {(7, 400), (300, 400)} <= got
+
+
+def test_optimize_index_purge_everything_publishes_empty_index(
+    spark, tmp_path
+):
+    """A retention sweep that tombstones EVERY document must publish a
+    valid empty index (zero data files would otherwise make the
+    schema-inferring staging read abort the optimize), and later probes
+    and appends against the empty index must still work."""
+    from etl_job_applify_spark.dedup import optimize_index
+    from etl_job_applify_spark.dedup.incremental import minhash_index_probe
+
+    idx = str(tmp_path / "idx")
+    history = _corpus(spark)
+    minhash_index_build(history, idx, num_hashes=64, bands=16)
+    dead = history.select(F.col("doc_id").alias("doc"))
+    res = optimize_index(spark, idx, tombstones=dead)
+    assert res["rows_before"] == 50 * 16 and res["rows_after"] == 0
+
+    # empty index is probe-able (explicit-schema read) and finds nothing
+    empty_hist = history.filter(F.lit(False))
+    pairs = minhash_index_probe(spark, idx, _batch(spark), empty_hist)
+    assert pairs.count() == 0
+
+    # and the lifecycle continues: append re-populates, probe finds dups
+    minhash_index_build(
+        history, idx, num_hashes=64, bands=16, mode="append"
+    )
+    got = {
+        (r["a"], r["b"])
+        for r in minhash_index_probe(
+            spark, idx, _batch(spark), history
+        ).collect()
+    }
+    assert (7, 100) in got and (23, 101) in got
+
+
+def test_probe_broadcast_batch_knob_off_same_results_no_forced_hint(
+    spark, tmp_path
+):
+    """broadcast_batch=False: results identical, and the plan contains
+    no hint-forced broadcast of batch-derived relations — a heavy crawl
+    day breaks the 'batch is small' premise and AQE must size the joins
+    instead (triangles.py broadcast_closing discipline)."""
+    idx = str(tmp_path / "idx")
+    history = _corpus(spark)
+    minhash_index_build(history, idx, num_hashes=64, bands=16)
+    off = minhash_index_probe(
+        spark, idx, _batch(spark), history, broadcast_batch=False
+    )
+    # the ANALYZED plan (pre cache-substitution — persisted subtrees
+    # from other runs would otherwise leak their hinted plans into the
+    # optimized string) must carry no hint node anywhere. AQE may still
+    # CHOOSE a physical broadcast from runtime sizes — that's the point
+    # — but nothing may force it.
+    analyzed = off._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" not in analyzed
+    assert "UnresolvedHint" not in analyzed
+    rows_off = {(r["a"], r["b"], round(r["jaccard"], 9)) for r in off.collect()}
+    on = minhash_index_probe(
+        spark, idx, _batch(spark), history, broadcast_batch=True
+    )
+    rows_on = {(r["a"], r["b"], round(r["jaccard"], 9)) for r in on.collect()}
+    assert rows_on == rows_off and (7, 100) in {(a, b) for a, b, _ in rows_on}
+    # and the default (knob on) DOES hint — the premise documented
+    assert "ResolvedHint" in on._jdf.queryExecution().analyzed().toString()
