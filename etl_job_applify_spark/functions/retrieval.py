@@ -57,8 +57,14 @@ def bm25_scores(
     b: float = 0.75,
 ) -> DataFrame:
     """BM25 score per (query, document) with rational Robertson-odds
-    idf: ``(N - df + 0.5) / (df + 0.5)`` — the log is a monotone
-    presentation choice dropped for cross-engine bit-stability.
+    idf: ``(N - df + 0.5) / (df + 0.5)`` — the log is dropped for
+    cross-engine bit-stability (``ln()`` disagrees between engines in
+    the last ulp). NOTE: that is monotone PER TERM only; the score is
+    a SUM over query terms, so rational odds re-weights terms against
+    each other (rare terms weigh more than under log idf) and
+    multi-term rankings can deviate from textbook log-idf BM25.
+    Single-term queries rank identically. For textbook rankings, wrap
+    the odds in ``ln()`` and forgo the bit-exact oracle contract.
 
     ``qterms`` carries one row per query term; any extra columns (e.g.
     a ``qid``) group the final sum, so both "one query" (a bare

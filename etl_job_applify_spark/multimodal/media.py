@@ -292,6 +292,16 @@ def ahash_image_batch(
     has no rows."""
     from . import ppm
 
+    if grid_w * grid_h > 63:
+        # bits pack into ONE signed int64 via left-shifts of the cell
+        # index; cell 63 would shift into the sign bit and larger grids
+        # are undefined shifts — fail loudly instead of returning
+        # silently-garbage hashes (an 8x8 caller hits this)
+        raise ValueError(
+            f"grid_w*grid_h must be <= 63 to pack into int64, got "
+            f"{grid_w}x{grid_h}={grid_w * grid_h}"
+        )
+
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             ids, hashes = [], []

@@ -233,10 +233,17 @@ GROUP BY lang
 # (N - df + 0.5)/(df + 0.5) WITHOUT the log: ln() is not bit-stable
 # across engines (Spark's Math.log vs DuckDB's libm disagree in the
 # last ulp on ~90% of arguments — measured), while +,-,*,/ on identical
-# doubles are IEEE-deterministic everywhere; the log is a monotone
-# per-term presentation choice this cross-engine contract drops. The
-# per-(query, doc) sum goes through the DECIMAL-accumulate idiom so
-# term order can't shift bits.
+# doubles are IEEE-deterministic everywhere. CAVEAT (this is a real
+# semantic deviation, not just presentation): dropping the log is
+# monotone PER TERM only — the document score is a SUM of idf-weighted
+# terms, so rational odds re-weights terms relative to each other
+# (rare terms count more than log-idf BM25 would) and multi-term
+# top-k rankings CAN differ from textbook BM25. Both engines compute
+# the same deviation, so the cross-engine gate is exact; callers who
+# need textbook log-idf rankings should apply ln() to the odds and
+# accept engine-local (non-oracle-able) floats. The per-(query, doc)
+# sum goes through the DECIMAL-accumulate idiom so term order can't
+# shift bits.
 # Plan: one token-explode shuffle for tf (doc, word); df aggregates from
 # tf (not the raw stream); corpus stats are a one-row broadcast; the
 # query term list is a literal broadcast; top-5 per query is a

@@ -102,6 +102,69 @@ def delta_available() -> bool:
         return False
 
 
+def _is_delta_concurrency_conflict(exc: BaseException) -> bool:
+    """Classify a Delta commit failure as an OCC conflict by exception
+    CLASS, never by message substrings (a stack-trace fragment that
+    merely mentions 'Concurrent' must not be misreported as a retryable
+    conflict, and a differently-wrapped real conflict must not be
+    re-raised raw). Three shapes are recognised:
+
+    - delta-spark's Python exception classes
+      (``delta.exceptions.ConcurrentModificationException`` and
+      subclasses like ``ConcurrentAppendException``) — matched by MRO;
+    - a Py4J ``JavaError``-style wrapper: walk the attached
+      ``java_exception``'s class chain via getClass().getName() and its
+      getCause() chain for the io.delta / org.apache.spark.sql.delta
+      ``...ConcurrentModificationException`` family;
+    - Spark Connect / captured errors exposing ``getErrorClass`` with a
+      ``DELTA_CONCURRENT...`` error class.
+    """
+    try:
+        from delta import exceptions as dex
+
+        py_base = getattr(dex, "ConcurrentModificationException", None)
+        if py_base is not None and isinstance(exc, py_base):
+            return True
+    except ImportError:
+        pass
+    _CONFLICT_PKGS = ("io.delta.", "org.apache.spark.sql.delta.")
+    _CONFLICT_NAMES = (
+        "ConcurrentModificationException",
+        "ConcurrentWriteException",
+        "ConcurrentAppendException",
+        "ConcurrentDeleteReadException",
+        "ConcurrentDeleteDeleteException",
+        "ConcurrentTransactionException",
+        "MetadataChangedException",
+        "ProtocolChangedException",
+    )
+    jexc = getattr(exc, "java_exception", None)
+    hops = 0
+    while jexc is not None and hops < 16:  # bounded cause-chain walk
+        try:
+            name = jexc.getClass().getName()
+        except Exception:
+            break
+        if name.startswith(_CONFLICT_PKGS) and name.rsplit(".", 1)[
+            -1
+        ] in _CONFLICT_NAMES:
+            return True
+        try:
+            jexc = jexc.getCause()
+        except Exception:
+            break
+        hops += 1
+    get_cls = getattr(exc, "getErrorClass", None)
+    if callable(get_cls):
+        try:
+            ec = get_cls()
+        except Exception:
+            ec = None
+        if isinstance(ec, str) and ec.startswith("DELTA_CONCURRENT"):
+            return True
+    return False
+
+
 class DeltaBackend:
     """``MergeBackend`` over a real Delta Lake table (public
     ``delta-spark`` package). Requires a session built with the Delta
@@ -190,9 +253,7 @@ class DeltaBackend:
                 "overwriteSchema", "true"
             ).save(table_path)
         except Exception as exc:  # Py4J wraps the JVM exception class
-            if "ConcurrentModificationException" in repr(
-                exc
-            ) or "Concurrent" in type(exc).__name__:
+            if _is_delta_concurrency_conflict(exc):
                 raise CommitConflict(str(exc)) from exc
             raise
         landed = self.latest_version(spark, table_path)

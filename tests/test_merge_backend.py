@@ -271,3 +271,80 @@ def test_delta_backend_version_mapping_with_fake_module(spark, monkeypatch):
     with pytest.raises(CommitConflict, match="stale base"):
         b.commit(df, path, base_version=1)  # latest is 2
     _FakeDeltaTables.store.pop(path, None)
+
+
+def test_conflict_classifier_matches_class_not_message():
+    """OCC-conflict classification is by exception CLASS: a JVM
+    exception whose MESSAGE merely mentions 'ConcurrentModification'
+    (e.g. a stack-trace fragment) must NOT be classified as a conflict,
+    while the io.delta ConcurrentModificationException family — even
+    nested as a cause under an unrelated wrapper — must be."""
+    from etl_job_applify_spark.sinks.backends import (
+        _is_delta_concurrency_conflict,
+    )
+
+    class _JClass:
+        def __init__(self, name):
+            self._n = name
+
+        def getName(self):
+            return self._n
+
+    class _JExc:
+        def __init__(self, name, cause=None):
+            self._c = _JClass(name)
+            self._cause = cause
+
+        def getClass(self):
+            return self._c
+
+        def getCause(self):
+            return self._cause
+
+    class _Py4JError(Exception):
+        def __init__(self, jexc):
+            super().__init__("jvm error")
+            self.java_exception = jexc
+
+    # message-only mention, unrelated class -> NOT a conflict
+    noise = _Py4JError(
+        _JExc("java.io.IOException")
+    )
+    noise.args = ("stack mentions ConcurrentModificationException",)
+    assert not _is_delta_concurrency_conflict(noise)
+
+    # exact io.delta conflict class -> conflict
+    assert _is_delta_concurrency_conflict(
+        _Py4JError(_JExc("io.delta.exceptions.ConcurrentAppendException"))
+    )
+    # spark-internal delta package spelling -> conflict
+    assert _is_delta_concurrency_conflict(
+        _Py4JError(
+            _JExc(
+                "org.apache.spark.sql.delta.ConcurrentModificationException"
+            )
+        )
+    )
+    # conflict buried one cause deep under an unrelated wrapper
+    assert _is_delta_concurrency_conflict(
+        _Py4JError(
+            _JExc(
+                "org.apache.spark.SparkException",
+                cause=_JExc(
+                    "io.delta.exceptions.ConcurrentWriteException"
+                ),
+            )
+        )
+    )
+    # a NON-delta ConcurrentModificationException (java.util) is not ours
+    assert not _is_delta_concurrency_conflict(
+        _Py4JError(_JExc("java.util.ConcurrentModificationException"))
+    )
+    # error-class surface (Spark Connect style)
+    class _Captured(Exception):
+        def getErrorClass(self):
+            return "DELTA_CONCURRENT_APPEND"
+
+    assert _is_delta_concurrency_conflict(_Captured())
+    # plain python exception -> not a conflict
+    assert not _is_delta_concurrency_conflict(ValueError("Concurrent"))

@@ -465,3 +465,22 @@ def test_ahash_brightness_invariance_and_saturation(spark):
     for r in decode_image_batch(dark).collect():
         arr = np.frombuffer(bytes(r["pixels"]), dtype=np.uint8)
         assert arr.max() <= 55  # original <= 255; all shifted down, none wrapped
+
+
+def test_ahash_rejects_grids_past_int64_capacity(spark):
+    """bits pack into one signed int64 — an 8x8 grid would shift into
+    the sign bit and beyond (undefined), so the call must fail loudly
+    instead of returning silently-garbage hashes."""
+    import pytest
+
+    from etl_job_applify_spark.multimodal.media import (
+        ahash_image_batch,
+        attach_fake_ppm,
+    )
+
+    docs = spark.createDataFrame([(1,)], "doc_id long")
+    media = attach_fake_ppm(docs)
+    with pytest.raises(ValueError, match="<= 63"):
+        ahash_image_batch(media, grid_w=8, grid_h=8)
+    # 63 bits (9x7) is the documented maximum and still works
+    assert ahash_image_batch(media, grid_w=9, grid_h=7).count() == 1
