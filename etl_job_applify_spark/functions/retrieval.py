@@ -48,6 +48,45 @@ def token_positions(docs: DataFrame, text_col: str = "text",
     ).select(id_col, (F.col("pos0") + 1).alias("pos"), "word")
 
 
+def bm25_score_join(
+    tf: DataFrame,
+    dl: DataFrame,
+    dfreq: DataFrame,
+    stats: DataFrame,
+    qterms: DataFrame,
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """The BM25 scoring join over pre-computed relations — the ONE
+    expression both the recompute path (``bm25_scores``) and the
+    persisted-index probe (``functions/text_index.py``) go through, so
+    index-served scores are bit-identical to corpus-recomputed ones.
+
+    ``tf``: (id_col, word, tf); ``dl``: (id_col, dl);
+    ``dfreq``: (word, df); ``stats``: one row (n, avgdl)."""
+    group_cols = [c for c in qterms.columns if c != "word"]
+    return (
+        tf.join(F.broadcast(qterms), "word")
+        .join(
+            F.broadcast(dfreq.join(F.broadcast(qterms), "word", "left_semi")),
+            "word",
+        )
+        .join(dl, id_col)
+        .crossJoin(F.broadcast(stats))
+        .groupBy(*group_cols, id_col)
+        .agg(
+            F.expr(
+                "CAST(SUM(CAST("
+                f" ((n - df + {_e(0.5)}) / (df + {_e(0.5)}))"
+                f" * (tf * {_e(k1 + 1)})"
+                f" / (tf + {_e(k1)} * ({_e(1 - b)} + {_e(b)} * dl / avgdl))"
+                " AS DECIMAL(28,6))) AS DOUBLE)"
+            ).alias("score")
+        )
+    )
+
+
 def bm25_scores(
     docs: DataFrame,
     qterms: DataFrame,
@@ -76,7 +115,6 @@ def bm25_scores(
     both derive from tf; query terms / df / corpus stats reach the
     score join as broadcasts (vocabulary is Heaps-law sublinear, the
     stats relation is one row)."""
-    group_cols = [c for c in qterms.columns if c != "word"]
     toks = doc_tokens(docs, text_col, id_col)
     tf = toks.groupBy(id_col, "word").agg(F.count("*").alias("tf"))
     dl = tf.groupBy(id_col).agg(F.sum("tf").alias("dl"))
@@ -85,24 +123,8 @@ def bm25_scores(
         F.count("*").alias("n"),
         (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
     )
-    return (
-        tf.join(F.broadcast(qterms), "word")
-        .join(
-            F.broadcast(dfreq.join(F.broadcast(qterms), "word", "left_semi")),
-            "word",
-        )
-        .join(dl, id_col)
-        .crossJoin(F.broadcast(stats))
-        .groupBy(*group_cols, id_col)
-        .agg(
-            F.expr(
-                "CAST(SUM(CAST("
-                f" ((n - df + {_e(0.5)}) / (df + {_e(0.5)}))"
-                f" * (tf * {_e(k1 + 1)})"
-                f" / (tf + {_e(k1)} * ({_e(1 - b)} + {_e(b)} * dl / avgdl))"
-                " AS DECIMAL(28,6))) AS DOUBLE)"
-            ).alias("score")
-        )
+    return bm25_score_join(
+        tf, dl, dfreq, stats, qterms, id_col=id_col, k1=k1, b=b
     )
 
 

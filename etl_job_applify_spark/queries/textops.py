@@ -429,6 +429,191 @@ LEFT JOIN (SELECT phrase_id, doc_id, cnt FROM ranked WHERE rn = 1) r
 """
 
 
+# --- q194/q195/q196: retrieval served from the PERSISTED inverted ------
+# index (functions/text_index.py). q190/q191 recompute the corpus
+# tf/positions relation per query batch — the right one-shot analytics
+# shape, the wrong steady-state serving shape at 100 TB. These queries
+# prove the index path relationally: build (q194: whole corpus; q196:
+# 90% history then APPEND the 10% batch — the ingest lifecycle), then
+# serve the same query batches through pruned per-term posting scans,
+# while the DuckDB oracle recomputes from RAW TEXT with the q190/q191
+# SQL. Equal hashes mean index-served == corpus-recomputed, bit-exact
+# (shared scoring join, exact integer stats in the index meta).
+# Temp-index pattern as q142: build, probe, materialize, drop the dir.
+
+def _with_temp_text_index(spark, builds, probe):
+    """build the index in a temp dir via builds(path), return the
+    materialized result of probe(path) after cleanup."""
+    import shutil
+    import tempfile
+
+    path = tempfile.mkdtemp(prefix="qtext_idx_")
+    try:
+        builds(path)
+        out = probe(path)
+        rows = out.collect()
+        schema = out.schema
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)
+
+
+def q194_bm25_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..functions.text_index import text_index_bm25, text_index_build
+
+    docs = tbl(spark, sf_dir, "documents").select("doc_id", "text")
+    qterms = spark.createDataFrame(
+        [(qid, w) for qid, ws in _Q190_QUERIES for w in ws],
+        "qid int, word string",
+    )
+
+    def probe(path):
+        scored = text_index_bm25(spark, path, qterms)
+        w = Window.partitionBy("qid").orderBy(
+            F.desc("score"), F.asc("doc_id")
+        )
+        return (
+            scored.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= 5)
+            .select("qid", "doc_id", "rnk", "score")
+        )
+
+    return _with_temp_text_index(
+        spark, lambda path: text_index_build(docs, path), probe
+    )
+
+
+def q195_phrase_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text_index import (
+        text_index_build,
+        text_index_phrase_hits,
+    )
+
+    docs = tbl(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def probe(path):
+        per_phrase = []
+        for pid, phrase in _Q191_PHRASES:
+            hits = text_index_phrase_hits(spark, path, phrase.split(" "))
+            per_doc = hits.groupBy("doc_id").agg(F.count("*").alias("cnt"))
+            per_phrase.append(
+                per_doc.agg(
+                    F.lit(pid).alias("phrase_id"),
+                    F.lit(phrase).alias("phrase"),
+                    F.count("*").cast("bigint").alias("n_docs"),
+                    F.coalesce(F.sum("cnt"), F.lit(0)).cast("bigint").alias(
+                        "n_occurrences"
+                    ),
+                    F.expr("max_by(doc_id, struct(cnt, -doc_id))").alias(
+                        "top_doc"
+                    ),
+                    F.coalesce(F.max("cnt"), F.lit(0)).cast("bigint").alias(
+                        "top_doc_count"
+                    ),
+                )
+            )
+        out = per_phrase[0]
+        for p in per_phrase[1:]:
+            out = out.unionByName(p)
+        return out
+
+    return _with_temp_text_index(
+        spark, lambda path: text_index_build(docs, path), probe
+    )
+
+
+def q196_bm25_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ingest lifecycle: index 90% of the corpus, APPEND the
+    doc_id%10 batch (postings + doclens + exact stats increments), then
+    serve — the oracle recomputes over ALL documents from raw text, so
+    a drifted df/dl/avgdl after append would hash-mismatch."""
+    from pyspark.sql import Window
+
+    from ..functions.text_index import text_index_bm25, text_index_build
+
+    docs = tbl(spark, sf_dir, "documents").select("doc_id", "text")
+    history = docs.filter(F.col("doc_id") % 10 != 0)
+    batch = docs.filter(F.col("doc_id") % 10 == 0)
+    qterms = spark.createDataFrame(
+        [(qid, w) for qid, ws in _Q196_QUERIES for w in ws],
+        "qid int, word string",
+    )
+
+    def build(path):
+        text_index_build(history, path)
+        text_index_build(batch, path, mode="append")
+
+    def probe(path):
+        scored = text_index_bm25(spark, path, qterms)
+        w = Window.partitionBy("qid").orderBy(
+            F.desc("score"), F.asc("doc_id")
+        )
+        return (
+            scored.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= 5)
+            .select("qid", "doc_id", "rnk", "score")
+        )
+
+    return _with_temp_text_index(spark, build, probe)
+
+
+_Q196_QUERIES = [
+    (1, ["scan", "filter", "column"]),
+    (2, ["vector", "agg"]),
+    (3, ["query", "table", "fast", "slow"]),
+]
+
+_Q196_SQL = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+),
+tf AS (
+  SELECT doc_id, word, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM toks GROUP BY doc_id, word
+),
+dl AS (
+  SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id
+),
+dfreq AS (
+  SELECT word, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY word
+),
+stats AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+  FROM dl
+),
+q(qid, word) AS (VALUES
+  (1, 'scan'), (1, 'filter'), (1, 'column'),
+  (2, 'vector'), (2, 'agg'),
+  (3, 'query'), (3, 'table'), (3, 'fast'), (3, 'slow')
+),
+scored AS (
+  SELECT q.qid, tf.doc_id,
+    CAST(SUM(CAST(
+      ((n - df + 5e-1) / (df + 5e-1))
+      * (tf * 2.2e0)
+      / (tf + 1.2e0 * (2.5e-1 + 7.5e-1 * dl / avgdl))
+    AS DECIMAL(28,6))) AS DOUBLE) AS score
+  FROM q
+  JOIN tf USING (word)
+  JOIN dfreq USING (word)
+  JOIN dl USING (doc_id), stats
+  GROUP BY q.qid, tf.doc_id
+)
+SELECT CAST(qid AS INT) AS qid, doc_id, CAST(rnk AS INT) AS rnk, score
+FROM (
+  SELECT qid, doc_id, score,
+         ROW_NUMBER() OVER (
+           PARTITION BY qid ORDER BY score DESC, doc_id
+         ) AS rnk
+  FROM scored
+)
+WHERE rnk <= 5
+"""
+
+
 QUERIES = {
     "q40_text_stats": q40_text_stats,
     "q41_lang_id": q41_lang_id,
@@ -438,6 +623,9 @@ QUERIES = {
     "q131_byte_lengths": q131_byte_lengths,
     "q190_bm25_retrieval": q190_bm25_retrieval,
     "q191_phrase_search": q191_phrase_search,
+    "q194_bm25_index_probe": q194_bm25_index_probe,
+    "q195_phrase_index_probe": q195_phrase_index_probe,
+    "q196_bm25_index_append": q196_bm25_index_append,
 }
 
 ORACLE = {
@@ -449,4 +637,9 @@ ORACLE = {
     "q131_byte_lengths": _Q131_SQL,
     "q190_bm25_retrieval": _Q190_SQL,
     "q191_phrase_search": _Q191_SQL,
+    # index-served results must equal raw-text recomputation: the
+    # oracles ARE the recompute SQL
+    "q194_bm25_index_probe": _Q190_SQL,
+    "q195_phrase_index_probe": _Q191_SQL,
+    "q196_bm25_index_append": _Q196_SQL,
 }

@@ -1,0 +1,193 @@
+"""Persisted inverted text index: build/append/probe/optimize lifecycle
+(functions/text_index.py).
+
+Contract: index-served BM25 scores and phrase hits are BIT-IDENTICAL
+to the recompute path over the same corpus (shared scoring kernel),
+appends keep df/dl/stats exact, probes prune to the query terms'
+bucket partitions, and compaction preserves results while bounding the
+file count — the q190/q191 lifecycle lowered onto persisted state.
+"""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_job_applify_spark.functions.retrieval import bm25_scores
+from etl_job_applify_spark.functions.text_index import (
+    _index_data_files,
+    optimize_text_index,
+    text_index_bm25,
+    text_index_build,
+    text_index_phrase_hits,
+    text_index_terms,
+)
+
+_WORDS = [
+    "hash", "join", "scan", "filter", "sort", "merge", "stream",
+    "batch", "window", "spark", "column", "vector",
+]
+
+
+def _docs(spark, start=0, n=40):
+    rows = [
+        (
+            start + i,
+            " ".join(
+                _WORDS[(start + i + j) % len(_WORDS)]
+                for j in range((start + i) % 7 + 3)
+            ),
+        )
+        for i in range(n)
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _qterms(spark):
+    return spark.createDataFrame(
+        [(1, "hash"), (1, "join"), (2, "sort"), (2, "merge"), (2, "scan")],
+        "qid int, word string",
+    )
+
+
+def _score_map(df):
+    return {
+        (r["qid"], r["doc_id"]): r["score"] for r in df.collect()
+    }
+
+
+def test_index_bm25_bit_identical_to_recompute(spark, tmp_path):
+    idx = str(tmp_path / "tidx")
+    docs = _docs(spark)
+    text_index_build(docs, idx)
+    served = _score_map(text_index_bm25(spark, idx, _qterms(spark)))
+    recomputed = _score_map(bm25_scores(docs, _qterms(spark)))
+    assert served == recomputed and len(served) > 0  # bit-exact, == not ≈
+
+
+def test_index_append_keeps_df_dl_stats_exact(spark, tmp_path):
+    """After appending a second generation, served scores must equal a
+    recompute over BOTH generations — df, dl and the integer avgdl
+    stats all shift with the append and any drift changes bits."""
+    idx = str(tmp_path / "tidx")
+    gen1, gen2 = _docs(spark, 0, 40), _docs(spark, 100, 25)
+    text_index_build(gen1, idx)
+    text_index_build(gen2, idx, mode="append")
+    both = gen1.unionByName(gen2)
+    served = _score_map(text_index_bm25(spark, idx, _qterms(spark)))
+    assert served == _score_map(bm25_scores(both, _qterms(spark)))
+
+
+def test_index_phrase_hits_match_recompute(spark, tmp_path):
+    from etl_job_applify_spark.functions.retrieval import (
+        phrase_hits,
+        token_positions,
+    )
+
+    idx = str(tmp_path / "tidx")
+    docs = _docs(spark)
+    text_index_build(docs, idx)
+    phrase = ["hash", "join"]
+    served = {
+        (r["doc_id"], r["p"])
+        for r in text_index_phrase_hits(spark, idx, phrase).collect()
+    }
+    direct = {
+        (r["doc_id"], r["p"])
+        for r in phrase_hits(token_positions(docs), phrase).collect()
+    }
+    assert served == direct and len(served) > 0
+
+
+def test_probe_prunes_to_term_buckets(spark, tmp_path):
+    """The per-term scan must PRUNE partitions: with 64 wb buckets and
+    2 query terms, at most 2 bucket partitions may survive into the
+    scan (the point of the layout — a term read never scans the
+    index), and the word predicate must push into the parquet scan."""
+    idx = str(tmp_path / "tidx")
+    text_index_build(_docs(spark), idx, num_buckets=64)
+    scan = text_index_terms(spark, idx, ["hash", "join"])
+    plan = scan._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    m = re.search(r"PartitionFilters: \[wb[^ ]* IN \(([^)]*)\)\]", plan)
+    assert m, plan  # partition filter present, IN-list form
+    assert len(m.group(1).split(",")) <= 2  # <= one bucket per term
+    m2 = re.search(r"PushedFilters: \[([^\]]*)\]", plan)
+    assert m2 and "In(word" in m2.group(1)  # word IN pushed to parquet
+    # pruning has something to prune: the index spans > 2 bucket dirs
+    all_buckets = {
+        f.split("wb=")[1].split("/")[0]
+        for f in _index_data_files(os.path.join(idx, "postings"))
+    }
+    assert len(all_buckets) > 2
+
+
+def test_append_parameter_drift_refused(spark, tmp_path):
+    idx = str(tmp_path / "tidx")
+    text_index_build(_docs(spark), idx, num_buckets=64)
+    with pytest.raises(ValueError, match="num_buckets"):
+        text_index_build(
+            _docs(spark, 100), idx, num_buckets=32, mode="append"
+        )
+
+
+def test_optimize_bounds_files_preserves_results(spark, tmp_path):
+    idx = str(tmp_path / "tidx")
+    text_index_build(_docs(spark, 0, 30), idx, num_buckets=8)
+    for g in range(4):
+        text_index_build(
+            _docs(spark, 200 + g * 50, 10), idx, num_buckets=8,
+            mode="append",
+        )
+    before = _score_map(text_index_bm25(spark, idx, _qterms(spark)))
+    files_grown = len(_index_data_files(idx))
+    res = optimize_text_index(spark, idx)
+    assert res["files_after"] < files_grown == res["files_before"]
+    # postings bounded by buckets x bins (bins=1 here), doclens by 1
+    assert (
+        len(_index_data_files(os.path.join(idx, "postings"))) <= 8
+        and len(_index_data_files(os.path.join(idx, "doclens"))) == 1
+    )
+    assert _score_map(text_index_bm25(spark, idx, _qterms(spark))) == before
+    # lifecycle continues: append after compaction still exact
+    extra = _docs(spark, 900, 10)
+    text_index_build(extra, idx, num_buckets=8, mode="append")
+    all_docs = _docs(spark, 0, 30)
+    for g in range(4):
+        all_docs = all_docs.unionByName(_docs(spark, 200 + g * 50, 10))
+    all_docs = all_docs.unionByName(extra)
+    assert _score_map(
+        text_index_bm25(spark, idx, _qterms(spark))
+    ) == _score_map(bm25_scores(all_docs, _qterms(spark)))
+
+
+def test_interrupted_optimize_swap_recovers(spark, tmp_path):
+    """Mid-swap crash (live index renamed away, complete __compact
+    present): the next probe must transparently finish the swap; a
+    stale-but-complete __compact beside a LIVE index must be cleared,
+    never promoted later."""
+    import shutil
+
+    idx = str(tmp_path / "tidx")
+    docs = _docs(spark)
+    text_index_build(docs, idx)
+    before = _score_map(text_index_bm25(spark, idx, _qterms(spark)))
+
+    # mid-swap crash
+    shutil.copytree(idx, idx + "__compact")
+    os.rename(idx, idx + "__old")
+    assert _score_map(text_index_bm25(spark, idx, _qterms(spark))) == before
+    assert os.path.exists(idx)
+    assert not os.path.exists(idx + "__old")
+    assert not os.path.exists(idx + "__compact")
+
+    # stale complete staging beside live index: cleared at next entry
+    shutil.copytree(idx, idx + "__compact")
+    text_index_build(_docs(spark, 500, 5), idx, mode="append")
+    assert not os.path.exists(idx + "__compact")
+
+
+def test_optimize_rejects_non_local_paths(spark):
+    with pytest.raises(ValueError, match="local index path"):
+        optimize_text_index(spark, "s3://bucket/tidx")
