@@ -772,6 +772,109 @@ SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM k7) AS n_core_nodes,
 _Q193_SQL = _kcore_sql()
 
 
+# --- q197: full coreness decomposition ------------------------------------
+# q193 answers "who is in the 3-core"; graph curation usually wants the
+# whole coreness histogram — per-node core numbers, i.e. the largest k
+# whose k-core still contains the node. Same peel kernel, run at
+# ASCENDING thresholds k=2..4, each continuing from the previous k's
+# core edges (monotone: a higher threshold only removes more), each
+# threshold unrolled SIX fixed peeling rounds — the round count IS the
+# contract, exactly like q193/q126, so both engines replay identical
+# rounds. The histogram falls out by subtraction: #(coreness = k) =
+# |k-core| - |(k+1)-core|, and the top bucket reports coreness >= 4
+# (we do not peel beyond). Every round is MATERIALIZED on both sides
+# (localCheckpoint / MATERIALIZED CTE — the q60 discipline: each
+# round's edges feed multiple references, a lazy chain re-derives the
+# whole prefix per reference). Per-round cost SHRINKS as peeling is
+# monotone; at 100 TB the k=2 rounds dominate and each is one degree
+# agg + two semi-joins on the surviving edges.
+
+def q197_coreness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ROUNDS, KMAX = 6, 4
+    edges = _copurchase_pairs(spark, sf_dir).localCheckpoint()
+    core_sizes = {
+        1: edges.select(F.col("a").alias("v"))
+        .unionAll(edges.select(F.col("b").alias("v")))
+        .distinct()
+        .count()  # every listed endpoint has degree >= 1
+    }
+    for k in range(2, KMAX + 1):
+        keep = None
+        for _ in range(ROUNDS):
+            deg = (
+                edges.select(F.col("a").alias("v"))
+                .unionAll(edges.select(F.col("b").alias("v")))
+                .groupBy("v")
+                .agg(F.count("*").alias("d"))
+            )
+            keep = deg.filter(F.col("d") >= k).select("v").localCheckpoint()
+            edges = (
+                edges.join(
+                    keep.withColumnRenamed("v", "a"), "a", "left_semi"
+                ).join(keep.withColumnRenamed("v", "b"), "b", "left_semi")
+            ).localCheckpoint()
+        core_sizes[k] = keep.count()
+    rows = [
+        (k, core_sizes[k] - core_sizes[k + 1]) for k in range(1, KMAX)
+    ] + [(KMAX, core_sizes[KMAX])]  # top bucket: coreness >= KMAX
+    return spark.createDataFrame(rows, "core_k int, n_nodes bigint")
+
+
+def _coreness_sql() -> str:
+    base = """
+WITH small_orders AS (
+  SELECT l_orderkey FROM lineitem
+  GROUP BY l_orderkey HAVING COUNT(DISTINCT l_partkey) <= 7
+),
+mem AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+  WHERE l_orderkey IN (SELECT l_orderkey FROM small_orders)
+),
+e2_0 AS MATERIALIZED (
+  SELECT DISTINCT m1.l_partkey AS a, m2.l_partkey AS b
+  FROM mem m1 JOIN mem m2
+    ON m1.l_orderkey = m2.l_orderkey AND m1.l_partkey < m2.l_partkey
+)"""
+    rounds = []
+    for k in range(2, 5):
+        for r in range(6):
+            nxt = f"e{k}_{r + 1}" if r < 5 else f"e{k + 1}_0"
+            rounds.append(f"""
+k{k}_{r} AS MATERIALIZED (
+  SELECT v FROM (
+    SELECT v, COUNT(*) AS d FROM (
+      SELECT a AS v FROM e{k}_{r} UNION ALL SELECT b AS v FROM e{k}_{r}
+    ) GROUP BY v
+  ) WHERE d >= {k}
+),
+{nxt} AS MATERIALIZED (
+  SELECT a, b FROM e{k}_{r}
+  WHERE a IN (SELECT v FROM k{k}_{r}) AND b IN (SELECT v FROM k{k}_{r})
+)""")
+    return (
+        base + "," + ",".join(rounds)
+        + """,
+sizes(core_k, n) AS (
+  SELECT 1, (SELECT COUNT(*) FROM (
+    SELECT DISTINCT v FROM (
+      SELECT a AS v FROM e2_0 UNION ALL SELECT b AS v FROM e2_0
+    )
+  ))
+  UNION ALL SELECT 2, (SELECT COUNT(*) FROM k2_5)
+  UNION ALL SELECT 3, (SELECT COUNT(*) FROM k3_5)
+  UNION ALL SELECT 4, (SELECT COUNT(*) FROM k4_5)
+)
+SELECT CAST(core_k AS INT) AS core_k,
+       CAST(n - COALESCE(LEAD(n) OVER (ORDER BY core_k), 0) AS BIGINT)
+         AS n_nodes
+FROM sizes
+"""
+    )
+
+
+_Q197_SQL = _coreness_sql()
+
+
 QUERIES = {
     "q125_entity_resolution": q125_entity_resolution,
     "q126_pagerank": q126_pagerank,
@@ -781,6 +884,7 @@ QUERIES = {
     "q167_triangle_count": q167_triangle_count,
     "q188_triangle_approx": q188_triangle_approx,
     "q193_kcore": q193_kcore,
+    "q197_coreness": q197_coreness,
 }
 
 ORACLE = {
@@ -792,6 +896,7 @@ ORACLE = {
     "q167_triangle_count": _Q167_SQL,
     "q188_triangle_approx": _Q188_SQL,
     "q193_kcore": _Q193_SQL,
+    "q197_coreness": _Q197_SQL,
 }
 
 
