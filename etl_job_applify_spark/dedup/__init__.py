@@ -4,9 +4,12 @@ from .minhash import minhash_lsh_pairs
 from .simhash import simhash_fingerprints, simhash_near_pairs
 from .embedding import embedding_near_dup_pairs
 from .incremental import (
+    is_versioned_index,
     minhash_index_build,
     minhash_index_probe,
     optimize_index,
+    versioned_index_append,
+    versioned_index_has_epoch,
 )
 from .semantic import assign_clusters, semantic_dedup_kept
 from .spans import shared_span_pairs
@@ -22,6 +25,9 @@ __all__ = [
     "minhash_index_build",
     "minhash_index_probe",
     "optimize_index",
+    "is_versioned_index",
+    "versioned_index_append",
+    "versioned_index_has_epoch",
     "assign_clusters",
     "semantic_dedup_kept",
     "shared_span_pairs",

@@ -101,6 +101,8 @@ def minhash_index_build(
     num_hashes: int = 64,
     bands: int = 16,
     mode: str = "overwrite",
+    layout: str = "flat",
+    epoch_mark: str | None = None,
 ) -> None:
     """Persist the corpus's band-bucket entries as the dedup index.
 
@@ -108,12 +110,35 @@ def minhash_index_build(
     (the post-probe ingest step); parameters must match the index's
     recorded ones — bucket keys from different (n, num_hashes, bands)
     are incomparable, so a mismatch raises instead of silently
-    corrupting recall."""
+    corrupting recall.
+
+    ``layout``: ``"flat"`` (default) is the band-partitioned directory
+    above; ``"versioned"`` founds a log-structured CAS-committed index
+    (see the versioned-layout section below) — object-store capable,
+    concurrent-append safe, with optional ``epoch_mark`` replay
+    fencing. Appends auto-detect the existing index's layout."""
     if num_hashes % bands:
         raise ValueError("num_hashes must be divisible by bands")
+    params = {"n": n, "num_hashes": num_hashes, "bands": bands}
+    spark = docs.sparkSession
+    if mode == "append" and is_versioned_index(spark, index_path):
+        existing = _vidx_read(spark, index_path)[0]
+        if existing != params:
+            raise ValueError(
+                f"index at {index_path} was built with {existing}, "
+                f"probe/append requested {params}"
+            )
+        versioned_index_append(
+            docs, index_path, id_col, text_col, epoch_mark=epoch_mark
+        )
+        return
+    if mode != "append" and layout == "versioned":
+        _vidx_found(docs, index_path, id_col, text_col, params, epoch_mark)
+        return
+    if epoch_mark is not None:
+        raise ValueError("epoch_mark requires the versioned layout")
     if mode == "append":
         _recover_index(index_path)  # finish any interrupted compaction
-    params = {"n": n, "num_hashes": num_hashes, "bands": bands}
     if mode == "append" and os.path.exists(_meta_path(index_path)):
         with open(_meta_path(index_path)) as fh:
             existing = json.load(fh)
@@ -224,13 +249,21 @@ def optimize_index(
 
     from ..sinks.stats import _local_path
 
+    if is_versioned_index(spark, index_path):
+        # CAS-committed layout: object-store capable, no renames of
+        # existing data — the local-path guard does not apply
+        return _vidx_optimize(
+            spark, index_path, target_file_rows, tombstones
+        )
     if _local_path(index_path) is None:
-        # the staging+swap publish below is os.rename-based; an object-
-        # store index needs the table-format rewrite (same trade as
-        # clone_table) — fail loudly instead of corrupting via a
-        # half-applied swap
+        # the FLAT layout's staging+swap publish below is os.rename-
+        # based; an object-store index uses layout="versioned", whose
+        # compaction publishes through the versioned-CAS protocol —
+        # fail loudly instead of corrupting via a half-applied swap
         raise ValueError(
-            f"optimize_index requires a local index path, got {index_path}"
+            f"optimize_index on a flat layout requires a local index "
+            f"path, got {index_path}; found the index with "
+            f'layout="versioned" for object storage'
         )
     _recover_index(index_path)
     if not os.path.exists(_meta_path(index_path)):
@@ -325,11 +358,15 @@ def minhash_index_probe(
     survive either way). Same one-knob discipline as
     ``operators/triangles.py::triangle_stats(broadcast_closing=...)``.
     """
-    _recover_index(index_path)  # finish any interrupted compaction
-    if not os.path.exists(_meta_path(index_path)):
-        raise FileNotFoundError(f"no index meta at {index_path}")
-    with open(_meta_path(index_path)) as fh:
-        p = json.load(fh)
+    if is_versioned_index(spark, index_path):
+        p, index, _ = _vidx_read(spark, index_path)
+    else:
+        _recover_index(index_path)  # finish any interrupted compaction
+        if not os.path.exists(_meta_path(index_path)):
+            raise FileNotFoundError(f"no index meta at {index_path}")
+        with open(_meta_path(index_path)) as fh:
+            p = json.load(fh)
+        index = _read_index(spark, index_path)
     from pyspark import StorageLevel
 
     # the batch's band entries feed three plan branches (touched-bucket
@@ -341,7 +378,6 @@ def minhash_index_probe(
     new_entries = _band_entries(
         new_docs, id_col, text_col, p["n"], p["num_hashes"], p["bands"]
     ).persist(StorageLevel.MEMORY_AND_DISK)
-    index = _read_index(spark, index_path)
     touched = new_entries.select("band", "bucket").distinct()
     # one scan of the (huge) index: keep only buckets the batch touches
     matched = index.join(_hint(touched), ["band", "bucket"], "left_semi")
@@ -410,3 +446,286 @@ def minhash_index_probe(
         .filter(F.col("jaccard") >= threshold)
         .select("a", "b", "jaccard")
     )
+
+
+# ---------------------------------------------------------------------------
+# Versioned (object-store-capable) index layout
+#
+# The flat layout above publishes compactions via os.rename — atomic on
+# a local/HDFS-semantics filesystem, impossible on S3-style object
+# stores, which is why optimize_index guards against non-local paths.
+# The versioned layout removes that limit by storing the index as a
+# LOG-STRUCTURED sequence of snapshots under the same versioned-CAS
+# protocol the lakehouse tables use (sinks/versioned.py commit_staged):
+#
+#   index_path/snap_00000001/   <- founding build's band entries
+#   index_path/snap_00000002/   <- batch 2's entries (append = one
+#                                  cheap snapshot of JUST the batch)
+#   index_path/snap_00000003/   <- compaction: all live entries binned,
+#                                  carries a _compacts_through_2 marker
+#
+# The live index is the UNION of snapshots above the newest compaction
+# watermark. Appends are commit_version CAS races (two concurrent
+# appenders serialize; the loser retries with a new version number —
+# nothing is lost). Compaction reads the live set, writes the folded
+# entries + the watermark marker into staging, commits, THEN prunes the
+# compacted-away snapshots — a crash between commit and prune leaves
+# extra snapshots that every entry point's recovery pass deletes
+# idempotently (the marker, not the prune, is the source of truth; the
+# flat layout's interrupted-swap tests port 1:1 to this window).
+# Params/schema ride INSIDE each snapshot (_params.json/_schema.json,
+# written to staging before the rename) so metadata publishes
+# atomically with data; underscore names are invisible to parquet.
+# Epoch-fence markers (_epoch_*) ride the same way and are carried
+# forward by compaction — the exactly-once streaming ingest's replay
+# detection (streaming/jobs.py run_incremental_dedup_stream with
+# exactly_once=True).
+#
+# Trade vs the flat layout: snapshots are NOT partitioned by band
+# (partition discovery across multiple snapshot roots conflicts), so
+# per-band file pruning is lost — acceptable because probes touch every
+# band anyway; per-band parallelism comes from file splits. Probe and
+# optimize_index auto-detect the layout; founding a versioned index is
+# ``minhash_index_build(..., layout="versioned")``.
+
+_COMPACT_MARK = "_compacts_through_"
+_SNAP = "snap_"
+
+
+def is_versioned_index(spark: SparkSession, index_path: str) -> bool:
+    from ..sinks.versioned import list_versions
+
+    try:
+        return bool(list_versions(spark, index_path))
+    except Exception:
+        return False
+
+
+def _vidx_recover_live(spark: SparkSession, index_path: str) -> list[str]:
+    """Recovery + live-set listing in one pass: delete snapshots at or
+    below the newest compaction watermark (idempotent — a crash between
+    a compaction's commit and its prune just leaves this pass more to
+    do), return the surviving snapshot paths oldest-first."""
+    from ..sinks.versioned import _snapshots, snapshot_members
+
+    fs, root, names = _snapshots(spark, index_path)
+    watermark = -1
+    for name in names:
+        for member in snapshot_members(spark, f"{index_path}/{name}"):
+            if member.startswith(_COMPACT_MARK):
+                watermark = max(
+                    watermark, int(member[len(_COMPACT_MARK):])
+                )
+    live = []
+    for name in names:
+        v = int(name[len(_SNAP):])
+        if v <= watermark:
+            fs.delete(
+                spark._jvm.org.apache.hadoop.fs.Path(root, name), True
+            )
+        else:
+            live.append(f"{index_path}/{name}")
+    return live
+
+
+def _vidx_read(
+    spark: SparkSession, index_path: str
+) -> tuple[dict, DataFrame, list[str]]:
+    """(params, live entries DF, live snapshot paths). Explicit-schema
+    read so an all-tombstoned (empty) compacted snapshot stays
+    readable."""
+    from pyspark.sql.types import StructType
+
+    from ..sinks.versioned import fs_read_json
+
+    live = _vidx_recover_live(spark, index_path)
+    if not live:
+        raise FileNotFoundError(f"no versioned index at {index_path}")
+    params = fs_read_json(spark, f"{live[-1]}/_params.json")
+    schema = StructType.fromJson(
+        fs_read_json(spark, f"{live[-1]}/_schema.json")
+    )
+    return params, spark.read.schema(schema).parquet(*live), live
+
+
+def versioned_index_has_epoch(
+    spark: SparkSession, index_path: str, epoch_mark: str
+) -> bool:
+    """True when a live snapshot carries ``epoch_mark`` — the replay
+    fence: an at-least-once re-delivery of a committed batch is
+    detected and skipped (markers survive compaction: the compacted
+    snapshot carries every mark of the snapshots it folded)."""
+    from ..sinks.versioned import snapshot_members
+
+    for snap in _vidx_recover_live(spark, index_path):
+        if epoch_mark in snapshot_members(spark, snap):
+            return True
+    return False
+
+
+def _vidx_commit(
+    spark: SparkSession,
+    index_path: str,
+    entries: DataFrame,
+    params: dict,
+    marks: list[str],
+    base_version: int,
+) -> int:
+    from ..sinks.versioned import commit_staged, fs_touch, fs_write_json
+
+    schema_json = entries.schema.jsonValue()
+
+    def populate(staging: str) -> None:
+        entries.write.mode("overwrite").parquet(staging)
+        fs_write_json(spark, f"{staging}/_params.json", params)
+        fs_write_json(spark, f"{staging}/_schema.json", schema_json)
+        for m in marks:
+            fs_touch(spark, f"{staging}/{m}")
+
+    return commit_staged(spark, index_path, base_version, populate)
+
+
+def versioned_index_append(
+    docs: DataFrame,
+    index_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    epoch_mark: str | None = None,
+    max_retries: int = 10,
+) -> int | None:
+    """Append a batch's band entries as one new snapshot (CAS commit —
+    concurrent appenders serialize, the loser retries with the next
+    version number). ``epoch_mark`` fences replays: if any live
+    snapshot already carries it, the append is SKIPPED and None is
+    returned — the exactly-once contract for streaming ingest. Returns
+    the committed version otherwise."""
+    from ..sinks.versioned import CommitConflict, list_versions
+
+    spark = docs.sparkSession
+    params, _, _ = _vidx_read(spark, index_path)
+    entries = _band_entries(
+        docs, id_col, text_col,
+        params["n"], params["num_hashes"], params["bands"],
+    )
+    marks = [epoch_mark] if epoch_mark else []
+    for _ in range(max_retries):
+        if epoch_mark and versioned_index_has_epoch(
+            spark, index_path, epoch_mark
+        ):
+            return None  # replayed batch: already committed
+        base = (list_versions(spark, index_path) or [0])[-1]
+        try:
+            return _vidx_commit(
+                spark, index_path, entries, params, marks, base
+            )
+        except CommitConflict:
+            continue  # another writer advanced the head; retry
+    raise CommitConflict(
+        f"append to {index_path} lost {max_retries} CAS races"
+    )
+
+
+def _vidx_found(
+    docs: DataFrame,
+    index_path: str,
+    id_col: str,
+    text_col: str,
+    params: dict,
+    epoch_mark: str | None = None,
+) -> int:
+    """Found a NEW versioned index (snapshot 1)."""
+    from ..sinks.versioned import list_versions
+
+    spark = docs.sparkSession
+    if list_versions(spark, index_path):
+        raise ValueError(
+            f"versioned index already exists at {index_path}; use "
+            "mode='append'"
+        )
+    entries = _band_entries(
+        docs, id_col, text_col,
+        params["n"], params["num_hashes"], params["bands"],
+    )
+    return _vidx_commit(
+        spark, index_path, entries, params,
+        [epoch_mark] if epoch_mark else [], 0,
+    )
+
+
+def _vidx_optimize(
+    spark: SparkSession,
+    index_path: str,
+    target_file_rows: int,
+    tombstones: DataFrame | None,
+    max_retries: int = 10,
+) -> dict:
+    """Compaction for the versioned layout: fold the live snapshots
+    into one (optionally purging tombstoned docs), publish via CAS with
+    a ``_compacts_through_<base>`` watermark marker riding inside the
+    snapshot, then prune. Object-store capable — no renames of existing
+    data, only the commit protocol's staging publish. Epoch-fence
+    markers of the folded snapshots are carried forward, so replay
+    detection survives compaction."""
+    import math
+
+    from ..sinks.versioned import CommitConflict, snapshot_members
+
+    for _ in range(max_retries):
+        params, index, live = _vidx_read(spark, index_path)
+        base = int(live[-1].rsplit(_SNAP, 1)[1])
+        files_before = sum(
+            1
+            for snap in live
+            for m in snapshot_members(spark, snap)
+            if m.endswith(".parquet") and not m.startswith(("_", "."))
+        )
+        rows_before = index.count()
+        kept = index
+        if tombstones is not None:
+            dead = tombstones.toDF("doc")
+            kept = index.join(dead, "doc", "left_anti")
+        bands = params["bands"]
+        per_band = math.ceil(max(rows_before, 1) / bands)
+        bins = max(1, math.ceil(per_band / target_file_rows))
+        carried = sorted(
+            {
+                m
+                for snap in live
+                for m in snapshot_members(spark, snap)
+                if m.startswith("_epoch_")
+            }
+        )
+        compacted = (
+            kept.withColumn("__bin", F.pmod(F.hash("doc"), F.lit(bins)))
+            .repartition(bands * bins, "band", "__bin")
+            .drop("__bin")
+        )
+        try:
+            _vidx_commit(
+                spark,
+                index_path,
+                compacted,
+                params,
+                carried + [f"{_COMPACT_MARK}{base}"],
+                base,
+            )
+            break
+        except CommitConflict:
+            continue  # an append raced in; fold it too and retry
+    else:
+        raise CommitConflict(
+            f"compaction of {index_path} lost {max_retries} CAS races"
+        )
+    live_after = _vidx_recover_live(spark, index_path)  # prunes <= base
+    _, after, _ = _vidx_read(spark, index_path)
+    return {
+        "rows_before": rows_before,
+        "rows_after": after.count(),
+        "files_before": files_before,
+        "files_after": sum(
+            1
+            for snap in live_after
+            for m in snapshot_members(spark, snap)
+            if m.endswith(".parquet") and not m.startswith(("_", "."))
+        ),
+    }

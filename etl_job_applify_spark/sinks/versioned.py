@@ -712,3 +712,128 @@ def restore_table(
             shutil.copyfile(src_f, dst_f)
     open(os.path.join(dst_snap, "_SUCCESS"), "a").close()
     return nxt
+
+
+# ---------------------------------------------------------------------------
+# Log tables: CAS-committed append logs
+#
+# A versioned table (above) treats each snapshot as the COMPLETE table;
+# a log table treats each snapshot as one APPENDED batch and the table
+# as the union of live snapshots — the right shape for append-heavy
+# streams (detected dedup pairs, ingested corpus batches, index
+# entries) where rewriting the whole table per append is unaffordable.
+# Appends are the same commit_staged CAS race (concurrent appenders
+# serialize; losers retry), and each snapshot can carry marker files
+# (_epoch_*) that fence at-least-once replays into exactly-once
+# appends: a redelivered batch finds its mark on a live snapshot and
+# skips. Object-store capable — no renames of existing data. The
+# dedup index's versioned layout (dedup/incremental.py) is this
+# protocol plus index-specific params/compaction.
+
+
+def _fs_for(spark: SparkSession, path: str):
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    return p.getFileSystem(spark._jsc.hadoopConfiguration()), p
+
+
+def fs_write_json(spark: SparkSession, path: str, obj) -> None:
+    import json
+
+    fs, p = _fs_for(spark, path)
+    out = fs.create(p, True)
+    try:
+        out.write(bytearray(json.dumps(obj).encode("utf-8")))
+    finally:
+        out.close()
+
+
+def fs_read_json(spark: SparkSession, path: str):
+    import json
+
+    fs, p = _fs_for(spark, path)
+    stream = fs.open(p)
+    try:
+        data = bytes(
+            spark._jvm.org.apache.commons.io.IOUtils.toByteArray(stream)
+        )
+    finally:
+        stream.close()
+    return json.loads(data.decode("utf-8"))
+
+
+def fs_touch(spark: SparkSession, path: str) -> None:
+    fs, p = _fs_for(spark, path)
+    fs.create(p, True).close()
+
+
+def snapshot_members(spark: SparkSession, snap_path: str) -> list[str]:
+    """Top-level member names of a snapshot directory (FS-API based, so
+    it works wherever the table lives)."""
+    fs, p = _fs_for(spark, snap_path)
+    return [st.getPath().getName() for st in fs.listStatus(p)]
+
+
+def log_snapshots(spark: SparkSession, table_path: str) -> list[str]:
+    """Live snapshot paths of a log table, oldest first ([] if the
+    table does not exist yet)."""
+    _, _, names = _snapshots(spark, table_path)
+    return [f"{table_path}/{n}" for n in names]
+
+
+def log_has_mark(spark: SparkSession, table_path: str, mark: str) -> bool:
+    """True when any live snapshot carries marker file ``mark`` — the
+    replay fence query."""
+    return any(
+        mark in snapshot_members(spark, snap)
+        for snap in log_snapshots(spark, table_path)
+    )
+
+
+def append_log_version(
+    df: DataFrame,
+    table_path: str,
+    marks: list[str] | None = None,
+    max_retries: int = 10,
+) -> int | None:
+    """Append ``df`` as one new log snapshot via CAS; returns the
+    committed version. When ``marks`` are given and any live snapshot
+    already carries one of them, the append is SKIPPED (None) — an
+    at-least-once redelivery commits at most once. The snapshot stores
+    its schema (_schema.json) so empty batches stay readable."""
+    spark = df.sparkSession
+    marks = list(marks or [])
+    schema_json = df.schema.jsonValue()
+
+    def populate(staging: str) -> None:
+        df.write.mode("overwrite").parquet(staging)
+        fs_write_json(spark, f"{staging}/_schema.json", schema_json)
+        for m in marks:
+            fs_touch(spark, f"{staging}/{m}")
+
+    for _ in range(max_retries):
+        if any(log_has_mark(spark, table_path, m) for m in marks):
+            return None  # replayed batch: already committed
+        base = (list_versions(spark, table_path) or [0])[-1]
+        try:
+            return commit_staged(spark, table_path, base, populate)
+        except CommitConflict:
+            continue  # another appender advanced the head; retry
+    raise CommitConflict(
+        f"append to {table_path} lost {max_retries} CAS races"
+    )
+
+
+def read_log_table(spark: SparkSession, table_path: str) -> DataFrame:
+    """The union of live snapshots, read with the newest snapshot's
+    recorded schema (all-empty logs stay readable). Raises
+    FileNotFoundError when the log has no snapshots."""
+    from pyspark.sql.types import StructType
+
+    snaps = log_snapshots(spark, table_path)
+    if not snaps:
+        raise FileNotFoundError(f"no log table at {table_path}")
+    schema = StructType.fromJson(
+        fs_read_json(spark, f"{snaps[-1]}/_schema.json")
+    )
+    return spark.read.schema(schema).parquet(*snaps)

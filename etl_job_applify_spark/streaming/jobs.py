@@ -417,6 +417,8 @@ def run_incremental_dedup_stream(
     bands: int = 16,
     max_bucket_size: int = 64,
     compact_every: int | None = None,
+    exactly_once: bool = False,
+    writer_id: str = "dedup",
 ) -> None:
     """The LLM pipeline's steady state as one streaming job: every
     micro-batch of crawled documents is probed for near-dups against the
@@ -432,11 +434,23 @@ def run_incremental_dedup_stream(
     crawl lands in anyway), ``pairs/`` (detected near-dup pairs, with a
     ``batch_id`` column for lineage).
 
-    Delivery contract: foreachBatch is at-least-once — a crash between
-    the pairs append and the index append can replay a batch, producing
-    duplicate pair rows (dedupable by (a, b)) and duplicate index
-    entries (harmless: probes dedup candidates). Exactly-once needs the
-    versioned/CAS protocol for both appends; documented trade, same API.
+    Delivery contract: foreachBatch is at-least-once. Default mode
+    (``exactly_once=False``) ingests with plain parquet appends — a
+    crash between the pairs append and the index append can replay a
+    batch, producing duplicate pair rows (dedupable by (a, b)) and
+    duplicate index entries (harmless: probes dedup candidates).
+    ``exactly_once=True`` lowers ALL THREE appends (pairs, corpus,
+    index) onto the versioned/CAS protocol with per-table epoch
+    fencing: every committed snapshot carries an
+    ``_epoch_<writer_id>_<epoch>`` marker INSIDE it (atomic with the
+    commit, the fold_rollup_batch discipline), and a redelivered batch
+    finds its marker and skips per table — so any crash point replays
+    to exactly the state a crash-free run produces (replay-invariance
+    is test-pinned, including the founding batch's crash window, where
+    the index carries the epoch mark but the pairs log must NOT gain
+    retroactive intra-batch pairs). This mode is also object-store
+    capable end to end: log-table appends and the index's versioned
+    compaction never rename live data.
 
     ``compact_every``: run ``optimize_index`` (bin compaction) after
     every N ingested batches, bounding the index file count at
@@ -447,11 +461,97 @@ def run_incremental_dedup_stream(
     """
     import os
 
-    from ..dedup import minhash_index_build, minhash_index_probe, optimize_index
+    from ..dedup import (
+        is_versioned_index,
+        minhash_index_build,
+        minhash_index_probe,
+        optimize_index,
+        versioned_index_has_epoch,
+    )
 
     index_dir = os.path.join(state_dir, "index")
     corpus_dir = os.path.join(state_dir, "corpus")
     pairs_dir = os.path.join(state_dir, "pairs")
+
+    def sink_exactly_once(batch_df: DataFrame, epoch_id: int) -> None:
+        from pyspark import StorageLevel
+
+        from ..sinks.versioned import (
+            append_log_version,
+            log_has_mark,
+            read_log_table,
+        )
+
+        spark = batch_df.sparkSession
+        mark = f"_epoch_{writer_id}_{epoch_id}"
+        batch = batch_df.select(id_col, text_col).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+        try:
+            if is_versioned_index(spark, index_dir):
+                # pairs first (so a crash can never leave pairs without
+                # their index entries' epoch having a retry path), and
+                # only if neither the pairs log NOR the index carries
+                # this epoch: an index-side mark without a pairs-side
+                # one is the FOUNDING batch's crash window, whose
+                # contract is "no pairs" — probing the batch against an
+                # index already containing it would invent intra-batch
+                # pairs a crash-free run never records.
+                if not log_has_mark(
+                    spark, pairs_dir, mark
+                ) and not versioned_index_has_epoch(spark, index_dir, mark):
+                    try:
+                        history = read_log_table(spark, corpus_dir)
+                    except FileNotFoundError:
+                        history = batch.limit(0)
+                    pairs = minhash_index_probe(
+                        spark,
+                        index_dir,
+                        batch,
+                        history,
+                        id_col,
+                        text_col,
+                        threshold=threshold,
+                        max_bucket_size=max_bucket_size,
+                    )
+                    append_log_version(
+                        pairs.withColumn("batch_id", F.lit(epoch_id)),
+                        pairs_dir,
+                        [mark],
+                    )
+                append_log_version(batch, corpus_dir, [mark])
+                minhash_index_build(
+                    batch,
+                    index_dir,
+                    id_col,
+                    text_col,
+                    num_hashes=num_hashes,
+                    bands=bands,
+                    mode="append",
+                    epoch_mark=mark,
+                )
+            else:
+                # founding: the epoch mark rides the founding snapshot,
+                # so a replay of this batch is fenced at every table
+                minhash_index_build(
+                    batch,
+                    index_dir,
+                    id_col,
+                    text_col,
+                    num_hashes=num_hashes,
+                    bands=bands,
+                    layout="versioned",
+                    epoch_mark=mark,
+                )
+                append_log_version(batch, corpus_dir, [mark])
+            if (
+                compact_every
+                and epoch_id > 0
+                and (epoch_id + 1) % compact_every == 0
+            ):
+                optimize_index(spark, index_dir)  # CAS path, idempotent
+        finally:
+            batch.unpersist()
 
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -503,7 +603,9 @@ def run_incremental_dedup_stream(
         finally:
             batch.unpersist()
 
-    q = docs_stream.writeStream.foreachBatch(sink).start()
+    q = docs_stream.writeStream.foreachBatch(
+        sink_exactly_once if exactly_once else sink
+    ).start()
     try:
         q.processAllAvailable()
     finally:

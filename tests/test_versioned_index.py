@@ -1,0 +1,324 @@
+"""Versioned (object-store-capable) dedup index layout: log-structured
+CAS-committed snapshots (dedup/incremental.py versioned section).
+
+Contract: probe results identical to the flat layout; appends are CAS
+commits with optional epoch-fence replay detection; compaction
+publishes through commit_staged with a watermark marker and prunes
+AFTER commit (crash windows repaired idempotently at every entry
+point); no os.rename of live data anywhere in the lifecycle.
+"""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_job_applify_spark.dedup import (
+    is_versioned_index,
+    minhash_index_build,
+    minhash_index_probe,
+    optimize_index,
+    versioned_index_append,
+    versioned_index_has_epoch,
+)
+
+_BASE = (
+    "the quick brown fox jumps over the lazy dog while the cat watches "
+    "from the warm windowsill and the birds sing in the garden outside"
+)
+
+
+def _corpus(spark):
+    rows = [
+        (i, f"{_BASE} unique filler sentence number {i} " * 2)
+        for i in range(50)
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _batch(spark):
+    rows = [
+        (100, f"{_BASE} unique filler sentence number 7 " * 2 + "extra"),
+        (101, f"{_BASE} unique filler sentence number 23 " * 2 + "coda"),
+        (102, "completely different content about distributed query "
+              "engines and columnar execution " * 3),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _snaps(idx):
+    return sorted(
+        d for d in os.listdir(idx) if d.startswith("snap_")
+    ) if os.path.exists(idx) else []
+
+
+def test_versioned_probe_matches_flat_layout(spark, tmp_path):
+    flat, vers = str(tmp_path / "flat"), str(tmp_path / "vers")
+    history = _corpus(spark)
+    minhash_index_build(history, flat, num_hashes=64, bands=16)
+    minhash_index_build(
+        history, vers, num_hashes=64, bands=16, layout="versioned"
+    )
+    assert is_versioned_index(spark, vers)
+    assert not is_versioned_index(spark, flat)
+    got_flat = {
+        (r["a"], r["b"], round(r["jaccard"], 9))
+        for r in minhash_index_probe(
+            spark, flat, _batch(spark), history
+        ).collect()
+    }
+    got_vers = {
+        (r["a"], r["b"], round(r["jaccard"], 9))
+        for r in minhash_index_probe(
+            spark, vers, _batch(spark), history
+        ).collect()
+    }
+    assert got_vers == got_flat
+    assert (7, 100) in {(a, b) for a, b, _ in got_vers}
+
+
+def test_versioned_append_and_param_drift(spark, tmp_path):
+    idx = str(tmp_path / "vers")
+    history = _corpus(spark)
+    minhash_index_build(
+        history, idx, num_hashes=64, bands=16, layout="versioned"
+    )
+    first = _batch(spark)
+    # append routes through the versioned path automatically
+    minhash_index_build(first, idx, num_hashes=64, bands=16, mode="append")
+    assert len(_snaps(idx)) == 2  # one cheap snapshot per batch
+    second = spark.createDataFrame(
+        [(200, f"{_BASE} unique filler sentence number 7 " * 2 + "extra2")],
+        "doc_id long, text string",
+    )
+    all_docs = history.unionByName(first)
+    got = {
+        (r["a"], r["b"])
+        for r in minhash_index_probe(spark, idx, second, all_docs).collect()
+    }
+    assert (7, 200) in got and (100, 200) in got  # both generations hit
+    with pytest.raises(ValueError, match="was built with"):
+        minhash_index_build(
+            second, idx, num_hashes=32, bands=16, mode="append"
+        )
+
+
+def test_versioned_epoch_fence_skips_replay(spark, tmp_path):
+    """The exactly-once primitive: appending the same batch twice under
+    one epoch mark commits ONCE — the replay is detected off the live
+    snapshots and skipped, so index row counts (and probe results)
+    are replay-invariant."""
+    idx = str(tmp_path / "vers")
+    history = _corpus(spark)
+    minhash_index_build(
+        history, idx, num_hashes=64, bands=16, layout="versioned"
+    )
+    batch = _batch(spark)
+    v = versioned_index_append(batch, idx, epoch_mark="_epoch_dedup_1")
+    assert v == 2
+    assert versioned_index_has_epoch(spark, idx, "_epoch_dedup_1")
+    # replay: same epoch mark -> skipped, nothing committed
+    assert versioned_index_append(
+        batch, idx, epoch_mark="_epoch_dedup_1"
+    ) is None
+    assert len(_snaps(idx)) == 2
+    rows = spark.read.parquet(*[f"{idx}/{s}" for s in _snaps(idx)]).count()
+    assert rows == 53 * 16  # one entry per doc per band, NO duplicates
+
+
+def test_versioned_compaction_folds_prunes_and_carries_fences(
+    spark, tmp_path
+):
+    idx = str(tmp_path / "vers")
+    history = _corpus(spark)
+    minhash_index_build(
+        history, idx, num_hashes=64, bands=16, layout="versioned"
+    )
+    for g in range(3):
+        rows = [
+            (1000 + g * 10 + i,
+             f"generation {g} doc {i} with its own vocabulary " * 3)
+            for i in range(4)
+        ]
+        gen = spark.createDataFrame(rows, "doc_id long, text string")
+        versioned_index_append(gen, idx, epoch_mark=f"_epoch_dedup_{g}")
+        history = history.unionByName(gen)
+    before = {
+        (r["a"], r["b"])
+        for r in minhash_index_probe(
+            spark, idx, _batch(spark), history
+        ).collect()
+    }
+    assert len(_snaps(idx)) == 4
+    res = optimize_index(spark, idx)  # auto-routes to the CAS path
+    assert res["rows_before"] == res["rows_after"] == 62 * 16
+    assert _snaps(idx) == ["snap_00000005"]  # folded + pruned
+    # epoch fences survive compaction -> replay detection still works
+    for g in range(3):
+        assert versioned_index_has_epoch(spark, idx, f"_epoch_dedup_{g}")
+    after = {
+        (r["a"], r["b"])
+        for r in minhash_index_probe(
+            spark, idx, _batch(spark), history
+        ).collect()
+    }
+    assert after == before and (7, 100) in after
+
+
+def test_versioned_crash_between_commit_and_prune_recovers(spark, tmp_path):
+    """Compaction's crash window: the compacted snapshot committed but
+    the old snapshots were not pruned. The next entry point must prune
+    them (watermark marker is the source of truth) — and must NOT
+    double-count the folded entries meanwhile."""
+    import shutil
+
+    idx = str(tmp_path / "vers")
+    history = _corpus(spark)
+    minhash_index_build(
+        history, idx, num_hashes=64, bands=16, layout="versioned"
+    )
+    versioned_index_append(_batch(spark), idx)
+    history2 = history.unionByName(_batch(spark))
+    optimize_index(spark, idx)
+    # resurrect a pre-compaction snapshot to simulate the unpruned crash
+    compacted = _snaps(idx)[0]
+    shutil.copytree(f"{idx}/{compacted}", f"{idx}/snap_00000001")
+    # tamper: the resurrected snapshot must be treated as compacted-away
+    probe = spark.createDataFrame(
+        [(300, _BASE + " unique filler sentence number 7 " * 2 + "x")],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["a"], r["b"])
+        for r in minhash_index_probe(spark, idx, probe, history2).collect()
+    }
+    assert (7, 300) in got and (100, 300) in got
+    assert _snaps(idx) == [compacted]  # stale snapshot pruned on entry
+
+
+def test_versioned_tombstone_purge_to_empty_stays_probeable(spark, tmp_path):
+    idx = str(tmp_path / "vers")
+    history = _corpus(spark)
+    minhash_index_build(
+        history, idx, num_hashes=64, bands=16, layout="versioned"
+    )
+    dead = history.select(F.col("doc_id").alias("doc"))
+    res = optimize_index(spark, idx, tombstones=dead)
+    assert res["rows_before"] == 50 * 16 and res["rows_after"] == 0
+    empty_hist = history.filter(F.lit(False))
+    assert minhash_index_probe(
+        spark, idx, _batch(spark), empty_hist
+    ).count() == 0
+    # lifecycle continues after the purge
+    minhash_index_build(
+        history, idx, num_hashes=64, bands=16, mode="append"
+    )
+    got = {
+        (r["a"], r["b"])
+        for r in minhash_index_probe(
+            spark, idx, _batch(spark), history
+        ).collect()
+    }
+    assert (7, 100) in got and (23, 101) in got
+
+
+def _stream_state(spark, state):
+    from etl_job_applify_spark.sinks.versioned import read_log_table
+
+    pairs = {
+        (r["a"], r["b"], r["batch_id"])
+        for r in read_log_table(spark, state + "/pairs").collect()
+    }
+    corpus = {
+        r["doc_id"]
+        for r in read_log_table(spark, state + "/corpus").collect()
+    }
+    idx_rows = spark.read.parquet(
+        *[f for f in __import__("glob").glob(state + "/index/snap_*")]
+    ).count()
+    return pairs, corpus, idx_rows
+
+
+def test_streaming_exactly_once_replay_invariant(spark, tmp_path):
+    """Exactly-once contract: re-delivering EVERY micro-batch (a full
+    second run of the stream over the same source) leaves pairs,
+    corpus, and index bit-identical — every epoch is fenced at every
+    table, so replays commit nothing."""
+    import time
+
+    from etl_job_applify_spark.streaming import run_incremental_dedup_stream
+
+    src = tmp_path / "src"
+    src.mkdir()
+    state = str(tmp_path / "state")
+    _corpus(spark).coalesce(1).write.parquet(str(src / "batch1.parquet"))
+    time.sleep(1.1)
+    _batch(spark).coalesce(1).write.parquet(str(src / "batch2.parquet"))
+
+    def run():
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src) + "/*.parquet")
+        )
+        run_incremental_dedup_stream(stream, state, exactly_once=True)
+
+    run()
+    first = _stream_state(spark, state)
+    pairs, corpus, idx_rows = first
+    assert {(7, 100), (23, 101)} <= {(a, b) for a, b, _ in pairs}
+    assert not any(102 in (a, b) for a, b, _ in pairs)
+    assert len(corpus) == 53 and idx_rows == 53 * 16
+
+    run()  # full at-least-once replay: same files, same epoch ids
+    assert _stream_state(spark, state) == first
+
+
+def test_streaming_exactly_once_founding_crash_window(spark, tmp_path):
+    """The founding batch's crash window: index founded (epoch mark
+    committed) but corpus append lost. The replay must append the
+    corpus WITHOUT inventing intra-batch pairs (a crash-free run
+    records no pairs for the founding batch) and without duplicating
+    index entries."""
+    import glob
+    import shutil
+    import time
+
+    from etl_job_applify_spark.sinks.versioned import read_log_table
+    from etl_job_applify_spark.streaming import run_incremental_dedup_stream
+
+    src = tmp_path / "src"
+    src.mkdir()
+    state = str(tmp_path / "state")
+    # founding corpus contains near-identical docs -> a naive replay
+    # probe WOULD find intra-batch pairs
+    rows = [(i, f"{_BASE} shared body {i % 2} " * 3) for i in range(10)]
+    spark.createDataFrame(
+        rows, "doc_id long, text string"
+    ).coalesce(1).write.parquet(str(src / "b1.parquet"))
+
+    def run():
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src) + "/*.parquet")
+        )
+        run_incremental_dedup_stream(stream, state, exactly_once=True)
+
+    run()
+    # simulate the crash: drop the corpus and pairs logs entirely, as
+    # if the process died right after the index's founding commit
+    shutil.rmtree(state + "/corpus")
+    shutil.rmtree(state + "/pairs", ignore_errors=True)
+    run()  # replay of epoch 0
+    assert read_log_table(spark, state + "/corpus").count() == 10
+    # no retroactive intra-batch pairs
+    try:
+        n_pairs = read_log_table(spark, state + "/pairs").count()
+    except FileNotFoundError:
+        n_pairs = 0
+    assert n_pairs == 0
+    idx_rows = spark.read.parquet(
+        *glob.glob(state + "/index/snap_*")
+    ).count()
+    assert idx_rows == 10 * 16  # founding entries exactly once
