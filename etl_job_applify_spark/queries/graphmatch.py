@@ -649,7 +649,12 @@ def q188_triangle_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     # approx_triangle_stats re-applies the predicate, a no-op filter on
     # the already-sampled stream
     pairs = _copurchase_pairs(spark, sf_dir, sample_p=0.5)
-    st = approx_triangle_stats(pairs, p=0.5)
+    # wedge method: the p-sampled subgraph is exactly the regime where
+    # the broadcast wedge probe wins (wedge volume already cut ~p², and
+    # the intersect kernel's two shuffle joins cost more than they save
+    # — measured 5.2 s vs 4.9 s at sf0.1); the EXACT kernel (q167)
+    # defaults to intersect, where unsampled wedge volume dominates
+    st = approx_triangle_stats(pairs, p=0.5, method="wedge")
     return spark.createDataFrame(
         [(st.n_sampled_edges, st.n_triangles_sampled, st.n_triangles_est)],
         "n_sampled_edges bigint, n_triangles_sampled bigint,"
@@ -798,8 +803,9 @@ def q197_coreness(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .count()  # every listed endpoint has degree >= 1
     }
+    n_edges = edges.count()
     for k in range(2, KMAX + 1):
-        keep = None
+        size = None
         for _ in range(ROUNDS):
             deg = (
                 edges.select(F.col("a").alias("v"))
@@ -808,12 +814,20 @@ def q197_coreness(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .agg(F.count("*").alias("d"))
             )
             keep = deg.filter(F.col("d") >= k).select("v").localCheckpoint()
-            edges = (
+            nxt = (
                 edges.join(
                     keep.withColumnRenamed("v", "a"), "a", "left_semi"
                 ).join(keep.withColumnRenamed("v", "b"), "b", "left_semi")
             ).localCheckpoint()
-        core_sizes[k] = keep.count()
+            size, n_nxt = keep.count(), nxt.count()
+            # fixed point: peeling is monotone, so an unchanged edge
+            # count means an unchanged edge SET and every remaining
+            # round is a no-op — skipping them returns the identical
+            # result the full unroll (and the oracle) computes
+            if n_nxt == n_edges:
+                break
+            edges, n_edges = nxt, n_nxt
+        core_sizes[k] = size
     rows = [
         (k, core_sizes[k] - core_sizes[k + 1]) for k in range(1, KMAX)
     ] + [(KMAX, core_sizes[KMAX])]  # top bucket: coreness >= KMAX

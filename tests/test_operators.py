@@ -357,3 +357,32 @@ def test_triangle_kernel_no_unconditional_broadcast(spark):
         )
         plan = e._jdf.queryExecution().logical().toString()
         assert ("UnresolvedHint broadcast" in plan or "ResolvedHint" in plan) is expect
+
+
+def test_triangle_methods_agree(spark):
+    """The intersect (edge-iterator) and wedge kernels count the SAME
+    oriented graph — identical TriangleStats on a graph with hubs,
+    multi-triangle edges, and capping."""
+    import random
+
+    from etl_job_applify_spark.operators import triangle_stats
+
+    rng = random.Random(7)
+    edges = {(1, v) for v in range(2, 12)}  # hub 1
+    edges |= {(v, v + 1) for v in range(2, 11)}  # fan triangles
+    for _ in range(60):
+        x, y = rng.randrange(2, 30), rng.randrange(2, 30)
+        if x != y:
+            edges.add((min(x, y), max(x, y)))
+    pairs = spark.createDataFrame(sorted(edges), "a long, b long")
+    wedge = triangle_stats(pairs, method="wedge")
+    inter = triangle_stats(pairs, method="intersect")
+    assert inter == wedge and inter.n_triangles > 0
+    # under capping too (cap changes the graph identically for both)
+    assert triangle_stats(pairs, max_degree=5, method="wedge") == (
+        triangle_stats(pairs, max_degree=5, method="intersect")
+    )
+    import pytest
+
+    with pytest.raises(ValueError, match="unknown method"):
+        triangle_stats(pairs, method="bloom")
