@@ -144,6 +144,61 @@ def q142_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, schema)
 
 
+# --- q198: the q142 lifecycle on the VERSIONED index layout --------------
+# Same split, same probe, same recall contract — but the index is the
+# round-7 log-structured CAS layout (dedup/incremental.py versioned
+# section): history founds snapshot 1, the first half of the batch is
+# CAS-APPENDED as snapshot 2 with an epoch-fence mark, a replayed
+# append of the same mark is skipped, and the index is COMPACTED
+# (watermark publish + prune) before the probe. The oracle is q142's
+# relational ground truth over raw text, so any layout bug — lost
+# appends, double-committed replays, a compaction that drops or
+# duplicates entries — shows up as a recall/hash mismatch against the
+# exact pair count.
+
+def q198_versioned_index_dedup(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from ..dedup import (
+        minhash_index_build,
+        minhash_index_probe,
+        optimize_index,
+        versioned_index_append,
+    )
+
+    docs = tbl(spark, sf_dir, "documents").select("doc_id", "text")
+    batch = docs.filter(F.col("doc_id") % 10 == 0)
+    history = docs.filter(F.col("doc_id") % 10 != 0)
+    # exercise the append path inside the indexed side: history docs
+    # ending in 5 arrive as a second CAS-committed generation
+    gen1 = history.filter(F.col("doc_id") % 10 != 5)
+    gen2 = history.filter(F.col("doc_id") % 10 == 5)
+    path = tempfile.mkdtemp(prefix="q198_idx_") + "/idx"
+    try:
+        minhash_index_build(
+            gen1, path, num_hashes=64, bands=16, layout="versioned"
+        )
+        versioned_index_append(gen2, path, epoch_mark="_epoch_q198_1")
+        # replay of the same epoch must be a fenced no-op
+        versioned_index_append(gen2, path, epoch_mark="_epoch_q198_1")
+        optimize_index(spark, path)  # CAS compaction before serving
+        found = minhash_index_probe(
+            spark, path, batch, history, threshold=0.5, max_bucket_size=64
+        )
+        cross = F.expr("(a % 10 = 0) <> (b % 10 = 0)")
+        exact = ngram_jaccard_pairs(docs, threshold=0.8).filter(cross)
+        row = _recall_row(exact, found.filter(cross), min_recall=0.9)
+        rows = row.collect()
+        schema = row.schema
+    finally:
+        shutil.rmtree(os.path.dirname(path), ignore_errors=True)
+    return spark.createDataFrame(rows, schema)
+
+
 _Q142_SQL = _jaccard_count_sql(
     n=3,
     threshold=0.8,
@@ -416,6 +471,7 @@ FROM ex, ap
 
 QUERIES = {
     "q142_incremental_dedup": q142_incremental_dedup,
+    "q198_versioned_index_dedup": q198_versioned_index_dedup,
     "q189_triangle_approx_error": q189_triangle_approx_error,
     "q76_minhash_verify": q76_minhash_verify,
     "q77_simhash_verify": q77_simhash_verify,
@@ -429,6 +485,7 @@ QUERIES = {
 
 ORACLE = {
     "q142_incremental_dedup": _Q142_SQL,
+    "q198_versioned_index_dedup": _Q142_SQL,  # same relational ground truth
     "q189_triangle_approx_error": _Q189_SQL,
     "q76_minhash_verify": _Q76_SQL,
     "q77_simhash_verify": _Q77_SQL,
