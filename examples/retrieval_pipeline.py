@@ -96,10 +96,81 @@ def search(
     )
 
 
+def search_indexed(
+    spark: SparkSession,
+    sf_dir: str,
+    index_path: str,
+    phrase: str = "sort merge",
+    shortlist_k: int = 20,
+) -> DataFrame:
+    """The same three stages served from the PERSISTED inverted index
+    (functions/text_index.py) — the steady-state shape: the corpus was
+    tokenized once at ingest, so stages 1-2 are per-term pruned posting
+    scans instead of corpus passes. Scores are bit-identical to
+    ``search`` (shared scoring kernel), which the __main__ run
+    asserts."""
+    from etl_job_applify_spark.functions.text_index import (
+        text_index_bm25,
+        text_index_phrase_hits,
+    )
+    from etl_job_applify_spark.queries._util import tbl
+
+    emb = tbl(spark, sf_dir, "embeddings")
+    terms = phrase.split(" ")
+    qterms = spark.createDataFrame([(w,) for w in terms], "word string")
+    scored = (
+        text_index_bm25(spark, index_path, qterms)
+        .withColumnRenamed("score", "bm25")
+        .orderBy(F.desc("bm25"), "doc_id")
+        .limit(shortlist_k)
+    )
+    confirmed = scored.join(
+        text_index_phrase_hits(spark, index_path, terms)
+        .select("doc_id")
+        .distinct(),
+        "doc_id",
+        "left_semi",
+    )
+    anchor = (
+        emb.join(
+            F.broadcast(confirmed.orderBy(F.desc("bm25"), "doc_id").limit(1)),
+            emb.vec_id == F.col("doc_id"),
+        )
+        .select(F.col("embedding").alias("q_vec"))
+    )
+    dot = "aggregate(zip_with(embedding, q_vec, (x, y) -> x * y), 0D, (a, x) -> a + x)"
+    nrm = "sqrt(aggregate(embedding, 0D, (a, x) -> a + x * x))"
+    qn = "sqrt(aggregate(q_vec, 0D, (a, x) -> a + x * x))"
+    return (
+        emb.join(F.broadcast(confirmed), emb.vec_id == confirmed.doc_id)
+        .crossJoin(F.broadcast(anchor))
+        .select(
+            "doc_id",
+            "bm25",
+            F.expr(f"({dot}) / (({nrm}) * ({qn}))").alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), "doc_id")
+    )
+
+
 if __name__ == "__main__":
+    import tempfile
+
+    from etl_job_applify_spark.functions.text_index import text_index_build
+    from etl_job_applify_spark.queries._util import tbl
     from etl_job_applify_spark.session import get_spark_session
 
     sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     spark = get_spark_session("retrieval_pipeline")
-    search(spark, sf).show(20, truncate=False)
+    direct = search(spark, sf)
+    direct.show(20, truncate=False)
+    # steady-state serving: tokenize once, then serve from the index —
+    # results must be BIT-IDENTICAL to the corpus recompute above
+    idx = tempfile.mkdtemp(prefix="retrieval_idx_") + "/idx"
+    text_index_build(tbl(spark, sf, "documents"), idx)
+    served = search_indexed(spark, sf, idx)
+    assert [tuple(r) for r in served.collect()] == [
+        tuple(r) for r in direct.collect()
+    ], "index-served results diverged from recompute"
+    print("index-served == recomputed (bit-exact)")
     spark.stop()

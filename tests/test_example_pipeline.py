@@ -126,3 +126,26 @@ def test_retrieval_pipeline_example(spark):
         .collect()
     }
     assert all("sort merge" in texts[r["doc_id"]] for r in rows)
+
+
+def test_retrieval_pipeline_indexed_matches_direct(spark, tmp_path):
+    """search_indexed (persisted-inverted-index serving) returns the
+    BIT-IDENTICAL rows the corpus-recompute search returns."""
+    import importlib.util
+
+    from etl_job_applify_spark.functions.text_index import text_index_build
+    from etl_job_applify_spark.queries._util import tbl
+
+    spec = importlib.util.spec_from_file_location(
+        "retrieval_pipeline", "/root/repo/examples/retrieval_pipeline.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    sf = "/root/testdata/sf0.001"
+    idx = str(tmp_path / "idx")
+    text_index_build(tbl(spark, sf, "documents"), idx)
+    direct = [tuple(r) for r in mod.search(spark, sf).collect()]
+    served = [
+        tuple(r) for r in mod.search_indexed(spark, sf, idx).collect()
+    ]
+    assert served == direct and direct
