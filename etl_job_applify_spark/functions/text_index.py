@@ -103,6 +103,8 @@ def text_index_build(
     text_col: str = "text",
     num_buckets: int = 64,
     mode: str = "overwrite",
+    layout: str = "flat",
+    epoch_mark: str | None = None,
 ) -> dict:
     """Tokenize ``docs`` once and persist postings + doclens + stats.
 
@@ -110,8 +112,34 @@ def text_index_build(
     ids must be new — re-ingesting an id double-counts its postings,
     same contract as the dedup index) and increments the exact corpus
     stats; ``num_buckets`` must match the index's recorded value, since
-    bucket ids from different moduli are incomparable."""
+    bucket ids from different moduli are incomparable.
+
+    ``layout="versioned"`` founds a log-structured CAS-committed index
+    (see the versioned-layout section below) — object-store capable,
+    concurrent-append safe, with optional ``epoch_mark`` replay
+    fencing; appends auto-detect the existing index's layout."""
     spark = docs.sparkSession
+    if mode == "append" and _tidx_is_versioned(spark, index_path):
+        existing = _tidx_read(spark, index_path)[0]
+        if existing["num_buckets"] != num_buckets:
+            raise ValueError(
+                f"text index at {index_path} was built with "
+                f"num_buckets={existing['num_buckets']}, append "
+                f"requested {num_buckets}"
+            )
+        _tidx_ingest(
+            docs, index_path, id_col, text_col, num_buckets,
+            found=False, epoch_mark=epoch_mark,
+        )
+        return _tidx_read(spark, index_path)[0]
+    if mode != "append" and layout == "versioned":
+        _tidx_ingest(
+            docs, index_path, id_col, text_col, num_buckets,
+            found=True, epoch_mark=epoch_mark,
+        )
+        return _tidx_read(spark, index_path)[0]
+    if epoch_mark is not None:
+        raise ValueError("epoch_mark requires the versioned layout")
     if mode == "append":
         _recover_text_index(index_path)
         existing = _read_meta(index_path)
@@ -190,15 +218,20 @@ def text_index_terms(
     ``words``: the scan prunes to the terms' wb partitions and pushes
     ``word IN (...)`` into the remaining row groups — at 100 TB each
     term costs one posting-list read, never an index scan."""
-    _recover_text_index(index_path)
-    meta = _read_meta(index_path)
     words = sorted(set(words))
+    if _tidx_is_versioned(spark, index_path):
+        meta, posts, _, _ = _tidx_read(spark, index_path)
+    else:
+        _recover_text_index(index_path)
+        meta = _read_meta(index_path)
+        posts = spark.read.parquet(os.path.join(index_path, "postings"))
     buckets = _term_buckets(spark, words, meta["num_buckets"])
-    return (
-        spark.read.parquet(os.path.join(index_path, "postings"))
-        .filter(F.col("wb").isin(buckets) & F.col("word").isin(list(words)))
-        .select("word", "doc", "tf", "positions")
-    )
+    # the filter pushes through the versioned layout's per-snapshot
+    # union, so wb pruning + the word IN pushdown apply inside every
+    # snapshot scan
+    return posts.filter(
+        F.col("wb").isin(buckets) & F.col("word").isin(list(words))
+    ).select("word", "doc", "tf", "positions")
 
 
 def text_index_bm25(
@@ -216,17 +249,19 @@ def text_index_bm25(
     term, extra columns (e.g. ``qid``) group the final sum. The term
     list is collected driver-side (query batches are control-plane
     small; that is what makes the pruned per-term scan possible)."""
-    _recover_text_index(index_path)
-    meta = _read_meta(index_path)
+    if _tidx_is_versioned(spark, index_path):
+        meta, _, dls, _ = _tidx_read(spark, index_path)
+    else:
+        _recover_text_index(index_path)
+        meta = _read_meta(index_path)
+        dls = spark.read.parquet(os.path.join(index_path, "doclens"))
     words = [r["word"] for r in qterms.select("word").distinct().collect()]
     posts = text_index_terms(spark, index_path, words)
     tf = posts.select("word", F.col("doc").alias("__doc"), "tf")
     # df counted from the scanned posting rows themselves: appends
     # keep it consistent with zero extra bookkeeping
     dfreq = tf.groupBy("word").agg(F.count("*").alias("df"))
-    dl = spark.read.parquet(os.path.join(index_path, "doclens")).select(
-        F.col("doc").alias("__doc"), "dl"
-    )
+    dl = dls.select(F.col("doc").alias("__doc"), "dl")
     # exact integer stats -> the same double avgdl the recompute path's
     # SUM/COUNT aggregate produces (both are double(total)/double(n))
     stats = spark.range(1).select(
@@ -280,17 +315,21 @@ def optimize_text_index(
     doc-hash bins (parallelism = buckets x bins, no bucket funnels
     through one task), doclens into a row-bounded file count. Publish
     is staging + directory swap with the dedup index's crash-recovery
-    contract (``_recover_text_index`` at every entry point). Local
-    paths only — the object-store publish rides the versioned-CAS
-    protocol (see ``dedup/incremental.py::optimize_index``)."""
+    contract (``_recover_text_index`` at every entry point) for the
+    FLAT layout (local paths only); a versioned index compacts through
+    the CAS protocol instead (object-store capable) and auto-routes
+    below."""
     import math
 
     from ..sinks.stats import _local_path
 
+    if _tidx_is_versioned(spark, index_path):
+        return _tidx_optimize(spark, index_path, target_file_rows)
     if _local_path(index_path) is None:
         raise ValueError(
-            f"optimize_text_index requires a local index path, got "
-            f"{index_path}"
+            f"optimize_text_index on a flat layout requires a local "
+            f"index path, got {index_path}; found the index with "
+            f'layout="versioned" for object storage'
         )
     _recover_text_index(index_path)
     meta = _read_meta(index_path)
@@ -325,4 +364,279 @@ def optimize_text_index(
         "rows_before": rows_before,
         "files_before": files_before,
         "files_after": len(_index_data_files(index_path)),
+    }
+
+
+# ---------------------------------------------------------------------------
+# Versioned (object-store-capable) text index layout
+#
+# Mirror of the dedup index's round-7 versioned layout
+# (dedup/incremental.py): the index is a LOG of CAS-committed snapshots
+# (sinks/versioned.py commit_staged), each one COMPLETE for its batch —
+# a wb-partitioned postings/ subtree, a doclens/ subtree, and a
+# _params.json carrying the batch's EXACT stats increment
+# (n_docs, total_dl), all published atomically by the snapshot rename.
+# Live stats = the sum over live snapshots, so appends never CAS a
+# global meta. Compaction folds the live set into one snapshot
+# carrying a _compacts_through_<base> watermark (plus every folded
+# epoch mark), commits, then prunes — the commit-to-prune crash window
+# is repaired idempotently at every entry point, watermark as the
+# source of truth. No rename of live data anywhere, so
+# ``optimize_text_index`` works on object storage for this layout.
+#
+# Partition pruning survives: each snapshot's postings/ is its own
+# partitioned root, read separately and unioned, so the per-term wb
+# filter prunes inside every snapshot (multi-root partition discovery
+# would otherwise conflict). Founding is
+# ``text_index_build(..., layout="versioned")``; probes and appends
+# auto-detect the layout.
+
+_T_COMPACT_MARK = "_compacts_through_"
+
+
+def _tidx_is_versioned(spark: SparkSession, index_path: str) -> bool:
+    from ..sinks.versioned import list_versions
+
+    try:
+        return bool(list_versions(spark, index_path))
+    except Exception:
+        return False
+
+
+def _tidx_recover_live(spark: SparkSession, index_path: str) -> list[str]:
+    """Prune snapshots at or below the newest compaction watermark;
+    return surviving snapshot paths oldest-first (the dedup index's
+    recovery pass, verbatim protocol)."""
+    from ..sinks.versioned import _snapshots, snapshot_members
+
+    fs, root, names = _snapshots(spark, index_path)
+    watermark = -1
+    for name in names:
+        for m in snapshot_members(spark, f"{index_path}/{name}"):
+            if m.startswith(_T_COMPACT_MARK):
+                watermark = max(watermark, int(m[len(_T_COMPACT_MARK):]))
+    live = []
+    for name in names:
+        v = int(name[len("snap_"):])
+        if v <= watermark:
+            fs.delete(
+                spark._jvm.org.apache.hadoop.fs.Path(root, name), True
+            )
+        else:
+            live.append(f"{index_path}/{name}")
+    return live
+
+
+def _tidx_read(spark: SparkSession, index_path: str):
+    """(meta, postings DF, doclens DF, live paths) over the live
+    snapshots. Per-snapshot reads unioned so wb partition pruning
+    applies inside each snapshot; explicit schemas so empty snapshots
+    (purge-everything compaction) stay readable."""
+    from functools import reduce
+
+    from pyspark.sql.types import StructType
+
+    from ..sinks.versioned import fs_read_json
+
+    live = _tidx_recover_live(spark, index_path)
+    if not live:
+        raise FileNotFoundError(f"no versioned text index at {index_path}")
+    metas = [fs_read_json(spark, f"{p}/_params.json") for p in live]
+    nb = {m["num_buckets"] for m in metas}
+    if len(nb) != 1:
+        raise ValueError(
+            f"inconsistent num_buckets across snapshots: {sorted(nb)}"
+        )
+    meta = {
+        "num_buckets": nb.pop(),
+        "n_docs": sum(m["n_docs"] for m in metas),
+        "total_dl": sum(m["total_dl"] for m in metas),
+    }
+    p_schema = StructType.fromJson(
+        fs_read_json(spark, f"{live[-1]}/_postings_schema.json")
+    )
+    d_schema = StructType.fromJson(
+        fs_read_json(spark, f"{live[-1]}/_doclens_schema.json")
+    )
+    posts = reduce(
+        DataFrame.unionByName,
+        [
+            spark.read.schema(p_schema).parquet(f"{p}/postings")
+            for p in live
+        ],
+    )
+    dls = reduce(
+        DataFrame.unionByName,
+        [spark.read.schema(d_schema).parquet(f"{p}/doclens") for p in live],
+    )
+    return meta, posts, dls, live
+
+
+def _tidx_commit(
+    spark: SparkSession,
+    index_path: str,
+    postings: DataFrame,
+    doclens: DataFrame,
+    params: dict,
+    marks: list[str],
+    base_version: int,
+) -> int:
+    from ..sinks.versioned import commit_staged, fs_touch, fs_write_json
+
+    # partition columns drop out of the written files; record the
+    # READ-BACK schema (wb comes back as a partition column at the end)
+    read_schema = None
+
+    def populate(staging: str) -> None:
+        postings.write.partitionBy("wb").mode("overwrite").parquet(
+            f"{staging}/postings"
+        )
+        doclens.write.mode("overwrite").parquet(f"{staging}/doclens")
+        fs_write_json(
+            spark,
+            f"{staging}/_postings_schema.json",
+            spark.read.parquet(f"{staging}/postings").schema.jsonValue(),
+        )
+        fs_write_json(
+            spark,
+            f"{staging}/_doclens_schema.json",
+            doclens.schema.jsonValue(),
+        )
+        fs_write_json(spark, f"{staging}/_params.json", params)
+        for m in marks:
+            fs_touch(spark, f"{staging}/{m}")
+        # the log protocol counts a snapshot only once _SUCCESS exists
+        # at its ROOT; the subdir writes leave theirs one level down
+        fs_touch(spark, f"{staging}/_SUCCESS")
+
+    return commit_staged(spark, index_path, base_version, populate)
+
+
+def _tidx_ingest(
+    docs: DataFrame,
+    index_path: str,
+    id_col: str,
+    text_col: str,
+    num_buckets: int,
+    found: bool,
+    epoch_mark: str | None = None,
+    max_retries: int = 10,
+) -> int | None:
+    """Found (snapshot 1) or CAS-append one batch. ``epoch_mark``
+    fences replays (None returned when skipped)."""
+    from ..sinks.versioned import (
+        CommitConflict,
+        list_versions,
+        snapshot_members,
+    )
+
+    spark = docs.sparkSession
+    if found and list_versions(spark, index_path):
+        raise ValueError(
+            f"versioned text index already exists at {index_path}; "
+            "use mode='append'"
+        )
+    toks = token_positions(docs, text_col, id_col)
+    postings = (
+        toks.groupBy(id_col, "word")
+        .agg(
+            F.count("*").alias("tf"),
+            F.sort_array(F.collect_list("pos")).alias("positions"),
+        )
+        .withColumnRenamed(id_col, "doc")
+        .withColumn("wb", F.pmod(F.xxhash64("word"), F.lit(num_buckets)))
+    )
+    doclens = postings.groupBy("doc").agg(F.sum("tf").alias("dl"))
+    inc = doclens.agg(
+        F.count("*").alias("n"), F.sum("dl").alias("t")
+    ).first()
+    params = {
+        "num_buckets": num_buckets,
+        "n_docs": int(inc["n"]),
+        "total_dl": int(inc["t"] or 0),
+    }
+    marks = [epoch_mark] if epoch_mark else []
+    for _ in range(max_retries):
+        if epoch_mark and any(
+            epoch_mark in snapshot_members(spark, p)
+            for p in _tidx_recover_live(spark, index_path)
+        ):
+            return None  # replayed batch
+        base = (list_versions(spark, index_path) or [0])[-1]
+        try:
+            return _tidx_commit(
+                spark, index_path, postings, doclens, params, marks, base
+            )
+        except CommitConflict:
+            continue
+    raise CommitConflict(
+        f"append to {index_path} lost {max_retries} CAS races"
+    )
+
+
+def _tidx_optimize(
+    spark: SparkSession,
+    index_path: str,
+    target_file_rows: int,
+    max_retries: int = 10,
+) -> dict:
+    """Versioned-layout compaction: fold live snapshots into one (stats
+    summed, epoch marks carried, watermark marker riding the commit),
+    then prune — the CAS publish, object-store capable."""
+    import math
+
+    from ..sinks.versioned import CommitConflict, snapshot_members
+
+    def n_files(paths):
+        return sum(
+            1
+            for p in paths
+            for sub in ("postings", "doclens")
+            for f in _index_data_files(f"{p}/{sub}")
+        )
+
+    for _ in range(max_retries):
+        meta, posts, dls, live = _tidx_read(spark, index_path)
+        base = int(live[-1].rsplit("snap_", 1)[1])
+        files_before = n_files(live)
+        rows_before = posts.count()
+        nb = meta["num_buckets"]
+        per_bucket = math.ceil(max(rows_before, 1) / nb)
+        bins = max(1, math.ceil(per_bucket / target_file_rows))
+        dl_files = max(1, math.ceil(max(meta["n_docs"], 1) / target_file_rows))
+        carried = sorted(
+            {
+                m
+                for p in live
+                for m in snapshot_members(spark, p)
+                if m.startswith("_epoch_")
+            }
+        )
+        compacted = (
+            posts.withColumn("__bin", F.pmod(F.hash("doc"), F.lit(bins)))
+            .repartition(nb * bins, "wb", "__bin")
+            .drop("__bin")
+        )
+        try:
+            _tidx_commit(
+                spark,
+                index_path,
+                compacted,
+                dls.repartition(dl_files),
+                meta,
+                carried + [f"{_T_COMPACT_MARK}{base}"],
+                base,
+            )
+            break
+        except CommitConflict:
+            continue  # an append raced in; fold it too
+    else:
+        raise CommitConflict(
+            f"compaction of {index_path} lost {max_retries} CAS races"
+        )
+    live_after = _tidx_recover_live(spark, index_path)  # prunes <= base
+    return {
+        "rows_before": rows_before,
+        "files_before": files_before,
+        "files_after": n_files(live_after),
     }

@@ -559,6 +559,57 @@ def q196_bm25_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _with_temp_text_index(spark, build, probe)
 
 
+def q199_bm25_versioned_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q196's append lifecycle on the VERSIONED text-index layout
+    (functions/text_index.py versioned section): 90% founds snapshot 1,
+    the 10% batch is CAS-appended with an epoch-fence mark, the SAME
+    append is re-fired (must be a fenced no-op — a double commit would
+    double tf/df and shift every score), the index is compacted through
+    the CAS watermark publish, then served. The oracle recomputes over
+    ALL documents from raw text (q196's SQL), so any layout bug —
+    lost append, double-committed replay, lossy compaction, mis-summed
+    snapshot stats — hash-mismatches."""
+    from pyspark.sql import Window
+
+    from ..functions.text_index import (
+        optimize_text_index,
+        text_index_bm25,
+        text_index_build,
+    )
+
+    docs = tbl(spark, sf_dir, "documents").select("doc_id", "text")
+    history = docs.filter(F.col("doc_id") % 10 != 0)
+    batch = docs.filter(F.col("doc_id") % 10 == 0)
+    qterms = spark.createDataFrame(
+        [(qid, w) for qid, ws in _Q196_QUERIES for w in ws],
+        "qid int, word string",
+    )
+
+    def build(path):
+        text_index_build(history, path, layout="versioned")
+        text_index_build(
+            batch, path, mode="append", epoch_mark="_epoch_q199_1"
+        )
+        # replay of the committed epoch: fenced no-op
+        text_index_build(
+            batch, path, mode="append", epoch_mark="_epoch_q199_1"
+        )
+        optimize_text_index(spark, path)  # CAS compaction before serving
+
+    def probe(path):
+        scored = text_index_bm25(spark, path, qterms)
+        w = Window.partitionBy("qid").orderBy(
+            F.desc("score"), F.asc("doc_id")
+        )
+        return (
+            scored.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= 5)
+            .select("qid", "doc_id", "rnk", "score")
+        )
+
+    return _with_temp_text_index(spark, build, probe)
+
+
 _Q196_QUERIES = [
     (1, ["scan", "filter", "column"]),
     (2, ["vector", "agg"]),
@@ -626,6 +677,7 @@ QUERIES = {
     "q194_bm25_index_probe": q194_bm25_index_probe,
     "q195_phrase_index_probe": q195_phrase_index_probe,
     "q196_bm25_index_append": q196_bm25_index_append,
+    "q199_bm25_versioned_index": q199_bm25_versioned_index,
 }
 
 ORACLE = {
@@ -642,4 +694,6 @@ ORACLE = {
     "q194_bm25_index_probe": _Q190_SQL,
     "q195_phrase_index_probe": _Q191_SQL,
     "q196_bm25_index_append": _Q196_SQL,
+    # versioned layout must serve the same scores: same recompute oracle
+    "q199_bm25_versioned_index": _Q196_SQL,
 }

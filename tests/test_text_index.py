@@ -191,3 +191,88 @@ def test_interrupted_optimize_swap_recovers(spark, tmp_path):
 def test_optimize_rejects_non_local_paths(spark):
     with pytest.raises(ValueError, match="local index path"):
         optimize_text_index(spark, "s3://bucket/tidx")
+
+
+def test_versioned_text_index_matches_flat_and_recompute(spark, tmp_path):
+    """layout='versioned': one CAS snapshot per batch, scores
+    bit-identical to both the flat layout and the raw-text recompute
+    (the summed per-snapshot stats must equal the flat running meta)."""
+    flat, vers = str(tmp_path / "flat"), str(tmp_path / "vers")
+    gen1, gen2 = _docs(spark, 0, 40), _docs(spark, 100, 25)
+    text_index_build(gen1, flat)
+    text_index_build(gen2, flat, mode="append")
+    text_index_build(gen1, vers, layout="versioned")
+    text_index_build(gen2, vers, mode="append")  # auto-detects layout
+    assert len([d for d in os.listdir(vers) if d.startswith("snap_")]) == 2
+    both = gen1.unionByName(gen2)
+    served_flat = _score_map(text_index_bm25(spark, flat, _qterms(spark)))
+    served_vers = _score_map(text_index_bm25(spark, vers, _qterms(spark)))
+    assert served_vers == served_flat
+    assert served_vers == _score_map(bm25_scores(both, _qterms(spark)))
+    # phrase path too
+    phrase = ["hash", "join"]
+    assert {
+        (r["doc_id"], r["p"])
+        for r in text_index_phrase_hits(spark, vers, phrase).collect()
+    } == {
+        (r["doc_id"], r["p"])
+        for r in text_index_phrase_hits(spark, flat, phrase).collect()
+    }
+
+
+def test_versioned_text_index_epoch_fence_and_compaction(spark, tmp_path):
+    """Replayed appends are fenced; CAS compaction folds snapshots,
+    sums stats, carries epoch marks, prunes — and serves identical
+    scores after."""
+    from etl_job_applify_spark.functions.text_index import (
+        _index_data_files as files,
+    )
+
+    vers = str(tmp_path / "vers")
+    gen1, gen2 = _docs(spark, 0, 30), _docs(spark, 100, 12)
+    text_index_build(gen1, vers, layout="versioned")
+    text_index_build(
+        gen2, vers, mode="append", epoch_mark="_epoch_tidx_1"
+    )
+    text_index_build(  # replay: must commit nothing
+        gen2, vers, mode="append", epoch_mark="_epoch_tidx_1"
+    )
+    snaps = [d for d in os.listdir(vers) if d.startswith("snap_")]
+    assert len(snaps) == 2
+    both = gen1.unionByName(gen2)
+    before = _score_map(text_index_bm25(spark, vers, _qterms(spark)))
+    assert before == _score_map(bm25_scores(both, _qterms(spark)))
+
+    res = optimize_text_index(spark, vers)  # auto-routes to CAS path
+    snaps = sorted(d for d in os.listdir(vers) if d.startswith("snap_"))
+    assert snaps == ["snap_00000003"]  # folded + pruned
+    assert res["files_after"] <= res["files_before"]
+    # fence survived compaction; scores unchanged; appends continue
+    assert "_epoch_tidx_1" in os.listdir(f"{vers}/{snaps[0]}")
+    assert _score_map(text_index_bm25(spark, vers, _qterms(spark))) == before
+    gen3 = _docs(spark, 300, 8)
+    text_index_build(gen3, vers, mode="append")
+    assert _score_map(
+        text_index_bm25(spark, vers, _qterms(spark))
+    ) == _score_map(bm25_scores(both.unionByName(gen3), _qterms(spark)))
+
+
+def test_versioned_text_index_commit_prune_crash_recovers(spark, tmp_path):
+    """Commit-to-prune crash window: a resurrected pre-compaction
+    snapshot must be pruned at the next entry point, never
+    double-counted (df/tf double-counting would shift every score)."""
+    import shutil
+
+    vers = str(tmp_path / "vers")
+    text_index_build(_docs(spark, 0, 30), vers, layout="versioned")
+    text_index_build(_docs(spark, 100, 12), vers, mode="append")
+    expect = _score_map(text_index_bm25(spark, vers, _qterms(spark)))
+    optimize_text_index(spark, vers)
+    compacted = sorted(
+        d for d in os.listdir(vers) if d.startswith("snap_")
+    )[0]
+    shutil.copytree(f"{vers}/{compacted}", f"{vers}/snap_00000001")
+    assert _score_map(text_index_bm25(spark, vers, _qterms(spark))) == expect
+    assert sorted(
+        d for d in os.listdir(vers) if d.startswith("snap_")
+    ) == [compacted]
