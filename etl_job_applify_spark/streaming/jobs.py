@@ -640,16 +640,14 @@ def fold_rollup_batch(
     snapshot's set and skipped. ``writer_id`` namespaces the fence so
     independent streams can maintain one rollup without epoch-id
     collisions."""
-    import glob
-    import os
-    import shutil
-
     from ..operators.incremental import aggregate_increment, merge_rollup
     from ..sinks.versioned import (
         CommitConflict,
         commit_staged,
+        fs_touch,
         list_versions,
         read_table,
+        snapshot_members,
     )
 
     mark = f"_epoch_{writer_id}_{epoch_id}"
@@ -661,8 +659,14 @@ def fold_rollup_batch(
         prior_marks: list[str] = []
         if base_version:
             snap = f"{rollup_path}/snap_{base_version:08d}"
-            prior_marks = glob.glob(os.path.join(snap, "_epoch_*"))
-            if any(os.path.basename(p) == mark for p in prior_marks):
+            # FS-API listing, so the fence works wherever the table
+            # lives (same helpers as the versioned dedup/text indexes)
+            prior_marks = [
+                m
+                for m in snapshot_members(spark, snap)
+                if m.startswith("_epoch_")
+            ]
+            if mark in prior_marks:
                 return False  # replayed batch: already in the rollup
             base = read_table(spark, rollup_path)
         else:
@@ -673,9 +677,9 @@ def fold_rollup_batch(
             merged.write.mode("overwrite").parquet(staging)
             # the fence rides in the snapshot: atomic with the rename.
             # Carry the full folded set forward, then add this epoch.
-            for p in prior_marks:
-                shutil.copy(p, os.path.join(staging, os.path.basename(p)))
-            open(os.path.join(staging, mark), "w").close()
+            for name in prior_marks:
+                fs_touch(spark, f"{staging}/{name}")
+            fs_touch(spark, f"{staging}/{mark}")
 
         try:
             commit_staged(spark, rollup_path, base_version, populate)
