@@ -34,7 +34,9 @@ it ONCE, at ingest (same lifecycle as the MinHash dedup index,
   into the (doc, pos, word) stream the shared ``phrase_hits`` kernel
   chains on (doc, pos - offset) equi-joins.
 - ``optimize_text_index`` compacts append-grown small files with the
-  same staging + swap + crash-recovery publish as the dedup index.
+  same staging + swap + crash-recovery publish as the dedup index
+  (flat layout; the versioned layout below compacts through the CAS
+  protocol instead and is object-store capable end to end).
 
 Scale: probe cost is |query terms| pruned posting scans + a dl join on
 the matched docs — independent of corpus size except through posting

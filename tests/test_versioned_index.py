@@ -322,3 +322,41 @@ def test_streaming_exactly_once_founding_crash_window(spark, tmp_path):
         *glob.glob(state + "/index/snap_*")
     ).count()
     assert idx_rows == 10 * 16  # founding entries exactly once
+
+
+def test_log_table_append_read_fence_and_empty_batches(spark, tmp_path):
+    """The generic log-table API (sinks/versioned.py): CAS appends
+    accumulate as snapshots, marked appends fence replays, and a log
+    whose batches are ALL empty still reads (recorded schema)."""
+    import pytest
+
+    from etl_job_applify_spark.sinks.versioned import (
+        append_log_version,
+        log_has_mark,
+        log_snapshots,
+        read_log_table,
+    )
+
+    log = str(tmp_path / "log")
+    with pytest.raises(FileNotFoundError):
+        read_log_table(spark, log)
+
+    b1 = spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+    b2 = spark.createDataFrame([(3, "c")], "id long, v string")
+    assert append_log_version(b1, log, ["_epoch_w_0"]) == 1
+    assert append_log_version(b2, log, ["_epoch_w_1"]) == 2
+    assert {r["id"] for r in read_log_table(spark, log).collect()} == {1, 2, 3}
+    assert log_has_mark(spark, log, "_epoch_w_0")
+    assert not log_has_mark(spark, log, "_epoch_w_9")
+    # replay fenced: nothing committed
+    assert append_log_version(b2, log, ["_epoch_w_1"]) is None
+    assert len(log_snapshots(spark, log)) == 2
+    # unmarked appends always commit (no fence)
+    assert append_log_version(b2, log) == 3
+
+    # all-empty log stays readable via the recorded schema
+    empty_log = str(tmp_path / "empty")
+    empty = b1.filter("id < 0")
+    assert append_log_version(empty, empty_log, ["_epoch_w_0"]) == 1
+    got = read_log_table(spark, empty_log)
+    assert got.count() == 0 and got.columns == ["id", "v"]
