@@ -665,6 +665,156 @@ WHERE rnk <= 5
 """
 
 
+# --- q200: hybrid retrieval via reciprocal rank fusion (RRF) -------------
+# The standard way to combine lexical and vector retrieval without
+# score calibration (Cormack, Clarke & Buettcher, SIGIR'09): each leg
+# contributes 1/(K + rank) for the documents in its top-L, and the
+# fused top-k is ranked by the sum. Ranks — not raw scores — are fused,
+# so the legs' incomparable score scales never meet. Legs here: the
+# q190 BM25 kernel (top-20 per keyword query) and the q34 exact-cosine
+# kernel (top-20 against a per-query anchor embedding, vec_id = qid).
+# K=60, the paper's constant. Bit-stability: both legs' rankings are
+# already oracle-proven deterministic (q190/q34), and the fused score
+# is a FIXED-ORDER sum of two e-notation double terms — no SUM() over
+# rows whose order could differ between engines.
+# Scale: each leg is its own proven plan; the fusion joins two
+# (|queries| x 20)-row relations — driver-trivial at any corpus size.
+
+def q200_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..functions.retrieval import bm25_scores
+    from ..similarity import cosine_topk
+
+    K_TOP, LEG_L = 10, 20
+    docs = tbl(spark, sf_dir, "documents")
+    emb = tbl(spark, sf_dir, "embeddings")
+    qterms = spark.createDataFrame(
+        [(qid, w) for qid, ws in _Q190_QUERIES for w in ws],
+        "qid int, word string",
+    )
+    w_lex = Window.partitionBy("qid").orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )
+    lex = (
+        bm25_scores(docs, qterms)
+        .withColumn("lex_rank", F.row_number().over(w_lex))
+        .filter(F.col("lex_rank") <= LEG_L)
+        .select("qid", "doc_id", "lex_rank")
+    )
+    anchors = emb.filter(
+        F.col("vec_id").isin([qid for qid, _ in _Q190_QUERIES])
+    ).select(F.col("vec_id").alias("query_id"), "embedding")
+    vec = cosine_topk(emb, anchors, k=LEG_L).select(
+        F.col("query_id").cast("int").alias("qid"),
+        F.col("neighbor").alias("doc_id"),
+        F.col("rank").cast("int").alias("vec_rank"),
+    )
+    fused = lex.join(vec, ["qid", "doc_id"], "full_outer").withColumn(
+        "rrf_score",
+        F.expr(
+            "coalesce(1e0 / (60 + lex_rank), 0e0)"
+            " + coalesce(1e0 / (60 + vec_rank), 0e0)"
+        ),
+    )
+    w_f = Window.partitionBy("qid").orderBy(
+        F.desc("rrf_score"), F.asc("doc_id")
+    )
+    return (
+        fused.withColumn("rrf_rank", F.row_number().over(w_f))
+        .filter(F.col("rrf_rank") <= K_TOP)
+        .select("qid", "doc_id", "rrf_rank", "rrf_score",
+                "lex_rank", "vec_rank")
+    )
+
+
+_Q200_SQL = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+),
+tf AS (
+  SELECT doc_id, word, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM toks GROUP BY doc_id, word
+),
+dl AS (
+  SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id
+),
+dfreq AS (
+  SELECT word, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY word
+),
+stats AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+  FROM dl
+),
+q(qid, word) AS (VALUES
+  (1, 'hash'), (1, 'join'),
+  (2, 'window'), (2, 'sort'), (2, 'merge'),
+  (3, 'stream'), (3, 'batch'), (3, 'spark')
+),
+scored AS (
+  SELECT q.qid, tf.doc_id,
+    CAST(SUM(CAST(
+      ((n - df + 5e-1) / (df + 5e-1))
+      * (tf * 2.2e0)
+      / (tf + 1.2e0 * (2.5e-1 + 7.5e-1 * dl / avgdl))
+    AS DECIMAL(28,6))) AS DOUBLE) AS score
+  FROM q
+  JOIN tf USING (word)
+  JOIN dfreq USING (word)
+  JOIN dl USING (doc_id), stats
+  GROUP BY q.qid, tf.doc_id
+),
+lex AS (
+  SELECT qid, doc_id, CAST(rnk AS INT) AS lex_rank FROM (
+    SELECT qid, doc_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY qid ORDER BY score DESC, doc_id
+           ) AS rnk
+    FROM scored
+  ) WHERE rnk <= 20
+),
+anchors AS (
+  SELECT vec_id AS qid, embedding AS qv FROM embeddings
+  WHERE vec_id IN (1, 2, 3)
+),
+cos AS (
+  SELECT a.qid, e.vec_id AS doc_id,
+         (list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, len(qv) + 1), i -> CAST(qv[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))), (x, y) -> x + y)) / ((sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, len(qv) + 1), i -> CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE))), (x, y) -> x + y))) * (sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, len(e.embedding) + 1), i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))), (x, y) -> x + y)))) AS cosine
+  FROM embeddings e, anchors a
+),
+vec AS (
+  SELECT CAST(qid AS INT) AS qid, doc_id, CAST(rnk AS INT) AS vec_rank
+  FROM (
+    SELECT qid, doc_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY qid ORDER BY cosine DESC, doc_id
+           ) AS rnk
+    FROM cos
+  ) WHERE rnk <= 20
+),
+fused AS (
+  SELECT COALESCE(lex.qid, vec.qid) AS qid,
+         COALESCE(lex.doc_id, vec.doc_id) AS doc_id,
+         lex.lex_rank, vec.vec_rank,
+         coalesce(1e0 / (60 + lex.lex_rank), 0e0)
+           + coalesce(1e0 / (60 + vec.vec_rank), 0e0) AS rrf_score
+  FROM lex FULL OUTER JOIN vec
+    ON lex.qid = vec.qid AND lex.doc_id = vec.doc_id
+)
+SELECT qid, doc_id, CAST(rrf_rank AS INT) AS rrf_rank, rrf_score,
+       lex_rank, vec_rank
+FROM (
+  SELECT *,
+         ROW_NUMBER() OVER (
+           PARTITION BY qid ORDER BY rrf_score DESC, doc_id
+         ) AS rrf_rank
+  FROM fused
+)
+WHERE rrf_rank <= 10
+"""
+
+
 QUERIES = {
     "q40_text_stats": q40_text_stats,
     "q41_lang_id": q41_lang_id,
@@ -678,6 +828,7 @@ QUERIES = {
     "q195_phrase_index_probe": q195_phrase_index_probe,
     "q196_bm25_index_append": q196_bm25_index_append,
     "q199_bm25_versioned_index": q199_bm25_versioned_index,
+    "q200_hybrid_rrf": q200_hybrid_rrf,
 }
 
 ORACLE = {
@@ -696,4 +847,5 @@ ORACLE = {
     "q196_bm25_index_append": _Q196_SQL,
     # versioned layout must serve the same scores: same recompute oracle
     "q199_bm25_versioned_index": _Q196_SQL,
+    "q200_hybrid_rrf": _Q200_SQL,
 }
