@@ -29,6 +29,19 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+import os
+
+#: repo root (the package's parent), captured BY VALUE into every Arrow
+#: worker closure below: a Python worker process does not inherit the
+#: driver's sys.path, and capturing a package module object in a closure
+#: pickles it by REFERENCE (cloudpickle re-imports it on the worker and
+#: fails when the driver was launched outside the repo). Each closure
+#: therefore bootstraps sys.path from this plain string and imports the
+#: codec module inside the worker.
+_PKG_PARENT = os.path.dirname(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
+
 #: typed metadata carried next to every binary payload
 MEDIA_META_SCHEMA = T.StructType(
     [
@@ -96,9 +109,15 @@ def attach_fake_ppm(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     closed-form in ``doc_id`` (ppm.fixture_dims / fixture_pixels), so a
     SQL oracle can recompute what a correct decode must produce without
     ever parsing bytes. Generated inside Arrow batches — no driver data."""
-    from . import ppm
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # worker-safe import: bootstrap sys.path by value (see
+        # _PKG_PARENT) instead of capturing the module by reference
+        import sys
+        if _PKG_PARENT not in sys.path:
+            sys.path.insert(0, _PKG_PARENT)
+        from etl_job_applify_spark.multimodal import ppm
+
         for pdf in it:
             ids = pdf[id_col]
             payloads, widths, heights = [], [], []
@@ -145,9 +164,15 @@ def decode_image_batch(media: DataFrame) -> DataFrame:
     Pillow, which is not in this container, and stay behind a
     clearly-marked ``NotImplementedError`` gate.
     """
-    from . import ppm
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # worker-safe import: bootstrap sys.path by value (see
+        # _PKG_PARENT) instead of capturing the module by reference
+        import sys
+        if _PKG_PARENT not in sys.path:
+            sys.path.insert(0, _PKG_PARENT)
+        from etl_job_applify_spark.multimodal import ppm
+
         for pdf in it:
             out = {"doc_id": [], "width": [], "height": [], "channels": [],
                    "pixels": []}
@@ -202,9 +227,15 @@ def resize_image_batch(media: DataFrame, width: int, height: int) -> DataFrame:
 
     REAL for PPM/P6 (decode → nearest-neighbor resample → re-encode, all
     dependency-free); other codecs stay behind the Pillow gate."""
-    from . import ppm
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # worker-safe import: bootstrap sys.path by value (see
+        # _PKG_PARENT) instead of capturing the module by reference
+        import sys
+        if _PKG_PARENT not in sys.path:
+            sys.path.insert(0, _PKG_PARENT)
+        from etl_job_applify_spark.multimodal import ppm
+
         for pdf in it:
             payloads, metas = [], []
             for payload in pdf["media"]:
@@ -240,9 +271,15 @@ def brighten_image_batch(media: DataFrame, delta: int) -> DataFrame:
     near-duplicate generator the perceptual-hash operator is measured
     against — a brightness-shifted copy has different bytes but (mostly)
     the same block-mean structure."""
-    from . import ppm
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # worker-safe import: bootstrap sys.path by value (see
+        # _PKG_PARENT) instead of capturing the module by reference
+        import sys
+        if _PKG_PARENT not in sys.path:
+            sys.path.insert(0, _PKG_PARENT)
+        from etl_job_applify_spark.multimodal import ppm
+
         for pdf in it:
             payloads, metas = [], []
             for payload in pdf["media"]:
@@ -290,7 +327,6 @@ def ahash_image_batch(
     exact-duplicate key. Cells narrower than one pixel (w < grid_w)
     contribute 0 bits, matching a SQL replay where the empty cell simply
     has no rows."""
-    from . import ppm
 
     if grid_w * grid_h > 63:
         # bits pack into ONE signed int64 via left-shifts of the cell
@@ -303,6 +339,13 @@ def ahash_image_batch(
         )
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # worker-safe import: bootstrap sys.path by value (see
+        # _PKG_PARENT) instead of capturing the module by reference
+        import sys
+        if _PKG_PARENT not in sys.path:
+            sys.path.insert(0, _PKG_PARENT)
+        from etl_job_applify_spark.multimodal import ppm
+
         for pdf in it:
             ids, hashes = [], []
             for doc_id, payload in zip(pdf["doc_id"], pdf["media"]):
@@ -344,9 +387,15 @@ def attach_fake_wav(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     fixture_samples), so a SQL oracle can recompute what a correct
     decode must produce without parsing RIFF bytes. Generated inside
     Arrow batches — no driver data."""
-    from . import wavpcm
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # worker-safe import: bootstrap sys.path by value (see
+        # _PKG_PARENT) instead of capturing the module by reference
+        import sys
+        if _PKG_PARENT not in sys.path:
+            sys.path.insert(0, _PKG_PARENT)
+        from etl_job_applify_spark.multimodal import wavpcm
+
         for pdf in it:
             ids = pdf[id_col]
             payloads, metas = [], []
@@ -389,9 +438,15 @@ def decode_audio_batch(media: DataFrame) -> DataFrame:
     REAL for WAV/16-bit PCM (stdlib ``wave``, wavpcm.py); compressed
     codecs (MP3/AAC/...) need native decoders not present in this image
     and stay behind a clearly-marked ``NotImplementedError`` gate."""
-    from . import wavpcm
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # worker-safe import: bootstrap sys.path by value (see
+        # _PKG_PARENT) instead of capturing the module by reference
+        import sys
+        if _PKG_PARENT not in sys.path:
+            sys.path.insert(0, _PKG_PARENT)
+        from etl_job_applify_spark.multimodal import wavpcm
+
         for pdf in it:
             out = {"doc_id": [], "n_channels": [], "sample_rate": [],
                    "n_frames": [], "pcm": []}
@@ -522,9 +577,15 @@ def attach_fake_pvs(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     ``doc_id`` (video.fixture_video_params / fixture_frame_pixels), so a
     SQL oracle can recompute what a correct demux+decode must produce.
     Generated inside Arrow batches — no driver data."""
-    from . import video
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # worker-safe import: bootstrap sys.path by value (see
+        # _PKG_PARENT) instead of capturing the module by reference
+        import sys
+        if _PKG_PARENT not in sys.path:
+            sys.path.insert(0, _PKG_PARENT)
+        from etl_job_applify_spark.multimodal import video
+
         for pdf in it:
             ids = pdf[id_col]
             payloads, metas = [], []
@@ -569,12 +630,18 @@ def sample_video_frames(media: DataFrame, every: int = 2) -> DataFrame:
     state is |sampled frames| x features, never bytes. This is the
     frame-sampling shape a 100 TB video corpus runs before any ML stage.
     """
-    from . import video
 
     if every < 1:
         raise ValueError(f"every must be >= 1, got {every}")
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # worker-safe import: bootstrap sys.path by value (see
+        # _PKG_PARENT) instead of capturing the module by reference
+        import sys
+        if _PKG_PARENT not in sys.path:
+            sys.path.insert(0, _PKG_PARENT)
+        from etl_job_applify_spark.multimodal import video
+
         for pdf in it:
             rows = {k: [] for k in (
                 "doc_id", "fps", "n_frames", "frame_idx",
@@ -611,3 +678,69 @@ def sample_video_frames(media: DataFrame, every: int = 2) -> DataFrame:
             )
 
     return media.mapInPandas(batches, schema=_VIDEO_FRAME_SCHEMA)
+
+
+_SCENE_CUT_SCHEMA = (
+    "doc_id bigint, frame_idx int, n_px int, sad bigint, is_cut boolean"
+)
+
+
+def video_scene_cuts(media: DataFrame, thr_num: int = 5389,
+                     thr_den: int = 256) -> DataFrame:
+    """Scene-change detection by frame differencing — the classic shot-
+    boundary primitive (a cut is a frame whose sum of absolute pixel
+    differences vs its predecessor exceeds a per-pixel threshold).
+    Demuxes the PVS container by parsing, computes SAD per adjacent
+    frame pair inside the Arrow batch, and drops both rasters
+    immediately: downstream state is |frame pairs| x 4 integers, never
+    bytes. The cut decision is an INTEGER cross-multiplication
+    (sad * thr_den > thr_num * n_px, i.e. mean |diff| > thr_num/thr_den)
+    so the flag is exact on both engines — no float threshold drift.
+    At 100 TB this runs as the sampling front of a video-curation
+    pipeline: per-document work is independent (embarrassingly
+    parallel), and only cut metadata flows on."""
+
+    if thr_den <= 0:
+        raise ValueError(f"thr_den must be positive, got {thr_den}")
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # worker-safe import: bootstrap sys.path by value (see
+        # _PKG_PARENT) instead of capturing the module by reference
+        import sys
+        if _PKG_PARENT not in sys.path:
+            sys.path.insert(0, _PKG_PARENT)
+        from etl_job_applify_spark.multimodal import video
+
+        for pdf in it:
+            rows = {k: [] for k in (
+                "doc_id", "frame_idx", "n_px", "sad", "is_cut",
+            )}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["media"]):
+                _, frames = video.decode_pvs(bytes(payload))
+                prev = None
+                for f, (w, h, raster) in enumerate(frames):
+                    buf = np.frombuffer(raster, dtype=np.uint8).astype(
+                        np.int64
+                    )
+                    if prev is not None:
+                        sad = int(np.abs(buf - prev).sum())
+                        n_px = len(buf)
+                        rows["doc_id"].append(int(doc_id))
+                        rows["frame_idx"].append(f)
+                        rows["n_px"].append(n_px)
+                        rows["sad"].append(sad)
+                        rows["is_cut"].append(
+                            sad * thr_den > thr_num * n_px
+                        )
+                    prev = buf
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(rows["doc_id"], dtype="int64"),
+                    "frame_idx": pd.Series(rows["frame_idx"], dtype="int32"),
+                    "n_px": pd.Series(rows["n_px"], dtype="int32"),
+                    "sad": pd.Series(rows["sad"], dtype="int64"),
+                    "is_cut": pd.Series(rows["is_cut"], dtype="bool"),
+                }
+            )
+
+    return media.mapInPandas(batches, schema=_SCENE_CUT_SCHEMA)

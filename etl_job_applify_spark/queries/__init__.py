@@ -40,6 +40,7 @@ from . import (
     graphmatch,
     mediadecode,
     mlops,
+    subword,
     transactional,
 )
 
@@ -64,6 +65,7 @@ _MODULES = [
     graphmatch,
     mediadecode,
     mlops,
+    subword,
     transactional,
 ]
 

@@ -998,3 +998,177 @@ LIMIT 20
 
 QUERIES["q177_item_similarity"] = q177_item_similarity
 ORACLE["q177_item_similarity"] = _Q177_SQL
+
+
+# --- q201: HITS hubs & authorities (Kleinberg JACM'99) --------------------
+# The second classic link-analysis scorer next to q126's PageRank: on a
+# DIRECTED graph, authority(v) = sum of hub(u) over in-edges (u,v) and
+# hub(u) = sum of authority(v) over out-edges (u,v), alternated and
+# normalized each half-step. Graph = the event-type transition graph
+# (q126's edges, weight = transition count). THREE alternating
+# iterations UNROLLED — like q126/q193, the iteration count IS the
+# contract, so both engines replay identical arithmetic. Normalization
+# is L1 (divide by the score sum) rather than the textbook L2: the sum
+# goes through DECIMAL(28,15) accumulation (associative → bit-identical
+# at any parallelism) and the per-row division is then a deterministic
+# double op; an L2 norm would add a sqrt over a double sum — also
+# IEEE-exact, but L1 keeps the oracle SQL to one idiom. Scale: each
+# half-step is one shuffle join of the rank relation against edges on
+# the node key; a web-scale run pre-partitions edges by dst (authority
+# step) and src (hub step) once and reuses both exchanges across
+# iterations, and the normalization scalar is an O(1) driver aggregate
+# (control plane, the q126 node-count precedent).
+
+def q201_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    events = tbl(spark, sf_dir, "events")
+    w_user = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = events.select(
+        F.lag("event_type").over(w_user).alias("src"),
+        F.col("event_type").alias("dst"),
+    )
+    edges = (
+        pairs.filter(F.col("src").isNotNull())
+        .groupBy("src", "dst")
+        .agg(F.count("*").cast("bigint").alias("n"))
+        .localCheckpoint()  # reused 6x (3 iterations x 2 half-steps)
+    )
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select("dst"))
+        .distinct()
+        .localCheckpoint()
+    )
+
+    def _l1_normalize(scores: DataFrame, col: str) -> DataFrame:
+        # O(1) driver scalar, mirroring the oracle's scalar subquery;
+        # DECIMAL accumulate makes the sum order-independent
+        total = scores.agg(
+            F.expr(
+                f"CAST(CAST(SUM(CAST({col} AS DECIMAL(28,15)))"
+                " AS STRING) AS DOUBLE)"
+            ).alias("s")
+        ).collect()[0]["s"]
+        return scores.select(
+            "node", (F.col(col) / F.lit(total)).alias(col)
+        )
+
+    hub = nodes.select("node", F.lit(1.0).alias("hub"))
+    auth = None
+    for _ in range(3):
+        auth = (
+            nodes.alias("nd")
+            .join(edges.alias("e"), F.col("e.dst") == F.col("nd.node"), "left")
+            .join(
+                hub.select(
+                    F.col("node").alias("h_node"), F.col("hub").alias("h_val")
+                ),
+                F.col("e.src") == F.col("h_node"),
+                "left",
+            )
+            .groupBy(F.col("nd.node"))
+            .agg(
+                F.expr(
+                    "CAST(CAST(COALESCE(SUM(CAST(h_val * n"
+                    " AS DECIMAL(28,15))), 0) AS STRING) AS DOUBLE)"
+                ).alias("authority")
+            )
+        )
+        auth = _l1_normalize(auth, "authority").localCheckpoint()
+        hub = (
+            nodes.alias("nd")
+            .join(edges.alias("e"), F.col("e.src") == F.col("nd.node"), "left")
+            .join(
+                auth.select(
+                    F.col("node").alias("a_node"),
+                    F.col("authority").alias("a_val"),
+                ),
+                F.col("e.dst") == F.col("a_node"),
+                "left",
+            )
+            .groupBy(F.col("nd.node"))
+            .agg(
+                F.expr(
+                    "CAST(CAST(COALESCE(SUM(CAST(a_val * n"
+                    " AS DECIMAL(28,15))), 0) AS STRING) AS DOUBLE)"
+                ).alias("hub")
+            )
+        )
+        hub = _l1_normalize(hub, "hub").localCheckpoint()
+    # reported scores ROUND(•, 9): the raw-sum magnitudes cross 2^53 at
+    # scale 15, where the engines' double<->DECIMAL conversions drift a
+    # final ulp (the q181/q129 precedent) — rounding the REPORTED values
+    # absorbs that while staying a real regression tripwire
+    return (
+        hub.join(auth.withColumnRenamed("node", "a_node"),
+                 F.col("node") == F.col("a_node"))
+        .select(
+            "node",
+            F.round("hub", 9).alias("hub"),
+            F.round("authority", 9).alias("authority"),
+        )
+    )
+
+
+def _hits_sql(iters: int = 3) -> str:
+    base = """
+WITH pairs AS (
+  SELECT lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS src,
+         event_type AS dst
+  FROM events
+),
+edges AS MATERIALIZED (
+  SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS n
+  FROM pairs WHERE src IS NOT NULL GROUP BY 1, 2
+),
+nodes AS MATERIALIZED (
+  SELECT src AS node FROM edges UNION SELECT dst FROM edges
+),
+h0 AS (SELECT node, CAST(1.0 AS DOUBLE) AS hub FROM nodes)"""
+    step = """,
+a{i}_raw AS MATERIALIZED (
+  SELECT nd.node,
+         CAST(CAST(COALESCE(SUM(CAST(h.hub * e.n AS DECIMAL(28,15))), 0)
+              AS STRING) AS DOUBLE) AS authority
+  FROM nodes nd
+  LEFT JOIN edges e ON e.dst = nd.node
+  LEFT JOIN h{prev} h ON h.node = e.src
+  GROUP BY nd.node
+),
+a{i} AS MATERIALIZED (
+  SELECT node,
+         authority / (SELECT CAST(CAST(SUM(CAST(authority
+                        AS DECIMAL(28,15))) AS STRING) AS DOUBLE)
+                      FROM a{i}_raw) AS authority
+  FROM a{i}_raw
+),
+h{i}_raw AS MATERIALIZED (
+  SELECT nd.node,
+         CAST(CAST(COALESCE(SUM(CAST(a.authority * e.n AS DECIMAL(28,15))), 0)
+              AS STRING) AS DOUBLE) AS hub
+  FROM nodes nd
+  LEFT JOIN edges e ON e.src = nd.node
+  LEFT JOIN a{i} a ON a.node = e.dst
+  GROUP BY nd.node
+),
+h{i} AS MATERIALIZED (
+  SELECT node,
+         hub / (SELECT CAST(CAST(SUM(CAST(hub AS DECIMAL(28,15)))
+                  AS STRING) AS DOUBLE) FROM h{i}_raw) AS hub
+  FROM h{i}_raw
+)"""
+    out = base
+    for i in range(1, iters + 1):
+        out += step.format(i=i, prev=i - 1)
+    return out + f"""
+SELECT h.node, ROUND(h.hub, 9) AS hub, ROUND(a.authority, 9) AS authority
+FROM h{iters} h JOIN a{iters} a ON a.node = h.node
+"""
+
+
+_Q201_SQL = _hits_sql(iters=3)
+
+QUERIES["q201_hits"] = q201_hits
+ORACLE["q201_hits"] = _Q201_SQL

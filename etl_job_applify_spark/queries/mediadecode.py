@@ -336,6 +336,54 @@ GROUP BY lang
 """
 
 
+# --- q204: video scene-change detection (frame differencing) --------------
+# The shot-boundary step of a video-curation pipeline: demux the PVS
+# container, SAD each adjacent frame pair inside the Arrow batch, flag
+# cuts where mean |pixel diff| exceeds 5389/256 (~21.05 — right at the
+# fixture's expected diff, so the flag genuinely splits: the exact SAD
+# depends on how many wrap-around pixels each (doc, frame) offset hits).
+# The cut decision is an integer cross-multiplication — no float
+# threshold drift — and the oracle replays every pixel of both frames
+# of every pair from doc_id arithmetic, so a demux desync or an
+# off-by-one in the pairing breaks the SADs. Plan: one Arrow
+# decode/diff pass, rasters never leave the batch; only |pairs| x 4
+# integers flow on (the q169 sampling discipline).
+
+def q204_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..multimodal import attach_fake_pvs, video_scene_cuts
+
+    docs = tbl(spark, sf_dir, "documents")
+    return video_scene_cuts(attach_fake_pvs(docs))
+
+
+_Q204_SQL = """
+WITH params AS (
+  SELECT doc_id,
+         3 + doc_id % 4 AS nf,
+         4 + doc_id % 5 AS w,
+         3 + doc_id % 4 AS h
+  FROM documents
+),
+pairs AS (
+  SELECT doc_id, w, h, UNNEST(range(1, nf)) AS f
+  FROM params
+),
+sads AS (
+  SELECT doc_id,
+         CAST(f AS INT) AS frame_idx,
+         CAST(3 * w * h AS INT) AS n_px,
+         CAST(list_sum(list_transform(range(0, 3 * w * h),
+               i -> abs((doc_id * 7 + f * 11 + i) % 256
+                        - (doc_id * 7 + (f - 1) * 11 + i) % 256)))
+              AS BIGINT) AS sad
+  FROM pairs
+)
+SELECT doc_id, frame_idx, n_px, sad,
+       sad * 256 > 5389 * n_px AS is_cut
+FROM sads
+"""
+
+
 QUERIES = {
     "q137_ppm_decode": q137_ppm_decode,
     "q138_ppm_resize": q138_ppm_resize,
@@ -343,6 +391,7 @@ QUERIES = {
     "q148_audio_frames": q148_audio_frames,
     "q169_video_frames": q169_video_frames,
     "q192_image_ahash_near_dup": q192_image_ahash_near_dup,
+    "q204_scene_cuts": q204_scene_cuts,
 }
 
 ORACLE = {
@@ -352,4 +401,5 @@ ORACLE = {
     "q148_audio_frames": _Q148_SQL,
     "q169_video_frames": _Q169_SQL,
     "q192_image_ahash_near_dup": _Q192_SQL,
+    "q204_scene_cuts": _Q204_SQL,
 }

@@ -252,13 +252,130 @@ ORDER BY event_type
 """
 
 
+# --- q202: bigram-LM scoring for target-corpus data selection -------------
+# The n-gram upgrade of q168's DSIR unigram weights: train an add-one-
+# smoothed BIGRAM language model on the target slice (lang='en') and
+# score every document by its average conditional probability
+# avg over bigrams of p(w2|w1) = (c(w1,w2)+1) / (c(w1)+V) — the
+# Moore-Lewis / CCNet-style "does this look like my target corpus"
+# selection signal, kept transcendental-free: textbook perplexity takes
+# logs, but log is not bit-stable cross-engine (the q190 lesson), and
+# the AVERAGE conditional probability is a monotone-equivalent ranking
+# for fixed-length comparisons while staying exact — every p is a ratio
+# of integers (deterministic double division) and the per-doc sum goes
+# through the DECIMAL string-hop.
+# Scale: the model (bigram + context counts) is vocab-bounded — orders
+# smaller than the corpus — so the two scoring joins broadcast in
+# practice (AQE sizes them; no unconditional hint). Everything else is
+# one explode + one aggregation per side. V is an O(1) driver scalar
+# (control plane, the q126 node-count precedent).
+
+def q202_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = tbl(spark, sf_dir, "documents")
+    bigram_expr = (
+        "transform(slice(split(text, ' '), 1, size(split(text, ' ')) - 1),"
+        " (w, i) -> struct(w AS w1,"
+        " element_at(split(text, ' '), i + 2) AS w2))"
+    )
+    tgt = docs.filter(F.col("lang") == "en")
+    tgt_bg = tgt.select(
+        F.explode(F.expr(bigram_expr)).alias("bg")
+    ).select("bg.w1", "bg.w2")
+    c12 = tgt_bg.groupBy("w1", "w2").agg(
+        F.count("*").cast("bigint").alias("c12")
+    )
+    c1 = tgt_bg.groupBy("w1").agg(F.count("*").cast("bigint").alias("c1"))
+    vocab_v = (
+        tgt.select(F.explode(F.split("text", " ")).alias("w"))
+        .agg(F.countDistinct("w"))
+        .collect()[0][0]
+    )
+    all_bg = docs.select(
+        "doc_id", "lang", F.explode(F.expr(bigram_expr)).alias("bg")
+    ).select("doc_id", "lang", "bg.w1", "bg.w2")
+    scored = (
+        all_bg.join(c1, "w1", "left")
+        .join(c12, ["w1", "w2"], "left")
+        .withColumn(
+            "p",
+            (
+                (F.coalesce(F.col("c12"), F.lit(0)) + 1).cast("double")
+                / (F.coalesce(F.col("c1"), F.lit(0)) + F.lit(vocab_v)).cast(
+                    "double"
+                )
+            ),
+        )
+    )
+    return (
+        scored.groupBy("doc_id", "lang")
+        .agg(
+            F.count("*").cast("bigint").alias("n_bigrams"),
+            F.expr(_PSUM("p")).alias("psum"),
+        )
+        .select(
+            "doc_id",
+            "lang",
+            "n_bigrams",
+            # ROUND(•, 9): the per-row double→DECIMAL(28,18) casts inside
+            # the accumulate can drift a final ulp cross-engine (the
+            # q181/q129 precedent); rounding the REPORTED score absorbs
+            # it (scores are ~1e-4, so 9 frac digits still separate docs)
+            F.round(
+                F.col("psum") / F.col("n_bigrams"), 9
+            ).alias("avg_cond_prob"),
+        )
+        .orderBy(F.desc("avg_cond_prob"), "doc_id")
+        .limit(40)
+    )
+
+
+_Q202_SQL = f"""
+WITH tgt_bg AS MATERIALIZED (
+  SELECT toks[i] AS w1, toks[i + 1] AS w2
+  FROM (SELECT string_split(text, ' ') AS toks
+        FROM documents WHERE lang = 'en'),
+       unnest(range(1, len(toks))) AS u(i)
+),
+c12 AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12
+        FROM tgt_bg GROUP BY 1, 2),
+c1 AS (SELECT w1, CAST(COUNT(*) AS BIGINT) AS c1
+       FROM tgt_bg GROUP BY 1),
+v AS (SELECT COUNT(DISTINCT w) AS v FROM (
+        SELECT unnest(string_split(text, ' ')) AS w
+        FROM documents WHERE lang = 'en')),
+all_bg AS (
+  SELECT doc_id, lang, toks[i] AS w1, toks[i + 1] AS w2
+  FROM (SELECT doc_id, lang, string_split(text, ' ') AS toks
+        FROM documents),
+       unnest(range(1, len(toks))) AS u(i)
+),
+scored AS (
+  SELECT b.doc_id, b.lang,
+         CAST(COALESCE(c12.c12, 0) + 1 AS DOUBLE)
+           / CAST(COALESCE(c1.c1, 0) + (SELECT v FROM v) AS DOUBLE) AS p
+  FROM all_bg b
+  LEFT JOIN c1 ON c1.w1 = b.w1
+  LEFT JOIN c12 ON c12.w1 = b.w1 AND c12.w2 = b.w2
+)
+SELECT doc_id, lang,
+       CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       ROUND({_PSUM('p')} / COUNT(*), 9) AS avg_cond_prob
+FROM scored
+GROUP BY doc_id, lang
+ORDER BY avg_cond_prob DESC, doc_id
+LIMIT 40
+"""
+
+
 QUERIES = {
     "q181_power_iteration": q181_power_iteration,
     "q182_feature_hashing": q182_feature_hashing,
     "q183_groupwise_regression": q183_groupwise_regression,
+    "q202_bigram_lm": q202_bigram_lm,
 }
 ORACLE = {
     "q181_power_iteration": _Q181_SQL,
     "q182_feature_hashing": _Q182_SQL,
     "q183_groupwise_regression": _Q183_SQL,
+    "q202_bigram_lm": _Q202_SQL,
 }

@@ -1,0 +1,216 @@
+"""Distributed subword tokenizer training (q203).
+
+q203 learns a byte-pair-encoding merge table (Sennrich et al., ACL'16 —
+the tokenizer-training step of every modern LLM data pipeline) as pure
+dataflow: the corpus folds to a (word, freq) vocabulary once, each word
+explodes to a (wid, pos, sym) character sequence, and every merge round
+is (a) one weighted pair count, (b) one O(1) argmax for the best pair,
+(c) a RELATIONAL merge application. No regex replacement is involved —
+cross-engine regex semantics (lookarounds, overlap handling) are not
+portable, so left-to-right greedy pair merging is expressed with window
+functions only:
+
+- ``match``   — (sym, next_sym) equals the round's best pair;
+- overlapping matches can occur ONLY when the pair is a doubled symbol
+  (match at i and i+1 both require sym_{i+1} = s1 = s2), and greedy
+  left-to-right semantics merge the 1st, 3rd, 5th... match of each
+  consecutive run: runs are identified gaps-and-islands style
+  (``pos - running_match_count`` is constant within a run, increases on
+  every non-match) and parity within the run picks the winners;
+- a merged position keeps ``s1 || s2``; the consumed follower drops via
+  ``lag(do_merge)``; positions renumber with ``row_number``.
+
+Iteration count (6 merge rounds) IS the contract, mirrored by the
+unrolled MATERIALIZED-CTE oracle — the q126/q193/q197 discipline.
+Output = the learned merge table plus the weighted corpus token count
+after each merge (exact integers end to end, so the gate pins every
+round's decision, not just the final state).
+
+Scale: this is the VOCABULARY-level BPE formulation — all per-round
+work is over distinct words weighted by frequency, orders of magnitude
+smaller than the corpus (the corpus is touched exactly once, by the
+word count). Window chains partition by word (millions of tiny
+independent partitions — embarrassingly parallel), the pair count is
+one shuffle on the pair key, and the argmax is TakeOrderedAndProject.
+Each round's sequence relation is localCheckpoint-materialized: it
+feeds the next round's windows AND the token-count audit, and peeling
+lineage per round keeps the 6-round chain from re-deriving prefixes
+(the q60 components discipline).
+
+Reference scope: the reference has no analytics surface
+(services/post_processing.py:5-8 is a stub); this extends the
+north-star text-analysis category (token counting existed as q42/q62;
+q203 adds learning the tokenizer itself).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ._util import tbl
+
+_ROUNDS = 6
+
+
+def _merge_round(seq: DataFrame, s1: str, s2: str) -> DataFrame:
+    """Apply one greedy left-to-right merge of (s1, s2) relationally."""
+    w = Window.partitionBy("wid").orderBy("pos")
+    run = Window.partitionBy("wid", "grp")
+    marked = (
+        seq.withColumn(
+            "match",
+            F.coalesce(
+                (F.col("sym") == F.lit(s1))
+                & (F.lead("sym").over(w) == F.lit(s2)),
+                F.lit(False),
+            ),
+        )
+        .withColumn(
+            "mseq",
+            F.sum(F.when(F.col("match"), 1).otherwise(0)).over(w),
+        )
+        .withColumn("grp", F.col("pos") - F.col("mseq"))
+        .withColumn(
+            "do_merge",
+            F.col("match")
+            & (
+                (
+                    F.col("mseq")
+                    - F.min(F.when(F.col("match"), F.col("mseq"))).over(run)
+                )
+                % 2
+                == 0
+            ),
+        )
+        .withColumn(
+            "prev_merge",
+            F.coalesce(F.lag("do_merge").over(w), F.lit(False)),
+        )
+    )
+    return (
+        marked.filter(~F.col("prev_merge"))
+        .select(
+            "wid",
+            "f",
+            F.row_number().over(w).alias("pos"),
+            F.when(
+                F.col("do_merge"), F.concat(F.col("sym"), F.lit(s2))
+            )
+            .otherwise(F.col("sym"))
+            .alias("sym"),
+        )
+    )
+
+
+def q203_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = tbl(spark, sf_dir, "documents")
+    words = (
+        docs.select(F.explode(F.split("text", " ")).alias("wid"))
+        .filter(F.length("wid") >= 2)
+        .groupBy("wid")
+        .agg(F.count("*").cast("bigint").alias("f"))
+    )
+    seq = (
+        words.select(
+            "wid",
+            "f",
+            F.explode(F.expr("sequence(1, length(wid))")).alias("pos"),
+        )
+        .withColumn("sym", F.expr("substring(wid, pos, 1)"))
+        .localCheckpoint()
+    )
+    w = Window.partitionBy("wid").orderBy("pos")
+    merges: list[tuple[int, str, str, int, int]] = []
+    for r in range(1, _ROUNDS + 1):
+        pairs = (
+            seq.withColumn("nxt", F.lead("sym").over(w))
+            .filter(F.col("nxt").isNotNull())
+            .groupBy("sym", "nxt")
+            .agg(F.sum("f").cast("bigint").alias("cnt"))
+        )
+        top = (
+            pairs.orderBy(F.desc("cnt"), "sym", "nxt").limit(1).collect()[0]
+        )  # O(1) driver scalar: the round's best pair (control plane)
+        seq = _merge_round(seq, top["sym"], top["nxt"]).localCheckpoint()
+        tokens_after = seq.agg(F.sum("f")).collect()[0][0]
+        merges.append(
+            (r, top["sym"], top["nxt"], int(top["cnt"]), int(tokens_after))
+        )
+    return spark.createDataFrame(
+        merges,
+        "merge_round int, s1 string, s2 string, pair_count bigint,"
+        " corpus_tokens_after bigint",
+    )
+
+
+def _bpe_sql(rounds: int = _ROUNDS) -> str:
+    base = """
+WITH w0 AS MATERIALIZED (
+  SELECT word AS wid, CAST(COUNT(*) AS BIGINT) AS f
+  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+  WHERE length(word) >= 2
+  GROUP BY 1
+),
+s1 AS MATERIALIZED (
+  SELECT wid, f, CAST(i AS BIGINT) AS pos, substr(wid, CAST(i AS INT), 1) AS sym
+  FROM w0, unnest(range(1, length(wid) + 1)) AS u(i)
+)"""
+    parts = []
+    for r in range(1, rounds + 1):
+        parts.append(f"""
+p{r} AS MATERIALIZED (
+  SELECT sym, nxt, CAST(SUM(f) AS BIGINT) AS cnt
+  FROM (SELECT f, sym,
+               lead(sym) OVER (PARTITION BY wid ORDER BY pos) AS nxt
+        FROM s{r})
+  WHERE nxt IS NOT NULL GROUP BY 1, 2
+),
+t{r} AS MATERIALIZED (
+  SELECT sym AS s1, nxt AS s2, cnt FROM p{r}
+  ORDER BY cnt DESC, sym, nxt LIMIT 1
+),
+m{r} AS MATERIALIZED (
+  SELECT wid, f, pos, sym,
+         match AND ((mseq - MIN(CASE WHEN match THEN mseq END)
+             OVER (PARTITION BY wid, pos - mseq)) % 2 = 0) AS do_merge
+  FROM (
+    SELECT wid, f, pos, sym, match,
+           SUM(CASE WHEN match THEN 1 ELSE 0 END)
+             OVER (PARTITION BY wid ORDER BY pos) AS mseq
+    FROM (
+      SELECT wid, f, pos, sym,
+             COALESCE(sym = (SELECT s1 FROM t{r})
+               AND lead(sym) OVER (PARTITION BY wid ORDER BY pos)
+                   = (SELECT s2 FROM t{r}), FALSE) AS match
+      FROM s{r})
+  )
+),
+s{r + 1} AS MATERIALIZED (
+  SELECT wid, f,
+         ROW_NUMBER() OVER (PARTITION BY wid ORDER BY pos) AS pos,
+         CASE WHEN do_merge THEN sym || (SELECT s2 FROM t{r})
+              ELSE sym END AS sym
+  FROM (
+    SELECT *, COALESCE(lag(do_merge) OVER (PARTITION BY wid ORDER BY pos),
+                       FALSE) AS prev_merge
+    FROM m{r})
+  WHERE NOT prev_merge
+)""")
+    selects = [
+        f"""SELECT {r} AS merge_round, s1, s2, cnt AS pair_count,
+       (SELECT CAST(SUM(f) AS BIGINT) FROM s{r + 1})
+         AS corpus_tokens_after
+FROM t{r}"""
+        for r in range(1, rounds + 1)
+    ]
+    return (
+        base + "," + ",".join(parts) + "\n"
+        + "\nUNION ALL\n".join(selects)
+    )
+
+
+_Q203_SQL = _bpe_sql()
+
+QUERIES = {"q203_bpe_merges": q203_bpe_merges}
+ORACLE = {"q203_bpe_merges": _Q203_SQL}

@@ -3,6 +3,7 @@ Arrow-batched mapInPandas; codec stubs are gated, byte features are real."""
 
 from __future__ import annotations
 
+import numpy as np
 import pytest
 
 from etl_job_applify_spark.multimodal import (
@@ -484,3 +485,46 @@ def test_ahash_rejects_grids_past_int64_capacity(spark):
         ahash_image_batch(media, grid_w=8, grid_h=8)
     # 63 bits (9x7) is the documented maximum and still works
     assert ahash_image_batch(media, grid_w=9, grid_h=7).count() == 1
+
+
+def test_video_scene_cuts_matches_numpy_reference(spark):
+    """SAD per adjacent frame pair must equal an independent recompute
+    from the fixture arithmetic, and the cut flag must follow the exact
+    integer cross-multiplication rule."""
+    from etl_job_applify_spark.multimodal import attach_fake_pvs, video_scene_cuts
+    from etl_job_applify_spark.multimodal.video import (
+        fixture_frame_pixels,
+        fixture_video_params,
+    )
+    from etl_job_applify_spark.multimodal.ppm import fixture_dims
+
+    ids = [3, 7, 12, 25]
+    docs = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    out = {
+        (r["doc_id"], r["frame_idx"]): r
+        for r in video_scene_cuts(attach_fake_pvs(docs)).collect()
+    }
+    n_pairs = 0
+    for d in ids:
+        _, nf = fixture_video_params(d)
+        w, h = fixture_dims(d)
+        for f in range(1, nf):
+            cur = fixture_frame_pixels(d, f, w, h).astype(np.int64)
+            prev = fixture_frame_pixels(d, f - 1, w, h).astype(np.int64)
+            sad = int(np.abs(cur - prev).sum())
+            r = out[(d, f)]
+            assert r["sad"] == sad
+            assert r["n_px"] == 3 * w * h
+            assert r["is_cut"] == (sad * 256 > 5389 * 3 * w * h)
+            n_pairs += 1
+    assert len(out) == n_pairs
+
+
+def test_video_scene_cuts_rejects_bad_threshold(spark):
+    import pytest
+
+    from etl_job_applify_spark.multimodal import attach_fake_pvs, video_scene_cuts
+
+    docs = spark.createDataFrame([(1,)], "doc_id long")
+    with pytest.raises(ValueError, match="thr_den"):
+        video_scene_cuts(attach_fake_pvs(docs), thr_den=0)

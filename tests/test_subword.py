@@ -1,0 +1,91 @@
+"""BPE merge learning (q203): the relational greedy-merge kernel must
+agree with an independent Python reference on arbitrary words, including
+the doubled-symbol overlap cases the run-parity logic exists for."""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from pyspark.sql import functions as F
+
+from etl_job_applify_spark.queries.subword import _merge_round
+
+
+def _greedy_merge(symbols: list[str], s1: str, s2: str) -> list[str]:
+    """Reference: left-to-right greedy pair merge (the BPE definition)."""
+    out: list[str] = []
+    i = 0
+    while i < len(symbols):
+        if (
+            i + 1 < len(symbols)
+            and symbols[i] == s1
+            and symbols[i + 1] == s2
+        ):
+            out.append(s1 + s2)
+            i += 2
+        else:
+            out.append(symbols[i])
+            i += 1
+    return out
+
+
+def _run_merge(spark, words: list[list[str]], s1: str, s2: str):
+    rows = [
+        (f"w{w}", 1, p + 1, sym)
+        for w, syms in enumerate(words)
+        for p, sym in enumerate(syms)
+    ]
+    seq = spark.createDataFrame(
+        rows, "wid string, f bigint, pos int, sym string"
+    )
+    merged = _merge_round(seq, s1, s2)
+    got: dict[str, list[str]] = {}
+    for r in merged.orderBy("wid", "pos").collect():
+        got.setdefault(r["wid"], []).append(r["sym"])
+    return got
+
+
+_sym = st.sampled_from(["a", "b", "ab", "c"])
+
+
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(words=st.lists(st.lists(_sym, min_size=1, max_size=8),
+                      min_size=1, max_size=5))
+def test_merge_round_matches_greedy_reference(spark, words):
+    # the doubled-symbol pair is the hard case: overlapping matches must
+    # resolve left-to-right (run parity), never merge both of an overlap
+    for s1, s2 in [("a", "a"), ("a", "b"), ("ab", "a")]:
+        got = _run_merge(spark, words, s1, s2)
+        want = {
+            f"w{w}": _greedy_merge(syms, s1, s2)
+            for w, syms in enumerate(words)
+        }
+        assert got == want, (s1, s2)
+
+
+def test_merge_round_run_parity_fixed_cases(spark):
+    # a a a a -> aa aa ; a a a -> aa a ; interleaved runs
+    cases = [
+        (["a", "a", "a", "a"], ["aa", "aa"]),
+        (["a", "a", "a"], ["aa", "a"]),
+        (["b", "a", "a", "a", "b", "a", "a"], ["b", "aa", "a", "b", "aa"]),
+    ]
+    got = _run_merge(spark, [c[0] for c in cases], "a", "a")
+    for i, (_, want) in enumerate(cases):
+        assert got[f"w{i}"] == want
+
+
+def test_bpe_merges_smoke(spark):
+    from etl_job_applify_spark.queries.subword import q203_bpe_merges
+
+    out = q203_bpe_merges(spark, "/root/testdata/sf0.001").collect()
+    assert len(out) == 6
+    # merged pair counts are positive and token counts strictly decrease
+    # by exactly pair_count occurrences... (each merge removes one token
+    # per merged occurrence, and occurrences <= pair_count only when
+    # overlaps collapsed; assert monotone decrease)
+    toks = [r["corpus_tokens_after"] for r in out]
+    assert all(t2 < t1 for t1, t2 in zip(toks, toks[1:]))
+    assert all(r["pair_count"] > 0 for r in out)
