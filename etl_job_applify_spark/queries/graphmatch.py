@@ -1172,3 +1172,135 @@ _Q201_SQL = _hits_sql(iters=3)
 
 QUERIES["q201_hits"] = q201_hits
 ORACLE["q201_hits"] = _Q201_SQL
+
+
+# --- q205: label-propagation community detection (LPA) --------------------
+# The community-structure companion of q60's connected components and
+# q193's k-core: synchronous label propagation (Raghavan et al., PRE'07)
+# over the REPEAT co-purchase graph — only pairs bought together in at
+# least 2 distinct orders (the raw 1-cooc graph is a near-clique and
+# LPA correctly collapses it to one community; thresholding is the
+# standard projection-graph densification control). Every node starts labeled with itself;
+# each round it adopts the MODE of its neighbors' labels with a
+# deterministic tie-break (highest count, then smallest label) — unlike
+# components' min-propagation, LPA converges to dense communities, not
+# connectivity classes. FOUR synchronous rounds, materialized per round
+# (localCheckpoint / MATERIALIZED CTE — the q60/q126 discipline), are
+# the contract; both engines replay identical rounds including every
+# tie-break. Output is the community-size histogram (size, n_communities)
+# — scale-stable and fully pinned.
+# Plan per round: neighbor-label relation = the undirected edge list
+# joined to labels in both directions (two shuffle joins on the node
+# key), one (node, label) count aggregate, one row_number window for
+# the deterministic mode. At web scale, pre-partition edges and labels
+# by node once and every round's joins are co-partitioned; rounds
+# shuffle |E| rows — the same per-round cost as components, with the
+# window adding only a per-node sort of its distinct neighbor labels.
+
+def q205_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ROUNDS = 4
+    li = tbl(spark, sf_dir, "lineitem")
+    small_orders = (
+        li.groupBy("l_orderkey")
+        .agg(F.collect_set("l_partkey").alias("parts"))
+        .filter(F.size("parts") <= 7)
+    )
+    edges = (
+        small_orders.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(parts, (x, i) ->"
+                    " transform(slice(parts, i + 2, size(parts)), y ->"
+                    " struct(least(x, y) AS a, greatest(x, y) AS b))))"
+                )
+            ).alias("e")
+        )
+        .select("e.a", "e.b")
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("cooc"))
+        .filter(F.col("cooc") >= 2)
+        .select("a", "b")
+        .localCheckpoint()
+    )
+    und = edges.select(
+        F.col("a").alias("v"), F.col("b").alias("u")
+    ).unionAll(edges.select(F.col("b").alias("v"), F.col("a").alias("u")))
+    labels = (
+        und.select("v").distinct().select("v", F.col("v").alias("lbl"))
+    ).localCheckpoint()
+    w = Window.partitionBy("v").orderBy(F.desc("cnt"), "lbl")
+    for _ in range(ROUNDS):
+        nbr = und.join(
+            labels.select(F.col("v").alias("u"), "lbl"), "u"
+        ).select("v", "lbl")
+        counts = nbr.groupBy("v", "lbl").agg(F.count("*").alias("cnt"))
+        labels = (
+            counts.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("v", "lbl")
+        ).localCheckpoint()
+    return (
+        labels.groupBy("lbl")
+        .agg(F.count("*").alias("sz"))
+        .groupBy(F.col("sz").cast("bigint").alias("community_size"))
+        .agg(F.count("*").cast("bigint").alias("n_communities"))
+    )
+
+
+def _lpa_sql(rounds: int = 4) -> str:
+    base = """
+WITH small_orders AS (
+  SELECT l_orderkey FROM lineitem
+  GROUP BY l_orderkey HAVING COUNT(DISTINCT l_partkey) <= 7
+),
+mem AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+  WHERE l_orderkey IN (SELECT l_orderkey FROM small_orders)
+),
+edges AS MATERIALIZED (
+  SELECT a, b FROM (
+    SELECT m1.l_partkey AS a, m2.l_partkey AS b, COUNT(*) AS cooc
+    FROM mem m1 JOIN mem m2
+      ON m1.l_orderkey = m2.l_orderkey AND m1.l_partkey < m2.l_partkey
+    GROUP BY 1, 2
+  ) WHERE cooc >= 2
+),
+und AS MATERIALIZED (
+  SELECT a AS v, b AS u FROM edges
+  UNION ALL SELECT b AS v, a AS u FROM edges
+),
+l0 AS MATERIALIZED (
+  SELECT v, v AS lbl FROM (SELECT DISTINCT v FROM und)
+)"""
+    steps = []
+    for r in range(1, rounds + 1):
+        steps.append(f"""
+l{r} AS MATERIALIZED (
+  SELECT v, lbl FROM (
+    SELECT v, lbl,
+           ROW_NUMBER() OVER (PARTITION BY v
+                              ORDER BY cnt DESC, lbl) AS rn
+    FROM (
+      SELECT und.v, p.lbl, COUNT(*) AS cnt
+      FROM und JOIN l{r - 1} p ON p.v = und.u
+      GROUP BY und.v, p.lbl
+    )
+  ) WHERE rn = 1
+)""")
+    return (
+        base + "," + ",".join(steps)
+        + f"""
+SELECT CAST(sz AS BIGINT) AS community_size,
+       CAST(COUNT(*) AS BIGINT) AS n_communities
+FROM (SELECT lbl, COUNT(*) AS sz FROM l{rounds} GROUP BY lbl)
+GROUP BY sz
+"""
+    )
+
+
+_Q205_SQL = _lpa_sql()
+
+QUERIES["q205_lpa_communities"] = q205_lpa_communities
+ORACLE["q205_lpa_communities"] = _Q205_SQL

@@ -372,12 +372,103 @@ LIMIT 50
 """
 
 
+# --- q206: DEMA — double exponential smoothing with trend correction -----
+# q164's EWMA lags behind a trending series by construction; DEMA
+# (Mulloy '94) removes first-order lag by smoothing the smoothed series
+# and extrapolating: DEMA = 2*EWMA - EWMA(EWMA), with the residual
+# EWMA - EWMA(EWMA) as the per-step trend estimate — the truncated,
+# bounded-frame cousin of Holt's linear method (whose recursive
+# level/trend state needs a serial scan; this form needs two window
+# passes and parallelizes per key at any scale). Same 8-term
+# power-of-two weight chain as q164 on BOTH passes — exact binary
+# scalings, fixed-order additions, one division per pass — so the
+# result is bit-identical across engines with no decimal detour.
+# Plan: two window sorts over the same (user_id, ts, event_id) key;
+# at scale a repartitionByRange on the key makes the second sort a
+# partition-local re-sort of the first's output.
+
+def _ewma_chain(col: str, prefix: str):
+    num = F.coalesce(F.col(col), F.lit(0.0)) * 1.0
+    den = F.when(F.col(col).isNotNull(), 1.0).otherwise(0.0)
+    for k in range(1, 8):
+        wt = 2.0 ** -k
+        num = num + F.coalesce(F.col(f"{prefix}{k}"), F.lit(0.0)) * wt
+        den = den + F.when(
+            F.col(f"{prefix}{k}").isNotNull(), wt
+        ).otherwise(0.0)
+    return num / den
+
+
+def q206_dema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = tbl(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    lags1 = [F.lag("value", k).over(w).alias(f"x{k}") for k in range(1, 8)]
+    e1 = ev.select("user_id", "event_id", "ts", "value", *lags1).select(
+        "user_id", "event_id", "ts", "value",
+        _ewma_chain("value", "x").alias("ewma"),
+    )
+    lags2 = [F.lag("ewma", k).over(w).alias(f"y{k}") for k in range(1, 8)]
+    e2 = e1.select("user_id", "event_id", "ts", "value", "ewma", *lags2)
+    ewma2 = _ewma_chain("ewma", "y")
+    return e2.select(
+        "user_id",
+        "event_id",
+        "value",
+        "ewma",
+        (F.lit(2.0) * F.col("ewma") - ewma2).alias("dema"),
+        (F.col("ewma") - ewma2).alias("trend"),
+    )
+
+
+def _q206_sql() -> str:
+    def chain(col: str, prefix: str) -> str:
+        num = f"COALESCE({col}, 0.0) * 1.0"
+        den = f"CASE WHEN {col} IS NOT NULL THEN 1.0 ELSE 0.0 END"
+        for k in range(1, 8):
+            wt = repr(2.0 ** -k)
+            num += f" + COALESCE({prefix}{k}, 0.0) * {wt}"
+            den += f" + CASE WHEN {prefix}{k} IS NOT NULL THEN {wt} ELSE 0.0 END"
+        return f"({num}) / ({den})"
+
+    lag1 = ",\n    ".join(
+        f"LAG(value, {k}) OVER (PARTITION BY user_id ORDER BY ts, event_id)"
+        f" AS x{k}"
+        for k in range(1, 8)
+    )
+    lag2 = ",\n    ".join(
+        f"LAG(ewma, {k}) OVER (PARTITION BY user_id ORDER BY ts, event_id)"
+        f" AS y{k}"
+        for k in range(1, 8)
+    )
+    return f"""
+WITH l1 AS (
+  SELECT user_id, event_id, ts, value,
+    {lag1}
+  FROM events
+),
+e1 AS (
+  SELECT user_id, event_id, ts, value, {chain('value', 'x')} AS ewma
+  FROM l1
+),
+l2 AS (
+  SELECT user_id, event_id, ts, value, ewma,
+    {lag2}
+  FROM e1
+)
+SELECT user_id, event_id, value, ewma,
+       2.0 * ewma - {chain('ewma', 'y')} AS dema,
+       ewma - {chain('ewma', 'y')} AS trend
+FROM l2
+"""
+
+
 QUERIES = {
     "q162_resample_interpolate": q162_resample_interpolate,
     "q163_rolling_zscore": q163_rolling_zscore,
     "q164_ewma": q164_ewma,
     "q165_weighted_sample": q165_weighted_sample,
     "q166_seasonal_baseline": q166_seasonal_baseline,
+    "q206_dema": q206_dema,
 }
 ORACLE = {
     "q162_resample_interpolate": _Q162_SQL,
@@ -385,4 +476,5 @@ ORACLE = {
     "q164_ewma": _q164_sql(),
     "q165_weighted_sample": _Q165_SQL,
     "q166_seasonal_baseline": _Q166_SQL,
+    "q206_dema": _q206_sql(),
 }
