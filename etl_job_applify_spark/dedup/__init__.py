@@ -1,5 +1,5 @@
 from .shingles import with_shingles, with_tokens
-from .jaccard import ngram_jaccard_pairs
+from .jaccard import ngram_jaccard_pairs, prefix_filtered_jaccard_pairs
 from .minhash import minhash_lsh_pairs
 from .simhash import simhash_fingerprints, simhash_near_pairs
 from .embedding import embedding_near_dup_pairs
@@ -18,6 +18,7 @@ __all__ = [
     "with_shingles",
     "with_tokens",
     "ngram_jaccard_pairs",
+    "prefix_filtered_jaccard_pairs",
     "minhash_lsh_pairs",
     "simhash_fingerprints",
     "simhash_near_pairs",

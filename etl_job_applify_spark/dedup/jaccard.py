@@ -152,3 +152,101 @@ def ngram_jaccard_pairs(
             (F.col("common") / F.col("sz_b")).alias("containment_b"),
         )
     return scored.select("a", "b", "jaccard")
+
+
+def prefix_filtered_jaccard_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """Exact jaccard pairs via PPJoin-style PREFIX FILTERING (Chaudhuri
+    et al. ICDE'06; Bayardo et al. WWW'07; Xiao et al. WWW'08).
+
+    Same output as :func:`ngram_jaccard_pairs` (same ``threshold`` /
+    ``max_doc_freq`` semantics — the correctness gate pins value
+    equality); different candidate-generation shape. Each document's
+    shingle set is put in a CANONICAL rarest-first order (ascending
+    document frequency, shingle hash as tie-break) and only its first
+    ``|A| - ceil(t*|A|) + 1`` shingles are indexed: if J(A,B) >= t, the
+    canonically-smallest common shingle provably lies in BOTH prefixes
+    (at most ceil(t*|A|)-1 of A's >= t*|A| intersection shingles fit in
+    A's suffix), so joining prefixes loses nothing. Candidates are then
+    verified exactly with one array_intersect over the full hash sets.
+
+    Why this exists next to the inverted-index formulation: the postings
+    self-join's fanout is sum over shingles of df² — the frequency cap
+    bounds it, but every kept shingle still generates its full pair
+    fanout. Prefix filtering cuts the GENERATING relation itself to
+    ~(1-t) of each document (rarest shingles first, which concentrates
+    candidates on discriminative features), at the price of one extra
+    document-frequency aggregation and an array-carrying verify join.
+    The crossover favors prefixes as documents grow and t rises; at the
+    fixture scale the single-shuffle q31 shape measures faster (see
+    BENCHNOTES) — both are kept because they are different points on
+    the same exactness/shape trade.
+    """
+    spread = docs.select(id_col, text_col).repartition(
+        docs.sparkSession.sparkContext.defaultParallelism
+    )
+    sh = with_shingles(spread, text_col, n)
+    postings = sh.select(
+        F.col(id_col).alias("doc"), F.explode("shingles").alias("sh")
+    ).select("doc", F.xxhash64("sh").alias("sh"))
+    dfreq = postings.groupBy("sh").agg(F.count("*").alias("df"))
+    if max_doc_freq is not None:
+        dfreq = dfreq.filter(F.col("df") <= max_doc_freq)
+    kept = postings.join(dfreq, "sh")
+    # canonical rarest-first order rides a per-doc sorted struct array;
+    # array_intersect below is order-insensitive, so one array serves
+    # both the prefix slice and the verification
+    sets = (
+        kept.groupBy("doc")
+        .agg(
+            F.expr(
+                "transform(sort_array(collect_list(struct(df, sh))),"
+                " p -> p.sh)"
+            ).alias("set")
+        )
+        .withColumn("sz", F.size("set"))
+    )
+    prefix = sets.select(
+        "doc",
+        F.explode(
+            F.expr(
+                f"slice(set, 1, sz - CAST(ceil({threshold} * sz) AS INT)"
+                " + 1)"
+            )
+        ).alias("sh"),
+    )
+    cands = (
+        prefix.select(F.col("doc").alias("a"), "sh")
+        .join(prefix.select(F.col("doc").alias("b"), "sh"), "sh")
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+    sa = sets.select(
+        F.col("doc").alias("a"), F.col("set").alias("set_a"),
+        F.col("sz").alias("sz_a"),
+    )
+    sb = sets.select(
+        F.col("doc").alias("b"), F.col("set").alias("set_b"),
+        F.col("sz").alias("sz_b"),
+    )
+    return (
+        cands.join(sa, "a")
+        .join(sb, "b")
+        .withColumn(
+            "common", F.size(F.array_intersect("set_a", "set_b"))
+        )
+        .withColumn(
+            "jaccard",
+            F.col("common")
+            / (F.col("sz_a") + F.col("sz_b") - F.col("common")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("a", "b", "jaccard")
+    )

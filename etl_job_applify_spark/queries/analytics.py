@@ -101,6 +101,26 @@ WHERE common / (sa.sz + sb.sz - common) >= 0.5
 """
 
 
+# --- q207: prefix-filtered exact jaccard (PPJoin candidate generation) ----
+# Same SEMANTICS as q31 (threshold 0.5, cap 50 — the oracle IS q31's SQL,
+# so the gate pins value equality between the two formulations); different
+# candidate-generation shape: rarest-first canonical prefixes are indexed
+# instead of full posting lists, and candidates verify with one
+# array_intersect. See dedup/jaccard.py prefix_filtered_jaccard_pairs for
+# the lemma and the trade (one extra df aggregation + array-carrying
+# verify join vs the posting join's df-squared fanout); two exact
+# formulations checking each other is the same discipline as
+# q167-vs-oracle's two triangle kernels.
+
+def q207_prefix_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..dedup import prefix_filtered_jaccard_pairs
+
+    docs = tbl(spark, sf_dir, "documents")
+    return prefix_filtered_jaccard_pairs(
+        docs, threshold=0.5, max_doc_freq=_Q31_MAX_DOC_FREQ
+    )
+
+
 # --- q32: MinHash LSH near-dup pairs (rows-only: xxhash64 has no DuckDB
 # twin; exact-verification output is jaccard pairs like q31 with
 # LSH-bounded recall) ------------------------------------------------------
@@ -379,6 +399,7 @@ FROM documents
 QUERIES = {
     "q30_dedup_exact": q30_dedup_exact,
     "q31_ngram_jaccard": q31_ngram_jaccard,
+    "q207_prefix_jaccard": q207_prefix_jaccard,
     "q32_minhash_lsh": q32_minhash_lsh,
     "q33_simhash": q33_simhash,
     "q34_cosine_topk": q34_cosine_topk,
@@ -394,6 +415,7 @@ QUERIES = {
 ORACLE = {
     "q30_dedup_exact": _Q30_SQL,
     "q31_ngram_jaccard": _Q31_SQL,
+    "q207_prefix_jaccard": _Q31_SQL,
     "q34_cosine_topk": _Q34_SQL,
     "q36_embedding_near_dup": _Q36_SQL,
     "q37_quantiles": _Q37_SQL,

@@ -187,3 +187,51 @@ def test_shared_span_pairs_cap_drops_boilerplate(spark):
     assert shared_span_pairs(df, n=6, max_doc_freq=4).count() == 0
     # uncapped, the header makes every pair a match (10 pairs)
     assert shared_span_pairs(df, n=6, max_doc_freq=5).count() == 10
+
+
+def test_prefix_filtered_jaccard_equals_inverted_index(spark):
+    """The PPJoin prefix-filter formulation must produce EXACTLY the
+    pairs of the posting-join formulation at several thresholds — the
+    prefix lemma (canonically-smallest common shingle lies in both
+    prefixes when J >= t) must hold on adversarial tiny docs, not just
+    the fixture corpus."""
+    from etl_job_applify_spark.dedup import (
+        ngram_jaccard_pairs,
+        prefix_filtered_jaccard_pairs,
+    )
+
+    words = ["aa", "bb", "cc", "dd", "ee", "ff"]
+    docs = []
+    # every 4-token sequence over a 6-word vocabulary with stride 3 —
+    # dense near-dup structure with many exact-threshold ties
+    import itertools
+
+    for i, combo in enumerate(itertools.islice(
+        itertools.permutations(words, 4), 0, 60, 3
+    )):
+        docs.append((i, " ".join(combo)))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    for t in (0.3, 0.5, 0.8):
+        base = {
+            (r["a"], r["b"]): round(r["jaccard"], 12)
+            for r in ngram_jaccard_pairs(
+                df, n=2, threshold=t, max_doc_freq=30
+            ).collect()
+        }
+        pref = {
+            (r["a"], r["b"]): round(r["jaccard"], 12)
+            for r in prefix_filtered_jaccard_pairs(
+                df, n=2, threshold=t, max_doc_freq=30
+            ).collect()
+        }
+        assert pref == base, (t, len(pref), len(base))
+    # uncapped variant too
+    base = {
+        (r["a"], r["b"]) for r in
+        ngram_jaccard_pairs(df, n=2, threshold=0.5).collect()
+    }
+    pref = {
+        (r["a"], r["b"]) for r in
+        prefix_filtered_jaccard_pairs(df, n=2, threshold=0.5).collect()
+    }
+    assert pref == base
