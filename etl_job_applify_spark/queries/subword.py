@@ -103,7 +103,12 @@ def _merge_round(seq: DataFrame, s1: str, s2: str) -> DataFrame:
     )
 
 
-def q203_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _learn_merges(
+    spark: SparkSession, sf_dir: str
+) -> tuple[list[tuple[int, str, str, int, int]], DataFrame]:
+    """Run the 6 merge rounds; → (merge table rows, final (wid, f, pos,
+    sym) sequence relation — i.e. the trained tokenizer applied to the
+    vocabulary)."""
     docs = tbl(spark, sf_dir, "documents")
     words = (
         docs.select(F.explode(F.split("text", " ")).alias("wid"))
@@ -137,6 +142,11 @@ def q203_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         merges.append(
             (r, top["sym"], top["nxt"], int(top["cnt"]), int(tokens_after))
         )
+    return merges, seq
+
+
+def q203_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    merges, _ = _learn_merges(spark, sf_dir)
     return spark.createDataFrame(
         merges,
         "merge_round int, s1 string, s2 string, pair_count bigint,"
@@ -212,5 +222,84 @@ FROM t{r}"""
 
 _Q203_SQL = _bpe_sql()
 
-QUERIES = {"q203_bpe_merges": q203_bpe_merges}
-ORACLE = {"q203_bpe_merges": _Q203_SQL}
+
+# --- q208: tokenize the corpus with the learned merges (BPE encode) -------
+# The encode half of the tokenizer lifecycle (train -> apply — the same
+# two-phase story as the dedup and retrieval indexes): the post-merge
+# sequence relation IS the trained tokenizer applied to the vocabulary,
+# so encoding the corpus is one join from corpus tokens to per-word
+# subword counts. Words excluded from training (length < 2) tokenize
+# trivially as themselves (1 subword, the COALESCE). Output is the
+# per-language compression readout — words, subwords, exact
+# avg-subwords-per-word ratio — the number a tokenizer-fertility audit
+# of a multilingual corpus actually reports.
+# Scale: training cost is the q203 vocabulary loop; the apply side is
+# one corpus explode + a join against the vocabulary-sized subword-count
+# relation (broadcast in practice, AQE decides) + one aggregation.
+
+def q208_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _, seq = _learn_merges(spark, sf_dir)
+    word_sub = seq.groupBy("wid").agg(
+        F.count("*").cast("bigint").alias("n_sub")
+    )
+    docs = tbl(spark, sf_dir, "documents")
+    toks = docs.select(
+        "lang", F.explode(F.split("text", " ")).alias("wid")
+    )
+    return (
+        toks.join(word_sub, "wid", "left")
+        .withColumn("n_sub", F.coalesce(F.col("n_sub"), F.lit(1)))
+        .groupBy("lang")
+        .agg(
+            F.count("*").cast("bigint").alias("n_words"),
+            F.sum("n_sub").cast("bigint").alias("n_subwords"),
+        )
+        .select(
+            "lang",
+            "n_words",
+            "n_subwords",
+            (
+                F.col("n_subwords").cast("double")
+                / F.col("n_words").cast("double")
+            ).alias("avg_subwords_per_word"),
+        )
+    )
+
+
+def _bpe_encode_sql(rounds: int = _ROUNDS) -> str:
+    # reuse the q203 CTE chain up to the final sequence s{rounds+1}
+    chain = _bpe_sql(rounds)
+    chain = chain[: chain.index("\nSELECT 1 AS merge_round")] if (
+        "\nSELECT 1 AS merge_round" in chain
+    ) else chain.split("\nSELECT ")[0]
+    return (
+        chain
+        + f""",
+word_sub AS (
+  SELECT wid, CAST(COUNT(*) AS BIGINT) AS n_sub
+  FROM s{rounds + 1} GROUP BY wid
+),
+toks AS (
+  SELECT lang, unnest(string_split(text, ' ')) AS wid FROM documents
+)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_words,
+       CAST(SUM(COALESCE(n_sub, 1)) AS BIGINT) AS n_subwords,
+       CAST(SUM(COALESCE(n_sub, 1)) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+         AS avg_subwords_per_word
+FROM toks LEFT JOIN word_sub USING (wid)
+GROUP BY lang
+"""
+    )
+
+
+_Q208_SQL = _bpe_encode_sql()
+
+QUERIES = {
+    "q203_bpe_merges": q203_bpe_merges,
+    "q208_bpe_encode": q208_bpe_encode,
+}
+ORACLE = {
+    "q203_bpe_merges": _Q203_SQL,
+    "q208_bpe_encode": _Q208_SQL,
+}

@@ -89,3 +89,14 @@ def test_bpe_merges_smoke(spark):
     toks = [r["corpus_tokens_after"] for r in out]
     assert all(t2 < t1 for t1, t2 in zip(toks, toks[1:]))
     assert all(r["pair_count"] > 0 for r in out)
+
+
+def test_bpe_encode_fertility_bounds(spark):
+    from etl_job_applify_spark.queries.subword import q208_bpe_encode
+
+    rows = q208_bpe_encode(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    for r in rows:
+        # 6 merges cannot push fertility below 1 or above raw char count
+        assert 1.0 <= r["avg_subwords_per_word"]
+        assert r["n_subwords"] >= r["n_words"]
