@@ -641,6 +641,25 @@ def fold_rollup_batch(
     independent streams can maintain one rollup without epoch-id
     collisions."""
     from ..operators.incremental import aggregate_increment, merge_rollup
+    from ..operators.incremental import aggregate_increment, merge_rollup
+
+    inc = aggregate_increment(batch_df, keys, measures)
+    return _fold_with_fence(
+        batch_df.sparkSession,
+        rollup_path,
+        writer_id,
+        epoch_id,
+        lambda base: merge_rollup(base, inc, keys, measures),
+    )
+
+
+def _fold_with_fence(spark, table_path: str, writer_id: str,
+                     epoch_id: int, merge_fn) -> bool:
+    """The epoch-fenced CAS fold skeleton shared by every exactly-once
+    streaming view (rollup sums, HLL distinct sketches): read the head,
+    skip if this (writer, epoch) marker is already in it, publish
+    ``merge_fn(base)`` with the carried-forward fence set + this marker
+    riding the staging rename, retry on commit races."""
     from ..sinks.versioned import (
         CommitConflict,
         commit_staged,
@@ -651,14 +670,12 @@ def fold_rollup_batch(
     )
 
     mark = f"_epoch_{writer_id}_{epoch_id}"
-    spark = batch_df.sparkSession
-    inc = aggregate_increment(batch_df, keys, measures)
     while True:
-        versions = list_versions(spark, rollup_path)
+        versions = list_versions(spark, table_path)
         base_version = versions[-1] if versions else 0
         prior_marks: list[str] = []
         if base_version:
-            snap = f"{rollup_path}/snap_{base_version:08d}"
+            snap = f"{table_path}/snap_{base_version:08d}"
             # FS-API listing, so the fence works wherever the table
             # lives (same helpers as the versioned dedup/text indexes)
             prior_marks = [
@@ -667,11 +684,11 @@ def fold_rollup_batch(
                 if m.startswith("_epoch_")
             ]
             if mark in prior_marks:
-                return False  # replayed batch: already in the rollup
-            base = read_table(spark, rollup_path)
+                return False  # replayed batch: already in the view
+            base = read_table(spark, table_path)
         else:
             base = None
-        merged = merge_rollup(base, inc, keys, measures)
+        merged = merge_fn(base)
 
         def populate(staging: str) -> None:
             merged.write.mode("overwrite").parquet(staging)
@@ -682,10 +699,92 @@ def fold_rollup_batch(
             fs_touch(spark, f"{staging}/{mark}")
 
         try:
-            commit_staged(spark, rollup_path, base_version, populate)
+            commit_staged(spark, table_path, base_version, populate)
             return True
         except CommitConflict:
             continue  # another writer advanced the head; re-read, retry
+
+
+def fold_distinct_sketch_batch(
+    batch_df: DataFrame,
+    epoch_id: int,
+    view_path: str,
+    keys: list[str],
+    distinct_col: str,
+    writer_id: str = "stream",
+) -> bool:
+    """Streaming APPROXIMATE-DISTINCT materialized view: fold one
+    micro-batch into a versioned per-key HLL sketch table, exactly once
+    (the fold_rollup_batch fence, shared via ``_fold_with_fence``).
+
+    The state per key is one KB-sized HLL sketch + an exact row count;
+    the merge is ``hll_union_agg`` — register-wise max, associative and
+    commutative, so the folded sketch is IDENTICAL to a one-shot
+    ``hll_sketch_agg`` over every row ever folded (no drift across batch
+    boundaries; tests assert estimate equality with the one-shot
+    sketch). This is the streaming twin of q186's daily-sketch rollup:
+    distinct-user counts over an unbounded stream in O(|keys|) state,
+    where an exact streaming COUNT DISTINCT would hold O(stream) state.
+    Read the view with ``distinct_view_readout``."""
+
+    inc = batch_df.groupBy(*keys).agg(
+        F.hll_sketch_agg(distinct_col).alias("sk"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+    def merge(base: DataFrame | None) -> DataFrame:
+        if base is None:
+            return inc
+        return (
+            base.unionByName(inc)
+            .groupBy(*keys)
+            .agg(
+                F.hll_union_agg("sk").alias("sk"),
+                F.sum("n_rows").cast("bigint").alias("n_rows"),
+            )
+        )
+
+    return _fold_with_fence(
+        batch_df.sparkSession, view_path, writer_id, epoch_id, merge
+    )
+
+
+def distinct_view_readout(view: DataFrame, keys: list[str]) -> DataFrame:
+    """(keys..., approx_distinct, n_rows) from the sketch view — O(|keys|)
+    regardless of stream history."""
+    return view.select(
+        *keys,
+        F.hll_sketch_estimate("sk").alias("approx_distinct"),
+        F.col("n_rows"),
+    )
+
+
+def run_distinct_view_stream(
+    stream_df: DataFrame,
+    view_path: str,
+    keys: list[str],
+    distinct_col: str,
+    checkpoint: str | None = None,
+) -> None:
+    """Streaming materialized view of approximate distinct counts per
+    key (see fold_distinct_sketch_batch). ``checkpoint`` makes repeated
+    catch-up runs incremental — without it a fresh start re-reads the
+    source from epoch 0, and the fence correctly discards every batch
+    as a replay (the at-least-once contract doing its job)."""
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        fold_distinct_sketch_batch(
+            batch_df, epoch_id, view_path, keys, distinct_col
+        )
+
+    w = stream_df.writeStream.foreachBatch(sink)
+    if checkpoint is not None:
+        w = w.option("checkpointLocation", checkpoint)
+    q = w.start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
 
 
 def run_rollup_maintenance_stream(

@@ -791,3 +791,68 @@ def test_dynamic_gap_sessions_split_more_than_long_gap(spark):
     assert sum(r["n_events"] for r in dyn) == sum(
         r["n_events"] for r in fixed
     )
+
+
+def test_distinct_sketch_view_matches_oneshot_sketch(spark, tmp_path):
+    """The streaming HLL distinct view folded across micro-batches must
+    equal a one-shot sketch over everything seen (hll_union_agg is a
+    register-wise max — associative, so batch boundaries are invisible),
+    and replays must be no-ops."""
+    import time as _time
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from etl_job_applify_spark.sinks import read_table
+    from etl_job_applify_spark.streaming.jobs import (
+        distinct_view_readout,
+        fold_distinct_sketch_batch,
+        run_distinct_view_stream,
+    )
+
+    src = tmp_path / "dv_src"
+    src.mkdir()
+    view_path = str(tmp_path / "dv_view")
+    pd.DataFrame({"grp": ["a"] * 4 + ["b"] * 2,
+                  "uid": [1, 2, 2, 3, 7, 7]}).to_parquet(src / "a.parquet")
+
+    ckpt = str(tmp_path / "dv_cp")
+    stream = spark.readStream.schema("grp string, uid bigint").parquet(str(src))
+    run_distinct_view_stream(stream, view_path, ["grp"], "uid", ckpt)
+
+    def view_now():
+        return {
+            r["grp"]: (r["approx_distinct"], r["n_rows"])
+            for r in distinct_view_readout(
+                read_table(spark, view_path), ["grp"]
+            ).collect()
+        }
+
+    v1 = view_now()
+    assert v1["a"] == (3, 4) and v1["b"] == (1, 2)
+
+    # replayed epoch: no-op
+    replay = spark.createDataFrame([("a", 999)], "grp string, uid bigint")
+    assert fold_distinct_sketch_batch(
+        replay, 0, view_path, ["grp"], "uid"
+    ) is False
+    assert view_now() == v1
+
+    # second batch folds; folded estimate == one-shot sketch over union
+    _time.sleep(1.1)
+    pd.DataFrame({"grp": ["a", "b", "b"], "uid": [9, 8, 7]}) \
+        .to_parquet(src / "b.parquet")
+    run_distinct_view_stream(
+        spark.readStream.schema("grp string, uid bigint").parquet(str(src)),
+        view_path, ["grp"], "uid", ckpt,
+    )
+    v2 = view_now()
+    allrows = spark.read.parquet(str(src))
+    oneshot = {
+        r["grp"]: r["d"]
+        for r in allrows.groupBy("grp").agg(
+            F.hll_sketch_estimate(F.hll_sketch_agg("uid")).alias("d")
+        ).collect()
+    }
+    assert {k: v[0] for k, v in v2.items()} == oneshot
+    assert v2["a"][1] == 5 and v2["b"][1] == 4
