@@ -806,3 +806,157 @@ FROM conv
 
 QUERIES["q187_timeboxed_funnel"] = q187_timeboxed_funnel
 ORACLE["q187_timeboxed_funnel"] = _Q187_SQL
+
+
+# --- q209: CUPED variance-reduced A/B readout -----------------------------
+# The production upgrade of q178's raw readout (Deng et al., WSDM'13 —
+# standard at every experimentation platform): per user, Y = total value
+# in the experiment period (Jan 15+), X = total value in the pre-period
+# (before Jan 15, unaffected by treatment BY CONSTRUCTION). theta =
+# cov(X,Y)/var(X) pooled over all users; the adjusted metric
+# Y' = Y - theta*(X - mean(X)) has the same expected lift but variance
+# shrunk by the squared X-Y correlation. Everything derives from SIX
+# decimal-accumulated moments (n, Sx, Sy, Sxy, Sxx, Syy — the q183
+# idiom), per arm and pooled; theta and the adjusted means/variances are
+# then deterministic double arithmetic, and the reported doubles are
+# ROUND(•,9) (mid-pipeline double→DECIMAL casts can drift an ulp
+# cross-engine; q181 precedent). Users with no pre-period events carry
+# X = 0 — a value, not a null, so they stay in the adjustment.
+# Plan: ONE scan of events (conditional sums split the periods), one
+# per-user aggregate, one global + one per-arm moment aggregate over
+# the user-level relation; everything after the user rollup is
+# arm-cardinality-sized. Scan-bound at any scale.
+# Honest fixture note: the synthetic stream's pre/post user totals are
+# nearly independent (theta ~ 0.07), so the variance reduction here is
+# small — on real metrics (retention-heavy, correlated across weeks)
+# theta is 0.5-0.9 and the reduction is the method's entire point. The
+# readout still pins the full moment/theta/adjustment arithmetic.
+
+def q209_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = tbl(spark, sf_dir, "events")
+    cutoff = "TIMESTAMP '2024-01-15 00:00:00'"
+    per_user = (
+        ev.groupBy("user_id")
+        .agg(
+            F.expr(
+                f"CAST(SUM(CASE WHEN ts < {cutoff} THEN"
+                " CAST(value AS DECIMAL(28,6)) ELSE CAST(0 AS"
+                " DECIMAL(28,6)) END) AS DOUBLE)"
+            ).alias("x"),
+            F.expr(
+                f"CAST(SUM(CASE WHEN ts >= {cutoff} THEN"
+                " CAST(value AS DECIMAL(28,6)) ELSE CAST(0 AS"
+                " DECIMAL(28,6)) END) AS DOUBLE)"
+            ).alias("y"),
+        )
+        .select(
+            "x",
+            "y",
+            F.expr(
+                "instr('0123456789abcdef',"
+                " substring(md5(CAST(user_id AS STRING)), 1, 1)) % 2"
+            ).alias("arm"),
+        )
+    )
+    M = lambda e: (  # noqa: E731
+        f"CAST(CAST(SUM(CAST(({e}) AS DECIMAL(28,6))) AS STRING) AS DOUBLE)"
+    )
+    pooled = per_user.agg(
+        F.count("*").alias("n"),
+        F.expr(M("x")).alias("sx"),
+        F.expr(M("y")).alias("sy"),
+        F.expr(M("x * y")).alias("sxy"),
+        F.expr(M("x * x")).alias("sxx"),
+    ).collect()[0]  # O(1) driver scalars (control plane, q126 precedent)
+    n = pooled["n"]
+    mean_x = pooled["sx"] / n
+    var_x = pooled["sxx"] / n - mean_x * mean_x
+    cov_xy = pooled["sxy"] / n - mean_x * (pooled["sy"] / n)
+    theta = cov_xy / var_x
+    arms = per_user.groupBy("arm").agg(
+        F.count("*").cast("bigint").alias("n_users"),
+        F.expr(M("x")).alias("sx"),
+        F.expr(M("y")).alias("sy"),
+        F.expr(M("x * y")).alias("sxy"),
+        F.expr(M("x * x")).alias("sxx"),
+        F.expr(M("y * y")).alias("syy"),
+    )
+    na = F.col("n_users").cast("double")
+    mx, my = F.col("sx") / na, F.col("sy") / na
+    var_y = F.col("syy") / na - my * my
+    var_xa = F.col("sxx") / na - mx * mx
+    cov_a = F.col("sxy") / na - mx * my
+    var_adj = (
+        var_y
+        - F.lit(2.0) * F.lit(theta) * cov_a
+        + F.lit(theta) * F.lit(theta) * var_xa
+    )
+    return arms.select(
+        F.col("arm").cast("int").alias("arm"),
+        "n_users",
+        F.round(my, 9).alias("mean_raw"),
+        F.round(
+            my - F.lit(theta) * (mx - F.lit(mean_x)), 9
+        ).alias("mean_cuped"),
+        F.round(var_y, 9).alias("var_raw"),
+        F.round(var_adj, 9).alias("var_cuped"),
+        F.round(F.lit(theta), 9).alias("theta"),
+    ).orderBy("arm")
+
+
+_Q209_SQL = """
+WITH per_user AS (
+  SELECT
+    CAST(SUM(CASE WHEN ts < TIMESTAMP '2024-01-15 00:00:00' THEN
+      CAST(value AS DECIMAL(28,6)) ELSE CAST(0 AS DECIMAL(28,6)) END)
+      AS DOUBLE) AS x,
+    CAST(SUM(CASE WHEN ts >= TIMESTAMP '2024-01-15 00:00:00' THEN
+      CAST(value AS DECIMAL(28,6)) ELSE CAST(0 AS DECIMAL(28,6)) END)
+      AS DOUBLE) AS y,
+    strpos('0123456789abcdef',
+           substr(md5(CAST(user_id AS VARCHAR)), 1, 1)) % 2 AS arm
+  FROM events GROUP BY user_id
+),
+pooled AS (
+  SELECT COUNT(*) AS n,
+    CAST(CAST(SUM(CAST(x AS DECIMAL(28,6))) AS STRING) AS DOUBLE) AS sx,
+    CAST(CAST(SUM(CAST(y AS DECIMAL(28,6))) AS STRING) AS DOUBLE) AS sy,
+    CAST(CAST(SUM(CAST(x * y AS DECIMAL(28,6))) AS STRING) AS DOUBLE) AS sxy,
+    CAST(CAST(SUM(CAST(x * x AS DECIMAL(28,6))) AS STRING) AS DOUBLE) AS sxx
+  FROM per_user
+),
+g AS (
+  SELECT sx / n AS mean_x,
+         (sxy / n - (sx / n) * (sy / n))
+           / (sxx / n - (sx / n) * (sx / n)) AS theta
+  FROM pooled
+),
+arms AS (
+  SELECT arm, CAST(COUNT(*) AS BIGINT) AS n_users,
+    CAST(CAST(SUM(CAST(x AS DECIMAL(28,6))) AS STRING) AS DOUBLE) AS sx,
+    CAST(CAST(SUM(CAST(y AS DECIMAL(28,6))) AS STRING) AS DOUBLE) AS sy,
+    CAST(CAST(SUM(CAST(x * y AS DECIMAL(28,6))) AS STRING) AS DOUBLE) AS sxy,
+    CAST(CAST(SUM(CAST(x * x AS DECIMAL(28,6))) AS STRING) AS DOUBLE) AS sxx,
+    CAST(CAST(SUM(CAST(y * y AS DECIMAL(28,6))) AS STRING) AS DOUBLE) AS syy
+  FROM per_user GROUP BY arm
+)
+SELECT CAST(arm AS INT) AS arm,
+       n_users,
+       ROUND(sy / n_users, 9) AS mean_raw,
+       ROUND(sy / n_users
+             - g.theta * (sx / n_users - g.mean_x), 9) AS mean_cuped,
+       ROUND(syy / n_users - (sy / n_users) * (sy / n_users), 9)
+         AS var_raw,
+       ROUND(syy / n_users - (sy / n_users) * (sy / n_users)
+             - 2 * g.theta * (sxy / n_users
+                              - (sx / n_users) * (sy / n_users))
+             + g.theta * g.theta
+               * (sxx / n_users - (sx / n_users) * (sx / n_users)), 9)
+         AS var_cuped,
+       ROUND(g.theta, 9) AS theta
+FROM arms, g
+ORDER BY arm
+"""
+
+QUERIES["q209_cuped"] = q209_cuped
+ORACLE["q209_cuped"] = _Q209_SQL
