@@ -367,15 +367,110 @@ LIMIT 40
 """
 
 
+
+# --- q210: nearest-centroid classifier evaluation -------------------------
+# The supervised twin of q129's k-means: per-label centroids from a
+# deterministic train split (vec_id % 4 != 0), every held-out vector
+# classified by squared-euclidean argmin against the centroids, readout
+# = per-label accuracy. Centroid means are exact-sum / count divisions;
+# distances reuse q129's DECIMAL string-hop accumulate; the argmin
+# tie-breaks on label. This is the eval loop of a classical classifier
+# expressed as dataflow — at 100 TB the exploded (vec, d, x) relation
+# is traded for the array fold exactly as q129's scale note describes,
+# and the centroid relation (labels x 64 dims) broadcasts.
+# Honest fixture note: the synthetic embeddings are label-independent,
+# so accuracy sits at chance (~1/|labels|) — the gate pins the
+# centroid/distance/argmin arithmetic, not a modeling claim.
+
+def q210_nearest_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = tbl(spark, sf_dir, "embeddings")
+    pts = emb.select(
+        "vec_id", "label", F.posexplode("embedding").alias("d", "x")
+    )
+    train = pts.filter(F.col("vec_id") % 4 != 0)
+    test = pts.filter(F.col("vec_id") % 4 == 0)
+    cent = train.groupBy(F.col("label").alias("cl"), "d").agg(
+        (F.expr(_PSUM("x")) / F.count("*")).alias("c")
+    )
+    dist = (
+        test.join(F.broadcast(cent), "d")
+        .groupBy("vec_id", "label", "cl")
+        .agg(F.expr(_PSUM("(x - c) * (x - c)")).alias("dist"))
+    )
+    pred = dist.withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("vec_id").orderBy("dist", "cl")
+        ),
+    ).filter(F.col("rn") == 1)
+    return (
+        pred.groupBy("label")
+        .agg(
+            F.count("*").cast("bigint").alias("n_test"),
+            F.sum(
+                (F.col("cl") == F.col("label")).cast("int")
+            ).cast("bigint").alias("n_correct"),
+        )
+        .select(
+            "label",
+            "n_test",
+            "n_correct",
+            (
+                F.col("n_correct").cast("double")
+                / F.col("n_test").cast("double")
+            ).alias("accuracy"),
+        )
+        .orderBy("label")
+    )
+
+
+_Q210_SQL = f"""
+WITH pts AS (
+  SELECT vec_id, label, i - 1 AS d, CAST(embedding[i] AS DOUBLE) AS x
+  FROM embeddings CROSS JOIN (SELECT unnest(range(1, {_DIMS + 1})) AS i) dims
+),
+cent AS (
+  SELECT label AS cl, d, {_PSUM('x')} / COUNT(*) AS c
+  FROM pts WHERE vec_id % 4 != 0 GROUP BY label, d
+),
+dist AS (
+  SELECT p.vec_id, p.label, cent.cl,
+         {_PSUM('(p.x - cent.c) * (p.x - cent.c)')} AS dist
+  FROM pts p JOIN cent ON p.d = cent.d
+  WHERE p.vec_id % 4 = 0
+  GROUP BY p.vec_id, p.label, cent.cl
+),
+pred AS (
+  SELECT vec_id, label, cl FROM (
+    SELECT vec_id, label, cl,
+           ROW_NUMBER() OVER (PARTITION BY vec_id
+                              ORDER BY dist, cl) AS rn
+    FROM dist
+  ) WHERE rn = 1
+)
+SELECT label,
+       CAST(COUNT(*) AS BIGINT) AS n_test,
+       CAST(SUM(CASE WHEN cl = label THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_correct,
+       CAST(SUM(CASE WHEN cl = label THEN 1 ELSE 0 END) AS DOUBLE)
+         / CAST(COUNT(*) AS DOUBLE) AS accuracy
+FROM pred
+GROUP BY label
+ORDER BY label
+"""
+
+
 QUERIES = {
     "q181_power_iteration": q181_power_iteration,
     "q182_feature_hashing": q182_feature_hashing,
     "q183_groupwise_regression": q183_groupwise_regression,
     "q202_bigram_lm": q202_bigram_lm,
+    "q210_nearest_centroid": q210_nearest_centroid,
 }
 ORACLE = {
     "q181_power_iteration": _Q181_SQL,
     "q182_feature_hashing": _Q182_SQL,
     "q183_groupwise_regression": _Q183_SQL,
     "q202_bigram_lm": _Q202_SQL,
+    "q210_nearest_centroid": _Q210_SQL,
 }
