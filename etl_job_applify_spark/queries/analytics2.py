@@ -960,3 +960,133 @@ ORDER BY arm
 
 QUERIES["q209_cuped"] = q209_cuped
 ORACLE["q209_cuped"] = _Q209_SQL
+
+
+# --- q211: time-decay multi-touch attribution -----------------------------
+# The decay-weighted middle ground between q174's first/last-touch
+# models: every purchase distributes its value over ALL preceding
+# touchpoints (view/click/signup) in a 72 h lookback, weighted
+# 2^-floor(hours/12) — half-life 12 h as EXACT binary scalings
+# (1 / (1 << k), k in 0..5; no pow(), no libm). Every weight is a
+# multiple of 2^-6, so the per-purchase normalizer is an EXACT double
+# sum regardless of addition order (no decimal detour needed until the
+# final per-type credit sums, which ride the string hop).
+# Plan: the purchase-to-touch relation is a per-user interval join
+# (equi-join on user_id + time-band residual — the q08/q54b shape, AQE
+# splits hot users); the normalizer is one window sum over the credit
+# relation; unattributed purchases surface as an explicit 'none' row
+# via anti-join, so the credited total reconciles to total purchase
+# value by construction.
+
+def q211_time_decay_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = tbl(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("p_id"),
+        F.col("ts").alias("p_ts"),
+        F.col("value").alias("p_value"),
+    )
+    t = ev.filter(
+        F.col("event_type").isin("view", "click", "signup")
+    ).select(
+        F.col("user_id").alias("t_user"),
+        F.col("event_id").alias("t_id"),
+        F.col("ts").alias("t_ts"),
+        F.col("event_type").alias("touch_type"),
+    )
+    joined = p.join(
+        t,
+        (F.col("p_user") == F.col("t_user"))
+        & (
+            (F.col("t_ts") < F.col("p_ts"))
+            | (
+                (F.col("t_ts") == F.col("p_ts"))
+                & (F.col("t_id") < F.col("p_id"))
+            )
+        )
+        & (
+            F.expr("unix_micros(p_ts) - unix_micros(t_ts)")
+            <= 72 * 3600 * 1000000
+        ),
+    ).withColumn(
+        "w",
+        F.expr(
+            "CAST(1 AS DOUBLE) / CAST(shiftleft(1, CAST("
+            "floor((unix_micros(p_ts) - unix_micros(t_ts))"
+            " / (12.0 * 3600 * 1000000)) AS INT)) AS DOUBLE)"
+        ),
+    )
+    wsum = Window.partitionBy("p_id")
+    credits = joined.withColumn(
+        "credit", F.col("p_value") * F.col("w") / F.sum("w").over(wsum)
+    )
+    attributed = credits.groupBy("touch_type").agg(
+        F.count("*").cast("bigint").alias("n_credits"),
+        F.expr(
+            "CAST(CAST(SUM(CAST(credit AS DECIMAL(28,6))) AS STRING)"
+            " AS DOUBLE)"
+        ).alias("credited_value"),
+    )
+    none_row = (
+        p.join(
+            credits.select("p_id").distinct(), "p_id", "left_anti"
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("n_credits"),
+            F.expr(
+                "CAST(CAST(SUM(CAST(p_value AS DECIMAL(28,6))) AS STRING)"
+                " AS DOUBLE)"
+            ).alias("credited_value"),
+        )
+        .select(F.lit("none").alias("touch_type"), "n_credits",
+                "credited_value")
+    )
+    return attributed.unionByName(none_row).orderBy("touch_type")
+
+
+_Q211_SQL = """
+WITH p AS (
+  SELECT user_id AS p_user, event_id AS p_id, ts AS p_ts,
+         value AS p_value
+  FROM events WHERE event_type = 'purchase'
+),
+t AS (
+  SELECT user_id AS t_user, event_id AS t_id, ts AS t_ts,
+         event_type AS touch_type
+  FROM events WHERE event_type IN ('view', 'click', 'signup')
+),
+joined AS (
+  SELECT p.*, t.touch_type,
+         CAST(1 AS DOUBLE) / CAST(1 << CAST(
+           floor((epoch_us(p_ts) - epoch_us(t_ts))
+                 / (12.0 * 3600 * 1000000)) AS INT) AS DOUBLE) AS w
+  FROM p JOIN t ON p_user = t_user
+   AND (t_ts < p_ts OR (t_ts = p_ts AND t_id < p_id))
+   AND epoch_us(p_ts) - epoch_us(t_ts) <= CAST(72 AS BIGINT) * 3600 * 1000000
+),
+credits AS (
+  SELECT touch_type, p_id,
+         p_value * w / SUM(w) OVER (PARTITION BY p_id) AS credit
+  FROM joined
+),
+attributed AS (
+  SELECT touch_type,
+         CAST(COUNT(*) AS BIGINT) AS n_credits,
+         CAST(CAST(SUM(CAST(credit AS DECIMAL(28,6))) AS STRING)
+              AS DOUBLE) AS credited_value
+  FROM credits GROUP BY touch_type
+),
+none_row AS (
+  SELECT 'none' AS touch_type,
+         CAST(COUNT(*) AS BIGINT) AS n_credits,
+         CAST(CAST(SUM(CAST(p_value AS DECIMAL(28,6))) AS STRING)
+              AS DOUBLE) AS credited_value
+  FROM p WHERE p_id NOT IN (SELECT DISTINCT p_id FROM credits)
+)
+SELECT * FROM attributed
+UNION ALL SELECT * FROM none_row
+ORDER BY touch_type
+"""
+
+QUERIES["q211_time_decay_attribution"] = q211_time_decay_attribution
+ORACLE["q211_time_decay_attribution"] = _Q211_SQL
