@@ -52,6 +52,11 @@ HEADLINE = [
     # coreness histogram (ascending-threshold peel)
     "q194_bm25_index_probe",
     "q197_coreness",
+    # round 7 continuation: tokenizer training (6 relational merge
+    # rounds over the weighted vocabulary) and label-propagation
+    # communities over the thresholded co-purchase graph
+    "q203_bpe_merges",
+    "q205_lpa_communities",
 ]
 
 #: measured passes per query. Single-run snapshots kept recording ±20%
