@@ -7,6 +7,7 @@ from .components import connected_components
 from .salting import (
     differential_salted_join,
     hot_keys,
+    profile_join_keys,
     salted_agg_sum,
     salted_join,
 )
@@ -29,6 +30,7 @@ __all__ = [
     "salted_join",
     "hot_keys",
     "differential_salted_join",
+    "profile_join_keys",
     "ApproxTriangleStats",
     "TriangleStats",
     "approx_triangle_stats",

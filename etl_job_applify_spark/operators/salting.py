@@ -139,3 +139,46 @@ def differential_salted_join(
     )
     cold_joined = big_cold.join(small_cold, keys, "inner")
     return hot_joined.unionByName(cold_joined)
+
+
+def profile_join_keys(df: DataFrame, cols: Sequence[str]) -> DataFrame:
+    """Skew diagnostic for prospective join/groupBy keys: per column,
+    exact row count, distinct-key count, and the row share of the
+    heaviest key and the heaviest 10 — the numbers that decide between
+    a plain shuffle join, AQE skew splitting, and differential salting
+    (``hot_keys`` / ``differential_salted_join``). One aggregation per
+    column; the readouts are O(1) driver scalars (control plane — the
+    q126 precedent), so nothing key-cardinality-sized leaves the
+    executors. Boundary ties in the top-10 are share-invariant (equal
+    counts sum identically whichever side of the LIMIT they land on),
+    so the output is deterministic without a tie-break.
+    """
+    spark = df.sparkSession
+    rows = []
+    for c in cols:
+        counts = df.groupBy(c).agg(F.count("*").alias("n"))
+        head = counts.agg(
+            F.sum("n").alias("n_rows"),
+            F.count("*").alias("n_distinct"),
+            F.max("n").alias("top1"),
+        ).collect()[0]
+        top10 = (
+            counts.orderBy(F.desc("n"))
+            .limit(10)
+            .agg(F.sum("n"))
+            .collect()[0][0]
+        )
+        rows.append(
+            (
+                c,
+                int(head["n_rows"]),
+                int(head["n_distinct"]),
+                float(head["top1"]) / float(head["n_rows"]),
+                float(top10) / float(head["n_rows"]),
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "key_col string, n_rows bigint, n_distinct bigint,"
+        " top1_share double, top10_share double",
+    )

@@ -271,48 +271,15 @@ ORDER BY event_type
 # (control plane, the q126 node-count precedent).
 
 def q202_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..transform.langmodel import bigram_lm_scores
+
     docs = tbl(spark, sf_dir, "documents")
-    bigram_expr = (
-        "transform(slice(split(text, ' '), 1, size(split(text, ' ')) - 1),"
-        " (w, i) -> struct(w AS w1,"
-        " element_at(split(text, ' '), i + 2) AS w2))"
-    )
-    tgt = docs.filter(F.col("lang") == "en")
-    tgt_bg = tgt.select(
-        F.explode(F.expr(bigram_expr)).alias("bg")
-    ).select("bg.w1", "bg.w2")
-    c12 = tgt_bg.groupBy("w1", "w2").agg(
-        F.count("*").cast("bigint").alias("c12")
-    )
-    c1 = tgt_bg.groupBy("w1").agg(F.count("*").cast("bigint").alias("c1"))
-    vocab_v = (
-        tgt.select(F.explode(F.split("text", " ")).alias("w"))
-        .agg(F.countDistinct("w"))
-        .collect()[0][0]
-    )
-    all_bg = docs.select(
-        "doc_id", "lang", F.explode(F.expr(bigram_expr)).alias("bg")
-    ).select("doc_id", "lang", "bg.w1", "bg.w2")
-    scored = (
-        all_bg.join(c1, "w1", "left")
-        .join(c12, ["w1", "w2"], "left")
-        .withColumn(
-            "p",
-            (
-                (F.coalesce(F.col("c12"), F.lit(0)) + 1).cast("double")
-                / (F.coalesce(F.col("c1"), F.lit(0)) + F.lit(vocab_v)).cast(
-                    "double"
-                )
-            ),
-        )
+    scores = bigram_lm_scores(
+        docs, docs.filter(F.col("lang") == "en"),
+        id_cols=("doc_id", "lang"),
     )
     return (
-        scored.groupBy("doc_id", "lang")
-        .agg(
-            F.count("*").cast("bigint").alias("n_bigrams"),
-            F.expr(_PSUM("p")).alias("psum"),
-        )
-        .select(
+        scores.select(
             "doc_id",
             "lang",
             "n_bigrams",
@@ -320,9 +287,7 @@ def q202_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
             # the accumulate can drift a final ulp cross-engine (the
             # q181/q129 precedent); rounding the REPORTED score absorbs
             # it (scores are ~1e-4, so 9 frac digits still separate docs)
-            F.round(
-                F.col("psum") / F.col("n_bigrams"), 9
-            ).alias("avg_cond_prob"),
+            F.round("avg_cond_prob", 9).alias("avg_cond_prob"),
         )
         .orderBy(F.desc("avg_cond_prob"), "doc_id")
         .limit(40)

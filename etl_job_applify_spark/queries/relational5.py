@@ -575,3 +575,41 @@ QUERIES["q184_skew_join"] = q184_skew_join
 QUERIES["q185_restore_lineage"] = q185_restore_lineage
 ORACLE["q184_skew_join"] = _Q184_SQL
 ORACLE["q185_restore_lineage"] = _Q185_SQL
+
+
+# --- q212: join-key skew profile ------------------------------------------
+# The diagnostic that chooses the join strategy at 100 TB: per
+# prospective key column, exact cardinality and the row share of the
+# heaviest key / heaviest 10 (operators/salting.py profile_join_keys).
+# top1_share >> 1/n_distinct is the salting signal; the three lineitem
+# join keys profile differently by construction (orders have few lines,
+# parts and suppliers recur corpus-wide). Exact integer ratios; top-10
+# boundary ties are share-invariant, so no tie-break is needed.
+
+def q212_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import profile_join_keys
+
+    li = tbl(spark, sf_dir, "lineitem")
+    return profile_join_keys(li, ["l_orderkey", "l_partkey", "l_suppkey"])
+
+
+def _skew_profile_sql() -> str:
+    parts = []
+    for c in ("l_orderkey", "l_partkey", "l_suppkey"):
+        parts.append(f"""
+SELECT '{c}' AS key_col,
+       CAST(SUM(n) AS BIGINT) AS n_rows,
+       CAST(COUNT(*) AS BIGINT) AS n_distinct,
+       CAST(MAX(n) AS DOUBLE) / CAST(SUM(n) AS DOUBLE) AS top1_share,
+       (SELECT CAST(SUM(n) AS DOUBLE) FROM (
+          SELECT n FROM (SELECT COUNT(*) AS n FROM lineitem GROUP BY {c})
+          ORDER BY n DESC LIMIT 10))
+         / CAST(SUM(n) AS DOUBLE) AS top10_share
+FROM (SELECT COUNT(*) AS n FROM lineitem GROUP BY {c})""")
+    return "\nUNION ALL\n".join(parts)
+
+
+_Q212_SQL = _skew_profile_sql()
+
+QUERIES["q212_skew_profile"] = q212_skew_profile
+ORACLE["q212_skew_profile"] = _Q212_SQL

@@ -49,100 +49,23 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ._util import tbl
+from ..transform.subword import bpe_merge_round as _merge_round  # noqa: F401 (kernel home: transform/subword.py)
 
 _ROUNDS = 6
-
-
-def _merge_round(seq: DataFrame, s1: str, s2: str) -> DataFrame:
-    """Apply one greedy left-to-right merge of (s1, s2) relationally."""
-    w = Window.partitionBy("wid").orderBy("pos")
-    run = Window.partitionBy("wid", "grp")
-    marked = (
-        seq.withColumn(
-            "match",
-            F.coalesce(
-                (F.col("sym") == F.lit(s1))
-                & (F.lead("sym").over(w) == F.lit(s2)),
-                F.lit(False),
-            ),
-        )
-        .withColumn(
-            "mseq",
-            F.sum(F.when(F.col("match"), 1).otherwise(0)).over(w),
-        )
-        .withColumn("grp", F.col("pos") - F.col("mseq"))
-        .withColumn(
-            "do_merge",
-            F.col("match")
-            & (
-                (
-                    F.col("mseq")
-                    - F.min(F.when(F.col("match"), F.col("mseq"))).over(run)
-                )
-                % 2
-                == 0
-            ),
-        )
-        .withColumn(
-            "prev_merge",
-            F.coalesce(F.lag("do_merge").over(w), F.lit(False)),
-        )
-    )
-    return (
-        marked.filter(~F.col("prev_merge"))
-        .select(
-            "wid",
-            "f",
-            F.row_number().over(w).alias("pos"),
-            F.when(
-                F.col("do_merge"), F.concat(F.col("sym"), F.lit(s2))
-            )
-            .otherwise(F.col("sym"))
-            .alias("sym"),
-        )
-    )
 
 
 def _learn_merges(
     spark: SparkSession, sf_dir: str
 ) -> tuple[list[tuple[int, str, str, int, int]], DataFrame]:
-    """Run the 6 merge rounds; → (merge table rows, final (wid, f, pos,
-    sym) sequence relation — i.e. the trained tokenizer applied to the
-    vocabulary)."""
-    docs = tbl(spark, sf_dir, "documents")
-    words = (
-        docs.select(F.explode(F.split("text", " ")).alias("wid"))
-        .filter(F.length("wid") >= 2)
-        .groupBy("wid")
-        .agg(F.count("*").cast("bigint").alias("f"))
+    """Run the 6 merge rounds on the documents fixture; the kernel lives
+    in transform/subword.py (learn_bpe) so pipelines can train
+    tokenizers on arbitrary corpora — this wrapper just binds the
+    fixture table and the round contract."""
+    from ..transform.subword import learn_bpe
+
+    return learn_bpe(
+        tbl(spark, sf_dir, "documents"), rounds=_ROUNDS, min_word_len=2
     )
-    seq = (
-        words.select(
-            "wid",
-            "f",
-            F.explode(F.expr("sequence(1, length(wid))")).alias("pos"),
-        )
-        .withColumn("sym", F.expr("substring(wid, pos, 1)"))
-        .localCheckpoint()
-    )
-    w = Window.partitionBy("wid").orderBy("pos")
-    merges: list[tuple[int, str, str, int, int]] = []
-    for r in range(1, _ROUNDS + 1):
-        pairs = (
-            seq.withColumn("nxt", F.lead("sym").over(w))
-            .filter(F.col("nxt").isNotNull())
-            .groupBy("sym", "nxt")
-            .agg(F.sum("f").cast("bigint").alias("cnt"))
-        )
-        top = (
-            pairs.orderBy(F.desc("cnt"), "sym", "nxt").limit(1).collect()[0]
-        )  # O(1) driver scalar: the round's best pair (control plane)
-        seq = _merge_round(seq, top["sym"], top["nxt"]).localCheckpoint()
-        tokens_after = seq.agg(F.sum("f")).collect()[0][0]
-        merges.append(
-            (r, top["sym"], top["nxt"], int(top["cnt"]), int(tokens_after))
-        )
-    return merges, seq
 
 
 def q203_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -238,10 +161,10 @@ _Q203_SQL = _bpe_sql()
 # relation (broadcast in practice, AQE decides) + one aggregation.
 
 def q208_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..transform.subword import bpe_word_subwords
+
     _, seq = _learn_merges(spark, sf_dir)
-    word_sub = seq.groupBy("wid").agg(
-        F.count("*").cast("bigint").alias("n_sub")
-    )
+    word_sub = bpe_word_subwords(seq)
     docs = tbl(spark, sf_dir, "documents")
     toks = docs.select(
         "lang", F.explode(F.split("text", " ")).alias("wid")

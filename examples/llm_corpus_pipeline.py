@@ -17,11 +17,18 @@ on the smallest surviving set):
                  dups invisible to every lexical stage above
 7. decontaminate drop docs sharing 4-grams with the benchmark set
                  (broadcast probe — zero corpus-side shuffle)
+7b. selection    bigram-LM target-likeness score (Moore-Lewis shape:
+                 an add-one-smoothed model trained on the English
+                 slice scores every survivor — the per-language mean
+                 lands in the report; a real job thresholds on it)
 8. sampling      deterministic stratified downsample per language,
                  then content-hash train/val/test split (dup-safe,
                  reproducible — never random())
 9. accounting    token budget + packed-chunk count per language
                  (per-shard concat-then-chunk, the pretraining layout)
+9b. tokenizer    BPE merge table trained on the TRAIN split
+                 (vocabulary-level relational rounds) + per-language
+                 fertility (avg subwords/word) in the report
 10. land         parquet partitioned by (split, lang) — the tokenizer
                  reads train/ via partition pruning
 
@@ -131,6 +138,16 @@ def curate(spark: SparkSession, sf_dir: str, out_dir: str | None = None) -> Data
         contaminated, "doc_id", "left_anti"
     )
 
+    # 7b: target-likeness selection score — bigram LM trained on the
+    # English survivors scores everything; attach per-doc, report
+    # per-language means (a production job filters the bottom tail)
+    from etl_job_applify_spark.transform.langmodel import bigram_lm_scores
+
+    sel = bigram_lm_scores(
+        canonical, canonical.filter(F.col("lang") == "en")
+    ).select("doc_id", F.col("avg_cond_prob").alias("sel_score"))
+    canonical = canonical.join(sel, "doc_id", "left")
+
     # 8: deterministic stratified downsample (reproducible across reruns
     # and cluster sizes — no RNG state)
     sampled = systematic_stratified_sample(
@@ -147,17 +164,43 @@ def curate(spark: SparkSession, sf_dir: str, out_dir: str | None = None) -> Data
     # 9: corpus accounting — token budget plus how many packed
     # context-window chunks each language yields (concat-then-chunk
     # per shard = language, 512-token windows)
+    # 9b: train the tokenizer ON the curated train split and measure
+    # per-language fertility — the audit that catches a vocabulary
+    # skewed against a language before any GPU time is spent
+    from etl_job_applify_spark.transform.subword import (
+        bpe_word_subwords,
+        learn_bpe,
+    )
+
+    train = sampled.filter(F.col("split") == "train")
+    merges, seq = learn_bpe(train, rounds=6)
+    word_sub = bpe_word_subwords(seq)
+    fertility = (
+        sampled.select("lang", F.explode(F.split("text", " ")).alias("wid"))
+        .join(word_sub, "wid", "left")
+        .withColumn("n_sub", F.coalesce(F.col("n_sub"), F.lit(1)))
+        .groupBy("lang")
+        .agg(
+            (
+                F.sum("n_sub").cast("double")
+                / F.count("*").cast("double")
+            ).alias("bpe_fertility")
+        )
+    )
+
     report = (
         sampled.groupBy("lang")
         .agg(
             F.count("*").alias("n_docs"),
             F.sum("n_tokens").alias("total_tokens"),
             F.sum("n_chars").alias("total_chars"),
+            F.avg("sel_score").alias("mean_sel_score"),
         )
         .withColumn(
             "n_chunks_512",
             F.ceil(F.col("total_tokens") / F.lit(512.0)).cast("bigint"),
         )
+        .join(fertility, "lang", "left")
         .orderBy("lang")
     )
 

@@ -94,3 +94,17 @@ def test_differential_salted_join_matches_plain_join(spark):
     g = got.agg(F.sum("payload"), F.sum("attr")).first()
     w = want.agg(F.sum("payload"), F.sum("attr")).first()
     assert g == w
+
+
+def test_profile_join_keys_exact_shares(spark):
+    from etl_job_applify_spark.operators import profile_join_keys
+
+    df = spark.createDataFrame(
+        [("a", i) for i in range(90)] + [("b", i) for i in range(9)]
+        + [("c", 0)],
+        "k string, v long",
+    )
+    row = {r["key_col"]: r for r in profile_join_keys(df, ["k"]).collect()}["k"]
+    assert row["n_rows"] == 100 and row["n_distinct"] == 3
+    assert abs(row["top1_share"] - 0.9) < 1e-12
+    assert abs(row["top10_share"] - 1.0) < 1e-12  # only 3 keys: all in top10
