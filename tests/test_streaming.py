@@ -856,3 +856,37 @@ def test_distinct_sketch_view_matches_oneshot_sketch(spark, tmp_path):
     }
     assert {k: v[0] for k, v in v2.items()} == oneshot
     assert v2["a"][1] == 5 and v2["b"][1] == 4
+
+
+def test_fold_distinct_sketch_batch_survives_commit_race(spark, tmp_path):
+    """Two sketch folders race distinct epochs against the same view:
+    the CAS loser retries against the winner's head, so both batches'
+    distinct sets land exactly once."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from pyspark.sql import functions as F
+
+    from etl_job_applify_spark.sinks import read_table
+    from etl_job_applify_spark.streaming.jobs import (
+        distinct_view_readout,
+        fold_distinct_sketch_batch,
+    )
+
+    view = str(tmp_path / "race_view")
+    b1 = spark.createDataFrame(
+        [("a", 1), ("a", 2), ("b", 5)], "grp string, uid bigint"
+    )
+    b2 = spark.createDataFrame(
+        [("a", 2), ("a", 3), ("b", 5)], "grp string, uid bigint"
+    )
+    with ThreadPoolExecutor(2) as ex:
+        f1 = ex.submit(fold_distinct_sketch_batch, b1, 0, view, ["grp"], "uid")
+        f2 = ex.submit(fold_distinct_sketch_batch, b2, 1, view, ["grp"], "uid")
+        assert f1.result(120) is True and f2.result(120) is True
+    got = {
+        r["grp"]: (r["approx_distinct"], r["n_rows"])
+        for r in distinct_view_readout(
+            read_table(spark, view), ["grp"]
+        ).collect()
+    }
+    assert got == {"a": (3, 4), "b": (1, 2)}

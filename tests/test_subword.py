@@ -100,3 +100,57 @@ def test_bpe_encode_fertility_bounds(spark):
         # 6 merges cannot push fertility below 1 or above raw char count
         assert 1.0 <= r["avg_subwords_per_word"]
         assert r["n_subwords"] >= r["n_words"]
+
+
+def _python_bpe(word_freq: dict[str, int], rounds: int):
+    """Independent reference: textbook Sennrich BPE over a weighted
+    vocabulary — pair counts, argmax (count desc, pair asc), greedy
+    left-to-right merge application."""
+    seqs = {w: list(w) for w in word_freq}
+    merges = []
+    for r in range(1, rounds + 1):
+        counts: dict[tuple[str, str], int] = {}
+        for w, syms in seqs.items():
+            f = word_freq[w]
+            for a, b in zip(syms, syms[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + f
+        if not counts:
+            break
+        (s1, s2), cnt = sorted(
+            counts.items(), key=lambda kv: (-kv[1], kv[0])
+        )[0]
+        for w in seqs:
+            seqs[w] = _greedy_merge(seqs[w], s1, s2)
+        tokens_after = sum(len(s) * word_freq[w] for w, s in seqs.items())
+        merges.append((r, s1, s2, cnt, tokens_after))
+    return merges, seqs
+
+
+def test_learn_bpe_matches_python_reference(spark):
+    """The FULL training loop (pair counting, weighted argmax,
+    tie-breaks, merge application, token accounting) must reproduce the
+    textbook algorithm on a corpus with deliberate count ties and
+    doubled-symbol merges."""
+    from etl_job_applify_spark.transform.subword import learn_bpe
+
+    docs_text = [
+        "aaab aaab abab",       # doubled-symbol pressure
+        "abab ccd ccd aaab",
+        "ccd dcc dcc",          # tie candidates (cc in both orders)
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(docs_text)], "doc_id long, text string"
+    )
+    word_freq: dict[str, int] = {}
+    for t in docs_text:
+        for w in t.split(" "):
+            if len(w) >= 2:
+                word_freq[w] = word_freq.get(w, 0) + 1
+    want_merges, want_seqs = _python_bpe(word_freq, rounds=4)
+
+    merges, seq = learn_bpe(df, rounds=4)
+    assert merges == want_merges
+    got_seqs: dict[str, list[str]] = {}
+    for r in seq.orderBy("wid", "pos").collect():
+        got_seqs.setdefault(r["wid"], []).append(r["sym"])
+    assert got_seqs == want_seqs
