@@ -528,3 +528,39 @@ def test_video_scene_cuts_rejects_bad_threshold(spark):
     docs = spark.createDataFrame([(1,)], "doc_id long")
     with pytest.raises(ValueError, match="thr_den"):
         video_scene_cuts(attach_fake_pvs(docs), thr_den=0)
+
+
+def test_codec_closures_import_from_foreign_cwd():
+    """Round-7 regression: multimodal mapInPandas closures must work
+    when the DRIVER process is launched outside the repo (spark-submit
+    from another directory, a notebook, the driver harness) — worker
+    processes don't inherit the driver's sys.path, so each closure
+    bootstraps it from a by-value string. A captured module object
+    would pickle by reference and die with ModuleNotFoundError on the
+    worker; this drives one decode query end-to-end from /tmp in a
+    fresh interpreter to pin the fix."""
+    import subprocess
+    import sys
+
+    code = (
+        "import sys; sys.path.insert(0, '/root/repo')\n"
+        "from pyspark.sql import SparkSession\n"
+        "spark = (SparkSession.builder.master('local[2]')\n"
+        "         .config('spark.ui.enabled', 'false')\n"
+        "         .config('spark.sql.session.timeZone', 'UTC')"
+        ".getOrCreate())\n"
+        "from etl_job_applify_spark.queries.mediadecode import"
+        " q204_scene_cuts\n"
+        "n = q204_scene_cuts(spark, '/root/testdata/sf0.001').count()\n"
+        "assert n > 0, n\n"
+        "print('FOREIGN_CWD_OK', n)\n"
+        "spark.stop()\n"
+    )
+    out = subprocess.run(
+        [sys.executable, "-c", code],
+        cwd="/tmp",
+        capture_output=True,
+        text=True,
+        timeout=300,
+    )
+    assert "FOREIGN_CWD_OK" in out.stdout, out.stderr[-2000:]
