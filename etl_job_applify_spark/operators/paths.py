@@ -1,0 +1,131 @@
+"""Graph path kernels: frontier BFS and deterministic random walks.
+
+Both operate on an undirected edge list and follow the iterative-graph
+discipline established by ``queries/graphmatch.py`` (k-core / coreness /
+LPA): every round's frontier is MATERIALIZED (``localCheckpoint``) so the
+lineage stays O(1) per round instead of exponentiating, and every
+per-round relation is keyed on the node id so the join shuffle reuses one
+partitioning across rounds. On a real cluster the localCheckpoint becomes
+a reliable ``checkpoint`` against the cluster checkpoint dir — the call
+sites take a ``materialize`` hook for exactly that seam.
+
+Reference parity: the reference has no graph surface at all (SURVEY.md
+§2b — its only join is an upsert DELETE delegated to Postgres,
+services/data_store.py:32-33); these kernels extend the north-star
+analytics family (BASELINE.json) like triangles/k-core before them.
+
+Scale notes (100 TB lens):
+
+- BFS: each round is ONE equi-join frontier⋈edges on the node key plus a
+  left-anti against the visited set — the textbook Pregel superstep in
+  DataFrame form. Frontier size is bounded by the graph's expansion, not
+  the input size; the visited relation grows monotonically and is
+  re-materialized per round so no round re-derives prior rounds.
+- Walks: one equi-join per step, constant rows per walk (n_walks rows
+  flow through every step, never the whole graph). The per-step
+  "coin flip" is an md5 over (src, step, dst) — a pure function of the
+  edge, so the same walk is reproduced on any cluster topology and by
+  the DuckDB oracle; no Math.random / non-deterministic sampling.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _local_checkpoint(df: DataFrame) -> DataFrame:
+    return df.localCheckpoint()
+
+
+def undirect(edges: DataFrame, a: str = "a", b: str = "b") -> DataFrame:
+    """Symmetrize an (a < b) edge list into (src, dst) both directions."""
+    fwd = edges.select(F.col(a).alias("src"), F.col(b).alias("dst"))
+    rev = edges.select(F.col(b).alias("src"), F.col(a).alias("dst"))
+    return fwd.unionAll(rev)
+
+
+def bfs_hops(
+    edges: DataFrame,
+    source: DataFrame,
+    max_hops: int,
+    materialize: Callable[[DataFrame], DataFrame] = _local_checkpoint,
+) -> DataFrame:
+    """Single-source BFS: (node, hop) for every node first reached within
+    ``max_hops`` supersteps.
+
+    ``edges`` is an undirected (src, dst) relation (see ``undirect``);
+    ``source`` is a one-column (node) relation holding the seed set —
+    kept as a DataFrame so no scalar ever rides through the driver.
+    """
+    visited = materialize(
+        source.select("node").distinct().withColumn(
+            "hop", F.lit(0).cast("int")
+        )
+    )
+    frontier = visited.select("node")
+    for k in range(1, max_hops + 1):
+        nxt = (
+            frontier.join(edges, frontier["node"] == edges["src"])
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(visited, "node", "left_anti")
+        )
+        nxt = materialize(nxt)
+        visited = materialize(
+            visited.unionByName(
+                nxt.withColumn("hop", F.lit(k).cast("int"))
+            )
+        )
+        frontier = nxt
+    return visited
+
+
+def walk_hash(src, step: int, dst):
+    """The deterministic per-transition priority: md5 over the decimal
+    renderings of (src, step, dst). Both engines (Spark, DuckDB) render
+    integers identically and agree on md5, so the argmin — i.e. the walk
+    itself — is engine- and partitioning-independent."""
+    return F.md5(
+        F.concat_ws(
+            ":",
+            src.cast("string"),
+            F.lit(str(step)),
+            dst.cast("string"),
+        )
+    )
+
+
+def deterministic_walks(
+    edges: DataFrame,
+    starts: DataFrame,
+    n_steps: int,
+    materialize: Callable[[DataFrame], DataFrame] = _local_checkpoint,
+) -> DataFrame:
+    """Fixed-length walks from ``starts`` (one column ``node``); at each
+    step the walker moves to the neighbor minimizing ``walk_hash`` — a
+    deterministic stand-in for uniform sampling with the same plan shape
+    (equi-join on the position key + per-walk argmin). Returns
+    (walk_id, step, node) with walk_id = the start node.
+    """
+    cur = starts.select(
+        F.col("node").alias("walk_id"), F.col("node")
+    )
+    out = cur.withColumn("step", F.lit(0).cast("int"))
+    for s in range(n_steps):
+        cur = (
+            cur.join(edges, cur["node"] == edges["src"])
+            .groupBy("walk_id")
+            .agg(
+                F.min_by(
+                    "dst", walk_hash(F.col("src"), s, F.col("dst"))
+                ).alias("node")
+            )
+        )
+        cur = materialize(cur)
+        out = out.unionByName(
+            cur.withColumn("step", F.lit(s + 1).cast("int"))
+        )
+    return out.select("walk_id", "step", "node")

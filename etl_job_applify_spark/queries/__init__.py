@@ -38,8 +38,11 @@ from . import (
     pipelineops2,
     sketches,
     graphmatch,
+    graphpaths,
     mediadecode,
+    mining,
     mlops,
+    spatial,
     subword,
     transactional,
 )
@@ -63,8 +66,11 @@ _MODULES = [
     pipelineops2,
     sketches,
     graphmatch,
+    graphpaths,
     mediadecode,
+    mining,
     mlops,
+    spatial,
     subword,
     transactional,
 ]

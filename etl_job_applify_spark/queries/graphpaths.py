@@ -1,0 +1,164 @@
+"""Graph path queries: single-source BFS hop profile and deterministic
+random walks over the co-purchase graph.
+
+Both run on the same co-purchase edge list as q167/q188/q193/q197
+(``graphmatch._copurchase_pairs``: distinct normalized part pairs from
+orders with ≤ 7 distinct parts) and both are fully DuckDB-oracled — the
+oracle re-derives the identical graph, the identical BFS frontier sets,
+and the identical walks, because every "random" choice is a pure md5
+function of the edge (operators/paths.py).
+
+Why these matter for a 100 TB training-data pipeline: BFS hop profiles
+are the reachability primitive behind influence/contamination spread
+analyses ("everything within k hops of a flagged node"), and
+deterministic walks are the sampling primitive behind DeepWalk/node2vec
+style graph-embedding corpora — at scale you materialize billions of
+walks as TRAINING DATA, so the walk generator must be a reproducible,
+shuffle-bounded relational kernel, not a driver loop.
+
+Reference parity: the reference has no graph operators (SURVEY.md §2b);
+this extends the north-star analytics family layered on its
+post-processing stub (services/post_processing.py:5-8).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ._util import tbl
+from .graphmatch import _copurchase_pairs
+from ..operators.paths import bfs_hops, deterministic_walks, undirect
+
+# The shared oracle prelude: the q167 co-purchase graph, symmetrized.
+# (UNION ALL is safe: pe is distinct with a < b, so the two directions
+# can never collide.)
+_EDGES_SQL = """
+small_orders AS (
+  SELECT l_orderkey FROM lineitem
+  GROUP BY l_orderkey HAVING COUNT(DISTINCT l_partkey) <= 7
+),
+mem AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+  WHERE l_orderkey IN (SELECT l_orderkey FROM small_orders)
+),
+pe AS (
+  SELECT DISTINCT m1.l_partkey AS a, m2.l_partkey AS b
+  FROM mem m1 JOIN mem m2
+    ON m1.l_orderkey = m2.l_orderkey AND m1.l_partkey < m2.l_partkey
+),
+edges AS (
+  SELECT a AS src, b AS dst FROM pe
+  UNION ALL
+  SELECT b AS src, a AS dst FROM pe
+)
+"""
+
+_MAX_HOPS = 4
+
+
+# --- q213: BFS hop profile from the minimum-id node ----------------------
+# Per-round shape: ONE frontier⋈edges equi-join + a left-anti against
+# the visited set, frontier materialized per round (the k-core/coreness
+# discipline — bounded lineage, one reused node-key partitioning). The
+# source is the minimum node id, carried as a 1-row DataFrame so no
+# scalar rides through the driver. Output joins a static hop spine so
+# exhausted frontiers still report 0 (matching the oracle's COUNT(*)=0).
+
+def q213_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = _copurchase_pairs(spark, sf_dir).localCheckpoint()
+    edges = undirect(pairs)
+    source = pairs.agg(F.min("a").alias("node"))
+    visited = bfs_hops(edges, source, max_hops=_MAX_HOPS)
+    counts = visited.groupBy("hop").agg(F.count("*").alias("n_nodes"))
+    spine = spark.range(_MAX_HOPS + 1).select(
+        F.col("id").cast("int").alias("hop")
+    )
+    return spine.join(counts, "hop", "left").select(
+        "hop", F.coalesce("n_nodes", F.lit(0)).cast("bigint").alias("n_nodes")
+    )
+
+
+def _bfs_sql(max_hops: int = _MAX_HOPS) -> str:
+    ctes = [
+        _EDGES_SQL.strip().rstrip(),
+        "f0 AS (SELECT MIN(a) AS node FROM pe)",
+        "vis0 AS (SELECT node FROM f0)",
+    ]
+    for k in range(1, max_hops + 1):
+        ctes.append(
+            f"f{k} AS (SELECT DISTINCT e.dst AS node FROM edges e"
+            f" JOIN f{k - 1} ON e.src = f{k - 1}.node"
+            f" WHERE e.dst NOT IN (SELECT node FROM vis{k - 1}))"
+        )
+        ctes.append(
+            f"vis{k} AS (SELECT node FROM vis{k - 1}"
+            f" UNION ALL SELECT node FROM f{k})"
+        )
+    selects = [
+        f"SELECT CAST({k} AS INTEGER) AS hop,"
+        f" CAST(COUNT(*) AS BIGINT) AS n_nodes FROM f{k}"
+        for k in range(max_hops + 1)
+    ]
+    return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(selects)
+
+
+_Q213_SQL = _bfs_sql()
+
+
+# --- q214: deterministic random walks from the 8 highest-degree nodes ----
+# Each step is one equi-join on the position key plus a per-walk argmin
+# (min_by on the md5 transition hash — identical in DuckDB as
+# arg_min(dst, md5(...))). Only n_walks rows flow through each step; the
+# graph is never rescanned beyond the join probe. At scale this is how
+# DeepWalk-style corpora are materialized: starts = every node (or a
+# stratified sample), n_steps ~ 40-80, output written partitioned by
+# walk_id prefix.
+
+def q214_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = _copurchase_pairs(spark, sf_dir).localCheckpoint()
+    edges = undirect(pairs)
+    starts = (
+        edges.groupBy("src")
+        .agg(F.count("*").alias("d"))
+        .orderBy(F.col("d").desc(), F.col("src").asc())
+        .limit(8)
+        .select(F.col("src").alias("node"))
+    )
+    return deterministic_walks(edges, starts, n_steps=3)
+
+
+def _walks_sql(n_steps: int = 3) -> str:
+    ctes = [
+        _EDGES_SQL.strip(),
+        "deg AS (SELECT src AS node, COUNT(*) AS d FROM edges GROUP BY src)",
+        "starts AS (SELECT node FROM deg ORDER BY d DESC, node LIMIT 8)",
+        "s0 AS (SELECT node AS walk_id, node FROM starts)",
+    ]
+    for s in range(n_steps):
+        ctes.append(
+            f"s{s + 1} AS (SELECT walk_id, arg_min(e.dst,"
+            f" md5(CAST(e.src AS VARCHAR) || ':{s}:' ||"
+            f" CAST(e.dst AS VARCHAR))) AS node"
+            f" FROM s{s} JOIN edges e ON e.src = s{s}.node"
+            f" GROUP BY walk_id)"
+        )
+    selects = [
+        f"SELECT walk_id, CAST({s} AS INTEGER) AS step, node FROM s{s}"
+        for s in range(n_steps + 1)
+    ]
+    return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(selects)
+
+
+_Q214_SQL = _walks_sql()
+
+
+QUERIES = {
+    "q213_bfs_hops": q213_bfs_hops,
+    "q214_random_walks": q214_random_walks,
+}
+
+ORACLE = {
+    "q213_bfs_hops": _Q213_SQL,
+    "q214_random_walks": _Q214_SQL,
+}

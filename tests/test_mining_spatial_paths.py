@@ -1,0 +1,292 @@
+"""Unit tests for the round-8 operators: grid radius join, sorted-
+neighborhood dedup, BFS/walk kernels, and the mining queries'
+hand-checkable semantics."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMOKE
+
+
+# --- grid_radius_join ------------------------------------------------------
+
+
+def _brute_pairs(spark, left_pts, right_pts, r):
+    out = set()
+    for li, (lx, ly) in enumerate(left_pts):
+        for ri, (rx, ry) in enumerate(right_pts):
+            if (lx - rx) ** 2 + (ly - ry) ** 2 <= r * r:
+                out.add((li, ri))
+    return out
+
+
+def test_grid_radius_join_equals_brute_force(spark):
+    """Grid blocking must be a pure optimization: same pair set as the
+    cross product, including exact-boundary distances and pairs that
+    straddle cell borders."""
+    from etl_job_applify_spark.operators.spatial import grid_radius_join
+
+    left_pts = [
+        (0.0, 0.0),
+        (1.99, 0.0),     # cell neighbor, inside r=2
+        (2.0, 0.0),      # exactly r away from origin — boundary included
+        (3.9, 3.9),
+        (50.0, 50.0),
+        (49.0, 51.0),
+        (97.0, 97.0),
+    ]
+    right_pts = [
+        (0.0, 0.0),
+        (4.0, 0.0),      # exactly 2.0 from (2,0) across a cell border
+        (2.1, 3.9),
+        (51.5, 49.5),
+        (98.5, 98.4),
+    ]
+    left = spark.createDataFrame(
+        [(i, x, y) for i, (x, y) in enumerate(left_pts)], "lid int, x double, y double"
+    )
+    right = spark.createDataFrame(
+        [(i, x, y) for i, (x, y) in enumerate(right_pts)], "rid int, x double, y double"
+    )
+    got = {
+        (r.lid, r.rid)
+        for r in grid_radius_join(left, right, radius=2.0).collect()
+    }
+    assert got == _brute_pairs(spark, left_pts, right_pts, 2.0)
+
+
+def test_grid_radius_join_no_duplicate_candidates(spark):
+    """Each qualifying pair must appear exactly once (the 9 build-side
+    replicas carry distinct cells)."""
+    from etl_job_applify_spark.operators.spatial import grid_radius_join
+
+    left = spark.createDataFrame([(1, 5.0, 5.0)], "lid int, x double, y double")
+    right = spark.createDataFrame([(1, 5.5, 5.5)], "rid int, x double, y double")
+    rows = grid_radius_join(left, right, radius=2.0).collect()
+    assert len(rows) == 1
+
+
+# --- snm_candidate_pairs ---------------------------------------------------
+
+
+def test_snm_multi_pass_recovers_prefix_disagreement(spark):
+    """Two near-dup records whose FIRST key disagrees in its first chars
+    (different block) must still pair through the second pass key."""
+    from etl_job_applify_spark.dedup.snm import snm_candidate_pairs
+
+    rows = [
+        # ids 1/2: same-length first words differ (pass-1 blocks 'aa' vs
+        # 'zz' can never see them together) but the tail aligns from
+        # char 9 on, so the offset-21 pass-2 keys are identical
+        (1, "aardvark apple banana cherry date elderberry fig grape"),
+        (2, "zzzzzzzz apple banana cherry date elderberry fig grape"),
+        # filler rows in distinct blocks
+        (3, "mango melon kiwi lime papaya"),
+        (4, "nectar orange peach plum quince"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    cand = snm_candidate_pairs(
+        df,
+        "doc_id",
+        ["substring(text, 1, 40)", "substring(text, 21, 40)"],
+        window=2,
+        block_len=2,
+    )
+    pairs = {(r.a, r.b) for r in cand.collect()}
+    assert (1, 2) in pairs
+
+
+def test_snm_candidate_fanout_is_linear(spark):
+    """Candidate count ≤ n × window × n_passes — the linear-fanout
+    guarantee that distinguishes SNM from posting-join blocking."""
+    from etl_job_applify_spark.dedup.snm import snm_candidate_pairs
+    from etl_job_applify_spark.queries._util import tbl
+
+    docs = tbl(spark, SF_SMOKE, "documents")
+    n = docs.count()
+    cand = snm_candidate_pairs(
+        docs,
+        "doc_id",
+        ["substring(text, 1, 40)", "substring(text, 21, 40)"],
+        window=4,
+        block_len=2,
+    )
+    assert cand.count() <= n * 4 * 2
+
+
+def test_snm_verified_pairs_subset_of_exhaustive_jaccard(spark):
+    """Every pair q219 verifies must appear in the exhaustive q31-style
+    pair set with the SAME jaccard (SNM changes candidate generation,
+    never scoring), and recall on the fixture's planted near-dups must
+    clear a floor."""
+    from etl_job_applify_spark.queries.mining import q219_snm_dedup
+    from etl_job_applify_spark.dedup import ngram_jaccard_pairs
+    from etl_job_applify_spark.queries._util import tbl
+
+    snm = {
+        (r.a, r.b): r.jaccard
+        for r in q219_snm_dedup(spark, SF_SMOKE).collect()
+    }
+    # uncapped exhaustive set = ground truth at smoke scale
+    full = {
+        (r.a, r.b): r.jaccard
+        for r in ngram_jaccard_pairs(
+            tbl(spark, SF_SMOKE, "documents"), threshold=0.5,
+            max_doc_freq=None,
+        ).select("a", "b", "jaccard").collect()
+    }
+    assert set(snm) <= set(full)
+    for k, v in snm.items():
+        assert v == pytest.approx(full[k], abs=1e-12)
+    # multi-pass SNM should recover a solid share of true near-dups here
+    assert len(snm) >= 0.5 * len(full)
+
+
+# --- bfs_hops / deterministic_walks ---------------------------------------
+
+
+def _edges_df(spark, pairs):
+    return spark.createDataFrame(pairs, "a bigint, b bigint")
+
+
+def test_bfs_hops_path_graph(spark):
+    """Path 1-2-3-4-5 from node 1: hop k reaches exactly node k+1."""
+    from etl_job_applify_spark.operators.paths import bfs_hops, undirect
+
+    edges = undirect(_edges_df(spark, [(1, 2), (2, 3), (3, 4), (4, 5)]))
+    src = spark.createDataFrame([(1,)], "node bigint")
+    got = {
+        (r.node, r.hop) for r in bfs_hops(edges, src, max_hops=3).collect()
+    }
+    assert got == {(1, 0), (2, 1), (3, 2), (4, 3)}
+
+
+def test_bfs_hops_star_graph(spark):
+    """Star centered on 0: every leaf is hop 1, nothing at hop 2."""
+    from etl_job_applify_spark.operators.paths import bfs_hops, undirect
+
+    edges = undirect(_edges_df(spark, [(0, i) for i in range(1, 6)]))
+    src = spark.createDataFrame([(0,)], "node bigint")
+    rows = bfs_hops(edges, src, max_hops=2).collect()
+    by_hop = {}
+    for r in rows:
+        by_hop.setdefault(r.hop, set()).add(r.node)
+    assert by_hop[0] == {0}
+    assert by_hop[1] == {1, 2, 3, 4, 5}
+    assert 2 not in by_hop
+
+
+def test_walks_follow_edges_and_are_partition_invariant(spark):
+    """Every consecutive (step, step+1) pair must be a graph edge, and
+    the walk must be identical under a different input partitioning
+    (the determinism contract that makes walks reproducible training
+    data)."""
+    from etl_job_applify_spark.operators.paths import (
+        deterministic_walks,
+        undirect,
+    )
+
+    pairs = [(1, 2), (2, 3), (3, 4), (1, 4), (2, 4), (4, 5)]
+    edges = undirect(_edges_df(spark, pairs))
+    starts = spark.createDataFrame([(1,), (4,)], "node bigint")
+
+    def run(e):
+        return sorted(
+            (r.walk_id, r.step, r.node)
+            for r in deterministic_walks(e, starts, n_steps=3).collect()
+        )
+
+    w1 = run(edges)
+    w2 = run(edges.repartition(7))
+    assert w1 == w2
+    edge_set = {(a, b) for a, b in pairs} | {(b, a) for a, b in pairs}
+    walks = {}
+    for wid, step, node in w1:
+        walks.setdefault(wid, {})[step] = node
+    for wid, steps in walks.items():
+        assert steps[0] == wid
+        for s in range(3):
+            assert (steps[s], steps[s + 1]) in edge_set
+
+
+# --- mining query semantics ------------------------------------------------
+
+
+def test_association_rules_hand_checked(spark, tmp_path):
+    """Three-basket toy: {x,y}, {x,y}, {x} → conf(x→y)=2/3, conf(y→x)=1,
+    lift = 3·2/(3·2) = 1 for x→y and 2·3/(2·3)=... hand-derived below."""
+    # build a miniature sf_dir with just lineitem + part
+    import pyspark.sql.functions as F  # noqa: F811
+
+    li = spark.createDataFrame(
+        [(1, 101), (1, 102), (2, 101), (2, 102), (3, 101)],
+        "l_orderkey bigint, l_partkey bigint",
+    )
+    pt = spark.createDataFrame(
+        [(101, "BX"), (102, "BY")], "p_partkey bigint, p_brand string"
+    )
+    li.write.parquet(str(tmp_path / "lineitem.parquet"))
+    pt.write.parquet(str(tmp_path / "part.parquet"))
+
+    from etl_job_applify_spark.queries.mining import q215_association_rules
+
+    rows = {
+        (r.antecedent, r.consequent): r
+        for r in q215_association_rules(spark, str(tmp_path)).collect()
+    }
+    # n=3 baskets; BX in 3, BY in 2, pair in 2
+    assert rows[("BX", "BY")].pair_cnt == 2
+    assert rows[("BX", "BY")].confidence == pytest.approx(2 / 3)
+    assert rows[("BX", "BY")].lift == pytest.approx(2 * 3 / (3 * 2))
+    assert rows[("BY", "BX")].confidence == pytest.approx(1.0)
+
+
+def test_ks_statistic_identical_and_disjoint(spark, tmp_path):
+    """Identical distributions → D = 0; disjoint supports → D = 1."""
+    from etl_job_applify_spark.queries.mining import q217_ks_statistic
+
+    same = [(i, "F" if i % 2 == 0 else "O", float(v)) for i, v in
+            enumerate([10, 10, 20, 20, 30, 30, 40, 40])]
+    df = spark.createDataFrame(
+        [(i, g, v) for i, g, v in same],
+        "o_orderkey bigint, o_orderstatus string, o_totalprice double",
+    )
+    df.write.parquet(str(tmp_path / "same" / "orders.parquet"))
+    got = q217_ks_statistic(spark, str(tmp_path / "same")).collect()[0]
+    assert got.d_stat == pytest.approx(0.0)
+
+    disj = [(0, "F", 1.0), (1, "F", 2.0), (2, "O", 100.0), (3, "O", 200.0)]
+    df2 = spark.createDataFrame(
+        disj, "o_orderkey bigint, o_orderstatus string, o_totalprice double"
+    )
+    df2.write.parquet(str(tmp_path / "disj" / "orders.parquet"))
+    got2 = q217_ks_statistic(spark, str(tmp_path / "disj")).collect()[0]
+    assert got2.d_stat == pytest.approx(1.0)
+    assert (got2.n_f, got2.n_o) == (2, 2)
+
+
+def test_drift_bins_identical_splits_zero_contrib(spark, tmp_path):
+    """A split that mirrors itself exactly must report zero drift in
+    every bin."""
+    from etl_job_applify_spark.queries.mining import q216_drift_bins
+
+    import datetime
+
+    ts = datetime.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for v in [10.0, 60.0, 110.0, 480.0, 499.0]:
+        for uid in (0, 1):  # same values on both sides of user_id % 2
+            rows.append((eid, uid, v, ts))
+            eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id bigint, user_id bigint, value double, ts timestamp"
+    )
+    df.write.parquet(str(tmp_path / "events.parquet"))
+    out = q216_drift_bins(spark, str(tmp_path)).collect()
+    assert out, "expected occupied bins"
+    for r in out:
+        assert r.cnt_a == r.cnt_b
+        assert r.drift_contrib == pytest.approx(0.0)

@@ -141,13 +141,18 @@ def test_registry_wide_plan_audit(spark):
     # scored relation, same 1-row BNLJ shape as q99/q102/q186
     # q200: both inherited shapes — the q34 cosine leg's broadcast-
     # queries crossJoin (3 anchor rows) AND the q190 stats 1-row BNLJ
+    # q215/q216/q217: the 1-row global-total aggregate (basket count /
+    # split totals / group sizes) broadcast onto the scored relation —
+    # the same 1-row BNLJ shape as q99/q102/q186/q190
     CARTESIAN_OK = {"q34_cosine_topk", "q36_embedding_near_dup",
                     "q78_ann_recall", "q87_ivf_recall",
                     "q99_sketch_rollup", "q102_theta_ops",
                     "q146_semantic_dedup", "q152_pq_recall",
                     "q153_ivfpq_recall", "q186_hll_union",
                     "q187_timeboxed_funnel", "q184_skew_join",
-                    "q190_bm25_retrieval", "q200_hybrid_rrf"}
+                    "q190_bm25_retrieval", "q200_hybrid_rrf",
+                    "q215_association_rules", "q216_drift_bins",
+                    "q217_ks_statistic"}
     from etl_job_applify_spark.plans import lint_errors
 
     offenders = []
