@@ -149,18 +149,18 @@ LIMIT 20
 # totals join; at 100 TB this is a single partial+final hash aggregate
 # per snapshot, and snapshots compare by merging their tiny bin tables.
 
-def q216_drift_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = tbl(spark, sf_dir, "events")
-    binned = ev.select(
-        F.expr(
-            "LEAST(9, CAST(FLOOR(value / 50.0) AS INTEGER))"
-        ).alias("bin"),
-        (F.col("user_id") % 2).alias("s"),
-    )
-    counts = binned.groupBy("bin").agg(
-        F.sum(F.when(F.col("s") == 0, 1).otherwise(0)).alias("ca"),
-        F.sum(F.when(F.col("s") == 1, 1).otherwise(0)).alias("cb"),
-    )
+#: the fixture binning, shared with the streaming drift view
+#: (streaming/jobs.drift_view_readout): 10 fixed-width buckets over
+#: events.value, split = user_id parity
+DRIFT_BIN_EXPR = "LEAST(9, CAST(FLOOR(value / 50.0) AS INTEGER))"
+DRIFT_SPLIT_EXPR = "user_id % 2"
+
+
+def drift_from_counts(counts: DataFrame) -> DataFrame:
+    """The drift formulas over a (bin, ca, cb) count relation — the one
+    definition both the batch query (q216) and the streaming-maintained
+    view readout evaluate, so their outputs are bit-identical by
+    construction."""
     totals = counts.agg(
         F.sum("ca").alias("na"), F.sum("cb").alias("nb")
     )
@@ -182,6 +182,19 @@ def q216_drift_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("drift_contrib"),
         )
     )
+
+
+def q216_drift_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = tbl(spark, sf_dir, "events")
+    binned = ev.select(
+        F.expr(DRIFT_BIN_EXPR).alias("bin"),
+        F.expr(DRIFT_SPLIT_EXPR).alias("s"),
+    )
+    counts = binned.groupBy("bin").agg(
+        F.sum(F.when(F.col("s") == 0, 1).otherwise(0)).alias("ca"),
+        F.sum(F.when(F.col("s") == 1, 1).otherwise(0)).alias("cb"),
+    )
+    return drift_from_counts(counts)
 
 
 _Q216_SQL = """

@@ -749,6 +749,30 @@ def fold_distinct_sketch_batch(
     )
 
 
+def drift_view_readout(view: DataFrame) -> DataFrame:
+    """Drift monitor over a STREAMING-MAINTAINED count rollup: ``view``
+    is the versioned rollup table keyed by (bin, s) with ``n_rows``
+    (maintained exactly-once by ``fold_rollup_batch`` — integer counts
+    are the simplest of the fence-folded state types: plain sums).
+    Output schema and formulas are exactly q216_drift_bins' — both
+    evaluate ``queries.mining.drift_from_counts``, so the streaming
+    view reads bit-identically to the batch query over the same rows
+    (test-asserted). This is how a 100 TB pipeline watches ingest
+    drift continuously: per-batch state is O(bins × splits), the
+    readout is O(bins)."""
+    from ..queries.mining import drift_from_counts
+
+    counts = view.groupBy("bin").agg(
+        F.sum(
+            F.when(F.col("s") == 0, F.col("n_rows")).otherwise(0)
+        ).alias("ca"),
+        F.sum(
+            F.when(F.col("s") == 1, F.col("n_rows")).otherwise(0)
+        ).alias("cb"),
+    )
+    return drift_from_counts(counts)
+
+
 def distinct_view_readout(view: DataFrame, keys: list[str]) -> DataFrame:
     """(keys..., approx_distinct, n_rows) from the sketch view — O(|keys|)
     regardless of stream history."""

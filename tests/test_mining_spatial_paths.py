@@ -290,3 +290,66 @@ def test_drift_bins_identical_splits_zero_contrib(spark, tmp_path):
     for r in out:
         assert r.cnt_a == r.cnt_b
         assert r.drift_contrib == pytest.approx(0.0)
+
+
+# --- streaming drift view ----------------------------------------------------
+
+
+def test_streaming_drift_view_matches_batch_query(spark, tmp_path):
+    """Fold the events fixture through the exactly-once rollup stream in
+    micro-batches; the drift readout over the maintained view must be
+    BIT-identical to the batch q216 over the same rows (both evaluate
+    drift_from_counts), and a replayed epoch must be a no-op."""
+    from etl_job_applify_spark.queries.mining import (
+        DRIFT_BIN_EXPR,
+        DRIFT_SPLIT_EXPR,
+        q216_drift_bins,
+    )
+    from etl_job_applify_spark.queries._util import tbl
+    from etl_job_applify_spark.sinks import read_table
+    from etl_job_applify_spark.streaming.jobs import (
+        drift_view_readout,
+        fold_rollup_batch,
+    )
+
+    # stage a streamable copy of the fixture's (user_id, value) columns
+    src = tmp_path / "drift_src"
+    tbl(spark, SF_SMOKE, "events").select("user_id", "value").coalesce(
+        1
+    ).write.parquet(str(src))
+    view = str(tmp_path / "drift_view")
+    keys = ["bin", "s"]
+
+    stream = (
+        spark.readStream.schema("user_id bigint, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+        .select(
+            F.expr(DRIFT_BIN_EXPR).alias("bin"),
+            F.expr(DRIFT_SPLIT_EXPR).alias("s"),
+        )
+    )
+    q = stream.writeStream.foreachBatch(
+        lambda df, eid: fold_rollup_batch(df, eid, view, keys, {})
+    ).option("checkpointLocation", str(tmp_path / "cp")).start()
+    q.processAllAvailable()
+    q.stop()
+
+    got = {
+        r.bin: (r.cnt_a, r.cnt_b, r.p_a, r.p_b, r.drift_contrib)
+        for r in drift_view_readout(read_table(spark, view)).collect()
+    }
+    want = {
+        r.bin: (r.cnt_a, r.cnt_b, r.p_a, r.p_b, r.drift_contrib)
+        for r in q216_drift_bins(spark, SF_SMOKE).collect()
+    }
+    assert got == want  # exact, including the double formula bits
+
+    # replaying epoch 0 must not advance the view
+    replay = spark.createDataFrame([(0, 0)], "bin int, s bigint")
+    assert fold_rollup_batch(replay, 0, view, keys, {}) is False
+    got2 = {
+        r.bin: (r.cnt_a, r.cnt_b, r.p_a, r.p_b, r.drift_contrib)
+        for r in drift_view_readout(read_table(spark, view)).collect()
+    }
+    assert got2 == want
