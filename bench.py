@@ -57,6 +57,12 @@ HEADLINE = [
     # communities over the thresholded co-purchase graph
     "q203_bpe_merges",
     "q205_lpa_communities",
+    # round 8: BFS hop profile (Pregel-superstep shape), Apriori
+    # association rules, and multi-pass sorted-neighborhood dedup —
+    # the round's heavier operators
+    "q213_bfs_hops",
+    "q215_association_rules",
+    "q219_snm_dedup",
 ]
 
 #: measured passes per query. Single-run snapshots kept recording ±20%

@@ -48,6 +48,52 @@ def token_positions(docs: DataFrame, text_col: str = "text",
     ).select(id_col, (F.col("pos0") + 1).alias("pos"), "word")
 
 
+def _contrib_expr(k1: float, b: float) -> str:
+    """One query term's BM25 contribution for one document, quantized to
+    the exact DECIMAL(28,6) accumulator grid — the per-row expression
+    whose SUM is the score. Shared verbatim by the scoring join and the
+    pruned-top-k bounds so the bound-dominates-score inequality holds in
+    EXACT decimal arithmetic (see ``bm25_topk_pruned``)."""
+    return (
+        "CAST("
+        f" ((n - df + {_e(0.5)}) / (df + {_e(0.5)}))"
+        f" * (tf * {_e(k1 + 1)})"
+        f" / (tf + {_e(k1)} * ({_e(1 - b)} + {_e(b)} * dl / avgdl))"
+        " AS DECIMAL(28,6))"
+    )
+
+
+def _contrib_rows(
+    tf: DataFrame,
+    dl: DataFrame,
+    dfreq: DataFrame,
+    stats: DataFrame,
+    qterms: DataFrame,
+    id_col: str,
+    k1: float,
+    b: float,
+    extra_cols: Sequence[str] = (),
+) -> DataFrame:
+    """(qterms group cols..., id_col, [extra...], c) — one decimal
+    contribution row per (query, term, matching doc)."""
+    group_cols = [c for c in qterms.columns if c != "word"]
+    return (
+        tf.join(F.broadcast(qterms), "word")
+        .join(
+            F.broadcast(dfreq.join(F.broadcast(qterms), "word", "left_semi")),
+            "word",
+        )
+        .join(dl, id_col)
+        .crossJoin(F.broadcast(stats))
+        .select(
+            *group_cols,
+            id_col,
+            *extra_cols,
+            F.expr(_contrib_expr(k1, b)).alias("c"),
+        )
+    )
+
+
 def bm25_score_join(
     tf: DataFrame,
     dl: DataFrame,
@@ -67,23 +113,108 @@ def bm25_score_join(
     ``dfreq``: (word, df); ``stats``: one row (n, avgdl)."""
     group_cols = [c for c in qterms.columns if c != "word"]
     return (
-        tf.join(F.broadcast(qterms), "word")
-        .join(
-            F.broadcast(dfreq.join(F.broadcast(qterms), "word", "left_semi")),
-            "word",
-        )
-        .join(dl, id_col)
-        .crossJoin(F.broadcast(stats))
+        _contrib_rows(tf, dl, dfreq, stats, qterms, id_col, k1, b)
         .groupBy(*group_cols, id_col)
-        .agg(
-            F.expr(
-                "CAST(SUM(CAST("
-                f" ((n - df + {_e(0.5)}) / (df + {_e(0.5)}))"
-                f" * (tf * {_e(k1 + 1)})"
-                f" / (tf + {_e(k1)} * ({_e(1 - b)} + {_e(b)} * dl / avgdl))"
-                " AS DECIMAL(28,6))) AS DOUBLE)"
-            ).alias("score")
+        .agg(F.expr("CAST(SUM(c) AS DOUBLE)").alias("score"))
+    )
+
+
+def bm25_topk_pruned(
+    tf: DataFrame,
+    dl: DataFrame,
+    dfreq: DataFrame,
+    stats: DataFrame,
+    qterms: DataFrame,
+    k: int = 5,
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Top-``k`` BM25 documents per query with WAND-style LOSSLESS
+    bound pruning: the exact scoring aggregate and the rank sort run
+    only over documents whose term-upper-bound sum can still reach the
+    current threshold.
+
+    Two-phase relational WAND (Broder et al., CIKM'03, re-expressed as
+    joins — no document-at-a-time cursors):
+
+    1. seed θ: exact-score only the documents containing each query's
+       RAREST term (the shortest posting list) and take the k-th best
+       score as the per-query threshold;
+    2. bound: per (query, doc), sum the per-term maxima (``ub_t``) over
+       the terms the doc contains. ``score(d) ≤ bound(d)`` term-wise,
+       so ``bound < θ`` proves d cannot beat the k seeds — only the
+       survivors reach the exact scoring aggregate and the top-k sort.
+
+    Losslessness is EXACT, not approximate: contributions, bounds and
+    θ all live on the same DECIMAL(28,6) grid (``_contrib_expr``), so
+    the dominance inequality cannot be broken by float rounding, and
+    ties at θ are kept (the prune is strictly ``<``). Queries with
+    fewer than k seeded documents get no threshold and skip pruning.
+
+    Scale: at 100 TB the per-term postings already arrive
+    pushdown-filtered (functions/text_index.py); this kernel is what
+    keeps the SCORING side sublinear too — the groupBy+window run over
+    |survivors| ≈ k·|queries| rows instead of every posting match. The
+    contribution relation is persisted once and feeds seed/bound/final
+    (three consumers, one computation).
+    """
+    from pyspark import StorageLevel
+    from pyspark.sql import Window
+
+    g = [c for c in qterms.columns if c != "word"]
+    contrib = _contrib_rows(
+        tf, dl, dfreq, stats, qterms, id_col, k1, b, extra_cols=["word", "df"]
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+
+    ub = contrib.groupBy(*g, "word").agg(
+        F.max("c").alias("ub"), F.max("df").alias("df")
+    )
+    w_rare = Window.partitionBy(*g).orderBy(F.asc("df"), F.asc("word"))
+    rare = (
+        ub.withColumn("__rn", F.row_number().over(w_rare))
+        .filter(F.col("__rn") == 1)
+        .select(*g, F.col("word").alias("__rare"))
+    )
+    seed_docs = (
+        contrib.join(F.broadcast(rare), g)
+        .filter(F.col("word") == F.col("__rare"))
+        .select(*g, id_col)
+    )
+    seed_scores = (
+        contrib.join(seed_docs, [*g, id_col], "left_semi")
+        .groupBy(*g, id_col)
+        .agg(F.sum("c").alias("__sc"))
+    )
+    w_k = Window.partitionBy(*g).orderBy(F.desc("__sc"), F.asc(id_col))
+    theta = (
+        seed_scores.withColumn("__rn", F.row_number().over(w_k))
+        .filter(F.col("__rn") == k)
+        .select(*g, F.col("__sc").alias("__theta"))
+    )
+    bound = (
+        contrib.join(F.broadcast(ub.select(*g, "word", "ub")), [*g, "word"])
+        .groupBy(*g, id_col)
+        .agg(F.sum("ub").alias("__bound"))
+    )
+    cand = (
+        bound.join(F.broadcast(theta), g, "left")
+        .filter(
+            F.col("__theta").isNull()
+            | (F.col("__bound") >= F.col("__theta"))
         )
+        .select(*g, id_col)
+    )
+    final = (
+        contrib.join(cand, [*g, id_col], "left_semi")
+        .groupBy(*g, id_col)
+        .agg(F.expr("CAST(SUM(c) AS DOUBLE)").alias("score"))
+    )
+    w_rank = Window.partitionBy(*g).orderBy(F.desc("score"), F.asc(id_col))
+    return (
+        final.withColumn("rnk", F.row_number().over(w_rank))
+        .filter(F.col("rnk") <= k)
+        .select(*g, id_col, "rnk", "score")
     )
 
 

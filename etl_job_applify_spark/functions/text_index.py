@@ -251,6 +251,16 @@ def text_index_bm25(
     term, extra columns (e.g. ``qid``) group the final sum. The term
     list is collected driver-side (query batches are control-plane
     small; that is what makes the pruned per-term scan possible)."""
+    tf, dl, dfreq, stats = _bm25_relations(spark, index_path, qterms)
+    scored = bm25_score_join(
+        tf, dl, dfreq, stats, qterms, id_col="__doc", k1=k1, b=b
+    )
+    return scored.withColumnRenamed("__doc", "doc_id")
+
+
+def _bm25_relations(spark: SparkSession, index_path: str, qterms: DataFrame):
+    """(tf, dl, dfreq, stats) relations served from the index, shared by
+    the full-score probe and the pruned-top-k probe."""
     if _tidx_is_versioned(spark, index_path):
         meta, _, dls, _ = _tidx_read(spark, index_path)
     else:
@@ -273,10 +283,31 @@ def text_index_bm25(
             / F.lit(meta["n_docs"]).cast("double")
         ).alias("avgdl"),
     )
-    scored = bm25_score_join(
-        tf, dl, dfreq, stats, qterms, id_col="__doc", k1=k1, b=b
+    return tf, dl, dfreq, stats
+
+
+def text_index_bm25_topk(
+    spark: SparkSession,
+    index_path: str,
+    qterms: DataFrame,
+    k: int = 5,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Top-``k`` retrieval served from the persisted index with
+    WAND-style lossless bound pruning (``retrieval.bm25_topk_pruned``):
+    the steady-state serving shape for fat queries over a 100 TB index —
+    pushdown-filtered per-term posting scans feed the pruned kernel, so
+    the exact-score aggregate and rank sort touch only documents whose
+    bound can still reach the seeded threshold. Results are identical
+    to sorting ``text_index_bm25`` (lossless; oracle-pinned)."""
+    from .retrieval import bm25_topk_pruned
+
+    tf, dl, dfreq, stats = _bm25_relations(spark, index_path, qterms)
+    out = bm25_topk_pruned(
+        tf, dl, dfreq, stats, qterms, k=k, id_col="__doc", k1=k1, b=b
     )
-    return scored.withColumnRenamed("__doc", "doc_id")
+    return out.withColumnRenamed("__doc", "doc_id")
 
 
 def text_index_phrase_hits(

@@ -60,27 +60,28 @@ def bfs_hops(
     ``source`` is a one-column (node) relation holding the seed set —
     kept as a DataFrame so no scalar ever rides through the driver.
     """
-    visited = materialize(
-        source.select("node").distinct().withColumn(
-            "hop", F.lit(0).cast("int")
-        )
-    )
-    frontier = visited.select("node")
+    # Only the FRONTIERS are materialized: each feeds two consumers
+    # (the next superstep's probe and the final hop relation), so
+    # without a cut its work would run twice. The visited set is a lazy
+    # union over those already-materialized pieces — re-deriving it per
+    # round costs a scan of small cached frontiers, not a recompute.
+    frontier = materialize(source.select("node").distinct())
+    frontiers = [frontier.withColumn("hop", F.lit(0).cast("int"))]
+    visited = frontier
     for k in range(1, max_hops + 1):
-        nxt = (
+        nxt = materialize(
             frontier.join(edges, frontier["node"] == edges["src"])
             .select(F.col("dst").alias("node"))
             .distinct()
             .join(visited, "node", "left_anti")
         )
-        nxt = materialize(nxt)
-        visited = materialize(
-            visited.unionByName(
-                nxt.withColumn("hop", F.lit(k).cast("int"))
-            )
-        )
+        frontiers.append(nxt.withColumn("hop", F.lit(k).cast("int")))
+        visited = visited.unionByName(nxt)
         frontier = nxt
-    return visited
+    out = frontiers[0]
+    for f in frontiers[1:]:
+        out = out.unionByName(f)
+    return out
 
 
 def walk_hash(src, step: int, dst):

@@ -485,6 +485,31 @@ def q194_bm25_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q220_pruned_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q194's retrieval task served through the WAND-style bound-pruned
+    kernel (functions/retrieval.bm25_topk_pruned via
+    text_index_bm25_topk): rarest-term seed threshold, exact-decimal
+    term-upper-bound pruning, exact scoring only for survivors. The
+    oracle is q194's exhaustive-scoring SQL — pruning must be lossless
+    down to the last bit, or the hash compare fails."""
+    from ..functions.text_index import text_index_bm25_topk, text_index_build
+
+    docs = tbl(spark, sf_dir, "documents").select("doc_id", "text")
+    qterms = spark.createDataFrame(
+        [(qid, w) for qid, ws in _Q190_QUERIES for w in ws],
+        "qid int, word string",
+    )
+
+    def probe(path):
+        return text_index_bm25_topk(spark, path, qterms, k=5).select(
+            "qid", "doc_id", "rnk", "score"
+        )
+
+    return _with_temp_text_index(
+        spark, lambda path: text_index_build(docs, path), probe
+    )
+
+
 def q195_phrase_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.text_index import (
         text_index_build,
@@ -829,6 +854,7 @@ QUERIES = {
     "q196_bm25_index_append": q196_bm25_index_append,
     "q199_bm25_versioned_index": q199_bm25_versioned_index,
     "q200_hybrid_rrf": q200_hybrid_rrf,
+    "q220_pruned_bm25_topk": q220_pruned_bm25_topk,
 }
 
 ORACLE = {
@@ -848,4 +874,7 @@ ORACLE = {
     # versioned layout must serve the same scores: same recompute oracle
     "q199_bm25_versioned_index": _Q196_SQL,
     "q200_hybrid_rrf": _Q200_SQL,
+    # WAND pruning is LOSSLESS: the pruned top-k must equal the
+    # exhaustive-scoring top-k bit-for-bit — the oracle IS q194's
+    "q220_pruned_bm25_topk": _Q190_SQL,
 }

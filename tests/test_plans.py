@@ -152,7 +152,9 @@ def test_registry_wide_plan_audit(spark):
                     "q187_timeboxed_funnel", "q184_skew_join",
                     "q190_bm25_retrieval", "q200_hybrid_rrf",
                     "q215_association_rules", "q216_drift_bins",
-                    "q217_ks_statistic"}
+                    "q217_ks_statistic",
+                    # q220 inherits q190's one-row corpus-stats BNLJ
+                    "q220_pruned_bm25_topk"}
     from etl_job_applify_spark.plans import lint_errors
 
     offenders = []
