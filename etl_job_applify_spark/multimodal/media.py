@@ -426,6 +426,58 @@ def attach_fake_wav(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return docs.select(id_col).mapInPandas(batches, schema=schema)
 
 
+def gain_audio_batch(media: DataFrame, factor: int) -> DataFrame:
+    """Integer gain with int16 SATURATION (the standard audio-editing
+    semantic), payload→payload so it composes like the image transforms.
+    REAL for WAV/16-bit PCM; compressed codecs stay behind the decode
+    gate. This is the near-duplicate generator the audio fingerprint
+    operator is measured against — a gained copy has different bytes
+    but the same energy ORDERING wherever saturation doesn't reshape a
+    window's energy relative to its neighbor (gain scales every window
+    energy by factor², preserving comparisons exactly)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # worker-safe import: bootstrap sys.path by value (see
+        # _PKG_PARENT) instead of capturing the module by reference
+        import sys
+        if _PKG_PARENT not in sys.path:
+            sys.path.insert(0, _PKG_PARENT)
+        from etl_job_applify_spark.multimodal import wavpcm
+
+        for pdf in it:
+            payloads, metas = [], []
+            for payload in pdf["media"]:
+                data = bytes(payload)
+                if data[:4] != b"RIFF":  # pragma: no cover - env-dependent
+                    raise NotImplementedError(
+                        "gain for compressed audio requires codec libs "
+                        "not present in this image; WAV/PCM is the real "
+                        "path"
+                    )
+                ch, rate, frames, samples = wavpcm.decode_wav(data)
+                scaled = np.clip(
+                    samples.astype(np.int64) * factor, -32768, 32767
+                ).astype(np.int16)
+                payloads.append(wavpcm.encode_wav(ch, scaled, rate))
+                metas.append(
+                    {
+                        "format": "wav",
+                        "width": None,
+                        "height": None,
+                        "duration_ms": frames * 1000 // rate,
+                    }
+                )
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "media": payloads, "meta": metas}
+            )
+
+    schema = (
+        "doc_id bigint, media binary, "
+        "meta struct<format:string,width:int,height:int,duration_ms:bigint>"
+    )
+    return media.mapInPandas(batches, schema=schema)
+
+
 _AUDIO_SCHEMA = (
     "doc_id bigint, n_channels int, sample_rate int, n_frames int, "
     "pcm binary"

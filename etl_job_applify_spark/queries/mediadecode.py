@@ -384,6 +384,131 @@ FROM sads
 """
 
 
+# --- q221: audio energy-order fingerprint vs gained near-duplicates -------
+# Audio-modality near-dup detection, the q192 contract transplanted to
+# the WAV path: every document's audio gets a ×2 gained, int16-saturated
+# copy (DIFFERENT BYTES everywhere — n_byte_match pins 0 via md5 on
+# both engines' arithmetic), and both sides are fingerprinted with the
+# energy-ORDER hash: bit j of the fingerprint is 1 iff window j+1's
+# energy exceeds window j's (windows from q148's integer frame
+# features). Gain scales every window energy by factor², preserving all
+# comparisons exactly — so the fingerprint is provably gain-invariant
+# even under this fixture's heavy saturation, and the oracle recomputes
+# every sample, both energy sequences, both fingerprints and the match
+# counts in closed form from doc_id (decode + gain + downmix + window +
+# fingerprint pinned end to end).
+# Plan: two Arrow decode/feature passes (payloads stay on executors),
+# JVM-side fingerprint aggregation, one groupBy lang.
+
+def _audio_fp(feats: DataFrame, alias: str) -> DataFrame:
+    """Energy-order fingerprint per doc from (doc_id, frame_idx, energy)
+    rows: packed sign bits of consecutive energy differences."""
+    e1 = feats.select(
+        "doc_id", F.col("frame_idx").alias("j"), F.col("energy").alias("e1")
+    )
+    e2 = feats.select(
+        "doc_id",
+        (F.col("frame_idx") - 1).alias("j"),
+        F.col("energy").alias("e2"),
+    )
+    return (
+        e1.join(e2, ["doc_id", "j"])
+        .groupBy("doc_id")
+        .agg(
+            F.expr(
+                "CAST(SUM(CASE WHEN e2 > e1 THEN"
+                " shiftleft(CAST(1 AS BIGINT), j)"
+                " ELSE CAST(0 AS BIGINT) END) AS BIGINT)"
+            ).alias(alias)
+        )
+    )
+
+
+def q221_audio_gain_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..multimodal import gain_audio_batch
+
+    docs = tbl(spark, sf_dir, "documents").select("doc_id", "lang")
+    orig = attach_fake_wav(docs)
+    var = gain_audio_batch(orig, 2)
+    fpo = _audio_fp(audio_frame_features(decode_audio_batch(orig)), "fp_o")
+    fpv = _audio_fp(audio_frame_features(decode_audio_batch(var)), "fp_v")
+    bo = orig.select("doc_id", F.md5("media").alias("h_o"))
+    bv = var.select("doc_id", F.md5("media").alias("h_v"))
+    return (
+        fpo.join(fpv, "doc_id")
+        .join(bo, "doc_id")
+        .join(bv, "doc_id")
+        .join(docs, "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum((F.col("fp_o") == F.col("fp_v")).cast("int"))
+            .cast("bigint")
+            .alias("n_fp_match"),
+            F.sum((F.col("h_o") == F.col("h_v")).cast("int"))
+            .cast("bigint")
+            .alias("n_byte_match"),
+            F.countDistinct("fp_o").cast("bigint").alias("n_distinct_fp"),
+        )
+    )
+
+
+# the oracle's byte-identity criterion: the gained payload equals the
+# original iff EVERY sample is a fixed point of clip(2s) — s = 0 or
+# s = -32768 (2·(-32768) saturates back to -32768); WAV headers are
+# parameter-identical by construction, so sample equality IS byte
+# equality (matching Spark's md5 compare of the real encoded payloads).
+_Q221_SQL = """
+WITH params AS (
+  SELECT doc_id, lang, 1 + doc_id % 2 AS ch, 20 + doc_id % 11 AS fr
+  FROM documents
+),
+mono AS (
+  SELECT doc_id, lang, fr,
+    list_transform(range(0, fr), t ->
+      list_sum(list_transform(range(0, ch), c ->
+        (doc_id * 13 + (t * ch + c) * 17) % 65536 - 32768))) AS m,
+    list_transform(range(0, fr), t ->
+      list_sum(list_transform(range(0, ch), c ->
+        LEAST(32767, GREATEST(-32768,
+          2 * ((doc_id * 13 + (t * ch + c) * 17) % 65536 - 32768)))))) AS mg,
+    list_sum(list_transform(range(0, fr * ch), i ->
+      CASE WHEN LEAST(32767, GREATEST(-32768,
+                 2 * ((doc_id * 13 + i * 17) % 65536 - 32768)))
+                = (doc_id * 13 + i * 17) % 65536 - 32768
+           THEN 0 ELSE 1 END)) AS n_changed
+  FROM params
+),
+en AS (
+  SELECT doc_id, lang, n_changed, (fr - 8) // 4 + 1 AS nw,
+    list_transform(range(0, (fr - 8) // 4 + 1), j ->
+      list_sum(list_transform(range(0, 8), t ->
+        m[j * 4 + t + 1] * m[j * 4 + t + 1]))) AS e,
+    list_transform(range(0, (fr - 8) // 4 + 1), j ->
+      list_sum(list_transform(range(0, 8), t ->
+        mg[j * 4 + t + 1] * mg[j * 4 + t + 1]))) AS eg
+  FROM mono
+),
+fp AS (
+  SELECT doc_id, lang,
+    list_sum(list_transform(range(0, nw - 1), j ->
+      CASE WHEN e[j + 2] > e[j + 1] THEN 1 << j ELSE 0 END)) AS f_o,
+    list_sum(list_transform(range(0, nw - 1), j ->
+      CASE WHEN eg[j + 2] > eg[j + 1] THEN 1 << j ELSE 0 END)) AS f_v,
+    CASE WHEN n_changed = 0 THEN 1 ELSE 0 END AS byte_same
+  FROM en
+)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN f_o = f_v THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_fp_match,
+       CAST(SUM(byte_same) AS BIGINT) AS n_byte_match,
+       CAST(COUNT(DISTINCT f_o) AS BIGINT) AS n_distinct_fp
+FROM fp
+GROUP BY lang
+"""
+
+
 QUERIES = {
     "q137_ppm_decode": q137_ppm_decode,
     "q138_ppm_resize": q138_ppm_resize,
@@ -392,6 +517,7 @@ QUERIES = {
     "q169_video_frames": q169_video_frames,
     "q192_image_ahash_near_dup": q192_image_ahash_near_dup,
     "q204_scene_cuts": q204_scene_cuts,
+    "q221_audio_gain_near_dup": q221_audio_gain_near_dup,
 }
 
 ORACLE = {
@@ -402,4 +528,5 @@ ORACLE = {
     "q169_video_frames": _Q169_SQL,
     "q192_image_ahash_near_dup": _Q192_SQL,
     "q204_scene_cuts": _Q204_SQL,
+    "q221_audio_gain_near_dup": _Q221_SQL,
 }

@@ -564,3 +564,31 @@ def test_codec_closures_import_from_foreign_cwd():
         timeout=300,
     )
     assert "FOREIGN_CWD_OK" in out.stdout, out.stderr[-2000:]
+
+
+def test_gain_audio_batch_roundtrip(spark):
+    """decode(gain(encode)) must produce exactly the int16-saturated
+    scaled samples, channel layout preserved."""
+    import numpy as np
+
+    from etl_job_applify_spark.multimodal import (
+        attach_fake_wav,
+        decode_audio_batch,
+        gain_audio_batch,
+    )
+    from etl_job_applify_spark.multimodal import wavpcm
+
+    docs = spark.createDataFrame([(3,), (8,)], "doc_id bigint")
+    gained = decode_audio_batch(gain_audio_batch(attach_fake_wav(docs), 2))
+    rows = {r.doc_id: r for r in gained.collect()}
+    for doc_id in (3, 8):
+        ch, fr = wavpcm.fixture_params(doc_id)
+        want = np.clip(
+            wavpcm.fixture_samples(doc_id, fr * ch).astype(np.int64) * 2,
+            -32768,
+            32767,
+        ).astype("<i2")
+        got = np.frombuffer(bytes(rows[doc_id].pcm), dtype="<i2")
+        assert rows[doc_id].n_channels == ch
+        assert rows[doc_id].n_frames == fr
+        assert np.array_equal(got, want)

@@ -118,6 +118,7 @@ def test_registry_wide_plan_audit(spark):
         "q169_video_frames",
         "q192_image_ahash_near_dup",
         "q204_scene_cuts",
+        "q221_audio_gain_near_dup",
     }
     # q101 is the one deliberate row-at-a-time Python UDTF — it exists to
     # exercise the @udtf + LATERAL API (see queries/sketches.py) and is
