@@ -386,7 +386,9 @@ def q219_snm_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _snm_sql(window: int = 4) -> str:
+def _snm_cte_prefix(window: int = 4) -> str:
+    """The shared SNM CTE chain through ``vp`` (verified pairs) — q219
+    selects vp directly; q222 closes it transitively into components."""
     cands = []
     for p in ("p1", "p2"):
         for k in range(1, window + 1):
@@ -395,8 +397,7 @@ def _snm_sql(window: int = 4) -> str:
                 f" (PARTITION BY blk ORDER BY k, doc_id) AS y FROM {p}"
             )
     c0 = "\n  UNION ALL\n  ".join(cands)
-    return f"""
-WITH p1 AS (
+    return f"""p1 AS (
   SELECT doc_id, substr(text, 1, 40) AS k,
          substr(substr(text, 1, 40), 1, 2) AS blk
   FROM documents
@@ -427,19 +428,55 @@ common AS (
   JOIN sh s1 ON s1.doc_id = c.a
   JOIN sh s2 ON s2.doc_id = c.b AND s2.sh = s1.sh
   GROUP BY c.a, c.b
+),
+vp AS (
+  SELECT co.a, co.b,
+         CAST(co.common AS DOUBLE)
+           / CAST(sa.sz + sb.sz - co.common AS DOUBLE) AS jaccard
+  FROM common co
+  JOIN sizes sa ON sa.doc_id = co.a
+  JOIN sizes sb ON sb.doc_id = co.b
+  WHERE CAST(co.common AS DOUBLE)
+          / CAST(sa.sz + sb.sz - co.common AS DOUBLE) >= 0.5
+)"""
+
+
+_Q219_SQL = "WITH " + _snm_cte_prefix() + "\nSELECT a, b, jaccard FROM vp"
+
+
+# --- q222: SNM-routed corpus dedup E2E ------------------------------------
+# The full merge/purge pipeline: linear-fanout SNM candidates → shingle
+# verification (the shared vp relation) → transitive closure into
+# canonical components (operators/components.py label propagation with
+# lineage checkpointing, the q60 kernel). Same E2E shape as q60/q69 but
+# routed through the blocking strategy whose candidate volume is
+# window × passes per document — the variant a 100 TB corpus with hot
+# shingles runs. Oracle: the q219 CTE chain closed by the same
+# recursive min-label reachability as q60's.
+
+def q222_snm_corpus_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.components import connected_components
+
+    pairs = q219_snm_dedup(spark, sf_dir).select("a", "b")
+    return connected_components(pairs).orderBy("node")
+
+
+_Q222_SQL = (
+    "WITH RECURSIVE "
+    + _snm_cte_prefix()
+    + """,
+edges AS (SELECT a AS u, b AS v FROM vp UNION SELECT b, a FROM vp),
+reach AS (
+  SELECT u AS node, v AS r FROM edges
+  UNION
+  SELECT reach.node, edges.v FROM reach JOIN edges ON reach.r = edges.u
 )
-SELECT co.a, co.b,
-       CAST(co.common AS DOUBLE)
-         / CAST(sa.sz + sb.sz - co.common AS DOUBLE) AS jaccard
-FROM common co
-JOIN sizes sa ON sa.doc_id = co.a
-JOIN sizes sb ON sb.doc_id = co.b
-WHERE CAST(co.common AS DOUBLE)
-        / CAST(sa.sz + sb.sz - co.common AS DOUBLE) >= 0.5
+SELECT node, LEAST(node, MIN(r)) AS component
+FROM reach
+GROUP BY node
+ORDER BY node
 """
-
-
-_Q219_SQL = _snm_sql()
+)
 
 
 QUERIES = {
@@ -447,6 +484,7 @@ QUERIES = {
     "q216_drift_bins": q216_drift_bins,
     "q217_ks_statistic": q217_ks_statistic,
     "q219_snm_dedup": q219_snm_dedup,
+    "q222_snm_corpus_dedup": q222_snm_corpus_dedup,
 }
 
 ORACLE = {
@@ -454,4 +492,5 @@ ORACLE = {
     "q216_drift_bins": _Q216_SQL,
     "q217_ks_statistic": _Q217_SQL,
     "q219_snm_dedup": _Q219_SQL,
+    "q222_snm_corpus_dedup": _Q222_SQL,
 }
