@@ -1197,10 +1197,9 @@ ORACLE["q201_hits"] = _Q201_SQL
 # shuffle |E| rows — the same per-round cost as components, with the
 # window adding only a per-node sort of its distinct neighbor labels.
 
-def q205_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.window import Window
-
-    ROUNDS = 4
+def _lpa_und_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The thresholded (cooc ≥ 2) co-purchase graph q205/q223 propagate
+    over, symmetrized to (v, u)."""
     li = tbl(spark, sf_dir, "lineitem")
     small_orders = (
         li.groupBy("l_orderkey")
@@ -1224,29 +1223,48 @@ def q205_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("a", "b")
         .localCheckpoint()
     )
-    und = edges.select(
+    return edges.select(
         F.col("a").alias("v"), F.col("b").alias("u")
     ).unionAll(edges.select(F.col("b").alias("v"), F.col("a").alias("u")))
-    labels = (
-        und.select("v").distinct().select("v", F.col("v").alias("lbl"))
-    ).localCheckpoint()
+
+
+def _lpa_init(und: DataFrame) -> DataFrame:
+    return und.select("v").distinct().select("v", F.col("v").alias("lbl"))
+
+
+def _lpa_round(und: DataFrame, labels: DataFrame) -> DataFrame:
+    """One synchronous label-propagation round: most-frequent neighbor
+    label, ties to the smallest label (deterministic)."""
+    from pyspark.sql.window import Window
+
     w = Window.partitionBy("v").orderBy(F.desc("cnt"), "lbl")
-    for _ in range(ROUNDS):
-        nbr = und.join(
-            labels.select(F.col("v").alias("u"), "lbl"), "u"
-        ).select("v", "lbl")
-        counts = nbr.groupBy("v", "lbl").agg(F.count("*").alias("cnt"))
-        labels = (
-            counts.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select("v", "lbl")
-        ).localCheckpoint()
+    nbr = und.join(
+        labels.select(F.col("v").alias("u"), "lbl"), "u"
+    ).select("v", "lbl")
+    counts = nbr.groupBy("v", "lbl").agg(F.count("*").alias("cnt"))
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("v", "lbl")
+    )
+
+
+def _lpa_histogram(labels: DataFrame) -> DataFrame:
     return (
         labels.groupBy("lbl")
         .agg(F.count("*").alias("sz"))
         .groupBy(F.col("sz").cast("bigint").alias("community_size"))
         .agg(F.count("*").cast("bigint").alias("n_communities"))
     )
+
+
+def q205_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ROUNDS = 4
+    und = _lpa_und_edges(spark, sf_dir)
+    labels = _lpa_init(und).localCheckpoint()
+    for _ in range(ROUNDS):
+        labels = _lpa_round(und, labels).localCheckpoint()
+    return _lpa_histogram(labels)
 
 
 def _lpa_sql(rounds: int = 4) -> str:

@@ -153,12 +153,62 @@ def _walks_sql(n_steps: int = 3) -> str:
 _Q214_SQL = _walks_sql()
 
 
+# --- q223: preempt-and-resume LPA through the versioned state table ------
+# q205's exact semantics run through operators/resumable.py: the job is
+# deliberately "preempted" after round 2 (first call), then resumed to
+# round 4 from the committed head snapshot — and the DuckDB oracle is
+# q205's UNINTERRUPTED 4-round SQL, so the gate proves resume ≡ one-shot
+# bit-for-bit. This is the ops posture a multi-hour 100 TB iterative
+# job needs: every round is one CAS snapshot commit, restart cost is
+# one read, concurrent resumes can't double-apply a round.
+
+def q223_resumable_lpa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from ..operators.resumable import run_resumable_rounds
+    from .graphmatch import (
+        _lpa_histogram,
+        _lpa_init,
+        _lpa_round,
+        _lpa_und_edges,
+    )
+
+    und = _lpa_und_edges(spark, sf_dir)
+    path = tempfile.mkdtemp(prefix="qlpa_state_")
+    try:
+        run_resumable_rounds(
+            spark, path, lambda: _lpa_init(und),
+            lambda s: _lpa_round(und, s), n_rounds=2,
+        )  # "preemption point": state table holds round 2
+        labels = run_resumable_rounds(
+            spark, path, lambda: _lpa_init(und),
+            lambda s: _lpa_round(und, s), n_rounds=4,
+        )
+        out = _lpa_histogram(labels)
+        rows = out.collect()
+        schema = out.schema
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)
+
+
 QUERIES = {
     "q213_bfs_hops": q213_bfs_hops,
     "q214_random_walks": q214_random_walks,
+    "q223_resumable_lpa": q223_resumable_lpa,
 }
+
+
+def _q223_sql() -> str:
+    from .graphmatch import _lpa_sql
+
+    return _lpa_sql()
+
 
 ORACLE = {
     "q213_bfs_hops": _Q213_SQL,
     "q214_random_walks": _Q214_SQL,
+    # resume ≡ one-shot: the oracle is q205's uninterrupted 4-round SQL
+    "q223_resumable_lpa": _q223_sql(),
 }

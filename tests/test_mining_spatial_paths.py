@@ -450,3 +450,79 @@ def test_pruned_topk_fewer_seeds_than_k(spark):
         .collect()
     }
     assert got == want and len(got) == 3
+
+
+# --- resumable iterative rounds ---------------------------------------------
+
+
+def _lpa_setup(spark):
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (4, 5), (5, 6), (4, 6), (3, 4)],
+        "a bigint, b bigint",
+    )
+    und = edges.select(
+        F.col("a").alias("v"), F.col("b").alias("u")
+    ).unionAll(edges.select(F.col("b").alias("v"), F.col("a").alias("u")))
+
+    def init():
+        return und.select("v").distinct().select("v", F.col("v").alias("lbl"))
+
+    def step(labels):
+        from pyspark.sql.window import Window
+
+        w = Window.partitionBy("v").orderBy(F.desc("cnt"), "lbl")
+        nbr = und.join(
+            labels.select(F.col("v").alias("u"), "lbl"), "u"
+        ).select("v", "lbl")
+        counts = nbr.groupBy("v", "lbl").agg(F.count("*").alias("cnt"))
+        return (
+            counts.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("v", "lbl")
+        )
+
+    return init, step
+
+
+def test_resumable_rounds_resume_equals_one_shot(spark, tmp_path):
+    """Running 2 rounds, then resuming to 4, must produce exactly the
+    state of an uninterrupted 4-round run; re-running a finished job is
+    a pure read (no new snapshot)."""
+    from etl_job_applify_spark.operators.resumable import (
+        completed_rounds,
+        run_resumable_rounds,
+    )
+    from etl_job_applify_spark.sinks.versioned import list_versions
+
+    init, step = _lpa_setup(spark)
+
+    split = str(tmp_path / "split")
+    run_resumable_rounds(spark, split, init, step, n_rounds=2)
+    assert completed_rounds(spark, split) == 2
+    got = {
+        (r.v, r.lbl)
+        for r in run_resumable_rounds(
+            spark, split, init, step, n_rounds=4
+        ).collect()
+    }
+    assert completed_rounds(spark, split) == 4
+
+    oneshot = str(tmp_path / "oneshot")
+    want = {
+        (r.v, r.lbl)
+        for r in run_resumable_rounds(
+            spark, oneshot, init, step, n_rounds=4
+        ).collect()
+    }
+    assert got == want
+
+    # finished job: same result, no new version committed
+    before = list_versions(spark, split)[-1]
+    again = {
+        (r.v, r.lbl)
+        for r in run_resumable_rounds(
+            spark, split, init, step, n_rounds=4
+        ).collect()
+    }
+    assert again == got
+    assert list_versions(spark, split)[-1] == before

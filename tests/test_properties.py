@@ -822,3 +822,96 @@ def test_ahash_matches_numpy_reference_and_shift_invariance(
     # non-saturating uniform shift: identical hash
     shifted = ahash_image_batch(brighten_image_batch(media, delta))
     assert shifted.collect()[0]["ahash"] == got
+
+
+_coord = st.integers(min_value=0, max_value=400).map(lambda v: v / 4.0)
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    left=st.lists(st.tuples(_coord, _coord), min_size=1, max_size=12),
+    right=st.lists(st.tuples(_coord, _coord), min_size=1, max_size=12),
+    radius=st.sampled_from([0.5, 1.0, 2.5, 7.0]),
+)
+def test_grid_radius_join_matches_cross_product(spark, left, right, radius):
+    """Grid blocking over arbitrary point sets and radii must reproduce
+    the brute-force pair set exactly (superset-candidates + exact
+    predicate), each pair exactly once."""
+    from etl_job_applify_spark.operators.spatial import grid_radius_join
+
+    ldf = spark.createDataFrame(
+        [(i, x, y) for i, (x, y) in enumerate(left)],
+        "lid int, x double, y double",
+    )
+    rdf = spark.createDataFrame(
+        [(i, x, y) for i, (x, y) in enumerate(right)],
+        "rid int, x double, y double",
+    )
+    rows = grid_radius_join(ldf, rdf, radius=radius).collect()
+    got = [(r.lid, r.rid) for r in rows]
+    want = {
+        (li, ri)
+        for li, (lx, ly) in enumerate(left)
+        for ri, (rx, ry) in enumerate(right)
+        if (lx - rx) ** 2 + (ly - ry) ** 2 <= radius * radius
+    }
+    assert len(got) == len(set(got))  # no duplicate candidates survive
+    assert set(got) == want
+
+
+_word = st.sampled_from(["red", "blue", "green", "gold", "gray"])
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    corpus=st.lists(
+        st.lists(_word, min_size=1, max_size=12).map(" ".join),
+        min_size=2,
+        max_size=10,
+    ),
+    qwords=st.lists(_word, min_size=1, max_size=3, unique=True),
+    k=st.sampled_from([1, 2, 4]),
+)
+def test_pruned_topk_matches_exhaustive_on_random_corpora(
+    spark, corpus, qwords, k
+):
+    """Random tiny corpora and queries: the WAND-pruned top-k must equal
+    the exhaustive-scoring top-k exactly, whatever the df skew, tie
+    structure, or seed-list size."""
+    from pyspark.sql import Window
+
+    from etl_job_applify_spark.functions.retrieval import (
+        bm25_scores,
+        bm25_topk_pruned,
+        doc_tokens,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(corpus)], "doc_id bigint, text string"
+    )
+    qterms = spark.createDataFrame(
+        [(1, w) for w in qwords], "qid int, word string"
+    )
+    toks = doc_tokens(docs)
+    tf = toks.groupBy("doc_id", "word").agg(F.count("*").alias("tf"))
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    dfreq = tf.groupBy("word").agg(F.count("*").alias("df"))
+    stats = dl.agg(
+        F.count("*").alias("n"),
+        (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
+    )
+    got = {
+        (r.qid, r.doc_id, r.rnk, r.score)
+        for r in bm25_topk_pruned(tf, dl, dfreq, stats, qterms, k=k).collect()
+    }
+    w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("doc_id"))
+    want = {
+        (r.qid, r.doc_id, r.rnk, r.score)
+        for r in bm25_scores(docs, qterms)
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .collect()
+    }
+    assert got == want
