@@ -213,27 +213,85 @@ def _term_buckets(
     return [int(r["wb"]) for r in rows]
 
 
+def _read_deletes(spark: SparkSession, index_path: str) -> DataFrame | None:
+    """The tombstone set (one ``doc`` column), or None when the index
+    has no deletions. Flat layout only — the versioned layout has no
+    delete support yet and simply never has this directory."""
+    path = os.path.join(index_path, "deletes")
+    if not os.path.isdir(path):
+        return None
+    return spark.read.parquet(path).select("doc").distinct()
+
+
+def text_index_delete(
+    spark: SparkSession, index_path: str, doc_ids: DataFrame | Sequence[int]
+) -> dict:
+    """Tombstone documents out of a FLAT-layout index (the GDPR path:
+    content must stop being served NOW; space is reclaimed later by
+    ``optimize_text_index``, which purges tombstoned postings/doclens
+    and restores the meta fast path).
+
+    ``doc_ids``: a one-column DataFrame (``doc``) or a list of ids; ids
+    not in the index (or already tombstoned) are ignored. While
+    tombstones exist, probes derive the exact corpus stats (n, avgdl,
+    df) from the FILTERED relations instead of the meta counters — one
+    extra aggregate per probe, but crash-consistent by construction
+    (there is no window where stats and tombstones disagree, because
+    stats are a pure function of the tombstone set)."""
+    if _tidx_is_versioned(spark, index_path):
+        raise NotImplementedError(
+            "text_index_delete supports the flat layout only; delete "
+            "support for the versioned layout is not implemented"
+        )
+    _recover_text_index(index_path)
+    if not isinstance(doc_ids, DataFrame):
+        doc_ids = spark.createDataFrame(
+            [(int(d),) for d in doc_ids], "doc bigint"
+        )
+    ids = doc_ids.select(F.col("doc").cast("bigint").alias("doc")).distinct()
+    # only ids actually present and not already tombstoned count
+    dls = spark.read.parquet(os.path.join(index_path, "doclens"))
+    live = ids.join(dls, "doc", "left_semi")
+    prior = _read_deletes(spark, index_path)
+    if prior is not None:
+        live = live.join(prior, "doc", "left_anti")
+    n_new = live.count()
+    if n_new:
+        live.write.mode("append").parquet(
+            os.path.join(index_path, "deletes")
+        )
+    return {"n_tombstoned": n_new}
+
+
 def text_index_terms(
     spark: SparkSession, index_path: str, words: Sequence[str]
 ) -> DataFrame:
     """Pushdown-filtered posting rows (word, doc, tf, positions) for
     ``words``: the scan prunes to the terms' wb partitions and pushes
     ``word IN (...)`` into the remaining row groups — at 100 TB each
-    term costs one posting-list read, never an index scan."""
+    term costs one posting-list read, never an index scan. Tombstoned
+    documents (``text_index_delete``) are anti-joined out."""
     words = sorted(set(words))
     if _tidx_is_versioned(spark, index_path):
         meta, posts, _, _ = _tidx_read(spark, index_path)
+        deletes = None
     else:
         _recover_text_index(index_path)
         meta = _read_meta(index_path)
         posts = spark.read.parquet(os.path.join(index_path, "postings"))
+        deletes = _read_deletes(spark, index_path)
     buckets = _term_buckets(spark, words, meta["num_buckets"])
     # the filter pushes through the versioned layout's per-snapshot
     # union, so wb pruning + the word IN pushdown apply inside every
     # snapshot scan
-    return posts.filter(
+    out = posts.filter(
         F.col("wb").isin(buckets) & F.col("word").isin(list(words))
     ).select("word", "doc", "tf", "positions")
+    if deletes is not None:
+        # no broadcast hint: a 100 TB index can carry a large tombstone
+        # set — AQE sizes the anti-join from runtime stats
+        out = out.join(deletes, "doc", "left_anti")
+    return out
 
 
 def text_index_bm25(
@@ -260,29 +318,43 @@ def text_index_bm25(
 
 def _bm25_relations(spark: SparkSession, index_path: str, qterms: DataFrame):
     """(tf, dl, dfreq, stats) relations served from the index, shared by
-    the full-score probe and the pruned-top-k probe."""
+    the full-score probe and the pruned-top-k probe. With tombstones
+    present, dl filters them out and the corpus stats derive from the
+    FILTERED doclens (exact integers, crash-consistent — see
+    ``text_index_delete``); otherwise the meta counters are the fast
+    path."""
     if _tidx_is_versioned(spark, index_path):
         meta, _, dls, _ = _tidx_read(spark, index_path)
+        deletes = None
     else:
         _recover_text_index(index_path)
         meta = _read_meta(index_path)
         dls = spark.read.parquet(os.path.join(index_path, "doclens"))
+        deletes = _read_deletes(spark, index_path)
     words = [r["word"] for r in qterms.select("word").distinct().collect()]
     posts = text_index_terms(spark, index_path, words)
     tf = posts.select("word", F.col("doc").alias("__doc"), "tf")
-    # df counted from the scanned posting rows themselves: appends
-    # keep it consistent with zero extra bookkeeping
+    # df counted from the scanned posting rows themselves: appends and
+    # deletes keep it consistent with zero extra bookkeeping
     dfreq = tf.groupBy("word").agg(F.count("*").alias("df"))
+    if deletes is not None:
+        dls = dls.join(deletes, "doc", "left_anti")
     dl = dls.select(F.col("doc").alias("__doc"), "dl")
-    # exact integer stats -> the same double avgdl the recompute path's
-    # SUM/COUNT aggregate produces (both are double(total)/double(n))
-    stats = spark.range(1).select(
-        F.lit(meta["n_docs"]).cast("bigint").alias("n"),
-        (
-            F.lit(meta["total_dl"]).cast("double")
-            / F.lit(meta["n_docs"]).cast("double")
-        ).alias("avgdl"),
-    )
+    if deletes is None:
+        # exact integer stats -> the same double avgdl the recompute
+        # path's SUM/COUNT aggregate produces (double(total)/double(n))
+        stats = spark.range(1).select(
+            F.lit(meta["n_docs"]).cast("bigint").alias("n"),
+            (
+                F.lit(meta["total_dl"]).cast("double")
+                / F.lit(meta["n_docs"]).cast("double")
+            ).alias("avgdl"),
+        )
+    else:
+        stats = dls.agg(
+            F.count("*").alias("n"),
+            (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
+        )
     return tf, dl, dfreq, stats
 
 
@@ -369,6 +441,20 @@ def optimize_text_index(
     posts = spark.read.parquet(os.path.join(index_path, "postings"))
     dl = spark.read.parquet(os.path.join(index_path, "doclens"))
     files_before = len(_index_data_files(index_path))
+    deletes = _read_deletes(spark, index_path)
+    if deletes is not None:
+        # purge tombstones: compaction rewrites only surviving rows and
+        # restores the meta fast path (stats back to exact counters)
+        posts = posts.join(deletes, "doc", "left_anti")
+        dl = dl.join(deletes, "doc", "left_anti")
+        kept = dl.agg(
+            F.count("*").alias("n"), F.sum("dl").alias("t")
+        ).first()
+        meta = dict(
+            meta,
+            n_docs=int(kept["n"]),
+            total_dl=int(kept["t"] or 0),
+        )
     rows_before = posts.count()
     nb = meta["num_buckets"]
     per_bucket = math.ceil(max(rows_before, 1) / nb)

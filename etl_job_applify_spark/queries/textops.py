@@ -510,6 +510,71 @@ def q220_pruned_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q224_bm25_index_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deletion lifecycle of the persisted index: build on the FULL
+    corpus, tombstone every doc_id % 10 = 3 (text_index_delete — the
+    GDPR path: served results change immediately, space reclaims at
+    compaction), then serve q194's top-5. While tombstones exist the
+    probe derives exact corpus stats from the filtered doclens, so the
+    oracle is the q190 recompute SQL over ONLY the surviving documents —
+    any leak of a tombstoned doc's postings, doclen, or stats
+    contribution breaks the hash. The probe runs twice, before and
+    after ``optimize_text_index`` (the purge), and both must agree."""
+    from ..functions.text_index import (
+        optimize_text_index,
+        text_index_build,
+        text_index_delete,
+        text_index_bm25,
+    )
+    from pyspark.sql import Window
+
+    docs = tbl(spark, sf_dir, "documents").select("doc_id", "text")
+    qterms = spark.createDataFrame(
+        [(qid, w) for qid, ws in _Q190_QUERIES for w in ws],
+        "qid int, word string",
+    )
+    doomed = docs.select(
+        F.col("doc_id").alias("doc")
+    ).filter(F.expr("doc % 10 = 3"))
+
+    def probe(path):
+        text_index_delete(spark, path, doomed)
+        w = Window.partitionBy("qid").orderBy(
+            F.desc("score"), F.asc("doc_id")
+        )
+
+        def topk():
+            return (
+                text_index_bm25(spark, path, qterms)
+                .withColumn("rnk", F.row_number().over(w))
+                .filter(F.col("rnk") <= 5)
+                .select("qid", "doc_id", "rnk", "score")
+            )
+
+        before = topk().collect()
+        optimize_text_index(spark, path)  # purge tombstones
+        after = topk()
+        if sorted(map(tuple, before)) != sorted(map(tuple, after.collect())):
+            raise AssertionError(
+                "post-compaction probe diverged from tombstone-filtered"
+                " probe"
+            )
+        return after
+
+    return _with_temp_text_index(
+        spark, lambda path: text_index_build(docs, path), probe
+    )
+
+
+# the q190 recompute SQL over only the surviving documents — a
+# tombstoned doc must vanish from tf, df, dl, AND the corpus stats
+_Q224_SQL = _Q190_SQL.replace(
+    "SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents",
+    "SELECT doc_id, unnest(string_split(text, ' ')) AS word"
+    " FROM documents WHERE doc_id % 10 <> 3",
+)
+
+
 def q195_phrase_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.text_index import (
         text_index_build,
@@ -855,6 +920,7 @@ QUERIES = {
     "q199_bm25_versioned_index": q199_bm25_versioned_index,
     "q200_hybrid_rrf": q200_hybrid_rrf,
     "q220_pruned_bm25_topk": q220_pruned_bm25_topk,
+    "q224_bm25_index_delete": q224_bm25_index_delete,
 }
 
 ORACLE = {
@@ -877,4 +943,6 @@ ORACLE = {
     # WAND pruning is LOSSLESS: the pruned top-k must equal the
     # exhaustive-scoring top-k bit-for-bit — the oracle IS q194's
     "q220_pruned_bm25_topk": _Q190_SQL,
+    # deletion must equal recompute over the surviving corpus
+    "q224_bm25_index_delete": _Q224_SQL,
 }

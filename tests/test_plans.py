@@ -264,3 +264,85 @@ def test_lint_plan_flags_and_clears(spark):
     # info severity: global sort + limit that DID collapse is clean
     topk = orders.orderBy(F.desc("o_totalprice")).limit(5)
     assert all(f.code != "sort-for-limit" for f in lint_plan(topk))
+
+
+def test_dynamic_partition_pruning_triggers(spark, tmp_path):
+    """A partitioned fact joined to a selectively-filtered dim must scan
+    only the dim-selected partitions (DPP): the fact scan's partition
+    filters carry a dynamicpruning subquery. This is the optimizer
+    feature that turns a 100 TB partitioned-fact star join into a
+    few-partition read — pin that the engine's session defaults keep it
+    ON and that it actually fires on this plan shape."""
+    from pyspark.sql import functions as F
+
+    from etl_job_applify_spark.queries._util import tbl
+
+    fact_path = str(tmp_path / "fact_part")
+    orders = tbl(spark, SF_SMOKE, "orders")
+    orders.withColumn(
+        "status_part", F.col("o_orderstatus")
+    ).write.partitionBy("status_part").parquet(fact_path)
+
+    dim_path = str(tmp_path / "dim_dpp")
+    spark.createDataFrame(
+        [("F", "finished"), ("O", "open"), ("P", "pending")],
+        "status_part string, label string",
+    ).write.parquet(dim_path)
+
+    fact = spark.read.parquet(fact_path)
+    # DPP requires a SELECTIVE predicate on the dim side — that filter
+    # is what the pruning subquery pushes into the fact's partition scan
+    dim = spark.read.parquet(dim_path).filter(F.col("label") == "finished")
+    joined = fact.join(F.broadcast(dim), "status_part").groupBy("label").agg(
+        F.count("*").alias("n")
+    )
+    plan = explain_str(joined, "formatted")
+    assert "dynamicpruning" in plan.lower(), plan
+
+
+def test_runtime_bloom_filter_join_triggers(spark, tmp_path):
+    """Spark's runtime bloom-filter injection (the shuffle-side row
+    pre-filter for selective joins over non-partition keys) must still
+    be available and fire when thresholds allow — the knob a 100 TB
+    selective fact-dim join reaches for when DPP can't apply. Thresholds
+    are lowered for fixture scale and restored after."""
+    from pyspark.sql import functions as F
+
+    from etl_job_applify_spark.queries._util import tbl
+
+    # bloom injection only considers scans with runtime stats: write the
+    # filtered dim and fact as files
+    li = tbl(spark, SF_SMOKE, "lineitem")
+    fact_path = str(tmp_path / "fact")
+    dim_path = str(tmp_path / "dim")
+    li.write.parquet(fact_path)
+    li.select("l_orderkey").distinct().limit(20).write.parquet(dim_path)
+
+    conf = spark.conf
+    keys = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold":
+            "100MB",
+        "spark.sql.optimizer.runtime.bloomFilter"
+        ".applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",  # force shuffle join
+    }
+    saved = {}
+    for k, v in keys.items():
+        try:
+            saved[k] = conf.get(k)
+        except Exception:
+            saved[k] = None
+        conf.set(k, v)
+    try:
+        fact = spark.read.parquet(fact_path)
+        dim = spark.read.parquet(dim_path).filter(F.col("l_orderkey") > 0)
+        joined = fact.join(dim, "l_orderkey").groupBy().count()
+        plan = explain_str(joined, "formatted").lower()
+        assert "bloomfilter" in plan or "might_contain" in plan, plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                conf.unset(k)
+            else:
+                conf.set(k, v)

@@ -276,3 +276,87 @@ def test_versioned_text_index_commit_prune_crash_recovers(spark, tmp_path):
     assert sorted(
         d for d in os.listdir(vers) if d.startswith("snap_")
     ) == [compacted]
+
+
+def test_delete_serves_surviving_corpus_exactly(spark, tmp_path):
+    """After tombstoning, every probe surface (BM25 scores, phrase hits,
+    term postings, stats) must equal a fresh index built on only the
+    survivors — bit-exact."""
+    from etl_job_applify_spark.functions.text_index import text_index_delete
+
+    idx = str(tmp_path / "tidx_del")
+    ref = str(tmp_path / "tidx_ref")
+    docs = _docs(spark)
+    survivors = docs.filter(F.col("doc_id") % 4 != 1)
+    text_index_build(docs, idx)
+    text_index_build(survivors, ref)
+    doomed = [int(r.doc_id) for r in docs.filter(
+        F.col("doc_id") % 4 == 1).collect()]
+    out = text_index_delete(spark, idx, doomed)
+    assert out["n_tombstoned"] == len(doomed)
+
+    q = _qterms(spark)
+    assert _score_map(text_index_bm25(spark, idx, q)) == _score_map(
+        text_index_bm25(spark, ref, q)
+    )
+    got_hits = {
+        (r.doc_id, r.p)
+        for r in text_index_phrase_hits(spark, idx, ["hash", "join"]).collect()
+    }
+    want_hits = {
+        (r.doc_id, r.p)
+        for r in text_index_phrase_hits(spark, ref, ["hash", "join"]).collect()
+    }
+    assert got_hits == want_hits
+    assert not any(
+        r.doc % 4 == 1
+        for r in text_index_terms(spark, idx, ["hash"]).collect()
+    )
+
+    # idempotence: re-deleting the same ids (plus unknown ids) is a no-op
+    again = text_index_delete(spark, idx, doomed + [10_000, 10_001])
+    assert again["n_tombstoned"] == 0
+    assert _score_map(text_index_bm25(spark, idx, q)) == _score_map(
+        text_index_bm25(spark, ref, q)
+    )
+
+
+def test_optimize_purges_tombstones_and_restores_fast_path(spark, tmp_path):
+    """Compaction must rewrite only surviving rows, drop the deletes
+    directory, fix the meta counters, and keep every served result
+    identical."""
+    import os as _os
+
+    from etl_job_applify_spark.functions.text_index import (
+        _read_meta,
+        text_index_delete,
+    )
+
+    idx = str(tmp_path / "tidx_purge")
+    docs = _docs(spark)
+    text_index_build(docs, idx)
+    text_index_delete(
+        spark, idx,
+        [int(r.doc_id) for r in docs.filter(F.col("doc_id") < 10).collect()],
+    )
+    q = _qterms(spark)
+    before = _score_map(text_index_bm25(spark, idx, q))
+    optimize_text_index(spark, idx)
+    assert not _os.path.isdir(_os.path.join(idx, "deletes"))
+    assert _score_map(text_index_bm25(spark, idx, q)) == before
+    meta = _read_meta(idx)
+    survivors = docs.filter(F.col("doc_id") >= 10)
+    assert meta["n_docs"] == survivors.count()
+    # no tombstoned row survives in the data files
+    assert not any(
+        r.doc < 10 for r in text_index_terms(spark, idx, _WORDS).collect()
+    )
+
+
+def test_versioned_layout_refuses_delete(spark, tmp_path):
+    from etl_job_applify_spark.functions.text_index import text_index_delete
+
+    idx = str(tmp_path / "tidx_v")
+    text_index_build(_docs(spark), idx, layout="versioned")
+    with pytest.raises(NotImplementedError):
+        text_index_delete(spark, idx, [1])
