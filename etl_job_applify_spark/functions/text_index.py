@@ -237,18 +237,20 @@ def text_index_delete(
     df) from the FILTERED relations instead of the meta counters — one
     extra aggregate per probe, but crash-consistent by construction
     (there is no window where stats and tombstones disagree, because
-    stats are a pure function of the tombstone set)."""
-    if _tidx_is_versioned(spark, index_path):
-        raise NotImplementedError(
-            "text_index_delete supports the flat layout only; delete "
-            "support for the versioned layout is not implemented"
-        )
-    _recover_text_index(index_path)
+    stats are a pure function of the tombstone set).
+
+    On the VERSIONED layout the delete is one CAS snapshot carrying the
+    tombstone set AND the negative stats increment atomically
+    (``_tidx_delete``) — the counter fast path stays exact there, and
+    compaction purges tombstoned rows with the ordinary fold."""
     if not isinstance(doc_ids, DataFrame):
         doc_ids = spark.createDataFrame(
             [(int(d),) for d in doc_ids], "doc bigint"
         )
     ids = doc_ids.select(F.col("doc").cast("bigint").alias("doc")).distinct()
+    if _tidx_is_versioned(spark, index_path):
+        return {"n_tombstoned": _tidx_delete(spark, index_path, ids)}
+    _recover_text_index(index_path)
     # only ids actually present and not already tombstoned count
     dls = spark.read.parquet(os.path.join(index_path, "doclens"))
     live = ids.join(dls, "doc", "left_semi")
@@ -588,6 +590,32 @@ def _tidx_read(spark: SparkSession, index_path: str):
         DataFrame.unionByName,
         [spark.read.schema(d_schema).parquet(f"{p}/doclens") for p in live],
     )
+    # delete snapshots (_tidx_delete) contribute tombstone sets; the
+    # returned relations are pre-filtered so every consumer (probes,
+    # compaction fold) serves only live documents. The meta counters
+    # are already net of deletes (negative _params increments ride the
+    # same snapshots). No broadcast hint: tombstone sets can be large
+    # at scale — AQE sizes the anti-joins.
+    from ..sinks.versioned import snapshot_members
+
+    del_paths = [
+        p
+        for p in live
+        if "deletes" in snapshot_members(spark, p)
+    ]
+    if del_paths:
+        from pyspark.sql.types import LongType, StructField
+
+        t_schema = StructType([StructField("doc", LongType())])
+        tombs = reduce(
+            DataFrame.unionByName,
+            [
+                spark.read.schema(t_schema).parquet(f"{p}/deletes")
+                for p in del_paths
+            ],
+        ).distinct()
+        posts = posts.join(tombs, "doc", "left_anti")
+        dls = dls.join(tombs, "doc", "left_anti")
     return meta, posts, dls, live
 
 
@@ -599,22 +627,29 @@ def _tidx_commit(
     params: dict,
     marks: list[str],
     base_version: int,
+    deletes: DataFrame | None = None,
+    postings_schema_json: dict | None = None,
 ) -> int:
+    """``postings_schema_json``: pass the read-back schema explicitly
+    when ``postings`` can be EMPTY (a delete snapshot) — a 0-row
+    partitioned write leaves nothing for the schema read-back to
+    infer from."""
     from ..sinks.versioned import commit_staged, fs_touch, fs_write_json
-
-    # partition columns drop out of the written files; record the
-    # READ-BACK schema (wb comes back as a partition column at the end)
-    read_schema = None
 
     def populate(staging: str) -> None:
         postings.write.partitionBy("wb").mode("overwrite").parquet(
             f"{staging}/postings"
         )
         doclens.write.mode("overwrite").parquet(f"{staging}/doclens")
+        if deletes is not None:
+            deletes.write.mode("overwrite").parquet(f"{staging}/deletes")
+        # partition columns drop out of the written files; record the
+        # READ-BACK schema (wb comes back as a partition column)
         fs_write_json(
             spark,
             f"{staging}/_postings_schema.json",
-            spark.read.parquet(f"{staging}/postings").schema.jsonValue(),
+            postings_schema_json
+            or spark.read.parquet(f"{staging}/postings").schema.jsonValue(),
         )
         fs_write_json(
             spark,
@@ -629,6 +664,64 @@ def _tidx_commit(
         fs_touch(spark, f"{staging}/_SUCCESS")
 
     return commit_staged(spark, index_path, base_version, populate)
+
+
+def _tidx_delete(
+    spark: SparkSession,
+    index_path: str,
+    ids: DataFrame,
+    max_retries: int = 10,
+) -> int:
+    """Tombstone documents out of a VERSIONED index: one CAS snapshot
+    carries the tombstone set and the NEGATIVE stats increment
+    atomically (live stats are the sum over snapshots, so the counter
+    fast path stays exact — no crash window can separate tombstones
+    from their stats effect). Ids not live (unknown or already
+    tombstoned) are ignored; a no-op delete commits nothing."""
+    from ..sinks.versioned import CommitConflict, fs_read_json
+
+    for _ in range(max_retries):
+        meta, _, dls, live = _tidx_read(spark, index_path)
+        vic = dls.join(ids, "doc", "left_semi")
+        hit = vic.agg(
+            F.count("*").alias("n"), F.sum("dl").alias("t")
+        ).first()
+        n = int(hit["n"])
+        if n == 0:
+            return 0
+        params = {
+            "num_buckets": meta["num_buckets"],
+            "n_docs": -n,
+            "total_dl": -int(hit["t"] or 0),
+        }
+        base = int(live[-1].rsplit("snap_", 1)[1])
+        p_schema_json = fs_read_json(
+            spark, f"{live[-1]}/_postings_schema.json"
+        )
+        from pyspark.sql.types import StructType
+
+        empty_posts = spark.createDataFrame(
+            [], StructType.fromJson(p_schema_json)
+        )
+        empty_dls = dls.limit(0)
+        try:
+            _tidx_commit(
+                spark,
+                index_path,
+                empty_posts,
+                empty_dls,
+                params,
+                [],
+                base,
+                deletes=vic.select("doc"),
+                postings_schema_json=p_schema_json,
+            )
+            return n
+        except CommitConflict:
+            continue  # concurrent append/delete; recompute victims
+    raise CommitConflict(
+        f"delete on {index_path} lost {max_retries} CAS races"
+    )
 
 
 def _tidx_ingest(
@@ -736,6 +829,14 @@ def _tidx_optimize(
             .repartition(nb * bins, "wb", "__bin")
             .drop("__bin")
         )
+        # explicit read-back schema: a purge-everything compaction (all
+        # docs tombstoned) writes 0 postings rows, leaving nothing for
+        # the schema read-back to infer from
+        from ..sinks.versioned import fs_read_json
+
+        p_schema_json = fs_read_json(
+            spark, f"{live[-1]}/_postings_schema.json"
+        )
         try:
             _tidx_commit(
                 spark,
@@ -745,6 +846,7 @@ def _tidx_optimize(
                 meta,
                 carried + [f"{_T_COMPACT_MARK}{base}"],
                 base,
+                postings_schema_json=p_schema_json,
             )
             break
         except CommitConflict:

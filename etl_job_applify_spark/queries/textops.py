@@ -575,6 +575,62 @@ _Q224_SQL = _Q190_SQL.replace(
 )
 
 
+def q225_versioned_index_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q224's deletion lifecycle on the VERSIONED (object-store) layout:
+    the delete is ONE CAS snapshot carrying the tombstone set and the
+    negative stats increment atomically, so the counter fast path stays
+    exact with no crash window. Lifecycle under the gate: found → delete
+    → CAS compaction (tombstone purge + snapshot prune) → probe; the
+    pre-compaction probe must equal the post-compaction probe, and both
+    must equal the survivor-corpus recompute SQL."""
+    from ..functions.text_index import (
+        optimize_text_index,
+        text_index_build,
+        text_index_delete,
+        text_index_bm25,
+    )
+    from pyspark.sql import Window
+
+    docs = tbl(spark, sf_dir, "documents").select("doc_id", "text")
+    qterms = spark.createDataFrame(
+        [(qid, w) for qid, ws in _Q190_QUERIES for w in ws],
+        "qid int, word string",
+    )
+    doomed = docs.select(
+        F.col("doc_id").alias("doc")
+    ).filter(F.expr("doc % 10 = 3"))
+
+    def probe(path):
+        text_index_delete(spark, path, doomed)
+        w = Window.partitionBy("qid").orderBy(
+            F.desc("score"), F.asc("doc_id")
+        )
+
+        def topk():
+            return (
+                text_index_bm25(spark, path, qterms)
+                .withColumn("rnk", F.row_number().over(w))
+                .filter(F.col("rnk") <= 5)
+                .select("qid", "doc_id", "rnk", "score")
+            )
+
+        before = topk().collect()
+        optimize_text_index(spark, path)
+        after = topk()
+        if sorted(map(tuple, before)) != sorted(map(tuple, after.collect())):
+            raise AssertionError(
+                "versioned post-compaction probe diverged from"
+                " tombstone-filtered probe"
+            )
+        return after
+
+    return _with_temp_text_index(
+        spark,
+        lambda path: text_index_build(docs, path, layout="versioned"),
+        probe,
+    )
+
+
 def q195_phrase_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.text_index import (
         text_index_build,
@@ -921,6 +977,7 @@ QUERIES = {
     "q200_hybrid_rrf": q200_hybrid_rrf,
     "q220_pruned_bm25_topk": q220_pruned_bm25_topk,
     "q224_bm25_index_delete": q224_bm25_index_delete,
+    "q225_versioned_index_delete": q225_versioned_index_delete,
 }
 
 ORACLE = {
@@ -945,4 +1002,5 @@ ORACLE = {
     "q220_pruned_bm25_topk": _Q190_SQL,
     # deletion must equal recompute over the surviving corpus
     "q224_bm25_index_delete": _Q224_SQL,
+    "q225_versioned_index_delete": _Q224_SQL,
 }

@@ -353,10 +353,63 @@ def test_optimize_purges_tombstones_and_restores_fast_path(spark, tmp_path):
     )
 
 
-def test_versioned_layout_refuses_delete(spark, tmp_path):
+
+
+def test_versioned_delete_lifecycle(spark, tmp_path):
+    """Versioned layout: the delete snapshot (tombstones + negative
+    stats increment, one CAS commit) must make every probe equal a
+    survivor-only rebuild; append-after-delete composes; compaction
+    purges tombstoned rows and the delete snapshot itself."""
+    from etl_job_applify_spark.functions.text_index import (
+        _tidx_read,
+        text_index_delete,
+    )
+    from etl_job_applify_spark.sinks.versioned import snapshot_members
+
+    idx = str(tmp_path / "tidx_vdel")
+    ref = str(tmp_path / "tidx_vref")
+    docs = _docs(spark)
+    text_index_build(docs, idx, layout="versioned")
+    doomed = [int(r.doc_id) for r in docs.filter(
+        F.col("doc_id") % 4 == 1).collect()]
+    out = text_index_delete(spark, idx, doomed)
+    assert out["n_tombstoned"] == len(doomed)
+
+    # append a fresh batch AFTER the delete
+    extra = _docs(spark, start=100, n=10)
+    text_index_build(extra, idx, mode="append")
+    survivors = docs.filter(F.col("doc_id") % 4 != 1).unionByName(extra)
+    text_index_build(survivors, ref, layout="versioned")
+
+    q = _qterms(spark)
+    assert _score_map(text_index_bm25(spark, idx, q)) == _score_map(
+        text_index_bm25(spark, ref, q)
+    )
+
+    # re-delete is a no-op (no new snapshot, same results)
+    assert text_index_delete(spark, idx, doomed)["n_tombstoned"] == 0
+
+    # compaction purges rows AND the tombstone subtree
+    before = _score_map(text_index_bm25(spark, idx, q))
+    optimize_text_index(spark, idx, target_file_rows=10)
+    meta, posts, dls, live = _tidx_read(spark, idx)
+    assert len(live) == 1
+    assert "deletes" not in snapshot_members(spark, live[0])
+    assert meta["n_docs"] == survivors.count()
+    assert not any(r.doc % 4 == 1 and r.doc < 100 for r in posts.collect())
+    assert _score_map(text_index_bm25(spark, idx, q)) == before
+
+
+def test_versioned_delete_everything_then_probe(spark, tmp_path):
+    """Deleting the whole corpus must serve zero results (and compaction
+    of the empty index must not crash on the 0-row schema read-back)."""
     from etl_job_applify_spark.functions.text_index import text_index_delete
 
-    idx = str(tmp_path / "tidx_v")
-    text_index_build(_docs(spark), idx, layout="versioned")
-    with pytest.raises(NotImplementedError):
-        text_index_delete(spark, idx, [1])
+    idx = str(tmp_path / "tidx_vempty")
+    docs = _docs(spark, n=8)
+    text_index_build(docs, idx, layout="versioned")
+    ids = [int(r.doc_id) for r in docs.collect()]
+    assert text_index_delete(spark, idx, ids)["n_tombstoned"] == 8
+    assert text_index_bm25(spark, idx, _qterms(spark)).count() == 0
+    optimize_text_index(spark, idx)
+    assert text_index_bm25(spark, idx, _qterms(spark)).count() == 0
