@@ -6,6 +6,7 @@ from .embedding import embedding_near_dup_pairs
 from .incremental import (
     is_versioned_index,
     minhash_index_build,
+    minhash_index_delete,
     minhash_index_probe,
     optimize_index,
     versioned_index_append,
@@ -24,6 +25,7 @@ __all__ = [
     "simhash_near_pairs",
     "embedding_near_dup_pairs",
     "minhash_index_build",
+    "minhash_index_delete",
     "minhash_index_probe",
     "optimize_index",
     "is_versioned_index",

@@ -92,6 +92,49 @@ def _meta_path(index_path: str) -> str:
     return os.path.join(index_path, _META)
 
 
+def _read_idx_deletes(spark: SparkSession, index_path: str) -> DataFrame | None:
+    """Tombstone set of a FLAT index (``_deletes/`` — the underscore
+    keeps the subtree invisible to the root band-entry read), or None."""
+    path = os.path.join(index_path, "_deletes")
+    if not os.path.isdir(path):
+        return None
+    return spark.read.parquet(path).select("doc").distinct()
+
+
+def minhash_index_delete(
+    spark: SparkSession, index_path: str, doc_ids
+) -> dict:
+    """Tombstone documents out of the dedup index IMMEDIATELY: probes
+    stop surfacing them as candidates now (anti-join, no hint — the
+    tombstone set can be large at scale); the next ``optimize_index``
+    purges their band entries physically and clears the tombstone set.
+    The same GDPR posture as the text index (functions/text_index.py):
+    removal is a metadata append, space reclaim is compaction's job.
+
+    Flat layout: appends to ``_deletes/``. Versioned layout: ONE CAS
+    snapshot carries the tombstones (no counters to adjust — the dedup
+    index has no corpus stats), so concurrent appends/deletes serialize
+    through the ordinary commit protocol. Ids are not validated against
+    the index (validation would cost an index scan; unknown ids are
+    harmless to the anti-join) but re-deletes are deduplicated."""
+    if not isinstance(doc_ids, DataFrame):
+        doc_ids = spark.createDataFrame(
+            [(int(d),) for d in doc_ids], "doc bigint"
+        )
+    ids = doc_ids.select(F.col("doc").cast("bigint").alias("doc")).distinct()
+    if is_versioned_index(spark, index_path):
+        return {"n_tombstoned": _vidx_delete(spark, index_path, ids)}
+    _recover_index(index_path)
+    prior = _read_idx_deletes(spark, index_path)
+    new = ids if prior is None else ids.join(prior, "doc", "left_anti")
+    n = new.count()
+    if n:
+        new.write.mode("append").parquet(
+            os.path.join(index_path, "_deletes")
+        )
+    return {"n_tombstoned": n}
+
+
 def minhash_index_build(
     docs: DataFrame,
     index_path: str,
@@ -275,9 +318,15 @@ def optimize_index(
     # parquet count() is footer-metadata-only — no data scan
     rows_before = index.count()
     kept = index
-    if tombstones is not None:
-        dead = tombstones.toDF("doc")
-        kept = index.join(dead, "doc", "left_anti")
+    dead = tombstones.toDF("doc") if tombstones is not None else None
+    persisted = _read_idx_deletes(spark, index_path)
+    if persisted is not None:
+        # immediate deletes (minhash_index_delete) purge here too; the
+        # staging swap publishes without a _deletes subtree, clearing
+        # the tombstone set once its rows are physically gone
+        dead = persisted if dead is None else dead.unionByName(persisted)
+    if dead is not None:
+        kept = index.join(dead.distinct(), "doc", "left_anti")
     # rows per band is uniform by construction (one entry per doc per
     # band), so one global count sizes every band's bin fanout. Bin
     # sizing uses the PRE-purge count even with tombstones (a slight
@@ -359,7 +408,7 @@ def minhash_index_probe(
     ``operators/triangles.py::triangle_stats(broadcast_closing=...)``.
     """
     if is_versioned_index(spark, index_path):
-        p, index, _ = _vidx_read(spark, index_path)
+        p, index, _ = _vidx_read(spark, index_path)  # tombstone-filtered
     else:
         _recover_index(index_path)  # finish any interrupted compaction
         if not os.path.exists(_meta_path(index_path)):
@@ -367,6 +416,11 @@ def minhash_index_probe(
         with open(_meta_path(index_path)) as fh:
             p = json.load(fh)
         index = _read_index(spark, index_path)
+        tombs = _read_idx_deletes(spark, index_path)
+        if tombs is not None:
+            # immediate delete semantics (minhash_index_delete): no
+            # hint — AQE sizes the anti-join
+            index = index.join(tombs, "doc", "left_anti")
     from pyspark import StorageLevel
 
     # the batch's band entries feed three plan branches (touched-bucket
@@ -545,7 +599,31 @@ def _vidx_read(
     schema = StructType.fromJson(
         fs_read_json(spark, f"{live[-1]}/_schema.json")
     )
-    return params, spark.read.schema(schema).parquet(*live), live
+    entries = spark.read.schema(schema).parquet(*live)
+    # delete snapshots (minhash_index_delete) contribute tombstone
+    # sets; the returned relation is pre-filtered so probes and the
+    # compaction fold serve only live documents. No hint: tombstone
+    # sets can be large at scale — AQE sizes the anti-join.
+    from functools import reduce
+
+    from pyspark.sql.types import LongType, StructField
+
+    from ..sinks.versioned import snapshot_members
+
+    del_paths = [
+        p for p in live if "_deletes" in snapshot_members(spark, p)
+    ]
+    if del_paths:
+        t_schema = StructType([StructField("doc", LongType())])
+        tombs = reduce(
+            DataFrame.unionByName,
+            [
+                spark.read.schema(t_schema).parquet(f"{p}/_deletes")
+                for p in del_paths
+            ],
+        ).distinct()
+        entries = entries.join(tombs, "doc", "left_anti")
+    return params, entries, live
 
 
 def versioned_index_has_epoch(
@@ -570,6 +648,7 @@ def _vidx_commit(
     params: dict,
     marks: list[str],
     base_version: int,
+    deletes: DataFrame | None = None,
 ) -> int:
     from ..sinks.versioned import commit_staged, fs_touch, fs_write_json
 
@@ -577,12 +656,55 @@ def _vidx_commit(
 
     def populate(staging: str) -> None:
         entries.write.mode("overwrite").parquet(staging)
+        if deletes is not None:
+            # underscore name: invisible to the root band-entry read
+            deletes.write.mode("overwrite").parquet(f"{staging}/_deletes")
         fs_write_json(spark, f"{staging}/_params.json", params)
         fs_write_json(spark, f"{staging}/_schema.json", schema_json)
         for m in marks:
             fs_touch(spark, f"{staging}/{m}")
 
     return commit_staged(spark, index_path, base_version, populate)
+
+
+def _vidx_delete(
+    spark: SparkSession,
+    index_path: str,
+    ids: DataFrame,
+    max_retries: int = 10,
+) -> int:
+    """Tombstone documents out of a VERSIONED dedup index: one CAS
+    snapshot carrying only the tombstone set (zero band entries). Ids
+    already tombstoned are dropped so re-deletes commit nothing."""
+    from ..sinks.versioned import CommitConflict
+
+    for _ in range(max_retries):
+        params, entries, live = _vidx_read(spark, index_path)
+        # entries is pre-filtered: an id with no surviving entry is
+        # either unknown or already tombstoned — skip both
+        fresh = ids.join(
+            entries.select("doc").distinct(), "doc", "left_semi"
+        )
+        n = fresh.count()
+        if n == 0:
+            return 0
+        base = int(live[-1].rsplit(_SNAP, 1)[1])
+        try:
+            _vidx_commit(
+                spark,
+                index_path,
+                entries.limit(0),
+                params,
+                [],
+                base,
+                deletes=fresh,
+            )
+            return n
+        except CommitConflict:
+            continue  # concurrent append/delete; recompute and retry
+    raise CommitConflict(
+        f"delete on {index_path} lost {max_retries} CAS races"
+    )
 
 
 def versioned_index_append(

@@ -468,3 +468,85 @@ def test_probe_broadcast_batch_knob_off_same_results_no_forced_hint(
     assert rows_on == rows_off and (7, 100) in {(a, b) for a, b, _ in rows_on}
     # and the default (knob on) DOES hint — the premise documented
     assert "ResolvedHint" in on._jdf.queryExecution().analyzed().toString()
+
+
+def test_immediate_delete_hides_doc_from_probe(spark, tmp_path):
+    """minhash_index_delete must stop a history doc surfacing as a
+    candidate IMMEDIATELY (before any compaction); optimize_index then
+    purges its band entries physically and clears the tombstone set."""
+    import os
+
+    from etl_job_applify_spark.dedup import (
+        minhash_index_delete,
+        optimize_index,
+    )
+
+    idx = str(tmp_path / "idx_del")
+    history = _corpus(spark)
+    minhash_index_build(history, idx, num_hashes=64, bands=16)
+    out = minhash_index_delete(spark, idx, [7])
+    assert out["n_tombstoned"] == 1
+
+    pairs = {
+        (r["a"], r["b"])
+        for r in minhash_index_probe(
+            spark, idx, _batch(spark), history, threshold=0.5
+        ).collect()
+    }
+    assert (7, 100) not in pairs, "deleted doc still surfaced"
+    assert (23, 101) in pairs, "unrelated doc was lost"
+
+    # re-delete is a deduplicated no-op
+    assert minhash_index_delete(spark, idx, [7, 9999])["n_tombstoned"] == 1
+    assert minhash_index_delete(spark, idx, [7])["n_tombstoned"] == 0
+
+    optimize_index(spark, idx)
+    assert not os.path.isdir(os.path.join(idx, "_deletes"))
+    entries = spark.read.parquet(idx)
+    assert entries.filter(F.col("doc") == 7).count() == 0
+    pairs2 = {
+        (r["a"], r["b"])
+        for r in minhash_index_probe(
+            spark, idx, _batch(spark), history, threshold=0.5
+        ).collect()
+    }
+    assert pairs2 == pairs
+
+
+def test_versioned_immediate_delete(spark, tmp_path):
+    """Versioned layout: the delete snapshot must hide the doc from
+    probes at once, survive an append, and compaction must purge both
+    the entries and the delete snapshot."""
+    from etl_job_applify_spark.dedup import (
+        minhash_index_delete,
+        optimize_index,
+    )
+    from etl_job_applify_spark.dedup.incremental import _vidx_read
+    from etl_job_applify_spark.sinks.versioned import snapshot_members
+
+    idx = str(tmp_path / "vidx_del")
+    history = _corpus(spark)
+    minhash_index_build(
+        history, idx, num_hashes=64, bands=16, layout="versioned"
+    )
+    assert minhash_index_delete(spark, idx, [23])["n_tombstoned"] == 1
+    pairs = {
+        (r["a"], r["b"])
+        for r in minhash_index_probe(
+            spark, idx, _batch(spark), history, threshold=0.5
+        ).collect()
+    }
+    assert (23, 101) not in pairs and (7, 100) in pairs
+
+    optimize_index(spark, idx)
+    params, entries, live = _vidx_read(spark, idx)
+    assert len(live) == 1
+    assert "_deletes" not in snapshot_members(spark, live[0])
+    assert entries.filter(F.col("doc") == 23).count() == 0
+    pairs2 = {
+        (r["a"], r["b"])
+        for r in minhash_index_probe(
+            spark, idx, _batch(spark), history, threshold=0.5
+        ).collect()
+    }
+    assert pairs2 == pairs
