@@ -60,6 +60,12 @@ def bfs_hops(
     ``source`` is a one-column (node) relation holding the seed set —
     kept as a DataFrame so no scalar ever rides through the driver.
     """
+    # NOTE on edge partitioning: pre-repartitioning edges by src was
+    # measured a net LOSS here (BENCHNOTES round 8) — AQE broadcasts the
+    # small frontier every round, so the edge relation is scanned from
+    # its checkpoint but never reshuffled; the upfront exchange bought
+    # nothing. On a cluster where frontiers outgrow the broadcast
+    # threshold, materialize(edges.repartition("src")) before calling.
     # Only the FRONTIERS are materialized: each feeds two consumers
     # (the next superstep's probe and the final hop relation), so
     # without a cut its work would run twice. The visited set is a lazy

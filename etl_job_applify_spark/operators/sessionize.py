@@ -39,3 +39,66 @@ def sessionize(
         session_col,
         F.sum(is_new).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
     )
+
+
+def capped_sessions(
+    df: DataFrame,
+    keys: Sequence[str],
+    ts_col: str,
+    gap_seconds: int,
+    max_duration_seconds: int,
+    session_col: str = "session_id",
+    order_tiebreak: Sequence[str] = (),
+) -> DataFrame:
+    """Sessionization with BOTH an inactivity gap and a hard duration
+    cap: a new session starts when the gap from the previous event
+    exceeds ``gap_seconds`` OR when including this event would stretch
+    the CURRENT session past ``max_duration_seconds`` since its first
+    event.
+
+    The cap makes the assignment state-dependent (whether a row opens a
+    session depends on where the current session STARTED, which depends
+    on every prior decision) — not prefix-decomposable, so no
+    lag/cumsum window rewrite exists. This is the documented
+    applyInPandas case (SURVEY §2b UDF row): one Arrow-batched linear
+    scan per key group, O(rows-per-key) work and state, exactly the
+    shape Structured Streaming's applyInPandasWithState uses for the
+    same semantics online. Per-key row counts bound the group memory —
+    the same premise every per-user analytic in this repo rides.
+
+    Determinism: rows scan in (ts, *order_tiebreak) order; ties never
+    straddle a boundary decision ambiguously because the comparison
+    uses exact microsecond integers. Returns df's columns +
+    ``session_col`` (per-key ordinal starting at 1).
+    """
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    # fresh StructType — StructType.add MUTATES, and mutating the
+    # DataFrame's cached schema corrupts later column resolution
+    out_schema = StructType(
+        list(df.schema.fields) + [StructField(session_col, LongType())]
+    )
+    key_list = list(keys)
+    tiebreak = list(order_tiebreak)
+    gap_us = int(gap_seconds) * 1_000_000
+    cap_us = int(max_duration_seconds) * 1_000_000
+    ts_name = ts_col
+
+    def assign(pdf):
+        pdf = pdf.sort_values([ts_name, *tiebreak], kind="mergesort")
+        # datetime64[ns] → exact integer micros (no float round-trip)
+        ts_us = pdf[ts_name].astype("int64") // 1000
+        sids = []
+        sid = 0
+        prev = None
+        start = None
+        for t in ts_us:
+            if prev is None or t - prev > gap_us or t - start > cap_us:
+                sid += 1
+                start = t
+            prev = t
+            sids.append(sid)
+        pdf[session_col] = sids
+        return pdf
+
+    return df.groupBy(*key_list).applyInPandas(assign, schema=out_schema)

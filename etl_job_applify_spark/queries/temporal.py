@@ -209,3 +209,76 @@ WHERE p.event_type = 'purchase' AND v.event_type = 'view'
 
 QUERIES["q54b_interval_join"] = q54_interval_join
 ORACLE["q54b_interval_join"] = _Q54B_SQL
+
+
+# --- q226: duration-capped sessionization ---------------------------------
+# q52's gap semantics PLUS a hard session-duration cap — the assignment
+# becomes state-dependent (whether a row opens a session depends on
+# where the current session started, which depends on every prior
+# decision), so no lag/cumsum window rewrite exists. The Spark side is
+# the documented applyInPandas kernel (operators/sessionize.py
+# capped_sessions: one Arrow-batched linear scan per user, O(rows/user)
+# state); the oracle replays the same recursion with a RECURSIVE CTE
+# advancing every user in rank lockstep. Gap = 1 day, cap = 2 days —
+# chosen so the cap actually BITES on the fixture (multi-day event
+# chains split mid-chain; a pure-gap sessionization yields fewer
+# sessions, asserted in tests).
+
+_Q226_GAP_S = 86_400
+_Q226_CAP_S = 172_800
+
+
+def q226_capped_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sessionize import capped_sessions
+
+    events = tbl(spark, sf_dir, "events").select("user_id", "event_id", "ts")
+    sess = capped_sessions(
+        events,
+        keys=["user_id"],
+        ts_col="ts",
+        gap_seconds=_Q226_GAP_S,
+        max_duration_seconds=_Q226_CAP_S,
+        order_tiebreak=["event_id"],
+    )
+    return sess.groupBy(
+        "user_id", F.col("session_id").cast("bigint").alias("session_id")
+    ).agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        (
+            F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))
+        ).cast("bigint").alias("duration_us"),
+    )
+
+
+_Q226_SQL = f"""
+WITH RECURSIVE e AS (
+  SELECT user_id, event_id, ts,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS rn
+  FROM events
+),
+rec AS (
+  SELECT user_id, rn, ts, 1 AS sid, ts AS sstart
+  FROM e WHERE rn = 1
+  UNION ALL
+  SELECT e.user_id, e.rn, e.ts,
+         CASE WHEN epoch_us(e.ts) - epoch_us(r.ts) > {_Q226_GAP_S * 1_000_000}
+                OR epoch_us(e.ts) - epoch_us(r.sstart)
+                     > {_Q226_CAP_S * 1_000_000}
+              THEN r.sid + 1 ELSE r.sid END,
+         CASE WHEN epoch_us(e.ts) - epoch_us(r.ts) > {_Q226_GAP_S * 1_000_000}
+                OR epoch_us(e.ts) - epoch_us(r.sstart)
+                     > {_Q226_CAP_S * 1_000_000}
+              THEN e.ts ELSE r.sstart END
+  FROM rec r JOIN e ON e.user_id = r.user_id AND e.rn = r.rn + 1
+)
+SELECT user_id,
+       CAST(sid AS BIGINT) AS session_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS BIGINT) AS duration_us
+FROM rec
+GROUP BY user_id, sid
+"""
+
+QUERIES["q226_capped_sessions"] = q226_capped_sessions
+ORACLE["q226_capped_sessions"] = _Q226_SQL

@@ -526,3 +526,53 @@ def test_resumable_rounds_resume_equals_one_shot(spark, tmp_path):
     }
     assert again == got
     assert list_versions(spark, split)[-1] == before
+
+
+# --- duration-capped sessionization -----------------------------------------
+
+
+def test_capped_sessions_hand_example(spark):
+    """Events every 20 min, gap 30 min, cap 60 min: the gap never
+    triggers, the cap splits after every 4th event (strictly-greater
+    boundary: the event AT 60 min stays in its session)."""
+    import datetime
+
+    from etl_job_applify_spark.operators.sessionize import capped_sessions
+
+    rows = [
+        (1, i, datetime.datetime(2024, 1, 1) + datetime.timedelta(minutes=20 * i))
+        for i in range(10)
+    ]
+    df = spark.createDataFrame(rows, "user_id bigint, event_id bigint, ts timestamp")
+    out = capped_sessions(
+        df, ["user_id"], "ts", 1800, 3600, order_tiebreak=["event_id"]
+    )
+    got = sorted((r.event_id, r.session_id) for r in out.collect())
+    assert got == [(0, 1), (1, 1), (2, 1), (3, 1), (4, 2), (5, 2),
+                   (6, 2), (7, 2), (8, 3), (9, 3)]
+
+
+def test_capped_sessions_cap_actually_bites_on_fixture(spark):
+    """On the fixture, the duration cap must create strictly more
+    sessions than pure-gap sessionization with the same gap — otherwise
+    q226 would silently degenerate to q52's semantics."""
+    from etl_job_applify_spark.operators.sessionize import (
+        capped_sessions,
+        sessionize,
+    )
+    from etl_job_applify_spark.queries._util import tbl
+    from etl_job_applify_spark.queries.temporal import (
+        _Q226_CAP_S,
+        _Q226_GAP_S,
+    )
+
+    events = tbl(spark, SF_SMOKE, "events").select("user_id", "event_id", "ts")
+    capped = capped_sessions(
+        events, ["user_id"], "ts", _Q226_GAP_S, _Q226_CAP_S,
+        order_tiebreak=["event_id"],
+    ).select("user_id", "session_id").distinct().count()
+    gap_only = sessionize(
+        events, ["user_id"], "ts", _Q226_GAP_S,
+        order_tiebreak=["event_id"],
+    ).select("user_id", "session_id").distinct().count()
+    assert capped > gap_only

@@ -119,6 +119,9 @@ def test_registry_wide_plan_audit(spark):
         "q192_image_ahash_near_dup",
         "q204_scene_cuts",
         "q221_audio_gain_near_dup",
+        # duration-capped sessionization is state-dependent (no window
+        # rewrite exists) — the documented applyInPandas kernel
+        "q226_capped_sessions",
     }
     # q101 is the one deliberate row-at-a-time Python UDTF — it exists to
     # exercise the @udtf + LATERAL API (see queries/sketches.py) and is
