@@ -909,6 +909,68 @@ def streaming_anomalies(
     )
 
 
+def streaming_capped_sessions(
+    events: DataFrame, gap_seconds: int, max_duration_seconds: int
+) -> DataFrame:
+    """Streaming twin of q226's duration-capped sessionization
+    (operators/sessionize.capped_sessions): per-user state is THREE
+    integers — current session ordinal, its start, and the last event
+    time (exact micros) — updated by the same linear recurrence the
+    batch kernel scans, so under in-order delivery the assignment is
+    bit-identical to the batch query (test-asserted under AvailableNow
+    with multi-micro-batch file splits). Emits one row per event with
+    its session id (append mode).
+
+    Same out-of-orderness caveat as streaming_anomalies: state cannot
+    retro-sort history — a row delivered after a later timestamp was
+    processed may split differently than the batch replay; bound it
+    upstream with a watermark + sorted replay where parity matters."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    gap_us = int(gap_seconds) * 1_000_000
+    cap_us = int(max_duration_seconds) * 1_000_000
+
+    def update(key, pdfs, state: "GroupState"):
+        if state.exists:
+            sid, start, prev = state.get
+        else:
+            sid, start, prev = 0, None, None
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        batch = batch.sort_values(["ts", "event_id"], kind="mergesort")
+        ts_us = batch["ts"].astype("int64") // 1000
+        sids = []
+        for t in ts_us:
+            t = int(t)
+            if prev is None or t - prev > gap_us or t - start > cap_us:
+                sid += 1
+                start = t
+            prev = t
+            sids.append(sid)
+        state.update((int(sid), start, prev))
+        yield pd.DataFrame(
+            {
+                "user_id": [int(key[0])] * len(batch),
+                "event_id": batch["event_id"].astype("int64"),
+                "ts": batch["ts"],
+                "session_id": sids,
+            }
+        )
+
+    return events.select("user_id", "event_id", "ts").groupBy(
+        "user_id"
+    ).applyInPandasWithState(
+        update,
+        outputStructType=(
+            "user_id bigint, event_id bigint, ts timestamp, "
+            "session_id bigint"
+        ),
+        stateStructType="sid bigint, start_us bigint, prev_us bigint",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def fold_scd2_batch(
     batch_df: DataFrame,
     table_path: str,

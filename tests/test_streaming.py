@@ -890,3 +890,104 @@ def test_fold_distinct_sketch_batch_survives_commit_race(spark, tmp_path):
         ).collect()
     }
     assert got == {"a": (3, 4), "b": (1, 2)}
+
+
+def test_streaming_capped_sessions_matches_batch(spark):
+    """The stateful capped-session stream must reproduce the batch
+    kernel's assignment exactly (single micro-batch replay)."""
+    from etl_job_applify_spark.operators.sessionize import capped_sessions
+    from etl_job_applify_spark.queries._util import tbl
+    from etl_job_applify_spark.queries.temporal import (
+        _Q226_CAP_S,
+        _Q226_GAP_S,
+    )
+    from etl_job_applify_spark.streaming import (
+        events_stream,
+        run_available_now_to_memory,
+    )
+    from etl_job_applify_spark.streaming.jobs import streaming_capped_sessions
+
+    got = {
+        (r.user_id, r.event_id, r.session_id)
+        for r in run_available_now_to_memory(
+            streaming_capped_sessions(
+                events_stream(spark, SF_SMOKE), _Q226_GAP_S, _Q226_CAP_S
+            ),
+            "t_capped",
+            output_mode="append",
+        ).collect()
+    }
+    want = {
+        (r.user_id, r.event_id, r.session_id)
+        for r in capped_sessions(
+            tbl(spark, SF_SMOKE, "events").select("user_id", "event_id", "ts"),
+            ["user_id"],
+            "ts",
+            _Q226_GAP_S,
+            _Q226_CAP_S,
+            order_tiebreak=["event_id"],
+        ).collect()
+    }
+    assert len(got) == len(want) > 0
+    assert got == want
+
+
+def test_streaming_capped_sessions_state_spans_micro_batches(
+    spark, tmp_path
+):
+    """Two time-ordered micro-batches: sessions that STRADDLE the batch
+    boundary must continue (state carries sid/start/prev), matching the
+    batch kernel over the union."""
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from etl_job_applify_spark.operators.sessionize import capped_sessions
+    from etl_job_applify_spark.queries._util import tbl
+    from etl_job_applify_spark.queries.temporal import (
+        _Q226_CAP_S,
+        _Q226_GAP_S,
+    )
+    from etl_job_applify_spark.sources.readers import normalize_events_ts
+    from etl_job_applify_spark.streaming.jobs import (
+        run_available_now_to_memory,
+        streaming_capped_sessions,
+    )
+
+    events = tbl(spark, SF_SMOKE, "events").select(
+        "user_id", "event_id", "ts"
+    )
+    cut = events.agg(
+        F.expr("percentile(unix_micros(ts), 0.5e0)").alias("m")
+    ).collect()[0]["m"]
+    src = tmp_path / "capped_src"
+    events.filter(F.unix_micros("ts") <= cut).coalesce(1).write.parquet(
+        str(src / "a=0")
+    )
+    _time.sleep(1.1)  # file-source ordering is modification-time based
+    events.filter(F.unix_micros("ts") > cut).coalesce(1).write.parquet(
+        str(src / "a=1")
+    )
+    schema = spark.read.parquet(str(src / "a=0")).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(str(src))
+    )
+    got = {
+        (r.user_id, r.event_id, r.session_id)
+        for r in run_available_now_to_memory(
+            streaming_capped_sessions(stream, _Q226_GAP_S, _Q226_CAP_S),
+            "t_capped2",
+            output_mode="append",
+        ).collect()
+    }
+    want = {
+        (r.user_id, r.event_id, r.session_id)
+        for r in capped_sessions(
+            events, ["user_id"], "ts", _Q226_GAP_S, _Q226_CAP_S,
+            order_tiebreak=["event_id"],
+        ).collect()
+    }
+    assert got == want and len(got) > 0
