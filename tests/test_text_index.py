@@ -413,3 +413,40 @@ def test_versioned_delete_everything_then_probe(spark, tmp_path):
     assert text_index_bm25(spark, idx, _qterms(spark)).count() == 0
     optimize_text_index(spark, idx)
     assert text_index_bm25(spark, idx, _qterms(spark)).count() == 0
+
+
+def test_versioned_delete_race_loses_no_tombstones(spark, tmp_path):
+    """Two threads deleting DISJOINT doc sets concurrently: the CAS loop
+    must serialize them — both tombstone sets take effect, no lost
+    update."""
+    import threading
+
+    from etl_job_applify_spark.functions.text_index import text_index_delete
+
+    idx = str(tmp_path / "tidx_race")
+    docs = _docs(spark)
+    text_index_build(docs, idx, layout="versioned")
+    set_a = [0, 1, 2, 3]
+    set_b = [4, 5, 6, 7]
+    results = {}
+
+    def worker(name, ids):
+        results[name] = text_index_delete(spark, idx, ids)["n_tombstoned"]
+
+    threads = [
+        threading.Thread(target=worker, args=("a", set_a)),
+        threading.Thread(target=worker, args=("b", set_b)),
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert results["a"] == 4 and results["b"] == 4
+
+    survivors = docs.filter(~F.col("doc_id").isin(set_a + set_b))
+    ref = str(tmp_path / "tidx_race_ref")
+    text_index_build(survivors, ref, layout="versioned")
+    q = _qterms(spark)
+    assert _score_map(text_index_bm25(spark, idx, q)) == _score_map(
+        text_index_bm25(spark, ref, q)
+    )
