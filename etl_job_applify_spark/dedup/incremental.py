@@ -94,7 +94,10 @@ def _meta_path(index_path: str) -> str:
 
 def _read_idx_deletes(spark: SparkSession, index_path: str) -> DataFrame | None:
     """Tombstone set of a FLAT index (``_deletes/`` — the underscore
-    keeps the subtree invisible to the root band-entry read), or None."""
+    keeps the subtree invisible to the root band-entry read), or None.
+    Reading an underscore-named base path emits a cosmetic "All paths
+    were ignored" WARN from Spark's first listing pass; the read itself
+    returns the rows (behavior pinned by the delete tests)."""
     path = os.path.join(index_path, "_deletes")
     if not os.path.isdir(path):
         return None

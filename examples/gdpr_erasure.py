@@ -1,0 +1,121 @@
+"""Right-to-erasure runbook: remove documents from EVERY serving surface.
+
+A takedown/GDPR request arrives as a set of document ids. In a lakehouse
+deployment those documents live in (at least) three places, each with
+its own lifecycle, and all three must stop serving the content NOW —
+physical space reclaim can follow at the next maintenance window:
+
+1. the corpus table      versioned parquet — rewrite-on-delete published
+                         as a new snapshot (old versions remain for time
+                         travel until VACUUM retires them; run vacuum
+                         with a short retention for true erasure)
+2. the dedup index       `minhash_index_delete` — tombstones take effect
+                         at the next probe; `optimize_index` purges
+3. the text index        `text_index_delete` — same contract; while
+                         tombstones exist, corpus stats derive from the
+                         filtered doclens so served BM25 scores are
+                         exactly what a survivor-only rebuild would give
+
+Each step verifies itself: the erased ids must be absent from the new
+corpus snapshot, produce no dedup candidates, and score in no retrieval
+result. Run:
+
+    python examples/gdpr_erasure.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import sys
+import tempfile
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+
+ERASE_PRED = "doc_id % 50 = 7"  # the request: a deterministic id set
+
+
+def main(spark: SparkSession, sf_dir: str) -> dict:
+    from etl_job_applify_spark.dedup import (
+        minhash_index_build,
+        minhash_index_delete,
+        minhash_index_probe,
+        optimize_index,
+    )
+    from etl_job_applify_spark.functions.text_index import (
+        optimize_text_index,
+        text_index_bm25,
+        text_index_build,
+        text_index_delete,
+    )
+    from etl_job_applify_spark.queries._util import tbl
+    from etl_job_applify_spark.sinks import read_table, write_version
+
+    docs = tbl(spark, sf_dir, "documents").select("doc_id", "text")
+    erase = docs.filter(F.expr(ERASE_PRED)).select(
+        F.col("doc_id").alias("doc")
+    )
+    n_erase = erase.count()
+
+    work = tempfile.mkdtemp(prefix="gdpr_")
+    corpus_tbl = f"{work}/corpus"
+    dedup_idx = f"{work}/dedup_idx"
+    text_idx = f"{work}/text_idx"
+
+    # ---- standing state: the surfaces as a production deployment has them
+    write_version(docs, corpus_tbl)
+    minhash_index_build(docs, dedup_idx, num_hashes=64, bands=16)
+    text_index_build(docs, text_idx)
+
+    # ---- 1. corpus table: rewrite-on-delete, published as a snapshot
+    current = read_table(spark, corpus_tbl)
+    write_version(
+        current.join(erase, current["doc_id"] == erase["doc"], "left_anti"),
+        corpus_tbl,
+    )
+    left_in_corpus = (
+        read_table(spark, corpus_tbl)
+        .filter(F.expr(ERASE_PRED))
+        .count()
+    )
+
+    # ---- 2. dedup index: immediate tombstones, then physical purge
+    minhash_index_delete(spark, dedup_idx, erase)
+    history = read_table(spark, corpus_tbl)
+    probe = minhash_index_probe(
+        spark, dedup_idx, docs.limit(50), history, threshold=0.5
+    )
+    dedup_hits = probe.join(erase, probe["a"] == erase["doc"], "left_semi").count()
+    optimize_index(spark, dedup_idx)  # reclaim
+
+    # ---- 3. text index: immediate tombstones, exact filtered stats
+    text_index_delete(spark, text_idx, erase)
+    qterms = spark.createDataFrame(
+        [(1, "hash"), (1, "join"), (2, "stream")], "qid int, word string"
+    )
+    scored = text_index_bm25(spark, text_idx, qterms)
+    text_hits = scored.join(
+        erase, scored["doc_id"] == erase["doc"], "left_semi"
+    ).count()
+    optimize_text_index(spark, text_idx)  # reclaim + meta restore
+
+    report = {
+        "n_erased": n_erase,
+        "left_in_corpus": left_in_corpus,
+        "dedup_candidates_of_erased": dedup_hits,
+        "retrieval_hits_of_erased": text_hits,
+    }
+    assert left_in_corpus == 0
+    assert dedup_hits == 0
+    assert text_hits == 0
+    return report
+
+
+if __name__ == "__main__":
+    from etl_job_applify_spark.session import get_spark_session
+
+    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    spark = get_spark_session("gdpr-erasure")
+    print(main(spark, sf))

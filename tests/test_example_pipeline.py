@@ -149,3 +149,21 @@ def test_retrieval_pipeline_indexed_matches_direct(spark, tmp_path):
         tuple(r) for r in mod.search_indexed(spark, sf, idx).collect()
     ]
     assert served == direct and direct
+
+
+def test_gdpr_erasure_example(spark):
+    """The erasure runbook must leave the erased ids absent from all
+    three serving surfaces (corpus snapshot, dedup candidates,
+    retrieval results)."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "gdpr_erasure", "/root/repo/examples/gdpr_erasure.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    report = mod.main(spark, "/root/testdata/sf0.001")
+    assert report["n_erased"] > 0
+    assert report["left_in_corpus"] == 0
+    assert report["dedup_candidates_of_erased"] == 0
+    assert report["retrieval_hits_of_erased"] == 0
