@@ -51,6 +51,12 @@ def snm_candidate_pairs(
     function of the data (engine/partitioning independent — the DuckDB
     oracle re-derives it with the identical window spec).
     """
+    if not key_exprs or window < 1 or block_len < 1:
+        raise ValueError(
+            "snm_candidate_pairs needs >= 1 key expression, window >= 1 "
+            f"and block_len >= 1 (got {len(key_exprs)} keys, "
+            f"window={window}, block_len={block_len})"
+        )
     passes = []
     for expr in key_exprs:
         keyed = df.select(

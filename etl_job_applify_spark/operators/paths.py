@@ -116,6 +116,12 @@ def deterministic_walks(
     deterministic stand-in for uniform sampling with the same plan shape
     (equi-join on the position key + per-walk argmin). Returns
     (walk_id, step, node) with walk_id = the start node.
+
+    Dead ends: a walker whose current node has no outgoing edge emits no
+    further steps (its walk is shorter than ``n_steps`` — the standard
+    random-walk convention, NOT an error). On an undirected graph (see
+    ``undirect``) this cannot happen: the arrival edge's reverse always
+    exists.
     """
     cur = starts.select(
         F.col("node").alias("walk_id"), F.col("node")

@@ -69,7 +69,9 @@ def capped_sessions(
     Determinism: rows scan in (ts, *order_tiebreak) order; ties never
     straddle a boundary decision ambiguously because the comparison
     uses exact microsecond integers. Returns df's columns +
-    ``session_col`` (per-key ordinal starting at 1).
+    ``session_col`` (per-key ordinal starting at 1). ``ts_col`` must be
+    non-null: a NaT would silently corrupt the integer-micros
+    conversion, so null timestamps are rejected per batch.
     """
     from pyspark.sql.types import LongType, StructField, StructType
 
@@ -86,6 +88,11 @@ def capped_sessions(
 
     def assign(pdf):
         pdf = pdf.sort_values([ts_name, *tiebreak], kind="mergesort")
+        if pdf[ts_name].isna().any():
+            raise ValueError(
+                f"capped_sessions: null {ts_name} in group — NaT would "
+                "silently corrupt the integer-micros conversion"
+            )
         # datetime64[ns] → exact integer micros (no float round-trip)
         ts_us = pdf[ts_name].astype("int64") // 1000
         sids = []

@@ -50,6 +50,10 @@ def grid_radius_join(
     coordinates as ``<x>``/``<y>``, and ``dist_sq``.
     """
     r = float(radius)
+    if not r > 0.0:
+        # r = 0 would divide by zero in the cell mapping, and a negative
+        # radius silently returns an empty result — both caller bugs
+        raise ValueError(f"radius must be positive, got {radius}")
     lx, ly = f"{x}_left", f"{y}_left"
     probe = (
         left.withColumnRenamed(x, lx)

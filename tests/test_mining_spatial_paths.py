@@ -576,3 +576,41 @@ def test_capped_sessions_cap_actually_bites_on_fixture(spark):
         order_tiebreak=["event_id"],
     ).select("user_id", "session_id").distinct().count()
     assert capped > gap_only
+
+
+def test_round8_input_guards(spark):
+    """Invalid-argument guards fail loudly instead of returning wrong or
+    empty results silently."""
+    import pytest as _pytest
+
+    from etl_job_applify_spark.dedup.snm import snm_candidate_pairs
+    from etl_job_applify_spark.operators.spatial import grid_radius_join
+
+    pts = spark.createDataFrame([(1, 1.0, 1.0)], "i int, x double, y double")
+    with _pytest.raises(ValueError, match="radius"):
+        grid_radius_join(pts, pts, radius=0.0)
+    with _pytest.raises(ValueError, match="radius"):
+        grid_radius_join(pts, pts, radius=-1.5)
+
+    docs = spark.createDataFrame([(1, "a b c")], "doc_id int, text string")
+    with _pytest.raises(ValueError, match="window"):
+        snm_candidate_pairs(docs, "doc_id", ["text"], window=0)
+    with _pytest.raises(ValueError, match="key expression"):
+        snm_candidate_pairs(docs, "doc_id", [], window=2)
+
+
+def test_capped_sessions_rejects_null_ts(spark):
+    import datetime
+
+    import pytest as _pytest
+    from py4j.protocol import Py4JJavaError  # noqa: F401
+
+    from etl_job_applify_spark.operators.sessionize import capped_sessions
+
+    df = spark.createDataFrame(
+        [(1, 1, datetime.datetime(2024, 1, 1)), (1, 2, None)],
+        "user_id bigint, event_id bigint, ts timestamp",
+    )
+    out = capped_sessions(df, ["user_id"], "ts", 10, 20)
+    with _pytest.raises(Exception, match="null ts"):
+        out.collect()
