@@ -158,6 +158,13 @@ def bm25_topk_pruned(
     |survivors| ≈ k·|queries| rows instead of every posting match. The
     contribution relation is persisted once and feeds seed/bound/final
     (three consumers, one computation).
+
+    Broadcast premise: the hinted relations (rare terms, per-term upper
+    bounds, per-query thresholds) are all bounded by |queries|·|terms| —
+    the same control-plane-small query-batch premise the index probe
+    documents (text_index_bm25). A mega-batch serving run (millions of
+    queries in one call) breaks that premise for EVERY stage of this
+    kernel, not just the hints — shard the query set instead.
     """
     from pyspark import StorageLevel
     from pyspark.sql import Window

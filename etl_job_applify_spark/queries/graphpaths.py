@@ -1,5 +1,6 @@
-"""Graph path queries: single-source BFS hop profile and deterministic
-random walks over the co-purchase graph.
+"""Graph path queries: single-source BFS hop profile, deterministic
+random walks, and preempt-and-resume label propagation over the
+co-purchase graph.
 
 Both run on the same co-purchase edge list as q167/q188/q193/q197
 (``graphmatch._copurchase_pairs``: distinct normalized part pairs from

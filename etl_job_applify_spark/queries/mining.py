@@ -1,14 +1,18 @@
-"""Pattern-mining and distribution-monitoring queries: association rules
-(market baskets), binned population-drift, and a two-sample KS statistic.
+"""Pattern-mining, distribution-monitoring, and record-linkage queries:
+association rules (market baskets), binned population-drift, a
+two-sample KS statistic, and sorted-neighborhood dedup (single-pass
+q219 + the components-closed E2E q222).
 
 Why these matter at 100 TB: association rules are the classic
 frequent-itemset workload (the Apriori candidate-prune shape — frequent
 singletons first, pairs only from frequent items — is what keeps the
 self-join fanout bounded); drift/KS are the monitoring primitives every
 production training-data pipeline runs between snapshots ("did this
-week's crawl shift the length/score distribution?"). All three are pure
-relational kernels: exact integer counts plus deterministic double
-ratios, so every query here is fully DuckDB-oracled bit-for-bit.
+week's crawl shift the length/score distribution?"); SNM is the
+linear-fanout blocking strategy for corpora whose hot shingles melt
+posting joins (dedup/snm.py). All are pure relational kernels: exact
+integer counts plus deterministic double ratios, so every query here is
+fully DuckDB-oracled bit-for-bit.
 
 Determinism rules (see queries/__init__.py): all counts are exact
 integers; ratios are single divisions of int-derived doubles (correctly
