@@ -213,3 +213,72 @@ ORACLE = {
     # resume ≡ one-shot: the oracle is q205's uninterrupted 4-round SQL
     "q223_resumable_lpa": _q223_sql(),
 }
+
+
+# --- q227: degree assortativity of the co-purchase graph ------------------
+# Newman's degree-correlation coefficient: Pearson r over the
+# (deg(u), deg(v)) pairs of every edge endpoint ordering — the one-scan
+# structural statistic that says whether hubs attach to hubs (r > 0) or
+# to leaves (r < 0), which decides how the graph kernels above shard
+# (assortative graphs concentrate wedge work in hub blocks; the q167
+# degree-orientation and q188 sampling notes assume disassortative
+# retail-style graphs — this query MEASURES that premise instead of
+# assuming it). Shape: one degree aggregate, two broadcast-joinable maps
+# onto the edge list, then q100's exact-DECIMAL moment sums → closed
+# form — bit-exact at any parallelism, one row out.
+
+def q227_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ._util import DSUM_PINNED
+
+    pairs = _copurchase_pairs(spark, sf_dir)
+    edges = undirect(pairs)
+    deg = edges.groupBy("src").agg(F.count("*").alias("d"))
+    du = deg.select(F.col("src").alias("src"), F.col("d").alias("dx"))
+    dv = deg.select(F.col("src").alias("dst"), F.col("d").alias("dy"))
+    xy = edges.join(du, "src").join(dv, "dst")
+    return xy.agg(
+        F.expr("CAST(COUNT(*) AS BIGINT)").alias("n_endpoint_pairs"),
+        F.expr(
+            f"""
+            ({DSUM_PINNED('dx * dy')} * COUNT(*)
+             - {DSUM_PINNED('dx')} * {DSUM_PINNED('dy')})
+            / (SQRT({DSUM_PINNED('dx * dx')} * COUNT(*)
+                    - {DSUM_PINNED('dx')} * {DSUM_PINNED('dx')})
+               * SQRT({DSUM_PINNED('dy * dy')} * COUNT(*)
+                      - {DSUM_PINNED('dy')} * {DSUM_PINNED('dy')}))
+            """
+        ).alias("assortativity"),
+        F.expr(
+            f"{DSUM_PINNED('dx')} / CAST(COUNT(*) AS DOUBLE)"
+        ).alias("avg_endpoint_degree"),
+    )
+
+
+def _q227_sql() -> str:
+    from ._util import DSUM_PINNED
+
+    return f"""
+WITH {_EDGES_SQL.strip()},
+deg AS (SELECT src, COUNT(*) AS d FROM edges GROUP BY src),
+xy AS (
+  SELECT du.d AS dx, dv.d AS dy
+  FROM edges e
+  JOIN deg du ON du.src = e.src
+  JOIN deg dv ON dv.src = e.dst
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_endpoint_pairs,
+       ({DSUM_PINNED('dx * dy')} * COUNT(*)
+        - {DSUM_PINNED('dx')} * {DSUM_PINNED('dy')})
+       / (SQRT({DSUM_PINNED('dx * dx')} * COUNT(*)
+               - {DSUM_PINNED('dx')} * {DSUM_PINNED('dx')})
+          * SQRT({DSUM_PINNED('dy * dy')} * COUNT(*)
+                 - {DSUM_PINNED('dy')} * {DSUM_PINNED('dy')}))
+         AS assortativity,
+       {DSUM_PINNED('dx')} / CAST(COUNT(*) AS DOUBLE)
+         AS avg_endpoint_degree
+FROM xy
+"""
+
+
+QUERIES["q227_degree_assortativity"] = q227_degree_assortativity
+ORACLE["q227_degree_assortativity"] = _q227_sql()
