@@ -760,3 +760,99 @@ ORACLE = {
     "q168_dsir_weights": _Q168_SQL,
     "q173_profile_orders": _Q173_SQL,
 }
+
+
+# --- q228: leakage REPAIR — move near-dup components into one split -------
+# q155 finds cross-split near-dup pairs; this is the fix: close the
+# near-dup pairs into components (q60's label-propagation kernel) and
+# reassign EVERY member to the split of its component's minimum doc id —
+# a deterministic canonical that needs no coordination. After the
+# repair, no near-dup pair can straddle a split by construction (both
+# endpoints share a component, hence a split) — tests pin the post-
+# repair leak count at 0. Output = one row per near-dup-cluster member
+# (singletons keep their split and are not emitted — the repair touches
+# only what the audit implicates). Shape: the q155 pair join + the q60
+# component rounds + two split-map joins; the canonical-split relation
+# is component-count-sized (no hint — AQE sizes it; a 100 TB corpus can
+# carry millions of clusters).
+
+def q228_split_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..dedup import ngram_jaccard_pairs
+    from ..operators.components import connected_components
+    from ..transform.sampling import content_hash_split
+
+    docs = tbl(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(
+        docs, n=3, threshold=_Q155_THRESHOLD, max_doc_freq=50
+    ).select("a", "b")
+    comp = connected_components(pairs)
+    splits = content_hash_split(docs).select("doc_id", "split")
+    canon = comp.filter(F.col("node") == F.col("component")).join(
+        splits, F.col("node") == F.col("doc_id")
+    ).select("component", F.col("split").alias("new_split"))
+    return (
+        comp.join(splits, comp["node"] == splits["doc_id"])
+        .join(canon, "component")
+        .select(
+            F.col("node").alias("doc_id"),
+            F.col("split").alias("old_split"),
+            "new_split",
+            (F.col("split") != F.col("new_split")).alias("moved"),
+        )
+    )
+
+
+_Q228_SQL = """
+WITH RECURSIVE tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+sh0 AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(range(1, greatest(len(t) - 2, 0) + 1),
+                i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) AS sh
+  FROM tok WHERE len(t) >= 3
+),
+keep AS (SELECT sh FROM sh0 GROUP BY sh HAVING COUNT(*) <= 50),
+sh AS (SELECT s.doc_id, s.sh FROM sh0 s JOIN keep USING (sh)),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+pairs AS (
+  SELECT a, b FROM (
+    SELECT s1.doc_id AS a, s2.doc_id AS b, COUNT(*) AS common
+    FROM sh s1 JOIN sh s2 ON s1.sh = s2.sh AND s1.doc_id < s2.doc_id
+    GROUP BY 1, 2
+  ) c
+  JOIN sizes sa ON sa.doc_id = a
+  JOIN sizes sb ON sb.doc_id = b
+  WHERE common / (sa.sz + sb.sz - common) >= 0.5
+),
+edges AS (SELECT a AS u, b AS v FROM pairs UNION SELECT b, a FROM pairs),
+reach AS (
+  SELECT u AS node, v AS r FROM edges
+  UNION
+  SELECT reach.node, edges.v FROM reach JOIN edges ON reach.r = edges.u
+),
+comp AS (
+  SELECT node, LEAST(node, MIN(r)) AS component FROM reach GROUP BY node
+),
+splits AS (
+  SELECT doc_id,
+         CASE WHEN strpos('0123456789abcdef', substr(md5(text), 1, 1)) - 1 < 13
+              THEN 'train'
+              WHEN strpos('0123456789abcdef', substr(md5(text), 1, 1)) - 1 < 15
+              THEN 'val' ELSE 'test' END AS split
+  FROM documents
+),
+canon AS (
+  SELECT c.component, s.split AS new_split
+  FROM comp c JOIN splits s ON s.doc_id = c.node
+  WHERE c.node = c.component
+)
+SELECT c.node AS doc_id,
+       s.split AS old_split,
+       canon.new_split,
+       s.split <> canon.new_split AS moved
+FROM comp c
+JOIN splits s ON s.doc_id = c.node
+JOIN canon ON canon.component = c.component
+"""
+
+QUERIES["q228_split_repair"] = q228_split_repair
+ORACLE["q228_split_repair"] = _Q228_SQL

@@ -77,3 +77,43 @@ def test_ivf_query_returns_full_topk(spark):
         per_query[r["query_id"]] = per_query.get(r["query_id"], 0) + 1
     assert set(per_query) == {0, 1, 2, 3, 4}
     assert all(v == 5 for v in per_query.values())
+
+
+def test_split_repair_eliminates_all_leaks(spark):
+    """After q228's reassignment, no near-dup pair may straddle a split
+    (both endpoints share a component, hence a split) — and the repair
+    must touch only documents that appear in near-dup clusters."""
+    from etl_job_applify_spark.dedup import ngram_jaccard_pairs
+    from etl_job_applify_spark.queries._util import tbl
+    from etl_job_applify_spark.queries.pipelineops2 import (
+        _Q155_THRESHOLD,
+        q228_split_repair,
+    )
+    from etl_job_applify_spark.transform.sampling import content_hash_split
+    from pyspark.sql import functions as F
+
+    sf = "/root/testdata/sf0.001"
+    moves = q228_split_repair(spark, sf)
+    docs = tbl(spark, sf, "documents")
+    # the repaired assignment = original splits overridden by the moves
+    repaired = (
+        content_hash_split(docs)
+        .select("doc_id", "split")
+        .join(moves.select("doc_id", "new_split"), "doc_id", "left")
+        .select(
+            "doc_id", F.coalesce("new_split", "split").alias("split")
+        )
+    )
+    pairs = ngram_jaccard_pairs(
+        docs, n=3, threshold=_Q155_THRESHOLD, max_doc_freq=50
+    ).select("a", "b")
+    ra = repaired.select(F.col("doc_id").alias("a"), F.col("split").alias("sa"))
+    rb = repaired.select(F.col("doc_id").alias("b"), F.col("split").alias("sb"))
+    leaks = (
+        pairs.join(ra, "a").join(rb, "b")
+        .filter(F.col("sa") != F.col("sb"))
+        .count()
+    )
+    assert leaks == 0
+    # at least one genuine move on the fixture (the audit finds leaks)
+    assert moves.filter("moved").count() > 0
