@@ -498,3 +498,64 @@ ORACLE = {
     "q219_snm_dedup": _Q219_SQL,
     "q222_snm_corpus_dedup": _Q222_SQL,
 }
+
+
+# --- q229: SNM recall vs the exhaustive jaccard ground truth ---------------
+# The q76/q77 pattern for the sorted-neighborhood family — but STRONGER:
+# because SNM is fully SQL-expressible, the oracle re-derives BOTH sides
+# (exhaustive uncapped pairs AND the SNM-verified pairs) and evaluates
+# the recall predicate itself, instead of pinning `true`. Ground truth:
+# exact trigram jaccard >= 0.5, uncapped. The two-pass SNM must recover
+# at least half of it on this corpus (window/passes are the recall
+# knobs; dedup/snm.py documents the trade).
+
+def q229_snm_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..dedup import ngram_jaccard_pairs
+
+    docs = tbl(spark, sf_dir, "documents")
+    exact = ngram_jaccard_pairs(
+        docs, threshold=0.5, max_doc_freq=None
+    ).select("a", "b")
+    snm = q219_snm_dedup(spark, sf_dir).select("a", "b")
+    hits = snm.withColumn("__hit", F.lit(1))
+    joined = exact.join(hits, ["a", "b"], "left")
+    return joined.agg(
+        F.count("*").cast("bigint").alias("n_exact"),
+        F.coalesce(
+            (F.count("__hit") / F.count("*")) >= 0.5, F.lit(True)
+        ).alias("recall_ok"),
+    )
+
+
+_Q229_SQL = (
+    "WITH "
+    + _snm_cte_prefix()
+    + """,
+etok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+esh AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(range(1, greatest(len(t) - 2, 0) + 1),
+                i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) AS sh
+  FROM etok WHERE len(t) >= 3
+),
+esizes AS (SELECT doc_id, COUNT(*) AS sz FROM esh GROUP BY doc_id),
+exact AS (
+  SELECT a, b FROM (
+    SELECT s1.doc_id AS a, s2.doc_id AS b, COUNT(*) AS common
+    FROM esh s1 JOIN esh s2 ON s1.sh = s2.sh AND s1.doc_id < s2.doc_id
+    GROUP BY 1, 2
+  ) c
+  JOIN esizes sa ON sa.doc_id = a
+  JOIN esizes sb ON sb.doc_id = b
+  WHERE common / (sa.sz + sb.sz - common) >= 0.5
+),
+hits AS (SELECT a, b, 1 AS hit FROM vp)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_exact,
+       COALESCE(COUNT(h.hit) / COUNT(*) >= 0.5, true) AS recall_ok
+FROM exact e
+LEFT JOIN hits h ON h.a = e.a AND h.b = e.b
+"""
+)
+
+QUERIES["q229_snm_recall"] = q229_snm_recall
+ORACLE["q229_snm_recall"] = _Q229_SQL
