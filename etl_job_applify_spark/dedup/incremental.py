@@ -602,7 +602,6 @@ def _vidx_read(
     schema = StructType.fromJson(
         fs_read_json(spark, f"{live[-1]}/_schema.json")
     )
-    entries = spark.read.schema(schema).parquet(*live)
     # delete snapshots (minhash_index_delete) contribute tombstone
     # sets; the returned relation is pre-filtered so probes and the
     # compaction fold serve only live documents. No hint: tombstone
@@ -616,16 +615,44 @@ def _vidx_read(
     del_paths = [
         p for p in live if "_deletes" in snapshot_members(spark, p)
     ]
-    if del_paths:
-        t_schema = StructType([StructField("doc", LongType())])
-        tombs = reduce(
+    if not del_paths:
+        return params, spark.read.schema(schema).parquet(*live), live
+
+    def _v(p: str) -> int:
+        return int(p.rsplit(_SNAP, 1)[1])
+
+    # tombstones are VERSION-SCOPED (same contract as the text index's
+    # _tidx_read): a delete at version d suppresses only entries
+    # committed before it, so a doc re-appended after its deletion is
+    # probed again instead of being silently dark forever
+    entries = reduce(
+        DataFrame.unionByName,
+        [
+            spark.read.schema(schema)
+            .parquet(p)
+            .withColumn("__sv", F.lit(_v(p)))
+            for p in live
+        ],
+    )
+    t_schema = StructType([StructField("doc", LongType())])
+    tombs = (
+        reduce(
             DataFrame.unionByName,
             [
-                spark.read.schema(t_schema).parquet(f"{p}/_deletes")
+                spark.read.schema(t_schema)
+                .parquet(f"{p}/_deletes")
+                .withColumn("__dv", F.lit(_v(p)))
                 for p in del_paths
             ],
-        ).distinct()
-        entries = entries.join(tombs, "doc", "left_anti")
+        )
+        .groupBy("doc")
+        .agg(F.max("__dv").alias("__dv"))
+        .select(F.col("doc").alias("__tdoc"), "__dv")
+    )
+    cond = (F.col("doc") == F.col("__tdoc")) & (
+        F.col("__dv") > F.col("__sv")
+    )
+    entries = entries.join(tombs, cond, "left_anti").drop("__sv")
     return params, entries, live
 
 

@@ -78,5 +78,9 @@ def snm_candidate_pairs(
         cand.select(
             F.least("x", "y").alias("a"), F.greatest("x", "y").alias("b")
         )
+        # duplicate ids in the input make lead() pair a row with its own
+        # twin; least/greatest collapses that to a degenerate (id, id)
+        # self-pair that downstream verification would score 1.0
+        .filter(F.col("a") != F.col("b"))
         .distinct()
     )

@@ -77,6 +77,26 @@ def _write_meta(index_path: str, meta: dict) -> None:
         json.dump(meta, fh)
 
 
+def _read_flat(
+    spark: SparkSession, index_path: str, sub: str, meta: dict
+) -> DataFrame:
+    """Read a flat-layout subtree (``postings``/``doclens``), using the
+    explicit schema ``optimize_text_index`` records in the meta when
+    present: a purge-everything compaction (every document tombstoned)
+    rewrites ZERO data files, and a schema-inferring read of the empty
+    directory would raise AnalysisException on every later probe. The
+    explicit schema makes the empty index a readable 0-row relation —
+    same contract as the dedup index's ``_read_index``."""
+    schema_json = meta.get(f"{sub}_schema")
+    if schema_json is not None:
+        from pyspark.sql.types import StructType
+
+        return spark.read.schema(StructType.fromJson(schema_json)).parquet(
+            os.path.join(index_path, sub)
+        )
+    return spark.read.parquet(os.path.join(index_path, sub))
+
+
 def _recover_text_index(index_path: str) -> None:
     """Finish an interrupted ``optimize_text_index`` swap — identical
     protocol to the dedup index (dedup/incremental.py::_recover_index):
@@ -111,8 +131,11 @@ def text_index_build(
     """Tokenize ``docs`` once and persist postings + doclens + stats.
 
     Returns the updated meta. ``mode="append"`` adds a new batch (doc
-    ids must be new — re-ingesting an id double-counts its postings,
-    same contract as the dedup index) and increments the exact corpus
+    ids must not be CURRENTLY SERVED — re-ingesting a live id
+    double-counts its postings, same contract as the dedup index; a
+    previously DELETED id may be re-appended on the versioned layout,
+    where tombstones are version-scoped and only suppress rows
+    committed before the delete) and increments the exact corpus
     stats; ``num_buckets`` must match the index's recorded value, since
     bucket ids from different moduli are incomparable.
 
@@ -252,7 +275,7 @@ def text_index_delete(
         return {"n_tombstoned": _tidx_delete(spark, index_path, ids)}
     _recover_text_index(index_path)
     # only ids actually present and not already tombstoned count
-    dls = spark.read.parquet(os.path.join(index_path, "doclens"))
+    dls = _read_flat(spark, index_path, "doclens", _read_meta(index_path))
     live = ids.join(dls, "doc", "left_semi")
     prior = _read_deletes(spark, index_path)
     if prior is not None:
@@ -280,7 +303,7 @@ def text_index_terms(
     else:
         _recover_text_index(index_path)
         meta = _read_meta(index_path)
-        posts = spark.read.parquet(os.path.join(index_path, "postings"))
+        posts = _read_flat(spark, index_path, "postings", meta)
         deletes = _read_deletes(spark, index_path)
     buckets = _term_buckets(spark, words, meta["num_buckets"])
     # the filter pushes through the versioned layout's per-snapshot
@@ -331,7 +354,7 @@ def _bm25_relations(spark: SparkSession, index_path: str, qterms: DataFrame):
     else:
         _recover_text_index(index_path)
         meta = _read_meta(index_path)
-        dls = spark.read.parquet(os.path.join(index_path, "doclens"))
+        dls = _read_flat(spark, index_path, "doclens", meta)
         deletes = _read_deletes(spark, index_path)
     words = [r["word"] for r in qterms.select("word").distinct().collect()]
     posts = text_index_terms(spark, index_path, words)
@@ -440,8 +463,17 @@ def optimize_text_index(
         )
     _recover_text_index(index_path)
     meta = _read_meta(index_path)
-    posts = spark.read.parquet(os.path.join(index_path, "postings"))
-    dl = spark.read.parquet(os.path.join(index_path, "doclens"))
+    posts = _read_flat(spark, index_path, "postings", meta)
+    dl = _read_flat(spark, index_path, "doclens", meta)
+    # capture the read-back schemas BEFORE the rewrite: a
+    # purge-everything compaction writes 0 data files, and without the
+    # recorded schemas every later probe's read would fail (the
+    # versioned layout and the flat dedup index already persist theirs)
+    meta = dict(
+        meta,
+        postings_schema=posts.schema.jsonValue(),
+        doclens_schema=dl.schema.jsonValue(),
+    )
     files_before = len(_index_data_files(index_path))
     deletes = _read_deletes(spark, index_path)
     if deletes is not None:
@@ -579,17 +611,6 @@ def _tidx_read(spark: SparkSession, index_path: str):
     d_schema = StructType.fromJson(
         fs_read_json(spark, f"{live[-1]}/_doclens_schema.json")
     )
-    posts = reduce(
-        DataFrame.unionByName,
-        [
-            spark.read.schema(p_schema).parquet(f"{p}/postings")
-            for p in live
-        ],
-    )
-    dls = reduce(
-        DataFrame.unionByName,
-        [spark.read.schema(d_schema).parquet(f"{p}/doclens") for p in live],
-    )
     # delete snapshots (_tidx_delete) contribute tombstone sets; the
     # returned relations are pre-filtered so every consumer (probes,
     # compaction fold) serves only live documents. The meta counters
@@ -603,19 +624,53 @@ def _tidx_read(spark: SparkSession, index_path: str):
         for p in live
         if "deletes" in snapshot_members(spark, p)
     ]
+
+    def _v(p: str) -> int:
+        return int(p.rsplit("snap_", 1)[1])
+
+    def _union(sub: str, schema) -> DataFrame:
+        parts = [
+            spark.read.schema(schema).parquet(f"{p}/{sub}") for p in live
+        ]
+        if del_paths:
+            # tombstones are VERSION-SCOPED: a delete at version d
+            # suppresses only rows committed before it (snapshot
+            # version < d), so a doc re-appended AFTER its deletion is
+            # served again — and the appended snapshot's positive
+            # _params increment keeps the summed counters exact
+            parts = [
+                df.withColumn("__sv", F.lit(_v(p)))
+                for df, p in zip(parts, live)
+            ]
+        return reduce(DataFrame.unionByName, parts)
+
+    posts = _union("postings", p_schema)
+    dls = _union("doclens", d_schema)
     if del_paths:
         from pyspark.sql.types import LongType, StructField
 
         t_schema = StructType([StructField("doc", LongType())])
-        tombs = reduce(
-            DataFrame.unionByName,
-            [
-                spark.read.schema(t_schema).parquet(f"{p}/deletes")
-                for p in del_paths
-            ],
-        ).distinct()
-        posts = posts.join(tombs, "doc", "left_anti")
-        dls = dls.join(tombs, "doc", "left_anti")
+        # max delete version per doc: a row at version v is dead iff
+        # ANY delete with version > v exists, i.e. iff max(dv) > v
+        tombs = (
+            reduce(
+                DataFrame.unionByName,
+                [
+                    spark.read.schema(t_schema)
+                    .parquet(f"{p}/deletes")
+                    .withColumn("__dv", F.lit(_v(p)))
+                    for p in del_paths
+                ],
+            )
+            .groupBy("doc")
+            .agg(F.max("__dv").alias("__dv"))
+            .select(F.col("doc").alias("__tdoc"), "__dv")
+        )
+        cond = (F.col("doc") == F.col("__tdoc")) & (
+            F.col("__dv") > F.col("__sv")
+        )
+        posts = posts.join(tombs, cond, "left_anti").drop("__sv")
+        dls = dls.join(tombs, cond, "left_anti").drop("__sv")
     return meta, posts, dls, live
 
 

@@ -416,7 +416,7 @@ c0 AS (
 ),
 cand AS (
   SELECT DISTINCT LEAST(x, y) AS a, GREATEST(x, y) AS b
-  FROM c0 WHERE y IS NOT NULL
+  FROM c0 WHERE y IS NOT NULL AND x <> y
 ),
 tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
 sh AS (

@@ -87,7 +87,12 @@ def main(spark: SparkSession, sf_dir: str) -> dict:
     probe = minhash_index_probe(
         spark, dedup_idx, docs.limit(50), history, threshold=0.5
     )
-    dedup_hits = probe.join(erase, probe["a"] == erase["doc"], "left_semi").count()
+    # pairs are normalized a < b: an erased id can surface on EITHER
+    # endpoint, so the self-check must cover both projections
+    probe_ids = probe.select(F.col("a").alias("doc")).unionByName(
+        probe.select(F.col("b").alias("doc"))
+    )
+    dedup_hits = probe_ids.join(erase, "doc", "left_semi").count()
     optimize_index(spark, dedup_idx)  # reclaim
 
     # ---- 3. text index: immediate tombstones, exact filtered stats

@@ -614,3 +614,23 @@ def test_capped_sessions_rejects_null_ts(spark):
     out = capped_sessions(df, ["user_id"], "ts", 10, 20)
     with _pytest.raises(Exception, match="null ts"):
         out.collect()
+
+
+def test_snm_duplicate_ids_emit_no_self_pairs(spark):
+    """Duplicate ids in the input (a re-crawled doc landing twice in one
+    batch) must not surface as degenerate (id, id) candidates — lead()
+    pairs the twin rows and least/greatest would collapse them."""
+    from etl_job_applify_spark.dedup.snm import snm_candidate_pairs
+
+    rows = [
+        (1, "apple banana cherry date elderberry"),
+        (1, "apple banana cherry date elderberry"),
+        (2, "apple banana cherry date elderflower"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    cand = snm_candidate_pairs(
+        df, "doc_id", ["substring(text, 1, 40)"], window=2, block_len=2
+    )
+    pairs = {(r.a, r.b) for r in cand.collect()}
+    assert (1, 1) not in pairs
+    assert (1, 2) in pairs

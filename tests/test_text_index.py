@@ -450,3 +450,80 @@ def test_versioned_delete_race_loses_no_tombstones(spark, tmp_path):
     assert _score_map(text_index_bm25(spark, idx, q)) == _score_map(
         text_index_bm25(spark, ref, q)
     )
+
+
+def test_versioned_delete_then_reappend_serves_again(spark, tmp_path):
+    """GDPR-erase-then-reingest: a doc id appended AFTER its deletion
+    must be served again (tombstones are version-scoped to the
+    snapshots that preceded the delete), and the summed stats counters
+    must stay exact — every probe equals a clean rebuild of the final
+    corpus."""
+    from etl_job_applify_spark.functions.text_index import (
+        _tidx_read,
+        text_index_delete,
+    )
+
+    idx = str(tmp_path / "tidx_reapp")
+    ref = str(tmp_path / "tidx_reapp_ref")
+    docs = _docs(spark, n=20)
+    text_index_build(docs, idx, layout="versioned")
+    erased = [3, 7, 11]
+    assert text_index_delete(spark, idx, erased)["n_tombstoned"] == 3
+
+    # re-ingest the erased ids with NEW text (the reingest flow)
+    reingested = spark.createDataFrame(
+        [(i, "hash join hash stream") for i in erased],
+        "doc_id long, text string",
+    )
+    text_index_build(reingested, idx, mode="append")
+
+    final = docs.filter(~F.col("doc_id").isin(erased)).unionByName(
+        reingested
+    )
+    text_index_build(final, ref, layout="versioned")
+    q = _qterms(spark)
+    assert _score_map(text_index_bm25(spark, idx, q)) == _score_map(
+        text_index_bm25(spark, ref, q)
+    )
+    # the re-appended ids are served (not suppressed by the older
+    # tombstone), with the NEW postings only
+    served = {
+        int(r.doc)
+        for r in text_index_terms(spark, idx, ["hash"]).collect()
+    }
+    assert set(erased) <= served
+    meta, posts, dls, _ = _tidx_read(spark, idx)
+    assert meta["n_docs"] == final.count()
+    assert meta["total_dl"] == dls.agg(F.sum("dl")).first()[0]
+    # compaction folds the mixed history without resurrecting anything
+    optimize_text_index(spark, idx)
+    assert _score_map(text_index_bm25(spark, idx, q)) == _score_map(
+        text_index_bm25(spark, ref, q)
+    )
+
+
+def test_flat_purge_everything_stays_probeable(spark, tmp_path):
+    """Flat layout: tombstoning EVERY document and compacting must leave
+    a probeable (0-result) index — the optimize records the postings/
+    doclens schemas in the meta so later reads never schema-infer an
+    empty directory — and a later append revives it."""
+    from etl_job_applify_spark.functions.text_index import text_index_delete
+
+    idx = str(tmp_path / "tidx_flat_empty")
+    docs = _docs(spark, n=8)
+    text_index_build(docs, idx)
+    ids = [int(r.doc_id) for r in docs.collect()]
+    assert text_index_delete(spark, idx, ids)["n_tombstoned"] == 8
+    optimize_text_index(spark, idx)
+    q = _qterms(spark)
+    assert text_index_bm25(spark, idx, q).count() == 0
+    assert text_index_terms(spark, idx, ["hash"]).count() == 0
+    assert text_index_phrase_hits(spark, idx, ["hash", "join"]).count() == 0
+    # the empty index accepts a fresh batch and serves exactly it
+    batch = _docs(spark, start=50, n=6)
+    text_index_build(batch, idx, mode="append")
+    ref = str(tmp_path / "tidx_flat_empty_ref")
+    text_index_build(batch, ref)
+    assert _score_map(text_index_bm25(spark, idx, q)) == _score_map(
+        text_index_bm25(spark, ref, q)
+    )

@@ -360,3 +360,46 @@ def test_log_table_append_read_fence_and_empty_batches(spark, tmp_path):
     assert append_log_version(empty, empty_log, ["_epoch_w_0"]) == 1
     got = read_log_table(spark, empty_log)
     assert got.count() == 0 and got.columns == ["id", "v"]
+
+
+def test_versioned_dedup_delete_then_reappend_probes_again(spark, tmp_path):
+    """A doc id deleted and then re-appended (erase-then-reingest) must
+    surface as a probe candidate again: tombstones are version-scoped,
+    so only entries committed BEFORE the delete stay suppressed."""
+    from etl_job_applify_spark.dedup import minhash_index_delete
+
+    idx = str(tmp_path / "vers_reapp")
+    history = _corpus(spark)
+    minhash_index_build(
+        history, idx, num_hashes=64, bands=16, layout="versioned"
+    )
+    minhash_index_delete(spark, idx, [7, 23])
+    # tombstones took effect: the near-dups of 7/23 no longer pair
+    got = {
+        (r["a"], r["b"])
+        for r in minhash_index_probe(
+            spark, idx, _batch(spark), history
+        ).collect()
+    }
+    assert (7, 100) not in got and (23, 101) not in got
+    # re-ingest doc 7 (same content) AFTER the delete
+    versioned_index_append(
+        history.filter(F.col("doc_id") == 7), idx
+    )
+    got = {
+        (r["a"], r["b"])
+        for r in minhash_index_probe(
+            spark, idx, _batch(spark), history
+        ).collect()
+    }
+    assert (7, 100) in got          # the re-appended entry is live again
+    assert (23, 101) not in got     # the still-deleted doc stays dark
+    # compaction folds the mixed history without resurrecting doc 23
+    optimize_index(spark, idx)
+    got = {
+        (r["a"], r["b"])
+        for r in minhash_index_probe(
+            spark, idx, _batch(spark), history
+        ).collect()
+    }
+    assert (7, 100) in got and (23, 101) not in got
