@@ -624,7 +624,14 @@ def _vidx_read(
     # tombstones are VERSION-SCOPED (same contract as the text index's
     # _tidx_read): a delete at version d suppresses only entries
     # committed before it, so a doc re-appended after its deletion is
-    # probed again instead of being silently dark forever
+    # probed again instead of being silently dark forever.
+    # Deliberate trade-off: once ANY delete snapshot exists, the live
+    # set is N per-snapshot reads unioned with a literal __sv column
+    # (version scoping needs to know which snapshot a row came from)
+    # instead of the one multi-path read above — every probe on a
+    # tombstone-carrying index pays that union until the next
+    # compaction purges the tombstones and restores the fast path, so
+    # compact soon after bulk deletes on large snapshot counts.
     entries = reduce(
         DataFrame.unionByName,
         [

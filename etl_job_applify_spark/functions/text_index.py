@@ -130,14 +130,19 @@ def text_index_build(
 ) -> dict:
     """Tokenize ``docs`` once and persist postings + doclens + stats.
 
-    Returns the updated meta. ``mode="append"`` adds a new batch (doc
-    ids must not be CURRENTLY SERVED — re-ingesting a live id
-    double-counts its postings, same contract as the dedup index; a
-    previously DELETED id may be re-appended on the versioned layout,
-    where tombstones are version-scoped and only suppress rows
-    committed before the delete) and increments the exact corpus
-    stats; ``num_buckets`` must match the index's recorded value, since
-    bucket ids from different moduli are incomparable.
+    Returns the updated meta. ``mode="append"`` adds a new batch of doc
+    ids and increments the exact corpus stats. Append id contract, per
+    layout: on the FLAT layout an appended id must NEVER have been in
+    the index — not live (re-ingesting a live id double-counts its
+    postings, same contract as the dedup index) and not tombstoned
+    either, because flat tombstones are doc-scoped: they would keep
+    suppressing the re-appended rows and the next
+    ``optimize_text_index`` would silently purge them (run the optimize
+    FIRST to clear tombstones if re-use of an id is required). Only the
+    VERSIONED layout supports delete-then-re-append, because its
+    tombstones are version-scoped and suppress only rows committed
+    before the delete. ``num_buckets`` must match the index's recorded
+    value, since bucket ids from different moduli are incomparable.
 
     ``layout="versioned"`` founds a log-structured CAS-committed index
     (see the versioned-layout section below) — object-store capable,
@@ -238,8 +243,9 @@ def _term_buckets(
 
 def _read_deletes(spark: SparkSession, index_path: str) -> DataFrame | None:
     """The tombstone set (one ``doc`` column), or None when the index
-    has no deletions. Flat layout only — the versioned layout has no
-    delete support yet and simply never has this directory."""
+    has no deletions. Flat layout only — the versioned layout stores
+    tombstones per-snapshot (``snap_*/deletes``, version-scoped via
+    ``_tidx_delete``) and never uses this flat-layout directory."""
     path = os.path.join(index_path, "deletes")
     if not os.path.isdir(path):
         return None

@@ -608,29 +608,32 @@ ORDER BY 1, 2
 # single pass (conditional agg); the word-stat relation is
 # vocabulary-sized → broadcast back onto the postings (Heaps' law keeps
 # the vocabulary broadcastable at 100 TB, same argument as q120); the
-# three corpus scalars ride along as a broadcast single-row cross join.
-# This is importance WEIGHTING; resampling = feed the weight column to
-# q165's deterministic weighted sampler.
+# three corpus scalars are a ONE-ROW aggregate broadcast back onto the
+# stats relation (the q99/q190 idiom — a 1×N broadcast BNLJ, registry-
+# allowlisted). An unpartitioned window over the stats relation would
+# compute the same scalars but funnel the entire vocabulary — Heaps-law
+# tail plus junk tokens at web scale — through ONE task; the 1-row
+# aggregate keeps the scalar reduction partial+final and the stats scan
+# fully parallel. This is importance WEIGHTING; resampling = feed the
+# weight column to q165's deterministic weighted sampler.
 
 def q168_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = tbl(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id", "lang", F.explode(F.expr(_T)).alias("word")
     )
-    w = Window.partitionBy()
-    stats = (
-        toks.groupBy("word")
-        .agg(
-            F.count("*").alias("ct_r"),
-            F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("ct_t"),
-        )
-        # corpus scalars ride on the vocabulary-sized frame as an
-        # unpartitioned window (q118's idiom) — no 1-row cross join, so
-        # the plan stays BNLJ-free for the registry audit
-        .withColumn("n_raw", F.sum("ct_r").over(w))
-        .withColumn("n_tgt", F.sum("ct_t").over(w))
-        .withColumn("v", F.count("*").over(w))
+    counts = toks.groupBy("word").agg(
+        F.count("*").alias("ct_r"),
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("ct_t"),
     )
+    scalars = counts.agg(
+        F.sum("ct_r").alias("n_raw"),
+        F.sum("ct_t").alias("n_tgt"),
+        F.count("*").alias("v"),
+    )
+    # the scalar branch recomputes counts' aggregate, but its shuffle is
+    # a ReusedExchange of the counts branch's — one tokens exchange total
+    stats = counts.crossJoin(F.broadcast(scalars))
     ratio = (
         "(CAST(ct_t + 1 AS DOUBLE) * CAST(n_raw + v AS DOUBLE))"
         " / (CAST(ct_r + 1 AS DOUBLE) * CAST(n_tgt + v AS DOUBLE))"

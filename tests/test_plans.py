@@ -148,6 +148,10 @@ def test_registry_wide_plan_audit(spark):
     # q215/q216/q217: the 1-row global-total aggregate (basket count /
     # split totals / group sizes) broadcast onto the scored relation —
     # the same 1-row BNLJ shape as q99/q102/q186/q190
+    # q168: the 1-row corpus-scalars aggregate (n_raw/n_tgt/v) broadcast
+    # onto the vocabulary-sized stats relation — replaced the
+    # unpartitioned-window form that funneled the vocabulary through
+    # one task (same 1×N shape as q184)
     CARTESIAN_OK = {"q34_cosine_topk", "q36_embedding_near_dup",
                     "q78_ann_recall", "q87_ivf_recall",
                     "q99_sketch_rollup", "q102_theta_ops",
@@ -156,7 +160,7 @@ def test_registry_wide_plan_audit(spark):
                     "q187_timeboxed_funnel", "q184_skew_join",
                     "q190_bm25_retrieval", "q200_hybrid_rrf",
                     "q215_association_rules", "q216_drift_bins",
-                    "q217_ks_statistic",
+                    "q217_ks_statistic", "q168_dsir_weights",
                     # q220 inherits q190's one-row corpus-stats BNLJ
                     "q220_pruned_bm25_topk"}
     from etl_job_applify_spark.plans import lint_errors
