@@ -48,7 +48,32 @@ def token_positions(docs: DataFrame, text_col: str = "text",
     ).select(id_col, (F.col("pos0") + 1).alias("pos"), "word")
 
 
-def _contrib_expr(k1: float, b: float) -> str:
+def _idf_expr(scoring: str) -> str:
+    """The idf factor for one term, by ``scoring`` variant:
+
+    - ``"odds"`` (default): rational Robertson odds
+      ``(N - df + 0.5) / (df + 0.5)`` — log-free for cross-engine
+      bit-stability (the exact-oracle contract; see ``bm25_scores``);
+    - ``"log"``: textbook Robertson log-idf
+      ``ln((N - df + 0.5) / (df + 0.5))`` — the Lucene/Elasticsearch-
+      comparable weighting (modulo Lucene's ``ln(1 + odds)`` floor).
+      ``ln()`` is transcendental, so cross-engine agreement is to the
+      last ulp of libm, not bit-contractual; the DECIMAL(28,6)
+      per-term quantization below absorbs that in practice (a 1-ulp
+      ln() difference flips the quantized value only when it straddles
+      a 1e-6 grid boundary). Negative idf (df > N/2 stopwords) is kept
+      as Robertson defined it — the WAND bound dominance in
+      ``bm25_topk_pruned`` is sign-agnostic (per-term max ≥ per-term
+      actual regardless of sign)."""
+    odds = f"((n - df + {_e(0.5)}) / (df + {_e(0.5)}))"
+    if scoring == "odds":
+        return odds
+    if scoring == "log":
+        return f"ln{odds}"
+    raise ValueError(f"unknown BM25 scoring variant {scoring!r}")
+
+
+def _contrib_expr(k1: float, b: float, scoring: str = "odds") -> str:
     """One query term's BM25 contribution for one document, quantized to
     the exact DECIMAL(28,6) accumulator grid — the per-row expression
     whose SUM is the score. Shared verbatim by the scoring join and the
@@ -56,7 +81,7 @@ def _contrib_expr(k1: float, b: float) -> str:
     EXACT decimal arithmetic (see ``bm25_topk_pruned``)."""
     return (
         "CAST("
-        f" ((n - df + {_e(0.5)}) / (df + {_e(0.5)}))"
+        f" {_idf_expr(scoring)}"
         f" * (tf * {_e(k1 + 1)})"
         f" / (tf + {_e(k1)} * ({_e(1 - b)} + {_e(b)} * dl / avgdl))"
         " AS DECIMAL(28,6))"
@@ -73,6 +98,7 @@ def _contrib_rows(
     k1: float,
     b: float,
     extra_cols: Sequence[str] = (),
+    scoring: str = "odds",
 ) -> DataFrame:
     """(qterms group cols..., id_col, [extra...], c) — one decimal
     contribution row per (query, term, matching doc)."""
@@ -89,7 +115,7 @@ def _contrib_rows(
             *group_cols,
             id_col,
             *extra_cols,
-            F.expr(_contrib_expr(k1, b)).alias("c"),
+            F.expr(_contrib_expr(k1, b, scoring)).alias("c"),
         )
     )
 
@@ -103,6 +129,7 @@ def bm25_score_join(
     id_col: str = "doc_id",
     k1: float = 1.2,
     b: float = 0.75,
+    scoring: str = "odds",
 ) -> DataFrame:
     """The BM25 scoring join over pre-computed relations — the ONE
     expression both the recompute path (``bm25_scores``) and the
@@ -113,7 +140,8 @@ def bm25_score_join(
     ``dfreq``: (word, df); ``stats``: one row (n, avgdl)."""
     group_cols = [c for c in qterms.columns if c != "word"]
     return (
-        _contrib_rows(tf, dl, dfreq, stats, qterms, id_col, k1, b)
+        _contrib_rows(tf, dl, dfreq, stats, qterms, id_col, k1, b,
+                      scoring=scoring)
         .groupBy(*group_cols, id_col)
         .agg(F.expr("CAST(SUM(c) AS DOUBLE)").alias("score"))
     )
@@ -129,6 +157,7 @@ def bm25_topk_pruned(
     id_col: str = "doc_id",
     k1: float = 1.2,
     b: float = 0.75,
+    scoring: str = "odds",
 ) -> DataFrame:
     """Top-``k`` BM25 documents per query with WAND-style LOSSLESS
     bound pruning: the exact scoring aggregate and the rank sort run
@@ -171,7 +200,8 @@ def bm25_topk_pruned(
 
     g = [c for c in qterms.columns if c != "word"]
     contrib = _contrib_rows(
-        tf, dl, dfreq, stats, qterms, id_col, k1, b, extra_cols=["word", "df"]
+        tf, dl, dfreq, stats, qterms, id_col, k1, b,
+        extra_cols=["word", "df"], scoring=scoring
     ).persist(StorageLevel.MEMORY_AND_DISK)
 
     ub = contrib.groupBy(*g, "word").agg(
@@ -232,6 +262,7 @@ def bm25_scores(
     id_col: str = "doc_id",
     k1: float = 1.2,
     b: float = 0.75,
+    scoring: str = "odds",
 ) -> DataFrame:
     """BM25 score per (query, document) with rational Robertson-odds
     idf: ``(N - df + 0.5) / (df + 0.5)`` — the log is dropped for
@@ -262,7 +293,8 @@ def bm25_scores(
         (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
     )
     return bm25_score_join(
-        tf, dl, dfreq, stats, qterms, id_col=id_col, k1=k1, b=b
+        tf, dl, dfreq, stats, qterms, id_col=id_col, k1=k1, b=b,
+        scoring=scoring,
     )
 
 

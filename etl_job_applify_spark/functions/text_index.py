@@ -331,6 +331,7 @@ def text_index_bm25(
     qterms: DataFrame,
     k1: float = 1.2,
     b: float = 0.75,
+    scoring: str = "odds",
 ) -> DataFrame:
     """BM25 scores served from the persisted index — bit-identical to
     ``retrieval.bm25_scores`` over the same corpus (shared scoring
@@ -342,7 +343,8 @@ def text_index_bm25(
     small; that is what makes the pruned per-term scan possible)."""
     tf, dl, dfreq, stats = _bm25_relations(spark, index_path, qterms)
     scored = bm25_score_join(
-        tf, dl, dfreq, stats, qterms, id_col="__doc", k1=k1, b=b
+        tf, dl, dfreq, stats, qterms, id_col="__doc", k1=k1, b=b,
+        scoring=scoring,
     )
     return scored.withColumnRenamed("__doc", "doc_id")
 
@@ -396,6 +398,7 @@ def text_index_bm25_topk(
     k: int = 5,
     k1: float = 1.2,
     b: float = 0.75,
+    scoring: str = "odds",
 ) -> DataFrame:
     """Top-``k`` retrieval served from the persisted index with
     WAND-style lossless bound pruning (``retrieval.bm25_topk_pruned``):
@@ -408,7 +411,8 @@ def text_index_bm25_topk(
 
     tf, dl, dfreq, stats = _bm25_relations(spark, index_path, qterms)
     out = bm25_topk_pruned(
-        tf, dl, dfreq, stats, qterms, k=k, id_col="__doc", k1=k1, b=b
+        tf, dl, dfreq, stats, qterms, k=k, id_col="__doc", k1=k1, b=b,
+        scoring=scoring,
     )
     return out.withColumnRenamed("__doc", "doc_id")
 

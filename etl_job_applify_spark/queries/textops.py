@@ -961,6 +961,70 @@ WHERE rrf_rank <= 10
 """
 
 
+# --- q230/q231: textbook log-idf BM25 ------------------------------------
+# q190's rational Robertson-odds idf is the bit-exact oracle default,
+# but it re-weights terms against each other (rare terms weigh more
+# than textbook BM25; documented at q190). scoring="log" restores
+# Robertson's ln((N - df + 0.5)/(df + 0.5)) — the Lucene/Elasticsearch-
+# comparable ranking (modulo Lucene's ln(1+odds) floor). ln() is
+# transcendental, so the oracle contract weakens from bit-exact to
+# sig-digit: the gate's default 12-significant-digit float compare (and
+# the per-term DECIMAL(28,6) quantization, which absorbs sub-1e-6 libm
+# ulp drift unless a value straddles a grid boundary) — the documented
+# trade for textbook rankings. Same plan as q190: one tf exchange,
+# broadcast stats, rank-filter top-5.
+
+def q230_bm25_log_idf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..functions.retrieval import bm25_scores
+
+    docs = tbl(spark, sf_dir, "documents")
+    qterms = spark.createDataFrame(
+        [(qid, w) for qid, ws in _Q190_QUERIES for w in ws],
+        "qid int, word string",
+    )
+    scored = bm25_scores(docs, qterms, scoring="log")
+    w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 5)
+        .select("qid", "doc_id", "rnk", "score")
+    )
+
+
+_Q230_SQL = _Q190_SQL.replace(
+    "((n - df + 5e-1) / (df + 5e-1))",
+    "ln((n - df + 5e-1) / (df + 5e-1))",
+)
+
+
+def q231_log_idf_pruned_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q230's log-idf retrieval served from the PERSISTED index through
+    the WAND bound-pruned kernel — the bound dominance (per-term max ≥
+    per-term actual) is sign-agnostic, so pruning stays LOSSLESS under
+    log weights where idf can go negative (df > N/2 stopwords). The
+    oracle is q230's exhaustive-scoring SQL: a pruning loss or an
+    index/scoring drift under the log variant breaks the compare."""
+    from ..functions.text_index import text_index_bm25_topk, text_index_build
+
+    docs = tbl(spark, sf_dir, "documents").select("doc_id", "text")
+    qterms = spark.createDataFrame(
+        [(qid, w) for qid, ws in _Q190_QUERIES for w in ws],
+        "qid int, word string",
+    )
+
+    def probe(path):
+        return text_index_bm25_topk(
+            spark, path, qterms, k=5, scoring="log"
+        ).select("qid", "doc_id", "rnk", "score")
+
+    return _with_temp_text_index(
+        spark, lambda path: text_index_build(docs, path, layout="flat"),
+        probe,
+    )
+
+
 QUERIES = {
     "q40_text_stats": q40_text_stats,
     "q41_lang_id": q41_lang_id,
@@ -978,6 +1042,8 @@ QUERIES = {
     "q220_pruned_bm25_topk": q220_pruned_bm25_topk,
     "q224_bm25_index_delete": q224_bm25_index_delete,
     "q225_versioned_index_delete": q225_versioned_index_delete,
+    "q230_bm25_log_idf": q230_bm25_log_idf,
+    "q231_log_idf_pruned_topk": q231_log_idf_pruned_topk,
 }
 
 ORACLE = {
@@ -1003,4 +1069,8 @@ ORACLE = {
     # deletion must equal recompute over the surviving corpus
     "q224_bm25_index_delete": _Q224_SQL,
     "q225_versioned_index_delete": _Q224_SQL,
+    # textbook log-idf: ln() in both engines, 12-sig-digit gate
+    "q230_bm25_log_idf": _Q230_SQL,
+    # WAND pruning stays lossless under log weights: oracle IS q230's
+    "q231_log_idf_pruned_topk": _Q230_SQL,
 }

@@ -161,8 +161,10 @@ def test_registry_wide_plan_audit(spark):
                     "q190_bm25_retrieval", "q200_hybrid_rrf",
                     "q215_association_rules", "q216_drift_bins",
                     "q217_ks_statistic", "q168_dsir_weights",
-                    # q220 inherits q190's one-row corpus-stats BNLJ
-                    "q220_pruned_bm25_topk"}
+                    # q220 inherits q190's one-row corpus-stats BNLJ,
+                    # as do the log-idf variants q230/q231
+                    "q220_pruned_bm25_topk", "q230_bm25_log_idf",
+                    "q231_log_idf_pruned_topk"}
     from etl_job_applify_spark.plans import lint_errors
 
     offenders = []

@@ -527,3 +527,60 @@ def test_flat_purge_everything_stays_probeable(spark, tmp_path):
     assert _score_map(text_index_bm25(spark, idx, q)) == _score_map(
         text_index_bm25(spark, ref, q)
     )
+
+
+def test_log_idf_pruned_topk_lossless_with_negative_idf(spark, tmp_path):
+    """scoring="log" can produce NEGATIVE idf (df > n/2 stopwords);
+    the WAND bound dominance is sign-agnostic, so the pruned top-k must
+    still equal the exhaustive-scoring top-k exactly. 'the' is in every
+    doc (df = n → idf = ln(0.5/(n+0.5)) < 0); 'rare' is in two."""
+    from pyspark.sql import Window
+
+    from etl_job_applify_spark.functions.text_index import (
+        text_index_bm25_topk,
+    )
+
+    rows = [
+        (i, "the " + " ".join(_WORDS[(i + j) % len(_WORDS)]
+                              for j in range(i % 5 + 2))
+            + (" rare" if i in (3, 17) else ""))
+        for i in range(30)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    qterms = spark.createDataFrame(
+        [(1, "the"), (1, "rare"), (2, "the"), (2, "hash")],
+        "qid int, word string",
+    )
+    idx = str(tmp_path / "logidx")
+    text_index_build(docs, idx, layout="flat")
+    pruned = text_index_bm25_topk(spark, idx, qterms, k=3, scoring="log")
+    w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("doc_id"))
+    exhaustive = (
+        text_index_bm25(spark, idx, qterms, scoring="log")
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("qid", "doc_id", "rnk", "score")
+    )
+    assert sorted(map(tuple, pruned.collect())) == sorted(
+        map(tuple, exhaustive.collect())
+    )
+    # the premise actually held: at least one idf was negative (a
+    # negative contribution implies negative idf)
+    any_neg = (
+        text_index_bm25(spark, idx, qterms.filter("word = 'the'"),
+                        scoring="log")
+        .filter(F.col("score") < 0)
+        .count()
+    )
+    assert any_neg > 0
+
+
+def test_bm25_scoring_variant_validation(spark):
+    import pytest as _pytest
+
+    from etl_job_applify_spark.functions.retrieval import _idf_expr
+
+    assert _idf_expr("odds").startswith("((")
+    assert _idf_expr("log").startswith("ln((")
+    with _pytest.raises(ValueError):
+        _idf_expr("bm25plus")
