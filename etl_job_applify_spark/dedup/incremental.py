@@ -147,7 +147,7 @@ def minhash_index_build(
     num_hashes: int = 64,
     bands: int = 16,
     mode: str = "overwrite",
-    layout: str = "flat",
+    layout: str = "versioned",
     epoch_mark: str | None = None,
 ) -> None:
     """Persist the corpus's band-bucket entries as the dedup index.
@@ -158,11 +158,14 @@ def minhash_index_build(
     are incomparable, so a mismatch raises instead of silently
     corrupting recall.
 
-    ``layout``: ``"flat"`` (default) is the band-partitioned directory
-    above; ``"versioned"`` founds a log-structured CAS-committed index
-    (see the versioned-layout section below) — object-store capable,
-    concurrent-append safe, with optional ``epoch_mark`` replay
-    fencing. Appends auto-detect the existing index's layout."""
+    ``layout``: ``"versioned"`` (the DEFAULT) founds a log-structured
+    CAS-committed index (see the versioned-layout section below) —
+    object-store capable, concurrent-append safe, with optional
+    ``epoch_mark`` replay fencing; production should stay here, since
+    the flat layout's compaction publish is an ``os.rename`` directory
+    swap that only local filesystems provide. ``layout="flat"`` opts
+    into the band-partitioned directory layout above explicitly (local
+    paths only). Appends auto-detect the existing index's layout."""
     if num_hashes % bands:
         raise ValueError("num_hashes must be divisible by bands")
     params = {"n": n, "num_hashes": num_hashes, "bands": bands}

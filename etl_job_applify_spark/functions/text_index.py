@@ -125,7 +125,7 @@ def text_index_build(
     text_col: str = "text",
     num_buckets: int = 64,
     mode: str = "overwrite",
-    layout: str = "flat",
+    layout: str = "versioned",
     epoch_mark: str | None = None,
 ) -> dict:
     """Tokenize ``docs`` once and persist postings + doclens + stats.
@@ -144,10 +144,14 @@ def text_index_build(
     before the delete. ``num_buckets`` must match the index's recorded
     value, since bucket ids from different moduli are incomparable.
 
-    ``layout="versioned"`` founds a log-structured CAS-committed index
-    (see the versioned-layout section below) — object-store capable,
-    concurrent-append safe, with optional ``epoch_mark`` replay
-    fencing; appends auto-detect the existing index's layout."""
+    ``layout``: ``"versioned"`` (the DEFAULT) founds a log-structured
+    CAS-committed index (see the versioned-layout section below) —
+    object-store capable, concurrent-append safe, with optional
+    ``epoch_mark`` replay fencing; production should stay here, since
+    the flat layout's compaction publish is an ``os.rename`` directory
+    swap that only local filesystems provide. ``layout="flat"`` opts
+    into that simpler partitioned-directory layout explicitly (local
+    paths only). Appends auto-detect the existing index's layout."""
     spark = docs.sparkSession
     if mode == "append" and _tidx_is_versioned(spark, index_path):
         existing = _tidx_read(spark, index_path)[0]

@@ -481,7 +481,8 @@ def q194_bm25_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return _with_temp_text_index(
-        spark, lambda path: text_index_build(docs, path), probe
+        spark, lambda path: text_index_build(docs, path, layout="flat"),
+        probe
     )
 
 
@@ -506,7 +507,8 @@ def q220_pruned_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return _with_temp_text_index(
-        spark, lambda path: text_index_build(docs, path), probe
+        spark, lambda path: text_index_build(docs, path, layout="flat"),
+        probe
     )
 
 
@@ -562,7 +564,8 @@ def q224_bm25_index_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
         return after
 
     return _with_temp_text_index(
-        spark, lambda path: text_index_build(docs, path), probe
+        spark, lambda path: text_index_build(docs, path, layout="flat"),
+        probe
     )
 
 
@@ -666,7 +669,8 @@ def q195_phrase_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out
 
     return _with_temp_text_index(
-        spark, lambda path: text_index_build(docs, path), probe
+        spark, lambda path: text_index_build(docs, path, layout="flat"),
+        probe
     )
 
 
@@ -688,7 +692,7 @@ def q196_bm25_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def build(path):
-        text_index_build(history, path)
+        text_index_build(history, path, layout="flat")
         text_index_build(batch, path, mode="append")
 
     def probe(path):

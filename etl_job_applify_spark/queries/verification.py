@@ -129,7 +129,9 @@ def q142_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     history = docs.filter(F.col("doc_id") % 10 != 0)
     path = tempfile.mkdtemp(prefix="q142_idx_")
     try:
-        minhash_index_build(history, path, num_hashes=64, bands=16)
+        minhash_index_build(
+            history, path, num_hashes=64, bands=16, layout="flat"
+        )
         found = minhash_index_probe(
             spark, path, batch, history, threshold=0.5, max_bucket_size=64
         )

@@ -82,9 +82,15 @@ def ann_topk_ivf(
     num_cells: int = 16,
     nprobe: int = 3,
     seed: int = 7,
+    centroids=None,
 ) -> DataFrame:
-    """Approximate top-k: exact cosine over the nprobe nearest cells."""
-    centroids = train_centroids(corpus, vec_col, num_cells, seed)
+    """Approximate top-k: exact cosine over the nprobe nearest cells.
+
+    ``centroids``: pass a pre-trained (num_cells, dim) array to pin the
+    quantizer (the persisted-index parity contract,
+    similarity/vector_index.py); None trains on a sample here."""
+    if centroids is None:
+        centroids = train_centroids(corpus, vec_col, num_cells, seed)
 
     c = with_norm(corpus.select(id_col, vec_col), vec_col).withColumn(
         "cell", _centroid_assign_expr(vec_col, centroids)

@@ -228,6 +228,8 @@ def ann_topk_ivfpq(
     query_id_col: str = "query_id",
     vec_col: str = "embedding",
     seed: int = 7,
+    centroids=None,
+    codebooks=None,
 ) -> DataFrame:
     """IVF×PQ: the composed FAISS index, both halves of the recipe at
     once — coarse cells bound WHICH vectors are scanned (nprobe/num_cells
@@ -245,8 +247,10 @@ def ann_topk_ivfpq(
     """
     from .ivf import _centroid_assign_expr, _centroid_dists_sql, train_centroids
 
-    centroids = train_centroids(corpus, vec_col, num_cells, seed)
-    codebooks = train_pq_codebooks(corpus, vec_col, m, k_codes, seed)
+    if centroids is None:
+        centroids = train_centroids(corpus, vec_col, num_cells, seed)
+    if codebooks is None:
+        codebooks = train_pq_codebooks(corpus, vec_col, m, k_codes, seed)
 
     enc = (
         with_norm(corpus.select(id_col, vec_col), vec_col)

@@ -1,0 +1,982 @@
+"""Persisted IVF(/PQ) vector index: the steady-state serving shape of
+embedding similarity search over a 100 TB corpus.
+
+The recompute kernels (``ann_topk_ivf`` / ``ann_topk_ivfpq``) re-train
+the coarse quantizer and re-assign every corpus vector per query batch —
+correct for one-shot analytics, the wrong steady-state shape for
+serving: the corpus-sized assignment pass is paid on every query. This
+module pays it ONCE, at ingest, with the exact lifecycle the persisted
+text index proved out (``functions/text_index.py``) and the FAISS
+build/serve split (Jégou et al., TPAMI 2011; Johnson et al., 2017):
+
+- ``vector_index_build`` trains the coarse quantizer (and optional PQ
+  codebooks) ONCE at founding time and persists
+  - ``centroids/``: one row per cell (the quantizer is immutable after
+    founding — appended batches are assigned with the FOUNDING
+    centroids, the standard IVF contract that keeps historical
+    assignments valid without re-layout);
+  - ``codebooks/`` (``m > 0``): per-subspace PQ codebooks, so the index
+    carries its own compressed-domain scan path;
+  - ``cells/``: the corpus re-laid-out PARTITIONED BY cell id, each row
+    carrying (vid, vec, norm[, codes]) — a probe's cell filter is a
+    physical disk-pruning ratio (``nprobe / num_cells`` of the index is
+    read), not just a join-size reduction;
+  ``mode="append"`` ingests a new batch (assign + encode with the
+  recorded quantizer, no retraining) and increments the exact vector
+  count; quantizer parameters must match the recorded ones or the
+  build raises.
+- ``vector_index_probe`` serves a query batch: probe cells collect to a
+  STATIC partition filter, exact cosine (or ADC shortlist + exact
+  refine when PQ codes are present) runs inside the probed cells only,
+  through the SAME scoring expressions as the recompute kernels —
+  probe results are bit-identical to ``ann_topk_ivf(...,
+  centroids=<recorded>)`` over the same live corpus (pinned by
+  tests/test_vector_index.py and the q232 registry oracle).
+- ``vector_index_delete`` tombstones vectors out of the index (the
+  GDPR path: results change NOW, space is reclaimed at compaction);
+  version-scoped on the versioned layout so delete-then-re-append
+  serves again, exactly like the text index.
+- ``optimize_vector_index`` compacts append-grown small files and
+  purges tombstones — flat layout via the staging + directory-swap +
+  crash-recovery publish, versioned layout through the CAS watermark
+  protocol (object-store capable).
+
+Layouts, shared verbatim with the text index:
+
+- ``layout="versioned"`` (DEFAULT): a log of CAS-committed snapshots
+  (``sinks/versioned.py commit_staged``), each COMPLETE for its batch —
+  a cell-partitioned ``cells/`` subtree and a ``_params.json`` carrying
+  the batch's exact vector-count increment; the FOUNDING snapshot (and
+  every compacted snapshot) additionally carries ``centroids/`` and
+  ``codebooks/`` so quantizer state survives snapshot pruning. Live
+  count = sum over live snapshots; appends never CAS a global meta.
+  Optional ``epoch_mark`` fences streaming replays.
+- ``layout="flat"``: a single partitioned directory + meta JSON; local
+  filesystems only (the compaction publish is an ``os.rename`` swap).
+
+Scale: probe cost is ``nprobe/num_cells`` of the index scanned (ADC
+makes the scan m byte-code adds per vector when PQ is on) + a
+shortlist-sized exact refine — independent of corpus size except
+through cell size. The assignment pass the recompute path pays per
+query batch is paid once per vector here and amortized over every
+later query.
+
+Reference lineage: the reference engine has no vector search at all
+(SURVEY.md §2 north-star extension); the lifecycle contract mirrors
+``functions/text_index.py`` so both serving indexes behave identically
+under append/delete/compact/crash.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import shutil
+
+import numpy as np
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.vectors import cosine_expr, with_norm
+from .ivf import _centroid_assign_expr, _centroid_dists_sql, train_centroids
+from .pq import _adc_lut_expr, pq_encode_expr, train_pq_codebooks
+
+_META = "_vector_index_meta.json"
+_V_COMPACT_MARK = "_compacts_through_"
+
+
+# ---------------------------------------------------------------------------
+# shared helpers
+
+
+def _meta_path(index_path: str) -> str:
+    return os.path.join(index_path, _META)
+
+
+def _read_meta(index_path: str) -> dict:
+    if not os.path.exists(_meta_path(index_path)):
+        raise FileNotFoundError(f"no vector index meta at {index_path}")
+    with open(_meta_path(index_path)) as fh:
+        return json.load(fh)
+
+
+def _write_meta(index_path: str, meta: dict) -> None:
+    os.makedirs(index_path, exist_ok=True)
+    with open(_meta_path(index_path), "w") as fh:
+        json.dump(meta, fh)
+
+
+def _centroids_df(spark: SparkSession, centroids: np.ndarray) -> DataFrame:
+    return spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
+        "cell int, centroid array<double>",
+    ).coalesce(1)
+
+
+def _codebooks_df(spark: SparkSession, codebooks: np.ndarray) -> DataFrame:
+    m, k, _ = codebooks.shape
+    return spark.createDataFrame(
+        [
+            (j, c, [float(x) for x in codebooks[j, c]])
+            for j in range(m)
+            for c in range(k)
+        ],
+        "j int, c int, code array<double>",
+    ).coalesce(1)
+
+
+def _load_centroids(spark: SparkSession, path: str) -> np.ndarray:
+    rows = spark.read.parquet(path).orderBy("cell").collect()
+    return np.array([r["centroid"] for r in rows])
+
+
+def _load_codebooks(spark: SparkSession, path: str) -> np.ndarray:
+    rows = spark.read.parquet(path).orderBy("j", "c").collect()
+    m = 1 + max(r["j"] for r in rows)
+    k = 1 + max(r["c"] for r in rows)
+    d_sub = len(rows[0]["code"])
+    out = np.empty((m, k, d_sub))
+    for r in rows:
+        out[r["j"], r["c"]] = r["code"]
+    return out
+
+
+def _encode_cells(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    centroids: np.ndarray,
+    codebooks: np.ndarray | None,
+) -> DataFrame:
+    """The ingest transform: (cell, vid, vec, norm[, codes]) — ONE
+    codegen'd select over one scan, assignment and PQ encoding
+    together (no join, no second pass)."""
+    sel = [
+        _centroid_assign_expr(vec_col, centroids).alias("cell"),
+        F.col(id_col).cast("bigint").alias("vid"),
+        F.col(vec_col).alias("vec"),
+        F.col("norm"),
+    ]
+    if codebooks is not None:
+        sel.append(pq_encode_expr(vec_col, codebooks).alias("codes"))
+    return with_norm(corpus.select(id_col, vec_col), vec_col).select(*sel)
+
+
+def _probe_cells_expr(vec_col: str, centroids: np.ndarray, nprobe: int) -> str:
+    """nprobe nearest cells per query — the SAME metric expression the
+    build-side assignment uses (divergence would silently break
+    recall)."""
+    d_arr = _centroid_dists_sql(vec_col, centroids)
+    return (
+        f"transform(slice(array_sort(transform({d_arr},"
+        f" (d, i) -> struct(d AS dist, i AS idx))), 1, {nprobe}), s -> s.idx)"
+    )
+
+
+def _index_data_files(index_path: str) -> list[str]:
+    out = []
+    for dirpath, _dirs, files in os.walk(index_path):
+        out.extend(
+            os.path.join(dirpath, f)
+            for f in files
+            if f.endswith(".parquet") and not f.startswith(("_", "."))
+        )
+    return sorted(out)
+
+
+def _as_ids(spark: SparkSession, vec_ids) -> DataFrame:
+    if not isinstance(vec_ids, DataFrame):
+        vec_ids = spark.createDataFrame(
+            [(int(d),) for d in vec_ids], "vid bigint"
+        )
+    col = vec_ids.columns[0]
+    return vec_ids.select(
+        F.col(col).cast("bigint").alias("vid")
+    ).distinct()
+
+
+# ---------------------------------------------------------------------------
+# flat layout
+
+
+def _recover_vector_index(index_path: str) -> None:
+    """Finish an interrupted flat-layout ``optimize_vector_index`` swap
+    (verbatim protocol of ``text_index._recover_text_index``)."""
+    staging = index_path.rstrip("/") + "__compact"
+    old = index_path.rstrip("/") + "__old"
+    if not os.path.exists(_meta_path(index_path)):
+        if os.path.exists(os.path.join(staging, _META)):
+            os.rename(staging, index_path)
+        elif os.path.exists(os.path.join(old, _META)):
+            os.rename(old, index_path)
+    if os.path.exists(_meta_path(index_path)):
+        if os.path.exists(old):
+            shutil.rmtree(old, ignore_errors=True)
+        if os.path.exists(os.path.join(staging, _META)):
+            shutil.rmtree(staging, ignore_errors=True)
+
+
+def _read_flat_cells(
+    spark: SparkSession, index_path: str, meta: dict
+) -> DataFrame:
+    """Flat cells relation; explicit schema once recorded (a
+    purge-everything compaction leaves zero data files — the recorded
+    schema keeps the empty index a readable 0-row relation)."""
+    schema_json = meta.get("cells_schema")
+    if schema_json is not None:
+        from pyspark.sql.types import StructType
+
+        return spark.read.schema(StructType.fromJson(schema_json)).parquet(
+            os.path.join(index_path, "cells")
+        )
+    return spark.read.parquet(os.path.join(index_path, "cells"))
+
+
+def _read_flat_deletes(
+    spark: SparkSession, index_path: str
+) -> DataFrame | None:
+    path = os.path.join(index_path, "deletes")
+    if not os.path.isdir(path):
+        return None
+    return spark.read.parquet(path).select("vid").distinct()
+
+
+# ---------------------------------------------------------------------------
+# public API
+
+
+def vector_index_build(
+    corpus: DataFrame,
+    index_path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_cells: int = 16,
+    m: int = 0,
+    k_codes: int = 16,
+    seed: int = 7,
+    mode: str = "overwrite",
+    layout: str = "versioned",
+    epoch_mark: str | None = None,
+    centroids=None,
+    codebooks=None,
+) -> dict:
+    """Found or append to a persisted IVF(/PQ) index; returns the meta.
+
+    ``m=0`` stores no PQ codes (exact-cosine probes only); ``m>0``
+    additionally trains per-subspace codebooks and stores m-byte codes
+    per vector, enabling the ADC shortlist scan at probe time.
+
+    The quantizer (centroids, codebooks) is trained ONCE, at founding —
+    ``mode="append"`` assigns and encodes the new batch with the
+    RECORDED quantizer (retraining would strand historical assignments;
+    rebalancing is ``optimize_vector_index``'s job once drift warrants
+    a re-found). Pass ``centroids`` (num_cells × dim) to pin the
+    quantizer externally — deterministic-anchor builds are what make
+    the q232 oracle exactly reproducible in SQL.
+
+    Append id contract per layout: flat ids must never have been in the
+    index (doc-scoped tombstones; same as the text index); versioned
+    ids may be re-appended after deletion (version-scoped tombstones).
+    """
+    spark = corpus.sparkSession
+    if mode == "append":
+        if _vxi_is_versioned(spark, index_path):
+            _vxi_append(
+                corpus, index_path, id_col, vec_col, epoch_mark=epoch_mark
+            )
+            return _vxi_read(spark, index_path)[0]
+        if epoch_mark is not None:
+            raise ValueError("epoch_mark requires the versioned layout")
+        _recover_vector_index(index_path)
+        meta = _read_meta(index_path)
+        cents = _load_centroids(
+            spark, os.path.join(index_path, "centroids")
+        )
+        books = (
+            _load_codebooks(spark, os.path.join(index_path, "codebooks"))
+            if meta["m"]
+            else None
+        )
+        batch = _encode_cells(corpus, id_col, vec_col, cents, books)
+        batch.write.mode("append").partitionBy("cell").parquet(
+            os.path.join(index_path, "cells")
+        )
+        meta["n_vecs"] += corpus.count()
+        _write_meta(index_path, meta)
+        return meta
+
+    if centroids is None:
+        centroids = train_centroids(corpus, vec_col, num_cells, seed)
+    centroids = np.asarray(centroids, dtype=np.float64)
+    if codebooks is None and m:
+        codebooks = train_pq_codebooks(corpus, vec_col, m, k_codes, seed)
+    if codebooks is not None:
+        codebooks = np.asarray(codebooks, dtype=np.float64)
+    params = {
+        "num_cells": int(len(centroids)),
+        "m": int(codebooks.shape[0]) if codebooks is not None else 0,
+        "k_codes": int(codebooks.shape[1]) if codebooks is not None else 0,
+        "dim": int(centroids.shape[1]),
+    }
+    if layout == "versioned":
+        _vxi_found(
+            corpus, index_path, id_col, vec_col, centroids, codebooks,
+            params, epoch_mark=epoch_mark,
+        )
+        return _vxi_read(spark, index_path)[0]
+    if epoch_mark is not None:
+        raise ValueError("epoch_mark requires the versioned layout")
+    _centroids_df(spark, centroids).write.mode("overwrite").parquet(
+        os.path.join(index_path, "centroids")
+    )
+    if codebooks is not None:
+        _codebooks_df(spark, codebooks).write.mode("overwrite").parquet(
+            os.path.join(index_path, "codebooks")
+        )
+    cells = _encode_cells(corpus, id_col, vec_col, centroids, codebooks)
+    cells.write.mode("overwrite").partitionBy("cell").parquet(
+        os.path.join(index_path, "cells")
+    )
+    meta = dict(params, n_vecs=corpus.count())
+    _write_meta(index_path, meta)
+    return meta
+
+
+def _live_cells(spark: SparkSession, index_path: str):
+    """(meta, centroids, codebooks|None, live cells DF) — tombstones
+    already filtered out, both layouts."""
+    if _vxi_is_versioned(spark, index_path):
+        meta, cells, live = _vxi_read(spark, index_path)
+        cpath = _vxi_quantizer_path(spark, live, "centroids")
+        cents = _load_centroids(spark, cpath)
+        books = None
+        if meta["m"]:
+            books = _load_codebooks(
+                spark, _vxi_quantizer_path(spark, live, "codebooks")
+            )
+        return meta, cents, books, cells
+    _recover_vector_index(index_path)
+    meta = _read_meta(index_path)
+    cents = _load_centroids(spark, os.path.join(index_path, "centroids"))
+    books = (
+        _load_codebooks(spark, os.path.join(index_path, "codebooks"))
+        if meta["m"]
+        else None
+    )
+    cells = _read_flat_cells(spark, index_path, meta)
+    deletes = _read_flat_deletes(spark, index_path)
+    if deletes is not None:
+        # no broadcast hint: tombstone sets can be large at scale — AQE
+        # sizes the anti-join from runtime stats
+        cells = cells.join(deletes, "vid", "left_anti")
+    return meta, cents, books, cells
+
+
+def vector_index_probe(
+    spark: SparkSession,
+    index_path: str,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 3,
+    query_id_col: str = "query_id",
+    vec_col: str = "embedding",
+    use_codes: bool = False,
+    shortlist: int = 64,
+) -> DataFrame:
+    """(query_id, neighbor, cosine, rank) top-k from the persisted
+    index.
+
+    Default path: exact cosine inside the probed cells — bit-identical
+    to ``ann_topk_ivf(corpus_live, queries, centroids=<recorded>)``
+    (shared assignment/probe/scoring expressions; the parity the q232
+    oracle pins). ``nprobe >= num_cells`` degenerates to exact
+    brute-force over the live corpus — equal to ``cosine_topk`` —
+    which is what lets the index serve the q200 hybrid-RRF contract
+    exactly (q235).
+
+    ``use_codes=True`` (requires a PQ-enabled index): ADC over the
+    STORED codes shortlists candidates per query, exact cosine
+    re-ranks the shortlist — the FAISS serving path where the
+    compressed scan is cache-resident and raw vectors are touched for
+    ``shortlist`` rows only. Matches ``ann_topk_ivfpq(...,
+    centroids=<recorded>, codebooks=<recorded>)`` over the live corpus.
+
+    The query batch is control-plane small by contract (same premise
+    as ``text_index_bm25``): its probe-cell set collects to the driver
+    and becomes a STATIC partition filter, so the cells scan physically
+    reads ``|probed cells| / num_cells`` of the index."""
+    meta, cents, books, cells = _live_cells(spark, index_path)
+    nprobe = min(nprobe, meta["num_cells"])
+    q = with_norm(
+        queries.select(query_id_col, vec_col), vec_col
+    ).withColumn(
+        "__probe", F.explode(F.expr(_probe_cells_expr(vec_col, cents, nprobe)))
+    ).withColumn("cell", F.col("__probe").cast("int"))
+    needed = sorted(
+        r["cell"] for r in q.select("cell").distinct().collect()
+    )
+    pruned = cells.filter(F.col("cell").isin(needed))
+    if not use_codes:
+        qn = q.select(
+            "cell",
+            F.col(query_id_col).alias("query_id"),
+            F.col(vec_col).alias("__qv"),
+            F.col("norm").alias("__qn"),
+        )
+        scored = pruned.join(F.broadcast(qn), "cell").withColumn(
+            "cosine", cosine_expr("__qv", "vec", "__qn", "norm")
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.desc("cosine"), F.col("neighbor")
+        )
+        return (
+            scored.select(
+                "query_id", F.col("vid").alias("neighbor"), "cosine"
+            )
+            .distinct()
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+        )
+    if books is None:
+        raise ValueError(
+            f"index at {index_path} stores no PQ codes (built with m=0); "
+            "use_codes probes need a PQ-enabled build"
+        )
+    qc = q.select(
+        "cell",
+        F.col(query_id_col).alias("query_id"),
+        _adc_lut_expr(vec_col, books).alias("__lut"),
+    )
+    scored = (
+        pruned.select("cell", "vid", "codes")
+        .join(F.broadcast(qc), "cell")
+        .withColumn(
+            "adc_dist",
+            F.expr(
+                "aggregate(zip_with(__lut, codes, (l, c) -> l[c]),"
+                " 0D, (a, v) -> a + v)"
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy("adc_dist", "vid")
+    cand = (
+        scored.select("query_id", "vid", "adc_dist")
+        .distinct()
+        .withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") <= shortlist)
+        .select("query_id", "vid")
+    )
+    # exact refine: raw vectors come from the SAME index rows (vec and
+    # codes are colocated) — shortlist-sized fetch
+    qv = with_norm(queries.select(query_id_col, vec_col), vec_col).select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(vec_col).alias("__qv"),
+        F.col("norm").alias("__qn"),
+    )
+    refined = (
+        cand.join(cells.select("vid", "vec", "norm"), "vid")
+        .join(F.broadcast(qv), "query_id")
+        .withColumn("cosine", cosine_expr("__qv", "vec", "__qn", "norm"))
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.col("neighbor")
+    )
+    return (
+        refined.select("query_id", F.col("vid").alias("neighbor"), "cosine")
+        .withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def vector_index_delete(
+    spark: SparkSession, index_path: str, vec_ids
+) -> dict:
+    """Tombstone vectors out of the index (results change NOW, space
+    reclaims at ``optimize_vector_index``). ``vec_ids``: a one-column
+    DataFrame or a list of ids; unknown / already-tombstoned ids are
+    ignored. Versioned layout: one CAS snapshot carries the tombstone
+    set and the negative count increment atomically; flat layout:
+    doc-scoped ``deletes/`` append."""
+    ids = _as_ids(spark, vec_ids)
+    if _vxi_is_versioned(spark, index_path):
+        return {"n_tombstoned": _vxi_delete(spark, index_path, ids)}
+    _recover_vector_index(index_path)
+    meta = _read_meta(index_path)
+    live = ids.join(
+        _read_flat_cells(spark, index_path, meta).select("vid"),
+        "vid",
+        "left_semi",
+    )
+    prior = _read_flat_deletes(spark, index_path)
+    if prior is not None:
+        live = live.join(prior, "vid", "left_anti")
+    n = live.count()
+    if n:
+        live.write.mode("append").parquet(
+            os.path.join(index_path, "deletes")
+        )
+        meta["n_vecs"] -= n
+        _write_meta(index_path, meta)
+    return {"n_tombstoned": n}
+
+
+def optimize_vector_index(
+    spark: SparkSession,
+    index_path: str,
+    target_file_rows: int = 4_000_000,
+) -> dict:
+    """Compact append-grown small files and purge tombstones: each cell
+    partition rewrites into row-bounded vid-hash bins (parallelism =
+    cells × bins — no cell funnels through one task). Flat layout:
+    staging + directory swap with crash recovery at every entry point
+    (local paths only); versioned layout: the CAS watermark fold
+    (object-store capable), quantizer subtrees carried forward so
+    founding snapshots can be pruned."""
+    from ..sinks.stats import _local_path
+
+    if _vxi_is_versioned(spark, index_path):
+        return _vxi_optimize(spark, index_path, target_file_rows)
+    if _local_path(index_path) is None:
+        raise ValueError(
+            f"optimize_vector_index on a flat layout requires a local "
+            f"index path, got {index_path}; found the index with "
+            f'layout="versioned" for object storage'
+        )
+    _recover_vector_index(index_path)
+    meta = _read_meta(index_path)
+    cells = _read_flat_cells(spark, index_path, meta)
+    meta = dict(meta, cells_schema=cells.schema.jsonValue())
+    files_before = len(_index_data_files(index_path))
+    deletes = _read_flat_deletes(spark, index_path)
+    if deletes is not None:
+        cells = cells.join(deletes, "vid", "left_anti")
+    rows_before = cells.count()
+    nc = meta["num_cells"]
+    per_cell = math.ceil(max(rows_before, 1) / nc)
+    bins = max(1, math.ceil(per_cell / target_file_rows))
+    staging = index_path.rstrip("/") + "__compact"
+    old = index_path.rstrip("/") + "__old"
+    shutil.rmtree(staging, ignore_errors=True)
+    (
+        cells.withColumn("__bin", F.pmod(F.hash("vid"), F.lit(bins)))
+        .repartition(nc * bins, "cell", "__bin")
+        .drop("__bin")
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(os.path.join(staging, "cells"))
+    )
+    for sub in ("centroids", "codebooks"):
+        src = os.path.join(index_path, sub)
+        if os.path.isdir(src):
+            shutil.copytree(src, os.path.join(staging, sub))
+    meta = dict(meta, n_vecs=rows_before)
+    _write_meta(staging, meta)  # meta last: staging-complete marker
+    shutil.rmtree(old, ignore_errors=True)
+    os.rename(index_path, old)
+    os.rename(staging, index_path)
+    shutil.rmtree(old)
+    return {
+        "rows_before": rows_before,
+        "files_before": files_before,
+        "files_after": len(_index_data_files(index_path)),
+    }
+
+
+# ---------------------------------------------------------------------------
+# versioned layout (mirror of functions/text_index.py's _tidx_* protocol)
+
+
+def _vxi_is_versioned(spark: SparkSession, index_path: str) -> bool:
+    from ..sinks.versioned import list_versions
+
+    try:
+        return bool(list_versions(spark, index_path))
+    except Exception:
+        return False
+
+
+def _vxi_recover_live(spark: SparkSession, index_path: str) -> list[str]:
+    """Prune snapshots at or below the newest compaction watermark;
+    return surviving snapshot paths oldest-first."""
+    from ..sinks.versioned import _snapshots, snapshot_members
+
+    fs, root, names = _snapshots(spark, index_path)
+    watermark = -1
+    for name in names:
+        for mk in snapshot_members(spark, f"{index_path}/{name}"):
+            if mk.startswith(_V_COMPACT_MARK):
+                watermark = max(watermark, int(mk[len(_V_COMPACT_MARK):]))
+    live = []
+    for name in names:
+        v = int(name[len("snap_"):])
+        if v <= watermark:
+            fs.delete(
+                spark._jvm.org.apache.hadoop.fs.Path(root, name), True
+            )
+        else:
+            live.append(f"{index_path}/{name}")
+    return live
+
+
+def _vxi_quantizer_path(
+    spark: SparkSession, live: list[str], sub: str
+) -> str:
+    """The quantizer subtree lives in the oldest live snapshot carrying
+    it: the founding snapshot until the first compaction, the compacted
+    snapshot after (compaction carries it forward before pruning)."""
+    from ..sinks.versioned import snapshot_members
+
+    for p in live:
+        if sub in snapshot_members(spark, p):
+            return f"{p}/{sub}"
+    raise FileNotFoundError(
+        f"no {sub} subtree in any live snapshot — corrupt vector index"
+    )
+
+
+def _vxi_read(spark: SparkSession, index_path: str):
+    """(meta, live cells DF, live snapshot paths); tombstones filtered
+    version-scoped (a delete at version d kills only rows committed
+    before d, so re-appended vectors serve again)."""
+    from functools import reduce
+
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from ..sinks.versioned import fs_read_json, snapshot_members
+
+    live = _vxi_recover_live(spark, index_path)
+    if not live:
+        raise FileNotFoundError(f"no versioned vector index at {index_path}")
+    metas = [fs_read_json(spark, f"{p}/_params.json") for p in live]
+    quant = {
+        (m["num_cells"], m["m"], m["k_codes"], m["dim"]) for m in metas
+    }
+    if len(quant) != 1:
+        raise ValueError(
+            f"inconsistent quantizer params across snapshots: {quant}"
+        )
+    nc, m_, kc, dim = quant.pop()
+    meta = {
+        "num_cells": nc,
+        "m": m_,
+        "k_codes": kc,
+        "dim": dim,
+        "n_vecs": sum(mm["n_vecs"] for mm in metas),
+    }
+    c_schema = StructType.fromJson(
+        fs_read_json(spark, f"{live[-1]}/_cells_schema.json")
+    )
+    del_paths = [
+        p for p in live if "deletes" in snapshot_members(spark, p)
+    ]
+
+    def _v(p: str) -> int:
+        return int(p.rsplit("snap_", 1)[1])
+
+    parts = [
+        spark.read.schema(c_schema).parquet(f"{p}/cells") for p in live
+    ]
+    if del_paths:
+        parts = [
+            df.withColumn("__sv", F.lit(_v(p)))
+            for df, p in zip(parts, live)
+        ]
+    cells = reduce(DataFrame.unionByName, parts)
+    if del_paths:
+        t_schema = StructType([StructField("vid", LongType())])
+        tombs = (
+            reduce(
+                DataFrame.unionByName,
+                [
+                    spark.read.schema(t_schema)
+                    .parquet(f"{p}/deletes")
+                    .withColumn("__dv", F.lit(_v(p)))
+                    for p in del_paths
+                ],
+            )
+            .groupBy("vid")
+            .agg(F.max("__dv").alias("__dv"))
+            .select(F.col("vid").alias("__tvid"), "__dv")
+        )
+        cond = (F.col("vid") == F.col("__tvid")) & (
+            F.col("__dv") > F.col("__sv")
+        )
+        cells = cells.join(tombs, cond, "left_anti").drop("__sv")
+    return meta, cells, live
+
+
+def _vxi_commit(
+    spark: SparkSession,
+    index_path: str,
+    cells: DataFrame,
+    params: dict,
+    marks: list[str],
+    base_version: int,
+    centroids: np.ndarray | None = None,
+    codebooks: np.ndarray | None = None,
+    quantizer_src: tuple[str, str | None] | None = None,
+    deletes: DataFrame | None = None,
+    cells_schema_json: dict | None = None,
+) -> int:
+    """CAS-commit one snapshot. Quantizer state rides either as arrays
+    (founding) or copied forward from existing paths (compaction,
+    ``quantizer_src=(centroids_path, codebooks_path|None)``).
+    ``cells_schema_json``: pass explicitly when ``cells`` can be EMPTY
+    (delete snapshots / purge-everything compactions)."""
+    from ..sinks.versioned import commit_staged, fs_touch, fs_write_json
+
+    def populate(staging: str) -> None:
+        cells.write.partitionBy("cell").mode("overwrite").parquet(
+            f"{staging}/cells"
+        )
+        if centroids is not None:
+            _centroids_df(spark, centroids).write.mode(
+                "overwrite"
+            ).parquet(f"{staging}/centroids")
+            if codebooks is not None:
+                _codebooks_df(spark, codebooks).write.mode(
+                    "overwrite"
+                ).parquet(f"{staging}/codebooks")
+        if quantizer_src is not None:
+            cpath, bpath = quantizer_src
+            spark.read.parquet(cpath).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(f"{staging}/centroids")
+            if bpath is not None:
+                spark.read.parquet(bpath).coalesce(1).write.mode(
+                    "overwrite"
+                ).parquet(f"{staging}/codebooks")
+        if deletes is not None:
+            deletes.write.mode("overwrite").parquet(f"{staging}/deletes")
+        fs_write_json(
+            spark,
+            f"{staging}/_cells_schema.json",
+            cells_schema_json
+            or spark.read.parquet(f"{staging}/cells").schema.jsonValue(),
+        )
+        fs_write_json(spark, f"{staging}/_params.json", params)
+        for mk in marks:
+            fs_touch(spark, f"{staging}/{mk}")
+        fs_touch(spark, f"{staging}/_SUCCESS")
+
+    return commit_staged(spark, index_path, base_version, populate)
+
+
+def _vxi_found(
+    corpus: DataFrame,
+    index_path: str,
+    id_col: str,
+    vec_col: str,
+    centroids: np.ndarray,
+    codebooks: np.ndarray | None,
+    params: dict,
+    epoch_mark: str | None = None,
+) -> int:
+    from ..sinks.versioned import list_versions
+
+    spark = corpus.sparkSession
+    if list_versions(spark, index_path):
+        raise ValueError(
+            f"versioned vector index already exists at {index_path}; "
+            "use mode='append'"
+        )
+    cells = _encode_cells(corpus, id_col, vec_col, centroids, codebooks)
+    params = dict(params, n_vecs=corpus.count())
+    marks = [epoch_mark] if epoch_mark else []
+    return _vxi_commit(
+        spark, index_path, cells, params, marks, 0,
+        centroids=centroids, codebooks=codebooks,
+    )
+
+
+def _vxi_append(
+    corpus: DataFrame,
+    index_path: str,
+    id_col: str,
+    vec_col: str,
+    epoch_mark: str | None = None,
+    max_retries: int = 10,
+) -> int | None:
+    """CAS-append one batch, assigned/encoded with the RECORDED
+    quantizer. ``epoch_mark`` fences replays (None returned when
+    skipped)."""
+    from ..sinks.versioned import (
+        CommitConflict,
+        list_versions,
+        snapshot_members,
+    )
+
+    spark = corpus.sparkSession
+    meta, _, live = _vxi_read(spark, index_path)
+    cents = _load_centroids(
+        spark, _vxi_quantizer_path(spark, live, "centroids")
+    )
+    books = (
+        _load_codebooks(
+            spark, _vxi_quantizer_path(spark, live, "codebooks")
+        )
+        if meta["m"]
+        else None
+    )
+    cells = _encode_cells(corpus, id_col, vec_col, cents, books)
+    params = {
+        "num_cells": meta["num_cells"],
+        "m": meta["m"],
+        "k_codes": meta["k_codes"],
+        "dim": meta["dim"],
+        "n_vecs": corpus.count(),
+    }
+    marks = [epoch_mark] if epoch_mark else []
+    for _ in range(max_retries):
+        if epoch_mark and any(
+            epoch_mark in snapshot_members(spark, p)
+            for p in _vxi_recover_live(spark, index_path)
+        ):
+            return None  # replayed batch
+        base = (list_versions(spark, index_path) or [0])[-1]
+        try:
+            return _vxi_commit(
+                spark, index_path, cells, params, marks, base
+            )
+        except CommitConflict:
+            continue
+    raise CommitConflict(
+        f"append to {index_path} lost {max_retries} CAS races"
+    )
+
+
+def _vxi_delete(
+    spark: SparkSession,
+    index_path: str,
+    ids: DataFrame,
+    max_retries: int = 10,
+) -> int:
+    """One CAS snapshot carries the tombstone set and the NEGATIVE
+    count increment atomically. Ids not live are ignored; a no-op
+    delete commits nothing."""
+    from pyspark.sql.types import StructType
+
+    from ..sinks.versioned import CommitConflict, fs_read_json
+
+    for _ in range(max_retries):
+        meta, cells, live = _vxi_read(spark, index_path)
+        vic = cells.select("vid").join(ids, "vid", "left_semi").distinct()
+        n = vic.count()
+        if n == 0:
+            return 0
+        params = {
+            "num_cells": meta["num_cells"],
+            "m": meta["m"],
+            "k_codes": meta["k_codes"],
+            "dim": meta["dim"],
+            "n_vecs": -n,
+        }
+        base = int(live[-1].rsplit("snap_", 1)[1])
+        c_schema_json = fs_read_json(
+            spark, f"{live[-1]}/_cells_schema.json"
+        )
+        empty_cells = spark.createDataFrame(
+            [], StructType.fromJson(c_schema_json)
+        )
+        try:
+            _vxi_commit(
+                spark,
+                index_path,
+                empty_cells,
+                params,
+                [],
+                base,
+                deletes=vic,
+                cells_schema_json=c_schema_json,
+            )
+            return n
+        except CommitConflict:
+            continue  # concurrent append/delete; recompute victims
+    raise CommitConflict(
+        f"delete on {index_path} lost {max_retries} CAS races"
+    )
+
+
+def _vxi_optimize(
+    spark: SparkSession,
+    index_path: str,
+    target_file_rows: int,
+    max_retries: int = 10,
+) -> dict:
+    """Versioned compaction: fold live snapshots into one (counts
+    summed net of deletes, epoch marks carried, quantizer subtrees
+    copied forward, watermark marker riding the commit), then prune."""
+    from ..sinks.versioned import (
+        CommitConflict,
+        fs_read_json,
+        snapshot_members,
+    )
+
+    def n_files(paths):
+        return sum(
+            1 for p in paths for _f in _index_data_files(f"{p}/cells")
+        )
+
+    for _ in range(max_retries):
+        meta, cells, live = _vxi_read(spark, index_path)
+        base = int(live[-1].rsplit("snap_", 1)[1])
+        files_before = n_files(live)
+        rows_before = cells.count()
+        nc = meta["num_cells"]
+        per_cell = math.ceil(max(rows_before, 1) / nc)
+        bins = max(1, math.ceil(per_cell / target_file_rows))
+        carried = sorted(
+            {
+                mk
+                for p in live
+                for mk in snapshot_members(spark, p)
+                if mk.startswith("_epoch_")
+            }
+        )
+        compacted = (
+            cells.withColumn("__bin", F.pmod(F.hash("vid"), F.lit(bins)))
+            .repartition(nc * bins, "cell", "__bin")
+            .drop("__bin")
+        )
+        params = {
+            "num_cells": nc,
+            "m": meta["m"],
+            "k_codes": meta["k_codes"],
+            "dim": meta["dim"],
+            "n_vecs": rows_before,
+        }
+        c_schema_json = fs_read_json(
+            spark, f"{live[-1]}/_cells_schema.json"
+        )
+        cpath = _vxi_quantizer_path(spark, live, "centroids")
+        bpath = (
+            _vxi_quantizer_path(spark, live, "codebooks")
+            if meta["m"]
+            else None
+        )
+        try:
+            _vxi_commit(
+                spark,
+                index_path,
+                compacted,
+                params,
+                carried + [f"{_V_COMPACT_MARK}{base}"],
+                base,
+                quantizer_src=(cpath, bpath),
+                cells_schema_json=c_schema_json,
+            )
+            break
+        except CommitConflict:
+            continue  # an append raced in; fold it too
+    else:
+        raise CommitConflict(
+            f"compaction of {index_path} lost {max_retries} CAS races"
+        )
+    live_after = _vxi_recover_live(spark, index_path)  # prunes <= base
+    return {
+        "rows_before": rows_before,
+        "files_before": files_before,
+        "files_after": n_files(live_after),
+    }

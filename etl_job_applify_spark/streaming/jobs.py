@@ -593,6 +593,7 @@ def run_incremental_dedup_stream(
                 num_hashes=num_hashes,
                 bands=bands,
                 mode=mode,
+                layout="flat",  # this sink IS the flat-layout ingest
             )
             if (
                 compact_every

@@ -39,7 +39,7 @@ def _batch(spark):
 def test_probe_finds_planted_cross_dups(spark, tmp_path):
     idx = str(tmp_path / "idx")
     history = _corpus(spark)
-    minhash_index_build(history, idx, num_hashes=64, bands=16)
+    minhash_index_build(history, idx, num_hashes=64, bands=16, layout="flat")
     pairs = minhash_index_probe(
         spark, idx, _batch(spark), history, threshold=0.5
     ).collect()
@@ -52,7 +52,7 @@ def test_probe_finds_planted_cross_dups(spark, tmp_path):
 def test_probe_skips_recrawled_self_match(spark, tmp_path):
     idx = str(tmp_path / "idx")
     history = _corpus(spark)
-    minhash_index_build(history, idx, num_hashes=64, bands=16)
+    minhash_index_build(history, idx, num_hashes=64, bands=16, layout="flat")
     recrawl = history.filter(F.col("doc_id") == 7)
     pairs = minhash_index_probe(spark, idx, recrawl, history).collect()
     assert not any(r["a"] == r["b"] for r in pairs)
@@ -61,7 +61,7 @@ def test_probe_skips_recrawled_self_match(spark, tmp_path):
 def test_append_then_probe_sees_both_generations(spark, tmp_path):
     idx = str(tmp_path / "idx")
     history = _corpus(spark)
-    minhash_index_build(history, idx, num_hashes=64, bands=16)
+    minhash_index_build(history, idx, num_hashes=64, bands=16, layout="flat")
     # ingest the first batch into the index (the post-probe step)
     first = _batch(spark)
     minhash_index_build(
@@ -89,7 +89,7 @@ def test_optimize_index_bounds_files_and_preserves_probes(spark, tmp_path):
 
     idx = str(tmp_path / "idx")
     history = _corpus(spark)
-    minhash_index_build(history, idx, num_hashes=64, bands=16)
+    minhash_index_build(history, idx, num_hashes=64, bands=16, layout="flat")
     # 5 small appends: novel docs so probe expectations stay stable
     for g in range(5):
         rows = [
@@ -125,7 +125,7 @@ def test_optimize_index_tombstones_purge_deleted_docs(spark, tmp_path):
 
     idx = str(tmp_path / "idx")
     history = _corpus(spark)
-    minhash_index_build(history, idx, num_hashes=64, bands=16)
+    minhash_index_build(history, idx, num_hashes=64, bands=16, layout="flat")
     dead = spark.createDataFrame([(7,)], "doc bigint")
     res = optimize_index(spark, idx, tombstones=dead)
     assert res["rows_after"] == res["rows_before"] - 16  # 16 bands/doc
@@ -147,7 +147,7 @@ def test_optimize_index_tombstones_purge_deleted_docs(spark, tmp_path):
 
 def test_parameter_drift_refused(spark, tmp_path):
     idx = str(tmp_path / "idx")
-    minhash_index_build(_corpus(spark), idx, num_hashes=64, bands=16)
+    minhash_index_build(_corpus(spark), idx, num_hashes=64, bands=16, layout="flat")
     with pytest.raises(ValueError, match="built with"):
         minhash_index_build(
             _batch(spark), idx, num_hashes=128, bands=32, mode="append"
@@ -168,7 +168,7 @@ def test_hot_template_bucket_capped(spark, tmp_path):
     history = spark.createDataFrame(
         [(i, template) for i in range(40)], "doc_id long, text string"
     )
-    minhash_index_build(history, idx, num_hashes=64, bands=16)
+    minhash_index_build(history, idx, num_hashes=64, bands=16, layout="flat")
     probe = spark.createDataFrame(
         [(999, template)], "doc_id long, text string"
     )
@@ -291,7 +291,7 @@ def test_optimize_index_recovers_from_stale_staging_dirs(spark, tmp_path):
 
     idx = str(tmp_path / "idx")
     history = _corpus(spark)
-    minhash_index_build(history, idx, num_hashes=64, bands=16)
+    minhash_index_build(history, idx, num_hashes=64, bands=16, layout="flat")
     before = minhash_index_probe(spark, idx, _batch(spark), history)
     got_before = {(r["a"], r["b"]) for r in before.collect()}
 
@@ -325,7 +325,7 @@ def test_interrupted_swap_recovers_instead_of_refounding(spark, tmp_path):
 
     idx = str(tmp_path / "idx")
     history = _corpus(spark)
-    minhash_index_build(history, idx, num_hashes=64, bands=16)
+    minhash_index_build(history, idx, num_hashes=64, bands=16, layout="flat")
     optimize_index(spark, idx)  # produce a compacted layout to copy
 
     # simulate the mid-swap crash: live index renamed away, compacted
@@ -377,7 +377,7 @@ def test_recover_cleans_stale_complete_compact_beside_live_index(
 
     idx = str(tmp_path / "idx")
     history = _corpus(spark)
-    minhash_index_build(history, idx, num_hashes=64, bands=16)
+    minhash_index_build(history, idx, num_hashes=64, bands=16, layout="flat")
     # stale-but-complete staging: full copy with its meta, live intact
     shutil.copytree(idx, idx + "__compact")
     assert os.path.exists(idx + "__compact/_index_meta.json")
@@ -416,7 +416,7 @@ def test_optimize_index_purge_everything_publishes_empty_index(
 
     idx = str(tmp_path / "idx")
     history = _corpus(spark)
-    minhash_index_build(history, idx, num_hashes=64, bands=16)
+    minhash_index_build(history, idx, num_hashes=64, bands=16, layout="flat")
     dead = history.select(F.col("doc_id").alias("doc"))
     res = optimize_index(spark, idx, tombstones=dead)
     assert res["rows_before"] == 50 * 16 and res["rows_after"] == 0
@@ -448,7 +448,7 @@ def test_probe_broadcast_batch_knob_off_same_results_no_forced_hint(
     instead (triangles.py broadcast_closing discipline)."""
     idx = str(tmp_path / "idx")
     history = _corpus(spark)
-    minhash_index_build(history, idx, num_hashes=64, bands=16)
+    minhash_index_build(history, idx, num_hashes=64, bands=16, layout="flat")
     off = minhash_index_probe(
         spark, idx, _batch(spark), history, broadcast_batch=False
     )
@@ -483,7 +483,7 @@ def test_immediate_delete_hides_doc_from_probe(spark, tmp_path):
 
     idx = str(tmp_path / "idx_del")
     history = _corpus(spark)
-    minhash_index_build(history, idx, num_hashes=64, bands=16)
+    minhash_index_build(history, idx, num_hashes=64, bands=16, layout="flat")
     out = minhash_index_delete(spark, idx, [7])
     assert out["n_tombstoned"] == 1
 
@@ -550,3 +550,17 @@ def test_versioned_immediate_delete(spark, tmp_path):
         ).collect()
     }
     assert pairs2 == pairs
+
+
+def test_default_layout_is_versioned(spark, tmp_path):
+    """A build with no layout argument founds the versioned CAS layout
+    (flat is an explicit local-filesystem opt-in)."""
+    from etl_job_applify_spark.dedup import minhash_index_build
+    from etl_job_applify_spark.sinks.versioned import list_versions
+
+    idx = str(tmp_path / "defidx")
+    minhash_index_build(_corpus(spark), idx, num_hashes=64, bands=16)
+    assert list_versions(spark, idx) == [1]
+    import os
+
+    assert not os.path.exists(os.path.join(idx, "_index_meta.json"))

@@ -59,7 +59,7 @@ def _score_map(df):
 def test_index_bm25_bit_identical_to_recompute(spark, tmp_path):
     idx = str(tmp_path / "tidx")
     docs = _docs(spark)
-    text_index_build(docs, idx)
+    text_index_build(docs, idx, layout="flat")
     served = _score_map(text_index_bm25(spark, idx, _qterms(spark)))
     recomputed = _score_map(bm25_scores(docs, _qterms(spark)))
     assert served == recomputed and len(served) > 0  # bit-exact, == not ≈
@@ -71,7 +71,7 @@ def test_index_append_keeps_df_dl_stats_exact(spark, tmp_path):
     stats all shift with the append and any drift changes bits."""
     idx = str(tmp_path / "tidx")
     gen1, gen2 = _docs(spark, 0, 40), _docs(spark, 100, 25)
-    text_index_build(gen1, idx)
+    text_index_build(gen1, idx, layout="flat")
     text_index_build(gen2, idx, mode="append")
     both = gen1.unionByName(gen2)
     served = _score_map(text_index_bm25(spark, idx, _qterms(spark)))
@@ -86,7 +86,7 @@ def test_index_phrase_hits_match_recompute(spark, tmp_path):
 
     idx = str(tmp_path / "tidx")
     docs = _docs(spark)
-    text_index_build(docs, idx)
+    text_index_build(docs, idx, layout="flat")
     phrase = ["hash", "join"]
     served = {
         (r["doc_id"], r["p"])
@@ -105,7 +105,7 @@ def test_probe_prunes_to_term_buckets(spark, tmp_path):
     scan (the point of the layout — a term read never scans the
     index), and the word predicate must push into the parquet scan."""
     idx = str(tmp_path / "tidx")
-    text_index_build(_docs(spark), idx, num_buckets=64)
+    text_index_build(_docs(spark), idx, num_buckets=64, layout="flat")
     scan = text_index_terms(spark, idx, ["hash", "join"])
     plan = scan._jdf.queryExecution().executedPlan().toString()
     import re
@@ -125,7 +125,7 @@ def test_probe_prunes_to_term_buckets(spark, tmp_path):
 
 def test_append_parameter_drift_refused(spark, tmp_path):
     idx = str(tmp_path / "tidx")
-    text_index_build(_docs(spark), idx, num_buckets=64)
+    text_index_build(_docs(spark), idx, num_buckets=64, layout="flat")
     with pytest.raises(ValueError, match="num_buckets"):
         text_index_build(
             _docs(spark, 100), idx, num_buckets=32, mode="append"
@@ -134,7 +134,7 @@ def test_append_parameter_drift_refused(spark, tmp_path):
 
 def test_optimize_bounds_files_preserves_results(spark, tmp_path):
     idx = str(tmp_path / "tidx")
-    text_index_build(_docs(spark, 0, 30), idx, num_buckets=8)
+    text_index_build(_docs(spark, 0, 30), idx, num_buckets=8, layout="flat")
     for g in range(4):
         text_index_build(
             _docs(spark, 200 + g * 50, 10), idx, num_buckets=8,
@@ -171,7 +171,7 @@ def test_interrupted_optimize_swap_recovers(spark, tmp_path):
 
     idx = str(tmp_path / "tidx")
     docs = _docs(spark)
-    text_index_build(docs, idx)
+    text_index_build(docs, idx, layout="flat")
     before = _score_map(text_index_bm25(spark, idx, _qterms(spark)))
 
     # mid-swap crash
@@ -199,7 +199,7 @@ def test_versioned_text_index_matches_flat_and_recompute(spark, tmp_path):
     (the summed per-snapshot stats must equal the flat running meta)."""
     flat, vers = str(tmp_path / "flat"), str(tmp_path / "vers")
     gen1, gen2 = _docs(spark, 0, 40), _docs(spark, 100, 25)
-    text_index_build(gen1, flat)
+    text_index_build(gen1, flat, layout="flat")
     text_index_build(gen2, flat, mode="append")
     text_index_build(gen1, vers, layout="versioned")
     text_index_build(gen2, vers, mode="append")  # auto-detects layout
@@ -288,8 +288,8 @@ def test_delete_serves_surviving_corpus_exactly(spark, tmp_path):
     ref = str(tmp_path / "tidx_ref")
     docs = _docs(spark)
     survivors = docs.filter(F.col("doc_id") % 4 != 1)
-    text_index_build(docs, idx)
-    text_index_build(survivors, ref)
+    text_index_build(docs, idx, layout="flat")
+    text_index_build(survivors, ref, layout="flat")
     doomed = [int(r.doc_id) for r in docs.filter(
         F.col("doc_id") % 4 == 1).collect()]
     out = text_index_delete(spark, idx, doomed)
@@ -334,7 +334,7 @@ def test_optimize_purges_tombstones_and_restores_fast_path(spark, tmp_path):
 
     idx = str(tmp_path / "tidx_purge")
     docs = _docs(spark)
-    text_index_build(docs, idx)
+    text_index_build(docs, idx, layout="flat")
     text_index_delete(
         spark, idx,
         [int(r.doc_id) for r in docs.filter(F.col("doc_id") < 10).collect()],
@@ -511,7 +511,7 @@ def test_flat_purge_everything_stays_probeable(spark, tmp_path):
 
     idx = str(tmp_path / "tidx_flat_empty")
     docs = _docs(spark, n=8)
-    text_index_build(docs, idx)
+    text_index_build(docs, idx, layout="flat")
     ids = [int(r.doc_id) for r in docs.collect()]
     assert text_index_delete(spark, idx, ids)["n_tombstoned"] == 8
     optimize_text_index(spark, idx)
@@ -523,7 +523,7 @@ def test_flat_purge_everything_stays_probeable(spark, tmp_path):
     batch = _docs(spark, start=50, n=6)
     text_index_build(batch, idx, mode="append")
     ref = str(tmp_path / "tidx_flat_empty_ref")
-    text_index_build(batch, ref)
+    text_index_build(batch, ref, layout="flat")
     assert _score_map(text_index_bm25(spark, idx, q)) == _score_map(
         text_index_bm25(spark, ref, q)
     )
@@ -584,3 +584,23 @@ def test_bm25_scoring_variant_validation(spark):
     assert _idf_expr("log").startswith("ln((")
     with _pytest.raises(ValueError):
         _idf_expr("bm25plus")
+
+
+def test_default_layout_is_versioned(spark, tmp_path):
+    """Production default: a build with no layout argument founds the
+    versioned (object-store-capable, CAS-committed) layout — the flat
+    directory layout is an explicit local-filesystem opt-in."""
+    from etl_job_applify_spark.sinks.versioned import list_versions
+
+    idx = str(tmp_path / "defidx")
+    text_index_build(_docs(spark), idx)
+    assert list_versions(spark, idx) == [1]
+    assert not os.path.exists(os.path.join(idx, "_text_index_meta.json"))
+    # and the default-layout index serves identically to the recompute
+    got = _score_map(text_index_bm25(spark, idx, _qterms(spark)))
+    want = _score_map(
+        bm25_scores(_docs(spark), _qterms(spark)).withColumnRenamed(
+            "doc_id", "doc_id"
+        )
+    )
+    assert got == want

@@ -1,0 +1,341 @@
+"""Persisted IVF/PQ vector index lifecycle (similarity/vector_index.py).
+
+Contract, mirroring the text index's (tests/test_text_index.py):
+index-served ANN results are BIT-IDENTICAL to the recompute kernels
+pinned to the same quantizer (shared assignment/probe/scoring
+expressions), appends reuse the founding quantizer, deletes take effect
+immediately and purge at compaction, crash windows recover at every
+entry point, and concurrent CAS deletes serialize without lost updates.
+"""
+
+import os
+import threading
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_job_applify_spark.similarity import (
+    ann_topk_ivf,
+    ann_topk_ivfpq,
+    cosine_topk,
+    optimize_vector_index,
+    vector_index_build,
+    vector_index_delete,
+    vector_index_probe,
+)
+
+DIM = 8
+
+
+def _vecs(spark, start=0, n=48):
+    """Deterministic unit-ish vectors: vec_id i gets a dim-8 pattern."""
+    rows = [
+        (
+            start + i,
+            [
+                float(((start + i) * 7 + j * 3) % 11) / 11.0 + 0.05
+                for j in range(DIM)
+            ],
+        )
+        for i in range(n)
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def _queries(spark):
+    rows = [
+        (100 + q, [float((q * 5 + j) % 9) / 9.0 + 0.1 for j in range(DIM)])
+        for q in range(3)
+    ]
+    return spark.createDataFrame(rows, "query_id long, embedding array<double>")
+
+
+def _anchor_centroids(corpus, num_cells=4):
+    """Deterministic quantizer: the num_cells lowest-id vectors."""
+    rows = corpus.orderBy("vec_id").limit(num_cells).collect()
+    return [r["embedding"] for r in rows]
+
+
+def _res(df):
+    return sorted(
+        (r["query_id"], r["neighbor"], r["cosine"], r["rank"])
+        for r in df.collect()
+    )
+
+
+@pytest.mark.parametrize("layout", ["flat", "versioned"])
+def test_probe_matches_recompute_bit_exact(spark, tmp_path, layout):
+    corpus = _vecs(spark)
+    cents = _anchor_centroids(corpus)
+    idx = str(tmp_path / f"vxi_{layout}")
+    meta = vector_index_build(
+        corpus, idx, num_cells=4, layout=layout, centroids=cents
+    )
+    assert meta["n_vecs"] == 48 and meta["num_cells"] == 4
+    got = vector_index_probe(spark, idx, _queries(spark), k=5, nprobe=2)
+    want = ann_topk_ivf(
+        corpus, _queries(spark), k=5, num_cells=4, nprobe=2,
+        centroids=__import__("numpy").asarray(cents),
+    )
+    assert _res(got) == _res(want)
+
+
+def test_full_probe_equals_brute_force(spark, tmp_path):
+    """nprobe >= num_cells degenerates to exact cosine_topk — the
+    contract that lets the index serve q200's hybrid-RRF leg exactly."""
+    corpus = _vecs(spark)
+    idx = str(tmp_path / "vxi_full")
+    vector_index_build(
+        corpus, idx, num_cells=4, centroids=_anchor_centroids(corpus)
+    )
+    got = vector_index_probe(spark, idx, _queries(spark), k=5, nprobe=99)
+    want = cosine_topk(corpus, _queries(spark), k=5)
+    assert _res(got) == _res(want)
+
+
+def test_pq_probe_matches_recompute(spark, tmp_path):
+    import numpy as np
+
+    from etl_job_applify_spark.similarity import train_pq_codebooks
+
+    corpus = _vecs(spark)
+    cents = np.asarray(_anchor_centroids(corpus))
+    books = train_pq_codebooks(corpus, m=4, k=4)
+    idx = str(tmp_path / "vxi_pq")
+    meta = vector_index_build(
+        corpus, idx, num_cells=4, m=4, k_codes=4,
+        centroids=cents, codebooks=books,
+    )
+    assert meta["m"] == 4 and meta["k_codes"] == 4
+    got = vector_index_probe(
+        spark, idx, _queries(spark), k=5, nprobe=3,
+        use_codes=True, shortlist=16,
+    )
+    want = ann_topk_ivfpq(
+        corpus, _queries(spark), k=5, num_cells=4, nprobe=3, m=4,
+        k_codes=4, shortlist=16, centroids=cents, codebooks=books,
+    )
+    assert _res(got) == _res(want)
+
+
+def test_use_codes_requires_pq_build(spark, tmp_path):
+    corpus = _vecs(spark)
+    idx = str(tmp_path / "vxi_nocodes")
+    vector_index_build(
+        corpus, idx, num_cells=4, centroids=_anchor_centroids(corpus)
+    )
+    with pytest.raises(ValueError, match="no PQ codes"):
+        vector_index_probe(
+            spark, idx, _queries(spark), use_codes=True
+        ).collect()
+
+
+@pytest.mark.parametrize("layout", ["flat", "versioned"])
+def test_append_uses_founding_quantizer(spark, tmp_path, layout):
+    """history founds, batch appends: the probe must equal a recompute
+    over the FULL corpus with the FOUNDING centroids — an append that
+    retrained or re-assigned would diverge."""
+    corpus = _vecs(spark)
+    history = corpus.filter(F.col("vec_id") % 5 != 0)
+    batch = corpus.filter(F.col("vec_id") % 5 == 0)
+    cents = _anchor_centroids(history)
+    idx = str(tmp_path / f"vxi_app_{layout}")
+    vector_index_build(
+        history, idx, num_cells=4, layout=layout, centroids=cents
+    )
+    meta = vector_index_build(batch, idx, mode="append")
+    assert meta["n_vecs"] == 48
+    got = vector_index_probe(spark, idx, _queries(spark), k=5, nprobe=2)
+    want = ann_topk_ivf(
+        corpus, _queries(spark), k=5, num_cells=4, nprobe=2,
+        centroids=__import__("numpy").asarray(cents),
+    )
+    assert _res(got) == _res(want)
+
+
+def test_versioned_epoch_fence_skips_replay(spark, tmp_path):
+    from etl_job_applify_spark.sinks.versioned import list_versions
+
+    corpus = _vecs(spark)
+    history = corpus.filter(F.col("vec_id") < 40)
+    batch = corpus.filter(F.col("vec_id") >= 40)
+    idx = str(tmp_path / "vxi_fence")
+    vector_index_build(
+        history, idx, num_cells=4, centroids=_anchor_centroids(history)
+    )
+    vector_index_build(batch, idx, mode="append", epoch_mark="_epoch_t1")
+    n_after = len(list_versions(spark, idx))
+    # replay: fenced no-op — no new snapshot, counts unchanged
+    meta = vector_index_build(
+        batch, idx, mode="append", epoch_mark="_epoch_t1"
+    )
+    assert len(list_versions(spark, idx)) == n_after
+    assert meta["n_vecs"] == 48
+
+
+@pytest.mark.parametrize("layout", ["flat", "versioned"])
+def test_delete_then_compact_serves_survivors(spark, tmp_path, layout):
+    corpus = _vecs(spark)
+    doomed = [i for i in range(48) if i % 4 == 1]
+    idx = str(tmp_path / f"vxi_del_{layout}")
+    vector_index_build(
+        corpus, idx, num_cells=4, layout=layout,
+        centroids=_anchor_centroids(corpus),
+    )
+    out = vector_index_delete(spark, idx, doomed)
+    assert out["n_tombstoned"] == len(doomed)
+    # re-delete is a no-op
+    assert vector_index_delete(spark, idx, doomed)["n_tombstoned"] == 0
+    survivors = corpus.filter(~F.col("vec_id").isin(doomed))
+    want = _res(
+        ann_topk_ivf(
+            survivors, _queries(spark), k=5, num_cells=4, nprobe=2,
+            centroids=__import__("numpy").asarray(
+                _anchor_centroids(corpus)
+            ),
+        )
+    )
+    before = _res(
+        vector_index_probe(spark, idx, _queries(spark), k=5, nprobe=2)
+    )
+    assert before == want
+    stats = optimize_vector_index(spark, idx)
+    assert stats["rows_before"] == 48 - len(doomed)
+    after = _res(
+        vector_index_probe(spark, idx, _queries(spark), k=5, nprobe=2)
+    )
+    assert after == want
+
+
+def test_versioned_delete_then_reappend_serves_again(spark, tmp_path):
+    corpus = _vecs(spark)
+    idx = str(tmp_path / "vxi_reapp")
+    vector_index_build(
+        corpus, idx, num_cells=4, centroids=_anchor_centroids(corpus)
+    )
+    vector_index_delete(spark, idx, [3, 7])
+    reingested = corpus.filter(F.col("vec_id").isin([3, 7]))
+    meta = vector_index_build(reingested, idx, mode="append")
+    assert meta["n_vecs"] == 48  # -2 then +2: counters stay exact
+    got = vector_index_probe(spark, idx, _queries(spark), k=5, nprobe=99)
+    want = cosine_topk(corpus, _queries(spark), k=5)
+    assert _res(got) == _res(want)
+
+
+def test_versioned_delete_race_loses_no_tombstones(spark, tmp_path):
+    corpus = _vecs(spark)
+    idx = str(tmp_path / "vxi_race")
+    vector_index_build(
+        corpus, idx, num_cells=4, centroids=_anchor_centroids(corpus)
+    )
+    set_a = [0, 1, 2, 3]
+    set_b = [4, 5, 6, 7]
+    results = {}
+
+    def worker(name, ids):
+        results[name] = vector_index_delete(spark, idx, ids)["n_tombstoned"]
+
+    threads = [
+        threading.Thread(target=worker, args=("a", set_a)),
+        threading.Thread(target=worker, args=("b", set_b)),
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert results["a"] == 4 and results["b"] == 4
+    survivors = corpus.filter(~F.col("vec_id").isin(set_a + set_b))
+    got = vector_index_probe(spark, idx, _queries(spark), k=5, nprobe=99)
+    want = cosine_topk(survivors, _queries(spark), k=5)
+    assert _res(got) == _res(want)
+
+
+def test_flat_interrupted_optimize_swap_recovers(spark, tmp_path):
+    """Crash between the two renames of the flat compaction publish:
+    a complete __compact staging with the live index gone must be
+    promoted on the next entry."""
+    corpus = _vecs(spark)
+    idx = str(tmp_path / "vxi_crash")
+    vector_index_build(
+        corpus, idx, num_cells=4, layout="flat",
+        centroids=_anchor_centroids(corpus),
+    )
+    want = _res(
+        vector_index_probe(spark, idx, _queries(spark), k=5, nprobe=2)
+    )
+    # simulate: staging complete, live renamed away (crash point is
+    # after `os.rename(index_path, old)`)
+    os.rename(idx, idx + "__compact")
+    got = _res(
+        vector_index_probe(spark, idx, _queries(spark), k=5, nprobe=2)
+    )
+    assert got == want
+    assert os.path.exists(os.path.join(idx, "_vector_index_meta.json"))
+
+
+def test_versioned_commit_prune_crash_recovers(spark, tmp_path):
+    """A compaction that committed its watermark snapshot but crashed
+    before pruning: the next read must prune the folded snapshots and
+    serve identical results."""
+    from etl_job_applify_spark.similarity.vector_index import (
+        _vxi_recover_live,
+    )
+
+    corpus = _vecs(spark)
+    history = corpus.filter(F.col("vec_id") < 40)
+    batch = corpus.filter(F.col("vec_id") >= 40)
+    idx = str(tmp_path / "vxi_prune")
+    vector_index_build(
+        history, idx, num_cells=4, centroids=_anchor_centroids(history)
+    )
+    vector_index_build(batch, idx, mode="append")
+    want = _res(
+        vector_index_probe(spark, idx, _queries(spark), k=5, nprobe=2)
+    )
+    optimize_vector_index(spark, idx)
+    # compaction pruned; live set is exactly one snapshot and results hold
+    assert len(_vxi_recover_live(spark, idx)) == 1
+    got = _res(
+        vector_index_probe(spark, idx, _queries(spark), k=5, nprobe=2)
+    )
+    assert got == want
+
+
+def test_versioned_delete_everything_then_probe(spark, tmp_path):
+    corpus = _vecs(spark, n=12)
+    idx = str(tmp_path / "vxi_purgeall")
+    vector_index_build(
+        corpus, idx, num_cells=4, centroids=_anchor_centroids(corpus)
+    )
+    assert vector_index_delete(
+        spark, idx, list(range(12))
+    )["n_tombstoned"] == 12
+    assert (
+        vector_index_probe(spark, idx, _queries(spark), k=5).count() == 0
+    )
+    optimize_vector_index(spark, idx)  # purge-everything compaction
+    assert (
+        vector_index_probe(spark, idx, _queries(spark), k=5).count() == 0
+    )
+
+
+def test_probe_prunes_to_probed_cells(spark, tmp_path):
+    """The probe's cells scan must carry the static cell partition
+    filter (PartitionFilters in the scan node) — the physical
+    disk-pruning contract."""
+    corpus = _vecs(spark)
+    idx = str(tmp_path / "vxi_prune_plan")
+    vector_index_build(
+        corpus, idx, num_cells=4, layout="flat",
+        centroids=_anchor_centroids(corpus),
+    )
+    df = vector_index_probe(spark, idx, _queries(spark), k=5, nprobe=1)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "cell" in plan
+    # nprobe=1 over 3 distinct queries cannot touch all 4 cells unless
+    # every query probes a different cell; assert the filter exists by
+    # checking the formatted plan mentions a cell IN filter
+    from etl_job_applify_spark.plans.explain import explain_str
+
+    fmt = explain_str(df, "formatted")
+    assert "PartitionFilters" in fmt and "cell" in fmt

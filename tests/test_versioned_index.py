@@ -55,7 +55,7 @@ def _snaps(idx):
 def test_versioned_probe_matches_flat_layout(spark, tmp_path):
     flat, vers = str(tmp_path / "flat"), str(tmp_path / "vers")
     history = _corpus(spark)
-    minhash_index_build(history, flat, num_hashes=64, bands=16)
+    minhash_index_build(history, flat, num_hashes=64, bands=16, layout="flat")
     minhash_index_build(
         history, vers, num_hashes=64, bands=16, layout="versioned"
     )
