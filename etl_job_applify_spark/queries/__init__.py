@@ -45,6 +45,7 @@ from . import (
     spatial,
     subword,
     transactional,
+    vectorindex,
 )
 
 
@@ -73,6 +74,7 @@ _MODULES = [
     spatial,
     subword,
     transactional,
+    vectorindex,
 ]
 
 

@@ -1,0 +1,366 @@
+"""Persisted vector-index query family (similarity/vector_index.py):
+the ANN serving lifecycle under the correctness gate.
+
+q232 is the flagship: the FULL lifecycle (found → CAS-append with an
+epoch fence → replayed append (fenced no-op) → delete → CAS compaction
+→ probe) with an EXACT DuckDB oracle — possible because the coarse
+quantizer is pinned to deterministic anchors (the num_cells lowest
+vec_ids of the founding corpus, the q146 trick), so cell assignment,
+cell probing and the in-cell cosine top-k are all reproducible
+relational arithmetic in both engines (shared left-fold dot products).
+q233/q234 gate the TRAINED-quantizer paths (exact-cosine and PQ/ADC
+serving) with in-query probe ≡ recompute parity assertions plus the
+q87/q152 recall harness. q235 re-serves q200's hybrid RRF entirely
+from the two persisted indexes (text + vector) under q200's own
+oracle.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+import numpy as np
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ._util import tbl
+from .analytics import _cos_sql
+from ..similarity import (
+    ann_topk_ivf,
+    ann_topk_ivfpq,
+    cosine_topk,
+    optimize_vector_index,
+    vector_index_build,
+    vector_index_delete,
+    vector_index_probe,
+)
+
+
+def _with_temp_index(spark, builds, probe):
+    """Temp-dir lifecycle pattern (q142/q194): build, probe,
+    materialize, drop the dir."""
+    path = tempfile.mkdtemp(prefix="qvec_idx_") + "/idx"
+    try:
+        builds(path)
+        out = probe(path)
+        rows = out.collect()
+        schema = out.schema
+    finally:
+        shutil.rmtree(os.path.dirname(path), ignore_errors=True)
+    return spark.createDataFrame(rows, schema)
+
+
+def _assert_same(a: DataFrame, b_rows, what: str) -> None:
+    if sorted(map(tuple, a.collect())) != sorted(map(tuple, b_rows)):
+        raise AssertionError(what)
+
+
+# --- q232: the exact-oracled vector-index lifecycle ----------------------
+# Split: vec_id % 10 != 0 founds the index, % 10 == 0 is the appended
+# batch (epoch-fenced, replay re-fired as a no-op), % 10 == 3 is
+# GDPR-deleted, queries are vec_ids 1/2/5. Quantizer = the 8 lowest
+# founding vec_ids' embeddings, passed explicitly — what makes the
+# oracle able to reproduce the cell geometry exactly. nprobe=3 of 8:
+# the result is genuinely approximate (cells prune real candidates),
+# and the oracle reproduces the approximation bit-for-bit. The probe
+# runs before AND after CAS compaction and both must agree.
+
+_Q232_CELLS = 8
+_Q232_NPROBE = 3
+_Q232_QUERY_IDS = [1, 2, 5]
+
+
+def q232_vector_index_lifecycle(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    emb = tbl(spark, sf_dir, "embeddings")
+    history = emb.filter(F.col("vec_id") % 10 != 0)
+    batch = emb.filter(F.col("vec_id") % 10 == 0)
+    doomed = emb.filter(F.col("vec_id") % 10 == 3).select(
+        F.col("vec_id").alias("vid")
+    )
+    queries = emb.filter(F.col("vec_id").isin(_Q232_QUERY_IDS)).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    cents = [
+        r["embedding"]
+        for r in history.orderBy("vec_id").limit(_Q232_CELLS).collect()
+    ]
+
+    def build(path):
+        vector_index_build(
+            history, path, num_cells=_Q232_CELLS, centroids=cents
+        )
+        vector_index_build(
+            batch, path, mode="append", epoch_mark="_epoch_q232_1"
+        )
+        # replay of the committed epoch: fenced no-op
+        vector_index_build(
+            batch, path, mode="append", epoch_mark="_epoch_q232_1"
+        )
+        vector_index_delete(spark, path, doomed)
+
+    def probe(path):
+        def topk():
+            return vector_index_probe(
+                spark, path, queries, k=5, nprobe=_Q232_NPROBE
+            ).withColumn("rank", F.col("rank").cast("int"))
+
+        before = topk().collect()
+        optimize_vector_index(spark, path)  # CAS compaction + prune
+        after = topk()
+        _assert_same(
+            after, before,
+            "post-compaction probe diverged from pre-compaction probe",
+        )
+        return after
+
+    return _with_temp_index(spark, build, probe)
+
+
+_L2_SQL = (
+    "list_reduce(list_prepend(CAST(0 AS DOUBLE),"
+    " list_transform(range(1, len({a}) + 1),"
+    " i -> (CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE))"
+    " * (CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE)))),"
+    " (x, y) -> x + y)"
+)
+
+_Q232_SQL = f"""
+WITH live AS (
+  SELECT vec_id, embedding FROM embeddings WHERE vec_id % 10 <> 3
+),
+anchors AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cell, embedding AS av
+  FROM embeddings WHERE vec_id % 10 <> 0
+  ORDER BY vec_id LIMIT {_Q232_CELLS}
+),
+assigned AS (
+  SELECT vec_id, embedding, cell FROM (
+    SELECT v.vec_id, v.embedding, a.cell,
+           ROW_NUMBER() OVER (
+             PARTITION BY v.vec_id
+             ORDER BY {_L2_SQL.format(a='v.embedding', b='a.av')}, a.cell
+           ) AS rn
+    FROM live v CROSS JOIN anchors a
+  ) WHERE rn = 1
+),
+queries AS (
+  SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+  WHERE vec_id IN ({", ".join(map(str, _Q232_QUERY_IDS))})
+),
+qprobe AS (
+  SELECT query_id, cell FROM (
+    SELECT q.query_id, a.cell,
+           ROW_NUMBER() OVER (
+             PARTITION BY q.query_id
+             ORDER BY {_L2_SQL.format(a='q.qv', b='a.av')}, a.cell
+           ) AS rn
+    FROM queries q CROSS JOIN anchors a
+  ) WHERE rn <= {_Q232_NPROBE}
+),
+scored AS (
+  SELECT q.query_id, s.vec_id AS neighbor,
+         {_cos_sql('q.qv', 's.embedding')} AS cosine
+  FROM queries q
+  JOIN qprobe p ON p.query_id = q.query_id
+  JOIN assigned s ON s.cell = p.cell
+)
+SELECT query_id, neighbor, cosine, CAST(rank AS INT) AS rank FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, neighbor) AS rank
+  FROM scored
+) WHERE rank <= 5
+"""
+
+
+# --- q233: trained-quantizer serving — parity + recall gate ---------------
+# The q86/q87 shapes on the PERSISTED index: same corpus split
+# (vec_id < 5 are the queries), trained centroids recorded at founding.
+# The probe must equal ann_topk_ivf pinned to the RECORDED centroids
+# bit-for-bit (asserted in-query — a drifted quantizer round-trip or a
+# broken cell read breaks the run), and macro recall@5 vs brute force
+# must clear the q87 floor (0.6 on adversarial random vectors; the
+# returned row is what the oracle pins).
+
+def _ann_split(spark: SparkSession, sf_dir: str):
+    emb = tbl(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    corpus = emb.filter(F.col("vec_id") >= 5)
+    return corpus, queries
+
+
+def q233_vector_index_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .verification import _recall_at_k_row
+    from ..similarity.vector_index import _live_cells
+
+    corpus, queries = _ann_split(spark, sf_dir)
+
+    def build(path):
+        vector_index_build(corpus, path, num_cells=16)
+
+    def probe(path):
+        served = vector_index_probe(spark, path, queries, k=5, nprobe=8)
+        cents = _live_cells(spark, path)[1]  # the RECORDED quantizer
+        recompute = ann_topk_ivf(
+            corpus, queries, k=5, num_cells=16, nprobe=8, centroids=cents
+        )
+        _assert_same(
+            served, recompute.collect(),
+            "index-served IVF top-k diverged from recompute with the"
+            " recorded centroids",
+        )
+        exact = cosine_topk(corpus, queries, k=5)
+        return _recall_at_k_row(exact, served, min_recall=0.6)
+
+    return _with_temp_index(spark, build, probe)
+
+
+_Q233_SQL = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_queries, true AS recall_ok
+FROM embeddings WHERE vec_id < 5
+"""
+
+
+# --- q234: PQ/ADC serving from stored codes — parity + recall gate -------
+# The q152/q153 shapes on the persisted index: m=8 codes stored at
+# ingest, the probe scans the compressed domain (ADC over stored codes
+# inside probed cells) and exact-refines the shortlist. Must equal
+# ann_topk_ivfpq pinned to the recorded quantizer, and clear the 0.6
+# recall floor.
+
+def q234_vector_index_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .verification import _recall_at_k_row
+    from ..similarity.vector_index import _live_cells
+
+    corpus, queries = _ann_split(spark, sf_dir)
+
+    def build(path):
+        vector_index_build(corpus, path, num_cells=16, m=8, k_codes=16)
+
+    def probe(path):
+        served = vector_index_probe(
+            spark, path, queries, k=5, nprobe=8,
+            use_codes=True, shortlist=128,
+        )
+        _, cents, books, _ = _live_cells(spark, path)
+        recompute = ann_topk_ivfpq(
+            corpus, queries, k=5, num_cells=16, nprobe=8, m=8,
+            k_codes=16, shortlist=128, centroids=cents, codebooks=books,
+        )
+        _assert_same(
+            served, recompute.collect(),
+            "index-served IVFxPQ top-k diverged from recompute with the"
+            " recorded quantizer",
+        )
+        exact = cosine_topk(corpus, queries, k=5)
+        return _recall_at_k_row(exact, served, min_recall=0.6)
+
+    return _with_temp_index(spark, build, probe)
+
+
+_Q234_SQL = _Q233_SQL
+
+
+# --- q235: hybrid RRF served from BOTH persisted indexes ------------------
+# q200's task — BM25 lexical leg fused with an exact-cosine vector leg
+# by reciprocal-rank fusion — re-served entirely from persisted state:
+# the text index answers the BM25 leg (bit-identical to the recompute
+# kernel, q194's contract) and the vector index answers the cosine leg
+# with nprobe >= num_cells (the degenerate-exact probe — equal to
+# cosine_topk, tests/test_vector_index.py). The oracle is q200's OWN
+# raw-recompute SQL, so any index-side drift in either leg breaks the
+# hash. The steady-state RAG serving shape: zero corpus-sized work at
+# query time beyond the pruned index reads.
+
+def q235_hybrid_rrf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..functions.text_index import text_index_bm25, text_index_build
+    from .textops import _Q190_QUERIES
+
+    K_TOP, LEG_L = 10, 20
+    docs = tbl(spark, sf_dir, "documents").select("doc_id", "text")
+    emb = tbl(spark, sf_dir, "embeddings")
+    qterms = spark.createDataFrame(
+        [(qid, w) for qid, ws in _Q190_QUERIES for w in ws],
+        "qid int, word string",
+    )
+    anchors = emb.filter(
+        F.col("vec_id").isin([qid for qid, _ in _Q190_QUERIES])
+    ).select(F.col("vec_id").alias("query_id"), "embedding")
+
+    tdir = tempfile.mkdtemp(prefix="qrrf_idx_")
+    try:
+        tpath, vpath = f"{tdir}/text", f"{tdir}/vec"
+        text_index_build(docs, tpath)          # versioned default
+        vector_index_build(emb, vpath, num_cells=16)
+        w_lex = Window.partitionBy("qid").orderBy(
+            F.desc("score"), F.asc("doc_id")
+        )
+        lex = (
+            text_index_bm25(spark, tpath, qterms)
+            .withColumn("lex_rank", F.row_number().over(w_lex))
+            .filter(F.col("lex_rank") <= LEG_L)
+            .select("qid", "doc_id", "lex_rank")
+        )
+        vec = vector_index_probe(
+            spark, vpath, anchors, k=LEG_L, nprobe=999
+        ).select(
+            F.col("query_id").cast("int").alias("qid"),
+            F.col("neighbor").alias("doc_id"),
+            F.col("rank").cast("int").alias("vec_rank"),
+        )
+        fused = lex.join(vec, ["qid", "doc_id"], "full_outer").withColumn(
+            "rrf_score",
+            F.expr(
+                "coalesce(1e0 / (60 + lex_rank), 0e0)"
+                " + coalesce(1e0 / (60 + vec_rank), 0e0)"
+            ),
+        )
+        w_f = Window.partitionBy("qid").orderBy(
+            F.desc("rrf_score"), F.asc("doc_id")
+        )
+        out = (
+            fused.withColumn("rrf_rank", F.row_number().over(w_f))
+            .filter(F.col("rrf_rank") <= K_TOP)
+            .select("qid", "doc_id", "rrf_rank", "rrf_score",
+                    "lex_rank", "vec_rank")
+        )
+        rows = out.collect()
+        schema = out.schema
+    finally:
+        shutil.rmtree(tdir, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)
+
+
+QUERIES = {
+    "q232_vector_index_lifecycle": q232_vector_index_lifecycle,
+    "q233_vector_index_recall": q233_vector_index_recall,
+    "q234_vector_index_pq": q234_vector_index_pq,
+    "q235_hybrid_rrf_indexed": q235_hybrid_rrf_indexed,
+}
+
+
+def _q200_sql():
+    from .textops import _Q200_SQL
+
+    return _Q200_SQL
+
+
+ORACLE = {
+    # the lifecycle is EXACTLY reproducible: deterministic anchors make
+    # assignment, probing and in-cell top-k pure relational arithmetic
+    "q232_vector_index_lifecycle": _Q232_SQL,
+    # parity is asserted in-query; the oracle pins the recall row
+    "q233_vector_index_recall": _Q233_SQL,
+    "q234_vector_index_pq": _Q234_SQL,
+    # both legs served from persisted indexes must equal the raw
+    # recompute: the oracle IS q200's
+    "q235_hybrid_rrf_indexed": _q200_sql(),
+}
