@@ -298,6 +298,66 @@ GROUP BY decile
 """
 
 
+# --- q236: decile banding at FACT-TABLE scale ----------------------------
+# q104's global ntile plans as a single-partition window sort — the
+# right shape for dim tables, a scale-killer on facts. This is the
+# documented scalable variant (q104 header): approx-quantile CUTPOINTS
+# (one sketch aggregate, rank error <= n/accuracy) collected as a
+# 9-value control-plane row, then a 10-row broadcast bucket-range join
+# bands every fact row map-side — no global sort, no single-partition
+# window, one pass over the fact table. The banding is approximate at
+# the decile BOUNDARIES only (sketch rank error), so the oracle is a
+# property gate, q79/q80-style: exactly 10 bands in order, every
+# band's share within 2% of 10% (accuracy=10000 bounds rank error to
+# 0.01%; 2% is generous slack), exact total row count.
+
+def q236_fact_scale_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = tbl(spark, sf_dir, "lineitem")
+    qs = [i / 10.0 for i in range(1, 10)]
+    cuts = li.agg(
+        F.percentile_approx("l_extendedprice", qs, 10000).alias("c")
+    ).first()["c"]
+    lo = [float("-inf")] + [float(c) for c in cuts]
+    hi = [float(c) for c in cuts] + [float("inf")]
+    buckets = spark.createDataFrame(
+        [(d + 1, lo[d], hi[d]) for d in range(10)],
+        "decile int, lo double, hi double",
+    )
+    banded = li.join(
+        F.broadcast(buckets),
+        (F.col("l_extendedprice") >= F.col("lo"))
+        & (F.col("l_extendedprice") < F.col("hi")),
+    )
+    per = banded.groupBy("decile").agg(
+        F.count("*").alias("__n"),
+        F.min("l_extendedprice").alias("__min"),
+        F.max("l_extendedprice").alias("__max"),
+    )
+    total = li.count()
+    return (
+        per.select(
+            "decile",
+            F.lit(total).cast("bigint").alias("n_rows_total"),
+            (
+                F.abs(F.col("__n").cast("double") / F.lit(total) - 0.1)
+                <= 0.02
+            ).alias("share_ok"),
+            (F.col("__min") <= F.col("__max")).alias("ordered_ok"),
+        )
+        .orderBy("decile")
+    )
+
+
+_Q236_SQL = """
+SELECT CAST(r AS INT) AS decile,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem) AS n_rows_total,
+       true AS share_ok,
+       true AS ordered_ok
+FROM range(1, 11) t(r)
+ORDER BY 1
+"""
+
+
 # --- q105: gaps and islands (consecutive-day activity streaks) -----------
 # The classic islands trick: day minus row_number is constant within a
 # consecutive run, so one distinct + one per-user window sort + two hash
@@ -619,6 +679,7 @@ QUERIES = {
     "q96_cohort_retention": q96_cohort_retention,
     "q97_event_funnel": q97_event_funnel,
     "q104_ntile_deciles": q104_ntile_deciles,
+    "q236_fact_scale_deciles": q236_fact_scale_deciles,
     "q105_gaps_islands": q105_gaps_islands,
     "q106_variant_json": q106_variant_json,
     "q171_cumulative_distinct": q171_cumulative_distinct,
@@ -633,6 +694,7 @@ ORACLE = {
     "q96_cohort_retention": _Q96_SQL,
     "q97_event_funnel": _Q97_SQL,
     "q104_ntile_deciles": _Q104_SQL,
+    "q236_fact_scale_deciles": _Q236_SQL,
     "q105_gaps_islands": _Q105_SQL,
     "q106_variant_json": _Q106_SQL,
     "q171_cumulative_distinct": _Q171_SQL,

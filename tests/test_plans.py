@@ -164,7 +164,11 @@ def test_registry_wide_plan_audit(spark):
                     # q220 inherits q190's one-row corpus-stats BNLJ,
                     # as do the log-idf variants q230/q231
                     "q220_pruned_bm25_topk", "q230_bm25_log_idf",
-                    "q231_log_idf_pruned_topk"}
+                    "q231_log_idf_pruned_topk",
+                    # q236: the 10-row broadcast bucket-range join (the
+                    # documented fact-scale decile idiom — build side is
+                    # exactly 10 rows by construction)
+                    "q236_fact_scale_deciles"}
     from etl_job_applify_spark.plans import lint_errors
 
     offenders = []
