@@ -205,7 +205,15 @@ _FRAMES_SCHEMA = "doc_id bigint, frame_idx int, frame binary"
 
 
 def extract_frames_batch(media: DataFrame, every_ms: int = 1000) -> DataFrame:
-    """Video frame sampling via mapInPandas. STUB (no ffmpeg in image)."""
+    """Video frame sampling for GENERIC containers (mp4/mkv) via
+    mapInPandas. STUB — decoding arbitrary containers requires ffmpeg
+    bindings, absent in this image; only the schema / partitioning /
+    Arrow-batch contract is defined here. The REAL, dependency-free
+    video path exists alongside: ``multimodal/video.py`` demuxes the
+    PVS fixture container and samples/decodes frames end-to-end
+    (q169_video_frames, q204_scene_cuts — pixel-level oracled), so
+    frame sampling as a capability is implemented and gated; this stub
+    is only the ffmpeg-backed generalization."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         raise NotImplementedError(

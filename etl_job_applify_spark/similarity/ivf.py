@@ -145,7 +145,13 @@ def build_ivf_index(
     an expensive one-time build (train quantizer, assign, re-layout) and
     cheap repeated queries that read only the probed cells — the cell
     partitioning turns ``nprobe/num_cells`` into a physical disk-pruning
-    ratio, not just a join-size reduction."""
+    ratio, not just a join-size reduction.
+
+    NOTE: this is the minimal build-once demo kept for its tests; the
+    full serving lifecycle (append/delete/compact, versioned-CAS
+    object-store layout, PQ codes, crash recovery) is
+    ``similarity/vector_index.py`` — new code should use
+    ``vector_index_build`` / ``vector_index_probe``."""
     centroids = train_centroids(corpus, vec_col, num_cells, seed)
     spark = corpus.sparkSession
     spark.createDataFrame(
