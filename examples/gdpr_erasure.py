@@ -15,10 +15,13 @@ physical space reclaim can follow at the next maintenance window:
                          tombstones exist, corpus stats derive from the
                          filtered doclens so served BM25 scores are
                          exactly what a survivor-only rebuild would give
+4. the vector index      `vector_index_delete` — the documents'
+                         embeddings stop surfacing as ANN neighbors at
+                         the next probe; `optimize_vector_index` purges
 
 Each step verifies itself: the erased ids must be absent from the new
-corpus snapshot, produce no dedup candidates, and score in no retrieval
-result. Run:
+corpus snapshot, produce no dedup candidates, score in no retrieval
+result, and appear as no ANN neighbor. Run:
 
     python examples/gdpr_erasure.py [sf_dir]
 """
@@ -51,6 +54,12 @@ def main(spark: SparkSession, sf_dir: str) -> dict:
         text_index_delete,
     )
     from etl_job_applify_spark.queries._util import tbl
+    from etl_job_applify_spark.similarity import (
+        optimize_vector_index,
+        vector_index_build,
+        vector_index_delete,
+        vector_index_probe,
+    )
     from etl_job_applify_spark.sinks import read_table, write_version
 
     docs = tbl(spark, sf_dir, "documents").select("doc_id", "text")
@@ -63,11 +72,14 @@ def main(spark: SparkSession, sf_dir: str) -> dict:
     corpus_tbl = f"{work}/corpus"
     dedup_idx = f"{work}/dedup_idx"
     text_idx = f"{work}/text_idx"
+    vec_idx = f"{work}/vec_idx"
 
     # ---- standing state: the surfaces as a production deployment has them
     write_version(docs, corpus_tbl)
     minhash_index_build(docs, dedup_idx, num_hashes=64, bands=16)
     text_index_build(docs, text_idx)
+    emb = tbl(spark, sf_dir, "embeddings")
+    vector_index_build(emb, vec_idx, num_cells=8)
 
     # ---- 1. corpus table: rewrite-on-delete, published as a snapshot
     current = read_table(spark, corpus_tbl)
@@ -106,15 +118,31 @@ def main(spark: SparkSession, sf_dir: str) -> dict:
     ).count()
     optimize_text_index(spark, text_idx)  # reclaim + meta restore
 
+    # ---- 4. vector index: the erased docs' embeddings leave ANN results
+    # (doc ids double as vec ids in the fixtures — a deployment keys the
+    # embedding table on the same document id)
+    vector_index_delete(spark, vec_idx, erase.select(F.col("doc").alias("vid")))
+    neighbors = vector_index_probe(
+        spark, vec_idx,
+        emb.limit(20).select(F.col("vec_id").alias("query_id"), "embedding"),
+        k=10, nprobe=8,
+    )
+    ann_hits = neighbors.join(
+        erase, neighbors["neighbor"] == erase["doc"], "left_semi"
+    ).count()
+    optimize_vector_index(spark, vec_idx)  # reclaim
+
     report = {
         "n_erased": n_erase,
         "left_in_corpus": left_in_corpus,
         "dedup_candidates_of_erased": dedup_hits,
         "retrieval_hits_of_erased": text_hits,
+        "ann_neighbors_of_erased": ann_hits,
     }
     assert left_in_corpus == 0
     assert dedup_hits == 0
     assert text_hits == 0
+    assert ann_hits == 0
     return report
 
 
