@@ -64,6 +64,11 @@ HEADLINE = [
     "q215_association_rules",
     "q219_snm_dedup",
 ]
+# q235_hybrid_rrf_indexed is deliberately NOT a headline entry: the
+# registered query builds BOTH persisted indexes inside itself (the
+# gate needs self-contained lifecycles), so its wall time is ~80% index
+# BUILD — an amortized one-time cost misread as per-query serving cost.
+# The serve-side split is measured in BENCHNOTES round 10.
 
 #: measured passes per query. Single-run snapshots kept recording ±20%
 #: machine-noise swings as phantom regressions (BENCHNOTES round-4/5);

@@ -6,6 +6,7 @@ from .jobs import (
     run_to_memory,
     run_available_now_to_memory,
     run_incremental_dedup_stream,
+    run_vector_index_ingest_stream,
     streaming_anomalies,
 )
 
@@ -17,5 +18,6 @@ __all__ = [
     "run_to_memory",
     "run_available_now_to_memory",
     "run_incremental_dedup_stream",
+    "run_vector_index_ingest_stream",
     "streaming_anomalies",
 ]

@@ -613,6 +613,70 @@ def run_incremental_dedup_stream(
         q.stop()
 
 
+def run_vector_index_ingest_stream(
+    vec_stream: DataFrame,
+    index_dir: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_cells: int = 16,
+    m: int = 0,
+    k_codes: int = 16,
+    compact_every: int | None = None,
+    writer_id: str = "vecidx",
+    centroids=None,
+) -> None:
+    """Streaming ingest into the persisted vector index
+    (similarity/vector_index.py): every micro-batch of embeddings is
+    assigned + (optionally PQ-)encoded with the index's RECORDED
+    quantizer and CAS-appended as one snapshot — the embedding-side
+    twin of ``run_incremental_dedup_stream``'s exactly-once mode.
+
+    Delivery contract: foreachBatch is at-least-once; every commit
+    carries an ``_epoch_<writer_id>_<epoch>`` marker INSIDE the
+    snapshot (atomic with the CAS rename), so a redelivered batch finds
+    its marker and skips — replays commit nothing (replay-invariance
+    test-pinned). The founding batch trains the quantizer unless
+    ``centroids`` pins it externally; production should pass a
+    bootstrap-sample-trained quantizer rather than trusting batch 0 to
+    be representative (the quantizer is immutable after founding).
+
+    ``compact_every``: fold snapshots through the CAS watermark every N
+    batches, bounding file count at steady state; compaction is
+    idempotent under replay."""
+    from ..similarity import optimize_vector_index, vector_index_build
+    from ..similarity.vector_index import _vxi_is_versioned
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        mark = f"_epoch_{writer_id}_{epoch_id}"
+        batch = batch_df.select(id_col, vec_col)
+        if _vxi_is_versioned(spark, index_dir):
+            vector_index_build(
+                batch, index_dir, id_col, vec_col,
+                mode="append", epoch_mark=mark,
+            )
+        else:
+            # founding: the epoch mark rides the founding snapshot, so
+            # a replay of batch 0 is fenced like any other
+            vector_index_build(
+                batch, index_dir, id_col, vec_col,
+                num_cells=num_cells, m=m, k_codes=k_codes,
+                epoch_mark=mark, centroids=centroids,
+            )
+        if (
+            compact_every
+            and epoch_id > 0
+            and (epoch_id + 1) % compact_every == 0
+        ):
+            optimize_vector_index(spark, index_dir)  # CAS, idempotent
+
+    q = vec_stream.writeStream.foreachBatch(sink).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+
 def fold_rollup_batch(
     batch_df: DataFrame,
     epoch_id: int,

@@ -339,3 +339,65 @@ def test_probe_prunes_to_probed_cells(spark, tmp_path):
 
     fmt = explain_str(df, "formatted")
     assert "PartitionFilters" in fmt and "cell" in fmt
+
+
+def test_streaming_ingest_exactly_once_replay_invariant(spark, tmp_path):
+    """Streaming embedding ingest (run_vector_index_ingest_stream):
+    a full at-least-once replay of every micro-batch commits nothing —
+    every epoch's mark rides its CAS snapshot, so the index state is
+    bit-identical after the second run, and the served results equal a
+    one-shot build over the union of batches with the same (founding)
+    quantizer."""
+    import glob
+    import time
+
+    from etl_job_applify_spark.streaming import (
+        run_vector_index_ingest_stream,
+    )
+
+    corpus = _vecs(spark)
+    b1 = corpus.filter(F.col("vec_id") < 30)
+    b2 = corpus.filter(F.col("vec_id") >= 30)
+    src = tmp_path / "src"
+    src.mkdir()
+    idx = str(tmp_path / "stream_idx")
+    b1.coalesce(1).write.parquet(str(src / "b1.parquet"))
+    time.sleep(1.1)  # distinct mtimes -> deterministic file order
+    b2.coalesce(1).write.parquet(str(src / "b2.parquet"))
+    cents = _anchor_centroids(b1)
+
+    def run():
+        stream = (
+            spark.readStream.schema("vec_id long, embedding array<double>")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src) + "/*.parquet")
+        )
+        run_vector_index_ingest_stream(
+            stream, idx, num_cells=4, centroids=cents
+        )
+
+    def cell_rows(snaps):
+        # per-root reads: multi-root partition discovery conflicts on
+        # partitioned subtrees (the same reason _vxi_read unions)
+        return sum(
+            spark.read.parquet(f"{p}/cells").count() for p in snaps
+        )
+
+    run()
+    snaps1 = sorted(glob.glob(idx + "/snap_*"))
+    assert cell_rows(snaps1) == 48
+    first = _res(
+        vector_index_probe(spark, idx, _queries(spark), k=5, nprobe=2)
+    )
+
+    run()  # full replay: same files, same epoch ids -> all fenced
+    snaps2 = sorted(glob.glob(idx + "/snap_*"))
+    assert snaps2 == snaps1
+    assert cell_rows(snaps2) == 48
+    # and the stream-built index serves exactly what a one-shot build
+    # with the same quantizer serves
+    ref = str(tmp_path / "ref_idx")
+    vector_index_build(corpus, ref, num_cells=4, centroids=cents)
+    assert first == _res(
+        vector_index_probe(spark, ref, _queries(spark), k=5, nprobe=2)
+    )
