@@ -915,3 +915,71 @@ def test_pruned_topk_matches_exhaustive_on_random_corpora(
         .collect()
     }
     assert got == want
+
+
+_vec4 = st.lists(st.integers(1, 9), min_size=4, max_size=4)
+
+
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    corpus=st.lists(_vec4, min_size=4, max_size=14),
+    queries=st.lists(_vec4, min_size=1, max_size=3),
+    doom_mod=st.integers(2, 5),
+)
+def test_vector_index_probe_matches_python_fold(
+    spark, tmp_path_factory, corpus, queries, doom_mod
+):
+    """Persisted-index ANN vs an INDEPENDENT Python reference: build on
+    arbitrary vectors, delete an arbitrary id subset, full-probe
+    (nprobe = cells -> exact over survivors) and compare against a
+    pure-Python cosine computed with Spark's exact left-fold order
+    (((0+x1)+x2)+... -> bit-identical doubles, so ranks compare
+    exactly; ties broken by neighbor id in both)."""
+    from etl_job_applify_spark.similarity import (
+        vector_index_build,
+        vector_index_delete,
+        vector_index_probe,
+    )
+
+    k = 3
+    cvecs = [(i, [float(x) for x in v]) for i, v in enumerate(corpus)]
+    qvecs = [(100 + i, [float(x) for x in v]) for i, v in enumerate(queries)]
+    doomed = [i for i, _ in cvecs if i % doom_mod == 0]
+    cdf = spark.createDataFrame(cvecs, "vec_id long, embedding array<double>")
+    qdf = spark.createDataFrame(qvecs, "query_id long, embedding array<double>")
+    idx = str(tmp_path_factory.mktemp("vxi_prop") / "idx")
+    vector_index_build(
+        cdf, idx, num_cells=2, centroids=[cvecs[0][1], cvecs[1][1]]
+    )
+    if doomed:
+        vector_index_delete(spark, idx, doomed)
+    got = sorted(
+        (r["query_id"], r["rank"], r["neighbor"], r["cosine"])
+        for r in vector_index_probe(
+            spark, idx, qdf, k=k, nprobe=99
+        ).collect()
+    )
+
+    def fold_dot(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc = acc + x * y
+        return acc
+
+    import math
+
+    want = []
+    for qid, qv in qvecs:
+        qn = math.sqrt(fold_dot(qv, qv))
+        scored = sorted(
+            (
+                -(fold_dot(qv, cv) / (qn * math.sqrt(fold_dot(cv, cv)))),
+                i,
+            )
+            for i, cv in cvecs
+            if i not in doomed
+        )
+        for rank, (negcos, i) in enumerate(scored[:k], 1):
+            want.append((qid, rank, i, -negcos))
+    assert got == sorted(want)
