@@ -177,6 +177,112 @@ SELECT query_id, neighbor, cosine, CAST(rank AS INT) AS rank FROM (
 """
 
 
+# --- q237: quantizer-drift reindex under the exact oracle -----------------
+# q232's lifecycle continued into maintenance: after found + append +
+# delete, the index is REINDEXED in place — new deterministic anchors
+# (the 6 lowest LIVE vec_ids, a different count than the founding 8,
+# so the cell geometry genuinely re-shapes), every live vector
+# re-assigned, tombstones purged, one CAS publish. The oracle
+# reproduces the POST-reindex geometry relationally: any stale
+# assignment, unpurged tombstone, or quantizer round-trip drift
+# hash-mismatches.
+
+_Q237_CELLS = 6
+_Q237_NPROBE = 2
+
+
+def q237_vector_index_reindex(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..similarity import reindex_vector_index
+
+    emb = tbl(spark, sf_dir, "embeddings")
+    history = emb.filter(F.col("vec_id") % 10 != 0)
+    batch = emb.filter(F.col("vec_id") % 10 == 0)
+    doomed = emb.filter(F.col("vec_id") % 10 == 3).select(
+        F.col("vec_id").alias("vid")
+    )
+    live = emb.filter(F.col("vec_id") % 10 != 3)
+    queries = emb.filter(F.col("vec_id").isin(_Q232_QUERY_IDS)).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    founding_cents = [
+        r["embedding"]
+        for r in history.orderBy("vec_id").limit(_Q232_CELLS).collect()
+    ]
+    new_cents = [
+        r["embedding"]
+        for r in live.orderBy("vec_id").limit(_Q237_CELLS).collect()
+    ]
+
+    def build(path):
+        vector_index_build(
+            history, path, num_cells=_Q232_CELLS, centroids=founding_cents
+        )
+        vector_index_build(batch, path, mode="append")
+        vector_index_delete(spark, path, doomed)
+        meta = reindex_vector_index(
+            spark, path, num_cells=_Q237_CELLS, centroids=new_cents
+        )
+        if meta["num_cells"] != _Q237_CELLS:
+            raise AssertionError("reindex did not re-shape the cells")
+
+    def probe(path):
+        return vector_index_probe(
+            spark, path, queries, k=5, nprobe=_Q237_NPROBE
+        ).withColumn("rank", F.col("rank").cast("int"))
+
+    return _with_temp_index(spark, build, probe)
+
+
+_Q237_SQL = f"""
+WITH live AS (
+  SELECT vec_id, embedding FROM embeddings WHERE vec_id % 10 <> 3
+),
+anchors AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cell, embedding AS av
+  FROM embeddings WHERE vec_id % 10 <> 3
+  ORDER BY vec_id LIMIT {_Q237_CELLS}
+),
+assigned AS (
+  SELECT vec_id, embedding, cell FROM (
+    SELECT v.vec_id, v.embedding, a.cell,
+           ROW_NUMBER() OVER (
+             PARTITION BY v.vec_id
+             ORDER BY {_L2_SQL.format(a='v.embedding', b='a.av')}, a.cell
+           ) AS rn
+    FROM live v CROSS JOIN anchors a
+  ) WHERE rn = 1
+),
+queries AS (
+  SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+  WHERE vec_id IN ({", ".join(map(str, _Q232_QUERY_IDS))})
+),
+qprobe AS (
+  SELECT query_id, cell FROM (
+    SELECT q.query_id, a.cell,
+           ROW_NUMBER() OVER (
+             PARTITION BY q.query_id
+             ORDER BY {_L2_SQL.format(a='q.qv', b='a.av')}, a.cell
+           ) AS rn
+    FROM queries q CROSS JOIN anchors a
+  ) WHERE rn <= {_Q237_NPROBE}
+),
+scored AS (
+  SELECT q.query_id, s.vec_id AS neighbor,
+         {_cos_sql('q.qv', 's.embedding')} AS cosine
+  FROM queries q
+  JOIN qprobe p ON p.query_id = q.query_id
+  JOIN assigned s ON s.cell = p.cell
+)
+SELECT query_id, neighbor, cosine, CAST(rank AS INT) AS rank FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, neighbor) AS rank
+  FROM scored
+) WHERE rank <= 5
+"""
+
+
 # --- q233: trained-quantizer serving — parity + recall gate ---------------
 # The q86/q87 shapes on the PERSISTED index: same corpus split
 # (vec_id < 5 are the queries), trained centroids recorded at founding.
@@ -344,6 +450,7 @@ QUERIES = {
     "q233_vector_index_recall": q233_vector_index_recall,
     "q234_vector_index_pq": q234_vector_index_pq,
     "q235_hybrid_rrf_indexed": q235_hybrid_rrf_indexed,
+    "q237_vector_index_reindex": q237_vector_index_reindex,
 }
 
 
@@ -357,6 +464,8 @@ ORACLE = {
     # the lifecycle is EXACTLY reproducible: deterministic anchors make
     # assignment, probing and in-cell top-k pure relational arithmetic
     "q232_vector_index_lifecycle": _Q232_SQL,
+    # the post-reindex geometry is exactly reproducible the same way
+    "q237_vector_index_reindex": _Q237_SQL,
     # parity is asserted in-query; the oracle pins the recall row
     "q233_vector_index_recall": _Q233_SQL,
     "q234_vector_index_pq": _Q234_SQL,

@@ -4,6 +4,7 @@ from .lsh import with_hyperplane_buckets, ann_topk_lsh
 from .pq import ann_topk_ivfpq, ann_topk_pq, pq_encode_expr, train_pq_codebooks
 from .vector_index import (
     optimize_vector_index,
+    reindex_vector_index,
     vector_index_build,
     vector_index_delete,
     vector_index_probe,
@@ -14,6 +15,7 @@ __all__ = [
     "vector_index_probe",
     "vector_index_delete",
     "optimize_vector_index",
+    "reindex_vector_index",
     "cosine_topk",
     "with_hyperplane_buckets",
     "ann_topk_lsh",

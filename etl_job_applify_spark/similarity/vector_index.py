@@ -522,6 +522,155 @@ def vector_index_delete(
     return {"n_tombstoned": n}
 
 
+def reindex_vector_index(
+    spark: SparkSession,
+    index_path: str,
+    num_cells: int | None = None,
+    m: int | None = None,
+    k_codes: int | None = None,
+    seed: int = 7,
+    centroids=None,
+    codebooks=None,
+    target_file_rows: int = 4_000_000,
+    max_retries: int = 10,
+) -> dict:
+    """Re-found the index in place: retrain the coarse quantizer (and
+    PQ codebooks) on the CURRENT live corpus and re-assign/re-encode
+    every live vector — the maintenance op for quantizer drift (the
+    founding quantizer is immutable under appends by design; once the
+    corpus distribution has drifted from the founding sample, cells go
+    unbalanced and recall/pruning degrade — FAISS's retrain+re-add,
+    done index-side).
+
+    No raw-corpus read: the index stores full vectors, so the retrain
+    sample and the re-encode pass both come from the index itself.
+    ``num_cells``/``m``/``k_codes`` default to the recorded values
+    (pass new ones to re-shape the index); pass ``centroids``/
+    ``codebooks`` to pin the new quantizer externally (the q237 oracle
+    contract). Tombstoned vectors are purged (a reindex is also a
+    compaction).
+
+    Publish: versioned layout commits ONE CAS snapshot carrying the new
+    quantizer + re-encoded cells + summed stats + carried epoch marks +
+    the compaction watermark, then prunes — concurrent appends lose the
+    CAS race and retry against the new quantizer (or this op retries if
+    they won). Flat layout uses the staging + directory-swap publish
+    with the usual crash recovery."""
+    meta, _old_cents, _old_books, cells = _live_cells(spark, index_path)
+    nc = num_cells if num_cells is not None else meta["num_cells"]
+    new_m = m if m is not None else meta["m"]
+    kc = k_codes if k_codes is not None else (meta["k_codes"] or 16)
+    live_vecs = cells.select("vid", "vec")
+    if centroids is None:
+        centroids = train_centroids(live_vecs, "vec", nc, seed)
+    centroids = np.asarray(centroids, dtype=np.float64)
+    if codebooks is None and new_m:
+        codebooks = train_pq_codebooks(live_vecs, "vec", new_m, kc, seed)
+    if codebooks is not None:
+        codebooks = np.asarray(codebooks, dtype=np.float64)
+    if int(centroids.shape[1]) != meta["dim"]:
+        raise ValueError(
+            f"reindex centroids have dim {centroids.shape[1]}, index "
+            f"stores dim {meta['dim']} vectors"
+        )
+    params = {
+        "num_cells": int(len(centroids)),
+        "m": int(codebooks.shape[0]) if codebooks is not None else 0,
+        "k_codes": int(codebooks.shape[1]) if codebooks is not None else 0,
+        "dim": meta["dim"],
+    }
+    bins_for = lambda n_rows: max(
+        1, math.ceil(math.ceil(max(n_rows, 1) / params["num_cells"])
+                     / target_file_rows)
+    )
+
+    if not _vxi_is_versioned(spark, index_path):
+        from ..sinks.stats import _local_path
+
+        if _local_path(index_path) is None:
+            raise ValueError(
+                f"reindex_vector_index on a flat layout requires a "
+                f"local index path, got {index_path}"
+            )
+        recoded = _encode_cells(live_vecs, "vid", "vec", centroids, codebooks)
+        n_rows = live_vecs.count()
+        bins = bins_for(n_rows)
+        staging = index_path.rstrip("/") + "__compact"
+        old = index_path.rstrip("/") + "__old"
+        shutil.rmtree(staging, ignore_errors=True)
+        (
+            recoded.withColumn("__bin", F.pmod(F.hash("vid"), F.lit(bins)))
+            .repartition(params["num_cells"] * bins, "cell", "__bin")
+            .drop("__bin")
+            .write.mode("overwrite")
+            .partitionBy("cell")
+            .parquet(os.path.join(staging, "cells"))
+        )
+        _centroids_df(spark, centroids).write.mode("overwrite").parquet(
+            os.path.join(staging, "centroids")
+        )
+        if codebooks is not None:
+            _codebooks_df(spark, codebooks).write.mode(
+                "overwrite"
+            ).parquet(os.path.join(staging, "codebooks"))
+        new_meta = dict(
+            params,
+            n_vecs=n_rows,
+            cells_schema=spark.read.parquet(
+                os.path.join(staging, "cells")
+            ).schema.jsonValue(),
+        )
+        _write_meta(staging, new_meta)  # meta last: staging-complete
+        shutil.rmtree(old, ignore_errors=True)
+        os.rename(index_path, old)
+        os.rename(staging, index_path)
+        shutil.rmtree(old)
+        return new_meta
+
+    from ..sinks.versioned import CommitConflict, snapshot_members
+
+    for _ in range(max_retries):
+        meta, cells, live = _vxi_read(spark, index_path)
+        base = int(live[-1].rsplit("snap_", 1)[1])
+        live_vecs = cells.select("vid", "vec")
+        n_rows = live_vecs.count()
+        recoded = _encode_cells(live_vecs, "vid", "vec", centroids, codebooks)
+        bins = bins_for(n_rows)
+        carried = sorted(
+            {
+                mk
+                for p_ in live
+                for mk in snapshot_members(spark, p_)
+                if mk.startswith("_epoch_")
+            }
+        )
+        compacted = (
+            recoded.withColumn("__bin", F.pmod(F.hash("vid"), F.lit(bins)))
+            .repartition(params["num_cells"] * bins, "cell", "__bin")
+            .drop("__bin")
+        )
+        try:
+            _vxi_commit(
+                spark,
+                index_path,
+                compacted,
+                dict(params, n_vecs=n_rows),
+                carried + [f"{_V_COMPACT_MARK}{base}"],
+                base,
+                centroids=centroids,
+                codebooks=codebooks,
+            )
+            break
+        except CommitConflict:
+            continue  # an append raced in; re-encode it too
+    else:
+        raise CommitConflict(
+            f"reindex of {index_path} lost {max_retries} CAS races"
+        )
+    _vxi_recover_live(spark, index_path)  # prune folded snapshots
+    return _vxi_read(spark, index_path)[0]
+
+
 def optimize_vector_index(
     spark: SparkSession,
     index_path: str,

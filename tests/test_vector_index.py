@@ -401,3 +401,81 @@ def test_streaming_ingest_exactly_once_replay_invariant(spark, tmp_path):
     assert first == _res(
         vector_index_probe(spark, ref, _queries(spark), k=5, nprobe=2)
     )
+
+
+@pytest.mark.parametrize("layout", ["flat", "versioned"])
+def test_reindex_retrains_and_purges(spark, tmp_path, layout):
+    """Quantizer-drift maintenance: reindex on the live corpus must
+    (a) serve through the NEW quantizer geometry — probe equals a
+    recompute pinned to the new centroids over the survivors, (b) purge
+    tombstones, (c) preserve exact counters, and (d) allow re-shaping
+    num_cells."""
+    corpus = _vecs(spark)
+    doomed = [1, 5, 9]
+    idx = str(tmp_path / f"vxi_re_{layout}")
+    vector_index_build(
+        corpus, idx, num_cells=4, layout=layout,
+        centroids=_anchor_centroids(corpus),
+    )
+    vector_index_delete(spark, idx, doomed)
+    survivors = corpus.filter(~F.col("vec_id").isin(doomed))
+    new_cents = [
+        r["embedding"]
+        for r in survivors.orderBy(F.desc("vec_id")).limit(3).collect()
+    ]
+    from etl_job_applify_spark.similarity import reindex_vector_index
+
+    meta = reindex_vector_index(
+        spark, idx, num_cells=3, centroids=new_cents
+    )
+    assert meta["num_cells"] == 3
+    assert meta["n_vecs"] == 48 - len(doomed)
+    got = vector_index_probe(spark, idx, _queries(spark), k=5, nprobe=2)
+    want = ann_topk_ivf(
+        survivors, _queries(spark), k=5, num_cells=3, nprobe=2,
+        centroids=__import__("numpy").asarray(new_cents),
+    )
+    assert _res(got) == _res(want)
+    # appends after the reindex use the NEW quantizer
+    if layout == "versioned":
+        extra = _vecs(spark, start=200, n=4)
+        vector_index_build(extra, idx, mode="append")
+        got2 = vector_index_probe(
+            spark, idx, _queries(spark), k=5, nprobe=2
+        )
+        want2 = ann_topk_ivf(
+            survivors.unionByName(extra), _queries(spark), k=5,
+            num_cells=3, nprobe=2,
+            centroids=__import__("numpy").asarray(new_cents),
+        )
+        assert _res(got2) == _res(want2)
+
+
+def test_reindex_trained_roundtrip_and_pq_reshape(spark, tmp_path):
+    """Trained-quantizer reindex: a PQ index reindexed to m=0 drops the
+    code path (use_codes raises), counters hold, and the exact-cosine
+    probe over all cells still equals brute force."""
+    import numpy as np
+
+    from etl_job_applify_spark.similarity import (
+        reindex_vector_index,
+        train_pq_codebooks,
+    )
+
+    corpus = _vecs(spark)
+    cents = np.asarray(_anchor_centroids(corpus))
+    books = train_pq_codebooks(corpus, m=4, k=4)
+    idx = str(tmp_path / "vxi_re_pq")
+    vector_index_build(
+        corpus, idx, num_cells=4, m=4, k_codes=4,
+        centroids=cents, codebooks=books,
+    )
+    meta = reindex_vector_index(spark, idx, m=0)
+    assert meta["m"] == 0 and meta["n_vecs"] == 48
+    with pytest.raises(ValueError, match="no PQ codes"):
+        vector_index_probe(
+            spark, idx, _queries(spark), use_codes=True
+        ).collect()
+    got = vector_index_probe(spark, idx, _queries(spark), k=5, nprobe=99)
+    want = cosine_topk(corpus, _queries(spark), k=5)
+    assert _res(got) == _res(want)
