@@ -167,3 +167,18 @@ def test_gdpr_erasure_example(spark):
     assert report["left_in_corpus"] == 0
     assert report["dedup_candidates_of_erased"] == 0
     assert report["retrieval_hits_of_erased"] == 0
+
+
+def test_vector_search_pipeline_example(spark):
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "vector_search_pipeline",
+        "/root/repo/examples/vector_search_pipeline.py",
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    report = mod.main(spark, "/root/testdata/sf0.001")
+    assert report["stages_verified"] == 3
+    assert report["n_indexed"] == 500
+    assert report["results_per_query"] == 5
