@@ -7,6 +7,7 @@ from .jobs import (
     run_available_now_to_memory,
     run_incremental_dedup_stream,
     run_vector_index_ingest_stream,
+    run_vector_search_stream,
     streaming_anomalies,
 )
 
@@ -19,5 +20,6 @@ __all__ = [
     "run_available_now_to_memory",
     "run_incremental_dedup_stream",
     "run_vector_index_ingest_stream",
+    "run_vector_search_stream",
     "streaming_anomalies",
 ]

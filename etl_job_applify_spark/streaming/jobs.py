@@ -677,6 +677,63 @@ def run_vector_index_ingest_stream(
         q.stop()
 
 
+def run_vector_search_stream(
+    queries_stream: DataFrame,
+    index_path: str,
+    results_dir: str,
+    k: int = 5,
+    nprobe: int = 3,
+    query_id_col: str = "query_id",
+    vec_col: str = "embedding",
+    writer_id: str = "vecsearch",
+) -> None:
+    """Nearline ANN serving: a STREAM of query embeddings probed
+    per-micro-batch against the persisted vector index, results
+    appended to a CAS log table with per-epoch fencing — the
+    query-side twin of ``run_vector_index_ingest_stream``.
+
+    Each batch's results ride one ``append_log_version`` snapshot
+    carrying ``_epoch_<writer_id>_<epoch>``, so an at-least-once
+    redelivery finds its mark and appends nothing: the results log is
+    replay-invariant (exactly-once results, test-pinned). Results carry
+    a ``batch_id`` for lineage. The probe itself is the ordinary
+    pruned-cell read (``vector_index_probe``) — per batch, cost is the
+    probed fraction of the index, independent of stream history.
+
+    Serving against an index that is concurrently ingesting
+    (``run_vector_index_ingest_stream``) is safe by construction: every
+    probe reads a consistent snapshot set (CAS snapshots are immutable
+    once published)."""
+    from ..similarity import vector_index_probe
+    from ..sinks.versioned import append_log_version, log_has_mark
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        mark = f"_epoch_{writer_id}_{epoch_id}"
+        if log_has_mark(spark, results_dir, mark):
+            return  # replayed batch: results already committed
+        hits = vector_index_probe(
+            spark,
+            index_path,
+            batch_df.select(query_id_col, vec_col),
+            k=k,
+            nprobe=nprobe,
+            query_id_col=query_id_col,
+            vec_col=vec_col,
+        )
+        append_log_version(
+            hits.withColumn("batch_id", F.lit(epoch_id)),
+            results_dir,
+            [mark],
+        )
+
+    q = queries_stream.writeStream.foreachBatch(sink).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+
 def fold_rollup_batch(
     batch_df: DataFrame,
     epoch_id: int,

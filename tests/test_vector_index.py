@@ -479,3 +479,55 @@ def test_reindex_trained_roundtrip_and_pq_reshape(spark, tmp_path):
     got = vector_index_probe(spark, idx, _queries(spark), k=5, nprobe=99)
     want = cosine_topk(corpus, _queries(spark), k=5)
     assert _res(got) == _res(want)
+
+
+def test_streaming_search_exactly_once_results(spark, tmp_path):
+    """Nearline serving (run_vector_search_stream): per-batch probes
+    against the persisted index land in a fenced results log — a full
+    replay of the query stream appends nothing, and every batch's
+    results equal a direct probe of the same query set."""
+    import time
+
+    from etl_job_applify_spark.sinks.versioned import read_log_table
+    from etl_job_applify_spark.streaming import run_vector_search_stream
+
+    corpus = _vecs(spark)
+    idx = str(tmp_path / "serve_idx")
+    vector_index_build(
+        corpus, idx, num_cells=4, centroids=_anchor_centroids(corpus)
+    )
+    src = tmp_path / "qsrc"
+    src.mkdir()
+    results = str(tmp_path / "results")
+    q1 = _queries(spark).filter(F.col("query_id") <= 101)
+    q2 = _queries(spark).filter(F.col("query_id") > 101)
+    q1.coalesce(1).write.parquet(str(src / "q1.parquet"))
+    time.sleep(1.1)
+    q2.coalesce(1).write.parquet(str(src / "q2.parquet"))
+
+    def run():
+        stream = (
+            spark.readStream.schema(
+                "query_id long, embedding array<double>"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src) + "/*.parquet")
+        )
+        run_vector_search_stream(stream, idx, results, k=5, nprobe=2)
+
+    run()
+    got = read_log_table(spark, results)
+    first = sorted(map(tuple, got.collect()))
+    assert {r["batch_id"] for r in got.collect()} == {0, 1}
+    direct = vector_index_probe(
+        spark, idx, _queries(spark), k=5, nprobe=2
+    )
+    assert sorted(
+        (r["query_id"], r["neighbor"], r["cosine"], r["rank"])
+        for r in got.collect()
+    ) == _res(direct)
+
+    run()  # full replay: every epoch fenced, results log unchanged
+    assert sorted(
+        map(tuple, read_log_table(spark, results).collect())
+    ) == first
