@@ -562,30 +562,15 @@ def is_versioned_index(spark: SparkSession, index_path: str) -> bool:
 
 
 def _vidx_recover_live(spark: SparkSession, index_path: str) -> list[str]:
-    """Recovery + live-set listing in one pass: delete snapshots at or
-    below the newest compaction watermark (idempotent — a crash between
-    a compaction's commit and its prune just leaves this pass more to
-    do), return the surviving snapshot paths oldest-first."""
-    from ..sinks.versioned import _snapshots, snapshot_members
+    """Recovery + live-set listing in one pass (idempotent — a crash
+    between a compaction's commit and its prune just leaves this pass
+    more to do); folded snapshots are pruned with the shared
+    one-compaction-cycle grace window (``sinks/versioned.py
+    recover_live_snapshots`` — same protocol as the text and vector
+    indexes). Returns the surviving snapshot paths oldest-first."""
+    from ..sinks.versioned import recover_live_snapshots
 
-    fs, root, names = _snapshots(spark, index_path)
-    watermark = -1
-    for name in names:
-        for member in snapshot_members(spark, f"{index_path}/{name}"):
-            if member.startswith(_COMPACT_MARK):
-                watermark = max(
-                    watermark, int(member[len(_COMPACT_MARK):])
-                )
-    live = []
-    for name in names:
-        v = int(name[len(_SNAP):])
-        if v <= watermark:
-            fs.delete(
-                spark._jvm.org.apache.hadoop.fs.Path(root, name), True
-            )
-        else:
-            live.append(f"{index_path}/{name}")
-    return live
+    return recover_live_snapshots(spark, index_path, _COMPACT_MARK)
 
 
 def _vidx_read(

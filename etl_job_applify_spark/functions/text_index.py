@@ -571,27 +571,13 @@ def _tidx_is_versioned(spark: SparkSession, index_path: str) -> bool:
 
 
 def _tidx_recover_live(spark: SparkSession, index_path: str) -> list[str]:
-    """Prune snapshots at or below the newest compaction watermark;
-    return surviving snapshot paths oldest-first (the dedup index's
-    recovery pass, verbatim protocol)."""
-    from ..sinks.versioned import _snapshots, snapshot_members
+    """Live snapshots oldest-first; folded snapshots pruned with the
+    shared one-compaction-cycle grace window (``sinks/versioned.py
+    recover_live_snapshots`` — same protocol as the dedup and vector
+    indexes)."""
+    from ..sinks.versioned import recover_live_snapshots
 
-    fs, root, names = _snapshots(spark, index_path)
-    watermark = -1
-    for name in names:
-        for m in snapshot_members(spark, f"{index_path}/{name}"):
-            if m.startswith(_T_COMPACT_MARK):
-                watermark = max(watermark, int(m[len(_T_COMPACT_MARK):]))
-    live = []
-    for name in names:
-        v = int(name[len("snap_"):])
-        if v <= watermark:
-            fs.delete(
-                spark._jvm.org.apache.hadoop.fs.Path(root, name), True
-            )
-        else:
-            live.append(f"{index_path}/{name}")
-    return live
+    return recover_live_snapshots(spark, index_path, _T_COMPACT_MARK)
 
 
 def _tidx_read(spark: SparkSession, index_path: str):

@@ -59,6 +59,10 @@ def train_centroids(
         .limit(sample_rows)
         .toPandas()
     )
+    if not len(pdf):
+        raise ValueError(
+            "cannot train a coarse quantizer on an empty corpus"
+        )
     X = np.array(pdf[vec_col].tolist(), dtype=np.float64)
     rs = np.random.RandomState(seed)
     centroids = X[rs.choice(len(X), size=min(num_cells, len(X)), replace=False)]

@@ -51,6 +51,10 @@ def train_pq_codebooks(
     normalized driver-side sample (same training discipline as
     ivf.train_centroids)."""
     pdf = corpus.select(vec_col).limit(sample_rows).toPandas()
+    if not len(pdf):
+        raise ValueError(
+            "cannot train PQ codebooks on an empty corpus"
+        )
     X = np.array(pdf[vec_col].tolist(), dtype=np.float64)
     X = X / np.linalg.norm(X, axis=1, keepdims=True)
     d = X.shape[1]

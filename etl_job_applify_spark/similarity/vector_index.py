@@ -247,14 +247,34 @@ def _read_flat_deletes(
 # public API
 
 
+def _check_append_params(meta: dict, expect: dict) -> None:
+    """Append-mode quantizer-shape validation: explicitly passed
+    ``num_cells``/``m``/``k_codes`` must match the recorded index (the
+    recorded quantizer is ALWAYS the one used — a silent mismatch would
+    leave the caller believing the index has a shape it doesn't)."""
+    bad = {
+        k: (v, meta[k]) for k, v in expect.items()
+        if v is not None and meta[k] != v
+    }
+    if bad:
+        raise ValueError(
+            "append-mode quantizer params must match the recorded index "
+            "(appends always use the founding quantizer; reshape via "
+            "reindex_vector_index): "
+            + ", ".join(
+                f"{k}={v} vs recorded {r}" for k, (v, r) in bad.items()
+            )
+        )
+
+
 def vector_index_build(
     corpus: DataFrame,
     index_path: str,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    num_cells: int = 16,
-    m: int = 0,
-    k_codes: int = 16,
+    num_cells: int | None = None,
+    m: int | None = None,
+    k_codes: int | None = None,
     seed: int = 7,
     mode: str = "overwrite",
     layout: str = "versioned",
@@ -266,15 +286,19 @@ def vector_index_build(
 
     ``m=0`` stores no PQ codes (exact-cosine probes only); ``m>0``
     additionally trains per-subspace codebooks and stores m-byte codes
-    per vector, enabling the ADC shortlist scan at probe time.
+    per vector, enabling the ADC shortlist scan at probe time. Founding
+    defaults: ``num_cells=16, m=0, k_codes=16``.
 
     The quantizer (centroids, codebooks) is trained ONCE, at founding —
     ``mode="append"`` assigns and encodes the new batch with the
     RECORDED quantizer (retraining would strand historical assignments;
-    rebalancing is ``optimize_vector_index``'s job once drift warrants
-    a re-found). Pass ``centroids`` (num_cells × dim) to pin the
-    quantizer externally — deterministic-anchor builds are what make
-    the q232 oracle exactly reproducible in SQL.
+    re-shaping is ``reindex_vector_index``'s job once drift warrants a
+    re-found). ``num_cells``/``m``/``k_codes`` passed explicitly on an
+    append are VALIDATED against the recorded index and raise on
+    mismatch; passing ``centroids``/``codebooks`` on an append raises
+    outright. Pass ``centroids`` (num_cells × dim) at founding to pin
+    the quantizer externally — deterministic-anchor builds are what
+    make the q232 oracle exactly reproducible in SQL.
 
     Append id contract per layout: flat ids must never have been in the
     index (doc-scoped tombstones; same as the text index); versioned
@@ -282,15 +306,24 @@ def vector_index_build(
     """
     spark = corpus.sparkSession
     if mode == "append":
+        if centroids is not None or codebooks is not None:
+            raise ValueError(
+                "append-mode always uses the recorded quantizer; pass "
+                "centroids/codebooks at founding or via "
+                "reindex_vector_index"
+            )
+        expect = {"num_cells": num_cells, "m": m, "k_codes": k_codes}
         if _vxi_is_versioned(spark, index_path):
             _vxi_append(
-                corpus, index_path, id_col, vec_col, epoch_mark=epoch_mark
+                corpus, index_path, id_col, vec_col,
+                epoch_mark=epoch_mark, expect_params=expect,
             )
             return _vxi_read(spark, index_path)[0]
         if epoch_mark is not None:
             raise ValueError("epoch_mark requires the versioned layout")
         _recover_vector_index(index_path)
         meta = _read_meta(index_path)
+        _check_append_params(meta, expect)
         cents = _load_centroids(
             spark, os.path.join(index_path, "centroids")
         )
@@ -307,6 +340,9 @@ def vector_index_build(
         _write_meta(index_path, meta)
         return meta
 
+    num_cells = 16 if num_cells is None else num_cells
+    m = 0 if m is None else m
+    k_codes = 16 if k_codes is None else k_codes
     if centroids is None:
         centroids = train_centroids(corpus, vec_col, num_cells, seed)
     centroids = np.asarray(centroids, dtype=np.float64)
@@ -328,6 +364,19 @@ def vector_index_build(
         return _vxi_read(spark, index_path)[0]
     if epoch_mark is not None:
         raise ValueError("epoch_mark requires the versioned layout")
+    # re-founding over a prior FLAT index must not inherit its state:
+    # stale tombstones would silently suppress re-founded vectors at
+    # probe time (and n_vecs would overcount); a stale codebooks/
+    # subtree from a prior m>0 build is dead weight under m=0
+    _recover_vector_index(index_path)
+    if os.path.exists(_meta_path(index_path)):
+        shutil.rmtree(
+            os.path.join(index_path, "deletes"), ignore_errors=True
+        )
+        shutil.rmtree(
+            os.path.join(index_path, "codebooks"), ignore_errors=True
+        )
+        os.remove(_meta_path(index_path))
     _centroids_df(spark, centroids).write.mode("overwrite").parquet(
         os.path.join(index_path, "centroids")
     )
@@ -483,8 +532,12 @@ def vector_index_probe(
     w2 = Window.partitionBy("query_id").orderBy(
         F.desc("cosine"), F.col("neighbor")
     )
+    # same .distinct() the exact path applies: a vid duplicated in live
+    # cells (a contract violation, but validated nowhere) must not
+    # consume top-k rank slots twice on this path either
     return (
         refined.select("query_id", F.col("vid").alias("neighbor"), "cosine")
+        .distinct()
         .withColumn("rank", F.row_number().over(w2))
         .filter(F.col("rank") <= k)
     )
@@ -747,26 +800,13 @@ def _vxi_is_versioned(spark: SparkSession, index_path: str) -> bool:
 
 
 def _vxi_recover_live(spark: SparkSession, index_path: str) -> list[str]:
-    """Prune snapshots at or below the newest compaction watermark;
-    return surviving snapshot paths oldest-first."""
-    from ..sinks.versioned import _snapshots, snapshot_members
+    """Live snapshots oldest-first; folded snapshots are pruned with a
+    one-compaction-cycle grace window (``sinks/versioned.py
+    recover_live_snapshots``) so concurrent probes that lazily captured
+    pre-compaction snapshot paths finish against intact files."""
+    from ..sinks.versioned import recover_live_snapshots
 
-    fs, root, names = _snapshots(spark, index_path)
-    watermark = -1
-    for name in names:
-        for mk in snapshot_members(spark, f"{index_path}/{name}"):
-            if mk.startswith(_V_COMPACT_MARK):
-                watermark = max(watermark, int(mk[len(_V_COMPACT_MARK):]))
-    live = []
-    for name in names:
-        v = int(name[len("snap_"):])
-        if v <= watermark:
-            fs.delete(
-                spark._jvm.org.apache.hadoop.fs.Path(root, name), True
-            )
-        else:
-            live.append(f"{index_path}/{name}")
-    return live
+    return recover_live_snapshots(spark, index_path, _V_COMPACT_MARK)
 
 
 def _vxi_quantizer_path(
@@ -947,18 +987,26 @@ def _vxi_append(
     vec_col: str,
     epoch_mark: str | None = None,
     max_retries: int = 10,
+    expect_params: dict | None = None,
 ) -> int | None:
     """CAS-append one batch, assigned/encoded with the RECORDED
     quantizer. ``epoch_mark`` fences replays (None returned when
-    skipped)."""
+    skipped); ``expect_params`` validates caller-passed quantizer shape
+    against the recorded meta (mismatch raises)."""
     from ..sinks.versioned import (
         CommitConflict,
+        fs_read_json,
         list_versions,
         snapshot_members,
     )
 
     spark = corpus.sparkSession
     meta, _, live = _vxi_read(spark, index_path)
+    _check_append_params(meta, expect_params or {})
+    # the recorded cells schema rides the commit so an EMPTY batch still
+    # publishes a readable snapshot (schema inference over a
+    # part-file-less parquet dir raises)
+    c_schema_json = fs_read_json(spark, f"{live[-1]}/_cells_schema.json")
     cents = _load_centroids(
         spark, _vxi_quantizer_path(spark, live, "centroids")
     )
@@ -987,7 +1035,8 @@ def _vxi_append(
         base = (list_versions(spark, index_path) or [0])[-1]
         try:
             return _vxi_commit(
-                spark, index_path, cells, params, marks, base
+                spark, index_path, cells, params, marks, base,
+                cells_schema_json=c_schema_json,
             )
         except CommitConflict:
             continue

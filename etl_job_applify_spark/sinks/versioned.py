@@ -774,6 +774,51 @@ def snapshot_members(spark: SparkSession, snap_path: str) -> list[str]:
     return [st.getPath().getName() for st in fs.listStatus(p)]
 
 
+def recover_live_snapshots(
+    spark: SparkSession, table_path: str, compact_mark_prefix: str
+) -> list[str]:
+    """Live-set listing + grace-period pruning for compacting log
+    tables — the shared recovery pass of the three persisted index
+    families (dedup/incremental.py, functions/text_index.py,
+    similarity/vector_index.py).
+
+    A compaction snapshot carries ``{compact_mark_prefix}{N}`` meaning
+    "this snapshot folds every snapshot with version <= N". The LIVE set
+    is everything above the newest watermark; folded snapshots are never
+    read again. Physical deletion, however, is deferred one compaction
+    cycle: snapshots folded by the NEWEST watermark stay on disk until a
+    LATER compaction supersedes them, so a reader that lazily captured
+    pre-compaction snapshot paths (a long probe, a concurrent serving
+    stream) finishes its scan against intact files instead of dying on
+    missing-file errors mid-flight. Only snapshots already folded by an
+    OLDER watermark — dead for at least one full compaction cycle — are
+    deleted here. Idempotent: a crash between a compaction's commit and
+    its prune just leaves this pass more to do.
+
+    Returns surviving (live) snapshot paths oldest-first."""
+    fs, root, names = _snapshots(spark, table_path)
+    watermarks: set[int] = set()
+    for name in names:
+        for member in snapshot_members(spark, f"{table_path}/{name}"):
+            if member.startswith(compact_mark_prefix):
+                watermarks.add(int(member[len(compact_mark_prefix):]))
+    newest = max(watermarks) if watermarks else -1
+    older = {w for w in watermarks if w < newest}
+    grace_cut = max(older) if older else -1
+    live = []
+    for name in names:
+        v = int(name[len(_PREFIX):])
+        if v <= grace_cut:
+            fs.delete(
+                spark._jvm.org.apache.hadoop.fs.Path(root, name), True
+            )
+        elif v > newest:
+            live.append(f"{table_path}/{name}")
+        # else: folded by the newest compaction — kept on disk for one
+        # grace cycle, excluded from the live set
+    return live
+
+
 def log_snapshots(spark: SparkSession, table_path: str) -> list[str]:
     """Live snapshot paths of a log table, oldest first ([] if the
     table does not exist yet)."""

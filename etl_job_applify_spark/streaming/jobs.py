@@ -647,6 +647,10 @@ def run_vector_index_ingest_stream(
     from ..similarity.vector_index import _vxi_is_versioned
 
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            # an empty micro-batch must not found the index (training a
+            # quantizer on zero rows raises) nor commit an empty append
+            return
         spark = batch_df.sparkSession
         mark = f"_epoch_{writer_id}_{epoch_id}"
         batch = batch_df.select(id_col, vec_col)
@@ -701,9 +705,16 @@ def run_vector_search_stream(
     probed fraction of the index, independent of stream history.
 
     Serving against an index that is concurrently ingesting
-    (``run_vector_index_ingest_stream``) is safe by construction: every
-    probe reads a consistent snapshot set (CAS snapshots are immutable
-    once published)."""
+    (``run_vector_index_ingest_stream``): every probe reads a
+    consistent snapshot set (CAS snapshots are immutable once
+    published), so pure APPENDS are safe by construction. When the
+    ingest stream also COMPACTS (``compact_every``), folded snapshots
+    are physically pruned with a one-compaction-cycle grace window
+    (``sinks/versioned.py recover_live_snapshots``): a probe that
+    lazily captured pre-compaction snapshot paths finishes against
+    intact files as long as it completes within one compaction
+    interval — readers that may stall longer than that should pin
+    their own copy (clone) rather than race retention."""
     from ..similarity import vector_index_probe
     from ..sinks.versioned import append_log_version, log_has_mark
 
@@ -762,7 +773,6 @@ def fold_rollup_batch(
     snapshot's set and skipped. ``writer_id`` namespaces the fence so
     independent streams can maintain one rollup without epoch-id
     collisions."""
-    from ..operators.incremental import aggregate_increment, merge_rollup
     from ..operators.incremental import aggregate_increment, merge_rollup
 
     inc = aggregate_increment(batch_df, keys, measures)

@@ -244,11 +244,18 @@ def test_versioned_text_index_epoch_fence_and_compaction(spark, tmp_path):
     assert before == _score_map(bm25_scores(both, _qterms(spark)))
 
     res = optimize_text_index(spark, vers)  # auto-routes to CAS path
+    from etl_job_applify_spark.functions.text_index import _tidx_recover_live
+
+    # live set = the compacted snapshot; folded snapshots stay on disk
+    # for one grace cycle (in-flight readers finish against intact files)
+    assert [p.rsplit("/", 1)[1] for p in _tidx_recover_live(spark, vers)] == [
+        "snap_00000003"
+    ]
     snaps = sorted(d for d in os.listdir(vers) if d.startswith("snap_"))
-    assert snaps == ["snap_00000003"]  # folded + pruned
+    assert snaps == ["snap_00000001", "snap_00000002", "snap_00000003"]
     assert res["files_after"] <= res["files_before"]
     # fence survived compaction; scores unchanged; appends continue
-    assert "_epoch_tidx_1" in os.listdir(f"{vers}/{snaps[0]}")
+    assert "_epoch_tidx_1" in os.listdir(f"{vers}/{snaps[-1]}")
     assert _score_map(text_index_bm25(spark, vers, _qterms(spark))) == before
     gen3 = _docs(spark, 300, 8)
     text_index_build(gen3, vers, mode="append")
@@ -258,24 +265,27 @@ def test_versioned_text_index_epoch_fence_and_compaction(spark, tmp_path):
 
 
 def test_versioned_text_index_commit_prune_crash_recovers(spark, tmp_path):
-    """Commit-to-prune crash window: a resurrected pre-compaction
-    snapshot must be pruned at the next entry point, never
-    double-counted (df/tf double-counting would shift every score)."""
-    import shutil
+    """Folded-but-unpruned snapshots (the commit-to-prune crash window —
+    and, since the grace window, the normal state for one compaction
+    cycle) must never be double-counted: df/tf double-counting would
+    shift every score. A second compaction physically prunes the first
+    cycle's folded snapshots."""
+    from etl_job_applify_spark.functions.text_index import _tidx_recover_live
 
     vers = str(tmp_path / "vers")
     text_index_build(_docs(spark, 0, 30), vers, layout="versioned")
     text_index_build(_docs(spark, 100, 12), vers, mode="append")
     expect = _score_map(text_index_bm25(spark, vers, _qterms(spark)))
     optimize_text_index(spark, vers)
-    compacted = sorted(
-        d for d in os.listdir(vers) if d.startswith("snap_")
-    )[0]
-    shutil.copytree(f"{vers}/{compacted}", f"{vers}/snap_00000001")
+    # folded snapshots still on disk, excluded from scoring
+    assert "snap_00000001" in os.listdir(vers)
     assert _score_map(text_index_bm25(spark, vers, _qterms(spark))) == expect
-    assert sorted(
-        d for d in os.listdir(vers) if d.startswith("snap_")
-    ) == [compacted]
+    assert [
+        p.rsplit("/", 1)[1] for p in _tidx_recover_live(spark, vers)
+    ] == ["snap_00000003"]
+    optimize_text_index(spark, vers)  # supersedes the first compaction
+    assert "snap_00000001" not in os.listdir(vers)
+    assert _score_map(text_index_bm25(spark, vers, _qterms(spark))) == expect
 
 
 def test_delete_serves_surviving_corpus_exactly(spark, tmp_path):

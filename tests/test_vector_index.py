@@ -531,3 +531,127 @@ def test_streaming_search_exactly_once_results(spark, tmp_path):
     assert sorted(
         map(tuple, read_log_table(spark, results).collect())
     ) == first
+
+
+def test_append_param_mismatch_raises(spark, tmp_path):
+    """Explicitly passed quantizer-shape params on an append must match
+    the recorded index (the recorded quantizer is always used — a
+    silent mismatch would lie to the caller); matching params and
+    omitted params both succeed; pinning a quantizer on an append
+    raises outright."""
+    corpus = _vecs(spark)
+    history = corpus.filter(F.col("vec_id") < 40)
+    batch = corpus.filter(F.col("vec_id") >= 40)
+    for layout in ("flat", "versioned"):
+        idx = str(tmp_path / f"vxi_val_{layout}")
+        vector_index_build(
+            history, idx, num_cells=4, layout=layout,
+            centroids=_anchor_centroids(history),
+        )
+        with pytest.raises(ValueError, match="must match the recorded"):
+            vector_index_build(batch, idx, mode="append", num_cells=8)
+        with pytest.raises(ValueError, match="must match the recorded"):
+            vector_index_build(batch, idx, mode="append", m=4)
+        with pytest.raises(ValueError, match="recorded quantizer"):
+            vector_index_build(
+                batch, idx, mode="append",
+                centroids=_anchor_centroids(history),
+            )
+        # matching explicit params and omitted params both append
+        meta = vector_index_build(
+            batch, idx, mode="append", num_cells=4, m=0,
+        )
+        assert meta["n_vecs"] == 48
+
+
+def test_flat_refound_clears_stale_tombstones(spark, tmp_path):
+    """mode='overwrite' founding over a path that previously held a
+    flat index must not inherit its deletes/: re-founded vectors whose
+    ids were tombstoned in the PRIOR index serve again, and n_vecs is
+    exact."""
+    corpus = _vecs(spark)
+    idx = str(tmp_path / "vxi_refound")
+    vector_index_build(
+        corpus, idx, num_cells=4, layout="flat",
+        centroids=_anchor_centroids(corpus),
+    )
+    vector_index_delete(spark, idx, [1, 2, 3])
+    meta = vector_index_build(  # re-found over the same path
+        corpus, idx, num_cells=4, layout="flat",
+        centroids=_anchor_centroids(corpus),
+    )
+    assert meta["n_vecs"] == 48
+    got = vector_index_probe(spark, idx, _queries(spark), k=5, nprobe=99)
+    want = cosine_topk(corpus, _queries(spark), k=5)
+    assert _res(got) == _res(want)
+
+
+def test_versioned_empty_append_commits_readable_snapshot(spark, tmp_path):
+    """An empty batch appended to a versioned index must not kill the
+    writer: the recorded cells schema rides the commit, so the empty
+    snapshot stays readable and counts are unchanged."""
+    corpus = _vecs(spark)
+    idx = str(tmp_path / "vxi_empty")
+    vector_index_build(
+        corpus, idx, num_cells=4, centroids=_anchor_centroids(corpus)
+    )
+    empty = corpus.filter(F.lit(False))
+    meta = vector_index_build(empty, idx, mode="append")
+    assert meta["n_vecs"] == 48
+    got = vector_index_probe(spark, idx, _queries(spark), k=5, nprobe=2)
+    want = ann_topk_ivf(
+        corpus, _queries(spark), k=5, num_cells=4, nprobe=2,
+        centroids=__import__("numpy").asarray(_anchor_centroids(corpus)),
+    )
+    assert _res(got) == _res(want)
+
+
+def test_empty_corpus_founding_raises_cleanly(spark, tmp_path):
+    corpus = _vecs(spark).filter(F.lit(False))
+    with pytest.raises(ValueError, match="empty corpus"):
+        vector_index_build(corpus, str(tmp_path / "vxi_none"), num_cells=4)
+
+
+def test_compaction_grace_keeps_inflight_probes_alive(spark, tmp_path):
+    """The one-compaction-cycle grace window: a probe DataFrame built
+    BEFORE a compaction (lazily referencing the pre-compaction snapshot
+    files) still collects correctly AFTER it — folded snapshots are not
+    physically deleted until a later compaction supersedes them."""
+    import glob
+
+    corpus = _vecs(spark)
+    history = corpus.filter(F.col("vec_id") < 40)
+    batch = corpus.filter(F.col("vec_id") >= 40)
+    idx = str(tmp_path / "vxi_grace")
+    vector_index_build(
+        history, idx, num_cells=4, centroids=_anchor_centroids(history)
+    )
+    vector_index_build(batch, idx, mode="append")
+    inflight = vector_index_probe(
+        spark, idx, _queries(spark), k=5, nprobe=2
+    )  # lazy: captures snap_1/snap_2 file paths
+    want = _res(
+        vector_index_probe(spark, idx, _queries(spark), k=5, nprobe=2)
+    )
+    optimize_vector_index(spark, idx)
+    # grace: folded snapshots still on disk -> the in-flight plan scans
+    # intact files and returns the pre-compaction result
+    assert sorted(
+        os.path.basename(p) for p in glob.glob(idx + "/snap_*")
+    ) == ["snap_00000001", "snap_00000002", "snap_00000003"]
+    assert _res(inflight) == want
+    # fresh probes serve identical results from the compacted snapshot
+    assert _res(
+        vector_index_probe(spark, idx, _queries(spark), k=5, nprobe=2)
+    ) == want
+    # a second compaction supersedes the first: its folded snapshots
+    # are then physically pruned
+    optimize_vector_index(spark, idx)
+    on_disk = sorted(
+        os.path.basename(p) for p in glob.glob(idx + "/snap_*")
+    )
+    assert "snap_00000001" not in on_disk
+    assert "snap_00000002" not in on_disk
+    assert _res(
+        vector_index_probe(spark, idx, _queries(spark), k=5, nprobe=2)
+    ) == want

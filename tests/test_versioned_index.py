@@ -152,7 +152,14 @@ def test_versioned_compaction_folds_prunes_and_carries_fences(
     assert len(_snaps(idx)) == 4
     res = optimize_index(spark, idx)  # auto-routes to the CAS path
     assert res["rows_before"] == res["rows_after"] == 62 * 16
-    assert _snaps(idx) == ["snap_00000005"]  # folded + pruned
+    from etl_job_applify_spark.dedup.incremental import _vidx_recover_live
+
+    # folded + live set reduced to the compacted snapshot; the folded
+    # snapshots stay on disk for one grace cycle (in-flight readers)
+    assert [p.rsplit("/", 1)[1] for p in _vidx_recover_live(spark, idx)] == [
+        "snap_00000005"
+    ]
+    assert _snaps(idx)[0] == "snap_00000001"  # grace-kept, not live
     # epoch fences survive compaction -> replay detection still works
     for g in range(3):
         assert versioned_index_has_epoch(spark, idx, f"_epoch_dedup_{g}")
@@ -163,14 +170,25 @@ def test_versioned_compaction_folds_prunes_and_carries_fences(
         ).collect()
     }
     assert after == before and (7, 100) in after
+    # a second compaction supersedes the first: its folded snapshots
+    # are then physically pruned
+    optimize_index(spark, idx)
+    assert "snap_00000001" not in _snaps(idx)
+    assert after == {
+        (r["a"], r["b"])
+        for r in minhash_index_probe(
+            spark, idx, _batch(spark), history
+        ).collect()
+    }
 
 
 def test_versioned_crash_between_commit_and_prune_recovers(spark, tmp_path):
-    """Compaction's crash window: the compacted snapshot committed but
-    the old snapshots were not pruned. The next entry point must prune
-    them (watermark marker is the source of truth) — and must NOT
-    double-count the folded entries meanwhile."""
-    import shutil
+    """Folded-but-unpruned snapshots (a crash between a compaction's
+    commit and its prune — and, since the grace window, also the NORMAL
+    state for one compaction cycle) must never be double-counted: the
+    watermark marker, not the directory listing, is the source of
+    truth for the live set."""
+    from etl_job_applify_spark.dedup.incremental import _vidx_recover_live
 
     idx = str(tmp_path / "vers")
     history = _corpus(spark)
@@ -180,10 +198,12 @@ def test_versioned_crash_between_commit_and_prune_recovers(spark, tmp_path):
     versioned_index_append(_batch(spark), idx)
     history2 = history.unionByName(_batch(spark))
     optimize_index(spark, idx)
-    # resurrect a pre-compaction snapshot to simulate the unpruned crash
-    compacted = _snaps(idx)[0]
-    shutil.copytree(f"{idx}/{compacted}", f"{idx}/snap_00000001")
-    # tamper: the resurrected snapshot must be treated as compacted-away
+    # the folded pre-compaction snapshots are still on disk (grace)…
+    assert _snaps(idx) == [
+        "snap_00000001", "snap_00000002", "snap_00000003"
+    ]
+    # …but the live set is exactly the compacted snapshot, so the probe
+    # must not double-count the folded entries
     probe = spark.createDataFrame(
         [(300, _BASE + " unique filler sentence number 7 " * 2 + "x")],
         "doc_id long, text string",
@@ -193,7 +213,9 @@ def test_versioned_crash_between_commit_and_prune_recovers(spark, tmp_path):
         for r in minhash_index_probe(spark, idx, probe, history2).collect()
     }
     assert (7, 300) in got and (100, 300) in got
-    assert _snaps(idx) == [compacted]  # stale snapshot pruned on entry
+    assert [p.rsplit("/", 1)[1] for p in _vidx_recover_live(spark, idx)] == [
+        "snap_00000003"
+    ]
 
 
 def test_versioned_tombstone_purge_to_empty_stays_probeable(spark, tmp_path):
