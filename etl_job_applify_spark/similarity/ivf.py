@@ -6,10 +6,16 @@ into cells; a query scores only the ``nprobe`` nearest cells — a
 the corpus is repartitioned by cell id, so each probe is a partition-local
 scan.
 
-Training uses MLlib KMeans on a sample (the quantizer needs O(√N) quality,
-not exactness); assignment reuses the broadcast-centroid JVM expression
-from lsh.py-style codegen, not model.transform, to keep the hot path free
-of VectorUDT conversions.
+Training is driver-side Lloyd k-means over a SEEDED DISTRIBUTED sample
+(the quantizer needs O(√N) quality, not exactness): rows are ranked by
+``xxhash64(seed, vec)`` and the lowest ``sample_rows`` taken, which Spark
+executes as a per-partition top-n merge (TakeOrderedAndProject — one
+column-pruned scan, no full sort shuffle) and which is invariant to file
+layout and partition order — a ``.limit()`` sample would train on
+whatever partition answered first, i.e. one file of one ingest batch, and
+skew the cells at scale. Assignment uses a broadcast-centroid JVM
+expression (unrolled literals, whole-stage codegen), not model.transform,
+to keep the hot path free of VectorUDT conversions.
 """
 
 from __future__ import annotations
@@ -45,6 +51,26 @@ def _centroid_assign_expr(vec_col: str, centroids: np.ndarray) -> F.Column:
     return F.expr(f"array_position({d_arr}, array_min({d_arr})) - 1").cast("int")
 
 
+def _quantizer_sample(
+    corpus: DataFrame, vec_col: str, sample_rows: int, seed: int
+):
+    """Seeded, partition-order-invariant training sample as a pandas
+    frame: the ``sample_rows`` lowest rows by ``xxhash64(seed, vec)``.
+    Executes as TakeOrderedAndProject (per-partition top-n + driver
+    merge over the single projected column) — one scan, no sort
+    shuffle, O(sample_rows) driver memory. Ties (duplicate vectors)
+    are interchangeable for training; the vec itself tiebreaks so the
+    row SET is still deterministic."""
+    return (
+        corpus.select(vec_col)
+        .orderBy(
+            F.xxhash64(F.lit(int(seed)), F.col(vec_col)), F.col(vec_col)
+        )
+        .limit(sample_rows)
+        .toPandas()
+    )
+
+
 def train_centroids(
     corpus: DataFrame,
     vec_col: str = "embedding",
@@ -53,12 +79,14 @@ def train_centroids(
     sample_rows: int = 10_000,
 ) -> np.ndarray:
     """k-means centroids from a driver-side sample (quantizer training is
-    small-data; the corpus itself never leaves executors)."""
-    pdf = (
-        corpus.select(vec_col)
-        .limit(sample_rows)
-        .toPandas()
-    )
+    small-data; the corpus itself never leaves executors).
+
+    The sample is deterministic AND distributed: rank by
+    ``xxhash64(seed, vec)``, take the lowest ``sample_rows`` — same
+    result no matter how the corpus is partitioned or ordered (pinned by
+    tests/test_similarity.py), and every file contributes, so centroids
+    are never trained on a time- or source-skewed first-N slice."""
+    pdf = _quantizer_sample(corpus, vec_col, sample_rows, seed)
     if not len(pdf):
         raise ValueError(
             "cannot train a coarse quantizer on an empty corpus"

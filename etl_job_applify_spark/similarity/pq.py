@@ -49,8 +49,12 @@ def train_pq_codebooks(
 ) -> np.ndarray:
     """(m, k, d/m) codebooks: per-subspace Lloyd k-means over a
     normalized driver-side sample (same training discipline as
-    ivf.train_centroids)."""
-    pdf = corpus.select(vec_col).limit(sample_rows).toPandas()
+    ivf.train_centroids — a seeded distributed xxhash64 top-n, so
+    codebooks are invariant to corpus partitioning and never trained
+    on a first-N skewed slice)."""
+    from .ivf import _quantizer_sample
+
+    pdf = _quantizer_sample(corpus, vec_col, sample_rows, seed)
     if not len(pdf):
         raise ValueError(
             "cannot train PQ codebooks on an empty corpus"

@@ -148,3 +148,60 @@ def test_pq_shortlist_zero_returns_adc_distances(spark):
     rows = out.collect()
     assert all(r["adc_dist"] >= 0.0 for r in rows)
     assert all(r["rank"] <= 3 for r in rows)
+
+
+def test_quantizer_training_is_partition_order_invariant(spark):
+    """The training sample is a seeded xxhash64 top-n, NOT a first-N
+    .limit(): the trained quantizer must be bit-identical no matter how
+    the corpus is partitioned or ordered (at 100 TB a first-N sample is
+    one file of one ingest batch — a time/source-skewed slice)."""
+    import numpy as np
+
+    from etl_job_applify_spark.similarity.ivf import train_centroids
+    from etl_job_applify_spark.similarity.pq import train_pq_codebooks
+
+    corpus, _ = _split(spark)
+    shuffled = corpus.repartition(17).sortWithinPartitions(
+        F.desc("vec_id")
+    )
+    one_part = corpus.orderBy("vec_id").coalesce(1)
+
+    base_c = train_centroids(corpus, num_cells=8, seed=3)
+    assert np.array_equal(
+        base_c, train_centroids(shuffled, num_cells=8, seed=3)
+    )
+    assert np.array_equal(
+        base_c, train_centroids(one_part, num_cells=8, seed=3)
+    )
+    # a different seed draws a different sample (the seed is live)
+    assert not np.array_equal(
+        base_c, train_centroids(corpus, num_cells=8, seed=4)
+    )
+
+    base_b = train_pq_codebooks(corpus, m=4, k=8, seed=3)
+    assert np.array_equal(
+        base_b, train_pq_codebooks(shuffled, m=4, k=8, seed=3)
+    )
+    assert np.array_equal(
+        base_b, train_pq_codebooks(one_part, m=4, k=8, seed=3)
+    )
+
+
+def test_quantizer_sample_plan_is_takeordered(spark):
+    """The distributed sample must execute as TakeOrderedAndProject
+    (per-partition top-n, single projected column) — not a global sort
+    shuffle of the corpus."""
+    from etl_job_applify_spark.similarity.ivf import _quantizer_sample
+
+    corpus, _ = _split(spark)
+    df = (
+        corpus.select("embedding")
+        .orderBy(
+            F.xxhash64(F.lit(3), F.col("embedding")), F.col("embedding")
+        )
+        .limit(100)
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    # and the helper returns exactly sample_rows rows
+    assert len(_quantizer_sample(corpus, "embedding", 100, 3)) == 100
