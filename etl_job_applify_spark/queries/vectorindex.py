@@ -177,6 +177,105 @@ SELECT query_id, neighbor, cosine, CAST(rank AS INT) AS rank FROM (
 """
 
 
+# --- q238: FILTERED probe under the exact oracle --------------------------
+# q232's lifecycle (found with deterministic anchors → epoch-fenced
+# append → delete) with a metadata column (lang := vec_id % 3 mapped to
+# en/de/fr) stored as a meta_col at founding and a probe filtered with
+# where="lang = 'en'". The predicate applies INSIDE the probed cells
+# BEFORE top-k (the serving shape of "top-k WHERE lang='en'"), so the
+# oracle reproduces it as a WHERE on the scored candidates — a
+# post-filter implementation (which returns fewer than k survivors)
+# hash-mismatches, as does any meta-column loss across append/delete.
+
+def q238_vector_index_filtered(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    lang = F.element_at(
+        F.array(F.lit("en"), F.lit("de"), F.lit("fr")),
+        (F.col("vec_id") % 3 + 1).cast("int"),
+    ).alias("lang")
+    emb = tbl(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", lang
+    )
+    history = emb.filter(F.col("vec_id") % 10 != 0)
+    batch = emb.filter(F.col("vec_id") % 10 == 0)
+    doomed = emb.filter(F.col("vec_id") % 10 == 3).select(
+        F.col("vec_id").alias("vid")
+    )
+    queries = emb.filter(F.col("vec_id").isin(_Q232_QUERY_IDS)).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    cents = [
+        r["embedding"]
+        for r in history.orderBy("vec_id").limit(_Q232_CELLS).collect()
+    ]
+
+    def build(path):
+        vector_index_build(
+            history, path, num_cells=_Q232_CELLS, centroids=cents,
+            meta_cols=["lang"],
+        )
+        vector_index_build(batch, path, mode="append")
+        vector_index_delete(spark, path, doomed)
+
+    def probe(path):
+        return vector_index_probe(
+            spark, path, queries, k=5, nprobe=_Q232_NPROBE,
+            where="lang = 'en'",
+        ).withColumn("rank", F.col("rank").cast("int"))
+
+    return _with_temp_index(spark, build, probe)
+
+
+_Q238_SQL = f"""
+WITH live AS (
+  SELECT vec_id, embedding FROM embeddings WHERE vec_id % 10 <> 3
+),
+anchors AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cell, embedding AS av
+  FROM embeddings WHERE vec_id % 10 <> 0
+  ORDER BY vec_id LIMIT {_Q232_CELLS}
+),
+assigned AS (
+  SELECT vec_id, embedding, cell FROM (
+    SELECT v.vec_id, v.embedding, a.cell,
+           ROW_NUMBER() OVER (
+             PARTITION BY v.vec_id
+             ORDER BY {_L2_SQL.format(a='v.embedding', b='a.av')}, a.cell
+           ) AS rn
+    FROM live v CROSS JOIN anchors a
+  ) WHERE rn = 1
+),
+queries AS (
+  SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+  WHERE vec_id IN ({", ".join(map(str, _Q232_QUERY_IDS))})
+),
+qprobe AS (
+  SELECT query_id, cell FROM (
+    SELECT q.query_id, a.cell,
+           ROW_NUMBER() OVER (
+             PARTITION BY q.query_id
+             ORDER BY {_L2_SQL.format(a='q.qv', b='a.av')}, a.cell
+           ) AS rn
+    FROM queries q CROSS JOIN anchors a
+  ) WHERE rn <= {_Q232_NPROBE}
+),
+scored AS (
+  SELECT q.query_id, s.vec_id AS neighbor,
+         {_cos_sql('q.qv', 's.embedding')} AS cosine
+  FROM queries q
+  JOIN qprobe p ON p.query_id = q.query_id
+  JOIN assigned s ON s.cell = p.cell
+  WHERE s.vec_id % 3 = 0  -- lang = 'en': the predicate INSIDE the cells
+)
+SELECT query_id, neighbor, cosine, CAST(rank AS INT) AS rank FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, neighbor) AS rank
+  FROM scored
+) WHERE rank <= 5
+"""
+
+
 # --- q237: quantizer-drift reindex under the exact oracle -----------------
 # q232's lifecycle continued into maintenance: after found + append +
 # delete, the index is REINDEXED in place — new deterministic anchors
@@ -451,6 +550,7 @@ QUERIES = {
     "q234_vector_index_pq": q234_vector_index_pq,
     "q235_hybrid_rrf_indexed": q235_hybrid_rrf_indexed,
     "q237_vector_index_reindex": q237_vector_index_reindex,
+    "q238_vector_index_filtered": q238_vector_index_filtered,
 }
 
 
@@ -466,6 +566,9 @@ ORACLE = {
     "q232_vector_index_lifecycle": _Q232_SQL,
     # the post-reindex geometry is exactly reproducible the same way
     "q237_vector_index_reindex": _Q237_SQL,
+    # the filtered probe is the q232 arithmetic plus a WHERE inside the
+    # probed cells (lang derives from vec_id, so SQL replays it exactly)
+    "q238_vector_index_filtered": _Q238_SQL,
     # parity is asserted in-query; the oracle pins the recall row
     "q233_vector_index_recall": _Q233_SQL,
     "q234_vector_index_pq": _Q234_SQL,

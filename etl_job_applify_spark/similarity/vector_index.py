@@ -149,10 +149,13 @@ def _encode_cells(
     vec_col: str,
     centroids: np.ndarray,
     codebooks: np.ndarray | None,
+    meta_cols: tuple | list = (),
 ) -> DataFrame:
-    """The ingest transform: (cell, vid, vec, norm[, codes]) — ONE
-    codegen'd select over one scan, assignment and PQ encoding
-    together (no join, no second pass)."""
+    """The ingest transform: (cell, vid, vec, norm[, codes][, meta...])
+    — ONE codegen'd select over one scan, assignment and PQ encoding
+    together (no join, no second pass). ``meta_cols`` ride each row so
+    probes can push filter predicates INTO the index scan (filtered
+    ANN: "top-k WHERE lang='en'")."""
     sel = [
         _centroid_assign_expr(vec_col, centroids).alias("cell"),
         F.col(id_col).cast("bigint").alias("vid"),
@@ -161,7 +164,10 @@ def _encode_cells(
     ]
     if codebooks is not None:
         sel.append(pq_encode_expr(vec_col, codebooks).alias("codes"))
-    return with_norm(corpus.select(id_col, vec_col), vec_col).select(*sel)
+    sel.extend(F.col(c) for c in meta_cols)
+    return with_norm(
+        corpus.select(id_col, vec_col, *meta_cols), vec_col
+    ).select(*sel)
 
 
 def _probe_cells_expr(vec_col: str, centroids: np.ndarray, nprobe: int) -> str:
@@ -253,8 +259,10 @@ def _check_append_params(meta: dict, expect: dict) -> None:
     recorded quantizer is ALWAYS the one used — a silent mismatch would
     leave the caller believing the index has a shape it doesn't)."""
     bad = {
-        k: (v, meta[k]) for k, v in expect.items()
-        if v is not None and meta[k] != v
+        k: (v, meta.get(k, [] if k == "meta_cols" else None))
+        for k, v in expect.items()
+        if v is not None
+        and meta.get(k, [] if k == "meta_cols" else None) != v
     }
     if bad:
         raise ValueError(
@@ -281,6 +289,7 @@ def vector_index_build(
     epoch_mark: str | None = None,
     centroids=None,
     codebooks=None,
+    meta_cols: list[str] | None = None,
 ) -> dict:
     """Found or append to a persisted IVF(/PQ) index; returns the meta.
 
@@ -288,6 +297,12 @@ def vector_index_build(
     additionally trains per-subspace codebooks and stores m-byte codes
     per vector, enabling the ADC shortlist scan at probe time. Founding
     defaults: ``num_cells=16, m=0, k_codes=16``.
+
+    ``meta_cols``: metadata columns of ``corpus`` stored alongside each
+    vector (recorded at founding; appends carry the same set, validated
+    when passed explicitly) — the substrate for FILTERED probes
+    (``vector_index_probe(..., where="lang = 'en'")``), where the
+    predicate applies inside the probed-cells scan, before top-k.
 
     The quantizer (centroids, codebooks) is trained ONCE, at founding —
     ``mode="append"`` assigns and encodes the new batch with the
@@ -312,7 +327,12 @@ def vector_index_build(
                 "centroids/codebooks at founding or via "
                 "reindex_vector_index"
             )
-        expect = {"num_cells": num_cells, "m": m, "k_codes": k_codes}
+        expect = {
+            "num_cells": num_cells,
+            "m": m,
+            "k_codes": k_codes,
+            "meta_cols": list(meta_cols) if meta_cols is not None else None,
+        }
         if _vxi_is_versioned(spark, index_path):
             _vxi_append(
                 corpus, index_path, id_col, vec_col,
@@ -332,7 +352,10 @@ def vector_index_build(
             if meta["m"]
             else None
         )
-        batch = _encode_cells(corpus, id_col, vec_col, cents, books)
+        batch = _encode_cells(
+            corpus, id_col, vec_col, cents, books,
+            meta_cols=meta.get("meta_cols", []),
+        )
         batch.write.mode("append").partitionBy("cell").parquet(
             os.path.join(index_path, "cells")
         )
@@ -355,6 +378,7 @@ def vector_index_build(
         "m": int(codebooks.shape[0]) if codebooks is not None else 0,
         "k_codes": int(codebooks.shape[1]) if codebooks is not None else 0,
         "dim": int(centroids.shape[1]),
+        "meta_cols": list(meta_cols or []),
     }
     if layout == "versioned":
         _vxi_found(
@@ -384,7 +408,10 @@ def vector_index_build(
         _codebooks_df(spark, codebooks).write.mode("overwrite").parquet(
             os.path.join(index_path, "codebooks")
         )
-    cells = _encode_cells(corpus, id_col, vec_col, centroids, codebooks)
+    cells = _encode_cells(
+        corpus, id_col, vec_col, centroids, codebooks,
+        meta_cols=params["meta_cols"],
+    )
     cells.write.mode("overwrite").partitionBy("cell").parquet(
         os.path.join(index_path, "cells")
     )
@@ -433,9 +460,18 @@ def vector_index_probe(
     vec_col: str = "embedding",
     use_codes: bool = False,
     shortlist: int = 64,
+    where=None,
 ) -> DataFrame:
     """(query_id, neighbor, cosine, rank) top-k from the persisted
     index.
+
+    ``where`` (a SQL string or Column over the index's ``meta_cols``,
+    plus ``vid``): FILTERED ANN — the predicate applies to the pruned
+    cells scan BEFORE top-k (and before the ADC shortlist on the PQ
+    path), so the full k survivors are guaranteed within the probed
+    cells, unlike post-filtering the top-k, which silently returns
+    fewer than k rows. The serving shape of "top-k WHERE lang='en'
+    AND date > X"; build the index with ``meta_cols`` to use it.
 
     Default path: exact cosine inside the probed cells — bit-identical
     to ``ann_topk_ivf(corpus_live, queries, centroids=<recorded>)``
@@ -467,6 +503,12 @@ def vector_index_probe(
         r["cell"] for r in q.select("cell").distinct().collect()
     )
     pruned = cells.filter(F.col("cell").isin(needed))
+    if where is not None:
+        # inside the cells scan: parquet pushes the predicate down to
+        # the pruned partitions; every later stage sees survivors only
+        pruned = pruned.filter(
+            F.expr(where) if isinstance(where, str) else where
+        )
     if not use_codes:
         qn = q.select(
             "cell",
@@ -613,7 +655,8 @@ def reindex_vector_index(
     nc = num_cells if num_cells is not None else meta["num_cells"]
     new_m = m if m is not None else meta["m"]
     kc = k_codes if k_codes is not None else (meta["k_codes"] or 16)
-    live_vecs = cells.select("vid", "vec")
+    mcols = meta.get("meta_cols", [])
+    live_vecs = cells.select("vid", "vec", *mcols)
     if centroids is None:
         centroids = train_centroids(live_vecs, "vec", nc, seed)
     centroids = np.asarray(centroids, dtype=np.float64)
@@ -631,6 +674,7 @@ def reindex_vector_index(
         "m": int(codebooks.shape[0]) if codebooks is not None else 0,
         "k_codes": int(codebooks.shape[1]) if codebooks is not None else 0,
         "dim": meta["dim"],
+        "meta_cols": list(mcols),
     }
     bins_for = lambda n_rows: max(
         1, math.ceil(math.ceil(max(n_rows, 1) / params["num_cells"])
@@ -645,7 +689,9 @@ def reindex_vector_index(
                 f"reindex_vector_index on a flat layout requires a "
                 f"local index path, got {index_path}"
             )
-        recoded = _encode_cells(live_vecs, "vid", "vec", centroids, codebooks)
+        recoded = _encode_cells(
+            live_vecs, "vid", "vec", centroids, codebooks, meta_cols=mcols
+        )
         n_rows = live_vecs.count()
         bins = bins_for(n_rows)
         staging = index_path.rstrip("/") + "__compact"
@@ -685,9 +731,11 @@ def reindex_vector_index(
     for _ in range(max_retries):
         meta, cells, live = _vxi_read(spark, index_path)
         base = int(live[-1].rsplit("snap_", 1)[1])
-        live_vecs = cells.select("vid", "vec")
+        live_vecs = cells.select("vid", "vec", *mcols)
         n_rows = live_vecs.count()
-        recoded = _encode_cells(live_vecs, "vid", "vec", centroids, codebooks)
+        recoded = _encode_cells(
+            live_vecs, "vid", "vec", centroids, codebooks, meta_cols=mcols
+        )
         bins = bins_for(n_rows)
         carried = sorted(
             {
@@ -840,18 +888,23 @@ def _vxi_read(spark: SparkSession, index_path: str):
         raise FileNotFoundError(f"no versioned vector index at {index_path}")
     metas = [fs_read_json(spark, f"{p}/_params.json") for p in live]
     quant = {
-        (m["num_cells"], m["m"], m["k_codes"], m["dim"]) for m in metas
+        (
+            m["num_cells"], m["m"], m["k_codes"], m["dim"],
+            tuple(m.get("meta_cols", [])),
+        )
+        for m in metas
     }
     if len(quant) != 1:
         raise ValueError(
             f"inconsistent quantizer params across snapshots: {quant}"
         )
-    nc, m_, kc, dim = quant.pop()
+    nc, m_, kc, dim, mcols = quant.pop()
     meta = {
         "num_cells": nc,
         "m": m_,
         "k_codes": kc,
         "dim": dim,
+        "meta_cols": list(mcols),
         "n_vecs": sum(mm["n_vecs"] for mm in metas),
     }
     c_schema = StructType.fromJson(
@@ -971,7 +1024,10 @@ def _vxi_found(
             f"versioned vector index already exists at {index_path}; "
             "use mode='append'"
         )
-    cells = _encode_cells(corpus, id_col, vec_col, centroids, codebooks)
+    cells = _encode_cells(
+        corpus, id_col, vec_col, centroids, codebooks,
+        meta_cols=params.get("meta_cols", []),
+    )
     params = dict(params, n_vecs=corpus.count())
     marks = [epoch_mark] if epoch_mark else []
     return _vxi_commit(
@@ -1017,12 +1073,16 @@ def _vxi_append(
         if meta["m"]
         else None
     )
-    cells = _encode_cells(corpus, id_col, vec_col, cents, books)
+    cells = _encode_cells(
+        corpus, id_col, vec_col, cents, books,
+        meta_cols=meta["meta_cols"],
+    )
     params = {
         "num_cells": meta["num_cells"],
         "m": meta["m"],
         "k_codes": meta["k_codes"],
         "dim": meta["dim"],
+        "meta_cols": meta["meta_cols"],
         "n_vecs": corpus.count(),
     }
     marks = [epoch_mark] if epoch_mark else []
@@ -1069,6 +1129,7 @@ def _vxi_delete(
             "m": meta["m"],
             "k_codes": meta["k_codes"],
             "dim": meta["dim"],
+            "meta_cols": meta["meta_cols"],
             "n_vecs": -n,
         }
         base = int(live[-1].rsplit("snap_", 1)[1])
@@ -1143,6 +1204,7 @@ def _vxi_optimize(
             "m": meta["m"],
             "k_codes": meta["k_codes"],
             "dim": meta["dim"],
+            "meta_cols": meta["meta_cols"],
             "n_vecs": rows_before,
         }
         c_schema_json = fs_read_json(

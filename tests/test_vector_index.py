@@ -655,3 +655,112 @@ def test_compaction_grace_keeps_inflight_probes_alive(spark, tmp_path):
     assert _res(
         vector_index_probe(spark, idx, _queries(spark), k=5, nprobe=2)
     ) == want
+
+
+def _meta_corpus(spark, n=48):
+    """_vecs plus a deterministic metadata column (vec_id % 3 -> lang)."""
+    langs = ["en", "de", "fr"]
+    return _vecs(spark, n=n).withColumn(
+        "lang",
+        F.element_at(
+            F.array(*[F.lit(x) for x in langs]),
+            (F.col("vec_id") % 3 + 1).cast("int"),
+        ),
+    )
+
+
+def test_filtered_probe_exact_path(spark, tmp_path):
+    """Filtered ANN (where= over meta_cols): the predicate applies
+    INSIDE the probed cells before top-k, so the result equals the
+    recompute kernel over the pre-filtered corpus with the same
+    quantizer — full k survivors, never a post-filtered short list."""
+    corpus = _meta_corpus(spark)
+    cents = _anchor_centroids(corpus)
+    idx = str(tmp_path / "vxi_filt")
+    meta = vector_index_build(
+        corpus, idx, num_cells=4, centroids=cents, meta_cols=["lang"]
+    )
+    assert meta["meta_cols"] == ["lang"]
+    got = vector_index_probe(
+        spark, idx, _queries(spark), k=5, nprobe=2, where="lang = 'en'"
+    )
+    want = ann_topk_ivf(
+        corpus.filter(F.col("lang") == "en"), _queries(spark),
+        k=5, num_cells=4, nprobe=2,
+        centroids=__import__("numpy").asarray(cents),
+    )
+    assert _res(got) == _res(want)
+    assert all(r["rank"] <= 5 for r in got.collect())
+    # Column predicate form too
+    got2 = vector_index_probe(
+        spark, idx, _queries(spark), k=5, nprobe=2,
+        where=F.col("lang").isin("en", "de"),
+    )
+    want2 = ann_topk_ivf(
+        corpus.filter(F.col("lang").isin("en", "de")), _queries(spark),
+        k=5, num_cells=4, nprobe=2,
+        centroids=__import__("numpy").asarray(cents),
+    )
+    assert _res(got2) == _res(want2)
+
+
+def test_filtered_probe_pq_path(spark, tmp_path):
+    """On the PQ path the predicate applies BEFORE the ADC shortlist,
+    so the shortlist (and therefore top-k) is drawn from predicate
+    survivors only — equal to the IVFxPQ recompute over the filtered
+    corpus with the recorded quantizer."""
+    import numpy as np
+
+    from etl_job_applify_spark.similarity import train_pq_codebooks
+
+    corpus = _meta_corpus(spark)
+    cents = np.asarray(_anchor_centroids(corpus))
+    books = train_pq_codebooks(corpus, m=4, k=4)
+    idx = str(tmp_path / "vxi_filt_pq")
+    vector_index_build(
+        corpus, idx, num_cells=4, m=4, k_codes=4,
+        centroids=cents, codebooks=books, meta_cols=["lang"],
+    )
+    got = vector_index_probe(
+        spark, idx, _queries(spark), k=5, nprobe=3,
+        use_codes=True, shortlist=8, where="lang <> 'fr'",
+    )
+    want = ann_topk_ivfpq(
+        corpus.filter(F.col("lang") != "fr"), _queries(spark),
+        k=5, num_cells=4, nprobe=3, m=4, k_codes=4, shortlist=8,
+        centroids=cents, codebooks=books,
+    )
+    assert _res(got) == _res(want)
+
+
+def test_meta_cols_survive_append_delete_compact(spark, tmp_path):
+    """meta_cols ride every lifecycle stage: appended batches carry
+    them (validated when passed explicitly), tombstones and compaction
+    preserve them, and filtered probes stay correct throughout."""
+    corpus = _meta_corpus(spark)
+    history = corpus.filter(F.col("vec_id") < 40)
+    batch = corpus.filter(F.col("vec_id") >= 40)
+    cents = _anchor_centroids(history)
+    idx = str(tmp_path / "vxi_meta_life")
+    vector_index_build(
+        history, idx, num_cells=4, centroids=cents, meta_cols=["lang"]
+    )
+    # append without meta in the batch frame raises (column required)
+    with pytest.raises(Exception):
+        vector_index_build(
+            batch.drop("lang"), idx, mode="append"
+        )
+    # explicit mismatched meta_cols on append raises
+    with pytest.raises(ValueError, match="must match the recorded"):
+        vector_index_build(batch, idx, mode="append", meta_cols=["other"])
+    vector_index_build(batch, idx, mode="append", meta_cols=["lang"])
+    vector_index_delete(spark, idx, [0, 3, 6])
+    optimize_vector_index(spark, idx)
+    live = corpus.filter(~F.col("vec_id").isin([0, 3, 6]))
+    got = vector_index_probe(
+        spark, idx, _queries(spark), k=5, nprobe=99, where="lang = 'de'"
+    )
+    want = cosine_topk(
+        live.filter(F.col("lang") == "de"), _queries(spark), k=5
+    )
+    assert _res(got) == _res(want)
