@@ -739,13 +739,18 @@ def versioned_index_append(
     text_col: str = "text",
     epoch_mark: str | None = None,
     max_retries: int = 10,
+    max_snapshots: int | None = None,
 ) -> int | None:
     """Append a batch's band entries as one new snapshot (CAS commit —
     concurrent appenders serialize, the loser retries with the next
     version number). ``epoch_mark`` fences replays: if any live
     snapshot already carries it, the append is SKIPPED and None is
     returned — the exactly-once contract for streaming ingest. Returns
-    the committed version otherwise."""
+    the committed version otherwise.
+
+    ``max_snapshots``: auto-compaction threshold — after the append
+    commits, a live snapshot count above it triggers ``optimize_index``
+    under the usual CAS publish (bounds the per-probe snapshot union)."""
     from ..sinks.versioned import CommitConflict, list_versions
 
     spark = docs.sparkSession
@@ -762,14 +767,21 @@ def versioned_index_append(
             return None  # replayed batch: already committed
         base = (list_versions(spark, index_path) or [0])[-1]
         try:
-            return _vidx_commit(
+            v = _vidx_commit(
                 spark, index_path, entries, params, marks, base
             )
+            break
         except CommitConflict:
             continue  # another writer advanced the head; retry
-    raise CommitConflict(
-        f"append to {index_path} lost {max_retries} CAS races"
-    )
+    else:
+        raise CommitConflict(
+            f"append to {index_path} lost {max_retries} CAS races"
+        )
+    if max_snapshots and len(
+        _vidx_recover_live(spark, index_path)
+    ) > max_snapshots:
+        optimize_index(spark, index_path)
+    return v
 
 
 def _vidx_found(

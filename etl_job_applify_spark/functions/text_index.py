@@ -127,6 +127,7 @@ def text_index_build(
     mode: str = "overwrite",
     layout: str = "versioned",
     epoch_mark: str | None = None,
+    max_snapshots: int | None = None,
 ) -> dict:
     """Tokenize ``docs`` once and persist postings + doclens + stats.
 
@@ -151,7 +152,12 @@ def text_index_build(
     the flat layout's compaction publish is an ``os.rename`` directory
     swap that only local filesystems provide. ``layout="flat"`` opts
     into that simpler partitioned-directory layout explicitly (local
-    paths only). Appends auto-detect the existing index's layout."""
+    paths only). Appends auto-detect the existing index's layout.
+
+    ``max_snapshots`` (versioned appends only): auto-compaction
+    threshold — after the append commits, a live snapshot count above
+    it triggers ``optimize_text_index`` under the usual CAS publish,
+    bounding the per-probe N-way snapshot union at steady state."""
     spark = docs.sparkSession
     if mode == "append" and _tidx_is_versioned(spark, index_path):
         existing = _tidx_read(spark, index_path)[0]
@@ -165,6 +171,10 @@ def text_index_build(
             docs, index_path, id_col, text_col, num_buckets,
             found=False, epoch_mark=epoch_mark,
         )
+        if max_snapshots and len(
+            _tidx_recover_live(spark, index_path)
+        ) > max_snapshots:
+            optimize_text_index(spark, index_path)
         return _tidx_read(spark, index_path)[0]
     if mode != "append" and layout == "versioned":
         _tidx_ingest(

@@ -290,8 +290,17 @@ def vector_index_build(
     centroids=None,
     codebooks=None,
     meta_cols: list[str] | None = None,
+    max_snapshots: int | None = None,
 ) -> dict:
     """Found or append to a persisted IVF(/PQ) index; returns the meta.
+
+    ``max_snapshots`` (versioned appends only): auto-compaction
+    threshold — after the append commits, if the live snapshot count
+    exceeds it, ``optimize_vector_index`` folds the log under the usual
+    CAS publish. Bounds the N-way union every probe plans over (a
+    long-running ingest stream otherwise grows one snapshot per epoch
+    until someone compacts manually); probe results are unchanged by
+    construction (compaction invariance is oracle-pinned by q232).
 
     ``m=0`` stores no PQ codes (exact-cosine probes only); ``m>0``
     additionally trains per-subspace codebooks and stores m-byte codes
@@ -338,6 +347,10 @@ def vector_index_build(
                 corpus, index_path, id_col, vec_col,
                 epoch_mark=epoch_mark, expect_params=expect,
             )
+            if max_snapshots and len(
+                _vxi_recover_live(spark, index_path)
+            ) > max_snapshots:
+                _vxi_optimize(spark, index_path, 4_000_000)
             return _vxi_read(spark, index_path)[0]
         if epoch_mark is not None:
             raise ValueError("epoch_mark requires the versioned layout")

@@ -624,6 +624,7 @@ def run_vector_index_ingest_stream(
     compact_every: int | None = None,
     writer_id: str = "vecidx",
     centroids=None,
+    max_snapshots: int | None = None,
 ) -> None:
     """Streaming ingest into the persisted vector index
     (similarity/vector_index.py): every micro-batch of embeddings is
@@ -642,7 +643,10 @@ def run_vector_index_ingest_stream(
 
     ``compact_every``: fold snapshots through the CAS watermark every N
     batches, bounding file count at steady state; compaction is
-    idempotent under replay."""
+    idempotent under replay. ``max_snapshots``: the state-based twin —
+    compact whenever the LIVE snapshot count exceeds the threshold
+    (robust where epoch ids restart, e.g. a new checkpoint dir); both
+    triggers compose, either alone suffices."""
     from ..similarity import optimize_vector_index, vector_index_build
     from ..similarity.vector_index import _vxi_is_versioned
 
@@ -658,6 +662,7 @@ def run_vector_index_ingest_stream(
             vector_index_build(
                 batch, index_dir, id_col, vec_col,
                 mode="append", epoch_mark=mark,
+                max_snapshots=max_snapshots,
             )
         else:
             # founding: the epoch mark rides the founding snapshot, so

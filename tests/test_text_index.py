@@ -614,3 +614,24 @@ def test_default_layout_is_versioned(spark, tmp_path):
         )
     )
     assert got == want
+
+
+def test_versioned_text_index_auto_compaction_threshold(spark, tmp_path):
+    """max_snapshots on appends: the live snapshot count stays bounded
+    (auto-triggered optimize under the CAS publish) and scores stay
+    bit-identical to the raw-text recompute throughout."""
+    from etl_job_applify_spark.functions.text_index import (
+        _tidx_recover_live,
+    )
+
+    vers = str(tmp_path / "auto_vers")
+    gens = [_docs(spark, 100 * g, 6) for g in range(7)]
+    text_index_build(gens[0], vers, layout="versioned")
+    both = gens[0]
+    for gen in gens[1:]:
+        text_index_build(gen, vers, mode="append", max_snapshots=3)
+        both = both.unionByName(gen)
+        assert len(_tidx_recover_live(spark, vers)) <= 3
+    assert _score_map(
+        text_index_bm25(spark, vers, _qterms(spark))
+    ) == _score_map(bm25_scores(both, _qterms(spark)))

@@ -764,3 +764,75 @@ def test_meta_cols_survive_append_delete_compact(spark, tmp_path):
         live.filter(F.col("lang") == "de"), _queries(spark), k=5
     )
     assert _res(got) == _res(want)
+
+
+def test_streaming_ingest_auto_compaction_threshold(spark, tmp_path):
+    """max_snapshots: a 30-epoch streamed ingest must keep the LIVE
+    snapshot count at or below the threshold (compaction auto-triggers
+    under the usual CAS publish — no manual optimize anywhere), with
+    counts exact and probe results bit-identical to a one-shot build
+    over the union of all batches with the same founding quantizer."""
+    from etl_job_applify_spark.similarity.vector_index import (
+        _vxi_read,
+        _vxi_recover_live,
+    )
+    from etl_job_applify_spark.streaming import (
+        run_vector_index_ingest_stream,
+    )
+
+    corpus = _vecs(spark, n=60)
+    src = tmp_path / "src30"
+    src.mkdir()
+    for b in range(30):
+        corpus.filter(
+            (F.col("vec_id") >= 2 * b) & (F.col("vec_id") < 2 * (b + 1))
+        ).coalesce(1).write.parquet(str(src / f"b{b:02d}.parquet"))
+    cents = _anchor_centroids(corpus)
+    idx = str(tmp_path / "auto_idx")
+    stream = (
+        spark.readStream.schema("vec_id long, embedding array<double>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src) + "/*.parquet")
+    )
+    run_vector_index_ingest_stream(
+        stream, idx, num_cells=4, centroids=cents, max_snapshots=5
+    )
+    live = _vxi_recover_live(spark, idx)
+    # 30 epochs, threshold 5: without the trigger the live set would be
+    # 30 snapshots — the threshold bounds it
+    assert 1 <= len(live) <= 5
+    meta = _vxi_read(spark, idx)[0]
+    assert meta["n_vecs"] == 60
+    ref = str(tmp_path / "auto_ref")
+    vector_index_build(corpus, ref, num_cells=4, centroids=cents)
+    assert _res(
+        vector_index_probe(spark, idx, _queries(spark), k=5, nprobe=2)
+    ) == _res(
+        vector_index_probe(spark, ref, _queries(spark), k=5, nprobe=2)
+    )
+
+
+def test_batch_append_auto_compaction_invariant(spark, tmp_path):
+    """The live-count invariant holds after EVERY append, and the same
+    threshold exists on the text and dedup indexes (shared protocol)."""
+    from etl_job_applify_spark.similarity.vector_index import (
+        _vxi_recover_live,
+    )
+
+    corpus = _vecs(spark, n=48)
+    idx = str(tmp_path / "auto_batch")
+    vector_index_build(
+        corpus.filter(F.col("vec_id") < 8), idx, num_cells=4,
+        centroids=_anchor_centroids(corpus),
+    )
+    for b in range(1, 6):
+        vector_index_build(
+            corpus.filter(
+                (F.col("vec_id") >= 8 * b) & (F.col("vec_id") < 8 * (b + 1))
+            ),
+            idx, mode="append", max_snapshots=3,
+        )
+        assert len(_vxi_recover_live(spark, idx)) <= 3
+    got = vector_index_probe(spark, idx, _queries(spark), k=5, nprobe=99)
+    want = cosine_topk(corpus, _queries(spark), k=5)
+    assert _res(got) == _res(want)

@@ -425,3 +425,33 @@ def test_versioned_dedup_delete_then_reappend_probes_again(spark, tmp_path):
         ).collect()
     }
     assert (7, 100) in got and (23, 101) not in got
+
+
+def test_versioned_dedup_auto_compaction_threshold(spark, tmp_path):
+    """max_snapshots on versioned_index_append: live snapshot count
+    stays bounded by auto-triggered compaction; probe results equal the
+    unbounded index's."""
+    from etl_job_applify_spark.dedup.incremental import _vidx_recover_live
+
+    idx = str(tmp_path / "auto_vers")
+    history = _corpus(spark)
+    minhash_index_build(
+        history, idx, num_hashes=64, bands=16, layout="versioned"
+    )
+    for g in range(6):
+        rows = [
+            (2000 + g * 10 + i,
+             f"generation {g} doc {i} with its own vocabulary " * 3)
+            for i in range(3)
+        ]
+        gen = spark.createDataFrame(rows, "doc_id long, text string")
+        versioned_index_append(gen, idx, max_snapshots=3)
+        history = history.unionByName(gen)
+        assert len(_vidx_recover_live(spark, idx)) <= 3
+    got = {
+        (r["a"], r["b"])
+        for r in minhash_index_probe(
+            spark, idx, _batch(spark), history
+        ).collect()
+    }
+    assert (7, 100) in got and (23, 101) in got
