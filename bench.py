@@ -68,7 +68,96 @@ HEADLINE = [
 # registered query builds BOTH persisted indexes inside itself (the
 # gate needs self-contained lifecycles), so its wall time is ~80% index
 # BUILD — an amortized one-time cost misread as per-query serving cost.
-# The serve-side split is measured in BENCHNOTES round 10.
+# Instead, round 11 adds SERVE-ONLY twins (below): the indexes are
+# built once in bench setup (untimed, like a production ingest job) and
+# the measured entries are the probe-only paths — the steady-state
+# serving numbers. q194_bm25_index_probe stays for cross-round
+# comparability; its serve-only twin q194_bm25_serve_only isolates the
+# probe.
+SERVE_ONLY = ["q194_bm25_serve_only", "q235_hybrid_rrf_serve_only"]
+
+
+def _build_serve_indexes(spark, sf_dir: str, idx_root: str):
+    """One-time (untimed) index builds + the serve-only callables.
+    Mirrors q194's probe and q235's fusion exactly, but against
+    PRE-BUILT indexes — the steady-state serving shape."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from etl_job_applify_spark.functions.text_index import (
+        text_index_bm25,
+        text_index_build,
+    )
+    from etl_job_applify_spark.queries._util import tbl
+    from etl_job_applify_spark.queries.textops import _Q190_QUERIES
+    from etl_job_applify_spark.similarity import (
+        vector_index_build,
+        vector_index_probe,
+    )
+
+    docs = tbl(spark, sf_dir, "documents").select("doc_id", "text")
+    emb = tbl(spark, sf_dir, "embeddings")
+    tpath, vpath = f"{idx_root}/text", f"{idx_root}/vec"
+    text_index_build(docs, tpath, layout="flat")
+    vector_index_build(emb, vpath, num_cells=16)
+    qterms_rows = [(qid, w) for qid, ws in _Q190_QUERIES for w in ws]
+    anchor_ids = [qid for qid, _ in _Q190_QUERIES]
+
+    def q194_serve(spark_, _sf_dir):
+        qterms = spark_.createDataFrame(qterms_rows, "qid int, word string")
+        w = Window.partitionBy("qid").orderBy(
+            F.desc("score"), F.asc("doc_id")
+        )
+        return (
+            text_index_bm25(spark_, tpath, qterms)
+            .withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= 5)
+            .select("qid", "doc_id", "rnk", "score")
+        )
+
+    def q235_serve(spark_, sf_dir_):
+        K_TOP, LEG_L = 10, 20
+        qterms = spark_.createDataFrame(qterms_rows, "qid int, word string")
+        anchors = tbl(spark_, sf_dir_, "embeddings").filter(
+            F.col("vec_id").isin(anchor_ids)
+        ).select(F.col("vec_id").alias("query_id"), "embedding")
+        w_lex = Window.partitionBy("qid").orderBy(
+            F.desc("score"), F.asc("doc_id")
+        )
+        lex = (
+            text_index_bm25(spark_, tpath, qterms)
+            .withColumn("lex_rank", F.row_number().over(w_lex))
+            .filter(F.col("lex_rank") <= LEG_L)
+            .select("qid", "doc_id", "lex_rank")
+        )
+        vec = vector_index_probe(
+            spark_, vpath, anchors, k=LEG_L, nprobe=999
+        ).select(
+            F.col("query_id").cast("int").alias("qid"),
+            F.col("neighbor").alias("doc_id"),
+            F.col("rank").cast("int").alias("vec_rank"),
+        )
+        fused = lex.join(vec, ["qid", "doc_id"], "full_outer").withColumn(
+            "rrf_score",
+            F.expr(
+                "coalesce(1e0 / (60 + lex_rank), 0e0)"
+                " + coalesce(1e0 / (60 + vec_rank), 0e0)"
+            ),
+        )
+        w_f = Window.partitionBy("qid").orderBy(
+            F.desc("rrf_score"), F.asc("doc_id")
+        )
+        return (
+            fused.withColumn("rrf_rank", F.row_number().over(w_f))
+            .filter(F.col("rrf_rank") <= K_TOP)
+            .select("qid", "doc_id", "rrf_rank", "rrf_score",
+                    "lex_rank", "vec_rank")
+        )
+
+    return {
+        "q194_bm25_serve_only": q194_serve,
+        "q235_hybrid_rrf_serve_only": q235_serve,
+    }
 
 #: measured passes per query. Single-run snapshots kept recording ±20%
 #: machine-noise swings as phantom regressions (BENCHNOTES round-4/5);
@@ -80,29 +169,42 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
     spark = get_spark_session("bench")
-    qs = registry.queries()
+    qs = dict(registry.queries())
+
+    # serve-only twins: build the persisted indexes ONCE at the bench SF
+    # (untimed setup — the production ingest job), measure the probes
+    import shutil
+    import tempfile
+
+    idx_root = tempfile.mkdtemp(prefix="bench_idx_")
+    qs.update(_build_serve_indexes(spark, sf_dir, idx_root))
+    measured = HEADLINE + SERVE_ONLY
 
     # warm every headline plan once at the small SF so JVM/codegen/JIT
     # startup isn't billed to the measured runs (steady-state numbers are
     # what a long-running cluster job sees); fall back to the bench dir
-    # when the small fixture isn't present on this host
+    # when the small fixture isn't present on this host. The serve-only
+    # twins warm at the BENCH dir — their indexes are built there.
     warm_dir = "/root/testdata/sf0.01"
     if not os.path.isdir(warm_dir):
         warm_dir = sf_dir
     for name in HEADLINE:
         qs[name](spark, warm_dir).write.format("noop").mode("overwrite").save()
+    for name in SERVE_ONLY:
+        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
 
     # RUNS full passes, interleaved by pass (not back-to-back per query,
     # so a transient machine-load spike dents one PASS, not one query's
     # entire sample); per-query median is the reported number
-    samples: dict[str, list[float]] = {name: [] for name in HEADLINE}
+    samples: dict[str, list[float]] = {name: [] for name in measured}
     for _ in range(RUNS):
-        for name in HEADLINE:
+        for name in measured:
             t0 = time.perf_counter()
             qs[name](spark, sf_dir).write.format("noop").mode(
                 "overwrite"
             ).save()
             samples[name].append(time.perf_counter() - t0)
+    shutil.rmtree(idx_root, ignore_errors=True)
 
     times = {
         name: round(sorted(ts)[len(ts) // 2], 3)
