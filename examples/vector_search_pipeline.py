@@ -20,6 +20,20 @@ end, with every stage self-verifying:
                publishes as one CAS snapshot (also purges tombstones).
                Verified: post-reindex serving equals a recompute pinned
                to the NEW centroids over the full live corpus.
+5. FILTER      filtered serving — "top-k WHERE lang='en'": the index
+               stores metadata columns (meta_cols at founding, carried
+               through append and reindex), and the probe's `where=`
+               predicate applies INSIDE the probed cells before top-k,
+               so the full k survivors come back (post-filtering the
+               top-k would silently return fewer). Verified equal to a
+               recompute over the pre-filtered corpus.
+6. HYBRID      RAG-style retrieval served ENTIRELY from persisted
+               state: the inverted text index answers the BM25 lexical
+               leg, the vector index answers the cosine leg
+               (nprobe >= cells: the degenerate-exact probe), fused by
+               reciprocal-rank fusion. Verified equal to the raw
+               recompute of both legs — zero corpus-sized work at
+               query time beyond the pruned index reads.
 
 Run:
 
@@ -49,7 +63,13 @@ def main(spark: SparkSession, sf_dir: str) -> dict:
     )
     from etl_job_applify_spark.similarity.vector_index import _live_cells
 
-    emb = tbl(spark, sf_dir, "embeddings")
+    lang = F.element_at(
+        F.array(F.lit("en"), F.lit("de"), F.lit("fr")),
+        (F.col("vec_id") % 3 + 1).cast("int"),
+    ).alias("lang")
+    emb = tbl(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", lang
+    )
     history = emb.filter(F.col("vec_id") % 10 != 0)
     todays = emb.filter(F.col("vec_id") % 10 == 0)
     queries = emb.filter(F.col("vec_id") < 3).select(
@@ -80,8 +100,9 @@ def main(spark: SparkSession, sf_dir: str) -> dict:
             )
         )
 
-    # 1. FOUND on the history (trained quantizer, versioned layout)
-    vector_index_build(history, idx, num_cells=16)
+    # 1. FOUND on the history (trained quantizer, versioned layout,
+    #    lang stored per vector so probes can filter on it)
+    vector_index_build(history, idx, num_cells=16, meta_cols=["lang"])
     # 2. SERVE — and prove index-served == recompute with the recorded
     #    quantizer, bit for bit
     assert served() == recomputed(history), "serve diverged post-found"
@@ -100,11 +121,128 @@ def main(spark: SparkSession, sf_dir: str) -> dict:
     after_reindex = served()
     assert after_reindex == recomputed(emb), "serve diverged post-reindex"
 
+    # 5. FILTERED serve: the predicate applies inside the probed cells
+    #    (meta_cols survived the append AND the reindex) — equal to a
+    #    recompute over the pre-filtered corpus, full k per query
+    filtered = sorted(
+        map(
+            tuple,
+            vector_index_probe(
+                spark, idx, queries, k=5, nprobe=999, where="lang = 'en'"
+            ).collect(),
+        )
+    )
+    from etl_job_applify_spark.similarity import cosine_topk
+
+    assert filtered == sorted(
+        map(
+            tuple,
+            cosine_topk(
+                emb.filter(F.col("lang") == "en"), queries, k=5
+            ).collect(),
+        )
+    ), "filtered serve diverged from brute filtered cosine"
+    assert len(filtered) == 5 * queries.count(), "filtered probe short"
+
+    # 6. HYBRID RRF served from BOTH persisted indexes (the q235/q200
+    #    contract): indexed BM25 leg + indexed cosine leg, fused — and
+    #    verified against the raw recompute of both legs
+    hybrid_rows = _hybrid_stage(spark, sf_dir, idx)
+
     return {
         "n_indexed": meta["n_vecs"],
         "results_per_query": len(after_reindex) // queries.count(),
-        "stages_verified": 3,
+        "hybrid_rows": hybrid_rows,
+        "stages_verified": 5,
     }
+
+
+def _hybrid_stage(spark: SparkSession, sf_dir: str, vec_idx: str) -> int:
+    """Indexed-RRF serving, self-verified against the recompute legs."""
+    from pyspark.sql import Window
+
+    from etl_job_applify_spark.functions.retrieval import bm25_scores
+    from etl_job_applify_spark.functions.text_index import (
+        text_index_bm25,
+        text_index_build,
+    )
+    from etl_job_applify_spark.queries._util import tbl
+    from etl_job_applify_spark.similarity import (
+        cosine_topk,
+        vector_index_probe,
+    )
+
+    K_TOP, LEG_L = 10, 20
+    docs = tbl(spark, sf_dir, "documents").select("doc_id", "text")
+    emb = tbl(spark, sf_dir, "embeddings")
+    qdefs = [(1, ["hash", "join"]), (2, ["sort", "merge", "scan"])]
+    qterms = spark.createDataFrame(
+        [(qid, w) for qid, ws in qdefs for w in ws], "qid int, word string"
+    )
+    anchors = emb.filter(
+        F.col("vec_id").isin([qid for qid, _ in qdefs])
+    ).select(F.col("vec_id").alias("query_id"), "embedding")
+    tdir = tempfile.mkdtemp(prefix="vecsearch_text_")
+
+    def fuse(lex_scored, vec_ranked):
+        w_lex = Window.partitionBy("qid").orderBy(
+            F.desc("score"), F.asc("doc_id")
+        )
+        lex = (
+            lex_scored.withColumn("lex_rank", F.row_number().over(w_lex))
+            .filter(F.col("lex_rank") <= LEG_L)
+            .select("qid", "doc_id", "lex_rank")
+        )
+        fused = lex.join(
+            vec_ranked, ["qid", "doc_id"], "full_outer"
+        ).withColumn(
+            "rrf_score",
+            F.expr(
+                "coalesce(1e0 / (60 + lex_rank), 0e0)"
+                " + coalesce(1e0 / (60 + vec_rank), 0e0)"
+            ),
+        )
+        w_f = Window.partitionBy("qid").orderBy(
+            F.desc("rrf_score"), F.asc("doc_id")
+        )
+        return sorted(
+            map(
+                tuple,
+                fused.withColumn("rrf_rank", F.row_number().over(w_f))
+                .filter(F.col("rrf_rank") <= K_TOP)
+                .select("qid", "doc_id", "rrf_rank", "rrf_score")
+                .collect(),
+            )
+        )
+
+    def vec_leg(df):
+        return df.select(
+            F.col("query_id").cast("int").alias("qid"),
+            F.col("neighbor").alias("doc_id"),
+            F.col("rank").cast("int").alias("vec_rank"),
+        )
+
+    try:
+        text_index_build(docs, f"{tdir}/text")  # versioned default
+        served = fuse(
+            text_index_bm25(spark, f"{tdir}/text", qterms),
+            vec_leg(
+                vector_index_probe(
+                    spark, vec_idx, anchors, k=LEG_L, nprobe=999
+                )
+            ),
+        )
+        recomputed = fuse(
+            bm25_scores(docs, qterms),
+            vec_leg(cosine_topk(emb, anchors, k=LEG_L)),
+        )
+    finally:
+        import shutil
+
+        shutil.rmtree(tdir, ignore_errors=True)
+    assert served == recomputed, "indexed hybrid RRF diverged from recompute"
+    assert len(served) > 0
+    return len(served)
 
 
 if __name__ == "__main__":
