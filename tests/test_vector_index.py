@@ -836,3 +836,83 @@ def test_batch_append_auto_compaction_invariant(spark, tmp_path):
     got = vector_index_probe(spark, idx, _queries(spark), k=5, nprobe=99)
     want = cosine_topk(corpus, _queries(spark), k=5)
     assert _res(got) == _res(want)
+
+
+def test_residual_pq_probe_matches_recompute_and_survives_lifecycle(
+    spark, tmp_path
+):
+    """pq_encoding='residual' (FAISS IVFADC, mean-offset variant): the
+    index-served ADC probe equals the recompute kernel pinned to the
+    recorded (centroids, codebooks, offsets); the recorded encoding —
+    offsets riding the centroids relation — survives append, delete,
+    compaction; a full-shortlist full-nprobe probe equals brute-force
+    cosine over the live corpus."""
+    from etl_job_applify_spark.similarity.pq import ann_topk_ivfpq as ivfpq
+    from etl_job_applify_spark.similarity.vector_index import _live_cells
+
+    corpus = _vecs(spark)
+    history = corpus.filter(F.col("vec_id") < 40)
+    batch = corpus.filter(F.col("vec_id") >= 40)
+    idx = str(tmp_path / "vxi_resid")
+    meta = vector_index_build(
+        history, idx, num_cells=4, m=4, k_codes=4, pq_encoding="residual"
+    )
+    assert meta["pq_encoding"] == "residual"
+    got = vector_index_probe(
+        spark, idx, _queries(spark), k=5, nprobe=3,
+        use_codes=True, shortlist=16,
+    )
+    _, cents, books, offs, _ = _live_cells(spark, idx)
+    assert offs is not None
+    want = ivfpq(
+        history, _queries(spark), k=5, num_cells=4, nprobe=3, m=4,
+        k_codes=4, shortlist=16, centroids=cents, codebooks=books,
+        encoding="residual", offsets=offs,
+    )
+    assert _res(got) == _res(want)
+    # lifecycle: append (encoded with the recorded residual quantizer),
+    # delete, compact — then the degenerate-exact probe equals brute
+    vector_index_build(batch, idx, mode="append")
+    vector_index_delete(spark, idx, [2, 6])
+    optimize_vector_index(spark, idx)
+    live = corpus.filter(~F.col("vec_id").isin([2, 6]))
+    got2 = vector_index_probe(
+        spark, idx, _queries(spark), k=5, nprobe=99,
+        use_codes=True, shortlist=9999,
+    )
+    assert _res(got2) == _res(cosine_topk(live, _queries(spark), k=5))
+
+
+def test_residual_reindex_and_param_validation(spark, tmp_path):
+    """Reindex keeps (or re-shapes) the recorded encoding; pinned
+    residual codebooks without offsets are refused."""
+    from etl_job_applify_spark.similarity import reindex_vector_index
+    from etl_job_applify_spark.similarity.pq import train_pq_codebooks
+
+    corpus = _vecs(spark)
+    idx = str(tmp_path / "vxi_resid_re")
+    vector_index_build(
+        corpus, idx, num_cells=4, m=4, k_codes=4, pq_encoding="residual"
+    )
+    meta = reindex_vector_index(spark, idx, num_cells=3)
+    assert meta["pq_encoding"] == "residual" and meta["num_cells"] == 3
+    got = vector_index_probe(
+        spark, idx, _queries(spark), k=5, nprobe=99,
+        use_codes=True, shortlist=9999,
+    )
+    assert _res(got) == _res(cosine_topk(corpus, _queries(spark), k=5))
+    # reshape residual -> plain drops the offsets cleanly
+    meta = reindex_vector_index(spark, idx, pq_encoding="plain")
+    assert meta["pq_encoding"] == "plain"
+    got = vector_index_probe(
+        spark, idx, _queries(spark), k=5, nprobe=99,
+        use_codes=True, shortlist=9999,
+    )
+    assert _res(got) == _res(cosine_topk(corpus, _queries(spark), k=5))
+    # pinned residual codebooks need matching offsets
+    books = train_pq_codebooks(corpus, m=4, k=4)
+    with pytest.raises(ValueError, match="matching offsets"):
+        vector_index_build(
+            corpus, str(tmp_path / "vxi_bad"), num_cells=4, m=4,
+            k_codes=4, pq_encoding="residual", codebooks=books,
+        )
