@@ -695,11 +695,20 @@ def run_vector_search_stream(
     query_id_col: str = "query_id",
     vec_col: str = "embedding",
     writer_id: str = "vecsearch",
+    where: str | None = None,
+    use_codes: bool = False,
+    shortlist: int = 64,
 ) -> None:
     """Nearline ANN serving: a STREAM of query embeddings probed
     per-micro-batch against the persisted vector index, results
     appended to a CAS log table with per-epoch fencing — the
     query-side twin of ``run_vector_index_ingest_stream``.
+
+    ``where``: optional metadata predicate (over the index's
+    ``meta_cols``) applied INSIDE the probed cells before top-k —
+    filtered serving ("top-k WHERE lang='en'") at the stream level.
+    ``use_codes``/``shortlist``: serve the PQ/ADC path instead of
+    exact cosine (requires a PQ-enabled index).
 
     Each batch's results ride one ``append_log_version`` snapshot
     carrying ``_epoch_<writer_id>_<epoch>``, so an at-least-once
@@ -736,6 +745,9 @@ def run_vector_search_stream(
             nprobe=nprobe,
             query_id_col=query_id_col,
             vec_col=vec_col,
+            where=where,
+            use_codes=use_codes,
+            shortlist=shortlist,
         )
         append_log_version(
             hits.withColumn("batch_id", F.lit(epoch_id)),

@@ -916,3 +916,55 @@ def test_residual_reindex_and_param_validation(spark, tmp_path):
             corpus, str(tmp_path / "vxi_bad"), num_cells=4, m=4,
             k_codes=4, pq_encoding="residual", codebooks=books,
         )
+
+
+def test_streaming_search_filtered(spark, tmp_path):
+    """Filtered nearline serving: run_vector_search_stream(where=...)
+    probes with the predicate inside the cells — every batch's logged
+    results equal a direct filtered probe, exactly once under replay."""
+    import time
+
+    from etl_job_applify_spark.sinks.versioned import read_log_table
+    from etl_job_applify_spark.streaming import run_vector_search_stream
+
+    corpus = _meta_corpus(spark)
+    idx = str(tmp_path / "fserve_idx")
+    vector_index_build(
+        corpus, idx, num_cells=4, centroids=_anchor_centroids(corpus),
+        meta_cols=["lang"],
+    )
+    src = tmp_path / "fqsrc"
+    src.mkdir()
+    results = str(tmp_path / "fresults")
+    q1 = _queries(spark).filter(F.col("query_id") <= 101)
+    q2 = _queries(spark).filter(F.col("query_id") > 101)
+    q1.coalesce(1).write.parquet(str(src / "q1.parquet"))
+    time.sleep(1.1)
+    q2.coalesce(1).write.parquet(str(src / "q2.parquet"))
+
+    def run():
+        stream = (
+            spark.readStream.schema(
+                "query_id long, embedding array<double>"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src) + "/*.parquet")
+        )
+        run_vector_search_stream(
+            stream, idx, results, k=5, nprobe=2, where="lang = 'en'"
+        )
+
+    run()
+    got = read_log_table(spark, results)
+    direct = vector_index_probe(
+        spark, idx, _queries(spark), k=5, nprobe=2, where="lang = 'en'"
+    )
+    assert sorted(
+        (r["query_id"], r["neighbor"], r["cosine"], r["rank"])
+        for r in got.collect()
+    ) == _res(direct)
+    first = sorted(map(tuple, got.collect()))
+    run()  # replay: fenced, log unchanged
+    assert sorted(
+        map(tuple, read_log_table(spark, results).collect())
+    ) == first
