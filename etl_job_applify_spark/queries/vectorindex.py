@@ -276,6 +276,92 @@ SELECT query_id, neighbor, cosine, CAST(rank AS INT) AS rank FROM (
 """
 
 
+# --- q240: index observability (DESCRIBE INDEX) under the exact oracle ----
+# The ops surface: vector_index_cell_histogram over q232's
+# deterministic lifecycle state (pinned anchors, epoch-fenced append,
+# tombstoned deletes). The per-cell live-count histogram is pure
+# relational arithmetic under pinned anchors, so the oracle replays it
+# exactly — any assignment drift, tombstone leak, or meta-column loss
+# shifts a count and breaks the hash. vector_index_stats invariants
+# (exact logical counter == live rows == histogram total; pending
+# tombstones == deleted set; snapshot count == found+append+delete;
+# skew >= 1) are asserted in-query.
+
+def q240_vector_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..similarity import (
+        vector_index_cell_histogram,
+        vector_index_stats,
+    )
+
+    emb = tbl(spark, sf_dir, "embeddings")
+    history = emb.filter(F.col("vec_id") % 10 != 0)
+    batch = emb.filter(F.col("vec_id") % 10 == 0)
+    doomed = emb.filter(F.col("vec_id") % 10 == 3).select(
+        F.col("vec_id").alias("vid")
+    )
+    cents = [
+        r["embedding"]
+        for r in history.orderBy("vec_id").limit(_Q232_CELLS).collect()
+    ]
+    n_live_expect = emb.filter(F.col("vec_id") % 10 != 3).count()
+    n_doomed = doomed.count()
+
+    def build(path):
+        vector_index_build(
+            history, path, num_cells=_Q232_CELLS, centroids=cents
+        )
+        vector_index_build(batch, path, mode="append")
+        vector_index_delete(spark, path, doomed)
+
+    def probe(path):
+        stats = vector_index_stats(spark, path)
+        hist = vector_index_cell_histogram(spark, path)
+        total = hist.agg(F.sum("n_live")).first()[0]
+        ok = (
+            stats["n_vecs"] == stats["n_live_rows"] == total
+            == n_live_expect
+            and stats["n_pending_tombstones"] == n_doomed
+            and stats["layout"] == "versioned"
+            and stats["live_snapshots"] == 3
+            and stats["num_cells"] == _Q232_CELLS
+            and stats["cell_skew"] >= 1.0
+            and stats["max_cell"]
+            == hist.agg(F.max("n_live")).first()[0]
+        )
+        if not ok:
+            raise AssertionError(f"stats invariants failed: {stats}")
+        return hist.select(
+            F.col("cell").cast("int").alias("cell"),
+            F.col("n_live").cast("bigint").alias("n_live"),
+        )
+
+    return _with_temp_index(spark, build, probe)
+
+
+_Q240_SQL = f"""
+WITH live AS (
+  SELECT vec_id, embedding FROM embeddings WHERE vec_id % 10 <> 3
+),
+anchors AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cell, embedding AS av
+  FROM embeddings WHERE vec_id % 10 <> 0
+  ORDER BY vec_id LIMIT {_Q232_CELLS}
+),
+assigned AS (
+  SELECT vec_id, cell FROM (
+    SELECT v.vec_id, a.cell,
+           ROW_NUMBER() OVER (
+             PARTITION BY v.vec_id
+             ORDER BY {_L2_SQL.format(a='v.embedding', b='a.av')}, a.cell
+           ) AS rn
+    FROM live v CROSS JOIN anchors a
+  ) WHERE rn = 1
+)
+SELECT CAST(cell AS INT) AS cell, CAST(COUNT(*) AS BIGINT) AS n_live
+FROM assigned GROUP BY cell
+"""
+
+
 # --- q237: quantizer-drift reindex under the exact oracle -----------------
 # q232's lifecycle continued into maintenance: after found + append +
 # delete, the index is REINDEXED in place — new deterministic anchors
@@ -652,6 +738,7 @@ QUERIES = {
     "q237_vector_index_reindex": q237_vector_index_reindex,
     "q238_vector_index_filtered": q238_vector_index_filtered,
     "q239_pq_residual_serving": q239_pq_residual_serving,
+    "q240_vector_index_stats": q240_vector_index_stats,
 }
 
 
@@ -676,6 +763,9 @@ ORACLE = {
     # parity + quantization-error + recall asserted in-query; the
     # oracle pins the verdict row
     "q239_pq_residual_serving": _Q239_SQL,
+    # the cell histogram is exact relational arithmetic under pinned
+    # anchors; stats invariants asserted in-query
+    "q240_vector_index_stats": _Q240_SQL,
     # both legs served from persisted indexes must equal the raw
     # recompute: the oracle IS q200's
     "q235_hybrid_rrf_indexed": _q200_sql(),

@@ -700,6 +700,99 @@ def vector_index_probe(
     )
 
 
+def vector_index_cell_histogram(
+    spark: SparkSession, index_path: str
+) -> DataFrame:
+    """(cell, n_live) per non-empty cell — the quantizer-balance view.
+    Probe cost scales with the PROBED cells' sizes, so a skewed
+    histogram (hot cells from corpus drift away from the founding
+    sample) is the operational signal that ``reindex_vector_index`` is
+    due. Exactly reproducible under pinned anchors (q240's oracle
+    replays the assignment histogram relationally)."""
+    cells = _live_cells(spark, index_path)[4]
+    return cells.groupBy("cell").agg(F.count("*").alias("n_live"))
+
+
+def vector_index_stats(spark: SparkSession, index_path: str) -> dict:
+    """DESCRIBE INDEX: one dict of operational facts —
+
+    - quantizer shape (``num_cells``/``m``/``k_codes``/``dim``/
+      ``pq_encoding``/``meta_cols``) and the exact logical ``n_vecs``;
+    - ``layout`` + ``live_snapshots`` (versioned: the N-way union every
+      probe plans over — the ``max_snapshots`` trigger's input) and
+      ``data_files`` (small-file pressure — compaction's input);
+    - ``n_pending_tombstones`` (rows suppressed at probe time, space
+      reclaimed at the next compaction);
+    - cell balance: ``max_cell`` / ``avg_cell`` / ``cell_skew`` (their
+      ratio) and ``nonempty_cells`` — ``cell_skew`` drifting upward is
+      the reindex trigger signal (probe latency is bounded by the
+      hottest probed cell).
+
+    Driver-side cost: one aggregate over the live cells + directory
+    listings — control-plane work, no corpus-sized collect."""
+    versioned = _vxi_is_versioned(spark, index_path)
+    if versioned:
+        meta, cells, live = _vxi_read(spark, index_path)
+        snapshots = len(live)
+        files = sum(
+            1 for p in live for _f in _index_data_files(f"{p}/cells")
+        )
+        from pyspark.sql.types import LongType, StructField, StructType
+
+        from ..sinks.versioned import snapshot_members
+
+        t_schema = StructType([StructField("vid", LongType())])
+        del_paths = [
+            f"{p}/deletes" for p in live
+            if "deletes" in snapshot_members(spark, p)
+        ]
+        tombs = (
+            spark.read.schema(t_schema).parquet(*del_paths)
+            .select("vid").distinct().count()
+            if del_paths
+            else 0
+        )
+    else:
+        _recover_vector_index(index_path)
+        meta = _read_meta(index_path)
+        cells = _read_flat_cells(spark, index_path, meta)
+        deletes = _read_flat_deletes(spark, index_path)
+        tombs = deletes.count() if deletes is not None else 0
+        if deletes is not None:
+            cells = cells.join(deletes, "vid", "left_anti")
+        snapshots = 1
+        files = len(
+            _index_data_files(os.path.join(index_path, "cells"))
+        )
+    agg = cells.groupBy("cell").agg(F.count("*").alias("n")).agg(
+        F.sum("n").alias("total"),
+        F.max("n").alias("mx"),
+        F.count("*").alias("nonempty"),
+    ).first()
+    n_live = int(agg["total"] or 0)
+    max_cell = int(agg["mx"] or 0)
+    nonempty = int(agg["nonempty"] or 0)
+    avg_cell = n_live / meta["num_cells"] if meta["num_cells"] else 0.0
+    return {
+        "layout": "versioned" if versioned else "flat",
+        "num_cells": meta["num_cells"],
+        "m": meta["m"],
+        "k_codes": meta["k_codes"],
+        "dim": meta["dim"],
+        "pq_encoding": meta.get("pq_encoding", "plain"),
+        "meta_cols": meta.get("meta_cols", []),
+        "n_vecs": meta["n_vecs"],
+        "n_live_rows": n_live,
+        "n_pending_tombstones": tombs,
+        "live_snapshots": snapshots,
+        "data_files": files,
+        "nonempty_cells": nonempty,
+        "max_cell": max_cell,
+        "avg_cell": avg_cell,
+        "cell_skew": (max_cell / avg_cell) if avg_cell else 0.0,
+    }
+
+
 def vector_index_delete(
     spark: SparkSession, index_path: str, vec_ids
 ) -> dict:
