@@ -8,6 +8,7 @@ from .incremental import (
     minhash_index_build,
     minhash_index_delete,
     minhash_index_probe,
+    minhash_index_stats,
     optimize_index,
     versioned_index_append,
     versioned_index_has_epoch,
@@ -27,6 +28,7 @@ __all__ = [
     "minhash_index_build",
     "minhash_index_delete",
     "minhash_index_probe",
+    "minhash_index_stats",
     "optimize_index",
     "is_versioned_index",
     "versioned_index_append",

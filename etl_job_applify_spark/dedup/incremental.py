@@ -732,6 +732,95 @@ def _vidx_delete(
     )
 
 
+
+def minhash_index_stats(spark: SparkSession, index_path: str) -> dict:
+    """DESCRIBE INDEX for the MinHash dedup index (the
+    ``vector_index_stats`` / ``text_index_stats`` twin — the shared
+    observability surface of the three persisted index families):
+
+    - recorded quantizer shape (``n``, ``num_hashes``, ``bands``);
+    - ``layout`` / ``live_snapshots`` / ``data_files`` /
+      ``n_pending_tombstones`` (same operational meanings as the other
+      two families);
+    - ``n_docs`` (live documents) and ``n_entries`` — the invariant
+      ``n_entries == n_docs * bands`` catches double-ingest, the exact
+      bug the epoch fence exists to prevent;
+    - bucket pressure: ``max_bucket`` / ``mean_bucket`` /
+      ``n_buckets`` — probe fanout is quadratic in bucket size, so
+      ``max_bucket`` is the direct input for tuning the
+      ``max_bucket_size`` skew cap.
+
+    One aggregate over live entries + directory listings."""
+    def _n_data_files(root: str) -> int:
+        n = 0
+        for dirpath, _dirs, names in os.walk(root):
+            if "/_deletes" in dirpath or "/." in dirpath:
+                continue
+            n += sum(
+                1
+                for f in names
+                if f.endswith(".parquet") and not f.startswith(("_", "."))
+            )
+        return n
+
+    versioned = is_versioned_index(spark, index_path)
+    if versioned:
+        params, entries, live = _vidx_read(spark, index_path)
+        snapshots = len(live)
+        files = sum(_n_data_files(p) for p in live)
+        from pyspark.sql.types import LongType, StructField, StructType
+
+        from ..sinks.versioned import snapshot_members
+
+        del_paths = [
+            f"{p}/_deletes" for p in live
+            if "_deletes" in snapshot_members(spark, p)
+        ]
+        t_schema = StructType([StructField("doc", LongType())])
+        tombs = (
+            spark.read.schema(t_schema).parquet(*del_paths)
+            .select("doc").distinct().count()
+            if del_paths
+            else 0
+        )
+    else:
+        _recover_index(index_path)
+        with open(_meta_path(index_path)) as fh:
+            params = json.load(fh)
+        entries = _read_index(spark, index_path)
+        deletes = _read_idx_deletes(spark, index_path)
+        tombs = deletes.count() if deletes is not None else 0
+        if deletes is not None:
+            entries = entries.join(deletes, "doc", "left_anti")
+        snapshots = 1
+        files = _n_data_files(index_path)
+    agg = entries.agg(
+        F.count("*").alias("n_entries"),
+        F.countDistinct("doc").alias("n_docs"),
+    ).first()
+    bagg = entries.groupBy("band", "bucket").agg(
+        F.count("*").alias("sz")
+    ).agg(
+        F.max("sz").alias("mx"),
+        F.avg("sz").alias("mean"),
+        F.count("*").alias("n_buckets"),
+    ).first()
+    return {
+        "layout": "versioned" if versioned else "flat",
+        "n": params["n"],
+        "num_hashes": params["num_hashes"],
+        "bands": params["bands"],
+        "n_docs": int(agg["n_docs"] or 0),
+        "n_entries": int(agg["n_entries"] or 0),
+        "n_pending_tombstones": tombs,
+        "live_snapshots": snapshots,
+        "data_files": files,
+        "n_buckets": int(bagg["n_buckets"] or 0),
+        "max_bucket": int(bagg["mx"] or 0),
+        "mean_bucket": float(bagg["mean"] or 0.0),
+    }
+
+
 def versioned_index_append(
     docs: DataFrame,
     index_path: str,

@@ -459,6 +459,98 @@ def _index_data_files(index_path: str) -> list[str]:
     return sorted(out)
 
 
+def text_index_stats(spark: SparkSession, index_path: str) -> dict:
+    """DESCRIBE INDEX for the inverted text index (the
+    ``vector_index_stats`` twin — shared observability surface across
+    the three persisted index families):
+
+    - recorded shape + exact logical counters (``num_buckets``,
+      ``n_docs``, ``total_dl`` → ``avgdl``);
+    - ``layout`` / ``live_snapshots`` (the per-probe union width, the
+      ``max_snapshots`` trigger's input) / ``data_files`` (small-file
+      pressure) / ``n_pending_tombstones`` (space reclaimable at the
+      next compaction);
+    - live corpus shape from the postings themselves: ``n_postings``,
+      ``n_terms``, ``max_df`` (stopword pressure — WAND pruning
+      degrades as df → n), and ``bucket_skew`` (max/avg posting rows
+      per wb bucket; a hot bucket bounds per-term scan latency).
+
+    One aggregate over live postings + doclens and directory listings —
+    control-plane work."""
+    versioned = _tidx_is_versioned(spark, index_path)
+    if versioned:
+        meta, posts, dls, live = _tidx_read(spark, index_path)
+        snapshots = len(live)
+        files = sum(
+            1
+            for p in live
+            for sub in ("postings", "doclens")
+            for _f in _index_data_files(f"{p}/{sub}")
+        )
+        from pyspark.sql.types import LongType, StructField, StructType
+
+        from ..sinks.versioned import snapshot_members
+
+        del_paths = [
+            f"{p}/deletes" for p in live
+            if "deletes" in snapshot_members(spark, p)
+        ]
+        t_schema = StructType([StructField("doc", LongType())])
+        tombs = (
+            spark.read.schema(t_schema).parquet(*del_paths)
+            .select("doc").distinct().count()
+            if del_paths
+            else 0
+        )
+    else:
+        _recover_text_index(index_path)
+        meta = _read_meta(index_path)
+        posts = _read_flat(spark, index_path, "postings", meta)
+        dls = _read_flat(spark, index_path, "doclens", meta)
+        deletes = _read_deletes(spark, index_path)
+        tombs = deletes.count() if deletes is not None else 0
+        if deletes is not None:
+            posts = posts.join(deletes, "doc", "left_anti")
+            dls = dls.join(deletes, "doc", "left_anti")
+        snapshots = 1
+        files = len(
+            _index_data_files(os.path.join(index_path, "postings"))
+        ) + len(_index_data_files(os.path.join(index_path, "doclens")))
+    pagg = posts.groupBy("word").agg(F.count("*").alias("df")).agg(
+        F.sum("df").alias("n_postings"),
+        F.count("*").alias("n_terms"),
+        F.max("df").alias("max_df"),
+    ).first()
+    bagg = posts.groupBy("wb").agg(F.count("*").alias("n")).agg(
+        F.max("n").alias("mx"), F.count("*").alias("nonempty")
+    ).first()
+    n_docs_live = dls.count()
+    n_postings = int(pagg["n_postings"] or 0)
+    avg_bucket = (
+        n_postings / meta["num_buckets"] if meta["num_buckets"] else 0.0
+    )
+    return {
+        "layout": "versioned" if versioned else "flat",
+        "num_buckets": meta["num_buckets"],
+        "n_docs": meta["n_docs"],
+        "n_docs_live": n_docs_live,
+        "total_dl": meta["total_dl"],
+        "avgdl": (
+            meta["total_dl"] / meta["n_docs"] if meta["n_docs"] else 0.0
+        ),
+        "n_postings": n_postings,
+        "n_terms": int(pagg["n_terms"] or 0),
+        "max_df": int(pagg["max_df"] or 0),
+        "n_pending_tombstones": tombs,
+        "live_snapshots": snapshots,
+        "data_files": files,
+        "nonempty_buckets": int(bagg["nonempty"] or 0),
+        "bucket_skew": (
+            int(bagg["mx"] or 0) / avg_bucket if avg_bucket else 0.0
+        ),
+    }
+
+
 def optimize_text_index(
     spark: SparkSession,
     index_path: str,

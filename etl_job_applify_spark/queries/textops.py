@@ -1029,6 +1029,79 @@ def q231_log_idf_pruned_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+# --- q241: text-index observability (DESCRIBE INDEX) ----------------------
+# text_index_stats over a versioned index with version-scoped deletes
+# (found documents, tombstone doc_id % 7 == 0): the corpus-shape
+# numbers (n_docs, total_dl, n_postings, n_terms, max_df) are pure
+# relational arithmetic over the surviving corpus, so the oracle
+# recomputes them from raw text with the shared whitespace tokenizer —
+# a counter drift, tombstone leak, or double-counted posting breaks
+# the hash. Operational invariants (live counters == live rows,
+# pending tombstones == deleted set, snapshot count, bucket skew >= 1)
+# are asserted in-query.
+
+def q241_text_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text_index import (
+        text_index_build,
+        text_index_delete,
+        text_index_stats,
+    )
+
+    docs = tbl(spark, sf_dir, "documents").select("doc_id", "text")
+    doomed = docs.filter(F.col("doc_id") % 7 == 0).select(
+        F.col("doc_id").alias("doc")
+    )
+    n_doomed = doomed.count()
+
+    def build(path):
+        text_index_build(docs, f"{path}/idx")  # versioned default
+        text_index_delete(spark, f"{path}/idx", doomed)
+
+    def probe(path):
+        st = text_index_stats(spark, f"{path}/idx")
+        ok = (
+            st["layout"] == "versioned"
+            and st["live_snapshots"] == 2
+            and st["n_docs"] == st["n_docs_live"]
+            and st["n_pending_tombstones"] == n_doomed
+            and st["bucket_skew"] >= 1.0
+            and st["avgdl"] == st["total_dl"] / st["n_docs"]
+        )
+        if not ok:
+            raise AssertionError(f"stats invariants failed: {st}")
+        return spark.createDataFrame(
+            [(
+                st["n_docs"], st["total_dl"], st["n_postings"],
+                st["n_terms"], st["max_df"],
+            )],
+            "n_docs bigint, total_dl bigint, n_postings bigint,"
+            " n_terms bigint, max_df bigint",
+        )
+
+    return _with_temp_text_index(spark, build, probe)
+
+
+_Q241_SQL = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS word
+  FROM documents WHERE doc_id % 7 <> 0
+),
+tf AS (
+  SELECT doc_id, word, COUNT(*) AS tf FROM toks GROUP BY doc_id, word
+),
+dfreq AS (
+  SELECT word, COUNT(*) AS df FROM tf GROUP BY word
+)
+SELECT
+  (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) FROM tf) AS n_docs,
+  (SELECT CAST(SUM(tf) AS BIGINT) FROM tf) AS total_dl,
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM tf) AS n_postings,
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM dfreq) AS n_terms,
+  (SELECT CAST(MAX(df) AS BIGINT) FROM dfreq) AS max_df
+"""
+
+
 QUERIES = {
     "q40_text_stats": q40_text_stats,
     "q41_lang_id": q41_lang_id,
@@ -1048,6 +1121,7 @@ QUERIES = {
     "q225_versioned_index_delete": q225_versioned_index_delete,
     "q230_bm25_log_idf": q230_bm25_log_idf,
     "q231_log_idf_pruned_topk": q231_log_idf_pruned_topk,
+    "q241_text_index_stats": q241_text_index_stats,
 }
 
 ORACLE = {
@@ -1077,4 +1151,7 @@ ORACLE = {
     "q230_bm25_log_idf": _Q230_SQL,
     # WAND pruning stays lossless under log weights: oracle IS q230's
     "q231_log_idf_pruned_topk": _Q230_SQL,
+    # corpus-shape stats recomputed from raw text with the shared
+    # whitespace tokenizer; operational invariants asserted in-query
+    "q241_text_index_stats": _Q241_SQL,
 }

@@ -208,6 +208,73 @@ _Q142_SQL = _jaccard_count_sql(
 )
 
 
+
+# --- q242: dedup-index observability (DESCRIBE INDEX) ---------------------
+# minhash_index_stats over a versioned lifecycle (found -> CAS append
+# -> version-scoped delete): n_docs and the n_entries == n_docs * bands
+# invariant are relational over the surviving corpus, so the oracle
+# recomputes them from the documents table — a double-ingest (the bug
+# the epoch fence prevents), a tombstone leak, or a counter drift
+# breaks the hash. Operational fields (layout, snapshots, pending
+# tombstones, bucket pressure) are asserted in-query.
+
+def q242_dedup_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from ..dedup import (
+        minhash_index_build,
+        minhash_index_delete,
+        minhash_index_stats,
+        versioned_index_append,
+    )
+
+    docs = tbl(spark, sf_dir, "documents").select("doc_id", "text")
+    gen1 = docs.filter(F.col("doc_id") % 10 != 5)
+    gen2 = docs.filter(F.col("doc_id") % 10 == 5)
+    doomed = docs.filter(F.col("doc_id") % 9 == 0).select(
+        F.col("doc_id").alias("doc")
+    )
+    n_doomed = doomed.count()
+    path = tempfile.mkdtemp(prefix="q242_idx_") + "/idx"
+    try:
+        minhash_index_build(
+            gen1, path, num_hashes=64, bands=16, layout="versioned"
+        )
+        versioned_index_append(gen2, path)
+        minhash_index_delete(spark, path, doomed)
+        st = minhash_index_stats(spark, path)
+        ok = (
+            st["layout"] == "versioned"
+            and st["live_snapshots"] == 3
+            and st["n_pending_tombstones"] == n_doomed
+            and st["n_entries"] == st["n_docs"] * st["bands"]
+            and st["num_hashes"] == 64
+            and st["max_bucket"] >= 1
+            and st["data_files"] >= 1
+        )
+        if not ok:
+            raise AssertionError(f"stats invariants failed: {st}")
+        out = spark.createDataFrame(
+            [(st["n_docs"], st["n_entries"], st["bands"])],
+            "n_docs bigint, n_entries bigint, bands int",
+        )
+        rows = out.collect()
+        schema = out.schema
+    finally:
+        shutil.rmtree(os.path.dirname(path), ignore_errors=True)
+    return spark.createDataFrame(rows, schema)
+
+
+_Q242_SQL = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) * 16 AS BIGINT) AS n_entries,
+       CAST(16 AS INT) AS bands
+FROM documents WHERE doc_id % 9 <> 0
+"""
+
+
 # --- q77: SimHash recall vs exact Jaccard ground truth -------------------
 # Ground truth: exact 3-gram Jaccard >= 0.9 — near-identical documents.
 # (3-gram, not 2-gram: 2-gram stop-shingles like "of the" occur in most
@@ -474,6 +541,7 @@ FROM ex, ap
 QUERIES = {
     "q142_incremental_dedup": q142_incremental_dedup,
     "q198_versioned_index_dedup": q198_versioned_index_dedup,
+    "q242_dedup_index_stats": q242_dedup_index_stats,
     "q189_triangle_approx_error": q189_triangle_approx_error,
     "q76_minhash_verify": q76_minhash_verify,
     "q77_simhash_verify": q77_simhash_verify,
@@ -488,6 +556,9 @@ QUERIES = {
 ORACLE = {
     "q142_incremental_dedup": _Q142_SQL,
     "q198_versioned_index_dedup": _Q142_SQL,  # same relational ground truth
+    # counters + the entries == docs x bands invariant recomputed
+    # relationally; operational fields asserted in-query
+    "q242_dedup_index_stats": _Q242_SQL,
     "q189_triangle_approx_error": _Q189_SQL,
     "q76_minhash_verify": _Q76_SQL,
     "q77_simhash_verify": _Q77_SQL,

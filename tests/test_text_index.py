@@ -635,3 +635,34 @@ def test_versioned_text_index_auto_compaction_threshold(spark, tmp_path):
     assert _score_map(
         text_index_bm25(spark, vers, _qterms(spark))
     ) == _score_map(bm25_scores(both, _qterms(spark)))
+
+
+def test_text_index_stats_flat_lifecycle(spark, tmp_path):
+    """DESCRIBE INDEX on the flat layout: counters exact through
+    append/delete/compact; postings-derived shape matches a recompute."""
+    from etl_job_applify_spark.functions.retrieval import token_positions
+    from etl_job_applify_spark.functions.text_index import text_index_delete, text_index_stats
+
+    idx = str(tmp_path / "tidx_stats")
+    gen1, gen2 = _docs(spark, 0, 30), _docs(spark, 100, 10)
+    text_index_build(gen1, idx, layout="flat")
+    text_index_build(gen2, idx, mode="append")
+    text_index_delete(spark, idx, [0, 1, 100])
+    st = text_index_stats(spark, idx)
+    both = gen1.unionByName(gen2).filter(
+        ~F.col("doc_id").isin([0, 1, 100])
+    )
+    toks = token_positions(both)
+    want_postings = toks.groupBy("doc_id", "word").count().count()
+    want_terms = toks.select("word").distinct().count()
+    assert st["layout"] == "flat" and st["live_snapshots"] == 1
+    assert st["n_pending_tombstones"] == 3
+    assert st["n_docs_live"] == 37
+    assert st["n_postings"] == want_postings
+    assert st["n_terms"] == want_terms
+    assert st["bucket_skew"] >= 1.0 and st["data_files"] >= 2
+    optimize_text_index(spark, idx)
+    st2 = text_index_stats(spark, idx)
+    assert st2["n_pending_tombstones"] == 0
+    assert st2["n_docs"] == st2["n_docs_live"] == 37
+    assert st2["n_postings"] == want_postings

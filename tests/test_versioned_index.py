@@ -455,3 +455,30 @@ def test_versioned_dedup_auto_compaction_threshold(spark, tmp_path):
         ).collect()
     }
     assert (7, 100) in got and (23, 101) in got
+
+
+def test_minhash_index_stats_lifecycle(spark, tmp_path):
+    """DESCRIBE INDEX on the dedup index: the entries == docs x bands
+    invariant holds through append + delete + compaction, tombstone
+    accounting is exact, and the bucket-pressure fields are sane."""
+    from etl_job_applify_spark.dedup import (
+        minhash_index_delete,
+        minhash_index_stats,
+    )
+
+    idx = str(tmp_path / "vidx_stats")
+    minhash_index_build(
+        _corpus(spark), idx, num_hashes=64, bands=16, layout="versioned"
+    )
+    versioned_index_append(_batch(spark), idx)
+    minhash_index_delete(spark, idx, [0, 1])
+    st = minhash_index_stats(spark, idx)
+    assert st["layout"] == "versioned" and st["live_snapshots"] == 3
+    assert st["n_docs"] == 51 and st["n_entries"] == 51 * 16
+    assert st["n_pending_tombstones"] == 2
+    assert st["num_hashes"] == 64 and st["bands"] == 16
+    assert st["max_bucket"] >= 1 and st["mean_bucket"] >= 1.0
+    optimize_index(spark, idx)
+    st2 = minhash_index_stats(spark, idx)
+    assert st2["n_pending_tombstones"] == 0
+    assert st2["n_entries"] == 51 * 16 and st2["live_snapshots"] == 1
