@@ -128,6 +128,7 @@ def text_index_build(
     layout: str = "versioned",
     epoch_mark: str | None = None,
     max_snapshots: int | None = None,
+    meta_cols: list[str] | None = None,
 ) -> dict:
     """Tokenize ``docs`` once and persist postings + doclens + stats.
 
@@ -157,7 +158,15 @@ def text_index_build(
     ``max_snapshots`` (versioned appends only): auto-compaction
     threshold — after the append commits, a live snapshot count above
     it triggers ``optimize_text_index`` under the usual CAS publish,
-    bounding the per-probe N-way snapshot union at steady state."""
+    bounding the per-probe N-way snapshot union at steady state.
+
+    ``meta_cols``: metadata columns of ``docs`` stored on the doclens
+    relation (recorded at founding; appends carry the same set,
+    validated when passed explicitly) — the substrate for FILTERED
+    retrieval (``text_index_bm25(..., where="lang = 'en'")``): the
+    predicate filters candidate documents inside the index scan while
+    corpus statistics stay corpus-wide (standard faceted-search
+    semantics)."""
     spark = docs.sparkSession
     if mode == "append" and _tidx_is_versioned(spark, index_path):
         existing = _tidx_read(spark, index_path)[0]
@@ -167,9 +176,19 @@ def text_index_build(
                 f"num_buckets={existing['num_buckets']}, append "
                 f"requested {num_buckets}"
             )
+        if (
+            meta_cols is not None
+            and list(meta_cols) != existing.get("meta_cols", [])
+        ):
+            raise ValueError(
+                f"text index at {index_path} records "
+                f"meta_cols={existing.get('meta_cols', [])}, append "
+                f"requested {list(meta_cols)}"
+            )
         _tidx_ingest(
             docs, index_path, id_col, text_col, num_buckets,
             found=False, epoch_mark=epoch_mark,
+            meta_cols=existing.get("meta_cols", []),
         )
         if max_snapshots and len(
             _tidx_recover_live(spark, index_path)
@@ -180,6 +199,7 @@ def text_index_build(
         _tidx_ingest(
             docs, index_path, id_col, text_col, num_buckets,
             found=True, epoch_mark=epoch_mark,
+            meta_cols=list(meta_cols or []),
         )
         return _tidx_read(spark, index_path)[0]
     if epoch_mark is not None:
@@ -193,6 +213,18 @@ def text_index_build(
                 f"num_buckets={existing['num_buckets']}, append "
                 f"requested {num_buckets}"
             )
+        if (
+            meta_cols is not None
+            and list(meta_cols) != existing.get("meta_cols", [])
+        ):
+            raise ValueError(
+                f"text index at {index_path} records "
+                f"meta_cols={existing.get('meta_cols', [])}, append "
+                f"requested {list(meta_cols)}"
+            )
+        mcols = existing.get("meta_cols", [])
+    else:
+        mcols = list(meta_cols or [])
     toks = token_positions(docs, text_col, id_col)
     postings = (
         toks.groupBy(id_col, "word")
@@ -220,6 +252,10 @@ def text_index_build(
         )
     else:
         batch_dl = written.groupBy("doc").agg(F.sum("tf").alias("dl"))
+    if mcols:
+        batch_dl = batch_dl.join(
+            docs.select(F.col(id_col).alias("doc"), *mcols), "doc"
+        )
     batch_dl.write.mode(mode).parquet(os.path.join(index_path, "doclens"))
     inc = batch_dl.agg(
         F.count("*").alias("n"), F.sum("dl").alias("t")
@@ -234,6 +270,7 @@ def text_index_build(
             "num_buckets": num_buckets,
             "n_docs": n_new,
             "total_dl": dl_new,
+            "meta_cols": mcols,
         }
     _write_meta(index_path, meta)
     return meta
@@ -346,6 +383,7 @@ def text_index_bm25(
     k1: float = 1.2,
     b: float = 0.75,
     scoring: str = "odds",
+    where=None,
 ) -> DataFrame:
     """BM25 scores served from the persisted index — bit-identical to
     ``retrieval.bm25_scores`` over the same corpus (shared scoring
@@ -354,8 +392,18 @@ def text_index_bm25(
     ``qterms``: same contract as ``bm25_scores`` — one row per query
     term, extra columns (e.g. ``qid``) group the final sum. The term
     list is collected driver-side (query batches are control-plane
-    small; that is what makes the pruned per-term scan possible)."""
-    tf, dl, dfreq, stats = _bm25_relations(spark, index_path, qterms)
+    small; that is what makes the pruned per-term scan possible).
+
+    ``where`` (a SQL string or Column over the index's ``meta_cols``,
+    plus ``doc``): FILTERED retrieval — the predicate filters CANDIDATE
+    documents inside the index scan while corpus statistics (n, avgdl,
+    df) stay corpus-wide, the standard faceted-search semantics: a
+    document's score is identical with or without the facet, the facet
+    only decides whether it appears. Build the index with ``meta_cols``
+    to use it."""
+    tf, dl, dfreq, stats = _bm25_relations(
+        spark, index_path, qterms, where=where
+    )
     scored = bm25_score_join(
         tf, dl, dfreq, stats, qterms, id_col="__doc", k1=k1, b=b,
         scoring=scoring,
@@ -363,13 +411,25 @@ def text_index_bm25(
     return scored.withColumnRenamed("__doc", "doc_id")
 
 
-def _bm25_relations(spark: SparkSession, index_path: str, qterms: DataFrame):
+def _bm25_relations(
+    spark: SparkSession,
+    index_path: str,
+    qterms: DataFrame,
+    where=None,
+):
     """(tf, dl, dfreq, stats) relations served from the index, shared by
     the full-score probe and the pruned-top-k probe. With tombstones
     present, dl filters them out and the corpus stats derive from the
     FILTERED doclens (exact integers, crash-consistent — see
     ``text_index_delete``); otherwise the meta counters are the fast
-    path."""
+    path.
+
+    ``where`` filters the CANDIDATE doclens only — n/avgdl/df stay
+    corpus-wide (faceted-search semantics). On the pruned-top-k path
+    the whole WAND apparatus (seeds, thresholds, term bounds) then
+    derives from the filtered contribution relation, keeping the
+    dominance inequality internally consistent — lossless within the
+    facet."""
     if _tidx_is_versioned(spark, index_path):
         meta, _, dls, _ = _tidx_read(spark, index_path)
         deletes = None
@@ -386,7 +446,14 @@ def _bm25_relations(spark: SparkSession, index_path: str, qterms: DataFrame):
     dfreq = tf.groupBy("word").agg(F.count("*").alias("df"))
     if deletes is not None:
         dls = dls.join(deletes, "doc", "left_anti")
-    dl = dls.select(F.col("doc").alias("__doc"), "dl")
+    cand = dls
+    if where is not None:
+        # candidates only: stats below still derive from the UNfiltered
+        # live doclens (or the meta counters), never from the facet
+        cand = cand.filter(
+            F.expr(where) if isinstance(where, str) else where
+        )
+    dl = cand.select(F.col("doc").alias("__doc"), "dl")
     if deletes is None:
         # exact integer stats -> the same double avgdl the recompute
         # path's SUM/COUNT aggregate produces (double(total)/double(n))
@@ -413,6 +480,7 @@ def text_index_bm25_topk(
     k1: float = 1.2,
     b: float = 0.75,
     scoring: str = "odds",
+    where=None,
 ) -> DataFrame:
     """Top-``k`` retrieval served from the persisted index with
     WAND-style lossless bound pruning (``retrieval.bm25_topk_pruned``):
@@ -420,10 +488,20 @@ def text_index_bm25_topk(
     pushdown-filtered per-term posting scans feed the pruned kernel, so
     the exact-score aggregate and rank sort touch only documents whose
     bound can still reach the seeded threshold. Results are identical
-    to sorting ``text_index_bm25`` (lossless; oracle-pinned)."""
+    to sorting ``text_index_bm25`` (lossless; oracle-pinned).
+
+    ``where``: faceted top-k — the predicate filters candidates BEFORE
+    ranking (full k survivors guaranteed within the facet, unlike
+    post-filtering a top-k). Corpus statistics (n/avgdl/df) stay
+    corpus-wide, while seeds, thresholds and term bounds all derive
+    from the SAME filtered contribution relation, so the dominance
+    inequality is internally consistent and pruning stays lossless
+    within the facet (q243 oracle-pinned)."""
     from .retrieval import bm25_topk_pruned
 
-    tf, dl, dfreq, stats = _bm25_relations(spark, index_path, qterms)
+    tf, dl, dfreq, stats = _bm25_relations(
+        spark, index_path, qterms, where=where
+    )
     out = bm25_topk_pruned(
         tf, dl, dfreq, stats, qterms, k=k, id_col="__doc", k1=k1, b=b,
         scoring=scoring,
@@ -532,6 +610,7 @@ def text_index_stats(spark: SparkSession, index_path: str) -> dict:
     return {
         "layout": "versioned" if versioned else "flat",
         "num_buckets": meta["num_buckets"],
+        "meta_cols": meta.get("meta_cols", []),
         "n_docs": meta["n_docs"],
         "n_docs_live": n_docs_live,
         "total_dl": meta["total_dl"],
@@ -697,13 +776,17 @@ def _tidx_read(spark: SparkSession, index_path: str):
     if not live:
         raise FileNotFoundError(f"no versioned text index at {index_path}")
     metas = [fs_read_json(spark, f"{p}/_params.json") for p in live]
-    nb = {m["num_buckets"] for m in metas}
+    nb = {
+        (m["num_buckets"], tuple(m.get("meta_cols", []))) for m in metas
+    }
     if len(nb) != 1:
         raise ValueError(
-            f"inconsistent num_buckets across snapshots: {sorted(nb)}"
+            f"inconsistent index params across snapshots: {sorted(nb)}"
         )
+    buckets, mcols = nb.pop()
     meta = {
-        "num_buckets": nb.pop(),
+        "num_buckets": buckets,
+        "meta_cols": list(mcols),
         "n_docs": sum(m["n_docs"] for m in metas),
         "total_dl": sum(m["total_dl"] for m in metas),
     }
@@ -848,6 +931,7 @@ def _tidx_delete(
             return 0
         params = {
             "num_buckets": meta["num_buckets"],
+            "meta_cols": meta.get("meta_cols", []),
             "n_docs": -n,
             "total_dl": -int(hit["t"] or 0),
         }
@@ -890,9 +974,11 @@ def _tidx_ingest(
     found: bool,
     epoch_mark: str | None = None,
     max_retries: int = 10,
+    meta_cols: list[str] | tuple = (),
 ) -> int | None:
     """Found (snapshot 1) or CAS-append one batch. ``epoch_mark``
-    fences replays (None returned when skipped)."""
+    fences replays (None returned when skipped); ``meta_cols`` ride the
+    doclens relation so probes can filter candidates on metadata."""
     from ..sinks.versioned import (
         CommitConflict,
         list_versions,
@@ -916,6 +1002,10 @@ def _tidx_ingest(
         .withColumn("wb", F.pmod(F.xxhash64("word"), F.lit(num_buckets)))
     )
     doclens = postings.groupBy("doc").agg(F.sum("tf").alias("dl"))
+    if meta_cols:
+        doclens = doclens.join(
+            docs.select(F.col(id_col).alias("doc"), *meta_cols), "doc"
+        )
     inc = doclens.agg(
         F.count("*").alias("n"), F.sum("dl").alias("t")
     ).first()
@@ -923,6 +1013,7 @@ def _tidx_ingest(
         "num_buckets": num_buckets,
         "n_docs": int(inc["n"]),
         "total_dl": int(inc["t"] or 0),
+        "meta_cols": list(meta_cols),
     }
     marks = [epoch_mark] if epoch_mark else []
     for _ in range(max_retries):

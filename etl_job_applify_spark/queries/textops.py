@@ -1102,6 +1102,123 @@ SELECT
 """
 
 
+
+# --- q243: FILTERED (faceted) BM25 top-k from the persisted index ---------
+# The lexical twin of q238's filtered ANN: documents carry a lang
+# metadata column (doc_id % 3 -> en/de/fr) stored on the index's
+# doclens at founding (meta_cols), and the probe serves top-5 WHERE
+# lang='en' through the WAND bound-pruned kernel. Faceted-search
+# semantics: corpus statistics (n, avgdl, df) stay corpus-wide — a
+# document's score is identical with or without the facet; the facet
+# only decides whether it competes — and the predicate applies BEFORE
+# ranking, so the full k survivors come back. Losslessness of the
+# pruned kernel WITHIN the facet is asserted in-query against the
+# exhaustive filtered ranking; the oracle recomputes that ranking
+# relationally (corpus-wide stats + the facet on scored docs), so a
+# stats leak into the facet, a meta-column loss across the append, or
+# a lossy prune all break the hash.
+
+def q243_bm25_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..functions.text_index import (
+        text_index_bm25,
+        text_index_bm25_topk,
+        text_index_build,
+    )
+
+    lang = F.element_at(
+        F.array(F.lit("en"), F.lit("de"), F.lit("fr")),
+        (F.col("doc_id") % 3 + 1).cast("int"),
+    ).alias("lang")
+    docs = tbl(spark, sf_dir, "documents").select("doc_id", "text", lang)
+    gen1 = docs.filter(F.col("doc_id") % 10 != 0)
+    gen2 = docs.filter(F.col("doc_id") % 10 == 0)
+    qterms = spark.createDataFrame(
+        [(qid, w) for qid, ws in _Q190_QUERIES for w in ws],
+        "qid int, word string",
+    )
+
+    def build(path):
+        text_index_build(docs=gen1, index_path=f"{path}/idx",
+                         meta_cols=["lang"])
+        text_index_build(docs=gen2, index_path=f"{path}/idx",
+                         mode="append")
+
+    def probe(path):
+        pruned = text_index_bm25_topk(
+            spark, f"{path}/idx", qterms, k=5, where="lang = 'en'"
+        ).select("qid", "doc_id", "rnk", "score")
+        w = Window.partitionBy("qid").orderBy(
+            F.desc("score"), F.asc("doc_id")
+        )
+        exhaustive = (
+            text_index_bm25(
+                spark, f"{path}/idx", qterms, where="lang = 'en'"
+            )
+            .withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= 5)
+            .select("qid", "doc_id", "rnk", "score")
+        )
+        if sorted(map(tuple, pruned.collect())) != sorted(
+            map(tuple, exhaustive.collect())
+        ):
+            raise AssertionError(
+                "faceted WAND top-k diverged from the exhaustive "
+                "filtered ranking — pruning went lossy under the facet"
+            )
+        return pruned
+
+    return _with_temp_text_index(spark, build, probe)
+
+
+_Q243_SQL = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+),
+tf AS (
+  SELECT doc_id, word, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM toks GROUP BY doc_id, word
+),
+dl AS (
+  SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id
+),
+dfreq AS (
+  SELECT word, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY word
+),
+stats AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+  FROM dl
+),
+q(qid, word) AS (VALUES
+  (1, 'hash'), (1, 'join'),
+  (2, 'window'), (2, 'sort'), (2, 'merge'),
+  (3, 'stream'), (3, 'batch'), (3, 'spark')
+),
+scored AS (
+  SELECT q.qid, tf.doc_id,
+    CAST(SUM(CAST(
+      ((n - df + 5e-1) / (df + 5e-1))
+      * (tf * 2.2e0)
+      / (tf + 1.2e0 * (2.5e-1 + 7.5e-1 * dl / avgdl))
+    AS DECIMAL(28,6))) AS DOUBLE) AS score
+  FROM q
+  JOIN tf ON tf.word = q.word
+  JOIN dl ON dl.doc_id = tf.doc_id
+  JOIN dfreq ON dfreq.word = q.word
+  CROSS JOIN stats
+  WHERE tf.doc_id % 3 = 0  -- lang = 'en': the facet, NOT the stats
+  GROUP BY q.qid, tf.doc_id
+)
+SELECT qid, doc_id, CAST(rnk AS INT) AS rnk, score FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+                               ORDER BY score DESC, doc_id) AS rnk
+  FROM scored
+) WHERE rnk <= 5
+"""
+
+
 QUERIES = {
     "q40_text_stats": q40_text_stats,
     "q41_lang_id": q41_lang_id,
@@ -1122,6 +1239,7 @@ QUERIES = {
     "q230_bm25_log_idf": q230_bm25_log_idf,
     "q231_log_idf_pruned_topk": q231_log_idf_pruned_topk,
     "q241_text_index_stats": q241_text_index_stats,
+    "q243_bm25_filtered_topk": q243_bm25_filtered_topk,
 }
 
 ORACLE = {
@@ -1154,4 +1272,7 @@ ORACLE = {
     # corpus-shape stats recomputed from raw text with the shared
     # whitespace tokenizer; operational invariants asserted in-query
     "q241_text_index_stats": _Q241_SQL,
+    # faceted top-k: corpus-wide stats + the facet on scored docs;
+    # WAND losslessness within the facet asserted in-query
+    "q243_bm25_filtered_topk": _Q243_SQL,
 }

@@ -666,3 +666,87 @@ def test_text_index_stats_flat_lifecycle(spark, tmp_path):
     assert st2["n_pending_tombstones"] == 0
     assert st2["n_docs"] == st2["n_docs_live"] == 37
     assert st2["n_postings"] == want_postings
+
+
+def _meta_docs(spark, start=0, n=40):
+    langs = ["en", "de", "fr"]
+    return _docs(spark, start, n).withColumn(
+        "lang",
+        F.element_at(
+            F.array(*[F.lit(x) for x in langs]),
+            (F.col("doc_id") % 3 + 1).cast("int"),
+        ),
+    )
+
+
+def test_filtered_bm25_faceted_semantics(spark, tmp_path):
+    """Faceted retrieval: where= filters CANDIDATES while corpus stats
+    stay corpus-wide — served scores equal the raw recompute over the
+    full live corpus post-filtered to the facet (score identity), and
+    the WAND top-k path stays lossless within the facet. Exercised
+    through append + delete on the flat layout (meta columns survive
+    both) and compaction."""
+    from etl_job_applify_spark.functions.text_index import (
+        text_index_bm25_topk,
+        text_index_delete,
+    )
+
+    idx = str(tmp_path / "tidx_facet")
+    gen1, gen2 = _meta_docs(spark, 0, 40), _meta_docs(spark, 100, 20)
+    text_index_build(gen1, idx, layout="flat", meta_cols=["lang"])
+    text_index_build(gen2, idx, mode="append")
+    text_index_delete(spark, idx, [3, 6, 102])
+    live = gen1.unionByName(gen2).filter(
+        ~F.col("doc_id").isin([3, 6, 102])
+    )
+    served = _score_map(
+        text_index_bm25(spark, idx, _qterms(spark), where="lang = 'en'")
+    )
+    full = _score_map(bm25_scores(live, _qterms(spark)))
+    en_ids = {
+        r["doc_id"] for r in live.filter(F.col("lang") == "en").collect()
+    }
+    want = {k: v for k, v in full.items() if k[1] in en_ids}
+    assert served == want and len(served) > 0
+    # every served doc scores identically to its unfaceted self
+    assert all(full[k] == v for k, v in served.items())
+    # pruned top-k lossless within the facet
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("doc_id"))
+    exh = (
+        text_index_bm25(spark, idx, _qterms(spark), where="lang = 'en'")
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("qid", "doc_id", "rnk", "score")
+    )
+    got = text_index_bm25_topk(
+        spark, idx, _qterms(spark), k=3, where="lang = 'en'"
+    ).select("qid", "doc_id", "rnk", "score")
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, exh.collect())
+    )
+    # compaction preserves meta columns and faceted results
+    optimize_text_index(spark, idx)
+    assert _score_map(
+        text_index_bm25(spark, idx, _qterms(spark), where="lang = 'en'")
+    ) == served
+
+
+def test_filtered_bm25_meta_col_validation(spark, tmp_path):
+    from etl_job_applify_spark.functions.text_index import text_index_stats
+
+    idx = str(tmp_path / "tidx_facet_val")
+    text_index_build(_meta_docs(spark), idx, meta_cols=["lang"])
+    assert text_index_stats(spark, idx)["meta_cols"] == ["lang"]
+    with pytest.raises(ValueError, match="meta_cols"):
+        text_index_build(
+            _meta_docs(spark, 100, 5), idx, mode="append",
+            meta_cols=["other"],
+        )
+    # omitted meta_cols on append: recorded set carried automatically
+    text_index_build(_meta_docs(spark, 100, 5), idx, mode="append")
+    served = _score_map(
+        text_index_bm25(spark, idx, _qterms(spark), where="lang = 'de'")
+    )
+    assert len(served) > 0
