@@ -254,12 +254,13 @@ def q242_dedup_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             and st["max_bucket"] >= 1
             and st["data_files"] >= 1
         )
+        out = spark.createDataFrame(
+            [(st["n_docs"], st["n_entries"], st["bands"], bool(ok))],
+            "n_docs bigint, n_entries bigint, bands int,"
+            " invariants_ok boolean",
+        )
         if not ok:
             raise AssertionError(f"stats invariants failed: {st}")
-        out = spark.createDataFrame(
-            [(st["n_docs"], st["n_entries"], st["bands"])],
-            "n_docs bigint, n_entries bigint, bands int",
-        )
         rows = out.collect()
         schema = out.schema
     finally:
@@ -270,7 +271,8 @@ def q242_dedup_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 _Q242_SQL = """
 SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
        CAST(COUNT(*) * 16 AS BIGINT) AS n_entries,
-       CAST(16 AS INT) AS bands
+       CAST(16 AS INT) AS bands,
+       true AS invariants_ok
 FROM documents WHERE doc_id % 9 <> 0
 """
 
