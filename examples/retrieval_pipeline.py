@@ -102,13 +102,20 @@ def search_indexed(
     index_path: str,
     phrase: str = "sort merge",
     shortlist_k: int = 20,
+    where=None,
 ) -> DataFrame:
     """The same three stages served from the PERSISTED inverted index
     (functions/text_index.py) — the steady-state shape: the corpus was
     tokenized once at ingest, so stages 1-2 are per-term pruned posting
     scans instead of corpus passes. Scores are bit-identical to
     ``search`` (shared scoring kernel), which the __main__ run
-    asserts."""
+    asserts.
+
+    ``where``: faceted search over the index's stored ``meta_cols``
+    (e.g. ``"lang = 'en'"``) — candidates filter inside the index scan,
+    scores stay corpus-statistic-identical (the q243 contract), so the
+    faceted shortlist is exactly the unfaceted one intersected with the
+    facet (also asserted in __main__)."""
     from etl_job_applify_spark.functions.text_index import (
         text_index_bm25,
         text_index_phrase_hits,
@@ -119,7 +126,7 @@ def search_indexed(
     terms = phrase.split(" ")
     qterms = spark.createDataFrame([(w,) for w in terms], "word string")
     scored = (
-        text_index_bm25(spark, index_path, qterms)
+        text_index_bm25(spark, index_path, qterms, where=where)
         .withColumnRenamed("score", "bm25")
         .orderBy(F.desc("bm25"), "doc_id")
         .limit(shortlist_k)
@@ -173,4 +180,35 @@ if __name__ == "__main__":
         tuple(r) for r in direct.collect()
     ], "index-served results diverged from recompute"
     print("index-served == recomputed (bit-exact)")
+    # faceted serving: a lang facet stored at founding filters
+    # candidates without touching scores — the faceted shortlist is the
+    # unfaceted full scoring post-filtered to the facet
+    docs_meta = tbl(spark, sf, "documents").withColumn(
+        "lang",
+        F.element_at(
+            F.array(F.lit("en"), F.lit("de"), F.lit("fr")),
+            (F.col("doc_id") % 3 + 1).cast("int"),
+        ),
+    )
+    fidx = tempfile.mkdtemp(prefix="retrieval_fidx_") + "/idx"
+    text_index_build(docs_meta, fidx, meta_cols=["lang"])
+    from etl_job_applify_spark.functions.text_index import text_index_bm25
+
+    qterms = spark.createDataFrame(
+        [(w,) for w in "sort merge".split()], "word string"
+    )
+    faceted = {
+        (r["doc_id"], r["score"])
+        for r in text_index_bm25(
+            spark, fidx, qterms, where="lang = 'en'"
+        ).collect()
+    }
+    unfaceted = {
+        (r["doc_id"], r["score"])
+        for r in text_index_bm25(spark, fidx, qterms).collect()
+    }
+    assert faceted == {
+        (d, s) for d, s in unfaceted if d % 3 == 0
+    } and faceted, "faceted serving diverged from post-filtered scores"
+    print(f"faceted serving verified ({len(faceted)} en docs scored)")
     spark.stop()
