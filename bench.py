@@ -74,7 +74,15 @@ HEADLINE = [
 # serving numbers. q194_bm25_index_probe stays for cross-round
 # comparability; its serve-only twin q194_bm25_serve_only isolates the
 # probe.
-SERVE_ONLY = ["q194_bm25_serve_only", "q235_hybrid_rrf_serve_only"]
+SERVE_ONLY = [
+    "q194_bm25_serve_only",
+    "q235_hybrid_rrf_serve_only",
+    # round 12: the PQ serving path (ADC shortlist + exact refine) —
+    # added when the refine fetch was re-pointed at the probe-pruned
+    # cells scan, so the steady-state cost of the compressed path is a
+    # measured headline number rather than a q234-gate inference
+    "q234_pq_serve_only",
+]
 
 
 def _build_serve_indexes(spark, sf_dir: str, idx_root: str):
@@ -99,7 +107,10 @@ def _build_serve_indexes(spark, sf_dir: str, idx_root: str):
     emb = tbl(spark, sf_dir, "embeddings")
     tpath, vpath = f"{idx_root}/text", f"{idx_root}/vec"
     text_index_build(docs, tpath, layout="flat")
-    vector_index_build(emb, vpath, num_cells=16)
+    # m=8 trains PQ codebooks at founding so the same index serves both
+    # the exact-cosine probe (q235's leg) and the ADC use_codes path
+    # (q234's serve-only twin)
+    vector_index_build(emb, vpath, num_cells=16, m=8, k_codes=32)
     qterms_rows = [(qid, w) for qid, ws in _Q190_QUERIES for w in ws]
     anchor_ids = [qid for qid, _ in _Q190_QUERIES]
 
@@ -154,9 +165,19 @@ def _build_serve_indexes(spark, sf_dir: str, idx_root: str):
                     "lex_rank", "vec_rank")
         )
 
+    def q234_serve(spark_, sf_dir_):
+        anchors = tbl(spark_, sf_dir_, "embeddings").filter(
+            F.col("vec_id").isin(anchor_ids)
+        ).select(F.col("vec_id").alias("query_id"), "embedding")
+        return vector_index_probe(
+            spark_, vpath, anchors, k=10, nprobe=4,
+            use_codes=True, shortlist=64,
+        )
+
     return {
         "q194_bm25_serve_only": q194_serve,
         "q235_hybrid_rrf_serve_only": q235_serve,
+        "q234_pq_serve_only": q234_serve,
     }
 
 #: measured passes per query. Single-run snapshots kept recording ±20%
@@ -177,34 +198,43 @@ def main() -> None:
     import tempfile
 
     idx_root = tempfile.mkdtemp(prefix="bench_idx_")
-    qs.update(_build_serve_indexes(spark, sf_dir, idx_root))
-    measured = HEADLINE + SERVE_ONLY
+    try:
+        qs.update(_build_serve_indexes(spark, sf_dir, idx_root))
+        measured = HEADLINE + SERVE_ONLY
 
-    # warm every headline plan once at the small SF so JVM/codegen/JIT
-    # startup isn't billed to the measured runs (steady-state numbers are
-    # what a long-running cluster job sees); fall back to the bench dir
-    # when the small fixture isn't present on this host. The serve-only
-    # twins warm at the BENCH dir — their indexes are built there.
-    warm_dir = "/root/testdata/sf0.01"
-    if not os.path.isdir(warm_dir):
-        warm_dir = sf_dir
-    for name in HEADLINE:
-        qs[name](spark, warm_dir).write.format("noop").mode("overwrite").save()
-    for name in SERVE_ONLY:
-        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-
-    # RUNS full passes, interleaved by pass (not back-to-back per query,
-    # so a transient machine-load spike dents one PASS, not one query's
-    # entire sample); per-query median is the reported number
-    samples: dict[str, list[float]] = {name: [] for name in measured}
-    for _ in range(RUNS):
-        for name in measured:
-            t0 = time.perf_counter()
+        # warm every headline plan once at the small SF so JVM/codegen/
+        # JIT startup isn't billed to the measured runs (steady-state
+        # numbers are what a long-running cluster job sees); fall back
+        # to the bench dir when the small fixture isn't present on this
+        # host. The serve-only twins warm at the BENCH dir — their
+        # indexes are built there.
+        warm_dir = "/root/testdata/sf0.01"
+        if not os.path.isdir(warm_dir):
+            warm_dir = sf_dir
+        for name in HEADLINE:
+            qs[name](spark, warm_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+        for name in SERVE_ONLY:
             qs[name](spark, sf_dir).write.format("noop").mode(
                 "overwrite"
             ).save()
-            samples[name].append(time.perf_counter() - t0)
-    shutil.rmtree(idx_root, ignore_errors=True)
+
+        # RUNS full passes, interleaved by pass (not back-to-back per
+        # query, so a transient machine-load spike dents one PASS, not
+        # one query's entire sample); per-query median is the reported
+        # number
+        samples: dict[str, list[float]] = {name: [] for name in measured}
+        for _ in range(RUNS):
+            for name in measured:
+                t0 = time.perf_counter()
+                qs[name](spark, sf_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                samples[name].append(time.perf_counter() - t0)
+    finally:
+        # an exception mid-measurement must not leak the temp indexes
+        shutil.rmtree(idx_root, ignore_errors=True)
 
     times = {
         name: round(sorted(ts)[len(ts) // 2], 3)

@@ -675,14 +675,18 @@ def vector_index_probe(
         .select("query_id", "vid")
     )
     # exact refine: raw vectors come from the SAME index rows (vec and
-    # codes are colocated) — shortlist-sized fetch
+    # codes are colocated). Fetch from ``pruned`` — the partition-
+    # filtered (+ predicate-filtered) cells scan — not the full live
+    # relation: every shortlist candidate lives in a probed cell by
+    # construction, so the join is semantically identical but reads
+    # nprobe/num_cells of the index instead of 100% of it.
     qv = with_norm(queries.select(query_id_col, vec_col), vec_col).select(
         F.col(query_id_col).alias("query_id"),
         F.col(vec_col).alias("__qv"),
         F.col("norm").alias("__qn"),
     )
     refined = (
-        cand.join(cells.select("vid", "vec", "norm"), "vid")
+        cand.join(pruned.select("vid", "vec", "norm"), "vid")
         .join(F.broadcast(qv), "query_id")
         .withColumn("cosine", cosine_expr("__qv", "vec", "__qn", "norm"))
     )

@@ -341,6 +341,38 @@ def test_probe_prunes_to_probed_cells(spark, tmp_path):
     assert "PartitionFilters" in fmt and "cell" in fmt
 
 
+def test_pq_refine_scan_is_pruned(spark, tmp_path):
+    """BOTH index scans on the use_codes path — the ADC codes scan AND
+    the exact-refine raw-vector fetch — must carry the static cell
+    partition filter. The refine join reads the probe-pruned cells
+    relation, not the full live index (the r11 'unpruned refine fetch'
+    scale wart): at 100 TB an unpruned refine is a full-index scan per
+    query batch."""
+    import numpy as np
+
+    from etl_job_applify_spark.similarity import train_pq_codebooks
+
+    corpus = _vecs(spark)
+    cents = np.asarray(_anchor_centroids(corpus))
+    books = train_pq_codebooks(corpus, m=4, k=4)
+    idx = str(tmp_path / "vxi_refine_prune")
+    vector_index_build(
+        corpus, idx, num_cells=4, m=4, k_codes=4,
+        centroids=cents, codebooks=books,
+    )
+    df = vector_index_probe(
+        spark, idx, _queries(spark), k=5, nprobe=1,
+        use_codes=True, shortlist=8,
+    )
+    from etl_job_applify_spark.plans.explain import explain_str
+
+    fmt = explain_str(df, "formatted")
+    # the only parquet scans in this plan are the index's cells —
+    # every one of them must be partition-pruned (no empty filter)
+    assert "PartitionFilters" in fmt and "cell" in fmt
+    assert "PartitionFilters: []" not in fmt
+
+
 def test_streaming_ingest_exactly_once_replay_invariant(spark, tmp_path):
     """Streaming embedding ingest (run_vector_index_ingest_stream):
     a full at-least-once replay of every micro-batch commits nothing —
