@@ -10,6 +10,7 @@ from .incremental import (
     minhash_index_probe,
     minhash_index_stats,
     optimize_index,
+    vacuum_minhash_index,
     versioned_index_append,
     versioned_index_has_epoch,
 )
@@ -29,6 +30,7 @@ __all__ = [
     "minhash_index_delete",
     "minhash_index_probe",
     "minhash_index_stats",
+    "vacuum_minhash_index",
     "optimize_index",
     "is_versioned_index",
     "versioned_index_append",

@@ -573,6 +573,18 @@ def _vidx_recover_live(spark: SparkSession, index_path: str) -> list[str]:
     return recover_live_snapshots(spark, index_path, _COMPACT_MARK)
 
 
+def vacuum_minhash_index(spark: SparkSession, index_path: str) -> list:
+    """Collapse the retention grace window for an index whose
+    compaction cadence has stopped: delete every snapshot folded by the
+    NEWEST compaction watermark (the recover pass keeps those one full
+    compaction cycle, which is forever if no later compaction comes).
+    Only safe when no in-flight probe captured pre-compaction snapshot
+    paths. Returns the deleted snapshot names."""
+    from ..sinks.versioned import vacuum_snapshots
+
+    return vacuum_snapshots(spark, index_path, _COMPACT_MARK)
+
+
 def _vidx_read(
     spark: SparkSession, index_path: str
 ) -> tuple[dict, DataFrame, list[str]]:
@@ -750,18 +762,15 @@ def minhash_index_stats(spark: SparkSession, index_path: str) -> dict:
       ``max_bucket`` is the direct input for tuning the
       ``max_bucket_size`` skew cap.
 
-    One aggregate over live entries + directory listings."""
+    One aggregate over live entries + directory listings. File counts
+    go through the Hadoop FS API (``sinks/versioned.py
+    fs_count_data_files``) so they are correct wherever the index lives
+    — os.walk would silently report 0 data files on object-store paths.
+    """
+    from ..sinks.versioned import fs_count_data_files
+
     def _n_data_files(root: str) -> int:
-        n = 0
-        for dirpath, _dirs, names in os.walk(root):
-            if "/_deletes" in dirpath or "/." in dirpath:
-                continue
-            n += sum(
-                1
-                for f in names
-                if f.endswith(".parquet") and not f.startswith(("_", "."))
-            )
-        return n
+        return fs_count_data_files(spark, root)
 
     versioned = is_versioned_index(spark, index_path)
     if versioned:
@@ -964,7 +973,7 @@ def _vidx_optimize(
         raise CommitConflict(
             f"compaction of {index_path} lost {max_retries} CAS races"
         )
-    live_after = _vidx_recover_live(spark, index_path)  # prunes <= base
+    live_after = _vidx_recover_live(spark, index_path)  # prunes through the previous watermark
     _, after, _ = _vidx_read(spark, index_path)
     return {
         "rows_before": rows_before,

@@ -168,6 +168,14 @@ def text_index_build(
     corpus statistics stay corpus-wide (standard faceted-search
     semantics)."""
     spark = docs.sparkSession
+    bad = sorted({"doc", "dl", "wb"}.intersection(meta_cols or ()))
+    if bad:
+        # a meta col shadowing an internal doclens/postings column would
+        # surface as an ambiguous-column Spark error at probe time
+        raise ValueError(
+            f"meta_cols {bad} collide with the index's internal column "
+            "names ['doc', 'dl', 'wb']; rename them before founding"
+        )
     if mode == "append" and _tidx_is_versioned(spark, index_path):
         existing = _tidx_read(spark, index_path)[0]
         if existing["num_buckets"] != num_buckets:
@@ -559,11 +567,12 @@ def text_index_stats(spark: SparkSession, index_path: str) -> dict:
     if versioned:
         meta, posts, dls, live = _tidx_read(spark, index_path)
         snapshots = len(live)
+        from ..sinks.versioned import fs_count_data_files
+
         files = sum(
-            1
+            fs_count_data_files(spark, f"{p}/{sub}")
             for p in live
             for sub in ("postings", "doclens")
-            for _f in _index_data_files(f"{p}/{sub}")
         )
         from pyspark.sql.types import LongType, StructField, StructType
 
@@ -591,9 +600,13 @@ def text_index_stats(spark: SparkSession, index_path: str) -> dict:
             posts = posts.join(deletes, "doc", "left_anti")
             dls = dls.join(deletes, "doc", "left_anti")
         snapshots = 1
-        files = len(
-            _index_data_files(os.path.join(index_path, "postings"))
-        ) + len(_index_data_files(os.path.join(index_path, "doclens")))
+        from ..sinks.versioned import fs_count_data_files
+
+        files = fs_count_data_files(
+            spark, os.path.join(index_path, "postings")
+        ) + fs_count_data_files(
+            spark, os.path.join(index_path, "doclens")
+        )
     pagg = posts.groupBy("word").agg(F.count("*").alias("df")).agg(
         F.sum("df").alias("n_postings"),
         F.count("*").alias("n_terms"),
@@ -759,6 +772,18 @@ def _tidx_recover_live(spark: SparkSession, index_path: str) -> list[str]:
     from ..sinks.versioned import recover_live_snapshots
 
     return recover_live_snapshots(spark, index_path, _T_COMPACT_MARK)
+
+
+def vacuum_text_index(spark: SparkSession, index_path: str) -> list:
+    """Collapse the retention grace window for an index whose
+    compaction cadence has stopped: delete every snapshot folded by the
+    NEWEST compaction watermark (the recover pass keeps those one full
+    compaction cycle, which is forever if no later compaction comes).
+    Only safe when no in-flight probe captured pre-compaction snapshot
+    paths. Returns the deleted snapshot names."""
+    from ..sinks.versioned import vacuum_snapshots
+
+    return vacuum_snapshots(spark, index_path, _T_COMPACT_MARK)
 
 
 def _tidx_read(spark: SparkSession, index_path: str):
@@ -1103,7 +1128,7 @@ def _tidx_optimize(
         raise CommitConflict(
             f"compaction of {index_path} lost {max_retries} CAS races"
         )
-    live_after = _tidx_recover_live(spark, index_path)  # prunes <= base
+    live_after = _tidx_recover_live(spark, index_path)  # prunes through the previous watermark
     return {
         "rows_before": rows_before,
         "files_before": files_before,

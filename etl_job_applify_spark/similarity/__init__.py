@@ -10,6 +10,7 @@ from .pq import (
 )
 from .vector_index import (
     optimize_vector_index,
+    vacuum_vector_index,
     reindex_vector_index,
     vector_index_build,
     vector_index_cell_histogram,
@@ -26,6 +27,7 @@ __all__ = [
     "reindex_vector_index",
     "vector_index_stats",
     "vector_index_cell_histogram",
+    "vacuum_vector_index",
     "train_residual_quantizer",
     "cosine_topk",
     "with_hyperplane_buckets",

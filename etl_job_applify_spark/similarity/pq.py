@@ -377,6 +377,13 @@ def ann_topk_ivfpq(
     if centroids is None:
         centroids = train_centroids(corpus, vec_col, num_cells, seed)
     if codebooks is None:
+        if offsets is not None:
+            # pass-both-or-neither: silently retraining would overwrite
+            # the caller's pinned offsets with fresh ones
+            raise ValueError(
+                "offsets passed without codebooks; pass both (from "
+                "train_residual_quantizer) or neither"
+            )
         if encoding == "residual":
             codebooks, offsets = train_residual_quantizer(
                 corpus, centroids, vec_col, m, k_codes, seed

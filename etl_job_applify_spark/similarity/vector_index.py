@@ -178,6 +178,24 @@ def _load_codebooks(spark: SparkSession, path: str) -> np.ndarray:
     return out
 
 
+#: internal column names of the cells relation — a meta col that
+#: shadows one would produce an ambiguous/duplicate column at ingest or
+#: probe time with a confusing Spark error, so founding rejects them
+RESERVED_INDEX_COLS = frozenset(
+    {"cell", "vid", "vec", "norm", "codes", "__resid"}
+)
+
+
+def _check_meta_col_names(meta_cols) -> None:
+    bad = sorted(RESERVED_INDEX_COLS.intersection(meta_cols or ()))
+    if bad:
+        raise ValueError(
+            f"meta_cols {bad} collide with the index's internal column "
+            f"names {sorted(RESERVED_INDEX_COLS)}; rename them before "
+            "founding"
+        )
+
+
 def _encode_cells(
     corpus: DataFrame,
     id_col: str,
@@ -439,6 +457,7 @@ def vector_index_build(
         _write_meta(index_path, meta)
         return meta
 
+    _check_meta_col_names(meta_cols)
     num_cells = 16 if num_cells is None else num_cells
     m = 0 if m is None else m
     k_codes = 16 if k_codes is None else k_codes
@@ -738,8 +757,10 @@ def vector_index_stats(spark: SparkSession, index_path: str) -> dict:
     if versioned:
         meta, cells, live = _vxi_read(spark, index_path)
         snapshots = len(live)
+        from ..sinks.versioned import fs_count_data_files
+
         files = sum(
-            1 for p in live for _f in _index_data_files(f"{p}/cells")
+            fs_count_data_files(spark, f"{p}/cells") for p in live
         )
         from pyspark.sql.types import LongType, StructField, StructType
 
@@ -765,8 +786,10 @@ def vector_index_stats(spark: SparkSession, index_path: str) -> dict:
         if deletes is not None:
             cells = cells.join(deletes, "vid", "left_anti")
         snapshots = 1
-        files = len(
-            _index_data_files(os.path.join(index_path, "cells"))
+        from ..sinks.versioned import fs_count_data_files
+
+        files = fs_count_data_files(
+            spark, os.path.join(index_path, "cells")
         )
     agg = cells.groupBy("cell").agg(F.count("*").alias("n")).agg(
         F.sum("n").alias("total"),
@@ -1103,6 +1126,18 @@ def _vxi_recover_live(spark: SparkSession, index_path: str) -> list[str]:
     from ..sinks.versioned import recover_live_snapshots
 
     return recover_live_snapshots(spark, index_path, _V_COMPACT_MARK)
+
+
+def vacuum_vector_index(spark: SparkSession, index_path: str) -> list:
+    """Collapse the retention grace window for an index whose
+    compaction cadence has stopped: delete every snapshot folded by the
+    NEWEST compaction watermark (the recover pass keeps those one full
+    compaction cycle, which is forever if no later compaction comes).
+    Only safe when no in-flight probe captured pre-compaction snapshot
+    paths. Returns the deleted snapshot names."""
+    from ..sinks.versioned import vacuum_snapshots
+
+    return vacuum_snapshots(spark, index_path, _V_COMPACT_MARK)
 
 
 def _vxi_quantizer_path(
@@ -1494,7 +1529,7 @@ def _vxi_optimize(
         raise CommitConflict(
             f"compaction of {index_path} lost {max_retries} CAS races"
         )
-    live_after = _vxi_recover_live(spark, index_path)  # prunes <= base
+    live_after = _vxi_recover_live(spark, index_path)  # prunes through the previous watermark
     return {
         "rows_before": rows_before,
         "files_before": files_before,

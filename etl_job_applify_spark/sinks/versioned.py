@@ -767,6 +767,36 @@ def fs_touch(spark: SparkSession, path: str) -> None:
     fs.create(p, True).close()
 
 
+def fs_count_data_files(spark: SparkSession, path: str) -> int:
+    """Recursive parquet data-file count through the Hadoop FS API — the
+    stats functions' counter. ``os.walk`` silently yields 0 on
+    object-store paths even though the versioned layout is advertised
+    as object-store capable; this walks through whatever FileSystem the
+    path resolves to. Hidden/underscore files and any file under a
+    tombstone (``deletes``/``_deletes``) or hidden directory segment are
+    excluded. Returns 0 for a missing path."""
+    fs, p = _fs_for(spark, path)
+    if not fs.exists(p):
+        return 0
+    root = fs.makeQualified(p).toString().rstrip("/")
+    it = fs.listFiles(p, True)
+    n = 0
+    while it.hasNext():
+        fpath = it.next().getPath().toString()
+        name = fpath.rsplit("/", 1)[-1]
+        if not name.endswith(".parquet") or name[0] in "_.":
+            continue
+        rel_dirs = fpath[len(root):].lstrip("/").split("/")[:-1]
+        if any(
+            d in ("deletes", "_deletes") or d[0] in "_."
+            for d in rel_dirs
+            if d
+        ):
+            continue
+        n += 1
+    return n
+
+
 def snapshot_members(spark: SparkSession, snap_path: str) -> list[str]:
     """Top-level member names of a snapshot directory (FS-API based, so
     it works wherever the table lives)."""
@@ -817,6 +847,41 @@ def recover_live_snapshots(
         # else: folded by the newest compaction — kept on disk for one
         # grace cycle, excluded from the live set
     return live
+
+
+def vacuum_snapshots(
+    spark: SparkSession, table_path: str, compact_mark_prefix: str
+) -> list[str]:
+    """Collapse the grace window NOW: delete every snapshot folded by
+    the NEWEST compaction watermark (``recover_live_snapshots`` defers
+    those one full compaction cycle, so a table that compacts once and
+    then never again would otherwise retain its entire pre-compaction
+    log on disk forever).
+
+    Caller contract: run only when no in-flight reader captured
+    pre-compaction snapshot paths — i.e. quiesce (or time out) probes
+    that started before the last compaction. A steadily-compacting
+    table never needs this; it is the explicit retention entry point
+    for tables whose compaction cadence has stopped.
+
+    Returns the deleted snapshot names (possibly empty). Idempotent."""
+    fs, root, names = _snapshots(spark, table_path)
+    watermarks: set[int] = set()
+    for name in names:
+        for member in snapshot_members(spark, f"{table_path}/{name}"):
+            if member.startswith(compact_mark_prefix):
+                watermarks.add(int(member[len(compact_mark_prefix):]))
+    if not watermarks:
+        return []
+    newest = max(watermarks)
+    deleted = []
+    for name in names:
+        if int(name[len(_PREFIX):]) <= newest:
+            fs.delete(
+                spark._jvm.org.apache.hadoop.fs.Path(root, name), True
+            )
+            deleted.append(name)
+    return deleted
 
 
 def log_snapshots(spark: SparkSession, table_path: str) -> list[str]:

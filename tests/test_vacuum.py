@@ -1,0 +1,183 @@
+"""Explicit retention for stopped-compaction tables + founding-time
+input validation (round-12 ADVICE items).
+
+The grace-window recover pass (sinks/versioned.py
+recover_live_snapshots) only deletes snapshots folded by an OLDER
+watermark, so an index that compacts once and never again would retain
+its entire pre-compaction log on disk forever. ``vacuum_*`` is the
+explicit entry point that collapses the window — callable when no
+in-flight probe spans the last compaction.
+"""
+
+import glob
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_job_applify_spark.dedup import (
+    minhash_index_build,
+    minhash_index_stats,
+    optimize_index,
+    vacuum_minhash_index,
+)
+from etl_job_applify_spark.functions.text_index import (
+    optimize_text_index,
+    text_index_bm25,
+    text_index_build,
+    vacuum_text_index,
+)
+from etl_job_applify_spark.similarity import (
+    optimize_vector_index,
+    vacuum_vector_index,
+    vector_index_build,
+    vector_index_probe,
+)
+
+DIM = 8
+
+
+def _vecs(spark, start=0, n=48):
+    rows = [
+        (
+            start + i,
+            [
+                float(((start + i) * 7 + j * 3) % 11) / 11.0 + 0.05
+                for j in range(DIM)
+            ],
+        )
+        for i in range(n)
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def _queries(spark):
+    rows = [
+        (100 + q, [float((q * 5 + j) % 9) / 9.0 + 0.1 for j in range(DIM)])
+        for q in range(3)
+    ]
+    return spark.createDataFrame(rows, "query_id long, embedding array<double>")
+
+
+def _snaps(idx):
+    return sorted(os.path.basename(p) for p in glob.glob(idx + "/snap_*"))
+
+
+def test_vacuum_vector_index_collapses_grace_window(spark, tmp_path):
+    corpus = _vecs(spark)
+    cents = [
+        r["embedding"]
+        for r in corpus.orderBy("vec_id").limit(4).collect()
+    ]
+    idx = str(tmp_path / "vxi_vac")
+    vector_index_build(
+        corpus.filter(F.col("vec_id") < 40), idx,
+        num_cells=4, centroids=cents,
+    )
+    vector_index_build(
+        corpus.filter(F.col("vec_id") >= 40), idx, mode="append"
+    )
+    want = sorted(
+        (r["query_id"], r["neighbor"], r["cosine"], r["rank"])
+        for r in vector_index_probe(
+            spark, idx, _queries(spark), k=5, nprobe=2
+        ).collect()
+    )
+    optimize_vector_index(spark, idx)
+    # grace: the single compaction keeps its folded snapshots on disk
+    assert _snaps(idx) == [
+        "snap_00000001", "snap_00000002", "snap_00000003"
+    ]
+    deleted = vacuum_vector_index(spark, idx)
+    assert sorted(deleted) == ["snap_00000001", "snap_00000002"]
+    assert _snaps(idx) == ["snap_00000003"]
+    got = sorted(
+        (r["query_id"], r["neighbor"], r["cosine"], r["rank"])
+        for r in vector_index_probe(
+            spark, idx, _queries(spark), k=5, nprobe=2
+        ).collect()
+    )
+    assert got == want
+    # idempotent; and a never-compacted table vacuums nothing
+    assert vacuum_vector_index(spark, idx) == []
+    idx2 = str(tmp_path / "vxi_vac_nocompact")
+    vector_index_build(corpus, idx2, num_cells=4, centroids=cents)
+    assert vacuum_vector_index(spark, idx2) == []
+    assert _snaps(idx2) == ["snap_00000001"]
+
+
+def _docs(spark):
+    rows = [
+        (i, f"alpha beta gamma doc{i % 5} delta " * 3) for i in range(20)
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_vacuum_text_index(spark, tmp_path):
+    idx = str(tmp_path / "tidx_vac")
+    docs = _docs(spark)
+    text_index_build(docs.filter(F.col("doc_id") < 10), idx)
+    text_index_build(
+        docs.filter(F.col("doc_id") >= 10), idx, mode="append"
+    )
+    qterms = spark.createDataFrame([(1, "alpha")], "qid int, word string")
+    want = sorted(
+        (r["qid"], r["doc_id"], r["score"])
+        for r in text_index_bm25(spark, idx, qterms).collect()
+    )
+    optimize_text_index(spark, idx)
+    assert len(_snaps(idx)) == 3
+    deleted = vacuum_text_index(spark, idx)
+    assert sorted(deleted) == ["snap_00000001", "snap_00000002"]
+    got = sorted(
+        (r["qid"], r["doc_id"], r["score"])
+        for r in text_index_bm25(spark, idx, qterms).collect()
+    )
+    assert got == want
+
+
+def test_vacuum_minhash_index(spark, tmp_path):
+    idx = str(tmp_path / "midx_vac")
+    docs = _docs(spark)
+    minhash_index_build(
+        docs.filter(F.col("doc_id") < 10), idx, layout="versioned"
+    )
+    minhash_index_build(
+        docs.filter(F.col("doc_id") >= 10), idx,
+        layout="versioned", mode="append",
+    )
+    n_before = minhash_index_stats(spark, idx)["n_docs"]
+    optimize_index(spark, idx)
+    assert len(_snaps(idx)) == 3
+    deleted = vacuum_minhash_index(spark, idx)
+    assert sorted(deleted) == ["snap_00000001", "snap_00000002"]
+    stats = minhash_index_stats(spark, idx)
+    assert stats["n_docs"] == n_before
+    assert stats["live_snapshots"] == 1
+    assert stats["data_files"] > 0  # FS-API count sees compacted files
+
+
+def test_reserved_meta_cols_rejected_at_founding(spark, tmp_path):
+    corpus = _vecs(spark, n=8).withColumn("cell", F.lit("x"))
+    with pytest.raises(ValueError, match="collide"):
+        vector_index_build(
+            corpus, str(tmp_path / "vxi_bad"),
+            num_cells=2, meta_cols=["cell"],
+        )
+    docs = _docs(spark).withColumn("dl", F.lit(1))
+    with pytest.raises(ValueError, match="collide"):
+        text_index_build(
+            docs, str(tmp_path / "tidx_bad"), meta_cols=["dl"]
+        )
+
+
+def test_ivfpq_offsets_without_codebooks_rejected(spark):
+    from etl_job_applify_spark.similarity import ann_topk_ivfpq
+
+    corpus = _vecs(spark, n=16)
+    with pytest.raises(ValueError, match="offsets passed without"):
+        ann_topk_ivfpq(
+            corpus, _queries(spark), k=3, num_cells=2, nprobe=1,
+            m=4, k_codes=4, encoding="residual",
+            offsets=[[0.0] * DIM, [0.0] * DIM],
+        )
