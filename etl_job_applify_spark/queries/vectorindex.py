@@ -276,6 +276,120 @@ SELECT query_id, neighbor, cosine, CAST(rank AS INT) AS rank FROM (
 """
 
 
+# --- q244: ESCALATING filtered probe under the exact oracle ---------------
+# The under-return contract: a selective facet (vid % 37 = 5, ~3% of
+# the corpus) under-fills k=10 at the base nprobe=1, so
+# vector_index_probe(escalate=True) re-probes under-filled queries with
+# nprobe doubled (1 → 2 → 4 → 8=full) until they fill or coverage is
+# total. The oracle replays the ENTIRE doubling schedule relationally:
+# per-stage top-k over the cells ranked <= stage, each query's chosen
+# stage = the smallest stage whose result fills k (full coverage if
+# none does). A probe that silently returns short (no escalation), or
+# one that re-reads already-filled queries at the wrong stage,
+# hash-mismatches. Found-only index (escalation is the subject; the
+# lifecycle is q232/q238's).
+
+_Q244_STAGES = [1, 2, 4, 8]
+_Q244_K = 10
+
+
+def q244_vector_index_escalated(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    emb = tbl(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", (F.col("vec_id") % 37).alias("facet")
+    )
+    queries = emb.filter(F.col("vec_id").isin(_Q232_QUERY_IDS)).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    cents = [
+        r["embedding"]
+        for r in emb.orderBy("vec_id").limit(_Q232_CELLS).collect()
+    ]
+
+    def build(path):
+        vector_index_build(
+            emb, path, num_cells=_Q232_CELLS, centroids=cents,
+            meta_cols=["facet"],
+        )
+
+    def probe(path):
+        return vector_index_probe(
+            spark, path, queries, k=_Q244_K, nprobe=1,
+            where="facet = 5", escalate=True,
+        ).withColumn("rank", F.col("rank").cast("int"))
+
+    return _with_temp_index(spark, build, probe)
+
+
+_Q244_SQL = f"""
+WITH anchors AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cell, embedding AS av
+  FROM embeddings ORDER BY vec_id LIMIT {_Q232_CELLS}
+),
+assigned AS (
+  SELECT vec_id, embedding, cell FROM (
+    SELECT v.vec_id, v.embedding, a.cell,
+           ROW_NUMBER() OVER (
+             PARTITION BY v.vec_id
+             ORDER BY {_L2_SQL.format(a='v.embedding', b='a.av')}, a.cell
+           ) AS rn
+    FROM embeddings v CROSS JOIN anchors a
+  ) WHERE rn = 1
+),
+queries AS (
+  SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+  WHERE vec_id IN ({", ".join(map(str, _Q232_QUERY_IDS))})
+),
+qcells AS (
+  SELECT query_id, cell, rn FROM (
+    SELECT q.query_id, a.cell,
+           ROW_NUMBER() OVER (
+             PARTITION BY q.query_id
+             ORDER BY {_L2_SQL.format(a='q.qv', b='a.av')}, a.cell
+           ) AS rn
+    FROM queries q CROSS JOIN anchors a
+  )
+),
+stages AS (
+  SELECT UNNEST([{", ".join(map(str, _Q244_STAGES))}]) AS stage
+),
+-- per-stage top-k: the probe's result had escalation stopped there
+staged AS (
+  SELECT stage, query_id, neighbor, cosine,
+         ROW_NUMBER() OVER (PARTITION BY stage, query_id
+                            ORDER BY cosine DESC, neighbor) AS rank
+  FROM (
+    SELECT st.stage, q.query_id, s.vec_id AS neighbor,
+           {_cos_sql('q.qv', 's.embedding')} AS cosine
+    FROM stages st
+    JOIN qcells p ON p.rn <= st.stage
+    JOIN queries q ON q.query_id = p.query_id
+    JOIN assigned s ON s.cell = p.cell
+    WHERE s.vec_id % 37 = 5
+  )
+),
+counts AS (
+  SELECT stage, query_id, COUNT(*) AS n FROM staged
+  WHERE rank <= {_Q244_K} GROUP BY stage, query_id
+),
+-- each query stops at the first stage that fills k (full scan if none)
+chosen AS (
+  SELECT q.query_id,
+         COALESCE(
+           (SELECT MIN(c.stage) FROM counts c
+            WHERE c.query_id = q.query_id AND c.n >= {_Q244_K}),
+           {_Q244_STAGES[-1]}
+         ) AS stage
+  FROM queries q
+)
+SELECT t.query_id, t.neighbor, t.cosine, CAST(t.rank AS INT) AS rank
+FROM staged t JOIN chosen f
+  ON t.stage = f.stage AND t.query_id = f.query_id
+WHERE t.rank <= {_Q244_K}
+"""
+
+
 # --- q240: index observability (DESCRIBE INDEX) under the exact oracle ----
 # The ops surface: vector_index_cell_histogram over q232's
 # deterministic lifecycle state (pinned anchors, epoch-fenced append,
@@ -739,6 +853,7 @@ QUERIES = {
     "q238_vector_index_filtered": q238_vector_index_filtered,
     "q239_pq_residual_serving": q239_pq_residual_serving,
     "q240_vector_index_stats": q240_vector_index_stats,
+    "q244_vector_index_escalated": q244_vector_index_escalated,
 }
 
 
@@ -766,6 +881,7 @@ ORACLE = {
     # the cell histogram is exact relational arithmetic under pinned
     # anchors; stats invariants asserted in-query
     "q240_vector_index_stats": _Q240_SQL,
+    "q244_vector_index_escalated": _Q244_SQL,
     # both legs served from persisted indexes must equal the raw
     # recompute: the oracle IS q200's
     "q235_hybrid_rrf_indexed": _q200_sql(),

@@ -570,52 +570,20 @@ def _live_cells(spark: SparkSession, index_path: str):
     return meta, cents, books, offs, cells
 
 
-def vector_index_probe(
-    spark: SparkSession,
+def _probe_once(
     index_path: str,
+    state: tuple,
     queries: DataFrame,
-    k: int = 5,
-    nprobe: int = 3,
-    query_id_col: str = "query_id",
-    vec_col: str = "embedding",
-    use_codes: bool = False,
-    shortlist: int = 64,
-    where=None,
+    k: int,
+    nprobe: int,
+    query_id_col: str,
+    vec_col: str,
+    use_codes: bool,
+    shortlist: int,
+    where,
 ) -> DataFrame:
-    """(query_id, neighbor, cosine, rank) top-k from the persisted
-    index.
-
-    ``where`` (a SQL string or Column over the index's ``meta_cols``,
-    plus ``vid``): FILTERED ANN — the predicate applies to the pruned
-    cells scan BEFORE top-k (and before the ADC shortlist on the PQ
-    path), so the full k survivors are guaranteed within the probed
-    cells, unlike post-filtering the top-k, which silently returns
-    fewer than k rows. The serving shape of "top-k WHERE lang='en'
-    AND date > X"; build the index with ``meta_cols`` to use it.
-
-    Default path: exact cosine inside the probed cells — bit-identical
-    to ``ann_topk_ivf(corpus_live, queries, centroids=<recorded>)``
-    (shared assignment/probe/scoring expressions; the parity the q232
-    oracle pins). ``nprobe >= num_cells`` degenerates to exact
-    brute-force over the live corpus — equal to ``cosine_topk`` —
-    which is what lets the index serve the q200 hybrid-RRF contract
-    exactly (q235).
-
-    ``use_codes=True`` (requires a PQ-enabled index): ADC over the
-    STORED codes shortlists candidates per query, exact cosine
-    re-ranks the shortlist — the FAISS serving path where the
-    compressed scan is cache-resident and raw vectors are touched for
-    ``shortlist`` rows only. Matches ``ann_topk_ivfpq(...,
-    centroids=<recorded>, codebooks=<recorded>, encoding=<recorded>)``
-    over the live corpus. The index's recorded ``pq_encoding`` is
-    followed automatically: on a residual-encoded index the ADC LUT is
-    computed per (query, probed cell) from the query's cell residual.
-
-    The query batch is control-plane small by contract (same premise
-    as ``text_index_bm25``): its probe-cell set collects to the driver
-    and becomes a STATIC partition filter, so the cells scan physically
-    reads ``|probed cells| / num_cells`` of the index."""
-    meta, cents, books, offs, cells = _live_cells(spark, index_path)
+    """One probe pass at a fixed nprobe (see vector_index_probe)."""
+    meta, cents, books, offs, cells = state
     nprobe = min(nprobe, meta["num_cells"])
     q = with_norm(
         queries.select(query_id_col, vec_col), vec_col
@@ -721,6 +689,114 @@ def vector_index_probe(
         .withColumn("rank", F.row_number().over(w2))
         .filter(F.col("rank") <= k)
     )
+
+
+def vector_index_probe(
+    spark: SparkSession,
+    index_path: str,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 3,
+    query_id_col: str = "query_id",
+    vec_col: str = "embedding",
+    use_codes: bool = False,
+    shortlist: int = 64,
+    where=None,
+    escalate: bool = False,
+) -> DataFrame:
+    """(query_id, neighbor, cosine, rank) top-k from the persisted
+    index.
+
+    ``where`` (a SQL string or Column over the index's ``meta_cols``,
+    plus ``vid``): FILTERED ANN — the predicate applies to the pruned
+    cells scan BEFORE top-k (and before the ADC shortlist on the PQ
+    path), so the full k survivors are guaranteed within the probed
+    cells, unlike post-filtering the top-k, which silently returns
+    fewer than k rows. The serving shape of "top-k WHERE lang='en'
+    AND date > X"; build the index with ``meta_cols`` to use it.
+
+    Default path: exact cosine inside the probed cells — bit-identical
+    to ``ann_topk_ivf(corpus_live, queries, centroids=<recorded>)``
+    (shared assignment/probe/scoring expressions; the parity the q232
+    oracle pins). ``nprobe >= num_cells`` degenerates to exact
+    brute-force over the live corpus — equal to ``cosine_topk`` —
+    which is what lets the index serve the q200 hybrid-RRF contract
+    exactly (q235).
+
+    ``use_codes=True`` (requires a PQ-enabled index): ADC over the
+    STORED codes shortlists candidates per query, exact cosine
+    re-ranks the shortlist — the FAISS serving path where the
+    compressed scan is cache-resident and raw vectors are touched for
+    ``shortlist`` rows only. Matches ``ann_topk_ivfpq(...,
+    centroids=<recorded>, codebooks=<recorded>, encoding=<recorded>)``
+    over the live corpus. The index's recorded ``pq_encoding`` is
+    followed automatically: on a residual-encoded index the ADC LUT is
+    computed per (query, probed cell) from the query's cell residual.
+
+    The query batch is control-plane small by contract (same premise
+    as ``text_index_bm25``): its probe-cell set collects to the driver
+    and becomes a STATIC partition filter, so the cells scan physically
+    reads ``|probed cells| / num_cells`` of the index.
+
+    ``escalate=True``: the under-return contract for selective
+    predicates. A filtered probe guarantees full k only WITHIN the
+    probed cells — a selective facet (``lang='is'``) can leave fewer
+    than k predicate survivors in ``nprobe`` cells and the plain probe
+    silently returns short. With escalation, queries whose result
+    under-fills k re-probe with nprobe doubled, repeatedly, until they
+    fill or the probe covers every cell (the predicate-filtered full
+    scan — at that point a short result means fewer than k live
+    survivors EXIST, the maximal answer). Queries that filled at the
+    base nprobe keep their fast-path result unchanged (bit-identical
+    to ``escalate=False``; their cells are never re-read). Escalation
+    runs one control-plane count per round — bounded by
+    ``log2(num_cells / nprobe)`` rounds — so it is a serving-path
+    affordance, not a planning-time rewrite; the common case (fill at
+    base nprobe) pays exactly one extra aggregate over the result.
+    """
+    state = _live_cells(spark, index_path)
+    res = _probe_once(
+        index_path, state, queries, k, nprobe,
+        query_id_col, vec_col, use_codes, shortlist, where,
+    )
+    if not escalate:
+        return res
+    num_cells = state[0]["num_cells"]
+    out = []
+    pending = queries
+    cur_np = min(nprobe, num_cells)
+    while True:
+        pending_ids = [
+            r[0]
+            for r in pending.select(query_id_col).distinct().collect()
+        ]
+        counts = {
+            r["query_id"]: r["n"]
+            for r in res.groupBy("query_id").agg(
+                F.count("*").alias("n")
+            ).collect()
+        }
+        under = [q for q in pending_ids if counts.get(q, 0) < k]
+        filled = [q for q in pending_ids if q not in set(under)]
+        if filled:
+            out.append(res.filter(F.col("query_id").isin(filled)))
+        if not under or cur_np >= num_cells:
+            if under:
+                # full coverage reached: short results are maximal
+                out.append(res.filter(F.col("query_id").isin(under)))
+            break
+        cur_np = min(cur_np * 2, num_cells)
+        pending = queries.filter(F.col(query_id_col).isin(under))
+        res = _probe_once(
+            index_path, state, pending, k, cur_np,
+            query_id_col, vec_col, use_codes, shortlist, where,
+        )
+    if not out:  # empty query batch
+        return res
+    acc = out[0]
+    for df in out[1:]:
+        acc = acc.unionByName(df)
+    return acc
 
 
 def vector_index_cell_histogram(

@@ -765,6 +765,71 @@ def test_filtered_probe_pq_path(spark, tmp_path):
     assert _res(got) == _res(want)
 
 
+def test_filtered_probe_escalation_fills_k(spark, tmp_path):
+    """escalate=True: a selective predicate whose survivors under-fill
+    k at the base nprobe escalates (nprobe doubling) until every query
+    fills — and when fewer than k survivors EXIST in the whole live
+    index, escalation reaches the predicate-filtered full scan and
+    returns the maximal (short) answer, equal to brute force over the
+    filtered corpus."""
+    corpus = _meta_corpus(spark)
+    cents = _anchor_centroids(corpus)
+    idx = str(tmp_path / "vxi_escal")
+    vector_index_build(
+        corpus, idx, num_cells=4, centroids=cents, meta_cols=["lang"]
+    )
+    # 16 'fr' survivors spread over the cells: nprobe=1 under-fills
+    # some queries at k=5; escalation must fill all of them to k
+    got = vector_index_probe(
+        spark, idx, _queries(spark), k=5, nprobe=1,
+        where="lang = 'fr'", escalate=True,
+    )
+    per_q = {
+        r["query_id"]: r["n"]
+        for r in got.groupBy("query_id").agg(
+            F.count("*").alias("n")
+        ).collect()
+    }
+    assert per_q == {100: 5, 101: 5, 102: 5}
+    # predicate with only 4 survivors in the WHOLE index: escalation
+    # reaches full coverage and the result equals filtered brute force
+    got_short = vector_index_probe(
+        spark, idx, _queries(spark), k=5, nprobe=1,
+        where="vid >= 44", escalate=True,
+    )
+    want_short = cosine_topk(
+        corpus.filter(F.col("vec_id") >= 44), _queries(spark), k=5
+    )
+    assert _res(got_short) == _res(want_short)
+    assert got_short.count() == 12  # 4 survivors x 3 queries, maximal
+
+
+def test_filtered_probe_escalation_fast_path_unchanged(spark, tmp_path):
+    """Queries that fill at the base nprobe return results
+    bit-identical to escalate=False — escalation never perturbs the
+    non-escalating fast path (the q238 contract stays pinned)."""
+    corpus = _meta_corpus(spark)
+    cents = _anchor_centroids(corpus)
+    idx = str(tmp_path / "vxi_escal_fast")
+    vector_index_build(
+        corpus, idx, num_cells=4, centroids=cents, meta_cols=["lang"]
+    )
+    base = vector_index_probe(
+        spark, idx, _queries(spark), k=5, nprobe=2, where="lang <> 'fr'"
+    )
+    assert all(
+        r["n"] == 5
+        for r in base.groupBy("query_id").agg(
+            F.count("*").alias("n")
+        ).collect()
+    )  # premise: everything fills at the base nprobe
+    esc = vector_index_probe(
+        spark, idx, _queries(spark), k=5, nprobe=2,
+        where="lang <> 'fr'", escalate=True,
+    )
+    assert _res(esc) == _res(base)
+
+
 def test_meta_cols_survive_append_delete_compact(spark, tmp_path):
     """meta_cols ride every lifecycle stage: appended batches carry
     them (validated when passed explicitly), tombstones and compaction
