@@ -390,6 +390,84 @@ WHERE t.rank <= {_Q244_K}
 """
 
 
+# --- q245: bulk kNN JOIN under the exact oracle ----------------------------
+# The corpus-vs-index shape (the semantic-dedup feeder): EVERY corpus
+# vector queries the index for its 3 nearest OTHER vectors through
+# vector_index_knn_join — the cell-keyed shuffle-join path with no
+# driver collect of probe cells and no query-side broadcast (the two
+# moves vector_index_probe makes that invert at a 100 TB query
+# relation). Pinned anchors make cell assignment, per-query probe
+# cells, self-exclusion and the in-cell cosine top-k exact relational
+# arithmetic, so the oracle replays the whole join bit-for-bit.
+
+_Q245_K = 3
+_Q245_NPROBE = 2
+
+
+def q245_vector_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..similarity import vector_index_knn_join
+
+    emb = tbl(spark, sf_dir, "embeddings")
+    cents = [
+        r["embedding"]
+        for r in emb.orderBy("vec_id").limit(_Q232_CELLS).collect()
+    ]
+
+    def build(path):
+        vector_index_build(
+            emb, path, num_cells=_Q232_CELLS, centroids=cents
+        )
+
+    def probe(path):
+        return vector_index_knn_join(
+            spark, path,
+            emb.select(F.col("vec_id").alias("query_id"), "embedding"),
+            k=_Q245_K, nprobe=_Q245_NPROBE, exclude_self=True,
+        ).withColumn("rank", F.col("rank").cast("int"))
+
+    return _with_temp_index(spark, build, probe)
+
+
+_Q245_SQL = f"""
+WITH anchors AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cell, embedding AS av
+  FROM embeddings ORDER BY vec_id LIMIT {_Q232_CELLS}
+),
+assigned AS (
+  SELECT vec_id, embedding, cell FROM (
+    SELECT v.vec_id, v.embedding, a.cell,
+           ROW_NUMBER() OVER (
+             PARTITION BY v.vec_id
+             ORDER BY {_L2_SQL.format(a='v.embedding', b='a.av')}, a.cell
+           ) AS rn
+    FROM embeddings v CROSS JOIN anchors a
+  ) WHERE rn = 1
+),
+qprobe AS (
+  SELECT query_id, qv, cell FROM (
+    SELECT q.vec_id AS query_id, q.embedding AS qv, a.cell,
+           ROW_NUMBER() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY {_L2_SQL.format(a='q.embedding', b='a.av')}, a.cell
+           ) AS rn
+    FROM embeddings q CROSS JOIN anchors a
+  ) WHERE rn <= {_Q245_NPROBE}
+),
+scored AS (
+  SELECT p.query_id, s.vec_id AS neighbor,
+         {_cos_sql('p.qv', 's.embedding')} AS cosine
+  FROM qprobe p
+  JOIN assigned s ON s.cell = p.cell
+  WHERE s.vec_id <> p.query_id  -- exclude_self: before ranking
+)
+SELECT query_id, neighbor, cosine, CAST(rank AS INT) AS rank FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, neighbor) AS rank
+  FROM scored
+) WHERE rank <= {_Q245_K}
+"""
+
+
 # --- q240: index observability (DESCRIBE INDEX) under the exact oracle ----
 # The ops surface: vector_index_cell_histogram over q232's
 # deterministic lifecycle state (pinned anchors, epoch-fenced append,
@@ -854,6 +932,7 @@ QUERIES = {
     "q239_pq_residual_serving": q239_pq_residual_serving,
     "q240_vector_index_stats": q240_vector_index_stats,
     "q244_vector_index_escalated": q244_vector_index_escalated,
+    "q245_vector_knn_join": q245_vector_knn_join,
 }
 
 
@@ -882,6 +961,7 @@ ORACLE = {
     # anchors; stats invariants asserted in-query
     "q240_vector_index_stats": _Q240_SQL,
     "q244_vector_index_escalated": _Q244_SQL,
+    "q245_vector_knn_join": _Q245_SQL,
     # both legs served from persisted indexes must equal the raw
     # recompute: the oracle IS q200's
     "q235_hybrid_rrf_indexed": _q200_sql(),

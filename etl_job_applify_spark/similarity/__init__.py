@@ -15,6 +15,7 @@ from .vector_index import (
     vector_index_build,
     vector_index_cell_histogram,
     vector_index_delete,
+    vector_index_knn_join,
     vector_index_probe,
     vector_index_stats,
 )
@@ -22,6 +23,7 @@ from .vector_index import (
 __all__ = [
     "vector_index_build",
     "vector_index_probe",
+    "vector_index_knn_join",
     "vector_index_delete",
     "optimize_vector_index",
     "reindex_vector_index",

@@ -799,6 +799,82 @@ def vector_index_probe(
     return acc
 
 
+def vector_index_knn_join(
+    spark: SparkSession,
+    index_path: str,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 3,
+    query_id_col: str = "query_id",
+    vec_col: str = "embedding",
+    where=None,
+    exclude_self: bool = False,
+) -> DataFrame:
+    """Bulk kNN join: (query_id, neighbor, cosine, rank) top-k for a
+    DATA-PLANE-SIZED query relation — the offline corpus-vs-index shape
+    (the semantic-dedup feeder, batch re-embedding backfills, corpus
+    self-join kNN graphs).
+
+    ``vector_index_probe`` contracts the query batch to control-plane
+    size: it collects the probe-cell set to the driver (a static
+    partition filter) and broadcasts the query side. Both moves invert
+    at corpus scale — a 100 TB query relation can neither collect its
+    probe cells nor broadcast. This variant keeps everything
+    distributed: probe cells explode per query row (the same JVM
+    assignment expression the build used), and candidates come from a
+    CELL-KEYED SHUFFLE JOIN against the cells relation — both sides
+    hash-partition on ``cell``, so each task intersects one cell's
+    queries with that cell's vectors (AQE splits skewed hot cells).
+    No driver collect, no broadcast, no partition pruning — a bulk join
+    touches most cells anyway, and each query still scores only its
+    ``nprobe`` cells' candidates, which is what bounds the join output
+    at ``|queries| x nprobe x avg_cell_size`` instead of
+    ``|queries| x |corpus|``.
+
+    Semantics are the probe's exactly (same assignment / probe /
+    scoring expressions): results are bit-identical to
+    ``vector_index_probe(spark, path, queries, k, nprobe)`` on the same
+    live index (pinned by tests/test_vector_index.py). ``where`` filters
+    the cells scan before scoring, as in the probe. ``exclude_self``
+    drops ``neighbor == query_id`` candidates before ranking — the
+    corpus self-join default (a vector's nearest neighbor is itself).
+    Exact-cosine only: the ADC/PQ shortlist path stays probe-only (its
+    per-query LUT broadcast is the control-plane move this variant
+    exists to avoid)."""
+    meta, cents, books, offs, cells = _live_cells(spark, index_path)
+    nprobe = min(nprobe, meta["num_cells"])
+    q = with_norm(
+        queries.select(query_id_col, vec_col), vec_col
+    ).withColumn(
+        "__probe", F.explode(F.expr(_probe_cells_expr(vec_col, cents, nprobe)))
+    ).select(
+        F.col("__probe").cast("int").alias("cell"),
+        F.col(query_id_col).alias("query_id"),
+        F.col(vec_col).alias("__qv"),
+        F.col("norm").alias("__qn"),
+    )
+    pruned = cells
+    if where is not None:
+        pruned = pruned.filter(
+            F.expr(where) if isinstance(where, str) else where
+        )
+    scored = pruned.join(q, "cell")  # shuffle join keyed by cell
+    if exclude_self:
+        scored = scored.filter(F.col("vid") != F.col("query_id"))
+    scored = scored.withColumn(
+        "cosine", cosine_expr("__qv", "vec", "__qn", "norm")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.col("neighbor")
+    )
+    return (
+        scored.select("query_id", F.col("vid").alias("neighbor"), "cosine")
+        .distinct()
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def vector_index_cell_histogram(
     spark: SparkSession, index_path: str
 ) -> DataFrame:

@@ -1151,3 +1151,81 @@ def test_concurrent_appends_with_auto_compaction_race(spark, tmp_path):
     got = vector_index_probe(spark, idx, _queries(spark), k=5, nprobe=99)
     want = cosine_topk(corpus, _queries(spark), k=5)
     assert _res(got) == _res(want)
+
+
+def test_knn_join_parity_with_probe(spark, tmp_path):
+    """The bulk cell-keyed shuffle-join kNN path returns results
+    bit-identical to vector_index_probe on the same live index — same
+    assignment/probe/scoring expressions, different physical plan (no
+    driver collect of probe cells, no query-side broadcast)."""
+    from etl_job_applify_spark.similarity import vector_index_knn_join
+
+    corpus = _meta_corpus(spark)
+    cents = _anchor_centroids(corpus)
+    idx = str(tmp_path / "vxi_knnj")
+    vector_index_build(
+        corpus, idx, num_cells=4, centroids=cents, meta_cols=["lang"]
+    )
+    want = _res(
+        vector_index_probe(spark, idx, _queries(spark), k=5, nprobe=2)
+    )
+    got = _res(
+        vector_index_knn_join(spark, idx, _queries(spark), k=5, nprobe=2)
+    )
+    assert got == want
+    # filtered variant matches the filtered probe too
+    want_f = _res(vector_index_probe(
+        spark, idx, _queries(spark), k=5, nprobe=2, where="lang = 'en'"
+    ))
+    got_f = _res(vector_index_knn_join(
+        spark, idx, _queries(spark), k=5, nprobe=2, where="lang = 'en'"
+    ))
+    assert got_f == want_f
+
+
+def test_knn_join_self_join_excludes_self(spark, tmp_path):
+    """Corpus self-join kNN (the semantic-dedup feeder): exclude_self
+    drops the trivial self-match BEFORE ranking, so every returned
+    neighbor is a distinct vector and rank 1 is the true nearest
+    other vector."""
+    from etl_job_applify_spark.similarity import vector_index_knn_join
+
+    corpus = _vecs(spark, n=24)
+    cents = _anchor_centroids(corpus)
+    idx = str(tmp_path / "vxi_knnj_self")
+    vector_index_build(corpus, idx, num_cells=4, centroids=cents)
+    got = vector_index_knn_join(
+        spark, idx,
+        corpus.select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        ),
+        k=3, nprobe=4, exclude_self=True,
+    )
+    rows = got.collect()
+    assert all(r["neighbor"] != r["query_id"] for r in rows)
+    assert got.groupBy("query_id").count().filter("count != 3").count() == 0
+    assert got.select("query_id").distinct().count() == 24
+
+
+def test_knn_join_plan_is_distributed(spark, tmp_path):
+    """With auto-broadcast disabled the kNN join compiles to a shuffle
+    join keyed by cell (SortMergeJoin/ShuffledHashJoin) — proof the
+    path has no query-side broadcast dependency, unlike the probe."""
+    from etl_job_applify_spark.plans.explain import explain_str
+    from etl_job_applify_spark.similarity import vector_index_knn_join
+
+    corpus = _vecs(spark)
+    idx = str(tmp_path / "vxi_knnj_plan")
+    vector_index_build(
+        corpus, idx, num_cells=4, centroids=_anchor_centroids(corpus)
+    )
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = vector_index_knn_join(
+            spark, idx, _queries(spark), k=5, nprobe=2
+        )
+        fmt = explain_str(df, "formatted")
+        assert "SortMergeJoin" in fmt or "ShuffledHashJoin" in fmt
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
