@@ -625,6 +625,8 @@ def run_vector_index_ingest_stream(
     writer_id: str = "vecidx",
     centroids=None,
     max_snapshots: int | None = None,
+    reindex_skew_threshold: float | None = None,
+    reindex_min_vecs: int = 0,
 ) -> None:
     """Streaming ingest into the persisted vector index
     (similarity/vector_index.py): every micro-batch of embeddings is
@@ -646,9 +648,31 @@ def run_vector_index_ingest_stream(
     idempotent under replay. ``max_snapshots``: the state-based twin —
     compact whenever the LIVE snapshot count exceeds the threshold
     (robust where epoch ids restart, e.g. a new checkpoint dir); both
-    triggers compose, either alone suffices."""
-    from ..similarity import optimize_vector_index, vector_index_build
-    from ..similarity.vector_index import _vxi_is_versioned
+    triggers compose, either alone suffices.
+
+    ``reindex_skew_threshold``: the POLICY LOOP on the cell-skew signal
+    ``vector_index_stats`` exposes (probe latency is bounded by the
+    hottest probed cell, so ``max_cell / avg_cell`` drifting upward is
+    the operational reindex trigger — corpus drift away from the
+    immutable founding quantizer). After each committed append the
+    ingest computes the live cell histogram (one narrow aggregate over
+    the cells relation); skew above the threshold triggers
+    ``reindex_vector_index`` at the epoch boundary — retrain on the
+    CURRENT live corpus, re-assign, CAS-publish (also a compaction).
+    ``reindex_min_vecs`` gates the trigger until the live corpus is
+    large enough for a meaningful retrain (early epochs are noisy).
+    Replay-safe: a redelivered epoch's append is fenced to a no-op and
+    the post-reindex histogram is balanced, so the trigger does not
+    re-fire. Note the threshold is a steady-state contract: data whose
+    true distribution k-means cannot balance will re-trigger every
+    epoch — pick the threshold from the post-reindex skew this corpus
+    actually achieves (observable via ``vector_index_stats``)."""
+    from ..similarity import (
+        optimize_vector_index,
+        reindex_vector_index,
+        vector_index_build,
+    )
+    from ..similarity.vector_index import _live_cells, _vxi_is_versioned
 
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
         if batch_df.isEmpty():
@@ -678,6 +702,30 @@ def run_vector_index_ingest_stream(
             and (epoch_id + 1) % compact_every == 0
         ):
             optimize_vector_index(spark, index_dir)  # CAS, idempotent
+        if reindex_skew_threshold:
+            meta_now, _c, _b, _o, cells_now = _live_cells(
+                spark, index_dir
+            )
+            agg = (
+                cells_now.groupBy("cell")
+                .agg(F.count("*").alias("n"))
+                .agg(
+                    F.sum("n").alias("total"), F.max("n").alias("mx")
+                )
+                .first()
+            )
+            total = int(agg["total"] or 0)
+            avg = (
+                total / meta_now["num_cells"]
+                if meta_now["num_cells"]
+                else 0.0
+            )
+            if (
+                total >= reindex_min_vecs
+                and avg > 0
+                and int(agg["mx"] or 0) / avg > reindex_skew_threshold
+            ):
+                reindex_vector_index(spark, index_dir)
 
     q = vec_stream.writeStream.foreachBatch(sink).start()
     try:

@@ -1229,3 +1229,88 @@ def test_knn_join_plan_is_distributed(spark, tmp_path):
         assert "SortMergeJoin" in fmt or "ShuffledHashJoin" in fmt
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_streaming_ingest_auto_reindex_on_skew(spark, tmp_path):
+    """The policy loop on the observability signal: drifted appends pile
+    into one founding cell (cell_skew rises); with
+    reindex_skew_threshold set the ingest stream triggers
+    reindex_vector_index at the epoch boundary. Assertions: the frozen
+    twin (no policy) ends above the threshold, the policy index ends
+    with materially lower skew, exact counts survive, and probe recall
+    against exact brute force is no worse than the frozen twin's."""
+    from etl_job_applify_spark.similarity import (
+        cosine_topk,
+        vector_index_stats,
+    )
+    from etl_job_applify_spark.streaming import (
+        run_vector_index_ingest_stream,
+    )
+
+    # founding corpus: the usual spread patterns; drift: 40 vectors
+    # tightly clustered far from all founding centroids
+    founding = _vecs(spark, n=16)
+    drift_rows = [
+        (
+            1000 + i,
+            [5.0 + float((i * 3 + j) % 7) / 100.0 for j in range(DIM)],
+        )
+        for i in range(40)
+    ]
+    drift = spark.createDataFrame(
+        drift_rows, "vec_id long, embedding array<double>"
+    )
+    cents = _anchor_centroids(founding)
+    src = tmp_path / "src_drift"
+    src.mkdir()
+    founding.coalesce(1).write.parquet(str(src / "b00.parquet"))
+    for b in range(4):
+        drift.filter(
+            (F.col("vec_id") >= 1000 + 10 * b)
+            & (F.col("vec_id") < 1000 + 10 * (b + 1))
+        ).coalesce(1).write.parquet(str(src / f"b{b + 1:02d}.parquet"))
+
+    def ingest(idx, threshold):
+        stream = (
+            spark.readStream.schema("vec_id long, embedding array<double>")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src) + "/*.parquet")
+        )
+        run_vector_index_ingest_stream(
+            stream, idx, num_cells=4, centroids=cents,
+            reindex_skew_threshold=threshold,
+            reindex_min_vecs=30 if threshold else 0,
+        )
+
+    frozen = str(tmp_path / "idx_frozen")
+    policy = str(tmp_path / "idx_policy")
+    ingest(frozen, None)
+    ingest(policy, 2.0)
+    s_frozen = vector_index_stats(spark, frozen)
+    s_policy = vector_index_stats(spark, policy)
+    # the premise: drift really does skew the frozen quantizer
+    assert s_frozen["cell_skew"] > 2.0
+    # the policy: reindex retrained on the drifted live corpus
+    assert s_policy["cell_skew"] < s_frozen["cell_skew"]
+    assert s_policy["n_vecs"] == s_frozen["n_vecs"] == 56
+    # recall against exact brute force must not regress vs frozen
+    full = founding.unionByName(drift)
+    queries = spark.createDataFrame(
+        [(2000 + q, [5.0 + float(q) / 50.0] * DIM) for q in range(3)],
+        "query_id long, embedding array<double>",
+    )
+    truth = {
+        (r["query_id"], r["neighbor"])
+        for r in cosine_topk(full, queries, k=5).collect()
+    }
+
+    def recall(idx):
+        got = {
+            (r["query_id"], r["neighbor"])
+            for r in vector_index_probe(
+                spark, idx, queries, k=5, nprobe=2
+            ).collect()
+        }
+        return len(got & truth) / len(truth)
+
+    assert recall(policy) >= recall(frozen)
