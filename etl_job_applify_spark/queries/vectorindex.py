@@ -922,6 +922,183 @@ def q235_hybrid_rrf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, schema)
 
 
+# --- q246: FACETED hybrid RRF served from BOTH persisted indexes ----------
+# q235's fusion with q243's facet on the text leg AND q238's facet on
+# the vector leg: both indexes are built with meta_cols=["lang"] and
+# both probes carry where="lang = 'en'" (lang := id % 3 mapped to
+# en/de/fr on each table, so the facet is the same logical predicate
+# across the two id domains). The lexical leg keeps corpus-wide BM25
+# stats (faceted-search semantics, q243's contract); the vector leg
+# runs full-coverage (nprobe=999) so the filtered probe equals exact
+# filtered cosine — which is what makes the whole fused result exactly
+# SQL-expressible. The oracle replays the facet on both legs; a
+# post-filter on either leg (short lists before fusion) reshuffles RRF
+# ranks and hash-mismatches.
+
+def q246_hybrid_rrf_faceted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..functions.text_index import text_index_bm25, text_index_build
+    from .textops import _Q190_QUERIES
+
+    K_TOP, LEG_L = 10, 20
+
+    def _lang(col):
+        return F.element_at(
+            F.array(F.lit("en"), F.lit("de"), F.lit("fr")),
+            (F.col(col) % 3 + 1).cast("int"),
+        ).alias("lang")
+
+    docs = tbl(spark, sf_dir, "documents").select(
+        "doc_id", "text", _lang("doc_id")
+    )
+    emb = tbl(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", _lang("vec_id")
+    )
+    qterms = spark.createDataFrame(
+        [(qid, w) for qid, ws in _Q190_QUERIES for w in ws],
+        "qid int, word string",
+    )
+    anchors = emb.filter(
+        F.col("vec_id").isin([qid for qid, _ in _Q190_QUERIES])
+    ).select(F.col("vec_id").alias("query_id"), "embedding")
+
+    tdir = tempfile.mkdtemp(prefix="qrrf_facet_")
+    try:
+        tpath, vpath = f"{tdir}/text", f"{tdir}/vec"
+        text_index_build(docs, tpath, meta_cols=["lang"])
+        vector_index_build(
+            emb, vpath, num_cells=16, meta_cols=["lang"]
+        )
+        w_lex = Window.partitionBy("qid").orderBy(
+            F.desc("score"), F.asc("doc_id")
+        )
+        lex = (
+            text_index_bm25(spark, tpath, qterms, where="lang = 'en'")
+            .withColumn("lex_rank", F.row_number().over(w_lex))
+            .filter(F.col("lex_rank") <= LEG_L)
+            .select("qid", "doc_id", "lex_rank")
+        )
+        vec = vector_index_probe(
+            spark, vpath, anchors, k=LEG_L, nprobe=999,
+            where="lang = 'en'",
+        ).select(
+            F.col("query_id").cast("int").alias("qid"),
+            F.col("neighbor").alias("doc_id"),
+            F.col("rank").cast("int").alias("vec_rank"),
+        )
+        fused = lex.join(vec, ["qid", "doc_id"], "full_outer").withColumn(
+            "rrf_score",
+            F.expr(
+                "coalesce(1e0 / (60 + lex_rank), 0e0)"
+                " + coalesce(1e0 / (60 + vec_rank), 0e0)"
+            ),
+        )
+        w_f = Window.partitionBy("qid").orderBy(
+            F.desc("rrf_score"), F.asc("doc_id")
+        )
+        out = (
+            fused.withColumn("rrf_rank", F.row_number().over(w_f))
+            .filter(F.col("rrf_rank") <= K_TOP)
+            .select("qid", "doc_id", "rrf_rank", "rrf_score",
+                    "lex_rank", "vec_rank")
+        )
+        rows = out.collect()
+        schema = out.schema
+    finally:
+        shutil.rmtree(tdir, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)
+
+
+_Q246_SQL = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+),
+tf AS (
+  SELECT doc_id, word, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM toks GROUP BY doc_id, word
+),
+dl AS (
+  SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id
+),
+dfreq AS (
+  SELECT word, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY word
+),
+stats AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+  FROM dl
+),
+q(qid, word) AS (VALUES
+  (1, 'hash'), (1, 'join'),
+  (2, 'window'), (2, 'sort'), (2, 'merge'),
+  (3, 'stream'), (3, 'batch'), (3, 'spark')
+),
+scored AS (
+  SELECT q.qid, tf.doc_id,
+    CAST(SUM(CAST(
+      ((n - df + 5e-1) / (df + 5e-1))
+      * (tf * 2.2e0)
+      / (tf + 1.2e0 * (2.5e-1 + 7.5e-1 * dl / avgdl))
+    AS DECIMAL(28,6))) AS DOUBLE) AS score
+  FROM q
+  JOIN tf USING (word)
+  JOIN dfreq USING (word)
+  JOIN dl USING (doc_id), stats
+  WHERE tf.doc_id % 3 = 0  -- lang = 'en' facet; stats stay corpus-wide
+  GROUP BY q.qid, tf.doc_id
+),
+lex AS (
+  SELECT qid, doc_id, CAST(rnk AS INT) AS lex_rank FROM (
+    SELECT qid, doc_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY qid ORDER BY score DESC, doc_id
+           ) AS rnk
+    FROM scored
+  ) WHERE rnk <= 20
+),
+anchors AS (
+  SELECT vec_id AS qid, embedding AS qv FROM embeddings
+  WHERE vec_id IN (1, 2, 3)
+),
+cos AS (
+  SELECT a.qid, e.vec_id AS doc_id,
+         (list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, len(qv) + 1), i -> CAST(qv[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))), (x, y) -> x + y)) / ((sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, len(qv) + 1), i -> CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE))), (x, y) -> x + y))) * (sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, len(e.embedding) + 1), i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))), (x, y) -> x + y)))) AS cosine
+  FROM embeddings e, anchors a
+  WHERE e.vec_id % 3 = 0  -- lang = 'en' facet on the vector leg
+),
+vec AS (
+  SELECT CAST(qid AS INT) AS qid, doc_id, CAST(rnk AS INT) AS vec_rank
+  FROM (
+    SELECT qid, doc_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY qid ORDER BY cosine DESC, doc_id
+           ) AS rnk
+    FROM cos
+  ) WHERE rnk <= 20
+),
+fused AS (
+  SELECT COALESCE(lex.qid, vec.qid) AS qid,
+         COALESCE(lex.doc_id, vec.doc_id) AS doc_id,
+         lex.lex_rank, vec.vec_rank,
+         coalesce(1e0 / (60 + lex.lex_rank), 0e0)
+           + coalesce(1e0 / (60 + vec.vec_rank), 0e0) AS rrf_score
+  FROM lex FULL OUTER JOIN vec
+    ON lex.qid = vec.qid AND lex.doc_id = vec.doc_id
+)
+SELECT qid, doc_id, CAST(rrf_rank AS INT) AS rrf_rank, rrf_score,
+       lex_rank, vec_rank
+FROM (
+  SELECT *,
+         ROW_NUMBER() OVER (
+           PARTITION BY qid ORDER BY rrf_score DESC, doc_id
+         ) AS rrf_rank
+  FROM fused
+)
+WHERE rrf_rank <= 10
+"""
+
+
 QUERIES = {
     "q232_vector_index_lifecycle": q232_vector_index_lifecycle,
     "q233_vector_index_recall": q233_vector_index_recall,
@@ -933,6 +1110,7 @@ QUERIES = {
     "q240_vector_index_stats": q240_vector_index_stats,
     "q244_vector_index_escalated": q244_vector_index_escalated,
     "q245_vector_knn_join": q245_vector_knn_join,
+    "q246_hybrid_rrf_faceted": q246_hybrid_rrf_faceted,
 }
 
 
@@ -962,6 +1140,9 @@ ORACLE = {
     "q240_vector_index_stats": _Q240_SQL,
     "q244_vector_index_escalated": _Q244_SQL,
     "q245_vector_knn_join": _Q245_SQL,
+    # both faceted legs replayed in SQL (facet inside each leg, stats
+    # corpus-wide on the lexical leg, full-coverage exact vector leg)
+    "q246_hybrid_rrf_faceted": _Q246_SQL,
     # both legs served from persisted indexes must equal the raw
     # recompute: the oracle IS q200's
     "q235_hybrid_rrf_indexed": _q200_sql(),
