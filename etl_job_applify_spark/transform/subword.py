@@ -24,14 +24,44 @@ def bpe_merge_round(seq: DataFrame, s1: str, s2: str) -> DataFrame:
     (wid, f, pos, sym) sequence relation. Overlapping matches (possible
     only when s1 == s2) resolve by run parity — see queries/subword.py
     for the argument."""
+    return bpe_merge_batch(seq, [(s1, s2)])
+
+
+def bpe_merge_batch(
+    seq: DataFrame, pairs: list[tuple[str, str]]
+) -> DataFrame:
+    """Apply a batch of SYMBOL-DISJOINT merges in ONE relational pass.
+
+    Disjointness (no symbol appears in two pairs, as left or right) is
+    the caller's contract (``_select_disjoint_pairs`` enforces it in
+    ``learn_bpe``) and what makes the single pass exact: adjacent
+    matched positions would need a symbol to be one pair's right AND
+    another's left, which disjointness forbids — so every contiguous
+    match run is a SINGLE pair's run and the existing parity argument
+    applies verbatim (same-symbol runs (a,a) included). Consequence:
+    the batch result equals applying the same merges sequentially via
+    ``bpe_merge_round`` in ANY order (merge-order equivalence,
+    test-pinned on the fixture)."""
     w = Window.partitionBy("wid").orderBy("pos")
     run = Window.partitionBy("wid", "grp")
+    pair_lits = F.array(
+        *[
+            F.struct(F.lit(a).alias("l"), F.lit(b).alias("r"))
+            for a, b in pairs
+        ]
+    )
     marked = (
-        seq.withColumn(
+        seq.withColumn("nxt_sym", F.lead("sym").over(w))
+        .withColumn(
             "match",
             F.coalesce(
-                (F.col("sym") == F.lit(s1))
-                & (F.lead("sym").over(w) == F.lit(s2)),
+                F.array_contains(
+                    pair_lits,
+                    F.struct(
+                        F.col("sym").alias("l"),
+                        F.col("nxt_sym").alias("r"),
+                    ),
+                ),
                 F.lit(False),
             ),
         )
@@ -64,7 +94,7 @@ def bpe_merge_round(seq: DataFrame, s1: str, s2: str) -> DataFrame:
             "f",
             F.row_number().over(w).alias("pos"),
             F.when(
-                F.col("do_merge"), F.concat(F.col("sym"), F.lit(s2))
+                F.col("do_merge"), F.concat(F.col("sym"), F.col("nxt_sym"))
             )
             .otherwise(F.col("sym"))
             .alias("sym"),
@@ -72,17 +102,53 @@ def bpe_merge_round(seq: DataFrame, s1: str, s2: str) -> DataFrame:
     )
 
 
+def _select_disjoint_pairs(
+    ranked: list[tuple[str, str, int]], batch: int
+) -> list[tuple[str, str, int]]:
+    """Greedy symbol-disjoint prefix of the (cnt desc, sym, nxt)-ranked
+    pair list: take pairs in rank order, skipping any that shares a
+    symbol (left or right) with one already taken, up to ``batch``.
+    The top pair is always taken, so batch=1 is exactly the classic
+    greedy schedule."""
+    taken: list[tuple[str, str, int]] = []
+    used: set[str] = set()
+    for a, b, c in ranked:
+        if len(taken) >= batch:
+            break
+        if a in used or b in used:
+            continue
+        taken.append((a, b, c))
+        used.update((a, b))
+    return taken
+
+
 def learn_bpe(
     docs: DataFrame,
     text_col: str = "text",
     rounds: int = 6,
     min_word_len: int = 2,
+    batch: int = 1,
 ) -> tuple[list[tuple[int, str, str, int, int]], DataFrame]:
     """Train BPE merges on a corpus; → (merge table rows
     (round, s1, s2, pair_count, corpus_tokens_after), final
     (wid, f, pos, sym) sequence — the tokenizer applied to the
     vocabulary). Vocabulary-level cost: the corpus is scanned once; the
-    rounds run over distinct words weighted by frequency."""
+    rounds run over distinct words weighted by frequency.
+
+    ``batch``: merges selected per driver round. batch=1 (default) is
+    classic greedy BPE — one pair per round, two Spark actions each, so
+    a production 32k-merge vocabulary costs 64k driver rounds. batch=N
+    collects the top ranked pairs once per round and applies the
+    greedy SYMBOL-DISJOINT prefix (up to N pairs) in one relational
+    pass (``bpe_merge_batch``) — ~N× fewer driver rounds at the same
+    per-round cost. Within a batch the merges commute (disjointness;
+    merge-order equivalence is test-pinned), so the batched schedule
+    equals SOME sequential schedule of the same pairs; it can deviate
+    from the strict one-at-a-time greedy schedule when a merge's newly
+    created symbol would have out-ranked a later batch member — the
+    standard batched-BPE trade (YouTokenToMe-style) that buys the N×
+    driver-round cut; pin ``batch=1`` where exact greedy parity
+    matters (q203 does)."""
     words = (
         docs.select(F.explode(F.split(text_col, " ")).alias("wid"))
         .filter(F.length("wid") >= min_word_len)
@@ -107,14 +173,21 @@ def learn_bpe(
             .groupBy("sym", "nxt")
             .agg(F.sum("f").cast("bigint").alias("cnt"))
         )
-        top = (
-            pairs.orderBy(F.desc("cnt"), "sym", "nxt").limit(1).collect()[0]
-        )  # O(1) driver scalar: the round's best pair (control plane)
-        seq = bpe_merge_round(seq, top["sym"], top["nxt"]).localCheckpoint()
-        tokens_after = seq.agg(F.sum("f")).collect()[0][0]
-        merges.append(
-            (r, top["sym"], top["nxt"], int(top["cnt"]), int(tokens_after))
+        # O(batch) driver rows: the round's ranked pair head (control
+        # plane); 4x over-fetch leaves room for disjointness skips
+        head = pairs.orderBy(F.desc("cnt"), "sym", "nxt").limit(
+            max(1, 4 * batch)
+        ).collect()
+        if not head:
+            break
+        picked = _select_disjoint_pairs(
+            [(t["sym"], t["nxt"], int(t["cnt"])) for t in head], batch
         )
+        seq = bpe_merge_batch(
+            seq, [(a, b) for a, b, _ in picked]
+        ).localCheckpoint()
+        tokens_after = int(seq.agg(F.sum("f")).collect()[0][0])
+        merges.extend((r, a, b, c, tokens_after) for a, b, c in picked)
     return merges, seq
 
 

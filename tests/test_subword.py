@@ -154,3 +154,92 @@ def test_learn_bpe_matches_python_reference(spark):
     for r in seq.orderBy("wid", "pos").collect():
         got_seqs.setdefault(r["wid"], []).append(r["sym"])
     assert got_seqs == want_seqs
+
+
+def _seqs(seq_df):
+    out: dict[str, list[str]] = {}
+    for r in seq_df.orderBy("wid", "pos").collect():
+        out.setdefault(r["wid"], []).append(r["sym"])
+    return out
+
+
+def test_bpe_batch_merge_order_equivalence(spark):
+    """Merge-order equivalence: a symbol-disjoint batch applied in ONE
+    relational pass (bpe_merge_batch) equals applying the same merges
+    sequentially via bpe_merge_round — in either order. The disjointness
+    contract is what makes batched rounds exact."""
+    from etl_job_applify_spark.transform.subword import (
+        bpe_merge_batch,
+        bpe_merge_round,
+    )
+
+    words = ["abcd", "abab", "cdcd", "aabb", "dcba", "abcdab"]
+    rows = [
+        (w, 1 + i, p + 1, w[p])
+        for i, w in enumerate(words)
+        for p in range(len(w))
+    ]
+    seq = spark.createDataFrame(
+        rows, "wid string, f long, pos int, sym string"
+    )
+    pairs = [("a", "b"), ("c", "d")]  # symbol-disjoint
+    batched = _seqs(bpe_merge_batch(seq, pairs))
+    fwd = _seqs(bpe_merge_round(bpe_merge_round(seq, "a", "b"), "c", "d"))
+    rev = _seqs(bpe_merge_round(bpe_merge_round(seq, "c", "d"), "a", "b"))
+    assert batched == fwd == rev
+
+
+def test_learn_bpe_batched_schedule(spark):
+    """batch=N: each round applies the greedy symbol-disjoint prefix of
+    the ranked pairs. On the fixture the batched tokenization equals
+    sequentially applying the batched schedule's own merge list (the
+    within-round commutation property), the merge table records real
+    per-pair counts, and batch=1 stays exactly the classic greedy
+    schedule."""
+    from etl_job_applify_spark.transform.subword import (
+        bpe_merge_round,
+        learn_bpe,
+    )
+
+    docs_text = [
+        "aaab aaab abab",
+        "abab ccd ccd aaab",
+        "ccd dcc dcc",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(docs_text)], "doc_id long, text string"
+    )
+    merges_b, seq_b = learn_bpe(df, rounds=2, batch=3)
+    assert len(merges_b) > 2  # batching really selected multiple pairs
+    # per-round CROSS-PAIR disjointness of the recorded schedule (a
+    # same-symbol pair like (c,c) is legal on its own — run parity
+    # handles its overlaps — so only sharing across pairs is forbidden)
+    for r in {m[0] for m in merges_b}:
+        psets = [
+            {m[1], m[2]} for m in merges_b if m[0] == r
+        ]
+        for i in range(len(psets)):
+            for j in range(i + 1, len(psets)):
+                assert not (psets[i] & psets[j])
+    # replay the batched schedule one merge at a time from scratch:
+    # same final tokenization (within-round commutation)
+    words = (
+        df.select(F.explode(F.split("text", " ")).alias("wid"))
+        .filter(F.length("wid") >= 2)
+        .groupBy("wid")
+        .agg(F.count("*").cast("bigint").alias("f"))
+    )
+    replay = (
+        words.select(
+            "wid", "f",
+            F.explode(F.expr("sequence(1, length(wid))")).alias("pos"),
+        )
+        .withColumn("sym", F.expr("substring(wid, pos, 1)"))
+    )
+    for _r, s1, s2, _c, _t in merges_b:
+        replay = bpe_merge_round(replay, s1, s2)
+    assert _seqs(seq_b) == _seqs(replay)
+    # batch=1 == the classic greedy schedule (the q203 contract)
+    merges_1, _ = learn_bpe(df, rounds=4, batch=1)
+    merges_d, _ = learn_bpe(df, rounds=4)
+    assert merges_1 == merges_d
