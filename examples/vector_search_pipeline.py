@@ -34,6 +34,17 @@ end, with every stage self-verifying:
                reciprocal-rank fusion. Verified equal to the raw
                recompute of both legs — zero corpus-sized work at
                query time beyond the pruned index reads.
+7. ESCALATE    under-return contract for selective facets: queries
+               whose filtered result under-fills k re-probe with
+               nprobe doubled until full-k or total coverage (then a
+               short answer is the maximal one). Verified equal to
+               brute filtered cosine under a full-coverage facet.
+8. BULK        offline corpus-vs-index kNN (`vector_index_knn_join`):
+               cell-keyed shuffle join, no driver collect, no
+               query-side broadcast. Verified bit-identical to the
+               probe on the same query set.
+9. RETENTION   compaction + explicit vacuum for tables whose cadence
+               stopped (grace-window collapse); serving unchanged.
 
 Run:
 
@@ -149,11 +160,63 @@ def main(spark: SparkSession, sf_dir: str) -> dict:
     #    verified against the raw recompute of both legs
     hybrid_rows = _hybrid_stage(spark, sf_dir, idx)
 
+    # 7. ESCALATE: a selective facet can leave fewer than k predicate
+    #    survivors in the probed cells — the plain probe returns short;
+    #    escalate=True doubles nprobe for under-filled queries until
+    #    they fill or coverage is total (the maximal answer). Verified:
+    #    the escalated result under a facet so rare it forces full
+    #    coverage equals brute filtered cosine.
+    #    (facet "vid < 4": fewer survivors than k at ANY corpus size,
+    #    so escalation provably reaches full coverage and the result is
+    #    exactly brute filtered cosine — the maximal short answer)
+    rare = vector_index_probe(
+        spark, idx, queries, k=5, nprobe=1,
+        where="vid < 4", escalate=True,
+    )
+    rare_rows = sorted(map(tuple, rare.collect()))
+    assert rare_rows == sorted(
+        map(
+            tuple,
+            cosine_topk(
+                emb.filter(F.col("vec_id") < 4), queries, k=5
+            ).collect(),
+        )
+    ), "escalated filtered serve diverged from brute filtered cosine"
+
+    # 8. BULK kNN JOIN: the offline corpus-vs-index shape (semantic-
+    #    dedup feeder) — cell-keyed shuffle join, no driver collect, no
+    #    query-side broadcast. Verified bit-identical to the probe on
+    #    the same queries.
+    from etl_job_applify_spark.similarity import vector_index_knn_join
+
+    bulk = sorted(
+        map(
+            tuple,
+            vector_index_knn_join(
+                spark, idx, queries, k=5, nprobe=4
+            ).collect(),
+        )
+    )
+    assert bulk == served(), "bulk kNN join diverged from the probe"
+
+    # 9. RETENTION: compaction keeps one grace cycle of folded
+    #    snapshots for in-flight probes; a table that stops compacting
+    #    vacuums explicitly (quiesce probes first). Serving unchanged.
+    from etl_job_applify_spark.similarity import (
+        optimize_vector_index,
+        vacuum_vector_index,
+    )
+
+    before_vacuum = served()
+    optimize_vector_index(spark, idx)
+    vacuum_vector_index(spark, idx)
+    assert served() == before_vacuum, "serve diverged post-vacuum"
+
     return {
         "n_indexed": meta["n_vecs"],
         "results_per_query": len(after_reindex) // queries.count(),
         "hybrid_rows": hybrid_rows,
-        "stages_verified": 5,
+        "stages_verified": 8,
     }
 
 
