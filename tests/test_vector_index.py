@@ -1314,3 +1314,31 @@ def test_streaming_ingest_auto_reindex_on_skew(spark, tmp_path):
         return len(got & truth) / len(truth)
 
     assert recall(policy) >= recall(frozen)
+
+
+def test_filtered_probe_escalation_pq_path(spark, tmp_path):
+    """escalate=True composes with use_codes: the ADC shortlist + exact
+    refine run per escalation stage, and a facet with fewer survivors
+    than k forces full coverage — equal to filtered brute force (the
+    shortlist covers all survivors at shortlist >= |survivors|)."""
+    import numpy as np
+
+    from etl_job_applify_spark.similarity import train_pq_codebooks
+
+    corpus = _meta_corpus(spark)
+    cents = np.asarray(_anchor_centroids(corpus))
+    books = train_pq_codebooks(corpus, m=4, k=4)
+    idx = str(tmp_path / "vxi_escal_pq")
+    vector_index_build(
+        corpus, idx, num_cells=4, m=4, k_codes=4,
+        centroids=cents, codebooks=books, meta_cols=["lang"],
+    )
+    got = vector_index_probe(
+        spark, idx, _queries(spark), k=5, nprobe=1,
+        use_codes=True, shortlist=64,
+        where="vid < 4", escalate=True,
+    )
+    want = cosine_topk(
+        corpus.filter(F.col("vec_id") < 4), _queries(spark), k=5
+    )
+    assert _res(got) == _res(want)
