@@ -301,12 +301,98 @@ GROUP BY o_orderpriority
 """
 
 
+# --- q247: count-min sketch heavy hitters (EXACT oracle) ------------------
+# The mergeable sketch the built-in approx_top_k (q103) is not: the CMS
+# is a (row, bucket, cnt) RELATION built with pinned universal-family
+# hashes ((a·k + b) mod 2^31−1 mod width) over the portable rolling-
+# hash key — pure int64 arithmetic, so DuckDB replays the ENTIRE sketch
+# and the top-10 point-query estimates bit-for-bit (not just within the
+# ε·N bound). lower_bounded pins the CMS guarantee (estimate ≥ truth,
+# always) as an oracled column. Sketching runs over the DISTINCT-word
+# relation with the count as weight — one pass, map-side combined, and
+# the sketch is depth×width rows whatever the corpus size.
+
+_Q247_DEPTH, _Q247_WIDTH = 4, 256
+
+
+def q247_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.cms import cms_build, cms_estimate
+    from ..functions.text import rolling_hash_expr
+
+    docs = tbl(spark, sf_dir, "documents")
+    wc = (
+        docs.select(F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.length("word") >= 2)
+        .groupBy("word")
+        .agg(F.count("*").cast("bigint").alias("true_cnt"))
+        .withColumn("key", rolling_hash_expr("word"))
+    )
+    sketch = cms_build(
+        wc, "key", weight_col="true_cnt",
+        depth=_Q247_DEPTH, width=_Q247_WIDTH,
+    )
+    top = wc.orderBy(F.desc("true_cnt"), F.asc("word")).limit(10)
+    est = cms_estimate(
+        sketch, top.select("word", "true_cnt", "key"), "key",
+        depth=_Q247_DEPTH, width=_Q247_WIDTH,
+    )
+    return est.select(
+        "word",
+        "true_cnt",
+        F.col("cms_est").cast("bigint").alias("cms_est"),
+        (F.col("cms_est") >= F.col("true_cnt")).alias("lower_bounded"),
+    )
+
+
+_Q247_SQL = f"""
+WITH toks AS (
+  SELECT unnest(string_split(text, ' ')) AS word FROM documents
+),
+wc AS (
+  SELECT word, CAST(COUNT(*) AS BIGINT) AS true_cnt
+  FROM toks WHERE length(word) >= 2 GROUP BY word
+),
+keyed AS (
+  SELECT word, true_cnt,
+         list_reduce(list_prepend(CAST(0 AS BIGINT),
+             list_transform(range(1, length(word) + 1),
+                            i -> ascii(word[i]))),
+           (acc, c) -> (acc * 31 + c) % 1000000007) AS key
+  FROM wc
+),
+hrows(r, a, b) AS (VALUES
+  (0, 1103515245, 12345), (1, 69069, 362437),
+  (2, 1664525, 1013904223), (3, 22695477, 7777)
+),
+cms AS (
+  SELECT r, ((a * key + b) % 2147483647) % {_Q247_WIDTH} AS bucket,
+         CAST(SUM(true_cnt) AS BIGINT) AS cnt
+  FROM keyed CROSS JOIN hrows
+  GROUP BY r, ((a * key + b) % 2147483647) % {_Q247_WIDTH}
+),
+top AS (
+  SELECT word, true_cnt, key FROM keyed
+  ORDER BY true_cnt DESC, word LIMIT 10
+)
+SELECT t.word, t.true_cnt,
+       CAST(MIN(c.cnt) AS BIGINT) AS cms_est,
+       MIN(c.cnt) >= t.true_cnt AS lower_bounded
+FROM top t
+CROSS JOIN hrows h
+JOIN cms c
+  ON c.r = h.r
+ AND c.bucket = ((h.a * t.key + h.b) % 2147483647) % {_Q247_WIDTH}
+GROUP BY t.word, t.true_cnt
+"""
+
+
 QUERIES = {
     "q99_sketch_rollup": q99_sketch_rollup,
     "q100_regression": q100_regression,
     "q101_udtf_chunks": q101_udtf_chunks,
     "q102_theta_ops": q102_theta_ops,
     "q103_approx_topk": q103_approx_topk,
+    "q247_cms_heavy_hitters": q247_cms_heavy_hitters,
 }
 
 ORACLE = {
@@ -315,4 +401,5 @@ ORACLE = {
     "q101_udtf_chunks": _Q101_SQL,
     "q102_theta_ops": _Q102_SQL,
     "q103_approx_topk": _Q103_SQL,
+    "q247_cms_heavy_hitters": _Q247_SQL,
 }

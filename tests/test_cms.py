@@ -1,0 +1,74 @@
+"""Count-min sketch kernel (functions/cms.py): exactness under pinned
+hashes, the over-estimate guarantee under forced collisions, and
+mergeability (the property that makes it the per-shard sketch shape).
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_job_applify_spark.functions.cms import (
+    cms_build,
+    cms_estimate,
+    cms_merge,
+)
+from etl_job_applify_spark.functions.text import rolling_hash_expr
+
+
+def _wc(spark):
+    words = (
+        ["alpha"] * 7 + ["beta"] * 5 + ["gamma"] * 3 + ["delta"] * 2
+        + ["eps", "zeta", "eta", "theta"]
+    )
+    return (
+        spark.createDataFrame([(w,) for w in words], "word string")
+        .groupBy("word")
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+        .withColumn("key", rolling_hash_expr("word"))
+    )
+
+
+def test_cms_estimates_exact_without_collisions(spark):
+    wc = _wc(spark)
+    sk = cms_build(wc, "key", weight_col="cnt", depth=4, width=512)
+    est = cms_estimate(
+        sk, wc.select("word", "cnt", "key"), "key", depth=4, width=512
+    )
+    rows = {r["word"]: (r["cnt"], r["cms_est"]) for r in est.collect()}
+    # width 512 over 8 distinct keys: no collision survives all 4 rows
+    assert all(e == t for t, e in rows.values()), rows
+
+
+def test_cms_overestimates_never_under(spark):
+    """width=2 forces heavy collisions: estimates may exceed the truth
+    but can NEVER be below it — the one-sided CMS guarantee."""
+    wc = _wc(spark)
+    sk = cms_build(wc, "key", weight_col="cnt", depth=2, width=2)
+    est = cms_estimate(
+        sk, wc.select("word", "cnt", "key"), "key", depth=2, width=2
+    )
+    rows = [(r["cnt"], r["cms_est"]) for r in est.collect()]
+    assert all(e >= t for t, e in rows)
+    assert any(e > t for t, e in rows)  # collisions really happened
+
+
+def test_cms_merge_equals_whole(spark):
+    """Sketching two disjoint shards and merging equals sketching the
+    union — bucket-wise additivity, the 100 TB per-partition shape."""
+    wc = _wc(spark)
+    whole = cms_build(wc, "key", weight_col="cnt", depth=4, width=64)
+    h1 = cms_build(
+        wc.filter(F.col("word") < "g"), "key", "cnt", depth=4, width=64
+    )
+    h2 = cms_build(
+        wc.filter(F.col("word") >= "g"), "key", "cnt", depth=4, width=64
+    )
+    merged = cms_merge(h1, h2)
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, whole.collect())
+    )
+
+
+def test_cms_depth_bounds(spark):
+    wc = _wc(spark)
+    with pytest.raises(ValueError, match="depth"):
+        cms_build(wc, "key", depth=9)
