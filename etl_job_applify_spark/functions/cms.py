@@ -153,3 +153,20 @@ def cms_estimate(
             F.min(F.coalesce(F.col("__cnt"), F.lit(0))).alias("cms_est")
         )
     )
+
+
+def cms_read(spark, sketch_dir: str) -> DataFrame:
+    """Merged view of a streamed sketch log (``streaming/jobs.py
+    run_cms_sketch_stream``): union of the per-epoch increment
+    snapshots, bucket-wise summed. Each snapshot is ≤ depth×width rows
+    of three ints, so even a 10k-epoch log re-aggregates in one trivial
+    shuffle — the log needs no compaction protocol, which is what makes
+    the streamed sketch exactly-once for free (append-only CAS
+    snapshots + epoch marks, no read-modify-write anywhere)."""
+    from ..sinks.versioned import read_log_table
+
+    return (
+        read_log_table(spark, sketch_dir)
+        .groupBy("row", "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+    )

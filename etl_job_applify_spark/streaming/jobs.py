@@ -734,6 +734,52 @@ def run_vector_index_ingest_stream(
         q.stop()
 
 
+def run_cms_sketch_stream(
+    items_stream: DataFrame,
+    sketch_dir: str,
+    key_col: str,
+    weight_col: str | None = None,
+    depth: int = 4,
+    width: int = 256,
+    writer_id: str = "cms",
+) -> None:
+    """Streaming count-min sketch maintenance (functions/cms.py): each
+    micro-batch's items are sketched (one ≤ depth×width-row increment
+    relation) and CAS-appended as one epoch-marked log snapshot —
+    at-least-once delivery commits at most once (a replayed batch finds
+    its mark and skips). The merged sketch is ``cms_read`` (bucket-wise
+    sum over the log), exact by CMS additivity: the streamed sketch
+    equals the batch sketch over the union of all batches, test-pinned.
+
+    No compaction protocol needed: increments are sketch-sized (three
+    ints × depth×width rows per epoch), so read-time re-aggregation is
+    trivial at any epoch count — the rare log-structured state whose
+    merge cost is O(epochs × sketch), independent of data volume. The
+    100 TB shape: shard streams sketch independently into separate
+    logs; ``cms_merge``/``cms_read`` union them at read time."""
+    from ..functions.cms import cms_build
+    from ..sinks.versioned import append_log_version, log_has_mark
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return  # nothing to add; do not commit an empty snapshot
+        spark = batch_df.sparkSession
+        mark = f"_epoch_{writer_id}_{epoch_id}"
+        if log_has_mark(spark, sketch_dir, mark):
+            return  # replayed batch: increment already committed
+        inc = cms_build(
+            batch_df, key_col, weight_col=weight_col,
+            depth=depth, width=width,
+        )
+        append_log_version(inc, sketch_dir, marks=[mark])
+
+    q = items_stream.writeStream.foreachBatch(sink).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+
 def run_vector_search_stream(
     queries_stream: DataFrame,
     index_path: str,

@@ -72,3 +72,48 @@ def test_cms_depth_bounds(spark):
     wc = _wc(spark)
     with pytest.raises(ValueError, match="depth"):
         cms_build(wc, "key", depth=9)
+
+
+def test_cms_sketch_stream_exactly_once(spark, tmp_path):
+    """Streamed sketch maintenance: per-epoch increments CAS-append with
+    epoch marks; the merged log equals the one-shot batch sketch over
+    the union of all batches, and a full replay (epoch ids restart)
+    commits nothing — the sketch is replay-invariant."""
+    from etl_job_applify_spark.functions.cms import cms_read
+    from etl_job_applify_spark.sinks.versioned import list_versions
+    from etl_job_applify_spark.streaming import run_cms_sketch_stream
+
+    items = spark.createDataFrame(
+        [(i % 13 + 1,) for i in range(60)], "key long"
+    )
+    src = tmp_path / "cms_src"
+    src.mkdir()
+    # deterministic batch split by value range
+    for b in range(6):
+        items.filter(
+            (F.col("key") % 6) == b
+        ).coalesce(1).write.parquet(str(src / f"b{b}.parquet"))
+    sketch_dir = str(tmp_path / "cms_log")
+
+    def run():
+        stream = (
+            spark.readStream.schema("key long")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src) + "/*.parquet")
+        )
+        run_cms_sketch_stream(
+            stream, sketch_dir, "key", depth=3, width=32
+        )
+
+    run()
+    whole = cms_build(items, "key", depth=3, width=32)
+    streamed = cms_read(spark, sketch_dir)
+    assert sorted(map(tuple, streamed.collect())) == sorted(
+        map(tuple, whole.collect())
+    )
+    n_snaps = len(list_versions(spark, sketch_dir))
+    run()  # fresh stream, epoch ids restart at 0: every batch is fenced
+    assert len(list_versions(spark, sketch_dir)) == n_snaps
+    assert sorted(map(tuple, cms_read(spark, sketch_dir).collect())) == sorted(
+        map(tuple, whole.collect())
+    )
