@@ -809,6 +809,7 @@ def vector_index_knn_join(
     vec_col: str = "embedding",
     where=None,
     exclude_self: bool = False,
+    ensure_k: bool = False,
 ) -> DataFrame:
     """Bulk kNN join: (query_id, neighbor, cosine, rank) top-k for a
     DATA-PLANE-SIZED query relation — the offline corpus-vs-index shape
@@ -840,39 +841,73 @@ def vector_index_knn_join(
     corpus self-join default (a vector's nearest neighbor is itself).
     Exact-cosine only: the ADC/PQ shortlist path stays probe-only (its
     per-query LUT broadcast is the control-plane move this variant
-    exists to avoid)."""
+    exists to avoid).
+
+    ``ensure_k=True``: the BULK under-return contract — the distributed
+    twin of the probe's ``escalate`` (whose per-round driver counts are
+    exactly the control-plane move this path avoids). TWO passes, both
+    fully distributed: pass 1 runs at the base ``nprobe``; a relational
+    count splits queries into filled (kept as-is, bit-identical to
+    ensure_k=False) and under-filled, and pass 2 re-runs ONLY the
+    under-filled queries at full coverage (every cell — the
+    predicate-filtered exact answer, short only when fewer than k live
+    survivors exist). No driver collect, no per-query loop; the cost
+    model is one extra pass over the typically-tiny under-filled
+    fraction at full fan-out."""
     meta, cents, books, offs, cells = _live_cells(spark, index_path)
     nprobe = min(nprobe, meta["num_cells"])
-    q = with_norm(
-        queries.select(query_id_col, vec_col), vec_col
-    ).withColumn(
-        "__probe", F.explode(F.expr(_probe_cells_expr(vec_col, cents, nprobe)))
-    ).select(
-        F.col("__probe").cast("int").alias("cell"),
-        F.col(query_id_col).alias("query_id"),
-        F.col(vec_col).alias("__qv"),
-        F.col("norm").alias("__qn"),
-    )
     pruned = cells
     if where is not None:
         pruned = pruned.filter(
             F.expr(where) if isinstance(where, str) else where
         )
-    scored = pruned.join(q, "cell")  # shuffle join keyed by cell
-    if exclude_self:
-        scored = scored.filter(F.col("vid") != F.col("query_id"))
-    scored = scored.withColumn(
-        "cosine", cosine_expr("__qv", "vec", "__qn", "norm")
+
+    def _pass(qdf: DataFrame, np_: int) -> DataFrame:
+        q = with_norm(
+            qdf.select(query_id_col, vec_col), vec_col
+        ).withColumn(
+            "__probe",
+            F.explode(F.expr(_probe_cells_expr(vec_col, cents, np_))),
+        ).select(
+            F.col("__probe").cast("int").alias("cell"),
+            F.col(query_id_col).alias("query_id"),
+            F.col(vec_col).alias("__qv"),
+            F.col("norm").alias("__qn"),
+        )
+        scored = pruned.join(q, "cell")  # shuffle join keyed by cell
+        if exclude_self:
+            scored = scored.filter(F.col("vid") != F.col("query_id"))
+        scored = scored.withColumn(
+            "cosine", cosine_expr("__qv", "vec", "__qn", "norm")
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.desc("cosine"), F.col("neighbor")
+        )
+        return (
+            scored.select(
+                "query_id", F.col("vid").alias("neighbor"), "cosine"
+            )
+            .distinct()
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+        )
+
+    res = _pass(queries, nprobe)
+    if not ensure_k or nprobe >= meta["num_cells"]:
+        return res
+    filled_ids = (
+        res.groupBy("query_id")
+        .agg(F.count("*").alias("__n"))
+        .filter(F.col("__n") >= k)
+        .select("query_id")
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.desc("cosine"), F.col("neighbor")
+    filled = res.join(filled_ids, "query_id", "semi")
+    under_q = queries.join(
+        filled_ids.withColumnRenamed("query_id", query_id_col),
+        [query_id_col],
+        "left_anti",
     )
-    return (
-        scored.select("query_id", F.col("vid").alias("neighbor"), "cosine")
-        .distinct()
-        .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-    )
+    return filled.unionByName(_pass(under_q, meta["num_cells"]))
 
 
 def vector_index_cell_histogram(

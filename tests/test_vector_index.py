@@ -1342,3 +1342,50 @@ def test_filtered_probe_escalation_pq_path(spark, tmp_path):
         corpus.filter(F.col("vec_id") < 4), _queries(spark), k=5
     )
     assert _res(got) == _res(want)
+
+
+def test_knn_join_ensure_k_distributed_escalation(spark, tmp_path):
+    """ensure_k: the bulk twin of probe escalation — pass 1 at the base
+    nprobe, a relational count splits filled/under-filled, pass 2
+    re-runs only the under-filled at full coverage. Under a facet with
+    fewer survivors than k, every query reaches the filtered exact
+    answer; filled-at-base queries keep bit-identical pass-1 results."""
+    from etl_job_applify_spark.similarity import vector_index_knn_join
+
+    corpus = _meta_corpus(spark)
+    cents = _anchor_centroids(corpus)
+    idx = str(tmp_path / "vxi_knnj_ensure")
+    vector_index_build(
+        corpus, idx, num_cells=4, centroids=cents, meta_cols=["lang"]
+    )
+    # facet with 4 survivors < k=5: forces full coverage for every query
+    got = vector_index_knn_join(
+        spark, idx, _queries(spark), k=5, nprobe=1,
+        where="vid < 4", ensure_k=True,
+    )
+    want = cosine_topk(
+        corpus.filter(F.col("vec_id") < 4), _queries(spark), k=5
+    )
+    assert _res(got) == _res(want)
+    # unfiltered at nprobe=2: queries that fill at base keep pass-1
+    # results bit-identical to ensure_k=False
+    base = vector_index_knn_join(
+        spark, idx, _queries(spark), k=5, nprobe=2
+    )
+    filled_ids = {
+        r["query_id"]
+        for r in base.groupBy("query_id").count().filter(
+            "count >= 5"
+        ).collect()
+    }
+    ens = vector_index_knn_join(
+        spark, idx, _queries(spark), k=5, nprobe=2, ensure_k=True
+    )
+    assert sorted(
+        t for t in _res(ens) if t[0] in filled_ids
+    ) == sorted(t for t in _res(base) if t[0] in filled_ids)
+    # and every query ends with exactly k rows (48 vectors >> k)
+    assert all(
+        r["count"] == 5
+        for r in ens.groupBy("query_id").count().collect()
+    )
