@@ -179,7 +179,7 @@ def test_vector_search_pipeline_example(spark):
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
     report = mod.main(spark, "/root/testdata/sf0.001")
-    assert report["stages_verified"] == 5
+    assert report["stages_verified"] == 8
     assert report["n_indexed"] == 500
     assert report["results_per_query"] == 5
     assert report["hybrid_rows"] == 20  # 2 queries x top-10 fused
