@@ -117,3 +117,19 @@ def test_cms_sketch_stream_exactly_once(spark, tmp_path):
     assert sorted(map(tuple, cms_read(spark, sketch_dir).collect())) == sorted(
         map(tuple, whole.collect())
     )
+
+
+def test_cms_estimate_broadcasts_sketch_side(spark):
+    """Point queries compile to a broadcast join with the SKETCH as the
+    broadcast side (≤ depth×width rows) — the probe relation stays
+    distributed, which is what makes corpus-sized point-query batches
+    one pass."""
+    from etl_job_applify_spark.plans.explain import explain_str
+
+    wc = _wc(spark)
+    sk = cms_build(wc, "key", weight_col="cnt", depth=4, width=64)
+    est = cms_estimate(
+        sk, wc.select("word", "cnt", "key"), "key", depth=4, width=64
+    )
+    fmt = explain_str(est, "formatted")
+    assert "BroadcastHashJoin" in fmt or "BroadcastExchange" in fmt
