@@ -392,6 +392,7 @@ def text_index_bm25(
     b: float = 0.75,
     scoring: str = "odds",
     where=None,
+    stats_scope: str = "corpus",
 ) -> DataFrame:
     """BM25 scores served from the persisted index — bit-identical to
     ``retrieval.bm25_scores`` over the same corpus (shared scoring
@@ -408,9 +409,26 @@ def text_index_bm25(
     df) stay corpus-wide, the standard faceted-search semantics: a
     document's score is identical with or without the facet, the facet
     only decides whether it appears. Build the index with ``meta_cols``
-    to use it."""
+    to use it.
+
+    ``stats_scope`` (with ``where``): ``"corpus"`` (default) keeps
+    n/avgdl/df corpus-wide — scores comparable across facets, the
+    faceted-SEARCH semantics above. ``"facet"`` recomputes n/avgdl/df
+    over the predicate survivors — BM25 over the sub-corpus as if it
+    were the whole index (search WITHIN a language/collection: rare-
+    in-facet terms regain their discriminative idf). Both are standard;
+    which is right depends on whether the facet is a display filter or
+    a corpus boundary. Facet-scoped stats cost one aggregate over the
+    filtered doclens + a semi-join for per-term df — still per-term
+    pruned posting scans. Exhaustive scoring only: the WAND pruned
+    top-k keeps the corpus scope (its precomputed bound contract is
+    corpus-stat-based)."""
+    if stats_scope not in ("corpus", "facet"):
+        raise ValueError(f"unknown stats_scope {stats_scope!r}")
+    if stats_scope == "facet" and where is None:
+        raise ValueError("stats_scope='facet' requires a where predicate")
     tf, dl, dfreq, stats = _bm25_relations(
-        spark, index_path, qterms, where=where
+        spark, index_path, qterms, where=where, stats_scope=stats_scope
     )
     scored = bm25_score_join(
         tf, dl, dfreq, stats, qterms, id_col="__doc", k1=k1, b=b,
@@ -424,6 +442,7 @@ def _bm25_relations(
     index_path: str,
     qterms: DataFrame,
     where=None,
+    stats_scope: str = "corpus",
 ):
     """(tf, dl, dfreq, stats) relations served from the index, shared by
     the full-score probe and the pruned-top-k probe. With tombstones
@@ -457,11 +476,27 @@ def _bm25_relations(
     cand = dls
     if where is not None:
         # candidates only: stats below still derive from the UNfiltered
-        # live doclens (or the meta counters), never from the facet
+        # live doclens (or the meta counters), never from the facet —
+        # unless stats_scope="facet" re-derives them from the survivors
         cand = cand.filter(
             F.expr(where) if isinstance(where, str) else where
         )
     dl = cand.select(F.col("doc").alias("__doc"), "dl")
+    if stats_scope == "facet" and where is not None:
+        # sub-corpus semantics: n/avgdl over survivors, df per term
+        # counted among survivors only (semi-join on the pruned tf)
+        stats = cand.agg(
+            F.count("*").alias("n"),
+            (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
+        )
+        dfreq = (
+            tf.join(
+                cand.select(F.col("doc").alias("__doc")), "__doc", "semi"
+            )
+            .groupBy("word")
+            .agg(F.count("*").alias("df"))
+        )
+        return tf, dl, dfreq, stats
     if deletes is None:
         # exact integer stats -> the same double avgdl the recompute
         # path's SUM/COUNT aggregate produces (double(total)/double(n))

@@ -1219,6 +1219,101 @@ SELECT qid, doc_id, CAST(rnk AS INT) AS rnk, score FROM (
 """
 
 
+# --- q248: facet-SCOPED BM25 (sub-corpus statistics) ----------------------
+# q243's facet with the OTHER standard semantics: stats_scope="facet"
+# recomputes n/avgdl/df over the predicate survivors — BM25 over the
+# sub-corpus as if it were the whole index (search WITHIN a language:
+# rare-in-facet terms regain their discriminative idf). The oracle
+# computes every statistic from the filtered sub-corpus; an
+# implementation that leaks any corpus-wide statistic (the q243
+# default) into the facet scope hash-mismatches, and vice versa.
+
+def q248_bm25_facet_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..functions.text_index import text_index_bm25, text_index_build
+
+    lang = F.element_at(
+        F.array(F.lit("en"), F.lit("de"), F.lit("fr")),
+        (F.col("doc_id") % 3 + 1).cast("int"),
+    ).alias("lang")
+    docs = tbl(spark, sf_dir, "documents").select("doc_id", "text", lang)
+    qterms = spark.createDataFrame(
+        [(qid, w) for qid, ws in _Q190_QUERIES for w in ws],
+        "qid int, word string",
+    )
+
+    def build(path):
+        text_index_build(
+            docs=docs, index_path=f"{path}/idx", meta_cols=["lang"]
+        )
+
+    def probe(path):
+        w = Window.partitionBy("qid").orderBy(
+            F.desc("score"), F.asc("doc_id")
+        )
+        return (
+            text_index_bm25(
+                spark, f"{path}/idx", qterms,
+                where="lang = 'en'", stats_scope="facet",
+            )
+            .withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= 5)
+            .select("qid", "doc_id", "rnk", "score")
+        )
+
+    return _with_temp_text_index(spark, build, probe)
+
+
+_Q248_SQL = """
+WITH sub AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0
+),
+toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM sub
+),
+tf AS (
+  SELECT doc_id, word, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM toks GROUP BY doc_id, word
+),
+dl AS (
+  SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id
+),
+dfreq AS (
+  SELECT word, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY word
+),
+stats AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+  FROM dl
+),
+q(qid, word) AS (VALUES
+  (1, 'hash'), (1, 'join'),
+  (2, 'window'), (2, 'sort'), (2, 'merge'),
+  (3, 'stream'), (3, 'batch'), (3, 'spark')
+),
+scored AS (
+  SELECT q.qid, tf.doc_id,
+    CAST(SUM(CAST(
+      ((n - df + 5e-1) / (df + 5e-1))
+      * (tf * 2.2e0)
+      / (tf + 1.2e0 * (2.5e-1 + 7.5e-1 * dl / avgdl))
+    AS DECIMAL(28,6))) AS DOUBLE) AS score
+  FROM q
+  JOIN tf ON tf.word = q.word
+  JOIN dl ON dl.doc_id = tf.doc_id
+  JOIN dfreq ON dfreq.word = q.word
+  CROSS JOIN stats
+  GROUP BY q.qid, tf.doc_id
+)
+SELECT qid, doc_id, CAST(rnk AS INT) AS rnk, score FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+                               ORDER BY score DESC, doc_id) AS rnk
+  FROM scored
+) WHERE rnk <= 5
+"""
+
+
 QUERIES = {
     "q40_text_stats": q40_text_stats,
     "q41_lang_id": q41_lang_id,
@@ -1240,6 +1335,7 @@ QUERIES = {
     "q231_log_idf_pruned_topk": q231_log_idf_pruned_topk,
     "q241_text_index_stats": q241_text_index_stats,
     "q243_bm25_filtered_topk": q243_bm25_filtered_topk,
+    "q248_bm25_facet_stats": q248_bm25_facet_stats,
 }
 
 ORACLE = {
@@ -1275,4 +1371,5 @@ ORACLE = {
     # faceted top-k: corpus-wide stats + the facet on scored docs;
     # WAND losslessness within the facet asserted in-query
     "q243_bm25_filtered_topk": _Q243_SQL,
+    "q248_bm25_facet_stats": _Q248_SQL,
 }

@@ -750,3 +750,50 @@ def test_filtered_bm25_meta_col_validation(spark, tmp_path):
         text_index_bm25(spark, idx, _qterms(spark), where="lang = 'de'")
     )
     assert len(served) > 0
+
+
+def test_bm25_facet_scoped_stats(spark, tmp_path):
+    """stats_scope="facet": n/avgdl/df recompute over the predicate
+    survivors — served scores equal the raw recompute over ONLY the
+    facet sub-corpus (as if it were the whole index), and differ from
+    the corpus-scoped default whenever the facet shifts any statistic.
+    Validation: facet scope without a predicate raises, unknown scopes
+    raise."""
+    from etl_job_applify_spark.functions.retrieval import bm25_scores
+
+    idx = str(tmp_path / "tidx_facet_stats")
+    docs = _meta_docs(spark, 0, 40)
+    text_index_build(docs, idx, meta_cols=["lang"])
+    def _rows(df):
+        return sorted(
+            (r["qid"], r["doc_id"], r["score"]) for r in df.collect()
+        )
+
+    got = _rows(
+        text_index_bm25(
+            spark, idx, _qterms(spark),
+            where="lang = 'en'", stats_scope="facet",
+        )
+    )
+    sub = docs.filter(F.col("lang") == "en").select("doc_id", "text")
+    want = _rows(
+        bm25_scores(sub, _qterms(spark)).withColumnRenamed(
+            "__doc", "doc_id"
+        )
+        if "__doc" in bm25_scores(sub, _qterms(spark)).columns
+        else bm25_scores(sub, _qterms(spark))
+    )
+    assert got == want
+    corpus_scoped = _rows(
+        text_index_bm25(spark, idx, _qterms(spark), where="lang = 'en'")
+    )
+    assert got != corpus_scoped  # the facet really shifts statistics
+    with pytest.raises(ValueError, match="requires a where"):
+        text_index_bm25(
+            spark, idx, _qterms(spark), stats_scope="facet"
+        )
+    with pytest.raises(ValueError, match="unknown stats_scope"):
+        text_index_bm25(
+            spark, idx, _qterms(spark),
+            where="lang = 'en'", stats_scope="shard",
+        )
