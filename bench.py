@@ -82,6 +82,9 @@ SERVE_ONLY = [
     # cells scan, so the steady-state cost of the compressed path is a
     # measured headline number rather than a q234-gate inference
     "q234_pq_serve_only",
+    # round 12: the faceted hybrid (where= on BOTH index legs, q246's
+    # shape) — the filtered-serving premium over q235 measured directly
+    "q246_faceted_serve_only",
 ]
 
 
@@ -103,14 +106,28 @@ def _build_serve_indexes(spark, sf_dir: str, idx_root: str):
         vector_index_probe,
     )
 
-    docs = tbl(spark, sf_dir, "documents").select("doc_id", "text")
-    emb = tbl(spark, sf_dir, "embeddings")
+    def _lang(col):
+        return F.element_at(
+            F.array(F.lit("en"), F.lit("de"), F.lit("fr")),
+            (F.col(col) % 3 + 1).cast("int"),
+        ).alias("lang")
+
+    # lang meta cols ride both indexes so the faceted twin can filter;
+    # the unfiltered twins are unaffected (meta cols are additive)
+    docs = tbl(spark, sf_dir, "documents").select(
+        "doc_id", "text", _lang("doc_id")
+    )
+    emb = tbl(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", _lang("vec_id")
+    )
     tpath, vpath = f"{idx_root}/text", f"{idx_root}/vec"
-    text_index_build(docs, tpath, layout="flat")
+    text_index_build(docs, tpath, layout="flat", meta_cols=["lang"])
     # m=8 trains PQ codebooks at founding so the same index serves both
     # the exact-cosine probe (q235's leg) and the ADC use_codes path
     # (q234's serve-only twin)
-    vector_index_build(emb, vpath, num_cells=16, m=8, k_codes=32)
+    vector_index_build(
+        emb, vpath, num_cells=16, m=8, k_codes=32, meta_cols=["lang"]
+    )
     qterms_rows = [(qid, w) for qid, ws in _Q190_QUERIES for w in ws]
     anchor_ids = [qid for qid, _ in _Q190_QUERIES]
 
@@ -174,10 +191,51 @@ def _build_serve_indexes(spark, sf_dir: str, idx_root: str):
             use_codes=True, shortlist=64,
         )
 
+    def q246_serve(spark_, sf_dir_):
+        K_TOP, LEG_L = 10, 20
+        qterms = spark_.createDataFrame(qterms_rows, "qid int, word string")
+        anchors = tbl(spark_, sf_dir_, "embeddings").filter(
+            F.col("vec_id").isin(anchor_ids)
+        ).select(F.col("vec_id").alias("query_id"), "embedding")
+        w_lex = Window.partitionBy("qid").orderBy(
+            F.desc("score"), F.asc("doc_id")
+        )
+        lex = (
+            text_index_bm25(spark_, tpath, qterms, where="lang = 'en'")
+            .withColumn("lex_rank", F.row_number().over(w_lex))
+            .filter(F.col("lex_rank") <= LEG_L)
+            .select("qid", "doc_id", "lex_rank")
+        )
+        vec = vector_index_probe(
+            spark_, vpath, anchors, k=LEG_L, nprobe=999,
+            where="lang = 'en'",
+        ).select(
+            F.col("query_id").cast("int").alias("qid"),
+            F.col("neighbor").alias("doc_id"),
+            F.col("rank").cast("int").alias("vec_rank"),
+        )
+        fused = lex.join(vec, ["qid", "doc_id"], "full_outer").withColumn(
+            "rrf_score",
+            F.expr(
+                "coalesce(1e0 / (60 + lex_rank), 0e0)"
+                " + coalesce(1e0 / (60 + vec_rank), 0e0)"
+            ),
+        )
+        w_f = Window.partitionBy("qid").orderBy(
+            F.desc("rrf_score"), F.asc("doc_id")
+        )
+        return (
+            fused.withColumn("rrf_rank", F.row_number().over(w_f))
+            .filter(F.col("rrf_rank") <= K_TOP)
+            .select("qid", "doc_id", "rrf_rank", "rrf_score",
+                    "lex_rank", "vec_rank")
+        )
+
     return {
         "q194_bm25_serve_only": q194_serve,
         "q235_hybrid_rrf_serve_only": q235_serve,
         "q234_pq_serve_only": q234_serve,
+        "q246_faceted_serve_only": q246_serve,
     }
 
 #: measured passes per query. Single-run snapshots kept recording ±20%
