@@ -133,3 +133,38 @@ def test_cms_estimate_broadcasts_sketch_side(spark):
     )
     fmt = explain_str(est, "formatted")
     assert "BroadcastHashJoin" in fmt or "BroadcastExchange" in fmt
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    counts=st.lists(
+        st.tuples(st.integers(0, 2**31 - 2), st.integers(1, 50)),
+        min_size=1, max_size=20, unique_by=lambda t: t[0],
+    ),
+    width=st.sampled_from([2, 8, 64]),
+)
+def test_cms_guarantee_property(spark, counts, width):
+    """For ANY weighted key multiset and width: every point estimate is
+    >= the true count (one-sided guarantee), and the sketch total mass
+    per row equals the input mass (nothing lost or invented)."""
+    df = spark.createDataFrame(counts, "key long, cnt long")
+    sk = cms_build(df, "key", weight_col="cnt", depth=3, width=width)
+    est = cms_estimate(
+        sk, df.select("key", "cnt"), "key", depth=3, width=width
+    )
+    assert all(
+        r["cms_est"] >= r["cnt"] for r in est.collect()
+    )
+    total = sum(c for _, c in counts)
+    per_row = {
+        r["row"]: r["s"]
+        for r in sk.groupBy("row").agg(
+            F.sum("cnt").alias("s")
+        ).collect()
+    }
+    assert all(v == total for v in per_row.values())

@@ -243,3 +243,33 @@ def test_learn_bpe_batched_schedule(spark):
     merges_1, _ = learn_bpe(df, rounds=4, batch=1)
     merges_d, _ = learn_bpe(df, rounds=4)
     assert merges_1 == merges_d
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(words=st.lists(st.lists(st.sampled_from(["a", "b", "c", "d"]),
+                               min_size=1, max_size=8),
+                      min_size=1, max_size=5))
+def test_bpe_batch_equivalence_property(spark, words):
+    """For ANY vocabulary: a symbol-disjoint batch applied in one pass
+    equals sequential bpe_merge_round application in either order —
+    including the same-symbol pair (c,c), whose overlaps resolve by run
+    parity inside the batch kernel exactly as in the single kernel."""
+    from etl_job_applify_spark.transform.subword import (
+        bpe_merge_batch,
+        bpe_merge_round,
+    )
+
+    rows = [
+        (f"w{i}", 1, p + 1, s)
+        for i, ws in enumerate(words)
+        for p, s in enumerate(ws)
+    ]
+    seq = spark.createDataFrame(
+        rows, "wid string, f bigint, pos int, sym string"
+    )
+    pairs = [("a", "b"), ("c", "c")]  # cross-pair disjoint
+    batched = _seqs(bpe_merge_batch(seq, pairs))
+    fwd = _seqs(bpe_merge_round(bpe_merge_round(seq, "a", "b"), "c", "c"))
+    rev = _seqs(bpe_merge_round(bpe_merge_round(seq, "c", "c"), "a", "b"))
+    assert batched == fwd == rev
