@@ -181,3 +181,43 @@ def test_ivfpq_offsets_without_codebooks_rejected(spark):
             m=4, k_codes=4, encoding="residual",
             offsets=[[0.0] * DIM, [0.0] * DIM],
         )
+
+
+def test_index_admin_cli(spark, tmp_path):
+    """tools/index_admin.py: the unified admin surface — describe /
+    histogram / compact / vacuum dispatch per family, against a live
+    session (no subprocess: the CLI accepts an injected SparkSession)."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "index_admin",
+        os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "tools", "index_admin.py",
+        ),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    corpus = _vecs(spark)
+    cents = [
+        r["embedding"]
+        for r in corpus.orderBy("vec_id").limit(4).collect()
+    ]
+    idx = str(tmp_path / "vxi_cli")
+    vector_index_build(
+        corpus.filter(F.col("vec_id") < 40), idx,
+        num_cells=4, centroids=cents,
+    )
+    vector_index_build(
+        corpus.filter(F.col("vec_id") >= 40), idx, mode="append"
+    )
+    st = mod.main(["describe", "vector", idx], spark=spark)
+    assert st["n_vecs"] == 48 and st["live_snapshots"] == 2
+    hist = mod.main(["histogram", "vector", idx], spark=spark)
+    assert sum(n for _, n in hist["cells"]) == 48
+    mod.main(["compact", "vector", idx], spark=spark)
+    vac = mod.main(["vacuum", "vector", idx], spark=spark)
+    assert sorted(vac["result"]) == ["snap_00000001", "snap_00000002"]
+    st2 = mod.main(["describe", "vector", idx], spark=spark)
+    assert st2["n_vecs"] == 48 and st2["live_snapshots"] == 1
