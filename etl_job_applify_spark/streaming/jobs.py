@@ -792,6 +792,7 @@ def run_vector_search_stream(
     where: str | None = None,
     use_codes: bool = False,
     shortlist: int = 64,
+    escalate: bool = False,
 ) -> None:
     """Nearline ANN serving: a STREAM of query embeddings probed
     per-micro-batch against the persisted vector index, results
@@ -802,7 +803,11 @@ def run_vector_search_stream(
     ``meta_cols``) applied INSIDE the probed cells before top-k —
     filtered serving ("top-k WHERE lang='en'") at the stream level.
     ``use_codes``/``shortlist``: serve the PQ/ADC path instead of
-    exact cosine (requires a PQ-enabled index).
+    exact cosine (requires a PQ-enabled index). ``escalate``: the
+    under-return contract for selective ``where`` facets — under-filled
+    queries re-probe with nprobe doubled (``vector_index_probe``'s
+    escalation; per-batch query sets are control-plane small, so its
+    driver-side counts are in-contract here).
 
     Each batch's results ride one ``append_log_version`` snapshot
     carrying ``_epoch_<writer_id>_<epoch>``, so an at-least-once
@@ -842,6 +847,7 @@ def run_vector_search_stream(
             where=where,
             use_codes=use_codes,
             shortlist=shortlist,
+            escalate=escalate,
         )
         append_log_version(
             hits.withColumn("batch_id", F.lit(epoch_id)),

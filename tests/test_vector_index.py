@@ -1389,3 +1389,42 @@ def test_knn_join_ensure_k_distributed_escalation(spark, tmp_path):
         r["count"] == 5
         for r in ens.groupBy("query_id").count().collect()
     )
+
+
+def test_streaming_search_escalated(spark, tmp_path):
+    """Escalated nearline serving: a facet too selective for the base
+    nprobe still serves the maximal answer from the stream — logged
+    results equal the filtered brute force (full-coverage escalation),
+    per batch, exactly once."""
+    from etl_job_applify_spark.sinks.versioned import read_log_table
+    from etl_job_applify_spark.streaming import run_vector_search_stream
+
+    corpus = _meta_corpus(spark)
+    idx = str(tmp_path / "eserve_idx")
+    vector_index_build(
+        corpus, idx, num_cells=4, centroids=_anchor_centroids(corpus),
+        meta_cols=["lang"],
+    )
+    src = tmp_path / "eqsrc"
+    src.mkdir()
+    results = str(tmp_path / "eresults")
+    _queries(spark).coalesce(1).write.parquet(str(src / "q.parquet"))
+    stream = (
+        spark.readStream.schema("query_id long, embedding array<double>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src) + "/*.parquet")
+    )
+    run_vector_search_stream(
+        stream, idx, results, k=5, nprobe=1,
+        where="vid < 4", escalate=True,
+    )
+    got = sorted(
+        (r["query_id"], r["neighbor"], r["cosine"], r["rank"])
+        for r in read_log_table(spark, results).collect()
+    )
+    want = _res(
+        cosine_topk(
+            corpus.filter(F.col("vec_id") < 4), _queries(spark), k=5
+        )
+    )
+    assert got == want
