@@ -170,3 +170,63 @@ def test_triangle_orientation_neutralizes_hub_fanout(spark):
     assert out_deg.get(hub, 0) == 0
     # and no node's wedge fanout is hub-sized
     assert max(out_deg.values()) <= 5
+
+
+def test_knn_join_hot_cell_completes_and_is_correct(spark):
+    """Bulk kNN join vs a pathologically hot cell: 90% of the corpus
+    collapses into ONE quantizer cell (drifted corpus, frozen founding
+    quantizer — the worst case the auto-reindex policy exists to fix).
+    The cell-keyed shuffle join must still complete inside a wall
+    budget AND return results bit-identical to the per-query probe on
+    the same index (the parity contract is skew-independent)."""
+    from etl_job_applify_spark.similarity import (
+        vector_index_build,
+        vector_index_knn_join,
+        vector_index_probe,
+    )
+    import tempfile
+
+    dim = 8
+    # 900 vectors tightly clustered (one hot cell) + 100 spread
+    rows = []
+    for i in range(900):
+        rows.append(
+            (i, [5.0 + float((i * 3 + j) % 7) / 100.0 for j in range(dim)])
+        )
+    for i in range(900, 1000):
+        rows.append(
+            (i, [float((i * 7 + j * 3) % 11) / 11.0 for j in range(dim)])
+        )
+    corpus = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    )
+    # anchors from the SPREAD region only: the hot cluster has no
+    # nearby centroid, so it all lands in one cell
+    cents = [r["embedding"] for r in corpus.filter(
+        F.col("vec_id") >= 900
+    ).orderBy("vec_id").limit(4).collect()]
+    idx = tempfile.mkdtemp(prefix="knnj_skew_") + "/idx"
+    vector_index_build(corpus, idx, num_cells=4, centroids=cents)
+    queries = corpus.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    t0 = time.time()
+    got = sorted(
+        map(
+            tuple,
+            vector_index_knn_join(
+                spark, idx, queries, k=3, nprobe=1
+            ).collect(),
+        )
+    )
+    elapsed = time.time() - t0
+    assert elapsed < 120.0, f"hot-cell kNN join took {elapsed:.1f}s"
+    want = sorted(
+        map(
+            tuple,
+            vector_index_probe(
+                spark, idx, queries, k=3, nprobe=1
+            ).collect(),
+        )
+    )
+    assert got == want
