@@ -4,6 +4,7 @@ from .sessionize import sessionize
 from .range_join import range_join
 from .scd2 import scd2_apply, scd2_intervals
 from .components import connected_components
+from .scc import strongly_connected_components
 from .salting import (
     differential_salted_join,
     hot_keys,
@@ -26,6 +27,7 @@ __all__ = [
     "scd2_apply",
     "scd2_intervals",
     "connected_components",
+    "strongly_connected_components",
     "salted_agg_sum",
     "salted_join",
     "hot_keys",

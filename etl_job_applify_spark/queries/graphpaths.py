@@ -282,3 +282,97 @@ FROM xy
 
 QUERIES["q227_degree_assortativity"] = q227_degree_assortativity
 ORACLE["q227_degree_assortativity"] = _q227_sql()
+
+
+# --- q249: strongly connected components of the nation trade graph --------
+# The directed twin of q?_connected_components: nation A -> nation B
+# when suppliers in A shipped to customers in B at least 1.2x the
+# mean pair volume (5*cnt*n_pairs >= 6*total — pure integer
+# arithmetic, so the edge set is identical in both engines at every
+# SF). SCC via operators/scc.py (trimming + FW-BW pivot peeling, the
+# distributed decomposition); the oracle computes exact SCCs from the
+# transitive closure (recursive CTE) — feasible because the derived
+# graph is nation-sized (<= 25 nodes), while the Spark kernel is the
+# one a billion-edge graph would run.
+
+def q249_scc_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.scc import strongly_connected_components
+
+    li = tbl(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = tbl(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cu = tbl(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    su = tbl(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    pairs = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(cu, o.o_custkey == cu.c_custkey)
+        .join(su, li.l_suppkey == su.s_suppkey)
+        .filter(F.col("s_nationkey") != F.col("c_nationkey"))
+        .groupBy(
+            F.col("s_nationkey").alias("src"),
+            F.col("c_nationkey").alias("dst"),
+        )
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+    )
+    tot = pairs.agg(
+        F.sum("cnt").cast("bigint").alias("t"),
+        F.count("*").cast("bigint").alias("np"),
+    )
+    edges = (
+        pairs.crossJoin(F.broadcast(tot))
+        .filter(
+            F.lit(5) * F.col("cnt") * F.col("np")
+            >= F.lit(6) * F.col("t")
+        )
+        .select("src", "dst")
+        # nation-sized (<= 600 rows): single partition so every peel
+        # round is a one-task job instead of 32 empty ones
+        .coalesce(1)
+    )
+    return (
+        strongly_connected_components(edges, "src", "dst")
+        .select(
+            F.col("node").cast("bigint").alias("node"),
+            F.col("scc").cast("bigint").alias("scc"),
+        )
+    )
+
+
+_Q249_SQL = """
+WITH RECURSIVE pairs AS MATERIALIZED (
+  SELECT su.s_nationkey AS src, cu.c_nationkey AS dst,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM lineitem l
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  JOIN customer cu ON cu.c_custkey = o.o_custkey
+  JOIN supplier su ON su.s_suppkey = l.l_suppkey
+  WHERE su.s_nationkey <> cu.c_nationkey
+  GROUP BY 1, 2
+),
+tot AS MATERIALIZED (
+  SELECT CAST(SUM(cnt) AS BIGINT) AS t, CAST(COUNT(*) AS BIGINT) AS np
+  FROM pairs
+),
+edges AS MATERIALIZED (
+  SELECT src, dst FROM pairs, tot WHERE 5 * cnt * np >= 6 * t
+),
+nodes AS (
+  SELECT src AS node FROM edges UNION SELECT dst FROM edges
+),
+reach(u, v) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.u, e.dst FROM reach r JOIN edges e ON e.src = r.v
+),
+mutual AS (
+  SELECT a.u, a.v FROM reach a JOIN reach b ON b.u = a.v AND b.v = a.u
+)
+SELECT node, CAST(MIN(mv) AS BIGINT) AS scc FROM (
+  SELECT node, node AS mv FROM nodes
+  UNION ALL
+  SELECT u AS node, v AS mv FROM mutual
+) GROUP BY node
+"""
+
+
+QUERIES["q249_scc_trade_graph"] = q249_scc_trade_graph
+ORACLE["q249_scc_trade_graph"] = _Q249_SQL

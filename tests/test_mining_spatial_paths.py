@@ -634,3 +634,41 @@ def test_snm_duplicate_ids_emit_no_self_pairs(spark):
     pairs = {(r.a, r.b) for r in cand.collect()}
     assert (1, 1) not in pairs
     assert (1, 2) in pairs
+
+
+def test_scc_fixed_cases(spark):
+    """SCC kernel (operators/scc.py): cycles collapse, chains and
+    trimmed singletons stay trivial, self-loops are their own SCC, and
+    the undirected components kernel would disagree everywhere a
+    one-way edge exists (the reason the directed twin exists)."""
+    from etl_job_applify_spark.operators import (
+        connected_components,
+        strongly_connected_components,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (4, 5), (5, 4), (3, 4), (6, 1), (7, 7)],
+        "src long, dst long",
+    )
+    got = sorted(
+        map(tuple, strongly_connected_components(edges).collect())
+    )
+    assert got == [
+        (1, 1), (2, 1), (3, 1), (4, 4), (5, 4), (6, 6), (7, 7)
+    ]
+    # the undirected kernel sees one giant component 1-6: directedness
+    # is the entire difference
+    und = connected_components(edges, src="src", dst="dst")
+    assert und.filter("component = 1").count() == 6
+    # two disjoint 2-cycles + a bridge: bridge endpoints stay separate
+    edges2 = spark.createDataFrame(
+        [(10, 11), (11, 10), (12, 13), (13, 12), (11, 12)],
+        "src long, dst long",
+    )
+    got2 = sorted(
+        map(tuple, strongly_connected_components(edges2).collect())
+    )
+    assert got2 == [(10, 10), (11, 10), (12, 12), (13, 12)]
+    # empty edges -> empty result
+    empty = spark.createDataFrame([], "src long, dst long")
+    assert strongly_connected_components(empty).count() == 0
