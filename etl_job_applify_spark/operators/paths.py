@@ -142,3 +142,68 @@ def deterministic_walks(
             cur.withColumn("step", F.lit(s + 1).cast("int"))
         )
     return out.select("walk_id", "step", "node")
+
+
+def weighted_sssp(
+    edges: DataFrame,
+    source: DataFrame,
+    max_rounds: int,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "w",
+    materialize: Callable[[DataFrame], DataFrame] = _local_checkpoint,
+) -> DataFrame:
+    """Bounded-horizon single-source shortest paths: (node, cost) with
+    ``cost`` = minimum total edge weight over DIRECTED paths of at most
+    ``max_rounds`` edges from the seed set — the weighted twin of
+    ``bfs_hops`` (Bellman-Ford relaxation rounds, the distributed SSSP
+    shape).
+
+    The horizon is part of the SEMANTICS, not a convergence kludge:
+    "cheapest route within at most H legs" is exact and well-defined on
+    any graph (negative-cycle-proof by construction), and with
+    ``max_rounds >= |V| - 1`` and non-negative weights it degenerates
+    to classic SSSP. Each round relaxes every edge from the full
+    current frontier (dist ⋈ edges → min per destination, then
+    elementwise min with the previous distances); rounds stop early
+    when a relaxation improves nothing. One ``materialize`` per round
+    truncates lineage (the bfs_hops discipline); the driver sees only
+    the per-round emptiness flag.
+
+    ``source``: one-column (node) relation — seeds enter at cost 0; no
+    scalar rides the driver. Weights ride as-is (integer weights keep
+    the result bit-exact across engines)."""
+    e = edges.select(
+        F.col(src).alias("u"), F.col(dst).alias("v"),
+        F.col(weight).alias("w"),
+    )
+    dist = materialize(
+        source.select(F.col("node")).distinct().withColumn(
+            "cost", F.lit(0).cast("bigint")
+        )
+    )
+    for _ in range(max_rounds):
+        relaxed = (
+            e.join(dist, e.u == dist.node)
+            .select(
+                F.col("v").alias("node"),
+                (F.col("cost") + F.col("w")).alias("cost"),
+            )
+            .groupBy("node")
+            .agg(F.min("cost").alias("cost"))
+        )
+        new_dist = materialize(
+            dist.unionByName(relaxed)
+            .groupBy("node")
+            .agg(F.min("cost").alias("cost"))
+        )
+        improved = new_dist.alias("n").join(
+            dist.alias("o"), F.col("n.node") == F.col("o.node"), "left"
+        ).filter(
+            F.col("o.node").isNull()
+            | (F.col("n.cost") < F.col("o.cost"))
+        )
+        dist = new_dist
+        if improved.isEmpty():
+            break
+    return dist

@@ -376,3 +376,140 @@ SELECT node, CAST(MIN(mv) AS BIGINT) AS scc FROM (
 
 QUERIES["q249_scc_trade_graph"] = q249_scc_trade_graph
 ORACLE["q249_scc_trade_graph"] = _Q249_SQL
+
+
+# --- q250: bounded-horizon weighted SSSP on the trade graph ---------------
+# q249's thresholded nation trade graph with integer costs w =
+# 1000000000 div cnt (volume-inverse: high-traffic lanes are cheap) and
+# the question "cheapest routing from nation 0 within at most 6 legs" —
+# operators/paths.py weighted_sssp (Bellman-Ford rounds). The horizon
+# is part of the semantics, so the oracle enumerates ALL <= 6-edge
+# paths from the source (recursive CTE, hop-bounded) and takes the min
+# cost per node — pure integer arithmetic end to end, value-exact in
+# both engines at every SF.
+
+_Q250_H = 6
+
+
+def q250_weighted_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.paths import weighted_sssp
+
+    li = tbl(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = tbl(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cu = tbl(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    su = tbl(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    pairs = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(cu, o.o_custkey == cu.c_custkey)
+        .join(su, li.l_suppkey == su.s_suppkey)
+        .filter(F.col("s_nationkey") != F.col("c_nationkey"))
+        .groupBy(
+            F.col("s_nationkey").alias("src"),
+            F.col("c_nationkey").alias("dst"),
+        )
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+    )
+    tot = pairs.agg(
+        F.sum("cnt").cast("bigint").alias("t"),
+        F.count("*").cast("bigint").alias("np"),
+    )
+    edges = (
+        pairs.crossJoin(F.broadcast(tot))
+        .filter(
+            F.lit(5) * F.col("cnt") * F.col("np")
+            >= F.lit(6) * F.col("t")
+        )
+        .select(
+            "src", "dst",
+            F.expr("CAST(1000000000 AS BIGINT) div cnt").alias("w"),
+        )
+        .coalesce(1)
+    )
+    # source = min src in the edge relation: derived, so it exists (and
+    # has out-edges) at every SF — no fixture-dependent literal
+    source = edges.agg(F.min("src").cast("bigint").alias("node"))
+    return weighted_sssp(edges, source, max_rounds=_Q250_H).select(
+        F.col("node").cast("bigint").alias("node"),
+        F.col("cost").cast("bigint").alias("cost"),
+    )
+
+
+_Q250_SQL = """
+WITH pairs AS MATERIALIZED (
+  SELECT su.s_nationkey AS src, cu.c_nationkey AS dst,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM lineitem l
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  JOIN customer cu ON cu.c_custkey = o.o_custkey
+  JOIN supplier su ON su.s_suppkey = l.l_suppkey
+  WHERE su.s_nationkey <> cu.c_nationkey
+  GROUP BY 1, 2
+),
+tot AS MATERIALIZED (
+  SELECT CAST(SUM(cnt) AS BIGINT) AS t, CAST(COUNT(*) AS BIGINT) AS np
+  FROM pairs
+),
+edges AS MATERIALIZED (
+  SELECT src, dst, CAST(1000000000 // cnt AS BIGINT) AS w
+  FROM pairs, tot WHERE 5 * cnt * np >= 6 * t
+),
+-- Bellman-Ford unrolled: d_i = min cost over paths of <= i edges, the
+-- EXACT semantics of the Spark kernel's i-th relaxation round
+d0 AS (
+  SELECT CAST((SELECT MIN(src) FROM edges) AS BIGINT) AS node,
+         CAST(0 AS BIGINT) AS cost
+),
+d1 AS (
+  SELECT node, CAST(MIN(cost) AS BIGINT) AS cost FROM (
+    SELECT node, cost FROM d0
+    UNION ALL
+    SELECT e.dst AS node, d.cost + e.w AS cost
+    FROM d0 d JOIN edges e ON e.src = d.node
+  ) GROUP BY node
+),
+d2 AS (
+  SELECT node, CAST(MIN(cost) AS BIGINT) AS cost FROM (
+    SELECT node, cost FROM d1
+    UNION ALL
+    SELECT e.dst AS node, d.cost + e.w AS cost
+    FROM d1 d JOIN edges e ON e.src = d.node
+  ) GROUP BY node
+),
+d3 AS (
+  SELECT node, CAST(MIN(cost) AS BIGINT) AS cost FROM (
+    SELECT node, cost FROM d2
+    UNION ALL
+    SELECT e.dst AS node, d.cost + e.w AS cost
+    FROM d2 d JOIN edges e ON e.src = d.node
+  ) GROUP BY node
+),
+d4 AS (
+  SELECT node, CAST(MIN(cost) AS BIGINT) AS cost FROM (
+    SELECT node, cost FROM d3
+    UNION ALL
+    SELECT e.dst AS node, d.cost + e.w AS cost
+    FROM d3 d JOIN edges e ON e.src = d.node
+  ) GROUP BY node
+),
+d5 AS (
+  SELECT node, CAST(MIN(cost) AS BIGINT) AS cost FROM (
+    SELECT node, cost FROM d4
+    UNION ALL
+    SELECT e.dst AS node, d.cost + e.w AS cost
+    FROM d4 d JOIN edges e ON e.src = d.node
+  ) GROUP BY node
+),
+d6 AS (
+  SELECT node, CAST(MIN(cost) AS BIGINT) AS cost FROM (
+    SELECT node, cost FROM d5
+    UNION ALL
+    SELECT e.dst AS node, d.cost + e.w AS cost
+    FROM d5 d JOIN edges e ON e.src = d.node
+  ) GROUP BY node
+)
+SELECT CAST(node AS BIGINT) AS node, CAST(cost AS BIGINT) AS cost
+FROM d6
+"""
+
+QUERIES["q250_weighted_sssp"] = q250_weighted_sssp
+ORACLE["q250_weighted_sssp"] = _Q250_SQL

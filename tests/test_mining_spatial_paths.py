@@ -672,3 +672,29 @@ def test_scc_fixed_cases(spark):
     # empty edges -> empty result
     empty = spark.createDataFrame([], "src long, dst long")
     assert strongly_connected_components(empty).count() == 0
+
+
+def test_weighted_sssp_known_graph(spark):
+    """Bellman-Ford rounds: known distances on a weighted digraph; the
+    hop horizon is semantic — a cheaper path with more legs than the
+    horizon must NOT win until the horizon admits it."""
+    from etl_job_applify_spark.operators.paths import weighted_sssp
+
+    # 1->2 (10), 1->3 (1), 3->4 (1), 4->2 (1): cheapest 1->2 is 3 via
+    # three legs; the direct edge costs 10 in one leg
+    edges = spark.createDataFrame(
+        [(1, 2, 10), (1, 3, 1), (3, 4, 1), (4, 2, 1)],
+        "src long, dst long, w long",
+    )
+    source = spark.createDataFrame([(1,)], "node long")
+
+    def dists(h):
+        return {
+            r["node"]: r["cost"]
+            for r in weighted_sssp(edges, source, max_rounds=h).collect()
+        }
+
+    assert dists(1) == {1: 0, 2: 10, 3: 1}
+    assert dists(2) == {1: 0, 2: 10, 3: 1, 4: 2}
+    assert dists(3) == {1: 0, 2: 3, 3: 1, 4: 2}
+    assert dists(9) == {1: 0, 2: 3, 3: 1, 4: 2}  # early-stop fixpoint
