@@ -114,7 +114,12 @@ def cms_estimate(
     if a bucket row is absent — possible only when nothing hashed
     there). The sketch side is ≤ depth×width rows, so Spark broadcasts
     it; the probe side stays distributed — point queries over a
-    corpus-sized probe relation are one broadcast join."""
+    corpus-sized probe relation are one broadcast join.
+
+    Cardinality contract: one output row PER PROBE ROW, duplicates
+    included — each probe row is tagged with a unique row id before the
+    depth-explode, so the post-join regroup undoes the explode exactly
+    (identical probe rows do NOT collapse to one)."""
     rows = F.explode(
         F.array(
             *[
@@ -127,7 +132,8 @@ def cms_estimate(
         )
     ).alias("__rb")
     exploded = (
-        probes.select("*", rows)
+        probes.withColumn("__pid", F.monotonically_increasing_id())
+        .select("*", rows)
         .select(
             "*",
             F.col("__rb.row").alias("__row"),
@@ -148,10 +154,11 @@ def cms_estimate(
     )
     group_cols = [c for c in probes.columns]
     return (
-        joined.groupBy(*group_cols)
+        joined.groupBy("__pid", *group_cols)
         .agg(
             F.min(F.coalesce(F.col("__cnt"), F.lit(0))).alias("cms_est")
         )
+        .drop("__pid")
     )
 
 

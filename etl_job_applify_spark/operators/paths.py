@@ -166,9 +166,16 @@ def weighted_sssp(
     to classic SSSP. Each round relaxes every edge from the full
     current frontier (dist ⋈ edges → min per destination, then
     elementwise min with the previous distances); rounds stop early
-    when a relaxation improves nothing. One ``materialize`` per round
-    truncates lineage (the bfs_hops discipline); the driver sees only
-    the per-round emptiness flag.
+    when a relaxation improves nothing. The improvement flag is
+    computed from the RELAXED relation against the prior distances
+    (relaxed rows whose cost beats — or first reaches — their node),
+    never by self-joining the new distance relation against the old
+    one: the relaxed aggregate carries fresh attribute ids, so the
+    check stays unambiguous even under a pass-through ``materialize``
+    that does not truncate lineage. One ``materialize`` per round
+    truncates lineage (the bfs_hops discipline) and SHOULD on a real
+    cluster (a checkpoint keeps the per-round plan O(1)), but
+    correctness no longer depends on it.
 
     ``source``: one-column (node) relation — seeds enter at cost 0; no
     scalar rides the driver. Weights ride as-is (integer weights keep
@@ -183,7 +190,7 @@ def weighted_sssp(
         )
     )
     for _ in range(max_rounds):
-        relaxed = (
+        relaxed = materialize(
             e.join(dist, e.u == dist.node)
             .select(
                 F.col("v").alias("node"),
@@ -192,18 +199,16 @@ def weighted_sssp(
             .groupBy("node")
             .agg(F.min("cost").alias("cost"))
         )
-        new_dist = materialize(
+        improved = relaxed.join(
+            dist.withColumnRenamed("cost", "__old"), "node", "left"
+        ).filter(
+            F.col("__old").isNull() | (F.col("cost") < F.col("__old"))
+        )
+        if improved.isEmpty():
+            break
+        dist = materialize(
             dist.unionByName(relaxed)
             .groupBy("node")
             .agg(F.min("cost").alias("cost"))
         )
-        improved = new_dist.alias("n").join(
-            dist.alias("o"), F.col("n.node") == F.col("o.node"), "left"
-        ).filter(
-            F.col("o.node").isNull()
-            | (F.col("n.cost") < F.col("o.cost"))
-        )
-        dist = new_dist
-        if improved.isEmpty():
-            break
     return dist

@@ -148,7 +148,18 @@ def learn_bpe(
     created symbol would have out-ranked a later batch member — the
     standard batched-BPE trade (YouTokenToMe-style) that buys the N×
     driver-round cut; pin ``batch=1`` where exact greedy parity
-    matters (q203 does)."""
+    matters (q203 does).
+
+    Merge-table granularity with ``batch>1``: ``pair_count`` is the
+    pair's frequency measured BEFORE the round's batch applies (all
+    batch members are ranked against the same pre-batch sequence —
+    that is what makes them selectable in one pass), and
+    ``corpus_tokens_after`` is the PER-ROUND post-batch total, shared
+    by every merge of the round. The table is therefore an exact
+    per-merge trajectory only at ``batch=1``; at ``batch>1`` read it
+    per round (rows of one round share ``round`` and
+    ``corpus_tokens_after``, and list order within the round is the
+    greedy disjoint-selection order)."""
     words = (
         docs.select(F.explode(F.split(text_col, " ")).alias("wid"))
         .filter(F.length("wid") >= min_word_len)

@@ -168,3 +168,17 @@ def test_cms_guarantee_property(spark, counts, width):
         ).collect()
     }
     assert all(v == total for v in per_row.values())
+
+
+def test_cms_estimate_preserves_duplicate_probe_rows(spark):
+    """Cardinality contract: one output row per probe row — identical
+    probe rows (repeated point queries with the same payload) must NOT
+    collapse through the depth-explode regroup."""
+    wc = _wc(spark)
+    sk = cms_build(wc, "key", weight_col="cnt", depth=4, width=512)
+    one = wc.filter(F.col("word") == "alpha").select("word", "key")
+    probes = one.unionAll(one).unionAll(one)  # 3 identical rows
+    est = cms_estimate(sk, probes, "key", depth=4, width=512)
+    rows = est.collect()
+    assert len(rows) == 3
+    assert all(r["cms_est"] == 7 for r in rows)

@@ -698,3 +698,25 @@ def test_weighted_sssp_known_graph(spark):
     assert dists(2) == {1: 0, 2: 10, 3: 1, 4: 2}
     assert dists(3) == {1: 0, 2: 3, 3: 1, 4: 2}
     assert dists(9) == {1: 0, 2: 3, 3: 1, 4: 2}  # early-stop fixpoint
+
+
+def test_weighted_sssp_passthrough_materialize(spark):
+    """The convergence check must not depend on materialize truncating
+    lineage: with a PASS-THROUGH materialize (identity — the relaxed
+    relation keeps dist in its lineage) the early-stop flag still
+    derives from fresh aggregate attributes, so results and the
+    fixpoint are identical to the localCheckpoint default."""
+    from etl_job_applify_spark.operators.paths import weighted_sssp
+
+    edges = spark.createDataFrame(
+        [(1, 2, 10), (1, 3, 1), (3, 4, 1), (4, 2, 1)],
+        "src long, dst long, w long",
+    )
+    source = spark.createDataFrame([(1,)], "node long")
+    got = {
+        r["node"]: r["cost"]
+        for r in weighted_sssp(
+            edges, source, max_rounds=9, materialize=lambda df: df
+        ).collect()
+    }
+    assert got == {1: 0, 2: 3, 3: 1, 4: 2}
