@@ -244,6 +244,20 @@ def _build_serve_indexes(spark, sf_dir: str, idx_root: str):
 RUNS = 3
 
 
+def _sentinel(spark, sf_dir: str) -> float:
+    """Fixed-cost load sentinel: one tiny-table parquet scan + count —
+    workload-independent, so its wall time measures MACHINE conditions
+    (scheduler load, page cache, JVM pressure), not the engine. One
+    sample is taken per measurement pass and reported in the JSON
+    (``sentinel`` median + per-pass samples): a bench artifact whose
+    sentinel runs hot relative to other rounds identifies a hot leg
+    from the artifact itself, without re-running noise studies
+    (BENCHNOTES round-12 adjudication; VERDICT r12 next-item 6)."""
+    t0 = time.perf_counter()
+    spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
+    return time.perf_counter() - t0
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
@@ -283,7 +297,10 @@ def main() -> None:
         # one query's entire sample); per-query median is the reported
         # number
         samples: dict[str, list[float]] = {name: [] for name in measured}
+        _sentinel(spark, sf_dir)  # warm the sentinel plan, like the rest
+        sentinel_samples: list[float] = []
         for _ in range(RUNS):
+            sentinel_samples.append(_sentinel(spark, sf_dir))
             for name in measured:
                 t0 = time.perf_counter()
                 qs[name](spark, sf_dir).write.format("noop").mode(
@@ -309,6 +326,12 @@ def main() -> None:
                 "sf": sf,
                 "runs": RUNS,
                 "aggregation": "per-query median of interleaved passes",
+                "sentinel": round(
+                    sorted(sentinel_samples)[len(sentinel_samples) // 2], 4
+                ),
+                "sentinel_samples": [
+                    round(t, 4) for t in sentinel_samples
+                ],
                 "samples": {
                     name: [round(t, 3) for t in ts]
                     for name, ts in samples.items()
