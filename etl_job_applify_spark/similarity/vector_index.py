@@ -94,6 +94,12 @@ from .pq import (
 _META = "_vector_index_meta.json"
 _V_COMPACT_MARK = "_compacts_through_"
 
+#: largest query batch ``vector_index_probe(escalate=True)`` accepts:
+#: escalation's per-round bookkeeping (collected id lists -> isin
+#: literal filters) is control-plane by contract; above this, the
+#: guard routes callers to ``vector_index_knn_join(ensure_k=True)``
+ESCALATE_MAX_BATCH = 10_000
+
 
 # ---------------------------------------------------------------------------
 # shared helpers
@@ -753,6 +759,10 @@ def vector_index_probe(
     ``log2(num_cells / nprobe)`` rounds — so it is a serving-path
     affordance, not a planning-time rewrite; the common case (fill at
     base nprobe) pays exactly one extra aggregate over the result.
+    The batch contract is ENFORCED: more than ``ESCALATE_MAX_BATCH``
+    distinct queries raises, naming ``vector_index_knn_join(...,
+    ensure_k=True)`` — the fully relational under-return path a
+    data-plane query relation should take instead.
     """
     state = _live_cells(spark, index_path)
     res = _probe_once(
@@ -770,6 +780,19 @@ def vector_index_probe(
             r[0]
             for r in pending.select(query_id_col).distinct().collect()
         ]
+        if len(pending_ids) > ESCALATE_MAX_BATCH:
+            # enforce the control-plane batch contract instead of
+            # assuming it: each escalation round builds per-query isin
+            # literal filters from these ids — fine for a serving batch,
+            # a giant literal plan for a data-plane relation
+            raise ValueError(
+                f"escalate=True got {len(pending_ids)} distinct queries "
+                f"(> {ESCALATE_MAX_BATCH}): escalation is a serving-path "
+                "affordance for control-plane batches; for data-plane "
+                "query relations use vector_index_knn_join(..., "
+                "ensure_k=True) — the fully relational under-return "
+                "contract"
+            )
         counts = {
             r["query_id"]: r["n"]
             for r in res.groupBy("query_id").agg(

@@ -1428,3 +1428,28 @@ def test_streaming_search_escalated(spark, tmp_path):
         )
     )
     assert got == want
+
+
+def test_escalation_batch_size_guard(spark, tmp_path):
+    """escalate=True enforces its control-plane batch contract: a query
+    relation with more distinct ids than ESCALATE_MAX_BATCH raises (the
+    per-round isin literal filters would otherwise become a giant
+    plan), and the error names the relational alternative."""
+    import pytest as _pytest
+
+    from etl_job_applify_spark.similarity import vector_index as vxi
+
+    corpus = _meta_corpus(spark)
+    cents = _anchor_centroids(corpus)
+    idx = str(tmp_path / "vxi_guard")
+    vector_index_build(corpus, idx, num_cells=4, centroids=cents)
+    big = spark.range(vxi.ESCALATE_MAX_BATCH + 1).select(
+        F.col("id").alias("query_id"),
+        F.expr(
+            "array(1.0D, 0D, 0D, 0D, 0D, 0D, 0D, 0D)"
+        ).alias("embedding"),
+    )
+    with _pytest.raises(ValueError, match="vector_index_knn_join"):
+        vector_index_probe(
+            spark, idx, big, k=2, nprobe=1, escalate=True,
+        )
