@@ -2,36 +2,57 @@
 directed twin of ``operators/components.py`` (whose min-label
 propagation answers the undirected question only).
 
-Algorithm: trimming + forward-backward pivot peeling (Fleischer/
-Hendrickson/Pinar's FB, the standard distributed SCC decomposition;
-Tarjan is inherently sequential):
+Algorithm: trimming + PARALLEL forward-backward pivot decomposition
+(Fleischer/Hendrickson/Pinar's FB with the three-way split, plus the
+standard weakly-connected-component pre-decomposition; Tarjan is
+inherently sequential). The graph is maintained as a PARTITION of the
+remaining nodes — an invariant relation (node, part) where no SCC ever
+spans two parts — and every phase advances ALL parts simultaneously:
 
-1. TRIM — a node with no in-edges or no out-edges inside the remaining
-   subgraph is its own (trivial) SCC; remove, repeat to fixpoint. Real
-   graphs are mostly trivial SCCs, so trimming does the bulk of the
-   work in a handful of degree-filter rounds (each one aggregate + one
-   semi-join — no BFS).
-2. PIVOT — take the minimum remaining node id, compute its forward
-   reachable set F and backward reachable set B (two BFS loops over
-   the remaining subgraph, ``localCheckpoint``-truncated lineage like
-   ``paths.bfs_hops``); F ∩ B is exactly the pivot's SCC
-   (assigned scc = pivot id = min member by construction). Remove and
-   repeat from 1.
+0. PARTITION INIT — weakly connected components (``components.py``;
+   part label = min member). An SCC is connected undirected, so no SCC
+   spans WCCs; disconnected regions (e.g. thousands of independent
+   small cycles) decompose in parallel from phase 1 instead of one
+   pivot peel each.
+1. TRIM — within its part, a node with no in-edges or no out-edges is
+   its own (trivial) SCC; remove, repeat to fixpoint. Real graphs are
+   mostly trivial SCCs, so trimming does the bulk of the work in a few
+   degree-filter rounds (each one aggregate + one anti-join — no BFS).
+2. PIVOT per part — a DETERMINISTIC-HASH argmin (md5 over the node's
+   decimal rendering) picks every part's pivot in one aggregation (no
+   scalar rides the driver). A hash pivot lands uniformly inside the
+   part, which is what makes the split below halve chains in
+   expectation — a min-node pivot at the head of a directed chain
+   would put the whole remainder in F\\S and degenerate to the
+   sequential peel. Multi-source BFS computes each part's forward set
+   F and backward set B in the SAME rounds (frontiers keyed on
+   (part, node)); F ∩ B is exactly each pivot's SCC, labeled
+   scc = min member (one aggregation per phase).
+3. THREE-WAY SPLIT — survivors of each part relabel into F\\S, B\\S
+   and rest (no SCC spans the three: any cycle through two sides would
+   pass through the peeled SCC), new part label = min node of the
+   sub-part (globally unique because parts partition the nodes). Parts
+   MULTIPLY each phase — a chain of k small SCCs converges in O(log k)
+   phases where the sequential peel needs k.
 
-Driver control flow is one scalar pivot + one emptiness check per
-phase (control plane); all set algebra is DataFrame joins. Phases =
-number of NON-trivial SCCs (+ trim fixpoints), the known cost shape of
-FB without the recursive (F\\B, B\\F, rest) three-way parallel split —
-that split parallelizes phases but triples the bookkeeping; at the
-"few large SCCs + trivial tail" shape of real graphs the sequential
-peel is the same number of BFS rounds. ``max_phases`` bounds the loop
-and raises on non-convergence rather than returning a partial answer.
+Driver control flow is a handful of emptiness checks per phase
+(control plane); all set algebra is DataFrame joins keyed on the node
+(or (part, node)) id. Non-convergence RAISES — ``max_phases`` bounds
+the split recursion depth and ``max_bfs_rounds`` bounds each BFS sweep
+(a partial reachable set would silently split an SCC, so exhausting
+the budget with a non-empty frontier is an error, never a truncation).
 
-Scale posture: each trim round is a groupBy-degree + semi-join; each
-BFS round is frontier⋈edges + anti-join (AQE broadcasts small
-frontiers). A graph that is one giant cycle of n nodes costs one phase
-with O(n)-round BFS — the same bound as any reachability question on
-that graph.
+Scale posture: each trim round is a groupBy-degree + anti-join; each
+BFS round is one frontier⋈edges equi-join on (part, node) + anti-join
+(AQE broadcasts small frontiers); the split is one aggregation + one
+join. BFS rounds per phase are bounded by the largest remaining
+part's DIRECTED diameter, and the WCC init by the UNDIRECTED diameter
+— a graph that is one giant n-cycle still needs O(n) rounds for any
+reachability question and now raises (raise the budgets) instead of
+silently mislabeling.
+
+Reference parity: the reference has no graph surface (SURVEY.md §2b);
+this extends the north-star analytics family like triangles/k-core.
 """
 
 from __future__ import annotations
@@ -40,24 +61,35 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def _reach(edges: DataFrame, pivot_df: DataFrame, max_rounds: int) -> DataFrame:
-    """Nodes reachable from the pivot (inclusive) following edge
-    direction; ``edges`` is (u, v)."""
-    seen = pivot_df.select(F.col("node")).localCheckpoint(eager=True)
+def _reach_parts(
+    pe: DataFrame, seeds: DataFrame, max_rounds: int, direction: str
+) -> DataFrame:
+    """(part, node) reachable from each part's seed following edge
+    direction, all parts in the same BFS rounds; ``pe`` is the
+    within-part edge relation (part, u, v), ``seeds`` is (part, node).
+    Raises when ``max_rounds`` is exhausted with a non-empty frontier —
+    a partial reach would silently split an SCC."""
+    seen = seeds.select("part", "node").localCheckpoint(eager=True)
     frontier = seen
     for _ in range(max_rounds):
         nxt = (
-            edges.join(frontier, edges.u == frontier.node)
-            .select(F.col("v").alias("node"))
+            pe.join(
+                frontier.withColumnRenamed("node", "u"), ["part", "u"]
+            )
+            .select("part", F.col("v").alias("node"))
             .distinct()
-            .join(seen, "node", "left_anti")
+            .join(seen, ["part", "node"], "left_anti")
             .localCheckpoint(eager=True)
         )
         if nxt.isEmpty():
-            break
+            return seen
         seen = seen.unionByName(nxt).localCheckpoint(eager=True)
         frontier = nxt
-    return seen
+    raise RuntimeError(
+        f"SCC {direction} reachability did not converge within "
+        f"{max_rounds} BFS rounds (frontier still non-empty); raise "
+        "max_bfs_rounds — a partial reachable set would mislabel an SCC"
+    )
 
 
 def strongly_connected_components(
@@ -66,34 +98,59 @@ def strongly_connected_components(
     dst: str = "dst",
     max_phases: int = 64,
     max_bfs_rounds: int = 64,
+    max_wcc_iter: int = 64,
 ) -> DataFrame:
     """(node, scc) for every node appearing in ``edges``; ``scc`` = min
-    node id in the strongly connected component."""
+    node id in the strongly connected component.
+
+    ``max_phases`` bounds the three-way-split phase count (splits
+    multiply parts, so phases grow ~logarithmically in the number of
+    non-trivial SCCs per weak component); ``max_bfs_rounds`` bounds
+    each reachability sweep (largest part's directed diameter);
+    ``max_wcc_iter`` bounds the undirected pre-decomposition. All
+    three RAISE on exhaustion rather than returning a partial answer.
+    """
     e = edges.select(
         F.col(src).alias("u"), F.col(dst).alias("v")
     ).distinct().localCheckpoint(eager=True)
-    remaining = (
-        e.select(F.col("u").alias("node"))
-        .union(e.select(F.col("v").alias("node")))
-        .distinct()
+    from .components import connected_components
+
+    # 0. partition init: WCC labels (min member) — no SCC spans WCCs
+    parts = (
+        connected_components(e, src="u", dst="v", max_iter=max_wcc_iter)
+        .select("node", F.col("component").alias("part"))
         .localCheckpoint(eager=True)
     )
     done: list[DataFrame] = []
     for _ in range(max_phases):
-        # 1. TRIM to fixpoint: no in- or no out-edge within remaining
-        while True:
-            sub = (
-                e.join(remaining.withColumnRenamed("node", "u"), "u", "semi")
-                .join(
-                    remaining.withColumnRenamed("node", "v"), "v", "semi"
-                )
-                .localCheckpoint(eager=True)
+        if parts.isEmpty():
+            break
+        # within-part edge view (parts partition the remaining nodes,
+        # so each original edge survives in at most one part)
+        pe = (
+            e.join(
+                parts.select(
+                    F.col("node").alias("u"), F.col("part").alias("pu")
+                ),
+                "u",
             )
-            has_out = sub.select(F.col("u").alias("node")).distinct()
-            has_in = sub.select(F.col("v").alias("node")).distinct()
+            .join(
+                parts.select(
+                    F.col("node").alias("v"), F.col("part").alias("pv")
+                ),
+                "v",
+            )
+            .filter(F.col("pu") == F.col("pv"))
+            .select(F.col("pu").alias("part"), "u", "v")
+            .localCheckpoint(eager=True)
+        )
+        # 1. TRIM to fixpoint: no in- or no out-edge within the part
+        while True:
+            has_out = pe.select("part", F.col("u").alias("node")).distinct()
+            has_in = pe.select("part", F.col("v").alias("node")).distinct()
             trivial = (
-                remaining.join(has_out, "node", "left_anti")
-                .union(remaining.join(has_in, "node", "left_anti"))
+                parts.join(has_out, ["part", "node"], "left_anti")
+                .union(parts.join(has_in, ["part", "node"], "left_anti"))
                 .distinct()
                 .localCheckpoint(eager=True)
             )
@@ -102,29 +159,73 @@ def strongly_connected_components(
             done.append(
                 trivial.select("node", F.col("node").alias("scc"))
             )
-            remaining = remaining.join(
-                trivial, "node", "left_anti"
+            parts = parts.join(
+                trivial.select("node"), "node", "left_anti"
             ).localCheckpoint(eager=True)
-        head = remaining.orderBy("node").limit(1).collect()
-        if not head:
+            pe = (
+                pe.join(
+                    trivial.select(F.col("node").alias("u")),
+                    "u",
+                    "left_anti",
+                )
+                .join(
+                    trivial.select(F.col("node").alias("v")),
+                    "v",
+                    "left_anti",
+                )
+                .localCheckpoint(eager=True)
+            )
+        if parts.isEmpty():
             break
-        # 2. PIVOT: F ∩ B inside the remaining subgraph is its SCC
-        pivot_df = remaining.filter(F.col("node") == head[0]["node"])
-        fwd = _reach(sub, pivot_df, max_bfs_rounds)
-        bwd = _reach(
-            sub.select(F.col("v").alias("u"), F.col("u").alias("v")),
-            pivot_df,
-            max_bfs_rounds,
-        )
-        comp = fwd.join(bwd, "node", "semi").localCheckpoint(eager=True)
-        done.append(
-            comp.select("node", F.lit(head[0]["node"]).alias("scc"))
-        )
-        remaining = remaining.join(
-            comp, "node", "left_anti"
+        # 2. PIVOT per part: deterministic-hash argmin (uniform inside
+        # the part — see module docstring); F ∩ B per part is its SCC
+        pivots = parts.groupBy("part").agg(
+            F.min_by("node", F.md5(F.col("node").cast("string")))
+            .alias("node")
         ).localCheckpoint(eager=True)
+        fwd = _reach_parts(pe, pivots, max_bfs_rounds, "forward")
+        bwd = _reach_parts(
+            pe.select("part", F.col("v").alias("u"), F.col("u").alias("v")),
+            pivots,
+            max_bfs_rounds,
+            "backward",
+        )
+        comp = fwd.join(
+            bwd, ["part", "node"], "semi"
+        ).localCheckpoint(eager=True)
+        # scc label = min member of the peeled component (the pivot is
+        # hash-chosen, so it is NOT necessarily the min)
+        comp_min = comp.groupBy("part").agg(F.min("node").alias("scc"))
+        done.append(comp.join(comp_min, "part").select("node", "scc"))
+        # 3. THREE-WAY SPLIT: F\S, B\S, rest — new label = min node of
+        # the sub-part (nodes are globally unique across parts, so the
+        # min-member label is too)
+        rest = parts.join(comp.select("node"), "node", "left_anti")
+        tagged = (
+            rest.join(
+                fwd.select("node", F.lit(1).alias("__f")), "node", "left"
+            )
+            .join(
+                bwd.select("node", F.lit(1).alias("__b")), "node", "left"
+            )
+            .withColumn(
+                "side",
+                F.when(F.col("__f").isNotNull(), F.lit(1))
+                .when(F.col("__b").isNotNull(), F.lit(2))
+                .otherwise(F.lit(3)),
+            )
+            .select("node", "part", "side")
+        )
+        relab = tagged.groupBy("part", "side").agg(
+            F.min("node").alias("new_part")
+        )
+        parts = (
+            tagged.join(relab, ["part", "side"])
+            .select("node", F.col("new_part").alias("part"))
+            .localCheckpoint(eager=True)
+        )
     else:
-        if not remaining.isEmpty():
+        if not parts.isEmpty():
             raise RuntimeError(
                 f"SCC did not converge within {max_phases} phases"
             )

@@ -6,6 +6,7 @@ from .jobs import (
     run_to_memory,
     run_available_now_to_memory,
     run_incremental_dedup_stream,
+    run_text_index_ingest_stream,
     run_cms_sketch_stream,
     run_vector_index_ingest_stream,
     run_vector_search_stream,
@@ -20,6 +21,7 @@ __all__ = [
     "run_to_memory",
     "run_available_now_to_memory",
     "run_incremental_dedup_stream",
+    "run_text_index_ingest_stream",
     "run_cms_sketch_stream",
     "run_vector_index_ingest_stream",
     "run_vector_search_stream",

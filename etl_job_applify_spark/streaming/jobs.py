@@ -417,6 +417,7 @@ def run_incremental_dedup_stream(
     bands: int = 16,
     max_bucket_size: int = 64,
     compact_every: int | None = None,
+    compact_max_files: int | None = None,
     exactly_once: bool = False,
     writer_id: str = "dedup",
 ) -> None:
@@ -458,6 +459,19 @@ def run_incremental_dedup_stream(
     file set per batch forever (small-file rot on the most-probed table
     in the pipeline). Compaction is idempotent, so an at-least-once
     replay that re-triggers it is harmless.
+
+    ``compact_max_files``: the STATE-based policy twin (the dedup
+    family's analogue of the vector ingest's ``reindex_skew_threshold``
+    loop) — after each committed ingest, the live index data-file count
+    (``minhash_index_stats``'s ``data_files`` signal, via the Hadoop FS
+    API) above this threshold triggers ``optimize_index`` at the epoch
+    boundary; the post-compaction count drops back under it. Robust
+    where epoch ids restart (a new checkpoint dir breaks a pure
+    cadence); both triggers compose, either alone suffices. File
+    pressure is the dedup signal with a SAFE automatic action —
+    compaction never changes probe results; ``max_bucket`` pressure is
+    policy-handled at probe time by the ``max_bucket_size`` cap (see
+    SCALING.md on why an index-side re-banding stays manual).
     """
     import os
 
@@ -472,6 +486,22 @@ def run_incremental_dedup_stream(
     index_dir = os.path.join(state_dir, "index")
     corpus_dir = os.path.join(state_dir, "corpus")
     pairs_dir = os.path.join(state_dir, "pairs")
+
+    def _maybe_compact(spark, epoch_id: int) -> None:
+        """Cadence OR file-pressure compaction at the epoch boundary;
+        both paths are idempotent under at-least-once redelivery."""
+        if (
+            compact_every
+            and epoch_id > 0
+            and (epoch_id + 1) % compact_every == 0
+        ):
+            optimize_index(spark, index_dir)
+            return
+        if compact_max_files is not None:
+            from ..sinks.versioned import fs_count_data_files
+
+            if fs_count_data_files(spark, index_dir) > compact_max_files:
+                optimize_index(spark, index_dir)
 
     def sink_exactly_once(batch_df: DataFrame, epoch_id: int) -> None:
         from pyspark import StorageLevel
@@ -544,12 +574,7 @@ def run_incremental_dedup_stream(
                     epoch_mark=mark,
                 )
                 append_log_version(batch, corpus_dir, [mark])
-            if (
-                compact_every
-                and epoch_id > 0
-                and (epoch_id + 1) % compact_every == 0
-            ):
-                optimize_index(spark, index_dir)  # CAS path, idempotent
+            _maybe_compact(spark, epoch_id)  # CAS path, idempotent
         finally:
             batch.unpersist()
 
@@ -595,12 +620,7 @@ def run_incremental_dedup_stream(
                 mode=mode,
                 layout="flat",  # this sink IS the flat-layout ingest
             )
-            if (
-                compact_every
-                and epoch_id > 0
-                and (epoch_id + 1) % compact_every == 0
-            ):
-                optimize_index(spark, index_dir)
+            _maybe_compact(spark, epoch_id)
         finally:
             batch.unpersist()
 
@@ -728,6 +748,151 @@ def run_vector_index_ingest_stream(
                 reindex_vector_index(spark, index_dir)
 
     q = vec_stream.writeStream.foreachBatch(sink).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+
+def run_text_index_ingest_stream(
+    docs_stream: DataFrame,
+    index_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_buckets: int = 64,
+    meta_cols: list[str] | None = None,
+    op_col: str | None = None,
+    compact_every: int | None = None,
+    max_snapshots: int | None = None,
+    compact_tombstone_ratio: float | None = None,
+    writer_id: str = "textidx",
+) -> None:
+    """Streaming ingest into the persisted inverted text index
+    (functions/text_index.py): every micro-batch of documents is
+    tokenized and CAS-appended as one versioned snapshot — the
+    text-side twin of ``run_vector_index_ingest_stream``, completing
+    the policy-loop triad across the three persisted index families.
+
+    Delivery contract: foreachBatch is at-least-once; appends carry an
+    ``_epoch_<writer_id>_<epoch>`` marker INSIDE the snapshot (atomic
+    with the CAS commit), so a redelivered batch finds its marker and
+    skips — replays commit nothing. Deletes (below) are idempotent
+    (already-tombstoned ids are ignored, and the versioned layout's
+    stat decrements ride the FIRST tombstone commit only), so any crash
+    point replays to the state a crash-free run produces.
+
+    ``op_col``: CDC-shaped input — rows whose ``op_col`` equals
+    ``'delete'`` tombstone their ids out of the index
+    (``text_index_delete``; applied BEFORE the batch's adds, so a
+    delete+re-add of one id in the same batch lands as the re-add —
+    the versioned layout's version-scoped tombstones make that legal);
+    all other rows append. Without ``op_col`` every row appends.
+
+    POLICY LOOPS — the signals ``text_index_stats`` exposes, wired to
+    their one SAFE action (compaction, which never changes a score;
+    contrast ``max_df`` stopword pressure, whose candidate actions all
+    rewrite BM25 semantics and therefore stay operator-in-the-loop,
+    see SCALING.md):
+
+    - ``compact_every`` / ``max_snapshots``: cadence- and state-based
+      snapshot-count triggers — per-batch appends grow the per-probe
+      N-way snapshot union (``live_snapshots`` in the stats), and the
+      trigger folds it back to 1. Snapshot count, not raw file count,
+      is the text family's pressure signal: the versioned compaction
+      bins each term bucket for rewrite parallelism, so its FILE count
+      floor is buckets-shaped (at toy scale it can exceed a few
+      appends' worth) while the probe-cost driver — snapshots unioned
+      per scan — always returns to 1.
+    - ``compact_tombstone_ratio``: pending tombstones / live docs
+      above the ratio triggers compaction — delete pressure; the
+      post-action tombstone count is 0 and probe scans stop paying the
+      anti-join over reclaimed rows.
+
+    All triggers compose; compaction is CAS-published and idempotent
+    under replay."""
+    from ..functions.text_index import (
+        _tidx_is_versioned,
+        _tidx_read,
+        optimize_text_index,
+        text_index_build,
+        text_index_delete,
+    )
+
+    def _pending_tombstones(spark) -> tuple[int, int]:
+        """(n_tombstones, n_docs_live) from delete members + meta —
+        control-plane listings, no postings scan."""
+        from pyspark.sql.types import LongType, StructField, StructType
+
+        from ..functions.text_index import _tidx_recover_live
+        from ..sinks.versioned import snapshot_members
+
+        live = _tidx_recover_live(spark, index_dir)
+        del_paths = [
+            f"{p}/deletes"
+            for p in live
+            if "deletes" in snapshot_members(spark, p)
+        ]
+        tombs = 0
+        if del_paths:
+            t_schema = StructType([StructField("doc", LongType())])
+            tombs = (
+                spark.read.schema(t_schema)
+                .parquet(*del_paths)
+                .select("doc")
+                .distinct()
+                .count()
+            )
+        meta = _tidx_read(spark, index_dir)[0]
+        return tombs, int(meta["n_docs"])
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return  # an empty micro-batch must not found the index
+        spark = batch_df.sparkSession
+        mark = f"_epoch_{writer_id}_{epoch_id}"
+        adds = batch_df
+        if op_col is not None:
+            dels = batch_df.filter(F.col(op_col) == "delete").select(
+                F.col(id_col).cast("bigint").alias("doc")
+            )
+            adds = batch_df.filter(
+                F.coalesce(F.col(op_col), F.lit("add")) != "delete"
+            )
+            if _tidx_is_versioned(spark, index_dir) and not dels.isEmpty():
+                text_index_delete(spark, index_dir, dels)
+        adds = adds.select(id_col, text_col, *(meta_cols or []))
+        if not adds.isEmpty():
+            text_index_build(
+                adds,
+                index_dir,
+                id_col,
+                text_col,
+                num_buckets=num_buckets,
+                mode=(
+                    "append"
+                    if _tidx_is_versioned(spark, index_dir)
+                    else "overwrite"
+                ),
+                layout="versioned",
+                epoch_mark=mark,
+                max_snapshots=max_snapshots,
+                meta_cols=meta_cols,
+            )
+        if not _tidx_is_versioned(spark, index_dir):
+            return  # batch was deletes-only before founding: no index yet
+        if (
+            compact_every
+            and epoch_id > 0
+            and (epoch_id + 1) % compact_every == 0
+        ):
+            optimize_text_index(spark, index_dir)  # CAS, idempotent
+            return
+        if compact_tombstone_ratio is not None:
+            tombs, n_live = _pending_tombstones(spark)
+            if tombs > compact_tombstone_ratio * max(1, n_live):
+                optimize_text_index(spark, index_dir)
+
+    q = docs_stream.writeStream.foreachBatch(sink).start()
     try:
         q.processAllAvailable()
     finally:

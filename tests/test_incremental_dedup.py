@@ -564,3 +564,59 @@ def test_default_layout_is_versioned(spark, tmp_path):
     import os
 
     assert not os.path.exists(os.path.join(idx, "_index_meta.json"))
+
+
+def test_streaming_dedup_file_pressure_policy_compacts(spark, tmp_path):
+    """compact_max_files — the dedup family's POLICY LOOP (the
+    ``reindex_skew_threshold`` twin): per-batch appends drive the live
+    data-file count over the threshold, the trigger fires at the epoch
+    boundary, and the post-action signal recovers (final count is back
+    under the threshold, where 5 uncompacted appends alone leave >= 80
+    per-band files). Probes against the policy-compacted index still
+    find cross-batch dups."""
+    import time
+
+    from etl_job_applify_spark.dedup import minhash_index_probe
+    from etl_job_applify_spark.sinks.versioned import fs_count_data_files
+    from etl_job_applify_spark.streaming import run_incremental_dedup_stream
+
+    src = tmp_path / "src"
+    src.mkdir()
+    state = str(tmp_path / "state")
+    _corpus(spark).coalesce(1).write.parquet(str(src / "b1.parquet"))
+    for g in (2, 3, 4):
+        time.sleep(1.1)
+        rows = [
+            (g * 1000 + i,
+             f"gen {g} doc {i} with its own unrelated vocabulary " * 3)
+            for i in range(3)
+        ]
+        spark.createDataFrame(rows, "doc_id long, text string").coalesce(
+            1
+        ).write.parquet(str(src / f"b{g}.parquet"))
+    time.sleep(1.1)
+    _batch(spark).coalesce(1).write.parquet(str(src / "b5.parquet"))
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src) + "/*.parquet")
+    )
+    run_incremental_dedup_stream(stream, state, compact_max_files=40)
+
+    # the signal recovered: a 5-append run leaves >= 5 x 16 band files
+    # without the policy, so the trigger must have fired at least once,
+    # and the final (post-compaction) count sits under the threshold
+    assert fs_count_data_files(spark, state + "/index") <= 40
+    pairs = spark.read.parquet(state + "/pairs")
+    got = {(r["a"], r["b"]) for r in pairs.collect()}
+    assert (7, 100) in got and (23, 101) in got
+    probe = spark.createDataFrame(
+        [(500, _BASE + " unique filler sentence number 7 " * 2 + "x")],
+        "doc_id long, text string",
+    )
+    found = minhash_index_probe(
+        spark, state + "/index", probe,
+        spark.read.parquet(state + "/corpus"),
+    ).collect()
+    assert {(r["a"], r["b"]) for r in found} >= {(7, 500), (100, 500)}

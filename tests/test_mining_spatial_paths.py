@@ -720,3 +720,83 @@ def test_weighted_sssp_passthrough_materialize(spark):
         ).collect()
     }
     assert got == {1: 0, 2: 3, 3: 1, 4: 2}
+
+
+def test_scc_many_disconnected_small_sccs_parallel(spark):
+    """The many-small-SCCs stress shape the sequential pivot peel could
+    not meet: 200 disconnected 2-cycles decompose via the WCC partition
+    init in ONE pivot phase (max_phases=3 would need 200 under a
+    one-SCC-per-phase peel)."""
+    from etl_job_applify_spark.operators.scc import (
+        strongly_connected_components,
+    )
+
+    rows = []
+    for i in range(200):
+        a, b = 2 * i, 2 * i + 1
+        rows += [(a, b), (b, a)]
+    edges = spark.createDataFrame(rows, "src long, dst long").coalesce(1)
+    got = {
+        (r["node"], r["scc"])
+        for r in strongly_connected_components(
+            edges, max_phases=3
+        ).collect()
+    }
+    want = set()
+    for i in range(200):
+        want |= {(2 * i, 2 * i), (2 * i + 1, 2 * i)}
+    assert got == want
+
+
+def test_scc_chain_of_sccs_splits_logarithmically(spark):
+    """A directed chain of 12 2-cycles (bridged one-way) is ONE weak
+    component, so the WCC init cannot parallelize it — the three-way
+    split with hash pivots must: parts multiply each phase, so
+    max_phases=8 suffices where the sequential peel needs 12."""
+    from etl_job_applify_spark.operators.scc import (
+        strongly_connected_components,
+    )
+
+    rows = []
+    for i in range(12):
+        a, b = 2 * i, 2 * i + 1
+        rows += [(a, b), (b, a)]
+        if i:
+            rows.append((2 * (i - 1) + 1, a))  # one-way bridge
+    edges = spark.createDataFrame(rows, "src long, dst long").coalesce(1)
+    got = {
+        (r["node"], r["scc"])
+        for r in strongly_connected_components(
+            edges, max_phases=8
+        ).collect()
+    }
+    want = set()
+    for i in range(12):
+        want |= {(2 * i, 2 * i), (2 * i + 1, 2 * i)}
+    assert got == want
+
+
+def test_scc_bfs_budget_exhaustion_raises(spark):
+    """An exhausted reachability budget with a non-empty frontier must
+    RAISE, never return a partial reach (which would silently split the
+    long cycle into several scc labels)."""
+    import pytest as _pytest
+
+    from etl_job_applify_spark.operators.scc import (
+        strongly_connected_components,
+    )
+
+    n = 12
+    rows = [(i, (i + 1) % n) for i in range(n)]
+    edges = spark.createDataFrame(rows, "src long, dst long").coalesce(1)
+    with _pytest.raises(RuntimeError, match="BFS rounds"):
+        strongly_connected_components(
+            edges, max_bfs_rounds=3, max_wcc_iter=32
+        )
+    got = {
+        (r["node"], r["scc"])
+        for r in strongly_connected_components(
+            edges, max_bfs_rounds=16, max_wcc_iter=32
+        ).collect()
+    }
+    assert got == {(i, 0) for i in range(n)}

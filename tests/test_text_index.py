@@ -797,3 +797,86 @@ def test_bm25_facet_scoped_stats(spark, tmp_path):
             spark, idx, _qterms(spark),
             where="lang = 'en'", stats_scope="shard",
         )
+
+
+def _stream_batches(spark, tmp_path, batches):
+    """Write parquet micro-batches (mtime-ordered) and return a
+    maxFilesPerTrigger=1 file-source stream over them."""
+    import time
+
+    src = tmp_path / "src"
+    src.mkdir()
+    schema = None
+    for i, df in enumerate(batches):
+        if i:
+            time.sleep(1.1)  # file-source ordering is mtime-based
+        df.coalesce(1).write.parquet(str(src / f"b{i}.parquet"))
+        schema = df.schema
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src) + "/*.parquet")
+    )
+
+
+def test_streaming_text_index_ingest_and_snapshot_pressure_policy(
+    spark, tmp_path
+):
+    """Streamed text-index ingest (the policy-loop triad's text leg):
+    per-batch CAS appends serve cross-batch BM25 bit-identical to the
+    recompute over the full corpus, and the max_snapshots state
+    trigger fires on snapshot pressure — 4 appends would leave a
+    4-way per-probe union, the policy folds it back to 1."""
+    from etl_job_applify_spark.functions.text_index import text_index_stats
+    from etl_job_applify_spark.streaming import run_text_index_ingest_stream
+
+    idx = str(tmp_path / "tidx_stream")
+    batches = [_docs(spark, start=10 * g, n=10) for g in range(4)]
+    stream = _stream_batches(spark, tmp_path, batches)
+    run_text_index_ingest_stream(
+        stream, idx, num_buckets=8, max_snapshots=2
+    )
+
+    # signal recovered: the last over-threshold append folded to 1
+    assert text_index_stats(spark, idx)["live_snapshots"] <= 2
+    corpus = batches[0]
+    for b in batches[1:]:
+        corpus = corpus.unionByName(b)
+    got = _score_map(text_index_bm25(spark, idx, _qterms(spark)))
+    want = _score_map(
+        bm25_scores(corpus, _qterms(spark), id_col="doc_id")
+    )
+    assert got == want
+
+
+def test_streaming_text_index_tombstone_pressure_policy(spark, tmp_path):
+    """CDC-shaped stream (op_col): deletes tombstone served docs, and
+    tombstone pressure above compact_tombstone_ratio triggers
+    compaction at the epoch boundary — post-run the pending-tombstone
+    signal is 0 (reclaimed), live_snapshots folded to 1, and BM25
+    equals the recompute over the surviving corpus."""
+    from etl_job_applify_spark.functions.text_index import text_index_stats
+    from etl_job_applify_spark.streaming import run_text_index_ingest_stream
+
+    idx = str(tmp_path / "tidx_cdc")
+    b0 = _docs(spark, start=0, n=20).withColumn("op", F.lit("add"))
+    # delete 8 of the 20 -> ratio 8/12 = 0.67 > 0.5 trips the trigger
+    b1 = spark.createDataFrame(
+        [(i, "x", "delete") for i in range(8)],
+        "doc_id long, text string, op string",
+    )
+    stream = _stream_batches(spark, tmp_path, [b0, b1])
+    run_text_index_ingest_stream(
+        stream, idx, op_col="op", compact_tombstone_ratio=0.5
+    )
+
+    stats = text_index_stats(spark, idx)
+    assert stats["n_pending_tombstones"] == 0  # signal recovered
+    assert stats["live_snapshots"] == 1
+    assert stats["n_docs"] == 12 and stats["n_docs_live"] == 12
+    survivors = _docs(spark, start=0, n=20).filter("doc_id >= 8")
+    got = _score_map(text_index_bm25(spark, idx, _qterms(spark)))
+    want = _score_map(
+        bm25_scores(survivors, _qterms(spark), id_col="doc_id")
+    )
+    assert got == want
