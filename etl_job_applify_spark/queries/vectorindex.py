@@ -468,6 +468,65 @@ SELECT query_id, neighbor, cosine, CAST(rank AS INT) AS rank FROM (
 """
 
 
+# --- q251: bulk kNN join on the COMPRESSED path (ADC/PQ) ------------------
+# q245's corpus×corpus shape with use_codes=True: per-(query, probed
+# cell) ADC LUTs computed relationally on the exploded query side, a
+# cell-keyed shuffle join over STORED CODES (m bytes/vector instead of
+# d doubles — the shuffle-bytes cut that makes the semantic-dedup
+# feeder compressed end-to-end, SCALING.md), ADC shortlist, exact
+# refine over shortlist rows only. Two in-query gates: (1) the bulk
+# compressed path is BIT-IDENTICAL to vector_index_probe(use_codes=
+# True) on a control-plane query subset (shared LUT/ADC/refine
+# expressions, different physical plan); (2) the q87-shaped recall
+# floor vs the full-coverage exact join over the whole corpus. The
+# oracle pins the verdict row.
+
+_Q251_K = 3
+
+
+def q251_knn_join_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..similarity import vector_index_knn_join
+    from .verification import _recall_at_k_row
+
+    emb = tbl(spark, sf_dir, "embeddings")
+    qall = emb.select(F.col("vec_id").alias("query_id"), "embedding")
+
+    def build(path):
+        vector_index_build(emb, path, num_cells=16, m=8, k_codes=16)
+
+    def probe(path):
+        served = vector_index_knn_join(
+            spark, path, qall, k=_Q251_K, nprobe=8,
+            use_codes=True, shortlist=64, exclude_self=True,
+        )
+        sub = qall.filter(F.col("query_id") < 8)
+        bulk_sub = vector_index_knn_join(
+            spark, path, sub, k=_Q251_K, nprobe=8,
+            use_codes=True, shortlist=64,
+        )
+        probe_sub = vector_index_probe(
+            spark, path, sub, k=_Q251_K, nprobe=8,
+            use_codes=True, shortlist=64,
+        )
+        _assert_same(
+            bulk_sub, probe_sub.collect(),
+            "bulk compressed kNN join diverged from the ADC probe on "
+            "the same live index",
+        )
+        exact = vector_index_knn_join(
+            spark, path, qall, k=_Q251_K, nprobe=16, exclude_self=True,
+        )
+        return _recall_at_k_row(exact, served, min_recall=0.5)
+
+    return _with_temp_index(spark, build, probe)
+
+
+_Q251_SQL = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_queries, true AS recall_ok
+FROM embeddings
+"""
+
+
 # --- q240: index observability (DESCRIBE INDEX) under the exact oracle ----
 # The ops surface: vector_index_cell_histogram over q232's
 # deterministic lifecycle state (pinned anchors, epoch-fenced append,
@@ -1110,6 +1169,7 @@ QUERIES = {
     "q240_vector_index_stats": q240_vector_index_stats,
     "q244_vector_index_escalated": q244_vector_index_escalated,
     "q245_vector_knn_join": q245_vector_knn_join,
+    "q251_knn_join_adc": q251_knn_join_adc,
     "q246_hybrid_rrf_faceted": q246_hybrid_rrf_faceted,
 }
 
@@ -1140,6 +1200,7 @@ ORACLE = {
     "q240_vector_index_stats": _Q240_SQL,
     "q244_vector_index_escalated": _Q244_SQL,
     "q245_vector_knn_join": _Q245_SQL,
+    "q251_knn_join_adc": _Q251_SQL,
     # both faceted legs replayed in SQL (facet inside each leg, stats
     # corpus-wide on the lexical leg, full-coverage exact vector leg)
     "q246_hybrid_rrf_faceted": _Q246_SQL,

@@ -833,6 +833,8 @@ def vector_index_knn_join(
     where=None,
     exclude_self: bool = False,
     ensure_k: bool = False,
+    use_codes: bool = False,
+    shortlist: int = 64,
 ) -> DataFrame:
     """Bulk kNN join: (query_id, neighbor, cosine, rank) top-k for a
     DATA-PLANE-SIZED query relation — the offline corpus-vs-index shape
@@ -862,9 +864,23 @@ def vector_index_knn_join(
     the cells scan before scoring, as in the probe. ``exclude_self``
     drops ``neighbor == query_id`` candidates before ranking — the
     corpus self-join default (a vector's nearest neighbor is itself).
-    Exact-cosine only: the ADC/PQ shortlist path stays probe-only (its
-    per-query LUT broadcast is the control-plane move this variant
-    exists to avoid).
+    ``use_codes=True`` (requires a PQ-enabled index): the COMPRESSED
+    bulk path — per-(query, probed cell) ADC LUTs are computed as a
+    COLUMN on the exploded query side (the residual probe's per-cell
+    LUT trick, kept relational: no driver-side LUT broadcast, which is
+    the control-plane move this variant exists to avoid), the
+    cell-keyed shuffle join scans STORED CODES instead of raw vectors
+    (m bytes/vector instead of d doubles — at 100 TB corpus×corpus the
+    candidate shuffle shrinks ~8d/m×), the per-query ADC shortlist
+    keeps ``shortlist`` candidates, and an exact-cosine refine touches
+    raw vectors for shortlist rows only (two distributed equi-joins:
+    vid against the predicate-filtered cells, query_id against the
+    query relation — no broadcast anywhere). Results are bit-identical
+    to ``vector_index_probe(..., use_codes=True)`` with the same
+    ``shortlist`` on the same live index (shared LUT/ADC/refine
+    expressions; pinned by tests/test_vector_index.py); the recorded
+    ``pq_encoding`` is followed automatically (residual indexes get
+    per-cell residual LUTs).
 
     ``ensure_k=True``: the BULK under-return contract — the distributed
     twin of the probe's ``escalate`` (whose per-round driver counts are
@@ -879,13 +895,18 @@ def vector_index_knn_join(
     fraction at full fan-out."""
     meta, cents, books, offs, cells = _live_cells(spark, index_path)
     nprobe = min(nprobe, meta["num_cells"])
+    if use_codes and books is None:
+        raise ValueError(
+            f"index at {index_path} stores no PQ codes (built with m=0); "
+            "use_codes joins need a PQ-enabled build"
+        )
     pruned = cells
     if where is not None:
         pruned = pruned.filter(
             F.expr(where) if isinstance(where, str) else where
         )
 
-    def _pass(qdf: DataFrame, np_: int) -> DataFrame:
+    def _pass_exact(qdf: DataFrame, np_: int) -> DataFrame:
         q = with_norm(
             qdf.select(query_id_col, vec_col), vec_col
         ).withColumn(
@@ -914,6 +935,81 @@ def vector_index_knn_join(
             .withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
         )
+
+    def _pass_codes(qdf: DataFrame, np_: int) -> DataFrame:
+        # compressed scan: the probe's ADC expressions (LUT per
+        # (query, probed cell), same aggregate/shortlist/refine order),
+        # but every join is a distributed equi-join — no broadcast, no
+        # driver collect
+        q = with_norm(
+            qdf.select(query_id_col, vec_col), vec_col
+        ).withColumn(
+            "__probe",
+            F.explode(F.expr(_probe_cells_expr(vec_col, cents, np_))),
+        ).withColumn("cell", F.col("__probe").cast("int"))
+        if meta.get("pq_encoding", "plain") == "residual":
+            qc = q.withColumn(
+                "__qresid", residual_col(vec_col, "cell", offs)
+            ).select(
+                "cell",
+                F.col(query_id_col).alias("query_id"),
+                adc_lut_raw_expr("__qresid", books).alias("__lut"),
+            )
+        else:
+            qc = q.select(
+                "cell",
+                F.col(query_id_col).alias("query_id"),
+                _adc_lut_expr(vec_col, books).alias("__lut"),
+            )
+        scored = (
+            pruned.select("cell", "vid", "codes")
+            .join(qc, "cell")  # shuffle join keyed by cell
+            .withColumn(
+                "adc_dist",
+                F.expr(
+                    "aggregate(zip_with(__lut, codes, (l, c) -> l[c]),"
+                    " 0D, (a, v) -> a + v)"
+                ),
+            )
+        )
+        if exclude_self:
+            scored = scored.filter(F.col("vid") != F.col("query_id"))
+        w = Window.partitionBy("query_id").orderBy("adc_dist", "vid")
+        cand = (
+            scored.select("query_id", "vid", "adc_dist")
+            .distinct()
+            .withColumn("__r", F.row_number().over(w))
+            .filter(F.col("__r") <= shortlist)
+            .select("query_id", "vid")
+        )
+        # exact refine over shortlist rows only; both joins distributed
+        qv = with_norm(
+            qdf.select(query_id_col, vec_col), vec_col
+        ).select(
+            F.col(query_id_col).alias("query_id"),
+            F.col(vec_col).alias("__qv"),
+            F.col("norm").alias("__qn"),
+        )
+        refined = (
+            cand.join(pruned.select("vid", "vec", "norm"), "vid")
+            .join(qv, "query_id")
+            .withColumn(
+                "cosine", cosine_expr("__qv", "vec", "__qn", "norm")
+            )
+        )
+        w2 = Window.partitionBy("query_id").orderBy(
+            F.desc("cosine"), F.col("neighbor")
+        )
+        return (
+            refined.select(
+                "query_id", F.col("vid").alias("neighbor"), "cosine"
+            )
+            .distinct()
+            .withColumn("rank", F.row_number().over(w2))
+            .filter(F.col("rank") <= k)
+        )
+
+    _pass = _pass_codes if use_codes else _pass_exact
 
     res = _pass(queries, nprobe)
     if not ensure_k or nprobe >= meta["num_cells"]:

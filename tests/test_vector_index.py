@@ -1453,3 +1453,94 @@ def test_escalation_batch_size_guard(spark, tmp_path):
         vector_index_probe(
             spark, idx, big, k=2, nprobe=1, escalate=True,
         )
+
+
+def test_knn_join_adc_parity_with_probe(spark, tmp_path):
+    """use_codes=True on the bulk join: the compressed path (relational
+    per-(query,cell) LUTs, codes-only shuffle, shortlist + exact
+    refine) is bit-identical to vector_index_probe(use_codes=True) at
+    the same shortlist — on a PLAIN-encoded index, a RESIDUAL-encoded
+    index, and under a where predicate."""
+    import numpy as np
+
+    from etl_job_applify_spark.similarity import (
+        train_pq_codebooks,
+        vector_index_knn_join,
+    )
+
+    corpus = _meta_corpus(spark)
+    cents = np.asarray(_anchor_centroids(corpus))
+    books = train_pq_codebooks(corpus, m=4, k=4)
+    for enc in ("plain", "residual"):
+        idx = str(tmp_path / f"vxi_knnj_adc_{enc}")
+        vector_index_build(
+            corpus, idx, num_cells=4, m=4, k_codes=4,
+            centroids=cents, codebooks=books if enc == "plain" else None,
+            pq_encoding=enc, meta_cols=["lang"],
+        )
+        want = _res(vector_index_probe(
+            spark, idx, _queries(spark), k=5, nprobe=2,
+            use_codes=True, shortlist=8,
+        ))
+        got = _res(vector_index_knn_join(
+            spark, idx, _queries(spark), k=5, nprobe=2,
+            use_codes=True, shortlist=8,
+        ))
+        assert got == want, enc
+        want_f = _res(vector_index_probe(
+            spark, idx, _queries(spark), k=5, nprobe=2,
+            use_codes=True, shortlist=8, where="lang = 'en'",
+        ))
+        got_f = _res(vector_index_knn_join(
+            spark, idx, _queries(spark), k=5, nprobe=2,
+            use_codes=True, shortlist=8, where="lang = 'en'",
+        ))
+        assert got_f == want_f, enc
+
+
+def test_knn_join_adc_ensure_k_and_guards(spark, tmp_path):
+    """ADC bulk join composes with ensure_k (under-filled queries
+    re-run at full coverage through the SAME compressed pass), and a
+    codes-free index refuses use_codes with the probe's error."""
+    import pytest as _pytest
+
+    from etl_job_applify_spark.similarity import vector_index_knn_join
+
+    corpus = _meta_corpus(spark)
+    cents = _anchor_centroids(corpus)
+    idx = str(tmp_path / "vxi_knnj_adc_ek")
+    vector_index_build(
+        corpus, idx, num_cells=4, m=4, k_codes=4,
+        centroids=cents, meta_cols=["lang"],
+    )
+    # selective facet: nprobe=1 under-fills some queries at k=5
+    got = vector_index_knn_join(
+        spark, idx, _queries(spark), k=5, nprobe=1,
+        use_codes=True, shortlist=16, where="lang = 'fr'",
+        ensure_k=True,
+    )
+    per_q = {
+        r["query_id"]: r["n"]
+        for r in got.groupBy("query_id").agg(
+            F.count("*").alias("n")
+        ).collect()
+    }
+    assert per_q == {100: 5, 101: 5, 102: 5}
+    # full-coverage ADC equals the full-coverage probe (the maximal
+    # answer contract at nprobe = num_cells)
+    want_full = _res(vector_index_probe(
+        spark, idx, _queries(spark), k=5, nprobe=4,
+        use_codes=True, shortlist=16, where="lang = 'fr'",
+    ))
+    got_full = _res(vector_index_knn_join(
+        spark, idx, _queries(spark), k=5, nprobe=4,
+        use_codes=True, shortlist=16, where="lang = 'fr'",
+    ))
+    assert got_full == want_full
+
+    idx_plain = str(tmp_path / "vxi_knnj_nocodes")
+    vector_index_build(corpus, idx_plain, num_cells=4, centroids=cents)
+    with _pytest.raises(ValueError, match="no PQ codes"):
+        vector_index_knn_join(
+            spark, idx_plain, _queries(spark), k=5, use_codes=True
+        )
