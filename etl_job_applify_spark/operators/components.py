@@ -18,6 +18,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .iterate import fresh_local_checkpoint
+
 
 def connected_components(
     edges: DataFrame,
@@ -38,7 +40,7 @@ def connected_components(
         sym.select(F.col("u").alias("node"))
         .distinct()
         .withColumn("component", F.col("node"))
-        .localCheckpoint(eager=True)
+        .transform(fresh_local_checkpoint)
     )
     # max_iter label-changing rounds + one confirming round: a graph whose
     # labels settle exactly on round max_iter is converged, and only the
@@ -57,7 +59,7 @@ def connected_components(
                     F.col("component"), F.coalesce("nmin", F.col("component"))
                 ).alias("component"),
             )
-            .localCheckpoint(eager=True)
+            .transform(fresh_local_checkpoint)
         )
         changed = (
             new_labels.alias("n")

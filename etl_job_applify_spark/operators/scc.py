@@ -60,6 +60,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .iterate import fresh_local_checkpoint
+
 
 def _reach_parts(
     pe: DataFrame, seeds: DataFrame, max_rounds: int, direction: str
@@ -69,7 +71,7 @@ def _reach_parts(
     within-part edge relation (part, u, v), ``seeds`` is (part, node).
     Raises when ``max_rounds`` is exhausted with a non-empty frontier —
     a partial reach would silently split an SCC."""
-    seen = seeds.select("part", "node").localCheckpoint(eager=True)
+    seen = seeds.select("part", "node").transform(fresh_local_checkpoint)
     frontier = seen
     for _ in range(max_rounds):
         nxt = (
@@ -79,11 +81,11 @@ def _reach_parts(
             .select("part", F.col("v").alias("node"))
             .distinct()
             .join(seen, ["part", "node"], "left_anti")
-            .localCheckpoint(eager=True)
+            .transform(fresh_local_checkpoint)
         )
         if nxt.isEmpty():
             return seen
-        seen = seen.unionByName(nxt).localCheckpoint(eager=True)
+        seen = seen.unionByName(nxt).transform(fresh_local_checkpoint)
         frontier = nxt
     raise RuntimeError(
         f"SCC {direction} reachability did not converge within "
@@ -112,14 +114,14 @@ def strongly_connected_components(
     """
     e = edges.select(
         F.col(src).alias("u"), F.col(dst).alias("v")
-    ).distinct().localCheckpoint(eager=True)
+    ).distinct().transform(fresh_local_checkpoint)
     from .components import connected_components
 
     # 0. partition init: WCC labels (min member) — no SCC spans WCCs
     parts = (
         connected_components(e, src="u", dst="v", max_iter=max_wcc_iter)
         .select("node", F.col("component").alias("part"))
-        .localCheckpoint(eager=True)
+        .transform(fresh_local_checkpoint)
     )
     done: list[DataFrame] = []
     for _ in range(max_phases):
@@ -142,7 +144,7 @@ def strongly_connected_components(
             )
             .filter(F.col("pu") == F.col("pv"))
             .select(F.col("pu").alias("part"), "u", "v")
-            .localCheckpoint(eager=True)
+            .transform(fresh_local_checkpoint)
         )
         # 1. TRIM to fixpoint: no in- or no out-edge within the part
         while True:
@@ -152,7 +154,7 @@ def strongly_connected_components(
                 parts.join(has_out, ["part", "node"], "left_anti")
                 .union(parts.join(has_in, ["part", "node"], "left_anti"))
                 .distinct()
-                .localCheckpoint(eager=True)
+                .transform(fresh_local_checkpoint)
             )
             if trivial.isEmpty():
                 break
@@ -161,7 +163,7 @@ def strongly_connected_components(
             )
             parts = parts.join(
                 trivial.select("node"), "node", "left_anti"
-            ).localCheckpoint(eager=True)
+            ).transform(fresh_local_checkpoint)
             pe = (
                 pe.join(
                     trivial.select(F.col("node").alias("u")),
@@ -173,7 +175,7 @@ def strongly_connected_components(
                     "v",
                     "left_anti",
                 )
-                .localCheckpoint(eager=True)
+                .transform(fresh_local_checkpoint)
             )
         if parts.isEmpty():
             break
@@ -182,7 +184,7 @@ def strongly_connected_components(
         pivots = parts.groupBy("part").agg(
             F.min_by("node", F.md5(F.col("node").cast("string")))
             .alias("node")
-        ).localCheckpoint(eager=True)
+        ).transform(fresh_local_checkpoint)
         fwd = _reach_parts(pe, pivots, max_bfs_rounds, "forward")
         bwd = _reach_parts(
             pe.select("part", F.col("v").alias("u"), F.col("u").alias("v")),
@@ -192,7 +194,7 @@ def strongly_connected_components(
         )
         comp = fwd.join(
             bwd, ["part", "node"], "semi"
-        ).localCheckpoint(eager=True)
+        ).transform(fresh_local_checkpoint)
         # scc label = min member of the peeled component (the pivot is
         # hash-chosen, so it is NOT necessarily the min)
         comp_min = comp.groupBy("part").agg(F.min("node").alias("scc"))
@@ -222,7 +224,7 @@ def strongly_connected_components(
         parts = (
             tagged.join(relab, ["part", "side"])
             .select("node", F.col("new_part").alias("part"))
-            .localCheckpoint(eager=True)
+            .transform(fresh_local_checkpoint)
         )
     else:
         if not parts.isEmpty():

@@ -800,3 +800,106 @@ def test_scc_bfs_budget_exhaustion_raises(spark):
         ).collect()
     }
     assert got == {(i, 0) for i in range(n)}
+
+
+def _sssp_graph(spark):
+    # 1->2 (10), 1->3 (1), 3->4 (1), 4->2 (1): cheapest 1->2 is 3 via
+    # three legs; plus 2->5 (1) to give the cascade a downstream node
+    return spark.createDataFrame(
+        [(1, 2, 10), (1, 3, 1), (3, 4, 1), (4, 2, 1), (2, 5, 1)],
+        "src long, dst long, w long",
+    )
+
+
+def test_sssp_profile_levels_match_weighted_sssp(spark):
+    """sssp_profile: every h level equals weighted_sssp at that
+    horizon — the profile IS the per-round Bellman-Ford trajectory."""
+    from etl_job_applify_spark.operators.paths import (
+        sssp_profile,
+        weighted_sssp,
+    )
+
+    edges = _sssp_graph(spark)
+    source = spark.createDataFrame([(1,)], "node long")
+    prof = sssp_profile(edges, source, horizon=4)
+    for h in range(5):
+        level = {
+            r["node"]: r["cost"]
+            for r in prof.filter(F.col("h") == h).collect()
+        }
+        want = {
+            r["node"]: r["cost"]
+            for r in weighted_sssp(edges, source, max_rounds=h).collect()
+        }
+        assert level == want, h
+
+
+def test_sssp_profile_update_equals_recompute(spark):
+    """Incremental maintenance: updating the old-edge profile with a
+    batch of new edges is bit-identical to recomputing the profile
+    over the union — including a new cheap lane that SHORTENS existing
+    costs and cascades downstream, and a no-op batch."""
+    from etl_job_applify_spark.operators.paths import (
+        sssp_profile,
+        sssp_profile_update,
+    )
+
+    all_edges = _sssp_graph(spark)
+    # batch 2 carries the cheap detour (3->4, 4->2) that rewrites the
+    # 1->2 cost from 10 to 3 and cascades to 5
+    old = all_edges.filter(~F.expr("(src = 3) or (src = 4)"))
+    new = all_edges.filter(F.expr("(src = 3) or (src = 4)"))
+    source = spark.createDataFrame([(1,)], "node long")
+    base = sssp_profile(old, source, horizon=4)
+    got = sssp_profile_update(all_edges, new, base, source, horizon=4)
+    want = sssp_profile(all_edges, source, horizon=4)
+    as_set = lambda df: {tuple(r) for r in df.collect()}  # noqa: E731
+    assert as_set(got) == as_set(want)
+    # no-op batch: re-delivering already-known edges changes nothing
+    again = sssp_profile_update(
+        all_edges, new, got, source, horizon=4
+    )
+    assert as_set(again) == as_set(want)
+
+
+def test_streaming_sssp_batch_parity(spark, tmp_path):
+    """run_sssp_stream over time-split edge batches: the persisted
+    profile head equals the one-shot batch kernel over the full edge
+    set — streamed incremental ≡ batch, the q223 property extended to
+    weighted paths."""
+    import time
+
+    from etl_job_applify_spark.operators.paths import weighted_sssp
+    from etl_job_applify_spark.sinks.versioned import read_table
+    from etl_job_applify_spark.streaming import run_sssp_stream
+
+    src_dir = tmp_path / "src"
+    src_dir.mkdir()
+    state = str(tmp_path / "state")
+    all_edges = _sssp_graph(spark)
+    all_edges.filter(~F.expr("(src = 3) or (src = 4)")).coalesce(
+        1
+    ).write.parquet(str(src_dir / "b0.parquet"))
+    time.sleep(1.1)
+    all_edges.filter(F.expr("(src = 3) or (src = 4)")).coalesce(
+        1
+    ).write.parquet(str(src_dir / "b1.parquet"))
+
+    stream = (
+        spark.readStream.schema("src long, dst long, w long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src_dir) + "/*.parquet")
+    )
+    run_sssp_stream(stream, state, source_nodes=[1], horizon=4)
+
+    prof = read_table(spark, state + "/profile")
+    got = {
+        r["node"]: r["cost"]
+        for r in prof.filter(F.col("h") == 4).collect()
+    }
+    source = spark.createDataFrame([(1,)], "node long")
+    want = {
+        r["node"]: r["cost"]
+        for r in weighted_sssp(all_edges, source, max_rounds=4).collect()
+    }
+    assert got == want == {1: 0, 2: 3, 3: 1, 4: 2, 5: 4}
