@@ -37,7 +37,9 @@ from pyspark.sql import functions as F
 
 
 def _local_checkpoint(df: DataFrame) -> DataFrame:
-    return df.localCheckpoint()
+    from .iterate import fresh_local_checkpoint
+
+    return fresh_local_checkpoint(df)
 
 
 def undirect(edges: DataFrame, a: str = "a", b: str = "b") -> DataFrame:
@@ -212,3 +214,144 @@ def weighted_sssp(
             .agg(F.min("cost").alias("cost"))
         )
     return dist
+
+
+def sssp_profile(
+    edges: DataFrame,
+    source: DataFrame,
+    horizon: int,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "w",
+    materialize: Callable[[DataFrame], DataFrame] = _local_checkpoint,
+) -> DataFrame:
+    """The horizon PROFILE of ``weighted_sssp``: (node, h, cost) with
+    ``cost`` = min total weight over directed paths of at most ``h``
+    edges from the seed set, for EVERY h in 0..``horizon`` — one level
+    per Bellman-Ford round, no early stop (converged levels repeat, so
+    every level is present and exact). The h=``horizon`` slice equals
+    ``weighted_sssp(edges, source, horizon)``.
+
+    The profile is what makes the bounded-horizon semantics
+    INCREMENTALLY maintainable under a growing edge set
+    (``sssp_profile_update``): dist_h depends only on dist_{h-1} and
+    the edges, so a new edge's effect cascades level by level from
+    exactly the entries it improves — the state a streaming SSSP keeps
+    (``streaming/jobs.py run_sssp_stream``)."""
+    e = edges.select(
+        F.col(src).alias("u"), F.col(dst).alias("v"),
+        F.col(weight).alias("w"),
+    )
+    cur = materialize(
+        source.select(F.col("node")).distinct().withColumn(
+            "cost", F.lit(0).cast("bigint")
+        )
+    )
+    levels = [cur.withColumn("h", F.lit(0).cast("int"))]
+    for h in range(1, horizon + 1):
+        relaxed = (
+            e.join(cur, e.u == cur.node)
+            .select(
+                F.col("v").alias("node"),
+                (F.col("cost") + F.col("w")).alias("cost"),
+            )
+        )
+        cur = materialize(
+            cur.unionByName(relaxed)
+            .groupBy("node")
+            .agg(F.min("cost").alias("cost"))
+        )
+        levels.append(cur.withColumn("h", F.lit(h).cast("int")))
+    out = levels[0]
+    for lv in levels[1:]:
+        out = out.unionByName(lv)
+    return out.select("node", "h", "cost")
+
+
+def sssp_profile_update(
+    all_edges: DataFrame,
+    new_edges: DataFrame,
+    profile: DataFrame,
+    source: DataFrame,
+    horizon: int,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "w",
+    materialize: Callable[[DataFrame], DataFrame] = _local_checkpoint,
+) -> DataFrame:
+    """EXACT incremental maintenance of ``sssp_profile`` under edge
+    arrivals: given the stored profile over the OLD edge set and the
+    batch of ``new_edges`` (``all_edges`` = old ∪ new), produce the
+    profile over ``all_edges`` — bit-identical to recomputing
+    ``sssp_profile(all_edges, source, horizon)`` from scratch (pinned
+    by tests), but each level relaxes only
+
+    - the stored level h-1 against the NEW edges (the batch's direct
+      effect), and
+    - the IMPROVED h-1 entries (new < stored, or newly reachable)
+      against ALL edges (the cascade),
+
+    never the full stored level against the full old edge set — whose
+    result the stored level h already contains by the Bellman-Ford
+    recurrence. Work per level is proportional to the improvement
+    frontier, so a batch that changes nothing costs ``horizon`` empty
+    joins, and a batch of new cheap lanes re-relaxes only the paths
+    they actually shorten — the 100 TB property (re-running the full
+    Bellman-Ford per micro-batch would scan every edge every round).
+
+    Duplicate edges in ``new_edges`` (already in the old set) are
+    harmless: their relaxations reproduce stored costs and improve
+    nothing. Seeds are fixed; ``source`` must be the founding seed
+    relation."""
+    e_all = all_edges.select(
+        F.col(src).alias("u"), F.col(dst).alias("v"),
+        F.col(weight).alias("w"),
+    )
+    e_new = new_edges.select(
+        F.col(src).alias("u"), F.col(dst).alias("v"),
+        F.col(weight).alias("w"),
+    )
+    cur = materialize(
+        source.select(F.col("node")).distinct().withColumn(
+            "cost", F.lit(0).cast("bigint")
+        )
+    )
+    # h=0 never changes (seeds are fixed); improvements start empty
+    improved = cur.filter(F.lit(False))
+    levels = [cur.withColumn("h", F.lit(0).cast("int"))]
+    for h in range(1, horizon + 1):
+        stored_h = profile.filter(F.col("h") == h).select("node", "cost")
+        stored_prev = profile.filter(F.col("h") == h - 1).select(
+            "node", "cost"
+        )
+        cand_new = (
+            e_new.join(stored_prev, e_new.u == stored_prev.node)
+            .select(
+                F.col("v").alias("node"),
+                (F.col("cost") + F.col("w")).alias("cost"),
+            )
+        )
+        cand_cascade = (
+            e_all.join(improved, e_all.u == improved.node)
+            .select(
+                F.col("v").alias("node"),
+                (F.col("cost") + F.col("w")).alias("cost"),
+            )
+        )
+        cur = materialize(
+            stored_h.unionByName(improved)
+            .unionByName(cand_new)
+            .unionByName(cand_cascade)
+            .groupBy("node")
+            .agg(F.min("cost").alias("cost"))
+        )
+        improved = cur.join(
+            stored_h.withColumnRenamed("cost", "__old"), "node", "left"
+        ).filter(
+            F.col("__old").isNull() | (F.col("cost") < F.col("__old"))
+        ).select("node", "cost")
+        levels.append(cur.withColumn("h", F.lit(h).cast("int")))
+    out = levels[0]
+    for lv in levels[1:]:
+        out = out.unionByName(lv)
+    return out.select("node", "h", "cost")

@@ -391,9 +391,10 @@ ORACLE["q249_scc_trade_graph"] = _Q249_SQL
 _Q250_H = 6
 
 
-def q250_weighted_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.paths import weighted_sssp
-
+def _trade_wedges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The thresholded weighted trade-lane edges shared by q250/q252:
+    (src, dst, w) with w = 1000000000 div cnt — pure integer arithmetic
+    so the edge set and costs are identical in both engines."""
     li = tbl(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     o = tbl(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     cu = tbl(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
@@ -425,6 +426,13 @@ def q250_weighted_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .coalesce(1)
     )
+    return edges
+
+
+def q250_weighted_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.paths import weighted_sssp
+
+    edges = _trade_wedges(spark, sf_dir)
     # source = min src in the edge relation: derived, so it exists (and
     # has out-edges) at every SF — no fixture-dependent literal
     source = edges.agg(F.min("src").cast("bigint").alias("node"))
@@ -512,4 +520,39 @@ FROM d6
 """
 
 QUERIES["q250_weighted_sssp"] = q250_weighted_sssp
+
+
+# --- q252: INCREMENTAL bounded-horizon SSSP ≡ one-shot ---------------------
+# q250's exact semantics maintained incrementally (operators/paths.py
+# sssp_profile / sssp_profile_update — the kernel behind
+# streaming/jobs.py run_sssp_stream): the trade lanes are time-split by
+# a deterministic predicate ((src + dst) % 2, the "lanes discovered
+# later" batch), the profile is founded on the first half and UPDATED
+# with the second, and the h=H slice must equal q250's uninterrupted
+# answer — the oracle IS q250's SQL, so the gate proves
+# incremental ≡ one-shot bit-for-bit (the q223 resume property
+# extended to weighted paths). The update relaxes only the new lanes
+# and the improvement cascade, never the full edge set per level.
+
+def q252_incremental_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.paths import sssp_profile, sssp_profile_update
+
+    edges = _trade_wedges(spark, sf_dir).localCheckpoint()
+    first = edges.filter((F.col("src") + F.col("dst")) % 2 == 0)
+    second = edges.filter((F.col("src") + F.col("dst")) % 2 == 1)
+    # the SAME source as q250: min src over the FULL lane set (the
+    # founding seed contract — seeds are fixed across batches)
+    source = edges.agg(F.min("src").cast("bigint").alias("node"))
+    base = sssp_profile(first, source, horizon=_Q250_H)
+    prof = sssp_profile_update(
+        edges, second, base, source, horizon=_Q250_H
+    )
+    return prof.filter(F.col("h") == _Q250_H).select(
+        F.col("node").cast("bigint").alias("node"),
+        F.col("cost").cast("bigint").alias("cost"),
+    )
 ORACLE["q250_weighted_sssp"] = _Q250_SQL
+
+QUERIES["q252_incremental_sssp"] = q252_incremental_sssp
+# incremental ≡ one-shot: the oracle is q250's uninterrupted SQL
+ORACLE["q252_incremental_sssp"] = _Q250_SQL

@@ -899,6 +899,86 @@ def run_text_index_ingest_stream(
         q.stop()
 
 
+def run_sssp_stream(
+    edges_stream: DataFrame,
+    state_dir: str,
+    source_nodes: list[int],
+    horizon: int,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "w",
+    writer_id: str = "sssp",
+) -> None:
+    """Streaming bounded-horizon weighted SSSP — the resumable-iteration
+    family (q223) extended to weighted paths: every micro-batch of new
+    DIRECTED weighted edges folds into a persisted edge set AND a
+    persisted horizon profile (``operators/paths.py sssp_profile``),
+    so after each epoch ``<state_dir>/profile`` holds the EXACT
+    ``sssp_profile(all edges so far, source, horizon)`` — "cheapest
+    route within at most H legs" maintained incrementally as lanes
+    appear (batch parity is test-pinned).
+
+    Both folds go through the epoch-fenced CAS skeleton
+    (``_fold_with_fence``): a redelivered batch skips per table, and a
+    crash BETWEEN the edge fold and the profile fold replays to the
+    crash-free state (the profile merge is a deterministic function of
+    the already-committed edge head + the batch). The profile update
+    is the INCREMENTAL kernel (``sssp_profile_update``): per level it
+    relaxes only the stored level against the batch's new edges plus
+    the improvement frontier against all edges — a batch that shortens
+    nothing costs ``horizon`` empty joins, never a full Bellman-Ford
+    re-run.
+
+    ``source_nodes``: the fixed seed set (control-plane literals — the
+    founding contract; seeds entering later would need a profile
+    refound). Read the result with ``read_table(spark,
+    state_dir + "/profile")``; the ``h == horizon`` slice is the
+    distance relation."""
+    import os
+
+    from ..operators.paths import sssp_profile, sssp_profile_update
+    from ..sinks.versioned import read_table
+
+    edges_path = os.path.join(state_dir, "edges")
+    profile_path = os.path.join(state_dir, "profile")
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        batch = batch_df.select(src, dst, weight)
+        source = spark.createDataFrame(
+            [(int(n),) for n in source_nodes], "node bigint"
+        )
+        _fold_with_fence(
+            spark, edges_path, writer_id + "_edges", epoch_id,
+            lambda base: (
+                batch
+                if base is None
+                else base.unionByName(batch).distinct()
+            ),
+        )
+        all_edges = read_table(spark, edges_path)
+
+        def merge(base_profile: DataFrame | None) -> DataFrame:
+            if base_profile is None:
+                return sssp_profile(
+                    all_edges, source, horizon, src, dst, weight
+                )
+            return sssp_profile_update(
+                all_edges, batch, base_profile, source, horizon,
+                src, dst, weight,
+            )
+
+        _fold_with_fence(spark, profile_path, writer_id, epoch_id, merge)
+
+    q = edges_stream.writeStream.foreachBatch(sink).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+
 def run_cms_sketch_stream(
     items_stream: DataFrame,
     sketch_dir: str,
