@@ -40,6 +40,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ._util import tbl
+from ..operators.iterate import fresh_local_checkpoint
 
 
 def _view(spark: SparkSession, sf_dir: str, *names: str) -> None:
@@ -726,7 +727,7 @@ def q193_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         edges = (
             edges.join(keep.withColumnRenamed("v", "a"), "a", "left_semi")
             .join(keep.withColumnRenamed("v", "b"), "b", "left_semi")
-        ).localCheckpoint()
+        ).transform(fresh_local_checkpoint)  # loop-carried: reset stats
         sizes.append(keep.count())
     return spark.createDataFrame(
         [(sizes[-1], edges.count(), bool(sizes[-2] == sizes[-1]))],
@@ -818,7 +819,7 @@ def q197_coreness(spark: SparkSession, sf_dir: str) -> DataFrame:
                 edges.join(
                     keep.withColumnRenamed("v", "a"), "a", "left_semi"
                 ).join(keep.withColumnRenamed("v", "b"), "b", "left_semi")
-            ).localCheckpoint()
+            ).transform(fresh_local_checkpoint)  # loop-carried
             size, n_nxt = keep.count(), nxt.count()
             # fixed point: peeling is monotone, so an unchanged edge
             # count means an unchanged edge SET and every remaining
@@ -1075,7 +1076,9 @@ def q201_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).alias("authority")
             )
         )
-        auth = _l1_normalize(auth, "authority").localCheckpoint()
+        auth = _l1_normalize(auth, "authority").transform(
+            fresh_local_checkpoint
+        )
         hub = (
             nodes.alias("nd")
             .join(edges.alias("e"), F.col("e.src") == F.col("nd.node"), "left")
@@ -1095,7 +1098,9 @@ def q201_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).alias("hub")
             )
         )
-        hub = _l1_normalize(hub, "hub").localCheckpoint()
+        hub = _l1_normalize(hub, "hub").transform(
+            fresh_local_checkpoint
+        )
     # reported scores ROUND(•, 9): the raw-sum magnitudes cross 2^53 at
     # scale 15, where the engines' double<->DECIMAL conversions drift a
     # final ulp (the q181/q129 precedent) — rounding the REPORTED values

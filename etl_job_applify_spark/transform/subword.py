@@ -18,6 +18,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..operators.iterate import fresh_local_checkpoint
+
 
 def bpe_merge_round(seq: DataFrame, s1: str, s2: str) -> DataFrame:
     """Apply one greedy left-to-right merge of (s1, s2) to a
@@ -196,7 +198,7 @@ def learn_bpe(
         )
         seq = bpe_merge_batch(
             seq, [(a, b) for a, b, _ in picked]
-        ).localCheckpoint()
+        ).transform(fresh_local_checkpoint)  # loop-carried: reset stats
         tokens_after = int(seq.agg(F.sum("f")).collect()[0][0])
         merges.extend((r, a, b, c, tokens_after) for a, b, c in picked)
     return merges, seq
