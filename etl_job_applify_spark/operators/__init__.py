@@ -3,7 +3,7 @@ from .asof import asof_join
 from .sessionize import sessionize
 from .range_join import range_join
 from .scd2 import scd2_apply, scd2_intervals
-from .components import connected_components
+from .components import cc_update, connected_components
 from .scc import strongly_connected_components
 from .salting import (
     differential_salted_join,
@@ -26,6 +26,7 @@ __all__ = [
     "range_join",
     "scd2_apply",
     "scd2_intervals",
+    "cc_update",
     "connected_components",
     "strongly_connected_components",
     "salted_agg_sum",

@@ -79,3 +79,96 @@ def connected_components(
                 f"rounds ({changed} labels still changing)"
             )
     return labels
+
+
+def cc_update(
+    all_edges: DataFrame,
+    new_edges: DataFrame,
+    labels: DataFrame,
+    src: str = "a",
+    dst: str = "b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """EXACT incremental maintenance of ``connected_components`` under
+    edge arrivals: given the stored (node, component) labels over the
+    OLD edge set (component = min member) and the batch of
+    ``new_edges`` (``all_edges`` = old ∪ new), produce the labels over
+    ``all_edges`` — bit-identical to recomputing from scratch (pinned
+    by tests), but the propagation starts from exactly the
+    improvements the new edges induce and each round relaxes only the
+    CHANGED frontier against the full edge set (min-label propagation
+    is monotone, so frontier-only relaxation reaches the same
+    fixpoint). A batch that merges nothing costs one empty round; a
+    batch that merges two clusters costs O(merged-cluster diameter)
+    rounds over the improvement frontier — never a full re-propagation
+    of every label. This is the dedup-clustering steady state: the
+    near-dup PAIRS a streaming dedup emits arrive in batches, and the
+    canonical-id clusters must follow without recomputing history
+    (``streaming/jobs.py run_components_stream``).
+
+    Duplicate edges in ``new_edges`` are harmless (their candidates
+    reproduce stored labels). Raises on non-convergence within
+    ``max_iter`` rounds, like the from-scratch kernel."""
+    sym_all = (
+        all_edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .union(
+            all_edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
+        )
+        .distinct()
+        .transform(fresh_local_checkpoint)
+    )
+    sym_new = new_edges.select(
+        F.col(src).alias("u"), F.col(dst).alias("v")
+    ).union(
+        new_edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
+    )
+    # nodes the batch introduces start as their own component
+    fresh_nodes = (
+        sym_new.select(F.col("u").alias("node"))
+        .distinct()
+        .join(labels, "node", "left_anti")
+        .withColumn("component", F.col("node"))
+    )
+    lab = labels.unionByName(fresh_nodes).transform(
+        fresh_local_checkpoint
+    )
+    # round-0 candidates: neighbor labels across the NEW edges only
+    cand = sym_new.join(
+        lab.select(
+            F.col("node").alias("v"), F.col("component").alias("ncomp")
+        ),
+        "v",
+    ).select(F.col("u").alias("node"), "ncomp")
+    for _ in range(max_iter + 1):
+        upd = cand.groupBy("node").agg(F.min("ncomp").alias("cand"))
+        improved = (
+            upd.join(lab, "node")
+            .filter(F.col("cand") < F.col("component"))
+            .select("node", F.col("cand").alias("component"))
+            .transform(fresh_local_checkpoint)
+        )
+        if improved.isEmpty():
+            return lab
+        lab = (
+            lab.join(
+                improved.withColumnRenamed("component", "__new"),
+                "node",
+                "left",
+            )
+            .select(
+                "node",
+                F.coalesce("__new", "component").alias("component"),
+            )
+            .transform(fresh_local_checkpoint)
+        )
+        # improvements propagate across ALL edges next round
+        cand = sym_all.join(
+            improved.select(
+                F.col("node").alias("u"),
+                F.col("component").alias("ncomp"),
+            ),
+            "u",
+        ).select(F.col("v").alias("node"), "ncomp")
+    raise RuntimeError(
+        f"cc_update did not converge within {max_iter} rounds"
+    )

@@ -211,6 +211,33 @@ ORDER BY lang
 """
 
 
+# --- q253: INCREMENTAL dedup clustering ≡ one-shot ------------------------
+# q60's exact semantics maintained incrementally (operators/components
+# cc_update — the kernel behind streaming/jobs.py
+# run_components_stream): the near-dup pairs are time-split by a
+# deterministic predicate (the "pairs found later" batch), labels are
+# founded on the first half and UPDATED with the second, and the
+# result must equal q60's uninterrupted answer — the oracle IS q60's
+# SQL, so the gate proves incremental ≡ one-shot bit-for-bit. The
+# update relaxes only the improvement frontier the new pairs induce,
+# never the full label table per round — the dedup-cluster steady
+# state (pairs stream in; canonical ids follow without recompute).
+
+def q253_incremental_components(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators.components import cc_update
+
+    docs = tbl(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, threshold=0.5).select(
+        "a", "b"
+    ).localCheckpoint()
+    first = pairs.filter((F.col("a") + F.col("b")) % 2 == 0)
+    second = pairs.filter((F.col("a") + F.col("b")) % 2 == 1)
+    base = connected_components(first)
+    return cc_update(pairs, second, base).orderBy("node")
+
+
 QUERIES = {
     "q57_pandas_udaf": q57_pandas_udaf,
     "q58_posexplode_tokens": q58_posexplode_tokens,
@@ -218,6 +245,7 @@ QUERIES = {
     "q60_dedup_components": q60_dedup_components,
     "q61_stratified_sample": q61_stratified_sample,
     "q62_bpe_tokens": q62_bpe_tokens,
+    "q253_incremental_components": q253_incremental_components,
 }
 
 ORACLE = {
@@ -227,6 +255,8 @@ ORACLE = {
     "q60_dedup_components": _Q60_SQL,
     "q61_stratified_sample": _Q61_SQL,
     "q62_bpe_tokens": _Q62_SQL,
+    # incremental ≡ one-shot: the oracle is q60's uninterrupted SQL
+    "q253_incremental_components": _Q60_SQL,
 }
 
 

@@ -979,6 +979,71 @@ def run_sssp_stream(
         q.stop()
 
 
+def run_components_stream(
+    pairs_stream: DataFrame,
+    state_dir: str,
+    src: str = "a",
+    dst: str = "b",
+    max_iter: int = 25,
+    writer_id: str = "cc",
+) -> None:
+    """Streaming connected-components maintenance — the CLUSTER side of
+    the dedup steady state: ``run_incremental_dedup_stream`` emits
+    near-dup PAIRS per micro-batch; this job folds those pairs into a
+    persisted edge set and a persisted (node, component) label table
+    (component = min member, the canonical-doc id), so after every
+    epoch ``<state_dir>/labels`` is EXACTLY
+    ``connected_components(all pairs so far)`` — without ever
+    re-propagating history (``operators/components.py cc_update``
+    relaxes only the improvement frontier the batch induces).
+
+    Both folds ride the epoch-fenced CAS skeleton (``_fold_with_fence``
+    — the ``run_sssp_stream`` contract): redelivered batches skip per
+    table, and a crash between the folds replays to the crash-free
+    state. Read the result with ``read_table(spark,
+    state_dir + "/labels")``; batch parity is test-pinned."""
+    import os
+
+    from ..operators.components import cc_update, connected_components
+    from ..sinks.versioned import read_table
+
+    edges_path = os.path.join(state_dir, "edges")
+    labels_path = os.path.join(state_dir, "labels")
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        batch = batch_df.select(src, dst)
+        _fold_with_fence(
+            spark, edges_path, writer_id + "_edges", epoch_id,
+            lambda base: (
+                batch
+                if base is None
+                else base.unionByName(batch).distinct()
+            ),
+        )
+        all_edges = read_table(spark, edges_path)
+
+        def merge(base_labels: DataFrame | None) -> DataFrame:
+            if base_labels is None:
+                return connected_components(
+                    all_edges, src=src, dst=dst, max_iter=max_iter
+                )
+            return cc_update(
+                all_edges, batch, base_labels, src=src, dst=dst,
+                max_iter=max_iter,
+            )
+
+        _fold_with_fence(spark, labels_path, writer_id, epoch_id, merge)
+
+    q = pairs_stream.writeStream.foreachBatch(sink).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+
 def run_cms_sketch_stream(
     items_stream: DataFrame,
     sketch_dir: str,

@@ -386,3 +386,74 @@ def test_triangle_methods_agree(spark):
 
     with pytest.raises(ValueError, match="unknown method"):
         triangle_stats(pairs, method="bloom")
+
+
+def test_cc_update_equals_recompute(spark):
+    """Incremental CC maintenance: updating old-edge labels with a
+    batch of new edges is bit-identical to recomputing from scratch —
+    including a bridge batch that MERGES two existing clusters (the
+    min label must flood the higher-labeled cluster), a brand-new
+    node, and a no-op redelivery."""
+    from etl_job_applify_spark.operators.components import (
+        cc_update,
+        connected_components,
+    )
+
+    old = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (11, 12), (20, 21)],
+        "a long, b long",
+    )
+    # bridge 3-10 merges {1,2,3} with {10,11,12}; 30-31 adds new nodes
+    new = spark.createDataFrame([(3, 10), (30, 31)], "a long, b long")
+    alle = old.unionByName(new)
+    base = connected_components(old)
+    got = {tuple(r) for r in cc_update(alle, new, base).collect()}
+    want = {tuple(r) for r in connected_components(alle).collect()}
+    assert got == want
+    assert (12, 1) in got  # the flood reached the far end
+    # no-op redelivery: same batch again changes nothing
+    relabeled = spark.createDataFrame(sorted(got), "node long, component long")
+    again = {tuple(r) for r in cc_update(alle, new, relabeled).collect()}
+    assert again == want
+
+
+def test_streaming_components_batch_parity(spark, tmp_path):
+    """run_components_stream over time-split pair batches: the
+    persisted label head equals the one-shot kernel over all pairs —
+    the dedup-cluster steady state (pairs stream in, canonical ids
+    follow)."""
+    import time
+
+    from etl_job_applify_spark.operators.components import (
+        connected_components,
+    )
+    from etl_job_applify_spark.sinks.versioned import read_table
+    from etl_job_applify_spark.streaming import run_components_stream
+
+    src_dir = tmp_path / "src"
+    src_dir.mkdir()
+    state = str(tmp_path / "state")
+    spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "a long, b long"
+    ).coalesce(1).write.parquet(str(src_dir / "b0.parquet"))
+    time.sleep(1.1)
+    spark.createDataFrame(
+        [(3, 10), (20, 21)], "a long, b long"
+    ).coalesce(1).write.parquet(str(src_dir / "b1.parquet"))
+
+    stream = (
+        spark.readStream.schema("a long, b long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src_dir) + "/*.parquet")
+    )
+    run_components_stream(stream, state)
+
+    got = {
+        tuple(r) for r in read_table(spark, state + "/labels").collect()
+    }
+    allp = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (3, 10), (20, 21)], "a long, b long"
+    )
+    want = {tuple(r) for r in connected_components(allp).collect()}
+    assert got == want
+    assert (11, 1) in got
