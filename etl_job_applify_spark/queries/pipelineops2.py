@@ -859,3 +859,67 @@ JOIN canon ON canon.component = c.component
 
 QUERIES["q228_split_repair"] = q228_split_repair
 ORACLE["q228_split_repair"] = _Q228_SQL
+
+
+# --- q254: sequence packing (concat-and-chunk for the trainer) -------------
+# The batching step between curation and training: documents
+# concatenate in doc_id order and the token stream is cut every 2048
+# tokens (transform/packing.py — the standard zero-padding "concat
+# then chunk"). The Spark kernel computes the global exclusive prefix
+# sum WITHOUT a single-task global window (bucketed two-pass cumsum:
+# per-bucket offsets through one #buckets-row window, per-row finish
+# partitioned by bucket); the oracle replays the packing with a plain
+# global window — identical integer arithmetic, so the per-sequence
+# roll-up (docs per sequence + boundary straddlers, the
+# attention-mask breakpoints) pins bit-for-bit.
+
+_Q254_CAP = 2048
+
+
+def q254_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..transform.packing import pack_sequences, packed_sequence_stats
+
+    docs = tbl(spark, sf_dir, "documents")
+    spans = pack_sequences(docs, capacity=_Q254_CAP)
+    return packed_sequence_stats(spans).select(
+        F.col("seq").cast("bigint").alias("seq"),
+        "n_docs",
+        "n_boundary_docs",
+    )
+
+
+_Q254_SQL = f"""
+WITH d AS (
+  SELECT doc_id,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+off AS (
+  SELECT doc_id, n_tokens,
+         CAST(COALESCE(SUM(n_tokens) OVER (
+           ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         AS BIGINT) AS start_off
+  FROM d
+),
+spans AS (
+  SELECT doc_id, n_tokens,
+         CAST(start_off // {_Q254_CAP} AS BIGINT) AS start_seq,
+         CAST(GREATEST(start_off, start_off + n_tokens - 1)
+              // {_Q254_CAP} AS BIGINT) AS end_seq
+  FROM off
+)
+SELECT seq,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN end_seq > start_seq THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_boundary_docs
+FROM (
+  SELECT unnest(range(start_seq, end_seq + 1)) AS seq,
+         start_seq, end_seq
+  FROM spans
+)
+GROUP BY seq
+"""
+
+QUERIES["q254_sequence_packing"] = q254_sequence_packing
+ORACLE["q254_sequence_packing"] = _Q254_SQL

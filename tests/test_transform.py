@@ -257,3 +257,59 @@ def test_explode_to_child_positions_and_empty_parents(spark):
     child = explode_to_child(df, "items", ["id"])
     rows = {(r["id"], r["pos"]): r["element_v"] for r in child.collect()}
     assert rows == {(1, 0): 10, (1, 1): 20, (2, None): None}
+
+
+def test_bucketed_cumsum_matches_global_window(spark):
+    """The two-pass bucketed prefix sum (no single-task global window)
+    must equal the naive global exclusive cumsum — including across
+    bucket boundaries and with sparse/non-contiguous order keys."""
+    from pyspark.sql import Window
+
+    from etl_job_applify_spark.transform.packing import bucketed_cumsum
+
+    rows = [(i * 7 + (i % 3), (i * 13) % 29 + 1) for i in range(200)]
+    df = spark.createDataFrame(rows, "k long, v long")
+    got = {
+        r["k"]: r["cumsum"]
+        for r in bucketed_cumsum(df, "k", "v", bucket_width=16).collect()
+    }
+    w = Window.orderBy("k").rowsBetween(Window.unboundedPreceding, -1)
+    want = {
+        r["k"]: r["c"]
+        for r in df.select(
+            "k", F.coalesce(F.sum("v").over(w), F.lit(0)).alias("c")
+        ).collect()
+    }
+    assert got == want
+
+
+def test_pack_sequences_spans_and_stats(spark):
+    """Hand-checkable packing: capacity 10, docs of 4/8/6/12 tokens in
+    id order -> offsets 0/4/12/18; doc 2 straddles the first cut
+    (spans seqs 0-1), doc 4 spans 1-2 (12 tokens crossing 20)."""
+    from etl_job_applify_spark.transform.packing import (
+        pack_sequences,
+        packed_sequence_stats,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(["w"] * 4)),
+            (2, " ".join(["w"] * 8)),
+            (3, " ".join(["w"] * 6)),
+            (4, " ".join(["w"] * 12)),
+        ],
+        "doc_id long, text string",
+    )
+    spans = {
+        r["doc_id"]: (r["start_seq"], r["end_seq"])
+        for r in pack_sequences(docs, capacity=10, bucket_width=2).collect()
+    }
+    assert spans == {1: (0, 0), 2: (0, 1), 3: (1, 1), 4: (1, 2)}
+    stats = {
+        r["seq"]: (r["n_docs"], r["n_boundary_docs"])
+        for r in packed_sequence_stats(
+            pack_sequences(docs, capacity=10, bucket_width=2)
+        ).collect()
+    }
+    assert stats == {0: (2, 1), 1: (3, 2), 2: (1, 1)}
