@@ -439,3 +439,92 @@ ORACLE = {
     "q202_bigram_lm": _Q202_SQL,
     "q210_nearest_centroid": _Q210_SQL,
 }
+
+
+# --- q255: multinomial Naive Bayes language classifier ---------------------
+# The supervised member of the model-adjacent family (q181/q183/q202/
+# q210 are all unsupervised or closed-form): train add-one-smoothed
+# multinomial NB on the held-in documents' (lang, text) pairs
+# (doc_id % 3 != 0), predict lang for the held-out third — the
+# fasttext-style quality/language filter of an LLM curation pass, as
+# exact relational arithmetic (transform/nbayes.py: the model is two
+# count relations; scoring is explode → broadcast class join → left
+# join → exact DECIMAL-accumulated log-likelihood sum, ln per-term
+# quantized to the DECIMAL(28,6) grid — the q230/_idf_expr contract).
+# The oracle replays train + score + argmax (min-label tie-break)
+# bit-for-bit.
+
+def q255_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..transform.nbayes import nb_predict, nb_score, nb_train
+
+    docs = tbl(spark, sf_dir, "documents")
+    train = docs.filter(F.col("doc_id") % 3 != 0)
+    test = docs.filter(F.col("doc_id") % 3 == 0)
+    wc, cs, vocab, n = nb_train(train, "lang")
+    pred = nb_predict(nb_score(test, wc, cs, vocab, n))
+    return (
+        pred.join(
+            test.select("doc_id", F.col("lang").alias("truth")), "doc_id"
+        )
+        .select(
+            "doc_id",
+            "pred",
+            "truth",
+            (F.col("pred") == F.col("truth")).alias("correct"),
+            "score",
+        )
+        .orderBy("doc_id")
+    )
+
+
+_Q255_SQL = """
+WITH train AS (SELECT * FROM documents WHERE doc_id % 3 <> 0),
+test AS (SELECT * FROM documents WHERE doc_id % 3 = 0),
+toks AS (
+  SELECT lang AS label, unnest(string_split(text, ' ')) AS word
+  FROM train
+),
+wc AS (SELECT label, word, CAST(COUNT(*) AS BIGINT) AS c
+       FROM toks GROUP BY 1, 2),
+cs AS (
+  SELECT t.label, t.n_tokens, d.n_docs FROM
+    (SELECT label, CAST(COUNT(*) AS BIGINT) AS n_tokens
+     FROM toks GROUP BY 1) t
+  JOIN (SELECT lang AS label, CAST(COUNT(*) AS BIGINT) AS n_docs
+        FROM train GROUP BY 1) d USING (label)
+),
+v AS (SELECT COUNT(DISTINCT word) AS v FROM toks),
+n AS (SELECT COUNT(*) AS n FROM train),
+ttoks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM test
+),
+scores AS (
+  SELECT p.doc_id, p.label,
+         CAST(
+           SUM(CAST(ln((COALESCE(wc.c, 0) + 1)
+                       / CAST(p.n_tokens + (SELECT v FROM v) AS DOUBLE))
+                    AS DECIMAL(28,6)))
+           + FIRST(CAST(ln(CAST(p.n_docs AS DOUBLE)
+                           / (SELECT n FROM n)) AS DECIMAL(28,6)))
+         AS DOUBLE) AS score
+  FROM (SELECT t.doc_id, t.word, c.label, c.n_tokens, c.n_docs
+        FROM ttoks t CROSS JOIN cs c) p
+  LEFT JOIN wc ON wc.label = p.label AND wc.word = p.word
+  GROUP BY 1, 2
+),
+best AS (
+  SELECT doc_id, MAX(score) AS score FROM scores GROUP BY 1
+),
+pred AS (
+  SELECT b.doc_id, b.score, MIN(s.label) AS pred
+  FROM best b JOIN scores s ON s.doc_id = b.doc_id AND s.score = b.score
+  GROUP BY 1, 2
+)
+SELECT p.doc_id, p.pred, t.lang AS truth,
+       p.pred = t.lang AS correct, p.score
+FROM pred p JOIN test t ON t.doc_id = p.doc_id
+ORDER BY p.doc_id
+"""
+
+QUERIES["q255_naive_bayes"] = q255_naive_bayes
+ORACLE["q255_naive_bayes"] = _Q255_SQL

