@@ -1373,3 +1373,169 @@ ORACLE = {
     "q243_bm25_filtered_topk": _Q243_SQL,
     "q248_bm25_facet_stats": _Q248_SQL,
 }
+
+
+# --- q256: IR evaluation metrics (MRR / nDCG@10 / recall@10) ---------------
+# The measurement member of the retrieval family: q190's BM25 ranking
+# (top-10) evaluated against deterministic graded qrels — binary
+# relevance "document contains EVERY term of the query" (AND
+# semantics, both sides pure relational algebra, so the oracle replays
+# ranking + qrels + metrics end to end). MRR is a MAX of exact
+# rationals; DCG/IDCG terms quantize to the DECIMAL(28,6) grid before
+# the exact decimal sum (log2 is transcendental — the q230/_idf_expr
+# contract); nDCG divides two deterministically-derived doubles.
+# functions/ireval.py is the reusable kernel.
+
+def q256_ir_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..functions.ireval import ir_metrics
+    from ..functions.retrieval import bm25_scores
+
+    docs = tbl(spark, sf_dir, "documents")
+    qterms = spark.createDataFrame(
+        [(qid, w) for qid, ws in _Q190_QUERIES for w in ws],
+        "qid int, word string",
+    )
+    scored = bm25_scores(docs, qterms)
+    w = Window.partitionBy("qid").orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )
+    ranking = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select("qid", "doc_id", "rank")
+    )
+    nq = qterms.groupBy("qid").agg(
+        F.countDistinct("word").alias("__nq")
+    )
+    dw = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("word")
+    ).distinct()
+    qrels = (
+        qterms.join(dw, "word")
+        .groupBy("qid", "doc_id")
+        .agg(F.countDistinct("word").alias("__nm"))
+        .join(nq, "qid")
+        .filter(F.col("__nm") == F.col("__nq"))
+        .select("qid", "doc_id", F.lit(1).alias("grade"))
+    )
+    return (
+        ir_metrics(ranking, qrels, k=10)
+        .select(
+            F.col("qid").cast("int").alias("qid"),
+            "n_rel",
+            "mrr",
+            "ndcg",
+            "recall",
+        )
+        .orderBy("qid")
+    )
+
+
+_Q256_SQL = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+),
+tf AS (
+  SELECT doc_id, word, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM toks GROUP BY doc_id, word
+),
+dl AS (
+  SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id
+),
+dfreq AS (
+  SELECT word, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY word
+),
+stats AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+  FROM dl
+),
+q(qid, word) AS (VALUES
+  (1, 'hash'), (1, 'join'),
+  (2, 'window'), (2, 'sort'), (2, 'merge'),
+  (3, 'stream'), (3, 'batch'), (3, 'spark')
+),
+scored AS (
+  SELECT q.qid, tf.doc_id,
+    CAST(SUM(CAST(
+      ((n - df + 5e-1) / (df + 5e-1))
+      * (tf * 2.2e0)
+      / (tf + 1.2e0 * (2.5e-1 + 7.5e-1 * dl / avgdl))
+    AS DECIMAL(28,6))) AS DOUBLE) AS score
+  FROM q
+  JOIN tf USING (word)
+  JOIN dfreq USING (word)
+  JOIN dl USING (doc_id), stats
+  GROUP BY q.qid, tf.doc_id
+),
+ranking AS (
+  SELECT qid, doc_id, rnk FROM (
+    SELECT qid, doc_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY qid ORDER BY score DESC, doc_id
+           ) AS rnk
+    FROM scored
+  ) WHERE rnk <= 10
+),
+nq AS (SELECT qid, COUNT(DISTINCT word) AS nq FROM q GROUP BY 1),
+dw AS (SELECT DISTINCT doc_id, word FROM toks),
+qrels AS (
+  SELECT m.qid, m.doc_id, 1 AS grade
+  FROM (SELECT q.qid, dw.doc_id, COUNT(DISTINCT q.word) AS nm
+        FROM q JOIN dw USING (word) GROUP BY 1, 2) m
+  JOIN nq USING (qid) WHERE m.nm = nq.nq
+),
+hits AS (
+  SELECT r.qid, r.doc_id, r.rnk, COALESCE(qr.grade, 0) AS g
+  FROM ranking r
+  LEFT JOIN qrels qr ON qr.qid = r.qid AND qr.doc_id = r.doc_id
+),
+perq AS (
+  SELECT qid,
+         MAX(CASE WHEN g > 0 THEN 1e0 / rnk ELSE 0e0 END) AS mrr,
+         CAST(SUM(CAST((pow(2e0, CAST(g AS DOUBLE)) - 1e0)
+                       / log2(CAST(rnk AS DOUBLE) + 1e0)
+                  AS DECIMAL(28,6))) AS DOUBLE) AS dcg,
+         CAST(SUM(CASE WHEN g > 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS rel_found
+  FROM hits GROUP BY 1
+),
+ideal AS (
+  SELECT qid,
+         CAST(SUM(CAST((pow(2e0, CAST(grade AS DOUBLE)) - 1e0)
+                       / log2(CAST(pos AS DOUBLE) + 1e0)
+                  AS DECIMAL(28,6))) AS DOUBLE) AS idcg
+  FROM (SELECT qid, grade, doc_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY qid ORDER BY grade DESC, doc_id
+               ) AS pos
+        FROM qrels)
+  WHERE pos <= 10 GROUP BY 1
+),
+nrel AS (
+  SELECT qid, CAST(COUNT(*) AS BIGINT) AS n_rel FROM qrels GROUP BY 1
+),
+base AS (
+  SELECT DISTINCT qid FROM (
+    SELECT qid FROM ranking UNION SELECT qid FROM qrels
+  )
+)
+SELECT CAST(b.qid AS INT) AS qid,
+       COALESCE(n.n_rel, 0) AS n_rel,
+       COALESCE(p.mrr, 0e0) AS mrr,
+       CASE WHEN COALESCE(i.idcg, 0e0) > 0
+            THEN COALESCE(p.dcg, 0e0) / i.idcg ELSE 0e0 END AS ndcg,
+       CASE WHEN COALESCE(n.n_rel, 0) > 0
+            THEN CAST(COALESCE(p.rel_found, 0) AS DOUBLE) / n.n_rel
+            ELSE 1e0 END AS recall
+FROM base b
+LEFT JOIN perq p USING (qid)
+LEFT JOIN ideal i USING (qid)
+LEFT JOIN nrel n USING (qid)
+ORDER BY qid
+"""
+
+QUERIES["q256_ir_metrics"] = q256_ir_metrics
+ORACLE["q256_ir_metrics"] = _Q256_SQL

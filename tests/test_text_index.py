@@ -880,3 +880,37 @@ def test_streaming_text_index_tombstone_pressure_policy(spark, tmp_path):
         bm25_scores(survivors, _qterms(spark), id_col="doc_id")
     )
     assert got == want
+
+
+def test_ir_metrics_hand_checkable(spark):
+    """MRR / nDCG@k / recall@k on a hand-computed fixture: q1 finds its
+    two relevant docs at ranks 1 and 3 (mrr 1.0, recall 1.0, nDCG =
+    (1 + 1/2) / (1 + 1/log2(3))); q2's only relevant doc is missed
+    (all zeros except recall 0); q3 has no relevant docs (recall 1,
+    ndcg 0 — nothing to find)."""
+    import math
+
+    from etl_job_applify_spark.functions.ireval import ir_metrics
+
+    ranking = spark.createDataFrame(
+        [(1, 100, 1), (1, 101, 2), (1, 102, 3),
+         (2, 200, 1), (2, 201, 2),
+         (3, 300, 1)],
+        "qid int, doc_id long, rank int",
+    )
+    qrels = spark.createDataFrame(
+        [(1, 100, 1), (1, 102, 1), (2, 999, 1)],
+        "qid int, doc_id long, grade int",
+    )
+    got = {
+        r["qid"]: (r["n_rel"], r["mrr"], r["ndcg"], r["recall"])
+        for r in ir_metrics(ranking, qrels, k=10).collect()
+    }
+    def q(x):  # the DECIMAL(28,6) per-term grid the kernel sums on
+        from decimal import Decimal
+        return float(Decimal(repr(x)).quantize(Decimal("0.000001")))
+    dcg1 = q(1 / math.log2(2)) + q(1 / math.log2(4))
+    idcg1 = q(1 / math.log2(2)) + q(1 / math.log2(3))
+    assert got[1] == (2, 1.0, dcg1 / idcg1, 1.0)
+    assert got[2] == (1, 0.0, 0.0, 0.0)
+    assert got[3] == (0, 0.0, 0.0, 1.0)
