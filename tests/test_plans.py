@@ -168,7 +168,13 @@ def test_registry_wide_plan_audit(spark):
                     # q236: the 10-row broadcast bucket-range join (the
                     # documented fact-scale decile idiom — build side is
                     # exactly 10 rows by construction)
-                    "q236_fact_scale_deciles"}
+                    "q236_fact_scale_deciles",
+                    # q255: NB scoring broadcasts the class-stats
+                    # relation (rows = #classes, control-plane few by
+                    # construction) across the exploded test tokens;
+                    # q256 inherits q190's one-row corpus-stats BNLJ
+                    # through bm25_scores
+                    "q255_naive_bayes", "q256_ir_metrics"}
     from etl_job_applify_spark.plans import lint_errors
 
     offenders = []
