@@ -923,3 +923,66 @@ GROUP BY seq
 
 QUERIES["q254_sequence_packing"] = q254_sequence_packing
 ORACLE["q254_sequence_packing"] = _Q254_SQL
+
+
+# --- q257: robust anomaly flags (median / MAD modified z-score) ------------
+# The outlier filter a curation/metrics pipeline gates on: per
+# event-type, flag values whose Iglewicz–Hoaglin modified z-score
+# |0.6745 · (x − median) / MAD| exceeds 3.5 — median and MAD have a 50%
+# breakdown point, so the heavy tail being flagged cannot drag the
+# threshold the way mean/stddev lets it (transform/quality.py
+# robust_outliers). Both medians are EXACT (window-rank middle
+# selection, lower+upper middle averaged with one deterministic double
+# division — approx_percentile sketches are not engine-portable and
+# their error is the wrong trade for a filter threshold), and every
+# later step is deterministic IEEE arithmetic, so the oracle replays
+# the flag set bit-for-bit — no rounding anywhere.
+
+def q257_robust_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..transform.quality import robust_outliers
+
+    ev = tbl(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    return robust_outliers(
+        ev, "event_type", "value", "event_id", z_threshold=3.5
+    ).orderBy("event_id")
+
+
+_Q257_SQL = """
+WITH d AS (SELECT event_id, event_type, value FROM events),
+r AS (
+  SELECT d.*,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM d
+),
+med AS (
+  SELECT event_type, SUM(value) / COUNT(*) AS med
+  FROM r WHERE rn = (n + 1) // 2 OR rn = (n + 2) // 2
+  GROUP BY 1
+),
+r2 AS (
+  SELECT d.event_type, abs(d.value - m.med) AS av,
+         ROW_NUMBER() OVER (PARTITION BY d.event_type
+                            ORDER BY abs(d.value - m.med)) AS rn,
+         COUNT(*) OVER (PARTITION BY d.event_type) AS n
+  FROM d JOIN med m USING (event_type)
+),
+mad AS (
+  SELECT event_type, SUM(av) / COUNT(*) AS mad
+  FROM r2 WHERE rn = (n + 1) // 2 OR rn = (n + 2) // 2
+  GROUP BY 1
+)
+SELECT d.event_id, d.event_type, d.value, m.med, md.mad,
+       0.6745e0 * (d.value - m.med) / md.mad AS z
+FROM d
+JOIN med m USING (event_type)
+JOIN mad md USING (event_type)
+WHERE md.mad > 0
+  AND abs(0.6745e0 * (d.value - m.med) / md.mad) > 3.5e0
+ORDER BY d.event_id
+"""
+
+QUERIES["q257_robust_anomalies"] = q257_robust_anomalies
+ORACLE["q257_robust_anomalies"] = _Q257_SQL

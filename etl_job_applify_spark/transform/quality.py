@@ -106,3 +106,79 @@ def assert_rules(df: DataFrame, rules: Sequence[dict]) -> None:
     if failed:
         detail = ", ".join(f"{name}={m}" for name, m in failed)
         raise ValueError(f"data-quality gate failed: {detail}")
+
+
+def exact_grouped_median(
+    df: DataFrame,
+    key: str,
+    val,
+    out: str = "median",
+) -> DataFrame:
+    """(key, out): the EXACT per-group median of ``val`` (a column name
+    or Column) — lower/upper middle averaged with one deterministic
+    double division for even counts, so the value is engine-portable
+    (``approx_percentile`` sketches are not, and their error is the
+    wrong trade for a FILTER threshold). One window rank + one
+    aggregate per group; the window partitions by the group key, so
+    there is no global sort."""
+    from pyspark.sql import Window
+
+    v = F.col(val) if isinstance(val, str) else val
+    proj = df.select(F.col(key), v.alias("__v"))
+    w = Window.partitionBy(key).orderBy("__v")
+    ranked = proj.select(
+        key,
+        "__v",
+        F.row_number().over(w).alias("__rn"),
+        F.count("*").over(Window.partitionBy(key)).alias("__n"),
+    )
+    # integer div: lower and upper middle (equal when the count is odd)
+    mid = ranked.filter(
+        (F.col("__rn") == F.expr("(__n + 1) div 2"))
+        | (F.col("__rn") == F.expr("(__n + 2) div 2"))
+    )
+    return mid.groupBy(key).agg(
+        (
+            F.sum(F.col("__v").cast("double"))
+            / F.count("*").cast("double")
+        ).alias(out)
+    )
+
+
+def robust_outliers(
+    df: DataFrame,
+    key: str,
+    val: str,
+    id_col: str,
+    z_threshold: float = 3.5,
+) -> DataFrame:
+    """Per-group robust outlier flags via the modified z-score
+    (Iglewicz–Hoaglin): z = 0.6745 · (x − median) / MAD, flagged when
+    |z| > ``z_threshold`` — the curation-pipeline filter for
+    length/score anomalies that mean/stddev would let a heavy tail
+    drag (median and MAD have a 50% breakdown point; stddev has 0).
+    Returns the FLAGGED rows (id_col, key, val, med, mad, z). Groups
+    whose MAD is 0 (at least half the values identical) flag nothing —
+    the standard convention; both medians are EXACT
+    (``exact_grouped_median``), so the flag set is engine-portable
+    (every arithmetic step is deterministic IEEE)."""
+    med = exact_grouped_median(df, key, val, out="med")
+    with_med = df.select(id_col, key, val).join(med, key)
+    mad = exact_grouped_median(
+        with_med,
+        key,
+        F.abs(F.col(val).cast("double") - F.col("med")),
+        out="mad",
+    )
+    z = (
+        F.lit(0.6745)
+        * (F.col(val).cast("double") - F.col("med"))
+        / F.col("mad")
+    )
+    return (
+        with_med.join(mad, key)
+        .filter(F.col("mad") > 0)
+        .withColumn("z", z)
+        .filter(F.abs(F.col("z")) > z_threshold)
+        .select(id_col, key, val, "med", "mad", "z")
+    )

@@ -344,3 +344,29 @@ def test_naive_bayes_recovers_separable_classes(spark):
         for r in nb_predict(nb_score(test, wc, cs, vocab, n)).collect()
     }
     assert pred == {10: "aa", 11: "bb"}
+
+
+def test_exact_grouped_median_and_robust_outliers(spark):
+    """Hand-checkable medians (odd + even groups) and the modified
+    z-score flag: group A has median 10, MAD 1, outlier 100 flags;
+    group B (even count) has its two middles averaged; a constant
+    group (MAD 0) flags nothing."""
+    from etl_job_applify_spark.transform.quality import (
+        exact_grouped_median,
+        robust_outliers,
+    )
+
+    rows = (
+        [(i, "a", v) for i, v in enumerate([9.0, 10.0, 11.0, 10.0, 100.0])]
+        + [(10 + i, "b", v) for i, v in enumerate([1.0, 2.0, 3.0, 4.0])]
+        + [(20 + i, "c", 5.0) for i in range(4)]
+    )
+    df = spark.createDataFrame(rows, "id long, grp string, v double")
+    med = {
+        r["grp"]: r["median"]
+        for r in exact_grouped_median(df, "grp", "v").collect()
+    }
+    assert med == {"a": 10.0, "b": 2.5, "c": 5.0}
+    flagged = robust_outliers(df, "grp", "v", "id", z_threshold=3.5)
+    got = {(r["id"], r["grp"]) for r in flagged.collect()}
+    assert got == {(4, "a")}  # 0.6745*(100-10)/1 = 60.7; b/c flag none
