@@ -903,3 +903,45 @@ def test_streaming_sssp_batch_parity(spark, tmp_path):
         for r in weighted_sssp(all_edges, source, max_rounds=4).collect()
     }
     assert got == want == {1: 0, 2: 3, 3: 1, 4: 2, 5: 4}
+
+
+def test_streaming_sssp_replay_invariance(spark, tmp_path):
+    """Re-running the SSSP stream over the same source re-delivers
+    every epoch; the per-table fences must leave the persisted edge
+    set and horizon profile bit-identical."""
+    import time
+
+    from etl_job_applify_spark.sinks.versioned import read_table
+    from etl_job_applify_spark.streaming import run_sssp_stream
+
+    src_dir = tmp_path / "src"
+    src_dir.mkdir()
+    state = str(tmp_path / "state")
+    all_edges = _sssp_graph(spark)
+    all_edges.filter("src <> 3 and src <> 4").coalesce(1).write.parquet(
+        str(src_dir / "b0.parquet")
+    )
+    time.sleep(1.1)
+    all_edges.filter("src = 3 or src = 4").coalesce(1).write.parquet(
+        str(src_dir / "b1.parquet")
+    )
+
+    def run():
+        stream = (
+            spark.readStream.schema("src long, dst long, w long")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src_dir) + "/*.parquet")
+        )
+        run_sssp_stream(stream, state, source_nodes=[1], horizon=4)
+
+    run()
+    prof1 = sorted(
+        tuple(r) for r in read_table(spark, state + "/profile").collect()
+    )
+    run()
+    prof2 = sorted(
+        tuple(r) for r in read_table(spark, state + "/profile").collect()
+    )
+    assert prof1 == prof2
+    final = {(n, c) for n, h, c in prof2 if h == 4}
+    assert final == {(1, 0), (2, 3), (3, 1), (4, 2), (5, 4)}

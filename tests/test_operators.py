@@ -457,3 +457,50 @@ def test_streaming_components_batch_parity(spark, tmp_path):
     want = {tuple(r) for r in connected_components(allp).collect()}
     assert got == want
     assert (11, 1) in got
+
+
+def test_streaming_components_replay_invariance(spark, tmp_path):
+    """Re-running the components stream over the SAME source (a fresh
+    query restarts epoch ids, so every batch re-delivers with its
+    original epoch) must leave both persisted tables bit-identical —
+    the epoch fence makes redelivery a no-op per table."""
+    import time
+
+    from etl_job_applify_spark.sinks.versioned import read_table
+    from etl_job_applify_spark.streaming import run_components_stream
+
+    src_dir = tmp_path / "src"
+    src_dir.mkdir()
+    state = str(tmp_path / "state")
+    spark.createDataFrame(
+        [(1, 2), (2, 3)], "a long, b long"
+    ).coalesce(1).write.parquet(str(src_dir / "b0.parquet"))
+    time.sleep(1.1)
+    spark.createDataFrame(
+        [(3, 10)], "a long, b long"
+    ).coalesce(1).write.parquet(str(src_dir / "b1.parquet"))
+
+    def run():
+        stream = (
+            spark.readStream.schema("a long, b long")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src_dir) + "/*.parquet")
+        )
+        run_components_stream(stream, state)
+
+    run()
+    labels1 = sorted(
+        tuple(r) for r in read_table(spark, state + "/labels").collect()
+    )
+    edges1 = sorted(
+        tuple(r) for r in read_table(spark, state + "/edges").collect()
+    )
+    run()  # full redelivery: epochs 0 and 1 again
+    labels2 = sorted(
+        tuple(r) for r in read_table(spark, state + "/labels").collect()
+    )
+    edges2 = sorted(
+        tuple(r) for r in read_table(spark, state + "/edges").collect()
+    )
+    assert labels1 == labels2 == [(1, 1), (2, 1), (3, 1), (10, 1)]
+    assert edges1 == edges2
