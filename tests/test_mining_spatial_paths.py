@@ -945,3 +945,61 @@ def test_streaming_sssp_replay_invariance(spark, tmp_path):
     assert prof1 == prof2
     final = {(n, c) for n, h, c in prof2 if h == 4}
     assert final == {(1, 0), (2, 3), (3, 1), (4, 2), (5, 4)}
+
+
+def test_streaming_sssp_crash_between_folds_replays_clean(spark, tmp_path):
+    """The documented crash window: the batch's EDGE fold committed but
+    the PROFILE fold did not (simulated by pre-folding the epoch-1
+    edges with the stream's writer id before the stream runs). On
+    delivery the edge fold finds its fence and skips; the profile fold
+    proceeds against the already-committed edge head — final state
+    equals the crash-free run."""
+    import time
+
+    from etl_job_applify_spark.sinks.versioned import read_table
+    from etl_job_applify_spark.streaming import run_sssp_stream
+    from etl_job_applify_spark.streaming.jobs import _fold_with_fence
+
+    src_dir = tmp_path / "src"
+    src_dir.mkdir()
+    state = str(tmp_path / "state")
+    all_edges = _sssp_graph(spark)
+    b0 = all_edges.filter("src <> 3 and src <> 4")
+    b1 = all_edges.filter("src = 3 or src = 4")
+    b0.coalesce(1).write.parquet(str(src_dir / "b0.parquet"))
+    time.sleep(1.1)
+    b1.coalesce(1).write.parquet(str(src_dir / "b1.parquet"))
+
+    # crash simulation: epoch 0 fully committed, epoch 1's EDGE fold
+    # committed, profile fold lost. Pre-commit both edge epochs with
+    # the stream's writer id; commit only epoch 0's profile.
+    from etl_job_applify_spark.operators.paths import sssp_profile
+
+    source = spark.createDataFrame([(1,)], "node long")
+    _fold_with_fence(
+        spark, state + "/edges", "sssp_edges", 0, lambda base: b0
+    )
+    _fold_with_fence(
+        spark, state + "/edges", "sssp_edges", 1,
+        lambda base: base.unionByName(b1).distinct(),
+    )
+    _fold_with_fence(
+        spark, state + "/profile", "sssp", 0,
+        lambda base: sssp_profile(b0, source, 4),
+    )
+
+    def run():
+        stream = (
+            spark.readStream.schema("src long, dst long, w long")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src_dir) + "/*.parquet")
+        )
+        run_sssp_stream(stream, state, source_nodes=[1], horizon=4)
+
+    run()  # replay: epoch 0 skips both; epoch 1 skips edges, folds profile
+    prof = read_table(spark, state + "/profile")
+    final = {
+        (r["node"], r["cost"])
+        for r in prof.filter("h = 4").collect()
+    }
+    assert final == {(1, 0), (2, 3), (3, 1), (4, 2), (5, 4)}
