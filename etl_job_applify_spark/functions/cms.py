@@ -108,6 +108,7 @@ def cms_estimate(
     key_col: str,
     depth: int = 4,
     width: int = 256,
+    probe_id_col: str | None = None,
 ) -> DataFrame:
     """Point queries: probes (any columns + integer ``key_col``) gain a
     ``cms_est`` column = min over rows of the key's bucket counters (0
@@ -119,7 +120,17 @@ def cms_estimate(
     Cardinality contract: one output row PER PROBE ROW, duplicates
     included — each probe row is tagged with a unique row id before the
     depth-explode, so the post-join regroup undoes the explode exactly
-    (identical probe rows do NOT collapse to one)."""
+    (identical probe rows do NOT collapse to one).
+
+    ``probe_id_col``: name of an existing column that uniquely keys
+    probe rows, used as that tag DETERMINISTICALLY. Pass it whenever
+    the probe relation has one. The ad-hoc fallback tag is
+    ``monotonically_increasing_id()`` — a NONDETERMINISTIC expression:
+    if the probe lineage is itself nondeterministic (post-shuffle row
+    order) and a map task is recomputed after a fetch failure, fallback
+    tags can differ across attempts and silently split/merge regroup
+    groups. Fine for deterministic file-scan lineages and one-shot
+    local probes; keyed relations should supply the key."""
     rows = F.explode(
         F.array(
             *[
@@ -131,8 +142,13 @@ def cms_estimate(
             ]
         )
     ).alias("__rb")
+    tag = (
+        F.col(probe_id_col)
+        if probe_id_col is not None
+        else F.monotonically_increasing_id()
+    )
     exploded = (
-        probes.withColumn("__pid", F.monotonically_increasing_id())
+        probes.withColumn("__pid", tag)
         .select("*", rows)
         .select(
             "*",

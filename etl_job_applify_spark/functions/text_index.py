@@ -353,6 +353,121 @@ def text_index_delete(
     return {"n_tombstoned": n_new}
 
 
+def text_index_apply_cdc(
+    batch: DataFrame,
+    index_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    op_col: str = "op",
+    epoch_mark: str | None = None,
+    max_retries: int = 10,
+) -> dict | None:
+    """Apply one CDC batch (adds + deletes mixed, ``op_col`` ==
+    ``'delete'`` marks deletions) to a VERSIONED index as ONE CAS
+    snapshot: the tombstone set, the appended postings/doclens, the
+    NET stats increment, and the ``epoch_mark`` all ride the same
+    commit atomically.
+
+    This is what makes a CDC ingest stream replay-IDEMPOTENT. Two
+    separate commits (delete snapshot, then add snapshot) cannot share
+    one epoch fence, and version-scoped tombstones make a redelivered
+    delete DIVERGE: a tombstone recommitted at a higher version than
+    an already-landed re-add permanently kills the re-add. With one
+    snapshot there is nothing to redeliver piecewise — a replayed
+    epoch finds its mark and skips whole (``None`` returned), and
+    delete+re-add of one id in the same batch still lands as the
+    re-add because tombstones suppress only rows committed at a
+    STRICTLY LOWER version than their own snapshot (``_tidx_read``).
+
+    Ids in the delete set that are not live are ignored; a batch whose
+    adds and deletes are both no-ops still commits its (empty) marked
+    snapshot, so whole-source replays stay invariant. The index must
+    already exist (founding goes through ``text_index_build``);
+    ``num_buckets``/``meta_cols`` are read from the recorded meta.
+    Returns the updated meta, or ``None`` when the epoch was fenced."""
+    from ..sinks.versioned import CommitConflict, fs_read_json
+
+    spark = batch.sparkSession
+    if not _tidx_is_versioned(spark, index_path):
+        raise ValueError(
+            f"no versioned text index at {index_path}: found it with "
+            "text_index_build(layout='versioned') before applying CDC"
+        )
+    meta0 = _tidx_read(spark, index_path)[0]
+    num_buckets = meta0["num_buckets"]
+    mcols = meta0.get("meta_cols", [])
+    dels = (
+        batch.filter(F.col(op_col) == "delete")
+        .select(F.col(id_col).cast("bigint").alias("doc"))
+        .distinct()
+    )
+    adds = batch.filter(
+        F.coalesce(F.col(op_col), F.lit("add")) != "delete"
+    ).select(id_col, text_col, *mcols)
+    # the add-side relations are a pure function of the batch — built
+    # once, outside the CAS retry loop
+    toks = token_positions(adds, text_col, id_col)
+    postings = (
+        toks.groupBy(id_col, "word")
+        .agg(
+            F.count("*").alias("tf"),
+            F.sort_array(F.collect_list("pos")).alias("positions"),
+        )
+        .withColumnRenamed(id_col, "doc")
+        .withColumn("wb", F.pmod(F.xxhash64("word"), F.lit(num_buckets)))
+    )
+    doclens = postings.groupBy("doc").agg(F.sum("tf").alias("dl"))
+    if mcols:
+        doclens = doclens.join(
+            adds.select(F.col(id_col).alias("doc"), *mcols), "doc"
+        )
+    inc = doclens.agg(
+        F.count("*").alias("n"), F.sum("dl").alias("t")
+    ).first()
+    n_add, dl_add = int(inc["n"]), int(inc["t"] or 0)
+    marks = [epoch_mark] if epoch_mark else []
+    for _ in range(max_retries):
+        if epoch_mark and _tidx_mark_present(spark, index_path, epoch_mark):
+            return None  # replayed epoch: everything already landed
+        _, _, live_dls, live = _tidx_read(spark, index_path)
+        # victims depend on the live head — recomputed per CAS attempt
+        vic = live_dls.join(dels, "doc", "left_semi")
+        hit = vic.agg(
+            F.count("*").alias("n"), F.sum("dl").alias("t")
+        ).first()
+        n_vic, dl_vic = int(hit["n"]), int(hit["t"] or 0)
+        params = {
+            "num_buckets": num_buckets,
+            "meta_cols": mcols,
+            "n_docs": n_add - n_vic,
+            "total_dl": dl_add - dl_vic,
+        }
+        base = int(live[-1].rsplit("snap_", 1)[1])
+        # explicit read-back schema: an adds-empty snapshot writes 0
+        # postings rows, leaving nothing for schema inference
+        p_schema_json = fs_read_json(
+            spark, f"{live[-1]}/_postings_schema.json"
+        )
+        try:
+            _tidx_commit(
+                spark,
+                index_path,
+                postings,
+                doclens,
+                params,
+                marks,
+                base,
+                deletes=vic.select("doc") if n_vic else None,
+                postings_schema_json=p_schema_json,
+            )
+            return _tidx_read(spark, index_path)[0]
+        except CommitConflict:
+            continue  # concurrent writer advanced the head; retry
+    raise CommitConflict(
+        f"CDC apply to {index_path} lost {max_retries} CAS races"
+    )
+
+
 def text_index_terms(
     spark: SparkSession, index_path: str, words: Sequence[str]
 ) -> DataFrame:
@@ -807,6 +922,40 @@ def _tidx_recover_live(spark: SparkSession, index_path: str) -> list[str]:
     from ..sinks.versioned import recover_live_snapshots
 
     return recover_live_snapshots(spark, index_path, _T_COMPACT_MARK)
+
+
+def _tidx_mark_present(
+    spark: SparkSession, index_path: str, mark: str
+) -> bool:
+    """True iff ``mark`` rides any LIVE snapshot — compaction carries
+    epoch marks forward, so a fenced epoch stays fenced."""
+    from ..sinks.versioned import snapshot_members
+
+    return any(
+        mark in snapshot_members(spark, p)
+        for p in _tidx_recover_live(spark, index_path)
+    )
+
+
+def _tidx_epoch_done(
+    spark: SparkSession, index_path: str, writer_id: str, epoch_id: int
+) -> bool:
+    """True iff the index already carries an epoch mark for
+    ``writer_id`` with epoch >= ``epoch_id``. Epoch ids are monotone
+    within a stream, so a HIGHER recorded mark proves this epoch's
+    effects are already incorporated even when the epoch itself
+    committed nothing (e.g. a deletes-only batch delivered before the
+    index was founded) — the fence whole-source replays need."""
+    from ..sinks.versioned import snapshot_members
+
+    prefix = f"_epoch_{writer_id}_"
+    for p in _tidx_recover_live(spark, index_path):
+        for m in snapshot_members(spark, p):
+            if m.startswith(prefix):
+                tail = m[len(prefix):]
+                if tail.isdigit() and int(tail) >= epoch_id:
+                    return True
+    return False
 
 
 def vacuum_text_index(spark: SparkSession, index_path: str) -> list:

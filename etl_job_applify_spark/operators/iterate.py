@@ -30,12 +30,34 @@ correct but re-inherits estimates.
 
 from __future__ import annotations
 
+import warnings
+
 from pyspark.sql import DataFrame
+
+try:  # absent on pure-connect clients
+    from py4j.protocol import Py4JError as _Py4JError
+except ImportError:  # pragma: no cover
+
+    class _Py4JError(Exception):
+        pass
+
+
+_WARNED_FALLBACK = False
 
 
 def fresh_local_checkpoint(df: DataFrame) -> DataFrame:
     """localCheckpoint with STATISTICS RESET — the per-round
-    materialization for iterative kernels (see module docstring)."""
+    materialization for iterative kernels (see module docstring).
+
+    When the classic-session internal constructor is unavailable
+    (pyspark<4 module layout, connect clients, internal-API drift),
+    degrades to the plain localCheckpoint — correct but re-inheriting
+    estimates, i.e. the geometric stats-compounding this helper
+    exists to stop. That degradation is LOUD (a one-time
+    RuntimeWarning) and the except is narrow, so an unexpected error
+    in a long iterative job surfaces in planning reviews rather than
+    as a driver OOM hours later."""
+    global _WARNED_FALLBACK
     ck = df.localCheckpoint(eager=True)
     try:
         from pyspark.sql.classic.dataframe import (
@@ -48,5 +70,19 @@ def fresh_local_checkpoint(df: DataFrame) -> DataFrame:
             jdf.queryExecution().toRdd(), jdf.schema(), False
         )
         return _ClassicDataFrame(jnew, spark)
-    except Exception:  # connect clients / internal API drift
+    except (ImportError, AttributeError, TypeError, _Py4JError) as e:
+        # connect clients / pyspark<4 layout / internal-API drift:
+        # the stats-reset rewrap is genuinely unavailable here
+        if not _WARNED_FALLBACK:
+            _WARNED_FALLBACK = True
+            warnings.warn(
+                "fresh_local_checkpoint: stats-reset rewrap "
+                f"unavailable ({type(e).__name__}: {e}); falling back "
+                "to plain localCheckpoint — iterative kernels on this "
+                "session re-inherit estimated statistics and long "
+                "loops may hit the geometric stats-compounding "
+                "planner blowup documented in operators/iterate.py",
+                RuntimeWarning,
+                stacklevel=2,
+            )
         return ck

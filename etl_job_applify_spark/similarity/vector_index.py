@@ -776,23 +776,33 @@ def vector_index_probe(
     pending = queries
     cur_np = min(nprobe, num_cells)
     while True:
-        pending_ids = [
-            r[0]
-            for r in pending.select(query_id_col).distinct().collect()
-        ]
-        if len(pending_ids) > ESCALATE_MAX_BATCH:
-            # enforce the control-plane batch contract instead of
-            # assuming it: each escalation round builds per-query isin
-            # literal filters from these ids — fine for a serving batch,
-            # a giant literal plan for a data-plane relation
+        # enforce the control-plane batch contract BEFORE collecting:
+        # the limit-bounded count caps what ever reaches the driver at
+        # ESCALATE_MAX_BATCH+1 rows, so the guard itself cannot be the
+        # driver-memory blowup it exists to prevent (a data-plane
+        # query relation fails here without materializing its id set)
+        probe_n = (
+            pending.select(query_id_col)
+            .distinct()
+            .limit(ESCALATE_MAX_BATCH + 1)
+            .count()
+        )
+        if probe_n > ESCALATE_MAX_BATCH:
+            # each escalation round builds per-query isin literal
+            # filters from these ids — fine for a serving batch, a
+            # giant literal plan for a data-plane relation
             raise ValueError(
-                f"escalate=True got {len(pending_ids)} distinct queries "
-                f"(> {ESCALATE_MAX_BATCH}): escalation is a serving-path "
+                f"escalate=True got more than {ESCALATE_MAX_BATCH} "
+                "distinct queries: escalation is a serving-path "
                 "affordance for control-plane batches; for data-plane "
                 "query relations use vector_index_knn_join(..., "
                 "ensure_k=True) — the fully relational under-return "
                 "contract"
             )
+        pending_ids = [
+            r[0]
+            for r in pending.select(query_id_col).distinct().collect()
+        ]
         counts = {
             r["query_id"]: r["n"]
             for r in res.groupBy("query_id").agg(

@@ -773,20 +773,29 @@ def run_text_index_ingest_stream(
     text-side twin of ``run_vector_index_ingest_stream``, completing
     the policy-loop triad across the three persisted index families.
 
-    Delivery contract: foreachBatch is at-least-once; appends carry an
-    ``_epoch_<writer_id>_<epoch>`` marker INSIDE the snapshot (atomic
-    with the CAS commit), so a redelivered batch finds its marker and
-    skips — replays commit nothing. Deletes (below) are idempotent
-    (already-tombstoned ids are ignored, and the versioned layout's
-    stat decrements ride the FIRST tombstone commit only), so any crash
-    point replays to the state a crash-free run produces.
+    Delivery contract: foreachBatch is at-least-once; every batch's
+    effects carry an ``_epoch_<writer_id>_<epoch>`` marker INSIDE the
+    snapshot (atomic with the CAS commit), so a redelivered batch
+    finds its marker and skips WHOLE — adds and deletes together,
+    replays commit nothing. On the CDC path the batch's tombstones,
+    appended postings, net stats increment, and the marker are ONE CAS
+    snapshot (``text_index_apply_cdc``): there is no crash point
+    between a delete and its epoch fence, so any replay — including a
+    whole-source replay that redelivers a delete epoch after a later
+    re-add — reproduces the crash-free state bit-for-bit. The fence
+    also skips a batch when a HIGHER epoch mark for this writer is
+    already recorded (epoch ids are monotone within a stream), which
+    covers replayed epochs that originally committed nothing (a
+    deletes-only batch delivered before the index was founded).
 
     ``op_col``: CDC-shaped input — rows whose ``op_col`` equals
-    ``'delete'`` tombstone their ids out of the index
-    (``text_index_delete``; applied BEFORE the batch's adds, so a
-    delete+re-add of one id in the same batch lands as the re-add —
-    the versioned layout's version-scoped tombstones make that legal);
-    all other rows append. Without ``op_col`` every row appends.
+    ``'delete'`` tombstone their ids out of the index; all other rows
+    append. A delete+re-add of one id in the same batch lands as the
+    re-add: the versioned layout's tombstones suppress only rows
+    committed at a strictly LOWER version, and both ride the same
+    snapshot. Without ``op_col`` every row appends. Deletes delivered
+    before any add has founded the index are dropped (there is
+    nothing to delete from).
 
     POLICY LOOPS — the signals ``text_index_stats`` exposes, wired to
     their one SAFE action (compaction, which never changes a score;
@@ -811,11 +820,13 @@ def run_text_index_ingest_stream(
     All triggers compose; compaction is CAS-published and idempotent
     under replay."""
     from ..functions.text_index import (
+        _tidx_epoch_done,
         _tidx_is_versioned,
         _tidx_read,
+        _tidx_recover_live,
         optimize_text_index,
+        text_index_apply_cdc,
         text_index_build,
-        text_index_delete,
     )
 
     def _pending_tombstones(spark) -> tuple[int, int]:
@@ -850,36 +861,51 @@ def run_text_index_ingest_stream(
             return  # an empty micro-batch must not found the index
         spark = batch_df.sparkSession
         mark = f"_epoch_{writer_id}_{epoch_id}"
-        adds = batch_df
-        if op_col is not None:
-            dels = batch_df.filter(F.col(op_col) == "delete").select(
-                F.col(id_col).cast("bigint").alias("doc")
+        versioned = _tidx_is_versioned(spark, index_dir)
+        if versioned and _tidx_epoch_done(
+            spark, index_dir, writer_id, epoch_id
+        ):
+            return  # redelivered epoch: adds AND deletes already landed
+        if op_col is not None and versioned:
+            # the whole CDC batch (tombstones + adds + stats + mark)
+            # is ONE CAS snapshot — atomic, replay-idempotent
+            text_index_apply_cdc(
+                batch_df,
+                index_dir,
+                id_col,
+                text_col,
+                op_col=op_col,
+                epoch_mark=mark,
             )
-            adds = batch_df.filter(
-                F.coalesce(F.col(op_col), F.lit("add")) != "delete"
-            )
-            if _tidx_is_versioned(spark, index_dir) and not dels.isEmpty():
-                text_index_delete(spark, index_dir, dels)
-        adds = adds.select(id_col, text_col, *(meta_cols or []))
-        if not adds.isEmpty():
+            if max_snapshots and len(
+                _tidx_recover_live(spark, index_dir)
+            ) > max_snapshots:
+                optimize_text_index(spark, index_dir)
+        else:
+            adds = batch_df
+            if op_col is not None:
+                # founding path: deletes target an index that does not
+                # exist yet — dropped (docstring contract)
+                adds = batch_df.filter(
+                    F.coalesce(F.col(op_col), F.lit("add")) != "delete"
+                )
+            adds = adds.select(id_col, text_col, *(meta_cols or []))
+            if adds.isEmpty():
+                return  # deletes-only before founding: no index yet
             text_index_build(
                 adds,
                 index_dir,
                 id_col,
                 text_col,
                 num_buckets=num_buckets,
-                mode=(
-                    "append"
-                    if _tidx_is_versioned(spark, index_dir)
-                    else "overwrite"
-                ),
+                mode="append" if versioned else "overwrite",
                 layout="versioned",
                 epoch_mark=mark,
                 max_snapshots=max_snapshots,
                 meta_cols=meta_cols,
             )
         if not _tidx_is_versioned(spark, index_dir):
-            return  # batch was deletes-only before founding: no index yet
+            return  # nothing founded this batch: no index yet
         if (
             compact_every
             and epoch_id > 0

@@ -46,7 +46,12 @@ def bucketed_cumsum(
     global single-task window: per-bucket offsets ride one tiny window
     over ``order_col div bucket_width`` buckets; the per-row window is
     partitioned by bucket. ``order_col`` must be unique integers."""
-    b = (F.col(order_col) / F.lit(bucket_width)).cast("bigint")
+    # true integer division — double division + truncation happens to
+    # be monotone at small magnitudes but silently diverges from the
+    # documented exact-arithmetic contract above 2^53
+    b = F.expr(
+        f"cast({order_col} as bigint) div {int(bucket_width)}"
+    )
     rows = df.withColumn("__bkt", b)
     per_bucket = rows.groupBy("__bkt").agg(
         F.sum(value_col).cast("bigint").alias("__bsum")
@@ -86,11 +91,14 @@ def pack_sequences(
     bucket_width: int = 4096,
 ) -> DataFrame:
     """Assign each document to its packed-sequence span: (id_col,
-    n_tokens, start_seq, end_seq) where the concatenated token stream
-    (``id_col`` order) is cut every ``capacity`` tokens — a doc whose
-    tokens cross a cut spans sequences ``start_seq..end_seq``
-    (inclusive; both = token offsets div capacity). Zero-token docs
-    land wholly in the sequence at their offset (start == end)."""
+    n_tokens, start_off, start_seq, end_seq) where the concatenated
+    token stream (``id_col`` order) is cut every ``capacity`` tokens —
+    a doc whose tokens cross a cut spans sequences
+    ``start_seq..end_seq`` (inclusive; both = token offsets div
+    capacity; ``start_off`` is the doc's global token offset, the
+    input ``packed_sequence_slices`` refines into per-sequence
+    slices). Zero-token docs land wholly in the sequence at their
+    offset (start == end)."""
     if tokens_col is None:
         from ..functions.text import n_tokens_expr
 
@@ -103,19 +111,55 @@ def pack_sequences(
     with_off = bucketed_cumsum(
         d, id_col, "n_tokens", bucket_width, out="start_off"
     )
+    cap = int(capacity)
     return with_off.select(
         id_col,
         "n_tokens",
-        (F.col("start_off") / capacity).cast("bigint").alias("start_seq"),
-        (
-            F.greatest(
-                F.col("start_off"),
-                F.col("start_off") + F.col("n_tokens") - 1,
-            )
-            / capacity
+        F.col("start_off").alias("start_off"),
+        F.expr(f"start_off div {cap}").alias("start_seq"),
+        F.expr(
+            f"greatest(start_off, start_off + n_tokens - 1) div {cap}"
+        ).alias("end_seq"),
+    )
+
+
+def packed_sequence_slices(
+    spans: DataFrame, capacity: int, id_col: str = "doc_id"
+) -> DataFrame:
+    """The trainer hand-off relation: one row per (sequence, document)
+    the document touches — (seq, id_col, start_in_seq,
+    n_tokens_in_seq), i.e. exactly WHERE inside each packed sequence
+    the document's tokens sit, the attention-mask boundary input
+    ``pack_sequences``'s span view only implies.
+
+    Pure integer interval arithmetic over the spans' global offsets:
+    a doc occupying global tokens ``[start_off, start_off+n_tokens)``
+    contributes to sequence ``s`` the intersection with ``[s*capacity,
+    (s+1)*capacity)``. Invariants (oracle-checkable, q258): per-seq
+    slices sum to ``capacity`` on every sequence except the final
+    partial one; per-doc slices sum to ``n_tokens``; zero-token docs
+    keep one zero-length row at their offset.
+
+    Input must be ``pack_sequences`` output (needs ``start_off``)."""
+    cap = int(capacity)
+    s_lo = F.col("seq") * cap
+    lo = F.greatest(F.col("start_off"), s_lo)
+    hi = F.least(F.col("start_off") + F.col("n_tokens"), s_lo + cap)
+    return (
+        spans.select(
+            id_col,
+            "n_tokens",
+            "start_off",
+            F.explode(
+                F.sequence(F.col("start_seq"), F.col("end_seq"))
+            ).alias("seq"),
         )
-        .cast("bigint")
-        .alias("end_seq"),
+        .select(
+            F.col("seq").cast("bigint").alias("seq"),
+            id_col,
+            (lo - s_lo).cast("bigint").alias("start_in_seq"),
+            (hi - lo).cast("bigint").alias("n_tokens_in_seq"),
+        )
     )
 
 

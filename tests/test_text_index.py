@@ -914,3 +914,85 @@ def test_ir_metrics_hand_checkable(spark):
     assert got[1] == (2, 1.0, dcg1 / idcg1, 1.0)
     assert got[2] == (1, 0.0, 0.0, 0.0)
     assert got[3] == (0, 0.0, 0.0, 1.0)
+
+
+def test_streaming_text_index_cdc_replay_invariance(spark, tmp_path):
+    """Re-running the CDC ingest stream over the SAME source (a fresh
+    query restarts epoch ids, so every batch — deletes included —
+    re-delivers with its original epoch) must leave the index
+    bit-identical: the batch's tombstones, adds, stats delta, and
+    epoch mark ride ONE CAS snapshot, so a redelivered delete epoch
+    can never land a fresh tombstone above an already-committed
+    re-add. Covers the two divergence shapes: delete+re-add of one id
+    in the SAME batch, and delete in one epoch with the re-add in a
+    LATER epoch (the whole-source replay pattern)."""
+    import time
+
+    from etl_job_applify_spark.functions.text_index import (
+        text_index_stats,
+    )
+    from etl_job_applify_spark.sinks.versioned import list_versions
+    from etl_job_applify_spark.streaming import (
+        run_text_index_ingest_stream,
+    )
+
+    idx = str(tmp_path / "tidx_cdc_replay")
+    b0 = _docs(spark, start=0, n=10).withColumn("op", F.lit("add"))
+    # epoch 1: delete docs 3 and 5; re-add doc 3 in the SAME batch
+    b1 = spark.createDataFrame(
+        [
+            (3, "x", "delete"),
+            (5, "x", "delete"),
+            (3, "hash join hash readded", "add"),
+        ],
+        "doc_id long, text string, op string",
+    )
+    # epoch 2: re-add doc 5 (delete landed one epoch earlier)
+    b2 = spark.createDataFrame(
+        [(5, "sort merge scan readded", "add")],
+        "doc_id long, text string, op string",
+    )
+    src = tmp_path / "src_cdc_replay"
+    src.mkdir()
+    for i, df in enumerate([b0, b1, b2]):
+        if i:
+            time.sleep(1.1)  # file-source ordering is mtime-based
+        df.coalesce(1).write.parquet(str(src / f"b{i}.parquet"))
+
+    def fresh_stream():
+        return (
+            spark.readStream.schema(b0.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src) + "/*.parquet")
+        )
+
+    run_text_index_ingest_stream(fresh_stream(), idx, op_col="op")
+    first_scores = _score_map(text_index_bm25(spark, idx, _qterms(spark)))
+    first_stats = text_index_stats(spark, idx)
+    first_versions = list_versions(spark, idx)
+
+    # the state equals the recompute over the surviving corpus: both
+    # re-adds live with their NEW text, the originals suppressed
+    survivors = (
+        _docs(spark, start=0, n=10)
+        .filter("doc_id NOT IN (3, 5)")
+        .unionByName(
+            spark.createDataFrame(
+                [
+                    (3, "hash join hash readded"),
+                    (5, "sort merge scan readded"),
+                ],
+                "doc_id long, text string",
+            )
+        )
+    )
+    want = _score_map(bm25_scores(survivors, _qterms(spark), id_col="doc_id"))
+    assert first_scores == want
+    assert first_stats["n_docs"] == 10
+
+    # whole-source replay: every epoch (0, 1, 2) redelivers — the
+    # delete epoch 1 now arrives AFTER doc 5's re-add is committed
+    run_text_index_ingest_stream(fresh_stream(), idx, op_col="op")
+    assert list_versions(spark, idx) == first_versions  # nothing committed
+    assert text_index_stats(spark, idx) == first_stats
+    assert _score_map(text_index_bm25(spark, idx, _qterms(spark))) == want
