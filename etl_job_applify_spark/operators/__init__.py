@@ -4,6 +4,7 @@ from .sessionize import sessionize
 from .range_join import range_join
 from .scd2 import scd2_apply, scd2_intervals
 from .components import cc_update, connected_components
+from .kcore import k_core, k_core_update
 from .scc import strongly_connected_components
 from .salting import (
     differential_salted_join,
@@ -17,6 +18,8 @@ from .triangles import (
     TriangleStats,
     approx_triangle_stats,
     triangle_stats,
+    TriangleCounts,
+    triangle_update,
 )
 
 __all__ = [
@@ -28,6 +31,8 @@ __all__ = [
     "scd2_intervals",
     "cc_update",
     "connected_components",
+    "k_core",
+    "k_core_update",
     "strongly_connected_components",
     "salted_agg_sum",
     "salted_join",
@@ -38,4 +43,6 @@ __all__ = [
     "TriangleStats",
     "approx_triangle_stats",
     "triangle_stats",
+    "TriangleCounts",
+    "triangle_update",
 ]

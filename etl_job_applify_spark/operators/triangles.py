@@ -211,6 +211,163 @@ def triangle_stats(
         pairs.unpersist()
 
 
+class TriangleCounts(NamedTuple):
+    n_edges: int
+    n_triangles: int
+    n_wedges: int
+
+
+def triangle_update(
+    all_edges: DataFrame,
+    new_edges: DataFrame,
+    prior: TriangleCounts,
+    src: str = "a",
+    dst: str = "b",
+) -> TriangleCounts:
+    """EXACT incremental maintenance of triangle/wedge counts under
+    edge arrivals — the ``cc_update`` discipline applied to the q167
+    kernel: given counts over the OLD edge set and the batch of
+    ``new_edges`` (``all_edges`` = old ∪ new, old ∩ new = ∅ as SETS —
+    an edge already counted must not reappear in a batch; the
+    streaming twin subtracts the stored set first), produce counts
+    over ``all_edges`` bit-identical to ``triangle_stats(all_edges)``
+    (pinned by tests and the q258 oracle = q167's one-shot SQL).
+
+    Delta triangles by per-new-edge common-neighbor counting with
+    inclusion–exclusion on edge freshness: a new triangle with exactly
+    j new edges is discovered j times, once per new edge, and each
+    sighting sees j-1 new edges among the two closing it — so
+    sightings bucket by that count (c0, c1, c2) and
+    Δ = c0 + c1/2 + c2/3 (both divisions exact by construction).
+    Delta wedges from the affected endpoints' degree changes only:
+    Σ [C(d,2) − C(d−δ,2)]. The disjointness contract is ENFORCED:
+    ``prior.n_edges + |batch|`` must equal ``|all_edges|`` (one count
+    on the already-persisted canonical set), so a batch containing an
+    already-counted edge raises instead of silently overcounting.
+
+    Scale posture: the kernel never re-enumerates history. The
+    adjacency relation is restricted to the batch's endpoint nodes by
+    two semi-joins (linear scans, frontier-keyed), so the two
+    common-neighbor joins exchange O(Σ_{(u,v)∈B} d(u)+d(v)) rows —
+    the change's neighborhood, not the graph. Self-loop-free input,
+    as for ``triangle_stats``; duplicates within the batch are
+    normalized away."""
+    allc = (
+        all_edges.select(
+            F.least(src, dst).alias("a"), F.greatest(src, dst).alias("b")
+        )
+        .distinct()
+        .persist()
+    )
+    newc = new_edges.select(
+        F.least(src, dst).alias("a"), F.greatest(src, dst).alias("b")
+    ).distinct()
+    new = allc.join(newc, ["a", "b"], "left_semi").persist()
+    try:
+        n_new = new.count()
+        n_all = allc.count()
+        if prior.n_edges + n_new != n_all:
+            raise ValueError(
+                "triangle_update disjointness contract violated: "
+                f"prior.n_edges ({prior.n_edges}) + batch ({n_new}) "
+                f"!= |all_edges| ({n_all}) — a batch edge was already "
+                "counted in `prior` (or all_edges is missing old "
+                "edges); pass only edges absent from the old set"
+            )
+        # flag every live edge with freshness, symmetrize to adjacency
+        flagged = allc.join(
+            newc.withColumn("__f", F.lit(1)), ["a", "b"], "left"
+        ).select("a", "b", F.coalesce("__f", F.lit(0)).alias("f"))
+        adj = flagged.select(
+            F.col("a").alias("node"), F.col("b").alias("x"), "f"
+        ).unionAll(
+            flagged.select(
+                F.col("b").alias("node"), F.col("a").alias("x"), "f"
+            )
+        )
+        # frontier restriction: only batch endpoints' neighborhoods
+        # ever leave the scan
+        adj_u = adj.join(
+            new.select(F.col("a").alias("node")).distinct(),
+            "node",
+            "left_semi",
+        )
+        adj_w = adj.join(
+            new.select(F.col("b").alias("node")).distinct(),
+            "node",
+            "left_semi",
+        )
+        sightings = (
+            new.join(
+                adj_u.select(
+                    F.col("node").alias("a"),
+                    F.col("x").alias("x"),
+                    F.col("f").alias("fu"),
+                ),
+                "a",
+            )
+            .filter(F.col("x") != F.col("b"))
+            .join(
+                adj_w.select(
+                    F.col("node").alias("b"),
+                    F.col("x").alias("x"),
+                    F.col("f").alias("fv"),
+                ),
+                ["b", "x"],
+            )
+        )
+        buckets = {
+            int(r["j"]): int(r["n"])
+            for r in sightings.select(
+                (F.col("fu") + F.col("fv")).alias("j")
+            )
+            .groupBy("j")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        }
+        c0, c1, c2 = (buckets.get(j, 0) for j in (0, 1, 2))
+        if c1 % 2 or c2 % 3:  # cannot happen on normalized input
+            raise AssertionError(
+                f"non-integral triangle sightings (c1={c1}, c2={c2})"
+            )
+        delta_tri = c0 + c1 // 2 + c2 // 3
+        # wedge delta from the batch endpoints' degree changes only
+        delta_deg = (
+            new.select(F.col("a").alias("v"))
+            .unionAll(new.select(F.col("b").alias("v")))
+            .groupBy("v")
+            .agg(F.count("*").alias("delta"))
+        )
+        d_now = (
+            allc.select(F.col("a").alias("v"))
+            .unionAll(allc.select(F.col("b").alias("v")))
+            .join(delta_deg.select("v"), "v", "left_semi")
+            .groupBy("v")
+            .agg(F.count("*").alias("d"))
+        )
+        delta_wedges = int(
+            d_now.join(delta_deg, "v")
+            .agg(
+                F.sum(
+                    F.expr(
+                        "(d * (d - 1) - (d - delta) * (d - delta - 1))"
+                        " div 2"
+                    ).cast("bigint")
+                )
+            )
+            .first()[0]
+            or 0
+        )
+        return TriangleCounts(
+            prior.n_edges + n_new,
+            prior.n_triangles + delta_tri,
+            prior.n_wedges + delta_wedges,
+        )
+    finally:
+        new.unpersist()
+        allc.unpersist()
+
+
 class ApproxTriangleStats(NamedTuple):
     n_sampled_edges: int
     n_triangles_sampled: int   # exact count on the sampled subgraph

@@ -1327,3 +1327,84 @@ _Q205_SQL = _lpa_sql()
 
 QUERIES["q205_lpa_communities"] = q205_lpa_communities
 ORACLE["q205_lpa_communities"] = _Q205_SQL
+
+
+# --- q258: INCREMENTAL triangle counting ≡ one-shot ------------------------
+# q167's exact semantics maintained incrementally (operators/triangles
+# triangle_update — the kernel behind streaming/jobs.py
+# run_triangle_stream): the co-purchase edges are time-split by a
+# deterministic predicate ((a + b) % 2, the "edges discovered later"
+# batch), counts are founded on the first half with the one-shot
+# kernel and UPDATED with the second, and the result must equal q167's
+# uninterrupted answer — the oracle IS q167's SQL, so the gate proves
+# incremental ≡ one-shot bit-for-bit. The update's work is the batch
+# edges' common-neighbor sightings (inclusion-exclusion on edge
+# freshness) plus the affected endpoints' degree deltas — never a
+# re-count of history, the steady state the top bench line (q167,
+# ~6 s full recompute) needs at 100 TB.
+
+def q258_incremental_triangles(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators.triangles import (
+        TriangleCounts,
+        triangle_stats,
+        triangle_update,
+    )
+
+    pairs = _copurchase_pairs(spark, sf_dir).localCheckpoint()
+    first = pairs.filter((F.col("a") + F.col("b")) % 2 == 0)
+    second = pairs.filter((F.col("a") + F.col("b")) % 2 == 1)
+    st = triangle_stats(first)
+    prior = TriangleCounts(st.n_edges, st.n_triangles, st.n_wedges)
+    got = triangle_update(pairs, second, prior)
+    out = spark.createDataFrame(
+        [tuple(got)],
+        "n_edges bigint, n_triangles bigint, n_wedges bigint",
+    )
+    return out.withColumn(
+        "global_clustering",
+        F.expr(
+            "CAST(3 * n_triangles AS DOUBLE) / CAST(n_wedges AS DOUBLE)"
+        ),
+    )
+
+
+QUERIES["q258_incremental_triangles"] = q258_incremental_triangles
+# incremental ≡ one-shot: the oracle is q167's uninterrupted SQL
+ORACLE["q258_incremental_triangles"] = _Q167_SQL
+
+
+# --- q259: INCREMENTAL k-core ≡ one-shot ------------------------------------
+# q193's exact semantics maintained incrementally (operators/kcore
+# k_core / k_core_update — the kernel behind streaming/jobs.py
+# run_kcore_stream): same time-split discipline; the 3-core members
+# are founded on the first half and UPDATED with the second (GROW the
+# eligible region from the batch endpoints, PEEL it to the maximal
+# fixpoint — insertion can only grow a core), and the reported
+# (n_core_nodes, n_core_edges) must equal q193's uninterrupted
+# answer — the oracle IS q193's SQL. `converged` is literally true:
+# the incremental kernel runs to the fixpoint by construction (and
+# raises rather than emitting a bounded-peel artifact).
+
+def q259_incremental_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    K = 3
+    from ..operators.kcore import k_core, k_core_update
+
+    pairs = _copurchase_pairs(spark, sf_dir).localCheckpoint()
+    first = pairs.filter((F.col("a") + F.col("b")) % 2 == 0)
+    second = pairs.filter((F.col("a") + F.col("b")) % 2 == 1)
+    base = k_core(first, K)
+    members = k_core_update(pairs, second, base, K).localCheckpoint()
+    core_edges = pairs.join(
+        members.withColumnRenamed("node", "a"), "a", "left_semi"
+    ).join(members.withColumnRenamed("node", "b"), "b", "left_semi")
+    return spark.createDataFrame(
+        [(members.count(), core_edges.count(), True)],
+        "n_core_nodes bigint, n_core_edges bigint, converged boolean",
+    )
+
+
+QUERIES["q259_incremental_kcore"] = q259_incremental_kcore
+# incremental ≡ one-shot: the oracle is q193's uninterrupted SQL
+ORACLE["q259_incremental_kcore"] = _Q193_SQL

@@ -1070,6 +1070,168 @@ def run_components_stream(
         q.stop()
 
 
+def run_triangle_stream(
+    pairs_stream: DataFrame,
+    state_dir: str,
+    src: str = "a",
+    dst: str = "b",
+    writer_id: str = "tri",
+) -> None:
+    """Streaming triangle/wedge-count maintenance: every micro-batch of
+    undirected edges folds into a persisted edge set AND a persisted
+    one-row counts table, so after each epoch ``<state_dir>/counts``
+    holds EXACTLY ``triangle_stats(all edges so far)``'s
+    (n_edges, n_triangles, n_wedges) — maintained by the incremental
+    kernel (``operators/triangles.py triangle_update``): per batch the
+    work is the new edges' common-neighbor sightings plus the affected
+    endpoints' degree deltas, never a re-count of history (the
+    q252/q253 discipline applied to q167's kernel).
+
+    Triangle deltas are NOT idempotent under edge redelivery (unlike
+    min-label CC), so the edge fold tags each edge with the epoch that
+    FIRST delivered it (``first_epoch``) and drops re-deliveries; the
+    counts merge derives its batch as ``first_epoch == epoch`` from
+    the already-committed edge head — a deterministic function of
+    head + epoch, which is what makes the crash-between-folds replay
+    exact. Both folds ride the epoch-fenced CAS skeleton
+    (``_fold_with_fence``); batch parity and replay invariance are
+    test-pinned. Founding (epoch with no prior counts) runs the
+    one-shot kernel over the head."""
+    import os
+
+    from ..operators.triangles import (
+        TriangleCounts,
+        triangle_stats,
+        triangle_update,
+    )
+    from ..sinks.versioned import read_table
+
+    edges_path = os.path.join(state_dir, "edges")
+    counts_path = os.path.join(state_dir, "counts")
+    counts_schema = "n_edges bigint, n_triangles bigint, n_wedges bigint"
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        batch = (
+            batch_df.select(
+                F.least(src, dst).alias("a"),
+                F.greatest(src, dst).alias("b"),
+            )
+            .filter(F.col("a") != F.col("b"))
+            .distinct()
+        )
+
+        def fold_edges(base: DataFrame | None) -> DataFrame:
+            tagged = batch.withColumn(
+                "first_epoch", F.lit(int(epoch_id)).cast("bigint")
+            )
+            if base is None:
+                return tagged
+            fresh = tagged.join(
+                base.select("a", "b"), ["a", "b"], "left_anti"
+            )
+            return base.unionByName(fresh)
+
+        _fold_with_fence(
+            spark, edges_path, writer_id + "_edges", epoch_id, fold_edges
+        )
+        head = read_table(spark, edges_path)
+
+        def merge(base_counts: DataFrame | None) -> DataFrame:
+            if base_counts is None:
+                st = triangle_stats(head.select("a", "b"))
+                return spark.createDataFrame(
+                    [(st.n_edges, st.n_triangles, st.n_wedges)],
+                    counts_schema,
+                )
+            r = base_counts.first()
+            prior = TriangleCounts(
+                int(r["n_edges"]),
+                int(r["n_triangles"]),
+                int(r["n_wedges"]),
+            )
+            batch_new = head.filter(
+                F.col("first_epoch") == int(epoch_id)
+            ).select("a", "b")
+            got = triangle_update(
+                head.select("a", "b"), batch_new, prior
+            )
+            return spark.createDataFrame([tuple(got)], counts_schema)
+
+        _fold_with_fence(spark, counts_path, writer_id, epoch_id, merge)
+
+    q = pairs_stream.writeStream.foreachBatch(sink).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+
+def run_kcore_stream(
+    pairs_stream: DataFrame,
+    state_dir: str,
+    k: int,
+    src: str = "a",
+    dst: str = "b",
+    max_iter: int = 50,
+    writer_id: str = "kcore",
+) -> None:
+    """Streaming k-core membership maintenance: every micro-batch of
+    undirected edges folds into a persisted edge set AND a persisted
+    (node) member table, so after each epoch ``<state_dir>/core`` is
+    EXACTLY ``k_core(all edges so far, k)`` — maintained incrementally
+    (``operators/kcore.py k_core_update``): insertion can only GROW
+    the core, so each batch re-peels only the eligible region reached
+    from its endpoints, never history.
+
+    ``k_core_update`` is exact for any candidate region that covers
+    the joining set, so redelivered/duplicate edges are harmless and
+    the edge fold stays the plain distinct union (no epoch tagging
+    needed — contrast ``run_triangle_stream``). Both folds ride the
+    epoch-fenced CAS skeleton; batch parity and replay invariance are
+    test-pinned."""
+    import os
+
+    from ..operators.kcore import k_core, k_core_update
+    from ..sinks.versioned import read_table
+
+    edges_path = os.path.join(state_dir, "edges")
+    core_path = os.path.join(state_dir, "core")
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        batch = batch_df.select(src, dst)
+        _fold_with_fence(
+            spark, edges_path, writer_id + "_edges", epoch_id,
+            lambda base: (
+                batch
+                if base is None
+                else base.unionByName(batch).distinct()
+            ),
+        )
+        head = read_table(spark, edges_path)
+
+        def merge(base_core: DataFrame | None) -> DataFrame:
+            if base_core is None:
+                return k_core(head, k, src=src, dst=dst, max_iter=max_iter)
+            return k_core_update(
+                head, batch, base_core, k,
+                src=src, dst=dst, max_iter=max_iter,
+            )
+
+        _fold_with_fence(spark, core_path, writer_id, epoch_id, merge)
+
+    q = pairs_stream.writeStream.foreachBatch(sink).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+
 def run_cms_sketch_stream(
     items_stream: DataFrame,
     sketch_dir: str,

@@ -504,3 +504,243 @@ def test_streaming_components_replay_invariance(spark, tmp_path):
     )
     assert labels1 == labels2 == [(1, 1), (2, 1), (3, 1), (10, 1)]
     assert edges1 == edges2
+
+
+def test_triangle_update_equals_recompute(spark):
+    """Incremental triangle/wedge maintenance: updating prior counts
+    with a batch of new edges is bit-identical to recomputing from
+    scratch — across every freshness shape (new triangles with 1, 2,
+    and 3 new edges, new nodes, duplicate batch rows), plus founding
+    from empty prior and the non-disjoint-batch guard."""
+    import pyspark.sql.functions as F
+    import pytest
+
+    from etl_job_applify_spark.operators.triangles import (
+        TriangleCounts,
+        triangle_stats,
+        triangle_update,
+    )
+
+    old = [(1, 2), (1, 3), (1, 4), (2, 3), (4, 5), (6, 7), (8, 9)]
+    # batch shapes: (2,4) closes 1-2-4 and 2-3?-no (1 new edge,
+    # 2 old); (5,6)+(5,7) with old (6,7) -> triangle with 2 new edges;
+    # (10,11),(10,12),(11,12) -> all-new triangle on new nodes;
+    # (9,9)-free, (8,9) dup of old is EXCLUDED (guard tested apart);
+    # duplicate batch row (2,4) twice normalizes away
+    new = [(2, 4), (2, 4), (5, 6), (5, 7), (10, 11), (10, 12), (11, 12)]
+    old_df = spark.createDataFrame(old, "a long, b long")
+    new_df = spark.createDataFrame(new, "a long, b long")
+    all_df = old_df.unionByName(new_df).distinct()
+
+    prior_st = triangle_stats(old_df)
+    prior = TriangleCounts(
+        prior_st.n_edges, prior_st.n_triangles, prior_st.n_wedges
+    )
+    got = triangle_update(all_df, new_df, prior)
+    want = triangle_stats(all_df)
+    assert got == TriangleCounts(
+        want.n_edges, want.n_triangles, want.n_wedges
+    )
+    assert got.n_triangles > prior.n_triangles  # the batch added some
+
+    # founding: empty prior + the whole edge set through the same path
+    founded = triangle_update(
+        all_df, all_df, TriangleCounts(0, 0, 0)
+    )
+    assert founded == got
+
+    # reversed-orientation batch rows normalize (least/greatest)
+    rev = new_df.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    assert triangle_update(all_df, rev, prior) == got
+
+    # disjointness contract enforced: a batch edge already counted in
+    # prior makes prior.n_edges + |batch| exceed |all| and raises
+    bad_prior = TriangleCounts(
+        want.n_edges, want.n_triangles, want.n_wedges
+    )
+    with pytest.raises(ValueError, match="already counted"):
+        triangle_update(
+            all_df,
+            spark.createDataFrame([(5, 6)], "a long, b long"),
+            bad_prior,
+        )
+
+
+def test_k_core_fixpoint_matches_brute(spark):
+    """k_core peels to the fixpoint: K4 plus a tail — the 3-core is
+    exactly the K4 (tail peels away in a cascade), the 5-core is
+    empty; a cycle's 2-core is the whole cycle."""
+    from etl_job_applify_spark.operators.kcore import k_core
+
+    edges = spark.createDataFrame(
+        # K4 on 1-4, tail 4-5-6 (cascade: 6 then 5 peel at k=2... at
+        # k=3 both peel), pendant 7 on 1
+        [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4),
+         (4, 5), (5, 6), (1, 7)],
+        "a long, b long",
+    )
+    assert {r["node"] for r in k_core(edges, 3).collect()} == {1, 2, 3, 4}
+    assert k_core(edges, 5).count() == 0
+    cyc = spark.createDataFrame(
+        [(10, 11), (11, 12), (12, 13), (13, 10)], "a long, b long"
+    )
+    assert {r["node"] for r in k_core(cyc, 2).collect()} == {10, 11, 12, 13}
+
+
+def test_k_core_update_equals_recompute(spark):
+    """Incremental k-core: updating the stored members with an edge
+    batch is bit-identical to recomputing — including a batch that
+    CASCADES membership through old nodes (the new edge raises one
+    degree, which keeps a neighbor, which keeps ITS neighbor), a
+    batch of duplicate/already-present edges (no-op), and one that
+    only touches the existing core."""
+    from etl_job_applify_spark.operators.kcore import k_core, k_core_update
+
+    # old graph: K4 on 1-4; chain 4-5, 5-6, 6-2, plus 5-2: at k=3 the
+    # old core is just the K4 (5 has deg 3 but neighbors 4,6,2: 6 has
+    # deg 2 -> 6 peels -> 5 drops to 2 -> peels)
+    old = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4),
+         (4, 5), (5, 6), (6, 2), (5, 2)],
+        "a long, b long",
+    )
+    base = k_core(old, 3)
+    assert {r["node"] for r in base.collect()} == {1, 2, 3, 4}
+    # batch: 6-4 raises 6 to degree 3 (neighbors 5, 2, 4) — now 5 and
+    # 6 BOTH survive at k=3 (5: 4,6,2; 6: 5,2,4): a two-node cascade
+    new = spark.createDataFrame([(6, 4)], "a long, b long")
+    alle = old.unionByName(new)
+    got = {r["node"] for r in k_core_update(alle, new, base, 3).collect()}
+    want = {r["node"] for r in k_core(alle, 3).collect()}
+    assert got == want
+    assert got == {1, 2, 3, 4, 5, 6}
+
+    # replayed/duplicate batch: already-present edges are a no-op
+    relabeled = spark.createDataFrame(
+        sorted((n,) for n in got), "node long"
+    )
+    again = {
+        r["node"]
+        for r in k_core_update(alle, new, relabeled, 3).collect()
+    }
+    assert again == want
+
+    # a batch entirely inside the core changes nothing at k=3... and
+    # a batch to a brand-new low-degree node neither
+    iso = spark.createDataFrame([(1, 99)], "a long, b long")
+    got2 = {
+        r["node"]
+        for r in k_core_update(
+            alle.unionByName(iso), iso, relabeled, 3
+        ).collect()
+    }
+    assert got2 == want
+
+
+def test_streaming_triangles_batch_parity_and_replay(spark, tmp_path):
+    """run_triangle_stream over time-split edge batches: the persisted
+    counts head equals triangle_stats over all edges (batch parity),
+    a cross-epoch REDELIVERED edge is first-epoch-deduped (not
+    double-counted), and a whole-source replay leaves both tables
+    bit-identical (replay invariance)."""
+    import time
+
+    from etl_job_applify_spark.operators.triangles import triangle_stats
+    from etl_job_applify_spark.sinks.versioned import read_table
+    from etl_job_applify_spark.streaming import run_triangle_stream
+
+    src_dir = tmp_path / "src"
+    src_dir.mkdir()
+    state = str(tmp_path / "state")
+    # b0: K3 {1,2,3}; b1 re-delivers (1,2) (cross-epoch dup) and
+    # closes two more triangles via 4; b2 adds an all-new K3 {7,8,9}
+    b0 = [(1, 2), (1, 3), (2, 3)]
+    b1 = [(1, 2), (1, 4), (2, 4), (3, 4)]
+    b2 = [(7, 8), (7, 9), (8, 9)]
+    for i, rows in enumerate([b0, b1, b2]):
+        if i:
+            time.sleep(1.1)
+        spark.createDataFrame(rows, "a long, b long").coalesce(
+            1
+        ).write.parquet(str(src_dir / f"b{i}.parquet"))
+
+    def run():
+        stream = (
+            spark.readStream.schema("a long, b long")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src_dir) + "/*.parquet")
+        )
+        run_triangle_stream(stream, state)
+
+    run()
+    got = read_table(spark, state + "/counts").first()
+    alle = spark.createDataFrame(
+        sorted(set(b0 + b1 + b2)), "a long, b long"
+    )
+    want = triangle_stats(alle)
+    assert (
+        got["n_edges"], got["n_triangles"], got["n_wedges"]
+    ) == (want.n_edges, want.n_triangles, want.n_wedges)
+    assert got["n_triangles"] == 5  # K4 holds 4, plus the new K3
+    edges1 = sorted(
+        tuple(r) for r in read_table(spark, state + "/edges").collect()
+    )
+    # the cross-epoch dup kept its FIRST epoch tag
+    assert (1, 2, 0) in edges1 and (1, 4, 1) in edges1
+
+    run()  # whole-source replay: epochs 0..2 again
+    got2 = read_table(spark, state + "/counts").first()
+    assert tuple(got2) == tuple(got)
+    edges2 = sorted(
+        tuple(r) for r in read_table(spark, state + "/edges").collect()
+    )
+    assert edges1 == edges2
+
+
+def test_streaming_kcore_batch_parity_and_replay(spark, tmp_path):
+    """run_kcore_stream over time-split edge batches: the persisted
+    member head equals k_core over all edges — including a batch that
+    cascades old nodes INTO the core — and a whole-source replay is a
+    no-op per table."""
+    import time
+
+    from etl_job_applify_spark.operators.kcore import k_core
+    from etl_job_applify_spark.sinks.versioned import read_table
+    from etl_job_applify_spark.streaming import run_kcore_stream
+
+    src_dir = tmp_path / "src"
+    src_dir.mkdir()
+    state = str(tmp_path / "state")
+    # b0: K4 on 1-4 plus the 4-5-6-2/5-2 tail (3-core = K4 only);
+    # b1: 6-4 cascades 5 AND 6 into the 3-core
+    b0 = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4),
+          (4, 5), (5, 6), (6, 2), (5, 2)]
+    b1 = [(6, 4)]
+    for i, rows in enumerate([b0, b1]):
+        if i:
+            time.sleep(1.1)
+        spark.createDataFrame(rows, "a long, b long").coalesce(
+            1
+        ).write.parquet(str(src_dir / f"b{i}.parquet"))
+
+    def run():
+        stream = (
+            spark.readStream.schema("a long, b long")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src_dir) + "/*.parquet")
+        )
+        run_kcore_stream(stream, state, k=3)
+
+    run()
+    got = sorted(
+        r["node"] for r in read_table(spark, state + "/core").collect()
+    )
+    alle = spark.createDataFrame(sorted(set(b0 + b1)), "a long, b long")
+    want = sorted(r["node"] for r in k_core(alle, 3).collect())
+    assert got == want == [1, 2, 3, 4, 5, 6]
+
+    run()  # whole-source replay
+    got2 = sorted(
+        r["node"] for r in read_table(spark, state + "/core").collect()
+    )
+    assert got2 == got
