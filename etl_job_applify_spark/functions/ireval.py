@@ -33,10 +33,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-#: one DCG term on the exact decimal grid: (2^grade - 1) / log2(pos+1)
-_DCG_TERM = (
-    "CAST((pow(2.0D, CAST({g} AS DOUBLE)) - 1.0D)"
-    " / log2(CAST({pos} AS DOUBLE) + 1.0D) AS DECIMAL(28,6))"
+from .exact import decimal_sum_expr
+
+#: one DCG term (quantized by decimal_sum_expr at the aggregation):
+#: (2^grade - 1) / log2(pos + 1)
+_DCG_RAW = (
+    "(pow(2.0D, CAST({g} AS DOUBLE)) - 1.0D)"
+    " / log2(CAST({pos} AS DOUBLE) + 1.0D)"
 )
 
 
@@ -63,9 +66,7 @@ def ir_metrics(
             ).otherwise(F.lit(0.0))
         ).alias("mrr"),
         F.expr(
-            "CAST(SUM("
-            + _DCG_TERM.format(g="__g", pos=rank_col)
-            + ") AS DOUBLE)"
+            decimal_sum_expr(_DCG_RAW.format(g="__g", pos=rank_col))
         ).alias("__dcg"),
         F.sum((F.col("__g") > 0).cast("bigint")).alias("__rel_found"),
     )
@@ -78,9 +79,9 @@ def ir_metrics(
         .groupBy(qid)
         .agg(
             F.expr(
-                "CAST(SUM("
-                + _DCG_TERM.format(g=grade_col, pos="__pos")
-                + ") AS DOUBLE)"
+                decimal_sum_expr(
+                    _DCG_RAW.format(g=grade_col, pos="__pos")
+                )
             ).alias("__idcg")
         )
     )

@@ -79,12 +79,12 @@ def _contrib_expr(k1: float, b: float, scoring: str = "odds") -> str:
     whose SUM is the score. Shared verbatim by the scoring join and the
     pruned-top-k bounds so the bound-dominates-score inequality holds in
     EXACT decimal arithmetic (see ``bm25_topk_pruned``)."""
-    return (
-        "CAST("
-        f" {_idf_expr(scoring)}"
+    from .exact import quantize_expr
+
+    return quantize_expr(
+        f"{_idf_expr(scoring)}"
         f" * (tf * {_e(k1 + 1)})"
         f" / (tf + {_e(k1)} * ({_e(1 - b)} + {_e(b)} * dl / avgdl))"
-        " AS DECIMAL(28,6))"
     )
 
 

@@ -37,16 +37,16 @@ def tbl(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def DSUM(expr: str, scale: int = 6) -> str:
-    """Exact distributed sum of a double expression, surfaced as DOUBLE."""
-    return f"CAST(SUM(CAST(({expr}) AS DECIMAL(28,{scale}))) AS DOUBLE)"
+    """Exact distributed sum of a double expression, surfaced as DOUBLE
+    (the shared grid contract: functions/exact.py)."""
+    from ..functions.exact import decimal_sum_expr
+
+    return decimal_sum_expr(expr, scale=scale)
 
 
 def DAVG(expr: str, scale: int = 6) -> str:
     """Exact-sum average: deterministic DOUBLE division at the end."""
-    return (
-        f"CAST(SUM(CAST(({expr}) AS DECIMAL(28,{scale}))) AS DOUBLE)"
-        f" / COUNT({expr})"
-    )
+    return f"{DSUM(expr, scale)} / COUNT({expr})"
 
 
 def DSUM_PINNED(expr: str) -> str:
@@ -59,7 +59,9 @@ def DSUM_PINNED(expr: str) -> str:
     bits (see relational3.py q89). Use this instead of DSUM whenever the
     accumulated magnitude can cross 2^53 (e.g. squared-price sums).
     """
-    return f"CAST(CAST(SUM(CAST(({expr}) AS DECIMAL(28,6))) AS STRING) AS DOUBLE)"
+    from ..functions.exact import decimal_sum_expr
+
+    return decimal_sum_expr(expr, pinned=True)
 
 
 def dsum(expr: str, alias: str):

@@ -477,7 +477,9 @@ def q255_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_Q255_SQL = """
+# the train → score → argmax CTE chain shared by q255 (per-doc
+# predictions) and q261 (per-class evaluation harness)
+_NB_CTE = """
 WITH train AS (SELECT * FROM documents WHERE doc_id % 3 <> 0),
 test AS (SELECT * FROM documents WHERE doc_id % 3 = 0),
 toks AS (
@@ -520,6 +522,9 @@ pred AS (
   FROM best b JOIN scores s ON s.doc_id = b.doc_id AND s.score = b.score
   GROUP BY 1, 2
 )
+"""
+
+_Q255_SQL = _NB_CTE + """
 SELECT p.doc_id, p.pred, t.lang AS truth,
        p.pred = t.lang AS correct, p.score
 FROM pred p JOIN test t ON t.doc_id = p.doc_id
@@ -528,3 +533,77 @@ ORDER BY p.doc_id
 
 QUERIES["q255_naive_bayes"] = q255_naive_bayes
 ORACLE["q255_naive_bayes"] = _Q255_SQL
+
+
+# --- q261: NB evaluation harness (precision / recall / F1) -----------------
+# q255 composed with q256's measurement discipline: the held-out
+# predictions meet their gold labels, and the per-class confusion
+# margins (tp / fp / fn, exact integers) derive precision, recall and
+# F1 (single IEEE divisions of those integers — deterministic in any
+# engine, so the oracle replays the whole chain trivially). The
+# scikit-learn zero_division=0 conventions: precision 0 when a class
+# was never predicted, recall 0 when it never appears in gold. Closes
+# the classifier loop the way q256 closed retrieval
+# (transform/nbayes.py nb_evaluate / nb_confusion).
+
+def q261_nb_evaluation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..transform.nbayes import (
+        nb_evaluate,
+        nb_predict,
+        nb_score,
+        nb_train,
+    )
+
+    docs = tbl(spark, sf_dir, "documents")
+    train = docs.filter(F.col("doc_id") % 3 != 0)
+    test = docs.filter(F.col("doc_id") % 3 == 0)
+    wc, cs, vocab, n = nb_train(train, "lang")
+    pred = nb_predict(nb_score(test, wc, cs, vocab, n))
+    gold = test.select("doc_id", F.col("lang").alias("label"))
+    return nb_evaluate(pred, gold).orderBy("label")
+
+
+_Q261_SQL = _NB_CTE + """
+, judged AS (
+  SELECT p.pred, t.lang AS gold
+  FROM pred p JOIN test t ON t.doc_id = p.doc_id
+),
+bg AS (
+  SELECT gold AS label, CAST(COUNT(*) AS BIGINT) AS n_gold,
+         CAST(SUM(CASE WHEN pred = gold THEN 1 ELSE 0 END) AS BIGINT)
+           AS tp
+  FROM judged GROUP BY 1
+),
+bp AS (
+  SELECT pred AS label, CAST(COUNT(*) AS BIGINT) AS n_pred
+  FROM judged GROUP BY 1
+),
+m AS (
+  SELECT COALESCE(bg.label, bp.label) AS label,
+         CAST(COALESCE(bg.n_gold, 0) AS BIGINT) AS n_gold,
+         CAST(COALESCE(bp.n_pred, 0) AS BIGINT) AS n_pred,
+         CAST(COALESCE(bg.tp, 0) AS BIGINT) AS tp
+  FROM bg FULL OUTER JOIN bp ON bg.label = bp.label
+),
+r AS (
+  SELECT label, n_gold, n_pred, tp,
+         CAST(n_pred - tp AS BIGINT) AS fp,
+         CAST(n_gold - tp AS BIGINT) AS fn,
+         CASE WHEN n_pred > 0
+              THEN CAST(tp AS DOUBLE) / CAST(n_pred AS DOUBLE)
+              ELSE 0.0 END AS precision,
+         CASE WHEN n_gold > 0
+              THEN CAST(tp AS DOUBLE) / CAST(n_gold AS DOUBLE)
+              ELSE 0.0 END AS recall
+  FROM m
+)
+SELECT label, n_gold, n_pred, tp, fp, fn, precision, recall,
+       CASE WHEN precision + recall > 0
+            THEN 2.0 * precision * recall / (precision + recall)
+            ELSE 0.0 END AS f1
+FROM r
+ORDER BY label
+"""
+
+QUERIES["q261_nb_evaluation"] = q261_nb_evaluation
+ORACLE["q261_nb_evaluation"] = _Q261_SQL

@@ -986,3 +986,67 @@ ORDER BY d.event_id
 
 QUERIES["q257_robust_anomalies"] = q257_robust_anomalies
 ORACLE["q257_robust_anomalies"] = _Q257_SQL
+
+
+# --- q260: packed-sequence slice relation (the trainer hand-off) -----------
+# q254 assigns docs to packed-sequence SPANS; the trainer also needs
+# exactly WHERE inside each sequence every document's tokens sit — the
+# (seq, doc, start_in_seq, n_tokens_in_seq) relation whose slice
+# boundaries are the attention-mask breakpoints
+# (transform/packing.py packed_sequence_slices). Pure integer interval
+# arithmetic over the same bucketed cumsum, so the DuckDB oracle
+# (q254's CTE extended one level) replays it bit-for-bit; invariants
+# the relation carries: per-seq slices sum to capacity except the
+# final partial sequence, per-doc slices sum to n_tokens.
+
+def q260_sequence_slices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..transform.packing import pack_sequences, packed_sequence_slices
+
+    docs = tbl(spark, sf_dir, "documents")
+    spans = pack_sequences(docs, capacity=_Q254_CAP)
+    return packed_sequence_slices(spans, _Q254_CAP).select(
+        "seq",
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        "start_in_seq",
+        "n_tokens_in_seq",
+    )
+
+
+_Q260_SQL = f"""
+WITH d AS (
+  SELECT doc_id,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+off AS (
+  SELECT doc_id, n_tokens,
+         CAST(COALESCE(SUM(n_tokens) OVER (
+           ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         AS BIGINT) AS start_off
+  FROM d
+),
+spans AS (
+  SELECT doc_id, n_tokens, start_off,
+         CAST(start_off // {_Q254_CAP} AS BIGINT) AS start_seq,
+         CAST(GREATEST(start_off, start_off + n_tokens - 1)
+              // {_Q254_CAP} AS BIGINT) AS end_seq
+  FROM off
+),
+ex AS (
+  SELECT doc_id, n_tokens, start_off,
+         unnest(range(start_seq, end_seq + 1)) AS seq
+  FROM spans
+)
+SELECT CAST(seq AS BIGINT) AS seq,
+       doc_id,
+       CAST(GREATEST(start_off, seq * {_Q254_CAP})
+            - seq * {_Q254_CAP} AS BIGINT) AS start_in_seq,
+       CAST(LEAST(start_off + n_tokens, (seq + 1) * {_Q254_CAP})
+            - GREATEST(start_off, seq * {_Q254_CAP})
+            AS BIGINT) AS n_tokens_in_seq
+FROM ex
+"""
+
+QUERIES["q260_sequence_slices"] = q260_sequence_slices
+ORACLE["q260_sequence_slices"] = _Q260_SQL

@@ -9,10 +9,13 @@ Design for Spark (and the correctness gate):
 
 - The model IS a pair of relations: per-class word counts
   ``(label, word, c)`` and per-class token totals ``(label, n_tokens,
-  n_docs)``. Training = two ``groupBy`` passes with map-side combine;
-  the model is vocab-bounded — orders smaller than the corpus — so the
-  scoring join broadcasts in practice (AQE sizes it; no unconditional
-  hint).
+  n_docs)``. Training = two ``groupBy`` passes with map-side combine
+  (token totals fold over the vocab-bounded counts, not the token
+  stream), and the two model scalars (V, N) ride ONE action over the
+  union of the model relations — the token relation is scanned once
+  per train call. The model is vocab-bounded — orders smaller than
+  the corpus — so the scoring join broadcasts in practice (AQE sizes
+  it; no unconditional hint).
 - Scoring: multinomial log-likelihood with add-one smoothing,
   ``score(d, c) = ln(d_c / N) + Σ_tokens ln((c(w,c)+1) / (n_c+V))``;
   unseen (word, class) pairs coalesce to the smoothed floor. ``V`` and
@@ -50,15 +53,38 @@ def nb_train(
     word_counts = toks.groupBy("label", "word").agg(
         F.count("*").cast("bigint").alias("c")
     )
-    class_tokens = toks.groupBy("label").agg(
-        F.count("*").cast("bigint").alias("n_tokens")
-    )
     class_docs = docs.groupBy(F.col(label_col).alias("label")).agg(
         F.count("*").cast("bigint").alias("n_docs")
     )
+    # per-class token totals fold over the vocab-bounded word_counts
+    # relation, not the token stream — and the two model scalars ride
+    # ONE action over the union of the two MODEL-sized relations
+    # (vocab_size = distinct words of word_counts, n_docs = sum of
+    # class_docs): the token relation is scanned once per train call,
+    # never once per scalar (at 100 TB each extra action was a full
+    # token-relation scan)
+    class_tokens = word_counts.groupBy("label").agg(
+        F.sum("c").cast("bigint").alias("n_tokens")
+    )
     class_stats = class_tokens.join(class_docs, "label")
-    vocab_size = toks.select("word").distinct().count()
-    n_docs = docs.count()
+    scalars = (
+        word_counts.select(
+            "word", F.lit(0).cast("bigint").alias("__nd")
+        )
+        .unionByName(
+            class_docs.select(
+                F.lit(None).cast("string").alias("word"),
+                F.col("n_docs").alias("__nd"),
+            )
+        )
+        .agg(
+            F.countDistinct("word").alias("v"),  # NULLs ignored
+            F.sum("__nd").alias("n"),
+        )
+        .first()
+    )
+    vocab_size = int(scalars["v"])
+    n_docs = int(scalars["n"] or 0)
     return word_counts, class_stats, vocab_size, n_docs
 
 
@@ -85,17 +111,102 @@ def nb_score(
     pairs = toks.crossJoin(
         F.broadcast(class_stats.select("label", "n_tokens", "n_docs"))
     )
+    from ..functions.exact import quantize_expr
+
+    lik = quantize_expr(
+        "ln((coalesce(c, 0) + 1)"
+        f" / CAST(n_tokens + {int(vocab_size)} AS DOUBLE))"
+    )
+    prior = quantize_expr(
+        f"ln(CAST(n_docs AS DOUBLE) / {float(n_docs)!r})"
+    )
     scored = pairs.join(word_counts, ["label", "word"], "left")
     return scored.groupBy(id_col, "label").agg(
         F.expr(
-            "CAST("
-            " SUM(CAST(ln((coalesce(c, 0) + 1)"
-            f"            / CAST(n_tokens + {int(vocab_size)} AS DOUBLE))"
-            "          AS DECIMAL(28,6)))"
-            " + FIRST(CAST(ln(CAST(n_docs AS DOUBLE)"
-            f"                 / {float(n_docs)!r}) AS DECIMAL(28,6)))"
-            " AS DOUBLE)"
+            f"CAST(SUM({lik}) + FIRST({prior}) AS DOUBLE)"
         ).alias("score")
+    )
+
+
+def nb_confusion(
+    pred: DataFrame,
+    gold: DataFrame,
+    id_col: str = "doc_id",
+    pred_col: str = "pred",
+    label_col: str = "label",
+) -> DataFrame:
+    """(gold, pred, n) — the confusion relation over the ids present
+    in BOTH inputs (inner join: unscored or unlabeled ids don't
+    evaluate). Exact counts; every classifier metric is a margin of
+    this relation."""
+    return (
+        gold.select(id_col, F.col(label_col).alias("gold"))
+        .join(pred.select(id_col, F.col(pred_col).alias("pred")), id_col)
+        .groupBy("gold", "pred")
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+
+
+def nb_evaluate(
+    pred: DataFrame,
+    gold: DataFrame,
+    id_col: str = "doc_id",
+    pred_col: str = "pred",
+    label_col: str = "label",
+) -> DataFrame:
+    """Per-class classifier metrics vs gold labels: (label, n_gold,
+    n_pred, tp, fp, fn, precision, recall, f1) — the measurement
+    harness that closes the classifier loop the way ir_metrics closes
+    retrieval (q256). All counts are exact integers (margins of the
+    confusion relation), the ratios are single IEEE divisions of those
+    integers, and f1 uses the one shared expression — deterministic in
+    any engine, so the oracle is trivial. Classes appearing only as
+    predictions (or only as gold) still report, with the zero-side
+    conventions precision=0 when nothing was predicted and recall=0
+    when nothing was relevant (the scikit-learn zero_division=0
+    convention)."""
+    conf = nb_confusion(pred, gold, id_col, pred_col, label_col)
+    by_gold = conf.groupBy(F.col("gold").alias("label")).agg(
+        F.sum("n").cast("bigint").alias("n_gold"),
+        F.sum(F.when(F.col("pred") == F.col("gold"), F.col("n")).otherwise(0))
+        .cast("bigint")
+        .alias("__tp_g"),
+    )
+    by_pred = conf.groupBy(F.col("pred").alias("label")).agg(
+        F.sum("n").cast("bigint").alias("n_pred"),
+    )
+    m = (
+        by_gold.join(by_pred, "label", "full_outer")
+        .select(
+            "label",
+            F.coalesce("n_gold", F.lit(0)).cast("bigint").alias("n_gold"),
+            F.coalesce("n_pred", F.lit(0)).cast("bigint").alias("n_pred"),
+            F.coalesce("__tp_g", F.lit(0)).cast("bigint").alias("tp"),
+        )
+        .withColumn("fp", (F.col("n_pred") - F.col("tp")).cast("bigint"))
+        .withColumn("fn", (F.col("n_gold") - F.col("tp")).cast("bigint"))
+    )
+    precision = F.when(
+        F.col("n_pred") > 0,
+        F.col("tp").cast("double") / F.col("n_pred").cast("double"),
+    ).otherwise(F.lit(0.0))
+    recall = F.when(
+        F.col("n_gold") > 0,
+        F.col("tp").cast("double") / F.col("n_gold").cast("double"),
+    ).otherwise(F.lit(0.0))
+    return (
+        m.withColumn("precision", precision)
+        .withColumn("recall", recall)
+        .withColumn(
+            "f1",
+            F.when(
+                (F.col("precision") + F.col("recall")) > 0,
+                F.lit(2.0)
+                * F.col("precision")
+                * F.col("recall")
+                / (F.col("precision") + F.col("recall")),
+            ).otherwise(F.lit(0.0)),
+        )
     )
 
 

@@ -983,3 +983,45 @@ def test_vector_index_probe_matches_python_fold(
         for rank, (negcos, i) in enumerate(scored[:k], 1):
             want.append((qid, rank, i, -negcos))
     assert got == sorted(want)
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    vals=st.lists(
+        st.floats(min_value=-1e6, max_value=1e6,
+                  allow_nan=False, allow_infinity=False),
+        min_size=1, max_size=24,
+    ),
+    parts=st.integers(min_value=1, max_value=8),
+)
+def test_decimal_sum_expr_grid_and_order_invariance(spark, vals, parts):
+    """The shared DECIMAL(28,6) accumulation contract
+    (functions/exact.py): decimal_sum_expr equals the Python Decimal
+    replay (quantize each term HALF_UP to 1e-6, sum exactly, one final
+    double conversion) and is INVARIANT under partitioning/order — the
+    property every scoring kernel (BM25, DCG, NB) leans on."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from etl_job_applify_spark.functions.exact import decimal_sum_expr
+
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    got = (
+        df.repartition(parts)
+        .agg(F.expr(decimal_sum_expr("x")).alias("s"))
+        .first()["s"]
+    )
+    got_rev = (
+        spark.createDataFrame([(v,) for v in reversed(vals)], "x double")
+        .coalesce(1)
+        .agg(F.expr(decimal_sum_expr("x")).alias("s"))
+        .first()["s"]
+    )
+    grid = Decimal("0.000001")
+    want = float(
+        sum(
+            Decimal(repr(v)).quantize(grid, rounding=ROUND_HALF_UP)
+            for v in vals
+        )
+    )
+    assert got == got_rev == want

@@ -370,3 +370,83 @@ def test_exact_grouped_median_and_robust_outliers(spark):
     flagged = robust_outliers(df, "grp", "v", "id", z_threshold=3.5)
     got = {(r["id"], r["grp"]) for r in flagged.collect()}
     assert got == {(4, "a")}  # 0.6745*(100-10)/1 = 60.7; b/c flag none
+
+
+def test_packed_sequence_slices_hand_checkable(spark):
+    """Slice relation: capacity 10, docs of 4/8/6/12 tokens -> the
+    per-(seq, doc) slices partition every sequence exactly, straddlers
+    split at the cut, zero-token docs keep one zero-length row at
+    their offset."""
+    from etl_job_applify_spark.transform.packing import (
+        pack_sequences,
+        packed_sequence_slices,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, 4), (2, 8), (3, 0), (4, 6), (5, 12)],
+        "doc_id long, n long",
+    )
+    spans = pack_sequences(docs, capacity=10, tokens_col="n",
+                           bucket_width=2)
+    got = {
+        (r["seq"], r["doc_id"]): (r["start_in_seq"], r["n_tokens_in_seq"])
+        for r in packed_sequence_slices(spans, 10).collect()
+    }
+    assert got == {
+        (0, 1): (0, 4),
+        (0, 2): (4, 6), (1, 2): (0, 2),   # doc 2 straddles the cut
+        (1, 3): (2, 0),                   # zero-token doc at offset 12
+        (1, 4): (2, 6),
+        (1, 5): (8, 2), (2, 5): (0, 10),  # doc 5 straddles
+    }
+    # invariants: every non-final sequence's slices sum to capacity;
+    # every doc's slices sum to its token count
+    per_seq = {}
+    per_doc = {}
+    for (s, d), (_, n) in got.items():
+        per_seq[s] = per_seq.get(s, 0) + n
+        per_doc[d] = per_doc.get(d, 0) + n
+    assert per_seq == {0: 10, 1: 10, 2: 10}  # 30 tokens fill 3 seqs
+    assert per_doc == {1: 4, 2: 8, 3: 0, 4: 6, 5: 12}
+
+
+def test_nb_evaluate_hand_checkable(spark):
+    """Per-class metrics from a hand-built confusion: class a (2 gold,
+    both predicted a, plus one b mispredicted as a) -> p=2/3, r=1;
+    class b (2 gold, 1 correct, 1 lost to a) -> p=1, r=1/2; class c
+    appears only in GOLD (never predicted: p=0 by convention) and
+    class d only as a PREDICTION (r=0)."""
+    from etl_job_applify_spark.transform.nbayes import (
+        nb_confusion,
+        nb_evaluate,
+    )
+
+    pred = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, "a"), (4, "b"), (5, "d")],
+        "doc_id long, pred string",
+    )
+    gold = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, "b"), (4, "b"), (5, "c")],
+        "doc_id long, label string",
+    )
+    conf = {
+        (r["gold"], r["pred"]): r["n"]
+        for r in nb_confusion(pred, gold).collect()
+    }
+    assert conf == {
+        ("a", "a"): 2, ("b", "a"): 1, ("b", "b"): 1, ("c", "d"): 1
+    }
+    got = {
+        r["label"]: (
+            r["n_gold"], r["n_pred"], r["tp"], r["fp"], r["fn"],
+            r["precision"], r["recall"], r["f1"],
+        )
+        for r in nb_evaluate(pred, gold).collect()
+    }
+    third = 2.0 / 3.0
+    f1_a = 2.0 * third * 1.0 / (third + 1.0)
+    f1_b = 2.0 * 1.0 * 0.5 / 1.5
+    assert got["a"] == (2, 3, 2, 1, 0, third, 1.0, f1_a)
+    assert got["b"] == (2, 1, 1, 0, 1, 1.0, 0.5, f1_b)
+    assert got["c"] == (1, 0, 0, 0, 1, 0.0, 0.0, 0.0)  # never predicted
+    assert got["d"] == (0, 1, 0, 1, 0, 0.0, 0.0, 0.0)  # never gold
