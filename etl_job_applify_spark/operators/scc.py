@@ -53,6 +53,30 @@ silently mislabeling.
 
 Reference parity: the reference has no graph surface (SURVEY.md §2b);
 this extends the north-star analytics family like triangles/k-core.
+
+INCREMENTAL MAINTENANCE IS AN EXPLICIT NON-GOAL (for now). CC, SSSP,
+triangles, and k-core all maintain incrementally (``cc_update``,
+``sssp_profile_update``, ``triangle_update``, ``k_core_update``)
+because their invariants are monotone or locally repairable under
+edge INSERTION. SCC is neither: one inserted edge can merge a chain
+of k SCCs into one (the whole condensation path from head to tail
+collapses), and the affected region is bounded only by the
+condensation DAG's reachability between the new edge's endpoints —
+there is no frontier-local bound like the k-core eligibility filter.
+The bounded design, if it is ever needed, is condensation-DAG
+maintenance under insert-only edges: keep the (scc → scc) condensed
+edge relation alongside the labels; for a batch edge (u, v) with
+scc(u) ≠ scc(v), the merge set is exactly {nodes on condensation
+paths v ⇝ u} (computable with one forward + one backward bounded BFS
+over the CONDENSED graph — usually orders smaller than the node
+graph), relabel that set to its min member, and contract the
+condensed relation. That is Θ(condensed reachable set) per batch,
+still worst-case O(whole DAG) — the same floor the literature hits
+(e.g. incremental SCC via sparse topological maintenance). Until a
+workload needs it, the supported steady state is: maintain edges
+incrementally, RECOMPUTE SCC on demand with this kernel (the WCC
+pre-decomposition + trimming already skip the untouched regions'
+heavy lifting in practice).
 """
 
 from __future__ import annotations

@@ -647,6 +647,10 @@ def run_vector_index_ingest_stream(
     max_snapshots: int | None = None,
     reindex_skew_threshold: float | None = None,
     reindex_min_vecs: int = 0,
+    shadow_queries: DataFrame | None = None,
+    recall_target: float | None = None,
+    recall_k: int = 5,
+    recall_nprobe: int = 2,
 ) -> None:
     """Streaming ingest into the persisted vector index
     (similarity/vector_index.py): every micro-batch of embeddings is
@@ -686,7 +690,25 @@ def run_vector_index_ingest_stream(
     re-fire. Note the threshold is a steady-state contract: data whose
     true distribution k-means cannot balance will re-trigger every
     epoch — pick the threshold from the post-reindex skew this corpus
-    actually achieves (observable via ``vector_index_stats``)."""
+    actually achieves (observable via ``vector_index_stats``).
+
+    ``shadow_queries`` + ``recall_target``: the QUALITY policy loop —
+    the skew loop acts on a cost signal; this one watches what the
+    user actually experiences. After each committed append, the fixed
+    control-plane shadow batch (``query_id``, ``embedding`` — the
+    ``vector_index_probe`` contract) is served twice: once at the
+    monitored serving config (``recall_k``/``recall_nprobe``) and once
+    exactly (``nprobe = num_cells``, the documented brute-force
+    degeneration); recall@k = |served ∩ exact| / |exact|. Below
+    ``recall_target`` the loop triggers ``reindex_vector_index`` —
+    corpus drift away from the immutable founding quantizer splits
+    true neighbor sets across unprobed cells, and a retrain on the
+    CURRENT live corpus gives the drifted region its own cells (the
+    planted-drift test pins trigger + post-action recovery). Cost per
+    epoch: one pruned probe + one exact scan over the live corpus for
+    a trickle-sized batch — production deployments sample epochs; the
+    action is SAFE-by-scope (a reindex never changes exact results,
+    only cell shapes)."""
     from ..similarity import (
         optimize_vector_index,
         reindex_vector_index,
@@ -745,6 +767,26 @@ def run_vector_index_ingest_stream(
                 and avg > 0
                 and int(agg["mx"] or 0) / avg > reindex_skew_threshold
             ):
+                reindex_vector_index(spark, index_dir)
+        if shadow_queries is not None and recall_target is not None:
+            from ..similarity import vector_index_probe
+
+            meta_now = _live_cells(spark, index_dir)[0]
+            served = vector_index_probe(
+                spark, index_dir, shadow_queries,
+                k=recall_k, nprobe=recall_nprobe,
+            )
+            exact = vector_index_probe(
+                spark, index_dir, shadow_queries,
+                k=recall_k, nprobe=meta_now["num_cells"],
+            )
+            tot = exact.count()
+            hit = exact.join(
+                served.select("query_id", "neighbor"),
+                ["query_id", "neighbor"],
+                "left_semi",
+            ).count()
+            if tot and hit / tot < recall_target:
                 reindex_vector_index(spark, index_dir)
 
     q = vec_stream.writeStream.foreachBatch(sink).start()

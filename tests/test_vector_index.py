@@ -1544,3 +1544,98 @@ def test_knn_join_adc_ensure_k_and_guards(spark, tmp_path):
         vector_index_knn_join(
             spark, idx_plain, _queries(spark), k=5, use_codes=True
         )
+
+
+def test_streaming_ingest_recall_policy_loop(spark, tmp_path):
+    """The QUALITY policy loop: planted drift (a tight off-distribution
+    cluster midway between two founding centroids) splits true
+    neighbor sets across cells the serving nprobe never probes
+    together — shadow recall@k drops below target and the loop
+    triggers a reindex; post-action the drifted region owns a cell and
+    recall recovers. The frozen twin (no loop) stays degraded, proving
+    both the premise and the action."""
+    from etl_job_applify_spark.streaming import (
+        run_vector_index_ingest_stream,
+    )
+
+    # founding: four tight clusters on axes, pinned centroids
+    cents = [
+        [10.0 if j == c else 0.0 for j in range(DIM)] for c in range(4)
+    ]
+    f_rows = [
+        (
+            10 * c + i,
+            [
+                (10.0 if j == c else 0.0) + (0.1 * ((i + j) % 3))
+                for j in range(DIM)
+            ],
+        )
+        for c in range(4)
+        for i in range(6)
+    ]
+    founding = spark.createDataFrame(
+        f_rows, "vec_id long, embedding array<double>"
+    )
+    # drift: 12 vectors around [7,7,0,...] — jitter alternates toward
+    # c0 / c1, so assignment under the FOUNDING quantizer splits them
+    # across the two cells
+    d_rows = []
+    for i in range(1, 7):
+        base = [0.0] * DIM
+        d_rows.append(
+            (1000 + i, [7.0 + 0.1 * i, 7.0 - 0.1 * i] + base[2:])
+        )
+        d_rows.append(
+            (1100 + i, [7.0 - 0.1 * i, 7.0 + 0.1 * i] + base[2:])
+        )
+    drift = spark.createDataFrame(
+        d_rows, "vec_id long, embedding array<double>"
+    )
+    shadow = spark.createDataFrame(
+        [(1, [7.0, 7.0] + [0.0] * (DIM - 2))],
+        "query_id long, embedding array<double>",
+    )
+    src = tmp_path / "src_recall"
+    src.mkdir()
+    founding.coalesce(1).write.parquet(str(src / "b0.parquet"))
+    import time
+
+    time.sleep(1.1)
+    drift.coalesce(1).write.parquet(str(src / "b1.parquet"))
+
+    def ingest(idx, target):
+        stream = (
+            spark.readStream.schema("vec_id long, embedding array<double>")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src) + "/*.parquet")
+        )
+        run_vector_index_ingest_stream(
+            stream, idx, num_cells=4, centroids=cents,
+            shadow_queries=shadow, recall_target=target,
+            recall_k=8, recall_nprobe=1,
+        )
+
+    def recall(idx):
+        exact = {
+            r["neighbor"]
+            for r in vector_index_probe(
+                spark, idx, shadow, k=8, nprobe=4
+            ).collect()
+        }
+        served = {
+            r["neighbor"]
+            for r in vector_index_probe(
+                spark, idx, shadow, k=8, nprobe=1
+            ).collect()
+        }
+        return len(served & exact) / len(exact)
+
+    frozen = str(tmp_path / "idx_recall_frozen")
+    policy = str(tmp_path / "idx_recall_policy")
+    ingest(frozen, None)
+    ingest(policy, 0.8)
+    # premise: under the frozen founding quantizer the drifted
+    # neighbors split across two cells and nprobe=1 misses half
+    assert recall(frozen) <= 0.5
+    # action: the loop reindexed; the drifted region owns a cell now
+    assert recall(policy) >= 0.8
