@@ -97,3 +97,58 @@ def shared_span_pairs(
             (F.col("shared_spans") / F.col("sz_b")).alias("containment_b"),
         )
     )
+
+
+def contamination_spans(
+    train_docs: DataFrame,
+    eval_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 6,
+) -> DataFrame:
+    """Benchmark decontamination (the PaLM/GPT n-gram rule, cross-set
+    form of ``shared_span_pairs``): (doc, n_contaminated_spans,
+    n_spans, contamination) for every TRAIN document sharing at least
+    one verbatim ``n``-token window with ANY eval document — the
+    documents a training run must drop so eval scores measure
+    generalization, not memorization.
+
+    Relational shape: both sides shingle into distinct per-doc window
+    sets (the q147 machinery); the check is one equi-join of train
+    postings against the DISTINCT eval window set plus one per-doc
+    count — no pair generation, so no ``max_doc_freq`` cap is needed
+    (a boilerplate window flags every train doc carrying it, which IS
+    the decontamination semantics). At 100 TB the eval set is
+    benchmark-sized, so the join broadcasts (AQE sizes it; no hint);
+    the train side stays one pruned scan + one shuffle on the window
+    hash. ``contamination`` = shared / own distinct window count (the
+    fraction an audit thresholds on)."""
+
+    def postings(docs: DataFrame) -> DataFrame:
+        spread = docs.select(id_col, text_col).repartition(
+            docs.sparkSession.sparkContext.defaultParallelism
+        )
+        return (
+            with_shingles(spread, text_col, n, out="spans")
+            .select(
+                F.col(id_col).alias("doc"),
+                F.explode("spans").alias("span"),
+            )
+            .select("doc", F.xxhash64("span").alias("span"))
+        )
+    tp = postings(train_docs)
+    ev = postings(eval_docs).select("span").distinct()
+    sizes = tp.groupBy("doc").agg(F.count("*").alias("n_spans"))
+    hits = (
+        tp.join(ev, "span")
+        .groupBy("doc")
+        .agg(F.count("*").cast("bigint").alias("n_contaminated_spans"))
+    )
+    return hits.join(sizes, "doc").select(
+        "doc",
+        "n_contaminated_spans",
+        F.col("n_spans").cast("bigint").alias("n_spans"),
+        (
+            F.col("n_contaminated_spans") / F.col("n_spans")
+        ).alias("contamination"),
+    )

@@ -444,3 +444,53 @@ def q68_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["q68_approx_quantiles"] = q68_approx_quantiles
 QUERIES["q86_ann_ivf"] = q86_ann_ivf
+
+
+# --- q263: benchmark decontamination (cross-set n-gram audit) --------------
+# q147 finds verbatim span duplication WITHIN the corpus; this is the
+# CROSS-SET form every training run needs before touching a benchmark:
+# flag train documents sharing any verbatim 6-token window with the
+# eval split (dedup/spans.py contamination_spans — the PaLM/GPT n-gram
+# decontamination rule). One equi-join of train window postings
+# against the DISTINCT eval window set — no pair generation, no cap;
+# at 100 TB the eval side is benchmark-sized and broadcasts. The split
+# is deterministic (doc_id % 11) so the oracle replays it exactly.
+
+_Q263_N = 6
+
+
+def q263_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..dedup.spans import contamination_spans
+
+    docs = tbl(spark, sf_dir, "documents")
+    train = docs.filter(F.col("doc_id") % 11 != 0)
+    ev = docs.filter(F.col("doc_id") % 11 == 0)
+    return contamination_spans(train, ev, n=_Q263_N).orderBy("doc")
+
+
+_Q263_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+),
+spans AS (
+  SELECT DISTINCT doc_id, array_to_string(t[i:i+{_Q263_N - 1}], ' ') AS span
+  FROM toks, (SELECT unnest(range(1, 100000)) AS i) ix
+  WHERE i + {_Q263_N - 1} <= len(t)
+),
+train AS (SELECT * FROM spans WHERE doc_id % 11 <> 0),
+ev AS (SELECT DISTINCT span FROM spans WHERE doc_id % 11 = 0),
+sizes AS (SELECT doc_id, COUNT(*) AS n_spans FROM train GROUP BY 1),
+hits AS (
+  SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_contaminated_spans
+  FROM train t JOIN ev USING (span) GROUP BY 1
+)
+SELECT h.doc_id AS doc, h.n_contaminated_spans,
+       CAST(s.n_spans AS BIGINT) AS n_spans,
+       h.n_contaminated_spans / CAST(s.n_spans AS DOUBLE)
+         AS contamination
+FROM hits h JOIN sizes s USING (doc_id)
+ORDER BY doc
+"""
+
+QUERIES["q263_decontamination"] = q263_decontamination
+ORACLE["q263_decontamination"] = _Q263_SQL

@@ -1050,3 +1050,87 @@ FROM ex
 
 QUERIES["q260_sequence_slices"] = q260_sequence_slices
 ORACLE["q260_sequence_slices"] = _Q260_SQL
+
+
+# --- q262: training-mixture composition (budgeted domain mixing) -----------
+# The data-mixing step between curation and packing: allocate a token
+# budget across languages under a max-share cap (two-round capped
+# proportional split — exact integer arithmetic, driver-side over the
+# control-plane domain relation, SQL-replayable), then select documents
+# per domain in doc_id order while the inclusive token prefix sum fits
+# (transform/mixing.py). Distinct from q61 (rate-based stratified
+# sampling): mixture configs specify BUDGETS, and the cap is what stops
+# one dominant domain from eating the run. Invariants the oracle pins:
+# tokens_taken <= allocation <= min(avail, cap), per-domain windows
+# only (no global window).
+
+_Q262_BUDGET = 10_000
+_Q262_SHARE = 0.35  # cap = 3500 tokens per language
+
+
+def q262_domain_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..transform.mixing import domain_mix_summary
+
+    docs = tbl(spark, sf_dir, "documents")
+    return domain_mix_summary(
+        docs, budget=_Q262_BUDGET, max_share=_Q262_SHARE
+    ).orderBy("lang")
+
+
+_Q262_CAP = int(_Q262_SHARE * _Q262_BUDGET)
+
+_Q262_SQL = f"""
+WITH d AS (
+  SELECT doc_id, lang,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+avail AS (
+  SELECT lang, CAST(SUM(n_tokens) AS BIGINT) AS avail_tokens
+  FROM d GROUP BY 1
+),
+t AS (SELECT SUM(avail_tokens) AS total FROM avail),
+a1 AS (
+  SELECT lang, avail_tokens,
+         LEAST(CAST({_Q262_BUDGET} * avail_tokens
+                    // (SELECT total FROM t) AS BIGINT),
+               {_Q262_CAP}, avail_tokens) AS alloc1
+  FROM avail
+),
+l AS (SELECT {_Q262_BUDGET} - SUM(alloc1) AS leftv FROM a1),
+h AS (
+  SELECT lang, avail_tokens, alloc1,
+         LEAST(avail_tokens, {_Q262_CAP}) - alloc1 AS head
+  FROM a1
+),
+ht AS (SELECT SUM(head) AS htot FROM h),
+alloc AS (
+  SELECT lang, avail_tokens,
+         CAST(alloc1 + CASE
+           WHEN (SELECT leftv FROM l) > 0 AND (SELECT htot FROM ht) > 0
+           THEN LEAST(head, (SELECT leftv FROM l) * head
+                            // (SELECT htot FROM ht))
+           ELSE 0 END AS BIGINT) AS allocation
+  FROM h
+),
+sel AS (
+  SELECT d.lang, d.n_tokens, a.allocation,
+         SUM(d.n_tokens) OVER (
+           PARTITION BY d.lang ORDER BY d.doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM d JOIN alloc a USING (lang)
+),
+taken AS (
+  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(n_tokens) AS BIGINT) AS tokens_taken
+  FROM sel WHERE cum <= allocation GROUP BY 1
+)
+SELECT a.lang, a.avail_tokens, a.allocation,
+       CAST(COALESCE(tk.n_docs, 0) AS BIGINT) AS n_docs,
+       CAST(COALESCE(tk.tokens_taken, 0) AS BIGINT) AS tokens_taken
+FROM alloc a LEFT JOIN taken tk USING (lang)
+ORDER BY a.lang
+"""
+
+QUERIES["q262_domain_mixing"] = q262_domain_mixing
+ORACLE["q262_domain_mixing"] = _Q262_SQL

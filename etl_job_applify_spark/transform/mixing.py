@@ -1,0 +1,164 @@
+"""Training-mixture composition: per-domain token budgets with a
+max-share cap, then deterministic budgeted selection — the "data
+mixing" step between curation and packing in an LLM pipeline (decide
+how many tokens each domain/language/source contributes to the run,
+then pick WHICH documents fill each budget, reproducibly).
+
+Allocation contract (two-round capped proportional split, exact
+integer arithmetic end to end):
+
+1. round 1 — proportional share, floored:
+   ``base_d = budget * avail_d // total_avail``, clipped by the
+   per-domain cap ``floor(max_share * budget)`` and by ``avail_d``;
+2. round 2 — the flooring/cap leftover is redistributed once,
+   proportionally to remaining headroom
+   (``min(avail_d, cap) - alloc1_d``), again floored and clipped.
+
+The residual after round 2 is at most (#domains - 1) tokens of
+flooring plus whatever the caps make unplaceable — accepted by design
+(true water-filling is iterative; two rounds are deterministic,
+SQL-replayable, and within one doc of it in practice). The allocation
+itself is a CONTROL-PLANE computation: #domains is a human-reviewed
+mixture config, so the per-domain totals collect to the driver and
+the arithmetic runs in Python integers (arbitrary precision — no
+2^63 product ceiling at 100 TB budgets), then rejoins the data plane
+as broadcast literals.
+
+Selection contract: within each domain, documents in ``id_col`` order
+are taken while their INCLUSIVE token prefix sum stays <= the domain's
+allocation — no domain ever exceeds its budget, the boundary document
+is dropped rather than split (packing handles splitting, q254/q260).
+One window per domain partition — fully parallel, no global window.
+
+Reference parity: none (SURVEY §2b north-star surface); composes with
+q61 stratified sampling (rate-based) by being BUDGET-based, which is
+what mixture configs actually specify.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def domain_token_allocation(
+    avail: dict[str, int], budget: int, max_share: float
+) -> dict[str, int]:
+    """Exact two-round capped proportional allocation (module
+    docstring). ``avail`` maps domain -> available tokens; returns
+    domain -> allocated tokens (every domain present, possibly 0)."""
+    budget = int(budget)
+    cap = int(max_share * budget)
+    total = sum(avail.values())
+    if total <= 0 or budget <= 0:
+        return {d: 0 for d in avail}
+    base = {d: budget * a // total for d, a in avail.items()}
+    alloc1 = {d: min(base[d], cap, avail[d]) for d in avail}
+    left = budget - sum(alloc1.values())
+    head = {d: min(avail[d], cap) - alloc1[d] for d in avail}
+    h_total = sum(head.values())
+    if left <= 0 or h_total <= 0:
+        return alloc1
+    return {
+        d: alloc1[d] + min(head[d], left * head[d] // h_total)
+        for d in avail
+    }
+
+
+def _mix_parts(
+    docs: DataFrame,
+    budget: int,
+    max_share: float,
+    domain_col: str,
+    tokens_col: Column | str | None,
+    id_col: str,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """(docs+n_tokens, allocation relation, selected relation) — the
+    shared assembly behind select/summary."""
+    if tokens_col is None:
+        from ..functions.text import n_tokens_expr
+
+        tokens_col = n_tokens_expr("text")
+    d = docs.withColumn(
+        "n_tokens",
+        (
+            F.col(tokens_col) if isinstance(tokens_col, str) else tokens_col
+        ).cast("bigint"),
+    )
+    avail = {
+        r["d"]: int(r["a"])
+        for r in d.groupBy(F.col(domain_col).alias("d"))
+        .agg(F.sum("n_tokens").alias("a"))
+        .collect()
+    }
+    alloc = domain_token_allocation(avail, budget, max_share)
+    alloc_df = docs.sparkSession.createDataFrame(
+        [(k, v) for k, v in sorted(alloc.items())],
+        f"{domain_col} string, allocation bigint",
+    )
+    w = Window.partitionBy(domain_col).orderBy(id_col).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    sel = (
+        d.join(F.broadcast(alloc_df), domain_col)
+        .withColumn("__cum", F.sum("n_tokens").over(w).cast("bigint"))
+        .filter(F.col("__cum") <= F.col("allocation"))
+        .drop("__cum")
+    )
+    return d, alloc_df, sel
+
+
+def domain_mix_select(
+    docs: DataFrame,
+    budget: int,
+    max_share: float,
+    domain_col: str = "lang",
+    tokens_col: Column | str | None = None,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The selected-documents relation: ``docs`` columns plus
+    ``n_tokens`` and the domain's ``allocation`` — documents taken in
+    ``id_col`` order per domain while the inclusive token prefix sum
+    fits the domain's exact allocation."""
+    return _mix_parts(
+        docs, budget, max_share, domain_col, tokens_col, id_col
+    )[2]
+
+
+def domain_mix_summary(
+    docs: DataFrame,
+    budget: int,
+    max_share: float,
+    domain_col: str = "lang",
+    tokens_col: Column | str | None = None,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-domain mixture report: (domain, avail_tokens, allocation,
+    n_docs, tokens_taken) — the view a mixture config review reads.
+    ``tokens_taken <= allocation <= min(avail_tokens, cap)`` by
+    construction (invariants the oracle replays exactly). Domains
+    whose allocation no document fits still report their true
+    allocation with zero taken."""
+    d, alloc_df, sel = _mix_parts(
+        docs, budget, max_share, domain_col, tokens_col, id_col
+    )
+    avail_df = d.groupBy(domain_col).agg(
+        F.sum("n_tokens").cast("bigint").alias("avail_tokens")
+    )
+    taken = sel.groupBy(domain_col).agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("tokens_taken"),
+    )
+    return (
+        avail_df.join(alloc_df, domain_col)
+        .join(taken, domain_col, "left")
+        .select(
+            domain_col,
+            "avail_tokens",
+            "allocation",
+            F.coalesce("n_docs", F.lit(0)).cast("bigint").alias("n_docs"),
+            F.coalesce("tokens_taken", F.lit(0))
+            .cast("bigint")
+            .alias("tokens_taken"),
+        )
+    )

@@ -235,3 +235,33 @@ def test_prefix_filtered_jaccard_equals_inverted_index(spark):
         prefix_filtered_jaccard_pairs(df, n=2, threshold=0.5).collect()
     }
     assert pref == base
+
+
+def test_contamination_spans_cross_set(spark):
+    """Decontamination audit: a train doc embedding an eval doc's
+    6-token run flags with the exact window count; clean docs are
+    absent; the fraction uses the doc's own distinct window count."""
+    from etl_job_applify_spark.dedup.spans import contamination_spans
+
+    train = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta eta theta"),
+            (2, "one two three four five six"),
+            (3, "totally unrelated words nothing shared here at all"),
+        ],
+        "doc_id long, text string",
+    )
+    ev = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon zeta"),
+         (101, "x one two three four five six y")],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc"]: (
+            r["n_contaminated_spans"], r["n_spans"], r["contamination"]
+        )
+        for r in contamination_spans(train, ev, n=6).collect()
+    }
+    # doc 1 (8 tokens -> 3 windows) shares its first window with eval
+    # 100; doc 2's single window sits verbatim inside eval 101
+    assert got == {1: (1, 3, 1.0 / 3.0), 2: (1, 1, 1.0)}

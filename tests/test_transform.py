@@ -450,3 +450,52 @@ def test_nb_evaluate_hand_checkable(spark):
     assert got["b"] == (2, 1, 1, 0, 1, 1.0, 0.5, f1_b)
     assert got["c"] == (1, 0, 0, 0, 1, 0.0, 0.0, 0.0)  # never predicted
     assert got["d"] == (0, 1, 0, 1, 0, 0.0, 0.0, 0.0)  # never gold
+
+
+def test_domain_mix_allocation_and_selection(spark):
+    """Hand-checked two-round allocation: budget 1000, cap 400 over
+    avail {a:100, b:1000, c:5000} -> {a:100, b:400, c:400} (round 1
+    floors 16/163/400, leftover 421 water-fills headroom 84/237/0);
+    selection takes docs in id order while the inclusive prefix sum
+    fits, dropping the boundary doc."""
+    from etl_job_applify_spark.transform.mixing import (
+        domain_mix_select,
+        domain_mix_summary,
+        domain_token_allocation,
+    )
+
+    alloc = domain_token_allocation(
+        {"a": 100, "b": 1000, "c": 5000}, budget=1000, max_share=0.4
+    )
+    assert alloc == {"a": 100, "b": 400, "c": 400}
+    # degenerate: zero budget / empty corpus
+    assert domain_token_allocation({"a": 5}, 0, 0.5) == {"a": 0}
+    assert domain_token_allocation({}, 100, 0.5) == {}
+
+    docs = spark.createDataFrame(
+        [(1, "x", 3), (2, "x", 4), (3, "x", 5),
+         (4, "y", 300), (5, "y", 1)],
+        "doc_id long, lang string, n long",
+    )
+    # budget 16, cap 8: avail {x:12, y:301}; base x=0, y=15 -> alloc1
+    # x=0, y=8; left=8, head x=8, y=0 -> x=8, y=8
+    sel = {
+        r["doc_id"]
+        for r in domain_mix_select(
+            docs, budget=16, max_share=0.5, tokens_col="n"
+        ).collect()
+    }
+    # x: cum 3,7,12 vs 8 -> docs 1,2; y: first doc 300 > 8 -> none
+    # (boundary doc dropped, not split)
+    assert sel == {1, 2}
+    summ = {
+        r["lang"]: (
+            r["avail_tokens"], r["allocation"], r["n_docs"],
+            r["tokens_taken"],
+        )
+        for r in domain_mix_summary(
+            docs, budget=16, max_share=0.5, tokens_col="n"
+        ).collect()
+    }
+    # y reports its true allocation even though nothing fits
+    assert summ == {"x": (12, 8, 2, 7), "y": (301, 8, 0, 0)}
