@@ -238,6 +238,57 @@ def _build_serve_indexes(spark, sf_dir: str, idx_root: str):
         "q246_faceted_serve_only": q246_serve,
     }
 
+
+#: round 14: steady-state incremental graph maintenance — the gate
+#: queries (q258/q259) time-split the graph IN HALF so the oracle can
+#: replay them, which makes their wall time mostly the founding
+#: recompute; these twins measure what the 100 TB steady state
+#: actually pays per batch: prior state is computed once in setup
+#: (untimed, like the index builds above) and the measured entry is
+#: the UPDATE against a ~1.6% deterministic edge batch.
+INCREMENTAL = [
+    "q258_triangle_update_only",
+    "q259_kcore_update_only",
+]
+
+
+def _build_incremental_state(spark, sf_dir: str):
+    """Untimed prior state for the incremental twins: the co-purchase
+    graph is split by a deterministic edge hash (~1/64 = the batch);
+    counts/core over the remainder are the stored steady state."""
+    from pyspark.sql import functions as F
+
+    from etl_job_applify_spark.operators.kcore import k_core, k_core_update
+    from etl_job_applify_spark.operators.triangles import (
+        TriangleCounts,
+        triangle_stats,
+        triangle_update,
+    )
+    from etl_job_applify_spark.queries.graphmatch import _copurchase_pairs
+
+    pairs = _copurchase_pairs(spark, sf_dir).localCheckpoint()
+    is_batch = F.pmod(F.xxhash64("a", "b"), F.lit(64)) == 0
+    batch = pairs.filter(is_batch).localCheckpoint()
+    old = pairs.filter(~is_batch).localCheckpoint()
+    st = triangle_stats(old)
+    prior = TriangleCounts(st.n_edges, st.n_triangles, st.n_wedges)
+    core = k_core(old, 3).localCheckpoint()
+
+    def tri_update(spark_, _sf_dir):
+        got = triangle_update(pairs, batch, prior)
+        return spark_.createDataFrame(
+            [tuple(got)],
+            "n_edges bigint, n_triangles bigint, n_wedges bigint",
+        )
+
+    def kcore_update(spark_, _sf_dir):
+        return k_core_update(pairs, batch, core, 3)
+
+    return {
+        "q258_triangle_update_only": tri_update,
+        "q259_kcore_update_only": kcore_update,
+    }
+
 #: measured passes per query. Single-run snapshots kept recording ±20%
 #: machine-noise swings as phantom regressions (BENCHNOTES round-4/5);
 #: the official number is now the per-query MEDIAN of RUNS passes.
@@ -272,7 +323,8 @@ def main() -> None:
     idx_root = tempfile.mkdtemp(prefix="bench_idx_")
     try:
         qs.update(_build_serve_indexes(spark, sf_dir, idx_root))
-        measured = HEADLINE + SERVE_ONLY
+        qs.update(_build_incremental_state(spark, sf_dir))
+        measured = HEADLINE + SERVE_ONLY + INCREMENTAL
 
         # warm every headline plan once at the small SF so JVM/codegen/
         # JIT startup isn't billed to the measured runs (steady-state
@@ -287,7 +339,7 @@ def main() -> None:
             qs[name](spark, warm_dir).write.format("noop").mode(
                 "overwrite"
             ).save()
-        for name in SERVE_ONLY:
+        for name in SERVE_ONLY + INCREMENTAL:
             qs[name](spark, sf_dir).write.format("noop").mode(
                 "overwrite"
             ).save()

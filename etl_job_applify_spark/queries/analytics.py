@@ -447,14 +447,17 @@ QUERIES["q86_ann_ivf"] = q86_ann_ivf
 
 
 # --- q263: benchmark decontamination (cross-set n-gram audit) --------------
-# q147 finds verbatim span duplication WITHIN the corpus; this is the
-# CROSS-SET form every training run needs before touching a benchmark:
-# flag train documents sharing any verbatim 6-token window with the
-# eval split (dedup/spans.py contamination_spans — the PaLM/GPT n-gram
-# decontamination rule). One equi-join of train window postings
-# against the DISTINCT eval window set — no pair generation, no cap;
-# at 100 TB the eval side is benchmark-sized and broadcasts. The split
-# is deterministic (doc_id % 11) so the oracle replays it exactly.
+# The OPERATORIZED form of q83's inline contamination check: q83 was a
+# query-local assembly (inline 4-gram explode, UNCONDITIONAL broadcast
+# of the eval gram set); contamination_spans (dedup/spans.py) is the
+# reusable dedup-family member — the q147 shingle machinery (lambda-
+# bound anti-retokenization, xxhash64 window keys) pointed CROSS-SET,
+# no broadcast hint (AQE sizes the eval side, which stays correct even
+# when the "eval set" is itself corpus-sized, e.g. decontaminating
+# against a previous training run). One equi-join of train window
+# postings against the DISTINCT eval window set — no pair generation,
+# no cap. Deterministic split (doc_id % 11), n=6 (q147's window
+# length), so the oracle replays it exactly.
 
 _Q263_N = 6
 

@@ -1408,3 +1408,44 @@ def q259_incremental_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES["q259_incremental_kcore"] = q259_incremental_kcore
 # incremental ≡ one-shot: the oracle is q193's uninterrupted SQL
 ORACLE["q259_incremental_kcore"] = _Q193_SQL
+
+
+# --- q264: INCREMENTAL Doulion triangles ≡ one-shot -------------------------
+# q188 is the 100 TB triangle entry (deterministic p=0.5 edge sample,
+# exact count on the sample, 1/p³ scale); this is its STEADY STATE:
+# the sample predicate is a pure function of the edge key, so sampling
+# commutes with edge arrival — maintaining the sampled subgraph's
+# counts with triangle_update over sampled batches reproduces q188's
+# uninterrupted answer exactly (oracle = q188's SQL). Per batch the
+# cost is the SAMPLED batch's common-neighbor sightings — p³ of the
+# exact incremental work on top of q258's delta-proportional shape.
+
+def q264_incremental_triangle_approx(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators.triangles import (
+        TriangleCounts,
+        triangle_stats,
+        triangle_update,
+    )
+
+    sampled = _copurchase_pairs(
+        spark, sf_dir, sample_p=0.5
+    ).localCheckpoint()
+    first = sampled.filter((F.col("a") + F.col("b")) % 2 == 0)
+    second = sampled.filter((F.col("a") + F.col("b")) % 2 == 1)
+    st = triangle_stats(first, method="wedge")
+    prior = TriangleCounts(st.n_edges, st.n_triangles, st.n_wedges)
+    got = triangle_update(sampled, second, prior)
+    return spark.createDataFrame(
+        [(got.n_edges, got.n_triangles, int(round(got.n_triangles * 8)))],
+        "n_sampled_edges bigint, n_triangles_sampled bigint,"
+        " n_triangles_est bigint",
+    ).withColumn("sample_p", F.lit(0.5).cast("double"))
+
+
+QUERIES["q264_incremental_triangle_approx"] = (
+    q264_incremental_triangle_approx
+)
+# incremental ≡ one-shot on the sampled subgraph: q188's SQL
+ORACLE["q264_incremental_triangle_approx"] = _Q188_SQL
