@@ -497,3 +497,43 @@ ORDER BY doc
 
 QUERIES["q263_decontamination"] = q263_decontamination
 ORACLE["q263_decontamination"] = _Q263_SQL
+
+
+# --- q265: portable hash-sampled quantiles (the oracle-able approx) --------
+# q68's approx_count/percentile sketches are engine-private (rows-only
+# checkable: error bounds and layouts differ per engine). This is the
+# approximate-quantile design that KEEPS the exact-oracle contract: a
+# deterministic multiply-mod hash sample (the Doulion sampler's
+# portable arithmetic, transform/sampling.py portable_sample_predicate)
+# + EXACT interpolated percentiles over the sample — bit-replayable in
+# DuckDB, mergeable across shards/epochs for free (hash sample of a
+# union = union of hash samples), classical ±O(1/sqrt(p*n)) rank error.
+# p=0.25 on events.value per event type, p50/p90 at the q37 rounding
+# discipline.
+
+def q265_sampled_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..transform.sampling import sampled_quantiles
+
+    ev = tbl(spark, sf_dir, "events")
+    return sampled_quantiles(
+        ev, ["event_type"], "value", "event_id",
+        p=0.25, quantiles=[0.5, 0.9],
+    ).orderBy("event_type")
+
+
+_Q265_SQL = """
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_sampled,
+       round(quantile_cont(value, 0.5), 4) AS q_05,
+       round(quantile_cont(value, 0.9), 4) AS q_09
+FROM events
+WHERE ((((event_id * event_id) % 2147483648) * 1220703125)
+       % 2147483648
+       + (event_id * 987654323) % 2147483648) % 2147483648
+      < 536870912
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+QUERIES["q265_sampled_quantiles"] = q265_sampled_quantiles
+ORACLE["q265_sampled_quantiles"] = _Q265_SQL

@@ -104,3 +104,62 @@ def content_hash_split(
             "ELSE 'test' END"
         ),
     )
+
+
+#: portable sampling modulus (2^31) — shared with the Doulion edge
+#: sampler (operators/triangles.py): every term reduces mod 2^31
+#: before the next multiply, so no intermediate leaves int64 and ANY
+#: SQL engine re-derives the identical sample.
+PORTABLE_SAMPLE_MOD = 2_147_483_648
+
+
+def portable_sample_predicate(key_col: str, p: float) -> F.Column:
+    """Deterministic keep-with-probability-``p`` predicate on one
+    integer key column, in ENGINE-PORTABLE arithmetic (quadratic-form
+    multiply-mod hash — pure BIGINT ops, no xxhash64/md5 dependency),
+    so a DuckDB/ANSI oracle replays the exact sample. Use this instead
+    of ``hash_sample`` whenever the sample itself must be
+    cross-engine-verifiable; ``hash_sample`` (xxhash64) remains the
+    Spark-side default for better mixing on arbitrary column sets."""
+    m = PORTABLE_SAMPLE_MOD
+    return F.expr(
+        f"pmod(pmod(pmod(cast({key_col} AS BIGINT) * {key_col}, {m})"
+        f" * 1220703125, {m})"
+        f" + pmod(cast({key_col} AS BIGINT) * 987654323, {m}), {m})"
+        f" < {int(p * m)}"
+    )
+
+
+def sampled_quantiles(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    key_col: str,
+    p: float,
+    quantiles: Sequence[float],
+    round_digits: int = 4,
+) -> DataFrame:
+    """Approximate grouped quantiles with a DETERMINISTIC, engine-
+    portable contract: keep rows by ``portable_sample_predicate`` on
+    ``key_col``, then take EXACT interpolated percentiles over the
+    sample — so unlike sketch-based approx_percentile (whose error
+    and layout are engine-private, rows-only checkable), the estimate
+    replays bit-for-bit in any SQL engine and the approximation error
+    is the classical sampling bound (±O(1/√(p·n)) quantile rank).
+
+    Mergeable/streamable for free: the hash sample of a union is the
+    union of the hash samples, so shards/epochs sample independently
+    and the final percentile runs over the concatenated sample. Output
+    columns: group cols, n_sampled, q_<quantile> per requested
+    quantile (rounded to ``round_digits`` — the q37 cross-engine
+    interpolation discipline)."""
+    sampled = df.filter(portable_sample_predicate(key_col, p))
+    aggs = [F.count("*").cast("bigint").alias("n_sampled")]
+    for q in quantiles:
+        name = f"q_{str(q).replace('.', '')}"
+        aggs.append(
+            F.round(
+                F.expr(f"percentile({value_col}, {q!r})"), round_digits
+            ).alias(name)
+        )
+    return sampled.groupBy(*group_cols).agg(*aggs)

@@ -744,3 +744,72 @@ def test_streaming_kcore_batch_parity_and_replay(spark, tmp_path):
         r["node"] for r in read_table(spark, state + "/core").collect()
     )
     assert got2 == got
+
+
+def test_streaming_triangles_crash_between_folds_replays_clean(
+    spark, tmp_path
+):
+    """The crash window the epoch-tag design exists for: epoch 1's EDGE
+    fold committed (rows tagged first_epoch=1) but the COUNTS fold was
+    lost. On redelivery the edge fold finds its fence and skips; the
+    counts merge derives its batch as `first_epoch == 1` from the
+    already-committed head — final counts equal the crash-free run."""
+    import time
+
+    import pyspark.sql.functions as F
+
+    from etl_job_applify_spark.operators.triangles import triangle_stats
+    from etl_job_applify_spark.sinks.versioned import read_table
+    from etl_job_applify_spark.streaming import run_triangle_stream
+    from etl_job_applify_spark.streaming.jobs import _fold_with_fence
+
+    src_dir = tmp_path / "src"
+    src_dir.mkdir()
+    state = str(tmp_path / "state")
+    b0 = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3)], "a long, b long"
+    )
+    b1 = spark.createDataFrame(
+        [(1, 4), (2, 4), (3, 4)], "a long, b long"
+    )
+    b0.coalesce(1).write.parquet(str(src_dir / "b0.parquet"))
+    time.sleep(1.1)
+    b1.coalesce(1).write.parquet(str(src_dir / "b1.parquet"))
+
+    # crash simulation: both EDGE epochs committed (with the stream's
+    # writer id and first-delivery tags), only epoch 0's COUNTS fold
+    def tag(df, e):
+        return df.withColumn(
+            "first_epoch", F.lit(e).cast("bigint")
+        )
+
+    _fold_with_fence(
+        spark, state + "/edges", "tri_edges", 0, lambda base: tag(b0, 0)
+    )
+    _fold_with_fence(
+        spark, state + "/edges", "tri_edges", 1,
+        lambda base: base.unionByName(
+            tag(b1, 1).join(base.select("a", "b"), ["a", "b"], "left_anti")
+        ),
+    )
+    st0 = triangle_stats(b0)
+    _fold_with_fence(
+        spark, state + "/counts", "tri", 0,
+        lambda base: spark.createDataFrame(
+            [(st0.n_edges, st0.n_triangles, st0.n_wedges)],
+            "n_edges bigint, n_triangles bigint, n_wedges bigint",
+        ),
+    )
+
+    stream = (
+        spark.readStream.schema("a long, b long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src_dir) + "/*.parquet")
+    )
+    run_triangle_stream(stream, state)
+    got = read_table(spark, state + "/counts").first()
+    want = triangle_stats(b0.unionByName(b1))
+    assert (
+        got["n_edges"], got["n_triangles"], got["n_wedges"]
+    ) == (want.n_edges, want.n_triangles, want.n_wedges)
+    assert got["n_triangles"] == 4  # K4
