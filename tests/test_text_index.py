@@ -996,3 +996,67 @@ def test_streaming_text_index_cdc_replay_invariance(spark, tmp_path):
     assert list_versions(spark, idx) == first_versions  # nothing committed
     assert text_index_stats(spark, idx) == first_stats
     assert _score_map(text_index_bm25(spark, idx, _qterms(spark))) == want
+
+
+def test_cdc_apply_race_loses_no_batches(spark, tmp_path):
+    """Two threads applying DISJOINT CDC batches concurrently (each a
+    delete + a re-add mixed in ONE snapshot): the CAS loop must
+    serialize them — both tombstone sets and both add sets land, stats
+    stay exact, and the served state equals a clean rebuild of the
+    final corpus."""
+    import threading
+
+    from etl_job_applify_spark.functions.text_index import (
+        text_index_apply_cdc,
+        text_index_stats,
+    )
+
+    idx = str(tmp_path / "tidx_cdc_race")
+    docs = _docs(spark, n=12)
+    text_index_build(docs, idx, layout="versioned")
+    # batch A: delete 0-1, re-add 0 with new text; batch B: delete
+    # 10-11, re-add 11 with new text
+    batch_a = spark.createDataFrame(
+        [(0, "x", "delete"), (1, "x", "delete"),
+         (0, "hash join scan replaced", "add")],
+        "doc_id long, text string, op string",
+    )
+    batch_b = spark.createDataFrame(
+        [(10, "x", "delete"), (11, "x", "delete"),
+         (11, "sort merge window replaced", "add")],
+        "doc_id long, text string, op string",
+    )
+    errs = []
+
+    def worker(batch):
+        try:
+            text_index_apply_cdc(batch, idx)
+        except Exception as e:  # surfacing beats a hung assert
+            errs.append(e)
+
+    threads = [
+        threading.Thread(target=worker, args=(b,))
+        for b in (batch_a, batch_b)
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errs
+    final = (
+        docs.filter(~F.col("doc_id").isin([0, 1, 10, 11]))
+        .unionByName(
+            spark.createDataFrame(
+                [(0, "hash join scan replaced"),
+                 (11, "sort merge window replaced")],
+                "doc_id long, text string",
+            )
+        )
+    )
+    ref = str(tmp_path / "tidx_cdc_race_ref")
+    text_index_build(final, ref, layout="versioned")
+    q = _qterms(spark)
+    assert _score_map(text_index_bm25(spark, idx, q)) == _score_map(
+        text_index_bm25(spark, ref, q)
+    )
+    assert text_index_stats(spark, idx)["n_docs"] == 10
