@@ -1334,7 +1334,12 @@ ORACLE["q205_lpa_communities"] = _Q205_SQL
 # triangle_update — the kernel behind streaming/jobs.py
 # run_triangle_stream): the co-purchase edges are time-split by a
 # deterministic predicate ((a + b) % 2, the "edges discovered later"
-# batch), counts are founded on the first half with the one-shot
+# batch; a half split balances the gate's total cost — founding
+# wedge work scales ~quadratically with retained degree, so a
+# smaller batch makes the FOUNDING leg dominate; the per-batch
+# steady-state cost is measured separately by bench.py's
+# q258_triangle_update_only entry at a ~1.6% batch), counts are
+# founded on the first half with the one-shot
 # kernel and UPDATED with the second, and the result must equal q167's
 # uninterrupted answer — the oracle IS q167's SQL, so the gate proves
 # incremental ≡ one-shot bit-for-bit. The update's work is the batch
