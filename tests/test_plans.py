@@ -173,8 +173,10 @@ def test_registry_wide_plan_audit(spark):
                     # relation (rows = #classes, control-plane few by
                     # construction) across the exploded test tokens;
                     # q256 inherits q190's one-row corpus-stats BNLJ
-                    # through bm25_scores
-                    "q255_naive_bayes", "q256_ir_metrics"}
+                    # through bm25_scores; q261 inherits q255's
+                    # class-stats broadcast through nb_score
+                    "q255_naive_bayes", "q256_ir_metrics",
+                    "q261_nb_evaluation"}
     from etl_job_applify_spark.plans import lint_errors
 
     offenders = []
