@@ -54,29 +54,30 @@ silently mislabeling.
 Reference parity: the reference has no graph surface (SURVEY.md §2b);
 this extends the north-star analytics family like triangles/k-core.
 
-INCREMENTAL MAINTENANCE IS AN EXPLICIT NON-GOAL (for now). CC, SSSP,
-triangles, and k-core all maintain incrementally (``cc_update``,
+INCREMENTAL MAINTENANCE (insert-only) — ``scc_update`` below. CC,
+SSSP, triangles, and k-core maintain incrementally (``cc_update``,
 ``sssp_profile_update``, ``triangle_update``, ``k_core_update``)
 because their invariants are monotone or locally repairable under
-edge INSERTION. SCC is neither: one inserted edge can merge a chain
+edge INSERTION. SCC is harder: one inserted edge can merge a chain
 of k SCCs into one (the whole condensation path from head to tail
 collapses), and the affected region is bounded only by the
 condensation DAG's reachability between the new edge's endpoints —
 there is no frontier-local bound like the k-core eligibility filter.
-The bounded design, if it is ever needed, is condensation-DAG
-maintenance under insert-only edges: keep the (scc → scc) condensed
-edge relation alongside the labels; for a batch edge (u, v) with
-scc(u) ≠ scc(v), the merge set is exactly {nodes on condensation
-paths v ⇝ u} (computable with one forward + one backward bounded BFS
-over the CONDENSED graph — usually orders smaller than the node
-graph), relabel that set to its min member, and contract the
-condensed relation. That is Θ(condensed reachable set) per batch,
-still worst-case O(whole DAG) — the same floor the literature hits
-(e.g. incremental SCC via sparse topological maintenance). Until a
-workload needs it, the supported steady state is: maintain edges
-incrementally, RECOMPUTE SCC on demand with this kernel (the WCC
-pre-decomposition + trimming already skip the untouched regions'
-heavy lifting in practice).
+The bounded design IS condensation-DAG maintenance under insert-only
+edges (round-13 VERDICT stretch item, now implemented): insert-only
+batches can only MERGE SCCs, never split them, and every NEW cycle
+must traverse at least one new inter-component edge. So the merge
+set is confined to {components reachable from some new edge's head}
+∩ {components that reach some new edge's tail} over the CONDENSED
+graph — one forward + one backward multi-source BFS, usually orders
+smaller than the node graph — and the full FB kernel runs only on
+that candidate-induced condensed subgraph. That is Θ(condensed
+reachable set) per batch, still worst-case O(whole DAG) — the same
+floor the literature hits (incremental SCC via sparse topological
+maintenance). Edge DELETION stays an explicit non-goal (a delete can
+split an SCC, and the repair is a full recompute of the affected
+component); the supported steady state for deletes is: recompute on
+demand with the one-shot kernel.
 """
 
 from __future__ import annotations
@@ -262,3 +263,171 @@ def strongly_connected_components(
     for d in done[1:]:
         out = out.unionByName(d)
     return out
+
+
+def scc_condense(
+    edges: DataFrame, labels: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """The condensation-DAG edge relation: each edge mapped to its
+    endpoints' SCC labels, self-loops (intra-SCC edges) dropped —
+    (cu, cv) distinct.  One map-side pass over ``edges`` joined
+    against the (node, scc) label relation; the result is
+    component-sized, not node-sized."""
+    lab_u = labels.select(F.col("node").alias(src), F.col("scc").alias("cu"))
+    lab_v = labels.select(F.col("node").alias(dst), F.col("scc").alias("cv"))
+    return (
+        edges.join(lab_u, src)
+        .join(lab_v, dst)
+        .filter(F.col("cu") != F.col("cv"))
+        .select("cu", "cv")
+        .distinct()
+    )
+
+
+def _reach_cond(
+    cond: DataFrame, seeds: DataFrame, max_rounds: int, direction: str
+) -> DataFrame:
+    """Multi-source BFS over the condensed edge relation (cu, cv) from
+    ``seeds`` (single column ``node``); returns the distinct reachable
+    component set (seeds included).  Raises when ``max_rounds`` is
+    exhausted with a non-empty frontier — a partial reach could miss a
+    merge and silently leave two SCCs separate."""
+    seen = seeds.select("node").distinct().transform(fresh_local_checkpoint)
+    frontier = seen
+    for _ in range(max_rounds):
+        nxt = (
+            cond.join(frontier.withColumnRenamed("node", "cu"), "cu")
+            .select(F.col("cv").alias("node"))
+            .distinct()
+            .join(seen, "node", "left_anti")
+            .transform(fresh_local_checkpoint)
+        )
+        if nxt.isEmpty():
+            return seen
+        seen = seen.unionByName(nxt).transform(fresh_local_checkpoint)
+        frontier = nxt
+    raise RuntimeError(
+        f"scc_update {direction} condensation reachability did not "
+        f"converge within {max_rounds} BFS rounds (frontier still "
+        "non-empty); raise max_bfs_rounds — a partial reach would miss "
+        "an SCC merge"
+    )
+
+
+def scc_update(
+    all_edges: DataFrame,
+    new_edges: DataFrame,
+    labels: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_phases: int = 64,
+    max_bfs_rounds: int = 64,
+    max_wcc_iter: int = 64,
+) -> DataFrame:
+    """EXACT incremental maintenance of
+    ``strongly_connected_components`` under INSERT-ONLY edge batches:
+    given the stored (node, scc) labels over the OLD edge set (scc =
+    min member) and the batch of ``new_edges`` (``all_edges`` = old ∪
+    new), produce the labels over ``all_edges`` — bit-identical to
+    recomputing from scratch (test-pinned), without re-running the FB
+    decomposition over the node graph.
+
+    Insert-only means SCCs only MERGE, and every new cycle traverses
+    at least one new inter-component edge, so the whole computation
+    lives on the CONDENSED graph (module docstring):
+
+    1. nodes the batch introduces found their own trivial SCC;
+    2. condense ``all_edges`` through the labels (component-sized);
+       batch edges whose endpoints already share an SCC are no-ops;
+    3. candidate region = reach(new-edge head components, forward) ∩
+       reach(new-edge tail components, backward) over the condensed
+       graph — every component of every new cycle is in it, because
+       following the cycle forward hits a new edge's tail and
+       backward hits a new edge's head;
+    4. the one-shot FB kernel runs on the candidate-induced condensed
+       subgraph only; its non-trivial components are exactly the
+       merge sets (any cycle there is a cycle in the full graph, and
+       any new cycle lives entirely inside the candidate region);
+    5. relabel: members of a merged set take the min of the merged
+       components' labels — which IS the min node of the merged SCC,
+       because each old label was already its component's min member.
+
+    A batch that is entirely intra-SCC (or empty) costs two map-side
+    joins and one emptiness check.  Duplicate edges are harmless.
+    Edge DELETION is out of contract (module docstring) — deletes can
+    split SCCs; recompute instead.  Raises on any exhausted bound,
+    like the from-scratch kernel."""
+    new = (
+        new_edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .distinct()
+    )
+    # 1. fresh nodes found their own (trivial) SCC
+    fresh = (
+        new.select(F.col("u").alias("node"))
+        .union(new.select(F.col("v").alias("node")))
+        .distinct()
+        .join(labels, "node", "left_anti")
+        .withColumn("scc", F.col("node"))
+    )
+    lab = labels.unionByName(fresh).transform(fresh_local_checkpoint)
+    # 2. condense the batch; intra-SCC edges are no-ops
+    new_cond = scc_condense(new, lab, "u", "v").transform(
+        fresh_local_checkpoint
+    )
+    if new_cond.isEmpty():
+        return lab
+    cond = (
+        scc_condense(
+            all_edges.select(
+                F.col(src).alias("u"), F.col(dst).alias("v")
+            ),
+            lab,
+            "u",
+            "v",
+        )
+        .unionByName(new_cond)
+        .distinct()
+        .transform(fresh_local_checkpoint)
+    )
+    # 3. bounded candidate region over the condensed graph
+    heads = new_cond.select(F.col("cv").alias("node"))
+    tails = new_cond.select(F.col("cu").alias("node"))
+    fwd = _reach_cond(cond, heads, max_bfs_rounds, "forward")
+    bwd = _reach_cond(
+        cond.select(F.col("cv").alias("cu"), F.col("cu").alias("cv")),
+        tails,
+        max_bfs_rounds,
+        "backward",
+    )
+    cand = fwd.join(bwd, "node", "semi").transform(fresh_local_checkpoint)
+    sub = (
+        cond.join(cand.withColumnRenamed("node", "cu"), "cu", "semi")
+        .join(cand.withColumnRenamed("node", "cv"), "cv", "semi")
+        .select("cu", "cv")
+    )
+    if sub.isEmpty():
+        return lab
+    # 4. FB kernel on the candidate-induced condensed subgraph; its
+    # non-trivial components are the merge sets
+    comp = strongly_connected_components(
+        sub,
+        "cu",
+        "cv",
+        max_phases=max_phases,
+        max_bfs_rounds=max_bfs_rounds,
+        max_wcc_iter=max_wcc_iter,
+    )
+    sizes = comp.groupBy("scc").agg(F.count("*").alias("__n"))
+    merge_map = (
+        comp.join(sizes.filter(F.col("__n") > 1).select("scc"), "scc", "semi")
+        .select(F.col("node").alias("__old"), F.col("scc").alias("__new"))
+        .transform(fresh_local_checkpoint)
+    )
+    if merge_map.isEmpty():
+        return lab
+    # 5. relabel merged components (old labels are min members, so the
+    # min over merged labels is the merged SCC's min member)
+    return (
+        lab.join(merge_map, lab["scc"] == merge_map["__old"], "left")
+        .select("node", F.coalesce("__new", "scc").alias("scc"))
+    )

@@ -1112,6 +1112,77 @@ def run_components_stream(
         q.stop()
 
 
+def run_scc_stream(
+    edges_stream: DataFrame,
+    state_dir: str,
+    src: str = "src",
+    dst: str = "dst",
+    max_phases: int = 64,
+    max_bfs_rounds: int = 64,
+    writer_id: str = "scc",
+) -> None:
+    """Streaming strongly-connected-component maintenance — the
+    DIRECTED twin of ``run_components_stream`` for insert-only edge
+    streams (link graphs, citation DAGs, trade lanes): fold each
+    micro-batch into a persisted edge set and a persisted (node, scc)
+    label table so after every epoch ``<state_dir>/labels`` is EXACTLY
+    ``strongly_connected_components(all edges so far)`` — without
+    re-running the FB decomposition over the node graph
+    (``operators/scc.py scc_update`` confines each batch to the
+    condensation-DAG region its new inter-component edges can merge).
+
+    Both folds ride the epoch-fenced CAS skeleton (``_fold_with_fence``
+    — the ``run_components_stream`` contract): redelivered batches
+    skip per table, and a crash between the folds replays to the
+    crash-free state. Edge DELETION is out of contract (deletes can
+    split SCCs — ``operators/scc.py`` module docstring); feed
+    insert-only streams. Read the result with ``read_table(spark,
+    state_dir + "/labels")``; batch parity is test-pinned."""
+    import os
+
+    from ..operators.scc import scc_update, strongly_connected_components
+    from ..sinks.versioned import read_table
+
+    edges_path = os.path.join(state_dir, "edges")
+    labels_path = os.path.join(state_dir, "labels")
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        batch = batch_df.select(src, dst)
+        _fold_with_fence(
+            spark, edges_path, writer_id + "_edges", epoch_id,
+            lambda base: (
+                batch
+                if base is None
+                else base.unionByName(batch).distinct()
+            ),
+        )
+        all_edges = read_table(spark, edges_path)
+
+        def merge(base_labels: DataFrame | None) -> DataFrame:
+            if base_labels is None:
+                return strongly_connected_components(
+                    all_edges, src=src, dst=dst,
+                    max_phases=max_phases,
+                    max_bfs_rounds=max_bfs_rounds,
+                )
+            return scc_update(
+                all_edges, batch, base_labels, src=src, dst=dst,
+                max_phases=max_phases,
+                max_bfs_rounds=max_bfs_rounds,
+            )
+
+        _fold_with_fence(spark, labels_path, writer_id, epoch_id, merge)
+
+    q = edges_stream.writeStream.foreachBatch(sink).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+
 def run_triangle_stream(
     pairs_stream: DataFrame,
     state_dir: str,

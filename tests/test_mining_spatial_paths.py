@@ -1003,3 +1003,160 @@ def test_streaming_sssp_crash_between_folds_replays_clean(spark, tmp_path):
         for r in prof.filter("h = 4").collect()
     }
     assert final == {(1, 0), (2, 3), (3, 1), (4, 2), (5, 4)}
+
+
+def test_scc_update_equals_recompute(spark):
+    """Incremental SCC (operators/scc.py scc_update): insert-only
+    batches relabel to EXACTLY the from-scratch answer — chain-of-SCCs
+    merges, fresh nodes, intra-SCC no-ops, and duplicate batch edges."""
+    from etl_job_applify_spark.operators.scc import (
+        scc_update,
+        strongly_connected_components,
+    )
+
+    # cycle {1,2,3} -> 4 -> cycle {5,6}; batch closes 6->1 (merging the
+    # whole condensation path) and adds a fresh disconnected edge
+    old = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (3, 4), (4, 5), (5, 6), (6, 5)],
+        "src long, dst long",
+    )
+    batch = spark.createDataFrame(
+        [(6, 1), (10, 11)], "src long, dst long"
+    )
+    alle = old.unionByName(batch)
+    base = strongly_connected_components(old)
+    got = sorted(map(tuple, scc_update(alle, batch, base).collect()))
+    want = sorted(
+        map(tuple, strongly_connected_components(alle).collect())
+    )
+    assert got == want
+    assert (6, 1) in set(got) and (4, 1) in set(got)  # path merged
+
+    # intra-SCC batch is a no-op (returns the same labels)
+    intra = spark.createDataFrame([(2, 1)], "src long, dst long")
+    got2 = sorted(
+        map(
+            tuple,
+            scc_update(old.unionByName(intra), intra, base).collect(),
+        )
+    )
+    assert got2 == sorted(map(tuple, base.collect()))
+
+    # a DAG batch edge (no new cycle) must merge nothing
+    dag = spark.createDataFrame([(1, 10), (10, 11)], "src long, dst long")
+    alle3 = old.unionByName(dag)
+    got3 = sorted(map(tuple, scc_update(alle3, dag, base).collect()))
+    want3 = sorted(
+        map(tuple, strongly_connected_components(alle3).collect())
+    )
+    assert got3 == want3
+
+    # duplicate batch edges (already present in old) are harmless
+    dup = spark.createDataFrame(
+        [(6, 1), (6, 1), (3, 4)], "src long, dst long"
+    )
+    alle4 = old.unionByName(dup)
+    got4 = sorted(map(tuple, scc_update(alle4, dup, base).collect()))
+    want4 = sorted(
+        map(tuple, strongly_connected_components(alle4).collect())
+    )
+    assert got4 == want4
+
+
+def test_scc_update_randomized_parity(spark):
+    """Seeded random digraphs, random time-splits: incremental ≡
+    recompute on every draw (the cc_update discipline applied to the
+    directed kernel)."""
+    import random
+
+    from etl_job_applify_spark.operators.scc import (
+        scc_update,
+        strongly_connected_components,
+    )
+
+    for seed in (7, 23, 91):
+        rng = random.Random(seed)
+        n = 14
+        edges = sorted(
+            {
+                (rng.randrange(n), rng.randrange(n))
+                for _ in range(40)
+                if True
+            }
+        )
+        edges = [(u, v) for u, v in edges if u != v]
+        rng.shuffle(edges)
+        cut = len(edges) * 2 // 3
+        old_e, new_e = edges[:cut], edges[cut:]
+        if not old_e or not new_e:
+            continue
+        old = spark.createDataFrame(old_e, "src long, dst long")
+        batch = spark.createDataFrame(new_e, "src long, dst long")
+        alle = spark.createDataFrame(edges, "src long, dst long")
+        base = strongly_connected_components(old)
+        got = sorted(
+            map(tuple, scc_update(alle, batch, base).collect())
+        )
+        want = sorted(
+            map(tuple, strongly_connected_components(alle).collect())
+        )
+        assert got == want, f"seed {seed}: {got} != {want}"
+
+
+def test_streaming_scc_batch_parity_and_replay(spark, tmp_path):
+    """run_scc_stream over time-split directed edge batches: the
+    persisted label head equals the one-shot kernel over all edges,
+    and a full redelivery (fresh query, same source) leaves both
+    persisted tables bit-identical — the epoch fence makes replay a
+    no-op per table."""
+    import time
+
+    from etl_job_applify_spark.operators.scc import (
+        strongly_connected_components,
+    )
+    from etl_job_applify_spark.sinks.versioned import read_table
+    from etl_job_applify_spark.streaming import run_scc_stream
+
+    src_dir = tmp_path / "src"
+    src_dir.mkdir()
+    state = str(tmp_path / "state")
+    b0 = [(1, 2), (2, 3), (3, 1), (3, 4), (4, 5), (5, 6), (6, 5)]
+    b1 = [(6, 1), (20, 21)]
+    spark.createDataFrame(b0, "src long, dst long").coalesce(1).write.parquet(
+        str(src_dir / "b0.parquet")
+    )
+    time.sleep(1.1)
+    spark.createDataFrame(b1, "src long, dst long").coalesce(1).write.parquet(
+        str(src_dir / "b1.parquet")
+    )
+
+    def run():
+        stream = (
+            spark.readStream.schema("src long, dst long")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src_dir) + "/*.parquet")
+        )
+        run_scc_stream(stream, state)
+
+    run()
+    labels1 = sorted(
+        tuple(r) for r in read_table(spark, state + "/labels").collect()
+    )
+    edges1 = sorted(
+        tuple(r) for r in read_table(spark, state + "/edges").collect()
+    )
+    allp = spark.createDataFrame(b0 + b1, "src long, dst long")
+    want = sorted(
+        map(tuple, strongly_connected_components(allp).collect())
+    )
+    assert labels1 == want
+    assert (6, 1) in set(labels1)  # the late edge merged the path
+    run()  # full redelivery: epochs 0 and 1 again
+    labels2 = sorted(
+        tuple(r) for r in read_table(spark, state + "/labels").collect()
+    )
+    edges2 = sorted(
+        tuple(r) for r in read_table(spark, state + "/edges").collect()
+    )
+    assert labels1 == labels2
+    assert edges1 == edges2
