@@ -323,7 +323,9 @@ def scc_update(
     max_phases: int = 64,
     max_bfs_rounds: int = 64,
     max_wcc_iter: int = 64,
-) -> DataFrame:
+    condensed: DataFrame | None = None,
+    return_condensed: bool = False,
+):
     """EXACT incremental maintenance of
     ``strongly_connected_components`` under INSERT-ONLY edge batches:
     given the stored (node, scc) labels over the OLD edge set (scc =
@@ -356,7 +358,17 @@ def scc_update(
     joins and one emptiness check.  Duplicate edges are harmless.
     Edge DELETION is out of contract (module docstring) — deletes can
     split SCCs; recompute instead.  Raises on any exhausted bound,
-    like the from-scratch kernel."""
+    like the from-scratch kernel.
+
+    ``condensed``: the prior condensation relation (cu, cv) —
+    ``scc_condense(old_edges, labels)`` — maintained by the caller.
+    When supplied, the per-batch pass over ``all_edges`` is skipped
+    entirely and the batch costs Θ(condensation + change), never
+    Θ(edges).  ``return_condensed=True`` returns ``(labels, cond)``
+    where ``cond`` is the post-batch condensation (merged components
+    contracted endpoint-wise — exactly ``scc_condense(all_edges,
+    labels)``, test-pinned), so a steady-state maintainer can carry it
+    forward without ever re-scanning the edge relation."""
     new = (
         new_edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .distinct()
@@ -375,9 +387,22 @@ def scc_update(
         fresh_local_checkpoint
     )
     if new_cond.isEmpty():
-        return lab
-    cond = (
-        scc_condense(
+        if not return_condensed:
+            return lab
+        if condensed is None:
+            condensed = scc_condense(
+                all_edges.select(
+                    F.col(src).alias("u"), F.col(dst).alias("v")
+                ),
+                lab, "u", "v",
+            )
+        return lab, condensed
+    # prior condensation, maintained by the caller (Θ(change) batches)
+    # or derived here with one map-side pass over the edge relation
+    base_cond = (
+        condensed
+        if condensed is not None
+        else scc_condense(
             all_edges.select(
                 F.col(src).alias("u"), F.col(dst).alias("v")
             ),
@@ -385,7 +410,9 @@ def scc_update(
             "u",
             "v",
         )
-        .unionByName(new_cond)
+    )
+    cond = (
+        base_cond.unionByName(new_cond)
         .distinct()
         .transform(fresh_local_checkpoint)
     )
@@ -406,7 +433,7 @@ def scc_update(
         .select("cu", "cv")
     )
     if sub.isEmpty():
-        return lab
+        return (lab, cond) if return_condensed else lab
     # 4. FB kernel on the candidate-induced condensed subgraph; its
     # non-trivial components are the merge sets
     comp = strongly_connected_components(
@@ -424,10 +451,32 @@ def scc_update(
         .transform(fresh_local_checkpoint)
     )
     if merge_map.isEmpty():
-        return lab
+        return (lab, cond) if return_condensed else lab
     # 5. relabel merged components (old labels are min members, so the
     # min over merged labels is the merged SCC's min member)
-    return (
+    out = (
         lab.join(merge_map, lab["scc"] == merge_map["__old"], "left")
         .select("node", F.coalesce("__new", "scc").alias("scc"))
     )
+    if not return_condensed:
+        return out
+    # remap the condensation through the merges: an inter-component
+    # edge whose endpoints merged becomes intra and drops; everything
+    # else relabels endpoint-wise — exactly scc_condense(all, out)
+    mu = merge_map.withColumnRenamed("__old", "cu").withColumnRenamed(
+        "__new", "__nu"
+    )
+    mv = merge_map.withColumnRenamed("__old", "cv").withColumnRenamed(
+        "__new", "__nv"
+    )
+    cond_out = (
+        cond.join(mu, "cu", "left")
+        .join(mv, "cv", "left")
+        .select(
+            F.coalesce("__nu", "cu").alias("cu"),
+            F.coalesce("__nv", "cv").alias("cv"),
+        )
+        .filter(F.col("cu") != F.col("cv"))
+        .distinct()
+    )
+    return out, cond_out

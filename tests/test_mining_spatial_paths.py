@@ -1160,3 +1160,103 @@ def test_streaming_scc_batch_parity_and_replay(spark, tmp_path):
     )
     assert labels1 == labels2
     assert edges1 == edges2
+
+
+def test_scc_update_maintained_condensation_parity(spark):
+    """The Θ(change) steady state: carrying the condensation forward
+    across a batch SEQUENCE (condensed=..., return_condensed=True)
+    yields, after every batch, labels identical to the from-scratch
+    kernel AND a condensation identical to deriving it fresh from the
+    full edge relation."""
+    import random
+
+    from etl_job_applify_spark.operators.scc import (
+        scc_condense,
+        scc_update,
+        strongly_connected_components,
+    )
+
+    rng = random.Random(41)
+    n = 12
+    edges = [
+        (u, v)
+        for u, v in sorted(
+            {(rng.randrange(n), rng.randrange(n)) for _ in range(36)}
+        )
+        if u != v
+    ]
+    rng.shuffle(edges)
+    cuts = [len(edges) // 3, 2 * len(edges) // 3, len(edges)]
+    founding = edges[: cuts[0]]
+    old = spark.createDataFrame(founding, "src long, dst long")
+    lab = strongly_connected_components(old)
+    cond = scc_condense(old, lab)
+    seen = list(founding)
+    for lo, hi in zip(cuts[:-1], cuts[1:]):
+        batch_e = edges[lo:hi]
+        seen = seen + batch_e
+        alle = spark.createDataFrame(seen, "src long, dst long")
+        batch = spark.createDataFrame(batch_e, "src long, dst long")
+        lab, cond = scc_update(
+            alle, batch, lab, condensed=cond, return_condensed=True
+        )
+        want_lab = sorted(
+            map(tuple, strongly_connected_components(alle).collect())
+        )
+        assert sorted(map(tuple, lab.collect())) == want_lab
+        want_cond = sorted(
+            map(tuple, scc_condense(alle, lab).collect())
+        )
+        assert sorted(map(tuple, cond.collect())) == want_cond
+
+
+def test_streaming_scc_crash_between_folds_replays_clean(spark, tmp_path):
+    """The documented crash window: epoch 1's EDGE fold committed but
+    the LABEL fold did not. On redelivery the edge fold finds its
+    fence and skips; the label fold proceeds against the committed
+    edge head — final state equals the crash-free run."""
+    import time
+
+    from etl_job_applify_spark.operators.scc import (
+        strongly_connected_components,
+    )
+    from etl_job_applify_spark.sinks.versioned import read_table
+    from etl_job_applify_spark.streaming import run_scc_stream
+    from etl_job_applify_spark.streaming.jobs import _fold_with_fence
+
+    src_dir = tmp_path / "src"
+    src_dir.mkdir()
+    state = str(tmp_path / "state")
+    b0 = [(1, 2), (2, 3), (3, 1), (3, 4), (4, 5), (5, 6), (6, 5)]
+    b1 = [(6, 1), (20, 21)]
+    df0 = spark.createDataFrame(b0, "src long, dst long")
+    df1 = spark.createDataFrame(b1, "src long, dst long")
+    df0.coalesce(1).write.parquet(str(src_dir / "b0.parquet"))
+    time.sleep(1.1)
+    df1.coalesce(1).write.parquet(str(src_dir / "b1.parquet"))
+
+    # crash simulation: epoch 0 fully committed; epoch 1's edge fold
+    # committed, label fold lost.
+    _fold_with_fence(spark, state + "/edges", "scc_edges", 0,
+                     lambda base: df0)
+    _fold_with_fence(spark, state + "/edges", "scc_edges", 1,
+                     lambda base: base.unionByName(df1).distinct())
+    _fold_with_fence(
+        spark, state + "/labels", "scc", 0,
+        lambda base: strongly_connected_components(df0),
+    )
+
+    stream = (
+        spark.readStream.schema("src long, dst long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src_dir) + "/*.parquet")
+    )
+    run_scc_stream(stream, state)
+    got = sorted(
+        tuple(r) for r in read_table(spark, state + "/labels").collect()
+    )
+    allp = spark.createDataFrame(b0 + b1, "src long, dst long")
+    want = sorted(
+        map(tuple, strongly_connected_components(allp).collect())
+    )
+    assert got == want
