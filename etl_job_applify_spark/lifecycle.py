@@ -1,0 +1,105 @@
+"""Cross-family document lifecycle: the FORGET sweep.
+
+A training-data platform serves the same document through several
+persisted derived stores at once — the BM25 text index, the ANN vector
+index, the MinHash dedup index.  When a document must stop being
+served (takedown, opt-out, contamination, license revocation), the
+removal has to land in EVERY family, idempotently, at data-plane
+scale: the forget set can be an entire domain, so nothing here may
+collect ids onto the driver.
+
+``forget_documents`` composes the three families' tombstone paths
+(``text_index_delete`` / ``minhash_index_delete`` /
+``vector_index_delete``) into one sweep with a shared contract:
+
+- **Serving changes NOW, space reclaims later** — every family's
+  delete is a metadata-only tombstone commit (one CAS snapshot per
+  family on the versioned layouts); physical purge is compaction's
+  job (``optimize=True`` runs it in the same sweep when wanted).
+- **Idempotent per family** — re-running the sweep with the same id
+  set tombstones nothing new (each family dedups against its prior
+  tombstone set), so a sweep interrupted between families is simply
+  re-run: the completed families no-op and the missed ones catch up.
+  Cross-family atomicity is deliberately NOT promised — there is no
+  coordinator that could give it without stalling every family's
+  writers; the replayable sweep is the 100 TB-honest contract, and
+  the window where family A already forgot while family B has not is
+  closed by the re-run.
+- **Distributed end to end** — ids flow as DataFrames into per-family
+  anti-joins; unknown ids are harmless everywhere.
+
+Reference parity: the reference has no index surface at all
+(SURVEY.md §2); this completes the persisted-index family the way
+``text_index_apply_cdc`` completed streamed maintenance.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _as_id_df(spark: SparkSession, ids, col: str) -> DataFrame:
+    if isinstance(ids, DataFrame):
+        first = ids.columns[0]
+        return ids.select(
+            F.col(first).cast("bigint").alias(col)
+        ).distinct()
+    return spark.createDataFrame(
+        [(int(i),) for i in ids], f"{col} bigint"
+    )
+
+
+def forget_documents(
+    spark: SparkSession,
+    doc_ids,
+    text_index: str | None = None,
+    dedup_index: str | None = None,
+    vector_index: str | None = None,
+    optimize: bool = False,
+) -> dict:
+    """Tombstone ``doc_ids`` out of every supplied index family and
+    return per-family tombstone counts, e.g. ``{"text": 71, "dedup":
+    71, "vector": 71}``.  Families left ``None`` are skipped.  A
+    second sweep with the same ids returns zeros — the idempotence the
+    module docstring promises (re-run on any partial failure).
+
+    ``optimize=True`` additionally compacts each touched family after
+    its delete (physical purge + tombstone clear) — results must not
+    change (each family's compaction is serve-invariant, test-pinned
+    in its own suite); only space and probe fast paths do."""
+    out: dict[str, int] = {}
+    if text_index is not None:
+        from .functions.text_index import (
+            optimize_text_index,
+            text_index_delete,
+        )
+
+        ids = _as_id_df(spark, doc_ids, "doc")
+        out["text"] = text_index_delete(spark, text_index, ids)[
+            "n_tombstoned"
+        ]
+        if optimize:
+            optimize_text_index(spark, text_index)
+    if dedup_index is not None:
+        from .dedup.incremental import minhash_index_delete, optimize_index
+
+        ids = _as_id_df(spark, doc_ids, "doc")
+        out["dedup"] = minhash_index_delete(spark, dedup_index, ids)[
+            "n_tombstoned"
+        ]
+        if optimize:
+            optimize_index(spark, dedup_index)
+    if vector_index is not None:
+        from .similarity.vector_index import (
+            optimize_vector_index,
+            vector_index_delete,
+        )
+
+        ids = _as_id_df(spark, doc_ids, "vid")
+        out["vector"] = vector_index_delete(spark, vector_index, ids)[
+            "n_tombstoned"
+        ]
+        if optimize:
+            optimize_vector_index(spark, vector_index)
+    return out

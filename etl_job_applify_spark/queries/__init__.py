@@ -33,6 +33,7 @@ from . import (
     timeseries,
     advanced,
     hof,
+    lifecycleops,
     verification,
     pipelineops,
     pipelineops2,
@@ -62,6 +63,7 @@ _MODULES = [
     timeseries,
     advanced,
     hof,
+    lifecycleops,
     verification,
     pipelineops,
     pipelineops2,

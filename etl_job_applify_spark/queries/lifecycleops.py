@@ -1,0 +1,195 @@
+"""Cross-family lifecycle queries: the forget sweep (q267).
+
+The reference has no index surface at all (SURVEY.md §2; reference
+core is an EL job, ``services/*.py``); the three persisted index
+families are this engine's north-star serving layer, and this module
+gates the one lifecycle operation that must span ALL of them at once:
+removing a document everywhere (takedown / opt-out / contamination).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ._util import tbl
+
+QUERIES: dict = {}
+ORACLE: dict = {}
+
+
+# --- q267: the cross-family forget sweep -----------------------------------
+# Build all three index families over the same corpus, forget the
+# doomed id set ONCE through lifecycle.forget_documents, and prove the
+# whole contract with exact integers:
+#   - per-family tombstone counts on the first sweep (= the doomed
+#     docs each family actually held),
+#   - ZERO on the second sweep (idempotence — the crash-recovery
+#     re-run must be a no-op),
+#   - live counts from each family's DESCRIBE-INDEX stats after the
+#     sweep (text/dedup: corpus minus doomed; vector: embeddings
+#     minus doomed — the vector family legitimately holds a subset
+#     of the id space at some SFs),
+#   - a served probe per family with ZERO doomed ids surfacing
+#     (BM25 top-5, exhaustive-nprobe ANN top-5, MinHash near-dup
+#     candidates from live probe docs),
+#   - stats unchanged by the optimize (compaction) sweep — space
+#     reclaim must not change what is served.
+# Every output column is replayable by the oracle from documents /
+# embeddings alone, so the gate pins the sweep end to end.
+
+def q267_forget_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from pyspark.sql import Window
+
+    from ..dedup.incremental import (
+        minhash_index_build,
+        minhash_index_probe,
+        minhash_index_stats,
+    )
+    from ..functions.text_index import (
+        text_index_bm25,
+        text_index_build,
+        text_index_stats,
+    )
+    from ..lifecycle import forget_documents
+    from ..similarity.vector_index import (
+        vector_index_build,
+        vector_index_probe,
+        vector_index_stats,
+    )
+    from .textops import _Q190_QUERIES
+
+    docs = tbl(spark, sf_dir, "documents").select("doc_id", "text")
+    emb = tbl(spark, sf_dir, "embeddings")
+    doomed = docs.filter(F.col("doc_id") % 7 == 2).select(
+        F.col("doc_id").cast("bigint").alias("doc")
+    )
+    root = tempfile.mkdtemp(prefix="q267_forget_")
+    tp, dp, vp = f"{root}/text", f"{root}/dedup", f"{root}/vec"
+    try:
+        text_index_build(docs, tp)
+        minhash_index_build(docs, dp)
+        cents = [
+            r["embedding"]
+            for r in emb.orderBy("vec_id").limit(8).collect()
+        ]
+        vector_index_build(emb, vp, num_cells=8, centroids=cents)
+
+        sweep1 = forget_documents(
+            spark, doomed, text_index=tp, dedup_index=dp, vector_index=vp
+        )
+        # idempotence: the crash-recovery re-run tombstones nothing new
+        sweep2 = forget_documents(
+            spark, doomed, text_index=tp, dedup_index=dp, vector_index=vp
+        )
+        if any(sweep2.values()):
+            raise AssertionError(f"forget sweep not idempotent: {sweep2}")
+
+        # --- served probes: no family may surface a doomed id -------
+        qterms = spark.createDataFrame(
+            [(qid, w) for qid, ws in _Q190_QUERIES for w in ws],
+            "qid int, word string",
+        )
+        w = Window.partitionBy("qid").orderBy(
+            F.desc("score"), F.asc("doc_id")
+        )
+        text_served = (
+            text_index_bm25(spark, tp, qterms)
+            .withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= 5)
+            .select(F.col("doc_id").cast("bigint").alias("id"))
+        )
+        vec_queries = emb.filter(
+            F.col("vec_id").isin([1, 8, 15])
+        ).select(F.col("vec_id").alias("query_id"), "embedding")
+        # nprobe == num_cells: exhaustive over the live corpus — the
+        # strictest serve (any tombstone leak anywhere would surface)
+        vec_served = vector_index_probe(
+            spark, vp, vec_queries, k=5, nprobe=8
+        ).select(F.col("neighbor").cast("bigint").alias("id"))
+        probe_docs = docs.filter(
+            (F.col("doc_id") % 11 == 5) & (F.col("doc_id") % 7 != 2)
+        )
+        dd_pairs = minhash_index_probe(
+            spark, dp, probe_docs, history=docs
+        )
+        dd_served = dd_pairs.select(
+            F.col("a").cast("bigint").alias("id")
+        ).union(dd_pairs.select(F.col("b").cast("bigint").alias("id")))
+        served = (
+            text_served.union(vec_served).union(dd_served)
+        )
+        doomed_served = served.join(
+            doomed.withColumnRenamed("doc", "id"), "id", "semi"
+        ).count()
+
+        t_stats = text_index_stats(spark, tp)
+        d_stats = minhash_index_stats(spark, dp)
+        v_stats = vector_index_stats(spark, vp)
+
+        # space reclaim (compaction across all three families) must
+        # not change live counts — or what is served
+        forget_documents(
+            spark,
+            doomed,
+            text_index=tp,
+            dedup_index=dp,
+            vector_index=vp,
+            optimize=True,
+        )
+        t2 = text_index_stats(spark, tp)
+        d2 = minhash_index_stats(spark, dp)
+        v2 = vector_index_stats(spark, vp)
+        if (t2["n_docs"], d2["n_docs"], v2["n_vecs"]) != (
+            t_stats["n_docs"], d_stats["n_docs"], v_stats["n_vecs"]
+        ):
+            raise AssertionError("compaction changed live counts")
+        if (
+            t2["n_pending_tombstones"]
+            or d2["n_pending_tombstones"]
+            or v2["n_pending_tombstones"]
+        ):
+            raise AssertionError("compaction left tombstones pending")
+
+        return spark.createDataFrame(
+            [(
+                sweep1["text"], sweep1["dedup"], sweep1["vector"],
+                sweep2["text"], sweep2["dedup"], sweep2["vector"],
+                int(t_stats["n_docs"]), int(d_stats["n_docs"]),
+                int(v_stats["n_vecs"]), doomed_served,
+            )],
+            "text_tomb bigint, dedup_tomb bigint, vec_tomb bigint,"
+            " text_retomb bigint, dedup_retomb bigint,"
+            " vec_retomb bigint, text_live bigint, dedup_live bigint,"
+            " vec_live bigint, doomed_served bigint",
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+_Q267_SQL = """
+SELECT
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM documents
+    WHERE doc_id % 7 = 2) AS text_tomb,
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM documents
+    WHERE doc_id % 7 = 2) AS dedup_tomb,
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM embeddings
+    WHERE vec_id % 7 = 2) AS vec_tomb,
+  CAST(0 AS BIGINT) AS text_retomb,
+  CAST(0 AS BIGINT) AS dedup_retomb,
+  CAST(0 AS BIGINT) AS vec_retomb,
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM documents
+    WHERE doc_id % 7 <> 2) AS text_live,
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM documents
+    WHERE doc_id % 7 <> 2) AS dedup_live,
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM embeddings
+    WHERE vec_id % 7 <> 2) AS vec_live,
+  CAST(0 AS BIGINT) AS doomed_served
+"""
+
+
+QUERIES["q267_forget_sweep"] = q267_forget_sweep
+ORACLE["q267_forget_sweep"] = _Q267_SQL
