@@ -193,3 +193,122 @@ SELECT
 
 QUERIES["q267_forget_sweep"] = q267_forget_sweep
 ORACLE["q267_forget_sweep"] = _Q267_SQL
+
+
+# --- q268: quality-aware canonical selection ------------------------------
+# The dedup-cluster policy a real training pipeline runs: within each
+# near-dup cluster keep the HIGHEST-QUALITY member, not the min id.
+# q60/q69 fixed the canonical as the min doc_id (the label the CC
+# kernel computes anyway); here the canonical is argmax of the q40
+# composite quality score (quality DESC, doc_id ASC tiebreak — the
+# score arithmetic is single IEEE divisions/multiplies, bit-equal
+# cross-engine, the q40 precedent). Output: one row per non-trivial
+# cluster with its min-id label, its chosen canonical, the member
+# count, and whether the policy diverged from min-id — all exactly
+# replayable by the oracle (q60's recursive-CTE clustering + the q40
+# score + the same window).
+
+def q268_canonical_selection(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..dedup.jaccard import ngram_jaccard_pairs
+    from ..functions.text import quality_score_expr
+    from ..operators.components import connected_components
+
+    docs = tbl(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, threshold=0.5).select("a", "b")
+    comp = connected_components(pairs)
+    scored = docs.select(
+        F.col("doc_id").alias("node"),
+        quality_score_expr("text").alias("q"),
+    )
+    m = comp.join(scored, "node")
+    w = Window.partitionBy("component").orderBy(
+        F.desc("q"), F.asc("node")
+    )
+    best = (
+        m.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "component",
+            F.col("node").alias("canon_doc"),
+            F.col("q").alias("canon_quality"),
+        )
+    )
+    sizes = comp.groupBy("component").agg(
+        F.count("*").cast("bigint").alias("n_members")
+    )
+    return (
+        best.join(sizes, "component")
+        .select(
+            F.col("component").cast("bigint").alias("component"),
+            F.col("canon_doc").cast("bigint").alias("canon_doc"),
+            "canon_quality",
+            "n_members",
+            (F.col("canon_doc") != F.col("component")).alias(
+                "diverged_from_min_id"
+            ),
+        )
+        .orderBy("component")
+    )
+
+
+_Q268_SQL = """
+WITH RECURSIVE tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(range(1, greatest(len(t) - 2, 0) + 1),
+                i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) AS sh
+  FROM tok WHERE len(t) >= 3
+),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+common AS (
+  SELECT s1.doc_id AS a, s2.doc_id AS b, COUNT(*) AS c
+  FROM sh s1 JOIN sh s2 ON s1.sh = s2.sh AND s1.doc_id < s2.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT a, b FROM common
+  JOIN sizes sa ON sa.doc_id = a
+  JOIN sizes sb ON sb.doc_id = b
+  WHERE c / (sa.sz + sb.sz - c) >= 0.5
+),
+edges AS (SELECT a AS u, b AS v FROM pairs UNION SELECT b, a FROM pairs),
+reach AS (
+  SELECT u AS node, v AS r FROM edges
+  UNION
+  SELECT reach.node, edges.v FROM reach JOIN edges ON reach.r = edges.u
+),
+comp AS (
+  SELECT node, LEAST(node, MIN(r)) AS component FROM reach GROUP BY node
+),
+scored AS (
+  SELECT doc_id AS node,
+         least(len(string_split(text, ' ')) / 100.0, 1.0)
+           * (len(list_distinct(string_split(text, ' ')))
+              / len(string_split(text, ' '))) AS q
+  FROM documents
+),
+ranked AS (
+  SELECT c.component, c.node, s.q,
+         ROW_NUMBER() OVER (PARTITION BY c.component
+                            ORDER BY s.q DESC, c.node ASC) AS rn
+  FROM comp c JOIN scored s ON s.node = c.node
+),
+sz AS (SELECT component, CAST(COUNT(*) AS BIGINT) AS n_members
+       FROM comp GROUP BY component)
+SELECT CAST(r.component AS BIGINT) AS component,
+       CAST(r.node AS BIGINT) AS canon_doc,
+       r.q AS canon_quality,
+       sz.n_members,
+       r.node <> r.component AS diverged_from_min_id
+FROM ranked r JOIN sz ON sz.component = r.component
+WHERE r.rn = 1
+ORDER BY component
+"""
+
+
+QUERIES["q268_canonical_selection"] = q268_canonical_selection
+ORACLE["q268_canonical_selection"] = _Q268_SQL
