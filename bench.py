@@ -275,7 +275,7 @@ def _build_incremental_state(spark, sf_dir: str):
     core = k_core(old, 3).localCheckpoint()
 
     def tri_update(spark_, _sf_dir):
-        got = triangle_update(pairs, batch, prior)
+        got = triangle_update(pairs, batch, prior, assume_canonical=True)
         return spark_.createDataFrame(
             [tuple(got)],
             "n_edges bigint, n_triangles bigint, n_wedges bigint",

@@ -1362,7 +1362,7 @@ def q258_incremental_triangles(
     second = pairs.filter((F.col("a") + F.col("b")) % 2 == 1)
     st = triangle_stats(first)
     prior = TriangleCounts(st.n_edges, st.n_triangles, st.n_wedges)
-    got = triangle_update(pairs, second, prior)
+    got = triangle_update(pairs, second, prior, assume_canonical=True)
     out = spark.createDataFrame(
         [tuple(got)],
         "n_edges bigint, n_triangles bigint, n_wedges bigint",
@@ -1441,7 +1441,7 @@ def q264_incremental_triangle_approx(
     second = sampled.filter((F.col("a") + F.col("b")) % 2 == 1)
     st = triangle_stats(first, method="wedge")
     prior = TriangleCounts(st.n_edges, st.n_triangles, st.n_wedges)
-    got = triangle_update(sampled, second, prior)
+    got = triangle_update(sampled, second, prior, assume_canonical=True)
     return spark.createDataFrame(
         [(got.n_edges, got.n_triangles, int(round(got.n_triangles * 8)))],
         "n_sampled_edges bigint, n_triangles_sampled bigint,"

@@ -1268,8 +1268,11 @@ def run_triangle_stream(
             batch_new = head.filter(
                 F.col("first_epoch") == int(epoch_id)
             ).select("a", "b")
+            # the head IS the canonical deduped relation (this fold
+            # maintains it) — skip the normalizing distinct
             got = triangle_update(
-                head.select("a", "b"), batch_new, prior
+                head.select("a", "b"), batch_new, prior,
+                assume_canonical=True,
             )
             return spark.createDataFrame([tuple(got)], counts_schema)
 
