@@ -40,15 +40,27 @@ def asof_join(
     right_ts: str,
     payload: Sequence[str] | None = None,
     how: str = "backward",
+    tolerance=None,
 ) -> DataFrame:
     """For each left row, attach the payload of the most recent right row
-    with the same key and ``right_ts <= left_ts`` (``how="backward"``), or
-    the earliest with ``right_ts >= left_ts`` (``how="forward"``).
+    with the same key and ``right_ts <= left_ts`` (``how="backward"``),
+    the earliest with ``right_ts >= left_ts`` (``how="forward"``), or
+    whichever of the two is CLOSER (``how="nearest"`` — pandas
+    ``merge_asof`` parity; an exact tie prefers the backward match).
+
+    ``tolerance``: maximum allowed |left_ts − right_ts| — matches
+    further away resolve to NULL payload (again the ``merge_asof``
+    contract). Units follow the timestamp type: the raw difference for
+    numeric columns, DAYS for dates, SECONDS for timestamps.
+
+    ``nearest`` still costs the ONE shuffle: both directional carries
+    ride the same keyed exchange (two sorted window passes over it),
+    and the pick is a row-local comparison.
 
     Returns all left columns plus ``payload`` columns (null when no match).
     """
-    if how not in ("backward", "forward"):
-        raise ValueError("how must be backward|forward")
+    if how not in ("backward", "forward", "nearest"):
+        raise ValueError("how must be backward|forward|nearest")
     on = list(on)
     payload = list(payload) if payload is not None else [
         c for c in right.columns if c not in on and c != right_ts
@@ -66,8 +78,11 @@ def asof_join(
     carry = [c for c in left_cols if c not in on and c != left_ts]
     from pyspark.sql.types import StructField, StructType
 
+    # the matched build timestamp travels INSIDE the payload struct so
+    # tolerance/nearest can compare against the SAME matched row
     payload_t = StructType(
-        [StructField(c, right.schema[c].dataType, True) for c in payload]
+        [StructField("__rts", right.schema[right_ts].dataType, True)]
+        + [StructField(c, right.schema[c].dataType, True) for c in payload]
     )
     probe = left.select(
         *on,
@@ -81,27 +96,76 @@ def asof_join(
         F.col(right_ts).alias("__ts"),
         F.lit(0).alias("__side"),
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in carry],
-        F.struct(*[F.col(c) for c in payload]).alias("__b"),
+        F.struct(
+            F.col(right_ts).alias("__rts"), *[F.col(c) for c in payload]
+        ).alias("__b"),
     )
     unioned = probe.unionByName(build)
 
-    if how == "backward":
-        w = (
-            Window.partitionBy(*on)
-            .orderBy(F.col("__ts").asc(), F.col("__side").asc())
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        )
-    else:
-        w = (
-            Window.partitionBy(*on)
-            .orderBy(F.col("__ts").desc(), F.col("__side").asc())
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_back = (
+        Window.partitionBy(*on)
+        .orderBy(F.col("__ts").asc(), F.col("__side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_fwd = (
+        Window.partitionBy(*on)
+        .orderBy(F.col("__ts").desc(), F.col("__side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+
+    def _dist(lts, rts):
+        from pyspark.sql.types import DateType, TimestampType
+
+        t = right.schema[right_ts].dataType
+        if isinstance(t, DateType):
+            return F.abs(F.datediff(lts, rts))
+        if isinstance(t, TimestampType):
+            return F.abs(
+                F.unix_timestamp(lts) - F.unix_timestamp(rts)
+            )
+        return F.abs(lts - rts)
+
+    def _gate(m):
+        """NULL out a carried match that violates the tolerance."""
+        if tolerance is None:
+            return m
+        return F.when(
+            m.isNotNull()
+            & (_dist(F.col("__ts"), m["__rts"]) <= F.lit(tolerance)),
+            m,
         )
 
-    carried = unioned.select(
-        *unioned.columns,
-        F.last(F.col("__b"), ignorenulls=True).over(w).alias("__m"),
-    )
+    if how in ("backward", "forward"):
+        w = w_back if how == "backward" else w_fwd
+        carried = unioned.select(
+            *unioned.columns,
+            _gate(
+                F.last(F.col("__b"), ignorenulls=True).over(w)
+            ).alias("__m"),
+        )
+    else:  # nearest: both directional carries on the one exchange
+        both = unioned.select(
+            *unioned.columns,
+            F.last(F.col("__b"), ignorenulls=True).over(w_back).alias(
+                "__mb"
+            ),
+            F.last(F.col("__b"), ignorenulls=True).over(w_fwd).alias(
+                "__mf"
+            ),
+        )
+        mb, mf = _gate(F.col("__mb")), _gate(F.col("__mf"))
+        carried = both.select(
+            *unioned.columns,
+            F.when(mf.isNull(), mb)
+            .when(mb.isNull(), mf)
+            .when(
+                _dist(F.col("__ts"), mb["__rts"])
+                <= _dist(F.col("__ts"), mf["__rts"]),
+                mb,
+            )
+            .otherwise(mf)
+            .alias("__m"),
+        )
     out = carried.filter(F.col("__side") == 1).select(
         *on,
         F.col("__ts").alias(left_ts),

@@ -338,3 +338,69 @@ ORACLE = {
     "q92_exact_median": _Q92_SQL,
     "q93_quality_funnel": _Q93_SQL,
 }
+
+
+# --- q270: exact grouped WEIGHTED percentiles ------------------------------
+# q92's exact-percentile discipline extended to weighted data — the
+# shape a token-weighted corpus statistic needs (e.g. "the document
+# length below which half the TOKENS live", not half the documents).
+# One sorted window per group computes the running weight; the
+# weighted p-quantile (lower flavor) is the FIRST row whose cumulative
+# weight reaches p·W, and because qualifying rows form a suffix of the
+# sort order, that boundary row's value is simply MIN(value) over the
+# qualifying rows — one window pass + one aggregate, no second sort,
+# all comparisons in exact integer arithmetic (weights are bigint,
+# p·W tests are cross-multiplied: 2·cum ≥ W, 10·cum ≥ 9·W).
+
+def q270_weighted_percentiles(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    li = tbl(spark, sf_dir, "lineitem")
+    wo = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("l_extendedprice", "l_orderkey", "l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wc = Window.partitionBy("l_returnflag")
+    ranked = li.select(
+        "l_returnflag",
+        "l_extendedprice",
+        F.sum(F.col("l_quantity").cast("bigint")).over(wo).alias("cum"),
+        F.sum(F.col("l_quantity").cast("bigint")).over(wc).alias("tw"),
+    )
+    return ranked.groupBy("l_returnflag").agg(
+        F.max("tw").alias("total_weight"),
+        F.min(
+            F.when(2 * F.col("cum") >= F.col("tw"), F.col("l_extendedprice"))
+        ).alias("w_median"),
+        F.min(
+            F.when(
+                10 * F.col("cum") >= 9 * F.col("tw"),
+                F.col("l_extendedprice"),
+            )
+        ).alias("w_p90"),
+    )
+
+
+_Q270_SQL = """
+WITH ranked AS (
+  SELECT l_returnflag, l_extendedprice,
+         SUM(CAST(l_quantity AS BIGINT)) OVER (
+           PARTITION BY l_returnflag
+           ORDER BY l_extendedprice, l_orderkey, l_linenumber
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         SUM(CAST(l_quantity AS BIGINT)) OVER (
+           PARTITION BY l_returnflag) AS tw
+  FROM lineitem
+)
+SELECT l_returnflag,
+       CAST(MAX(tw) AS BIGINT) AS total_weight,
+       MIN(CASE WHEN 2 * cum >= tw THEN l_extendedprice END) AS w_median,
+       MIN(CASE WHEN 10 * cum >= 9 * tw THEN l_extendedprice END) AS w_p90
+FROM ranked
+GROUP BY l_returnflag
+"""
+
+
+QUERIES["q270_weighted_percentiles"] = q270_weighted_percentiles
+ORACLE["q270_weighted_percentiles"] = _Q270_SQL

@@ -282,3 +282,75 @@ GROUP BY user_id, sid
 
 QUERIES["q226_capped_sessions"] = q226_capped_sessions
 ORACLE["q226_capped_sessions"] = _Q226_SQL
+
+
+# --- q269: nearest as-of with tolerance (merge_asof parity) ----------------
+# q53's backward as-of extended to the full pandas merge_asof surface:
+# for each event attach the CLOSEST order (backward or forward) of the
+# same customer, but only within a 30-day tolerance window — ties
+# prefer the backward match. Timestamps ride as epoch seconds (pure
+# integer arithmetic in both engines); the operator still costs ONE
+# keyed shuffle (both directional carries share the exchange —
+# operators/asof.py). The oracle enumerates tolerance-window
+# candidates and picks per event by (distance, backward-first) — the
+# exact nearest contract, replayed relationally.
+
+def q269_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = tbl(spark, sf_dir, "events")
+    orders = tbl(spark, sf_dir, "orders")
+    right = dedup_keep_first(
+        orders.select("o_custkey", "o_orderdate", "o_orderkey",
+                      "o_totalprice"),
+        keys=["o_custkey", "o_orderdate"],
+        order_by=["o_orderkey"],
+        ascending=False,
+    ).select(
+        F.col("o_custkey").alias("user_id"),
+        F.unix_timestamp(F.col("o_orderdate").cast("timestamp"))
+        .alias("ots"),
+        "o_orderkey",
+        "o_totalprice",
+    )
+    left = events.select(
+        "event_id", "user_id", F.unix_timestamp("ts").alias("ets")
+    )
+    out = asof_join(
+        left, right, on=["user_id"], left_ts="ets", right_ts="ots",
+        payload=["o_orderkey", "o_totalprice"],
+        how="nearest", tolerance=30 * 86400,
+    )
+    return out.select(
+        "event_id", "user_id", "ets", "o_orderkey", "o_totalprice"
+    )
+
+
+_Q269_SQL = """
+WITH o AS (
+  SELECT o_custkey AS user_id,
+         CAST(epoch(CAST(o_orderdate AS TIMESTAMP)) AS BIGINT) AS ots,
+         o_orderkey, o_totalprice FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY o_custkey, o_orderdate
+                                 ORDER BY o_orderkey DESC) AS rn
+    FROM orders
+  ) WHERE rn = 1
+),
+e AS (
+  SELECT event_id, user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ets FROM events
+),
+cand AS (
+  SELECT e.event_id, e.user_id, e.ets, o.o_orderkey, o.o_totalprice,
+         ROW_NUMBER() OVER (
+           PARTITION BY e.event_id
+           ORDER BY abs(o.ots - e.ets),
+                    CASE WHEN o.ots <= e.ets THEN 0 ELSE 1 END
+         ) AS rn
+  FROM e JOIN o ON o.user_id = e.user_id
+                AND abs(o.ots - e.ets) <= 30 * 86400
+)
+SELECT e.event_id, e.user_id, e.ets, c.o_orderkey, c.o_totalprice
+FROM e LEFT JOIN cand c ON c.event_id = e.event_id AND c.rn = 1
+"""
+
+
+QUERIES["q269_asof_nearest"] = q269_asof_nearest
+ORACLE["q269_asof_nearest"] = _Q269_SQL

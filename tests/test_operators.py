@@ -69,6 +69,53 @@ def test_asof_forward(spark):
     assert out.first()["v"] == "x"  # earliest right at-or-after t=1 is rt=5
 
 
+def test_asof_nearest_and_tolerance(spark):
+    """merge_asof parity: nearest picks the closer side, exact ties
+    prefer backward, and tolerance nulls out far matches per side
+    (numeric, date, and timestamp distance units)."""
+    left = spark.createDataFrame(
+        [("A", 10, 1), ("A", 14, 2), ("A", 100, 3)],
+        "k string, t long, pid int",
+    )
+    right = spark.createDataFrame(
+        [("A", 8, "b8"), ("A", 13, "b13"), ("A", 16, "f16")],
+        "k string, rt long, v string",
+    )
+
+    def run(**kw):
+        out = asof_join(left, right, on=["k"], left_ts="t",
+                        right_ts="rt", payload=["v"], **kw)
+        return {r["pid"]: r["v"] for r in out.collect()}
+
+    # t=10: backward 8 (d=2) vs forward 13 (d=3) -> 8; t=14: 13 (d=1)
+    # vs 16 (d=2) -> 13; t=100: only backward 16
+    assert run(how="nearest") == {1: "b8", 2: "b13", 3: "f16"}
+    # tolerance kills t=100's distant match but keeps the close ones
+    assert run(how="nearest", tolerance=5) == {1: "b8", 2: "b13", 3: None}
+    assert run(how="backward", tolerance=1) == {1: None, 2: "b13", 3: None}
+    # exact tie prefers backward: t=12 vs {8(d=4)...} make a tie case
+    l2 = spark.createDataFrame([("A", 12, 9)], "k string, t long, pid int")
+    r2 = spark.createDataFrame(
+        [("A", 10, "back"), ("A", 14, "fwd")], "k string, rt long, v string"
+    )
+    out = asof_join(l2, r2, on=["k"], left_ts="t", right_ts="rt",
+                    payload=["v"], how="nearest")
+    assert out.first()["v"] == "back"
+    # date typed: tolerance counted in DAYS
+    ld = spark.createDataFrame(
+        [("A", "2024-01-10", 1)], "k string, t string, pid int"
+    ).withColumn("t", F.col("t").cast("date"))
+    rd = spark.createDataFrame(
+        [("A", "2024-01-01", "jan1")], "k string, rt string, v string"
+    ).withColumn("rt", F.col("rt").cast("date"))
+    god = asof_join(ld, rd, on=["k"], left_ts="t", right_ts="rt",
+                    payload=["v"], how="nearest", tolerance=9)
+    assert god.first()["v"] == "jan1"
+    god2 = asof_join(ld, rd, on=["k"], left_ts="t", right_ts="rt",
+                     payload=["v"], how="nearest", tolerance=8)
+    assert god2.first()["v"] is None
+
+
 def test_top_k_per_group(spark):
     df = spark.createDataFrame(
         [("g1", i) for i in range(10)] + [("g2", i) for i in range(3)],
