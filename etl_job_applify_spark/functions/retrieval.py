@@ -316,3 +316,42 @@ def phrase_hits(toks: DataFrame, words: Sequence[str],
             [id_col, "p"],
         )
     return hits
+
+
+def proximity_hits(
+    toks: DataFrame,
+    words: Sequence[str],
+    window: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Unordered proximity ("sloppy AND"): one row per position
+    combination where ALL ``words`` co-occur within ``window``
+    consecutive tokens — (id, span), span = max(pos) − min(pos) ≤
+    window − 1.  The within-window companion of ``phrase_hits``
+    (exact adjacency): per-word pushdown-filtered scans chained on the
+    id equi-join, the span test a residual — each leg reads only that
+    word's postings, never a corpus scan.
+
+    Fanout per document is Π tf(wᵢ) — fine for the selective terms a
+    proximity query targets; for stopword-grade terms prune upstream
+    (``max_df`` — the same pressure signal the text index tracks).
+    ``words`` must be distinct: duplicate words would pair a position
+    with itself and a within-window duplicate check is ``tf ≥ 2`` on
+    the postings, not a proximity question."""
+    if len(set(words)) != len(words):
+        raise ValueError("proximity words must be distinct")
+    if window < 1:
+        raise ValueError("window must be >= 1")
+    pcols = []
+    hits = None
+    for k, w in enumerate(words):
+        leg = toks.filter(F.col("word") == w).select(
+            id_col, F.col("pos").alias(f"p{k}")
+        )
+        hits = leg if hits is None else hits.join(leg, id_col)
+        pcols.append(f"p{k}")
+    span = F.greatest(*pcols) - F.least(*pcols) if len(pcols) > 1 else F.lit(0)
+    return (
+        hits.select(id_col, span.alias("span"))
+        .filter(F.col("span") <= window - 1)
+    )

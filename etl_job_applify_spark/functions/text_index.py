@@ -55,7 +55,12 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .retrieval import bm25_score_join, phrase_hits, token_positions
+from .retrieval import (
+    bm25_score_join,
+    phrase_hits,
+    proximity_hits,
+    token_positions,
+)
 
 _META = "_text_index_meta.json"
 
@@ -682,6 +687,33 @@ def text_index_phrase_hits(
         "word",
     )
     return phrase_hits(toks, list(words))
+
+
+def text_index_proximity(
+    spark: SparkSession,
+    index_path: str,
+    words: Sequence[str],
+    window: int,
+) -> DataFrame:
+    """Unordered within-window co-occurrence served from the index:
+    (doc_id, n_windows, min_span) for documents where every word in
+    ``words`` appears inside ``window`` consecutive tokens — the
+    proximity companion of ``text_index_phrase_hits``. The words'
+    postings are pruned scans; positions explode back into the
+    (doc_id, pos, word) stream and chain through the shared
+    ``proximity_hits`` kernel — per-word scan cost, zero corpus
+    reads."""
+    posts = text_index_terms(spark, index_path, list(set(words)))
+    toks = posts.select(
+        F.col("doc").alias("doc_id"),
+        F.explode("positions").alias("pos"),
+        "word",
+    )
+    hits = proximity_hits(toks, list(words), window)
+    return hits.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_windows"),
+        F.min("span").cast("bigint").alias("min_span"),
+    )
 
 
 def _index_data_files(index_path: str) -> list[str]:

@@ -1539,3 +1539,59 @@ ORDER BY qid
 
 QUERIES["q256_ir_metrics"] = q256_ir_metrics
 ORACLE["q256_ir_metrics"] = _Q256_SQL
+
+
+# --- q271: proximity (within-window) search from the index -----------------
+# The retrieval surface between exact phrase (q191/q195, adjacency)
+# and bag-of-words BM25 (q190): all terms within a token window,
+# unordered — "sort merge spark" within 8 tokens. Served from the
+# persisted positional index (pruned per-word posting scans, the
+# shared proximity_hits kernel); the oracle recomputes the identical
+# relation from raw text (generate_subscripts positions, the q191
+# idiom) — spans are pure integer arithmetic, value-exact everywhere.
+
+def q271_proximity_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text_index import (
+        text_index_build,
+        text_index_proximity,
+    )
+
+    docs = tbl(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def build(path):
+        text_index_build(docs, path)
+
+    def probe(path):
+        return text_index_proximity(
+            spark, path, ["sort", "merge", "spark"], window=8
+        ).orderBy("doc_id")
+
+    return _with_temp_text_index(spark, build, probe)
+
+
+_Q271_SQL = """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(string_split(text, ' ')) AS word,
+         generate_subscripts(string_split(text, ' '), 1) AS pos
+  FROM documents
+),
+h AS (
+  SELECT t0.doc_id,
+         greatest(t0.pos, t1.pos, t2.pos)
+           - least(t0.pos, t1.pos, t2.pos) AS span
+  FROM toks t0
+  JOIN toks t1 USING (doc_id)
+  JOIN toks t2 USING (doc_id)
+  WHERE t0.word = 'sort' AND t1.word = 'merge' AND t2.word = 'spark'
+    AND greatest(t0.pos, t1.pos, t2.pos)
+          - least(t0.pos, t1.pos, t2.pos) <= 7
+)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_windows,
+       CAST(MIN(span) AS BIGINT) AS min_span
+FROM h GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+QUERIES["q271_proximity_search"] = q271_proximity_search
+ORACLE["q271_proximity_search"] = _Q271_SQL

@@ -1060,3 +1060,50 @@ def test_cdc_apply_race_loses_no_batches(spark, tmp_path):
         text_index_bm25(spark, ref, q)
     )
     assert text_index_stats(spark, idx)["n_docs"] == 10
+
+
+def test_proximity_hits_and_index_probe(spark, tmp_path):
+    """proximity_hits: span semantics, window edge, duplicate-word
+    rejection; the index-served probe equals the raw-text kernel."""
+    import pytest
+
+    from etl_job_applify_spark.functions.retrieval import (
+        proximity_hits,
+        token_positions,
+    )
+    from etl_job_applify_spark.functions.text_index import (
+        text_index_build,
+        text_index_proximity,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a x b x x c tail"),        # a@1 b@3 c@6 -> span 5
+            (2, "c b a"),                   # span 2, any order counts
+            (3, "a x x x x x x x b c"),     # a@1 b@9 c@10 -> span 9
+            (4, "a b a c"),                 # two a's: spans 3 and 2
+        ],
+        "doc_id long, text string",
+    )
+    toks = token_positions(docs)
+    got = sorted(
+        map(tuple, proximity_hits(toks, ["a", "b", "c"], 6).collect())
+    )
+    assert got == [(1, 5), (2, 2), (4, 2), (4, 3)]
+    # window edge: span 9 needs window >= 10
+    assert (
+        proximity_hits(toks, ["a", "b", "c"], 10)
+        .filter("doc_id = 3").count() == 1
+    )
+    with pytest.raises(ValueError):
+        proximity_hits(toks, ["a", "a"], 5)
+
+    path = str(tmp_path / "pidx")
+    text_index_build(docs, path)
+    served = {
+        (r["doc_id"], r["n_windows"], r["min_span"])
+        for r in text_index_proximity(
+            spark, path, ["a", "b", "c"], 6
+        ).collect()
+    }
+    assert served == {(1, 1, 5), (2, 1, 2), (4, 2, 2)}
