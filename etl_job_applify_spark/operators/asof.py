@@ -50,8 +50,10 @@ def asof_join(
 
     ``tolerance``: maximum allowed |left_ts − right_ts| — matches
     further away resolve to NULL payload (again the ``merge_asof``
-    contract). Units follow the timestamp type: the raw difference for
-    numeric columns, DAYS for dates, SECONDS for timestamps.
+    contract). Units follow the RIGHT timestamp column's type: the
+    raw difference for numeric columns, whole DAYS for dates (a
+    timestamp left side is truncated to its date by the comparison),
+    SECONDS for timestamps.
 
     ``nearest`` still costs the ONE shuffle: both directional carries
     ride the same keyed exchange (two sorted window passes over it),

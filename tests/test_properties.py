@@ -56,6 +56,47 @@ def test_asof_matches_pandas_merge_asof(spark, left, right):
 @settings(max_examples=12, deadline=None,
           suppress_health_check=[HealthCheck.function_scoped_fixture])
 @given(
+    left=st.lists(st.tuples(_key, _ts), min_size=1, max_size=8),
+    right=st.lists(st.tuples(_key, _ts, st.integers(0, 100)),
+                   min_size=1, max_size=8, unique_by=lambda r: (r[0], r[1])),
+    how=st.sampled_from(["backward", "forward", "nearest"]),
+    tolerance=st.one_of(st.none(), st.integers(0, 2000)),
+)
+def test_asof_nearest_tolerance_matches_pandas(spark, left, right, how,
+                                               tolerance):
+    """The full merge_asof surface (direction x tolerance) against
+    pandas on arbitrary NUMERIC keys — including the tie-prefers-
+    backward nearest contract and tolerance edge equality."""
+    ldf = spark.createDataFrame(
+        [(k, t, i) for i, (k, t) in enumerate(left)],
+        "k string, t long, lid int",
+    )
+    rdf = spark.createDataFrame(right, "k string, rt long, payload int")
+    got = {
+        r["lid"]: r["payload"]
+        for r in asof_join(ldf, rdf, on=["k"], left_ts="t",
+                           right_ts="rt", payload=["payload"],
+                           how=how, tolerance=tolerance).collect()
+    }
+    lp = pd.DataFrame(
+        [(k, t, i) for i, (k, t) in enumerate(left)],
+        columns=["k", "t", "lid"],
+    ).sort_values("t", kind="stable")
+    rp = pd.DataFrame(right, columns=["k", "rt", "payload"]).sort_values(
+        "rt", kind="stable"
+    )
+    want_df = pd.merge_asof(lp, rp, left_on="t", right_on="rt", by="k",
+                            direction=how, tolerance=tolerance)
+    want = {
+        int(r.lid): (None if pd.isna(r.payload) else int(r.payload))
+        for r in want_df.itertuples()
+    }
+    assert got == want
+
+
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
     target=st.lists(st.tuples(st.integers(0, 20), st.integers(0, 9)),
                     min_size=0, max_size=10, unique_by=lambda r: r[0]),
     updates=st.lists(st.tuples(st.integers(0, 20), st.integers(10, 19),
