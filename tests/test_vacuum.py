@@ -221,3 +221,16 @@ def test_index_admin_cli(spark, tmp_path):
     assert sorted(vac["result"]) == ["snap_00000001", "snap_00000002"]
     st2 = mod.main(["describe", "vector", idx], spark=spark)
     assert st2["n_vecs"] == 48 and st2["live_snapshots"] == 1
+    # forget: tombstone a takedown set through the CLI (both id paths)
+    out = mod.main(
+        ["forget", "vector", idx, "--ids", "1,2,999"], spark=spark
+    )
+    assert out == {"vector": 2}  # 999 unknown -> ignored
+    st3 = mod.main(["describe", "vector", idx], spark=spark)
+    assert st3["n_vecs"] == 46 and st3["n_pending_tombstones"] == 2
+    ids_pq = str(tmp_path / "takedown_ids")
+    spark.createDataFrame([(3,), (1,)], "vid bigint").write.parquet(ids_pq)
+    out2 = mod.main(
+        ["forget", "vector", idx, "--ids-parquet", ids_pq], spark=spark
+    )
+    assert out2 == {"vector": 1}  # 1 already tombstoned -> idempotent
