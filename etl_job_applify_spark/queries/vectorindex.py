@@ -1208,3 +1208,71 @@ ORACLE = {
     # recompute: the oracle IS q200's
     "q235_hybrid_rrf_indexed": _q200_sql(),
 }
+
+
+# --- q272: CDC apply on the vector index ≡ q232's lifecycle ----------------
+# q232's found → append → delete lifecycle replayed through ONE atomic
+# CDC snapshot (similarity/vector_index.py vector_index_apply_cdc —
+# adds + tombstones + net count + epoch fence in one CAS commit, the
+# text index's q-CDC contract on the embedding family): the oracle is
+# q232's exact SQL, so the gate proves the CDC path reaches the
+# identical served state; the in-query asserts pin whole-batch replay
+# invariance (the same epoch applied twice is a fenced no-op with a
+# bit-identical probe).
+
+def q272_vector_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..similarity import vector_index_apply_cdc
+
+    emb = tbl(spark, sf_dir, "embeddings")
+    history = emb.filter(F.col("vec_id") % 10 != 0)
+    queries = emb.filter(F.col("vec_id").isin(_Q232_QUERY_IDS)).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    cents = [
+        r["embedding"]
+        for r in history.orderBy("vec_id").limit(_Q232_CELLS).collect()
+    ]
+    cdc = (
+        emb.filter(F.col("vec_id") % 10 == 0)
+        .select("vec_id", "embedding", F.lit("add").alias("op"))
+        .unionByName(
+            emb.filter(F.col("vec_id") % 10 == 3).select(
+                "vec_id",
+                F.lit(None).cast(emb.schema["embedding"].dataType)
+                .alias("embedding"),
+                F.lit("delete").alias("op"),
+            )
+        )
+    )
+
+    def build(path):
+        vector_index_build(
+            history, path, num_cells=_Q232_CELLS, centroids=cents
+        )
+        vector_index_apply_cdc(cdc, path, epoch_mark="_epoch_q272_1")
+
+    def probe(path):
+        def topk():
+            return vector_index_probe(
+                spark, path, queries, k=5, nprobe=_Q232_NPROBE
+            ).withColumn("rank", F.col("rank").cast("int"))
+
+        before = topk().collect()
+        # whole-batch replay: fenced no-op, probe bit-identical
+        if vector_index_apply_cdc(
+            cdc, path, epoch_mark="_epoch_q272_1"
+        ) is not None:
+            raise AssertionError("replayed CDC epoch was not fenced")
+        after = topk()
+        _assert_same(
+            after, before,
+            "post-replay probe diverged from pre-replay probe",
+        )
+        return after
+
+    return _with_temp_index(spark, build, probe)
+
+
+QUERIES["q272_vector_cdc"] = q272_vector_cdc
+# CDC path ≡ lifecycle path: the oracle is q232's exact SQL
+ORACLE["q272_vector_cdc"] = _Q232_SQL

@@ -12,6 +12,7 @@ from .vector_index import (
     optimize_vector_index,
     vacuum_vector_index,
     reindex_vector_index,
+    vector_index_apply_cdc,
     vector_index_build,
     vector_index_cell_histogram,
     vector_index_delete,
@@ -21,6 +22,7 @@ from .vector_index import (
 )
 
 __all__ = [
+    "vector_index_apply_cdc",
     "vector_index_build",
     "vector_index_probe",
     "vector_index_knn_join",

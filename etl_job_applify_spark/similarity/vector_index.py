@@ -1168,6 +1168,117 @@ def vector_index_delete(
     return {"n_tombstoned": n}
 
 
+def vector_index_apply_cdc(
+    batch: DataFrame,
+    index_path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    op_col: str = "op",
+    epoch_mark: str | None = None,
+    max_retries: int = 10,
+) -> dict | None:
+    """Apply one CDC batch (adds + deletes mixed, ``op_col`` ==
+    ``'delete'`` marks deletions) to a VERSIONED vector index as ONE
+    CAS snapshot — the embedding-side twin of
+    ``text_index_apply_cdc`` with the identical rationale: the
+    tombstone set, the newly-encoded cells, the NET count increment,
+    and the ``epoch_mark`` all ride the same commit, so a CDC ingest
+    stream is replay-IDEMPOTENT. Two separate commits (delete, then
+    add) cannot share one fence, and version-scoped tombstones make a
+    redelivered delete DIVERGE — a tombstone recommitted at a higher
+    version than an already-landed re-add permanently kills the
+    re-add. With one snapshot a replayed epoch finds its mark and
+    skips whole (``None`` returned), and delete+re-add of one vid in
+    the same batch lands as the re-add (tombstones suppress only rows
+    committed at a STRICTLY LOWER version — ``_vxi_read``).
+
+    Adds are assigned/encoded with the index's RECORDED (immutable)
+    quantizer; delete vids not live are ignored; a batch whose adds
+    and deletes are both no-ops still commits its (empty) marked
+    snapshot, so whole-source replays stay invariant. The index must
+    already exist (founding goes through ``vector_index_build``).
+    Returns ``{"n_added", "n_tombstoned", "version"}``, or ``None``
+    when the epoch was fenced."""
+    from ..sinks.versioned import (
+        CommitConflict,
+        fs_read_json,
+        snapshot_members,
+    )
+
+    spark = batch.sparkSession
+    if not _vxi_is_versioned(spark, index_path):
+        raise ValueError(
+            f"no versioned vector index at {index_path}: found it with "
+            "vector_index_build before applying CDC"
+        )
+    meta, _cells0, live = _vxi_read(spark, index_path)
+    dels = (
+        batch.filter(F.col(op_col) == "delete")
+        .select(F.col(id_col).cast("bigint").alias("vid"))
+        .distinct()
+    )
+    adds = batch.filter(
+        F.coalesce(F.col(op_col), F.lit("add")) != "delete"
+    ).select(id_col, vec_col, *meta["meta_cols"])
+    # the add-side cells are a pure function of the batch + the
+    # immutable quantizer — encoded once, outside the CAS retry loop
+    c_schema_json = fs_read_json(spark, f"{live[-1]}/_cells_schema.json")
+    cents, offs = _load_quantizer(
+        spark, _vxi_quantizer_path(spark, live, "centroids")
+    )
+    books = (
+        _load_codebooks(
+            spark, _vxi_quantizer_path(spark, live, "codebooks")
+        )
+        if meta["m"]
+        else None
+    )
+    cells = _encode_cells(
+        adds, id_col, vec_col, cents, books,
+        meta_cols=meta["meta_cols"],
+        pq_encoding=meta["pq_encoding"],
+        offsets=offs,
+    )
+    n_add = adds.count()
+    marks = [epoch_mark] if epoch_mark else []
+    for _ in range(max_retries):
+        if epoch_mark and any(
+            epoch_mark in snapshot_members(spark, p)
+            for p in _vxi_recover_live(spark, index_path)
+        ):
+            return None  # replayed epoch: everything already landed
+        _m, live_cells, live_now = _vxi_read(spark, index_path)
+        # victims depend on the live head — recomputed per CAS attempt
+        vic = (
+            live_cells.select("vid")
+            .join(dels, "vid", "left_semi")
+            .distinct()
+        )
+        n_vic = vic.count()
+        params = {
+            "num_cells": meta["num_cells"],
+            "m": meta["m"],
+            "k_codes": meta["k_codes"],
+            "dim": meta["dim"],
+            "meta_cols": meta["meta_cols"],
+            "pq_encoding": meta["pq_encoding"],
+            "n_vecs": n_add - n_vic,
+        }
+        base = int(live_now[-1].rsplit("snap_", 1)[1])
+        try:
+            v = _vxi_commit(
+                spark, index_path, cells, params, marks, base,
+                deletes=vic if n_vic else None,
+                cells_schema_json=c_schema_json,
+            )
+            return {"n_added": n_add, "n_tombstoned": n_vic, "version": v}
+        except CommitConflict:
+            continue  # concurrent writer advanced the head; retry
+    raise CommitConflict(
+        f"CDC apply on {index_path} lost {max_retries} CAS races"
+    )
+
+
 def reindex_vector_index(
     spark: SparkSession,
     index_path: str,

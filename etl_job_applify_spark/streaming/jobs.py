@@ -651,6 +651,7 @@ def run_vector_index_ingest_stream(
     recall_target: float | None = None,
     recall_k: int = 5,
     recall_nprobe: int = 2,
+    op_col: str | None = None,
 ) -> None:
     """Streaming ingest into the persisted vector index
     (similarity/vector_index.py): every micro-batch of embeddings is
@@ -708,13 +709,26 @@ def run_vector_index_ingest_stream(
     epoch: one pruned probe + one exact scan over the live corpus for
     a trickle-sized batch — production deployments sample epochs; the
     action is SAFE-by-scope (a reindex never changes exact results,
-    only cell shapes)."""
+    only cell shapes).
+
+    ``op_col``: CDC mode — batches mix adds and deletes (``op_col ==
+    'delete'``), each applied as ONE atomic CAS snapshot
+    (``vector_index_apply_cdc`` — tombstones + encoded adds + net
+    count + epoch fence ride the same commit), mirroring the text
+    index's CDC contract: whole-source replays are invariant and
+    delete+re-add in one batch lands as the re-add. The founding
+    batch uses its adds only (a delete in batch 0 targets nothing);
+    ``max_snapshots`` keeps triggering state-based compaction."""
     from ..similarity import (
         optimize_vector_index,
         reindex_vector_index,
         vector_index_build,
     )
-    from ..similarity.vector_index import _live_cells, _vxi_is_versioned
+    from ..similarity.vector_index import (
+        _live_cells,
+        _vxi_is_versioned,
+        vector_index_apply_cdc,
+    )
 
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
         if batch_df.isEmpty():
@@ -723,18 +737,45 @@ def run_vector_index_ingest_stream(
             return
         spark = batch_df.sparkSession
         mark = f"_epoch_{writer_id}_{epoch_id}"
-        batch = batch_df.select(id_col, vec_col)
+        if op_col is None:
+            batch = batch_df.select(id_col, vec_col)
+        else:
+            # CDC mode: adds + deletes mixed; founding uses the adds
+            # only (a delete in batch 0 targets nothing)
+            batch = batch_df.select(id_col, vec_col, op_col)
         if _vxi_is_versioned(spark, index_dir):
-            vector_index_build(
-                batch, index_dir, id_col, vec_col,
-                mode="append", epoch_mark=mark,
-                max_snapshots=max_snapshots,
-            )
+            if op_col is not None:
+                vector_index_apply_cdc(
+                    batch, index_dir, id_col, vec_col, op_col,
+                    epoch_mark=mark,
+                )
+                if max_snapshots is not None:
+                    from ..similarity.vector_index import (
+                        _vxi_recover_live,
+                    )
+
+                    if len(
+                        _vxi_recover_live(spark, index_dir)
+                    ) > max_snapshots:
+                        optimize_vector_index(spark, index_dir)
+            else:
+                vector_index_build(
+                    batch, index_dir, id_col, vec_col,
+                    mode="append", epoch_mark=mark,
+                    max_snapshots=max_snapshots,
+                )
         else:
             # founding: the epoch mark rides the founding snapshot, so
             # a replay of batch 0 is fenced like any other
+            adds = (
+                batch
+                if op_col is None
+                else batch.filter(
+                    F.coalesce(F.col(op_col), F.lit("add")) != "delete"
+                ).select(id_col, vec_col)
+            )
             vector_index_build(
-                batch, index_dir, id_col, vec_col,
+                adds, index_dir, id_col, vec_col,
                 num_cells=num_cells, m=m, k_codes=k_codes,
                 epoch_mark=mark, centroids=centroids,
             )

@@ -1639,3 +1639,117 @@ def test_streaming_ingest_recall_policy_loop(spark, tmp_path):
     assert recall(frozen) <= 0.5
     # action: the loop reindexed; the drifted region owns a cell now
     assert recall(policy) >= 0.8
+
+
+def test_vector_cdc_atomic_snapshot_and_replay(spark, tmp_path):
+    """vector_index_apply_cdc: one CAS snapshot carries tombstones +
+    encoded adds + net count + fence. Delete+re-add in one batch lands
+    as the re-add; unknown delete vids are ignored; a replayed epoch
+    is a whole-batch no-op — including after a LATER epoch deleted one
+    of the replayed adds (the divergence two-commit CDC suffers)."""
+    from etl_job_applify_spark.similarity import vector_index_apply_cdc
+    from etl_job_applify_spark.similarity.vector_index import (
+        _vxi_read,
+        vector_index_stats,
+    )
+
+    corpus = _vecs(spark, n=20)
+    idx = str(tmp_path / "vxi_cdc")
+    vector_index_build(
+        corpus, idx, num_cells=4,
+        centroids=_anchor_centroids(corpus),
+    )
+    readd = [9.0] * DIM
+    batch = spark.createDataFrame(
+        [(3, readd, "add"), (3, None, "delete"),
+         (5, None, "delete"), (999, None, "delete"),
+         (21, [1.0] * DIM, "add")],
+        "vec_id long, embedding array<double>, op string",
+    )
+    out = vector_index_apply_cdc(batch, idx, epoch_mark="_epoch_t_1")
+    assert out["n_added"] == 2 and out["n_tombstoned"] == 2
+    st = vector_index_stats(spark, idx)
+    assert st["n_vecs"] == 20  # -5, 3 replaced, +21
+    _m, cells, _l = _vxi_read(spark, idx)
+    live = {r["vid"]: r for r in cells.collect()}
+    assert len(live) == 20 and 5 not in live and 21 in live
+    # exactly one copy of 3, and it is the re-add
+    assert [round(float(x), 3) for x in live[3]["vec"]] == readd
+
+    # replay: fenced whole-batch no-op, stats identical
+    assert vector_index_apply_cdc(batch, idx, epoch_mark="_epoch_t_1") is None
+    assert vector_index_stats(spark, idx)["n_vecs"] == 20
+
+    # later epoch deletes one of epoch 1's adds; replaying epoch 1
+    # must NOT resurrect it (nor re-tombstone anything)
+    b2 = spark.createDataFrame(
+        [(21, None, "delete")],
+        "vec_id long, embedding array<double>, op string",
+    )
+    vector_index_apply_cdc(b2, idx, epoch_mark="_epoch_t_2")
+    assert vector_index_apply_cdc(batch, idx, epoch_mark="_epoch_t_1") is None
+    _m2, cells2, _l2 = _vxi_read(spark, idx)
+    vids = {r["vid"] for r in cells2.collect()}
+    assert 21 not in vids and _m2["n_vecs"] == 19 == len(vids)
+
+
+def test_streaming_vector_cdc_replay_invariance(spark, tmp_path):
+    """run_vector_index_ingest_stream(op_col=...): CDC batches fold
+    exactly-once; a full redelivery (fresh query, same source) leaves
+    the index state identical — the text-stream CDC contract on the
+    vector family."""
+    import time
+
+    from etl_job_applify_spark.similarity.vector_index import (
+        _vxi_read,
+        vector_index_stats,
+    )
+    from etl_job_applify_spark.streaming import (
+        run_vector_index_ingest_stream,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    idx = str(tmp_path / "vxi_stream_cdc")
+    corpus = _vecs(spark, n=16)
+    b0 = corpus.withColumn("op", F.lit("add"))
+    b1 = spark.createDataFrame(
+        [(2, None, "delete"), (16, [2.0] * DIM, "add"),
+         (3, None, "delete"), (3, [3.0] * DIM, "add")],
+        "vec_id long, embedding array<double>, op string",
+    )
+    b0.coalesce(1).write.parquet(str(src / "b0.parquet"))
+    time.sleep(1.1)
+    b1.coalesce(1).write.parquet(str(src / "b1.parquet"))
+    cents = _anchor_centroids(corpus)
+
+    def run():
+        stream = (
+            spark.readStream.schema(
+                "vec_id long, embedding array<double>, op string"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src) + "/*.parquet")
+        )
+        run_vector_index_ingest_stream(
+            stream, idx, num_cells=4, centroids=cents, op_col="op"
+        )
+
+    run()
+    st1 = vector_index_stats(spark, idx)
+    _m, cells, _l = _vxi_read(spark, idx)
+    state1 = sorted(
+        (r["vid"], tuple(round(float(x), 6) for x in r["vec"]))
+        for r in cells.collect()
+    )
+    assert st1["n_vecs"] == 16  # -2, 3 replaced, +16
+    assert 2 not in {v for v, _ in state1}
+    run()  # full redelivery: epochs 0 and 1 again
+    st2 = vector_index_stats(spark, idx)
+    _m2, cells2, _l2 = _vxi_read(spark, idx)
+    state2 = sorted(
+        (r["vid"], tuple(round(float(x), 6) for x in r["vec"]))
+        for r in cells2.collect()
+    )
+    assert state1 == state2
+    assert st1["n_vecs"] == st2["n_vecs"]
