@@ -9,13 +9,13 @@ physical space reclaim can follow at the next maintenance window:
                          as a new snapshot (old versions remain for time
                          travel until VACUUM retires them; run vacuum
                          with a short retention for true erasure)
-2. the dedup index       `minhash_index_delete` — tombstones take effect
+2. the dedup index       one `lifecycle.forget_documents` sweep — tombstones
                          at the next probe; `optimize_index` purges
-3. the text index        `text_index_delete` — same contract; while
+3. the text index        same sweep — same contract; while
                          tombstones exist, corpus stats derive from the
                          filtered doclens so served BM25 scores are
                          exactly what a survivor-only rebuild would give
-4. the vector index      `vector_index_delete` — the documents'
+4. the vector index      same sweep — the documents'
                          embeddings stop surfacing as ANN neighbors at
                          the next probe; `optimize_vector_index` purges
 
@@ -43,21 +43,15 @@ ERASE_PRED = "doc_id % 50 = 7"  # the request: a deterministic id set
 def main(spark: SparkSession, sf_dir: str) -> dict:
     from etl_job_applify_spark.dedup import (
         minhash_index_build,
-        minhash_index_delete,
         minhash_index_probe,
-        optimize_index,
     )
     from etl_job_applify_spark.functions.text_index import (
-        optimize_text_index,
         text_index_bm25,
         text_index_build,
-        text_index_delete,
     )
     from etl_job_applify_spark.queries._util import tbl
     from etl_job_applify_spark.similarity import (
-        optimize_vector_index,
         vector_index_build,
-        vector_index_delete,
         vector_index_probe,
     )
     from etl_job_applify_spark.sinks import read_table, write_version
@@ -93,8 +87,19 @@ def main(spark: SparkSession, sf_dir: str) -> dict:
         .count()
     )
 
-    # ---- 2. dedup index: immediate tombstones, then physical purge
-    minhash_index_delete(spark, dedup_idx, erase)
+    # ---- 2-4. the index families: ONE sweep tombstones the erased ids
+    # out of all three at once (lifecycle.forget_documents — idempotent
+    # per family, so a crash mid-sweep is healed by re-running it);
+    # serving changes now, space reclaims at the optimize sweep below
+    from etl_job_applify_spark.lifecycle import forget_documents
+
+    swept = forget_documents(
+        spark, erase,
+        text_index=text_idx, dedup_index=dedup_idx, vector_index=vec_idx,
+    )
+    assert swept["dedup"] == n_erase  # dedup counts the full id set
+
+    # ---- 2. dedup index: erased ids stop surfacing as candidates
     history = read_table(spark, corpus_tbl)
     probe = minhash_index_probe(
         spark, dedup_idx, docs.limit(50), history, threshold=0.5
@@ -105,10 +110,8 @@ def main(spark: SparkSession, sf_dir: str) -> dict:
         probe.select(F.col("b").alias("doc"))
     )
     dedup_hits = probe_ids.join(erase, "doc", "left_semi").count()
-    optimize_index(spark, dedup_idx)  # reclaim
 
-    # ---- 3. text index: immediate tombstones, exact filtered stats
-    text_index_delete(spark, text_idx, erase)
+    # ---- 3. text index: exact filtered stats while tombstones pend
     qterms = spark.createDataFrame(
         [(1, "hash"), (1, "join"), (2, "stream")], "qid int, word string"
     )
@@ -116,12 +119,10 @@ def main(spark: SparkSession, sf_dir: str) -> dict:
     text_hits = scored.join(
         erase, scored["doc_id"] == erase["doc"], "left_semi"
     ).count()
-    optimize_text_index(spark, text_idx)  # reclaim + meta restore
 
     # ---- 4. vector index: the erased docs' embeddings leave ANN results
     # (doc ids double as vec ids in the fixtures — a deployment keys the
     # embedding table on the same document id)
-    vector_index_delete(spark, vec_idx, erase.select(F.col("doc").alias("vid")))
     neighbors = vector_index_probe(
         spark, vec_idx,
         emb.limit(20).select(F.col("vec_id").alias("query_id"), "embedding"),
@@ -130,7 +131,15 @@ def main(spark: SparkSession, sf_dir: str) -> dict:
     ann_hits = neighbors.join(
         erase, neighbors["neighbor"] == erase["doc"], "left_semi"
     ).count()
-    optimize_vector_index(spark, vec_idx)  # reclaim
+
+    # ---- reclaim: the second sweep tombstones nothing (idempotence)
+    # and compacts every family (physical purge, serve-invariant)
+    swept2 = forget_documents(
+        spark, erase,
+        text_index=text_idx, dedup_index=dedup_idx, vector_index=vec_idx,
+        optimize=True,
+    )
+    assert not any(swept2.values())
 
     report = {
         "n_erased": n_erase,
