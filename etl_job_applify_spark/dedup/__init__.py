@@ -6,6 +6,7 @@ from .embedding import embedding_near_dup_pairs
 from .incremental import (
     is_versioned_index,
     minhash_index_build,
+    minhash_index_apply_cdc,
     minhash_index_delete,
     minhash_index_probe,
     minhash_index_stats,
@@ -27,6 +28,7 @@ __all__ = [
     "simhash_near_pairs",
     "embedding_near_dup_pairs",
     "minhash_index_build",
+    "minhash_index_apply_cdc",
     "minhash_index_delete",
     "minhash_index_probe",
     "minhash_index_stats",

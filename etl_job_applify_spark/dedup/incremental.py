@@ -745,6 +745,84 @@ def _vidx_delete(
 
 
 
+def minhash_index_apply_cdc(
+    batch: DataFrame,
+    index_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    op_col: str = "op",
+    epoch_mark: str | None = None,
+    max_retries: int = 10,
+) -> dict | None:
+    """Apply one CDC batch (adds + deletes mixed, ``op_col`` ==
+    ``'delete'`` marks deletions) to a VERSIONED dedup index as ONE
+    CAS snapshot — completing the CDC contract across all three index
+    families (``text_index_apply_cdc`` / ``vector_index_apply_cdc``):
+    the tombstone set, the new band entries, and the ``epoch_mark``
+    ride the same commit, so a CDC ingest stream is replay-idempotent.
+    Two separate commits cannot share one fence, and version-scoped
+    tombstones (``_vidx_read``) make a redelivered delete epoch kill
+    an already-landed re-add; with one snapshot a replayed epoch finds
+    its mark and skips whole (``None``), and delete+re-add of one doc
+    in the same batch lands as the re-add (tombstones suppress only
+    STRICTLY LOWER versions).
+
+    Delete ids not live are ignored; a no-op batch still commits its
+    (empty) marked snapshot so whole-source replays stay invariant.
+    The index must already exist (founding goes through
+    ``minhash_index_build``); banding params come from the recorded
+    meta. Returns ``{"n_added", "n_tombstoned", "version"}`` or
+    ``None`` when fenced."""
+    from ..sinks.versioned import CommitConflict
+
+    spark = batch.sparkSession
+    if not is_versioned_index(spark, index_path):
+        raise ValueError(
+            f"no versioned dedup index at {index_path}: found it with "
+            "minhash_index_build(layout='versioned') before applying CDC"
+        )
+    params = _vidx_read(spark, index_path)[0]
+    dels = (
+        batch.filter(F.col(op_col) == "delete")
+        .select(F.col(id_col).cast("bigint").alias("doc"))
+        .distinct()
+    )
+    adds = batch.filter(
+        F.coalesce(F.col(op_col), F.lit("add")) != "delete"
+    ).select(id_col, text_col)
+    # the add-side entries are a pure function of the batch + the
+    # recorded banding params — built once, outside the CAS retry loop
+    entries = _band_entries(
+        adds, id_col, text_col,
+        params["n"], params["num_hashes"], params["bands"],
+    )
+    n_add = adds.select(id_col).distinct().count()
+    marks = [epoch_mark] if epoch_mark else []
+    for _ in range(max_retries):
+        if epoch_mark and versioned_index_has_epoch(
+            spark, index_path, epoch_mark
+        ):
+            return None  # replayed epoch: everything already landed
+        _p, live_entries, live = _vidx_read(spark, index_path)
+        # victims depend on the live head — recomputed per CAS attempt
+        vic = dels.join(
+            live_entries.select("doc").distinct(), "doc", "left_semi"
+        )
+        n_vic = vic.count()
+        base = int(live[-1].rsplit(_SNAP, 1)[1])
+        try:
+            v = _vidx_commit(
+                spark, index_path, entries, params, marks, base,
+                deletes=vic if n_vic else None,
+            )
+            return {"n_added": n_add, "n_tombstoned": n_vic, "version": v}
+        except CommitConflict:
+            continue  # concurrent writer advanced the head; retry
+    raise CommitConflict(
+        f"CDC apply on {index_path} lost {max_retries} CAS races"
+    )
+
+
 def minhash_index_stats(spark: SparkSession, index_path: str) -> dict:
     """DESCRIBE INDEX for the MinHash dedup index (the
     ``vector_index_stats`` / ``text_index_stats`` twin — the shared

@@ -636,3 +636,92 @@ FROM daily
 
 QUERIES["q186_hll_union"] = q186_hll_union
 ORACLE["q186_hll_union"] = _Q186_SQL
+
+
+# --- q273: the q198 lifecycle through ONE atomic CDC snapshot --------------
+# The dedup-index CDC twin (dedup/incremental.py
+# minhash_index_apply_cdc — the third family to gain the one-snapshot
+# adds+tombstones contract, after the text and vector indexes): gen2
+# arrives TOGETHER with a takedown of every history doc ending in 3 as
+# one CDC batch, the replayed epoch is a fenced no-op, compaction
+# purges, and the probe's recall is measured against the exact-jaccard
+# pairs over the FINAL live corpus — a tombstone leak (a deleted doc
+# surfacing as a candidate) is additionally asserted in-query.
+
+def q273_dedup_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from ..dedup import (
+        minhash_index_apply_cdc,
+        minhash_index_build,
+        minhash_index_probe,
+        optimize_index,
+    )
+
+    docs = tbl(spark, sf_dir, "documents").select("doc_id", "text")
+    batch = docs.filter(F.col("doc_id") % 10 == 0)
+    history = docs.filter(F.col("doc_id") % 10 != 0)
+    gen1 = history.filter(F.col("doc_id") % 10 != 5)
+    gen2 = history.filter(F.col("doc_id") % 10 == 5)
+    doomed = history.filter(F.col("doc_id") % 10 == 3)
+    live_history = history.filter(F.col("doc_id") % 10 != 3)
+    cdc = gen2.withColumn("op", F.lit("add")).unionByName(
+        doomed.select(
+            "doc_id", F.lit(None).cast("string").alias("text"),
+            F.lit("delete").alias("op"),
+        )
+    )
+    path = tempfile.mkdtemp(prefix="q273_idx_") + "/idx"
+    try:
+        minhash_index_build(
+            gen1, path, num_hashes=64, bands=16, layout="versioned"
+        )
+        out = minhash_index_apply_cdc(cdc, path, epoch_mark="_epoch_q273_1")
+        if out is None or out["n_tombstoned"] == 0:
+            raise AssertionError(f"CDC apply did not land: {out}")
+        # replay of the same epoch must be a fenced whole-batch no-op
+        if minhash_index_apply_cdc(
+            cdc, path, epoch_mark="_epoch_q273_1"
+        ) is not None:
+            raise AssertionError("replayed CDC epoch was not fenced")
+        optimize_index(spark, path)  # CAS compaction before serving
+        found = minhash_index_probe(
+            spark, path, batch, live_history, threshold=0.5,
+            max_bucket_size=64,
+        )
+        # tombstone leak check: no deleted doc on either endpoint
+        leaks = (
+            found.select(F.col("a").alias("doc"))
+            .unionByName(found.select(F.col("b").alias("doc")))
+            .filter((F.col("doc") % 10 == 3) & (F.col("doc") % 10 != 0))
+            .count()
+        )
+        if leaks:
+            raise AssertionError(f"{leaks} tombstoned docs served")
+        cross = F.expr("(a % 10 = 0) <> (b % 10 = 0)")
+        live = F.expr("a % 10 <> 3 AND b % 10 <> 3")
+        exact = ngram_jaccard_pairs(docs, threshold=0.8).filter(
+            cross & live
+        )
+        row = _recall_row(exact, found.filter(cross), min_recall=0.9)
+        rows = row.collect()
+        schema = row.schema
+    finally:
+        shutil.rmtree(os.path.dirname(path), ignore_errors=True)
+    return spark.createDataFrame(rows, schema)
+
+
+_Q273_SQL = _jaccard_count_sql(
+    n=3,
+    threshold=0.8,
+    extra_where=(
+        "\n  AND ((a % 10 = 0) <> (b % 10 = 0))"
+        "\n  AND a % 10 <> 3 AND b % 10 <> 3"
+    ),
+)
+
+
+QUERIES["q273_dedup_cdc"] = q273_dedup_cdc
+ORACLE["q273_dedup_cdc"] = _Q273_SQL

@@ -482,3 +482,60 @@ def test_minhash_index_stats_lifecycle(spark, tmp_path):
     st2 = minhash_index_stats(spark, idx)
     assert st2["n_pending_tombstones"] == 0
     assert st2["n_entries"] == 51 * 16 and st2["live_snapshots"] == 1
+
+
+def test_dedup_cdc_atomic_snapshot_and_replay(spark, tmp_path):
+    """minhash_index_apply_cdc: one CAS snapshot carries tombstones +
+    new band entries + fence. Delete+re-add in one batch lands as the
+    re-add; unknown delete ids are ignored; a replayed epoch is a
+    whole-batch no-op — including after a LATER epoch deleted one of
+    the replayed adds (the two-commit divergence)."""
+    from etl_job_applify_spark.dedup import (
+        minhash_index_apply_cdc,
+        minhash_index_build,
+        minhash_index_stats,
+    )
+    from etl_job_applify_spark.dedup.incremental import _vidx_read
+
+    docs = spark.createDataFrame(
+        [
+            (i, f"alpha beta gamma delta epsilon zeta tok{i} "
+                f"w{i % 3} f{i % 5} common text body row")
+            for i in range(1, 21)
+        ],
+        "doc_id long, text string",
+    )
+    idx = str(tmp_path / "didx_cdc")
+    minhash_index_build(docs, idx, num_hashes=16, bands=4)
+    batch = spark.createDataFrame(
+        [(3, "replacement text body gamma delta epsilon zeta", "add"),
+         (3, None, "delete"),
+         (5, None, "delete"), (999, None, "delete"),
+         (21, "fresh doc alpha beta gamma delta epsilon zeta", "add")],
+        "doc_id long, text string, op string",
+    )
+    out = minhash_index_apply_cdc(batch, idx, epoch_mark="_epoch_d_1")
+    assert out["n_added"] == 2 and out["n_tombstoned"] == 2
+    st = minhash_index_stats(spark, idx)
+    assert st["n_docs"] == 20  # -5, 3 replaced, +21
+    _p, entries, _l = _vidx_read(spark, idx)
+    live = {r["doc"] for r in entries.collect()}
+    assert 5 not in live and 21 in live and 3 in live
+    # the surviving 3 is the re-add: exactly bands entries, all from
+    # the CDC snapshot (version 2)
+    assert entries.filter("doc = 3").count() == 4
+
+    # replay: fenced whole-batch no-op
+    assert minhash_index_apply_cdc(batch, idx, epoch_mark="_epoch_d_1") is None
+    assert minhash_index_stats(spark, idx)["n_docs"] == 20
+
+    # later epoch deletes one of epoch 1's adds; replaying epoch 1
+    # must not resurrect it
+    b2 = spark.createDataFrame(
+        [(21, None, "delete")], "doc_id long, text string, op string"
+    )
+    minhash_index_apply_cdc(b2, idx, epoch_mark="_epoch_d_2")
+    assert minhash_index_apply_cdc(batch, idx, epoch_mark="_epoch_d_1") is None
+    _p2, e2, _l2 = _vidx_read(spark, idx)
+    assert 21 not in {r["doc"] for r in e2.collect()}
+    assert minhash_index_stats(spark, idx)["n_docs"] == 19
