@@ -28,7 +28,12 @@ Selection contract: within each domain, documents in ``id_col`` order
 are taken while their INCLUSIVE token prefix sum stays <= the domain's
 allocation — no domain ever exceeds its budget, the boundary document
 is dropped rather than split (packing handles splitting, q254/q260).
-One window per domain partition — fully parallel, no global window.
+The prefix sum rides ``bucketed_cumsum(partition_by=[domain])`` —
+per-(domain, id-bucket) partial sums, a bucket-relation-sized offset
+window, and a per-row window keyed by (domain, bucket) — because a
+domain is exactly the skewed key a 100 TB corpus guarantees (one
+language can be 80 % of it); a plain per-domain running window would
+funnel that whole domain through a single task.
 
 Reference parity: none (SURVEY §2b north-star surface); composes with
 q61 stratified sampling (rate-based) by being BUDGET-based, which is
@@ -37,7 +42,7 @@ what mixture configs actually specify.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
@@ -96,14 +101,28 @@ def _mix_parts(
         [(k, v) for k, v in sorted(alloc.items())],
         f"{domain_col} string, allocation bigint",
     )
-    w = Window.partitionBy(domain_col).orderBy(id_col).rowsBetween(
-        Window.unboundedPreceding, 0
-    )
+    from .packing import bucketed_cumsum
+
+    # Inclusive per-domain prefix sum, built on the bucketed two-pass
+    # cumsum (exclusive + this row) — NOT a per-domain running window:
+    # a domain is exactly the skewed key at 100 TB (one language can be
+    # 80 % of a corpus), so no window over the doc relation may be
+    # partitioned by the domain alone. bucketed_cumsum's offset window
+    # (partitioned by domain) runs over the per-bucket relation only
+    # (#buckets rows); the per-row window is keyed by (domain, bucket).
     sel = (
-        d.join(F.broadcast(alloc_df), domain_col)
-        .withColumn("__cum", F.sum("n_tokens").over(w).cast("bigint"))
+        bucketed_cumsum(
+            d.join(F.broadcast(alloc_df), domain_col),
+            id_col,
+            "n_tokens",
+            out="__excl",
+            partition_by=[domain_col],
+        )
+        .withColumn(
+            "__cum", (F.col("__excl") + F.col("n_tokens")).cast("bigint")
+        )
         .filter(F.col("__cum") <= F.col("allocation"))
-        .drop("__cum")
+        .drop("__cum", "__excl")
     )
     return d, alloc_df, sel
 

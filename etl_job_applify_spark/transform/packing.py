@@ -40,12 +40,23 @@ def bucketed_cumsum(
     value_col: str,
     bucket_width: int = 4096,
     out: str = "cumsum",
+    partition_by: list[str] | tuple[str, ...] = (),
 ) -> DataFrame:
     """Exclusive prefix sum of ``value_col`` over ``order_col`` order
     (``out`` = sum of all STRICTLY EARLIER rows), computed without a
     global single-task window: per-bucket offsets ride one tiny window
     over ``order_col div bucket_width`` buckets; the per-row window is
-    partitioned by bucket. ``order_col`` must be unique integers."""
+    partitioned by bucket. ``order_col`` must be unique integers.
+
+    With ``partition_by``, the prefix sum restarts per partition group
+    (e.g. per domain): buckets are keyed by (group, order div width),
+    the offset window is partitioned by the group over the BUCKET
+    relation (rows = #buckets, not #rows — tiny even for a skewed
+    group), and the per-row window is partitioned by (group, bucket) —
+    so no window over the DATA relation is ever keyed by the group
+    alone, which is what keeps an 80 %-of-corpus domain from funneling
+    through one task."""
+    part = list(partition_by)
     # true integer division — double division + truncation happens to
     # be monotone at small magnitudes but silently diverges from the
     # documented exact-arithmetic contract above 2^53
@@ -53,23 +64,24 @@ def bucketed_cumsum(
         f"cast({order_col} as bigint) div {int(bucket_width)}"
     )
     rows = df.withColumn("__bkt", b)
-    per_bucket = rows.groupBy("__bkt").agg(
+    per_bucket = rows.groupBy(*part, "__bkt").agg(
         F.sum(value_col).cast("bigint").alias("__bsum")
     )
-    w_b = Window.orderBy("__bkt").rowsBetween(
-        Window.unboundedPreceding, -1
-    )
+    w_b = (
+        Window.partitionBy(*part) if part else Window
+    ).orderBy("__bkt").rowsBetween(Window.unboundedPreceding, -1)
     offsets = per_bucket.select(
+        *part,
         "__bkt",
         F.coalesce(F.sum("__bsum").over(w_b), F.lit(0))
         .cast("bigint")
         .alias("__boff"),
     )
-    w_r = Window.partitionBy("__bkt").orderBy(order_col).rowsBetween(
-        Window.unboundedPreceding, -1
-    )
+    w_r = Window.partitionBy(*part, "__bkt").orderBy(
+        order_col
+    ).rowsBetween(Window.unboundedPreceding, -1)
     return (
-        rows.join(F.broadcast(offsets), "__bkt")
+        rows.join(F.broadcast(offsets), [*part, "__bkt"])
         .withColumn(
             out,
             (

@@ -367,3 +367,31 @@ def test_runtime_bloom_filter_join_triggers(spark, tmp_path):
                 conf.unset(k)
             else:
                 conf.set(k, v)
+
+
+def test_q262_selection_window_is_bucketed_not_per_domain(spark):
+    """The mixing selection prefix sum must NOT run a window over the
+    doc relation partitioned by the domain alone (a domain is the
+    skewed key at 100 TB — one language can be 80 % of a corpus). The
+    bucketed form's only doc-ordered window is keyed by
+    (domain, __bkt); the domain-alone window that remains operates on
+    the bucket relation (ordered by __bkt, rows = #buckets)."""
+    import re
+
+    from etl_job_applify_spark.queries.pipelineops2 import (
+        q262_domain_mixing,
+    )
+
+    df = q262_domain_mixing(spark, SF_SMOKE)
+    text = explain_str(df, "extended")
+    specs = re.findall(
+        r"windowspecdefinition\((.*?)specifiedwindowframe", text
+    )
+    assert specs, "no window specs found in q262 plan"
+    doc_ordered = [s for s in specs if "doc_id" in s]
+    assert doc_ordered, "expected a doc_id-ordered in-bucket window"
+    for s in doc_ordered:
+        assert "__bkt" in s, (
+            "doc_id-ordered window not partitioned by bucket "
+            "(per-domain single-task funnel regressed): " + s
+        )
