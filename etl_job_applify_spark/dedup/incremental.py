@@ -769,6 +769,11 @@ def minhash_index_apply_cdc(
 
     Delete ids not live are ignored; a no-op batch still commits its
     (empty) marked snapshot so whole-source replays stay invariant.
+    Adds are UPSERTS: the batch is first reduced to one row per id
+    (``cdc_dedup_adds`` — deterministic winner, so duplicate add rows
+    cannot commit duplicate band entries), and an add whose id is
+    already live tombstones the old version in the SAME snapshot, so
+    exactly one version of a doc is ever probed.
     The index must already exist (founding goes through
     ``minhash_index_build``); banding params come from the recorded
     meta. Returns ``{"n_added", "n_tombstoned", "version"}`` or
@@ -787,16 +792,28 @@ def minhash_index_apply_cdc(
         .select(F.col(id_col).cast("bigint").alias("doc"))
         .distinct()
     )
-    adds = batch.filter(
-        F.coalesce(F.col(op_col), F.lit("add")) != "delete"
-    ).select(id_col, text_col)
+    from ..sinks.versioned import cdc_dedup_adds
+
+    adds = cdc_dedup_adds(
+        batch.filter(
+            F.coalesce(F.col(op_col), F.lit("add")) != "delete"
+        ).select(id_col, text_col),
+        id_col,
+        [text_col],
+    )
+    # upsert semantics: an add of a live doc replaces it — the old
+    # version joins the victim set and is tombstoned in the same
+    # snapshot (tombstones suppress strictly LOWER versions only)
+    upserts = dels.unionByName(
+        adds.select(F.col(id_col).cast("bigint").alias("doc"))
+    ).distinct()
     # the add-side entries are a pure function of the batch + the
     # recorded banding params — built once, outside the CAS retry loop
     entries = _band_entries(
         adds, id_col, text_col,
         params["n"], params["num_hashes"], params["bands"],
     )
-    n_add = adds.select(id_col).distinct().count()
+    n_add = adds.count()
     marks = [epoch_mark] if epoch_mark else []
     for _ in range(max_retries):
         if epoch_mark and versioned_index_has_epoch(
@@ -805,7 +822,7 @@ def minhash_index_apply_cdc(
             return None  # replayed epoch: everything already landed
         _p, live_entries, live = _vidx_read(spark, index_path)
         # victims depend on the live head — recomputed per CAS attempt
-        vic = dels.join(
+        vic = upserts.join(
             live_entries.select("doc").distinct(), "doc", "left_semi"
         )
         n_vic = vic.count()

@@ -386,7 +386,13 @@ def text_index_apply_cdc(
 
     Ids in the delete set that are not live are ignored; a batch whose
     adds and deletes are both no-ops still commits its (empty) marked
-    snapshot, so whole-source replays stay invariant. The index must
+    snapshot, so whole-source replays stay invariant. Adds are
+    UPSERTS: the batch is first reduced to one row per id
+    (``cdc_dedup_adds`` — deterministic winner, so duplicate add rows
+    cannot merge into corrupt postings or inflate the stats), and an
+    add whose id is already live tombstones the old version in the
+    SAME snapshot, so exactly one version of a doc is ever served.
+    The index must
     already exist (founding goes through ``text_index_build``);
     ``num_buckets``/``meta_cols`` are read from the recorded meta.
     Returns the updated meta, or ``None`` when the epoch was fenced."""
@@ -406,9 +412,22 @@ def text_index_apply_cdc(
         .select(F.col(id_col).cast("bigint").alias("doc"))
         .distinct()
     )
-    adds = batch.filter(
-        F.coalesce(F.col(op_col), F.lit("add")) != "delete"
-    ).select(id_col, text_col, *mcols)
+    from ..sinks.versioned import cdc_dedup_adds
+
+    adds = cdc_dedup_adds(
+        batch.filter(
+            F.coalesce(F.col(op_col), F.lit("add")) != "delete"
+        ).select(id_col, text_col, *mcols),
+        id_col,
+        [text_col, *mcols],
+    )
+    # upsert semantics: an add of a live id replaces it — the old
+    # version joins the victim set and is tombstoned in the same
+    # snapshot (tombstones suppress strictly LOWER versions only, so
+    # the new row survives)
+    upserts = dels.unionByName(
+        adds.select(F.col(id_col).cast("bigint").alias("doc"))
+    ).distinct()
     # the add-side relations are a pure function of the batch — built
     # once, outside the CAS retry loop
     toks = token_positions(adds, text_col, id_col)
@@ -436,7 +455,7 @@ def text_index_apply_cdc(
             return None  # replayed epoch: everything already landed
         _, _, live_dls, live = _tidx_read(spark, index_path)
         # victims depend on the live head — recomputed per CAS attempt
-        vic = live_dls.join(dels, "doc", "left_semi")
+        vic = live_dls.join(upserts, "doc", "left_semi")
         hit = vic.agg(
             F.count("*").alias("n"), F.sum("dl").alias("t")
         ).first()

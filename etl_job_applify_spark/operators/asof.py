@@ -53,7 +53,9 @@ def asof_join(
     contract). Units follow the RIGHT timestamp column's type: the
     raw difference for numeric columns, whole DAYS for dates (a
     timestamp left side is truncated to its date by the comparison),
-    SECONDS for timestamps.
+    SECONDS for timestamps (fractional allowed — the comparison runs
+    in exact integer MICROSECONDS, so sub-second timestamps gate and
+    tie-break exactly as pandas ``merge_asof`` does).
 
     ``nearest`` still costs the ONE shuffle: both directional carries
     ride the same keyed exchange (two sorted window passes over it),
@@ -115,17 +117,28 @@ def asof_join(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
 
-    def _dist(lts, rts):
-        from pyspark.sql.types import DateType, TimestampType
+    from pyspark.sql.types import DateType, TimestampType
 
-        t = right.schema[right_ts].dataType
-        if isinstance(t, DateType):
+    _rt = right.schema[right_ts].dataType
+
+    def _dist(lts, rts):
+        if isinstance(_rt, DateType):
             return F.abs(F.datediff(lts, rts))
-        if isinstance(t, TimestampType):
-            return F.abs(
-                F.unix_timestamp(lts) - F.unix_timestamp(rts)
-            )
+        if isinstance(_rt, TimestampType):
+            # exact integer MICROSECONDS — unix_timestamp truncates to
+            # whole seconds, which (a) can pick the farther neighbor
+            # under `nearest` when both truncated distances tie
+            # (backward preferred) and (b) gates tolerance off by up
+            # to 1 s vs pandas merge_asof with sub-second timestamps
+            return F.abs(F.unix_micros(lts) - F.unix_micros(rts))
         return F.abs(lts - rts)
+
+    # tolerance stays caller-specified in SECONDS for timestamps
+    # (fractional allowed); the comparison happens in the distance's
+    # own unit
+    _tol = tolerance
+    if tolerance is not None and isinstance(_rt, TimestampType):
+        _tol = int(round(tolerance * 1_000_000))
 
     def _gate(m):
         """NULL out a carried match that violates the tolerance."""
@@ -133,7 +146,7 @@ def asof_join(
             return m
         return F.when(
             m.isNotNull()
-            & (_dist(F.col("__ts"), m["__rts"]) <= F.lit(tolerance)),
+            & (_dist(F.col("__ts"), m["__rts"]) <= F.lit(_tol)),
             m,
         )
 

@@ -468,9 +468,12 @@ class ApproxTriangleStats(NamedTuple):
 #: here: a triangle's three edges are affine offsets of each other under
 #: it, so "two edges sampled" makes the third far likelier than p and
 #: the estimate blows up 2-3x (measured). The a², b², a·b terms break
-#: that affinity (err ≤ 1% at p=0.25 on 10⁵+-triangle graphs). Each term
-#: is reduced mod 2^31 before the next multiply, so no intermediate
-#: exceeds 2^31·2^31 < int64 max; node ids up to ~3e9 are safe.
+#: that affinity (err ≤ 1% at p=0.25 on 10⁵+-triangle graphs). The node
+#: ids are reduced mod 2^31 BEFORE the quadratic terms (congruent to
+#: the unreduced form, but raw ids ≥ ~3.04e9 would overflow int64 in
+#: a·a, where Spark wraps and ANSI engines error/diverge), and each
+#: term is reduced again before the next multiply — so no intermediate
+#: leaves int64 for ANY bigint node id.
 SAMPLE_MOD = 2_147_483_648  # 2^31
 
 
@@ -479,10 +482,12 @@ def edge_sample_predicate(p: float) -> F.Column:
     columns (a, b): quadratic-form hash < p·2^31, identical arithmetic
     in Spark SQL and ANSI SQL engines (see SAMPLE_MOD note)."""
     m = SAMPLE_MOD
+    ka = f"pmod(cast(a AS BIGINT), {m})"
+    kb = f"pmod(cast(b AS BIGINT), {m})"
     return F.expr(
-        f"pmod(pmod(pmod(cast(a AS BIGINT) * a, {m}) * 1220703125, {m})"
-        f" + pmod(pmod(cast(b AS BIGINT) * b, {m}) * 1864987861, {m})"
-        f" + pmod(pmod(cast(a AS BIGINT) * b, {m}) * 987654323, {m}),"
+        f"pmod(pmod(pmod({ka} * {ka}, {m}) * 1220703125, {m})"
+        f" + pmod(pmod({kb} * {kb}, {m}) * 1864987861, {m})"
+        f" + pmod(pmod({ka} * {kb}, {m}) * 987654323, {m}),"
         f" {m}) < {int(p * m)}"
     )
 

@@ -527,9 +527,10 @@ SELECT event_type,
        round(quantile_cont(value, 0.5), 4) AS q_05,
        round(quantile_cont(value, 0.9), 4) AS q_09
 FROM events
-WHERE ((((event_id * event_id) % 2147483648) * 1220703125)
+WHERE (((((event_id % 2147483648) * (event_id % 2147483648))
+         % 2147483648) * 1220703125)
        % 2147483648
-       + (event_id * 987654323) % 2147483648) % 2147483648
+       + ((event_id % 2147483648) * 987654323) % 2147483648) % 2147483648
       < 536870912
 GROUP BY event_type
 ORDER BY event_type

@@ -678,9 +678,12 @@ edges AS (
     FROM mem m1 JOIN mem m2
       ON m1.l_orderkey = m2.l_orderkey AND m1.l_partkey < m2.l_partkey
   )
-  WHERE (((CAST(a AS BIGINT) * a % 2147483648) * 1220703125) % 2147483648
-       + ((CAST(b AS BIGINT) * b % 2147483648) * 1864987861) % 2147483648
-       + ((CAST(a AS BIGINT) * b % 2147483648) * 987654323) % 2147483648)
+  WHERE ((((CAST(a AS BIGINT) % 2147483648) * (CAST(a AS BIGINT) % 2147483648)
+           % 2147483648) * 1220703125) % 2147483648
+       + (((CAST(b AS BIGINT) % 2147483648) * (CAST(b AS BIGINT) % 2147483648)
+           % 2147483648) * 1864987861) % 2147483648
+       + (((CAST(a AS BIGINT) % 2147483648) * (CAST(b AS BIGINT) % 2147483648)
+           % 2147483648) * 987654323) % 2147483648)
        % 2147483648 < 1073741824
 ),
 tri AS (

@@ -516,9 +516,12 @@ edges AS (
 ),
 sedges AS (
   SELECT a, b FROM edges
-  WHERE (((CAST(a AS BIGINT) * a % 2147483648) * 1220703125) % 2147483648
-       + ((CAST(b AS BIGINT) * b % 2147483648) * 1864987861) % 2147483648
-       + ((CAST(a AS BIGINT) * b % 2147483648) * 987654323) % 2147483648)
+  WHERE ((((CAST(a AS BIGINT) % 2147483648) * (CAST(a AS BIGINT) % 2147483648)
+           % 2147483648) * 1220703125) % 2147483648
+       + (((CAST(b AS BIGINT) % 2147483648) * (CAST(b AS BIGINT) % 2147483648)
+           % 2147483648) * 1864987861) % 2147483648
+       + (((CAST(a AS BIGINT) % 2147483648) * (CAST(b AS BIGINT) % 2147483648)
+           % 2147483648) * 987654323) % 2147483648)
        % 2147483648 < 1073741824
 ),
 ex AS (

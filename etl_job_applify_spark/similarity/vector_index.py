@@ -1195,7 +1195,13 @@ def vector_index_apply_cdc(
     Adds are assigned/encoded with the index's RECORDED (immutable)
     quantizer; delete vids not live are ignored; a batch whose adds
     and deletes are both no-ops still commits its (empty) marked
-    snapshot, so whole-source replays stay invariant. The index must
+    snapshot, so whole-source replays stay invariant. Adds are UPSERTS:
+    the batch is first reduced to one row per vid
+    (``cdc_dedup_adds`` — deterministic winner, so duplicate add rows
+    cannot commit duplicate cell entries or inflate the net count),
+    and an add whose vid is already live tombstones the old version in
+    the SAME snapshot, so exactly one version of a vid is ever served
+    (``n_tombstoned`` counts replaced vids too). The index must
     already exist (founding goes through ``vector_index_build``).
     Returns ``{"n_added", "n_tombstoned", "version"}``, or ``None``
     when the epoch was fenced."""
@@ -1217,9 +1223,22 @@ def vector_index_apply_cdc(
         .select(F.col(id_col).cast("bigint").alias("vid"))
         .distinct()
     )
-    adds = batch.filter(
-        F.coalesce(F.col(op_col), F.lit("add")) != "delete"
-    ).select(id_col, vec_col, *meta["meta_cols"])
+    from ..sinks.versioned import cdc_dedup_adds
+
+    adds = cdc_dedup_adds(
+        batch.filter(
+            F.coalesce(F.col(op_col), F.lit("add")) != "delete"
+        ).select(id_col, vec_col, *meta["meta_cols"]),
+        id_col,
+        [vec_col, *meta["meta_cols"]],
+    )
+    # upsert semantics: an add of a live vid replaces it — the old
+    # version joins the victim set and is tombstoned in the same
+    # snapshot (the new row commits at the tombstone's version, which
+    # tombstones never suppress)
+    upserts = dels.unionByName(
+        adds.select(F.col(id_col).cast("bigint").alias("vid"))
+    ).distinct()
     # the add-side cells are a pure function of the batch + the
     # immutable quantizer — encoded once, outside the CAS retry loop
     c_schema_json = fs_read_json(spark, f"{live[-1]}/_cells_schema.json")
@@ -1251,7 +1270,7 @@ def vector_index_apply_cdc(
         # victims depend on the live head — recomputed per CAS attempt
         vic = (
             live_cells.select("vid")
-            .join(dels, "vid", "left_semi")
+            .join(upserts, "vid", "left_semi")
             .distinct()
         )
         n_vic = vic.count()

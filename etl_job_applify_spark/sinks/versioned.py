@@ -797,6 +797,30 @@ def fs_count_data_files(spark: SparkSession, path: str) -> int:
     return n
 
 
+def cdc_dedup_adds(
+    adds: DataFrame, id_col: str, payload_cols: list[str]
+) -> DataFrame:
+    """Reduce a CDC batch's add side to ONE row per id. CDC batches
+    carry no within-batch ordering, so "last writer" is undefined; the
+    winner is picked deterministically instead — max ``xxhash64`` over
+    the payload struct — so the same batch reduces to the same row on
+    every engine and every replay. Shared by all three index families'
+    ``*_apply_cdc`` (duplicate add rows for one id would otherwise
+    commit duplicate index entries and inflate the net count). The
+    window is keyed by id over a single CDC BATCH (change-sized, not
+    corpus-sized), so no skew concern."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(id_col).orderBy(
+        F.xxhash64(F.struct(*[F.col(c) for c in payload_cols])).desc()
+    )
+    return (
+        adds.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
 def snapshot_members(spark: SparkSession, snap_path: str) -> list[str]:
     """Top-level member names of a snapshot directory (FS-API based, so
     it works wherever the table lives)."""

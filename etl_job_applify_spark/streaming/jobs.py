@@ -774,6 +774,12 @@ def run_vector_index_ingest_stream(
                     F.coalesce(F.col(op_col), F.lit("add")) != "delete"
                 ).select(id_col, vec_col)
             )
+            if op_col is not None and adds.isEmpty():
+                # a deletes-only batch before the index exists targets
+                # nothing (documented CDC contract, mirrors the text
+                # twin) — founding on zero adds would train the
+                # quantizer on an empty relation
+                return
             vector_index_build(
                 adds, index_dir, id_col, vec_col,
                 num_cells=num_cells, m=m, k_codes=k_codes,

@@ -120,12 +120,20 @@ def portable_sample_predicate(key_col: str, p: float) -> F.Column:
     so a DuckDB/ANSI oracle replays the exact sample. Use this instead
     of ``hash_sample`` whenever the sample itself must be
     cross-engine-verifiable; ``hash_sample`` (xxhash64) remains the
-    Spark-side default for better mixing on arbitrary column sets."""
+    Spark-side default for better mixing on arbitrary column sets.
+
+    The key is reduced mod 2^31 BEFORE the quadratic term: k ≡ key
+    (mod m) makes every term congruent to the unreduced form, but
+    keeps all products under (m-1)·1864987861 < 2^63 — raw keys
+    ≥ ~3.04e9 would overflow int64 in ``key * key``, where Spark
+    wraps silently and ANSI engines error or diverge, breaking the
+    cross-engine replay promise exactly where it matters."""
     m = PORTABLE_SAMPLE_MOD
+    k = f"pmod(cast({key_col} AS BIGINT), {m})"
     return F.expr(
-        f"pmod(pmod(pmod(cast({key_col} AS BIGINT) * {key_col}, {m})"
+        f"pmod(pmod(pmod({k} * {k}, {m})"
         f" * 1220703125, {m})"
-        f" + pmod(cast({key_col} AS BIGINT) * 987654323, {m}), {m})"
+        f" + pmod({k} * 987654323, {m}), {m})"
         f" < {int(p * m)}"
     )
 

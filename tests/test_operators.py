@@ -116,6 +116,39 @@ def test_asof_nearest_and_tolerance(spark):
     assert god2.first()["v"] is None
 
 
+def test_asof_nearest_subsecond_precision(spark):
+    """Timestamp distance runs in exact integer MICROSECONDS: with
+    sub-second timestamps the old whole-second truncation tied both
+    neighbors at distance 0 and wrongly preferred backward, and
+    tolerance gated off by up to 1 s. Tolerance stays in (fractional)
+    seconds."""
+    lt = spark.createDataFrame([("A", 10.4, 1)], "k string, t double, pid int") \
+        .withColumn("t", F.timestamp_seconds("t"))
+    rt = spark.createDataFrame(
+        [("A", 10.0, "back"), ("A", 10.7, "fwd")],
+        "k string, rt double, v string",
+    ).withColumn("rt", F.timestamp_seconds("rt"))
+
+    def run(**kw):
+        out = asof_join(lt, rt, on=["k"], left_ts="t", right_ts="rt",
+                        payload=["v"], how="nearest", **kw)
+        return out.first()["v"]
+
+    assert run() == "fwd"                 # 0.3 s beats 0.4 s
+    assert run(tolerance=0.35) == "fwd"   # only the forward survives
+    assert run(tolerance=0.2) is None     # both gated out
+    # pandas merge_asof agreement on the same frame
+    import pandas as pd
+
+    lp = lt.toPandas().sort_values("t")
+    rp = rt.toPandas().sort_values("rt")
+    want = pd.merge_asof(
+        lp, rp, left_on="t", right_on="rt", by="k",
+        direction="nearest", tolerance=pd.Timedelta(seconds=0.35),
+    )["v"].iloc[0]
+    assert want == "fwd"
+
+
 def test_top_k_per_group(spark):
     df = spark.createDataFrame(
         [("g1", i) for i in range(10)] + [("g2", i) for i in range(3)],

@@ -1107,3 +1107,43 @@ def test_proximity_hits_and_index_probe(spark, tmp_path):
         ).collect()
     }
     assert served == {(1, 1, 5), (2, 1, 2), (4, 2, 2)}
+
+
+def test_text_cdc_upsert_and_batch_dedup(spark, tmp_path):
+    """CDC adds are upserts: a plain re-add of a live doc (no delete
+    row) tombstones the old postings in the same snapshot — searches
+    see exactly one version — and duplicate add rows for one id
+    reduce to ONE deterministic winner (duplicate rows would merge
+    into corrupt postings)."""
+    from etl_job_applify_spark.functions.text_index import (
+        _tidx_read,
+        text_index_apply_cdc,
+        text_index_bm25,
+        text_index_build,
+        text_index_stats,
+    )
+
+    docs = _docs(spark, n=10)
+    idx = str(tmp_path / "tidx_upsert")
+    text_index_build(docs, idx, num_buckets=16, layout="versioned")
+    n0 = text_index_stats(spark, idx)["n_docs"]
+    batch = spark.createDataFrame(
+        # doc 3 is LIVE, re-added (no delete row); doc 100 is new but
+        # duplicated with different texts
+        [(3, "zanzibar quorum rewrite", "add"),
+         (100, "zanzibar first version", "add"),
+         (100, "zanzibar second version", "add")],
+        "doc_id long, text string, op string",
+    )
+    meta = text_index_apply_cdc(batch, idx, epoch_mark="_u1")
+    assert meta["n_docs"] == n0 + 2 - 1  # +{3,100} adds, -replaced 3
+    _m, _posts, dls, _live = _tidx_read(spark, idx)
+    assert dls.filter("doc = 3").count() == 1
+    assert dls.filter("doc = 100").count() == 1
+    q = spark.createDataFrame([(1, "zanzibar")], "qid int, word string")
+    hits = text_index_bm25(spark, idx, q)
+    got = {r["doc_id"] for r in hits.collect()}
+    assert got == {3, 100}
+    # old version of doc 3 no longer serves its former tokens only
+    # once: its doclen must be the NEW text's length (3 tokens)
+    assert dls.filter("doc = 3").first()["dl"] == 3

@@ -1753,3 +1753,93 @@ def test_streaming_vector_cdc_replay_invariance(spark, tmp_path):
     )
     assert state1 == state2
     assert st1["n_vecs"] == st2["n_vecs"]
+
+
+def test_vector_cdc_upsert_and_batch_dedup(spark, tmp_path):
+    """CDC adds are upserts: a plain re-add of a live vid (no delete
+    row) tombstones the old version in the same snapshot, so exactly
+    one version is served; duplicate add rows for one vid in a batch
+    reduce to ONE deterministic winner (no duplicate cell entries, no
+    inflated n_vecs)."""
+    from etl_job_applify_spark.similarity import vector_index_apply_cdc
+    from etl_job_applify_spark.similarity.vector_index import (
+        _vxi_read,
+        vector_index_stats,
+    )
+
+    corpus = _vecs(spark, n=8)
+    idx = str(tmp_path / "vxi_upsert")
+    vector_index_build(
+        corpus, idx, num_cells=2, centroids=_anchor_centroids(corpus, 2),
+    )
+    v_a, v_b = [2.0] * DIM, [4.0] * DIM
+    batch = spark.createDataFrame(
+        # vid 3 is LIVE and re-added with no delete row; vid 100 is
+        # new but appears twice with different vectors
+        [(3, [9.0] * DIM, "add"), (100, v_a, "add"), (100, v_b, "add")],
+        "vec_id long, embedding array<double>, op string",
+    )
+    out = vector_index_apply_cdc(batch, idx, epoch_mark="_e1")
+    assert out["n_added"] == 2          # distinct vids, not raw rows
+    assert out["n_tombstoned"] == 1     # the replaced live vid 3
+    assert vector_index_stats(spark, idx)["n_vecs"] == 9  # 8 - 1 + 2
+    _m, cells, _l = _vxi_read(spark, idx)
+    rows = cells.collect()
+    by_vid = {}
+    for r in rows:
+        by_vid.setdefault(r["vid"], []).append(r)
+    assert len(by_vid[3]) == 1          # old version not served
+    assert [round(float(x), 3) for x in by_vid[3][0]["vec"]] == [9.0] * DIM
+    assert len(by_vid[100]) == 1        # batch duplicates reduced
+    # the winner is deterministic: re-applying the same batch under a
+    # new epoch replaces with the SAME row (n_vecs stays put)
+    win1 = [round(float(x), 3) for x in by_vid[100][0]["vec"]]
+    vector_index_apply_cdc(batch, idx, epoch_mark="_e2")
+    _m2, cells2, _l2 = _vxi_read(spark, idx)
+    live2 = {r["vid"]: r for r in cells2.collect()}
+    assert _m2["n_vecs"] == 9
+    assert [round(float(x), 3) for x in live2[100]["vec"]] == win1
+
+
+def test_streaming_vector_cdc_deletes_only_founding_batch_dropped(
+    spark, tmp_path
+):
+    """A deletes-only CDC batch delivered BEFORE the index is founded
+    targets nothing (documented contract): it must be dropped — not
+    found a degenerate index by training the quantizer on zero adds —
+    and the next adds-bearing batch founds normally."""
+    import time
+
+    from etl_job_applify_spark.similarity.vector_index import (
+        _vxi_is_versioned,
+        vector_index_stats,
+    )
+    from etl_job_applify_spark.streaming import (
+        run_vector_index_ingest_stream,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    idx = str(tmp_path / "vxi_founding_dels")
+    b0 = spark.createDataFrame(
+        [(1, None, "delete"), (2, None, "delete")],
+        "vec_id long, embedding array<double>, op string",
+    )
+    corpus = _vecs(spark, n=12)
+    b1 = corpus.withColumn("op", F.lit("add"))
+    b0.coalesce(1).write.parquet(str(src / "b0.parquet"))
+    time.sleep(1.1)
+    b1.coalesce(1).write.parquet(str(src / "b1.parquet"))
+    stream = (
+        spark.readStream.schema(
+            "vec_id long, embedding array<double>, op string"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src) + "/*.parquet")
+    )
+    run_vector_index_ingest_stream(
+        stream, idx, num_cells=4,
+        centroids=_anchor_centroids(corpus), op_col="op",
+    )
+    assert _vxi_is_versioned(spark, idx)
+    assert vector_index_stats(spark, idx)["n_vecs"] == 12

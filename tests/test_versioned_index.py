@@ -539,3 +539,50 @@ def test_dedup_cdc_atomic_snapshot_and_replay(spark, tmp_path):
     _p2, e2, _l2 = _vidx_read(spark, idx)
     assert 21 not in {r["doc"] for r in e2.collect()}
     assert minhash_index_stats(spark, idx)["n_docs"] == 19
+
+
+def test_dedup_cdc_upsert_and_batch_dedup(spark, tmp_path):
+    """CDC adds are upserts: a plain re-add of a live doc (no delete
+    row) tombstones the old version in the same snapshot — exactly
+    ``bands`` live entries per doc — and duplicate add rows for one
+    id reduce to ONE deterministic winner."""
+    from etl_job_applify_spark.dedup import (
+        minhash_index_apply_cdc,
+        minhash_index_build,
+        minhash_index_stats,
+    )
+    from etl_job_applify_spark.dedup.incremental import _vidx_read
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta tok{i} common body row")
+         for i in range(1, 11)],
+        "doc_id long, text string",
+    )
+    idx = str(tmp_path / "didx_upsert")
+    minhash_index_build(docs, idx, num_hashes=16, bands=4)
+    batch = spark.createDataFrame(
+        # doc 3 is LIVE, re-added with no delete row; doc 100 is new
+        # but appears twice with different texts
+        [(3, "rewritten body gamma delta epsilon", "add"),
+         (100, "first candidate text alpha beta", "add"),
+         (100, "second candidate text zeta eta", "add")],
+        "doc_id long, text string, op string",
+    )
+    out = minhash_index_apply_cdc(batch, idx, epoch_mark="_u1")
+    assert out["n_added"] == 2 and out["n_tombstoned"] == 1
+    st = minhash_index_stats(spark, idx)
+    assert st["n_docs"] == 11  # 10 - 1 replaced + 2
+    assert st["n_entries"] == 11 * 4  # the invariant double-serve breaks
+    _p, entries, _l = _vidx_read(spark, idx)
+    assert entries.filter("doc = 3").count() == 4
+    assert entries.filter("doc = 100").count() == 4
+    # deterministic winner: re-applying under a new epoch is stable
+    sig1 = sorted(
+        (r["band"], r["bucket"]) for r in entries.filter("doc = 100").collect()
+    )
+    minhash_index_apply_cdc(batch, idx, epoch_mark="_u2")
+    _p2, e2, _l2 = _vidx_read(spark, idx)
+    assert minhash_index_stats(spark, idx)["n_docs"] == 11
+    assert sorted(
+        (r["band"], r["bucket"]) for r in e2.filter("doc = 100").collect()
+    ) == sig1
