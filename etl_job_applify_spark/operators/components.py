@@ -172,3 +172,63 @@ def cc_update(
     raise RuntimeError(
         f"cc_update did not converge within {max_iter} rounds"
     )
+
+
+def cc_delete_update(
+    remaining_edges: DataFrame,
+    removed_edges: DataFrame,
+    labels: DataFrame,
+    src: str = "a",
+    dst: str = "b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """EXACT incremental maintenance of ``connected_components`` under
+    edge REMOVALS: deletion can only SPLIT components (never merge),
+    and a split is confined to the component that lost an edge — so
+    the kernel relabels ONLY the affected components and copies every
+    other label through untouched. Given the stored (node, component)
+    labels over remaining ∪ removed and the removed batch, produce
+    labels over ``remaining_edges`` — bit-identical to recomputing
+    from scratch (test-pinned; the q276 oracle is the one-shot CC SQL
+    over the filtered edges).
+
+    Shape: the affected component ids are the labels of the removed
+    edges' endpoints (change-sized — one broadcast-able relation);
+    the affected REGION is those components' members (bounded by the
+    components that actually lost edges, not the graph); the region's
+    subgraph is re-propagated with the from-scratch kernel, which
+    costs O(region diameter) rounds over region-sized relations.
+    Nodes whose every edge was removed disappear from the labels —
+    matching ``connected_components`` over the remaining set, which
+    only sees nodes with surviving edges. This is the forget-sweep
+    story for clusters: a forgotten document's pairs leave the
+    maintained clustering with component-bounded work
+    (``lifecycle.graph_forget``)."""
+    rm_nodes = (
+        removed_edges.select(F.col(src).alias("node"))
+        .union(removed_edges.select(F.col(dst).alias("node")))
+        .distinct()
+    )
+    aff_comps = (
+        labels.join(rm_nodes, "node", "left_semi")
+        .select("component")
+        .distinct()
+        .transform(fresh_local_checkpoint)
+    )
+    aff_nodes = (
+        labels.join(F.broadcast(aff_comps), "component", "left_semi")
+        .select("node")
+        .transform(fresh_local_checkpoint)
+    )
+    # the affected region's surviving subgraph: components are closed
+    # under edges, so one endpoint in the region implies both
+    sub = remaining_edges.select(
+        F.col(src).alias("a"), F.col(dst).alias("b")
+    ).join(
+        aff_nodes.withColumnRenamed("node", "a"), "a", "left_semi"
+    )
+    relabeled = connected_components(sub, max_iter=max_iter)
+    return (
+        labels.join(aff_nodes, "node", "left_anti")
+        .unionByName(relabeled)
+    )

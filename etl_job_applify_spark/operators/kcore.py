@@ -222,3 +222,99 @@ def k_core_update(
         )
     finally:
         allc.unpersist()
+
+
+def k_core_delete_update(
+    remaining_edges: DataFrame,
+    removed_edges: DataFrame,
+    core_nodes: DataFrame,
+    k: int,
+    src: str = "a",
+    dst: str = "b",
+    max_iter: int = 50,
+) -> DataFrame:
+    """EXACT incremental k-core membership under edge REMOVALS — the
+    GROW/PEEL machinery run in reverse: deletion can only SHRINK the
+    core (peeling is monotone in the edge set), and the new core is
+    the maximal S ⊆ C where every node keeps >= k neighbors in S over
+    the REMAINING edges. Only nodes reachable from the removed edges'
+    endpoints through consecutively-dropping nodes can leave (first
+    drops must have lost an incident edge; later drops must have lost
+    a surviving neighbor — induction on peel rounds), so the cascade
+    is frontier-restricted: each round counts support for the CURRENT
+    frontier only, drops the under-k members, and advances to their
+    surviving neighbors. Θ(affected neighborhood), never a re-peel of
+    history; bit-identical to ``k_core(remaining_edges, k)``
+    (test-pinned; the q275 oracle is q193's one-shot SQL over the
+    filtered edges).
+
+    ``core_nodes`` is the stored core over remaining ∪ removed;
+    removed edges absent from the old graph are harmless (their
+    endpoints just verify their support and stay). This closes the
+    forget-sweep lifecycle gap for cores: a forgotten document's
+    edges leave the maintained membership with change-bounded work
+    (``lifecycle.graph_forget``)."""
+    allc = _canon(remaining_edges, src, dst).persist()
+    try:
+        C = core_nodes.select("node").transform(fresh_local_checkpoint)
+        # adjacency restricted to the old core: support outside C is
+        # irrelevant (the new core is a subset of C)
+        sym_c = (
+            _sym(allc)
+            .join(C.select(F.col("node").alias("u")), "u", "left_semi")
+            .join(C.select(F.col("node").alias("v")), "v", "left_semi")
+            .transform(fresh_local_checkpoint)
+        )
+        rmc = _canon(removed_edges, src, dst)
+        frontier = (
+            rmc.select(F.col("a").alias("node"))
+            .unionAll(rmc.select(F.col("b").alias("node")))
+            .distinct()
+            .join(C, "node", "left_semi")
+            .transform(fresh_local_checkpoint)
+        )
+        surv = C
+        for _ in range(max_iter):
+            if frontier.isEmpty():
+                return surv
+            # support of each frontier node among CURRENT survivors —
+            # left join so a node with zero surviving neighbors counts
+            # 0 instead of vanishing from the relation
+            supp = (
+                sym_c.join(
+                    surv.select(F.col("node").alias("u")), "u", "left_semi"
+                )
+                .join(
+                    surv.select(F.col("node").alias("v")), "v", "left_semi"
+                )
+                .groupBy("u")
+                .agg(F.count("*").alias("s"))
+            )
+            drop = (
+                frontier.join(
+                    supp.withColumnRenamed("u", "node"), "node", "left"
+                )
+                .filter(F.coalesce(F.col("s"), F.lit(0)) < k)
+                .select("node")
+                .transform(fresh_local_checkpoint)
+            )
+            if drop.isEmpty():
+                return surv
+            surv = surv.join(drop, "node", "left_anti").transform(
+                fresh_local_checkpoint
+            )
+            # next frontier: the dropped nodes' surviving neighbors
+            frontier = (
+                sym_c.join(
+                    drop.select(F.col("node").alias("u")), "u", "left_semi"
+                )
+                .select(F.col("v").alias("node"))
+                .distinct()
+                .join(surv, "node", "left_semi")
+                .transform(fresh_local_checkpoint)
+            )
+        raise RuntimeError(
+            f"k_core_delete_update cascade exceeded {max_iter} rounds"
+        )
+    finally:
+        allc.unpersist()

@@ -480,3 +480,116 @@ def scc_update(
         .distinct()
     )
     return out, cond_out
+
+
+def scc_delete_update(
+    remaining_edges: DataFrame,
+    removed_edges: DataFrame,
+    labels: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_phases: int = 64,
+    max_bfs_rounds: int = 64,
+    max_wcc_iter: int = 64,
+) -> DataFrame:
+    """EXACT incremental maintenance of
+    ``strongly_connected_components`` under edge REMOVALS — the
+    delete-side twin ``scc_update``'s contract deferred to recompute,
+    now region-bounded: deletion can only SPLIT SCCs (the new graph is
+    a subgraph, so every surviving cycle already existed and lay
+    inside ONE old SCC — old-SCC maximality confines it there). Hence:
+
+    - a removed edge whose endpoints lie in DIFFERENT old SCCs changes
+      no membership at all (it only thins the condensation DAG);
+    - a removed INTRA-SCC edge can split exactly its own SCC, and the
+      split is decided by that SCC's induced subgraph alone.
+
+    So the kernel recomputes the one-shot FB decomposition ONLY on the
+    affected SCCs' induced remaining subgraph (affected = SCCs with a
+    removed intra-SCC edge — change-sized), relabels their members
+    (kernel labels are min-member, so they match the recompute
+    bit-for-bit), demotes affected members with no surviving induced
+    edge to singleton SCCs when they still appear in the graph, and
+    drops any node whose LAST edge was removed (the one-shot kernel
+    only labels nodes with surviving edges). Everything outside the
+    affected SCCs copies through untouched — Θ(affected SCCs), plus
+    one linear scan of ``remaining_edges`` to find vanished nodes.
+    Bit-identical to the from-scratch kernel over the remaining set
+    (test-pinned; the q277 oracle is the one-shot recursive-CTE SQL
+    over the filtered edges).
+
+    A carried condensation (``scc_update``'s ``condensed``) is
+    invalidated by deletions; rebuild it with
+    ``scc_condense(remaining_edges, new_labels)`` when maintaining
+    one. Removed edges absent from the old graph are harmless."""
+    rem = (
+        remaining_edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .distinct()
+        .transform(fresh_local_checkpoint)
+    )
+    rm = removed_edges.select(
+        F.col(src).alias("u"), F.col(dst).alias("v")
+    ).distinct()
+    lab_u = labels.select(F.col("node").alias("u"), F.col("scc").alias("su"))
+    lab_v = labels.select(F.col("node").alias("v"), F.col("scc").alias("sv"))
+    # affected SCCs: a removed edge with both endpoints in the SAME scc
+    aff = (
+        rm.join(lab_u, "u")
+        .join(lab_v, "v")
+        .filter(F.col("su") == F.col("sv"))
+        .select(F.col("su").alias("scc"))
+        .distinct()
+        .transform(fresh_local_checkpoint)
+    )
+    present = (
+        rem.select(F.col("u").alias("node"))
+        .union(rem.select(F.col("v").alias("node")))
+        .distinct()
+        .transform(fresh_local_checkpoint)
+    )
+    # nodes whose last edge was removed drop out entirely
+    gone = (
+        rm.select(F.col("u").alias("node"))
+        .union(rm.select(F.col("v").alias("node")))
+        .distinct()
+        .join(present, "node", "left_anti")
+    )
+    if aff.isEmpty():
+        return labels.join(gone, "node", "left_anti")
+    aff_nodes = (
+        labels.join(F.broadcast(aff), "scc", "left_semi")
+        .select("node")
+        .transform(fresh_local_checkpoint)
+    )
+    # induced same-SCC remaining subgraph of the affected SCCs — the
+    # only edges that can decide the splits
+    sub = (
+        rem.join(lab_u, "u")
+        .join(lab_v, "v")
+        .filter(F.col("su") == F.col("sv"))
+        .join(
+            F.broadcast(aff).select(F.col("scc").alias("su")),
+            "su",
+            "left_semi",
+        )
+        .select("u", "v")
+    )
+    relab = strongly_connected_components(
+        sub, src="u", dst="v",
+        max_phases=max_phases,
+        max_bfs_rounds=max_bfs_rounds,
+        max_wcc_iter=max_wcc_iter,
+    ).transform(fresh_local_checkpoint)
+    # affected members with no surviving induced edge but still in the
+    # graph become their own singleton SCC
+    singles = (
+        aff_nodes.join(present, "node", "left_semi")
+        .join(relab, "node", "left_anti")
+        .withColumn("scc", F.col("node"))
+    )
+    return (
+        labels.join(aff_nodes, "node", "left_anti")
+        .join(gone, "node", "left_anti")
+        .unionByName(relab)
+        .unionByName(singles)
+    )

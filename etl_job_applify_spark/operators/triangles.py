@@ -293,10 +293,110 @@ def triangle_update(
     newc = new_edges.select(
         F.least(src, dst).alias("a"), F.greatest(src, dst).alias("b")
     ).distinct()
+    def _check(n_all: int, n_new: int) -> None:
+        if prior.n_edges + n_new != n_all:
+            raise ValueError(
+                "triangle_update disjointness contract violated: "
+                f"prior.n_edges ({prior.n_edges}) + batch ({n_new}) "
+                f"!= |all_edges| ({n_all}) — a batch edge was already "
+                "counted in `prior` (or all_edges is missing old "
+                "edges); pass only edges absent from the old set"
+            )
+
+    try:
+        n_all, n_new, delta_tri, delta_wedges = _flagged_delta(
+            allc, newc, method, broadcast_frontier, _check
+        )
+        return TriangleCounts(
+            prior.n_edges + n_new,
+            prior.n_triangles + delta_tri,
+            prior.n_wedges + delta_wedges,
+        )
+    finally:
+        allc.unpersist()
+
+
+def triangle_delete_update(
+    all_edges: DataFrame,
+    removed_edges: DataFrame,
+    prior: TriangleCounts,
+    src: str = "a",
+    dst: str = "b",
+    method: str = "intersect",
+    broadcast_frontier: bool = True,
+    assume_canonical: bool = False,
+) -> TriangleCounts:
+    """EXACT decremental twin of ``triangle_update``: given counts
+    over ``all_edges`` (the OLD graph) and a batch of
+    ``removed_edges``, return counts over ``all_edges`` minus the
+    batch — bit-identical to ``triangle_stats`` on the remaining set
+    (test-pinned; the q274 oracle is q167's one-shot SQL over the
+    filtered edges). Removed edges absent from ``all_edges`` are
+    ignored (deleting a non-edge is a no-op — the forget sweep derives
+    its edge set from the stored graph, but a redelivered batch must
+    not fail).
+
+    The whole insertion machinery is reused with the roles swapped:
+    the triangles LOST are exactly the old graph's triangles
+    containing >= 1 removed edge, which is the same freshness delta
+    ``triangle_update`` computes when "inserting" the removed set into
+    the remaining graph — so the kernel stays the exact TWO Spark jobs
+    of the insertion path, frontier-restricted to the removed edges'
+    endpoint neighborhoods. This closes the lifecycle gap the forget
+    sweep opened: a forgotten document's co-occurrence edges leave the
+    maintained counts with Θ(change-neighborhood) work, never a
+    recount of history."""
+    allc = all_edges.select(
+        F.least(src, dst).alias("a"), F.greatest(src, dst).alias("b")
+    )
+    if not assume_canonical:
+        allc = allc.distinct()
+    allc = allc.persist()
+    rmc = removed_edges.select(
+        F.least(src, dst).alias("a"), F.greatest(src, dst).alias("b")
+    ).distinct()
+
+    def _check(n_all: int, n_rm: int) -> None:
+        if prior.n_edges != n_all:
+            raise ValueError(
+                "triangle_delete_update contract violated: "
+                f"prior.n_edges ({prior.n_edges}) != |all_edges| "
+                f"({n_all}) — `prior` must be the counts over "
+                "`all_edges` (the graph BEFORE the removal)"
+            )
+
+    try:
+        n_all, n_rm, delta_tri, delta_wedges = _flagged_delta(
+            allc, rmc, method, broadcast_frontier, _check
+        )
+        return TriangleCounts(
+            n_all - n_rm,
+            prior.n_triangles - delta_tri,
+            prior.n_wedges - delta_wedges,
+        )
+    finally:
+        allc.unpersist()
+
+
+def _flagged_delta(
+    allc: DataFrame,
+    newc: DataFrame,
+    method: str,
+    broadcast_frontier: bool,
+    check=None,
+):
+    """Shared two-job kernel behind ``triangle_update`` /
+    ``triangle_delete_update``: flag the edges of canonical ``allc``
+    present in canonical ``newc``, and return ``(n_all, n_flagged,
+    delta_tri, delta_wedges)`` where the deltas are the
+    triangle/wedge counts of ``allc`` minus those of ``allc`` without
+    the flagged edges (inclusion–exclusion on edge freshness — module
+    docstring). ``check(n_all, n_flagged)`` runs after job #1 so a
+    contract violation aborts before the delta job."""
     # flag every live edge with freshness; ONE aggregate carries both
-    # disjointness-contract scalars (the kernel runs exactly TWO Spark
-    # jobs total — at steady state the per-job floor, not the data,
-    # dominates a small batch's wall time)
+    # contract scalars (the kernel runs exactly TWO Spark jobs total —
+    # at steady state the per-job floor, not the data, dominates a
+    # small batch's wall time)
     flagged = allc.join(
         newc.withColumn("__f", F.lit(1)), ["a", "b"], "left"
     ).select(
@@ -308,14 +408,8 @@ def triangle_update(
             F.sum("f").alias("n_new"),
         ).first()
         n_all, n_new = int(row["n_all"]), int(row["n_new"] or 0)
-        if prior.n_edges + n_new != n_all:
-            raise ValueError(
-                "triangle_update disjointness contract violated: "
-                f"prior.n_edges ({prior.n_edges}) + batch ({n_new}) "
-                f"!= |all_edges| ({n_all}) — a batch edge was already "
-                "counted in `prior` (or all_edges is missing old "
-                "edges); pass only edges absent from the old set"
-            )
+        if check is not None:
+            check(n_all, n_new)
         _hint = F.broadcast if broadcast_frontier else (lambda df: df)
         new = flagged.filter(F.col("f") == 1)
         endpoints = (
@@ -446,14 +540,9 @@ def triangle_update(
                 f"non-integral triangle sightings (c1={c1}, c2={c2})"
             )
         delta_tri = c0 + c1 // 2 + c2 // 3
-        return TriangleCounts(
-            prior.n_edges + n_new,
-            prior.n_triangles + delta_tri,
-            prior.n_wedges + delta_wedges,
-        )
+        return n_all, n_new, delta_tri, delta_wedges
     finally:
         flagged.unpersist()
-        allc.unpersist()
 
 
 class ApproxTriangleStats(NamedTuple):

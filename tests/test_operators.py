@@ -893,3 +893,144 @@ def test_streaming_triangles_crash_between_folds_replays_clean(
         got["n_edges"], got["n_triangles"], got["n_wedges"]
     ) == (want.n_edges, want.n_triangles, want.n_wedges)
     assert got["n_triangles"] == 4  # K4
+
+
+def _rand_undirected(seed, n_nodes=36, n_draws=260):
+    import random as _r
+
+    rng = _r.Random(seed)
+    return sorted({
+        (min(a, b), max(a, b))
+        for _ in range(n_draws)
+        for a, b in [(rng.randint(1, n_nodes), rng.randint(1, n_nodes))]
+        if a != b
+    })
+
+
+def test_triangle_delete_update_equals_recompute(spark):
+    """Decremental twin: counts after removing a batch must equal the
+    one-shot kernel on the remaining edges (both methods); removing a
+    non-edge is a no-op; a wrong prior raises."""
+    import pytest as _pt
+
+    from etl_job_applify_spark.operators.triangles import (
+        TriangleCounts,
+        triangle_delete_update,
+        triangle_stats,
+    )
+
+    edges = _rand_undirected(5)
+    rm = [e for e in edges if (e[0] + e[1]) % 3 == 0]
+    remain = [e for e in edges if (e[0] + e[1]) % 3 != 0]
+    df = spark.createDataFrame(edges, "a long, b long")
+    rm_df = spark.createDataFrame(rm, "a long, b long")
+    rem_df = spark.createDataFrame(remain, "a long, b long")
+    full = triangle_stats(df)
+    prior = TriangleCounts(full.n_edges, full.n_triangles, full.n_wedges)
+    want = triangle_stats(rem_df)
+    want_t = TriangleCounts(want.n_edges, want.n_triangles, want.n_wedges)
+    for m in ("intersect", "wedge"):
+        assert triangle_delete_update(df, rm_df, prior, method=m) == want_t
+    noop = spark.createDataFrame([(900, 901)], "a long, b long")
+    assert triangle_delete_update(df, noop, prior) == prior
+    with _pt.raises(ValueError, match="contract"):
+        triangle_delete_update(
+            df, rm_df, TriangleCounts(prior.n_edges - 1,
+                                      prior.n_triangles, prior.n_wedges)
+        )
+
+
+def test_k_core_delete_update_equals_recompute(spark):
+    """Reverse-peel cascade: membership after removing a batch must
+    equal k_core on the remaining edges, including cascading drops and
+    nodes that lose every core neighbor."""
+    from etl_job_applify_spark.operators.kcore import (
+        k_core,
+        k_core_delete_update,
+    )
+
+    for seed, K in ((11, 3), (12, 4), (13, 3)):
+        edges = _rand_undirected(seed, n_nodes=30, n_draws=170)
+        rm = [e for e in edges if (e[0] * 7 + e[1]) % 4 == 0]
+        remain = [e for e in edges if (e[0] * 7 + e[1]) % 4 != 0]
+        old_df = spark.createDataFrame(edges, "a long, b long")
+        rm_df = spark.createDataFrame(rm, "a long, b long")
+        rem_df = spark.createDataFrame(remain, "a long, b long")
+        C = k_core(old_df, K)
+        got = sorted(
+            r["node"]
+            for r in k_core_delete_update(rem_df, rm_df, C, K).collect()
+        )
+        want = sorted(r["node"] for r in k_core(rem_df, K).collect())
+        assert got == want, (seed, K)
+
+
+def test_cc_delete_update_equals_recompute(spark):
+    """Affected-component relabel: labels after removing a batch must
+    equal the one-shot kernel over the remaining edges — splits land,
+    untouched components copy through, vanished nodes drop."""
+    from etl_job_applify_spark.operators.components import (
+        cc_delete_update,
+        connected_components,
+    )
+
+    for seed in (3, 4):
+        edges = _rand_undirected(seed, n_nodes=60, n_draws=70)
+        rm = [e for e in edges if (e[0] + 3 * e[1]) % 5 == 0]
+        remain = [e for e in edges if (e[0] + 3 * e[1]) % 5 != 0]
+        old_df = spark.createDataFrame(edges, "a long, b long")
+        labels = connected_components(old_df)
+        got = sorted(
+            (r["node"], r["component"])
+            for r in cc_delete_update(
+                spark.createDataFrame(remain, "a long, b long"),
+                spark.createDataFrame(rm, "a long, b long"),
+                labels,
+            ).collect()
+        )
+        want = sorted(
+            (r["node"], r["component"])
+            for r in connected_components(
+                spark.createDataFrame(remain, "a long, b long")
+            ).collect()
+        )
+        assert got == want, seed
+
+
+def test_scc_delete_update_equals_recompute(spark):
+    """Per-affected-SCC recompute: labels after removing a directed
+    batch must equal the one-shot FB kernel over the remaining edges —
+    splits, singleton demotions, and vanished nodes all land."""
+    import random as _r
+
+    from etl_job_applify_spark.operators.scc import (
+        scc_delete_update,
+        strongly_connected_components,
+    )
+
+    for seed in (17, 18):
+        rng = _r.Random(seed)
+        edges = sorted({
+            (rng.randint(1, 25), rng.randint(1, 25)) for _ in range(90)
+        })
+        edges = [(a, b) for a, b in edges if a != b]
+        rm = [e for e in edges if (2 * e[0] + e[1]) % 4 == 0]
+        remain = [e for e in edges if (2 * e[0] + e[1]) % 4 != 0]
+        labels = strongly_connected_components(
+            spark.createDataFrame(edges, "src long, dst long")
+        )
+        got = sorted(
+            (r["node"], r["scc"])
+            for r in scc_delete_update(
+                spark.createDataFrame(remain, "src long, dst long"),
+                spark.createDataFrame(rm, "src long, dst long"),
+                labels,
+            ).collect()
+        )
+        want = sorted(
+            (r["node"], r["scc"])
+            for r in strongly_connected_components(
+                spark.createDataFrame(remain, "src long, dst long")
+            ).collect()
+        )
+        assert got == want, seed
