@@ -67,7 +67,13 @@ def forget_documents(
     ``optimize=True`` additionally compacts each touched family after
     its delete (physical purge + tombstone clear) — results must not
     change (each family's compaction is serve-invariant, test-pinned
-    in its own suite); only space and probe fast paths do."""
+    in its own suite); only space and probe fast paths do.
+
+    Maintained GRAPH state (triangle counts, CC/k-core/SCC steady
+    states) is swept by the companion ``graph_forget`` — run it with
+    the same id set so a forgotten document's co-occurrence edges
+    leave every maintained stat, not just the serving indexes
+    (``examples/gdpr_erasure.py`` shows the combined runbook)."""
     out: dict[str, int] = {}
     if text_index is not None:
         from .functions.text_index import (
@@ -102,4 +108,93 @@ def forget_documents(
         ]
         if optimize:
             optimize_vector_index(spark, vector_index)
+    return out
+
+
+def graph_forget(
+    edges: DataFrame,
+    forget_ids,
+    src: str = "a",
+    dst: str = "b",
+    triangle_prior=None,
+    cc_labels: DataFrame | None = None,
+    core_nodes: DataFrame | None = None,
+    core_k: int | None = None,
+    scc_labels: DataFrame | None = None,
+) -> dict:
+    """The GRAPH side of the forget sweep: ``forget_documents`` erases
+    ids from the serving indexes, but maintained graph state (triangle
+    counts, CC labels, k-core membership, SCC labels — the q258/q259/
+    q253/q266 steady states) would silently keep a forgotten
+    document's co-occurrence edges forever. This helper removes every
+    edge INCIDENT to a forgotten id from each supplied maintained
+    state using the delete-aware kernels
+    (``triangle_delete_update`` / ``cc_delete_update`` /
+    ``k_core_delete_update`` / ``scc_delete_update``), each
+    change-bounded: the work tracks the forgotten nodes'
+    neighborhoods / affected components, never a recompute of history
+    (the q274–q277 oracles pin each kernel ≡ its one-shot recompute).
+
+    ``edges`` is the OLD edge relation the states were maintained
+    over; states left ``None`` are skipped (``core_k`` is required
+    with ``core_nodes``). Ids flow as a DataFrame into the incidence
+    semi-join — nothing collects to the driver. Returns::
+
+        {"remaining_edges": ..., "removed_edges": ...,
+         "triangles": ..., "cc_labels": ..., "core_nodes": ...,
+         "scc_labels": ...}
+
+    with every supplied state updated to the post-forget graph (and
+    ``None`` for states not supplied). Re-running with the same ids is
+    a no-op on every kernel (their removed sets come up empty), the
+    same idempotence contract as ``forget_documents``. For SCC, a
+    caller-carried condensation (``scc_update``'s ``condensed``) is
+    invalidated — rebuild it with ``scc_condense`` on the returned
+    labels."""
+    spark = edges.sparkSession
+    ids = _as_id_df(spark, forget_ids, "node")
+    e = edges.select(src, dst)
+    removed = e.join(
+        ids.withColumnRenamed("node", src), src, "left_semi"
+    ).unionByName(
+        e.join(ids.withColumnRenamed("node", dst), dst, "left_semi")
+    ).distinct()
+    remaining = (
+        e.join(ids.withColumnRenamed("node", src), src, "left_anti")
+        .join(ids.withColumnRenamed("node", dst), dst, "left_anti")
+    )
+    out: dict = {
+        "remaining_edges": remaining,
+        "removed_edges": removed,
+        "triangles": None,
+        "cc_labels": None,
+        "core_nodes": None,
+        "scc_labels": None,
+    }
+    if triangle_prior is not None:
+        from .operators.triangles import triangle_delete_update
+
+        out["triangles"] = triangle_delete_update(
+            e, removed, triangle_prior, src=src, dst=dst
+        )
+    if cc_labels is not None:
+        from .operators.components import cc_delete_update
+
+        out["cc_labels"] = cc_delete_update(
+            remaining, removed, cc_labels, src=src, dst=dst
+        )
+    if core_nodes is not None:
+        if core_k is None:
+            raise ValueError("core_k is required with core_nodes")
+        from .operators.kcore import k_core_delete_update
+
+        out["core_nodes"] = k_core_delete_update(
+            remaining, removed, core_nodes, core_k, src=src, dst=dst
+        )
+    if scc_labels is not None:
+        from .operators.scc import scc_delete_update
+
+        out["scc_labels"] = scc_delete_update(
+            remaining, removed, scc_labels, src=src, dst=dst
+        )
     return out

@@ -573,3 +573,47 @@ QUERIES["q175_scd2_apply"] = q175_scd2_apply
 QUERIES["q176_pit_lookup"] = q176_pit_lookup
 ORACLE["q175_scd2_apply"] = _Q175_SQL
 ORACLE["q176_pit_lookup"] = _Q176_SQL
+
+
+# --- q276: DELETE-side incremental dedup clustering ≡ one-shot --------------
+# q253's lifecycle counterpart: when documents are FORGOTTEN (q267),
+# their near-dup pairs must leave the maintained clusters. A
+# deterministic predicate marks the removed pairs ((a + 2b) % 5 = 0);
+# labels are founded on the FULL pair set and the batch is removed with
+# cc_delete_update (operators/components — relabel ONLY the components
+# that lost a pair; deletion can only split, and splits are confined to
+# the component that lost an edge). The result must equal q60's
+# uninterrupted answer on the remaining pairs — the oracle is q60's SQL
+# with the same predicate filtering the pair CTE, so the gate proves
+# decremental ≡ one-shot bit-for-bit. Nodes whose last pair was removed
+# drop out, exactly as the one-shot kernel over the remaining set.
+
+def q276_components_delete(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators.components import cc_delete_update
+
+    docs = tbl(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, threshold=0.5).select(
+        "a", "b"
+    ).localCheckpoint()
+    pred = (F.col("a") + 2 * F.col("b")) % 5 == 0
+    labels = connected_components(pairs)
+    return cc_delete_update(
+        pairs.filter(~pred), pairs.filter(pred), labels
+    ).orderBy("node")
+
+
+_Q276_SQL = _Q60_SQL.replace(
+    "edges AS (SELECT a AS u, b AS v FROM pairs"
+    " UNION SELECT b, a FROM pairs)",
+    "pairs_r AS (\n"
+    "  SELECT a, b FROM pairs WHERE NOT ((a + 2 * b) % 5 = 0)\n"
+    "),\n"
+    "edges AS (SELECT a AS u, b AS v FROM pairs_r"
+    " UNION SELECT b, a FROM pairs_r)",
+)
+assert _Q276_SQL != _Q60_SQL  # the CTE surgery must have landed
+
+QUERIES["q276_components_delete"] = q276_components_delete
+ORACLE["q276_components_delete"] = _Q276_SQL

@@ -738,8 +738,11 @@ def q193_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _kcore_sql() -> str:
-    base = """
+def _kcore_sql(edge_filter: str | None = None) -> str:
+    """q193's 8-round peel SQL; ``edge_filter`` (a predicate on a, b)
+    drops matching edges from e0 — the q275 delete-twin oracle."""
+    drop = f"\n  WHERE NOT ({edge_filter})" if edge_filter else ""
+    base = f"""
 WITH small_orders AS (
   SELECT l_orderkey FROM lineitem
   GROUP BY l_orderkey HAVING COUNT(DISTINCT l_partkey) <= 7
@@ -749,9 +752,11 @@ mem AS (
   WHERE l_orderkey IN (SELECT l_orderkey FROM small_orders)
 ),
 e0 AS MATERIALIZED (
-  SELECT DISTINCT m1.l_partkey AS a, m2.l_partkey AS b
-  FROM mem m1 JOIN mem m2
-    ON m1.l_orderkey = m2.l_orderkey AND m1.l_partkey < m2.l_partkey
+  SELECT a, b FROM (
+    SELECT DISTINCT m1.l_partkey AS a, m2.l_partkey AS b
+    FROM mem m1 JOIN mem m2
+      ON m1.l_orderkey = m2.l_orderkey AND m1.l_partkey < m2.l_partkey
+  ){drop}
 )"""
     rounds = []
     for r in range(8):
@@ -1457,3 +1462,117 @@ QUERIES["q264_incremental_triangle_approx"] = (
 )
 # incremental ≡ one-shot on the sampled subgraph: q188's SQL
 ORACLE["q264_incremental_triangle_approx"] = _Q188_SQL
+
+
+# --- q274/q275: DELETE-side incremental graph kernels ≡ one-shot ------------
+# The forget sweep (q267) erases documents from every serving index;
+# these are the graph-side counterparts that keep MAINTAINED graph
+# state consistent under the same lifecycle event. A deterministic
+# predicate marks the "forgotten" co-purchase edges ((a + 2b) % 5 = 0,
+# ~20% of the graph — disjoint from the %2 insert-split so the two
+# directions exercise different batches); counts/membership are
+# founded on the FULL graph with the one-shot kernels and the batch is
+# then REMOVED with the delete kernels (operators/triangles
+# triangle_delete_update, operators/kcore k_core_delete_update — the
+# lifecycle.graph_forget machinery). The result must equal the
+# one-shot answer on the remaining edges: the oracles are q167's /
+# q193's SQL over the filtered edge set, so the gate proves
+# decremental ≡ one-shot bit-for-bit. Work per batch is the removed
+# edges' endpoint neighborhoods (triangles: the same two-job freshness
+# delta as q258, roles swapped; k-core: the reverse peel cascade) —
+# never a recount of history.
+
+def _rm_edge_pred():
+    return (F.col("a") + 2 * F.col("b")) % 5 == 0
+_RM_EDGE_SQL = "(a + 2 * b) % 5 = 0"
+
+
+def q274_triangle_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.triangles import (
+        TriangleCounts,
+        triangle_delete_update,
+        triangle_stats,
+    )
+
+    pairs = _copurchase_pairs(spark, sf_dir).localCheckpoint()
+    removed = pairs.filter(_rm_edge_pred())
+    st = triangle_stats(pairs)
+    prior = TriangleCounts(st.n_edges, st.n_triangles, st.n_wedges)
+    got = triangle_delete_update(
+        pairs, removed, prior, assume_canonical=True
+    )
+    out = spark.createDataFrame(
+        [tuple(got)],
+        "n_edges bigint, n_triangles bigint, n_wedges bigint",
+    )
+    return out.withColumn(
+        "global_clustering",
+        F.expr(
+            "CAST(3 * n_triangles AS DOUBLE) / CAST(n_wedges AS DOUBLE)"
+        ),
+    )
+
+
+_Q274_SQL = f"""
+WITH small_orders AS (
+  SELECT l_orderkey FROM lineitem
+  GROUP BY l_orderkey HAVING COUNT(DISTINCT l_partkey) <= 7
+),
+mem AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+  WHERE l_orderkey IN (SELECT l_orderkey FROM small_orders)
+),
+edges AS (
+  SELECT a, b FROM (
+    SELECT DISTINCT m1.l_partkey AS a, m2.l_partkey AS b
+    FROM mem m1 JOIN mem m2
+      ON m1.l_orderkey = m2.l_orderkey AND m1.l_partkey < m2.l_partkey
+  ) WHERE NOT ({_RM_EDGE_SQL})
+),
+tri AS (
+  SELECT COUNT(*) AS n_triangles
+  FROM edges e1
+  JOIN edges e2 ON e1.b = e2.a
+  JOIN edges e3 ON e3.a = e1.a AND e3.b = e2.b
+),
+deg AS (
+  SELECT v, COUNT(*) AS d FROM (
+    SELECT a AS v FROM edges UNION ALL SELECT b AS v FROM edges
+  ) GROUP BY v
+),
+wed AS (SELECT CAST(SUM(d * (d - 1) / 2) AS BIGINT) AS n_wedges FROM deg)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM edges) AS n_edges,
+       CAST(n_triangles AS BIGINT) AS n_triangles,
+       n_wedges,
+       CAST(3 * n_triangles AS DOUBLE) / CAST(n_wedges AS DOUBLE)
+         AS global_clustering
+FROM tri, wed
+"""
+
+QUERIES["q274_triangle_delete"] = q274_triangle_delete
+ORACLE["q274_triangle_delete"] = _Q274_SQL
+
+
+def q275_kcore_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    K = 3
+    from ..operators.kcore import k_core, k_core_delete_update
+
+    pairs = _copurchase_pairs(spark, sf_dir).localCheckpoint()
+    removed = pairs.filter(_rm_edge_pred())
+    remaining = pairs.filter(~_rm_edge_pred())
+    base = k_core(pairs, K)
+    members = k_core_delete_update(
+        remaining, removed, base, K
+    ).localCheckpoint()
+    core_edges = remaining.join(
+        members.withColumnRenamed("node", "a"), "a", "left_semi"
+    ).join(members.withColumnRenamed("node", "b"), "b", "left_semi")
+    return spark.createDataFrame(
+        [(members.count(), core_edges.count(), True)],
+        "n_core_nodes bigint, n_core_edges bigint, converged boolean",
+    )
+
+
+QUERIES["q275_kcore_delete"] = q275_kcore_delete
+# decremental ≡ one-shot: q193's SQL over the remaining edges
+ORACLE["q275_kcore_delete"] = _kcore_sql(edge_filter=_RM_EDGE_SQL)

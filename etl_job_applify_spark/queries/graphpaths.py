@@ -593,3 +593,49 @@ ORACLE["q250_weighted_sssp"] = _Q250_SQL
 QUERIES["q252_incremental_sssp"] = q252_incremental_sssp
 # incremental ≡ one-shot: the oracle is q250's uninterrupted SQL
 ORACLE["q252_incremental_sssp"] = _Q250_SQL
+
+
+# --- q277: DELETE-side incremental SCC ≡ one-shot ---------------------------
+# q266's lifecycle counterpart: removing trade edges can only SPLIT
+# SCCs, and any surviving cycle already lay inside one old SCC — so
+# scc_delete_update (operators/scc.py) re-decomposes ONLY the SCCs
+# that lost an intra-SCC edge and copies every other label through
+# (inter-SCC removals touch no membership at all). A deterministic
+# predicate marks the removed edges ((2·src + dst) % 4 = 0); labels
+# are founded on the FULL graph and the batch is removed with the
+# delete kernel; the result must equal q249's uninterrupted answer on
+# the remaining edges — the oracle is q249's recursive-CTE SQL with
+# the same predicate filtering the edge CTE, proving decremental ≡
+# one-shot bit-for-bit. Nodes whose last edge was removed drop out;
+# affected members left with no same-SCC edge demote to singletons.
+
+def q277_scc_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.scc import (
+        scc_delete_update,
+        strongly_connected_components,
+    )
+
+    edges = _trade_scc_edges(spark, sf_dir).localCheckpoint()
+    pred = (2 * F.col("src") + F.col("dst")) % 4 == 0
+    labels = strongly_connected_components(edges, "src", "dst")
+    return scc_delete_update(
+        edges.filter(~pred), edges.filter(pred), labels, "src", "dst"
+    ).select(
+        F.col("node").cast("bigint").alias("node"),
+        F.col("scc").cast("bigint").alias("scc"),
+    )
+
+
+_Q277_SQL = _Q249_SQL.replace(
+    "edges AS MATERIALIZED (\n"
+    "  SELECT src, dst FROM pairs, tot WHERE 5 * cnt * np >= 6 * t\n"
+    ")",
+    "edges AS MATERIALIZED (\n"
+    "  SELECT src, dst FROM pairs, tot WHERE 5 * cnt * np >= 6 * t\n"
+    "    AND NOT ((2 * src + dst) % 4 = 0)\n"
+    ")",
+)
+assert _Q277_SQL != _Q249_SQL  # the CTE surgery must have landed
+
+QUERIES["q277_scc_delete"] = q277_scc_delete
+ORACLE["q277_scc_delete"] = _Q277_SQL

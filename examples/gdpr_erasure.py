@@ -132,6 +132,36 @@ def main(spark: SparkSession, sf_dir: str) -> dict:
         erase, neighbors["neighbor"] == erase["doc"], "left_semi"
     ).count()
 
+    # ---- 5. maintained graph state: the erased docs' co-occurrence
+    # edges leave the steady-state dedup clusters and triangle counts
+    # (lifecycle.graph_forget — the delete-aware kernels, each
+    # change-bounded and ≡ a one-shot recompute on the remaining graph)
+    from etl_job_applify_spark.dedup.jaccard import ngram_jaccard_pairs
+    from etl_job_applify_spark.lifecycle import graph_forget
+    from etl_job_applify_spark.operators.components import (
+        connected_components,
+    )
+    from etl_job_applify_spark.operators.triangles import (
+        TriangleCounts,
+        triangle_stats,
+    )
+
+    pairs = ngram_jaccard_pairs(
+        tbl(spark, sf_dir, "documents"), threshold=0.5
+    ).select("a", "b").localCheckpoint()
+    cc = connected_components(pairs)
+    st = triangle_stats(pairs)
+    gf = graph_forget(
+        pairs, erase,
+        triangle_prior=TriangleCounts(
+            st.n_edges, st.n_triangles, st.n_wedges
+        ),
+        cc_labels=cc,
+    )
+    graph_hits = gf["cc_labels"].join(
+        erase.withColumnRenamed("doc", "node"), "node", "left_semi"
+    ).count()
+
     # ---- reclaim: the second sweep tombstones nothing (idempotence)
     # and compacts every family (physical purge, serve-invariant)
     swept2 = forget_documents(
@@ -147,11 +177,13 @@ def main(spark: SparkSession, sf_dir: str) -> dict:
         "dedup_candidates_of_erased": dedup_hits,
         "retrieval_hits_of_erased": text_hits,
         "ann_neighbors_of_erased": ann_hits,
+        "graph_labels_of_erased": graph_hits,
     }
     assert left_in_corpus == 0
     assert dedup_hits == 0
     assert text_hits == 0
     assert ann_hits == 0
+    assert graph_hits == 0
     return report
 
 

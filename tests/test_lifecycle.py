@@ -102,3 +102,101 @@ def test_forget_accepts_dataframe_ids(spark, tmp_path):
     out = forget_documents(spark, ids, text_index=tp)
     assert out == {"text": 3}
     assert text_index_stats(spark, tp)["n_docs"] == 27
+
+
+def test_graph_forget_updates_every_maintained_stat(spark):
+    """A forgotten document's co-occurrence edges must leave EVERY
+    maintained graph state — triangle counts, CC labels, k-core
+    membership, SCC labels — each bit-identical to a one-shot
+    recompute over the remaining edges, and a replayed forget must be
+    a no-op (the forget-sweep idempotence contract on the graph
+    side)."""
+    from etl_job_applify_spark.lifecycle import graph_forget
+    from etl_job_applify_spark.operators.components import (
+        connected_components,
+    )
+    from etl_job_applify_spark.operators.kcore import k_core
+    from etl_job_applify_spark.operators.scc import (
+        strongly_connected_components,
+    )
+    from etl_job_applify_spark.operators.triangles import (
+        TriangleCounts,
+        triangle_stats,
+    )
+
+    import random as _r
+
+    rng = _r.Random(23)
+    und = sorted({
+        (min(a, b), max(a, b))
+        for _ in range(200)
+        for a, b in [(rng.randint(1, 30), rng.randint(1, 30))]
+        if a != b
+    })
+    edges = spark.createDataFrame(und, "a long, b long")
+    st = triangle_stats(edges)
+    prior = TriangleCounts(st.n_edges, st.n_triangles, st.n_wedges)
+    labels = connected_components(edges)
+    K = 3
+    core = k_core(edges, K)
+    dedges = spark.createDataFrame(
+        [(a, b) for a, b in und] + [(b, a) for a, b in und if b % 2],
+        "a long, b long",
+    )
+    scc = strongly_connected_components(dedges, "a", "b")
+
+    forget = [7, 12]  # doc ids whose every incident edge must leave
+    out = graph_forget(
+        edges, forget,
+        triangle_prior=prior, cc_labels=labels,
+        core_nodes=core, core_k=K,
+    )
+    remain = [(a, b) for a, b in und if a not in forget and b not in forget]
+    rem_df = spark.createDataFrame(remain, "a long, b long")
+    want_tri = triangle_stats(rem_df)
+    assert out["triangles"] == TriangleCounts(
+        want_tri.n_edges, want_tri.n_triangles, want_tri.n_wedges
+    )
+    got_cc = sorted(
+        (r["node"], r["component"]) for r in out["cc_labels"].collect()
+    )
+    want_cc = sorted(
+        (r["node"], r["component"])
+        for r in connected_components(rem_df).collect()
+    )
+    assert got_cc == want_cc
+    assert all(n not in forget for n, _ in got_cc)
+    got_core = sorted(r["node"] for r in out["core_nodes"].collect())
+    want_core = sorted(r["node"] for r in k_core(rem_df, K).collect())
+    assert got_core == want_core and not set(forget) & set(got_core)
+
+    # directed twin: SCC labels through the same sweep entry point
+    out_d = graph_forget(dedges, forget, scc_labels=scc)
+    drem = [(a, b) for a, b in dedges.collect()
+            if a not in forget and b not in forget]
+    want_scc = sorted(
+        (r["node"], r["scc"])
+        for r in strongly_connected_components(
+            spark.createDataFrame(drem, "a long, b long"), "a", "b"
+        ).collect()
+    )
+    got_scc = sorted(
+        (r["node"], r["scc"]) for r in out_d["scc_labels"].collect()
+    )
+    assert got_scc == want_scc
+    assert all(n not in forget for n, _ in got_scc)
+
+    # replayed forget: every kernel sees an empty removed set → no-op
+    out2 = graph_forget(
+        out["remaining_edges"], forget,
+        triangle_prior=out["triangles"],
+        cc_labels=out["cc_labels"],
+        core_nodes=out["core_nodes"], core_k=K,
+    )
+    assert out2["triangles"] == out["triangles"]
+    assert sorted(
+        (r["node"], r["component"]) for r in out2["cc_labels"].collect()
+    ) == got_cc
+    assert sorted(
+        r["node"] for r in out2["core_nodes"].collect()
+    ) == got_core
