@@ -198,3 +198,77 @@ def graph_forget(
             remaining, removed, scc_labels, src=src, dst=dst
         )
     return out
+
+
+def apply_cdc_documents(
+    batch: DataFrame,
+    text_index: str | None = None,
+    dedup_index: str | None = None,
+    vector_index: str | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    vec_col: str = "embedding",
+    op_col: str = "op",
+    epoch_mark: str | None = None,
+) -> dict:
+    """ONE CDC change relation drives every serving family — the
+    composition SCALING.md promises: the three ``*_apply_cdc``
+    operators share identical semantics (adds are upserts, deletes
+    tombstone, one fenced CAS snapshot per family), so a single
+    ``op_col`` batch (e.g. a versioned table's change feed through
+    ``sinks.changes.changes_to_cdc``) applies to text, dedup, and
+    vector serving in one call under ONE epoch mark.
+
+    Cross-family ordering and crash semantics are the forget-sweep
+    contract: families commit independently (text → dedup → vector; no
+    coordinator could make them atomic without stalling every
+    family's writers), each commit carries the same ``epoch_mark``,
+    and each family is replay-idempotent on that mark — so a crash
+    BETWEEN families is healed by redelivering the epoch: completed
+    families fence the replay out whole, the missed ones catch up
+    (test-pinned in test_lifecycle.py, the CDC edition of the sweep's
+    crash-window test).
+
+    Batch rows whose ``vec_col`` is null only affect text/dedup (a
+    document without an embedding is not a vector); delete rows need
+    no payload anywhere. Families left ``None`` are skipped. Returns
+    per-family apply results (``None`` where the family fenced the
+    epoch as already applied)."""
+    out: dict = {}
+    if text_index is not None:
+        from .functions.text_index import text_index_apply_cdc
+
+        out["text"] = text_index_apply_cdc(
+            batch.select(id_col, text_col, op_col),
+            text_index,
+            id_col=id_col,
+            text_col=text_col,
+            op_col=op_col,
+            epoch_mark=epoch_mark,
+        )
+    if dedup_index is not None:
+        from .dedup.incremental import minhash_index_apply_cdc
+
+        out["dedup"] = minhash_index_apply_cdc(
+            batch.select(id_col, text_col, op_col),
+            dedup_index,
+            id_col=id_col,
+            text_col=text_col,
+            op_col=op_col,
+            epoch_mark=epoch_mark,
+        )
+    if vector_index is not None:
+        from .similarity.vector_index import vector_index_apply_cdc
+
+        vec_batch = batch.filter(
+            (F.col(op_col) == "delete") | F.col(vec_col).isNotNull()
+        ).select(id_col, vec_col, op_col)
+        out["vector"] = vector_index_apply_cdc(
+            vec_batch,
+            vector_index,
+            id_col=id_col,
+            vec_col=vec_col,
+            op_col=op_col,
+            epoch_mark=epoch_mark,
+        )
+    return out

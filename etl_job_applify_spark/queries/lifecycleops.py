@@ -312,3 +312,152 @@ ORDER BY component
 
 QUERIES["q268_canonical_selection"] = q268_canonical_selection
 ORACLE["q268_canonical_selection"] = _Q268_SQL
+
+
+# --- q278: ONE change feed drives all three index families ------------------
+# The composition SCALING.md promised and nothing previously pinned:
+# the three *_apply_cdc operators share one CDC contract (adds are
+# upserts, deletes tombstone, one fenced CAS snapshot per family), so
+# a SINGLE op_col change relation — here the versioned corpus table's
+# own change feed (sinks/changes.py table_changes →
+# changes_to_cdc) — applies to text, dedup, AND vector serving in one
+# call under ONE epoch mark (lifecycle.apply_cdc_documents). The
+# scenario: corpus v0 founds all three families; v1 inserts the
+# held-out docs, deletes a takedown set, and rewrites a revision set;
+# the diff of the two snapshots IS the feed. Updates need no special
+# op — this round's upsert semantics make an add of a live id replace
+# it, so an update is exactly its postimage add. Pinned invariants:
+# feed op counts, per-family live counts after ONE apply, a full
+# replay of the same epoch fenced out whole (every family returns
+# None), and zero deleted ids served by BM25. Every output column is
+# replayable by the oracle from documents/embeddings alone.
+
+def q278_cdc_one_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from ..dedup.incremental import (
+        minhash_index_build,
+        minhash_index_stats,
+    )
+    from ..functions.text_index import (
+        text_index_bm25,
+        text_index_build,
+        text_index_stats,
+    )
+    from ..lifecycle import apply_cdc_documents
+    from ..similarity.vector_index import (
+        vector_index_build,
+        vector_index_stats,
+    )
+    from ..sinks.changes import changes_to_cdc, table_changes
+    from ..sinks.versioned import write_version
+
+    docs = tbl(spark, sf_dir, "documents").select("doc_id", "text")
+    emb = tbl(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("doc_id"), "embedding"
+    )
+    full = docs.join(emb, "doc_id", "left")
+    v0 = full.filter(F.col("doc_id") % 4 != 3)
+    v1 = full.filter(F.col("doc_id") % 7 != 2).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 9 == 4, F.concat("text", F.lit(" rev2"))
+        ).otherwise(F.col("text")),
+    )
+    root = tempfile.mkdtemp(prefix="q278_cdc_")
+    corpus, tp, dp, vp = (
+        f"{root}/corpus", f"{root}/text", f"{root}/dedup", f"{root}/vec"
+    )
+    try:
+        write_version(v0, corpus)                      # version 1
+        text_index_build(v0.select("doc_id", "text"), tp)
+        minhash_index_build(v0.select("doc_id", "text"), dp)
+        vec0 = v0.filter(F.col("embedding").isNotNull()).select(
+            "doc_id", "embedding"
+        )
+        cents = [
+            r["embedding"]
+            for r in vec0.orderBy("doc_id").limit(8).collect()
+        ]
+        vector_index_build(
+            vec0, vp, id_col="doc_id", num_cells=8, centroids=cents
+        )
+        write_version(v1, corpus)                      # version 2
+
+        feed = changes_to_cdc(
+            table_changes(spark, corpus, 1, 2, keys=["doc_id"])
+        ).localCheckpoint()
+        n_adds = feed.filter(F.col("op") == "add").count()
+        n_deletes = feed.filter(F.col("op") == "delete").count()
+
+        res = apply_cdc_documents(
+            feed, text_index=tp, dedup_index=dp, vector_index=vp,
+            epoch_mark="_epoch_feed_1",
+        )
+        if any(v is None for v in res.values()):
+            raise AssertionError(f"first apply unexpectedly fenced: {res}")
+        # full redelivery of the same epoch: every family fences whole
+        res2 = apply_cdc_documents(
+            feed, text_index=tp, dedup_index=dp, vector_index=vp,
+            epoch_mark="_epoch_feed_1",
+        )
+        replay_fenced = all(v is None for v in res2.values())
+
+        # no deleted id may serve (BM25 over every corpus word —
+        # exhaustive in the deleted docs' own tokens)
+        deleted = v0.join(v1, "doc_id", "left_anti").select(
+            F.col("doc_id").alias("doc")
+        )
+        qterms = spark.createDataFrame(
+            [(1, "alpha"), (1, "beta"), (2, "common")],
+            "qid int, word string",
+        ).union(
+            deleted.join(
+                docs, deleted["doc"] == docs["doc_id"]
+            ).select(
+                F.lit(3).alias("qid"),
+                F.explode(F.split("text", " ")).alias("word"),
+            ).distinct().limit(50)
+        )
+        scored = text_index_bm25(spark, tp, qterms)
+        deleted_served = scored.join(
+            deleted, scored["doc_id"] == deleted["doc"], "left_semi"
+        ).count()
+
+        return spark.createDataFrame(
+            [(
+                n_adds, n_deletes,
+                int(text_index_stats(spark, tp)["n_docs"]),
+                int(minhash_index_stats(spark, dp)["n_docs"]),
+                int(vector_index_stats(spark, vp)["n_vecs"]),
+                deleted_served, bool(replay_fenced),
+            )],
+            "n_adds bigint, n_deletes bigint, text_live bigint,"
+            " dedup_live bigint, vec_live bigint,"
+            " deleted_served bigint, replay_fenced boolean",
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+_Q278_SQL = """
+SELECT
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM documents
+    WHERE doc_id % 7 <> 2
+      AND (doc_id % 4 = 3 OR doc_id % 9 = 4)) AS n_adds,
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM documents
+    WHERE doc_id % 4 <> 3 AND doc_id % 7 = 2) AS n_deletes,
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM documents
+    WHERE doc_id % 7 <> 2) AS text_live,
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM documents
+    WHERE doc_id % 7 <> 2) AS dedup_live,
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM embeddings e
+    JOIN documents d ON d.doc_id = e.vec_id
+    WHERE d.doc_id % 7 <> 2) AS vec_live,
+  CAST(0 AS BIGINT) AS deleted_served,
+  TRUE AS replay_fenced
+"""
+
+QUERIES["q278_cdc_one_feed"] = q278_cdc_one_feed
+ORACLE["q278_cdc_one_feed"] = _Q278_SQL

@@ -303,3 +303,28 @@ def sync_changes_to_jdbc(
     )
     commit_cursor(cursor_path, head)
     return n
+
+
+def changes_to_cdc(changes: DataFrame, op_col: str = "op") -> DataFrame:
+    """Adapt a change relation (``table_changes`` /
+    ``consume_changes`` output — ``_change_type`` in {insert, delete,
+    update_preimage, update_postimage}) to the index families' CDC
+    contract (``op_col`` in {add, delete}): inserts and update
+    POSTIMAGES become adds, deletes stay deletes, preimages drop. No
+    separate "replace" op is needed — the ``*_apply_cdc`` operators
+    treat an add of a live id as an upsert (the old version is
+    tombstoned in the same snapshot), so an update is exactly its
+    postimage add. This is the one-feed composition glue: a versioned
+    table's change feed drives text, vector, and dedup serving through
+    ``lifecycle.apply_cdc_documents`` with a single epoch mark."""
+    ct = F.col(CHANGE_COL)
+    return (
+        changes.filter(ct != "update_preimage")
+        .withColumn(
+            op_col,
+            F.when(ct == "delete", F.lit("delete")).otherwise(
+                F.lit("add")
+            ),
+        )
+        .drop(CHANGE_COL)
+    )

@@ -200,3 +200,85 @@ def test_graph_forget_updates_every_maintained_stat(spark):
     assert sorted(
         r["node"] for r in out2["core_nodes"].collect()
     ) == got_core
+
+
+def test_one_feed_cdc_crash_between_families_replays_clean(
+    spark, tmp_path
+):
+    """apply_cdc_documents: one op_col feed, one epoch mark, three
+    families. A crash AFTER the text family committed but before
+    dedup/vector (simulated by applying to text only) is healed by
+    redelivering the epoch to all three: text fences the replay out
+    whole (None), the missed families catch up, and a third full
+    redelivery is a complete no-op — end state identical to one clean
+    apply."""
+    from etl_job_applify_spark.dedup.incremental import (
+        minhash_index_build,
+        minhash_index_stats,
+    )
+    from etl_job_applify_spark.functions.text_index import (
+        text_index_build,
+        text_index_stats,
+    )
+    from etl_job_applify_spark.lifecycle import apply_cdc_documents
+    from etl_job_applify_spark.similarity.vector_index import (
+        vector_index_build,
+        vector_index_stats,
+    )
+
+    docs = _docs(spark)
+    emb = _emb(spark)
+    v0 = docs.join(
+        emb.select(F.col("vec_id").alias("doc_id"), "embedding"),
+        "doc_id",
+    )
+    tp = str(tmp_path / "text")
+    dp = str(tmp_path / "dedup")
+    vp = str(tmp_path / "vec")
+    text_index_build(v0.select("doc_id", "text"), tp)
+    minhash_index_build(v0.select("doc_id", "text"), dp)
+    cents = [
+        r["embedding"] for r in v0.orderBy("doc_id").limit(4).collect()
+    ]
+    vector_index_build(
+        v0.select("doc_id", "embedding"), vp,
+        id_col="doc_id", num_cells=4, centroids=cents,
+    )
+
+    feed = spark.createDataFrame(
+        [
+            (3, None, None, "delete"),
+            (7, None, None, "delete"),
+            (31, "entirely new text alpha beta", [1.0, 2.0, 3.0, 4.0],
+             "add"),
+            (5, "rewritten body of five", [0.5, 0.5, 0.5, 0.5], "add"),
+        ],
+        "doc_id long, text string, embedding array<double>, op string",
+    )
+
+    # crash window: only the text family saw the epoch
+    first = apply_cdc_documents(
+        feed, text_index=tp, epoch_mark="_e1"
+    )
+    assert first["text"] is not None
+
+    # redelivery to ALL families: text fences, the others catch up
+    second = apply_cdc_documents(
+        feed, text_index=tp, dedup_index=dp, vector_index=vp,
+        epoch_mark="_e1",
+    )
+    assert second["text"] is None
+    assert second["dedup"] is not None and second["vector"] is not None
+
+    # third full redelivery: every family fences
+    third = apply_cdc_documents(
+        feed, text_index=tp, dedup_index=dp, vector_index=vp,
+        epoch_mark="_e1",
+    )
+    assert all(v is None for v in third.values())
+
+    # end state: 30 - 2 deleted + 1 insert (5 was an upsert) in every
+    # family
+    assert text_index_stats(spark, tp)["n_docs"] == 29
+    assert minhash_index_stats(spark, dp)["n_docs"] == 29
+    assert vector_index_stats(spark, vp)["n_vecs"] == 29
