@@ -404,3 +404,120 @@ GROUP BY l_returnflag
 
 QUERIES["q270_weighted_percentiles"] = q270_weighted_percentiles
 ORACLE["q270_weighted_percentiles"] = _Q270_SQL
+
+
+# --- q279: SAMPLED grouped weighted percentiles + error bound ---------------
+# q270's scale twin, built the way q265 twinned q92: the exact weighted
+# kernel is a per-group sorted window — inherent to the exact statistic
+# and documented as small-group-only — so the 100 TB path runs the SAME
+# integer-exact kernel over the deterministic portable hash sample
+# (transform/sampling.py sampled_weighted_quantiles; key = the unique
+# integer 8·l_orderkey + l_linenumber, p = 1/4). Quantiles are weight
+# PROPORTIONS, so the sampled estimate needs no 1/p correction — the
+# thresholds just test against the sample's own total weight. The q189
+# discipline pins the accuracy as part of the gate: each estimate's
+# TRUE cumulative-weight rank in the FULL relation must sit within
+# ±0.08 of its target (cross-multiplied integer comparison — no
+# floating point anywhere), so the oracle replays sample, estimate,
+# AND error bound bit-for-bit.
+
+def q279_sampled_weighted_percentiles(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..transform.sampling import sampled_weighted_quantiles
+
+    li = tbl(spark, sf_dir, "lineitem").withColumn(
+        "__key", F.expr("l_orderkey * 8 + l_linenumber")
+    )
+    est = sampled_weighted_quantiles(
+        li, ["l_returnflag"], "l_extendedprice", "l_quantity",
+        "__key", p=0.25, quantiles=[0.5, 0.9],
+    )
+    w = F.col("l_quantity").cast("bigint")
+    ranks = (
+        li.join(F.broadcast(est), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(w).alias("W"),
+            F.sum(
+                F.when(F.col("l_extendedprice") <= F.col("wq_05"), w)
+                .otherwise(F.lit(0))
+            ).alias("cum05"),
+            F.sum(
+                F.when(F.col("l_extendedprice") <= F.col("wq_09"), w)
+                .otherwise(F.lit(0))
+            ).alias("cum09"),
+        )
+    )
+    return (
+        est.join(ranks, "l_returnflag")
+        .select(
+            "l_returnflag", "n_sampled", "sampled_weight",
+            "wq_05", "wq_09",
+            (
+                F.abs(100 * F.col("cum05") - 50 * F.col("W"))
+                <= 8 * F.col("W")
+            ).alias("median_rank_ok"),
+            (
+                F.abs(100 * F.col("cum09") - 90 * F.col("W"))
+                <= 8 * F.col("W")
+            ).alias("p90_rank_ok"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+_Q279_SQL = """
+WITH s AS (
+  SELECT l_returnflag, l_extendedprice,
+         CAST(l_quantity AS BIGINT) AS w,
+         l_orderkey * 8 + l_linenumber AS k
+  FROM lineitem
+  WHERE ((((((l_orderkey * 8 + l_linenumber) % 2147483648)
+            * ((l_orderkey * 8 + l_linenumber) % 2147483648))
+           % 2147483648) * 1220703125) % 2147483648
+         + (((l_orderkey * 8 + l_linenumber) % 2147483648) * 987654323)
+           % 2147483648) % 2147483648
+        < 536870912
+),
+ranked AS (
+  SELECT l_returnflag, l_extendedprice,
+         SUM(w) OVER (PARTITION BY l_returnflag
+                      ORDER BY l_extendedprice, k
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum,
+         SUM(w) OVER (PARTITION BY l_returnflag) AS tw
+  FROM s
+),
+est AS (
+  SELECT l_returnflag,
+         CAST(COUNT(*) AS BIGINT) AS n_sampled,
+         CAST(MAX(tw) AS BIGINT) AS sampled_weight,
+         MIN(CASE WHEN 2 * cum >= tw THEN l_extendedprice END) AS wq_05,
+         MIN(CASE WHEN 10 * cum >= 9 * tw THEN l_extendedprice END)
+           AS wq_09
+  FROM ranked GROUP BY l_returnflag
+),
+fw AS (
+  SELECT l.l_returnflag,
+         CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS W,
+         CAST(SUM(CASE WHEN l.l_extendedprice <= e.wq_05
+                       THEN CAST(l_quantity AS BIGINT) ELSE 0 END)
+              AS BIGINT) AS cum05,
+         CAST(SUM(CASE WHEN l.l_extendedprice <= e.wq_09
+                       THEN CAST(l_quantity AS BIGINT) ELSE 0 END)
+              AS BIGINT) AS cum09
+  FROM lineitem l JOIN est e ON e.l_returnflag = l.l_returnflag
+  GROUP BY 1
+)
+SELECT e.l_returnflag, e.n_sampled, e.sampled_weight, e.wq_05, e.wq_09,
+       abs(100 * f.cum05 - 50 * f.W) <= 8 * f.W AS median_rank_ok,
+       abs(100 * f.cum09 - 90 * f.W) <= 8 * f.W AS p90_rank_ok
+FROM est e JOIN fw f ON f.l_returnflag = e.l_returnflag
+ORDER BY e.l_returnflag
+"""
+
+QUERIES["q279_sampled_weighted_percentiles"] = (
+    q279_sampled_weighted_percentiles
+)
+ORACLE["q279_sampled_weighted_percentiles"] = _Q279_SQL
