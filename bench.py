@@ -249,6 +249,8 @@ def _build_serve_indexes(spark, sf_dir: str, idx_root: str):
 INCREMENTAL = [
     "q258_triangle_update_only",
     "q259_kcore_update_only",
+    "q280_bfs_update_only",
+    "q274_triangle_delete_only",
 ]
 
 
@@ -266,6 +268,15 @@ def _build_incremental_state(spark, sf_dir: str):
     )
     from etl_job_applify_spark.queries.graphmatch import _copurchase_pairs
 
+    from etl_job_applify_spark.operators.paths import (
+        sssp_profile,
+        sssp_profile_update,
+        undirect,
+    )
+    from etl_job_applify_spark.operators.triangles import (
+        triangle_delete_update,
+    )
+
     pairs = _copurchase_pairs(spark, sf_dir).localCheckpoint()
     is_batch = F.pmod(F.xxhash64("a", "b"), F.lit(64)) == 0
     batch = pairs.filter(is_batch).localCheckpoint()
@@ -273,6 +284,17 @@ def _build_incremental_state(spark, sf_dir: str):
     st = triangle_stats(old)
     prior = TriangleCounts(st.n_edges, st.n_triangles, st.n_wedges)
     core = k_core(old, 3).localCheckpoint()
+    # BFS steady state: the stored unit-weight horizon profile (q280)
+    unit = F.lit(1).cast("bigint")
+    source = pairs.agg(F.min("a").alias("node")).localCheckpoint()
+    prof = sssp_profile(
+        undirect(old).withColumn("w", unit), source, 4
+    ).localCheckpoint()
+    # delete steady state: counts over the FULL graph, batch removed
+    st_full = triangle_stats(pairs)
+    prior_full = TriangleCounts(
+        st_full.n_edges, st_full.n_triangles, st_full.n_wedges
+    )
 
     def tri_update(spark_, _sf_dir):
         got = triangle_update(pairs, batch, prior, assume_canonical=True)
@@ -284,9 +306,30 @@ def _build_incremental_state(spark, sf_dir: str):
     def kcore_update(spark_, _sf_dir):
         return k_core_update(pairs, batch, core, 3)
 
+    def bfs_update(spark_, _sf_dir):
+        out = sssp_profile_update(
+            undirect(pairs).withColumn("w", unit),
+            undirect(batch).withColumn("w", unit),
+            prof, source, 4,
+        )
+        return out.filter(F.col("h") == 4).groupBy(
+            F.col("cost").cast("int").alias("hop")
+        ).agg(F.count("*").alias("n_nodes"))
+
+    def tri_delete(spark_, _sf_dir):
+        got = triangle_delete_update(
+            pairs, batch, prior_full, assume_canonical=True
+        )
+        return spark_.createDataFrame(
+            [tuple(got)],
+            "n_edges bigint, n_triangles bigint, n_wedges bigint",
+        )
+
     return {
         "q258_triangle_update_only": tri_update,
         "q259_kcore_update_only": kcore_update,
+        "q280_bfs_update_only": bfs_update,
+        "q274_triangle_delete_only": tri_delete,
     }
 
 #: measured passes per query. Single-run snapshots kept recording ±20%

@@ -639,3 +639,54 @@ assert _Q277_SQL != _Q249_SQL  # the CTE surgery must have landed
 
 QUERIES["q277_scc_delete"] = q277_scc_delete
 ORACLE["q277_scc_delete"] = _Q277_SQL
+
+
+# --- q280: INCREMENTAL BFS hop profile ≡ one-shot ---------------------------
+# q213 was the last recompute-only bench heavy: its steady state is
+# unit-weight SSSP-profile maintenance — with w = 1, the bounded-
+# horizon Bellman-Ford profile's h=H slice assigns every node its BFS
+# hop distance (cost = fewest edges from the seed, present iff
+# ≤ H hops), so maintaining the profile with sssp_profile_update
+# (operators/paths.py) IS hop maintenance: per batch, only the
+# entries the new edges improve cascade level by level, never a
+# re-expansion of the whole frontier history. The co-purchase edges
+# are half-split by the q258/q259 parity predicate; the hop histogram
+# is founded on the first half and UPDATED with the second, and must
+# equal q213's uninterrupted answer — the oracle IS q213's SQL. The
+# steady-state cost alone is measured by bench.py's
+# q280_bfs_update_only entry (the q258/q259 discipline).
+
+def q280_incremental_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.paths import sssp_profile, sssp_profile_update
+
+    pairs = _copurchase_pairs(spark, sf_dir).localCheckpoint()
+    first = undirect(pairs.filter((F.col("a") + F.col("b")) % 2 == 0))
+    second = undirect(pairs.filter((F.col("a") + F.col("b")) % 2 == 1))
+    alle = undirect(pairs)
+    unit = F.lit(1).cast("bigint")
+    source = pairs.agg(F.min("a").alias("node"))
+    prof0 = sssp_profile(
+        first.withColumn("w", unit), source, _MAX_HOPS
+    ).localCheckpoint()
+    prof = sssp_profile_update(
+        alle.withColumn("w", unit),
+        second.withColumn("w", unit),
+        prof0, source, _MAX_HOPS,
+    )
+    counts = (
+        prof.filter(F.col("h") == _MAX_HOPS)
+        .groupBy(F.col("cost").cast("int").alias("hop"))
+        .agg(F.count("*").alias("n_nodes"))
+    )
+    spine = spark.range(_MAX_HOPS + 1).select(
+        F.col("id").cast("int").alias("hop")
+    )
+    return spine.join(counts, "hop", "left").select(
+        "hop",
+        F.coalesce("n_nodes", F.lit(0)).cast("bigint").alias("n_nodes"),
+    )
+
+
+QUERIES["q280_incremental_bfs"] = q280_incremental_bfs
+# incremental ≡ one-shot: the oracle is q213's uninterrupted SQL
+ORACLE["q280_incremental_bfs"] = _Q213_SQL

@@ -1996,3 +1996,58 @@ def session_aggregates_dynamic_gap(
             "total_value",
         )
     )
+
+
+def run_forget_stream(
+    ids_stream: DataFrame,
+    id_col: str = "doc_id",
+    text_index: str | None = None,
+    dedup_index: str | None = None,
+    vector_index: str | None = None,
+    optimize_every: int | None = None,
+) -> None:
+    """Streaming takedown feed — the forget sweep (q267 /
+    ``lifecycle.forget_documents``) folded into the streaming surface:
+    each micro-batch of document ids is tombstoned out of every
+    supplied index family, so a production takedown queue is consumed
+    exactly-once without an operator babysitting it.
+
+    Exactly-once here needs NO separate epoch fence: a forget is
+    naturally idempotent — each family's delete commit dedups the ids
+    against its prior tombstone set (the CAS snapshot discipline all
+    three families share), so THE TOMBSTONE SET IS THE FENCE. A
+    redelivered batch (crash before the checkpoint advanced, or crash
+    BETWEEN families mid-sweep) tombstones nothing new in the families
+    that already landed and catches the missed ones up — the same
+    heal-by-rerun contract the batch sweep documents, driven by the
+    stream's own at-least-once replay. Contrast the ingest streams
+    (``run_*_index_ingest_stream``), where adds are NOT idempotent and
+    the epoch mark must ride the commit.
+
+    ``optimize_every``: compact every Nth epoch (physical purge of
+    accumulated tombstones across all swept families — CAS, idempotent,
+    serve-invariant)."""
+    from ..lifecycle import forget_documents
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        ids = batch_df.select(id_col).distinct()
+        forget_documents(
+            spark, ids,
+            text_index=text_index,
+            dedup_index=dedup_index,
+            vector_index=vector_index,
+            optimize=bool(
+                optimize_every
+                and epoch_id > 0
+                and (epoch_id + 1) % optimize_every == 0
+            ),
+        )
+
+    q = ids_stream.writeStream.foreachBatch(sink).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()

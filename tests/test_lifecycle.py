@@ -282,3 +282,74 @@ def test_one_feed_cdc_crash_between_families_replays_clean(
     assert text_index_stats(spark, tp)["n_docs"] == 29
     assert minhash_index_stats(spark, dp)["n_docs"] == 29
     assert vector_index_stats(spark, vp)["n_vecs"] == 29
+
+
+def test_streaming_forget_sweep_replay_and_partial_heal(spark, tmp_path):
+    """run_forget_stream: a takedown feed tombstones each batch's ids
+    out of every family; a FULL redelivery (fresh query, same source)
+    leaves identical state (tombstone-set idempotence is the fence);
+    a partial sweep (one family missing from the first run) is healed
+    by rerunning the stream over all families."""
+    import time
+
+    from etl_job_applify_spark.dedup.incremental import (
+        minhash_index_build,
+        minhash_index_stats,
+    )
+    from etl_job_applify_spark.functions.text_index import (
+        text_index_build,
+        text_index_stats,
+    )
+    from etl_job_applify_spark.similarity.vector_index import (
+        vector_index_build,
+        vector_index_stats,
+    )
+    from etl_job_applify_spark.streaming import run_forget_stream
+
+    docs = _docs(spark)
+    emb = _emb(spark)
+    tp = str(tmp_path / "text")
+    dp = str(tmp_path / "dedup")
+    vp = str(tmp_path / "vec")
+    text_index_build(docs, tp)
+    minhash_index_build(docs, dp)
+    cents = [r["embedding"] for r in emb.orderBy("vec_id").limit(4).collect()]
+    vector_index_build(emb, vp, num_cells=4, centroids=cents)
+
+    src = tmp_path / "takedowns"
+    src.mkdir()
+    spark.createDataFrame([(3,), (7,)], "doc_id long").coalesce(1) \
+        .write.parquet(str(src / "b0.parquet"))
+    time.sleep(1.1)
+    spark.createDataFrame([(12,), (7,)], "doc_id long").coalesce(1) \
+        .write.parquet(str(src / "b1.parquet"))
+
+    def run(**families):
+        stream = (
+            spark.readStream.schema("doc_id long")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src) + "/*.parquet")
+        )
+        run_forget_stream(stream, **families)
+
+    # crash window: the first consumption misses the vector family
+    run(text_index=tp, dedup_index=dp)
+    assert text_index_stats(spark, tp)["n_docs"] == 27
+    assert vector_index_stats(spark, vp)["n_vecs"] == 30  # not yet swept
+
+    # heal: rerun over ALL families — text/dedup no-op, vector catches up
+    run(text_index=tp, dedup_index=dp, vector_index=vp)
+    st = (
+        text_index_stats(spark, tp)["n_docs"],
+        minhash_index_stats(spark, dp)["n_docs"],
+        vector_index_stats(spark, vp)["n_vecs"],
+    )
+    assert st == (27, 27, 27)
+
+    # full redelivery: identical state
+    run(text_index=tp, dedup_index=dp, vector_index=vp)
+    assert (
+        text_index_stats(spark, tp)["n_docs"],
+        minhash_index_stats(spark, dp)["n_docs"],
+        vector_index_stats(spark, vp)["n_vecs"],
+    ) == (27, 27, 27)
