@@ -1134,3 +1134,138 @@ ORDER BY a.lang
 
 QUERIES["q262_domain_mixing"] = q262_domain_mixing
 ORACLE["q262_domain_mixing"] = _Q262_SQL
+
+
+# --- q281: mixture → packing composition (curation to trainer, one pass) ----
+# The end-to-end hand-off the round-14 VERDICT asked to pin: q262
+# SELECTS documents under per-domain token budgets, q254/q260 PACK a
+# document stream into fixed-capacity training sequences — this query
+# composes them: select under budget, pack exactly the selection
+# (doc_id order, the same bucketed-cumsum kernel), and report the
+# trainer-facing per-sequence summary (docs per sequence, boundary
+# docs whose tokens straddle a cut, and how many LANGUAGES each
+# sequence mixes — the knob a mixture audit actually reads, since
+# packing after mixing is what interleaves domains within a batch).
+# Everything is integer arithmetic over the composed relations, so the
+# oracle replays q262's allocation CTEs feeding q254/q260's packing
+# CTEs bit-for-bit.
+
+def q281_mixture_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..transform.mixing import domain_mix_select
+    from ..transform.packing import (
+        pack_sequences,
+        packed_sequence_slices,
+    )
+
+    docs = tbl(spark, sf_dir, "documents")
+    sel = domain_mix_select(
+        docs, budget=_Q262_BUDGET, max_share=_Q262_SHARE
+    ).localCheckpoint()
+    spans = pack_sequences(
+        sel, capacity=_Q254_CAP, tokens_col="n_tokens"
+    )
+    slices = packed_sequence_slices(spans, _Q254_CAP)
+    return (
+        slices.join(
+            F.broadcast(sel.select("doc_id", "lang", "n_tokens")),
+            "doc_id",
+        )
+        .groupBy("seq")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum(
+                F.when(
+                    F.col("n_tokens_in_seq") < F.col("n_tokens"), 1
+                ).otherwise(0)
+            ).cast("bigint").alias("n_boundary_docs"),
+            F.countDistinct("lang").cast("bigint").alias("n_langs"),
+            F.sum("n_tokens_in_seq").cast("bigint").alias("seq_tokens"),
+        )
+        .orderBy("seq")
+    )
+
+
+_Q281_SQL = f"""
+WITH d AS (
+  SELECT doc_id, lang,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+avail AS (
+  SELECT lang, CAST(SUM(n_tokens) AS BIGINT) AS avail_tokens
+  FROM d GROUP BY 1
+),
+t AS (SELECT SUM(avail_tokens) AS total FROM avail),
+a1 AS (
+  SELECT lang, avail_tokens,
+         LEAST(CAST({_Q262_BUDGET} * avail_tokens
+                    // (SELECT total FROM t) AS BIGINT),
+               {_Q262_CAP}, avail_tokens) AS alloc1
+  FROM avail
+),
+l AS (SELECT {_Q262_BUDGET} - SUM(alloc1) AS leftv FROM a1),
+h AS (
+  SELECT lang, avail_tokens, alloc1,
+         LEAST(avail_tokens, {_Q262_CAP}) - alloc1 AS head
+  FROM a1
+),
+ht AS (SELECT SUM(head) AS htot FROM h),
+alloc AS (
+  SELECT lang,
+         CAST(alloc1 + CASE
+           WHEN (SELECT leftv FROM l) > 0 AND (SELECT htot FROM ht) > 0
+           THEN LEAST(head, (SELECT leftv FROM l) * head
+                            // (SELECT htot FROM ht))
+           ELSE 0 END AS BIGINT) AS allocation
+  FROM h
+),
+cum AS (
+  SELECT d.doc_id, d.lang, d.n_tokens, a.allocation,
+         SUM(d.n_tokens) OVER (
+           PARTITION BY d.lang ORDER BY d.doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+  FROM d JOIN alloc a USING (lang)
+),
+sel AS (
+  SELECT doc_id, lang, n_tokens FROM cum WHERE c <= allocation
+),
+off AS (
+  SELECT doc_id, lang, n_tokens,
+         CAST(COALESCE(SUM(n_tokens) OVER (
+           ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         AS BIGINT) AS start_off
+  FROM sel
+),
+spans AS (
+  SELECT doc_id, lang, n_tokens, start_off,
+         CAST(start_off // {_Q254_CAP} AS BIGINT) AS start_seq,
+         CAST(GREATEST(start_off, start_off + n_tokens - 1)
+              // {_Q254_CAP} AS BIGINT) AS end_seq
+  FROM off
+),
+ex AS (
+  SELECT doc_id, lang, n_tokens, start_off,
+         unnest(range(start_seq, end_seq + 1)) AS seq
+  FROM spans
+),
+slices AS (
+  SELECT CAST(seq AS BIGINT) AS seq, doc_id, lang, n_tokens,
+         CAST(LEAST(start_off + n_tokens, (seq + 1) * {_Q254_CAP})
+              - GREATEST(start_off, seq * {_Q254_CAP})
+              AS BIGINT) AS n_tokens_in_seq
+  FROM ex
+)
+SELECT seq,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN n_tokens_in_seq < n_tokens THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_boundary_docs,
+       CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+       CAST(SUM(n_tokens_in_seq) AS BIGINT) AS seq_tokens
+FROM slices
+GROUP BY seq
+ORDER BY seq
+"""
+
+QUERIES["q281_mixture_packing"] = q281_mixture_packing
+ORACLE["q281_mixture_packing"] = _Q281_SQL
