@@ -1101,6 +1101,7 @@ def run_components_stream(
     dst: str = "b",
     max_iter: int = 25,
     writer_id: str = "cc",
+    op_col: str | None = None,
 ) -> None:
     """Streaming connected-components maintenance — the CLUSTER side of
     the dedup steady state: ``run_incremental_dedup_stream`` emits
@@ -1116,10 +1117,24 @@ def run_components_stream(
     — the ``run_sssp_stream`` contract): redelivered batches skip per
     table, and a crash between the folds replays to the crash-free
     state. Read the result with ``read_table(spark,
-    state_dir + "/labels")``; batch parity is test-pinned."""
+    state_dir + "/labels")``; batch parity is test-pinned.
+
+    ``op_col``: CDC mode — batches mix edge adds and deletes
+    (``op_col == 'delete'``), the index families' CDC contract on the
+    graph surface. The edge head carries (first_epoch, deleted_epoch)
+    so the label merge stays a deterministic function of the committed
+    head (``_cdc_fold_edges`` module comment); per epoch the insert
+    kernel (``cc_update``) runs on old ∪ adds and the delete kernel
+    (``cc_delete_update``) then removes the tombstoned edges — after
+    every epoch ``labels`` is EXACTLY ``connected_components(live
+    edges)``. Delete+re-add of an edge in one batch = delete wins."""
     import os
 
-    from ..operators.components import cc_update, connected_components
+    from ..operators.components import (
+        cc_delete_update,
+        cc_update,
+        connected_components,
+    )
     from ..sinks.versioned import read_table
 
     edges_path = os.path.join(state_dir, "edges")
@@ -1129,24 +1144,58 @@ def run_components_stream(
         if batch_df.isEmpty():
             return
         spark = batch_df.sparkSession
-        batch = batch_df.select(src, dst)
+        if op_col is None:
+            batch = batch_df.select(src, dst)
+            _fold_with_fence(
+                spark, edges_path, writer_id + "_edges", epoch_id,
+                lambda base: (
+                    batch
+                    if base is None
+                    else base.unionByName(batch).distinct()
+                ),
+            )
+            all_edges = read_table(spark, edges_path)
+
+            def merge(base_labels: DataFrame | None) -> DataFrame:
+                if base_labels is None:
+                    return connected_components(
+                        all_edges, src=src, dst=dst, max_iter=max_iter
+                    )
+                return cc_update(
+                    all_edges, batch, base_labels, src=src, dst=dst,
+                    max_iter=max_iter,
+                )
+
+            _fold_with_fence(
+                spark, labels_path, writer_id, epoch_id, merge
+            )
+            return
+        adds = batch_df.filter(
+            F.coalesce(F.col(op_col), F.lit("add")) != "delete"
+        ).select(src, dst)
+        dels = batch_df.filter(F.col(op_col) == "delete").select(src, dst)
         _fold_with_fence(
             spark, edges_path, writer_id + "_edges", epoch_id,
-            lambda base: (
-                batch
-                if base is None
-                else base.unionByName(batch).distinct()
+            lambda base: _cdc_fold_edges(
+                base, adds, dels, [src, dst], epoch_id
             ),
         )
-        all_edges = read_table(spark, edges_path)
+        head = read_table(spark, edges_path)
+        adds_this, dels_this, live, pre_del = _cdc_slices(
+            head, [src, dst], epoch_id
+        )
 
         def merge(base_labels: DataFrame | None) -> DataFrame:
             if base_labels is None:
                 return connected_components(
-                    all_edges, src=src, dst=dst, max_iter=max_iter
+                    live, src=src, dst=dst, max_iter=max_iter
                 )
-            return cc_update(
-                all_edges, batch, base_labels, src=src, dst=dst,
+            mid = cc_update(
+                pre_del, adds_this, base_labels, src=src, dst=dst,
+                max_iter=max_iter,
+            )
+            return cc_delete_update(
+                live, dels_this, mid, src=src, dst=dst,
                 max_iter=max_iter,
             )
 
@@ -1167,6 +1216,7 @@ def run_scc_stream(
     max_phases: int = 64,
     max_bfs_rounds: int = 64,
     writer_id: str = "scc",
+    op_col: str | None = None,
 ) -> None:
     """Streaming strongly-connected-component maintenance — the
     DIRECTED twin of ``run_components_stream`` for insert-only edge
@@ -1181,13 +1231,23 @@ def run_scc_stream(
     Both folds ride the epoch-fenced CAS skeleton (``_fold_with_fence``
     — the ``run_components_stream`` contract): redelivered batches
     skip per table, and a crash between the folds replays to the
-    crash-free state. Edge DELETION is out of contract (deletes can
-    split SCCs — ``operators/scc.py`` module docstring); feed
-    insert-only streams. Read the result with ``read_table(spark,
-    state_dir + "/labels")``; batch parity is test-pinned."""
+    crash-free state. Read the result with ``read_table(spark,
+    state_dir + "/labels")``; batch parity is test-pinned.
+
+    ``op_col``: CDC mode — adds + deletes mixed (the round-15
+    delete-aware kernels lifted the old insert-only contract): the
+    epoch-tagged edge head keeps the merge deterministic
+    (``_cdc_fold_edges``), ``scc_update`` handles old ∪ adds, then
+    ``scc_delete_update`` re-decomposes only the SCCs that lost an
+    intra-SCC edge — after every epoch ``labels`` is EXACTLY
+    ``strongly_connected_components(live edges)``."""
     import os
 
-    from ..operators.scc import scc_update, strongly_connected_components
+    from ..operators.scc import (
+        scc_delete_update,
+        scc_update,
+        strongly_connected_components,
+    )
     from ..sinks.versioned import read_table
 
     edges_path = os.path.join(state_dir, "edges")
@@ -1197,26 +1257,64 @@ def run_scc_stream(
         if batch_df.isEmpty():
             return
         spark = batch_df.sparkSession
-        batch = batch_df.select(src, dst)
+        if op_col is None:
+            batch = batch_df.select(src, dst)
+            _fold_with_fence(
+                spark, edges_path, writer_id + "_edges", epoch_id,
+                lambda base: (
+                    batch
+                    if base is None
+                    else base.unionByName(batch).distinct()
+                ),
+            )
+            all_edges = read_table(spark, edges_path)
+
+            def merge(base_labels: DataFrame | None) -> DataFrame:
+                if base_labels is None:
+                    return strongly_connected_components(
+                        all_edges, src=src, dst=dst,
+                        max_phases=max_phases,
+                        max_bfs_rounds=max_bfs_rounds,
+                    )
+                return scc_update(
+                    all_edges, batch, base_labels, src=src, dst=dst,
+                    max_phases=max_phases,
+                    max_bfs_rounds=max_bfs_rounds,
+                )
+
+            _fold_with_fence(
+                spark, labels_path, writer_id, epoch_id, merge
+            )
+            return
+        adds = batch_df.filter(
+            F.coalesce(F.col(op_col), F.lit("add")) != "delete"
+        ).select(src, dst)
+        dels = batch_df.filter(F.col(op_col) == "delete").select(src, dst)
         _fold_with_fence(
             spark, edges_path, writer_id + "_edges", epoch_id,
-            lambda base: (
-                batch
-                if base is None
-                else base.unionByName(batch).distinct()
+            lambda base: _cdc_fold_edges(
+                base, adds, dels, [src, dst], epoch_id
             ),
         )
-        all_edges = read_table(spark, edges_path)
+        head = read_table(spark, edges_path)
+        adds_this, dels_this, live, pre_del = _cdc_slices(
+            head, [src, dst], epoch_id
+        )
 
         def merge(base_labels: DataFrame | None) -> DataFrame:
             if base_labels is None:
                 return strongly_connected_components(
-                    all_edges, src=src, dst=dst,
+                    live, src=src, dst=dst,
                     max_phases=max_phases,
                     max_bfs_rounds=max_bfs_rounds,
                 )
-            return scc_update(
-                all_edges, batch, base_labels, src=src, dst=dst,
+            mid = scc_update(
+                pre_del, adds_this, base_labels, src=src, dst=dst,
+                max_phases=max_phases,
+                max_bfs_rounds=max_bfs_rounds,
+            )
+            return scc_delete_update(
+                live, dels_this, mid, src=src, dst=dst,
                 max_phases=max_phases,
                 max_bfs_rounds=max_bfs_rounds,
             )
@@ -1236,6 +1334,7 @@ def run_triangle_stream(
     src: str = "a",
     dst: str = "b",
     writer_id: str = "tri",
+    op_col: str | None = None,
 ) -> None:
     """Streaming triangle/wedge-count maintenance: every micro-batch of
     undirected edges folds into a persisted edge set AND a persisted
@@ -1256,11 +1355,19 @@ def run_triangle_stream(
     exact. Both folds ride the epoch-fenced CAS skeleton
     (``_fold_with_fence``); batch parity and replay invariance are
     test-pinned. Founding (epoch with no prior counts) runs the
-    one-shot kernel over the head."""
+    one-shot kernel over the head.
+
+    ``op_col``: CDC mode — adds + deletes mixed; the first_epoch tag
+    generalizes to the (first_epoch, deleted_epoch) head
+    (``_cdc_fold_edges``), the insert delta (``triangle_update``) runs
+    on old ∪ adds, the delete delta (``triangle_delete_update``) then
+    subtracts the tombstoned edges' triangles — after every epoch
+    ``counts`` equals ``triangle_stats(live edges)``."""
     import os
 
     from ..operators.triangles import (
         TriangleCounts,
+        triangle_delete_update,
         triangle_stats,
         triangle_update,
     )
@@ -1270,8 +1377,63 @@ def run_triangle_stream(
     counts_path = os.path.join(state_dir, "counts")
     counts_schema = "n_edges bigint, n_triangles bigint, n_wedges bigint"
 
+    def _canon_pairs(df: DataFrame) -> DataFrame:
+        return (
+            df.select(
+                F.least(src, dst).alias("a"),
+                F.greatest(src, dst).alias("b"),
+            )
+            .filter(F.col("a") != F.col("b"))
+            .distinct()
+        )
+
+    def cdc_sink(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        adds = _canon_pairs(
+            batch_df.filter(
+                F.coalesce(F.col(op_col), F.lit("add")) != "delete"
+            )
+        )
+        dels = _canon_pairs(batch_df.filter(F.col(op_col) == "delete"))
+        _fold_with_fence(
+            spark, edges_path, writer_id + "_edges", epoch_id,
+            lambda base: _cdc_fold_edges(
+                base, adds, dels, ["a", "b"], epoch_id
+            ),
+        )
+        head = read_table(spark, edges_path)
+        adds_this, dels_this, live, pre_del = _cdc_slices(
+            head, ["a", "b"], epoch_id
+        )
+
+        def merge(base_counts: DataFrame | None) -> DataFrame:
+            if base_counts is None:
+                st = triangle_stats(live)
+                return spark.createDataFrame(
+                    [(st.n_edges, st.n_triangles, st.n_wedges)],
+                    counts_schema,
+                )
+            r = base_counts.first()
+            prior = TriangleCounts(
+                int(r["n_edges"]),
+                int(r["n_triangles"]),
+                int(r["n_wedges"]),
+            )
+            mid = triangle_update(
+                pre_del, adds_this, prior, assume_canonical=True
+            )
+            got = triangle_delete_update(
+                pre_del, dels_this, mid, assume_canonical=True
+            )
+            return spark.createDataFrame([tuple(got)], counts_schema)
+
+        _fold_with_fence(spark, counts_path, writer_id, epoch_id, merge)
+
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
         if batch_df.isEmpty():
+            return
+        if op_col is not None:
+            cdc_sink(batch_df, epoch_id)
             return
         spark = batch_df.sparkSession
         batch = (
@@ -1340,6 +1502,7 @@ def run_kcore_stream(
     dst: str = "b",
     max_iter: int = 50,
     writer_id: str = "kcore",
+    op_col: str | None = None,
 ) -> None:
     """Streaming k-core membership maintenance: every micro-batch of
     undirected edges folds into a persisted edge set AND a persisted
@@ -1354,10 +1517,20 @@ def run_kcore_stream(
     the edge fold stays the plain distinct union (no epoch tagging
     needed — contrast ``run_triangle_stream``). Both folds ride the
     epoch-fenced CAS skeleton; batch parity and replay invariance are
-    test-pinned."""
+    test-pinned.
+
+    ``op_col``: CDC mode — adds + deletes mixed, the
+    ``run_components_stream`` contract: epoch-tagged edge head, insert
+    kernel on old ∪ adds, then the reverse-peel delete kernel
+    (``k_core_delete_update``) — after every epoch ``core`` is EXACTLY
+    ``k_core(live edges, k)``."""
     import os
 
-    from ..operators.kcore import k_core, k_core_update
+    from ..operators.kcore import (
+        k_core,
+        k_core_delete_update,
+        k_core_update,
+    )
     from ..sinks.versioned import read_table
 
     edges_path = os.path.join(state_dir, "edges")
@@ -1367,22 +1540,54 @@ def run_kcore_stream(
         if batch_df.isEmpty():
             return
         spark = batch_df.sparkSession
-        batch = batch_df.select(src, dst)
+        if op_col is None:
+            batch = batch_df.select(src, dst)
+            _fold_with_fence(
+                spark, edges_path, writer_id + "_edges", epoch_id,
+                lambda base: (
+                    batch
+                    if base is None
+                    else base.unionByName(batch).distinct()
+                ),
+            )
+            head = read_table(spark, edges_path)
+
+            def merge(base_core: DataFrame | None) -> DataFrame:
+                if base_core is None:
+                    return k_core(
+                        head, k, src=src, dst=dst, max_iter=max_iter
+                    )
+                return k_core_update(
+                    head, batch, base_core, k,
+                    src=src, dst=dst, max_iter=max_iter,
+                )
+
+            _fold_with_fence(spark, core_path, writer_id, epoch_id, merge)
+            return
+        adds = batch_df.filter(
+            F.coalesce(F.col(op_col), F.lit("add")) != "delete"
+        ).select(src, dst)
+        dels = batch_df.filter(F.col(op_col) == "delete").select(src, dst)
         _fold_with_fence(
             spark, edges_path, writer_id + "_edges", epoch_id,
-            lambda base: (
-                batch
-                if base is None
-                else base.unionByName(batch).distinct()
+            lambda base: _cdc_fold_edges(
+                base, adds, dels, [src, dst], epoch_id
             ),
         )
         head = read_table(spark, edges_path)
+        adds_this, dels_this, live, pre_del = _cdc_slices(
+            head, [src, dst], epoch_id
+        )
 
         def merge(base_core: DataFrame | None) -> DataFrame:
             if base_core is None:
-                return k_core(head, k, src=src, dst=dst, max_iter=max_iter)
-            return k_core_update(
-                head, batch, base_core, k,
+                return k_core(live, k, src=src, dst=dst, max_iter=max_iter)
+            mid = k_core_update(
+                pre_del, adds_this, base_core, k,
+                src=src, dst=dst, max_iter=max_iter,
+            )
+            return k_core_delete_update(
+                live, dels_this, mid, k,
                 src=src, dst=dst, max_iter=max_iter,
             )
 
@@ -2051,3 +2256,107 @@ def run_forget_stream(
         q.processAllAvailable()
     finally:
         q.stop()
+
+
+# --- CDC edge-set machinery for the graph streams ---------------------------
+# The graph streams were insert-only; with the delete-aware kernels
+# (operators/{components,kcore,triangles,scc} *_delete_update) a
+# micro-batch may now mix adds and deletes (op_col — the exact CDC
+# contract the three INDEX families speak, so one change feed can
+# drive serving AND maintained graph state). The replay problem is the
+# triangle stream's, generalized: graph deltas are not idempotent, so
+# the label/count merge must be a DETERMINISTIC function of the
+# already-committed edge head + the epoch id — never of the raw batch
+# (a crash between the edge fold and the state fold replays the state
+# merge against the post-fold head). The edge head therefore carries
+# two epoch columns:
+#
+#   first_epoch    the epoch that (last) brought the edge alive
+#   deleted_epoch  NULL while live; the tombstoning epoch otherwise
+#
+# Fold rules (exactly once per epoch — the fold itself rides the
+# fence): a new edge inserts (first=epoch, deleted=NULL); an add of a
+# tombstoned edge RESURRECTS it (first=epoch, deleted=NULL — it is a
+# fresh edge for counting); an add of a live edge is a no-op; a delete
+# tombstones a live edge (deleted=epoch) and is a no-op on dead or
+# unknown edges; add+delete of one edge in one batch = delete wins
+# (born-dead rows are skipped). The state merge then derives, from the
+# head alone:
+#
+#   adds_this = first_epoch == epoch  AND live      (incl. resurrects)
+#   dels_this = deleted_epoch == epoch              (were live before)
+#   live      = deleted_epoch IS NULL
+#   pre_del   = live ∪ dels_this  (= old ∪ adds_this — the relation
+#               the INSERT-side kernels need as their all_edges)
+#
+# so the insert kernel runs first (old ∪ adds), the delete kernel
+# second (remaining = live), and the composition is exact.
+
+
+def _cdc_fold_edges(
+    base: DataFrame | None,
+    adds: DataFrame,
+    dels: DataFrame,
+    keys: list[str],
+    epoch_id: int,
+) -> DataFrame:
+    """One CDC fold of (adds, dels) into the epoch-tagged edge head
+    (module comment above). Pure relational — one full-outer join of
+    the head against the batch delta."""
+    ep = F.lit(int(epoch_id)).cast("bigint")
+    delta = (
+        adds.distinct().withColumn("__add", F.lit(1))
+        .join(
+            dels.distinct().withColumn("__del", F.lit(1)),
+            keys,
+            "full_outer",
+        )
+        .select(
+            *keys,
+            F.coalesce("__add", F.lit(0)).alias("__add"),
+            F.coalesce("__del", F.lit(0)).alias("__del"),
+        )
+    )
+    if base is None:
+        return (
+            delta.filter((F.col("__add") == 1) & (F.col("__del") == 0))
+            .select(
+                *keys,
+                ep.alias("first_epoch"),
+                F.lit(None).cast("bigint").alias("deleted_epoch"),
+            )
+        )
+    joined = base.join(delta, keys, "full_outer")
+    live = F.col("deleted_epoch").isNull() & F.col("first_epoch").isNotNull()
+    return joined.select(
+        *keys,
+        F.when(
+            # fresh insert or resurrect (add, no in-batch delete, not live)
+            (F.col("__add") == 1) & (F.col("__del") == 0) & ~live, ep
+        ).otherwise(F.col("first_epoch")).alias("first_epoch"),
+        F.when(
+            # delete wins: tombstone live rows (in-batch add+del included)
+            (F.col("__del") == 1) & live, ep
+        ).when(
+            # resurrect clears the tombstone
+            (F.col("__add") == 1) & (F.col("__del") == 0), F.lit(None)
+        ).otherwise(F.col("deleted_epoch")).alias("deleted_epoch"),
+    ).filter(
+        # drop delete-of-unknown and born-dead rows (never existed)
+        F.col("first_epoch").isNotNull()
+    )
+
+
+def _cdc_slices(head: DataFrame, keys: list[str], epoch_id: int):
+    """(adds_this, dels_this, live, pre_delete) — each a pure function
+    of the committed head + epoch (module comment above)."""
+    ep = int(epoch_id)
+    live = head.filter(F.col("deleted_epoch").isNull()).select(*keys)
+    adds_this = head.filter(
+        (F.col("first_epoch") == ep) & F.col("deleted_epoch").isNull()
+    ).select(*keys)
+    dels_this = head.filter(F.col("deleted_epoch") == ep).select(*keys)
+    pre_delete = head.filter(
+        F.col("deleted_epoch").isNull() | (F.col("deleted_epoch") == ep)
+    ).select(*keys)
+    return adds_this, dels_this, live, pre_delete

@@ -1260,3 +1260,62 @@ def test_streaming_scc_crash_between_folds_replays_clean(spark, tmp_path):
         map(tuple, strongly_connected_components(allp).collect())
     )
     assert got == want
+
+
+def test_streaming_scc_cdc_parity_replay_and_resurrect(spark, tmp_path):
+    """run_scc_stream(op_col=...): directed CDC batches — a delete
+    splits an SCC (the delete kernel re-decomposes only that SCC), a
+    later re-add of the same edge RESURRECTS it and re-merges, and a
+    whole-source replay is a no-op. After every run the labels equal
+    the one-shot FB kernel over the live edges."""
+    import time
+
+    from etl_job_applify_spark.operators.scc import (
+        strongly_connected_components,
+    )
+    from etl_job_applify_spark.sinks.versioned import read_table
+    from etl_job_applify_spark.streaming import run_scc_stream
+
+    src_dir = tmp_path / "src"
+    src_dir.mkdir()
+    # b0: 3-cycle 1→2→3→1 plus tail 3→4; b1: delete 2→3 (splits the
+    # SCC into singletons), add 4→5; b2: re-add 2→3 (re-merges 1,2,3)
+    b0 = [(1, 2, "add"), (2, 3, "add"), (3, 1, "add"), (3, 4, "add")]
+    b1 = [(2, 3, "delete"), (4, 5, "add")]
+    b2 = [(2, 3, "add")]
+    for i, rows in enumerate([b0, b1, b2]):
+        if i:
+            time.sleep(1.1)
+        spark.createDataFrame(rows, "src long, dst long, op string") \
+            .coalesce(1).write.parquet(str(src_dir / f"b{i}.parquet"))
+
+    state = str(tmp_path / "scc")
+
+    def run():
+        stream = (
+            spark.readStream.schema("src long, dst long, op string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src_dir) + "/*.parquet")
+        )
+        run_scc_stream(stream, state, op_col="op")
+
+    run()
+    live = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (3, 4), (4, 5)], "src long, dst long"
+    )
+    got = sorted(
+        (r["node"], r["scc"])
+        for r in read_table(spark, state + "/labels").collect()
+    )
+    want = sorted(
+        (r["node"], r["scc"])
+        for r in strongly_connected_components(live).collect()
+    )
+    assert got == want
+    assert dict(got)[2] == 1 and dict(got)[3] == 1  # re-merged SCC
+
+    run()  # whole-source replay: no-op
+    assert sorted(
+        (r["node"], r["scc"])
+        for r in read_table(spark, state + "/labels").collect()
+    ) == got

@@ -1034,3 +1034,97 @@ def test_scc_delete_update_equals_recompute(spark):
             ).collect()
         )
         assert got == want, seed
+
+
+def test_streaming_graph_cdc_parity_and_replay(spark, tmp_path):
+    """CDC mode on the undirected graph streams (op_col): batches mix
+    edge adds and deletes; after every run the persisted state equals
+    the one-shot kernel over the LIVE edge set (delete+re-add across
+    epochs resurrects; delete wins within a batch), and a whole-source
+    replay is a no-op. Covers components, k-core, and triangle-count
+    streams over the same feed."""
+    import time
+
+    from etl_job_applify_spark.operators.components import (
+        connected_components,
+    )
+    from etl_job_applify_spark.operators.kcore import k_core
+    from etl_job_applify_spark.operators.triangles import triangle_stats
+    from etl_job_applify_spark.sinks.versioned import read_table
+    from etl_job_applify_spark.streaming import (
+        run_components_stream,
+        run_kcore_stream,
+        run_triangle_stream,
+    )
+
+    src_dir = tmp_path / "src"
+    src_dir.mkdir()
+    # b0: K4 on 1-4 plus tail 4-5, 5-6; b1: deletes 3-4 (breaks the
+    # K4), adds 6-2 and 5-2, re-adds 1-2 (no-op), and in-batch
+    # add+delete of 9-10 (delete wins — never lands)
+    b0 = [(1, 2, "add"), (1, 3, "add"), (1, 4, "add"), (2, 3, "add"),
+          (2, 4, "add"), (3, 4, "add"), (4, 5, "add"), (5, 6, "add")]
+    b1 = [(3, 4, "delete"), (6, 2, "add"), (5, 2, "add"),
+          (1, 2, "add"), (9, 10, "add"), (9, 10, "delete")]
+    for i, rows in enumerate([b0, b1]):
+        if i:
+            time.sleep(1.1)
+        spark.createDataFrame(rows, "a long, b long, op string") \
+            .coalesce(1).write.parquet(str(src_dir / f"b{i}.parquet"))
+
+    live = sorted(
+        (set((a, b) for a, b, _ in b0)
+         | {(6, 2), (5, 2)}) - {(3, 4)}
+    )
+    live_df = spark.createDataFrame(live, "a long, b long")
+
+    def run(fn, state, **kw):
+        stream = (
+            spark.readStream.schema("a long, b long, op string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src_dir) + "/*.parquet")
+        )
+        fn(stream, state, op_col="op", **kw)
+
+    cc_state = str(tmp_path / "cc")
+    run(run_components_stream, cc_state)
+    got_cc = sorted(
+        (r["node"], r["component"])
+        for r in read_table(spark, cc_state + "/labels").collect()
+    )
+    want_cc = sorted(
+        (r["node"], r["component"])
+        for r in connected_components(live_df).collect()
+    )
+    assert got_cc == want_cc
+    assert all(n not in (9, 10) for n, _ in got_cc)
+
+    kc_state = str(tmp_path / "kc")
+    run(run_kcore_stream, kc_state, k=3)
+    got_core = sorted(
+        r["node"] for r in read_table(spark, kc_state + "/core").collect()
+    )
+    want_core = sorted(r["node"] for r in k_core(live_df, 3).collect())
+    assert got_core == want_core
+
+    tri_state = str(tmp_path / "tri")
+    run(run_triangle_stream, tri_state)
+    row = read_table(spark, tri_state + "/counts").first()
+    st = triangle_stats(live_df)
+    assert (row["n_edges"], row["n_triangles"], row["n_wedges"]) == (
+        st.n_edges, st.n_triangles, st.n_wedges
+    )
+
+    # whole-source replay: every table no-ops
+    run(run_components_stream, cc_state)
+    run(run_kcore_stream, kc_state, k=3)
+    run(run_triangle_stream, tri_state)
+    assert sorted(
+        (r["node"], r["component"])
+        for r in read_table(spark, cc_state + "/labels").collect()
+    ) == got_cc
+    assert sorted(
+        r["node"] for r in read_table(spark, kc_state + "/core").collect()
+    ) == got_core
+    row2 = read_table(spark, tri_state + "/counts").first()
+    assert tuple(row2) == tuple(row)
