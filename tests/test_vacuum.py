@@ -234,3 +234,49 @@ def test_index_admin_cli(spark, tmp_path):
         ["forget", "vector", idx, "--ids-parquet", ids_pq], spark=spark
     )
     assert out2 == {"vector": 1}  # 1 already tombstoned -> idempotent
+
+
+def test_index_admin_apply_cdc(spark, tmp_path):
+    """tools/index_admin.py apply-cdc: one op-column feed parquet lands
+    in a family as a fenced snapshot; re-running with the same
+    --epoch-mark reports 'fenced' (the q278 one-feed semantics per
+    family)."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "index_admin",
+        os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "tools", "index_admin.py",
+        ),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    corpus = _vecs(spark, n=12)
+    cents = [
+        r["embedding"]
+        for r in corpus.orderBy("vec_id").limit(4).collect()
+    ]
+    idx = str(tmp_path / "vxi_cdc_cli")
+    vector_index_build(corpus, idx, num_cells=4, centroids=cents)
+    feed_pq = str(tmp_path / "feed")
+    spark.createDataFrame(
+        [(3, None, "delete"), (100, [1.0] * 8, "add")],
+        "vec_id long, embedding array<double>, op string",
+    ).write.parquet(feed_pq)
+    out = mod.main(
+        ["apply-cdc", "vector", idx, "--feed-parquet", feed_pq,
+         "--id-col", "vec_id", "--epoch-mark", "_epoch_cli_1"],
+        spark=spark,
+    )
+    assert out["vector"]["n_added"] == 1
+    assert out["vector"]["n_tombstoned"] == 1
+    st = mod.main(["describe", "vector", idx], spark=spark)
+    assert st["n_vecs"] == 12
+    out2 = mod.main(
+        ["apply-cdc", "vector", idx, "--feed-parquet", feed_pq,
+         "--id-col", "vec_id", "--epoch-mark", "_epoch_cli_1"],
+        spark=spark,
+    )
+    assert out2 == {"vector": "fenced"}

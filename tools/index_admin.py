@@ -10,6 +10,8 @@ compact / vacuum / reindex):
     python tools/index_admin.py forget    text   /path/to/idx --ids 3,7,11
     python tools/index_admin.py forget    dedup  /path/to/idx \
         --ids-parquet /lake/takedown_ids.parquet
+    python tools/index_admin.py apply-cdc text   /path/to/idx \
+        --feed-parquet /lake/changes.parquet --epoch-mark _epoch_feed_42
 
 `describe` prints the family's stats dict as one JSON line (the
 DESCRIBE INDEX surface: counters, snapshots, pending tombstones, skew
@@ -21,7 +23,13 @@ ingest's reindex_skew_threshold policy. `forget` tombstones an id set
 out of one family (lifecycle.forget_documents — idempotent, so the
 cross-family sweep is simply this command run once per family; pass
 `--ids-parquet` for domain-sized takedown sets — the ids never ride
-the driver).
+the driver). `apply-cdc` applies one op-column change-feed parquet
+(the `sinks.changes.changes_to_cdc` shape: payload columns + op in
+{add, delete}) to one family as a single fenced CAS snapshot
+(lifecycle.apply_cdc_documents); run it once per family with the SAME
+--epoch-mark and the whole feed lands with the q278 one-feed
+semantics — completed families fence a re-run out whole, so a crash
+mid-sweep is healed by re-running the remaining families.
 """
 
 from __future__ import annotations
@@ -86,7 +94,7 @@ def main(argv=None, spark=None) -> dict:
         "action",
         choices=[
             "describe", "histogram", "compact", "vacuum", "reindex",
-            "forget",
+            "forget", "apply-cdc",
         ],
     )
     ap.add_argument("family", choices=["vector", "text", "dedup"])
@@ -96,9 +104,22 @@ def main(argv=None, spark=None) -> dict:
         "--ids-parquet",
         help="one-column parquet of ids to forget (scale path)",
     )
+    ap.add_argument(
+        "--feed-parquet",
+        help="op-column CDC feed parquet for apply-cdc",
+    )
+    ap.add_argument("--op-col", default="op")
+    ap.add_argument("--id-col", default="doc_id")
+    ap.add_argument("--text-col", default="text")
+    ap.add_argument("--vec-col", default="embedding")
+    ap.add_argument(
+        "--epoch-mark",
+        help="fence marker; reuse the SAME mark across families for "
+        "one-feed semantics (q278)",
+    )
     args = ap.parse_args(argv)
     actions = _actions(args.family)
-    if args.action != "forget" and args.action not in actions:
+    if args.action not in ("forget", "apply-cdc") and args.action not in actions:
         raise SystemExit(
             f"{args.action} is not available for the {args.family} family"
         )
@@ -126,6 +147,29 @@ def main(argv=None, spark=None) -> dict:
                 "dedup": "dedup_index",
             }[args.family]
             out = forget_documents(spark, ids, **{kw: args.index_path})
+        elif args.action == "apply-cdc":
+            from etl_job_applify_spark.lifecycle import apply_cdc_documents
+
+            if not args.feed_parquet:
+                raise SystemExit("apply-cdc needs --feed-parquet")
+            feed = spark.read.parquet(args.feed_parquet)
+            kw = {
+                "vector": "vector_index",
+                "text": "text_index",
+                "dedup": "dedup_index",
+            }[args.family]
+            res = apply_cdc_documents(
+                feed,
+                id_col=args.id_col,
+                text_col=args.text_col,
+                vec_col=args.vec_col,
+                op_col=args.op_col,
+                epoch_mark=args.epoch_mark,
+                **{kw: args.index_path},
+            )
+            out = {
+                f: ("fenced" if v is None else v) for f, v in res.items()
+            }
         else:
             out = actions[args.action](spark, args.index_path)
     finally:
