@@ -499,3 +499,86 @@ def test_domain_mix_allocation_and_selection(spark):
     }
     # y reports its true allocation even though nothing fits
     assert summ == {"x": (12, 8, 2, 7), "y": (301, 8, 0, 0)}
+
+
+def test_bucketed_cumsum_partitioned_matches_per_group_window(spark):
+    """bucketed_cumsum(partition_by=[g]): the prefix sum restarts per
+    group and equals the naive per-group running window — including
+    groups that span many buckets and buckets that span many groups.
+    This is the kernel behind the domain-mixing selection (q262), where
+    a per-domain window alone would funnel a skewed domain through one
+    task."""
+    from pyspark.sql import Window
+
+    from etl_job_applify_spark.transform.packing import bucketed_cumsum
+
+    rows = [
+        (f"g{i % 3}", i * 5 + (i % 2), (i * 11) % 17 + 1)
+        for i in range(240)
+    ]
+    df = spark.createDataFrame(rows, "g string, k long, v long")
+    got = {
+        (r["g"], r["k"]): r["cumsum"]
+        for r in bucketed_cumsum(
+            df, "k", "v", bucket_width=32, partition_by=["g"]
+        ).collect()
+    }
+    w = Window.partitionBy("g").orderBy("k").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    want = {
+        (r["g"], r["k"]): r["c"]
+        for r in df.select(
+            "g", "k", F.coalesce(F.sum("v").over(w), F.lit(0)).alias("c")
+        ).collect()
+    }
+    assert got == want
+
+
+def test_sampled_weighted_quantiles_p1_equals_exact(spark):
+    """At p=1.0 the portable sample keeps every row, so the sampled
+    weighted quantiles must equal the exact weighted lower-quantile
+    kernel (q270's) on the full data — pinning that the 'twin' really
+    is the same kernel over a sample, not an approximation of it."""
+    from pyspark.sql import Window
+
+    from etl_job_applify_spark.transform.sampling import (
+        sampled_weighted_quantiles,
+    )
+
+    rows = [
+        (f"g{i % 2}", i, (i * 7) % 50 + 1.0, (i * 3) % 9 + 1)
+        for i in range(100)
+    ]
+    df = spark.createDataFrame(rows, "g string, k long, x double, w long")
+    got = {
+        r["g"]: (r["sampled_weight"], r["wq_05"], r["wq_09"])
+        for r in sampled_weighted_quantiles(
+            df, ["g"], "x", "w", "k", p=1.0, quantiles=[0.5, 0.9]
+        ).collect()
+    }
+    wo = Window.partitionBy("g").orderBy("x", "k").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wc = Window.partitionBy("g")
+    exact = {
+        r["g"]: (r["tw"], r["m"], r["p9"])
+        for r in df.select(
+            "g",
+            F.sum(F.col("w").cast("bigint")).over(wo).alias("cum"),
+            F.sum(F.col("w").cast("bigint")).over(wc).alias("tw"),
+            "x",
+        )
+        .groupBy("g")
+        .agg(
+            F.max("tw").alias("tw"),
+            F.min(
+                F.when(2 * F.col("cum") >= F.col("tw"), F.col("x"))
+            ).alias("m"),
+            F.min(
+                F.when(10 * F.col("cum") >= 9 * F.col("tw"), F.col("x"))
+            ).alias("p9"),
+        )
+        .collect()
+    }
+    assert got == exact
