@@ -63,6 +63,13 @@ HEADLINE = [
     "q213_bfs_hops",
     "q215_association_rules",
     "q219_snm_dedup",
+    # round 15: the weighted-quantile scale twin (portable sample +
+    # exact integer kernel + in-query rank-error bound) and the
+    # mixture→packing trainer hand-off (budgeted selection composed
+    # with bucketed-cumsum packing); the delete-side and BFS steady
+    # states ride the INCREMENTAL update-only entries
+    "q279_sampled_weighted_percentiles",
+    "q281_mixture_packing",
 ]
 # q235_hybrid_rrf_indexed is deliberately NOT a headline entry: the
 # registered query builds BOTH persisted indexes inside itself (the

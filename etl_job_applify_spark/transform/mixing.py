@@ -77,6 +77,7 @@ def _mix_parts(
     domain_col: str,
     tokens_col: Column | str | None,
     id_col: str,
+    bucket_width: int = 4096,
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """(docs+n_tokens, allocation relation, selected relation) — the
     shared assembly behind select/summary."""
@@ -115,6 +116,7 @@ def _mix_parts(
             d.join(F.broadcast(alloc_df), domain_col),
             id_col,
             "n_tokens",
+            bucket_width=bucket_width,
             out="__excl",
             partition_by=[domain_col],
         )
@@ -134,13 +136,18 @@ def domain_mix_select(
     domain_col: str = "lang",
     tokens_col: Column | str | None = None,
     id_col: str = "doc_id",
+    bucket_width: int = 4096,
 ) -> DataFrame:
     """The selected-documents relation: ``docs`` columns plus
     ``n_tokens`` and the domain's ``allocation`` — documents taken in
     ``id_col`` order per domain while the inclusive token prefix sum
-    fits the domain's exact allocation."""
+    fits the domain's exact allocation. ``bucket_width``: size it so
+    #buckets (≈ id range / width) stays broadcast-sized — at 10^11
+    ids raise it toward 10^6 (the offsets relation the cumsum
+    broadcasts has one row per (domain, bucket))."""
     return _mix_parts(
-        docs, budget, max_share, domain_col, tokens_col, id_col
+        docs, budget, max_share, domain_col, tokens_col, id_col,
+        bucket_width,
     )[2]
 
 
@@ -151,6 +158,7 @@ def domain_mix_summary(
     domain_col: str = "lang",
     tokens_col: Column | str | None = None,
     id_col: str = "doc_id",
+    bucket_width: int = 4096,
 ) -> DataFrame:
     """Per-domain mixture report: (domain, avail_tokens, allocation,
     n_docs, tokens_taken) — the view a mixture config review reads.
@@ -159,7 +167,8 @@ def domain_mix_summary(
     whose allocation no document fits still report their true
     allocation with zero taken."""
     d, alloc_df, sel = _mix_parts(
-        docs, budget, max_share, domain_col, tokens_col, id_col
+        docs, budget, max_share, domain_col, tokens_col, id_col,
+        bucket_width,
     )
     avail_df = d.groupBy(domain_col).agg(
         F.sum("n_tokens").cast("bigint").alias("avail_tokens")
