@@ -491,7 +491,9 @@ def scc_delete_update(
     max_phases: int = 64,
     max_bfs_rounds: int = 64,
     max_wcc_iter: int = 64,
-) -> DataFrame:
+    condensed: DataFrame | None = None,
+    return_condensed: bool = False,
+):
     """EXACT incremental maintenance of
     ``strongly_connected_components`` under edge REMOVALS — the
     delete-side twin ``scc_update``'s contract deferred to recompute,
@@ -518,10 +520,21 @@ def scc_delete_update(
     (test-pinned; the q277 oracle is the one-shot recursive-CTE SQL
     over the filtered edges).
 
-    A carried condensation (``scc_update``'s ``condensed``) is
-    invalidated by deletions; rebuild it with
-    ``scc_condense(remaining_edges, new_labels)`` when maintaining
-    one. Removed edges absent from the old graph are harmless."""
+    ``condensed`` / ``return_condensed``: the ``scc_update`` carried-
+    condensation contract extended across deletions, so the
+    Θ(condensation + change) steady state survives CDC batches. The
+    maintained condensation changes in exactly three places: (a) cond
+    edges incident to an AFFECTED SCC are recomputed edge-wise from
+    the affected region's remaining edges through the NEW labels
+    (splits re-route them); (b) a cond pair that lost one of its
+    supporting inter-SCC edges survives iff another remaining edge
+    still connects the same two SCCs — recomputed only for the
+    removed edges' OLD (su, sv) pairs, via the source SCCs' members;
+    (c) everything else copies through. ``return_condensed=True``
+    returns ``(labels, cond)`` with ``cond`` ≡
+    ``scc_condense(remaining_edges, new_labels)`` (test-pinned); when
+    ``condensed`` is None the condensation is rebuilt from scratch.
+    Removed edges absent from the old graph are harmless."""
     rem = (
         remaining_edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .distinct()
@@ -554,8 +567,82 @@ def scc_delete_update(
         .distinct()
         .join(present, "node", "left_anti")
     )
+    def _cond_out(new_labels, aff_df, aff_nodes_df):
+        """Maintained condensation (docstring (a)-(c)); ``aff_df`` /
+        ``aff_nodes_df`` may be None when no SCC split."""
+        if condensed is None:
+            return scc_condense(rem, new_labels, "u", "v")
+        # (b) removed inter-SCC edges' old pairs: alive iff another
+        # remaining edge still connects the same two (unaffected) SCCs
+        cand = (
+            rm.join(lab_u, "u")
+            .join(lab_v, "v")
+            .filter(F.col("su") != F.col("sv"))
+            .select("su", "sv")
+            .distinct()
+            .transform(fresh_local_checkpoint)
+        )
+        surv = condensed
+        if aff_df is not None:
+            cand = cand.join(
+                F.broadcast(aff_df).withColumnRenamed("scc", "su"),
+                "su", "left_anti",
+            ).join(
+                F.broadcast(aff_df).withColumnRenamed("scc", "sv"),
+                "sv", "left_anti",
+            )
+            surv = surv.join(
+                F.broadcast(aff_df).withColumnRenamed("scc", "cu"),
+                "cu", "left_anti",
+            ).join(
+                F.broadcast(aff_df).withColumnRenamed("scc", "cv"),
+                "cv", "left_anti",
+            )
+        surv = surv.join(
+            cand.select(
+                F.col("su").alias("cu"), F.col("sv").alias("cv")
+            ),
+            ["cu", "cv"],
+            "left_anti",
+        )
+        src_sccs = cand.select(F.col("su").alias("scc")).distinct()
+        mem_u = labels.join(
+            F.broadcast(src_sccs), "scc", "left_semi"
+        ).select(F.col("node").alias("u"), F.col("scc").alias("su"))
+        cand_alive = (
+            rem.join(mem_u, "u")
+            .join(lab_v, "v")
+            .select("su", "sv")
+            .join(cand, ["su", "sv"], "left_semi")
+            .distinct()
+            .select(F.col("su").alias("cu"), F.col("sv").alias("cv"))
+        )
+        parts = surv.unionByName(cand_alive)
+        if aff_nodes_df is not None:
+            # (a) affected region re-condensed through the NEW labels
+            region_e = (
+                rem.join(
+                    aff_nodes_df.withColumnRenamed("node", "u"),
+                    "u", "left_semi",
+                )
+                .unionByName(
+                    rem.join(
+                        aff_nodes_df.withColumnRenamed("node", "v"),
+                        "v", "left_semi",
+                    )
+                )
+                .distinct()
+            )
+            parts = parts.unionByName(
+                scc_condense(region_e, new_labels, "u", "v")
+            )
+        return parts.distinct()
+
     if aff.isEmpty():
-        return labels.join(gone, "node", "left_anti")
+        out = labels.join(gone, "node", "left_anti")
+        if not return_condensed:
+            return out
+        return out, _cond_out(out, None, None)
     aff_nodes = (
         labels.join(F.broadcast(aff), "scc", "left_semi")
         .select("node")
@@ -587,9 +674,13 @@ def scc_delete_update(
         .join(relab, "node", "left_anti")
         .withColumn("scc", F.col("node"))
     )
-    return (
+    out = (
         labels.join(aff_nodes, "node", "left_anti")
         .join(gone, "node", "left_anti")
         .unionByName(relab)
         .unionByName(singles)
     )
+    if not return_condensed:
+        return out
+    out = out.transform(fresh_local_checkpoint)
+    return out, _cond_out(out, aff, aff_nodes)

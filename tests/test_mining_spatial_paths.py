@@ -1319,3 +1319,78 @@ def test_streaming_scc_cdc_parity_replay_and_resurrect(spark, tmp_path):
         (r["node"], r["scc"])
         for r in read_table(spark, state + "/labels").collect()
     ) == got
+
+
+def test_scc_delete_update_maintained_condensation_parity(spark):
+    """scc_delete_update(condensed=..., return_condensed=True): the
+    carried condensation survives DELETE batches — splits re-route
+    affected cond edges through the new labels, a pair that lost one
+    supporting inter-SCC edge survives iff other support remains, and
+    the result equals scc_condense over the remaining edges. Also the
+    aff-empty path (inter-SCC removals only): memberships unchanged,
+    condensation still thins correctly."""
+    import random as _r
+
+    from etl_job_applify_spark.operators.scc import (
+        scc_condense,
+        scc_delete_update,
+        strongly_connected_components,
+    )
+
+    for seed in (17, 21):
+        rng = _r.Random(seed)
+        edges = sorted({
+            (rng.randint(1, 25), rng.randint(1, 25)) for _ in range(90)
+        })
+        edges = [(a, b) for a, b in edges if a != b]
+        rm = [e for e in edges if (2 * e[0] + e[1]) % 4 == 0]
+        remain = [e for e in edges if (2 * e[0] + e[1]) % 4 != 0]
+        old_df = spark.createDataFrame(edges, "src long, dst long")
+        labels = strongly_connected_components(old_df)
+        cond0 = scc_condense(old_df, labels)
+        rem_df = spark.createDataFrame(remain, "src long, dst long")
+        lab2, cond2 = scc_delete_update(
+            rem_df,
+            spark.createDataFrame(rm, "src long, dst long"),
+            labels, condensed=cond0, return_condensed=True,
+        )
+        want_lab = strongly_connected_components(rem_df)
+        assert sorted(
+            (r["node"], r["scc"]) for r in lab2.collect()
+        ) == sorted((r["node"], r["scc"]) for r in want_lab.collect())
+        assert sorted(
+            (r["cu"], r["cv"]) for r in cond2.collect()
+        ) == sorted(
+            (r["cu"], r["cv"])
+            for r in scc_condense(rem_df, want_lab, "src", "dst").collect()
+        )
+
+    # inter-SCC-only removal: 1↔2 is an SCC, two parallel routes to 3;
+    # removing ONE of them keeps the cond edge, removing the other
+    # drops it — memberships never change (aff-empty path)
+    e0 = [(1, 2), (2, 1), (1, 3), (2, 3), (3, 4)]
+    df0 = spark.createDataFrame(e0, "src long, dst long")
+    lab = strongly_connected_components(df0)
+    cond = scc_condense(df0, lab)
+    rem1 = spark.createDataFrame(
+        [(1, 2), (2, 1), (2, 3), (3, 4)], "src long, dst long"
+    )
+    lab1, cond1 = scc_delete_update(
+        rem1, spark.createDataFrame([(1, 3)], "src long, dst long"),
+        lab, condensed=cond, return_condensed=True,
+    )
+    assert sorted((r["cu"], r["cv"]) for r in cond1.collect()) == [
+        (1, 3), (3, 4)
+    ]  # other support keeps the pair
+    rem2 = spark.createDataFrame([(1, 2), (2, 1), (3, 4)],
+                                 "src long, dst long")
+    lab2b, cond2b = scc_delete_update(
+        rem2, spark.createDataFrame([(2, 3)], "src long, dst long"),
+        lab1, condensed=cond1, return_condensed=True,
+    )
+    assert sorted((r["cu"], r["cv"]) for r in cond2b.collect()) == [
+        (3, 4)
+    ]  # last support gone -> pair dropped; memberships unchanged
+    assert sorted(
+        (r["node"], r["scc"]) for r in lab2b.collect()
+    ) == sorted((r["node"], r["scc"]) for r in lab1.collect())
