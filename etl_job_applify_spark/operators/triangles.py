@@ -78,137 +78,151 @@ def triangle_stats(
       wedges (per-key fanout ≤ O(√|E|) regardless of hubs) and probe
       the closing-edge set. Hub-robust without capping; pays one row
       per wedge.
+
+    Materialization discipline (round-15 measurement, guide §1/§2.4):
+    every relation consumed by more than one subtree is
+    ``localCheckpoint``-ed ONCE — ``pairs`` (feeds deg, orientation,
+    and the edge scalar), ``deg`` (two orientation hints + the
+    wedge/edge aggregate), ``e`` (closing + adjacency), ``adj`` (both
+    closing-join sides). A lazy ``persist`` here let the broadcast
+    subtrees race on uncached partitions and the post-exchange
+    aggregates re-run per consumer — the duplicated work was 2-3x the
+    kernel's real cost on the bench profile. The three result scalars
+    (triangles, edges, wedges) ride ONE action: the triangle aggregate
+    crossJoins the degree aggregate (n_edges = Σd div 2 — exact, the
+    endpoint-sum identity on a deduplicated self-loop-free list), so
+    the kernel runs a fixed five jobs with zero re-derived subtrees.
     """
-    pairs = pairs.persist()
-    try:
-        deg = (
-            pairs.select(F.col("a").alias("v"))
-            .unionAll(pairs.select(F.col("b").alias("v")))
-            .groupBy("v")
-            .agg(F.count("*").alias("d"))
+    pairs = pairs.localCheckpoint()
+    deg = (
+        pairs.select(F.col("a").alias("v"))
+        .unionAll(pairs.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count("*").alias("d"))
+        .localCheckpoint()
+    )
+    # every hint in this kernel rides the one broadcast-budget knob:
+    # deg/keep are O(|V|) rows, within budget whenever the closing
+    # edge set (O(|E|)) is — and when the caller says the graph is
+    # past budget, no hint is emitted and AQE decides from runtime
+    # sizes instead.
+    _hint = F.broadcast if broadcast_closing else (lambda df: df)
+    n_capped = 0
+    if max_degree is not None:
+        keep = deg.filter(F.col("d") <= max_degree)
+        n_capped = deg.count() - keep.count()
+        if n_capped:
+            pairs = (
+                pairs.join(
+                    _hint(keep.select(F.col("v").alias("a"))), "a",
+                    "left_semi",
+                )
+                .join(
+                    _hint(keep.select(F.col("v").alias("b"))), "b",
+                    "left_semi",
+                )
+                .localCheckpoint()
+            )
+            deg = (
+                pairs.select(F.col("a").alias("v"))
+                .unionAll(pairs.select(F.col("b").alias("v")))
+                .groupBy("v")
+                .agg(F.count("*").alias("d"))
+                .localCheckpoint()
+            )
+    e = (
+        pairs.join(
+            _hint(
+                deg.withColumnRenamed("v", "a").withColumnRenamed("d", "da")
+            ),
+            "a",
         )
-        # every hint in this kernel rides the one broadcast-budget knob:
-        # deg/keep are O(|V|) rows, within budget whenever the closing
-        # edge set (O(|E|)) is — and when the caller says the graph is
-        # past budget, no hint is emitted and AQE decides from runtime
-        # sizes instead.
-        _hint = F.broadcast if broadcast_closing else (lambda df: df)
-        n_capped = 0
-        if max_degree is not None:
-            keep = deg.filter(F.col("d") <= max_degree)
-            n_capped = deg.count() - keep.count()
-            if n_capped:
-                capped = (
-                    pairs.join(
-                        _hint(keep.select(F.col("v").alias("a"))), "a",
-                        "left_semi",
-                    )
-                    .join(
-                        _hint(keep.select(F.col("v").alias("b"))), "b",
-                        "left_semi",
-                    )
-                    .persist()
-                )
-                pairs.unpersist()
-                pairs = capped
-                deg = (
-                    pairs.select(F.col("a").alias("v"))
-                    .unionAll(pairs.select(F.col("b").alias("v")))
-                    .groupBy("v")
-                    .agg(F.count("*").alias("d"))
-                )
-        e = (
-            pairs.join(
+        .join(
+            _hint(
+                deg.withColumnRenamed("v", "b").withColumnRenamed("d", "db")
+            ),
+            "b",
+        )
+        .select(
+            F.when(
+                (F.col("da") < F.col("db"))
+                | ((F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))),
+                F.struct(F.col("a").alias("src"), F.col("b").alias("dst")),
+            )
+            .otherwise(
+                F.struct(F.col("b").alias("src"), F.col("a").alias("dst"))
+            )
+            .alias("e")
+        )
+        .select("e.src", "e.dst")
+        .localCheckpoint()
+    )
+    closing = e.select(
+        F.least("src", "dst").alias("u"),
+        F.greatest("src", "dst").alias("w"),
+    )
+    if method == "intersect":
+        # closing (u, w) is a triangle with every common
+        # IN-neighbor x (x→u and x→w): one adjacency build,
+        # two |E|-row joins, the per-edge intersection a tight
+        # sorted-array loop — no wedge rows ever materialize
+        adj = e.groupBy("dst").agg(
+            F.sort_array(F.collect_list("src")).alias("nin")
+        ).localCheckpoint()
+        # adj is O(|E|) payload like the closing set, so it rides the
+        # same broadcast-budget knob: hinted, the closing joins are
+        # map-side over the e checkpoint (no exchange of closing)
+        tri_agg = (
+            closing.join(
                 _hint(
-                    deg.withColumnRenamed("v", "a").withColumnRenamed("d", "da")
+                    adj.select(
+                        F.col("dst").alias("u"), F.col("nin").alias("nu")
+                    )
                 ),
-                "a",
+                "u",
             )
             .join(
                 _hint(
-                    deg.withColumnRenamed("v", "b").withColumnRenamed("d", "db")
+                    adj.select(
+                        F.col("dst").alias("w"), F.col("nin").alias("nw")
+                    )
                 ),
-                "b",
+                "w",
             )
-            .select(
-                F.when(
-                    (F.col("da") < F.col("db"))
-                    | ((F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))),
-                    F.struct(F.col("a").alias("src"), F.col("b").alias("dst")),
-                )
-                .otherwise(
-                    F.struct(F.col("b").alias("src"), F.col("a").alias("dst"))
-                )
-                .alias("e")
+            .agg(
+                F.sum(
+                    F.size(F.array_intersect("nu", "nw")).cast("bigint")
+                ).alias("__nt")
             )
-            .select("e.src", "e.dst")
-            .persist()
         )
-        try:
-            closing = e.select(
-                F.least("src", "dst").alias("u"),
-                F.greatest("src", "dst").alias("w"),
+    elif method == "wedge":
+        wedges = (
+            e.alias("e1")
+            .join(e.alias("e2"), F.col("e1.src") == F.col("e2.src"))
+            .filter(F.col("e1.dst") < F.col("e2.dst"))
+            # dst < dst already normalizes the wedge endpoints —
+            # (u, w) = (e1.dst, e2.dst), no least/greatest
+            .select(
+                F.col("e1.dst").alias("u"),
+                F.col("e2.dst").alias("w"),
             )
-            if method == "intersect":
-                # closing (u, w) is a triangle with every common
-                # IN-neighbor x (x→u and x→w): one adjacency build,
-                # two |E|-row joins, the per-edge intersection a tight
-                # sorted-array loop — no wedge rows ever materialize
-                adj = e.groupBy("dst").agg(
-                    F.sort_array(F.collect_list("src")).alias("nin")
-                )
-                n_tri = int(
-                    closing.join(
-                        adj.select(
-                            F.col("dst").alias("u"), F.col("nin").alias("nu")
-                        ),
-                        "u",
-                    )
-                    .join(
-                        adj.select(
-                            F.col("dst").alias("w"), F.col("nin").alias("nw")
-                        ),
-                        "w",
-                    )
-                    .agg(
-                        F.sum(
-                            F.size(F.array_intersect("nu", "nw")).cast(
-                                "bigint"
-                            )
-                        )
-                    )
-                    .first()[0]
-                    or 0
-                )
-            elif method == "wedge":
-                wedges = (
-                    e.alias("e1")
-                    .join(e.alias("e2"), F.col("e1.src") == F.col("e2.src"))
-                    .filter(F.col("e1.dst") < F.col("e2.dst"))
-                    # dst < dst already normalizes the wedge endpoints —
-                    # (u, w) = (e1.dst, e2.dst), no least/greatest
-                    .select(
-                        F.col("e1.dst").alias("u"),
-                        F.col("e2.dst").alias("w"),
-                    )
-                )
-                if broadcast_closing:
-                    closing = F.broadcast(closing)
-                n_tri = wedges.join(closing, ["u", "w"], "inner").count()
-            else:
-                raise ValueError(f"unknown method {method!r}")
-            n_edges = pairs.count()
-            n_wedges = int(
-                deg.agg(
-                    F.sum(F.expr("d * (d - 1) / 2")).cast("bigint")
-                ).first()[0]
-                or 0
-            )
-        finally:
-            e.unpersist()
-        return TriangleStats(n_edges, n_tri, n_wedges, n_capped)
-    finally:
-        pairs.unpersist()
+        )
+        tri_agg = wedges.join(
+            _hint(closing), ["u", "w"], "inner"
+        ).agg(F.count("*").alias("__nt"))
+    else:
+        raise ValueError(f"unknown method {method!r}")
+    # ONE action carries all three scalars: triangle count crossJoins
+    # the degree aggregate (1-row × 1-row — the q99 scalar-branch idiom)
+    scalars = deg.agg(
+        F.sum("d").cast("bigint").alias("__d2"),
+        F.sum(F.expr("d * (d - 1) / 2")).cast("bigint").alias("__nw"),
+    )
+    row = tri_agg.crossJoin(scalars).first()
+    n_tri = int(row["__nt"] or 0)
+    n_edges = int(row["__d2"] or 0) // 2
+    n_wedges = int(row["__nw"] or 0)
+    return TriangleStats(n_edges, n_tri, n_wedges, n_capped)
 
 
 class TriangleCounts(NamedTuple):
@@ -340,7 +354,7 @@ def triangle_delete_update(
     the triangles LOST are exactly the old graph's triangles
     containing >= 1 removed edge, which is the same freshness delta
     ``triangle_update`` computes when "inserting" the removed set into
-    the remaining graph — so the kernel stays the exact TWO Spark jobs
+    the remaining graph — so the kernel stays the exact THREE Spark jobs
     of the insertion path, frontier-restricted to the removed edges'
     endpoint neighborhoods. This closes the lifecycle gap the forget
     sweep opened: a forgotten document's co-occurrence edges leave the
@@ -385,7 +399,7 @@ def _flagged_delta(
     broadcast_frontier: bool,
     check=None,
 ):
-    """Shared two-job kernel behind ``triangle_update`` /
+    """Shared three-job kernel behind ``triangle_update`` /
     ``triangle_delete_update``: flag the edges of canonical ``allc``
     present in canonical ``newc``, and return ``(n_all, n_flagged,
     delta_tri, delta_wedges)`` where the deltas are the
@@ -394,9 +408,11 @@ def _flagged_delta(
     docstring). ``check(n_all, n_flagged)`` runs after job #1 so a
     contract violation aborts before the delta job."""
     # flag every live edge with freshness; ONE aggregate carries both
-    # contract scalars (the kernel runs exactly TWO Spark jobs total —
-    # at steady state the per-job floor, not the data, dominates a
-    # small batch's wall time)
+    # contract scalars (the kernel runs exactly THREE Spark jobs total:
+    # flag+contract agg, the bounded neighbor-array checkpoint, and the
+    # fused delta action — at steady state the per-job floor, not the
+    # data, dominates a small batch's wall time, so jobs stay fixed
+    # and no subtree is ever derived twice)
     flagged = allc.join(
         newc.withColumn("__f", F.lit(1)), ["a", "b"], "left"
     ).select(
@@ -430,7 +446,14 @@ def _flagged_delta(
         if method == "intersect":
             # one sorted old-/new-neighbor array pair per endpoint;
             # per new edge the three freshness buckets are four array
-            # intersections — no per-sighting rows ever shuffle
+            # intersections — no per-sighting rows ever shuffle.
+            # nbrs feeds THREE consumers (the per-edge join's a-side
+            # and b-side, and the wedge-delta aggregate): checkpoint
+            # it once — exchange reuse only shares the shuffle WRITE,
+            # the post-exchange collect_list+sort aggregation re-runs
+            # per consumer without the cut (measured 3x the batch
+            # neighborhood aggregation on the round-15 bench profile).
+            # Still Θ(batch neighborhood) state, one extra bounded job.
             nbrs = adj_e.groupBy("node").agg(
                 F.array_sort(
                     F.collect_list(F.when(F.col("f") == 0, F.col("x")))
@@ -438,7 +461,7 @@ def _flagged_delta(
                 F.array_sort(
                     F.collect_list(F.when(F.col("f") == 1, F.col("x")))
                 ).alias("n_new"),
-            )
+            ).localCheckpoint()
             per_edge = (
                 _hint(
                     _hint(new).join(
@@ -488,6 +511,9 @@ def _flagged_delta(
                 ).alias("dw")
             )
         elif method == "wedge":
+            # adj_e feeds three consumers on this path (both sighting
+            # sides + the wedge aggregate) — same cut as nbrs above
+            adj_e = adj_e.localCheckpoint()
             sightings = (
                 _hint(new).join(
                     adj_e.select(

@@ -1478,7 +1478,7 @@ ORACLE["q264_incremental_triangle_approx"] = _Q188_SQL
 # one-shot answer on the remaining edges: the oracles are q167's /
 # q193's SQL over the filtered edge set, so the gate proves
 # decremental ≡ one-shot bit-for-bit. Work per batch is the removed
-# edges' endpoint neighborhoods (triangles: the same two-job freshness
+# edges' endpoint neighborhoods (triangles: the same three-job freshness
 # delta as q258, roles swapped; k-core: the reverse peel cascade) —
 # never a recount of history.
 
