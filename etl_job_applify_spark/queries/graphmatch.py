@@ -813,15 +813,23 @@ def q197_coreness(spark: SparkSession, sf_dir: str) -> DataFrame:
         .count()  # every listed endpoint has degree >= 1
     }
     n_edges = edges.count()
+    # the degree relation is a pure function of the CURRENT edge set:
+    # it is checkpointed once and reused until the edges change — a
+    # converged threshold (the common case: higher k starts from an
+    # already-peeled core) costs one filter over the stored degrees,
+    # not a fresh union+aggregate over the full edge list (round-15
+    # guide §2.4: same relation, one exchange)
+    deg = None
     for k in range(2, KMAX + 1):
         size = None
         for _ in range(ROUNDS):
-            deg = (
-                edges.select(F.col("a").alias("v"))
-                .unionAll(edges.select(F.col("b").alias("v")))
-                .groupBy("v")
-                .agg(F.count("*").alias("d"))
-            )
+            if deg is None:
+                deg = (
+                    edges.select(F.col("a").alias("v"))
+                    .unionAll(edges.select(F.col("b").alias("v")))
+                    .groupBy("v")
+                    .agg(F.count("*").alias("d"))
+                ).localCheckpoint()
             keep = deg.filter(F.col("d") >= k).select("v").localCheckpoint()
             nxt = (
                 edges.join(
@@ -832,10 +840,11 @@ def q197_coreness(spark: SparkSession, sf_dir: str) -> DataFrame:
             # fixed point: peeling is monotone, so an unchanged edge
             # count means an unchanged edge SET and every remaining
             # round is a no-op — skipping them returns the identical
-            # result the full unroll (and the oracle) computes
+            # result the full unroll (and the oracle) computes; the
+            # stored degree relation stays valid for the next k
             if n_nxt == n_edges:
                 break
-            edges, n_edges = nxt, n_nxt
+            edges, n_edges, deg = nxt, n_nxt, None
         core_sizes[k] = size
     rows = [
         (k, core_sizes[k] - core_sizes[k + 1]) for k in range(1, KMAX)

@@ -179,6 +179,18 @@ def learn_bpe(
     )
     w = Window.partitionBy("wid").orderBy("pos")
     merges: list[tuple[int, str, str, int, int]] = []
+    # a round's corpus_tokens_after is Σf over the seq the NEXT round
+    # ranks on — so it rides the next round's head action (crossJoin of
+    # the ranked head with the 1-row total, the scalar-branch idiom)
+    # instead of a dedicated per-round aggregate job; only the final
+    # round pays a separate total action (round-15, guide §1.2: fewer
+    # driver actions per round, identical arithmetic).
+    pending: tuple[int, list[tuple[str, str, int]]] | None = None
+
+    def _flush(tokens_after: int) -> None:
+        pr, plist = pending  # type: ignore[misc]
+        merges.extend((pr, a, b, c, tokens_after) for a, b, c in plist)
+
     for r in range(1, rounds + 1):
         pairs = (
             seq.withColumn("nxt", F.lead("sym").over(w))
@@ -188,9 +200,21 @@ def learn_bpe(
         )
         # O(batch) driver rows: the round's ranked pair head (control
         # plane); 4x over-fetch leaves room for disjointness skips
-        head = pairs.orderBy(F.desc("cnt"), "sym", "nxt").limit(
+        head_q = pairs.orderBy(F.desc("cnt"), "sym", "nxt").limit(
             max(1, 4 * batch)
-        ).collect()
+        )
+        if pending is None:
+            head = head_q.collect()
+        else:
+            head = head_q.crossJoin(
+                seq.agg(F.sum("f").cast("bigint").alias("__tot"))
+            ).collect()
+            _flush(
+                int(head[0]["__tot"])
+                if head
+                else int(seq.agg(F.sum("f")).collect()[0][0])
+            )
+            pending = None
         if not head:
             break
         picked = _select_disjoint_pairs(
@@ -199,8 +223,9 @@ def learn_bpe(
         seq = bpe_merge_batch(
             seq, [(a, b) for a, b, _ in picked]
         ).transform(fresh_local_checkpoint)  # loop-carried: reset stats
-        tokens_after = int(seq.agg(F.sum("f")).collect()[0][0])
-        merges.extend((r, a, b, c, tokens_after) for a, b, c in picked)
+        pending = (r, picked)
+    if pending is not None:
+        _flush(int(seq.agg(F.sum("f")).collect()[0][0]))
     return merges, seq
 
 
