@@ -17,6 +17,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from etl_job_applify_spark import queries as registry
 from etl_job_applify_spark.session import get_spark_session
+from etl_job_applify_spark.sources.local import local_relation
 
 #: headline set: one per operator family (scan/agg, multiway join, window,
 #: top-k, JSON, fuzzy dedup, ANN, text, temporal windows, sessionization;
@@ -139,7 +140,7 @@ def _build_serve_indexes(spark, sf_dir: str, idx_root: str):
     anchor_ids = [qid for qid, _ in _Q190_QUERIES]
 
     def q194_serve(spark_, _sf_dir):
-        qterms = spark_.createDataFrame(qterms_rows, "qid int, word string")
+        qterms = local_relation(spark_, qterms_rows, "qid int, word string")
         w = Window.partitionBy("qid").orderBy(
             F.desc("score"), F.asc("doc_id")
         )
@@ -152,7 +153,7 @@ def _build_serve_indexes(spark, sf_dir: str, idx_root: str):
 
     def q235_serve(spark_, sf_dir_):
         K_TOP, LEG_L = 10, 20
-        qterms = spark_.createDataFrame(qterms_rows, "qid int, word string")
+        qterms = local_relation(spark_, qterms_rows, "qid int, word string")
         anchors = tbl(spark_, sf_dir_, "embeddings").filter(
             F.col("vec_id").isin(anchor_ids)
         ).select(F.col("vec_id").alias("query_id"), "embedding")
@@ -200,7 +201,7 @@ def _build_serve_indexes(spark, sf_dir: str, idx_root: str):
 
     def q246_serve(spark_, sf_dir_):
         K_TOP, LEG_L = 10, 20
-        qterms = spark_.createDataFrame(qterms_rows, "qid int, word string")
+        qterms = local_relation(spark_, qterms_rows, "qid int, word string")
         anchors = tbl(spark_, sf_dir_, "embeddings").filter(
             F.col("vec_id").isin(anchor_ids)
         ).select(F.col("vec_id").alias("query_id"), "embedding")
@@ -305,7 +306,7 @@ def _build_incremental_state(spark, sf_dir: str):
 
     def tri_update(spark_, _sf_dir):
         got = triangle_update(pairs, batch, prior, assume_canonical=True)
-        return spark_.createDataFrame(
+        return local_relation(spark_, 
             [tuple(got)],
             "n_edges bigint, n_triangles bigint, n_wedges bigint",
         )
@@ -327,7 +328,7 @@ def _build_incremental_state(spark, sf_dir: str):
         got = triangle_delete_update(
             pairs, batch, prior_full, assume_canonical=True
         )
-        return spark_.createDataFrame(
+        return local_relation(spark_, 
             [tuple(got)],
             "n_edges bigint, n_triangles bigint, n_wedges bigint",
         )

@@ -36,6 +36,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..sources.local import local_relation
 from .minhash import minhash_signatures
 from .shingles import with_shingles
 
@@ -121,8 +122,8 @@ def minhash_index_delete(
     the index (validation would cost an index scan; unknown ids are
     harmless to the anti-join) but re-deletes are deduplicated."""
     if not isinstance(doc_ids, DataFrame):
-        doc_ids = spark.createDataFrame(
-            [(int(d),) for d in doc_ids], "doc bigint"
+        doc_ids = local_relation(
+            spark, [(int(d),) for d in doc_ids], "doc bigint"
         )
     ids = doc_ids.select(F.col("doc").cast("bigint").alias("doc")).distinct()
     if is_versioned_index(spark, index_path):

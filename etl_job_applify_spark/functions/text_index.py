@@ -55,6 +55,7 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..sources.local import local_relation
 from .retrieval import (
     bm25_score_join,
     phrase_hits,
@@ -279,11 +280,21 @@ def text_index_build(
         meta["n_docs"] += n_new
         meta["total_dl"] += dl_new
     else:
+        # record the read-back schemas at founding (the discipline
+        # optimize_text_index already applies): later probes read both
+        # subtrees with the explicit schema instead of paying a
+        # schema-inference job each per probe. ``written`` is the
+        # read-back relation the doclens derive from — its schema is
+        # free; doclens pays one tiny footer read here, once.
         meta = {
             "num_buckets": num_buckets,
             "n_docs": n_new,
             "total_dl": dl_new,
             "meta_cols": mcols,
+            "postings_schema": written.schema.jsonValue(),
+            "doclens_schema": spark.read.parquet(
+                os.path.join(index_path, "doclens")
+            ).schema.jsonValue(),
         }
     _write_meta(index_path, meta)
     return meta
@@ -297,7 +308,7 @@ def _term_buckets(
     Python-side reimplementation would silently rot if Spark's seed or
     variant ever changed)."""
     rows = (
-        spark.createDataFrame([(w,) for w in words], "word string")
+        local_relation(spark, [(w,) for w in words], "word string")
         .select(F.pmod(F.xxhash64("word"), F.lit(num_buckets)).alias("wb"))
         .distinct()
         .collect()
@@ -337,8 +348,8 @@ def text_index_delete(
     (``_tidx_delete``) — the counter fast path stays exact there, and
     compaction purges tombstoned rows with the ordinary fold."""
     if not isinstance(doc_ids, DataFrame):
-        doc_ids = spark.createDataFrame(
-            [(int(d),) for d in doc_ids], "doc bigint"
+        doc_ids = local_relation(
+            spark, [(int(d),) for d in doc_ids], "doc bigint"
         )
     ids = doc_ids.select(F.col("doc").cast("bigint").alias("doc")).distinct()
     if _tidx_is_versioned(spark, index_path):
@@ -493,13 +504,20 @@ def text_index_apply_cdc(
 
 
 def text_index_terms(
-    spark: SparkSession, index_path: str, words: Sequence[str]
+    spark: SparkSession,
+    index_path: str,
+    words: Sequence[str],
+    buckets: Sequence[int] | None = None,
 ) -> DataFrame:
     """Pushdown-filtered posting rows (word, doc, tf, positions) for
     ``words``: the scan prunes to the terms' wb partitions and pushes
     ``word IN (...)`` into the remaining row groups — at 100 TB each
     term costs one posting-list read, never an index scan. Tombstoned
-    documents (``text_index_delete``) are anti-joined out."""
+    documents (``text_index_delete``) are anti-joined out.
+
+    ``buckets``: the words' wb partition ids when the caller already
+    holds them (``_bm25_relations`` collects them fused with the term
+    list) — skips this function's own one-row bucket job."""
     words = sorted(set(words))
     if _tidx_is_versioned(spark, index_path):
         meta, posts, _, _ = _tidx_read(spark, index_path)
@@ -509,7 +527,10 @@ def text_index_terms(
         meta = _read_meta(index_path)
         posts = _read_flat(spark, index_path, "postings", meta)
         deletes = _read_deletes(spark, index_path)
-    buckets = _term_buckets(spark, words, meta["num_buckets"])
+    if buckets is None:
+        buckets = _term_buckets(spark, words, meta["num_buckets"])
+    else:
+        buckets = list(buckets)
     # the filter pushes through the versioned layout's per-snapshot
     # union, so wb pruning + the word IN pushdown apply inside every
     # snapshot scan
@@ -604,8 +625,23 @@ def _bm25_relations(
         meta = _read_meta(index_path)
         dls = _read_flat(spark, index_path, "doclens", meta)
         deletes = _read_deletes(spark, index_path)
-    words = [r["word"] for r in qterms.select("word").distinct().collect()]
-    posts = text_index_terms(spark, index_path, words)
+    # one fused control-plane job: the distinct term list AND its wb
+    # partition ids collect together (the wb expression is the same
+    # Spark xxhash64 the build used — _term_buckets' rot-resistance
+    # argument, without its second one-row job per probe)
+    wb_rows = (
+        qterms.select("word")
+        .distinct()
+        .withColumn(
+            "wb", F.pmod(F.xxhash64("word"), F.lit(meta["num_buckets"]))
+        )
+        .collect()
+    )
+    words = [r["word"] for r in wb_rows]
+    posts = text_index_terms(
+        spark, index_path, words,
+        buckets=sorted({int(r["wb"]) for r in wb_rows}),
+    )
     tf = posts.select("word", F.col("doc").alias("__doc"), "tf")
     # df counted from the scanned posting rows themselves: appends and
     # deletes keep it consistent with zero extra bookkeeping

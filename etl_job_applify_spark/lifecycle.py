@@ -38,6 +38,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from .sources.local import local_relation
+
 
 def _as_id_df(spark: SparkSession, ids, col: str) -> DataFrame:
     if isinstance(ids, DataFrame):
@@ -45,8 +47,8 @@ def _as_id_df(spark: SparkSession, ids, col: str) -> DataFrame:
         return ids.select(
             F.col(first).cast("bigint").alias(col)
         ).distinct()
-    return spark.createDataFrame(
-        [(int(i),) for i in ids], f"{col} bigint"
+    return local_relation(
+        spark, [(int(i),) for i in ids], f"{col} bigint"
     )
 
 

@@ -20,6 +20,8 @@ from typing import Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..sources.local import local_relation
+
 
 def _salt_col(cols: Sequence[str], k: int) -> Column:
     """Deterministic pseudo-random salt in [0, k) from non-key columns —
@@ -177,7 +179,7 @@ def profile_join_keys(df: DataFrame, cols: Sequence[str]) -> DataFrame:
                 float(top10) / float(head["n_rows"]),
             )
         )
-    return spark.createDataFrame(
+    return local_relation(spark, 
         rows,
         "key_col string, n_rows bigint, n_distinct bigint,"
         " top1_share double, top10_share double",

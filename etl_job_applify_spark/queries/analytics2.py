@@ -15,6 +15,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..sources.local import local_relation
+
 from ._util import DSUM, tbl
 
 
@@ -319,7 +321,7 @@ def q236_fact_scale_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).first()["c"]
     lo = [float("-inf")] + [float(c) for c in cuts]
     hi = [float(c) for c in cuts] + [float("inf")]
-    buckets = spark.createDataFrame(
+    buckets = local_relation(spark, 
         [(d + 1, lo[d], hi[d]) for d in range(10)],
         "decile int, lo double, hi double",
     )

@@ -39,6 +39,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..sources.local import local_relation
+
 from ._util import tbl
 from ..operators.iterate import fresh_local_checkpoint
 
@@ -583,7 +585,7 @@ def q167_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     pairs = _copurchase_pairs(spark, sf_dir)
     st = triangle_stats(pairs)  # operators/triangles.py — the kernel
-    out = spark.createDataFrame(
+    out = local_relation(spark, 
         [(st.n_edges, st.n_triangles, st.n_wedges)],
         "n_edges bigint, n_triangles bigint, n_wedges bigint",
     )
@@ -656,7 +658,7 @@ def q188_triangle_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     # — measured 5.2 s vs 4.9 s at sf0.1); the EXACT kernel (q167)
     # defaults to intersect, where unsampled wedge volume dominates
     st = approx_triangle_stats(pairs, p=0.5, method="wedge")
-    return spark.createDataFrame(
+    return local_relation(spark, 
         [(st.n_sampled_edges, st.n_triangles_sampled, st.n_triangles_est)],
         "n_sampled_edges bigint, n_triangles_sampled bigint,"
         " n_triangles_est bigint",
@@ -732,7 +734,7 @@ def q193_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
             .join(keep.withColumnRenamed("v", "b"), "b", "left_semi")
         ).transform(fresh_local_checkpoint)  # loop-carried: reset stats
         sizes.append(keep.count())
-    return spark.createDataFrame(
+    return local_relation(spark, 
         [(sizes[-1], edges.count(), bool(sizes[-2] == sizes[-1]))],
         "n_core_nodes bigint, n_core_edges bigint, converged boolean",
     )
@@ -849,7 +851,7 @@ def q197_coreness(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows = [
         (k, core_sizes[k] - core_sizes[k + 1]) for k in range(1, KMAX)
     ] + [(KMAX, core_sizes[KMAX])]  # top bucket: coreness >= KMAX
-    return spark.createDataFrame(rows, "core_k int, n_nodes bigint")
+    return local_relation(spark, rows, "core_k int, n_nodes bigint")
 
 
 def _coreness_sql() -> str:
@@ -1380,7 +1382,7 @@ def q258_incremental_triangles(
     st = triangle_stats(first)
     prior = TriangleCounts(st.n_edges, st.n_triangles, st.n_wedges)
     got = triangle_update(pairs, second, prior, assume_canonical=True)
-    out = spark.createDataFrame(
+    out = local_relation(spark, 
         [tuple(got)],
         "n_edges bigint, n_triangles bigint, n_wedges bigint",
     )
@@ -1421,7 +1423,7 @@ def q259_incremental_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     core_edges = pairs.join(
         members.withColumnRenamed("node", "a"), "a", "left_semi"
     ).join(members.withColumnRenamed("node", "b"), "b", "left_semi")
-    return spark.createDataFrame(
+    return local_relation(spark, 
         [(members.count(), core_edges.count(), True)],
         "n_core_nodes bigint, n_core_edges bigint, converged boolean",
     )
@@ -1459,7 +1461,7 @@ def q264_incremental_triangle_approx(
     st = triangle_stats(first, method="wedge")
     prior = TriangleCounts(st.n_edges, st.n_triangles, st.n_wedges)
     got = triangle_update(sampled, second, prior, assume_canonical=True)
-    return spark.createDataFrame(
+    return local_relation(spark, 
         [(got.n_edges, got.n_triangles, int(round(got.n_triangles * 8)))],
         "n_sampled_edges bigint, n_triangles_sampled bigint,"
         " n_triangles_est bigint",
@@ -1510,7 +1512,7 @@ def q274_triangle_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     got = triangle_delete_update(
         pairs, removed, prior, assume_canonical=True
     )
-    out = spark.createDataFrame(
+    out = local_relation(spark, 
         [tuple(got)],
         "n_edges bigint, n_triangles bigint, n_wedges bigint",
     )
@@ -1576,7 +1578,7 @@ def q275_kcore_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     core_edges = remaining.join(
         members.withColumnRenamed("node", "a"), "a", "left_semi"
     ).join(members.withColumnRenamed("node", "b"), "b", "left_semi")
-    return spark.createDataFrame(
+    return local_relation(spark, 
         [(members.count(), core_edges.count(), True)],
         "n_core_nodes bigint, n_core_edges bigint, converged boolean",
     )

@@ -27,6 +27,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..sources.local import local_relation
+
 from ._util import tbl
 from .graphmatch import _copurchase_pairs
 from ..operators.paths import bfs_hops, deterministic_walks, undirect
@@ -191,7 +193,7 @@ def q223_resumable_lpa(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema = out.schema
     finally:
         shutil.rmtree(path, ignore_errors=True)
-    return spark.createDataFrame(rows, schema)
+    return local_relation(spark, rows, schema)
 
 
 QUERIES = {

@@ -12,6 +12,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..sources.local import local_relation
+
 from ._util import tbl
 
 QUERIES: dict = {}
@@ -89,7 +91,7 @@ def q267_forget_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             raise AssertionError(f"forget sweep not idempotent: {sweep2}")
 
         # --- served probes: no family may surface a doomed id -------
-        qterms = spark.createDataFrame(
+        qterms = local_relation(spark, 
             [(qid, w) for qid, ws in _Q190_QUERIES for w in ws],
             "qid int, word string",
         )
@@ -154,7 +156,7 @@ def q267_forget_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         ):
             raise AssertionError("compaction left tombstones pending")
 
-        return spark.createDataFrame(
+        return local_relation(spark, 
             [(
                 sweep1["text"], sweep1["dedup"], sweep1["vector"],
                 sweep2["text"], sweep2["dedup"], sweep2["vector"],
@@ -409,7 +411,7 @@ def q278_cdc_one_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
         deleted = v0.join(v1, "doc_id", "left_anti").select(
             F.col("doc_id").alias("doc")
         )
-        qterms = spark.createDataFrame(
+        qterms = local_relation(spark, 
             [(1, "alpha"), (1, "beta"), (2, "common")],
             "qid int, word string",
         ).union(
@@ -425,7 +427,7 @@ def q278_cdc_one_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
             deleted, scored["doc_id"] == deleted["doc"], "left_semi"
         ).count()
 
-        return spark.createDataFrame(
+        return local_relation(spark, 
             [(
                 n_adds, n_deletes,
                 int(text_index_stats(spark, tp)["n_docs"]),

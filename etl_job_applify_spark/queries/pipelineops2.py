@@ -1158,9 +1158,13 @@ def q281_mixture_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = tbl(spark, sf_dir, "documents")
+    # narrow BEFORE the checkpoint: packing and the per-sequence report
+    # consume only (doc_id, lang, n_tokens) — checkpointing the text
+    # payload would materialize it for nothing, and the projection lets
+    # the select's doc join-back prune the text column from its scan
     sel = domain_mix_select(
         docs, budget=_Q262_BUDGET, max_share=_Q262_SHARE
-    ).localCheckpoint()
+    ).select("doc_id", "lang", "n_tokens").localCheckpoint()
     spans = pack_sequences(
         sel, capacity=_Q254_CAP, tokens_col="n_tokens"
     )

@@ -15,6 +15,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..sources.local import local_relation
+
 from ._util import DAVG, DSUM, davg, dsum, tbl
 from ..operators import range_join, top_k_per_group
 from ..sinks.upsert import upsert
@@ -247,7 +249,7 @@ WHERE NOT EXISTS (SELECT 1 FROM orders
 
 def q08_range_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = tbl(spark, sf_dir, "part")
-    bands = spark.createDataFrame(
+    bands = local_relation(spark, 
         [("economy", 900.0, 930.0), ("standard", 930.0, 960.0),
          ("premium", 960.0, 990.0), ("luxury", 990.0, 1100.0)],
         "band string, lo double, hi double",

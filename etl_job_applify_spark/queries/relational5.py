@@ -25,6 +25,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..sources.local import local_relation
+
 from ._util import DSUM, dsum, tbl
 
 
@@ -556,7 +558,7 @@ def q185_restore_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema = agg.schema
     finally:
         shutil.rmtree(path, ignore_errors=True)
-    return spark.createDataFrame(rows, schema)
+    return local_relation(spark, rows, schema)
 
 
 _Q185_SQL = f"""

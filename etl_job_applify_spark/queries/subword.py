@@ -48,6 +48,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..sources.local import local_relation
+
 from ._util import tbl
 from ..transform.subword import bpe_merge_round as _merge_round  # noqa: F401 (kernel home: transform/subword.py)
 
@@ -70,7 +72,7 @@ def _learn_merges(
 
 def q203_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     merges, _ = _learn_merges(spark, sf_dir)
-    return spark.createDataFrame(
+    return local_relation(spark, 
         merges,
         "merge_round int, s1 string, s2 string, pair_count bigint,"
         " corpus_tokens_after bigint",

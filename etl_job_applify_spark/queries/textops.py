@@ -11,6 +11,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..sources.local import local_relation
+
 from ._util import tbl
 from ..functions.text import (
     STOPWORDS,
@@ -264,7 +266,7 @@ def q190_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.retrieval import bm25_scores
 
     docs = tbl(spark, sf_dir, "documents")
-    qterms = spark.createDataFrame(
+    qterms = local_relation(spark, 
         [(qid, w) for qid, ws in _Q190_QUERIES for w in ws], "qid int, word string"
     )
     scored = bm25_scores(docs, qterms)  # functions/retrieval.py kernel
@@ -455,7 +457,7 @@ def _with_temp_text_index(spark, builds, probe):
         schema = out.schema
     finally:
         shutil.rmtree(path, ignore_errors=True)
-    return spark.createDataFrame(rows, schema)
+    return local_relation(spark, rows, schema)
 
 
 def q194_bm25_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -464,7 +466,7 @@ def q194_bm25_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.text_index import text_index_bm25, text_index_build
 
     docs = tbl(spark, sf_dir, "documents").select("doc_id", "text")
-    qterms = spark.createDataFrame(
+    qterms = local_relation(spark, 
         [(qid, w) for qid, ws in _Q190_QUERIES for w in ws],
         "qid int, word string",
     )
@@ -496,7 +498,7 @@ def q220_pruned_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.text_index import text_index_bm25_topk, text_index_build
 
     docs = tbl(spark, sf_dir, "documents").select("doc_id", "text")
-    qterms = spark.createDataFrame(
+    qterms = local_relation(spark, 
         [(qid, w) for qid, ws in _Q190_QUERIES for w in ws],
         "qid int, word string",
     )
@@ -531,7 +533,7 @@ def q224_bm25_index_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     docs = tbl(spark, sf_dir, "documents").select("doc_id", "text")
-    qterms = spark.createDataFrame(
+    qterms = local_relation(spark, 
         [(qid, w) for qid, ws in _Q190_QUERIES for w in ws],
         "qid int, word string",
     )
@@ -595,7 +597,7 @@ def q225_versioned_index_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     docs = tbl(spark, sf_dir, "documents").select("doc_id", "text")
-    qterms = spark.createDataFrame(
+    qterms = local_relation(spark, 
         [(qid, w) for qid, ws in _Q190_QUERIES for w in ws],
         "qid int, word string",
     )
@@ -686,7 +688,7 @@ def q196_bm25_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = tbl(spark, sf_dir, "documents").select("doc_id", "text")
     history = docs.filter(F.col("doc_id") % 10 != 0)
     batch = docs.filter(F.col("doc_id") % 10 == 0)
-    qterms = spark.createDataFrame(
+    qterms = local_relation(spark, 
         [(qid, w) for qid, ws in _Q196_QUERIES for w in ws],
         "qid int, word string",
     )
@@ -730,7 +732,7 @@ def q199_bm25_versioned_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = tbl(spark, sf_dir, "documents").select("doc_id", "text")
     history = docs.filter(F.col("doc_id") % 10 != 0)
     batch = docs.filter(F.col("doc_id") % 10 == 0)
-    qterms = spark.createDataFrame(
+    qterms = local_relation(spark, 
         [(qid, w) for qid, ws in _Q196_QUERIES for w in ws],
         "qid int, word string",
     )
@@ -839,7 +841,7 @@ def q200_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     K_TOP, LEG_L = 10, 20
     docs = tbl(spark, sf_dir, "documents")
     emb = tbl(spark, sf_dir, "embeddings")
-    qterms = spark.createDataFrame(
+    qterms = local_relation(spark, 
         [(qid, w) for qid, ws in _Q190_QUERIES for w in ws],
         "qid int, word string",
     )
@@ -984,7 +986,7 @@ def q230_bm25_log_idf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.retrieval import bm25_scores
 
     docs = tbl(spark, sf_dir, "documents")
-    qterms = spark.createDataFrame(
+    qterms = local_relation(spark, 
         [(qid, w) for qid, ws in _Q190_QUERIES for w in ws],
         "qid int, word string",
     )
@@ -1013,7 +1015,7 @@ def q231_log_idf_pruned_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.text_index import text_index_bm25_topk, text_index_build
 
     docs = tbl(spark, sf_dir, "documents").select("doc_id", "text")
-    qterms = spark.createDataFrame(
+    qterms = local_relation(spark, 
         [(qid, w) for qid, ws in _Q190_QUERIES for w in ws],
         "qid int, word string",
     )
@@ -1070,7 +1072,7 @@ def q241_text_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         if not ok:
             raise AssertionError(f"stats invariants failed: {st}")
-        return spark.createDataFrame(
+        return local_relation(spark, 
             [(
                 st["n_docs"], st["total_dl"], st["n_postings"],
                 st["n_terms"], st["max_df"],
@@ -1134,7 +1136,7 @@ def q243_bm25_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = tbl(spark, sf_dir, "documents").select("doc_id", "text", lang)
     gen1 = docs.filter(F.col("doc_id") % 10 != 0)
     gen2 = docs.filter(F.col("doc_id") % 10 == 0)
-    qterms = spark.createDataFrame(
+    qterms = local_relation(spark, 
         [(qid, w) for qid, ws in _Q190_QUERIES for w in ws],
         "qid int, word string",
     )
@@ -1238,7 +1240,7 @@ def q248_bm25_facet_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") % 3 + 1).cast("int"),
     ).alias("lang")
     docs = tbl(spark, sf_dir, "documents").select("doc_id", "text", lang)
-    qterms = spark.createDataFrame(
+    qterms = local_relation(spark, 
         [(qid, w) for qid, ws in _Q190_QUERIES for w in ws],
         "qid int, word string",
     )
@@ -1393,7 +1395,7 @@ def q256_ir_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.retrieval import bm25_scores
 
     docs = tbl(spark, sf_dir, "documents")
-    qterms = spark.createDataFrame(
+    qterms = local_relation(spark, 
         [(qid, w) for qid, ws in _Q190_QUERIES for w in ws],
         "qid int, word string",
     )

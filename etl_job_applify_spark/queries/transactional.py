@@ -24,6 +24,8 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..sources.local import local_relation
+
 from ..sinks import merge_into, read_table
 from ._util import DSUM, dsum, tbl
 
@@ -70,7 +72,7 @@ def q139_merge_transactional(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows = agg.collect()
     schema = agg.schema
     shutil.rmtree(path, ignore_errors=True)
-    return spark.createDataFrame(rows, schema)
+    return local_relation(spark, rows, schema)
 
 
 _Q139_SQL = f"""
@@ -141,7 +143,7 @@ def q144_skipping_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema = agg.schema
     finally:
         shutil.rmtree(path, ignore_errors=True)
-    return spark.createDataFrame(rows, schema)
+    return local_relation(spark, rows, schema)
 
 
 _Q144_SQL = f"""
@@ -212,7 +214,7 @@ def q145_cow_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema = agg.schema
     finally:
         shutil.rmtree(path, ignore_errors=True)
-    return spark.createDataFrame(rows, schema)
+    return local_relation(spark, rows, schema)
 
 
 _Q145_SQL = f"""
@@ -275,7 +277,7 @@ def q150_table_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema = agg.schema
     finally:
         shutil.rmtree(path, ignore_errors=True)
-    return spark.createDataFrame(rows, schema)
+    return local_relation(spark, rows, schema)
 
 
 _Q150_SQL = f"""
@@ -363,7 +365,7 @@ def q151_incremental_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema = out.schema
     finally:
         shutil.rmtree(path, ignore_errors=True)
-    return spark.createDataFrame(rows, schema)
+    return local_relation(spark, rows, schema)
 
 
 _Q151_SQL = """
@@ -442,7 +444,7 @@ def q170_bloom_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema = agg.schema
     finally:
         shutil.rmtree(path, ignore_errors=True)
-    return spark.createDataFrame(rows, schema)
+    return local_relation(spark, rows, schema)
 
 
 _Q170_SQL = f"""

@@ -26,6 +26,8 @@ import numpy as np
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..sources.local import local_relation
+
 from ._util import tbl
 from .analytics import _cos_sql
 from ..similarity import (
@@ -50,7 +52,7 @@ def _with_temp_index(spark, builds, probe):
         schema = out.schema
     finally:
         shutil.rmtree(os.path.dirname(path), ignore_errors=True)
-    return spark.createDataFrame(rows, schema)
+    return local_relation(spark, rows, schema)
 
 
 def _assert_same(a: DataFrame, b_rows, what: str) -> None:
@@ -929,7 +931,7 @@ def q235_hybrid_rrf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     K_TOP, LEG_L = 10, 20
     docs = tbl(spark, sf_dir, "documents").select("doc_id", "text")
     emb = tbl(spark, sf_dir, "embeddings")
-    qterms = spark.createDataFrame(
+    qterms = local_relation(spark, 
         [(qid, w) for qid, ws in _Q190_QUERIES for w in ws],
         "qid int, word string",
     )
@@ -978,7 +980,7 @@ def q235_hybrid_rrf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema = out.schema
     finally:
         shutil.rmtree(tdir, ignore_errors=True)
-    return spark.createDataFrame(rows, schema)
+    return local_relation(spark, rows, schema)
 
 
 # --- q246: FACETED hybrid RRF served from BOTH persisted indexes ----------
@@ -1014,7 +1016,7 @@ def q246_hybrid_rrf_faceted(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = tbl(spark, sf_dir, "embeddings").select(
         "vec_id", "embedding", _lang("vec_id")
     )
-    qterms = spark.createDataFrame(
+    qterms = local_relation(spark, 
         [(qid, w) for qid, ws in _Q190_QUERIES for w in ws],
         "qid int, word string",
     )
@@ -1066,7 +1068,7 @@ def q246_hybrid_rrf_faceted(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema = out.schema
     finally:
         shutil.rmtree(tdir, ignore_errors=True)
-    return spark.createDataFrame(rows, schema)
+    return local_relation(spark, rows, schema)
 
 
 _Q246_SQL = """

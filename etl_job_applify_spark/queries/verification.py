@@ -21,6 +21,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..sources.local import local_relation
+
 from ._util import tbl
 from ..dedup import minhash_lsh_pairs, ngram_jaccard_pairs, simhash_near_pairs
 from ..similarity import (
@@ -143,7 +145,7 @@ def q142_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema = row.schema
     finally:
         shutil.rmtree(path, ignore_errors=True)
-    return spark.createDataFrame(rows, schema)
+    return local_relation(spark, rows, schema)
 
 
 # --- q198: the q142 lifecycle on the VERSIONED index layout --------------
@@ -198,7 +200,7 @@ def q198_versioned_index_dedup(
         schema = row.schema
     finally:
         shutil.rmtree(os.path.dirname(path), ignore_errors=True)
-    return spark.createDataFrame(rows, schema)
+    return local_relation(spark, rows, schema)
 
 
 _Q142_SQL = _jaccard_count_sql(
@@ -254,7 +256,7 @@ def q242_dedup_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             and st["max_bucket"] >= 1
             and st["data_files"] >= 1
         )
-        out = spark.createDataFrame(
+        out = local_relation(spark, 
             [(st["n_docs"], st["n_entries"], st["bands"], bool(ok))],
             "n_docs bigint, n_entries bigint, bands int,"
             " invariants_ok boolean",
@@ -265,7 +267,7 @@ def q242_dedup_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema = out.schema
     finally:
         shutil.rmtree(os.path.dirname(path), ignore_errors=True)
-    return spark.createDataFrame(rows, schema)
+    return local_relation(spark, rows, schema)
 
 
 _Q242_SQL = """
@@ -494,7 +496,7 @@ def q189_triangle_approx_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         abs(ap.n_triangles_est - ex.n_triangles)
         <= 0.1 * max(ex.n_triangles, 1)
     )
-    return spark.createDataFrame(
+    return local_relation(spark, 
         [(ex.n_triangles, ap.n_triangles_est, bool(err_ok))],
         "n_exact bigint, n_est bigint, err_ok boolean",
     )
@@ -713,7 +715,7 @@ def q273_dedup_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema = row.schema
     finally:
         shutil.rmtree(os.path.dirname(path), ignore_errors=True)
-    return spark.createDataFrame(rows, schema)
+    return local_relation(spark, rows, schema)
 
 
 _Q273_SQL = _jaccard_count_sql(

@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.vectors import cosine_expr, with_norm
+from ..sources.local import local_relation
 
 
 def _centroid_dists_sql(vec_col: str, centroids: np.ndarray) -> str:
@@ -186,7 +187,8 @@ def build_ivf_index(
     ``vector_index_build`` / ``vector_index_probe``."""
     centroids = train_centroids(corpus, vec_col, num_cells, seed)
     spark = corpus.sparkSession
-    spark.createDataFrame(
+    local_relation(
+        spark,
         [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
         "cell int, centroid array<double>",
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")

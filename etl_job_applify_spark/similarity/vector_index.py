@@ -80,6 +80,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.vectors import cosine_expr, with_norm
+from ..sources.local import local_relation
 from .ivf import _centroid_assign_expr, _centroid_dists_sql, train_centroids
 from .pq import (
     _adc_lut_expr,
@@ -132,11 +133,13 @@ def _centroids_df(
     whole quantizer travels as one artifact through compaction/reindex
     (the quantizer_src copy-forward moves it verbatim)."""
     if offsets is None:
-        return spark.createDataFrame(
+        return local_relation(
+            spark,
             [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
             "cell int, centroid array<double>",
         ).coalesce(1)
-    return spark.createDataFrame(
+    return local_relation(
+        spark,
         [
             (i, [float(x) for x in c], [float(x) for x in o])
             for i, (c, o) in enumerate(zip(centroids, offsets))
@@ -147,7 +150,8 @@ def _centroids_df(
 
 def _codebooks_df(spark: SparkSession, codebooks: np.ndarray) -> DataFrame:
     m, k, _ = codebooks.shape
-    return spark.createDataFrame(
+    return local_relation(
+        spark,
         [
             (j, c, [float(x) for x in codebooks[j, c]])
             for j in range(m)
@@ -157,13 +161,43 @@ def _codebooks_df(spark: SparkSession, codebooks: np.ndarray) -> DataFrame:
     ).coalesce(1)
 
 
+def _local_small_rows(path: str) -> list[dict] | None:
+    """Driver-side pyarrow read of a tiny control-plane parquet subtree
+    (quantizer/codebooks: O(num_cells + m*k) rows by construction,
+    written ``coalesce(1)``). Returns plain row dicts, or None when the
+    path is non-local/unreadable — callers fall back to the Spark read,
+    the only path object stores can take. Motivation (guide §1.2 "don't
+    compute things you throw away" at the job level): the Spark read of
+    one of these artifacts costs a schema-inference job plus a collect
+    job per PROBE, pure scheduler latency for a relation that is
+    driver-destined control-plane data anyway."""
+    from ..sinks.stats import _local_path
+
+    p = _local_path(path)
+    if p is None or not os.path.exists(p):
+        return None
+    try:
+        import pyarrow.parquet as pq
+
+        # directory reads skip '_'/'.' prefixed files (_SUCCESS) by
+        # default, matching what the Spark scan would select
+        return pq.read_table(p).to_pylist()
+    except Exception:
+        return None
+
+
 def _load_quantizer(
     spark: SparkSession, path: str
 ) -> tuple[np.ndarray, np.ndarray | None]:
     """(centroids, residual offsets | None) from a centroids subtree."""
-    df = spark.read.parquet(path)
-    has_off = "offset" in df.columns
-    rows = df.orderBy("cell").collect()
+    local = _local_small_rows(path)
+    if local:
+        rows = sorted(local, key=lambda r: r["cell"])
+        has_off = "offset" in rows[0]
+    else:
+        df = spark.read.parquet(path)
+        has_off = "offset" in df.columns
+        rows = df.orderBy("cell").collect()
     cents = np.array([r["centroid"] for r in rows])
     offs = np.array([r["offset"] for r in rows]) if has_off else None
     return cents, offs
@@ -174,7 +208,11 @@ def _load_centroids(spark: SparkSession, path: str) -> np.ndarray:
 
 
 def _load_codebooks(spark: SparkSession, path: str) -> np.ndarray:
-    rows = spark.read.parquet(path).orderBy("j", "c").collect()
+    local = _local_small_rows(path)
+    if local:
+        rows = sorted(local, key=lambda r: (r["j"], r["c"]))
+    else:
+        rows = spark.read.parquet(path).orderBy("j", "c").collect()
     m = 1 + max(r["j"] for r in rows)
     k = 1 + max(r["c"] for r in rows)
     d_sub = len(rows[0]["code"])
@@ -266,8 +304,8 @@ def _index_data_files(index_path: str) -> list[str]:
 
 def _as_ids(spark: SparkSession, vec_ids) -> DataFrame:
     if not isinstance(vec_ids, DataFrame):
-        vec_ids = spark.createDataFrame(
-            [(int(d),) for d in vec_ids], "vid bigint"
+        vec_ids = local_relation(
+            spark, [(int(d),) for d in vec_ids], "vid bigint"
         )
     col = vec_ids.columns[0]
     return vec_ids.select(
@@ -539,7 +577,18 @@ def vector_index_build(
     cells.write.mode("overwrite").partitionBy("cell").parquet(
         os.path.join(index_path, "cells")
     )
-    meta = dict(params, n_vecs=corpus.count())
+    # record the read-back cells schema at founding (the discipline
+    # optimize_vector_index already applies): every later probe's
+    # _read_flat_cells then reads with the explicit schema instead of
+    # paying a schema-inference job per probe — one tiny build-time job
+    # buys a job off the steady-state serving path
+    meta = dict(
+        params,
+        n_vecs=corpus.count(),
+        cells_schema=spark.read.parquet(
+            os.path.join(index_path, "cells")
+        ).schema.jsonValue(),
+    )
     _write_meta(index_path, meta)
     return meta
 

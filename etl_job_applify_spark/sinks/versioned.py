@@ -30,6 +30,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..sources.local import local_relation
+
 _PREFIX = "snap_"
 
 
@@ -314,7 +316,7 @@ def table_history(spark: SparkSession, table_path: str) -> DataFrame:
                 nbytes,
             )
         )
-    return spark.createDataFrame(
+    return local_relation(spark, 
         rows, "version int, committed_at_ms long, n_files int, total_bytes long"
     )
 

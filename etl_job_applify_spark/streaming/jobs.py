@@ -18,6 +18,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..sources.local import local_relation
+
 def events_stream(
     spark: SparkSession, sf_dir: str, max_files_per_trigger: int | None = None
 ) -> DataFrame:
@@ -1062,7 +1064,7 @@ def run_sssp_stream(
             return
         spark = batch_df.sparkSession
         batch = batch_df.select(src, dst, weight)
-        source = spark.createDataFrame(
+        source = local_relation(spark, 
             [(int(n),) for n in source_nodes], "node bigint"
         )
         _fold_with_fence(
@@ -1409,7 +1411,7 @@ def run_triangle_stream(
         def merge(base_counts: DataFrame | None) -> DataFrame:
             if base_counts is None:
                 st = triangle_stats(live)
-                return spark.createDataFrame(
+                return local_relation(spark, 
                     [(st.n_edges, st.n_triangles, st.n_wedges)],
                     counts_schema,
                 )
@@ -1425,7 +1427,7 @@ def run_triangle_stream(
             got = triangle_delete_update(
                 pre_del, dels_this, mid, assume_canonical=True
             )
-            return spark.createDataFrame([tuple(got)], counts_schema)
+            return local_relation(spark, [tuple(got)], counts_schema)
 
         _fold_with_fence(spark, counts_path, writer_id, epoch_id, merge)
 
@@ -1464,7 +1466,7 @@ def run_triangle_stream(
         def merge(base_counts: DataFrame | None) -> DataFrame:
             if base_counts is None:
                 st = triangle_stats(head.select("a", "b"))
-                return spark.createDataFrame(
+                return local_relation(spark, 
                     [(st.n_edges, st.n_triangles, st.n_wedges)],
                     counts_schema,
                 )
@@ -1483,7 +1485,7 @@ def run_triangle_stream(
                 head.select("a", "b"), batch_new, prior,
                 assume_canonical=True,
             )
-            return spark.createDataFrame([tuple(got)], counts_schema)
+            return local_relation(spark, [tuple(got)], counts_schema)
 
         _fold_with_fence(spark, counts_path, writer_id, epoch_id, merge)
 

@@ -45,6 +45,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..sources.local import local_relation
+
 
 def domain_token_allocation(
     avail: dict[str, int], budget: int, max_share: float
@@ -79,26 +81,38 @@ def _mix_parts(
     id_col: str,
     bucket_width: int = 4096,
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
-    """(docs+n_tokens, allocation relation, selected relation) — the
-    shared assembly behind select/summary."""
+    """(narrow tokenized relation, allocation relation, narrow selected
+    relation) — the shared assembly behind select/summary.
+
+    Every decision in mixing depends only on (id, domain, n_tokens) —
+    never on the document payload — so the text is tokenized exactly
+    ONCE into that narrow relation and checkpointed (guide §8: decide
+    with small rows, move big rows once). Before this shape, the
+    summary tokenized the corpus three times (avail collect, avail_df,
+    the selection's cumsum) and the selection dragged the text payload
+    through the cumsum's shuffle and windows."""
     if tokens_col is None:
         from ..functions.text import n_tokens_expr
 
         tokens_col = n_tokens_expr("text")
-    d = docs.withColumn(
-        "n_tokens",
+    narrow = docs.select(
+        id_col,
+        domain_col,
         (
             F.col(tokens_col) if isinstance(tokens_col, str) else tokens_col
-        ).cast("bigint"),
-    )
+        )
+        .cast("bigint")
+        .alias("n_tokens"),
+    ).localCheckpoint()
     avail = {
         r["d"]: int(r["a"])
-        for r in d.groupBy(F.col(domain_col).alias("d"))
+        for r in narrow.groupBy(F.col(domain_col).alias("d"))
         .agg(F.sum("n_tokens").alias("a"))
         .collect()
     }
     alloc = domain_token_allocation(avail, budget, max_share)
-    alloc_df = docs.sparkSession.createDataFrame(
+    alloc_df = local_relation(
+        docs.sparkSession,
         [(k, v) for k, v in sorted(alloc.items())],
         f"{domain_col} string, allocation bigint",
     )
@@ -113,7 +127,7 @@ def _mix_parts(
     # (#buckets rows); the per-row window is keyed by (domain, bucket).
     sel = (
         bucketed_cumsum(
-            d.join(F.broadcast(alloc_df), domain_col),
+            narrow.join(F.broadcast(alloc_df), domain_col),
             id_col,
             "n_tokens",
             bucket_width=bucket_width,
@@ -126,7 +140,7 @@ def _mix_parts(
         .filter(F.col("__cum") <= F.col("allocation"))
         .drop("__cum", "__excl")
     )
-    return d, alloc_df, sel
+    return narrow, alloc_df, sel
 
 
 def domain_mix_select(
@@ -145,10 +159,23 @@ def domain_mix_select(
     #buckets (≈ id range / width) stays broadcast-sized — at 10^11
     ids raise it toward 10^6 (the offsets relation the cumsum
     broadcasts has one row per (domain, bucket))."""
-    return _mix_parts(
+    sel = _mix_parts(
         docs, budget, max_share, domain_col, tokens_col, id_col,
         bucket_width,
     )[2]
+    # attach the decision back to the payload: ONE id-equi-join (the
+    # docs side is never shuffled through the cumsum windows; column
+    # pruning keeps a narrow-projection caller from reading the text
+    # at all). No broadcast hint — the selection is budget-bounded but
+    # not control-plane-sized; AQE decides from runtime stats.
+    out_cols = (
+        [domain_col]
+        + [c for c in docs.columns if c != domain_col]
+        + ["n_tokens", "allocation"]
+    )
+    return docs.join(
+        sel.select(id_col, "n_tokens", "allocation"), id_col
+    ).select(*out_cols)
 
 
 def domain_mix_summary(
@@ -166,11 +193,13 @@ def domain_mix_summary(
     construction (invariants the oracle replays exactly). Domains
     whose allocation no document fits still report their true
     allocation with zero taken."""
-    d, alloc_df, sel = _mix_parts(
+    narrow, alloc_df, sel = _mix_parts(
         docs, budget, max_share, domain_col, tokens_col, id_col,
         bucket_width,
     )
-    avail_df = d.groupBy(domain_col).agg(
+    # every summary relation derives from the narrow checkpoint — the
+    # corpus text is tokenized once, and never re-read here
+    avail_df = narrow.groupBy(domain_col).agg(
         F.sum("n_tokens").cast("bigint").alias("avail_tokens")
     )
     taken = sel.groupBy(domain_col).agg(
