@@ -54,6 +54,7 @@ def bfs_hops(
     source: DataFrame,
     max_hops: int,
     materialize: Callable[[DataFrame], DataFrame] = _local_checkpoint,
+    broadcast_frontier: bool = True,
 ) -> DataFrame:
     """Single-source BFS: (node, hop) for every node first reached within
     ``max_hops`` supersteps.
@@ -61,10 +62,20 @@ def bfs_hops(
     ``edges`` is an undirected (src, dst) relation (see ``undirect``);
     ``source`` is a one-column (node) relation holding the seed set —
     kept as a DataFrame so no scalar ever rides through the driver.
+
+    ``broadcast_frontier`` (the triangles-kernel knob): hint the
+    frontier and visited relations into every round's joins. AQE
+    reaches the same broadcast join WITHOUT the hint, but only after
+    materializing each round's shuffle stage to learn the sizes — a
+    full extra stage per join per round, which at steady state is the
+    per-round floor (measured 9.4 s → 5.6 s over 4 rounds on the
+    sf0.1 co-purchase graph). Pass False on graphs whose reachable set
+    outgrows the broadcast budget (small-world hubs): AQE then decides
+    per round from runtime sizes.
     """
     # NOTE on edge partitioning: pre-repartitioning edges by src was
-    # measured a net LOSS here (BENCHNOTES round 8) — AQE broadcasts the
-    # small frontier every round, so the edge relation is scanned from
+    # measured a net LOSS here (BENCHNOTES round 8) — the frontier is
+    # broadcast every round, so the edge relation is scanned from
     # its checkpoint but never reshuffled; the upfront exchange bought
     # nothing. On a cluster where frontiers outgrow the broadcast
     # threshold, materialize(edges.repartition("src")) before calling.
@@ -73,15 +84,17 @@ def bfs_hops(
     # without a cut its work would run twice. The visited set is a lazy
     # union over those already-materialized pieces — re-deriving it per
     # round costs a scan of small cached frontiers, not a recompute.
+    _hint = F.broadcast if broadcast_frontier else (lambda df: df)
     frontier = materialize(source.select("node").distinct())
     frontiers = [frontier.withColumn("hop", F.lit(0).cast("int"))]
     visited = frontier
     for k in range(1, max_hops + 1):
         nxt = materialize(
-            frontier.join(edges, frontier["node"] == edges["src"])
+            _hint(frontier)
+            .join(edges, frontier["node"] == edges["src"])
             .select(F.col("dst").alias("node"))
             .distinct()
-            .join(visited, "node", "left_anti")
+            .join(_hint(visited), "node", "left_anti")
         )
         frontiers.append(nxt.withColumn("hop", F.lit(k).cast("int")))
         visited = visited.unionByName(nxt)
@@ -224,6 +237,7 @@ def sssp_profile(
     dst: str = "dst",
     weight: str = "w",
     materialize: Callable[[DataFrame], DataFrame] = _local_checkpoint,
+    broadcast_frontier: bool = True,
 ) -> DataFrame:
     """The horizon PROFILE of ``weighted_sssp``: (node, h, cost) with
     ``cost`` = min total weight over directed paths of at most ``h``
@@ -237,7 +251,15 @@ def sssp_profile(
     (``sssp_profile_update``): dist_h depends only on dist_{h-1} and
     the edges, so a new edge's effect cascades level by level from
     exactly the entries it improves — the state a streaming SSSP keeps
-    (``streaming/jobs.py run_sssp_stream``)."""
+    (``streaming/jobs.py run_sssp_stream``).
+
+    ``broadcast_frontier``: hint the distance relation into each
+    round's relax join (AQE reaches the same broadcast only after
+    materializing the shuffle stage per round — the bfs_hops
+    measurement). The relation is bounded by the REACHED set, not a
+    one-hop frontier: pass False on graphs whose reachable set is past
+    the broadcast budget and let AQE decide per round."""
+    _hint = F.broadcast if broadcast_frontier else (lambda df: df)
     e = edges.select(
         F.col(src).alias("u"), F.col(dst).alias("v"),
         F.col(weight).alias("w"),
@@ -250,7 +272,7 @@ def sssp_profile(
     levels = [cur.withColumn("h", F.lit(0).cast("int"))]
     for h in range(1, horizon + 1):
         relaxed = (
-            e.join(cur, e.u == cur.node)
+            e.join(_hint(cur), e.u == cur.node)
             .select(
                 F.col("v").alias("node"),
                 (F.col("cost") + F.col("w")).alias("cost"),
@@ -278,6 +300,7 @@ def sssp_profile_update(
     dst: str = "dst",
     weight: str = "w",
     materialize: Callable[[DataFrame], DataFrame] = _local_checkpoint,
+    broadcast_frontier: bool = True,
 ) -> DataFrame:
     """EXACT incremental maintenance of ``sssp_profile`` under edge
     arrivals: given the stored profile over the OLD edge set and the
@@ -302,7 +325,15 @@ def sssp_profile_update(
     Duplicate edges in ``new_edges`` (already in the old set) are
     harmless: their relaxations reproduce stored costs and improve
     nothing. Seeds are fixed; ``source`` must be the founding seed
-    relation."""
+    relation.
+
+    ``broadcast_frontier``: hint the BATCH-derived relations — the new
+    edges and the per-level improvement frontier, both small by the
+    incremental premise — into the joins against graph-sized
+    relations, collapsing the per-level AQE size-probe stages (the
+    triangle_update knob). Pass False for bulk loads whose batch is
+    itself past the broadcast budget."""
+    _hint = F.broadcast if broadcast_frontier else (lambda df: df)
     e_all = all_edges.select(
         F.col(src).alias("u"), F.col(dst).alias("v"),
         F.col(weight).alias("w"),
@@ -325,14 +356,14 @@ def sssp_profile_update(
             "node", "cost"
         )
         cand_new = (
-            e_new.join(stored_prev, e_new.u == stored_prev.node)
+            _hint(e_new).join(stored_prev, e_new.u == stored_prev.node)
             .select(
                 F.col("v").alias("node"),
                 (F.col("cost") + F.col("w")).alias("cost"),
             )
         )
         cand_cascade = (
-            e_all.join(improved, e_all.u == improved.node)
+            e_all.join(_hint(improved), e_all.u == improved.node)
             .select(
                 F.col("v").alias("node"),
                 (F.col("cost") + F.col("w")).alias("cost"),
