@@ -640,6 +640,18 @@ def _probe_once(
     """One probe pass at a fixed nprobe (see vector_index_probe)."""
     meta, cents, books, offs, cells = state
     nprobe = min(nprobe, meta["num_cells"])
+    # The query batch is control-plane small by contract (docstring):
+    # materialize it ONCE into a JVM local relation. Every derived
+    # branch (probe-cell set, cosine/LUT broadcast builds, the refine
+    # re-read) then scans the in-memory literals instead of re-running
+    # the caller's plan — on the bench profile the query relation was
+    # a parquet scan re-executed per broadcast build, three jobs per
+    # probe. Values round-trip the driver as exact doubles; all
+    # scoring arithmetic stays in the same Spark expressions.
+    qsel = queries.select(query_id_col, vec_col)
+    queries = local_relation(
+        qsel.sparkSession, qsel.collect(), qsel.schema
+    )
     q = with_norm(
         queries.select(query_id_col, vec_col), vec_col
     ).withColumn(
