@@ -64,13 +64,23 @@ def snm_candidate_pairs(
             F.expr(expr).alias("__k"),
         ).withColumn("__blk", F.substring("__k", 1, block_len))
         w = Window.partitionBy("__blk").orderBy("__k", "__id")
-        for k in range(1, window + 1):
-            passes.append(
-                keyed.select(
-                    F.col("__id").alias("x"),
-                    F.lead("__id", k).over(w).alias("y"),
-                ).filter(F.col("y").isNotNull())
+        # ALL window successors ride ONE window evaluation per pass:
+        # the k lead() offsets share a window spec, so they run in a
+        # single WindowExec over one (__blk, __k, __id) sort — the
+        # per-offset formulation re-shuffled and re-sorted the keyed
+        # relation window times per pass, and block skew makes that
+        # sort the serial floor of the whole query (guide §2.4/§2.5)
+        leads = keyed.select(
+            F.col("__id").alias("x"),
+            F.array(
+                *[F.lead("__id", k).over(w) for k in range(1, window + 1)]
+            ).alias("__ys"),
+        )
+        passes.append(
+            leads.select("x", F.explode("__ys").alias("y")).filter(
+                F.col("y").isNotNull()
             )
+        )
     cand = passes[0]
     for p in passes[1:]:
         cand = cand.unionByName(p)

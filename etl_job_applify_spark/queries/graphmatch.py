@@ -808,13 +808,18 @@ _Q193_SQL = _kcore_sql()
 def q197_coreness(spark: SparkSession, sf_dir: str) -> DataFrame:
     ROUNDS, KMAX = 6, 4
     edges = _copurchase_pairs(spark, sf_dir).localCheckpoint()
-    core_sizes = {
-        1: edges.select(F.col("a").alias("v"))
+    # founding scalars ride ONE action (the q99 scalar-branch idiom):
+    # distinct-endpoint count crossJoined with the edge count
+    row0 = (
+        edges.select(F.col("a").alias("v"))
         .unionAll(edges.select(F.col("b").alias("v")))
         .distinct()
-        .count()  # every listed endpoint has degree >= 1
-    }
-    n_edges = edges.count()
+        .agg(F.count("*").alias("nv"))
+        .crossJoin(edges.agg(F.count("*").alias("ne")))
+    ).first()
+    # every listed endpoint has degree >= 1
+    core_sizes = {1: int(row0["nv"])}
+    n_edges = int(row0["ne"])
     # the degree relation is a pure function of the CURRENT edge set:
     # it is checkpointed once and reused until the edges change — a
     # converged threshold (the common case: higher k starts from an
@@ -832,13 +837,24 @@ def q197_coreness(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .groupBy("v")
                     .agg(F.count("*").alias("d"))
                 ).localCheckpoint()
-            keep = deg.filter(F.col("d") >= k).select("v").localCheckpoint()
+            # keep stays LAZY: its three consumers (two semi-joins, one
+            # count) re-filter the checkpointed degree relation — a
+            # cheap scan, not a re-aggregation — so the per-round job
+            # spent materializing it bought nothing (guide §1.2: fewer
+            # driver actions per round)
+            keep = deg.filter(F.col("d") >= k).select("v")
             nxt = (
                 edges.join(
                     keep.withColumnRenamed("v", "a"), "a", "left_semi"
                 ).join(keep.withColumnRenamed("v", "b"), "b", "left_semi")
             ).transform(fresh_local_checkpoint)  # loop-carried
-            size, n_nxt = keep.count(), nxt.count()
+            # both per-round scalars ride ONE action over checkpointed
+            # inputs (keep-count × nxt-count crossJoin)
+            cnt = (
+                keep.agg(F.count("*").alias("ks"))
+                .crossJoin(nxt.agg(F.count("*").alias("ns")))
+            ).first()
+            size, n_nxt = int(cnt["ks"]), int(cnt["ns"])
             # fixed point: peeling is monotone, so an unchanged edge
             # count means an unchanged edge SET and every remaining
             # round is a no-op — skipping them returns the identical
@@ -1256,16 +1272,36 @@ def _lpa_init(und: DataFrame) -> DataFrame:
     return und.select("v").distinct().select("v", F.col("v").alias("lbl"))
 
 
-def _lpa_round(und: DataFrame, labels: DataFrame) -> DataFrame:
+def _lpa_round(
+    und: DataFrame, labels: DataFrame, broadcast_labels: bool = True
+) -> DataFrame:
     """One synchronous label-propagation round: most-frequent neighbor
-    label, ties to the smallest label (deterministic)."""
+    label, ties to the smallest label (deterministic).
+
+    ``broadcast_labels`` (the bfs_hops knob): hint the label relation
+    into the neighbor join so the GRAPH is never reshuffled per round —
+    without it AQE reaches the same broadcast only after materializing
+    the round's shuffle stages to learn sizes (an extra stage per
+    round). Labels are node-sized: pass False past the broadcast budget
+    and let AQE decide from runtime sizes.
+
+    Plan shape: ONE exchange per round — the neighbor relation is hash-
+    partitioned by v once, which satisfies both the (v, lbl) aggregate's
+    and the v-window's clustering (guide §2.4: two operations keyed the
+    same way share one exchange); without the explicit repartition the
+    aggregate exchanges on (v, lbl) and the window re-exchanges on v."""
     from pyspark.sql.window import Window
 
     w = Window.partitionBy("v").orderBy(F.desc("cnt"), "lbl")
-    nbr = und.join(
-        labels.select(F.col("v").alias("u"), "lbl"), "u"
-    ).select("v", "lbl")
-    counts = nbr.groupBy("v", "lbl").agg(F.count("*").alias("cnt"))
+    lbl = labels.select(F.col("v").alias("u"), "lbl")
+    if broadcast_labels:
+        lbl = F.broadcast(lbl)
+    nbr = und.join(lbl, "u").select("v", "lbl")
+    counts = (
+        nbr.repartition("v")
+        .groupBy("v", "lbl")
+        .agg(F.count("*").alias("cnt"))
+    )
     return (
         counts.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)

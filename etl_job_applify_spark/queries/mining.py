@@ -52,10 +52,14 @@ from ._util import tbl
 def q215_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = tbl(spark, sf_dir, "lineitem")
     pt = tbl(spark, sf_dir, "part")
+    # four consumers (basket total, item counts, both self-join sides)
+    # would each re-run the join+distinct — materialize it once
+    # (guide §1.2 / the triangle-kernel checkpoint discipline)
     baskets = (
         li.join(F.broadcast(pt), li["l_partkey"] == pt["p_partkey"])
         .select("l_orderkey", "p_brand")
         .distinct()
+        .localCheckpoint()
     )
     n_df = baskets.agg(F.countDistinct("l_orderkey").alias("n"))
     items = baskets.groupBy("p_brand").agg(F.count("*").alias("ic"))
@@ -360,7 +364,13 @@ def q219_snm_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         window=4,
         block_len=2,
     )
-    sh = with_shingles(docs, "text", 3).select("doc_id", "shingles")
+    # both verification sides (sa, sb) consume the shingle relation —
+    # materialize the compute-heavy shingling once instead of twice
+    sh = (
+        with_shingles(docs, "text", 3)
+        .select("doc_id", "shingles")
+        .localCheckpoint()
+    )
     sa = sh.select(
         F.col("doc_id").alias("a"), F.col("shingles").alias("sha")
     )

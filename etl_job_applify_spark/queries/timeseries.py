@@ -50,13 +50,16 @@ def q162_resample_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     # further, bit-identical — a gap row's last non-null nxt_v IS the
     # next observation's value).
     wl = Window.partitionBy("user_id").orderBy("hour")
+    # two consumers (the spine bounds and the grid join) would each
+    # re-run the events aggregate + window — materialize the compact
+    # hourly relation once; the raw stream is then read exactly once
     hourly = hourly.select(
         "user_id",
         "hour",
         "obs",
         F.lead("obs").over(wl).alias("nxt_v"),
         F.lead("hour").over(wl).alias("nxt_t"),
-    )
+    ).localCheckpoint()
     bounds = hourly.groupBy("user_id").agg(
         F.min("hour").alias("h0"), F.max("hour").alias("h1")
     )
