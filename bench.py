@@ -291,7 +291,7 @@ def _build_incremental_state(spark, sf_dir: str):
     old = pairs.filter(~is_batch).localCheckpoint()
     st = triangle_stats(old)
     prior = TriangleCounts(st.n_edges, st.n_triangles, st.n_wedges)
-    core = k_core(old, 3).localCheckpoint()
+    core = k_core(old, 3, assume_canonical=True).localCheckpoint()
     # BFS steady state: the stored unit-weight horizon profile (q280)
     unit = F.lit(1).cast("bigint")
     source = pairs.agg(F.min("a").alias("node")).localCheckpoint()
@@ -312,7 +312,7 @@ def _build_incremental_state(spark, sf_dir: str):
         )
 
     def kcore_update(spark_, _sf_dir):
-        return k_core_update(pairs, batch, core, 3)
+        return k_core_update(pairs, batch, core, 3, assume_canonical=True)
 
     def bfs_update(spark_, _sf_dir):
         out = sssp_profile_update(

@@ -52,7 +52,16 @@ from pyspark.sql import functions as F
 from .iterate import fresh_local_checkpoint
 
 
-def _canon(edges: DataFrame, src: str, dst: str) -> DataFrame:
+def _canon(
+    edges: DataFrame, src: str, dst: str, assume_canonical: bool = False
+) -> DataFrame:
+    """Normalize to a distinct (a < b) list. ``assume_canonical`` skips
+    the normalization SHUFFLE when the caller's relation already
+    satisfies the contract (the triangle-kernel knob: graph state held
+    by this repo's own kernels/queries is canonical by construction) —
+    the caller asserts it; violations silently overcount degrees."""
+    if assume_canonical:
+        return edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     return (
         edges.select(
             F.least(src, dst).alias("a"), F.greatest(src, dst).alias("b")
@@ -74,38 +83,43 @@ def k_core(
     src: str = "a",
     dst: str = "b",
     max_iter: int = 50,
+    assume_canonical: bool = False,
 ) -> DataFrame:
     """(node) members of the k-core of the undirected ``edges``,
     peeled to the FIXPOINT (empty result when no k-core exists).
     Raises on non-convergence within ``max_iter`` rounds — a silent
-    bounded peel would overstate the core."""
-    cur = _canon(edges, src, dst).transform(fresh_local_checkpoint)
-    n_prev = None
+    bounded peel would overstate the core.
+
+    Per-round scalars ride the degree HISTOGRAM (the q197 discipline):
+    survivor count and the fixpoint test ("does anything sit below
+    threshold?") are driver arithmetic over a #distinct-degrees-sized
+    collect, so a round costs one degree checkpoint + one histogram
+    action — no per-round keep materialization or count jobs. The
+    fixpoint fires as soon as no node sits below k (equivalent to the
+    classic unchanged-survivor-count test: peeling is monotone)."""
+    cur = _canon(edges, src, dst, assume_canonical).transform(
+        fresh_local_checkpoint
+    )
     for _ in range(max_iter):
         deg = (
             cur.select(F.col("a").alias("v"))
             .unionAll(cur.select(F.col("b").alias("v")))
             .groupBy("v")
             .agg(F.count("*").alias("d"))
-        )
-        keep = (
-            deg.filter(F.col("d") >= k)
-            .select("v")
-            .transform(fresh_local_checkpoint)
-        )
-        n_keep = keep.count()
-        if n_prev is not None and n_keep == n_prev:
-            # peeling is monotone: an unchanged node count means an
-            # unchanged node SET, i.e. the fixpoint
-            return keep.select(F.col("v").alias("node"))
-        if n_keep == 0:
+        ).localCheckpoint()
+        hist = {
+            int(r["d"]): int(r["n"])
+            for r in deg.groupBy("d").agg(F.count("*").alias("n")).collect()
+        }
+        size = sum(n for d, n in hist.items() if d >= k)
+        keep = deg.filter(F.col("d") >= k).select("v")
+        if size == sum(hist.values()) or size == 0:
             return keep.select(F.col("v").alias("node"))
         cur = (
             cur.join(keep.withColumnRenamed("v", "a"), "a", "left_semi")
             .join(keep.withColumnRenamed("v", "b"), "b", "left_semi")
             .transform(fresh_local_checkpoint)
         )
-        n_prev = n_keep
     raise RuntimeError(
         f"k_core did not converge within {max_iter} rounds"
     )
@@ -119,6 +133,7 @@ def k_core_update(
     src: str = "a",
     dst: str = "b",
     max_iter: int = 50,
+    assume_canonical: bool = False,
 ) -> DataFrame:
     """EXACT incremental k-core membership under edge arrivals: given
     the stored (node) members of the k-core over the OLD edge set and
@@ -127,30 +142,54 @@ def k_core_update(
     ``k_core(all_edges, k)`` (test-pinned; the q259 oracle is q193's
     one-shot SQL). See the module docstring for the GROW/PEEL shape
     and its correctness argument. Batch edges already present in the
-    old set are tolerated (they only enlarge the candidate region)."""
-    allc = _canon(all_edges, src, dst).persist()
+    old set are tolerated (they only enlarge the candidate region).
+
+    Steady-state cost discipline (round 15): batch endpoints are
+    checked against the stored core FIRST — a batch-sized anti-join —
+    so the common case (every endpoint already in the core) returns
+    without touching the full edge set at all; the degree aggregate
+    that eligibility needs is computed only when some endpoint sits
+    outside the core, and only over NON-CORE adjacency (the anti-join
+    runs below the exchange, shrinking the shuffle to the non-core
+    region — core nodes' degrees are never consulted). The full-graph
+    normalization shuffle is skipped under ``assume_canonical``
+    (see ``_canon``)."""
+    C = core_nodes.select("node").transform(fresh_local_checkpoint)
+    newc = _canon(new_edges, src, dst, assume_canonical)
+    # seed candidates: batch endpoints OUTSIDE the stored core — a
+    # batch-sized relation; empty means nothing can join (membership
+    # additions are connected to the batch through non-core nodes)
+    seeds0 = (
+        newc.select(F.col("a").alias("node"))
+        .unionAll(newc.select(F.col("b").alias("node")))
+        .distinct()
+        .join(C, "node", "left_anti")
+        .transform(fresh_local_checkpoint)
+    )
+    if seeds0.isEmpty():
+        return C  # batch touches only the core
+    allc = _canon(all_edges, src, dst, assume_canonical).persist()
     try:
-        C = core_nodes.select("node").transform(fresh_local_checkpoint)
         sym = _sym(allc)
-        deg = sym.groupBy("u").agg(F.count("*").alias("d"))
         # eligibility: outside the old core, full degree >= k — a
-        # necessary condition for joining, and the GROW filter
+        # necessary condition for joining, and the GROW filter; the
+        # anti-join sits BELOW the degree exchange so only non-core
+        # adjacency is shuffled (degrees still count ALL neighbors)
+        deg_out = (
+            sym.join(C.select(F.col("node").alias("u")), "u", "left_anti")
+            .groupBy("u")
+            .agg(F.count("*").alias("d"))
+        )
         elig = (
-            deg.filter(F.col("d") >= k)
+            deg_out.filter(F.col("d") >= k)
             .select(F.col("u").alias("node"))
-            .join(C, "node", "left_anti")
             .transform(fresh_local_checkpoint)
         )
-        newc = _canon(new_edges, src, dst)
-        seeds = (
-            newc.select(F.col("a").alias("node"))
-            .unionAll(newc.select(F.col("b").alias("node")))
-            .distinct()
-            .join(elig, "node", "left_semi")
-            .transform(fresh_local_checkpoint)
+        seeds = seeds0.join(elig, "node", "left_semi").transform(
+            fresh_local_checkpoint
         )
         if seeds.isEmpty():
-            return C  # batch touches only the core / sub-k nodes
+            return C  # endpoints outside the core all sit below k
         # region-restricted adjacency: both ends eligible (candidate
         # paths never leave the eligible set) — ONE pair of semi-joins,
         # every later round scans this region-sized relation only
@@ -180,9 +219,10 @@ def k_core_update(
             )
             if nxt.isEmpty():
                 break
-            region = region.unionByName(nxt).transform(
-                fresh_local_checkpoint
-            )
+            # lazy union over already-materialized frontiers (the
+            # bfs_hops discipline) — re-deriving it per round scans
+            # small checkpoints, not recomputed plans
+            region = region.unionByName(nxt)
             frontier = nxt
         else:
             raise RuntimeError(
@@ -232,6 +272,7 @@ def k_core_delete_update(
     src: str = "a",
     dst: str = "b",
     max_iter: int = 50,
+    assume_canonical: bool = False,
 ) -> DataFrame:
     """EXACT incremental k-core membership under edge REMOVALS — the
     GROW/PEEL machinery run in reverse: deletion can only SHRINK the
@@ -254,23 +295,28 @@ def k_core_delete_update(
     forget-sweep lifecycle gap for cores: a forgotten document's
     edges leave the maintained membership with change-bounded work
     (``lifecycle.graph_forget``)."""
-    allc = _canon(remaining_edges, src, dst).persist()
+    C = core_nodes.select("node").transform(fresh_local_checkpoint)
+    rmc = _canon(removed_edges, src, dst, assume_canonical)
+    # cascade seeds: removed endpoints INSIDE the stored core — a
+    # batch-sized relation, checked BEFORE any full-graph work so the
+    # common case (removals never touched the core) is free
+    frontier = (
+        rmc.select(F.col("a").alias("node"))
+        .unionAll(rmc.select(F.col("b").alias("node")))
+        .distinct()
+        .join(C, "node", "left_semi")
+        .transform(fresh_local_checkpoint)
+    )
+    if frontier.isEmpty():
+        return C
+    allc = _canon(remaining_edges, src, dst, assume_canonical).persist()
     try:
-        C = core_nodes.select("node").transform(fresh_local_checkpoint)
         # adjacency restricted to the old core: support outside C is
         # irrelevant (the new core is a subset of C)
         sym_c = (
             _sym(allc)
             .join(C.select(F.col("node").alias("u")), "u", "left_semi")
             .join(C.select(F.col("node").alias("v")), "v", "left_semi")
-            .transform(fresh_local_checkpoint)
-        )
-        rmc = _canon(removed_edges, src, dst)
-        frontier = (
-            rmc.select(F.col("a").alias("node"))
-            .unionAll(rmc.select(F.col("b").alias("node")))
-            .distinct()
-            .join(C, "node", "left_semi")
             .transform(fresh_local_checkpoint)
         )
         surv = C

@@ -720,22 +720,49 @@ FROM tri
 def q193_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     K, ROUNDS = 3, 8
     edges = _copurchase_pairs(spark, sf_dir).localCheckpoint()
-    sizes: list[int] = []  # node count surviving each round
-    for _ in range(ROUNDS):
+
+    # the q197 degree-histogram discipline: the histogram answers every
+    # per-round scalar (survivor count, "did this round peel?",
+    # Σd/2 = edge count) in driver arithmetic, so converged rounds cost
+    # ZERO jobs and the final edge count needs no extra action
+    def _degree_state(e: DataFrame):
         deg = (
-            edges.select(F.col("a").alias("v"))
-            .unionAll(edges.select(F.col("b").alias("v")))
+            e.select(F.col("a").alias("v"))
+            .unionAll(e.select(F.col("b").alias("v")))
             .groupBy("v")
             .agg(F.count("*").alias("d"))
-        )
-        keep = deg.filter(F.col("d") >= K).select("v").localCheckpoint()
+        ).localCheckpoint()
+        hist = {
+            int(r["d"]): int(r["n"])
+            for r in deg.groupBy("d").agg(F.count("*").alias("n")).collect()
+        }
+        return deg, hist, sum(hist.values())
+
+    deg, hist, n_nodes = _degree_state(edges)
+    sizes: list[int] = []  # node count surviving each round
+    for _ in range(ROUNDS):
+        size = sum(n for d, n in hist.items() if d >= K)
+        sizes.append(size)
+        # fixed point: nothing below threshold — every remaining round
+        # is a no-op (a node below threshold has d >= 1, so dropping it
+        # always removes an edge); pad the per-round sizes the full
+        # unroll would record and stop peeling
+        if size == n_nodes:
+            sizes.extend([size] * (ROUNDS - len(sizes)))
+            break
+        keep = deg.filter(F.col("d") >= K).select("v")
         edges = (
             edges.join(keep.withColumnRenamed("v", "a"), "a", "left_semi")
             .join(keep.withColumnRenamed("v", "b"), "b", "left_semi")
         ).transform(fresh_local_checkpoint)  # loop-carried: reset stats
-        sizes.append(keep.count())
-    return local_relation(spark, 
-        [(sizes[-1], edges.count(), bool(sizes[-2] == sizes[-1]))],
+        deg, hist, n_nodes = _degree_state(edges)
+    # endpoint-sum identity on the FINAL edge set: n_edges = Σd div 2
+    # (hist is always current at loop exit: the converged path breaks
+    # before filtering, the full-unroll path recomputes state after
+    # round 8's filter as its last step)
+    n_core_edges = sum(d * n for d, n in hist.items()) // 2
+    return local_relation(spark,
+        [(sizes[-1], n_core_edges, bool(sizes[-2] == sizes[-1]))],
         "n_core_nodes bigint, n_core_edges bigint, converged boolean",
     )
 
@@ -808,61 +835,54 @@ _Q193_SQL = _kcore_sql()
 def q197_coreness(spark: SparkSession, sf_dir: str) -> DataFrame:
     ROUNDS, KMAX = 6, 4
     edges = _copurchase_pairs(spark, sf_dir).localCheckpoint()
-    # founding scalars ride ONE action (the q99 scalar-branch idiom):
-    # distinct-endpoint count crossJoined with the edge count
-    row0 = (
-        edges.select(F.col("a").alias("v"))
-        .unionAll(edges.select(F.col("b").alias("v")))
-        .distinct()
-        .agg(F.count("*").alias("nv"))
-        .crossJoin(edges.agg(F.count("*").alias("ne")))
-    ).first()
+
+    # The degree HISTOGRAM {d: n_nodes} is a pure function of the
+    # current edge set, collected once per edge-set change. It answers
+    # every per-round scalar in driver arithmetic: |keep at threshold
+    # k| = Σ_{d>=k} n_nodes, and the fixed-point test "does this round
+    # peel anything?" is Σ_{d>=k} == Σ_all (a node below threshold has
+    # d >= 1, so dropping it always removes an edge — peeling changes
+    # the edge set iff it drops a node). Converged rounds (the common
+    # case: higher thresholds start from an already-peeled core) cost
+    # ZERO jobs — previously each paid a keep materialization plus two
+    # count actions, ~4 AQE stage-jobs of pure scheduling per round
+    # (guide §1.2). The histogram is #distinct-degrees-sized (bounded
+    # by the max degree), driver-safe at any corpus scale.
+    def _degree_state(
+        e: DataFrame,
+    ) -> tuple[DataFrame, dict[int, int], int]:
+        deg = (
+            e.select(F.col("a").alias("v"))
+            .unionAll(e.select(F.col("b").alias("v")))
+            .groupBy("v")
+            .agg(F.count("*").alias("d"))
+        ).localCheckpoint()
+        hist = {
+            int(r["d"]): int(r["n"])
+            for r in deg.groupBy("d").agg(F.count("*").alias("n")).collect()
+        }
+        return deg, hist, sum(hist.values())
+
+    deg, hist, n_nodes = _degree_state(edges)
     # every listed endpoint has degree >= 1
-    core_sizes = {1: int(row0["nv"])}
-    n_edges = int(row0["ne"])
-    # the degree relation is a pure function of the CURRENT edge set:
-    # it is checkpointed once and reused until the edges change — a
-    # converged threshold (the common case: higher k starts from an
-    # already-peeled core) costs one filter over the stored degrees,
-    # not a fresh union+aggregate over the full edge list (round-15
-    # guide §2.4: same relation, one exchange)
-    deg = None
+    core_sizes = {1: n_nodes}
     for k in range(2, KMAX + 1):
         size = None
         for _ in range(ROUNDS):
-            if deg is None:
-                deg = (
-                    edges.select(F.col("a").alias("v"))
-                    .unionAll(edges.select(F.col("b").alias("v")))
-                    .groupBy("v")
-                    .agg(F.count("*").alias("d"))
-                ).localCheckpoint()
-            # keep stays LAZY: its three consumers (two semi-joins, one
-            # count) re-filter the checkpointed degree relation — a
-            # cheap scan, not a re-aggregation — so the per-round job
-            # spent materializing it bought nothing (guide §1.2: fewer
-            # driver actions per round)
+            size = sum(n for d, n in hist.items() if d >= k)
+            # fixed point: nothing below threshold — the edge set (and
+            # the stored degrees) are unchanged, every remaining round
+            # is a no-op, and the identical result the full unroll
+            # (and the oracle) computes falls out of the histogram
+            if size == n_nodes:
+                break
             keep = deg.filter(F.col("d") >= k).select("v")
-            nxt = (
+            edges = (
                 edges.join(
                     keep.withColumnRenamed("v", "a"), "a", "left_semi"
                 ).join(keep.withColumnRenamed("v", "b"), "b", "left_semi")
             ).transform(fresh_local_checkpoint)  # loop-carried
-            # both per-round scalars ride ONE action over checkpointed
-            # inputs (keep-count × nxt-count crossJoin)
-            cnt = (
-                keep.agg(F.count("*").alias("ks"))
-                .crossJoin(nxt.agg(F.count("*").alias("ns")))
-            ).first()
-            size, n_nxt = int(cnt["ks"]), int(cnt["ns"])
-            # fixed point: peeling is monotone, so an unchanged edge
-            # count means an unchanged edge SET and every remaining
-            # round is a no-op — skipping them returns the identical
-            # result the full unroll (and the oracle) computes; the
-            # stored degree relation stays valid for the next k
-            if n_nxt == n_edges:
-                break
-            edges, n_edges, deg = nxt, n_nxt, None
+            deg, hist, n_nodes = _degree_state(edges)
         core_sizes[k] = size
     rows = [
         (k, core_sizes[k] - core_sizes[k + 1]) for k in range(1, KMAX)
@@ -1454,13 +1474,27 @@ def q259_incremental_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = _copurchase_pairs(spark, sf_dir).localCheckpoint()
     first = pairs.filter((F.col("a") + F.col("b")) % 2 == 0)
     second = pairs.filter((F.col("a") + F.col("b")) % 2 == 1)
-    base = k_core(first, K)
-    members = k_core_update(pairs, second, base, K).localCheckpoint()
+    base = k_core(first, K, assume_canonical=True)
+    members = k_core_update(
+        pairs, second, base, K, assume_canonical=True
+    ).localCheckpoint()
     core_edges = pairs.join(
         members.withColumnRenamed("node", "a"), "a", "left_semi"
     ).join(members.withColumnRenamed("node", "b"), "b", "left_semi")
-    return local_relation(spark, 
-        [(members.count(), core_edges.count(), True)],
+    # both result scalars ride ONE single-exchange action: tag-union the
+    # two relations and count conditionally (cheaper than crossJoining
+    # two scalar aggregates, which pays an AQE stage per aggregate)
+    row = (
+        members.select(F.lit(1).alias("t"))
+        .unionAll(core_edges.select(F.lit(0).alias("t")))
+        .agg(
+            F.sum("t").cast("bigint").alias("nn"),
+            F.count("*").cast("bigint").alias("tot"),
+        )
+    ).first()
+    n_nodes = int(row["nn"] or 0)
+    return local_relation(spark,
+        [(n_nodes, int(row["tot"]) - n_nodes, True)],
         "n_core_nodes bigint, n_core_edges bigint, converged boolean",
     )
 
@@ -1607,15 +1641,25 @@ def q275_kcore_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = _copurchase_pairs(spark, sf_dir).localCheckpoint()
     removed = pairs.filter(_rm_edge_pred())
     remaining = pairs.filter(~_rm_edge_pred())
-    base = k_core(pairs, K)
+    base = k_core(pairs, K, assume_canonical=True)
     members = k_core_delete_update(
-        remaining, removed, base, K
+        remaining, removed, base, K, assume_canonical=True
     ).localCheckpoint()
     core_edges = remaining.join(
         members.withColumnRenamed("node", "a"), "a", "left_semi"
     ).join(members.withColumnRenamed("node", "b"), "b", "left_semi")
-    return local_relation(spark, 
-        [(members.count(), core_edges.count(), True)],
+    # the q259 tag-union idiom: one single-exchange action for both
+    row = (
+        members.select(F.lit(1).alias("t"))
+        .unionAll(core_edges.select(F.lit(0).alias("t")))
+        .agg(
+            F.sum("t").cast("bigint").alias("nn"),
+            F.count("*").cast("bigint").alias("tot"),
+        )
+    ).first()
+    n_nodes = int(row["nn"] or 0)
+    return local_relation(spark,
+        [(n_nodes, int(row["tot"]) - n_nodes, True)],
         "n_core_nodes bigint, n_core_edges bigint, converged boolean",
     )
 
