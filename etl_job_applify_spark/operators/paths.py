@@ -89,12 +89,21 @@ def bfs_hops(
     frontiers = [frontier.withColumn("hop", F.lit(0).cast("int"))]
     visited = frontier
     for k in range(1, max_hops + 1):
+        # anti-join BEFORE distinct: the superstep's join emits dsts
+        # WITH multiplicity (wedge volume), and on an expanding graph
+        # most of them are already visited — filtering first is a
+        # broadcast-hash probe per row that shrinks the distinct's
+        # hash-aggregate input (and its exchange) to the unvisited
+        # remainder, instead of deduplicating the full neighbor stream
+        # and discarding most of it afterwards. Set-equal either way
+        # (the anti filter is row-wise). Measured sf0.1 co-purchase:
+        # 1.99 -> 1.38 s warm for the 4-round BFS body.
         nxt = materialize(
             _hint(frontier)
             .join(edges, frontier["node"] == edges["src"])
             .select(F.col("dst").alias("node"))
-            .distinct()
             .join(_hint(visited), "node", "left_anti")
+            .distinct()
         )
         frontiers.append(nxt.withColumn("hop", F.lit(k).cast("int")))
         visited = visited.unionByName(nxt)
@@ -369,19 +378,36 @@ def sssp_profile_update(
                 (F.col("cost") + F.col("w")).alias("cost"),
             )
         )
-        cur = materialize(
-            stored_h.unionByName(improved)
-            .unionByName(cand_new)
+        # Only the IMPROVEMENT FRONTIER is materialized per level —
+        # Θ(frontier), the incremental premise — never the full
+        # node-sized running level (which the stored profile already
+        # holds): the candidate min per node (carried h-1 improvements
+        # are themselves level-h candidates — the profile is monotone
+        # in h) is compared against the stored level, and only rows
+        # that beat it (or first reach their node) survive. The full
+        # level is DERIVED lazily as stored ⊕ improvements for the
+        # output union, so a no-op batch materializes `horizon` empty
+        # relations instead of `horizon` full node sets.
+        improved = materialize(
+            improved.unionByName(cand_new)
             .unionByName(cand_cascade)
             .groupBy("node")
             .agg(F.min("cost").alias("cost"))
+            .join(
+                stored_h.withColumnRenamed("cost", "__old"),
+                "node",
+                "left",
+            )
+            .filter(
+                F.col("__old").isNull() | (F.col("cost") < F.col("__old"))
+            )
+            .select("node", "cost")
         )
-        improved = cur.join(
-            stored_h.withColumnRenamed("cost", "__old"), "node", "left"
-        ).filter(
-            F.col("__old").isNull() | (F.col("cost") < F.col("__old"))
-        ).select("node", "cost")
-        levels.append(cur.withColumn("h", F.lit(h).cast("int")))
+        levels.append(
+            stored_h.join(_hint(improved), "node", "left_anti")
+            .unionByName(improved)
+            .withColumn("h", F.lit(h).cast("int"))
+        )
     out = levels[0]
     for lv in levels[1:]:
         out = out.unionByName(lv)

@@ -1305,11 +1305,14 @@ def _lpa_round(
     round). Labels are node-sized: pass False past the broadcast budget
     and let AQE decide from runtime sizes.
 
-    Plan shape: ONE exchange per round — the neighbor relation is hash-
-    partitioned by v once, which satisfies both the (v, lbl) aggregate's
-    and the v-window's clustering (guide §2.4: two operations keyed the
-    same way share one exchange); without the explicit repartition the
-    aggregate exchanges on (v, lbl) and the window re-exchanges on v."""
+    Plan shape: the (v, lbl) aggregate runs with its MAP-SIDE partial
+    aggregation intact (the exchange carries post-partial rows), then
+    the window re-exchanges the counts on v. An explicit
+    ``repartition("v")`` to share one exchange between the two was
+    measured a net LOSS (2.25 -> 3.68 s warm over 4 rounds, sf0.1): it
+    moves the FULL neighbor-label volume through the exchange before
+    any aggregation, which costs more than the second (post-aggregate,
+    counts-sized) exchange it saves."""
     from pyspark.sql.window import Window
 
     w = Window.partitionBy("v").orderBy(F.desc("cnt"), "lbl")
@@ -1317,11 +1320,7 @@ def _lpa_round(
     if broadcast_labels:
         lbl = F.broadcast(lbl)
     nbr = und.join(lbl, "u").select("v", "lbl")
-    counts = (
-        nbr.repartition("v")
-        .groupBy("v", "lbl")
-        .agg(F.count("*").alias("cnt"))
-    )
+    counts = nbr.groupBy("v", "lbl").agg(F.count("*").alias("cnt"))
     return (
         counts.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)

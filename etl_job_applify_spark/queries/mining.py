@@ -377,9 +377,20 @@ def q219_snm_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     sb = sh.select(
         F.col("doc_id").alias("b"), F.col("shingles").alias("shb")
     )
-    return (
+    # the verification compute (array_intersect over shingle arrays)
+    # lands in the stage AFTER the candidate⋈shingles joins, whose
+    # byte-sized output AQE coalesces to one partition — serializing
+    # ~0.9 s of intersection work on one core (the q162 pattern: AQE
+    # targets bytes, not compute density). An explicit repartition at
+    # the session's parallelism is never re-coalesced and spreads the
+    # intersections; measured 2.82 -> 2.32 s (q222 inherits via reuse).
+    joined = (
         cand.join(sa, "a")
         .join(sb, "b")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    return (
+        joined
         .select(
             "a",
             "b",

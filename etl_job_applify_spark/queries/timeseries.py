@@ -68,6 +68,16 @@ def q162_resample_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(F.expr("sequence(h0, h1, interval 1 hour)")).alias("hour"),
     )
     g = spine.join(hourly, ["user_id", "hour"], "left")
+    # pin the propagation window's input partitioning at the session's
+    # parallelism: AQE coalesces by BYTES (the compact grid is a few
+    # MB, so it lands in ONE post-shuffle partition and the whole
+    # window + interpolation runs as a single serial task — measured
+    # 1.2 s of the query's 2.2 s). An explicit keyed repartition is
+    # never re-coalesced by AQE; defaultParallelism scales with the
+    # cluster, so this is latency-vs-bytes, not a local-mode constant.
+    g = g.repartition(
+        spark.sparkContext.defaultParallelism, "user_id"
+    )
     wp = (
         Window.partitionBy("user_id")
         .orderBy("hour")
