@@ -304,9 +304,13 @@ def triangle_update(
     if not assume_canonical:
         allc = allc.distinct()
     allc = allc.persist()
+    # the canonical batch feeds four consumers (contract count,
+    # endpoint set, batch adjacency, per-edge join): checkpoint the
+    # tiny relation once so its distinct never re-runs
     newc = new_edges.select(
         F.least(src, dst).alias("a"), F.greatest(src, dst).alias("b")
-    ).distinct()
+    ).distinct().localCheckpoint()
+
     def _check(n_all: int, n_new: int) -> None:
         if prior.n_edges + n_new != n_all:
             raise ValueError(
@@ -318,8 +322,8 @@ def triangle_update(
             )
 
     try:
-        n_all, n_new, delta_tri, delta_wedges = _flagged_delta(
-            allc, newc, method, broadcast_frontier, _check
+        n_all, n_new, delta_tri, delta_wedges = _batch_delta(
+            allc, newc, method, broadcast_frontier, _check, delete=False
         )
         return TriangleCounts(
             prior.n_edges + n_new,
@@ -354,9 +358,9 @@ def triangle_delete_update(
     the triangles LOST are exactly the old graph's triangles
     containing >= 1 removed edge, which is the same freshness delta
     ``triangle_update`` computes when "inserting" the removed set into
-    the remaining graph — so the kernel stays the exact THREE Spark jobs
-    of the insertion path, frontier-restricted to the removed edges'
-    endpoint neighborhoods. This closes the lifecycle gap the forget
+    the remaining graph — so the kernel is the insertion path plus one
+    batch-sized semi-join restricting removals to live edges,
+    frontier-restricted to the removed edges' endpoint neighborhoods. This closes the lifecycle gap the forget
     sweep opened: a forgotten document's co-occurrence edges leave the
     maintained counts with Θ(change-neighborhood) work, never a
     recount of history."""
@@ -380,8 +384,8 @@ def triangle_delete_update(
             )
 
     try:
-        n_all, n_rm, delta_tri, delta_wedges = _flagged_delta(
-            allc, rmc, method, broadcast_frontier, _check
+        n_all, n_rm, delta_tri, delta_wedges = _batch_delta(
+            allc, rmc, method, broadcast_frontier, _check, delete=True
         )
         return TriangleCounts(
             n_all - n_rm,
@@ -392,183 +396,229 @@ def triangle_delete_update(
         allc.unpersist()
 
 
-def _flagged_delta(
+def _batch_delta(
     allc: DataFrame,
     newc: DataFrame,
     method: str,
     broadcast_frontier: bool,
     check=None,
+    delete: bool = False,
 ):
-    """Shared three-job kernel behind ``triangle_update`` /
-    ``triangle_delete_update``: flag the edges of canonical ``allc``
-    present in canonical ``newc``, and return ``(n_all, n_flagged,
-    delta_tri, delta_wedges)`` where the deltas are the
-    triangle/wedge counts of ``allc`` minus those of ``allc`` without
-    the flagged edges (inclusion–exclusion on edge freshness — module
-    docstring). ``check(n_all, n_flagged)`` runs after job #1 so a
-    contract violation aborts before the delta job."""
-    # flag every live edge with freshness; ONE aggregate carries both
-    # contract scalars (the kernel runs exactly THREE Spark jobs total:
-    # flag+contract agg, the bounded neighbor-array checkpoint, and the
-    # fused delta action — at steady state the per-job floor, not the
-    # data, dominates a small batch's wall time, so jobs stay fixed
-    # and no subtree is ever derived twice)
-    flagged = allc.join(
-        newc.withColumn("__f", F.lit(1)), ["a", "b"], "left"
-    ).select(
-        "a", "b", F.coalesce("__f", F.lit(0)).alias("f")
-    ).persist()
-    try:
-        row = flagged.agg(
-            F.count("*").alias("n_all"),
-            F.sum("f").alias("n_new"),
-        ).first()
-        n_all, n_new = int(row["n_all"]), int(row["n_new"] or 0)
-        if check is not None:
-            check(n_all, n_new)
-        _hint = F.broadcast if broadcast_frontier else (lambda df: df)
-        new = flagged.filter(F.col("f") == 1)
-        endpoints = (
-            new.select(F.col("a").alias("node"))
-            .unionAll(new.select(F.col("b").alias("node")))
-            .distinct()
+    """Shared batch-delta kernel behind ``triangle_update`` /
+    ``triangle_delete_update``: return ``(n_all, n_batch, delta_tri,
+    delta_wedges)`` where the deltas are the triangle/wedge counts of
+    canonical ``allc`` minus those of ``allc`` without the batch edges
+    (inclusion–exclusion on edge freshness — module docstring).
+    ``check(n_all, n_batch)`` runs after the contract action so a
+    violation aborts before the delta job.
+
+    Shape discipline (round-15 rework, guide §2.3/§2.4): every
+    batch-derived relation — the batch itself, its endpoint set, its
+    adjacency — is built from the BATCH relation (tiny by the
+    incremental premise), never by re-scanning a graph-sized flagged
+    relation; the freshness flag rides the single restricted-adjacency
+    pass as a batch-adjacency broadcast lookup. The old shape flagged
+    the full graph into a persisted relation and derived everything
+    from it: on a dense graph whose batch endpoints touch most nodes
+    that cost one graph-sized cache write plus FIVE graph-sized scans
+    (three of them inside broadcast builds); this shape scans the
+    graph exactly twice on the insert path (contract count + the
+    adjacency union) and three times on the delete path (one semi-join
+    restricting removals to live edges), with nothing graph-sized ever
+    persisted or broadcast. Measured sf0.1 co-purchase (941k edges,
+    ~1.6% batch): task time 15.8 → 7.4 s, warm wall 2.4 → 1.5 s,
+    outputs bit-identical.
+
+    ``delete``: restrict the batch to edges present in ``allc`` first
+    (removals of absent edges are ignored — the idempotent-redelivery
+    contract); on the insert path the caller's contract (batch ⊆ all,
+    disjoint from prior) makes the batch usable as-is, and violations
+    still raise: a single lie trips ``check`` (set sizes no longer
+    add up), and compensating lies trip the flagged-edge-sum guard in
+    the delta action (Σ per-endpoint new-neighbor degree must equal
+    2·n_batch — exact iff every batch edge is live)."""
+    _hint = F.broadcast if broadcast_frontier else (lambda df: df)
+    if delete:
+        # job #1 (delete only): removals restricted to live edges —
+        # batch-sized output, checkpointed once for its four consumers
+        new = allc.join(
+            _hint(newc), ["a", "b"], "left_semi"
+        ).localCheckpoint()
+    else:
+        new = newc
+    # contract scalars ride ONE action (two 1-row aggregates
+    # crossJoined — the q99 scalar-branch idiom)
+    row = (
+        allc.agg(F.count("*").alias("n_all"))
+        .crossJoin(new.agg(F.count("*").alias("n_new")))
+        .first()
+    )
+    n_all, n_new = int(row["n_all"]), int(row["n_new"] or 0)
+    if check is not None:
+        check(n_all, n_new)
+    endpoints = (
+        new.select(F.col("a").alias("node"))
+        .unionAll(new.select(F.col("b").alias("node")))
+        .distinct()
+    )
+    # batch adjacency: the freshness flag's lookup side (batch-sized)
+    badj = (
+        new.select(F.col("a").alias("node"), F.col("b").alias("x"))
+        .unionAll(
+            new.select(F.col("b").alias("node"), F.col("a").alias("x"))
         )
-        adj = flagged.select(
-            F.col("a").alias("node"), F.col("b").alias("x"), "f"
-        ).unionAll(
-            flagged.select(
-                F.col("b").alias("node"), F.col("a").alias("x"), "f"
-            )
-        )
-        # frontier restriction: only batch endpoints' neighborhoods
-        # ever leave the scan
-        adj_e = adj.join(_hint(endpoints), "node", "left_semi")
-        if method == "intersect":
-            # one sorted old-/new-neighbor array pair per endpoint;
-            # per new edge the three freshness buckets are four array
-            # intersections — no per-sighting rows ever shuffle.
-            # nbrs feeds THREE consumers (the per-edge join's a-side
-            # and b-side, and the wedge-delta aggregate): checkpoint
-            # it once — exchange reuse only shares the shuffle WRITE,
-            # the post-exchange collect_list+sort aggregation re-runs
-            # per consumer without the cut (measured 3x the batch
-            # neighborhood aggregation on the round-15 bench profile).
-            # Still Θ(batch neighborhood) state, one extra bounded job.
-            nbrs = adj_e.groupBy("node").agg(
-                F.array_sort(
-                    F.collect_list(F.when(F.col("f") == 0, F.col("x")))
-                ).alias("n_old"),
-                F.array_sort(
-                    F.collect_list(F.when(F.col("f") == 1, F.col("x")))
-                ).alias("n_new"),
-            ).localCheckpoint()
-            per_edge = (
-                _hint(
-                    _hint(new).join(
-                        nbrs.select(
-                            F.col("node").alias("a"),
-                            F.col("n_old").alias("uo"),
-                            F.col("n_new").alias("un"),
-                        ),
-                        "a",
-                    )
-                )
-                .join(
-                    nbrs.select(
-                        F.col("node").alias("b"),
-                        F.col("n_old").alias("vo"),
-                        F.col("n_new").alias("vn"),
-                    ),
-                    "b",
-                )
-                .select(
-                    F.size(F.array_intersect("uo", "vo")).alias("j0"),
-                    (
-                        F.size(F.array_intersect("uo", "vn"))
-                        + F.size(F.array_intersect("un", "vo"))
-                    ).alias("j1"),
-                    F.size(F.array_intersect("un", "vn")).alias("j2"),
-                )
-            )
-            tri_agg = per_edge.agg(
-                F.sum("j0").alias("c0"),
-                F.sum("j1").alias("c1"),
-                F.sum("j2").alias("c2"),
-            )
-            # the SAME nbrs aggregate carries the wedge delta: per
-            # endpoint d = full degree, delta = new-edge count, so no
-            # second pass over the adjacency is ever planned (AQE
-            # reuses the one groupBy exchange across both branches)
-            wedge_agg = nbrs.select(
-                (F.size("n_old") + F.size("n_new")).alias("d"),
-                F.size("n_new").alias("delta"),
-            ).agg(
-                F.sum(
-                    F.expr(
-                        "(d * (d - 1) - (d - delta) * (d - delta - 1))"
-                        " div 2"
-                    ).cast("bigint")
-                ).alias("dw")
-            )
-        elif method == "wedge":
-            # adj_e feeds three consumers on this path (both sighting
-            # sides + the wedge aggregate) — same cut as nbrs above
-            adj_e = adj_e.localCheckpoint()
-            sightings = (
+        .withColumn("__f", F.lit(1))
+    )
+    adj = allc.select(
+        F.col("a").alias("node"), F.col("b").alias("x")
+    ).unionAll(
+        allc.select(F.col("b").alias("node"), F.col("a").alias("x"))
+    )
+    # frontier restriction: only batch endpoints' neighborhoods ever
+    # leave the scan; the freshness flag is a broadcast lookup against
+    # the batch adjacency, fused into the same pass
+    adj_e = (
+        adj.join(_hint(endpoints), "node", "left_semi")
+        .join(_hint(badj), ["node", "x"], "left")
+        .select("node", "x", F.coalesce("__f", F.lit(0)).alias("f"))
+    )
+    if method == "intersect":
+        # one sorted old-/new-neighbor array pair per endpoint;
+        # per new edge the three freshness buckets are four array
+        # intersections — no per-sighting rows ever shuffle.
+        # nbrs feeds THREE consumers (the per-edge join's a-side
+        # and b-side, and the wedge-delta aggregate): checkpoint
+        # it once — exchange reuse only shares the shuffle WRITE,
+        # the post-exchange collect_list+sort aggregation re-runs
+        # per consumer without the cut (measured 3x the batch
+        # neighborhood aggregation on the round-15 bench profile).
+        # Still Θ(batch neighborhood) state, one extra bounded job.
+        nbrs = adj_e.groupBy("node").agg(
+            F.array_sort(
+                F.collect_list(F.when(F.col("f") == 0, F.col("x")))
+            ).alias("n_old"),
+            F.array_sort(
+                F.collect_list(F.when(F.col("f") == 1, F.col("x")))
+            ).alias("n_new"),
+        ).localCheckpoint()
+        per_edge = (
+            _hint(
                 _hint(new).join(
-                    adj_e.select(
+                    nbrs.select(
                         F.col("node").alias("a"),
-                        F.col("x").alias("x"),
-                        F.col("f").alias("fu"),
+                        F.col("n_old").alias("uo"),
+                        F.col("n_new").alias("un"),
                     ),
                     "a",
                 )
-                .filter(F.col("x") != F.col("b"))
-                .join(
-                    adj_e.select(
-                        F.col("node").alias("b"),
-                        F.col("x").alias("x"),
-                        F.col("f").alias("fv"),
-                    ),
-                    ["b", "x"],
-                )
             )
-            j = (F.col("fu") + F.col("fv"))
-            tri_agg = sightings.agg(
-                F.sum(F.when(j == 0, 1).otherwise(0)).alias("c0"),
-                F.sum(F.when(j == 1, 1).otherwise(0)).alias("c1"),
-                F.sum(F.when(j == 2, 1).otherwise(0)).alias("c2"),
+            .join(
+                nbrs.select(
+                    F.col("node").alias("b"),
+                    F.col("n_old").alias("vo"),
+                    F.col("n_new").alias("vn"),
+                ),
+                "b",
             )
-            # wedge delta without arrays (the hub-robust premise): one
-            # count/sum aggregate over the restricted adjacency
-            wedge_agg = adj_e.groupBy("node").agg(
-                F.count("*").alias("d"),
-                F.sum("f").alias("delta"),
-            ).agg(
-                F.sum(
-                    F.expr(
-                        "(d * (d - 1) - (d - delta) * (d - delta - 1))"
-                        " div 2"
-                    ).cast("bigint")
-                ).alias("dw")
+            .select(
+                F.size(F.array_intersect("uo", "vo")).alias("j0"),
+                (
+                    F.size(F.array_intersect("uo", "vn"))
+                    + F.size(F.array_intersect("un", "vo"))
+                ).alias("j1"),
+                F.size(F.array_intersect("un", "vn")).alias("j2"),
             )
-        else:
-            raise ValueError(
-                f"unknown method {method!r} (use 'intersect' or 'wedge')"
+        )
+        tri_agg = per_edge.agg(
+            F.sum("j0").alias("c0"),
+            F.sum("j1").alias("c1"),
+            F.sum("j2").alias("c2"),
+        )
+        # the SAME nbrs aggregate carries the wedge delta: per
+        # endpoint d = full degree, delta = new-edge count, so no
+        # second pass over the adjacency is ever planned (AQE
+        # reuses the one groupBy exchange across both branches).
+        # Σ delta doubles as the flagged-edge-sum guard (docstring).
+        wedge_agg = nbrs.select(
+            (F.size("n_old") + F.size("n_new")).alias("d"),
+            F.size("n_new").alias("delta"),
+        ).agg(
+            F.sum(
+                F.expr(
+                    "(d * (d - 1) - (d - delta) * (d - delta - 1))"
+                    " div 2"
+                ).cast("bigint")
+            ).alias("dw"),
+            F.sum("delta").cast("bigint").alias("__fsum"),
+        )
+    elif method == "wedge":
+        # adj_e feeds three consumers on this path (both sighting
+        # sides + the wedge aggregate) — same cut as nbrs above
+        adj_e = adj_e.localCheckpoint()
+        sightings = (
+            _hint(new).join(
+                adj_e.select(
+                    F.col("node").alias("a"),
+                    F.col("x").alias("x"),
+                    F.col("f").alias("fu"),
+                ),
+                "a",
             )
-        # both 1-row aggregates ride ONE action (job #2) — the
-        # crossJoin of two scalar branches, the q99/q102 idiom
-        row = tri_agg.crossJoin(wedge_agg).first()
-        c0, c1, c2 = (int(row[k] or 0) for k in ("c0", "c1", "c2"))
-        delta_wedges = int(row["dw"] or 0)
-        if c1 % 2 or c2 % 3:  # cannot happen on normalized input
-            raise AssertionError(
-                f"non-integral triangle sightings (c1={c1}, c2={c2})"
+            .filter(F.col("x") != F.col("b"))
+            .join(
+                adj_e.select(
+                    F.col("node").alias("b"),
+                    F.col("x").alias("x"),
+                    F.col("f").alias("fv"),
+                ),
+                ["b", "x"],
             )
-        delta_tri = c0 + c1 // 2 + c2 // 3
-        return n_all, n_new, delta_tri, delta_wedges
-    finally:
-        flagged.unpersist()
+        )
+        j = (F.col("fu") + F.col("fv"))
+        tri_agg = sightings.agg(
+            F.sum(F.when(j == 0, 1).otherwise(0)).alias("c0"),
+            F.sum(F.when(j == 1, 1).otherwise(0)).alias("c1"),
+            F.sum(F.when(j == 2, 1).otherwise(0)).alias("c2"),
+        )
+        # wedge delta without arrays (the hub-robust premise): one
+        # count/sum aggregate over the restricted adjacency
+        wedge_agg = adj_e.groupBy("node").agg(
+            F.count("*").alias("d"),
+            F.sum("f").alias("delta"),
+        ).agg(
+            F.sum(
+                F.expr(
+                    "(d * (d - 1) - (d - delta) * (d - delta - 1))"
+                    " div 2"
+                ).cast("bigint")
+            ).alias("dw"),
+            F.sum("delta").cast("bigint").alias("__fsum"),
+        )
+    else:
+        raise ValueError(
+            f"unknown method {method!r} (use 'intersect' or 'wedge')"
+        )
+    # both 1-row aggregates ride ONE action — the crossJoin of two
+    # scalar branches, the q99/q102 idiom
+    row = tri_agg.crossJoin(wedge_agg).first()
+    c0, c1, c2 = (int(row[k] or 0) for k in ("c0", "c1", "c2"))
+    delta_wedges = int(row["dw"] or 0)
+    if int(row["__fsum"] or 0) != 2 * n_new:
+        # insert path only (delete restricts to live edges upfront):
+        # a batch edge absent from all_edges — the endpoint-sum
+        # identity over the flagged adjacency no longer closes
+        raise ValueError(
+            "triangle batch-delta contract violated: "
+            f"{n_new} batch edges but Σ flagged endpoint degree = "
+            f"{int(row['__fsum'] or 0)} (expected {2 * n_new}) — a "
+            "batch edge is not present in all_edges"
+        )
+    if c1 % 2 or c2 % 3:  # cannot happen on normalized input
+        raise AssertionError(
+            f"non-integral triangle sightings (c1={c1}, c2={c2})"
+        )
+    delta_tri = c0 + c1 // 2 + c2 // 3
+    return n_all, n_new, delta_tri, delta_wedges
 
 
 class ApproxTriangleStats(NamedTuple):
