@@ -251,9 +251,17 @@ def text_index_build(
             "wb", F.pmod(F.xxhash64("word"), F.lit(num_buckets))
         )
     )
-    postings.write.mode(mode).partitionBy("wb").parquet(
-        os.path.join(index_path, "postings")
-    )
+    # cluster by bucket before the partitioned write (the
+    # optimize_text_index discipline, guide §6): without it every
+    # write task emits one file per wb value it holds — tasks × buckets
+    # tiny files that the doclens derivation, the stats pass, and every
+    # probe then pay to list and open. One exchange of the AGGREGATED
+    # postings (far smaller than the token stream) buys ~1 file per
+    # (bucket, bin); ``bins`` keeps the write stage at cluster
+    # parallelism when num_buckets is below it.
+    _clustered(postings, num_buckets).write.mode(mode).partitionBy(
+        "wb"
+    ).parquet(os.path.join(index_path, "postings"))
     # doclens derive from the postings just written (footer-cheap read,
     # no second tokenize pass over the corpus)
     written = spark.read.parquet(os.path.join(index_path, "postings"))
@@ -298,6 +306,24 @@ def text_index_build(
         }
     _write_meta(index_path, meta)
     return meta
+
+
+def _clustered(postings: DataFrame, num_buckets: int) -> DataFrame:
+    """Hash-cluster a postings relation on (wb, doc-bin) so a
+    ``partitionBy("wb")`` write emits ~1 file per (bucket, bin) instead
+    of one per (task, bucket). ``bins`` lifts the write stage back to
+    cluster parallelism when ``num_buckets`` is below it (2x over-
+    decomposition so hash collisions cost a second file per task, not
+    a straggler)."""
+    p = postings.sparkSession.sparkContext.defaultParallelism
+    bins = max(1, -(-2 * p // num_buckets))
+    if bins == 1:
+        return postings.repartition(num_buckets, "wb")
+    return (
+        postings.withColumn("__bin", F.pmod(F.hash("doc"), F.lit(bins)))
+        .repartition(num_buckets * bins, "wb", "__bin")
+        .drop("__bin")
+    )
 
 
 def _term_buckets(
@@ -1173,7 +1199,12 @@ def _tidx_commit(
     from ..sinks.versioned import commit_staged, fs_touch, fs_write_json
 
     def populate(staging: str) -> None:
-        postings.write.partitionBy("wb").mode("overwrite").parquet(
+        # cluster by bucket before the partitioned write — the flat
+        # build / optimize_text_index discipline (files per (bucket,
+        # bin), not per (task, bucket)); see _clustered
+        _clustered(
+            postings, int(params.get("num_buckets") or 1)
+        ).write.partitionBy("wb").mode("overwrite").parquet(
             f"{staging}/postings"
         )
         doclens.write.mode("overwrite").parquet(f"{staging}/doclens")
