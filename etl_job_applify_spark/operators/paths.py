@@ -98,13 +98,18 @@ def bfs_hops(
         # and discarding most of it afterwards. Set-equal either way
         # (the anti filter is row-wise). Measured sf0.1 co-purchase:
         # 1.99 -> 1.38 s warm for the 4-round BFS body.
-        nxt = materialize(
+        # The FINAL round's frontier feeds no further superstep — only
+        # the output union — so it stays lazy (one consumer, computed
+        # inside the caller's action; a checkpoint would add a job and
+        # a cache pass for nothing).
+        step = (
             _hint(frontier)
             .join(edges, frontier["node"] == edges["src"])
             .select(F.col("dst").alias("node"))
             .join(_hint(visited), "node", "left_anti")
             .distinct()
         )
+        nxt = materialize(step) if k < max_hops else step
         frontiers.append(nxt.withColumn("hop", F.lit(k).cast("int")))
         visited = visited.unionByName(nxt)
         frontier = nxt
@@ -287,11 +292,14 @@ def sssp_profile(
                 (F.col("cost") + F.col("w")).alias("cost"),
             )
         )
-        cur = materialize(
+        # the final level feeds only the output union (no further
+        # relax round): leave it lazy — one consumer, no checkpoint
+        step = (
             cur.unionByName(relaxed)
             .groupBy("node")
             .agg(F.min("cost").alias("cost"))
         )
+        cur = materialize(step) if h < horizon else step
         levels.append(cur.withColumn("h", F.lit(h).cast("int")))
     out = levels[0]
     for lv in levels[1:]:

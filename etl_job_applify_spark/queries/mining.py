@@ -63,16 +63,26 @@ def q215_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n_df = baskets.agg(F.countDistinct("l_orderkey").alias("n"))
     items = baskets.groupBy("p_brand").agg(F.count("*").alias("ic"))
-    x, y = baskets.alias("x"), baskets.alias("y")
+    # pair generation by per-basket array expansion (the
+    # _copurchase_pairs idiom) instead of the basket self-join: one
+    # groupBy exchange on the order key replaces the join's two
+    # exchange reads + sort/probe, and the sorted-array
+    # following-combination emits exactly the (pa < pb) multiset the
+    # self-join produced (baskets is distinct per order, so brand
+    # lists are sets). Per-order fanout is C(basket, 2) either way.
     pairs = (
-        x.join(
-            y,
-            (F.col("x.l_orderkey") == F.col("y.l_orderkey"))
-            & (F.col("x.p_brand") < F.col("y.p_brand")),
+        baskets.groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_list("p_brand")).alias("brands"))
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(brands, (x, i) ->"
+                    " transform(slice(brands, i + 2, size(brands)), y ->"
+                    " struct(x AS pa, y AS pb))))"
+                )
+            ).alias("e")
         )
-        .groupBy(
-            F.col("x.p_brand").alias("pa"), F.col("y.p_brand").alias("pb")
-        )
+        .groupBy(F.col("e.pa").alias("pa"), F.col("e.pb").alias("pb"))
         .agg(F.count("*").alias("pc"))
     )
     rules = pairs.select(
