@@ -1307,24 +1307,31 @@ def _lpa_round(
 
     Plan shape: the (v, lbl) aggregate runs with its MAP-SIDE partial
     aggregation intact (the exchange carries post-partial rows), then
-    the window re-exchanges the counts on v. An explicit
-    ``repartition("v")`` to share one exchange between the two was
-    measured a net LOSS (2.25 -> 3.68 s warm over 4 rounds, sf0.1): it
-    moves the FULL neighbor-label volume through the exchange before
-    any aggregation, which costs more than the second (post-aggregate,
-    counts-sized) exchange it saves."""
-    from pyspark.sql.window import Window
-
-    w = Window.partitionBy("v").orderBy(F.desc("cnt"), "lbl")
+    a per-node ``min_by`` aggregate picks the winner — min over
+    (-cnt, lbl) is "largest count, ties to smallest label", exactly
+    the old ROW_NUMBER window's order, but as a declarative aggregate
+    it partial-aggregates map-side and needs NO per-partition sort
+    (round-15, guide §2.3/§2.4: the second exchange now carries at
+    most one candidate per (node, map partition) instead of every
+    (node, label) count, and the WindowExec sort is gone; -cnt is
+    safe unconditionally — counts are >= 1). An explicit
+    ``repartition("v")`` to share one exchange between the two stages
+    was measured a net LOSS (2.25 -> 3.68 s warm over 4 rounds,
+    sf0.1): it moves the FULL neighbor-label volume through the
+    exchange before any aggregation, which costs more than the second
+    (post-aggregate, counts-sized) exchange it saves."""
     lbl = labels.select(F.col("v").alias("u"), "lbl")
     if broadcast_labels:
         lbl = F.broadcast(lbl)
     nbr = und.join(lbl, "u").select("v", "lbl")
     counts = nbr.groupBy("v", "lbl").agg(F.count("*").alias("cnt"))
-    return (
-        counts.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("v", "lbl")
+    return counts.groupBy("v").agg(
+        F.min_by(
+            "lbl",
+            F.struct(
+                (-F.col("cnt")).alias("nc"), F.col("lbl").alias("l")
+            ),
+        ).alias("lbl")
     )
 
 
