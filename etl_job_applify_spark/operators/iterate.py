@@ -49,6 +49,21 @@ def fresh_local_checkpoint(df: DataFrame) -> DataFrame:
     """localCheckpoint with STATISTICS RESET — the per-round
     materialization for iterative kernels (see module docstring).
 
+    LAZY (eager=False), since round 15: ``localCheckpoint`` plans the
+    query at call time either way (under AQE every exchange stage is
+    submitted and awaited right then — the loop's pacing is
+    unchanged), but the eager variant then runs one more JOB just to
+    compute and cache the final stage, which the first consumer
+    re-reads. Lazy defers that final computation into the first
+    consuming job: same work, one fewer job dispatch and one fewer
+    cache-read pass PER ROUND — exactly the per-job floor that
+    dominates control-plane-sized loop bodies (measured: eager =
+    2 jobs at the call + cache read at first use; lazy = 1 job at the
+    call, first use computes+caches in-place, later uses read cache).
+    Spark's LocalRDDCheckpointData backfills any partitions the first
+    job did not compute before truncating lineage, so partial-consume
+    actions (take/limit) stay safe.
+
     When the classic-session internal constructor is unavailable
     (pyspark<4 module layout, connect clients, internal-API drift),
     degrades to the plain localCheckpoint — correct but re-inheriting
@@ -58,7 +73,7 @@ def fresh_local_checkpoint(df: DataFrame) -> DataFrame:
     in a long iterative job surfaces in planning reviews rather than
     as a driver OOM hours later."""
     global _WARNED_FALLBACK
-    ck = df.localCheckpoint(eager=True)
+    ck = df.localCheckpoint(eager=False)
     try:
         from pyspark.sql.classic.dataframe import (
             DataFrame as _ClassicDataFrame,
