@@ -1191,20 +1191,32 @@ def _tidx_commit(
     base_version: int,
     deletes: DataFrame | None = None,
     postings_schema_json: dict | None = None,
+    pre_clustered: bool = False,
 ) -> int:
     """``postings_schema_json``: pass the read-back schema explicitly
     when ``postings`` can be EMPTY (a delete snapshot) — a 0-row
     partitioned write leaves nothing for the schema read-back to
-    infer from."""
+    infer from.
+
+    ``pre_clustered``: the caller has ALREADY repartitioned
+    ``postings`` on (wb, bin) for the partitioned write (the
+    compaction path sizes its exchange from ``target_file_rows``);
+    skip the default ``_clustered`` pass so that sizing is honored
+    instead of overridden by a second, redundant full exchange."""
     from ..sinks.versioned import commit_staged, fs_touch, fs_write_json
 
     def populate(staging: str) -> None:
         # cluster by bucket before the partitioned write — the flat
         # build / optimize_text_index discipline (files per (bucket,
-        # bin), not per (task, bucket)); see _clustered
-        _clustered(
-            postings, int(params.get("num_buckets") or 1)
-        ).write.partitionBy("wb").mode("overwrite").parquet(
+        # bin), not per (task, bucket)); see _clustered. Compaction
+        # passes pre_clustered=True: its exchange is already sized by
+        # target_file_rows and must not be re-shuffled here.
+        out_posts = (
+            postings
+            if pre_clustered
+            else _clustered(postings, int(params.get("num_buckets") or 1))
+        )
+        out_posts.write.partitionBy("wb").mode("overwrite").parquet(
             f"{staging}/postings"
         )
         doclens.write.mode("overwrite").parquet(f"{staging}/doclens")
@@ -1422,6 +1434,7 @@ def _tidx_optimize(
                 carried + [f"{_T_COMPACT_MARK}{base}"],
                 base,
                 postings_schema_json=p_schema_json,
+                pre_clustered=True,
             )
             break
         except CommitConflict:
