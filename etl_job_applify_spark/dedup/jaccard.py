@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .shingles import with_shingles
+from .shingles import with_hashed_shingles
 
 
 def ngram_jaccard_pairs(
@@ -66,14 +66,17 @@ def ngram_jaccard_pairs(
     spread = docs.select(id_col, text_col).repartition(
         docs.sparkSession.sparkContext.defaultParallelism
     )
-    sh = with_shingles(spread, text_col, n)
-    # join on the 64-bit hash of the shingle, not the string: 8-byte
+    # join on a 64-bit hash of the shingle, not the string: 8-byte
     # shuffle keys, and both join sides shuffle the identical subplan →
     # Spark reuses one Exchange (collision odds over 2^64 are negligible
-    # next to the corpus sizes this runs at)
-    postings = sh.select(
+    # next to the corpus sizes this runs at). Round 16: the key is
+    # built hash-first (token hashes combined per window — see
+    # with_hashed_shingles) so the n-gram strings are never
+    # materialized; same key equivalence classes as xxhash64 over the
+    # concat string.
+    postings = with_hashed_shingles(spread, text_col, n).select(
         F.col(id_col).alias("doc"), F.explode("shingles").alias("sh")
-    ).select("doc", F.xxhash64("sh").alias("sh"))
+    )
     from pyspark import StorageLevel
 
     if max_doc_freq is not None:
@@ -191,10 +194,13 @@ def prefix_filtered_jaccard_pairs(
     spread = docs.select(id_col, text_col).repartition(
         docs.sparkSession.sparkContext.defaultParallelism
     )
-    sh = with_shingles(spread, text_col, n)
-    postings = sh.select(
+    # hash-first shingle keys (see ngram_jaccard_pairs note). The
+    # canonical (df, sh) order below changes with the key values, but
+    # the prefix lemma holds for ANY fixed total order and candidates
+    # are verified exactly — the OUTPUT is order-independent.
+    postings = with_hashed_shingles(spread, text_col, n).select(
         F.col(id_col).alias("doc"), F.explode("shingles").alias("sh")
-    ).select("doc", F.xxhash64("sh").alias("sh"))
+    )
     dfreq = postings.groupBy("sh").agg(F.count("*").alias("df"))
     if max_doc_freq is not None:
         dfreq = dfreq.filter(F.col("df") <= max_doc_freq)

@@ -59,3 +59,44 @@ def with_shingles(
         f"ELSE array() END))"
     )
     return df.withColumn(out, F.expr(expr))
+
+
+def with_hashed_shingles(
+    df: DataFrame,
+    text_col: str = "text",
+    n: int = 3,
+    out: str = "shingles",
+) -> DataFrame:
+    """Distinct word-``n``-gram KEYS as 64-bit hashes, without ever
+    materializing the n-gram strings: each token is xxhash64'd once,
+    then every window of ``n`` consecutive token hashes is combined
+    with one variadic ``xxhash64(h_i, …, h_{i+n-1})``.
+
+    Key equivalence with hashing the ``concat_ws(' ', …)`` string
+    (``with_shingles`` + ``xxhash64``): tokens come from
+    ``split(text, ' ')`` so they cannot contain the separator, hence
+    two windows concat-equal iff they are token-wise equal iff their
+    token-hash tuples are equal — the same equivalence classes, up to
+    64-bit collisions, which is exactly the approximation the
+    string-hash join already makes (jaccard.py round-1 note). What it
+    saves, per window: the n-gram string allocation, hashing each
+    token's bytes n times instead of once, and ``array_distinct`` over
+    strings instead of longs — the compute that dominated the q31/q147
+    shingle stage (round-16 profile: 8.3 s / 6.5 s of task time in one
+    map stage each).
+
+    Use where the shingle is only ever a JOIN/GROUP key. Callers that
+    need the shingle TEXT (inspection, index payloads) keep
+    ``with_shingles``. Same lambda-binding idiom as ``with_shingles``
+    (see its docstring) so tokenization+token-hashing run once per row.
+    Documents shorter than ``n`` tokens yield an empty array."""
+    gram = ", ".join(f"hs[i + {j}]" for j in range(n))
+    expr = (
+        f"flatten(transform(array(transform(split({text_col}, ' '),"
+        f" t -> xxhash64(t))), hs -> "
+        f"CASE WHEN size(hs) >= {n} THEN "
+        f"array_distinct(transform(sequence(0, size(hs) - {n}),"
+        f" i -> xxhash64({gram}))) "
+        f"ELSE array() END))"
+    )
+    return df.withColumn(out, F.expr(expr))

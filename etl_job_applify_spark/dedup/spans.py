@@ -28,7 +28,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .shingles import with_shingles
+from .shingles import with_hashed_shingles
 
 
 def shared_span_pairs(
@@ -52,15 +52,14 @@ def shared_span_pairs(
         docs.sparkSession.sparkContext.defaultParallelism
     )
     # a "span" IS a distinct word n-gram — the jaccard path's shingle
-    # expression (with its lambda-binding anti-retokenization idiom)
-    # reused verbatim, just at window length n
-    postings = (
-        with_shingles(spread, text_col, n, out="spans")
-        .select(
-            F.col(id_col).alias("doc"),
-            F.explode("spans").alias("span"),
-        )
-        .select("doc", F.xxhash64("span").alias("span"))
+    # key expression reused verbatim, just at window length n. Keys are
+    # built hash-first (token hashes combined per window, the n-gram
+    # string never materialized — see with_hashed_shingles); counts and
+    # containments are unchanged up to the same 64-bit collision odds
+    # the string-hash key already accepted.
+    postings = with_hashed_shingles(spread, text_col, n, out="spans").select(
+        F.col(id_col).alias("doc"),
+        F.explode("spans").alias("span"),
     )
     grouped = (
         postings.groupBy("span")
@@ -128,13 +127,11 @@ def contamination_spans(
         spread = docs.select(id_col, text_col).repartition(
             docs.sparkSession.sparkContext.defaultParallelism
         )
-        return (
-            with_shingles(spread, text_col, n, out="spans")
-            .select(
-                F.col(id_col).alias("doc"),
-                F.explode("spans").alias("span"),
-            )
-            .select("doc", F.xxhash64("span").alias("span"))
+        return with_hashed_shingles(
+            spread, text_col, n, out="spans"
+        ).select(
+            F.col(id_col).alias("doc"),
+            F.explode("spans").alias("span"),
         )
     tp = postings(train_docs)
     ev = postings(eval_docs).select("span").distinct()
