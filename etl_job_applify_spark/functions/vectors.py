@@ -34,6 +34,22 @@ def with_norm(df: DataFrame, vec_col: str, out: str = "norm") -> DataFrame:
     return df.withColumn(out, norm_expr(vec_col))
 
 
+def py_norm(vec) -> float:
+    """Driver-side twin of ``norm_expr``: the same left fold
+    ``((0+x₁²)+x₂²)+…`` then ``sqrt``, in IEEE doubles (Python float ==
+    JVM double; ``math.sqrt`` and JVM sqrt are both correctly rounded),
+    so the value is bit-identical to evaluating the expression on the
+    same row. Used by the vector-index probe path to serve query norms
+    from a driver-computed local relation."""
+    import math
+
+    acc = 0.0
+    for x in vec:
+        x = float(x)
+        acc = acc + x * x
+    return math.sqrt(acc)
+
+
 def cosine_expr(a: str, b: str, norm_a: str | None = None, norm_b: str | None = None) -> Column:
     """cosine(a, b); pass precomputed norm columns to avoid recomputing
     them per pair (they should be materialized once per vector)."""

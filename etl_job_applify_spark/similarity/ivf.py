@@ -45,6 +45,34 @@ def _centroid_dists_sql(vec_col: str, centroids: np.ndarray) -> str:
     return "array(" + ", ".join(dists) + ")"
 
 
+def py_probe_cells(vec, centroids: np.ndarray, nprobe: int) -> list[int]:
+    """Driver-side twin of ``_probe_cells_expr``: squared-L2 to every
+    centroid via the same left fold (IEEE doubles — Python float == JVM
+    double), then the same (dist, idx) struct order ``array_sort``
+    applies (ascending, NaN greater than any non-NaN, idx tie-break),
+    sliced to ``nprobe``. Bit-exact with the expression on the same row
+    (tests/test_vector_index.py::test_driver_probe_twins_bit_exact)."""
+    import math
+
+    dists = []
+    for c in centroids:
+        acc = 0.0
+        for i in range(len(c)):
+            d = float(vec[i]) - float(c[i])
+            acc = acc + d * d
+        dists.append(acc)
+    # NaN key: Spark's struct compare treats NaN as greater than any
+    # non-NaN and NaN == NaN (ties fall to idx); a raw float NaN in a
+    # Python sort key would compare inconsistently, so normalize it out
+    order = sorted(
+        range(len(dists)),
+        key=lambda i: (
+            (1, 0.0, i) if math.isnan(dists[i]) else (0, dists[i], i)
+        ),
+    )
+    return order[:nprobe]
+
+
 def _centroid_assign_expr(vec_col: str, centroids: np.ndarray) -> F.Column:
     """argmin cell by squared L2 distance, unrolled over the (small)
     centroid set as a codegen'd expression."""

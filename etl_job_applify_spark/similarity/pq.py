@@ -228,6 +228,44 @@ def _adc_lut_expr(vec_col: str, codebooks: np.ndarray) -> F.Column:
     return _lut_from(_normed(vec_col), codebooks)
 
 
+def py_lut(source, codebooks: np.ndarray) -> list[list[float]]:
+    """Driver-side twin of ``_lut_from``: the SAME left-fold
+    ``((0+d₁²)+d₂²)+…`` per (subspace, code), in IEEE doubles (a Python
+    float IS a JVM double, and +,-,* are single correctly-rounded ops),
+    so the returned values are bit-identical to evaluating the
+    ``_adc_lut_expr``/``adc_lut_raw_expr`` column on the same row.
+    Used by the probe path to compute control-plane-sized LUTs on the
+    driver instead of carrying an m×k×d_sub literal expression through
+    every plan analysis (pinned by
+    tests/test_vector_index.py::test_driver_probe_twins_bit_exact)."""
+    m, _, d_sub = codebooks.shape
+    out = []
+    for j in range(m):
+        base = j * d_sub
+        row = []
+        for code in codebooks[j]:
+            acc = 0.0
+            for i in range(d_sub):
+                d = source[base + i] - float(code[i])
+                acc = acc + d * d
+            row.append(acc)
+        out.append(row)
+    return out
+
+
+def py_normed(vec, norm: float) -> list[float]:
+    """Driver-side twin of ``_normed``: elementwise ``x / norm`` in IEEE
+    doubles — bit-identical to the expression on the same row."""
+    return [float(x) / norm for x in vec]
+
+
+def py_residual(normed, cell: int, offsets: np.ndarray) -> list[float]:
+    """Driver-side twin of ``residual_col`` (given the already-normalized
+    vector): elementwise ``x - offsets[cell]`` in IEEE doubles."""
+    off = offsets[cell]
+    return [normed[i] - float(off[i]) for i in range(len(normed))]
+
+
 def adc_lut_raw_expr(col: str, codebooks: np.ndarray) -> F.Column:
     """ADC LUT over an already-prepared vector column (the residual
     path: one LUT per (query, probed cell) row, since the query's

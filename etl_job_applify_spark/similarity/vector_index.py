@@ -638,28 +638,39 @@ def _probe_once(
     where,
 ) -> DataFrame:
     """One probe pass at a fixed nprobe (see vector_index_probe)."""
+    from ..functions.vectors import py_norm
+    from .ivf import py_probe_cells
+    from .pq import py_lut, py_normed, py_residual
+
     meta, cents, books, offs, cells = state
     nprobe = min(nprobe, meta["num_cells"])
     # The query batch is control-plane small by contract (docstring):
-    # materialize it ONCE into a JVM local relation. Every derived
-    # branch (probe-cell set, cosine/LUT broadcast builds, the refine
-    # re-read) then scans the in-memory literals instead of re-running
-    # the caller's plan — on the bench profile the query relation was
-    # a parquet scan re-executed per broadcast build, three jobs per
-    # probe. Values round-trip the driver as exact doubles; all
-    # scoring arithmetic stays in the same Spark expressions.
+    # collect it ONCE and plan the probe DRIVER-SIDE. Norms, probe
+    # cells, residuals and ADC LUTs are computed with bit-exact Python
+    # twins of the Spark expressions (py_norm/py_probe_cells/py_lut —
+    # same IEEE-double left folds, pinned by
+    # test_driver_probe_twins_bit_exact), then served to the joins as
+    # JVM local relations of VALUES. What this removes, vs round 15:
+    # the probe-cell distinct+collect job, and the O(num_cells×d) /
+    # O(m×k×d_sub) centroid+LUT literal expression trees that every
+    # DataFrame operation downstream re-analyzed — on the round-16
+    # profile q234's wall was 2.8 s against 0.8 s of task time, almost
+    # all py4j/analysis latency over those literals (guide §1.2/§5:
+    # the driver should do almost no data work — and no giant-plan
+    # work either). Scoring stays in Spark: cosine/ADC arithmetic over
+    # these values is unchanged, and the values round-trip the driver
+    # exactly (Arrow doubles).
     qsel = queries.select(query_id_col, vec_col)
-    queries = local_relation(
-        qsel.sparkSession, qsel.collect(), qsel.schema
-    )
-    q = with_norm(
-        queries.select(query_id_col, vec_col), vec_col
-    ).withColumn(
-        "__probe", F.explode(F.expr(_probe_cells_expr(vec_col, cents, nprobe)))
-    ).withColumn("cell", F.col("__probe").cast("int"))
-    needed = sorted(
-        r["cell"] for r in q.select("cell").distinct().collect()
-    )
+    spark = qsel.sparkSession
+    qid_t = qsel.schema.fields[0].dataType.simpleString()
+    vec_t = qsel.schema.fields[1].dataType.simpleString()
+    qrows = [(r[0], list(r[1])) for r in qsel.collect()]
+    probes = []  # (qid, vec, norm, [probe cells])
+    for qid, vec in qrows:
+        probes.append(
+            (qid, vec, py_norm(vec), py_probe_cells(vec, cents, nprobe))
+        )
+    needed = sorted({c for _, _, _, cs in probes for c in cs})
     pruned = cells.filter(F.col("cell").isin(needed))
     if where is not None:
         # inside the cells scan: parquet pushes the predicate down to
@@ -668,11 +679,14 @@ def _probe_once(
             F.expr(where) if isinstance(where, str) else where
         )
     if not use_codes:
-        qn = q.select(
-            "cell",
-            F.col(query_id_col).alias("query_id"),
-            F.col(vec_col).alias("__qv"),
-            F.col("norm").alias("__qn"),
+        qn = local_relation(
+            spark,
+            [
+                (c, qid, vec, norm)
+                for qid, vec, norm, cs in probes
+                for c in cs
+            ],
+            f"cell int, query_id {qid_t}, __qv {vec_t}, __qn double",
         )
         scored = pruned.join(F.broadcast(qn), "cell").withColumn(
             "cosine", cosine_expr("__qv", "vec", "__qn", "norm")
@@ -696,19 +710,21 @@ def _probe_once(
     if meta.get("pq_encoding", "plain") == "residual":
         # one LUT per (query, probed cell): the query's residual from
         # THAT cell's offset (FAISS IVFADC serving)
-        qc = q.withColumn(
-            "__qresid", residual_col(vec_col, "cell", offs)
-        ).select(
-            "cell",
-            F.col(query_id_col).alias("query_id"),
-            adc_lut_raw_expr("__qresid", books).alias("__lut"),
-        )
+        qc_rows = [
+            (c, qid, py_lut(py_residual(py_normed(vec, norm), c, offs), books))
+            for qid, vec, norm, cs in probes
+            for c in cs
+        ]
     else:
-        qc = q.select(
-            "cell",
-            F.col(query_id_col).alias("query_id"),
-            _adc_lut_expr(vec_col, books).alias("__lut"),
-        )
+        qc_rows = []
+        for qid, vec, norm, cs in probes:
+            lut = py_lut(py_normed(vec, norm), books)
+            qc_rows.extend((c, qid, lut) for c in cs)
+    qc = local_relation(
+        spark,
+        qc_rows,
+        f"cell int, query_id {qid_t}, __lut array<array<double>>",
+    )
     scored = (
         pruned.select("cell", "vid", "codes")
         .join(F.broadcast(qc), "cell")
@@ -734,10 +750,10 @@ def _probe_once(
     # relation: every shortlist candidate lives in a probed cell by
     # construction, so the join is semantically identical but reads
     # nprobe/num_cells of the index instead of 100% of it.
-    qv = with_norm(queries.select(query_id_col, vec_col), vec_col).select(
-        F.col(query_id_col).alias("query_id"),
-        F.col(vec_col).alias("__qv"),
-        F.col("norm").alias("__qn"),
+    qv = local_relation(
+        spark,
+        [(qid, vec, norm) for qid, vec, norm, _ in probes],
+        f"query_id {qid_t}, __qv {vec_t}, __qn double",
     )
     refined = (
         cand.join(pruned.select("vid", "vec", "norm"), "vid")

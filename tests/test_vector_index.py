@@ -1843,3 +1843,65 @@ def test_streaming_vector_cdc_deletes_only_founding_batch_dropped(
     )
     assert _vxi_is_versioned(spark, idx)
     assert vector_index_stats(spark, idx)["n_vecs"] == 12
+
+
+def test_driver_probe_twins_bit_exact(spark):
+    """The driver-side probe planners (py_norm / py_probe_cells /
+    py_normed / py_residual / py_lut) must reproduce the Spark
+    expressions BIT-FOR-BIT — the probe path serves their values as
+    local relations, so any ulp drift would silently change shortlist
+    membership and therefore served top-k rows."""
+    import struct
+
+    import numpy as np
+
+    from etl_job_applify_spark.functions.vectors import py_norm, with_norm
+    from etl_job_applify_spark.similarity.ivf import py_probe_cells
+    from etl_job_applify_spark.similarity.pq import (
+        _adc_lut_expr,
+        adc_lut_raw_expr,
+        py_lut,
+        py_normed,
+        py_residual,
+        residual_col,
+        train_pq_codebooks,
+    )
+    from etl_job_applify_spark.similarity.vector_index import (
+        _probe_cells_expr,
+    )
+
+    def bits(x):
+        return struct.pack("<d", float(x)).hex()
+
+    corpus = _vecs(spark, n=48)
+    cents = np.asarray(_anchor_centroids(corpus, num_cells=4))
+    offs = cents * 0.25  # arbitrary per-cell offsets for the residual leg
+    books = train_pq_codebooks(corpus, m=4, k=4, seed=7)
+    q = _queries(spark)
+    got = (
+        with_norm(q, "embedding")
+        .withColumn(
+            "probe", F.expr(_probe_cells_expr("embedding", cents, 3))
+        )
+        .withColumn("lut", _adc_lut_expr("embedding", books))
+        .withColumn("cell", F.lit(2))
+        .withColumn("resid", residual_col("embedding", "cell", offs))
+        .withColumn("rlut", adc_lut_raw_expr("resid", books))
+        .collect()
+    )
+    for r in got:
+        vec = list(r["embedding"])
+        norm = py_norm(vec)
+        assert bits(norm) == bits(r["norm"])
+        assert py_probe_cells(vec, cents, 3) == list(r["probe"])
+        normed = py_normed(vec, norm)
+        lut = py_lut(normed, books)
+        assert [[bits(x) for x in row] for row in lut] == [
+            [bits(x) for x in row] for row in r["lut"]
+        ]
+        resid = py_residual(normed, 2, offs)
+        assert [bits(x) for x in resid] == [bits(x) for x in r["resid"]]
+        rlut = py_lut(resid, books)
+        assert [[bits(x) for x in row] for row in rlut] == [
+            [bits(x) for x in row] for row in r["rlut"]
+        ]
