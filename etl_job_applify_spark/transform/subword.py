@@ -104,6 +104,60 @@ def bpe_merge_batch(
     )
 
 
+def _merge_syms_col(pairs: list[tuple[str, str]]) -> F.Column:
+    """Array twin of ``bpe_merge_batch``: apply a batch of
+    symbol-disjoint merges to a ``syms`` array column in ONE
+    left-to-right fold — no window, no per-word shuffle.
+
+    The fold replays the classic greedy scan the windowed formulation
+    encodes positionally: walk the symbols; when the PREVIOUS emitted
+    symbol is raw (not itself produced by a merge this round) and
+    (prev, cur) is a batch pair, replace it with the merged symbol and
+    mark it non-raw; otherwise emit cur raw. A merged symbol never
+    re-matches within the round (matches are against the pre-round
+    sequence — the ``do_merge`` semantics), and for same-symbol runs
+    (a,a) the raw/non-raw flag alternates exactly like the windowed
+    run-parity rule, so the result is identical
+    (tests/test_subword.py::test_array_merge_matches_row_merge).
+
+    Per-word cost is O(len²) array copies in the worst case — fine for
+    natural-language word lengths (the windowed form pays two window
+    sorts over the exploded corpus instead)."""
+    pair_lits = F.array(
+        *[
+            F.struct(F.lit(a).alias("l"), F.lit(b).alias("r"))
+            for a, b in pairs
+        ]
+    )
+
+    def step(st: F.Column, s: F.Column) -> F.Column:
+        last = F.element_at(st["out"], -1)
+        can = (
+            (F.size(st["out"]) > 0)
+            & ~st["lastm"]
+            & F.array_contains(
+                pair_lits, F.struct(last.alias("l"), s.alias("r"))
+            )
+        )
+        merged = F.concat(
+            F.slice(st["out"], F.lit(1), F.size(st["out"]) - 1),
+            F.array(F.concat(last, s)),
+        )
+        appended = F.concat(st["out"], F.array(s))
+        return F.when(
+            can,
+            F.struct(merged.alias("out"), F.lit(True).alias("lastm")),
+        ).otherwise(
+            F.struct(appended.alias("out"), F.lit(False).alias("lastm"))
+        )
+
+    init = F.struct(
+        F.expr("CAST(array() AS array<string>)").alias("out"),
+        F.lit(False).alias("lastm"),
+    )
+    return F.aggregate("syms", init, step, lambda st: st["out"])
+
+
 def _select_disjoint_pairs(
     ranked: list[tuple[str, str, int]], batch: int
 ) -> list[tuple[str, str, int]]:
@@ -168,24 +222,46 @@ def learn_bpe(
         .groupBy("wid")
         .agg(F.count("*").cast("bigint").alias("f"))
     )
-    seq = (
+    # ARRAY representation for the round loop (round 16): one row per
+    # distinct word with its symbol array, instead of one row per
+    # (word, position). Adjacent-pair counts come from a zip of the
+    # array against its own tail and merges apply as a per-word fold
+    # (_merge_syms_col) — the per-round plan keeps ONE exchange (the
+    # pair aggregate) where the exploded form paid a per-word window
+    # sort+exchange for lead() and another inside the merge, and the
+    # loop-carried checkpoint holds |vocab| rows instead of |chars|.
+    # Guide §2.4 (remove shuffles outright) + §1.2 (the loop floor
+    # dominated q203: 40 jobs for 0.5 s of task time on the round-16
+    # profile). The returned relation converts back to the exploded
+    # (wid, f, pos, sym) contract once, after the loop.
+    syms = (
         words.select(
             "wid",
             "f",
-            F.explode(F.expr("sequence(1, length(wid))")).alias("pos"),
+            F.expr(
+                "transform(sequence(1, length(wid)),"
+                " i -> substring(wid, i, 1))"
+            ).alias("syms"),
         )
-        .withColumn("sym", F.expr("substring(wid, pos, 1)"))
         .localCheckpoint()
     )
-    w = Window.partitionBy("wid").orderBy("pos")
+    pair_zip = (
+        "zip_with(slice(syms, 1, size(syms) - 1),"
+        " slice(syms, 2, size(syms) - 1),"
+        " (a, b) -> struct(a AS sym, b AS nxt))"
+    )
     merges: list[tuple[int, str, str, int, int]] = []
-    # a round's corpus_tokens_after is Σf over the seq the NEXT round
-    # ranks on — so it rides the next round's head action (crossJoin of
-    # the ranked head with the 1-row total, the scalar-branch idiom)
-    # instead of a dedicated per-round aggregate job; only the final
-    # round pays a separate total action (round-15, guide §1.2: fewer
-    # driver actions per round, identical arithmetic).
+    # a round's corpus_tokens_after is Σ f·|syms| over the relation the
+    # NEXT round ranks on — so it rides the next round's head action
+    # (crossJoin of the ranked head with the 1-row total, the
+    # scalar-branch idiom) instead of a dedicated per-round aggregate
+    # job; only the final round pays a separate total action
+    # (round-15, guide §1.2: fewer driver actions per round, identical
+    # arithmetic).
     pending: tuple[int, list[tuple[str, str, int]]] | None = None
+
+    def _total() -> F.Column:
+        return F.sum(F.col("f") * F.size("syms")).cast("bigint")
 
     def _flush(tokens_after: int) -> None:
         pr, plist = pending  # type: ignore[misc]
@@ -193,8 +269,8 @@ def learn_bpe(
 
     for r in range(1, rounds + 1):
         pairs = (
-            seq.withColumn("nxt", F.lead("sym").over(w))
-            .filter(F.col("nxt").isNotNull())
+            syms.select("f", F.explode(F.expr(pair_zip)).alias("p"))
+            .select("p.sym", "p.nxt", "f")
             .groupBy("sym", "nxt")
             .agg(F.sum("f").cast("bigint").alias("cnt"))
         )
@@ -207,12 +283,12 @@ def learn_bpe(
             head = head_q.collect()
         else:
             head = head_q.crossJoin(
-                seq.agg(F.sum("f").cast("bigint").alias("__tot"))
+                syms.agg(_total().alias("__tot"))
             ).collect()
             _flush(
                 int(head[0]["__tot"])
                 if head
-                else int(seq.agg(F.sum("f")).collect()[0][0])
+                else int(syms.agg(_total()).collect()[0][0])
             )
             pending = None
         if not head:
@@ -220,12 +296,15 @@ def learn_bpe(
         picked = _select_disjoint_pairs(
             [(t["sym"], t["nxt"], int(t["cnt"])) for t in head], batch
         )
-        seq = bpe_merge_batch(
-            seq, [(a, b) for a, b, _ in picked]
+        syms = syms.withColumn(
+            "syms", _merge_syms_col([(a, b) for a, b, _ in picked])
         ).transform(fresh_local_checkpoint)  # loop-carried: reset stats
         pending = (r, picked)
     if pending is not None:
-        _flush(int(seq.agg(F.sum("f")).collect()[0][0]))
+        _flush(int(syms.agg(_total()).collect()[0][0]))
+    seq = syms.select(
+        "wid", "f", F.posexplode("syms").alias("pos", "sym")
+    ).select("wid", "f", (F.col("pos") + 1).alias("pos"), "sym")
     return merges, seq
 
 

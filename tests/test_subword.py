@@ -273,3 +273,40 @@ def test_bpe_batch_equivalence_property(spark, words):
     fwd = _seqs(bpe_merge_round(bpe_merge_round(seq, "a", "b"), "c", "c"))
     rev = _seqs(bpe_merge_round(bpe_merge_round(seq, "c", "c"), "a", "b"))
     assert batched == fwd == rev
+
+
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(words=st.lists(st.lists(_sym, min_size=1, max_size=8),
+                      min_size=1, max_size=5))
+def test_array_merge_matches_row_merge(spark, words):
+    """_merge_syms_col (the array fold learn_bpe's loop now applies)
+    must equal bpe_merge_batch (the windowed row kernel, itself pinned
+    to the greedy reference) on arbitrary words, including same-symbol
+    runs whose overlaps resolve by run parity."""
+    from etl_job_applify_spark.transform.subword import (
+        _merge_syms_col,
+        bpe_merge_batch,
+    )
+
+    pairs = [("a", "b"), ("c", "c")]
+    arr_rows = [(f"w{i}", ws) for i, ws in enumerate(words)]
+    arr = spark.createDataFrame(arr_rows, "wid string, syms array<string>")
+    got = {
+        r["wid"]: list(r["m"])
+        for r in arr.select(
+            "wid", _merge_syms_col(pairs).alias("m")
+        ).collect()
+    }
+    rows = [
+        (f"w{i}", 1, p + 1, s)
+        for i, ws in enumerate(words)
+        for p, s in enumerate(ws)
+    ]
+    seq = spark.createDataFrame(
+        rows, "wid string, f bigint, pos int, sym string"
+    )
+    ref: dict[str, list[str]] = {f"w{i}": [] for i in range(len(words))}
+    for r in bpe_merge_batch(seq, pairs).orderBy("wid", "pos").collect():
+        ref[r["wid"]].append(r["sym"])
+    assert got == ref
