@@ -64,6 +64,15 @@ def fresh_local_checkpoint(df: DataFrame) -> DataFrame:
     job did not compute before truncating lineage, so partial-consume
     actions (take/limit) stay safe.
 
+    The 'pacing unchanged' premise of the lazy variant holds only
+    under AQE: ``toRdd`` materializes the exchange stages via
+    AdaptiveSparkPlanExec, so the loop body still executes at the
+    call. With ``spark.sql.adaptive.enabled=false`` nothing would run
+    here — lineage would physically chain across rounds and every
+    round's compute (and failures) would surface at the first
+    downstream action — so the non-AQE path stays EAGER (the round-14
+    behavior: one extra job per round, bounded lineage).
+
     When the classic-session internal constructor is unavailable
     (pyspark<4 module layout, connect clients, internal-API drift),
     degrades to the plain localCheckpoint — correct but re-inheriting
@@ -73,7 +82,14 @@ def fresh_local_checkpoint(df: DataFrame) -> DataFrame:
     in a long iterative job surfaces in planning reviews rather than
     as a driver OOM hours later."""
     global _WARNED_FALLBACK
-    ck = df.localCheckpoint(eager=False)
+    try:
+        aqe = (
+            df.sparkSession.conf.get("spark.sql.adaptive.enabled", "true")
+            == "true"
+        )
+    except Exception:  # pragma: no cover - conf surface drift
+        aqe = True
+    ck = df.localCheckpoint(eager=not aqe)
     try:
         from pyspark.sql.classic.dataframe import (
             DataFrame as _ClassicDataFrame,

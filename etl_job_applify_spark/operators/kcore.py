@@ -46,6 +46,8 @@ incremental steady state the 100 TB deployment needs.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -59,9 +61,30 @@ def _canon(
     the normalization SHUFFLE when the caller's relation already
     satisfies the contract (the triangle-kernel knob: graph state held
     by this repo's own kernels/queries is canonical by construction) —
-    the caller asserts it; violations silently overcount degrees."""
+    the caller asserts it; an ordering violation would silently
+    overcount degrees, so ``SPARK_GRAFT_DEBUG_CANONICAL=1`` arms a
+    per-row ``raise_error`` guard on the (a < b) invariant — one
+    comparison expression inside the existing scan, zero extra jobs
+    (duplicate rows, the other half of the contract, trip the kernels'
+    existing size/disjointness actions)."""
     if assume_canonical:
-        return edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        a = F.col(src)
+        if os.environ.get("SPARK_GRAFT_DEBUG_CANONICAL") == "1":
+            a = F.when(F.col(src) < F.col(dst), F.col(src)).otherwise(
+                F.raise_error(
+                    F.concat(
+                        F.lit(
+                            "assume_canonical violated: edge not "
+                            "(a < b)-ordered: ("
+                        ),
+                        F.col(src).cast("string"),
+                        F.lit(", "),
+                        F.col(dst).cast("string"),
+                        F.lit(")"),
+                    )
+                )
+            )
+        return edges.select(a.alias("a"), F.col(dst).alias("b"))
     return (
         edges.select(
             F.least(src, dst).alias("a"), F.greatest(src, dst).alias("b")

@@ -72,6 +72,13 @@ def bfs_hops(
     sf0.1 co-purchase graph). Pass False on graphs whose reachable set
     outgrows the broadcast budget (small-world hubs): AQE then decides
     per round from runtime sizes.
+
+    Single-action assumption: every round's frontier is materialized
+    EXCEPT the final one (it feeds only the output union), so the
+    returned relation is built for exactly one consuming action. A
+    caller running several actions on it (count then write, say)
+    recomputes the last superstep's join+distinct per action — wrap
+    the result in ``materialize`` (or cache it) for multi-action use.
     """
     # NOTE on edge partitioning: pre-repartitioning edges by src was
     # measured a net LOSS here (BENCHNOTES round 8) — the frontier is
@@ -272,7 +279,10 @@ def sssp_profile(
     materializing the shuffle stage per round — the bfs_hops
     measurement). The relation is bounded by the REACHED set, not a
     one-hop frontier: pass False on graphs whose reachable set is past
-    the broadcast budget and let AQE decide per round."""
+    the broadcast budget and let AQE decide per round.
+
+    Single-action assumption (the bfs_hops note): the FINAL level is
+    left lazy — multi-action callers should materialize the result."""
     _hint = F.broadcast if broadcast_frontier else (lambda df: df)
     e = edges.select(
         F.col(src).alias("u"), F.col(dst).alias("v"),

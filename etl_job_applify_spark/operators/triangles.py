@@ -306,7 +306,14 @@ def triangle_update(
     allc = allc.persist()
     # the canonical batch feeds four consumers (contract count,
     # endpoint set, batch adjacency, per-edge join): checkpoint the
-    # tiny relation once so its distinct never re-runs
+    # tiny relation once so its distinct never re-runs. Lifecycle of
+    # this (and _batch_delta's) checkpointed blocks: released by the
+    # ContextCleaner once the DataFrames are garbage-collected — the
+    # kernel returns scalars, so nothing here outlives the call and a
+    # long-lived streaming loop's storage is bounded by GC cadence,
+    # not the loop length (batch-sized blocks; an explicit unpersist
+    # would have to thread handles through _batch_delta for blocks
+    # measured in KB per micro-batch).
     newc = new_edges.select(
         F.least(src, dst).alias("a"), F.greatest(src, dst).alias("b")
     ).distinct().localCheckpoint()

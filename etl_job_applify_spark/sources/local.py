@@ -23,7 +23,11 @@ identical — only the execution shape changes.
 
 from __future__ import annotations
 
+import warnings
+
 from pyspark.sql import DataFrame, SparkSession
+
+_WARNED_FALLBACK = False
 
 
 def local_relation(spark: SparkSession, rows, schema) -> DataFrame:
@@ -36,6 +40,8 @@ def local_relation(spark: SparkSession, rows, schema) -> DataFrame:
     dtype pandas columns so None stays null and ints never become
     floats; Arrow casts each column to the declared Spark type exactly
     like the pickled path would."""
+    global _WARNED_FALLBACK
+    plain_path_wanted = False
     try:
         import math
 
@@ -48,6 +54,7 @@ def local_relation(spark: SparkSession, rows, schema) -> DataFrame:
                     # pandas' object path folds NaN into missing —
                     # the pickled path keeps it a NaN cell; preserve
                     # the original semantics for the rare NaN literal
+                    plain_path_wanted = True
                     raise ValueError("NaN literal: use plain path")
         if isinstance(schema, str):
             from pyspark.sql.types import _parse_datatype_string
@@ -68,6 +75,23 @@ def local_relation(spark: SparkSession, rows, schema) -> DataFrame:
         if len(pdf.columns) != len(names):  # defensive: dup names
             raise ValueError("duplicate column names")
         return spark.createDataFrame(pdf, struct)
-    except Exception:
-        # the pickled-rows path: slower scans, identical semantics
+    except Exception as e:
+        # the pickled-rows path: slower scans, identical semantics.
+        # LOUD (one-time RuntimeWarning, the fresh_local_checkpoint
+        # discipline) unless the fallback was deliberately requested
+        # (NaN literal): ~20 files route control-plane relations here
+        # precisely to avoid per-scan Python-worker tasks — a silent
+        # Arrow-path breakage would quietly reinstate the pathology
+        # the round-15 rework removed, surfacing only as a slow bench.
+        if not (plain_path_wanted or _WARNED_FALLBACK):
+            _WARNED_FALLBACK = True
+            warnings.warn(
+                "local_relation: Arrow/pandas local-relation path "
+                f"unavailable ({type(e).__name__}: {e}); falling back "
+                "to pickled-row createDataFrame — control-plane "
+                "relations on this session scan through Python-worker "
+                "tasks (see sources/local.py)",
+                RuntimeWarning,
+                stacklevel=2,
+            )
         return spark.createDataFrame(rows, schema)

@@ -1128,3 +1128,27 @@ def test_streaming_graph_cdc_parity_and_replay(spark, tmp_path):
     ) == got_core
     row2 = read_table(spark, tri_state + "/counts").first()
     assert tuple(row2) == tuple(row)
+
+
+def test_assume_canonical_debug_guard(spark, monkeypatch):
+    """SPARK_GRAFT_DEBUG_CANONICAL=1 arms a per-row (a < b) assertion
+    under assume_canonical — a violated promise raises instead of
+    silently overcounting degrees; with the flag off (default), the
+    same input is taken on faith (documented knob semantics)."""
+    import pytest
+
+    from etl_job_applify_spark.operators.kcore import k_core
+
+    ok = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3)], "a bigint, b bigint"
+    )
+    bad = spark.createDataFrame(
+        [(1, 2), (3, 1), (2, 3)], "a bigint, b bigint"  # (3,1) misordered
+    )
+    monkeypatch.setenv("SPARK_GRAFT_DEBUG_CANONICAL", "1")
+    assert k_core(ok, 2, assume_canonical=True).count() == 3
+    with pytest.raises(Exception, match="assume_canonical violated"):
+        k_core(bad, 2, assume_canonical=True).count()
+    monkeypatch.delenv("SPARK_GRAFT_DEBUG_CANONICAL")
+    # flag off: the promise is taken on faith (no raise)
+    k_core(bad, 2, assume_canonical=True).count()

@@ -142,3 +142,44 @@ def test_avro_paths_are_cleanly_gated(spark, tmp_path):
         read_avro(spark, str(tmp_path / "x.avro"))
     with pytest.raises(ImportError, match="spark-avro"):
         write_avro(spark.range(3), str(tmp_path / "y.avro"))
+
+
+def test_local_relation_fallback_warns_once(spark, monkeypatch):
+    """A broken Arrow path must be LOUD: the first pickled-row fallback
+    raises a RuntimeWarning naming the exception (silent fallback would
+    quietly reinstate per-scan Python-worker tasks across ~20 call
+    sites); the deliberate NaN-literal fallback stays silent."""
+    import warnings
+
+    import pytest
+
+    from etl_job_applify_spark.sources import local as local_mod
+
+    monkeypatch.setattr(local_mod, "_WARNED_FALLBACK", False)
+    # deliberate NaN routing: no warning
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        df = local_mod.local_relation(
+            spark, [(1, float("nan"))], "a int, b double"
+        )
+        assert df.count() == 1
+    # forced Arrow-path failure: one warning, then silence
+    real_create = spark.createDataFrame
+    calls = {"n": 0}
+
+    def flaky(data, schema=None, **kw):
+        import pandas as pd
+
+        if isinstance(data, pd.DataFrame):
+            calls["n"] += 1
+            raise RuntimeError("forced arrow failure")
+        return real_create(data, schema, **kw)
+
+    monkeypatch.setattr(spark, "createDataFrame", flaky)
+    with pytest.warns(RuntimeWarning, match="forced arrow failure"):
+        out = local_mod.local_relation(spark, [(1, 2.5)], "a int, b double")
+        assert out.count() == 1
+    assert calls["n"] == 1
+    with warnings.catch_warnings():  # second failure: already warned
+        warnings.simplefilter("error")
+        local_mod.local_relation(spark, [(2, 3.5)], "a int, b double")
