@@ -32,7 +32,7 @@ def main() -> None:
     from etl_job_applify_spark import queries as registry
     from etl_job_applify_spark.session import get_spark_session
 
-    out_dir = "/root/repo/plans/r15"
+    out_dir = "/root/repo/plans/r16"
     os.makedirs(out_dir, exist_ok=True)
     spark = get_spark_session("capture_plans")
     qs = dict(registry.queries())
