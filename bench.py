@@ -18,6 +18,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from etl_job_applify_spark import queries as registry
 from etl_job_applify_spark.session import get_spark_session
 from etl_job_applify_spark.sources.local import local_relation
+from etl_job_applify_spark.functions.rrf import rrf_fused
 
 #: headline set: one per operator family (scan/agg, multiway join, window,
 #: top-k, JSON, fuzzy dedup, ANN, text, temporal windows, sessionization;
@@ -173,13 +174,7 @@ def _build_serve_indexes(spark, sf_dir: str, idx_root: str):
             F.col("neighbor").alias("doc_id"),
             F.col("rank").cast("int").alias("vec_rank"),
         )
-        fused = lex.join(vec, ["qid", "doc_id"], "full_outer").withColumn(
-            "rrf_score",
-            F.expr(
-                "coalesce(1e0 / (60 + lex_rank), 0e0)"
-                " + coalesce(1e0 / (60 + vec_rank), 0e0)"
-            ),
-        )
+        fused = rrf_fused(lex, vec)  # union+agg == full-outer (functions/rrf.py)
         w_f = Window.partitionBy("qid").orderBy(
             F.desc("rrf_score"), F.asc("doc_id")
         )
@@ -222,13 +217,7 @@ def _build_serve_indexes(spark, sf_dir: str, idx_root: str):
             F.col("neighbor").alias("doc_id"),
             F.col("rank").cast("int").alias("vec_rank"),
         )
-        fused = lex.join(vec, ["qid", "doc_id"], "full_outer").withColumn(
-            "rrf_score",
-            F.expr(
-                "coalesce(1e0 / (60 + lex_rank), 0e0)"
-                " + coalesce(1e0 / (60 + vec_rank), 0e0)"
-            ),
-        )
+        fused = rrf_fused(lex, vec)  # union+agg == full-outer (functions/rrf.py)
         w_f = Window.partitionBy("qid").orderBy(
             F.desc("rrf_score"), F.asc("doc_id")
         )

@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..sources.local import local_relation
+from ..functions.rrf import rrf_fused
 
 from ._util import tbl
 from .analytics import _cos_sql
@@ -960,13 +961,7 @@ def q235_hybrid_rrf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("neighbor").alias("doc_id"),
             F.col("rank").cast("int").alias("vec_rank"),
         )
-        fused = lex.join(vec, ["qid", "doc_id"], "full_outer").withColumn(
-            "rrf_score",
-            F.expr(
-                "coalesce(1e0 / (60 + lex_rank), 0e0)"
-                " + coalesce(1e0 / (60 + vec_rank), 0e0)"
-            ),
-        )
+        fused = rrf_fused(lex, vec)  # union+agg == full-outer (functions/rrf.py)
         w_f = Window.partitionBy("qid").orderBy(
             F.desc("rrf_score"), F.asc("doc_id")
         )
@@ -1048,13 +1043,7 @@ def q246_hybrid_rrf_faceted(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("neighbor").alias("doc_id"),
             F.col("rank").cast("int").alias("vec_rank"),
         )
-        fused = lex.join(vec, ["qid", "doc_id"], "full_outer").withColumn(
-            "rrf_score",
-            F.expr(
-                "coalesce(1e0 / (60 + lex_rank), 0e0)"
-                " + coalesce(1e0 / (60 + vec_rank), 0e0)"
-            ),
-        )
+        fused = rrf_fused(lex, vec)  # union+agg == full-outer (functions/rrf.py)
         w_f = Window.partitionBy("qid").orderBy(
             F.desc("rrf_score"), F.asc("doc_id")
         )
